@@ -1,0 +1,76 @@
+package graft.jq
+
+
+import com.fasterxml.jackson.core.JsonFactory
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Public entry point: compile a jq program once, run it per JSON value.
+  *
+  * Mirrors the reference flow (JsonQueryUDTF.java:53 compile-once;
+  * :74-107 per-row parse → `$error` binding → apply → stream of outputs).
+  * Instances are immutable and thread-safe; executor threads share the
+  * compiled AST via `compileCached`.
+  */
+final class CompiledJq private[jq] (val ast: JqExpr) extends Serializable {
+
+  /** Run on an already-parsed JSON value. */
+  def apply(input: JsonNode, vars: Map[String, JsonNode] = Map.empty): Iterator[JsonNode] =
+    Interp.eval(ast, input, Env(vars, Map.empty)).iterator
+
+  /** Run with the reference's corrupt-input contract: a null or unparsable
+    * `jsonText` makes the input `null` and binds `$error` to
+    * {message, class, input}; a valid parse binds `$error` to null.
+    * jq runtime errors surface as JqError (caller maps to its failure model). */
+  def applyToText(jsonText: String): Iterator[JsonNode] = {
+    val (input, error) = Jq.parseWithError(jsonText)
+    apply(input, Map("error" -> error))
+  }
+}
+
+object Jq {
+  // unescaped-control-chars tolerance matches JsonQueryUDTF.java:61
+  private val factory: JsonFactory = {
+    val f = new JsonFactory()
+    f.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_CONTROL_CHARS)
+    f
+  }
+
+  private val mappers: ThreadLocal[ObjectMapper] =
+    ThreadLocal.withInitial(() => new ObjectMapper(factory))
+
+  private val cache = new ConcurrentHashMap[String, CompiledJq]()
+
+  /** Parse + desugar a jq program. Throws JqSyntaxError on bad programs. */
+  def compile(program: String): CompiledJq = new CompiledJq(Parser.parse(program))
+
+  /** Per-JVM compile cache — executors compile each distinct program once. */
+  def compileCached(program: String): CompiledJq =
+    cache.computeIfAbsent(program, p => compile(p))
+
+  /** Strict JSON parse incl. trailing-garbage rejection
+    * (JsonQueryUDTF.java:83-87). */
+  def parseJson(text: String): JsonNode = {
+    val mapper = mappers.get()
+    val parser = mapper.createParser(text)
+    try {
+      val node = mapper.readTree[JsonNode](parser)
+      if (parser.nextToken() != null)
+        throw new com.fasterxml.jackson.core.JsonParseException(parser, "trailing characters")
+      if (node == null) Json.NullN else node
+    } finally parser.close()
+  }
+
+  /** (input, $error) with the reference's corrupt-input semantics. */
+  def parseWithError(text: String): (JsonNode, JsonNode) =
+    if (text == null) (Json.NullN, Json.NullN)
+    else
+      try (parseJson(text), Json.NullN)
+      catch {
+        case e: Exception =>
+          (Json.NullN, Json.obj(List(
+            "message" -> Json.text(if (e.getMessage == null) e.toString else e.getMessage),
+            "class" -> Json.text(e.getClass.getName),
+            "input" -> Json.text(text))))
+      }
+}
