@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.{GraftShim => ExpressionUtils}
+import org.apache.spark.sql.types.StringType
+
+import graft.operators.{JqExtractAll, JqString, JsonQueryGenerator}
+
+/** SQL surface registration.
+  *
+  * `Graft.register(spark)` installs the functions into an existing session;
+  * `GraftExtensions` does the same via `spark.sql.extensions` config, the
+  * idiomatic deployment on a shared cluster.
+  *
+  * SQL usage mirrors the reference README one-to-one:
+  *   SELECT jq(json, '.items[]', 'name:string', 'qty:int') FROM t
+  *   SELECT r.region, tz.* FROM regions r
+  *     LATERAL VIEW jq(r.timezones, '.[]', 'name:string', 'offset:int') tz
+  */
+object Graft {
+
+  /** JQ / TYPE arguments must be constant strings, as in the reference
+    * (JsonQueryUDTF.java:136-143). */
+  private def constString(e: Expression, name: String): String =
+    if (e.foldable && e.dataType == StringType) {
+      val v = e.eval()
+      if (v == null) throw new IllegalArgumentException(s"$name must not be NULL.")
+      v.toString
+    } else throw new IllegalArgumentException(s"$name must be a constant string.")
+
+  private[graft] def jqBuilder(args: Seq[Expression]): Expression = {
+    if (args.length < 3)
+      throw new IllegalArgumentException("jq() takes at least three arguments.")
+    JsonQueryGenerator(
+      args.head,
+      constString(args(1), "JQ"),
+      args.drop(2).zipWithIndex.map { case (a, i) => constString(a, s"TYPE or NAME:TYPE (arg ${i + 3})") })
+  }
+
+  private[graft] def jqStringBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException("jq_string() takes exactly two arguments.")
+    JqString(args.head, constString(args(1), "JQ"))
+  }
+
+  private[graft] def jqExtractAllBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException("jq_extract_all() takes exactly two arguments.")
+    JqExtractAll(args.head, constString(args(1), "JQ"))
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("jq", "_FUNC_(JSON, 'JQ', 'TYPE'), _FUNC_(JSON, 'JQ', 'F1:T1', ..., 'FN:TN') - jq for Spark", jqBuilder),
+    ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
+    ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, usage, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  // ---- Column API (Scala-first surface) --------------------------------
+
+  /** jq(col, program, types*) — generator Column; explodes to 0..N rows per
+    * input row with the declared schema. */
+  def jq(json: Column, program: String, types: String*): Column =
+    ExpressionUtils.column(JsonQueryGenerator(
+      ExpressionUtils.expression(json), program, types))
+
+  def jqString(json: Column, program: String): Column =
+    ExpressionUtils.column(JqString(ExpressionUtils.expression(json), program))
+
+  def jqExtractAll(json: Column, program: String): Column =
+    ExpressionUtils.column(JqExtractAll(ExpressionUtils.expression(json), program))
+
+  private def lit(s: String): Expression = Literal.create(s, StringType)
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("jq"),
+      new ExpressionInfo("graft", "jq"), Graft.jqBuilder))
+    e.injectFunction((FunctionIdentifier("jq_string"),
+      new ExpressionInfo("graft", "jq_string"), Graft.jqStringBuilder))
+    e.injectFunction((FunctionIdentifier("jq_extract_all"),
+      new ExpressionInfo("graft", "jq_extract_all"), Graft.jqExtractAllBuilder))
+  }
+}
