@@ -30,25 +30,36 @@ object Graft {
       v.toString
     } else throw new IllegalArgumentException(s"$name must be a constant string.")
 
+  /** fail at analysis time on bad programs, like the reference's
+    * initialize-time JsonQueryException (JsonQueryUDTF.java:53-56) */
+  private def validated(program: String): String = {
+    try graft.jq.Jq.compileCached(program)
+    catch {
+      case e: graft.jq.JqSyntaxError =>
+        throw new IllegalArgumentException(s"JQ is invalid: ${e.getMessage}")
+    }
+    program
+  }
+
   private[graft] def jqBuilder(args: Seq[Expression]): Expression = {
     if (args.length < 3)
       throw new IllegalArgumentException("jq() takes at least three arguments.")
     JsonQueryGenerator(
       args.head,
-      constString(args(1), "JQ"),
+      validated(constString(args(1), "JQ")),
       args.drop(2).zipWithIndex.map { case (a, i) => constString(a, s"TYPE or NAME:TYPE (arg ${i + 3})") })
   }
 
   private[graft] def jqStringBuilder(args: Seq[Expression]): Expression = {
     if (args.length != 2)
       throw new IllegalArgumentException("jq_string() takes exactly two arguments.")
-    JqString(args.head, constString(args(1), "JQ"))
+    JqString(args.head, validated(constString(args(1), "JQ")))
   }
 
   private[graft] def jqExtractAllBuilder(args: Seq[Expression]): Expression = {
     if (args.length != 2)
       throw new IllegalArgumentException("jq_extract_all() takes exactly two arguments.")
-    JqExtractAll(args.head, constString(args(1), "JQ"))
+    JqExtractAll(args.head, validated(constString(args(1), "JQ")))
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
