@@ -214,6 +214,102 @@ object SparkEntry {
                count(DISTINCT l_suppkey) AS n_supp
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
+    // ---- LLM-pipeline ops (SURVEY §2.4) ---------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      val d = pipeline.Dedup.exact(s.table("documents"), "doc_id", "text")
+      d.agg(
+        count("*").cast("long").as("n_docs"),
+        sum(when(col("is_duplicate"), 1L).otherwise(0L)).cast("long").as("n_dup"))
+        .withColumn("n_unique", col("n_docs") - col("n_dup"))
+        .select("n_docs", "n_dup", "n_unique")
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), "b")
+      pipeline.Dedup.verifyJaccard(pairs, docs, "doc_id", "text", shingle = 3)
+        .withColumn("is_dup", (col("n_int") * 10 >= col("n_union") * 8).cast("boolean"))
+        .select("a", "b", "n_int", "n_union", "is_dup")
+        .orderBy("a")
+    },
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // LSH-blocked near-dup pairs, exact-Jaccard verified. No SQL oracle
+      // (LSH is probabilistic) → rows-only check; recall spec in PipelineSpec.
+      pipeline.Dedup.minhashDedupPairs(s.table("documents"), "doc_id", "text",
+          threshold = 0.8, numHashes = 128, bands = 32, shingle = 5)
+        .withColumn("jacc_scaled", floor(col("jaccard") * 1e6).cast("long"))
+        .select("a", "b", "jacc_scaled")
+        .orderBy("a", "b")
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // fingerprints + hamming-banded candidate pairs (rows-only: hash-defined)
+      pipeline.Dedup.simhashCandidates(s.table("documents"), "doc_id", "text",
+          shingle = 5, maxHamming = 16)
+        .orderBy("a", "b")
+    },
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      val emb = s.table("embeddings")
+      val pairs = emb.select(col("vec_id").as("a"), (col("vec_id") + 1).as("b"))
+        .join(emb.select(col("vec_id").as("b")), "b")
+      pipeline.Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", pairs, threshold = -2.0)
+        .withColumn("cos_scaled", floor(col("cos") * 1e9).cast("long"))
+        .select("a", "b", "cos_scaled")
+        .orderBy("a")
+    },
+    "ann_bruteforce_topk" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      val emb = s.table("embeddings")
+      pipeline.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // approximate — rows-only check; recall measured in PipelineSpec
+      val emb = s.table("embeddings")
+      pipeline.Similarity.lshTopK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    },
+    "text_langid" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      s.table("documents")
+        .select(col("doc_id"), pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      pipeline.TextAnalysis.qualityScore(s.table("documents"), "text")
+        .select("doc_id", "n_words", "n_punct", "n_stopwords", "n_distinct_words", "quality_score")
+        .orderBy("doc_id")
+    },
+    "text_tokens" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      pipeline.TextAnalysis.tokenCounts(s.table("documents"), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      pipeline.TextAnalysis.fingerprints(s.table("documents"), "text")
+        .select("doc_id", "fp_md5")
+        .orderBy("doc_id")
+    },
+    "multimodal_meta" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
+      val meta = pipeline.Multimodal.decodeMeta(s, media)
+      pipeline.Multimodal.resize(s, meta, maxW = 320, maxH = 240)
+        .toDF()
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+
     "stream_window_agg" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch-equivalent of the streaming tumbling-window aggregation
@@ -329,6 +425,90 @@ object SparkEntry {
                 count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+                CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_dup,
+                CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique
+         FROM documents""",
+    "dedup_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_int,
+                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+                len(list_intersect(a.sh, b.sh)) * 10 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 8 AS is_dup
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+         ORDER BY a""",
+    "dedup_embedding_cosine" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+                CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+                  / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+                   * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+         FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+         ORDER BY a""",
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings),
+              scored AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(qq.qv, cc.qv), p -> p[1] * p[2])) AS DOUBLE)
+                         / (sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(cc.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                FROM q qq JOIN q cc ON qq.vec_id < 5 AND cc.vec_id <> qq.vec_id)
+         SELECT query_id, rank, neighbor_id, cos_scaled FROM (
+           SELECT query_id, neighbor_id, cos_scaled,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS INT) AS rank
+           FROM scored) t
+         WHERE rank <= 10
+         ORDER BY query_id, rank""",
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) ws FROM documents),
+              c AS (SELECT doc_id,
+                      len(list_intersect(ws, ['the','and','of','to','a','in','is','that','it','for'])) en,
+                      len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                      len(list_intersect(ws, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                      len(list_intersect(ws, ['el','la','los','y','es','un','una','para','en','que'])) es
+                    FROM w)
+         SELECT doc_id,
+                CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                     WHEN fr >= es AND fr > 0 THEN 'fr'
+                     WHEN es > 0 THEN 'es'
+                     ELSE 'und' END AS lang_pred
+         FROM c ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws,
+                      len(text) - len(regexp_replace(text, '[\.,;:!\?]', '', 'g')) np
+                    FROM documents),
+              c AS (SELECT doc_id,
+                      CAST(len(ws) AS BIGINT) n_words, CAST(np AS BIGINT) n_punct,
+                      CAST(len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is','that','it','for'])) AS BIGINT) n_stopwords,
+                      CAST(len(list_distinct(ws)) AS BIGINT) n_distinct_words
+                    FROM w)
+         SELECT doc_id, n_words, n_punct, n_stopwords, n_distinct_words,
+                CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                          + least(n_stopwords / 5.0, 1.0) * 0.3
+                          + n_distinct_words / greatest(CAST(n_words AS DOUBLE), 1.0) * 0.3) * 1000.0 + 0.5) AS BIGINT) AS quality_score
+         FROM c ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+    "multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
+              d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+                           16 + n % 640 AS w0, 16 + (n * 7) % 480 AS h0,
+                           CAST(1 + n % 5 AS INT) AS n_frames FROM m)
+         SELECT doc_id, media_type, n_bytes,
+                CAST(greatest(1, floor(w0 * least(1.0, least(320.0 / w0, 240.0 / h0)))) AS INT) AS width,
+                CAST(greatest(1, floor(h0 * least(1.0, least(320.0 / w0, 240.0 / h0)))) AS INT) AS height,
+                n_frames
+         FROM d ORDER BY doc_id""",
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hashing expressions for the dedup family.
+  *
+  * Scale rationale (SURVEY §2.6): a 128-hash MinHash signature computed in
+  * one pass per row keeps the LSH pipeline shuffle-free until the band
+  * bucket join — the naive shingle-explode formulation shuffles
+  * |doc| × |shingles| rows. SimHash is one 64-bit word per document.
+  */
+object Mix {
+  /** splitmix64 — standard public-domain 64-bit mixer. */
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Rolling shingle hashes over the codepoints of `s` (window = k chars),
+    * lowercased, whitespace collapsed. Calls `f` once per shingle. */
+  def forEachShingle(s: String, k: Int)(f: Long => Unit): Unit = {
+    // normalize: lowercase, collapse runs of whitespace to single space
+    val norm = new StringBuilder(s.length)
+    var prevSpace = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!prevSpace) { norm.append(' '); prevSpace = true }
+      } else { norm.append(Character.toLowerCase(c)); prevSpace = false }
+      i += 1
+    }
+    val t = norm.toString
+    if (t.length >= k) {
+      var j = 0
+      while (j + k <= t.length) {
+        var h = 0xcbf29ce484222325L // FNV offset basis
+        var m = 0
+        while (m < k) {
+          h ^= t.charAt(j + m).toLong
+          h *= 0x100000001b3L // FNV prime
+          m += 1
+        }
+        f(splitmix64(h))
+        j += 1
+      }
+    } else if (t.nonEmpty) {
+      var h = 0xcbf29ce484222325L
+      var m = 0
+      while (m < t.length) { h ^= t.charAt(m).toLong; h *= 0x100000001b3L; m += 1 }
+      f(splitmix64(h))
+    }
+  }
+
+  /** FNV-1a over the normalized text — whole-document fingerprint. */
+  def rollingFingerprint(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var prevSpace = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val emit: Int =
+        if (Character.isWhitespace(c)) { if (prevSpace) -1 else { prevSpace = true; ' ' } }
+        else { prevSpace = false; Character.toLowerCase(c).toInt }
+      if (emit >= 0) { h ^= emit.toLong; h *= 0x100000001b3L }
+      i += 1
+    }
+    h
+  }
+}
+
+/** minhash_signature(text, numHashes, shingleSize) → array<bigint>.
+  * k permutations derived from splitmix64 streams; min per permutation. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && shingleSize > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // permutation parameters fixed per expression instance
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => Mix.splitmix64(0x5eed0000L + i) | 1L) // odd
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => Mix.splitmix64(0xb5eed00L + i))
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    Mix.forEachShingle(s, shingleSize) { h =>
+      var i = 0
+      while (i < numHashes) {
+        val p = as(i) * h + bs(i)
+        if (p < mins(i)) mins(i) = p
+        i += 1
+      }
+    }
+    new GenericArrayData(mins.map(Long.box): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** simhash64(text, shingleSize) → bigint (64-bit SimHash over shingle hashes). */
+case class SimHash64(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](64)
+    Mix.forEachShingle(s, shingleSize) { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    Long.box(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** rolling_hash64(text) → bigint — FNV-1a document fingerprint over
+  * normalized text (lowercase, collapsed whitespace). */
+case class RollingHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Long.box(Mix.rollingFingerprint(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash64"
+}
+
+/** cosine_sim(array<float>, array<float>) → double. Sequential double
+  * accumulation; null on length mismatch or empty. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else Double.box(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Int.box(java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}

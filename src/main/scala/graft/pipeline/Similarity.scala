@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{GraftShim => E}
+
+import graft.functions.{CosineSim, Mix}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set broadcast —
+  * one pass over the corpus, no corpus shuffle except the final per-query
+  * top-k (a window over query_id). Scale path: random-hyperplane LSH
+  * bucketing; corpus shuffles once on bucket id, queries probe their own
+  * bucket per table. At 100 TB the corpus-side work is the budget — both
+  * paths read the corpus exactly once.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column =
+    E.column(CosineSim(E.expression(a), E.expression(b)))
+
+  /** floor(1e9 × quantized cosine) — deterministic rank key. */
+  def cosScaled(qa: Column, qb: Column): Column =
+    floor(lit(1e9) * Dedup.quantizedCosine(qa, qb)).cast("long")
+
+  /** Brute-force top-k neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cos_scaled). Deterministic:
+    * quantized cosine + id tie-break. Queries are broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), Dedup.quantize(col(vecCol)).as("__qc"))
+    val q = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_scaled").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_scaled"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane, dim). */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val h = Mix.splitmix64((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong ^ 0x9e37L)
+    // map to [-1, 1)
+    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Random-hyperplane LSH bucket id for one table: sign bits of
+    * `numPlanes` projections packed into an int. */
+  def lshBucket(vec: Column, table: Int, numPlanes: Int, dim: Int): Column = {
+    // hyperplane components are literals baked into the plan (seeded, so
+    // executors agree without shipping state)
+    val bits = (0 until numPlanes).map { p =>
+      val comps = array((0 until dim).map(d => lit(planeComponent(table, p, d))): _*)
+      val dot = aggregate(
+        zip_with(vec, comps, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: `numTables` independent hash tables of `numPlanes`
+    * sign bits; candidates = corpus vectors sharing a bucket with the query
+    * in any table; rerank candidates exactly. Output schema matches
+    * bruteForceTopK. Recall grows with numTables (spec measures it). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numTables: Int = 8,
+              numPlanes: Int = 10, dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, side: String): DataFrame =
+      df.select(Seq(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec")) ++
+        (0 until numTables).map(t =>
+          lshBucket(col(vecCol), t, numPlanes, dim).as(s"b$t")): _*)
+
+    val c = bucketed(corpus, "neighbor")
+    val q = bucketed(queries, "query")
+    // candidate set: union over tables of same-bucket pairs, deduped
+    val cands = (0 until numTables).map { t =>
+      c.join(broadcast(q.select(col("query_id"), col("query_vec"), col(s"b$t").as("qb"))),
+          col(s"b$t") === col("qb") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
+    }.reduce(_ unionByName _).distinct()
+
+    val scored = cands.withColumn("cos_scaled",
+      cosScaled(Dedup.quantize(col("query_vec")), Dedup.quantize(col("neighbor_vec"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_scaled").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_scaled"))
+  }
+}

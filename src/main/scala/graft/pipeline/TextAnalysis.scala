@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{GraftShim => E}
+
+import graft.functions.RollingHash64
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is built-in-expression based (whole-stage codegen) —
+  * per-row closures would halve scan throughput at 100 TB. The heuristics
+  * are deliberately simple + deterministic so a DuckDB oracle can mirror
+  * them exactly (SURVEY §2.4).
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language (tiny on purpose: they are baked
+    * into the plan as literals and into the oracle SQL as the same lists). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"))
+
+  /** whitespace-token array of lowercased text */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Count of tokens from `lang`'s stopword list present in the text. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val list = stopwords.toMap.apply(lang)
+    size(array_intersect(array_distinct(words(text)), array(list.map(lit): _*)))
+  }
+
+  /** Heuristic language ID: argmax of stopword hits (priority order on
+    * ties: en, de, fr, es; "und" = undetermined when nothing matches). */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, _) => (l, stopwordHits(text, l)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Integer quality components — exact on both engines. */
+  def qualityComponents(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_obs", length(t).cast("long"))
+      .withColumn("n_words", size(words(t)).cast("long"))
+      .withColumn("n_punct",
+        (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("long"))
+      .withColumn("n_stopwords", stopwordHits(t, "en").cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(words(t))).cast("long"))
+  }
+
+  /** Scalar quality score in [0, 1000]: length sweet-spot + stopword
+    * density + lexical diversity, floor-scaled to an exact integer. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val q = qualityComponents(df, textCol)
+    val lenScore = least(col("n_words").cast("double") / 100.0, lit(1.0))
+    val stopScore = least(col("n_stopwords").cast("double") / 5.0, lit(1.0))
+    val divScore = col("n_distinct_words").cast("double") /
+      greatest(col("n_words").cast("double"), lit(1.0))
+    q.withColumn("quality_score",
+      floor((lenScore * 0.4 + stopScore * 0.3 + divScore * 0.3) * 1000.0 + 0.5).cast("long"))
+  }
+
+  /** BPE-ish pre-tokenizer pattern: letter runs / digit runs / single
+    * other glyphs. No lookarounds — RE2 (DuckDB) and java.util.regex agree. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens + BPE-ish regex segmentation count
+    * (an upper bound on byte-pair merges, the usual pre-tokenizer shape). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_ws_tokens", size(words(t)).cast("long"))
+      .withColumn("n_bpe_tokens", size(regexp_extract_all(t, lit(bpePattern), lit(0))).cast("long"))
+  }
+
+  /** Document fingerprints: md5 of normalized text (oracle-friendly) and a
+    * 64-bit FNV-1a rolling hash (the scale path — 8 bytes/doc vs 32). */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn("fp_rolling", E.column(RollingHash64(E.expression(col(textCol)))))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+/** Semantic tests for the LLM-pipeline operators: planted duplicates must
+  * be found, approximate methods must hit measured recall floors, stubs
+  * must preserve the real plumbing contract. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "a completely different document about spark catalyst optimizer internals"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (3L, "der schnelle braune fuchs springt über den faulen hund und ist nicht da"),
+    (4L, "a completely different document about spark catalyst optimizer internals"), // exact dup of 1
+    (5L, "le chat est dans la maison et le chien est pour le jardin"),
+    (6L, "el gato es un animal y los perros son para la casa"),
+    (7L, "totally unrelated content regarding quantum chromodynamics lattice simulations")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup flags planted exact duplicate, keeps smallest id") {
+    val out = Dedup.exact(base, "doc_id", "text")
+    val dups = out.where($"is_duplicate").select("doc_id").as[Long].collect().toSet
+    assert(dups == Set(4L))
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashDedupPairs(base, "doc_id", "text",
+      threshold = 0.5, numHashes = 128, bands = 32, shingle = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), s"expected (0,2) in $pairs")
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 7L)))
+  }
+
+  test("simhash candidates block near-dups together") {
+    val cands = Dedup.simhashCandidates(base, "doc_id", "text", shingle = 5, maxHamming = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 2L)))
+    assert(cands.contains((1L, 4L))) // identical docs: hamming 0
+  }
+
+  test("exact jaccard verification values are sane") {
+    val pairs = Seq((0L, 2L), (1L, 7L)).toDF("a", "b")
+    val v = Dedup.verifyJaccard(pairs, base, "doc_id", "text", shingle = 5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(v((0L, 2L)) > 0.7)
+    assert(v((1L, 7L)) < 0.1)
+  }
+
+  test("langid picks each planted language") {
+    val out = base.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(3L) == "de")
+    assert(out(5L) == "fr")
+    assert(out(6L) == "es")
+  }
+
+  test("rolling fingerprint is whitespace/case insensitive but content sensitive") {
+    val fp = TextAnalysis.fingerprints(
+      Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "hello worlds")).toDF("doc_id", "text"),
+      "text").select("doc_id", "fp_rolling").as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("ANN LSH recall@10 against brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+      numTables = 8, numPlanes = 10, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall (candidates examined ≪ corpus)")
+    assert(recall >= 0.2, s"recall $recall collapsed — LSH bucketing broken")
+  }
+
+  test("brute force topk is deterministic and self-consistent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" === 0)
+    val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5))
+    val scores = top.map(_.getLong(3))
+    assert(scores.sorted.reverse.toSeq == scores.toSeq) // descending
+  }
+
+  test("multimodal: synthesized payloads → decode stub → resize → frames") {
+    val docs = Seq((1L, "abcdefgh" * 50), (2L, "xy")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(spark, media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 400 && meta(2L).n_bytes == 2)
+    val resized = Multimodal.resize(spark, Multimodal.decodeMeta(spark, media), 64, 64)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(resized(1L).width <= 64 && resized(1L).height <= 64)
+    val frames = Multimodal.sampleFrames(spark, Multimodal.decodeMeta(spark, media), 2)
+    assert(frames.count() > 0)
+  }
+
+  test("quality score bounded and monotone-ish in stopword density") {
+    val docs = Seq(
+      (1L, "the and of to a in is that it for extra words here making length"),
+      (2L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(docs, "text")
+      .select("doc_id", "quality_score").as[(Long, Long)].collect().toMap
+    assert(q(1L) > q(2L))
+    assert(q.values.forall(v => v >= 0 && v <= 1000))
+  }
+}
