@@ -310,6 +310,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "sessionize_events" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // batch twin of streaming.EventStreams.sessionize (30-minute gap)
+      streaming.EventStreams.sessionizeBatch(s.table("events"), gapMinutes = 30)
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_id")
+    },
     "stream_window_agg" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch-equivalent of the streaming tumbling-window aggregation
@@ -509,6 +516,21 @@ object SparkEntry {
                 CAST(greatest(1, floor(h0 * least(1.0, least(320.0 / w0, 240.0 / h0)))) AS INT) AS height,
                 n_frames
          FROM d ORDER BY doc_id""",
+    "sessionize_events" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+                    FROM events),
+              m AS (SELECT user_id, ts, event_id,
+                      CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END is_new
+                    FROM g),
+              sid AS (SELECT user_id, ts,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id
+                      FROM m)
+         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events
+         FROM sid GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

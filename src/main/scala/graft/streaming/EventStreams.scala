@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the events stream.
+  *
+  * The reference engine is batch-only (Hive UDTF); streams are the
+  * Spark-first extension: the same jq/relational transforms run over
+  * `readStream` unchanged, plus watermarked windows and custom state.
+  *
+  * Scale notes: file-source streaming partitions by file; the windowed agg
+  * shuffles once per trigger on (window, event_type) with partial
+  * aggregation map-side. Sessionization keys state by user_id — state size
+  * is O(active users), not O(events).
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts stored as TIMESTAMP(NANOS) → read
+    * as long via spark.sql.legacy.parquet.nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory; rebuilds a proper timestamp. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation (same grouping as the batch
+    * `stream_window_agg` query in SparkEntry — the oracle for this logic). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("value_cents"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class UserSession(user_id: Long, session_start: Timestamp,
+                         session_end: Timestamp, n_events: Int)
+
+  /** Stateful sessionization: gap-close semantics via
+    * flatMapGroupsWithState. Emits a session when a gap > `gapMinutes` is
+    * observed or on state timeout. */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[UserSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            out ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach(s => out ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          if (useTimeout) state.setTimeoutDuration(gapMs)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+
+  /** Batch-equivalent sessionization via lag + cumulative-sum windows —
+    * the verifiable twin of `sessionize` (identical session boundaries on
+    * a closed dataset). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count("*").cast("long").as("n_events"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  import spark.implicits._
+
+  test("streaming windowed agg over events matches the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    // file-source streaming requires a directory → stage the table into one
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("part-0.parquet"))
+    val stream = EventStreams.readEvents(spark, staged.toString)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select($"h", $"event_type", $"n", $"value_cents")
+        .orderBy("h", "event_type").collect()
+
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+        .agg(count("*").as("n"),
+          sum(floor($"value" * 100 + 0.5).cast("long")).as("value_cents"))
+        .orderBy("h", "event_type").collect()
+
+      assert(streamed.length == batch.length)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 1L, "view", 1.0),
+      EventStreams.Event(2, ts(5), 1L, "click", 1.0),
+      EventStreams.Event(3, ts(60), 1L, "view", 1.0), // gap > 30min → new session
+      EventStreams.Event(4, ts(0), 2L, "view", 1.0)
+    ).toDS()
+
+    // run the same state function through the streaming engine via memory source
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event]
+    src.addData(Seq(
+      EventStreams.Event(1, ts(0), 1L, "view", 1.0),
+      EventStreams.Event(2, ts(5), 1L, "click", 1.0),
+      EventStreams.Event(3, ts(60), 1L, "view", 1.0),
+      EventStreams.Event(4, ts(0), 2L, "view", 1.0)): _*)
+    val sessions = EventStreams.sessionize(spark, src.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // only the CLOSED session (gap observed in-batch) is emitted; open ones wait for timeout
+      val closed = spark.table("sess_out").as[EventStreams.UserSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 1L && closed.head.n_events == 2)
+      assert(closed.head.session_start == ts(0) && closed.head.session_end == ts(5))
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 1L), (2L, ts(5), 1L), (3L, ts(60), 1L), (4L, ts(0), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStreams.sessionizeBatch(df, gapMinutes = 30)
+      .select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
