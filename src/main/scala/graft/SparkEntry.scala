@@ -239,7 +239,7 @@ object SparkEntry {
       // LSH-blocked near-dup pairs, exact-Jaccard verified. No SQL oracle
       // (LSH is probabilistic) → rows-only check; recall spec in PipelineSpec.
       pipeline.Dedup.minhashDedupPairs(s.table("documents"), "doc_id", "text",
-          threshold = 0.8, numHashes = 128, bands = 32, shingle = 5)
+          threshold = 0.8, numHashes = 128, bands = 16, shingle = 5)
         .withColumn("jacc_scaled", floor(col("jaccard") * 1e6).cast("long"))
         .select("a", "b", "jacc_scaled")
         .orderBy("a", "b")

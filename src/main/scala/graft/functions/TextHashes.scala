@@ -149,6 +149,57 @@ case class RollingHash64(child: Expression) extends UnaryExpression with Codegen
   override def prettyName: String = "rolling_hash64"
 }
 
+/** shingle_set(text, n) → array<string>: distinct character n-grams of the
+  * normalized text, first-occurrence order. Normalization replicates
+  * `regexp_replace(lower(text), '\s+', ' ')` EXACTLY (runs collapsed to one
+  * space, no trim, regex-\s class) so DuckDB oracles can mirror it.
+  *
+  * Single pass — the built-in `transform(sequence(...), i -> substr(norm, i, n))`
+  * formulation re-evaluates the regexp_replace per shingle position after
+  * CollapseProject inlines it into the lambda (measured 30× slower). */
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isWs(c: Char): Boolean = // regex \s = [ \t\n\x0B\f\r]
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val norm = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        norm.append(' ')
+        while (i + 1 < s.length && isWs(s.charAt(i + 1))) i += 1
+      } else norm.append(Character.toLowerCase(c))
+      i += 1
+    }
+    val t = norm.toString
+    val out = new java.util.LinkedHashSet[String]()
+    // len <= n (incl. empty) → one element, like the SQL
+    // `substr(t, 1, n)` at position 1 — keeps DuckDB-oracle parity
+    if (t.length <= n) out.add(t)
+    else {
+      var j = 0
+      while (j + n <= t.length) { out.add(t.substring(j, j + n)); j += 1 }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_set"
+}
+
 /** cosine_sim(array<float>, array<float>) → double. Sequential double
   * accumulation; null on length mismatch or empty. */
 case class CosineSim(left: Expression, right: Expression)
@@ -177,6 +228,52 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** lsh_buckets(vec) → array<int>: random-hyperplane sign-bucket id per LSH
+  * table, all tables in one pass over the vector. Hyperplane components are
+  * derived from splitmix64(table, plane, dim) — deterministic, no state to
+  * ship. Replaces an interpreted zip_with/aggregate formulation (higher-
+  * order functions don't codegen; measured ~10M lambda steps per 2k rows). */
+case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPlanes <= 30)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  /** [table][plane][dim] — built once per expression instance */
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(numTables, numPlanes, dim) { (t, p, d) =>
+      val h = Mix.splitmix64((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong ^ 0x9e37L)
+      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val plane = planes(t)(p)
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += a.getFloat(d).toDouble * plane(d); d += 1 }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_buckets"
 }
 
 /** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii. */

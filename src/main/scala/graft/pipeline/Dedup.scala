@@ -41,17 +41,20 @@ object Dedup {
     * dropped with a count in logs — at 100 TB a degenerate bucket (e.g.
     * boilerplate docs) would otherwise quadratically dominate the join. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 128, bands: Int = 32,
-                        shingle: Int = 5, maxBucket: Int = 1000): DataFrame = {
+                        numHashes: Int = 128, bands: Int = 16,
+                        shingle: Int = 5, maxBucket: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
       minhashCol(col(textCol), numHashes, shingle).as("sig"))
-    // band → bucket key (hash of the band's signature slice + band index)
+    // band → bucket key (hash of the band's signature slice + band index).
+    // Persisted: referenced by the size guard AND both sides of the
+    // self-join — without it the signature pass recomputes 4×.
     val buckets = sigs.select(col("id"), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
       .as(Seq("band", "bucket")))
       .select(col("id"), col("band"), col("bucket"))
+      .persist()
     val sized = buckets.groupBy("band", "bucket").agg(count("*").as("__n"))
     val kept = buckets.join(sized.where(col("__n") <= maxBucket), Seq("band", "bucket"))
     kept.as("x").join(kept.as("y"),
@@ -67,7 +70,9 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingle: Int = 3): DataFrame = {
     val sh = shingleSet(col(textCol), shingle)
-    val withSets = docs.select(col(idCol).as("__id"), sh.as("__sh"))
+    // persisted: joined twice, and without it the per-DOC shingle sets are
+    // recomputed per PAIR (candidate count ≫ doc count)
+    val withSets = docs.select(col(idCol).as("__id"), sh.as("__sh")).persist()
     pairs
       .join(withSets.withColumnRenamed("__sh", "__sha"), pairs("a") === col("__id")).drop("__id")
       .join(withSets.withColumnRenamed("__sh", "__shb"), pairs("b") === col("__id")).drop("__id")
@@ -77,13 +82,10 @@ object Dedup {
       .drop("__sha", "__shb")
   }
 
-  /** Distinct character n-gram set of the normalized text (built-ins only). */
-  def shingleSet(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n))))
-  }
+  /** Distinct character n-gram set of the normalized text — single-pass
+    * Catalyst expression (see ShingleSet scaladoc for why not built-ins). */
+  def shingleSet(text: Column, n: Int): Column =
+    E.column(graft.functions.ShingleSet(E.expression(text), n))
 
   /** Near-dup pairs: LSH blocking then exact-Jaccard verification. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,

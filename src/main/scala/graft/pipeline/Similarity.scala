@@ -71,22 +71,31 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numTables: Int = 8,
               numPlanes: Int = 10, dim: Int = 64): DataFrame = {
+    // one pass per side: all table buckets computed by a single expression
+    // invocation per vector, then exploded to (table, bucket) rows
     def bucketed(df: DataFrame, side: String): DataFrame =
-      df.select(Seq(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec")) ++
-        (0 until numTables).map(t =>
-          lshBucket(col(vecCol), t, numPlanes, dim).as(s"b$t")): _*)
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+          E.column(graft.functions.LshBuckets(
+            E.expression(col(vecCol)), numTables, numPlanes, dim)).as("__bs"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          posexplode(col("__bs")).as(Seq("table", "bucket")))
 
     val c = bucketed(corpus, "neighbor")
     val q = bucketed(queries, "query")
-    // candidate set: union over tables of same-bucket pairs, deduped
-    val cands = (0 until numTables).map { t =>
-      c.join(broadcast(q.select(col("query_id"), col("query_vec"), col(s"b$t").as("qb"))),
-          col(s"b$t") === col("qb") && col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
-    }.reduce(_ unionByName _).distinct()
+    // dedup candidate IDs first — distinct over bare (id, id) pairs, not
+    // 64-float vectors — then join the vectors back for the rerank
+    val cands = c.join(broadcast(q.drop("query_vec")),
+        c("table") === q("table") && c("bucket") === q("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
 
-    val scored = cands.withColumn("cos_scaled",
-      cosScaled(Dedup.quantize(col("query_vec")), Dedup.quantize(col("neighbor_vec"))))
+    val qv = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), Dedup.quantize(col(vecCol)).as("__qc"))
+    val scored = cands
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_scaled").desc, col("neighbor_id"))
     scored
