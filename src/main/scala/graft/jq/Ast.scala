@@ -83,4 +83,8 @@ object JqExpr {
 
   /** `@base64` etc. used as a filter (no string literal attached). */
   final case class Format(name: String) extends JqExpr
+
+  /** `label $name | body` / `break $name` — early termination. */
+  final case class Label(name: String, body: JqExpr) extends JqExpr
+  final case class Break(name: String) extends JqExpr
 }

@@ -652,6 +652,90 @@ object Builtins {
         java.time.Instant.ofEpochSecond(secs))))
     },
 
+    // broken-down time: [year, month0, mday, hour, min, sec, wday, yday]
+    v0("gmtime")(in => one(brokenDown(requireNumber(in, "gmtime")))),
+    v0("localtime")(in => one(brokenDown(requireNumber(in, "localtime")))), // UTC session
+    v0("mktime") { in =>
+      one(num(fromBrokenDown(requireArray(in, "mktime-d")).toDouble))
+    },
+    ("strftime", 1) -> { (args, in, env) =>
+      eval(args.head, in, env).map { f =>
+        val secs =
+          if (in.isNumber) in.doubleValue().toLong
+          else fromBrokenDown(requireArray(in, "strftime-d"))
+        text(strftime(secs, requireString(f, "a format")))
+      }
+    },
+    ("strptime", 1) -> { (args, in, env) =>
+      eval(args.head, in, env).map { f =>
+        brokenDown(strptime(requireString(in, "parsed"), requireString(f, "a format")).toDouble)
+      }
+    },
+
+    v0("combinations") { in =>
+      def go(rem: List[JsonNode]): S = rem match {
+        case Nil => one(arr(Nil))
+        case hd :: tl =>
+          LazyList.from(Json.elements(requireArray(hd, "iterated")).toSeq).flatMap { x =>
+            go(tl).map(restArr => arr(x +: Json.elements(restArr).toSeq))
+          }
+      }
+      go(elems(in, "iterated"))
+    },
+    ("combinations", 1) -> { (args, in, env) =>
+      eval(args.head, in, env).flatMap { nN =>
+        val n = requireNumber(nN, "combinations").toInt
+        table(("combinations", 0))(Nil, arr(List.fill(n)(in)), env)
+      }
+    },
+
+    ("fromstream", 1) -> { (args, in, env) =>
+      // reconstruct values from tostream-style [path, leaf] / [closing-path]
+      // events (jq's builtin.jq definition, state-machine form)
+      var acc: JsonNode = NullN
+      eval(args.head, in, env).flatMap { ev =>
+        val e = requireArray(ev, "streamed")
+        val path = Json.elements(e.get(0)).toVector
+        if (e.size() >= 2) {
+          acc = Interp.setPath(acc, path, e.get(1))
+          if (path.isEmpty) { val out = acc; acc = NullN; one(out) }
+          else LazyList.empty
+        } else {
+          if (path.length == 1) { val out = acc; acc = NullN; one(out) }
+          else LazyList.empty
+        }
+      }
+    },
+    ("truncate_stream", 1) -> { (args, in, env) =>
+      val depth = requireNumber(in, "truncate_stream").toInt
+      // per jq: input number = depth, arg = stream expression (evaluated
+      // against the stream's own input... jq passes `.` through; we use null)
+      eval(args.head, NullN, env).flatMap { ev =>
+        val e = requireArray(ev, "streamed")
+        val path = Json.elements(e.get(0)).toVector
+        if (path.length > depth) {
+          val newPath = arr(path.drop(depth))
+          one(if (e.size() >= 2) arr(List(newPath, e.get(1))) else arr(List(newPath)))
+        } else LazyList.empty
+      }
+    },
+
+    math1("trunc")(d => if (d < 0) math.ceil(d) else math.floor(d)),
+    math1("cbrt")(math.cbrt),
+    math1("sin")(math.sin), math1("cos")(math.cos), math1("tan")(math.tan),
+    math1("asin")(math.asin), math1("acos")(math.acos), math1("atan")(math.atan),
+    math1("sinh")(math.sinh), math1("cosh")(math.cosh), math1("tanh")(math.tanh),
+    math1("nearbyint")(math.rint),
+    math1("logb")(d => math.floor(math.log(math.abs(d)) / math.log(2))),
+    v2("atan2")((_, y, x) => one(num(math.atan2(requireNumber(y, "atan2"), requireNumber(x, "atan2"))))),
+    v0("isnormal") { in =>
+      one(bool(in.isNumber && {
+        val d = in.doubleValue()
+        !d.isNaN && !d.isInfinite && d != 0.0 && math.abs(d) >= java.lang.Double.MIN_NORMAL
+      }))
+    },
+    ("input_filename", 0) -> { (_, _, _) => one(NullN) },
+
     v0("tostream") { in =>
       // [path, leaf] events + closing [path] events (jq tostream)
       def stream(v: JsonNode, prefix: Vector[JsonNode]): S =
@@ -674,6 +758,109 @@ object Builtins {
         one(text(applyFormat(f, in)))
       }
     }.toMap
+
+  // -- dates (UTC) --------------------------------------------------------
+
+  /** jq broken-down time array: [year, month0, mday, hour, min, sec, wday0(Sun=0), yday0] */
+  private def brokenDown(secs: Double): JsonNode = {
+    val t = java.time.Instant.ofEpochSecond(math.floor(secs).toLong)
+      .atZone(java.time.ZoneOffset.UTC)
+    val frac = secs - math.floor(secs)
+    arr(List(
+      num(t.getYear), num(t.getMonthValue - 1), num(t.getDayOfMonth),
+      num(t.getHour), num(t.getMinute),
+      if (frac == 0) num(t.getSecond) else F.numberNode(t.getSecond + frac),
+      num(t.getDayOfWeek.getValue % 7), // java Mon=1..Sun=7 → jq Sun=0
+      num(t.getDayOfYear - 1)))
+  }
+
+  private def fromBrokenDown(a: JsonNode): Long = {
+    def i(idx: Int, dflt: Int = 0): Int =
+      if (idx < a.size() && a.get(idx).isNumber) a.get(idx).asInt() else dflt
+    java.time.ZonedDateTime.of(i(0, 1970), i(1) + 1, i(2, 1), i(3), i(4),
+      i(5), 0, java.time.ZoneOffset.UTC).toEpochSecond
+  }
+
+  private def strftime(secs: Long, fmt: String): String = {
+    val t = java.time.Instant.ofEpochSecond(secs).atZone(java.time.ZoneOffset.UTC)
+    val en = java.util.Locale.US
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append(t.getYear)
+          case 'm' => sb.append(f"${t.getMonthValue}%02d")
+          case 'd' => sb.append(f"${t.getDayOfMonth}%02d")
+          case 'e' => sb.append(f"${t.getDayOfMonth}%2d")
+          case 'H' => sb.append(f"${t.getHour}%02d")
+          case 'M' => sb.append(f"${t.getMinute}%02d")
+          case 'S' => sb.append(f"${t.getSecond}%02d")
+          case 'j' => sb.append(f"${t.getDayOfYear}%03d")
+          case 's' => sb.append(secs)
+          case 'T' => sb.append(f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d")
+          case 'D' => sb.append(f"${t.getMonthValue}%02d/${t.getDayOfMonth}%02d/${t.getYear % 100}%02d")
+          case 'a' => sb.append(t.getDayOfWeek.getDisplayName(java.time.format.TextStyle.SHORT, en))
+          case 'A' => sb.append(t.getDayOfWeek.getDisplayName(java.time.format.TextStyle.FULL, en))
+          case 'b' => sb.append(t.getMonth.getDisplayName(java.time.format.TextStyle.SHORT, en))
+          case 'B' => sb.append(t.getMonth.getDisplayName(java.time.format.TextStyle.FULL, en))
+          case 'Z' => sb.append("UTC")
+          case 'z' => sb.append("+0000")
+          case '%' => sb.append('%')
+          case other => sb.append('%').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def strptime(s: String, fmt: String): Long = {
+    // translate the strftime subset to a java.time pattern
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("uuuu")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'T' => sb.append("HH:mm:ss")
+          case 'Z' => sb.append("zzz")
+          case 'a' => sb.append("EEE")
+          case 'b' => sb.append("MMM")
+          case '%' => sb.append('%')
+          case other => throw JqError.of(s"strptime: unsupported %$other")
+        }
+        i += 2
+      } else {
+        if ("'[]#{}".indexOf(c.toInt) >= 0 || c.isLetter) sb.append(s"'$c'") else sb.append(c)
+        i += 1
+      }
+    }
+    try {
+      val f = java.time.format.DateTimeFormatter.ofPattern(sb.toString, java.util.Locale.US)
+      val parsed = f.parse(s)
+      val year = if (parsed.isSupported(java.time.temporal.ChronoField.YEAR)) parsed.get(java.time.temporal.ChronoField.YEAR) else 1970
+      def gf(ch: java.time.temporal.ChronoField, d: Int) =
+        if (parsed.isSupported(ch)) parsed.get(ch) else d
+      java.time.ZonedDateTime.of(year,
+        gf(java.time.temporal.ChronoField.MONTH_OF_YEAR, 1),
+        gf(java.time.temporal.ChronoField.DAY_OF_MONTH, 1),
+        gf(java.time.temporal.ChronoField.HOUR_OF_DAY, 0),
+        gf(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0),
+        gf(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0),
+        0, java.time.ZoneOffset.UTC).toEpochSecond
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw JqError.of(s"date \"$s\" does not match format \"$fmt\"")
+    }
+  }
 
   // -- impl helpers -------------------------------------------------------
 

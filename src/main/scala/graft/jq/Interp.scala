@@ -19,6 +19,9 @@ final class FuncEntry(val params: List[String], val body: JqExpr) {
   var env: Env = _
 }
 
+/** `break $label` control-flow unwind — deliberately not a JqError. */
+final class JqBreak(val label: String) extends RuntimeException(s"break $$$label")
+
 final case class Env(vars: Map[String, JsonNode], funcs: Map[(String, Int), FuncEntry]) {
   def withVar(name: String, v: JsonNode): Env = copy(vars = vars + (name -> v))
   def withVars(vs: Iterable[(String, JsonNode)]): Env = copy(vars = vars ++ vs)
@@ -189,6 +192,27 @@ object Interp {
     case Assign(op, pathE, valueE) => evalAssign(op, pathE, valueE, in, env)
 
     case Format(name) => LazyList(text(Builtins.applyFormat(name, in)))
+
+    case Label(name, body) => breakable(name, eval(body, in, env))
+    case Break(name) => throw new JqBreak(name)
+  }
+
+  /** Force `stream` step by step; a JqBreak for `name` truncates it.
+    * JqBreak is NOT a JqError — try/catch does not intercept it (jq
+    * semantics: break unwinds to its label only). */
+  private def breakable(name: String, stream: => S): S = {
+    def step(thunk: () => S): S = {
+      val r: Option[(JsonNode, S)] =
+        try {
+          val s = thunk()
+          if (s.isEmpty) None else Some((s.head, s.tail))
+        } catch { case b: JqBreak if b.label == name => None }
+      r match {
+        case None => LazyList.empty
+        case Some((h, t)) => h #:: step(() => t)
+      }
+    }
+    step(() => stream)
   }
 
   // ---- helpers ----------------------------------------------------------

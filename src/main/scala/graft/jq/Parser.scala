@@ -16,7 +16,7 @@ object Parser {
 
   private val keywords = Set(
     "as", "def", "if", "then", "elif", "else", "end", "reduce", "foreach",
-    "try", "catch", "and", "or", "import", "include", "label", "__loc__")
+    "try", "catch", "and", "or", "import", "include", "label", "break", "__loc__")
 }
 
 private final class Parser(tokens: Vector[Token], src: String) {
@@ -298,6 +298,20 @@ private final class Parser(tokens: Vector[Token], src: String) {
       eatOp(")")
       Foreach(srcE, pat, init, update, extract)
     case TIdent("def", _) => parseFuncDef()
+    case TIdent("label", _) =>
+      advance()
+      val name = peek match {
+        case TVar(n, _) => advance(); n
+        case _ => fail("expected $label after 'label'")
+      }
+      eatOp("|")
+      Label(name, parsePipe())
+    case TIdent("break", _) =>
+      advance()
+      peek match {
+        case TVar(n, _) => advance(); Break(n)
+        case _ => fail("expected $label after 'break'")
+      }
     case TIdent("true", _) => advance(); BoolLit(true)
     case TIdent("false", _) => advance(); BoolLit(false)
     case TIdent("null", _) => advance(); NullLit

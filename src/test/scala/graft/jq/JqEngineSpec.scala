@@ -459,6 +459,60 @@ class JqEngineSpec extends AnyFunSuite {
     val e = intercept[JqError](run("error", "\"oops\""))
     assert(e.getMessage == "oops")
   }
+  // ---- label/break ----
+  test("label/break truncates stream") {
+    assert(run("label $out | 1, 2, break $out, 3", "null") == List("1", "2"))
+    assert(run("[label $out | .[] | if . > 2 then break $out else . end]", "[1,2,3,4]") == List("[1,2]"))
+  }
+  test("break unwinds past try") {
+    // try must NOT catch break (it's control flow, not an error)
+    assert(run("label $out | try (1, break $out, 2) catch \"caught\"", "null") == List("1"))
+  }
+  test("limit via label equivalence") {
+    assert(run1("[label $l | foreach repeat(. * 2) as $x (0; . + 1; if . > 3 then break $l else $x end)]", "1")
+      == "[2,4,8]")
+  }
+
+  // ---- streams ----
+  test("fromstream inverts tostream") {
+    for (j <- Seq("""{"a":[1,{"b":2}],"c":"x"}""", "[1,2,3]", "42", "{}", "[]"))
+      assert(run1("fromstream(tostream)", j) == j)
+  }
+  test("truncate_stream drops path prefix") {
+    assert(run("1 | truncate_stream([[0,\"a\"],1], [[0,\"a\"]], [[1]])", "null") ==
+      List("""[["a"],1]""", """[["a"]]"""))
+  }
+
+  // ---- dates ----
+  test("gmtime broken-down time") {
+    assert(run1("gmtime", "0") == "[1970,0,1,0,0,0,4,0]")
+    assert(run1("gmtime", "86400") == "[1970,0,2,0,0,0,5,1]")
+  }
+  test("mktime inverts gmtime") {
+    assert(run1("gmtime | mktime", "1425599898") == "1425599898")
+  }
+  test("strftime") {
+    assert(run1("""strftime("%Y-%m-%dT%H:%M:%SZ")""", "0") == "\"1970-01-01T00:00:00Z\"")
+    assert(run1("""gmtime | strftime("%A, %B %d, %Y")""", "1425599898") == "\"Thursday, March 05, 2015\"")
+  }
+  test("strptime") {
+    assert(run1("""strptime("%Y-%m-%dT%H:%M:%SZ") | mktime""", "\"2015-03-05T23:51:47Z\"") == "1425599507")
+  }
+
+  // ---- combinations & math ----
+  test("combinations") {
+    assert(run("combinations", "[[1,2],[3,4]]") == List("[1,3]", "[1,4]", "[2,3]", "[2,4]"))
+    assert(run("[combinations(2)] | length", "[0,1]") == List("4"))
+  }
+  test("extra math builtins") {
+    assert(run1("trunc", "-3.7") == "-3")
+    assert(run1("cbrt", "27") == "3")
+    assert(run1("sin", "0") == "0")
+    assert(run1("atan2(1; 1) * 4 == (1 | asin) * 2", "null") == "true")
+    assert(run1("isnormal", "1.5") == "true")
+    assert(run1("isnormal", "0") == "false")
+  }
+
   test("complex: group and aggregate") {
     val prog = """group_by(.k) | map({k: .[0].k, n: length, sum: (map(.v) | add)})"""
     val in = """[{"k":"a","v":1},{"k":"b","v":2},{"k":"a","v":3}]"""
