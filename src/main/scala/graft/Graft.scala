@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.{GraftShim => ExpressionUtils}
 import org.apache.spark.sql.types.StringType
 
@@ -62,9 +62,6 @@ object Graft {
     JqExtractAll(args.head, validated(constString(args(1), "JQ")))
   }
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
-
   private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("jq", "_FUNC_(JSON, 'JQ', 'TYPE'), _FUNC_(JSON, 'JQ', 'F1:T1', ..., 'FN:TN') - jq for Spark", jqBuilder),
     ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
@@ -91,7 +88,6 @@ object Graft {
   def jqExtractAll(json: Column, program: String): Column =
     ExpressionUtils.column(JqExtractAll(ExpressionUtils.expression(json), program))
 
-  private def lit(s: String): Expression = Literal.create(s, StringType)
 }
 
 /** `--conf spark.sql.extensions=graft.GraftExtensions` */

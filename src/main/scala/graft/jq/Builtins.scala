@@ -736,6 +736,34 @@ object Builtins {
     },
     ("input_filename", 0) -> { (_, _, _) => one(NullN) },
 
+    // jq 1.6 uppercase SQL-style helpers (builtin.jq definitions)
+    ("IN", 1) -> { (args, in, env) =>
+      one(bool(eval(args.head, in, env).exists(Json.eq(_, in))))
+    },
+    ("IN", 2) -> { (args, in, env) =>
+      eval(args(0), in, env).map(v =>
+        bool(eval(args(1), in, env).exists(Json.eq(_, v)))).take(1)
+    },
+    ("INDEX", 1) -> { (args, in, env) =>
+      // INDEX(idx_expr) == INDEX(.[]; idx_expr)
+      val out = F.objectNode()
+      Json.elements(requireArray(in, "indexed")).foreach { row =>
+        eval(args.head, row, env).headOption.foreach { k =>
+          out.set[JsonNode](if (k.isTextual) k.textValue() else serialize(k), row)
+        }
+      }
+      one(out)
+    },
+    ("INDEX", 2) -> { (args, in, env) =>
+      val out = F.objectNode()
+      eval(args(0), in, env).foreach { row =>
+        eval(args(1), row, env).headOption.foreach { k =>
+          out.set[JsonNode](if (k.isTextual) k.textValue() else serialize(k), row)
+        }
+      }
+      one(out)
+    },
+
     v0("tostream") { in =>
       // [path, leaf] events + closing [path] events (jq tostream)
       def stream(v: JsonNode, prefix: Vector[JsonNode]): S =

@@ -513,6 +513,15 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("isnormal", "0") == "false")
   }
 
+  test("uppercase IN / INDEX") {
+    assert(run1("""IN("a", "b")""", "\"a\"") == "true")
+    assert(run1("""IN("a", "b")""", "\"c\"") == "false")
+    assert(run1(""".[] | select(IN(2, 3))""", "[1,2]") == "2")
+    assert(run1("""INDEX(.id)""", """[{"id":"x","v":1},{"id":"y","v":2}]""") ==
+      """{"x":{"id":"x","v":1},"y":{"id":"y","v":2}}""")
+    assert(run1("""INDEX(.[]; .id)""", """[{"id":1}]""") == """{"1":{"id":1}}""")
+  }
+
   test("complex: group and aggregate") {
     val prog = """group_by(.k) | map({k: .[0].k, n: length, sum: (map(.v) | add)})"""
     val in = """[{"k":"a","v":1},{"k":"b","v":2},{"k":"a","v":3}]"""
