@@ -87,4 +87,9 @@ object JqExpr {
   /** `label $name | body` / `break $name` — early termination. */
   final case class Label(name: String, body: JqExpr) extends JqExpr
   final case class Break(name: String) extends JqExpr
+
+  /** Compiler-inserted marker: `expr` always yields exactly one output, so
+    * the interpreter may use the strict (LazyList-free) evaluation path.
+    * Never produced by the parser — see StrictRewrite. */
+  final case class Strict(expr: JqExpr) extends JqExpr
 }

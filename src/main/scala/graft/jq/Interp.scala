@@ -195,6 +195,126 @@ object Interp {
 
     case Label(name, body) => breakable(name, eval(body, in, env))
     case Break(name) => throw new JqBreak(name)
+
+    // lazy head: strict-path errors must surface on forcing, not stream
+    // construction, to keep try/catch and comma-truncation timing intact
+    case Strict(inner) => evalOne(inner, in, env) #:: LazyList.empty
+  }
+
+  /** Strict evaluator for compiler-certified always-one-output subtrees
+    * (see StrictRewrite) — direct recursion, no LazyList cells. Must agree
+    * with `eval` on every expression it accepts; the engine spec runs the
+    * whole suite through programs covered by both paths. */
+  def evalOne(e: JqExpr, in: JsonNode, env: Env): JsonNode = e match {
+    case Strict(inner) => evalOne(inner, in, env)
+    case Identity => in
+    case NumLit(v, asLong) => asLong.map(F.numberNode(_): JsonNode).getOrElse(num(v))
+    case BoolLit(b) => bool(b)
+    case NullLit => NullN
+    case VarRef(name) => lookupVar(name, env)
+    case Field(target, name, _) => fieldAccess(evalOne(target, in, env), name)
+    case Index(target, idxE, _) =>
+      indexAccess(evalOne(target, in, env), evalOne(idxE, in, env))
+    case Slice(target, fromE, toE, _) =>
+      sliceAccess(evalOne(target, in, env),
+        fromE.map(evalOne(_, in, env)).getOrElse(NullN),
+        toE.map(evalOne(_, in, env)).getOrElse(NullN))
+    case Pipe(l, r) => evalOne(r, evalOne(l, in, env), env)
+    case si: StrInterp =>
+      val sb = new StringBuilder
+      si.parts.foreach {
+        case Left(s) => sb.append(s)
+        case Right(x) =>
+          val v = evalOne(x, in, env)
+          sb.append(si.format match {
+            case None => if (v.isTextual) v.textValue() else Json.serialize(v)
+            case Some(f) => Builtins.applyFormat(f, v)
+          })
+      }
+      text(sb.toString)
+    case ArrayLit(body) =>
+      arr(body.map(b => eval(b, in, env).toList).getOrElse(Nil))
+    case ObjectLit(entries) =>
+      val o = F.objectNode()
+      entries.foreach { case (key, valueOpt) =>
+        val kv = key match {
+          case ObjKey.Fixed(name) => text(name)
+          case ObjKey.Var(name) => text(name)
+          case ObjKey.Computed(ke) => evalOne(ke, in, env)
+          case ObjKey.InterpKey(s) => evalOne(s, in, env)
+        }
+        if (!kv.isTextual) throw JqError.of(s"Object keys must be strings${preview(kv)}")
+        val k = kv.textValue()
+        val v = (key, valueOpt) match {
+          case (_, Some(ve)) => evalOne(ve, in, env)
+          case (ObjKey.Var(name), None) => lookupVar(name, env)
+          case (_, None) => fieldAccess(in, k)
+        }
+        o.set[JsonNode](k, v)
+      }
+      o
+    case Neg(b) =>
+      val v = evalOne(b, in, env)
+      if (!v.isNumber) throw JqError.of(s"${Json.typeName(v)}${preview(v)} cannot be negated")
+      num(-v.doubleValue())
+    case BinOp("and", l, r) =>
+      if (!truthy(evalOne(l, in, env))) FalseN else bool(truthy(evalOne(r, in, env)))
+    case BinOp("or", l, r) =>
+      if (truthy(evalOne(l, in, env))) TrueN else bool(truthy(evalOne(r, in, env)))
+    case BinOp(op, l, r) =>
+      val rv = evalOne(r, in, env) // rhs first, as in the stream path
+      binop(op, evalOne(l, in, env), rv)
+    case Alternative(l, r) =>
+      val lv = try Some(evalOne(l, in, env)) catch { case _: JqError => None }
+      lv.filter(truthy) match {
+        case Some(v) => v
+        case None => evalOne(r, in, env)
+      }
+    case As(src, pattern, body) =>
+      val v = evalOne(src, in, env)
+      val binds = destructure(pattern, v, in, env).head
+      evalOne(body, in, env.withVars(binds))
+    case If(cond, thenB, elseB) =>
+      if (truthy(evalOne(cond, in, env))) evalOne(thenB, in, env)
+      else elseB.map(evalOne(_, in, env)).getOrElse(in)
+    case Reduce(src, pattern, initE, update) =>
+      var acc = evalOne(initE, in, env)
+      eval(src, in, env).foreach { v =>
+        destructure(pattern, v, in, env).headOption.foreach { binds =>
+          acc = evalOne(update, acc, env.withVars(binds))
+        }
+      }
+      acc
+    case Assign("|=", pathE, valueE) =>
+      evalPaths(pathE, in, env).foldLeft(in) { (acc, p) =>
+        val cur = getPath(acc, p)
+        eval(valueE, cur, env).headOption match {
+          case Some(nv) => setPath(acc, p, nv)
+          case None => acc
+        }
+      }
+    case Assign("=", pathE, valueE) =>
+      val v = evalOne(valueE, in, env)
+      evalPaths(pathE, in, env).foldLeft(in)((acc, p) => setPath(acc, p, v))
+    case Assign("//=", pathE, valueE) =>
+      val v = evalOne(valueE, in, env)
+      evalPaths(pathE, in, env).foldLeft(in) { (acc, p) =>
+        if (truthy(getPath(acc, p))) acc else setPath(acc, p, v)
+      }
+    case Assign(arithOp, pathE, valueE) =>
+      val bop = arithOp.stripSuffix("=")
+      val v = evalOne(valueE, in, env)
+      evalPaths(pathE, in, env).foldLeft(in) { (acc, p) =>
+        setPath(acc, p, binop(bop, getPath(acc, p), v))
+      }
+    case Format(name) => text(Builtins.applyFormat(name, in))
+    case fc: FuncCall =>
+      // singular builtin — the table impl yields exactly one value
+      val s = eval(fc, in, env)
+      val h = s.head
+      h
+    case other =>
+      throw new IllegalStateException(s"evalOne on non-singular node: $other")
   }
 
   /** Force `stream` step by step; a JqBreak for `name` truncates it.
@@ -462,6 +582,7 @@ object Interp {
     * vectors whose elements are TextNode (field), number node (index) or
     * {"start","end"} object (slice). */
   def evalPaths(e: JqExpr, root: JsonNode, env: Env): LazyList[Vector[JsonNode]] = e match {
+    case Strict(inner) => evalPaths(inner, root, env)
     case Identity => LazyList(Vector.empty)
     case RecurseDefault => allPaths(root, Vector.empty, leavesOnly = false)
     case Field(target, name, _) =>

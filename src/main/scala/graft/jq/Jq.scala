@@ -41,8 +41,10 @@ object Jq {
 
   private val cache = new ConcurrentHashMap[String, CompiledJq]()
 
-  /** Parse + desugar a jq program. Throws JqSyntaxError on bad programs. */
-  def compile(program: String): CompiledJq = new CompiledJq(Parser.parse(program))
+  /** Parse + desugar + singularity-rewrite a jq program.
+    * Throws JqSyntaxError on bad programs. */
+  def compile(program: String): CompiledJq =
+    new CompiledJq(StrictRewrite(Parser.parse(program)))
 
   /** Per-JVM compile cache — executors compile each distinct program once. */
   def compileCached(program: String): CompiledJq =

@@ -1,0 +1,48 @@
+package graft.jq
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The strict (evalOne) path must agree with the generic stream path on
+  * outputs AND error behavior for every program, on every input. */
+class StrictPathSpec extends AnyFunSuite {
+
+  private val inputs = Seq(
+    """{"k": 87, "s": "txt", "a": [1,2,3], "o": {"x": 1}}""",
+    """{"k": null}""", "[]", "{}", "null", "42", "\"str\"", "[1,[2,[3]]]",
+    """{"region":"Asia","timezones":[{"name":"Tokyo","offset":540}]}""")
+
+  private val programs = Seq(
+    ".", ".k", ".k + 1", ".a[0] // 0", "{k, twice: (.k * 2)}",
+    """"v=\(.k)"""", "[.a[]? | . + 1]", ".a | length", "(.k // 0) | tostring",
+    ".o.x // .k // -1", "if .k then .k * 10 else -1 end",
+    "reduce (.a[]?) as $x (0; . + $x)", ".s // \"d\" | ascii_upcase",
+    """{("key" + "1"): (.k // 0)}""", ".k as $x | {orig: $x}",
+    ".a[1:] // []", "(.k // 2) * 3 - 1", "[limit(2; .a[]?)]",
+    ".missing.deep?", "try (.k + \"x\") catch \"type-err\"",
+    ".nonexistent | not", "(.a // []) | map(. * 2) | add // 0",
+    "(.o // {}) | keys", "[paths] | length", "del(.k)",
+    ".k |= (. // 0) + 1", "(.a // [1])[0]", "getpath([\"o\",\"x\"]) // null",
+    "tojson | fromjson", "[.[]?] | length")
+
+  test("strict and stream paths produce identical outputs") {
+    for (p <- programs; in <- inputs) {
+      val rewritten = new CompiledJq(StrictRewrite(Parser.parse(p)))
+      val raw = new CompiledJq(Parser.parse(p))
+      val a = try Right(rewritten.applyToText(in).map(Json.serialize).toList)
+              catch { case e: JqError => Left(e.getMessage) }
+      val b = try Right(raw.applyToText(in).map(Json.serialize).toList)
+              catch { case e: JqError => Left(e.getMessage) }
+      assert(a == b, s"divergence for program <$p> on input <$in>: strict=$a stream=$b")
+    }
+  }
+
+  test("strict path is actually used for typical extraction programs") {
+    val ast = StrictRewrite(Parser.parse("{k, d: (.k * 2)}"))
+    assert(ast.isInstanceOf[JqExpr.Strict], s"expected Strict root, got $ast")
+  }
+
+  test("stream-only constructs are not wrapped") {
+    val ast = StrictRewrite(Parser.parse(".[] | select(.x)"))
+    assert(!ast.isInstanceOf[JqExpr.Strict])
+  }
+}
