@@ -66,8 +66,9 @@ object JqExpr {
     /** object pattern entry: key (fixed/var/computed) → sub-pattern */
     final case class PObject(entries: List[(JqExpr, Pattern)]) extends Pattern
   }
-  /** `src as PATTERN | body` (single pattern; `?//` alternatives not supported) */
-  final case class As(src: JqExpr, pattern: Pattern, body: JqExpr) extends JqExpr
+  /** `src as P1 ?// P2 ... | body` — patterns tried left to right; a
+    * destructuring error falls through to the next alternative. */
+  final case class As(src: JqExpr, patterns: List[Pattern], body: JqExpr) extends JqExpr
 
   final case class If(cond: JqExpr, thenB: JqExpr, elseB: Option[JqExpr]) extends JqExpr
   /** `try body catch handler` / `body?` (handler=None) */

@@ -133,9 +133,9 @@ object Interp {
 
     case VarRef(name) => LazyList(lookupVar(name, env))
 
-    case As(src, pattern, body) =>
+    case As(src, patterns, body) =>
       eval(src, in, env).flatMap { v =>
-        destructure(pattern, v, in, env).flatMap { binds =>
+        destructureAlt(patterns, v, in, env).flatMap { binds =>
           eval(body, in, env.withVars(binds))
         }
       }
@@ -270,7 +270,7 @@ object Interp {
         case Some(v) => v
         case None => evalOne(r, in, env)
       }
-    case As(src, pattern, body) =>
+    case As(src, List(pattern), body) =>
       val v = evalOne(src, in, env)
       val binds = destructure(pattern, v, in, env).head
       evalOne(body, in, env.withVars(binds))
@@ -458,6 +458,38 @@ object Interp {
     build(si.parts, new StringBuilder)
   }
 
+  /** `?//` alternatives: try patterns left to right; a destructuring error
+    * falls through to the next. Variables of ALL alternatives are bound
+    * (null when absent from the matching pattern) so the body may
+    * reference any of them (jq manual, "destructuring alternative"). */
+  def destructureAlt(patterns: List[Pattern], v: JsonNode, in: JsonNode,
+                     env: Env): LazyList[Map[String, JsonNode]] = {
+    val allVars: Set[String] = patterns.flatMap(patternVars).toSet
+    def tryAll(rem: List[Pattern]): LazyList[Map[String, JsonNode]] = rem match {
+      case Nil => LazyList.empty
+      case last :: Nil =>
+        destructure(last, v, in, env).map(b => withNulls(b, allVars))
+      case p :: rest =>
+        val attempt =
+          try Some(destructure(p, v, in, env).toList)
+          catch { case _: JqError => None }
+        attempt match {
+          case Some(binds) => LazyList.from(binds).map(b => withNulls(b, allVars))
+          case None => tryAll(rest)
+        }
+    }
+    tryAll(patterns)
+  }
+
+  private def withNulls(b: Map[String, JsonNode], all: Set[String]): Map[String, JsonNode] =
+    b ++ (all -- b.keySet).map(_ -> (NullN: JsonNode))
+
+  private def patternVars(p: Pattern): Seq[String] = p match {
+    case Pattern.PVar(n) => Seq(n)
+    case Pattern.PArray(es) => es.flatMap(patternVars)
+    case Pattern.PObject(es) => es.flatMap { case (_, sub) => patternVars(sub) }
+  }
+
   /** Pattern destructuring; may yield several binding sets when computed
     * object-pattern keys produce several values. */
   def destructure(p: Pattern, v: JsonNode, in: JsonNode, env: Env): LazyList[Map[String, JsonNode]] = p match {
@@ -623,9 +655,9 @@ object Interp {
       }
     case TryCatch(body, None) =>
       protectPaths(evalPaths(body, root, env))
-    case As(src, pattern, body) =>
+    case As(src, patterns, body) =>
       eval(src, root, env).flatMap { v =>
-        destructure(pattern, v, root, env).flatMap { binds =>
+        destructureAlt(patterns, v, root, env).flatMap { binds =>
           evalPaths(body, root, env.withVars(binds))
         }
       }

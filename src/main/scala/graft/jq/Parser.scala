@@ -78,7 +78,7 @@ private final class Parser(tokens: Vector[Token], src: String) {
     var body = parsePipe()
     // `def f($a): body` ≡ `def f(a): a as $a | body` (jq manual, “function definitions”)
     dollarParams.reverse.foreach { dp =>
-      body = As(FuncCall(dp, Nil), Pattern.PVar(dp), body)
+      body = As(FuncCall(dp, Nil), List(Pattern.PVar(dp)), body)
     }
     eatOp(";")
     val rest = parsePipe()
@@ -179,9 +179,10 @@ private final class Parser(tokens: Vector[Token], src: String) {
           e = TryCatch(e, None)
         case TIdent("as", _) if allowAs =>
           advance()
-          val pat = parsePattern()
+          var pats = List(parsePattern())
+          while (tryEatOp("?//")) pats :+= parsePattern()
           eatOp("|")
-          return As(e, pat, parsePipe())
+          return As(e, pats, parsePipe())
         case _ => looping = false
       }
     }

@@ -98,7 +98,7 @@ object StrictRewrite {
     case Pipe(l, r) => singular(l, userNames) && singular(r, userNames)
     case If(c, t, eOpt) => // missing else = identity → still one output
       singular(c, userNames) && singular(t, userNames) && eOpt.forall(singular(_, userNames))
-    case As(src, pat, body) =>
+    case As(src, List(pat), body) => // single pattern only (?// needs retry)
       singular(src, userNames) && patternSingular(pat) && singular(body, userNames)
     case Reduce(_, pat, init, update) =>
       patternSingular(pat) && singular(init, userNames) && singular(update, userNames)
@@ -187,7 +187,7 @@ object StrictRewrite {
     case BinOp(op, l, r) => BinOp(op, f(l), f(r))
     case Alternative(l, r) => Alternative(f(l), f(r))
     case Assign(op, p, v) => Assign(op, f(p), f(v))
-    case As(s, pat, b) => As(f(s), pat, f(b))
+    case As(s, pats, b) => As(f(s), pats, f(b))
     case If(c, t, e2) => If(f(c), f(t), e2.map(f))
     case TryCatch(b, h) => TryCatch(f(b), h.map(f))
     case FuncCall(n, args) => FuncCall(n, args.map(f))

@@ -513,6 +513,13 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("isnormal", "0") == "false")
   }
 
+  test("?// destructuring alternatives") {
+    assert(run(""".[] as {a:$a} ?// [$a] | $a""", """[{"a":1},[2]]""") == List("1", "2"))
+    assert(run(""".[] as [$a,$b] ?// [$a] | [$a,$b]""", "[[1,2]]") == List("[1,2]"))
+    // vars of ALL alternatives are bound; unmatched ones become null
+    assert(run(""".[] as {a:$a} ?// [$b] | [$a,$b]""", """[[7]]""") == List("[null,7]"))
+  }
+
   test("uppercase IN / INDEX") {
     assert(run1("""IN("a", "b")""", "\"a\"") == "true")
     assert(run1("""IN("a", "b")""", "\"c\"") == "false")
