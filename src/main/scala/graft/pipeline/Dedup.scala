@@ -39,7 +39,10 @@ object Dedup {
   /** MinHash/LSH candidate pairs: (a, b) with a < b sharing ≥1 LSH band.
     * numHashes = bands × rowsPerBand. Oversized buckets (skew guard) are
     * dropped with a count in logs — at 100 TB a degenerate bucket (e.g.
-    * boilerplate docs) would otherwise quadratically dominate the join. */
+    * boilerplate docs) would otherwise quadratically dominate the join.
+    * Persists an intermediate (band, bucket) DataFrame; callers running
+    * many dedup jobs in one long-lived session should
+    * `spark.catalog.clearCache()` between unrelated corpora. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 16,
                         shingle: Int = 5, maxBucket: Int = 200): DataFrame = {
