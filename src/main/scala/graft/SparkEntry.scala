@@ -99,6 +99,31 @@ object SparkEntry {
         LATERAL VIEW jq(t.p, 'if $error then {k: -1} else {k: .k} end', 'k:int') x
         GROUP BY event_type ORDER BY event_type""")
     },
+    "jq_single_struct" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // single-column STRUCT form: whole jq result marshalled into col1
+      s.sql("""
+        SELECT event_id, x.col1.k AS k, x.col1.d AS d
+        FROM events
+        LATERAL VIEW jq(props, '{k, d: (.k * 3)}', 'struct<k:int,d:int>') x
+        WHERE event_id < 400
+        ORDER BY event_id""")
+    },
+    "jq_types_all" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // every marshal type in one pass: primitives, array, map, struct
+      s.sql("""
+        SELECT event_id, x.i, x.b, x.f, x.bo, x.s, x.arr[1] AS a1,
+               x.m['v'] AS mv, x.st.q AS stq
+        FROM events
+        LATERAL VIEW jq(props,
+          '{i: .k, b: (.k * 1000000000), f: (.k / 4), bo: (.k > 50),
+            s: (.k | tostring), arr: [.k, .k + 1], m: {v: .k}, st: {q: (.k + 7)}}',
+          'i:int', 'b:bigint', 'f:double', 'bo:boolean', 's:string',
+          'arr:array<int>', 'm:map<string,int>', 'st:struct<q:int>') x
+        WHERE event_id < 400
+        ORDER BY event_id""")
+    },
     "jq_builtins_text" -> { (s, dir) =>
       prep(s, dir, "documents")
       // jq string builtins over real text (wrapped as JSON via to_json)
@@ -173,6 +198,20 @@ object SparkEntry {
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
         ORDER BY rev_cents DESC, n_name""")
+    },
+    "rel_q18_semijoin" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // large-large shuffle join: big-side pre-aggregation on l_orderkey,
+      // then join with orders (TPC-H Q18 shape)
+      s.sql("""
+        SELECT o.o_orderkey, o.o_orderpriority, t.total_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 150) t
+          ON t.l_orderkey = o.o_orderkey
+        ORDER BY t.total_qty DESC, o.o_orderkey
+        LIMIT 100""")
     },
     "rel_exists_semi" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
@@ -355,6 +394,16 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_id % 10 = 0 THEN -1 ELSE k END) AS BIGINT) AS sum_k
          FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_id FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "jq_single_struct" ->
+      """SELECT event_id, k, k * 3 AS d
+         FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         WHERE event_id < 400 ORDER BY event_id""",
+    "jq_types_all" ->
+      """SELECT event_id, k AS i, CAST(k AS BIGINT) * 1000000000 AS b,
+                CAST(k AS DOUBLE) / 4 AS f, k > 50 AS bo, CAST(k AS VARCHAR) AS s,
+                k + 1 AS a1, k AS mv, k + 7 AS stq
+         FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         WHERE event_id < 400 ORDER BY event_id""",
     "jq_builtins_text" ->
       """SELECT doc_id, substr(upper(text), 1, 20) AS up20,
                 CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words
@@ -404,6 +453,15 @@ object SparkEntry {
          WHERE r.r_name = 'ASIA'
          GROUP BY n.n_name
          ORDER BY rev_cents DESC, n_name""",
+    "rel_q18_semijoin" ->
+      """SELECT o.o_orderkey, o.o_orderpriority, t.total_qty
+         FROM orders o
+         JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(CAST(l_quantity AS BIGINT)) > 150) t
+           ON t.l_orderkey = o.o_orderkey
+         ORDER BY t.total_qty DESC, o.o_orderkey
+         LIMIT 100""",
     "rel_exists_semi" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders o
