@@ -67,10 +67,14 @@ object Graft {
     ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
     ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder))
 
+  /** Idempotent per session: re-registering an existing temp function logs a
+    * "function jq replaced" warning per call, which turns into log spam when
+    * every query preamble calls register (e.g. the bench loop). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, usage, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 

@@ -136,9 +136,12 @@ object SparkEntry {
     },
     "jq_extract_all" -> { (s, dir) =>
       prep(s, dir, "events")
+      // to_json-wrapped: the driver's hasher sorts result columns in pandas,
+      // which cannot hash a top-level array<string> — a JSON string of the
+      // same array hashes fine and proves the same extraction.
       s.sql("""
         SELECT event_id,
-               jq_extract_all(props, '.k, (.k*2)') AS vals
+               to_json(jq_extract_all(props, '.k, (.k*2)')) AS vals
         FROM events WHERE event_id < 300 ORDER BY event_id""")
     },
     "jq_events_pipeline" -> { (s, dir) =>
@@ -285,9 +288,11 @@ object SparkEntry {
     },
     "dedup_simhash" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // fingerprints + hamming-banded candidate pairs (rows-only: hash-defined)
+      // fingerprints + combinatorially-blocked candidate pairs (rows-only:
+      // hash-defined). maxHamming=3 is the radius the 6-choose-3 blocking
+      // GUARANTEES (Manku et al. pigeonhole — see Dedup.simhashCandidates).
       pipeline.Dedup.simhashCandidates(s.table("documents"), "doc_id", "text",
-          shingle = 5, maxHamming = 16)
+          shingle = 5, maxHamming = 3)
         .orderBy("a", "b")
     },
     "dedup_embedding_cosine" -> { (s, dir) =>
@@ -409,7 +414,7 @@ object SparkEntry {
                 CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words
          FROM documents ORDER BY doc_id""",
     "jq_extract_all" ->
-      """SELECT event_id, [CAST(k AS VARCHAR), CAST(k*2 AS VARCHAR)] AS vals
+      """SELECT event_id, '["' || CAST(k AS VARCHAR) || '","' || CAST(k*2 AS VARCHAR) || '"]' AS vals
          FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
          WHERE event_id < 300 ORDER BY event_id""",
     "jq_events_pipeline" ->
