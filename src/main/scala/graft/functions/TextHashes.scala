@@ -167,7 +167,12 @@ case class ShingleSet(child: Expression, n: Int)
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+    // Full-string lowering first (Spark's lower() = UTF8String.toLowerCase =
+    // String#toLowerCase for non-ASCII), not per-char Character.toLowerCase:
+    // special-casing codepoints like U+0130 lower to MULTIPLE chars, which a
+    // per-char loop gets wrong. DuckDB (utf8proc) still differs on those rare
+    // codepoints; on ASCII the three agree exactly.
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
     val norm = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -175,7 +180,7 @@ case class ShingleSet(child: Expression, n: Int)
       if (isWs(c)) {
         norm.append(' ')
         while (i + 1 < s.length && isWs(s.charAt(i + 1))) i += 1
-      } else norm.append(Character.toLowerCase(c))
+      } else norm.append(c)
       i += 1
     }
     val t = norm.toString
@@ -273,6 +278,70 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int, dim: In
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
   override def prettyName: String = "lsh_buckets"
+}
+
+/** lsh_probe_buckets(vec) → array<array<int>>: per LSH table, the query-side
+  * multi-probe bucket list — the vector's own bucket plus every bucket
+  * reachable by flipping up to `radius` of the `probeBits` planes with the
+  * smallest projection margin |dot|. Margin-ranked perturbation is the
+  * multi-probe LSH scheme of Lv et al., VLDB 2007: a near neighbor that
+  * landed on the wrong side of a hyperplane almost always did so on one the
+  * query itself barely cleared, so probing those buckets first buys recall
+  * without extra tables. Corpus side stays single-bucket (LshBuckets). */
+case class LshProbes(child: Expression, numTables: Int, numPlanes: Int,
+                     dim: Int, probeBits: Int, radius: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPlanes <= 30 && probeBits <= numPlanes && radius <= probeBits)
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(numTables, numPlanes, dim) { (t, p, d) =>
+      val h = Mix.splitmix64((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong ^ 0x9e37L)
+      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      val dots = new Array[Double](numPlanes)
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val plane = planes(t)(p)
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += a.getFloat(d).toDouble * plane(d); d += 1 }
+        dots(p) = dot
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      val ranked = (0 until numPlanes).sortBy(p => math.abs(dots(p))).take(probeBits).toArray
+      val probes = scala.collection.mutable.ArrayBuffer[Any](Int.box(bucket))
+      def expand(start: Int, mask: Int, depth: Int): Unit = {
+        var i = start
+        while (i < ranked.length) {
+          val m = mask | (1 << ranked(i))
+          probes += Int.box(bucket ^ m)
+          if (depth + 1 < radius) expand(i + 1, m, depth + 1)
+          i += 1
+        }
+      }
+      if (radius > 0) expand(0, 0, 0)
+      out(t) = new GenericArrayData(probes.toArray)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbes =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_probe_buckets"
 }
 
 /** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii. */

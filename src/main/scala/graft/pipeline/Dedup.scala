@@ -1,21 +1,30 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim => E}
 
-import graft.functions.{MinHashSignature, SimHash64}
+import graft.functions.{Hamming64, MinHashSignature, SimHash64}
 
 /** Deduplication family for LLM training-data pipelines.
   *
   * Shuffle budget (SURVEY §2.6), per op:
-  *  - exact: 1 shuffle (groupBy content hash)
+  *  - exact: 1 shuffle (window over content hash — no join-back)
   *  - minhash LSH: signature map-side (0 shuffles) → 1 shuffle on band
-  *    bucket → self-join co-partitioned on bucket → verify map-side via
-  *    the joined texts
-  *  - simhash: fingerprint map-side → 1 shuffle on hamming band key
+  *    bucket (window size-guard rides the same shuffle) → self-join
+  *    co-partitioned on bucket → verify map-side via the joined texts
+  *  - simhash: fingerprint map-side → 1 shuffle on (combo, key)
   * No all-pairs stage exists anywhere: blocking always precedes verify,
   * which is what keeps these plans viable at 10^9+ documents.
+  *
+  * Cache lifecycle: intermediates consumed more than once are materialized
+  * with `localCheckpoint(eager = true)` (MEMORY_AND_DISK, lineage cut)
+  * instead of `persist()`. Checkpoint blocks are owned by the RDD and freed
+  * by the ContextCleaner as soon as the result DataFrame is unreferenced —
+  * unlike `Dataset.persist`, which parks an entry in the session
+  * CacheManager forever unless someone remembers to unpersist. Repeated
+  * dedup calls in a long-lived session therefore leak nothing.
   */
 object Dedup {
 
@@ -25,24 +34,25 @@ object Dedup {
     E.column(SimHash64(E.expression(text), shingle))
 
   /** Exact dedup on normalized content hash. Keeps the smallest id per
-    * group. Output: input columns + `is_duplicate`. */
+    * group. Output: input columns + `is_duplicate`. One shuffle: the
+    * per-group min is a window aggregate over the hash, not a
+    * groupBy + join-back (which would shuffle twice). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.withColumn("__h",
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
-    val keepers = hashed.groupBy(col("__h"))
-      .agg(min(col(idCol)).as("__keeper"))
-    hashed.join(keepers, "__h")
-      .withColumn("is_duplicate", col(idCol) =!= col("__keeper"))
-      .drop("__h", "__keeper")
+    hashed
+      .withColumn("is_duplicate",
+        col(idCol) =!= min(col(idCol)).over(Window.partitionBy(col("__h"))))
+      .drop("__h")
   }
 
   /** MinHash/LSH candidate pairs: (a, b) with a < b sharing ≥1 LSH band.
     * numHashes = bands × rowsPerBand. Oversized buckets (skew guard) are
-    * dropped with a count in logs — at 100 TB a degenerate bucket (e.g.
-    * boilerplate docs) would otherwise quadratically dominate the join.
-    * Persists an intermediate (band, bucket) DataFrame; callers running
-    * many dedup jobs in one long-lived session should
-    * `spark.catalog.clearCache()` between unrelated corpora. */
+    * dropped — at 100 TB a degenerate bucket (e.g. boilerplate docs) would
+    * otherwise quadratically dominate the join. The guard is a count window
+    * over (band, bucket), so it rides the same shuffle that co-partitions
+    * the self-join; the guarded bucket table is locally checkpointed so the
+    * signature pass runs once, not once per join side. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 16,
                         shingle: Int = 5, maxBucket: Int = 200): DataFrame = {
@@ -50,16 +60,15 @@ object Dedup {
     val r = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
       minhashCol(col(textCol), numHashes, shingle).as("sig"))
-    // band → bucket key (hash of the band's signature slice + band index).
-    // Persisted: referenced by the size guard AND both sides of the
-    // self-join — without it the signature pass recomputes 4×.
+    // band → bucket key (hash of the band's signature slice + band index)
     val buckets = sigs.select(col("id"), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
       .as(Seq("band", "bucket")))
-      .select(col("id"), col("band"), col("bucket"))
-      .persist()
-    val sized = buckets.groupBy("band", "bucket").agg(count("*").as("__n"))
-    val kept = buckets.join(sized.where(col("__n") <= maxBucket), Seq("band", "bucket"))
+    val kept = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+      .localCheckpoint(true)
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -73,9 +82,9 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingle: Int = 3): DataFrame = {
     val sh = shingleSet(col(textCol), shingle)
-    // persisted: joined twice, and without it the per-DOC shingle sets are
-    // recomputed per PAIR (candidate count ≫ doc count)
-    val withSets = docs.select(col(idCol).as("__id"), sh.as("__sh")).persist()
+    // checkpointed: joined twice, and without materialization the per-DOC
+    // shingle sets are recomputed per PAIR (candidate count ≫ doc count)
+    val withSets = docs.select(col(idCol).as("__id"), sh.as("__sh")).localCheckpoint(true)
     pairs
       .join(withSets.withColumnRenamed("__sh", "__sha"), pairs("a") === col("__id")).drop("__id")
       .join(withSets.withColumnRenamed("__sh", "__shb"), pairs("b") === col("__id")).drop("__id")
@@ -100,23 +109,51 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** SimHash near-dup candidates: 64-bit fingerprints blocked on 4 16-bit
-    * bands (any pair within hamming distance ≤ 3 shares ≥1 exact band by
-    * pigeonhole when distance < bands). */
+  /** SimHash near-dup candidates via combinatorial block blocking
+    * (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    * Crawling", WWW 2007): the 64-bit fingerprint is split into `blocks`
+    * bit-blocks, and every (blocks − maxHamming)-subset of blocks is
+    * concatenated into a blocking key. A pair within hamming distance
+    * ≤ maxHamming corrupts at most maxHamming blocks, so at least one
+    * key subset is clean on both sides — recall within the radius is
+    * GUARANTEED (up to bucket-cap drops), unlike single-band chunking
+    * where only distance < #bands was covered.
+    *
+    * Scale posture: default blocks=6, maxHamming=3 → C(6,3)=20 keys/doc of
+    * ~32 bits → 2^32 key space, so at 10^9 docs the mean bucket holds < 1
+    * doc (the 16-bit single-band scheme capped at 65 536 buckets and
+    * degenerated to ~15k-doc buckets). Oversized buckets from degenerate
+    * content are dropped by the same windowed `maxBucket` guard as the
+    * minhash path. Output: (a, b, hamming), a < b, hamming ≤ maxHamming. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingle: Int = 3, maxHamming: Int = 3): DataFrame = {
+                        shingle: Int = 3, maxHamming: Int = 3,
+                        blocks: Int = 6, maxBucket: Int = 200): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < blocks && blocks <= 16,
+      s"need 1 <= maxHamming < blocks <= 16; got maxHamming=$maxHamming blocks=$blocks")
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockCol(i: Int): Column =
+      shiftrightunsigned(col("fp"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val keyCols = (0 until blocks).combinations(blocks - maxHamming).map { c =>
+      c.foldLeft(lit(0L))((acc, i) => shiftleft(acc, widths(i)).bitwiseOR(blockCol(i)))
+    }.toSeq
+
     val fp = df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp"))
-    val banded = fp.select(col("id"), col("fp"), posexplode(
-      expr("transform(sequence(0, 3), b -> (fp >> (b * 16)) & 65535)"))
-      .as(Seq("band", "key")))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array(keyCols: _*)).as(Seq("combo", "key")))
+    val kept = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+      .localCheckpoint(true)
+    kept.as("x").join(kept.as("y"),
+        col("x.combo") === col("y.combo") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        E.column(graft.functions.Hamming64(
+        E.column(Hamming64(
           E.expression(col("x.fp")), E.expression(col("y.fp")))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs above a cosine threshold, restricted to a

@@ -64,31 +64,47 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: `numTables` independent hash tables of `numPlanes`
-    * sign bits; candidates = corpus vectors sharing a bucket with the query
-    * in any table; rerank candidates exactly. Output schema matches
-    * bruteForceTopK. Recall grows with numTables (spec measures it). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numTables: Int = 8,
-              numPlanes: Int = 10, dim: Int = 64): DataFrame = {
-    // one pass per side: all table buckets computed by a single expression
-    // invocation per vector, then exploded to (table, bucket) rows
-    def bucketed(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-          E.column(graft.functions.LshBuckets(
-            E.expression(col(vecCol)), numTables, numPlanes, dim)).as("__bs"))
-        .select(col(s"${side}_id"), col(s"${side}_vec"),
-          posexplode(col("__bs")).as(Seq("table", "bucket")))
-
-    val c = bucketed(corpus, "neighbor")
-    val q = bucketed(queries, "query")
+  /** LSH candidate pairs for `lshTopK` — exposed so callers (and the recall
+    * spec) can measure candidate-set size against the N×Q brute-force pair
+    * count. Corpus side: one bucket per table per vector (LshBuckets, one
+    * pass). Query side: multi-probe — the query's own bucket plus every
+    * bucket within `probeRadius` flips of its `probeBits` lowest-margin
+    * hyperplanes (Lv et al., VLDB 2007). Multi-probing buys recall on the
+    * query side only, so the corpus — the 100 TB side — is still read and
+    * bucketed exactly once, and the probe list is broadcast. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, numTables: Int, numPlanes: Int, dim: Int,
+                    probeBits: Int, probeRadius: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        E.column(graft.functions.LshBuckets(
+          E.expression(col(vecCol)), numTables, numPlanes, dim)).as("__bs"))
+      .select(col("neighbor_id"), posexplode(col("__bs")).as(Seq("table", "bucket")))
+    val q = queries.select(col(idCol).as("query_id"),
+        E.column(graft.functions.LshProbes(
+          E.expression(col(vecCol)), numTables, numPlanes, dim, probeBits, probeRadius)).as("__ps"))
+      .select(col("query_id"), posexplode(col("__ps")).as(Seq("table", "__probes")))
+      .select(col("query_id"), col("table"), explode(col("__probes")).as("bucket"))
     // dedup candidate IDs first — distinct over bare (id, id) pairs, not
-    // 64-float vectors — then join the vectors back for the rerank
-    val cands = c.join(broadcast(q.drop("query_vec")),
+    // 64-float vectors — then the caller joins vectors back for the rerank
+    c.join(broadcast(q),
         c("table") === q("table") && c("bucket") === q("bucket") &&
           col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
+  }
+
+  /** LSH-bucketed ANN: `numTables` independent hash tables of `numPlanes`
+    * sign bits, query-side multi-probe (see lshCandidates); candidates are
+    * reranked exactly. Output schema matches bruteForceTopK. Recall grows
+    * with numTables and probeRadius (spec measures ≥ 0.8 on the embeddings
+    * table); candidate count stays ≪ N×Q because probing only widens the
+    * broadcast query side. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numTables: Int = 8,
+              numPlanes: Int = 10, dim: Int = 64,
+              probeBits: Int = 8, probeRadius: Int = 3): DataFrame = {
+    val cands = lshCandidates(corpus, queries, idCol, vecCol,
+      numTables, numPlanes, dim, probeBits, probeRadius)
 
     val qv = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), Dedup.quantize(col(vecCol)).as("__qc"))

@@ -40,10 +40,57 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("simhash candidates block near-dups together") {
-    val cands = Dedup.simhashCandidates(base, "doc_id", "text", shingle = 5, maxHamming = 16)
+    val cands = Dedup.simhashCandidates(base, "doc_id", "text", shingle = 5, maxHamming = 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(cands.contains((0L, 2L)))
     assert(cands.contains((1L, 4L))) // identical docs: hamming 0
+  }
+
+  test("simhash blocking finds EVERY pair within the guaranteed hamming radius") {
+    // 40 perturbed variants of one document: many fingerprint pairs land
+    // within hamming <= 3. The 6-choose-3 combinatorial blocking guarantees
+    // each of them shares >= 1 clean key (Manku et al. pigeonhole), so the
+    // candidate set must contain ALL of them — recall 1.0 inside the radius.
+    val words = "the quick brown fox jumps over the lazy dog while rain falls on the quiet river valley".split(" ")
+    val docs = (0 until 40).map { i =>
+      val w = words.updated(i % words.length, s"tok$i")
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    val fps = docs.select($"doc_id",
+        E.column(graft.functions.SimHash64(E.expression($"text"), 5)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val withinRadius = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield (a, b)).toSet
+    assert(withinRadius.nonEmpty, "test corpus produced no close fingerprints — weaken perturbation")
+
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", shingle = 5, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(withinRadius.subsetOf(cands),
+      s"missed guaranteed pairs: ${withinRadius -- cands}")
+  }
+
+  test("simhash degenerate buckets are dropped by the maxBucket skew guard") {
+    val boiler = (0 until 30).map(i => (i.toLong, "identical boilerplate document body"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashCandidates(boiler, "doc_id", "text",
+      shingle = 5, maxHamming = 3, maxBucket = 10)
+    assert(capped.count() == 0, "30-doc degenerate bucket must be dropped at cap 10")
+    val uncapped = Dedup.simhashCandidates(boiler, "doc_id", "text",
+      shingle = 5, maxHamming = 3, maxBucket = 100)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
+  test("repeated dedup calls leave nothing in the session cache manager") {
+    import org.apache.spark.sql.graftshim.GraftShim
+    (1 to 2).foreach { _ =>
+      Dedup.minhashDedupPairs(base, "doc_id", "text", threshold = 0.5).count()
+      Dedup.simhashCandidates(base, "doc_id", "text").count()
+    }
+    assert(GraftShim.cacheIsEmpty(spark),
+      "pipeline ops must not accumulate CacheManager entries across calls")
   }
 
   test("exact jaccard verification values are sane") {
@@ -72,17 +119,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(0L) != fp(2L))
   }
 
-  test("ANN LSH recall@10 against brute force") {
+  test("ANN multi-probe LSH recall@10 >= 0.8 with candidates well under brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)
+    val nCorpus = emb.count()
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
-      numTables = 8, numPlanes = 10, dim = 64)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    info(s"LSH recall@10 = $recall (candidates examined ≪ corpus)")
-    assert(recall >= 0.2, s"recall $recall collapsed — LSH bucketing broken")
+
+    val nCands = Similarity.lshCandidates(emb, queries, "vec_id", "embedding",
+      numTables = 8, numPlanes = 10, dim = 64, probeBits = 8, probeRadius = 3).count()
+    val bruteForcePairs = 10.0 * (nCorpus - 1)
+    info(f"LSH recall@10 = $recall%.3f; candidates = $nCands of ${bruteForcePairs.toLong} brute-force pairs (${100 * nCands / bruteForcePairs}%.1f%%)")
+    assert(recall >= 0.8, s"multi-probe recall $recall below the 0.8 floor — not a usable ANN")
+    assert(nCands < bruteForcePairs * 0.7,
+      s"candidate set $nCands examined most of the corpus — blocking is not doing its job")
   }
 
   test("brute force topk is deterministic and self-consistent") {
