@@ -53,6 +53,57 @@ object Builtins {
   /** sort key per jq's sort_by/group_by: the ARRAY of all outputs of f */
   private def keyOf(f: JqExpr, v: JsonNode, env: Env): JsonNode = arr(eval(f, v, env).toList)
 
+  // -- C-math helpers (libm functions the JDK lacks) -----------------------
+
+  /** IEEE-754 unbiased exponent, correct for subnormals (where
+    * Math.getExponent returns MIN_EXPONENT − 1). */
+  private def unbiasedExponent(d: Double): Int = {
+    val e = Math.getExponent(d)
+    if (e == java.lang.Double.MIN_EXPONENT - 1)
+      Math.getExponent(d * 9007199254740992.0) - 53 // ×2^53 normalizes
+    else e
+  }
+
+  /** C significand(): m with d = m·2^e, 1 ≤ |m| < 2, sign preserved. */
+  private def significandFn(d: Double): Double =
+    if (d == 0.0 || d.isNaN || d.isInfinite) d
+    else Math.scalb(d, -unbiasedExponent(d))
+
+  /** log|Γ(x)| — Lanczos approximation (g = 7, 9 coefficients; the standard
+    * public-domain parameterization), reflection formula for x < 0.5. */
+  private def lgammaFn(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x.isInfinite) return Double.PositiveInfinity
+    if (x <= 0.0 && x == math.floor(x)) return Double.PositiveInfinity // poles
+    if (x < 0.5) return math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgammaFn(1.0 - x)
+    val xx = x - 1.0
+    var a = lanczos(0)
+    var i = 1
+    while (i < 9) { a += lanczos(i) / (xx + i); i += 1 }
+    val t = xx + 7.5
+    0.5 * math.log(2.0 * math.Pi) + (xx + 0.5) * math.log(t) - t + math.log(a)
+  }
+
+  /** Γ(x) with sign, via Lanczos + reflection. NaN at non-positive integers. */
+  private def tgammaFn(x: Double): Double = {
+    if (x.isNaN || x == Double.PositiveInfinity) return x
+    if (x <= 0.0 && x == math.floor(x)) return Double.NaN
+    if (x < 0.5) math.Pi / (math.sin(math.Pi * x) * tgammaFn(1.0 - x))
+    else {
+      val xx = x - 1.0
+      var a = lanczos(0)
+      var i = 1
+      while (i < 9) { a += lanczos(i) / (xx + i); i += 1 }
+      val t = xx + 7.5
+      math.sqrt(2.0 * math.Pi) * math.pow(t, xx + 0.5) * math.exp(-t) * a
+    }
+  }
+
+  private val lanczos: Array[Double] = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
   private def elems(v: JsonNode, who: String): List[JsonNode] = {
     requireArray(v, who); Json.elements(v).toList
   }
@@ -198,7 +249,45 @@ object Builtins {
       java.util.Base64.getEncoder.encodeToString(toStringValue(v).getBytes(StandardCharsets.UTF_8))
     case "base64d" =>
       new String(java.util.Base64.getDecoder.decode(toStringValue(v)), StandardCharsets.UTF_8)
+    case "base32" => base32Encode(toStringValue(v).getBytes(StandardCharsets.UTF_8))
+    case "base32d" => new String(base32Decode(toStringValue(v)), StandardCharsets.UTF_8)
     case other => throw JqError.of(s"$other is not a valid format")
+  }
+
+  // RFC 4648 base32 (A–Z2–7, '=' padding) — the JDK only ships base64
+  private val b32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  private def base32Encode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val chunk = math.min(5, bytes.length - i)
+      var acc = 0L
+      var j = 0
+      while (j < chunk) { acc = (acc << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      acc <<= (5 - chunk) * 8
+      val outChars = chunk match { case 1 => 2; case 2 => 4; case 3 => 5; case 4 => 7; case 5 => 8 }
+      var k = 0
+      while (k < outChars) { sb.append(b32Alphabet((acc >>> (35 - 5 * k)).toInt & 31)); k += 1 }
+      sb.append("=" * (8 - outChars))
+      i += chunk
+    }
+    sb.toString
+  }
+
+  private def base32Decode(s: String): Array[Byte] = {
+    val clean = s.filterNot(_ == '=')
+    val out = new java.io.ByteArrayOutputStream
+    var acc = 0L
+    var bits = 0
+    clean.foreach { c =>
+      val v = b32Alphabet.indexOf(c.toUpper.toInt)
+      if (v < 0) throw JqError.of(s"invalid base32 input: '$c'")
+      acc = (acc << 5) | v
+      bits += 5
+      if (bits >= 8) { bits -= 8; out.write(((acc >>> bits) & 0xff).toInt) }
+    }
+    out.toByteArray
   }
 
   // -- the table ----------------------------------------------------------
@@ -727,6 +816,41 @@ object Builtins {
     math1("sinh")(math.sinh), math1("cosh")(math.cosh), math1("tanh")(math.tanh),
     math1("nearbyint")(math.rint),
     math1("logb")(d => math.floor(math.log(math.abs(d)) / math.log(2))),
+    math1("asinh")(d => math.log(d + math.sqrt(d * d + 1))),
+    math1("acosh")(d => math.log(d + math.sqrt(d * d - 1))),
+    math1("atanh")(d => 0.5 * math.log((1 + d) / (1 - d))),
+    math1("pow10")(d => math.pow(10, d)),
+    // C-math stragglers (jq gets these from libm via jackson-jq):
+    math1("significand")(significandFn),
+    // jq defines BOTH gamma and lgamma as log-gamma; tgamma is true Γ
+    math1("gamma")(lgammaFn),
+    math1("lgamma")(lgammaFn),
+    math1("tgamma")(tgammaFn),
+    v0("lgamma_r") { in =>
+      val d = requireNumber(in, "lgamma_r")
+      one(arr(List(num(lgammaFn(d)), num(if (tgammaFn(d) < 0) -1 else 1))))
+    },
+    v0("frexp") { in =>
+      val d = requireNumber(in, "frexp")
+      if (d == 0.0 || d.isNaN || d.isInfinite) one(arr(List(num(d), num(0))))
+      else {
+        val e = unbiasedExponent(d) + 1 // mantissa in [0.5, 1)
+        one(arr(List(num(Math.scalb(d, -e)), num(e))))
+      }
+    },
+    v0("modf") { in =>
+      val d = requireNumber(in, "modf")
+      val ip = if (d < 0) math.ceil(d) else math.floor(d)
+      one(arr(List(num(d - ip), num(ip))))
+    },
+    v2("drem")((_, x, y) =>
+      one(num(Math.IEEEremainder(requireNumber(x, "drem"), requireNumber(y, "drem"))))),
+    v2("ldexp")((_, m, e) =>
+      one(num(Math.scalb(requireNumber(m, "ldexp"), requireNumber(e, "ldexp").toInt)))),
+    v2("scalb")((_, m, e) =>
+      one(num(Math.scalb(requireNumber(m, "scalb"), requireNumber(e, "scalb").toInt)))),
+    v2("scalbln")((_, m, e) =>
+      one(num(Math.scalb(requireNumber(m, "scalbln"), requireNumber(e, "scalbln").toInt)))),
     v2("atan2")((_, y, x) => one(num(math.atan2(requireNumber(y, "atan2"), requireNumber(x, "atan2"))))),
     v0("isnormal") { in =>
       one(bool(in.isNumber && {
@@ -781,7 +905,8 @@ object Builtins {
   ) ++ formatTable
 
   private def formatTable: Map[(String, Int), Builtin] =
-    List("text", "json", "html", "uri", "csv", "tsv", "sh", "base64", "base64d").map { f =>
+    List("text", "json", "html", "uri", "csv", "tsv", "sh",
+         "base64", "base64d", "base32", "base32d").map { f =>
       ((s"@$f", 0): (String, Int)) -> { (_: List[JqExpr], in: JsonNode, _: Env) =>
         one(text(applyFormat(f, in)))
       }

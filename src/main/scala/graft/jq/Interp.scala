@@ -126,10 +126,12 @@ object Interp {
       }
 
     case Alternative(l, r) =>
-      val collected =
-        try eval(l, in, env).filter(truthy).toList
-        catch { case _: JqError => Nil }
-      if (collected.nonEmpty) LazyList.from(collected) else eval(r, in, env)
+      // Lazy, like jq's ALTERNATION fork: truthy outputs of the left stream
+      // are emitted as they arrive (`first(repeat(1) // 2)` terminates), a
+      // JqError truncates the left stream but keeps values already produced,
+      // and the right side runs only when no truthy value ever emerged.
+      val lefts = truncateOnError(eval(l, in, env).filter(truthy))
+      if (lefts.nonEmpty) lefts else eval(r, in, env)
 
     case VarRef(name) => LazyList(lookupVar(name, env))
 
@@ -382,6 +384,10 @@ object Interp {
     }
     step(() => stream)
   }
+
+  /** Ends the stream at the first JqError, keeping values already produced
+    * (the `//` left-side contract). Label/break unwinds pass through. */
+  private def truncateOnError(stream: => S): S = protect(stream, _ => LazyList.empty)
 
   def recurseAll(v: JsonNode): S =
     v #:: (if (v.isArray) LazyList.from(Json.elements(v).toSeq).flatMap(recurseAll)
@@ -689,10 +695,9 @@ object Interp {
         case None => throw JqError.of(s"Invalid path expression: $name/${args.length}")
       }
     case Alternative(l, r) =>
-      val collected =
-        try evalPaths(l, root, env).filter(p => truthy(getPath(root, p))).toList
-        catch { case _: JqError => Nil }
-      if (collected.nonEmpty) LazyList.from(collected) else evalPaths(r, root, env)
+      // same lazy truncate-on-error shape as the value-stream Alternative
+      val lefts = protectPaths(evalPaths(l, root, env).filter(p => truthy(getPath(root, p))))
+      if (lefts.nonEmpty) lefts else evalPaths(r, root, env)
     case other => throw JqError.of(s"Invalid path expression")
   }
 

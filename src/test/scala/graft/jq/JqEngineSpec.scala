@@ -534,4 +534,69 @@ class JqEngineSpec extends AnyFunSuite {
     val in = """[{"k":"a","v":1},{"k":"b","v":2},{"k":"a","v":3}]"""
     assert(run1(prog, in) == """[{"k":"a","n":2,"sum":4},{"k":"b","n":1,"sum":2}]""")
   }
+  // ---- round-2 additions: base32, @sh coverage, C-math stragglers ----
+  test("@base32 / @base32d round-trip (RFC 4648)") {
+    assert(run1("@base32", "\"hi\"") == "\"NBUQ====\"")
+    assert(run1("@base32d", "\"NBUQ====\"") == "\"hi\"")
+    assert(run1("@base32", "\"\"") == "\"\"")
+    assert(run1("""@base32 | @base32d""", "\"jq rocks base32\"") == "\"jq rocks base32\"")
+  }
+  test("@sh shell quoting") {
+    assert(run1("@sh", "\"a b\"") == """"'a b'"""")
+    assert(run1("@sh", """["a b","c'd"]""") == """"'a b' 'c'\\''d'"""")
+    assert(run1("@sh", "[1,true]") == "\"1 true\"")
+  }
+
+  private def runD(prog: String, input: String = "null"): Double = run1(prog, input).toDouble
+  test("significand") {
+    assert(run1("significand", "8") == "1")
+    assert(run1("significand", "6") == "1.5")
+    assert(run1("significand", "-6") == "-1.5")
+    assert(run1("significand", "0") == "0")
+  }
+  test("gamma / lgamma / tgamma (Lanczos)") {
+    assert(math.abs(runD("5 | gamma") - math.log(24)) < 1e-12)
+    assert(math.abs(runD("5 | lgamma") - math.log(24)) < 1e-12)
+    assert(math.abs(runD("5 | tgamma") - 24.0) < 1e-10)
+    assert(math.abs(runD("0.5 | tgamma") - math.sqrt(math.Pi)) < 1e-12)
+    // pole at 0 → +Infinity (serialized per the documented non-finite rule)
+    assert(run1("0 | lgamma") == "\"Infinity\"")
+  }
+  test("lgamma_r returns [lgamma, sign]") {
+    val r = run1("5 | lgamma_r")
+    assert(r.endsWith(",1]"))
+    assert(math.abs(r.stripPrefix("[").split(",")(0).toDouble - math.log(24)) < 1e-12)
+    // gamma(x) < 0 for x in (-1, 0)
+    assert(run1("-0.5 | lgamma_r").endsWith(",-1]"))
+  }
+  test("drem / ldexp / scalb / scalbln") {
+    assert(run1("drem(10; 3)") == "1")
+    assert(run1("drem(10.5; 3)") == "-1.5")
+    assert(run1("ldexp(3; 2)") == "12")
+    assert(run1("scalb(3; 2)") == "12")
+    assert(run1("scalbln(1.5; 3)") == "12")
+  }
+  test("frexp / modf") {
+    assert(run1("8 | frexp") == "[0.5,4]")
+    assert(run1("-3 | frexp") == "[-0.75,2]")
+    assert(run1("0 | frexp") == "[0,0]")
+    assert(run1("3.25 | modf") == "[0.25,3]")
+    assert(run1("-3.25 | modf") == "[-0.25,-3]")
+  }
+  test("asinh / acosh / atanh / pow10") {
+    assert(math.abs(runD("1 | asinh") - 0.881373587019543) < 1e-12)
+    assert(math.abs(runD("2 | acosh") - 1.3169578969248166) < 1e-12)
+    assert(math.abs(runD("0.5 | atanh") - 0.5493061443340549) < 1e-12)
+    assert(run1("2 | pow10") == "100")
+  }
+
+  // ---- round-2: lazy // (alternative) semantics ----
+  test("// is lazy: first(repeat(1) // 2) terminates") {
+    assert(run1("first(repeat(1) // 2)") == "1")
+  }
+  test("// truncates left stream on error but keeps produced values") {
+    assert(run("""[(1, error("x"), 3) // 4]""", "null") == List("[1]"))
+    assert(run("""[(false, error("x")) // 4]""", "null") == List("[4]"))
+  }
+
 }
