@@ -57,12 +57,21 @@ object EventStreams {
 
   /** Stateful sessionization: gap-close semantics via
     * flatMapGroupsWithState. Emits a session when a gap > `gapMinutes` is
-    * observed or on state timeout. */
+    * observed or on state timeout.
+    *
+    * Timeout handling is branched per mode — the GroupState API is not
+    * symmetric: ProcessingTimeTimeout takes a wall-clock DURATION
+    * (`setTimeoutDuration`), while EventTimeTimeout takes an absolute
+    * event-time TIMESTAMP (`setTimeoutTimestamp`) and throws
+    * UnsupportedOperationException if given a duration. With
+    * EventTimeTimeout the session times out `gap` past its last event in
+    * event time (the natural semantics; requires a watermark on `events`);
+    * with ProcessingTimeTimeout the gap is reused as a wall-clock idle
+    * bound — an approximation, flagged here rather than hidden. */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int,
                  timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[UserSession] = {
@@ -87,7 +96,10 @@ object EventStreams {
       } else {
         cur.foreach { s =>
           state.update(s)
-          if (useTimeout) state.setTimeoutDuration(gapMs)
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+            state.setTimeoutDuration(gapMs)
+          else if (timeout == GroupStateTimeout.EventTimeTimeout)
+            state.setTimeoutTimestamp(s.last + gapMs)
         }
       }
       out.reverseIterator
