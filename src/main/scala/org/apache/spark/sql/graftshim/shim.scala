@@ -16,4 +16,10 @@ object GraftShim {
   def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** Physical-plan explain text ("formatted" mode) — lets specs assert scan
+    * properties (PushedFilters, pruned ReadSchema) that the SURVEY claims. */
+  def explainString(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.graftshim.GraftShim
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+/** Plan-shape evidence for the SURVEY §2.6 scale claims: filters reach the
+  * parquet scan (PushedFilters) and unused columns are pruned out of the
+  * read (ReadSchema). A scan that reads every column for a two-column
+  * projection is the kind of regression that only shows up at 100 TB, so
+  * it is asserted here, not assumed. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rel_q1_agg pushes the shipdate filter into the parquet scan") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_q1_agg")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate not pushed:\n$plan")
+  }
+
+  test("rel_q1_agg prunes the lineitem read schema to the referenced columns") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_q1_agg")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:"))
+      .getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate")
+      .foreach(c => assert(readSchema.contains(c), s"$c missing from $readSchema"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_comment")
+      .foreach(c => assert(!readSchema.contains(c), s"unreferenced $c read anyway: $readSchema"))
+  }
+
+  test("jq_single_int reads only event_type and props from the events scan") {
+    val plan = GraftShim.explainString(SparkEntry.queries("jq_single_int")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:"))
+      .getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    assert(readSchema.contains("event_type") && readSchema.contains("props"))
+    Seq("event_id", "user_id", "value").foreach(c =>
+      assert(!readSchema.contains(c), s"generator query reads unreferenced column $c: $readSchema"))
+  }
+
+  test("rel_q3_join broadcasts the filtered customer dimension") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_q3_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small-dimension join not broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment predicate not pushed:\n$plan")
+  }
+}
