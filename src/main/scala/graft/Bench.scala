@@ -27,7 +27,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Warmup covers both engine families so no timed query pays first-call
+    // JIT/codegen cost: the jq generator path (entry) and the pipeline
+    // expression path (minhash/shingle/LSH over a tiny slice).
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+      pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+      pipeline.Similarity.lshTopK(emb, emb.limit(3), "vec_id", "embedding", k = 5).count()
+    }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

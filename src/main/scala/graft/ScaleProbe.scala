@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup/ANN family: synthesizes a corpus ~20× the
+  * sf0.1 bench (100k documents / 200k embeddings by default, overridable
+  * via SCALE_DOCS / SCALE_VECS), writes it to parquet, and drives the
+  * operators the way the 100 TB design says they should behave —
+  * reporting wall time, candidate counts, planted-pair recall, and the
+  * blocking-bucket histogram (the quantity that decides whether the
+  * bucket self-joins stay linear).
+  *
+  * The synthetic corpus is used ONLY here — correctness queries keep
+  * running against the driver-generated testdata. Text: 150 vocab words
+  * drawn by hash per (doc, position); every doc with id % 100 == 1 is a
+  * planted near-duplicate of doc id−1 (one word substituted), giving
+  * 1%-of-docs known pairs to measure recall against.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_scale")
+    val nDocs = sys.env.getOrElse("SCALE_DOCS", "100000").toInt
+    val nVecs = sys.env.getOrElse("SCALE_VECS", "200000").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- synthesize + persist to parquet (scans below are real scans) ----
+    spark.range(nDocs).selectExpr(
+      "id AS doc_id",
+      // word w of doc d hashes (seed, w); near-dup docs reuse the seed of
+      // doc id-1 everywhere except position 7 → 149/150 shared words
+      """concat_ws(' ', transform(sequence(0, 149), w -> concat('w',
+           pmod(xxhash64(CASE WHEN id % 100 = 1 AND w != 7 THEN id - 1 ELSE id END, w), 5000))))
+         AS text""")
+      .write.mode("overwrite").parquet(s"$out/documents")
+    spark.range(nVecs).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 63), d ->
+           CAST(CAST(xxhash64(id, d) AS DOUBLE) / 9.223372036854776e18 AS FLOAT)) AS embedding""")
+      .write.mode("overwrite").parquet(s"$out/embeddings")
+    val docs = spark.read.parquet(s"$out/documents")
+    val emb = spark.read.parquet(s"$out/embeddings")
+    val planted = nDocs / 100
+    println(s"[scale] corpus: $nDocs docs, $nVecs vectors, $planted planted near-dup pairs")
+
+    // ---- exact dedup: 1 shuffle ------------------------------------------
+    val nExactDup = timed("exact dedup")(
+      pipeline.Dedup.exact(docs, "doc_id", "text").where(col("is_duplicate")).count())
+    println(s"[scale]   exact duplicates: $nExactDup (expect 0 — all texts differ)")
+
+    // ---- minhash LSH → verify --------------------------------------------
+    val pairs = timed("minhash pairs (block + verify, threshold 0.8)")(
+      pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        threshold = 0.8, numHashes = 128, bands = 16, shingle = 5)
+        .localCheckpoint(true))
+    val nPairs = pairs.count()
+    val foundPlanted = pairs.where(col("b") === col("a") + 1 && col("b") % 100 === 1).count()
+    println(s"[scale]   pairs=$nPairs, planted recall=${foundPlanted.toDouble / planted}")
+
+    // ---- simhash: bucket histogram + guarantee ---------------------------
+    val simCands = timed("simhash candidates (hamming<=3)")(
+      pipeline.Dedup.simhashCandidates(docs, "doc_id", "text", shingle = 5, maxHamming = 3)
+        .localCheckpoint(true))
+    val nSim = simCands.count()
+    val simFoundPlanted = simCands.where(col("b") === col("a") + 1 && col("b") % 100 === 1).count()
+    // how many planted pairs are within the guaranteed radius at all?
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    val fps = docs.select(col("doc_id"),
+      E.column(graft.functions.SimHash64(E.expression(col("text")), 5)).as("fp"))
+    val plantedInRadius = fps.as("x").join(fps.as("y"),
+        col("y.doc_id") === col("x.doc_id") + 1 && col("y.doc_id") % 100 === 1)
+      .select(E.column(graft.functions.Hamming64(
+        E.expression(col("x.fp")), E.expression(col("y.fp")))).as("h"))
+      .where(col("h") <= 3).count()
+    println(s"[scale]   simhash candidates=$nSim; planted-in-radius=$plantedInRadius, found=$simFoundPlanted"
+      + (if (simFoundPlanted >= plantedInRadius) " (guarantee holds)" else " (GUARANTEE VIOLATED)"))
+    // bucket histogram: the self-join cost driver
+    val bucketStats = timed("simhash bucket histogram")(
+      pipeline.Dedup.simhashBucketStats(docs, "doc_id", "text", shingle = 5, maxHamming = 3))
+    println(s"[scale]   simhash bucket histogram (size → buckets): ${bucketStats.mkString(", ")}")
+
+    // ---- ANN: multi-probe LSH vs brute force on 100 queries --------------
+    // numPlanes should scale with log2(corpus / target bucket size): more
+    // buckets → smaller candidate fraction, multi-probe buys the recall back
+    val tables = sys.env.getOrElse("SCALE_TABLES", "8").toInt
+    val planes = sys.env.getOrElse("SCALE_PLANES", "13").toInt
+    val pBits = sys.env.getOrElse("SCALE_PROBE_BITS", "10").toInt
+    val pRadius = sys.env.getOrElse("SCALE_PROBE_RADIUS", "3").toInt
+    val queries = emb.where(col("vec_id") < 100)
+    val exact = timed("ANN brute force (100 queries)")(
+      pipeline.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val approx = timed(s"ANN multi-probe LSH (tables=$tables planes=$planes probe=$pBits/$pRadius)")(
+      pipeline.Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        numTables = tables, numPlanes = planes, dim = 64,
+        probeBits = pBits, probeRadius = pRadius)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val nCands = timed("ANN candidate count")(
+      pipeline.Similarity.lshCandidates(emb, queries, "vec_id", "embedding",
+        numTables = tables, numPlanes = planes, dim = 64,
+        probeBits = pBits, probeRadius = pRadius).count())
+    val recall = (exact & approx).size.toDouble / exact.size
+    println(f"[scale]   LSH recall@10=$recall%.3f, candidates=$nCands of ${100L * (nVecs - 1)} brute-force pairs "
+      + f"(${100.0 * nCands / (100.0 * (nVecs - 1))}%.2f%%)")
+
+    spark.stop()
+  }
+}

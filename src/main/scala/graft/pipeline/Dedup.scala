@@ -128,20 +128,7 @@ object Dedup {
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingle: Int = 3, maxHamming: Int = 3,
                         blocks: Int = 6, maxBucket: Int = 200): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < blocks && blocks <= 16,
-      s"need 1 <= maxHamming < blocks <= 16; got maxHamming=$maxHamming blocks=$blocks")
-    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def blockCol(i: Int): Column =
-      shiftrightunsigned(col("fp"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val keyCols = (0 until blocks).combinations(blocks - maxHamming).map { c =>
-      c.foldLeft(lit(0L))((acc, i) => shiftleft(acc, widths(i)).bitwiseOR(blockCol(i)))
-    }.toSeq
-
-    val fp = df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp"))
-    val banded = fp.select(col("id"), col("fp"),
-      posexplode(array(keyCols: _*)).as(Seq("combo", "key")))
-    val kept = banded
+    val kept = simhashBanded(df, idCol, textCol, shingle, maxHamming, blocks)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
       .where(col("__n") <= maxBucket)
       .drop("__n")
@@ -155,6 +142,36 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** (id, fp, combo, key) rows for the Manku combinatorial blocking —
+    * shared by simhashCandidates and the bucket-histogram diagnostic. */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            shingle: Int, maxHamming: Int, blocks: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < blocks && blocks <= 16,
+      s"need 1 <= maxHamming < blocks <= 16; got maxHamming=$maxHamming blocks=$blocks")
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockCol(i: Int): Column =
+      shiftrightunsigned(col("fp"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val keyCols = (0 until blocks).combinations(blocks - maxHamming).map { c =>
+      c.foldLeft(lit(0L))((acc, i) => shiftleft(acc, widths(i)).bitwiseOR(blockCol(i)))
+    }.toSeq
+    df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp"))
+      .select(col("id"), col("fp"),
+        posexplode(array(keyCols: _*)).as(Seq("combo", "key")))
+  }
+
+  /** Histogram of blocking-bucket sizes (size → number of buckets), the
+    * quantity that decides whether the simhash self-join stays linear.
+    * Diagnostic — drives one aggregation over the banded keys. */
+  def simhashBucketStats(df: DataFrame, idCol: String, textCol: String,
+                         shingle: Int = 3, maxHamming: Int = 3,
+                         blocks: Int = 6): Seq[(Long, Long)] =
+    simhashBanded(df, idCol, textCol, shingle, maxHamming, blocks)
+      .groupBy("combo", "key").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n"))
+      .orderBy("sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   /** Embedding near-dup pairs above a cosine threshold, restricted to a
     * blocking window (caller chooses the blocking: LSH buckets, shard key,

@@ -98,7 +98,14 @@ object Similarity {
     * reranked exactly. Output schema matches bruteForceTopK. Recall grows
     * with numTables and probeRadius (spec measures ≥ 0.8 on the embeddings
     * table); candidate count stays ≪ N×Q because probing only widens the
-    * broadcast query side. */
+    * broadcast query side.
+    *
+    * Tuning at scale: numPlanes ≈ log2(corpus / target bucket size) — the
+    * candidate fraction is ~(probes per table / 2^numPlanes) × numTables,
+    * so planes must grow with the corpus; probeRadius then buys back the
+    * per-table recall the extra planes cost. Measured at 200k uniform
+    * vectors (SCALE_PROBE.md): 12×13 planes, probe 10/3 → recall 0.81 at
+    * 35% of brute-force pairs; clustered corpora do markedly better. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numTables: Int = 8,
               numPlanes: Int = 10, dim: Int = 64,
