@@ -742,6 +742,10 @@ object Builtins {
     },
 
     // broken-down time: [year, month0, mday, hour, min, sec, wday, yday]
+    // wall-clock seconds, like jq's now (jackson-jq ships it). Note for
+    // distributed use: evaluated per-row per-executor, NOT constant-folded —
+    // rows in one query can observe different times, same as in Hive+jq.
+    ("now", 0) -> { (_, _, _) => one(num(System.currentTimeMillis() / 1000.0)) },
     v0("gmtime")(in => one(brokenDown(requireNumber(in, "gmtime")))),
     v0("localtime")(in => one(brokenDown(requireNumber(in, "localtime")))), // UTC session
     v0("mktime") { in =>

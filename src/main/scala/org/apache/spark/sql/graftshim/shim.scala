@@ -22,4 +22,15 @@ object GraftShim {
   def explainString(df: org.apache.spark.sql.DataFrame): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Applies a SparkSessionExtensions setup to a fresh FunctionRegistry and
+    * returns the registered names — verifies the `spark.sql.extensions`
+    * deployment path without needing a second SparkContext in the JVM. */
+  def extensionFunctionNames(ext: org.apache.spark.sql.SparkSessionExtensions => Unit): Seq[String] = {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext(e)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    e.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }

@@ -40,6 +40,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!readSchema.contains(c), s"generator query reads unreferenced column $c: $readSchema"))
   }
 
+  test("GraftExtensions injects all SQL functions via spark.sql.extensions") {
+    val names = GraftShim.extensionFunctionNames(new GraftExtensions()(_))
+    Seq("jq", "jq_string", "jq_extract_all").foreach(f =>
+      assert(names.contains(f), s"$f not injected by GraftExtensions"))
+  }
+
   test("rel_q3_join broadcasts the filtered customer dimension") {
     val plan = GraftShim.explainString(SparkEntry.queries("rel_q3_join")(spark, sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

@@ -72,6 +72,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("jq generator runs unchanged over a stream (Spark-first extension)") {
+    // the reference UDTF is batch-only; here the same jq generator column
+    // rides a readStream microbatch pipeline with a downstream filter
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    src.addData(
+      """{"k": 1, "tags": ["a", "b"]}""",
+      """{"k": 2, "tags": ["c"]}""",
+      """{"k": 3, "tags": []}""")
+    val out = src.toDF().toDF("json")
+      .select(graft.Graft.jq($"json", "{k, t: .tags[]}", "k:int", "t:string"))
+      .where($"k" < 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("jq_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("jq_stream_out").as[(Int, String)].collect().toSet
+      assert(rows == Set((1, "a"), (1, "b"), (2, "c")))
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
