@@ -256,6 +256,76 @@ object SparkEntry {
                count(DISTINCT l_suppkey) AS n_supp
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
+    "rel_rollup" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // grouping-sets surface; subtotal NULLs coalesced so null-ordering
+      // differences between engines can't affect the sort
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rflag, lstatus""")
+    },
+    "rel_setops" -> { (s, dir) =>
+      prep(s, dir, "orders")
+      s.sql("""
+        SELECT 'both_years' AS k, count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t1
+        UNION ALL
+        SELECT 'only_1998' AS k, count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t2
+        ORDER BY k""")
+    },
+    "rel_percentiles" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // exact percentiles with linear interpolation (R-7, same rule as
+      // DuckDB quantile_cont), quantized for cross-engine hashing
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(floor(ps[0] * 100 + 0.5) AS BIGINT) AS p25_c,
+               CAST(floor(ps[1] * 100 + 0.5) AS BIGINT) AS p50_c,
+               CAST(floor(ps[2] * 100 + 0.5) AS BIGINT) AS p75_c
+        FROM (SELECT l_returnflag,
+                     percentile(l_quantity, array(0.25, 0.5, 0.75)) AS ps
+              FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")
+    },
+    "rel_pivot" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // DataFrame pivot with explicit value list (stable columns)
+      s.table("lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).cast("long").as("f_cents"),
+          coalesce(col("O"), lit(0L)).cast("long").as("o_cents"))
+        .orderBy("l_returnflag")
+    },
+    "rel_salted_distinct" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // skew-safe exact distinct: per-salt distinct counts are disjoint and
+      // sum to the global count — same result as COUNT(DISTINCT) (oracle)
+      pipeline.Skew.saltedDistinct(s.table("lineitem"),
+          Seq("l_returnflag"), "l_partkey", salts = 16, resultCol = "n_parts")
+        .withColumn("n_parts", col("n_parts").cast("long"))
+        .orderBy("l_returnflag")
+    },
+    "rel_salted_sum" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      pipeline.Skew.saltedSum(s.table("lineitem"), Seq("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+          salts = 16, resultCol = "cents")
+        .withColumn("cents", col("cents").cast("long"))
+        .orderBy("l_returnflag")
+    },
     // ---- LLM-pipeline ops (SURVEY §2.4) ---------------------------------
     "dedup_exact" -> { (s, dir) =>
       prep(s, dir, "documents")
@@ -494,6 +564,48 @@ object SparkEntry {
       """SELECT l_returnflag,
                 count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+                coalesce(l_linestatus, 'ALL') AS lstatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rflag, lstatus""",
+    "rel_setops" ->
+      """SELECT 'both_years' AS k, count(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t1
+         UNION ALL
+         SELECT 'only_1998' AS k, count(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t2
+         ORDER BY k""",
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+                CAST(floor(ps[1] * 100 + 0.5) AS BIGINT) AS p25_c,
+                CAST(floor(ps[2] * 100 + 0.5) AS BIGINT) AS p50_c,
+                CAST(floor(ps[3] * 100 + 0.5) AS BIGINT) AS p75_c
+         FROM (SELECT l_returnflag,
+                      quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS ps
+               FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "rel_pivot" ->
+      """SELECT l_returnflag,
+                CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+                CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS o_cents
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_salted_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_salted_sum" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,

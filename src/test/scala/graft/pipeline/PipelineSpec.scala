@@ -161,6 +161,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("salted aggregations equal their direct formulations on skewed data") {
+    // one monster key (90% of rows) + a long tail — the shape that melts a
+    // single reducer for COUNT(DISTINCT) at scale
+    val skewed = spark.range(10000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 37) END AS key",
+      "id % 997 AS v")
+    val direct = skewed.groupBy("key")
+      .agg(count_distinct($"v").as("n_distinct"), sum($"v").as("sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val saltedD = Skew.saltedDistinct(skewed, Seq("key"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedS = Skew.saltedSum(skewed, Seq("key"), $"v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (k, (nd, s)) =>
+      assert(saltedD(k) == nd, s"distinct mismatch for $k")
+      assert(saltedS(k) == s, s"sum mismatch for $k")
+    }
+  }
+
   test("quality score bounded and monotone-ish in stopword density") {
     val docs = Seq(
       (1L, "the and of to a in is that it for extra words here making length"),
