@@ -344,12 +344,20 @@ case class LshProbes(child: Expression, numTables: Int, numPlanes: Int,
   override def prettyName: String = "lsh_probe_buckets"
 }
 
-/** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii. */
+/** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii.
+  * Fully codegen'd (not CodegenFallback): it is evaluated inside the
+  * candidate-pair join stage, and a fallback expression there would break
+  * whole-stage codegen for the entire join. */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(l: Any, r: Any): Any =
     Int.box(java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
     copy(left = l, right = r)
   override def prettyName: String = "hamming64"

@@ -93,6 +93,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark keeps first occurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
+    src.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"), (3L, ts(3), "c"), (2L, ts(4), "b-dup"))
+    val out = src.toDF().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select($"event_id", $"payload")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
