@@ -390,6 +390,16 @@ object SparkEntry {
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     },
+    "ann_ivf_topk" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // IVF coarse-quantizer ANN — rows-only (k-means blocking is
+      // data-dependent); recall floor measured in PipelineSpec
+      val emb = s.table("embeddings")
+      pipeline.Similarity.ivfTopK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          nLists = 16, nProbe = 10)
+        .orderBy("query_id", "rank")
+    },
     "text_langid" -> { (s, dir) =>
       prep(s, dir, "documents")
       s.table("documents")

@@ -138,6 +138,34 @@ class PipelineSpec extends AnyFunSuite {
       s"candidate set $nCands examined most of the corpus — blocking is not doing its job")
   }
 
+  test("ANN IVF recall@10 >= 0.8 on near-uniform vectors (ANN worst case)") {
+    // the test embeddings are near-uniform (top-10 neighbor cosine ~0.3 vs
+    // bulk ~0) — the hardest regime for any ANN; on clustered corpora the
+    // same quantizer prunes far harder at equal recall
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val nCorpus = emb.count()
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nLists = 16, nProbe = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    val nCands = Similarity.ivfCandidates(emb, queries, "vec_id", "embedding",
+      nLists = 16, nProbe = 10).count()
+    info(f"IVF recall@10 = $recall%.3f; candidates = $nCands of ${10 * (nCorpus - 1)}")
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+    assert(nCands < 10 * (nCorpus - 1) * 0.75, s"IVF candidate set $nCands too large")
+  }
+
+  test("IVF centroid training is deterministic") {
+    val sample = Array.tabulate(100)(i => Array.tabulate(8)(d => (i * 31 + d).toFloat / 100f))
+    val a = Similarity.trainCentroids(sample, 4, 5)
+    val b = Similarity.trainCentroids(sample, 4, 5)
+    assert(a == b)
+    assert(a.length == 4 && a.head.length == 8)
+  }
+
   test("brute force topk is deterministic and self-consistent") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where($"vec_id" === 0)
