@@ -17,11 +17,19 @@ object Json {
   val TrueN: BooleanNode = BooleanNode.TRUE
   val FalseN: BooleanNode = BooleanNode.FALSE
 
+  // generator-heavy programs (range, indices, lengths) allocate the same
+  // small integers millions of times per partition — cache them once.
+  // LongNodes are immutable, so sharing is safe.
+  private val smallLongs: Array[JsonNode] =
+    Array.tabulate(1153)(i => F.numberNode((i - 128).toLong))
+
   /** Canonical jq number: integral doubles in the exact-long range become
     * LongNode (jq prints `4/2` as `2`, not `2.0`); everything else DoubleNode. */
   def num(d: Double): JsonNode =
-    if (d.isWhole && !d.isInfinite && math.abs(d) <= 9.007199254740992e15) F.numberNode(d.toLong)
-    else F.numberNode(d)
+    if (d.isWhole && !d.isInfinite && math.abs(d) <= 9.007199254740992e15) {
+      val l = d.toLong
+      if (l >= -128 && l <= 1024) smallLongs((l + 128).toInt) else F.numberNode(l)
+    } else F.numberNode(d)
 
   def text(s: String): TextNode = F.textNode(s)
   def bool(b: Boolean): BooleanNode = if (b) TrueN else FalseN
