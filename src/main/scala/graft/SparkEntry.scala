@@ -365,6 +365,23 @@ object SparkEntry {
           shingle = 5, maxHamming = 3)
         .orderBy("a", "b")
     },
+    "dedup_groups" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // pairs → GROUPS: connected components over deterministic jaccard
+      // edges (consecutive ids, integer-exact threshold 0.55); group_id =
+      // min id of the component. DuckDB oracle: recursive-CTE closure.
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), "b")
+      val edges = pipeline.Dedup.verifyJaccard(pairs, docs, "doc_id", "text", shingle = 3)
+        .where(col("n_int") * 100 >= col("n_union") * 55)
+        .select("a", "b")
+      pipeline.Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), edges, maxIters = 6)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("group_id", col("group_id").cast("long"))
+        .orderBy("doc_id")
+    },
     "dedup_embedding_cosine" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       val emb = s.table("embeddings")
@@ -631,6 +648,20 @@ object SparkEntry {
                 len(list_intersect(a.sh, b.sh)) * 10 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 8 AS is_dup
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
          ORDER BY a""",
+    "dedup_groups" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n),
+         e AS (SELECT a.doc_id a, b.doc_id b FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+               WHERE len(list_intersect(a.sh, b.sh)) * 100 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 55),
+         ud AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, ud.b FROM reach JOIN ud ON ud.a = reach.r
+         )
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings)
          SELECT a.vec_id AS a, b.vec_id AS b,

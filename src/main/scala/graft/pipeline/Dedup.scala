@@ -173,6 +173,40 @@ object Dedup {
       .orderBy("sz")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
+  /** Connected components over an undirected pair set (a, b): returns
+    * (id, group_id) with group_id = the smallest id in the component —
+    * turns near-dup PAIRS into dedup GROUPS (keep one doc per group).
+    *
+    * Min-label propagation with path doubling: each round hooks (label =
+    * min of self and neighbors' labels) then jumps (label = label's
+    * label), so the reachable-min spreads in O(log diameter) rounds of
+    * co-partitioned joins — the standard large-graph CC recipe (cf.
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). Lineage is cut per round with localCheckpoint so the
+    * iterated plan stays flat; `maxIters` must be ≥ log2(diameter) + 2
+    * (default handles diameters into the thousands). */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 10): DataFrame = {
+    // self-loops make every node its own neighbor, so one join+groupBy per
+    // round covers both "keep own label" and "take neighbors' min"
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .union(ids.select(col("id").as("x"), col("id").as("y")))
+      .localCheckpoint(true)
+    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var i = 0
+    while (i < maxIters) {
+      val hooked = edges.join(labels, edges("y") === labels("id"))
+        .groupBy("x").agg(min("label").as("label"))
+        .withColumnRenamed("x", "id")
+      val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
+        .select(col("h1.id").as("id"), col("h2.label").as("label"))
+      labels = jumped.localCheckpoint(true)
+      i += 1
+    }
+    labels.withColumnRenamed("label", "group_id")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, restricted to a
     * blocking window (caller chooses the blocking: LSH buckets, shard key,
     * or a window join). Uses exact quantized-integer cosine (deterministic

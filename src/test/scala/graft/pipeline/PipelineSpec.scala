@@ -189,6 +189,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("connected components labels chains, stars, and singletons correctly") {
+    val ids = spark.range(0, 20).toDF("id")
+    // chain 0-1-2-3-4, star 10-{11,12,13}, pair 17-18; rest singletons
+    val pairs = Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L),(10L,11L),(10L,12L),(10L,13L),(17L,18L))
+      .toDF("a", "b")
+    val groups = Dedup.connectedComponents(ids, pairs, maxIters = 5)
+      .as[(Long, Long)].collect().toMap
+    (0L to 4L).foreach(i => assert(groups(i) == 0L, s"chain member $i"))
+    Seq(10L, 11L, 12L, 13L).foreach(i => assert(groups(i) == 10L, s"star member $i"))
+    assert(groups(17L) == 17L && groups(18L) == 17L)
+    Seq(5L, 9L, 19L).foreach(i => assert(groups(i) == i, s"singleton $i"))
+  }
+
   test("salted aggregations equal their direct formulations on skewed data") {
     // one monster key (90% of rows) + a long tail — the shape that melts a
     // single reducer for COUNT(DISTINCT) at scale
