@@ -71,6 +71,14 @@ object ScaleProbe {
     val foundPlanted = pairs.where(col("b") === col("a") + 1 && col("b") % 100 === 1).count()
     println(s"[scale]   pairs=$nPairs, planted recall=${foundPlanted.toDouble / planted}")
 
+    // pairs → groups via connected components (every planted pair is a
+    // 2-doc component, so #groups-with-dups == #pairs found)
+    val nGroups = timed("connected components over minhash pairs")(
+      pipeline.Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs.select("a", "b"), maxIters = 6)
+        .where(col("id") =!= col("group_id")).count())
+    println(s"[scale]   docs folded into another doc's group: $nGroups (expect $nPairs)")
+
     // ---- simhash: bucket histogram + guarantee ---------------------------
     val simCands = timed("simhash candidates (hamming<=3)")(
       pipeline.Dedup.simhashCandidates(docs, "doc_id", "text", shingle = 5, maxHamming = 3)
@@ -116,6 +124,19 @@ object ScaleProbe {
     val recall = (exact & approx).size.toDouble / exact.size
     println(f"[scale]   LSH recall@10=$recall%.3f, candidates=$nCands of ${100L * (nVecs - 1)} brute-force pairs "
       + f"(${100.0 * nCands / (100.0 * (nVecs - 1))}%.2f%%)")
+
+    // IVF: candidate fraction is explicit (nProbe/nLists), independent of N
+    val nLists = sys.env.getOrElse("SCALE_IVF_LISTS", "256").toInt
+    val nProbe = sys.env.getOrElse("SCALE_IVF_PROBE", "96").toInt
+    val ivf = timed(s"ANN IVF (nLists=$nLists nProbe=$nProbe)")(
+      pipeline.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nLists = nLists, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val ivfCands = pipeline.Similarity.ivfCandidates(emb, queries, "vec_id", "embedding",
+      nLists = nLists, nProbe = nProbe).count()
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    println(f"[scale]   IVF recall@10=$ivfRecall%.3f, candidates=$ivfCands "
+      + f"(${100.0 * ivfCands / (100.0 * (nVecs - 1))}%.2f%%)")
 
     spark.stop()
   }
