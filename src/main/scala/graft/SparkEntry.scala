@@ -451,6 +451,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "multimodal_frames" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // frame-sampling stage: one output row per sampled frame (every 2nd)
+      val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
+      pipeline.Multimodal.sampleFrames(s, pipeline.Multimodal.decodeMeta(s, media), everyNth = 2)
+        .orderBy("doc_id", "frame")
+    },
     "sessionize_events" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch twin of streaming.EventStreams.sessionize (30-minute gap)
@@ -732,6 +739,12 @@ object SparkEntry {
                 CAST(greatest(1, floor(h0 * least(1.0, least(320.0 / w0, 240.0 / h0)))) AS INT) AS height,
                 n_frames
          FROM d ORDER BY doc_id""",
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+              d AS (SELECT doc_id, CAST(16 + n % 640 AS INT) w, CAST(16 + (n * 7) % 480 AS INT) h,
+                           CAST(1 + n % 5 AS INT) nf FROM m)
+         SELECT doc_id, CAST(unnest(range(0, nf, 2)) AS INT) AS frame, w AS width, h AS height
+         FROM d ORDER BY doc_id, frame""",
     "sessionize_events" ->
       """WITH g AS (SELECT user_id, ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
