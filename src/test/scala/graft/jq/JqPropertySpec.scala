@@ -118,4 +118,37 @@ class JqPropertySpec extends AnyFunSuite {
       assert(math.abs(est - exact) < 0.2, s"minhash estimate $est vs exact $exact")
     }
   }
+  // ---- round-2 properties ----
+
+  test("@base32 | @base32d round-trips arbitrary strings") {
+    forAll(Gen.listOfN(12, Gen.frequency(
+        8 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf(' ', '\t', '€', 'ß', '中', '\'', '"', '\\'))).map(_.mkString)) { str =>
+      val in = Json.text(str)
+      val out = Jq.compileCached("@base32 | @base32d").apply(in).toList
+      assert(out.length == 1 && out.head.textValue() == str, s"base32 round-trip broke on: $str")
+    }
+  }
+
+  test("ldexp inverts frexp for finite doubles") {
+    forAll(Gen.oneOf(
+        Gen.chooseNum(-1e12, 1e12),
+        Gen.chooseNum(-1.0, 1.0),
+        Gen.oneOf(0.0, -0.0, 1.5, -2.25, 4.9e-324, 1.7976931348623157e308))) { d =>
+      val out = Jq.compileCached("frexp as [$m, $e] | ldexp($m; $e)")
+        .apply(Json.num(d)).toList
+      assert(out.length == 1)
+      assert(out.head.doubleValue() == d, s"frexp/ldexp broke on $d -> ${out.head}")
+    }
+  }
+
+  test("// left laziness: first truthy value short-circuits arbitrary tails") {
+    forAll(Gen.chooseNum(1, 50)) { n =>
+      // left stream yields n, then an error: lazily, first() never hits it
+      val out = Jq.compileCached(s"first(($n, error(\"boom\")) // -1)")
+        .apply(Json.NullN).toList
+      assert(out.map(_.intValue()) == List(n))
+    }
+  }
+
 }

@@ -93,6 +93,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attributed to views within 20 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val views = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    views.addData((1L, ts(0)), (1L, ts(30)), (2L, ts(5)))
+    clicks.addData((1L, ts(10)), (2L, ts(50)))
+    val v = views.toDF().toDF("user_id", "vts").withWatermark("vts", "1 hour")
+    val c = clicks.toDF().toDF("cuser", "cts").withWatermark("cts", "1 hour")
+    val joined = v.join(c,
+      expr("user_id = cuser AND cts BETWEEN vts AND vts + interval 20 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").select($"user_id", $"vts", $"cts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      // only user 1's click@10 falls inside a view's 20-minute window
+      assert(rows == Set((1L, ts(0), ts(10))))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
