@@ -243,6 +243,8 @@ object Builtins {
     case "sh" =>
       def quote(e: JsonNode): String =
         if (e.isNumber || e.isBoolean) e.toString
+        else if (e.isArray || e.isObject) // jq 1.6: only scalars can be shell-quoted
+          throw JqError.of(s"${Json.typeName(e)}${preview(e)} can not be escaped for shell")
         else "'" + toStringValue(e).replace("'", "'\\''") + "'"
       if (v.isArray) Json.elements(v).map(quote).mkString(" ") else quote(v)
     case "base64" =>

@@ -545,6 +545,8 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("@sh", "\"a b\"") == """"'a b'"""")
     assert(run1("@sh", """["a b","c'd"]""") == """"'a b' 'c'\\''d'"""")
     assert(run1("@sh", "[1,true]") == "\"1 true\"")
+    // jq 1.6: nested arrays/objects cannot be shell-quoted
+    intercept[JqError](run("@sh", """["a",["b"]]"""))
   }
 
   private def runD(prog: String, input: String = "null"): Double = run1(prog, input).toDouble
