@@ -583,7 +583,14 @@ object Builtins {
       } else throw JqError.of(s"Cannot iterate over ${Json.typeName(in)}")
     },
     ("select", 1) -> { (args, in, env) =>
-      eval(args.head, in, env).flatMap(c => if (truthy(c)) one(in) else LazyList.empty)
+      args.head match {
+        // strict predicate (the overwhelmingly common case): evaluate it
+        // directly — no singleton stream per element
+        case JqExpr.Strict(x) =>
+          if (truthy(Interp.evalOne(x, in, env))) one(in) else LazyList.empty
+        case a =>
+          eval(a, in, env).flatMap(c => if (truthy(c)) one(in) else LazyList.empty)
+      }
     },
 
     v0("to_entries") { in =>

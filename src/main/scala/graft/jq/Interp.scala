@@ -66,6 +66,10 @@ object Interp {
         else throw JqError.of(s"Cannot iterate over ${Json.typeName(t)}${preview(t)}")
       }
 
+    // generator | strict-tail: map instead of flatMap — no singleton
+    // streams or concat cells per element (the dominant UDTF shape,
+    // `.[] | {…}`, hits this)
+    case Pipe(l, Strict(x)) => eval(l, in, env).map(v => evalOne(x, v, env))
     case Pipe(l, r) => eval(l, in, env).flatMap(v => eval(r, v, env))
     case Comma(l, r) => eval(l, in, env) #::: eval(r, in, env)
 
