@@ -151,4 +151,16 @@ class JqPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parser never hangs or escapes JqSyntaxError on garbage programs") {
+    val soup = Gen.listOfN(24, Gen.frequency(
+      5 -> Gen.oneOf('.', '|', '[', ']', '{', '}', '(', ')', '"', '$', ';', ',',
+                     ':', '?', '/', '+', '-', '*', '=', '<', '>', '@', '#'),
+      3 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf(' ', '\n', '\t'))).map(_.mkString)
+    forAll(soup) { prog =>
+      try { Jq.compile(prog); () }
+      catch { case _: JqSyntaxError => () } // anything else (NPE, SO, match error) fails
+    }
+  }
+
 }
