@@ -444,6 +444,23 @@ object SparkEntry {
         .select("doc_id", "fp_md5")
         .orderBy("doc_id")
     },
+    "text_redact" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // plant deterministic PII (email/IP/phone) per doc, then scrub it —
+      // oracle plants and scrubs with the identical RE2-safe regexes
+      val withPii = s.table("documents").withColumn("t", concat(
+        col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel 555-010-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+      withPii.select(col("doc_id"), pipeline.TextAnalysis.redactPii(col("t")).as("redacted"))
+        .orderBy("doc_id")
+    },
+    "text_chunks" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // context-window prep: one row per 16-word window, stable key
+      pipeline.TextAnalysis.wordChunks(s.table("documents"), "doc_id", "text", chunkWords = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
@@ -732,6 +749,26 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
          FROM documents ORDER BY doc_id""",
+    "text_redact" ->
+      """WITH p AS (SELECT doc_id,
+                text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-010-'
+                     || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+              FROM documents)
+         SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+                  '\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b', '[PHONE]', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+              c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 16.0) AS INT), 1) AS n, arr FROM w),
+              u AS (SELECT doc_id, CAST(unnest(range(n)) AS INT) AS chunk_id,
+                           unnest(list_transform(range(n),
+                             i -> array_to_string(arr[i*16+1 : i*16+16], ' '))) AS chunk
+                    FROM c)
+         SELECT doc_id, chunk_id, chunk, CAST(len(chunk) AS BIGINT) AS n_chars
+         FROM u ORDER BY doc_id, chunk_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
               d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,

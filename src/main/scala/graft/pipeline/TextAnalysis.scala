@@ -86,4 +86,38 @@ object TextAnalysis {
     df.withColumn("fp_md5", md5(norm))
       .withColumn("fp_rolling", E.column(RollingHash64(E.expression(col(textCol)))))
   }
+
+  /** PII redaction patterns: emails, IPv4, simple phone shapes. RE2-safe
+    * (no lookaround/backrefs) so DuckDB oracles run the identical regex.
+    * Order matters: IPs before phones (an IP would otherwise match the
+    * digit-run phone shape). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "[IP]",
+    "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b" -> "[PHONE]")
+
+  /** Redact emails / IPv4s / phone numbers from a text column — the
+    * standard scrub pass before training-data release. Pure
+    * regexp_replace chain: codegen'd, one scan, no UDF. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  /** Fixed-window chunking: one output row per `chunkWords`-word window
+    * with a stable (doc_id, chunk_id) key — the context-window prep stage
+    * of a training pipeline. The per-chunk lambda re-evaluates the split
+    * after CollapseProject inlining, but only once per CHUNK (a handful
+    * per doc), not per element — fine, unlike the per-shingle case that
+    * motivated ShingleSet. */
+  def wordChunks(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 16): DataFrame = {
+    val arr = split(col(textCol), "\\s+")
+    val nChunks = greatest(ceil(size(arr).cast("double") / chunkWords).cast("int"), lit(1))
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(arr, i * chunkWords + 1, lit(chunkWords)), " ")))
+      .as(Seq("chunk_id", "chunk")))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
 }
