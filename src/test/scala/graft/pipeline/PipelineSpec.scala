@@ -221,6 +221,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction scrubs emails, IPs, and phone numbers") {
+    val df = Seq((1L, "mail me at a.b+c@x-mail.org or call 555-123-4567 from 10.0.0.1 ok"))
+      .toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii($"text")).as[String].head()
+    assert(out == "mail me at [EMAIL] or call [PHONE] from [IP] ok")
+  }
+
+  test("word chunking covers every word exactly once with stable keys") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.wordChunks(df, "doc_id", "text", chunkWords = 16)
+      .orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(chunks.length == 3)
+    assert(chunks.mkString(" ") == text)
+    assert(chunks(0).split(" ").length == 16 && chunks(2).split(" ").length == 8)
+  }
+
   test("quality score bounded and monotone-ish in stopword density") {
     val docs = Seq(
       (1L, "the and of to a in is that it for extra words here making length"),
