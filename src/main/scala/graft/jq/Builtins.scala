@@ -51,7 +51,10 @@ object Builtins {
     v0(name)(in => one(num(f(requireNumber(in, name)))))
 
   /** sort key per jq's sort_by/group_by: the ARRAY of all outputs of f */
-  private def keyOf(f: JqExpr, v: JsonNode, env: Env): JsonNode = arr(eval(f, v, env).toList)
+  private def keyOf(f: JqExpr, v: JsonNode, env: Env): JsonNode = f match {
+    case JqExpr.Strict(x) => arr(Interp.evalOne(x, v, env) :: Nil) // streamless
+    case _ => arr(eval(f, v, env).toList)
+  }
 
   // -- C-math helpers (libm functions the JDK lacks) -----------------------
 
@@ -569,7 +572,15 @@ object Builtins {
     },
 
     ("map", 1) -> { (args, in, env) =>
-      one(arr(Json.elements(requireArray(in, "mapped")).toList.flatMap(v => eval(args.head, v, env).toList)))
+      args.head match {
+        // strict body: one output per element, evaluated without streams
+        case JqExpr.Strict(x) =>
+          one(arr(Json.elements(requireArray(in, "mapped")).toList
+            .map(v => Interp.evalOne(x, v, env))))
+        case f =>
+          one(arr(Json.elements(requireArray(in, "mapped")).toList
+            .flatMap(v => eval(f, v, env).toList)))
+      }
     },
     ("map_values", 1) -> { (args, in, env) =>
       if (in.isObject) {
