@@ -2,7 +2,7 @@ package graft.operators
 
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -72,7 +72,7 @@ case class JsonQueryGenerator(child: Expression, program: String, typeArgs: Seq[
             i += 1
           }
         }
-        InternalRow.fromSeq(row.toIndexedSeq)
+        new GenericInternalRow(row)
       }
     }
   }
@@ -169,7 +169,7 @@ object JsonMarshaller {
                row(i) = if (sub == null) null else fieldMs(i)._2(sub)
                i += 1
              }
-             InternalRow.fromSeq(row.toIndexedSeq)
+             new GenericInternalRow(row)
            }
     case other =>
       throw new IllegalArgumentException(s"unsupported type: ${other.catalogString}")
