@@ -376,11 +376,10 @@ object SparkEntry {
       val edges = pipeline.Dedup.verifyJaccard(pairs, docs, "doc_id", "text", shingle = 3)
         .where(col("n_int") * 100 >= col("n_union") * 55)
         .select("a", "b")
-      // hook+jump covers diameter ~2^rounds; 4 rounds handle components
-      // into the dozens (observed max size 8 at sf0.1) and the oracle gate
-      // would catch any truncation
+      // iterates to a checked fixpoint (throws if the safety cap is hit),
+      // so no data-shape assumption is baked in here
       pipeline.Dedup.connectedComponents(
-          docs.select(col("doc_id").as("id")), edges, maxIters = 4)
+          docs.select(col("doc_id").as("id")), edges)
         .withColumnRenamed("id", "doc_id")
         .withColumn("group_id", col("group_id").cast("long"))
         .orderBy("doc_id")

@@ -183,10 +183,22 @@ object Dedup {
     * co-partitioned joins — the standard large-graph CC recipe (cf.
     * Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014). Lineage is cut per round with localCheckpoint so the
-    * iterated plan stays flat; `maxIters` must be ≥ log2(diameter) + 2
-    * (default handles diameters into the thousands). */
+    * iterated plan stays flat.
+    *
+    * Iterates to a CHECKED fixpoint, not a fixed round count: labels are
+    * monotone non-increasing (the self-loop puts a node's own label in
+    * every hook min, and the jump maps through hooked labels which satisfy
+    * label(x) ≤ x), so the per-round convergence test is a scalar —
+    * sum(label) unchanged ⟺ no label changed — computed on the
+    * already-materialized checkpoint, with no extra join or shuffle.
+    * `maxIters` is a safety cap only; if labels are still changing when it
+    * is hit the method THROWS rather than silently returning truncated
+    * groups (the at-scale failure mode: a duplicate chain longer than the
+    * rounds cover would otherwise get wrong group_ids with no error).
+    * Path doubling covers diameter 2^rounds, so the default cap handles
+    * diameters into the billions. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-                          maxIters: Int = 10): DataFrame = {
+                          maxIters: Int = 40): DataFrame = {
     // self-loops make every node its own neighbor, so one join+groupBy per
     // round covers both "keep own label" and "take neighbors' min"
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
@@ -194,16 +206,31 @@ object Dedup {
       .union(ids.select(col("id").as("x"), col("id").as("y")))
       .localCheckpoint(true)
     var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // decimal sum: exact at any node count (a bigint sum could overflow at
+    // 10^9+ rows of 10^9+ ids, turning the convergence test into UB)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty id set
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (i < maxIters) {
+    while (!converged && i < maxIters) {
       val hooked = edges.join(labels, edges("y") === labels("id"))
         .groupBy("x").agg(min("label").as("label"))
         .withColumnRenamed("x", "id")
       val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
         .select(col("h1.id").as("id"), col("h2.label").as("label"))
       labels = jumped.localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after maxIters=$maxIters rounds " +
+          "(component diameter exceeds 2^maxIters); raise maxIters")
     labels.withColumnRenamed("label", "group_id")
   }
 

@@ -136,15 +136,29 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN -----------------------------------------
 
-  /** Deterministic driver-side Lloyd k-means over a corpus sample. The
-    * sample (a few MB) is the ONLY data that leaves the executors; the
-    * resulting centroid table is a plan constant. Seeded kmeans++-style
-    * init via splitmix64 → same centroids every run. */
+  /** Deterministic driver-side SPHERICAL Lloyd k-means over a corpus
+    * sample. The sample (a few MB) is the ONLY data that leaves the
+    * executors; the resulting centroid table is a plan constant. Seeded
+    * kmeans++-style init via splitmix64 → same centroids every run.
+    *
+    * Spherical, because assignment (NearestCentroids) probes by dot
+    * product against unit-norm centroids — i.e. cosine. Training on raw
+    * squared-Euclidean would optimize a different objective than the one
+    * queries use (on unnormalized embeddings the two argmins diverge and
+    * recall drops for a given nProbe). So: sample vectors are
+    * unit-normalized before Lloyd, and centroids are re-normalized after
+    * every mean update; on the unit sphere argmin ‖v−c‖² = argmax cos,
+    * making training and assignment the same objective. */
   private[pipeline] def trainCentroids(sample: Array[Array[Float]], nLists: Int,
                                        iters: Int): Seq[Seq[Double]] = {
     require(sample.nonEmpty)
     val dim = sample.head.length
     val n = sample.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) v else v.map(_ / norm)
+    }
+    val pts: Array[Array[Double]] = sample.map(v => unit(v.map(_.toDouble)))
     // init: distinct sample points picked by seeded hash
     val picked = scala.collection.mutable.LinkedHashSet[Int]()
     var s = 0L
@@ -152,14 +166,14 @@ object Similarity {
       picked += ((Mix.splitmix64(0xc3a7801dL + s) >>> 1) % n).toInt
       s += 1
     }
-    var cents = picked.toArray.map(i => sample(i).map(_.toDouble))
+    var cents = picked.toArray.map(i => pts(i).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(cents.length, dim)(0.0)
       val counts = new Array[Int](cents.length)
       var i = 0
       while (i < n) {
-        val v = sample(i)
+        val v = pts(i)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < cents.length) {
@@ -175,7 +189,7 @@ object Similarity {
       }
       cents = Array.tabulate(cents.length) { c =>
         if (counts(c) == 0) cents(c) // empty cluster: keep old centroid
-        else sums(c).map(_ / counts(c))
+        else unit(sums(c).map(_ / counts(c)))
       }
       it += 1
     }
@@ -191,7 +205,19 @@ object Similarity {
   def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, nLists: Int = 64, nProbe: Int = 8,
                     sampleSize: Int = 10000, iters: Int = 10): DataFrame = {
-    val sample = corpus.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+    // Training sample must be a SPREAD of the corpus, not its head: on real
+    // corpora ingestion order correlates with content (crawl batches, source
+    // shards), so `orderBy(id).limit(n)` would train centroids on one slice
+    // of the distribution and recall would collapse. Deterministic
+    // hash-spread instead: keep ids whose xxhash64 falls in 1/mod of the key
+    // space — every content region is sampled at the same rate, same rows
+    // every run, and the filter is a map-side scan (no full-table sort).
+    val mod = math.max(1L, corpus.count() / sampleSize)
+    val sample = corpus
+      .where(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+      .select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)) // deterministic tie-break for the limit
+      .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = trainCentroids(sample, nLists, iters)
     def assign(df: DataFrame, side: String, probes: Int): DataFrame =

@@ -158,6 +158,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(nCands < 10 * (nCorpus - 1) * 0.75, s"IVF candidate set $nCands too large")
   }
 
+  test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
+    // regression for the r2 finding: the training sample was the HEAD of
+    // the table (orderBy(id).limit(n)); on a corpus where ingestion order
+    // correlates with content, centroids degenerate to one region. Here
+    // ids 0..999 are all cluster 0, the tail cycles clusters 1..3 — a
+    // head sample would train all centroids on cluster 0 and recall for
+    // tail queries would collapse; the hash-spread sample must not.
+    val dim = 8
+    val centers = Array.tabulate(4)(c => Array.tabulate(dim)(d =>
+      if (d == 2 * c) 1.0f else if (d == 2 * c + 1) 0.5f else 0.0f))
+    def vec(id: Long): Seq[Float] = {
+      val c = if (id < 1000) 0 else 1 + (id % 3).toInt
+      Seq.tabulate(dim) { d =>
+        val h = graft.functions.Mix.splitmix64(id * 7919 + d)
+        centers(c)(d) + (((h >>> 11) % 1000).toFloat / 10000f - 0.05f)
+      }
+    }
+    val emb = (0L until 2000L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val queries = emb.where($"vec_id" >= 1000 && $"vec_id" < 1005)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nLists = 4, nProbe = 1, sampleSize = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"clustered-head IVF recall@10 = $recall%.3f")
+    assert(recall >= 0.8, s"IVF recall $recall on clustered-head corpus — sample is biased")
+  }
+
   test("IVF centroid training is deterministic") {
     val sample = Array.tabulate(100)(i => Array.tabulate(8)(d => (i * 31 + d).toFloat / 100f))
     val a = Similarity.trainCentroids(sample, 4, 5)
@@ -200,6 +230,28 @@ class PipelineSpec extends AnyFunSuite {
     Seq(10L, 11L, 12L, 13L).foreach(i => assert(groups(i) == 10L, s"star member $i"))
     assert(groups(17L) == 17L && groups(18L) == 17L)
     Seq(5L, 9L, 19L).foreach(i => assert(groups(i) == i, s"singleton $i"))
+  }
+
+  test("connected components converges on a planted chain of diameter 120") {
+    // the at-scale hazard VERDICT r2 flagged: a duplicate *chain* far longer
+    // than any fixed round count covers. Path doubling needs ~log2(120)+1
+    // rounds; the fixpoint check must stop there, and the result must put
+    // all 121 nodes in group 0.
+    val ids = spark.range(0, 121).toDF("id")
+    val pairs = spark.range(0, 120).selectExpr("id AS a", "id + 1 AS b")
+    val groups = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups.size == 121)
+    assert(groups.values.forall(_ == 0L), "every chain member labeled with min id 0")
+  }
+
+  test("connected components throws rather than returning truncated groups at the cap") {
+    val ids = spark.range(0, 40).toDF("id")
+    val pairs = spark.range(0, 39).selectExpr("id AS a", "id + 1 AS b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(ids, pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("still changing"))
   }
 
   test("salted aggregations equal their direct formulations on skewed data") {
