@@ -3,8 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed at SPARK_GRAFT_SF_DIR,
-  * one JSON line to stdout. entry() runs untimed first so JVM/codegen
-  * warmup isn't booked to whichever query happens to run first.
+  * one JSON line to stdout.
+  *
+  * The source testdata parquet is single-row-group, so a raw scan is ONE
+  * task no matter the file size and every pre-shuffle stage runs
+  * single-threaded — the bench would measure per-thread expression cost,
+  * not local[32] behavior, and parallel-only plan problems (skew, exchange
+  * sizing) would be invisible. So the tables are first STAGED (untimed)
+  * as multi-file parquet under target/bench_staged and all queries read
+  * the staged copy; `spark.sql.files.maxPartitionBytes` is lowered so the
+  * staged files map to genuinely parallel scan tasks. Per-table scan task
+  * counts are reported in the JSON (`scan_partitions`) as evidence.
   *
   * Each query is materialized with a `noop`-format write, not `.count()`:
   * count lets the optimizer prune unreferenced projections and eliminate
@@ -12,9 +21,31 @@ import org.apache.spark.sql.SparkSession
   * be timed as bare scan+count. The noop sink consumes every column of
   * every row and discards them — the honest analogue of writing output.
   *
+  * Warmup covers both engine families (jq generator, pipeline expressions)
+  * and derives from the SAME configured directory as the timed queries —
+  * a hardcoded warmup path would silently skip warmup on machines without
+  * it and bill JIT/codegen cost to the first timed query.
+  *
   * A query that throws is reported with time -1 and listed under "failed",
   * so a failure can never masquerade as a fast success. */
 object Bench {
+
+  /** Re-chunk every table of `srcDir` into multi-file parquet under
+    * target/bench_staged/<sf-name>. events keeps its nanos-long `ts`
+    * (written as plain BIGINT, which SparkEntry.prep handles identically).
+    * Returns the staged dir; all timed queries read from it. */
+  private def stage(spark: SparkSession, srcDir: String, files: Int): String = {
+    val dst = s"target/bench_staged/${new java.io.File(srcDir).getName}"
+    val tables = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+    tables.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    dst
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,18 +54,29 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // staged files are small; without this they'd be coalesced back into
+      // one scan task (128 MB default + 4 MB open-cost per file)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    // Warmup covers both engine families so no timed query pays first-call
-    // JIT/codegen cost: the jq generator path (entry) and the pipeline
-    // expression path (minhash/shingle/LSH over a tiny slice).
+    val benchDir = stage(spark, sfDir, files = cpus.toInt)
+    val scanParts = Option(new java.io.File(benchDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).map { f =>
+        val t = f.getName.stripSuffix(".parquet")
+        t -> spark.read.parquet(f.getPath).rdd.getNumPartitions
+      }.toSeq
+
+    // Warmup from the staged bench dir — same engine paths as the timed runs.
     try {
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+      SparkEntry.queries("jq_single_int")(spark, benchDir)
+        .write.format("noop").mode("overwrite").save()
+      val docs = spark.read.parquet(s"$benchDir/documents.parquet").limit(200)
       pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
-      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+      val emb = spark.read.parquet(s"$benchDir/embeddings.parquet").limit(200)
       pipeline.Similarity.lshTopK(emb, emb.limit(3), "vec_id", "embedding", k = 5).count()
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
@@ -42,7 +84,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { fn(spark, benchDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
@@ -51,8 +93,9 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val parts = scanParts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"scan_partitions":$parts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

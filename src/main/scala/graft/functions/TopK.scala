@@ -1,0 +1,105 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** top_k_pairs(score, id, k) → array<struct<cos_scaled:long, neighbor_id:long>>
+  * — the k highest-scoring (score, id) entries of the group, ordered by
+  * (score DESC, id ASC).
+  *
+  * This exists to make per-query top-k a true TWO-PHASE aggregation: as a
+  * `TypedImperativeAggregate` it runs under ObjectHashAggregate, which
+  * partial-aggregates map-side — every task reduces its slice of a query's
+  * scored rows to ≤ k entries BEFORE the shuffle, and only k-sized states
+  * cross the wire. The `row_number() OVER (PARTITION BY query_id)` form it
+  * replaces shipped every scored row of a query to one reducer — for a
+  * brute-force ANN scan that is the whole corpus per query, a guaranteed
+  * straggler at scale.
+  *
+  * State is bounded: the buffer holds at most 2k entries; on overflow it is
+  * compacted to the best k (amortized O(1) per row). Ties are broken by
+  * ascending id, so the result is deterministic under any partitioning.
+  */
+case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, Long)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  // (score DESC, id ASC): better entries first
+  private val ord: Ordering[(Long, Long)] =
+    Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+
+  private def compact(buf: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+    if (buf.length > k) {
+      val best = buf.sorted(ord).take(k)
+      buf.clear()
+      buf ++= best
+    }
+    buf
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
+    new ArrayBuffer[(Long, Long)](k + 1)
+
+  override def update(buf: ArrayBuffer[(Long, Long)],
+                      input: InternalRow): ArrayBuffer[(Long, Long)] = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null) {
+      buf += ((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      if (buf.length >= 2 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[(Long, Long)],
+                     other: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+    buf ++= other
+    compact(buf)
+  }
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any = {
+    val best = buf.sorted(ord).take(k)
+    new GenericArrayData(best.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    val compacted = compact(buf)
+    val bb = java.nio.ByteBuffer.allocate(4 + compacted.length * 16)
+    bb.putInt(compacted.length)
+    compacted.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[(Long, Long)](n + 1)
+    var j = 0
+    while (j < n) { buf += ((bb.getLong, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cos_scaled", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+  override def prettyName: String = "top_k_pairs"
+}

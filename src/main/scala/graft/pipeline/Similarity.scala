@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim => E}
 
@@ -34,12 +33,24 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_scaled").desc, col("neighbor_id"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Per-query top-k as a TWO-PHASE aggregation (TopKPairs under
+    * ObjectHashAggregate): each task partial-aggregates its slice of a
+    * query's scored rows down to ≤ k entries map-side, so only k-sized
+    * states shuffle. The `row_number() OVER (PARTITION BY query_id)` form
+    * this replaces shipped ALL scored rows of a query to one reducer —
+    * for bruteForceTopK that was the whole corpus per query. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topAgg = E.column(graft.functions.TopKPairs(
+      E.expression(col("cos_scaled").cast("long")),
+      E.expression(col("neighbor_id").cast("long")), k).toAggregateExpression())
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_scaled"))
+      .groupBy("query_id").agg(topAgg.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.neighbor_id").as("neighbor_id"), col("__e.cos_scaled").as("cos_scaled"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (table, plane, dim). */
@@ -117,7 +128,7 @@ object Similarity {
 
   /** Exact rerank of a (query_id, neighbor_id) candidate set: join the
     * vectors back (queries broadcast), score with the deterministic
-    * quantized cosine, window top-k. Shared tail of every ANN variant. */
+    * quantized cosine, two-phase top-k. Shared tail of every ANN variant. */
   private def rerank(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
@@ -126,12 +137,7 @@ object Similarity {
       .join(broadcast(qv), "query_id")
       .join(cv, "neighbor_id")
       .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_scaled").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_scaled"))
+    topKPerQuery(scored, k)
   }
 
   // ---- IVF (inverted-file) ANN -----------------------------------------

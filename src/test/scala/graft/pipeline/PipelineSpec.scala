@@ -196,6 +196,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.length == 4 && a.head.length == 8)
   }
 
+  test("topk is two-phase (partial aggregate, no per-query window) and window-equivalent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val plan = org.apache.spark.sql.graftshim.GraftShim.explainString(topk)
+    assert(plan.contains("top_k_pairs"), "TopKPairs aggregate missing from plan")
+    assert(!plan.contains("Window"), "per-query window (single-reducer top-k) still in plan")
+    // value parity with the naive window formulation it replaced
+    val c = emb.select($"vec_id".as("neighbor_id"), Dedup.quantize($"embedding").as("__qc"))
+    val q = queries.select($"vec_id".as("query_id"), Dedup.quantize($"embedding").as("__qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_scaled".desc, $"neighbor_id")
+    val viaWindow = c.join(q, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos_scaled", Similarity.cosScaled($"__qq", $"__qc"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos_scaled")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val viaAgg = topk.as[(Long, Int, Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("brute force topk is deterministic and self-consistent") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where($"vec_id" === 0)
