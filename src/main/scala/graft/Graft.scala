@@ -67,16 +67,26 @@ object Graft {
     ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
     ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder))
 
-  /** Idempotent per session: re-registering an existing temp function logs a
-    * "function jq replaced" warning per call, which turns into log spam when
-    * every query preamble calls register (e.g. the bench loop). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    all.foreach { case (name, usage, builder) =>
-      if (!registry.functionExists(FunctionIdentifier(name)))
+  /** Sessions already registered — weak keys so dropped sessions don't pin. */
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotent per session, tracked with a session-scoped flag rather than
+    * by probing the registry for same-named functions: a name-existence
+    * probe would let any pre-existing user temp function named e.g. `jq`
+    * silently shadow the graft builtins, whereas registering
+    * deterministically on the session's first register() call matches the
+    * reference's behavior (its UDTF registration always binds the name).
+    * Subsequent calls are no-ops — no per-call "function replaced" log spam
+    * from preambles that call register per query (e.g. the bench loop). */
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.sessionState.functionRegistry
+      all.foreach { case (name, _, builder) =>
         registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
-  }
 
   // ---- Column API (Scala-first surface) --------------------------------
 

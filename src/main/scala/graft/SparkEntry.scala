@@ -126,13 +126,18 @@ object SparkEntry {
     },
     "jq_builtins_text" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // jq string builtins over real text (wrapped as JSON via to_json)
+      // jq string builtins over real text (wrapped as JSON via to_json).
+      // ONE generator call with two typed outputs — the previous two
+      // jq_string calls serialized and parsed every row's JSON twice,
+      // doubling the dominant cost on a large text scan.
       s.sql("""
-        SELECT doc_id,
-               jq_string(to_json(struct(text)), '.text | ascii_upcase | .[0:20]') AS up20,
-               CAST(jq_string(to_json(struct(text)),
-                    '.text | split(" ") | map(select(length > 0)) | length') AS BIGINT) AS n_words
-        FROM documents ORDER BY doc_id""")
+        SELECT doc_id, x.up20, x.n_words
+        FROM documents
+        LATERAL VIEW jq(to_json(struct(text)),
+          '{up20: (.text | ascii_upcase | .[0:20]),
+            n_words: (.text | split(" ") | map(select(length > 0)) | length)}',
+          'up20:string', 'n_words:bigint') x
+        ORDER BY doc_id""")
     },
     "jq_extract_all" -> { (s, dir) =>
       prep(s, dir, "events")
@@ -143,6 +148,17 @@ object SparkEntry {
         SELECT event_id,
                to_json(jq_extract_all(props, '.k, (.k*2)')) AS vals
         FROM events WHERE event_id < 300 ORDER BY event_id""")
+    },
+    "jq_outer_lateral" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // LATERAL VIEW OUTER: a zero-output program still yields one row of
+      // NULLs per input (reference README's OUTER example shape)
+      s.sql("""
+        SELECT event_id, x.k
+        FROM events
+        LATERAL VIEW OUTER jq(props, 'if .k > 90 then {k} else empty end', 'k:int') x
+        WHERE event_id < 300
+        ORDER BY event_id""")
     },
     "jq_events_pipeline" -> { (s, dir) =>
       prep(s, dir, "events")
@@ -538,6 +554,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "jq_extract_all" ->
       """SELECT event_id, '["' || CAST(k AS VARCHAR) || '","' || CAST(k*2 AS VARCHAR) || '"]' AS vals
+         FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         WHERE event_id < 300 ORDER BY event_id""",
+    "jq_outer_lateral" ->
+      """SELECT event_id, CASE WHEN k > 90 THEN k END AS k
          FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
          WHERE event_id < 300 ORDER BY event_id""",
     "jq_events_pipeline" ->

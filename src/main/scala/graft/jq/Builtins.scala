@@ -926,7 +926,22 @@ object Builtins {
         } else one(arr(List(arr(prefix), v)))
       stream(in, Vector.empty)
     }
-  ) ++ formatTable
+  ) ++ formatTable ++ upperAliases
+
+  /** The rest of jq 1.6's uppercase SQL-style family (builtin.jq):
+    * `GROUP_BY(f)` is `group_by(f)`, `UNIQUE_BY(f)` is `unique_by(f)`,
+    * `ANY`/`ALL` are `any`/`all` — completing the set whose IN/INDEX half
+    * is defined above. Delegation happens at call time, after `table` is
+    * fully constructed. */
+  private def upperAliases: Map[(String, Int), Builtin] = {
+    def alias(name: String, arity: Int): Builtin =
+      (args, in, env) => table((name, arity))(args, in, env)
+    Map(
+      ("GROUP_BY", 1) -> alias("group_by", 1),
+      ("UNIQUE_BY", 1) -> alias("unique_by", 1),
+      ("ANY", 0) -> alias("any", 0),
+      ("ALL", 0) -> alias("all", 0))
+  }
 
   private def formatTable: Map[(String, Int), Builtin] =
     List("text", "json", "html", "uri", "csv", "tsv", "sh",

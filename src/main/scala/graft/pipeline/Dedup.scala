@@ -18,13 +18,13 @@ import graft.functions.{Hamming64, MinHashSignature, SimHash64}
   * No all-pairs stage exists anywhere: blocking always precedes verify,
   * which is what keeps these plans viable at 10^9+ documents.
   *
-  * Cache lifecycle: intermediates consumed more than once are materialized
-  * with `localCheckpoint(eager = true)` (MEMORY_AND_DISK, lineage cut)
-  * instead of `persist()`. Checkpoint blocks are owned by the RDD and freed
-  * by the ContextCleaner as soon as the result DataFrame is unreferenced —
-  * unlike `Dataset.persist`, which parks an entry in the session
-  * CacheManager forever unless someone remembers to unpersist. Repeated
-  * dedup calls in a long-lived session therefore leak nothing.
+  * Cache lifecycle: intermediates consumed more than once go through
+  * [[Materialize]], whose strategy is session-configurable
+  * (`spark.graft.materialize`): `localCheckpoint` by default (leak-free in
+  * long-lived local sessions — blocks are RDD-owned and ContextCleaner-
+  * freed), `checkpoint` or `persist` for multi-executor clusters where
+  * executor loss must not lose non-replicated local blocks. See the
+  * Materialize scaladoc for the trade-offs.
   */
 object Dedup {
 
@@ -64,11 +64,10 @@ object Dedup {
     val buckets = sigs.select(col("id"), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
       .as(Seq("band", "bucket")))
-    val kept = buckets
+    val kept = Materialize(buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("__n") <= maxBucket)
-      .drop("__n")
-      .localCheckpoint(true)
+      .drop("__n"))
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -82,9 +81,9 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingle: Int = 3): DataFrame = {
     val sh = shingleSet(col(textCol), shingle)
-    // checkpointed: joined twice, and without materialization the per-DOC
+    // materialized: joined twice, and without materialization the per-DOC
     // shingle sets are recomputed per PAIR (candidate count ≫ doc count)
-    val withSets = docs.select(col(idCol).as("__id"), sh.as("__sh")).localCheckpoint(true)
+    val withSets = Materialize(docs.select(col(idCol).as("__id"), sh.as("__sh")))
     pairs
       .join(withSets.withColumnRenamed("__sh", "__sha"), pairs("a") === col("__id")).drop("__id")
       .join(withSets.withColumnRenamed("__sh", "__shb"), pairs("b") === col("__id")).drop("__id")
@@ -128,11 +127,10 @@ object Dedup {
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingle: Int = 3, maxHamming: Int = 3,
                         blocks: Int = 6, maxBucket: Int = 200): DataFrame = {
-    val kept = simhashBanded(df, idCol, textCol, shingle, maxHamming, blocks)
+    val kept = Materialize(simhashBanded(df, idCol, textCol, shingle, maxHamming, blocks)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
       .where(col("__n") <= maxBucket)
-      .drop("__n")
-      .localCheckpoint(true)
+      .drop("__n"))
     kept.as("x").join(kept.as("y"),
         col("x.combo") === col("y.combo") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -201,11 +199,10 @@ object Dedup {
                           maxIters: Int = 40): DataFrame = {
     // self-loops make every node its own neighbor, so one join+groupBy per
     // round covers both "keep own label" and "take neighbors' min"
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+    val edges = Materialize(pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
-      .union(ids.select(col("id").as("x"), col("id").as("y")))
-      .localCheckpoint(true)
-    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
+      .union(ids.select(col("id").as("x"), col("id").as("y"))))
+    var labels = Materialize(ids.select(col("id"), col("id").as("label")))
     // decimal sum: exact at any node count (a bigint sum could overflow at
     // 10^9+ rows of 10^9+ ids, turning the convergence test into UB)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -221,12 +218,15 @@ object Dedup {
         .withColumnRenamed("x", "id")
       val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
         .select(col("h1.id").as("id"), col("h2.label").as("label"))
-      labels = jumped.localCheckpoint(true)
-      val s = labelSum(labels)
+      val prev = labels
+      labels = Materialize(jumped)
+      val s = labelSum(labels) // forces materialization before prev is released
+      Materialize.release(prev)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
+    Materialize.release(edges)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: labels still changing after maxIters=$maxIters rounds " +

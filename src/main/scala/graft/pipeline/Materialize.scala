@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization of intermediates that are consumed more than once
+  * (LSH bucket tables, shingle-set sides of a verify join, per-round CC
+  * labels). Strategy is session-configurable via `spark.graft.materialize`
+  * because no single mechanism is right for every deployment:
+  *
+  *  - `localCheckpoint` (default): eager, lineage-cut, executor-local
+  *    blocks owned by the RDD and freed by the ContextCleaner when the
+  *    result is unreferenced — nothing leaks in a long-lived session
+  *    (`Dataset.persist` parks a CacheManager entry forever unless someone
+  *    unpersists). The trade-off: blocks are NOT replicated, so on a
+  *    multi-executor cluster losing an executor loses its blocks and fails
+  *    the job. Right default for local / single-JVM sessions.
+  *  - `checkpoint`: reliable checkpoint to `SparkContext.setCheckpointDir`
+  *    storage — survives executor loss; the setting for long jobs on big
+  *    clusters where re-running from source is worse than checkpoint I/O.
+  *  - `persist`: MEMORY_AND_DISK cache with lineage kept, so lost blocks
+  *    are RECOMPUTED instead of failing the job — the fault-tolerant
+  *    choice when no checkpoint dir is provisioned. Operators unpersist
+  *    their internal intermediates once superseded; frames returned to the
+  *    caller stay cached and follow the session CacheManager lifecycle.
+  */
+private[pipeline] object Materialize {
+  val ConfKey = "spark.graft.materialize"
+
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
+      case "checkpoint"      => df.checkpoint(eager = true)
+      case "persist"         => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case "localCheckpoint" => df.localCheckpoint(eager = true)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be localCheckpoint | checkpoint | persist, got '$other'")
+    }
+
+  /** Releases an intermediate once superseded — no-op for the checkpoint
+    * strategies (their blocks are RDD-owned / on reliable storage). */
+  def release(df: DataFrame): Unit = df.unpersist()
+}

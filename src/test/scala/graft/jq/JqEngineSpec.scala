@@ -491,6 +491,11 @@ class JqEngineSpec extends AnyFunSuite {
   test("mktime inverts gmtime") {
     assert(run1("gmtime | mktime", "1425599898") == "1425599898")
   }
+  test("gmtime keeps fractional seconds; mktime truncates them (jq 1.6)") {
+    assert(run1("gmtime", "86400.25") == "[1970,0,2,0,0,0.25,5,1]")
+    assert(run1("gmtime | mktime", "86400.25") == "86400")
+    assert(run1("gmtime | .[5]", "1425599898.5") == "18.5")
+  }
   test("strftime") {
     assert(run1("""strftime("%Y-%m-%dT%H:%M:%SZ")""", "0") == "\"1970-01-01T00:00:00Z\"")
     assert(run1("""gmtime | strftime("%A, %B %d, %Y")""", "1425599898") == "\"Thursday, March 05, 2015\"")
@@ -527,6 +532,18 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("""INDEX(.id)""", """[{"id":"x","v":1},{"id":"y","v":2}]""") ==
       """{"x":{"id":"x","v":1},"y":{"id":"y","v":2}}""")
     assert(run1("""INDEX(.[]; .id)""", """[{"id":1}]""") == """{"1":{"id":1}}""")
+  }
+
+  test("uppercase GROUP_BY / UNIQUE_BY / ANY / ALL") {
+    // builtin.jq: GROUP_BY(f) == group_by(f), UNIQUE_BY(f) == unique_by(f)
+    assert(run1("""GROUP_BY(.a)""", """[{"a":1,"b":2},{"a":2,"b":4},{"a":1,"b":3}]""") ==
+      """[[{"a":1,"b":2},{"a":1,"b":3}],[{"a":2,"b":4}]]""")
+    assert(run1("""UNIQUE_BY(.a)""", """[{"a":1,"b":2},{"a":2,"b":4},{"a":1,"b":3}]""") ==
+      """[{"a":1,"b":2},{"a":2,"b":4}]""")
+    assert(run1("ANY", "[false,true]") == "true")
+    assert(run1("ANY", "[false,false]") == "false")
+    assert(run1("ALL", "[true,true]") == "true")
+    assert(run1("ALL", "[true,false]") == "false")
   }
 
   test("complex: group and aggregate") {

@@ -160,6 +160,17 @@ class GeneratorSpec extends AnyFunSuite {
     assert(df.as[Seq[String]].collect().head == Seq("2", "4", "6"))
   }
 
+  test("register binds the graft builtins even when a user temp function squats the name") {
+    val s2 = SharedSpark.session.newSession()
+    s2.udf.register("jq", (x: String) => x) // pre-existing user function named jq
+    graft.Graft.register(s2)
+    val df = s2.sql(
+      """SELECT x.col1 FROM (SELECT '{"k":1}' AS j) t LATERAL VIEW jq(j, '.k', 'int') x""")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1))
+    graft.Graft.register(s2) // second call is a no-op
+    assert(s2.sql("""SELECT jq_string('{"k":2}', '.k')""").head.getString(0) == "2")
+  }
+
   test("SQL scalar functions registered") {
     assert(spark.sql("""SELECT jq_string('{"a":1}', '.a')""").as[String].collect().head == "1")
     assert(spark.sql("""SELECT jq_extract_all('[1,2]', '.[]')""").as[Seq[String]].collect().head == Seq("1", "2"))

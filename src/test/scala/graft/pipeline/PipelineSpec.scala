@@ -275,6 +275,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("still changing"))
   }
 
+  test("materialization strategy is session-configurable with identical results") {
+    // cluster deployments need fault-tolerant materialization (persist
+    // recomputes lost blocks; checkpoint survives executor loss) — results
+    // must not depend on the strategy
+    val expected = Dedup.minhashDedupPairs(base, "doc_id", "text", threshold = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    for (strategy <- Seq("persist", "checkpoint")) {
+      try {
+        if (strategy == "checkpoint") spark.sparkContext.setCheckpointDir("target/spec_ckpt")
+        spark.conf.set(Materialize.ConfKey, strategy)
+        val got = Dedup.minhashDedupPairs(base, "doc_id", "text", threshold = 0.6)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        assert(got == expected, s"strategy $strategy changed minhash results")
+        val groups = Dedup.connectedComponents(base.select($"doc_id".as("id")),
+          Seq((0L, 2L), (1L, 4L)).toDF("a", "b")).as[(Long, Long)].collect().toMap
+        assert(groups(2L) == 0L && groups(4L) == 1L, s"strategy $strategy broke CC")
+      } finally {
+        spark.conf.set(Materialize.ConfKey, "localCheckpoint")
+        spark.catalog.clearCache()
+      }
+    }
+    intercept[IllegalArgumentException] {
+      spark.conf.set(Materialize.ConfKey, "bogus")
+      try Dedup.verifyJaccard(Seq((0L, 1L)).toDF("a", "b"), base, "doc_id", "text").collect()
+      finally spark.conf.set(Materialize.ConfKey, "localCheckpoint")
+    }
+  }
+
   test("salted aggregations equal their direct formulations on skewed data") {
     // one monster key (90% of rows) + a long tail — the shape that melts a
     // single reducer for COUNT(DISTINCT) at scale
