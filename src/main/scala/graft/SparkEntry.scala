@@ -325,6 +325,36 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).cast("long").as("o_cents"))
         .orderBy("l_returnflag")
     },
+    "rel_topk_agg" -> { (s, dir) =>
+      prep(s, dir, "customer", "orders")
+      // grouped top-k via the bounded two-phase TopKPairs aggregate — same
+      // answer as a row_number window, but no reducer ever sees a whole
+      // group (map-side partial top-k)
+      val joined = s.sql("""
+        SELECT c.c_mktsegment, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""")
+      graft.functions.TopKPairs.perGroup(
+          joined, Seq("c_mktsegment"), "price_cents", "o_orderkey", k = 3)
+        .select(col("c_mktsegment"), col("rank"),
+          col("id").as("o_orderkey"), col("score").as("price_cents"))
+        .orderBy("c_mktsegment", "rank")
+    },
+    "rel_asof_join" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // as-of join: each purchase matched to the user's latest view at or
+      // before it (nulls where no view precedes) — one co-partitioned sort,
+      // no inequality join; DuckDB mirrors with a native ASOF LEFT JOIN
+      val events = s.table("events")
+      val purchases = events.where(col("event_type") === "purchase")
+      val views = events.where(col("event_type") === "view")
+      pipeline.Relational.asofJoin(purchases, views, Seq("user_id"),
+          "ts", "ts", "event_id", rightCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("event_id_asof"),
+          floor(col("value_asof") * 100 + 0.5).cast("long").as("view_cents"))
+        .orderBy("event_id")
+    },
     "rel_salted_distinct" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // skew-safe exact distinct: per-salt distinct counts are disjoint and
@@ -475,6 +505,26 @@ object SparkEntry {
       // context-window prep: one row per 16-word window, stable key
       pipeline.TextAnalysis.wordChunks(s.table("documents"), "doc_id", "text", chunkWords = 16)
         .orderBy("doc_id", "chunk_id")
+    },
+    "text_vocab" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // corpus vocabulary: top-100 tokens by frequency (TakeOrdered plan —
+      // per-partition top-N, no global sort materializes)
+      pipeline.TextAnalysis.vocabulary(s.table("documents"), "text", topN = 100)
+        .withColumn("n", col("n").cast("long"))
+        .orderBy(col("n").desc, col("token"))
+    },
+    "text_decontam" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // benchmark decontamination with planted leakage: the "benchmark" is a
+      // 16-word excerpt of every 25th doc, so those docs MUST be flagged;
+      // the benchmark gram set is broadcast — the train side never shuffles
+      val docs = s.table("documents")
+      val bench = docs.where(col("doc_id") % 25 === 0)
+        .select(array_join(
+          slice(pipeline.TextAnalysis.words(col("text")), 1, 16), " ").as("text"))
+      pipeline.TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 8, minHits = 1)
+        .orderBy("doc_id")
     },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
@@ -673,6 +723,22 @@ object SparkEntry {
                 CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
                   THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS o_cents
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_topk_agg" ->
+      """SELECT c_mktsegment, rank, o_orderkey, price_cents FROM (
+           SELECT c.c_mktsegment,
+                  CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                    ORDER BY floor(o.o_totalprice * 100 + 0.5) DESC, o.o_orderkey) AS INT) AS rank,
+                  o.o_orderkey,
+                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey) t
+         WHERE rank <= 3 ORDER BY c_mktsegment, rank""",
+    "rel_asof_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS event_id_asof,
+                CAST(floor(v.value * 100 + 0.5) AS BIGINT) AS view_cents
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
     "rel_salted_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -788,6 +854,28 @@ object SparkEntry {
                     FROM c)
          SELECT doc_id, chunk_id, chunk, CAST(len(chunk) AS BIGINT) AS n_chars
          FROM u ORDER BY doc_id, chunk_id""",
+    "text_vocab" ->
+      """SELECT token, CAST(n AS BIGINT) AS n FROM (
+           SELECT token, count(*) AS n FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> len(x) > 0)) AS token
+             FROM documents) u
+           GROUP BY token) g
+         ORDER BY n DESC, token LIMIT 100""",
+    "text_decontam" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              bw AS (SELECT ws[1:16] AS ws FROM w WHERE doc_id % 25 = 0),
+              tg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 8
+                       THEN list_transform(range(len(ws) - 7), i -> array_to_string(ws[i+1:i+8], ' '))
+                       ELSE [] END)) AS gram FROM w),
+              bg AS (SELECT DISTINCT gram FROM (
+                       SELECT unnest(CASE WHEN len(ws) >= 8
+                         THEN list_transform(range(len(ws) - 7), i -> array_to_string(ws[i+1:i+8], ' '))
+                         ELSE [] END) AS gram FROM bw) x)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         FROM tg JOIN bg USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
               d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,

@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** top_k_pairs(score, id, k) → array<struct<cos_scaled:long, neighbor_id:long>>
-  * — the k highest-scoring (score, id) entries of the group, ordered by
+/** top_k_pairs(score, id, k) → array<struct<score:long, id:long>> — the k
+  * highest-scoring (score, id) entries of the group, ordered by
   * (score DESC, id ASC).
   *
   * This exists to make per-query top-k a true TWO-PHASE aggregation: as a
@@ -89,8 +89,8 @@ case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("cos_scaled", LongType, nullable = false),
-    StructField("neighbor_id", LongType, nullable = false))), containsNull = false)
+    StructField("score", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
 
@@ -102,4 +102,27 @@ case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
   override def prettyName: String = "top_k_pairs"
+}
+
+object TopKPairs {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.graftshim.{GraftShim => E}
+
+  /** Grouped top-k as a two-phase aggregation: for each distinct value of
+    * `groupCols`, the `k` rows with the highest `scoreCol` (ties broken by
+    * ascending `idCol`). Output: groupCols*, rank (1-based), id, score.
+    * Unlike `row_number() OVER (PARTITION BY …)`, no reducer ever receives
+    * a group's full row set — each task pre-reduces to ≤ k map-side. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+               idCol: String, k: Int): DataFrame = {
+    val agg: Column = E.column(TopKPairs(
+      E.expression(col(scoreCol).cast("long")),
+      E.expression(col(idCol).cast("long")), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("id"), col("__e.score").as("score")): _*)
+  }
 }

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed from shuffle-
+  * efficient primitives (no custom physical operator needed — the
+  * declarative plans below already have the shape you'd hand-build).
+  */
+object Relational {
+
+  /** Backward as-of join: for every left row, the single most recent right
+    * row with `right.timeCol <= left.timeCol` in the same `keyCols` group
+    * (the time-series "latest snapshot at event time" join; pandas
+    * merge_asof / DuckDB ASOF JOIN semantics, LEFT-outer flavor).
+    *
+    * Plan shape — ONE shuffle, no range/theta join anywhere: both sides are
+    * unioned with a side tag, partitioned by `keyCols` and sorted by
+    * (time, side, right-row tiebreak); a running `last(right-row struct,
+    * ignoreNulls)` then assigns each left row the nearest preceding right
+    * row, and left rows are filtered back out. The naive formulations this
+    * avoids are the inequality join (quadratic per key) and a per-left-row
+    * correlated subquery (one scan per row). At 100 TB the cost is exactly
+    * one co-partitioned sort — the minimum any as-of computation needs —
+    * and skewed keys are handled by AQE like any other exchange.
+    *
+    * The right row's columns ride in a packed struct so a right row whose
+    * VALUE columns are null is still a match (the struct itself is
+    * non-null); ties at identical timestamps are deterministic (right row
+    * sorts before left → inclusive `<=`; among equal-time right rows the
+    * highest `rightIdCol` wins).
+    *
+    * Output: all left columns + `rightCols` each renamed with `suffix`,
+    * null where no right row precedes the left row. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTimeCol: String, rightTimeCol: String,
+               rightIdCol: String, rightCols: Seq[String],
+               suffix: String = "_asof"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rPacked = right
+      .withColumn("__t", col(rightTimeCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__rtb", col(rightIdCol).cast("long"))
+      .withColumn("__r", struct(rightCols.map(col): _*))
+      .select((keyCols ++ Seq("__t", "__side", "__rtb", "__r")).map(col): _*)
+    val lTagged = left
+      .withColumn("__t", col(leftTimeCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__rtb", lit(null).cast("long"))
+      .withColumn("__r", lit(null).cast(rPacked.schema("__r").dataType))
+    val unioned = lTagged.unionByName(rPacked, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__rtb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = unioned
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    rightCols.foldLeft(joined)((df, c) => df.withColumn(c + suffix, col(s"__match.$c")))
+      .select((leftCols ++ rightCols.map(_ + suffix)).map(col): _*)
+  }
+}

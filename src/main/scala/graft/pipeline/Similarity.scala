@@ -50,7 +50,7 @@ object Similarity {
       .groupBy("query_id").agg(topAgg.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
       .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__e.neighbor_id").as("neighbor_id"), col("__e.cos_scaled").as("cos_scaled"))
+        col("__e.id").as("neighbor_id"), col("__e.score").as("cos_scaled"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (table, plane, dim). */

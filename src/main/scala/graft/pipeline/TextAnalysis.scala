@@ -104,6 +104,50 @@ object TextAnalysis {
       regexp_replace(c, lit(pat), lit(repl))
     }
 
+  /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
+    * counts, ordered (count DESC, token ASC). Plan: explode → groupBy
+    * (map-side partial counts) → global sort+limit, which Spark executes
+    * as TakeOrderedAndProject — per-partition top-N merged on the driver,
+    * no full sort ever materializes. The explode fan-out is the unavoidable
+    * cost; everything after it moves only (token, count) pairs. */
+  def vocabulary(df: DataFrame, textCol: String, topN: Int = 100): DataFrame =
+    df.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** Distinct hashed word `n`-grams of a text column (xxhash64 of the
+    * space-joined window) — 8-byte keys instead of strings, so overlap
+    * joins ship fixed-width longs. Documents shorter than `n` words have
+    * no n-gram. */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => xxhash64(array_join(slice(w, i + 1, lit(n)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Benchmark decontamination: flags training docs that share at least
+    * `minHits` distinct word `n`-grams with any benchmark doc (the overlap
+    * check run before training so eval data does not leak into the corpus).
+    *
+    * Scale shape: the benchmark side is tiny by definition — its distinct
+    * gram hashes are BROADCAST, so the training corpus (the 100 TB side) is
+    * scanned exactly once and never shuffled; per-doc counting aggregates
+    * the exploded grams with map-side partials. Output: (idCol,
+    * n_overlap ≥ minHits) rows for contaminated docs only. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minHits: Int = 1): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(ngramHashes(col(textCol), n)).as("__g"))
+    val benchGrams = bench.select(explode(ngramHashes(col(textCol), n)).as("__g")).distinct()
+    trainGrams
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minHits)
+  }
+
   /** Fixed-window chunking: one output row per `chunkWords`-word window
     * with a stable (doc_id, chunk_id) key — the context-window prep stage
     * of a training pipeline. The per-chunk lambda re-evaluates the split

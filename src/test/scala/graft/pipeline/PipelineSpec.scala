@@ -275,6 +275,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("still changing"))
   }
 
+  test("asofJoin picks the nearest preceding right row; ties inclusive, nulls carried") {
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 15L), (3L, 1L, 25L), (4L, 2L, 7L))
+      .toDF("lid", "user", "t")
+    val right = Seq(
+      (10L, 1L, 10L, Option(1.5)),
+      (11L, 1L, 15L, Option.empty[Double]), // tie with lid=2; null value must still match
+      (12L, 2L, 20L, Option(9.9)))
+      .toDF("rid", "user", "rt", "v")
+    val out = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid", Seq("rid", "v"))
+      .orderBy("lid")
+      .select("lid", "rid_asof", "v_asof")
+      .collect()
+    assert(out(0).isNullAt(1), "t=5 has no preceding view")               // lid 1
+    assert(out(1).getLong(1) == 11L && out(1).isNullAt(2), "tie at t=15") // lid 2
+    assert(out(2).getLong(1) == 11L, "t=25 still latest right t=15")      // lid 3
+    assert(out(3).isNullAt(1), "other user's right rows invisible")       // lid 4
+  }
+
+  test("asofJoin breaks equal-time right rows by highest rightId deterministically") {
+    val left = Seq((1L, 1L, 20L)).toDF("lid", "user", "t")
+    val right = Seq((5L, 1L, 10L, 1.0), (7L, 1L, 10L, 2.0), (6L, 1L, 10L, 3.0))
+      .toDF("rid", "user", "rt", "v")
+    val out = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid", Seq("rid"))
+      .select("rid_asof").head
+    assert(out.getLong(0) == 7L)
+  }
+
+  test("vocabulary returns top tokens by count with deterministic ties") {
+    val df = Seq((1L, "b a a"), (2L, "a c b")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "text", topN = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(v == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("contamination flags exactly the docs sharing n-grams with the benchmark") {
+    val train = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("w3 w4 w5 w6")).toDF("text")
+    val hits = TextAnalysis.contamination(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(0L -> 2L)) // "w3 w4 w5" and "w4 w5 w6"
+  }
+
+  test("TopKPairs.perGroup equals the window formulation") {
+    val df = Seq(("a", 10L, 1L), ("a", 30L, 2L), ("a", 30L, 3L), ("a", 20L, 4L),
+                 ("b", 5L, 9L)).toDF("g", "score", "id")
+    val got = graft.functions.TopKPairs.perGroup(df, Seq("g"), "score", "id", 2)
+      .as[(String, Int, Long, Long)].collect().toSet
+    // score DESC, id ASC: group a → (30,2),(30,3); group b → (5,9)
+    assert(got == Set(("a", 1, 2L, 30L), ("a", 2, 3L, 30L), ("b", 1, 9L, 5L)))
+  }
+
   test("materialization strategy is session-configurable with identical results") {
     // cluster deployments need fault-tolerant materialization (persist
     // recomputes lost blocks; checkpoint survives executor loss) — results
