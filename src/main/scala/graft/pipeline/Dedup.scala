@@ -213,17 +213,27 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val hooked = edges.join(labels, edges("y") === labels("id"))
+      // hooked is materialized because the jump self-joins it: without the
+      // cut, BOTH join sides would recompute the edge-join + groupBy
+      val hooked = Materialize(edges.join(labels, edges("y") === labels("id"))
         .groupBy("x").agg(min("label").as("label"))
-        .withColumnRenamed("x", "id")
-      val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
-        .select(col("h1.id").as("id"), col("h2.label").as("label"))
+        .withColumnRenamed("x", "id"))
+      val sH = labelSum(hooked)
       val prev = labels
-      labels = Materialize(jumped)
-      val s = labelSum(labels) // forces materialization before prev is released
-      Materialize.release(prev)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (sH.compareTo(prevSum) == 0) {
+        // hook-fixpoint ⟺ converged: labels are constant across every edge,
+        // so each component already carries its minimum — skip the jump
+        converged = true
+        labels = hooked
+        Materialize.release(prev)
+      } else {
+        val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
+          .select(col("h1.id").as("id"), col("h2.label").as("label"))
+        labels = Materialize(jumped)
+        prevSum = labelSum(labels) // forces materialization before inputs are released
+        Materialize.release(hooked)
+        Materialize.release(prev)
+      }
       i += 1
     }
     Materialize.release(edges)
