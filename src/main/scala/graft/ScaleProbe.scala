@@ -72,12 +72,24 @@ object ScaleProbe {
     println(s"[scale]   pairs=$nPairs, planted recall=${foundPlanted.toDouble / planted}")
 
     // pairs → groups via connected components (every planted pair is a
-    // 2-doc component, so #groups-with-dups == #pairs found)
+    // 2-doc component, so #groups-with-dups == #pairs found); runs to the
+    // checked fixpoint — no round-count assumption
     val nGroups = timed("connected components over minhash pairs")(
       pipeline.Dedup.connectedComponents(
-          docs.select(col("doc_id").as("id")), pairs.select("a", "b"), maxIters = 6)
+          docs.select(col("doc_id").as("id")), pairs.select("a", "b"))
         .where(col("id") =!= col("group_id")).count())
     println(s"[scale]   docs folded into another doc's group: $nGroups (expect $nPairs)")
+
+    // adversarial CC shape: ONE duplicate chain threading 2 000 docs (the
+    // boilerplate-family case that breaks fixed-round implementations —
+    // needs ⌈log2(2000)⌉+1 ≈ 12 rounds, not a hand-tuned 4)
+    val chainLen = 2000
+    val chain = spark.range(chainLen).selectExpr("id AS a", "id + 1 AS b")
+    val chainBad = timed(s"connected components, planted chain diameter=$chainLen")(
+      pipeline.Dedup.connectedComponents(docs.select(col("doc_id").as("id")), chain)
+        .where(col("id") <= chainLen && col("group_id") =!= 0).count())
+    println(s"[scale]   chain members mislabeled: $chainBad (expect 0)"
+      + (if (chainBad == 0) " (fixpoint reached)" else " (WRONG LABELS)"))
 
     // ---- simhash: bucket histogram + guarantee ---------------------------
     val simCands = timed("simhash candidates (hamming<=3)")(
@@ -137,6 +149,28 @@ object ScaleProbe {
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     println(f"[scale]   IVF recall@10=$ivfRecall%.3f, candidates=$ivfCands "
       + f"(${100.0 * ivfCands / (100.0 * (nVecs - 1))}%.2f%%)")
+
+    // ---- decontamination: broadcast benchmark grams, train never shuffles -
+    val bench = docs.where(col("doc_id") % 1000 === 0)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 16)).as("text"))
+    val nContam = timed("decontamination (8-gram overlap, benchmark=excerpts of 100 docs)")(
+      pipeline.TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 8).count())
+    println(s"[scale]   contaminated docs flagged: $nContam (expect >= ${nDocs / 1000} sources)")
+
+    // ---- as-of join: one co-partitioned sort, no inequality join ---------
+    val nEvents = nVecs // 200k synthetic events over 10k users
+    val ev = spark.range(nEvents).selectExpr(
+      "id AS event_id",
+      "pmod(xxhash64(id, 1), 10000) AS user_id",
+      "pmod(xxhash64(id, 2), 1000000000) AS t",
+      "CASE WHEN id % 2 = 0 THEN 'purchase' ELSE 'view' END AS side")
+      .localCheckpoint(true)
+    val nAsof = timed(s"as-of join ($nEvents events, 10k users)")(
+      pipeline.Relational.asofJoin(
+        ev.where(col("side") === "purchase"), ev.where(col("side") === "view"),
+        Seq("user_id"), "t", "t", "event_id", rightCols = Seq("event_id"))
+        .where(col("event_id_asof").isNotNull).count())
+    println(s"[scale]   purchases with a preceding view: $nAsof of ${nEvents / 2}")
 
     spark.stop()
   }
