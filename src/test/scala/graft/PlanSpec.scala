@@ -54,4 +54,32 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("EqualTo(c_mktsegment,BUILDING)"),
       s"mktsegment predicate not pushed:\n$plan")
   }
+
+  test("rel_asof_join plan: no inequality join, single key-partitioned sort") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_asof_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join fell back to an inequality/cartesian join:\n$plan")
+    assert(plan.contains("Window"), s"running-last window missing:\n$plan")
+    // exactly one exchange partitions by the join key; the only other
+    // exchange is the final presentation sort (rangepartitioning)
+    val hashParts = "hashpartitioning\\(".r.findAllIn(plan).length
+    assert(hashParts == 1, s"expected 1 hashpartitioning exchange, got $hashParts:\n$plan")
+  }
+
+  test("text_decontam plan: benchmark grams broadcast, train side never hash-shuffled before the join") {
+    val plan = GraftShim.explainString(SparkEntry.queries("text_decontam")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"train side shuffled into a merge join:\n$plan")
+  }
+
+  test("rel_topk_agg plan: bounded aggregate, no per-group window") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_topk_agg")(spark, sf))
+    assert(plan.contains("top_k_pairs"), s"TopKPairs aggregate missing:\n$plan")
+    assert(!plan.contains("Window"), s"single-reducer window still present:\n$plan")
+  }
+
+  test("text_vocab plan: per-partition top-N (TakeOrdered), no global sort") {
+    val plan = GraftShim.explainString(SparkEntry.queries("text_vocab")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N not TakeOrdered:\n$plan")
+  }
 }
