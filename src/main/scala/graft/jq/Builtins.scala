@@ -13,7 +13,7 @@ object Builtins {
   import Json._
   import Interp.{eval, preview}
 
-  type S = LazyList[JsonNode]
+  type S = JqStream
   type Builtin = (List[JqExpr], JsonNode, Env) => S
 
   // -- helpers ------------------------------------------------------------
@@ -30,7 +30,7 @@ object Builtins {
   private def v0(name: String)(f: JsonNode => S): ((String, Int), Builtin) =
     (name, 0) -> { (_, in, _) => f(in) }
 
-  private def one(v: JsonNode): S = LazyList(v)
+  private def one(v: JsonNode): S = JqStream(v)
 
   private def requireNumber(v: JsonNode, who: String): Double =
     if (v.isNumber) v.doubleValue()
@@ -298,7 +298,7 @@ object Builtins {
   // -- the table ----------------------------------------------------------
 
   val table: Map[(String, Int), Builtin] = Map[(String, Int), Builtin](
-    ("empty", 0) -> { (_, _, _) => LazyList.empty },
+    ("empty", 0) -> { (_, _, _) => JqStream.empty },
     ("error", 0) -> { (_, in, _) => throw new JqError(in) },
     v1("error")((_, msg) => throw new JqError(msg)),
     v0("not")(in => one(bool(!truthy(in)))),
@@ -459,10 +459,10 @@ object Builtins {
       one(arr(regexSplit(s, requireString(reN, "split"), flags).map(text)))
     },
     v1("splits")((in, reN) =>
-      LazyList.from(regexSplit(requireString(in, "split"), requireString(reN, "split"), "").map(text))),
+      JqStream.from(regexSplit(requireString(in, "split"), requireString(reN, "split"), "").map(text))),
     v2("splits") { (in, reN, flagsN) =>
       val flags = if (flagsN.isNull) "" else requireString(flagsN, "a modifier")
-      LazyList.from(regexSplit(requireString(in, "split"), requireString(reN, "split"), flags).map(text))
+      JqStream.from(regexSplit(requireString(in, "split"), requireString(reN, "split"), flags).map(text))
     },
 
     v1("ltrimstr") { (in, p) =>
@@ -511,20 +511,20 @@ object Builtins {
     v0("type")(in => one(text(Json.typeName(in)))),
 
     // type-filter builtins
-    v0("arrays")(in => if (in.isArray) one(in) else LazyList.empty),
-    v0("objects")(in => if (in.isObject) one(in) else LazyList.empty),
-    v0("iterables")(in => if (in.isArray || in.isObject) one(in) else LazyList.empty),
-    v0("scalars")(in => if (!in.isArray && !in.isObject) one(in) else LazyList.empty),
-    v0("booleans")(in => if (in.isBoolean) one(in) else LazyList.empty),
-    v0("numbers")(in => if (in.isNumber) one(in) else LazyList.empty),
-    v0("strings")(in => if (in.isTextual) one(in) else LazyList.empty),
-    v0("nulls")(in => if (in.isNull) one(in) else LazyList.empty),
-    v0("values")(in => if (!in.isNull) one(in) else LazyList.empty),
+    v0("arrays")(in => if (in.isArray) one(in) else JqStream.empty),
+    v0("objects")(in => if (in.isObject) one(in) else JqStream.empty),
+    v0("iterables")(in => if (in.isArray || in.isObject) one(in) else JqStream.empty),
+    v0("scalars")(in => if (!in.isArray && !in.isObject) one(in) else JqStream.empty),
+    v0("booleans")(in => if (in.isBoolean) one(in) else JqStream.empty),
+    v0("numbers")(in => if (in.isNumber) one(in) else JqStream.empty),
+    v0("strings")(in => if (in.isTextual) one(in) else JqStream.empty),
+    v0("nulls")(in => if (in.isNull) one(in) else JqStream.empty),
+    v0("values")(in => if (!in.isNull) one(in) else JqStream.empty),
 
     v0("first")(in => one(Interp.indexAccess(in, num(0)))),
     v0("last")(in => one(Interp.indexAccess(in, num(-1)))),
     ("first", 1) -> { (args, in, env) => eval(args.head, in, env).take(1) },
-    ("last", 1) -> { (args, in, env) => LazyList.from(eval(args.head, in, env).lastOption) },
+    ("last", 1) -> { (args, in, env) => JqStream.from(eval(args.head, in, env).lastOption) },
     ("nth", 1) -> { (args, in, env) =>
       eval(args.head, in, env).map(n => Interp.indexAccess(in, n))
     },
@@ -538,7 +538,7 @@ object Builtins {
     ("limit", 2) -> { (args, in, env) =>
       eval(args(0), in, env).flatMap { n =>
         val k = requireNumber(n, "limit").toInt
-        if (k <= 0) LazyList.empty else eval(args(1), in, env).take(k)
+        if (k <= 0) JqStream.empty else eval(args(1), in, env).take(k)
       }
     },
     ("until", 2) -> { (args, in, env) =>
@@ -552,7 +552,7 @@ object Builtins {
       def go(v: JsonNode): S =
         eval(args(0), v, env).take(1).flatMap { c =>
           if (truthy(c)) v #:: eval(args(1), v, env).take(1).flatMap(go)
-          else LazyList.empty
+          else JqStream.empty
         }
       go(in)
     },
@@ -598,9 +598,9 @@ object Builtins {
         // strict predicate (the overwhelmingly common case): evaluate it
         // directly — no singleton stream per element
         case JqExpr.Strict(x) =>
-          if (truthy(Interp.evalOne(x, in, env))) one(in) else LazyList.empty
+          if (truthy(Interp.evalOne(x, in, env))) one(in) else JqStream.empty
         case a =>
-          eval(a, in, env).flatMap(c => if (truthy(c)) one(in) else LazyList.empty)
+          eval(a, in, env).flatMap(c => if (truthy(c)) one(in) else JqStream.empty)
       }
     },
 
@@ -635,14 +635,16 @@ object Builtins {
       table(("from_entries", 0))(Nil, arr(mapped), env)
     },
 
-    ("paths", 0) -> { (_, in, _) => Interp.allPaths(in, Vector.empty, leavesOnly = false).drop(1).map(arr) },
+    ("paths", 0) -> { (_, in, _) =>
+      JqStream.from(Interp.allPaths(in, Vector.empty, leavesOnly = false).drop(1).map(arr)) },
     ("paths", 1) -> { (args, in, env) =>
-      Interp.allPaths(in, Vector.empty, leavesOnly = false).drop(1).flatMap { p =>
+      JqStream.from(Interp.allPaths(in, Vector.empty, leavesOnly = false).drop(1).flatMap { p =>
         val v = Interp.getPath(in, p)
         eval(args.head, v, env).filter(truthy).take(1).map(_ => arr(p))
-      }
+      })
     },
-    v0("leaf_paths")(in => Interp.allPaths(in, Vector.empty, leavesOnly = true).filter(_.nonEmpty).map(arr)),
+    v0("leaf_paths")(in =>
+      JqStream.from(Interp.allPaths(in, Vector.empty, leavesOnly = true).filter(_.nonEmpty).map(arr))),
     v1("getpath") { (in, p) =>
       one(Interp.getPath(in, Json.elements(requireArray(p, "used as a path")).toVector))
     },
@@ -658,7 +660,7 @@ object Builtins {
       one(Interp.delPaths(in, Interp.evalPaths(args.head, in, env).map(_.toSeq).toList))
     },
     ("path", 1) -> { (args, in, env) =>
-      Interp.evalPaths(args.head, in, env).map(arr)
+      JqStream.from(Interp.evalPaths(args.head, in, env).map(arr))
     },
 
     ("env", 0) -> { (_, _, _) => one(obj(Nil)) }, // deliberately empty
@@ -704,23 +706,23 @@ object Builtins {
       one(bool(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags).nonEmpty))
     },
     v1("match")((in, re) =>
-      LazyList.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), ""))),
+      JqStream.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), ""))),
     v2("match") { (in, re, fl) =>
       val flags = if (fl.isNull) "" else requireString(fl, "a modifier")
-      LazyList.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags))
+      JqStream.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags))
     },
     v1("capture")((in, re) =>
-      LazyList.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), "").map(captureObj))),
+      JqStream.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), "").map(captureObj))),
     v2("capture") { (in, re, fl) =>
       val flags = if (fl.isNull) "" else requireString(fl, "a modifier")
-      LazyList.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags).map(captureObj))
+      JqStream.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags).map(captureObj))
     },
     v1("scan") { (in, re) =>
-      LazyList.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), "g").map(scanResult))
+      JqStream.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), "g").map(scanResult))
     },
     v2("scan") { (in, re, fl) =>
       val flags = if (fl.isNull) "g" else requireString(fl, "a modifier") + "g"
-      LazyList.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags).map(scanResult))
+      JqStream.from(allMatches(requireString(in, "matched"), requireString(re, "matched"), flags).map(scanResult))
     },
     ("sub", 2) -> { (args, in, env) =>
       eval(args(0), in, env).flatMap(re => substitute(in, re, args(1), "", env))
@@ -789,7 +791,7 @@ object Builtins {
       def go(rem: List[JsonNode]): S = rem match {
         case Nil => one(arr(Nil))
         case hd :: tl =>
-          LazyList.from(Json.elements(requireArray(hd, "iterated")).toSeq).flatMap { x =>
+          JqStream.from(Json.elements(requireArray(hd, "iterated")).toSeq).flatMap { x =>
             go(tl).map(restArr => arr(x +: Json.elements(restArr).toSeq))
           }
       }
@@ -812,10 +814,10 @@ object Builtins {
         if (e.size() >= 2) {
           acc = Interp.setPath(acc, path, e.get(1))
           if (path.isEmpty) { val out = acc; acc = NullN; one(out) }
-          else LazyList.empty
+          else JqStream.empty
         } else {
           if (path.length == 1) { val out = acc; acc = NullN; one(out) }
-          else LazyList.empty
+          else JqStream.empty
         }
       }
     },
@@ -829,7 +831,7 @@ object Builtins {
         if (path.length > depth) {
           val newPath = arr(path.drop(depth))
           one(if (e.size() >= 2) arr(List(newPath, e.get(1))) else arr(List(newPath)))
-        } else LazyList.empty
+        } else JqStream.empty
       }
     },
 
@@ -920,8 +922,11 @@ object Builtins {
                      else Json.fields(v).map { case (k, c) => (text(k): JsonNode, c) }.toSeq
           if (kids.isEmpty) one(arr(List(arr(prefix), if (v.isArray) arr(Nil) else obj(Nil))))
           else {
-            val inner = LazyList.from(kids).flatMap { case (k, c) => stream(c, prefix :+ k) }
-            inner #::: one(arr(List(arr(prefix :+ kids.last._1))))
+            def inner(rem: Seq[(JsonNode, JsonNode)]): S = rem match {
+              case (k, c) +: rest => JqStream.concat(stream(c, prefix :+ k), () => inner(rest))
+              case _ => one(arr(List(arr(prefix :+ kids.last._1))))
+            }
+            inner(kids)
           }
         } else one(arr(List(arr(prefix), v)))
       stream(in, Vector.empty)
@@ -1088,12 +1093,12 @@ object Builtins {
 
   private def rangeStream(from: Double, to: Double, step: Double): S = {
     if (step == 0) {
-      if (from < to) LazyList.continually(num(from)) else LazyList.empty
+      if (from < to) JqStream.continually(num(from)) else JqStream.empty
     } else if (step > 0) {
-      def go(x: Double): S = if (x < to) num(x) #:: go(x + step) else LazyList.empty
+      def go(x: Double): S = if (x < to) num(x) #:: go(x + step) else JqStream.empty
       go(from)
     } else {
-      def go(x: Double): S = if (x > to) num(x) #:: go(x + step) else LazyList.empty
+      def go(x: Double): S = if (x > to) num(x) #:: go(x + step) else JqStream.empty
       go(from)
     }
   }

@@ -36,10 +36,10 @@ object Env {
 object Interp {
   import Json._
 
-  type S = LazyList[JsonNode]
+  type S = JqStream
 
   def eval(e: JqExpr, in: JsonNode, env: Env): S = e match {
-    case Identity => LazyList(in)
+    case Identity => JqStream(in)
     case RecurseDefault => recurseAll(in)
 
     case Field(target, name, _) =>
@@ -52,17 +52,17 @@ object Interp {
 
     case Slice(target, fromE, toE, _) =>
       eval(target, in, env).flatMap { t =>
-        val froms = fromE.map(eval(_, in, env)).getOrElse(LazyList(NullN))
+        val froms = fromE.map(eval(_, in, env)).getOrElse(JqStream(NullN))
         froms.flatMap { f =>
-          val tos = toE.map(eval(_, in, env)).getOrElse(LazyList(NullN))
+          val tos = toE.map(eval(_, in, env)).getOrElse(JqStream(NullN))
           tos.map(tt => sliceAccess(t, f, tt))
         }
       }
 
     case IterateAll(target, _) =>
       eval(target, in, env).flatMap { t =>
-        if (t.isArray) LazyList.from(Json.elements(t).toSeq)
-        else if (t.isObject) LazyList.from(Json.fields(t).map(_._2).toSeq)
+        if (t.isArray) JqStream.from(Json.elements(t).toSeq)
+        else if (t.isObject) JqStream.from(Json.fields(t).map(_._2).toSeq)
         else throw JqError.of(s"Cannot iterate over ${Json.typeName(t)}${preview(t)}")
       }
 
@@ -73,22 +73,22 @@ object Interp {
     case Pipe(l, r) => eval(l, in, env).flatMap(v => eval(r, v, env))
     case Comma(l, r) => eval(l, in, env) #::: eval(r, in, env)
 
-    case NumLit(v, asLong) => LazyList(asLong.map(F.numberNode(_): JsonNode).getOrElse(num(v)))
-    case BoolLit(b) => LazyList(bool(b))
-    case NullLit => LazyList(NullN)
+    case NumLit(v, asLong) => JqStream(asLong.map(F.numberNode(_): JsonNode).getOrElse(num(v)))
+    case BoolLit(b) => JqStream(bool(b))
+    case NullLit => JqStream(NullN)
 
     case si: StrInterp => evalInterp(si, in, env)
 
     case ArrayLit(body) =>
-      LazyList(arr(body.map(b => eval(b, in, env).toList).getOrElse(Nil)))
+      JqStream(arr(body.map(b => eval(b, in, env).toList).getOrElse(Nil)))
 
     case ObjectLit(entries) =>
       def build(rem: List[(ObjKey, Option[JqExpr])], acc: List[(String, JsonNode)]): S = rem match {
-        case Nil => LazyList(obj(acc.reverse))
+        case Nil => JqStream(obj(acc.reverse))
         case (key, valueOpt) :: rest =>
           val keyVals: S = key match {
-            case ObjKey.Fixed(name) => LazyList(text(name))
-            case ObjKey.Var(name) => LazyList(text(name))
+            case ObjKey.Fixed(name) => JqStream(text(name))
+            case ObjKey.Var(name) => JqStream(text(name))
             case ObjKey.Computed(ke) => eval(ke, in, env)
             case ObjKey.InterpKey(s) => evalInterp(s, in, env)
           }
@@ -98,8 +98,8 @@ object Interp {
             val k = kv.textValue()
             val valueStream: S = (key, valueOpt) match {
               case (_, Some(ve)) => eval(ve, in, env)
-              case (ObjKey.Var(name), None) => LazyList(lookupVar(name, env))
-              case (_, None) => LazyList(fieldAccess(in, k))
+              case (ObjKey.Var(name), None) => JqStream(lookupVar(name, env))
+              case (_, None) => JqStream(fieldAccess(in, k))
             }
             valueStream.flatMap(v => build(rest, (k, v) :: acc))
           }
@@ -114,12 +114,12 @@ object Interp {
 
     case BinOp("and", l, r) =>
       eval(l, in, env).flatMap { lv =>
-        if (!truthy(lv)) LazyList(FalseN)
+        if (!truthy(lv)) JqStream(FalseN)
         else eval(r, in, env).map(rv => bool(truthy(rv)))
       }
     case BinOp("or", l, r) =>
       eval(l, in, env).flatMap { lv =>
-        if (truthy(lv)) LazyList(TrueN)
+        if (truthy(lv)) JqStream(TrueN)
         else eval(r, in, env).map(rv => bool(truthy(rv)))
       }
 
@@ -137,25 +137,25 @@ object Interp {
       val lefts = truncateOnError(eval(l, in, env).filter(truthy))
       if (lefts.nonEmpty) lefts else eval(r, in, env)
 
-    case VarRef(name) => LazyList(lookupVar(name, env))
+    case VarRef(name) => JqStream(lookupVar(name, env))
 
     case As(src, patterns, body) =>
       eval(src, in, env).flatMap { v =>
-        destructureAlt(patterns, v, in, env).flatMap { binds =>
+        JqStream.from(destructureAlt(patterns, v, in, env).flatMap { binds =>
           eval(body, in, env.withVars(binds))
-        }
+        })
       }
 
     case If(cond, thenB, elseB) =>
       eval(cond, in, env).flatMap { c =>
         if (truthy(c)) eval(thenB, in, env)
-        else elseB.map(eval(_, in, env)).getOrElse(LazyList(in))
+        else elseB.map(eval(_, in, env)).getOrElse(JqStream(in))
       }
 
     case TryCatch(body, handler) =>
       protect(eval(body, in, env), err => handler match {
         case Some(h) => eval(h, err.payload, env)
-        case None => LazyList.empty
+        case None => JqStream.empty
       })
 
     case FuncCall(name, args) => call(name, args, in, env)
@@ -174,7 +174,7 @@ object Interp {
             }
           }
         }
-        LazyList.from(acc)
+        JqStream.from(acc)
       }
 
     case Foreach(src, pattern, initE, update, extract) =>
@@ -182,14 +182,14 @@ object Interp {
         var acc = init
         eval(src, in, env).flatMap { v =>
           destructure(pattern, v, in, env).headOption match {
-            case None => LazyList.empty
+            case None => JqStream.empty
             case Some(binds) =>
               val env2 = env.withVars(binds)
               val outs = eval(update, acc, env2).toList
               outs.lastOption.foreach(acc = _)
               extract match {
-                case None => LazyList.from(outs)
-                case Some(ex) => LazyList.from(outs).flatMap(o => eval(ex, o, env2))
+                case None => JqStream.from(outs)
+                case Some(ex) => JqStream.from(outs).flatMap(o => eval(ex, o, env2))
               }
           }
         }
@@ -197,14 +197,14 @@ object Interp {
 
     case Assign(op, pathE, valueE) => evalAssign(op, pathE, valueE, in, env)
 
-    case Format(name) => LazyList(text(Builtins.applyFormat(name, in)))
+    case Format(name) => JqStream(text(Builtins.applyFormat(name, in)))
 
     case Label(name, body) => breakable(name, eval(body, in, env))
     case Break(name) => throw new JqBreak(name)
 
     // lazy head: strict-path errors must surface on forcing, not stream
     // construction, to keep try/catch and comma-truncation timing intact
-    case Strict(inner) => evalOne(inner, in, env) #:: LazyList.empty
+    case Strict(inner) => evalOne(inner, in, env) #:: JqStream.empty
   }
 
   /** Strict evaluator for compiler-certified always-one-output subtrees
@@ -327,15 +327,19 @@ object Interp {
     * JqBreak is NOT a JqError — try/catch does not intercept it (jq
     * semantics: break unwinds to its label only). */
   private def breakable(name: String, stream: => S): S = {
+    // only the CURRENT cell may be forced inside the try — touching s.tail
+    // here would evaluate the next element one step early and lose the
+    // already-produced head when that element breaks (JqStream tails force
+    // on access, unlike LazyList cells)
     def step(thunk: () => S): S = {
-      val r: Option[(JsonNode, S)] =
+      val r: Option[S] =
         try {
           val s = thunk()
-          if (s.isEmpty) None else Some((s.head, s.tail))
+          if (s.isEmpty) None else Some(s)
         } catch { case b: JqBreak if b.label == name => None }
       r match {
-        case None => LazyList.empty
-        case Some((h, t)) => h #:: step(() => t)
+        case None => JqStream.empty
+        case Some(s) => s.head #:: step(() => s.tail)
       }
     }
     step(() => stream)
@@ -372,18 +376,21 @@ object Interp {
       case _ => throw JqError.of(s"$$$name is not defined")
     })
 
-  /** Force `stream` step by step; on JqError divert to `handler` and stop. */
+  /** Force `stream` step by step; on JqError divert to `handler` and stop.
+    * Only the current cell is forced inside the try (`s.tail` would
+    * evaluate the NEXT element eagerly — JqStream tails force on access,
+    * unlike LazyList cells — and an error there must not eat this head). */
   def protect(stream: => S, handler: JqError => S): S = {
     def step(thunk: () => S): S = {
-      val r: Either[JqError, Option[(JsonNode, S)]] =
+      val r: Either[JqError, Option[S]] =
         try {
           val s = thunk()
-          Right(if (s.isEmpty) None else Some((s.head, s.tail)))
+          Right(if (s.isEmpty) None else Some(s))
         } catch { case e: JqError => Left(e) }
       r match {
         case Left(e) => handler(e)
-        case Right(None) => LazyList.empty
-        case Right(Some((h, t))) => h #:: step(() => t)
+        case Right(None) => JqStream.empty
+        case Right(Some(s)) => s.head #:: step(() => s.tail)
       }
     }
     step(() => stream)
@@ -391,12 +398,12 @@ object Interp {
 
   /** Ends the stream at the first JqError, keeping values already produced
     * (the `//` left-side contract). Label/break unwinds pass through. */
-  private def truncateOnError(stream: => S): S = protect(stream, _ => LazyList.empty)
+  private def truncateOnError(stream: => S): S = protect(stream, _ => JqStream.empty)
 
   def recurseAll(v: JsonNode): S =
-    v #:: (if (v.isArray) LazyList.from(Json.elements(v).toSeq).flatMap(recurseAll)
-           else if (v.isObject) LazyList.from(Json.fields(v).map(_._2).toSeq).flatMap(recurseAll)
-           else LazyList.empty)
+    v #:: (if (v.isArray) JqStream.from(Json.elements(v).toSeq).flatMap(recurseAll)
+           else if (v.isObject) JqStream.from(Json.fields(v).map(_._2).toSeq).flatMap(recurseAll)
+           else JqStream.empty)
 
   def preview(v: JsonNode): String = {
     val s = Json.serialize(v)
@@ -454,7 +461,7 @@ object Interp {
 
   def evalInterp(si: StrInterp, in: JsonNode, env: Env): S = {
     def build(rem: List[Either[String, JqExpr]], acc: StringBuilder): S = rem match {
-      case Nil => LazyList(text(acc.toString))
+      case Nil => JqStream(text(acc.toString))
       case Left(s) :: rest => build(rest, new StringBuilder(acc.toString).append(s))
       case Right(e) :: rest =>
         eval(e, in, env).flatMap { v =>
@@ -518,7 +525,7 @@ object Interp {
       def go(rem: List[(JqExpr, Pattern)], acc: Map[String, JsonNode]): LazyList[Map[String, JsonNode]] = rem match {
         case Nil => LazyList(acc)
         case (keyE, sub) :: rest =>
-          eval(keyE, in, env.withVars(acc)).flatMap { kv =>
+          LazyList.from(eval(keyE, in, env.withVars(acc))).flatMap { kv =>
             if (!kv.isTextual) throw JqError.of(s"Cannot index object with ${Json.typeName(kv)}")
             val subV = fieldAccess(v, kv.textValue())
             destructure(sub, subV, in, env).flatMap(m => go(rest, acc ++ m))
@@ -631,17 +638,17 @@ object Interp {
       evalPaths(target, root, env).map(_ :+ text(name))
     case Index(target, idxE, _) =>
       evalPaths(target, root, env).flatMap { p =>
-        eval(idxE, root, env).map { i =>
+        LazyList.from(eval(idxE, root, env)).map { i =>
           if (i.isTextual || i.isNumber || i.isObject) p :+ i
           else throw JqError.of(s"Invalid path component ${Json.typeName(i)}")
         }
       }
     case Slice(target, fromE, toE, _) =>
       evalPaths(target, root, env).flatMap { p =>
-        val froms = fromE.map(eval(_, root, env)).getOrElse(LazyList(NullN))
-        froms.flatMap { f =>
-          val tos = toE.map(eval(_, root, env)).getOrElse(LazyList(NullN))
-          tos.map(t => p :+ obj(List("start" -> f, "end" -> t)))
+        val froms = fromE.map(eval(_, root, env)).getOrElse(JqStream(NullN))
+        LazyList.from(froms).flatMap { f =>
+          val tos = toE.map(eval(_, root, env)).getOrElse(JqStream(NullN))
+          LazyList.from(tos).map(t => p :+ obj(List("start" -> f, "end" -> t)))
         }
       }
     case IterateAll(target, _) =>
@@ -659,24 +666,25 @@ object Interp {
       }
     case Comma(l, r) => evalPaths(l, root, env) #::: evalPaths(r, root, env)
     case If(cond, thenB, elseB) =>
-      eval(cond, root, env).flatMap { c =>
+      LazyList.from(eval(cond, root, env)).flatMap { c =>
         if (truthy(c)) evalPaths(thenB, root, env)
         else elseB.map(evalPaths(_, root, env)).getOrElse(LazyList(Vector.empty))
       }
     case TryCatch(body, None) =>
       protectPaths(evalPaths(body, root, env))
     case As(src, patterns, body) =>
-      eval(src, root, env).flatMap { v =>
+      LazyList.from(eval(src, root, env)).flatMap { v =>
         destructureAlt(patterns, v, root, env).flatMap { binds =>
           evalPaths(body, root, env.withVars(binds))
         }
       }
     case FuncCall("select", List(cond)) =>
-      eval(cond, root, env).flatMap(c => if (truthy(c)) LazyList(Vector.empty) else LazyList.empty)
+      LazyList.from(eval(cond, root, env)).flatMap(c =>
+        if (truthy(c)) LazyList(Vector.empty) else LazyList.empty)
     case FuncCall("empty", Nil) => LazyList.empty
     case FuncCall("recurse", Nil) => allPaths(root, Vector.empty, leavesOnly = false)
     case FuncCall("getpath", List(pe)) =>
-      eval(pe, root, env).map { pl =>
+      LazyList.from(eval(pe, root, env)).map { pl =>
         if (!pl.isArray) throw JqError.of("getpath path must be an array")
         Vector.from(Json.elements(pl))
       }
@@ -686,7 +694,7 @@ object Interp {
     case FuncCall("last", List(f)) =>
       LazyList.from(evalPaths(f, root, env).lastOption)
     case FuncCall("limit", List(nE, f)) =>
-      eval(nE, root, env).take(1).flatMap(n => evalPaths(f, root, env).take(n.intValue()))
+      LazyList.from(eval(nE, root, env).take(1)).flatMap(n => evalPaths(f, root, env).take(n.intValue()))
     case FuncDef(name, params, body, rest) =>
       evalPaths(rest, root, defineFunc(name, params, body, env))
     case FuncCall(name, args) =>
@@ -840,7 +848,7 @@ object Interp {
         evalPaths(pathE, in, env).foldLeft(in)((acc, p) => setPath(acc, p, v))
       }
     case "|=" =>
-      LazyList(evalPaths(pathE, in, env).foldLeft(in) { (acc, p) =>
+      JqStream(evalPaths(pathE, in, env).foldLeft(in) { (acc, p) =>
         val cur = getPath(acc, p)
         eval(valueE, cur, env).headOption match {
           case Some(nv) => setPath(acc, p, nv)
