@@ -149,6 +149,18 @@ object SparkEntry {
                to_json(jq_extract_all(props, '.k, (.k*2)')) AS vals
         FROM events WHERE event_id < 300 ORDER BY event_id""")
     },
+    "jq_dates" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // jq date builtins over real timestamps (UTC session): todate ISO
+      // rendering + gmtime component extraction, one generator call
+      s.sql("""
+        SELECT event_id, x.iso, x.hour
+        FROM events
+        LATERAL VIEW jq(to_json(struct(CAST(unix_timestamp(ts) AS BIGINT) AS t)),
+          '{iso: (.t | todate), hour: (.t | gmtime | .[3])}',
+          'iso:string', 'hour:bigint') x
+        WHERE event_id < 300 ORDER BY event_id""")
+    },
     "jq_outer_lateral" -> { (s, dir) =>
       prep(s, dir, "events")
       // LATERAL VIEW OUTER: a zero-output program still yields one row of
@@ -430,6 +442,23 @@ object SparkEntry {
         .withColumn("group_id", col("group_id").cast("long"))
         .orderBy("doc_id")
     },
+    "dedup_representatives" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // the end product of the dedup family: the corpus AFTER near-dup
+      // removal — one representative (min id) kept per connected group
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), "b")
+      val edges = pipeline.Dedup.verifyJaccard(pairs, docs, "doc_id", "text", shingle = 3)
+        .where(col("n_int") * 100 >= col("n_union") * 55)
+        .select("a", "b")
+      val groups = pipeline.Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      docs.join(groups.where(col("id") === col("group_id"))
+          .select(col("id").as("doc_id")), "doc_id")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
     "dedup_embedding_cosine" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       val emb = s.table("embeddings")
@@ -606,6 +635,10 @@ object SparkEntry {
       """SELECT event_id, '["' || CAST(k AS VARCHAR) || '","' || CAST(k*2 AS VARCHAR) || '"]' AS vals
          FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
          WHERE event_id < 300 ORDER BY event_id""",
+    "jq_dates" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+                CAST(hour(ts) AS BIGINT) AS hour
+         FROM events WHERE event_id < 300 ORDER BY event_id""",
     "jq_outer_lateral" ->
       """SELECT event_id, CASE WHEN k > 90 THEN k END AS k
          FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
@@ -774,6 +807,20 @@ object SparkEntry {
          )
          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_representatives" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n),
+         e AS (SELECT a.doc_id a, b.doc_id b FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+               WHERE len(list_intersect(a.sh, b.sh)) * 100 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 55),
+         ud AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, ud.b FROM reach JOIN ud ON ud.a = reach.r
+         ),
+         g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS doc_id FROM g WHERE id = group_id ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings)
          SELECT a.vec_id AS a, b.vec_id AS b,
