@@ -115,7 +115,53 @@ object Builtins {
 
   private val namedGroupRe = JPattern.compile("\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>")
 
-  private def compileRegex(re: String, flags: String): (JPattern, List[String]) = {
+  /** (positive, negated) java.util.regex forms of Oniguruma POSIX bracket
+    * classes. `word` has no \p{} name — \w/\W are valid inside classes. */
+  private val posixClasses: Map[String, (String, String)] = Map(
+    "alpha" -> ("\\p{Alpha}", "\\P{Alpha}"), "digit" -> ("\\p{Digit}", "\\P{Digit}"),
+    "alnum" -> ("\\p{Alnum}", "\\P{Alnum}"), "upper" -> ("\\p{Upper}", "\\P{Upper}"),
+    "lower" -> ("\\p{Lower}", "\\P{Lower}"), "space" -> ("\\p{Space}", "\\P{Space}"),
+    "blank" -> ("\\p{Blank}", "\\P{Blank}"), "punct" -> ("\\p{Punct}", "\\P{Punct}"),
+    "xdigit" -> ("\\p{XDigit}", "\\P{XDigit}"), "cntrl" -> ("\\p{Cntrl}", "\\P{Cntrl}"),
+    "graph" -> ("\\p{Graph}", "\\P{Graph}"), "print" -> ("\\p{Print}", "\\P{Print}"),
+    "ascii" -> ("\\p{ASCII}", "\\P{ASCII}"), "word" -> ("\\w", "\\W"))
+
+  /** Oniguruma POSIX bracket classes (`[[:alpha:]]`, `[[:^digit:]]`) →
+    * java.util.regex `\p{...}` equivalents. Translated only INSIDE a
+    * character class, where POSIX brackets are defined — outside one,
+    * `[:alpha:]` is an ordinary class and keeps its literal meaning.
+    * Closes the most commonly hit Oniguruma-vs-java divergence
+    * (SURVEY §5); exotic forms beyond these remain documented. */
+  private def translatePosix(re: String): String = {
+    if (!re.contains("[:")) return re
+    val sb = new StringBuilder(re.length + 8)
+    var i = 0
+    var inClass = false
+    while (i < re.length) {
+      val c = re.charAt(i)
+      if (c == '\\' && i + 1 < re.length) { sb.append(c).append(re.charAt(i + 1)); i += 2 }
+      else if (inClass && c == '[' && i + 1 < re.length && re.charAt(i + 1) == ':') {
+        val end = re.indexOf(":]", i + 2)
+        val raw = if (end > 0) re.substring(i + 2, end) else ""
+        val neg = raw.startsWith("^")
+        posixClasses.get(if (neg) raw.drop(1) else raw) match {
+          case Some((pos, negd)) =>
+            sb.append(if (neg) negd else pos)
+            i = end + 2
+          case None => sb.append(c); i += 1
+        }
+      }
+      else {
+        if (c == '[' && !inClass) inClass = true
+        else if (c == ']' && inClass) inClass = false
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def compileRegex(re0: String, flags: String): (JPattern, List[String]) = {
+    val re = translatePosix(re0)
     var f = 0
     flags.foreach {
       case 'i' => f |= JPattern.CASE_INSENSITIVE | JPattern.UNICODE_CASE

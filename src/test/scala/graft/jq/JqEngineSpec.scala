@@ -534,6 +534,18 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("""INDEX(.[]; .id)""", """[{"id":1}]""") == """{"1":{"id":1}}""")
   }
 
+  test("Oniguruma POSIX bracket classes translate inside character classes") {
+    assert(run1("""test("^[[:alnum:]]+$")""", "\"ab12\"") == "true")
+    assert(run1("""gsub("[[:digit:]]"; "#")""", "\"a1b2\"") == "\"a#b#\"")
+    assert(run1("""gsub("[[:^digit:]]"; "_")""", "\"a1b2\"") == "\"_1_2\"")
+    assert(run1("""[scan("[[:upper:]]")]""", "\"hello World\"") == """["W"]""")
+    assert(run1("""gsub("[[:digit:]-]"; "#")""", "\"a-1\"") == "\"a##\"")
+    assert(run1("""gsub("[[:word:]]"; "w")""", "\"a_1!\"") == "\"www!\"")
+    // outside a class, [:alpha:] is an ordinary bracket expression
+    assert(run1("""test("[:a]")""", "\"a\"") == "true")
+    assert(run1("""test("[:a]")""", "\"b\"") == "false")
+  }
+
   test("uppercase GROUP_BY / UNIQUE_BY / ANY / ALL") {
     // builtin.jq: GROUP_BY(f) == group_by(f), UNIQUE_BY(f) == unique_by(f)
     assert(run1("""GROUP_BY(.a)""", """[{"a":1,"b":2},{"a":2,"b":4},{"a":1,"b":3}]""") ==
