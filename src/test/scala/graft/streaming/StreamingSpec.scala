@@ -93,6 +93,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: incoming docs checked against a static benchmark") {
+    // the curation gate as a stream: docs arrive on a readStream, the
+    // benchmark gram set is a static broadcast side — same operator code
+    // as the batch text_decontam query
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(
+      (0L, "w1 w2 w3 w4 w5 w6"),   // shares the 3-gram "w2 w3 w4" with bench
+      (1L, "x1 x2 x3 x4 x5 x6"),   // clean
+      (2L, "w2 w3 w4 w9 w10 w11")) // shares it too
+    val bench = Seq(Tuple1("w2 w3 w4")).toDF("text")
+    val flagged = graft.pipeline.TextAnalysis.contamination(
+      src.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+    val q = flagged.writeStream.outputMode("complete")
+      .format("memory").queryName("decontam_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("decontam_stream_out").as[(Long, Long)].collect().toMap
+      assert(rows == Map(0L -> 1L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
