@@ -116,6 +116,17 @@ object TopKPairs {
     * a group's full row set — each task pre-reduces to ≤ k map-side. */
   def perGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                idCol: String, k: Int): DataFrame = {
+    // integral types only: a silent cast("long") would truncate fractional
+    // scores (a double cosine in [0,1] would rank as all-zero) — callers
+    // must pre-scale, e.g. floor(score * 1e6).cast("long")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+    Seq(scoreCol -> "score", idCol -> "id").foreach { case (c, role) =>
+      val dt = df.schema(c).dataType
+      require(integral(dt),
+        s"TopKPairs.perGroup $role column '$c' must be an integral type, got $dt — " +
+          "pre-scale fractional scores (e.g. floor(x * 1e6) cast to long)")
+    }
     val agg: Column = E.column(TopKPairs(
       E.expression(col(scoreCol).cast("long")),
       E.expression(col(idCol).cast("long")), k).toAggregateExpression())

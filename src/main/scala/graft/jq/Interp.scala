@@ -204,7 +204,11 @@ object Interp {
 
     // lazy head: strict-path errors must surface on forcing, not stream
     // construction, to keep try/catch and comma-truncation timing intact
-    case Strict(inner) => evalOne(inner, in, env) #:: JqStream.empty
+    case Strict(inner) =>
+      // deferred: strict-path errors must surface when the stream is
+      // FORCED, not at construction (JqStream cons heads are strict,
+      // unlike LazyList's — a bare #:: here would evaluate early)
+      JqStream.defer(() => JqStream(evalOne(inner, in, env)))
   }
 
   /** Strict evaluator for compiler-certified always-one-output subtrees

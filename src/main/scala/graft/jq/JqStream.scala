@@ -36,9 +36,15 @@ sealed abstract class JqStream extends IterableOnce[JsonNode] {
     var s: JqStream = this
     while (!s.isEmpty) {
       val fs = f(s.head)
-      val rest = s.tail
-      if (!fs.isEmpty) return new JqStream.Cons(fs.head, () => JqStream.flatCont(fs.tail, rest, f))
-      s = rest
+      if (!fs.isEmpty) {
+        // capture the SOURCE cell, not s.tail: forcing the source's next
+        // element here would evaluate one element beyond what the consumer
+        // asked for (an error/break/divergence there must not fire before
+        // this expansion's outputs are delivered)
+        val src = s
+        return new JqStream.Cons(fs.head, () => JqStream.flatCont(fs.tail, src, f))
+      }
+      s = s.tail
     }
     JqStream.empty
   }
@@ -56,6 +62,9 @@ sealed abstract class JqStream extends IterableOnce[JsonNode] {
 
   final def take(n: Int): JqStream =
     if (n <= 0 || isEmpty) JqStream.empty
+    // n == 1 must NOT thunk `tail.take(0)`: forcing tail would evaluate
+    // element n+1, which limit/first promise never to touch
+    else if (n == 1) new JqStream.Cons(head, JqStream.emptyThunk)
     else new JqStream.Cons(head, () => tail.take(n - 1))
 
   final def drop(n: Int): JqStream = {
@@ -98,10 +107,17 @@ sealed abstract class JqStream extends IterableOnce[JsonNode] {
   }
 
   final def iterator: Iterator[JsonNode] = {
-    var s: JqStream = this
+    val self = this
     new Iterator[JsonNode] {
-      def hasNext: Boolean = !s.isEmpty
-      def next(): JsonNode = { val h = s.head; s = s.tail; h }
+      // advance lazily on the NEXT pull, not when the current head is
+      // returned — `s = s.tail` inside next() would force the following
+      // element's computation one pull early
+      private[this] var s: JqStream = self
+      private[this] var consumed = false
+      private[this] def settle(): Unit =
+        if (consumed) { s = s.tail; consumed = false }
+      def hasNext: Boolean = { settle(); !s.isEmpty }
+      def next(): JsonNode = { settle(); val h = s.head; consumed = true; h }
     }
   }
 
@@ -156,7 +172,26 @@ object JqStream {
   val empty: JqStream = Empty
 
   def apply(v: JsonNode): JqStream = new Cons(v, emptyThunk)
-  private val emptyThunk: () => JqStream = () => Empty
+  private val emptyThunk: () => JqStream = () => Empty // companion-visible
+
+  /** Fully deferred stream: nothing — not even the first element — is
+    * computed until the stream is probed. For sites that must not run any
+    * evaluation at construction time (e.g. the strict-path single cell,
+    * whose errors must surface on forcing). Memoized like a cell. */
+  def defer(t0: () => JqStream): JqStream = new Defer(t0)
+
+  private final class Defer(t0: () => JqStream) extends JqStream {
+    private[this] var thunk: () => JqStream = t0
+    private[this] var v: JqStream = _
+    private def forced: JqStream = {
+      val t = thunk
+      if (t ne null) { v = t(); thunk = null }
+      v
+    }
+    def isEmpty: Boolean = forced.isEmpty
+    def head: JsonNode = forced.head
+    def tail: JqStream = forced.tail
+  }
 
   def from(vs: IterableOnce[JsonNode]): JqStream = fromIterator(vs.iterator)
 
@@ -172,13 +207,16 @@ object JqStream {
     else b()
   }
 
-  /** flatMap continuation: drain `cur`, then resume flat-mapping `rest` —
-    * the resume goes through flatMap's iterative empty-skipping loop, so
-    * consecutive empty expansions never nest the stack. */
-  private def flatCont(cur: JqStream, rest: JqStream,
+  /** flatMap continuation: drain `cur`, then resume flat-mapping the
+    * elements after `src` (the source cell whose expansion `cur` is) —
+    * `src.tail` is forced only HERE, when the consumer actually pulls past
+    * the current expansion. The resume goes through flatMap's iterative
+    * empty-skipping loop, so consecutive empty expansions never nest the
+    * stack. */
+  private def flatCont(cur: JqStream, src: JqStream,
                        f: JsonNode => JqStream): JqStream =
-    if (!cur.isEmpty) new Cons(cur.head, () => flatCont(cur.tail, rest, f))
-    else rest.flatMap(f)
+    if (!cur.isEmpty) new Cons(cur.head, () => flatCont(cur.tail, src, f))
+    else src.tail.flatMap(f)
 
   /** `h #:: s` / `pre #::: s` with LazyList-like syntax; the right operand
     * is by-name (deferred until the cell's tail is forced). */

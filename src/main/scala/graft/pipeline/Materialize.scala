@@ -20,9 +20,15 @@ import org.apache.spark.storage.StorageLevel
   *    clusters where re-running from source is worse than checkpoint I/O.
   *  - `persist`: MEMORY_AND_DISK cache with lineage kept, so lost blocks
   *    are RECOMPUTED instead of failing the job — the fault-tolerant
-  *    choice when no checkpoint dir is provisioned. Operators unpersist
-  *    their internal intermediates once superseded; frames returned to the
-  *    caller stay cached and follow the session CacheManager lifecycle.
+  *    choice when no checkpoint dir is provisioned. Lifecycle under
+  *    persist: iterative operators (connectedComponents) release each
+  *    round's frame once the next is materialized; SINGLE-SHOT
+  *    intermediates (LSH bucket tables, shingle sets) cannot be released
+  *    by the operator — the returned plan still references them lazily —
+  *    so they follow the session CacheManager lifecycle. A long-lived
+  *    session using the persist strategy should `spark.catalog.clearCache()`
+  *    between pipeline runs, or prefer `checkpoint`; the default
+  *    localCheckpoint strategy has no such residue (ContextCleaner-owned).
   */
 private[pipeline] object Materialize {
   val ConfKey = "spark.graft.materialize"

@@ -214,15 +214,14 @@ object Similarity {
     // Training sample must be a SPREAD of the corpus, not its head: on real
     // corpora ingestion order correlates with content (crawl batches, source
     // shards), so `orderBy(id).limit(n)` would train centroids on one slice
-    // of the distribution and recall would collapse. Deterministic
-    // hash-spread instead: keep ids whose xxhash64 falls in 1/mod of the key
-    // space — every content region is sampled at the same rate, same rows
-    // every run, and the filter is a map-side scan (no full-table sort).
-    val mod = math.max(1L, corpus.count() / sampleSize)
+    // of the distribution and recall would collapse. The sampleSize rows
+    // with the SMALLEST xxhash64(id) are a uniform deterministic sample,
+    // and orderBy+limit compiles to TakeOrdered — a per-partition heap of
+    // sampleSize entries merged on the driver, ONE corpus pass, no global
+    // sort and no separate count() job to size a filter rate.
     val sample = corpus
-      .where(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
-      .select(col(vecCol), col(idCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol)) // deterministic tie-break for the limit
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol))
+      .orderBy(col("__h"), col(idCol)) // id tie-break: deterministic under hash collisions
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = trainCentroids(sample, nLists, iters)

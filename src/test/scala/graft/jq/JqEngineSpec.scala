@@ -534,6 +534,21 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("""INDEX(.[]; .id)""", """[{"id":1}]""") == """{"1":{"id":1}}""")
   }
 
+  test("streams never evaluate one element beyond what is consumed") {
+    // jq's laziness contract: limit/first/break must not run the
+    // computation of the element after the last one delivered. Each case
+    // was a regression when JqStream combinators force-looked ahead.
+    assert(run1("""first(1, error("boom"))""") == "1")
+    assert(run1("""[limit(1; 1, error("boom"))]""") == "[1]")
+    assert(run1("""limit(1; 1, repeat(empty))""") == "1") // must terminate
+    assert(run1("""[limit(1; 1, (2 + "a"))]""") == "[1]") // strict-path cell deferred
+    assert(run("""label $out | ((1, error("e")) | (., break $out))""", "null") == List("1"))
+    assert(run("""try ((1, error("x")) | (., .)) catch "c"""", "null") ==
+      List("1", "1", "\"c\""))
+    assert(run("""try (. as $x | (1, error("x"))) catch "c"""", "null") ==
+      List("1", "\"c\""))
+  }
+
   test("Oniguruma POSIX bracket classes translate inside character classes") {
     assert(run1("""test("^[[:alnum:]]+$")""", "\"ab12\"") == "true")
     assert(run1("""gsub("[[:digit:]]"; "#")""", "\"a1b2\"") == "\"a#b#\"")
