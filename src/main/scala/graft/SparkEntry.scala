@@ -244,6 +244,39 @@ object SparkEntry {
         ORDER BY t.total_qty DESC, o.o_orderkey
         LIMIT 100""")
     },
+    "rel_q7_volume" -> { (s, dir) =>
+      prep(s, dir, "nation", "supplier", "customer", "orders", "lineitem")
+      // TPC-H Q7 shape: two-nation shipping volume by year — five joins
+      // (two broadcast dims), date extraction, multi-key agg
+      s.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year""")
+    },
+    "rel_q10_returns" -> { (s, dir) =>
+      prep(s, dir, "customer", "orders", "lineitem")
+      // TPC-H Q10 shape: top customers by returned-item revenue
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY rev_cents DESC, c_custkey
+        LIMIT 20""")
+    },
     "rel_exists_semi" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       s.sql("""
@@ -693,6 +726,30 @@ object SparkEntry {
            ON t.l_orderkey = o.o_orderkey
          ORDER BY t.total_qty DESC, o.o_orderkey
          LIMIT 100""",
+    "rel_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS INT) AS l_year,
+                CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM supplier s
+         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "rel_q10_returns" ->
+      """SELECT c.c_custkey, c.c_name,
+                CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_returnflag = 'R'
+         GROUP BY c.c_custkey, c.c_name
+         ORDER BY rev_cents DESC, c_custkey
+         LIMIT 20""",
     "rel_exists_semi" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders o
