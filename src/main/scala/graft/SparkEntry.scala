@@ -588,6 +588,38 @@ object SparkEntry {
       pipeline.TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 8, minHits = 1)
         .orderBy("doc_id")
     },
+    "pipeline_split" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // deterministic train/val/test split: md5-digit buckets 0-13/14/15,
+      // pure map (no shuffle until the audit agg), engine-mirrorable
+      val b = pipeline.TextAnalysis.splitBucket(col("doc_id"))
+      s.table("documents")
+        .withColumn("split", when(b <= 13, "train").when(b === 14, "val").otherwise("test"))
+        .groupBy("split").agg(count(lit(1)).cast("long").as("n"),
+          min("doc_id").as("min_id"))
+        .orderBy("split")
+    },
+    "text_packing" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // sequence packing: docs laid into 256-token context windows within
+      // 8 hash shards — per-shard prefix sums, one bounded window shuffle
+      pipeline.TextAnalysis.packSequences(s.table("documents"), "doc_id", "text",
+          contextTokens = 256, shards = 8)
+        .orderBy("doc_id")
+    },
+    "text_quality_filter" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // curation gate: keep docs at or above their language's median
+      // quality score (exact R-7 percentile, proven cross-engine)
+      val q = pipeline.TextAnalysis.qualityScore(s.table("documents"), "text")
+        .withColumn("lang", pipeline.TextAnalysis.langId(col("text")))
+        .select("doc_id", "lang", "quality_score")
+      val med = q.groupBy("lang").agg(expr("percentile(quality_score, 0.5)").as("p50"))
+      q.join(broadcast(med), "lang")
+        .where(col("quality_score") >= col("p50"))
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
@@ -980,6 +1012,56 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          FROM tg JOIN bg USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
+    "pipeline_split" ->
+      """SELECT split, CAST(count(*) AS BIGINT) AS n, CAST(min(doc_id) AS BIGINT) AS min_id FROM (
+           SELECT doc_id,
+                  CASE WHEN b <= 13 THEN 'train' WHEN b = 14 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+                 FROM documents) t) u
+         GROUP BY split ORDER BY split""",
+    "text_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> len(x) > 0)) AS BIGINT) AS n_tokens
+                    FROM documents),
+              c AS (SELECT doc_id, shard, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+                    FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(s / 256.0) AS BIGINT) AS pack_id,
+                CAST(s % 256 AS BIGINT) AS offset_tokens
+         FROM c ORDER BY doc_id""",
+    "text_quality_filter" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              q AS (SELECT doc_id, ws,
+                      CAST(len(ws) AS BIGINT) n_words,
+                      CAST(len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is','that','it','for'])) AS BIGINT) n_stopwords,
+                      CAST(len(list_distinct(ws)) AS BIGINT) n_distinct_words
+                    FROM w),
+              sc AS (SELECT doc_id, ws,
+                      CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                                + least(n_stopwords / 5.0, 1.0) * 0.3
+                                + n_distinct_words / greatest(CAST(n_words AS DOUBLE), 1.0) * 0.3) * 1000.0 + 0.5) AS BIGINT) AS quality_score
+                     FROM q),
+              lg AS (SELECT doc_id, quality_score,
+                       CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                            WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                            WHEN fr >= es AND fr > 0 THEN 'fr'
+                            WHEN es > 0 THEN 'es' ELSE 'und' END AS lang
+                     FROM (SELECT doc_id, quality_score,
+                             len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is','that','it','for'])) en,
+                             len(list_intersect(list_distinct(ws), ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                             len(list_intersect(list_distinct(ws), ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                             len(list_intersect(list_distinct(ws), ['el','la','los','y','es','un','una','para','en','que'])) es
+                           FROM sc) x),
+              med AS (SELECT lang, quantile_cont(quality_score, 0.5) AS p50 FROM lg GROUP BY lang)
+         SELECT lg.doc_id, lg.lang, lg.quality_score
+         FROM lg JOIN med ON med.lang = lg.lang
+         WHERE lg.quality_score >= med.p50
+         ORDER BY doc_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
               d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,

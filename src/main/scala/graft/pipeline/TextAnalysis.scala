@@ -148,6 +148,38 @@ object TextAnalysis {
       .where(col("n_overlap") >= minHits)
   }
 
+  /** Deterministic train/val/test split on a 16-way md5 digit of the id —
+    * content-independent, stable across runs and engines (md5 exists in
+    * both Spark and DuckDB, unlike xxhash64), and a pure map: no shuffle,
+    * no state, works identically on a stream. `bucket` is the first hex
+    * digit (0–15) of md5(id); callers carve ranges out of it (e.g. 0–13
+    * train / 14 val / 15 test = 87.5 / 6.25 / 6.25). */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** Sequence packing: lay documents out into fixed-size context windows
+    * (the "pack to 4096 tokens" step before tokenized training). Documents
+    * are sharded (`idCol % shards` — mirrorable arithmetic), and within a
+    * shard a running token prefix-sum assigns each doc the pack its FIRST
+    * token lands in, plus its offset inside that pack.
+    *
+    * Scale shape: one shuffle (the per-shard window); shards bound the
+    * window's partition size, so no reducer sees more than corpus/shards
+    * rows — shards should scale with the cluster, not the corpus. Output:
+    * idCol, shard, n_tokens, pack_id, offset_tokens. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    contextTokens: Int, shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", (col(idCol) % shards).cast("int"))
+      .withColumn("n_tokens", size(words(col(textCol))).cast("long"))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__end") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("__start") / contextTokens).cast("long"))
+      .withColumn("offset_tokens", (col("__start") % contextTokens).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"), col("offset_tokens"))
+  }
+
   /** Fixed-window chunking: one output row per `chunkWords`-word window
     * with a stable (doc_id, chunk_id) key — the context-window prep stage
     * of a training pipeline. The per-chunk lambda re-evaluates the split

@@ -328,6 +328,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(("a", 1, 2L, 30L), ("a", 2, 3L, 30L), ("b", 1, 9L, 5L)))
   }
 
+  test("splitBucket is deterministic, uniform-ish, and a pure map") {
+    val ids = spark.range(0, 4000).toDF("id")
+    val b = TextAnalysis.splitBucket(col("id"))
+    val counts = ids.select(b.as("b")).groupBy("b").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.keySet.subsetOf((0 to 15).toSet))
+    assert(counts.size == 16, "all 16 buckets populated at n=4000")
+    // deterministic across evaluations
+    val again = ids.select(b.as("b")).groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(counts == again)
+    // pure map: no exchange before the bucket assignment
+    val plan = org.apache.spark.sql.graftshim.GraftShim.explainString(ids.select(b))
+    assert(!plan.contains("Exchange"), s"split assignment shuffled:\n$plan")
+  }
+
+  test("packSequences lays out tokens contiguously within each shard") {
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d e"), (16L, "f g h i"), // shard 0 (ids % 8 == 0)
+      (1L, "x y z w v")).toDF("doc_id", "text")     // shard 1
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", contextTokens = 4, shards = 8)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // shard 0 prefix sums: doc0 starts 0 (pack 0, off 0), doc8 starts 3
+    // (pack 0, off 3), doc16 starts 5 (pack 1, off 1)
+    assert(out(0L) == ((0, 3L, 0L, 0L)))
+    assert(out(8L) == ((0, 2L, 0L, 3L)))
+    assert(out(16L) == ((0, 4L, 1L, 1L)))
+    assert(out(1L) == ((1, 5L, 0L, 0L)))
+  }
+
   test("materialization strategy is session-configurable with identical results") {
     // cluster deployments need fault-tolerant materialization (persist
     // recomputes lost blocks; checkpoint survives executor loss) — results
