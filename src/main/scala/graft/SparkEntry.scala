@@ -611,9 +611,12 @@ object SparkEntry {
       prep(s, dir, "documents")
       // curation gate: keep docs at or above their language's median
       // quality score (exact R-7 percentile, proven cross-engine)
-      val q = pipeline.TextAnalysis.qualityScore(s.table("documents"), "text")
-        .withColumn("lang", pipeline.TextAnalysis.langId(col("text")))
-        .select("doc_id", "lang", "quality_score")
+      // materialized: q feeds both the median aggregate and the join —
+      // without the cut the quality/langId scan runs twice
+      val q = pipeline.Materialize(
+        pipeline.TextAnalysis.qualityScore(s.table("documents"), "text")
+          .withColumn("lang", pipeline.TextAnalysis.langId(col("text")))
+          .select("doc_id", "lang", "quality_score"))
       val med = q.groupBy("lang").agg(expr("percentile(quality_score, 0.5)").as("p50"))
       q.join(broadcast(med), "lang")
         .where(col("quality_score") >= col("p50"))

@@ -119,8 +119,12 @@ object TopKPairs {
     // integral types only: a silent cast("long") would truncate fractional
     // scores (a double cosine in [0,1] would rank as all-zero) — callers
     // must pre-scale, e.g. floor(score * 1e6).cast("long")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 // exact integer decimals (e.g. SQL floor) are lossless
+      case _ => false
+    }
     Seq(scoreCol -> "score", idCol -> "id").foreach { case (c, role) =>
       val dt = df.schema(c).dataType
       require(integral(dt),

@@ -30,7 +30,7 @@ import org.apache.spark.storage.StorageLevel
   *    between pipeline runs, or prefer `checkpoint`; the default
   *    localCheckpoint strategy has no such residue (ContextCleaner-owned).
   */
-private[pipeline] object Materialize {
+private[graft] object Materialize {
   val ConfKey = "spark.graft.materialize"
 
   def apply(df: DataFrame): DataFrame =

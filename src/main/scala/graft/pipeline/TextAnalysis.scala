@@ -169,8 +169,12 @@ object TextAnalysis {
     * idCol, shard, n_tokens, pack_id, offset_tokens. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     contextTokens: Int, shards: Int = 32): DataFrame = {
+    // ROWS frame, not the default RANGE: with RANGE, duplicate ids are
+    // peers and share one running sum — overlapping token ranges
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("shard", (col(idCol) % shards).cast("int"))
       .withColumn("n_tokens", size(words(col(textCol))).cast("long"))
       .withColumn("__end", sum(col("n_tokens")).over(w))

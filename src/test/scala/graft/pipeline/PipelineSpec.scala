@@ -358,6 +358,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == ((1, 5L, 0L, 0L)))
   }
 
+  test("packSequences keeps duplicate ids in distinct token ranges (ROWS frame)") {
+    // with the default RANGE frame, equal-id rows are peers sharing one
+    // running sum → overlapping ranges; the ROWS frame must keep them apart
+    val docs = Seq((5L, "a b"), (5L, "c d e"), (13L, "f")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", contextTokens = 4, shards = 8)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    // which duplicate comes first is arbitrary; what matters is the ranges
+    // are contiguous and non-overlapping: starts must be 0 and first-len
+    val shard5 = out.filter(_._1 == 5L).map(r => (r._3, r._5)).sortBy(_._2)
+    assert(shard5.length == 2)
+    assert(shard5(0)._2 == 0L && shard5(1)._2 == shard5(0)._1,
+      s"duplicate-id rows overlap: ${shard5.toSeq}")
+  }
+
   test("materialization strategy is session-configurable with identical results") {
     // cluster deployments need fault-tolerant materialization (persist
     // recomputes lost blocks; checkpoint survives executor loss) — results
