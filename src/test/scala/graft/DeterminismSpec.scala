@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+/** Partitioning-independence: a query's RESULT may never depend on how the
+  * data happens to be partitioned. Order-dependent windows, first/last
+  * without full ordering, and non-commutative merges all pass single-config
+  * runs and corrupt results only under a different parallelism — so each
+  * representative query is executed under two shuffle-partition settings
+  * and the collected outputs must match exactly. (The driver's DuckDB gate
+  * catches cross-engine drift; this catches cross-CONFIG drift.) */
+class DeterminismSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  // one per operator family: window topk, bounded-agg topk, as-of join,
+  // connected components, sequence packing, salted agg, jq generator
+  private val queries = Seq("rel_window_topn", "rel_topk_agg", "rel_asof_join",
+    "dedup_groups", "text_packing", "rel_salted_distinct", "jq_multi_col")
+
+  private def runAt(name: String, parts: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  queries.foreach { name =>
+    test(s"$name returns identical rows at 3 and 32 shuffle partitions") {
+      val narrow = runAt(name, 3)
+      val wide = runAt(name, 32)
+      assert(narrow.nonEmpty)
+      assert(narrow == wide,
+        s"$name drifts with partitioning: ${narrow.diff(wide).take(3)} vs ${wide.diff(narrow).take(3)}")
+    }
+  }
+}
