@@ -31,12 +31,18 @@ object Relational {
     * sorts before left → inclusive `<=`; among equal-time right rows the
     * highest `rightIdCol` wins).
     *
+    * `direction`: "backward" (default — latest right at-or-before, the
+    * snapshot join) or "forward" (earliest right at-or-after, e.g. "next
+    * maintenance event after each failure"). Both are the same single-sort
+    * plan, traversed in opposite time order.
+    *
     * Output: all left columns + `rightCols` each renamed with `suffix`,
-    * null where no right row precedes the left row. */
+    * null where no right row precedes (follows, for forward) the left row. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String,
                rightIdCol: String, rightCols: Seq[String],
-               suffix: String = "_asof"): DataFrame = {
+               suffix: String = "_asof",
+               direction: String = "backward"): DataFrame = {
     val leftCols = left.columns.toSeq
     val rPacked = right
       .withColumn("__t", col(rightTimeCol))
@@ -50,8 +56,17 @@ object Relational {
       .withColumn("__rtb", lit(null).cast("long"))
       .withColumn("__r", lit(null).cast(rPacked.schema("__r").dataType))
     val unioned = lTagged.unionByName(rPacked, allowMissingColumns = true)
+    // at equal time the right row always sorts first (inclusive match);
+    // equal-time right rows resolve deterministically (backward: highest
+    // rightId wins; forward: lowest)
+    val ord = direction match {
+      case "backward" => Seq(col("__t").asc, col("__side").asc, col("__rtb").asc)
+      case "forward"  => Seq(col("__t").desc, col("__side").asc, col("__rtb").desc)
+      case other => throw new IllegalArgumentException(
+        s"asofJoin direction must be backward | forward, got '$other'")
+    }
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__rtb"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

@@ -293,6 +293,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3).isNullAt(1), "other user's right rows invisible")       // lid 4
   }
 
+  test("asofJoin forward direction picks the earliest following right row") {
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 15L), (3L, 1L, 25L)).toDF("lid", "user", "t")
+    val right = Seq((10L, 1L, 10L), (11L, 1L, 15L)).toDF("rid", "user", "rt")
+    val out = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid"), direction = "forward")
+      .orderBy("lid").select("lid", "rid_asof").collect()
+    assert(out(0).getLong(1) == 10L, "t=5 → next right at 10")
+    assert(out(1).getLong(1) == 11L, "t=15 tie is inclusive")
+    assert(out(2).isNullAt(1), "t=25 has no following right")
+  }
+
   test("asofJoin breaks equal-time right rows by highest rightId deterministically") {
     val left = Seq((1L, 1L, 20L)).toDF("lid", "user", "t")
     val right = Seq((5L, 1L, 10L, 1.0), (7L, 1L, 10L, 2.0), (6L, 1L, 10L, 3.0))
