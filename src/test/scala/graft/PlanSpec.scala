@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"single-reducer window still present:\n$plan")
   }
 
+  test("text_packing plan: one shard-partitioned exchange, ROWS-framed running sum") {
+    val plan = GraftShim.explainString(SparkEntry.queries("text_packing")(spark, sf))
+    val hashParts = "hashpartitioning\\(".r.findAllIn(plan).length
+    assert(hashParts == 1, s"expected 1 hashpartitioning exchange, got $hashParts:\n$plan")
+    assert(plan.contains("specifiedwindowframe(RowFrame"),
+      s"running sum not ROWS-framed (RANGE would merge duplicate ids):\n$plan")
+  }
+
   test("text_vocab plan: per-partition top-N (TakeOrdered), no global sort") {
     val plan = GraftShim.explainString(SparkEntry.queries("text_vocab")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not TakeOrdered:\n$plan")
