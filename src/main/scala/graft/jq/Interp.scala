@@ -209,6 +209,90 @@ object Interp {
       // FORCED, not at construction (JqStream cons heads are strict,
       // unlike LazyList's — a bare #:: here would evaluate early)
       JqStream.defer(() => JqStream(evalOne(inner, in, env)))
+
+    case Semi(inner) =>
+      // ≤1-output lane (select/empty pipelines): one deferred cell, no
+      // per-element stream machinery; same forcing-time error semantics
+      JqStream.defer { () =>
+        val v = evalOpt(inner, in, env)
+        if (v eq null) JqStream.empty else JqStream(v)
+      }
+  }
+
+  /** ≤1-output evaluator for compiler-certified Semi subtrees (select /
+    * empty / their pipelines): returns the single output, or Scala `null`
+    * for "no output" (never confusable with JSON null = NullN). Must agree
+    * with `eval` on every expression StrictRewrite.atMostOne certifies —
+    * StrictPathSpec runs both lanes over the shared program corpus. The
+    * default branch falls back to forcing the stream's FIRST cell only,
+    * which is sound (and not over-forcing) precisely because the subtree
+    * is certified ≤1. */
+  def evalOpt(e: JqExpr, in: JsonNode, env: Env): JsonNode = e match {
+    case Strict(inner) => evalOne(inner, in, env)
+    case Semi(inner) => evalOpt(inner, in, env)
+    case FuncCall("select", List(c)) =>
+      if (truthy(evalOne(c, in, env))) in else null
+    case FuncCall("empty", Nil) => null
+    case Pipe(l, r) =>
+      val v = evalOpt(l, in, env)
+      if (v eq null) null else evalOpt(r, v, env)
+    case If(c, t, eOpt) =>
+      if (truthy(evalOne(c, in, env))) evalOpt(t, in, env)
+      else eOpt match {
+        case Some(x) => evalOpt(x, in, env)
+        case None => in
+      }
+    case TryCatch(body, handler) =>
+      try evalOpt(body, in, env)
+      catch {
+        case err: JqError => handler match {
+          case Some(h) => evalOpt(h, err.payload, env)
+          case None => null
+        }
+      }
+    case Alternative(l, r) =>
+      val v = try evalOpt(l, in, env) catch { case _: JqError => null }
+      if ((v ne null) && truthy(v)) v else evalOpt(r, in, env)
+    case Field(target, name, _) => // `?` desugars to TryCatch, same as eval
+      val t = evalOpt(target, in, env)
+      if (t eq null) null else fieldAccess(t, name)
+    case Index(target, idxE, _) =>
+      val t = evalOpt(target, in, env)
+      if (t eq null) null else indexAccess(t, evalOne(idxE, in, env))
+    case Neg(x) =>
+      val v = evalOpt(x, in, env)
+      if (v eq null) null
+      else if (!v.isNumber) throw JqError.of(s"${Json.typeName(v)}${preview(v)} cannot be negated")
+      else num(-v.doubleValue())
+    case BinOp("and", l, r) =>
+      val lv = evalOpt(l, in, env)
+      if (lv eq null) null
+      else if (!truthy(lv)) FalseN
+      else {
+        val rv = evalOpt(r, in, env)
+        if (rv eq null) null else bool(truthy(rv))
+      }
+    case BinOp("or", l, r) =>
+      val lv = evalOpt(l, in, env)
+      if (lv eq null) null
+      else if (truthy(lv)) TrueN
+      else {
+        val rv = evalOpt(r, in, env)
+        if (rv eq null) null else bool(truthy(rv))
+      }
+    case BinOp(op, l, r) =>
+      // right operand is the outer loop, same as eval: it runs (and may
+      // error or yield nothing) BEFORE the left side is touched
+      val rv = evalOpt(r, in, env)
+      if (rv eq null) null
+      else {
+        val lv = evalOpt(l, in, env)
+        if (lv eq null) null else binop(op, lv, rv)
+      }
+    case other =>
+      // certified ≤1: the first cell is the only cell; tail never forced
+      val s = eval(other, in, env)
+      if (s.isEmpty) null else s.head
   }
 
   /** Strict evaluator for compiler-certified always-one-output subtrees
@@ -636,6 +720,7 @@ object Interp {
     * {"start","end"} object (slice). */
   def evalPaths(e: JqExpr, root: JsonNode, env: Env): LazyList[Vector[JsonNode]] = e match {
     case Strict(inner) => evalPaths(inner, root, env)
+    case Semi(inner) => evalPaths(inner, root, env)
     case Identity => LazyList(Vector.empty)
     case RecurseDefault => allPaths(root, Vector.empty, leavesOnly = false)
     case Field(target, name, _) =>

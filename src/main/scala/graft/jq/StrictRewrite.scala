@@ -111,10 +111,51 @@ object StrictRewrite {
     case _ => false
   }
 
-  /** wrap maximal singular subtrees; recurse into stream children otherwise */
+  /** conservatively: does `e` always yield AT MOST one output (0 or 1)?
+    * The 0-output sources are select/empty (and error truncation inside
+    * try/`//`); everything composed of ≤1 parts by pipe/cartesian stays
+    * ≤1. Soundness bar mirrors `singular`: when uncertain, false. */
+  private def atMostOne(e: JqExpr, un: Set[String]): Boolean =
+    singular(e, un) || (e match {
+      case Semi(_) => true
+      case FuncCall("select", List(c)) => singular(c, un)
+      case FuncCall("empty", Nil) => true
+      case Pipe(l, r) => atMostOne(l, un) && atMostOne(r, un)
+      case If(c, t, eOpt) => // missing else = identity (1 output)
+        singular(c, un) && atMostOne(t, un) && eOpt.forall(atMostOne(_, un))
+      case TryCatch(b, h) => atMostOne(b, un) && h.forall(atMostOne(_, un))
+      case Alternative(l, r) => atMostOne(l, un) && atMostOne(r, un)
+      case Field(t, _, _) => atMostOne(t, un)
+      case Index(t, i, _) => atMostOne(t, un) && singular(i, un)
+      case Neg(x) => atMostOne(x, un)
+      case BinOp(_, l, r) => atMostOne(l, un) && atMostOne(r, un)
+      case _ => false
+    })
+
+  /** wrap maximal singular subtrees (Strict: exactly-1 lane); non-singular
+    * but ≤1 subtrees get the Semi lane; recurse into stream children
+    * otherwise */
   private def rewrite(e: JqExpr, un: Set[String]): JqExpr =
     if (singular(e, un)) Strict(rewriteInner(e, un))
+    else if (atMostOne(e, un)) Semi(rewriteSemi(e, un))
     else mapChildren(e, rewrite(_, un))
+
+  /** inside a Semi subtree: evalOpt recurses directly on the ≤1 structure;
+    * exactly-1 fragments still get their Strict wrapper (evalOpt calls
+    * evalOne for them) and anything else is rewritten normally. */
+  private def rewriteSemi(e: JqExpr, un: Set[String]): JqExpr = e match {
+    case _ if singular(e, un) => Strict(rewriteInner(e, un))
+    case FuncCall("select", List(c)) => FuncCall("select", List(rewrite(c, un)))
+    case Pipe(l, r) => Pipe(rewriteSemi(l, un), rewriteSemi(r, un))
+    case If(c, t, eOpt) => If(rewrite(c, un), rewriteSemi(t, un), eOpt.map(rewriteSemi(_, un)))
+    case TryCatch(b, h) => TryCatch(rewriteSemi(b, un), h.map(rewriteSemi(_, un)))
+    case Alternative(l, r) => Alternative(rewriteSemi(l, un), rewriteSemi(r, un))
+    case Field(t, n, o) => Field(rewriteSemi(t, un), n, o)
+    case Index(t, i, o) => Index(rewriteSemi(t, un), rewrite(i, un), o)
+    case Neg(x) => Neg(rewriteSemi(x, un))
+    case BinOp(op, l, r) => BinOp(op, rewriteSemi(l, un), rewriteSemi(r, un))
+    case other => mapChildren(other, rewrite(_, un))
+  }
 
   /** inside a Strict subtree: leave strict children bare (evalOne recurses
     * directly) but still rewrite stream-evaluated children (array bodies,
@@ -161,6 +202,7 @@ object StrictRewrite {
     case Foreach(s, _, i, u, ex) => Seq(s, i, u) ++ ex.toSeq
     case Label(_, b) => Seq(b)
     case Strict(x) => Seq(x)
+    case Semi(x) => Seq(x)
     case _ => Nil
   }
 
@@ -196,6 +238,7 @@ object StrictRewrite {
     case Foreach(s, pat, i, u, ex) => Foreach(f(s), pat, f(i), f(u), ex.map(f))
     case Label(n, b) => Label(n, f(b))
     case Strict(x) => Strict(f(x))
+    case Semi(x) => Semi(f(x))
     case leaf => leaf
   }
 }

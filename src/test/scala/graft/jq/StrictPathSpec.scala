@@ -22,7 +22,17 @@ class StrictPathSpec extends AnyFunSuite {
     ".nonexistent | not", "(.a // []) | map(. * 2) | add // 0",
     "(.o // {}) | keys", "[paths] | length", "del(.k)",
     ".k |= (. // 0) + 1", "(.a // [1])[0]", "getpath([\"o\",\"x\"]) // null",
-    "tojson | fromjson", "[.[]?] | length")
+    "tojson | fromjson", "[.[]?] | length",
+    // ≤1-cardinality (Semi) lane: select/empty pipelines
+    "select(.k)", "select(.k > 50)", ".k | select(. > 50) | . * 2",
+    "[.a[]? | select(. > 1) | . + 10]", "select(.k) // \"none\"",
+    "empty // 7", "select(.missing) // 0",
+    "if .k then select(.k > 100) else -1 end",
+    "try (select(.k) | .k + \"x\") catch \"typed\"",
+    "[.a[]? | select(. % 2 == 1)] | length",
+    ".k | select(. != null) | tostring",
+    "(select(.k) | .k) // -5", "-(select(.k))",
+    "select(.k) and true", "select(.k > 1000) or false")
 
   test("strict and stream paths produce identical outputs") {
     for (p <- programs; in <- inputs) {
@@ -44,5 +54,16 @@ class StrictPathSpec extends AnyFunSuite {
   test("stream-only constructs are not wrapped") {
     val ast = StrictRewrite(Parser.parse(".[] | select(.x)"))
     assert(!ast.isInstanceOf[JqExpr.Strict])
+  }
+
+  test("select pipelines get the Semi (at-most-one) lane") {
+    val ast = StrictRewrite(Parser.parse(".[] | select(.x > 1) | {y: .x}"))
+    // the per-element body right of the iterator must be Semi-wrapped
+    def hasSemi(e: JqExpr): Boolean = e match {
+      case JqExpr.Semi(_) => true
+      case JqExpr.Pipe(l, r) => hasSemi(l) || hasSemi(r)
+      case _ => false
+    }
+    assert(hasSemi(ast), s"no Semi lane in $ast")
   }
 }
