@@ -70,6 +70,11 @@ object Interp {
     // streams or concat cells per element (the dominant UDTF shape,
     // `.[] | {…}`, hits this)
     case Pipe(l, Strict(x)) => eval(l, in, env).map(v => evalOne(x, v, env))
+    case Pipe(l, Semi(x)) => // `.[] | select(…) | …`: filter-map, no Defer/flatCont cells
+      eval(l, in, env).flatMap { v =>
+        val r = evalOpt(x, v, env)
+        if (r eq null) JqStream.empty else JqStream(r)
+      }
     case Pipe(l, r) => eval(l, in, env).flatMap(v => eval(r, v, env))
     case Comma(l, r) => eval(l, in, env) #::: eval(r, in, env)
 

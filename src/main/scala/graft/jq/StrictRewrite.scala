@@ -118,8 +118,10 @@ object StrictRewrite {
   private def atMostOne(e: JqExpr, un: Set[String]): Boolean =
     singular(e, un) || (e match {
       case Semi(_) => true
-      case FuncCall("select", List(c)) => singular(c, un)
-      case FuncCall("empty", Nil) => true
+      // !un guard: a user-redefined select/empty has arbitrary semantics
+      // and cardinality — evalOpt's hardcoded cases must never see it
+      case FuncCall("select", List(c)) => !un("select") && singular(c, un)
+      case FuncCall("empty", Nil) => !un("empty")
       case Pipe(l, r) => atMostOne(l, un) && atMostOne(r, un)
       case If(c, t, eOpt) => // missing else = identity (1 output)
         singular(c, un) && atMostOne(t, un) && eOpt.forall(atMostOne(_, un))

@@ -32,7 +32,10 @@ class StrictPathSpec extends AnyFunSuite {
     "[.a[]? | select(. % 2 == 1)] | length",
     ".k | select(. != null) | tostring",
     "(select(.k) | .k) // -5", "-(select(.k))",
-    "select(.k) and true", "select(.k > 1000) or false")
+    "select(.k) and true", "select(.k > 1000) or false",
+    // user-redefined select/empty must keep USER semantics in every lane
+    "def select(f): 123; .o | select(.b)", "def f(empty): empty; f(5)",
+    "def empty: 9; [empty]")
 
   test("strict and stream paths produce identical outputs") {
     for (p <- programs; in <- inputs) {
