@@ -113,7 +113,13 @@ object TopKPairs {
     * `groupCols`, the `k` rows with the highest `scoreCol` (ties broken by
     * ascending `idCol`). Output: groupCols*, rank (1-based), id, score.
     * Unlike `row_number() OVER (PARTITION BY …)`, no reducer ever receives
-    * a group's full row set — each task pre-reduces to ≤ k map-side. */
+    * a group's full row set — each task pre-reduces to ≤ k map-side.
+    *
+    * NULL contract: rows whose score or id is NULL are ignored (never
+    * ranked), and a group in which EVERY row has a NULL score or id emits
+    * no output rows at all — unlike the window formulation, which ranks
+    * null-score rows last. Callers that need such groups to survive should
+    * coalesce the score to a sentinel before calling. */
   def perGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                idCol: String, k: Int): DataFrame = {
     // integral types only: a silent cast("long") would truncate fractional

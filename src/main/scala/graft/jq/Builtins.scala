@@ -137,10 +137,12 @@ object Builtins {
     val sb = new StringBuilder(re.length + 8)
     var i = 0
     var inClass = false
+    var classStart = false // just after '[' or '[^': a ']' there is literal
     while (i < re.length) {
       val c = re.charAt(i)
-      if (c == '\\' && i + 1 < re.length) { sb.append(c).append(re.charAt(i + 1)); i += 2 }
+      if (c == '\\' && i + 1 < re.length) { classStart = false; sb.append(c).append(re.charAt(i + 1)); i += 2 }
       else if (inClass && c == '[' && i + 1 < re.length && re.charAt(i + 1) == ':') {
+        classStart = false
         val end = re.indexOf(":]", i + 2)
         val raw = if (end > 0) re.substring(i + 2, end) else ""
         val neg = raw.startsWith("^")
@@ -152,8 +154,10 @@ object Builtins {
         }
       }
       else {
-        if (c == '[' && !inClass) inClass = true
-        else if (c == ']' && inClass) inClass = false
+        if (c == '[' && !inClass) { inClass = true; classStart = true }
+        else if (c == '^' && classStart) () // [^ keeps the start position
+        else if (c == ']' && inClass && !classStart) inClass = false
+        else classStart = false // ']' right after '[' / '[^' is a literal
         sb.append(c); i += 1
       }
     }

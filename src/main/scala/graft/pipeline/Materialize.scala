@@ -42,7 +42,10 @@ private[graft] object Materialize {
         s"$ConfKey must be localCheckpoint | checkpoint | persist, got '$other'")
     }
 
-  /** Releases an intermediate once superseded — no-op for the checkpoint
-    * strategies (their blocks are RDD-owned / on reliable storage). */
-  def release(df: DataFrame): Unit = df.unpersist()
+  /** Releases an intermediate once superseded. Only the persist strategy
+    * parks a CacheManager entry that needs explicit release; the checkpoint
+    * strategies' blocks are RDD-owned / on reliable storage, so release is
+    * genuinely a no-op there (not a per-call CacheManager lookup miss). */
+  def release(df: DataFrame): Unit =
+    if (df.sparkSession.conf.get(ConfKey, "localCheckpoint") == "persist") df.unpersist()
 }

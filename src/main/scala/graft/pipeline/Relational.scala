@@ -37,7 +37,14 @@ object Relational {
     * plan, traversed in opposite time order.
     *
     * Output: all left columns + `rightCols` each renamed with `suffix`,
-    * null where no right row precedes (follows, for forward) the left row. */
+    * null where no right row precedes (follows, for forward) the left row.
+    *
+    * NULL time semantics match pandas merge_asof / DuckDB ASOF: a right row
+    * with NULL `rightTimeCol` can never be a match (filtered before the
+    * union — under Spark's nulls-first ascending sort it would otherwise
+    * become the running-last match for left rows with no true predecessor),
+    * and a left row with NULL `leftTimeCol` matches nothing (ordered before
+    * every right row in both directions). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String,
                rightIdCol: String, rightCols: Seq[String],
@@ -45,6 +52,7 @@ object Relational {
                direction: String = "backward"): DataFrame = {
     val leftCols = left.columns.toSeq
     val rPacked = right
+      .where(col(rightTimeCol).isNotNull)
       .withColumn("__t", col(rightTimeCol))
       .withColumn("__side", lit(0))
       .withColumn("__rtb", col(rightIdCol).cast("long"))
@@ -59,9 +67,12 @@ object Relational {
     // at equal time the right row always sorts first (inclusive match);
     // equal-time right rows resolve deterministically (backward: highest
     // rightId wins; forward: lowest)
+    // null-time LEFT rows must sort before every right row in either
+    // direction (asc default is nulls-first; desc needs the explicit form)
+    // so their running last() sees no right struct and yields no match
     val ord = direction match {
-      case "backward" => Seq(col("__t").asc, col("__side").asc, col("__rtb").asc)
-      case "forward"  => Seq(col("__t").desc, col("__side").asc, col("__rtb").desc)
+      case "backward" => Seq(col("__t").asc_nulls_first, col("__side").asc, col("__rtb").asc)
+      case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc, col("__rtb").desc)
       case other => throw new IllegalArgumentException(
         s"asofJoin direction must be backward | forward, got '$other'")
     }

@@ -559,6 +559,10 @@ class JqEngineSpec extends AnyFunSuite {
     // outside a class, [:alpha:] is an ordinary bracket expression
     assert(run1("""test("[:a]")""", "\"a\"") == "true")
     assert(run1("""test("[:a]")""", "\"b\"") == "false")
+    // literal ']' in first position must not desync the class tracker
+    // (java.util.regex accepts []…] / [^]…] like Oniguruma)
+    assert(run1("""gsub("[][:digit:]]"; "#")""", "\"a]1b\"") == "\"a##b\"")
+    assert(run1("""gsub("[^][:digit:]]"; "_")""", "\"a]1b\"") == "\"_]1_\"")
   }
 
   test("uppercase GROUP_BY / UNIQUE_BY / ANY / ALL") {

@@ -304,6 +304,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1), "t=25 has no following right")
   }
 
+  test("asofJoin never matches NULL-time rows, either side, either direction") {
+    // right rows with NULL rt would otherwise sort nulls-first and become
+    // the running-last match for left rows with no true predecessor
+    val left = Seq((1L, 1L, Option(5L)), (2L, 1L, Option.empty[Long]))
+      .toDF("lid", "user", "t")
+    val right = Seq((10L, 1L, Option.empty[Long], 1.0), (11L, 1L, Option(20L), 2.0))
+      .toDF("rid", "user", "rt", "v")
+    val back = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid", Seq("rid"))
+      .orderBy("lid").select("rid_asof").collect()
+    assert(back(0).isNullAt(0), "null-rt right row must not match t=5")
+    assert(back(1).isNullAt(0), "null-t left row matches nothing")
+    val fwd = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid"), direction = "forward")
+      .orderBy("lid").select("rid_asof").collect()
+    assert(fwd(0).getLong(0) == 11L, "t=5 → next real right at 20")
+    assert(fwd(1).isNullAt(0), "null-t left row matches nothing under desc order either")
+  }
+
   test("asofJoin breaks equal-time right rows by highest rightId deterministically") {
     val left = Seq((1L, 1L, 20L)).toDF("lid", "user", "t")
     val right = Seq((5L, 1L, 10L, 1.0), (7L, 1L, 10L, 2.0), (6L, 1L, 10L, 3.0))
@@ -337,6 +355,17 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Int, Long, Long)].collect().toSet
     // score DESC, id ASC: group a → (30,2),(30,3); group b → (5,9)
     assert(got == Set(("a", 1, 2L, 30L), ("a", 2, 3L, 30L), ("b", 1, 9L, 5L)))
+  }
+
+  test("TopKPairs.perGroup ignores null scores/ids and drops all-null groups") {
+    val df = Seq(("a", Option(10L), Option(1L)), ("a", Option.empty[Long], Option(2L)),
+                 ("b", Option.empty[Long], Option(9L)), ("c", Option(7L), Option.empty[Long]))
+      .toDF("g", "score", "id")
+    val got = graft.functions.TopKPairs.perGroup(df, Seq("g"), "score", "id", 2)
+      .as[(String, Int, Long, Long)].collect().toSet
+    // documented contract: null score/id rows never rank; groups b and c
+    // (all rows null in one input) emit nothing
+    assert(got == Set(("a", 1, 1L, 10L)))
   }
 
   test("splitBucket is deterministic, uniform-ish, and a pure map") {
