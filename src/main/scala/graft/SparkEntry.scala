@@ -623,6 +623,35 @@ object SparkEntry {
         .select("doc_id", "lang", "quality_score")
         .orderBy("doc_id")
     },
+    "dedup_crosscorpus" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // incremental-batch gate: docs with id % 5 == 0 play the already-
+      // shipped reference corpus; the rest are the fresh batch, admitted
+      // only if their normalized content is absent from the reference.
+      // Reference hash set broadcast — the fresh (100 TB) side never shuffles
+      val docs = s.table("documents")
+      pipeline.Dedup.crossCorpus(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0), "text", broadcastRef = true)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    "pipeline_sample_stratified" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // language rebalancing: keep 50% of en, 25% of de, 12.5% of the rest,
+      // deterministically by md5 bucket — a pure map, stream-safe
+      pipeline.TextAnalysis.stratifiedSample(s.table("documents"), "doc_id", "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.125)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    "text_lm_score" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // corpus-trained bigram LM typicality score, integer-exact (see
+      // TextAnalysis.bigramLmScore scaladoc for the plan shape)
+      pipeline.TextAnalysis.bigramLmScore(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
@@ -1065,6 +1094,41 @@ object SparkEntry {
          FROM lg JOIN med ON med.lang = lg.lang
          WHERE lg.quality_score >= med.p50
          ORDER BY doc_id""",
+    "dedup_crosscorpus" ->
+      """SELECT f.doc_id, f.lang FROM documents f
+         WHERE f.doc_id % 5 <> 0 AND NOT EXISTS (
+           SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0
+             AND md5(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
+               = md5(regexp_replace(lower(f.text), '\s+', ' ', 'g')))
+         ORDER BY f.doc_id""",
+    "pipeline_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+           FROM documents) t
+         WHERE b < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 ELSE 32 END
+         ORDER BY doc_id""",
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+                       THEN list_transform(range(len(ws) - 1), i -> [ws[i+1], ws[i+2]])
+                       ELSE [] END AS bgs FROM w),
+              gg AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+                     FROM (SELECT doc_id, unnest(bgs) AS bg FROM g0) u),
+              uni AS (SELECT w1, count(*) AS c1 FROM gg GROUP BY w1),
+              bi AS (SELECT w1, w2, count(*) AS c2 FROM gg GROUP BY w1, w2),
+              sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                            sum((1000000 * c2) // c1) AS ppm_sum
+                     FROM gg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+                     GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(sc.ppm_sum, 0) AS BIGINT) AS ppm_sum,
+                CAST(coalesce(sc.ppm_sum // sc.n_bigrams, 0) AS BIGINT) AS lm_ppm
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
               d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,

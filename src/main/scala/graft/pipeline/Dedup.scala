@@ -46,6 +46,27 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Cross-corpus (incremental) dedup: admit rows of `fresh` whose
+    * normalized content does NOT already exist in `ref` — the curation step
+    * that gates every new crawl batch against the corpus already shipped.
+    *
+    * Plan shape: the reference side reduces to a DISTINCT set of content
+    * hashes (map-side partial distinct), then a LEFT ANTI join on the hash.
+    * With `broadcastRef` the reference hash set broadcasts and the fresh
+    * side — the 100 TB side — is scanned once and never shuffled; without
+    * it, both sides co-partition on the hash (the right shape when the
+    * reference corpus is itself huge). Normalization matches [[exact]]
+    * (md5 over whitespace-collapsed lowercase) so the two compose, and the
+    * same hash is DuckDB-expressible for the oracle. */
+  def crossCorpus(fresh: DataFrame, ref: DataFrame, textCol: String,
+                  broadcastRef: Boolean = false): DataFrame = {
+    def norm(t: Column) = md5(regexp_replace(lower(t), "\\s+", " "))
+    val refHashes = ref.select(norm(col(textCol)).as("__h")).distinct()
+    fresh.withColumn("__h", norm(col(textCol)))
+      .join(if (broadcastRef) broadcast(refHashes) else refHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** MinHash/LSH candidate pairs: (a, b) with a < b sharing ≥1 LSH band.
     * numHashes = bands × rowsPerBand. Oversized buckets (skew guard) are
     * dropped — at 100 TB a degenerate bucket (e.g. boilerplate docs) would

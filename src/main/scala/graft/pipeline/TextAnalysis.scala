@@ -157,6 +157,74 @@ object TextAnalysis {
   def splitBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
 
+  /** 256-way sampling bucket: the first two md5 hex digits of the id
+    * (0–255). Same construction as [[splitBucket]], one more digit of
+    * resolution so per-stratum fractions quantize to 1/256 steps. */
+  def sampleBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int") * 16 +
+      conv(substring(md5(id.cast("string")), 2, 1), 16, 10).cast("int"))
+
+  /** Deterministic stratified sampling: keep a row iff its [[sampleBucket]]
+    * falls below `floor(fraction(stratum) * 256)` — e.g. rebalancing a
+    * corpus by language before training. Content-independent, identical
+    * across engines and runs, and a PURE MAP (no shuffle, no state): works
+    * unchanged on a stream and composes with any downstream op. Fractions
+    * quantize to 1/256 (floor), so fraction 0.5 keeps buckets 0–127
+    * exactly. Strata absent from `fractions` use `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    def thresh(f: Double): Int = {
+      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
+      math.floor(f * 256).toInt
+    }
+    val cut = fractions.foldRight(lit(thresh(defaultFraction)): Column) {
+      case ((s, f), acc) => when(col(stratumCol) === s, lit(thresh(f))).otherwise(acc)
+    }
+    df.where(sampleBucket(col(idCol)) < cut)
+  }
+
+  /** Corpus-trained bigram language-model scoring — the classic "how
+    * typical is this document of the corpus" signal (cheap stand-in for
+    * model perplexity in curation pipelines; low scores flag gibberish /
+    * OCR noise, suspiciously high ones flag boilerplate).
+    *
+    * P(w2 | w1) is estimated from the corpus itself as c(w1,w2) / c(w1·)
+    * (c(w1·) = bigrams starting with w1). Per-doc output: `n_bigrams`,
+    * `ppm_sum` = Σ floor(1e6·c2 / c1) over the doc's bigrams, and their
+    * ratio `lm_ppm` — all INTEGER arithmetic (1e6·c2 DIV c1), so the
+    * DuckDB oracle matches bit-for-bit where a log-prob would drift ulps.
+    *
+    * Plan shape: the exploded bigram stream is materialized once and
+    * consumed three times (unigram counts, bigram counts, re-join); the
+    * count tables aggregate with map-side partials and are vocabulary-
+    * sized (≪ corpus), the probability join co-partitions grams and counts
+    * on (w1,w2), and the per-doc rollup is one more keyed shuffle. Docs
+    * with < 2 words survive with zero counts (left join back to ids). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    // sequence(0, n) flips to a DESCENDING range when n < 0 — guard short docs
+    val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => struct(element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val grams = Materialize(df.select(col(idCol), explode(bigrams).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2")))
+    val uni = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val probs = bi.join(uni, "w1")
+      .select(col("w1"), col("w2"), expr("1000000 * c2 DIV c1").as("ppm"))
+    val scored = grams.join(probs, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("ppm_sum"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ppm_sum"), lit(0L)).as("ppm_sum"),
+        coalesce(expr("ppm_sum DIV n_bigrams"), lit(0L)).as("lm_ppm"))
+  }
+
   /** Sequence packing: lay documents out into fixed-size context windows
     * (the "pack to 4096 tokens" step before tokenized training). Documents
     * are sharded (`idCol % shards` — mirrorable arithmetic), and within a

@@ -368,6 +368,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(("a", 1, 1L, 10L)))
   }
 
+  test("crossCorpus admits only fresh docs absent from the reference corpus") {
+    val ref = Seq((100L, "The quick   brown fox")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox"), // same normalized content as ref 100
+      (2L, "an entirely new document")).toDF("doc_id", "text")
+    val admitted = Dedup.crossCorpus(fresh, ref, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L))
+    val bcast = Dedup.crossCorpus(fresh, ref, "text", broadcastRef = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bcast == Set(2L))
+  }
+
+  test("stratifiedSample keeps exact fractions' buckets, deterministically") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("id", "lang")
+    val all = TextAnalysis.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L), "fraction 1.0 keeps every en row, 0.0 drops the rest")
+    val big = spark.range(0, 2000).toDF("id").withColumn("lang", lit("en"))
+    val n = TextAnalysis.stratifiedSample(big, "id", "lang", Map("en" -> 0.25)).count()
+    assert(math.abs(n - 500) < 120, s"~25% expected, got $n")
+    val again = TextAnalysis.stratifiedSample(big, "id", "lang", Map("en" -> 0.25)).count()
+    assert(n == again, "content-hash sampling is deterministic")
+  }
+
+  test("bigramLmScore matches hand-computed conditional counts") {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // c(a·)=2; P(b|a)=P(c|a)=1/2 → ppm 500000; "x" has no bigram
+    assert(got == Set((1L, 1L, 500000L, 500000L), (2L, 1L, 500000L, 500000L),
+      (3L, 0L, 0L, 0L)))
+  }
+
   test("splitBucket is deterministic, uniform-ish, and a pure map") {
     val ids = spark.range(0, 4000).toDF("id")
     val b = TextAnalysis.splitBucket(col("id"))
