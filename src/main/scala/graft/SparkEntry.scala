@@ -277,6 +277,52 @@ object SparkEntry {
         ORDER BY rev_cents DESC, c_custkey
         LIMIT 20""")
     },
+    "rel_q4_priority" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // TPC-H Q4 shape: order-priority checking — correlated EXISTS over
+      // the fact table (planned as a left-semi shuffle join) + date range
+      s.sql("""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority""")
+    },
+    "rel_q12_shipmode" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // TPC-H Q12 shape: conditional (CASE-summed) aggregation after a
+      // fact-fact join, returnflag standing in for the absent l_shipmode
+      s.sql("""
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag""")
+    },
+    "rel_q19_disjunctive" -> { (s, dir) =>
+      prep(s, dir, "part", "lineitem")
+      // TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+      // predicates across a join — exercises OR-predicate pushdown and
+      // join-condition extraction from the disjunction
+      s.sql("""
+        SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""")
+    },
     "rel_exists_semi" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       s.sql("""
@@ -814,6 +860,36 @@ object SparkEntry {
          GROUP BY c.c_custkey, c.c_name
          ORDER BY rev_cents DESC, c_custkey
          LIMIT 20""",
+    "rel_q4_priority" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
+    "rel_q12_shipmode" ->
+      """SELECT l.l_returnflag,
+                CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders o
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l.l_returnflag
+         ORDER BY l.l_returnflag""",
+    "rel_q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""",
     "rel_exists_semi" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders o
