@@ -171,13 +171,22 @@ object Interp {
     case Reduce(src, pattern, initE, update) =>
       eval(initE, in, env).flatMap { init =>
         var acc: Option[JsonNode] = Some(init)
-        eval(src, in, env).foreach { v =>
-          if (acc.isDefined) {
-            destructure(pattern, v, in, env).headOption.foreach { binds =>
-              val outs = eval(update, acc.get, env.withVars(binds))
-              acc = outs.lastOption // empty update → whole reduce yields nothing (jq 1.6)
+        (pattern, update) match {
+          // `as $x` + certified-1 update: no destructure list, no Option,
+          // no per-iteration stream cells — the common reduce shape
+          case (Pattern.PVar(name), Strict(u)) =>
+            var a = init
+            eval(src, in, env).foreach(v => a = evalOne(u, a, env.withVar(name, v)))
+            acc = Some(a)
+          case _ =>
+            eval(src, in, env).foreach { v =>
+              if (acc.isDefined) {
+                destructure(pattern, v, in, env).headOption.foreach { binds =>
+                  val outs = eval(update, acc.get, env.withVars(binds))
+                  acc = outs.lastOption // empty update → whole reduce yields nothing (jq 1.6)
+                }
+              }
             }
-          }
         }
         JqStream.from(acc)
       }
@@ -186,15 +195,29 @@ object Interp {
       eval(initE, in, env).flatMap { init =>
         var acc = init
         eval(src, in, env).flatMap { v =>
-          destructure(pattern, v, in, env).headOption match {
-            case None => JqStream.empty
-            case Some(binds) =>
-              val env2 = env.withVars(binds)
-              val outs = eval(update, acc, env2).toList
-              outs.lastOption.foreach(acc = _)
+          (pattern, update) match {
+            // `as $x` + certified-1 update: single binding, single output —
+            // skip destructure/toList (stream forces cells in order, so the
+            // mutable `acc` advances exactly once per source element)
+            case (Pattern.PVar(name), Strict(u)) =>
+              val env2 = env.withVar(name, v)
+              val out = evalOne(u, acc, env2)
+              acc = out
               extract match {
-                case None => JqStream.from(outs)
-                case Some(ex) => JqStream.from(outs).flatMap(o => eval(ex, o, env2))
+                case None => JqStream(out)
+                case Some(ex) => eval(ex, out, env2)
+              }
+            case _ =>
+              destructure(pattern, v, in, env).headOption match {
+                case None => JqStream.empty
+                case Some(binds) =>
+                  val env2 = env.withVars(binds)
+                  val outs = eval(update, acc, env2).toList
+                  outs.lastOption.foreach(acc = _)
+                  extract match {
+                    case None => JqStream.from(outs)
+                    case Some(ex) => JqStream.from(outs).flatMap(o => eval(ex, o, env2))
+                  }
               }
           }
         }
@@ -371,17 +394,28 @@ object Interp {
       }
     case As(src, List(pattern), body) =>
       val v = evalOne(src, in, env)
-      val binds = destructure(pattern, v, in, env).head
-      evalOne(body, in, env.withVars(binds))
+      pattern match {
+        case Pattern.PVar(name) => evalOne(body, in, env.withVar(name, v))
+        case _ =>
+          val binds = destructure(pattern, v, in, env).head
+          evalOne(body, in, env.withVars(binds))
+      }
     case If(cond, thenB, elseB) =>
       if (truthy(evalOne(cond, in, env))) evalOne(thenB, in, env)
       else elseB.map(evalOne(_, in, env)).getOrElse(in)
     case Reduce(src, pattern, initE, update) =>
       var acc = evalOne(initE, in, env)
-      eval(src, in, env).foreach { v =>
-        destructure(pattern, v, in, env).headOption.foreach { binds =>
-          acc = evalOne(update, acc, env.withVars(binds))
-        }
+      pattern match {
+        // `as $x`: exactly one binding, no destructure list / Option per
+        // source element (the dominant reduce shape)
+        case Pattern.PVar(name) =>
+          eval(src, in, env).foreach(v => acc = evalOne(update, acc, env.withVar(name, v)))
+        case _ =>
+          eval(src, in, env).foreach { v =>
+            destructure(pattern, v, in, env).headOption.foreach { binds =>
+              acc = evalOne(update, acc, env.withVars(binds))
+            }
+          }
       }
       acc
     case Assign("|=", pathE, valueE) =>
