@@ -210,6 +210,18 @@ object Dedup {
     * label(x) ≤ x), so the per-round convergence test is a scalar —
     * sum(label) unchanged ⟺ no label changed — computed on the
     * already-materialized checkpoint, with no extra join or shuffle.
+    * The sums compared are CONSECUTIVE HOOK sums: the chain
+    * hooked(i−1) ≥ jumped(i−1) ≥ hooked(i) is pointwise monotone, so
+    * equal endpoint sums force equality everywhere between — one scalar
+    * action per round, none on the jump frame.
+    *
+    * Shuffle shape per round: the edge table is hash-partitioned on the
+    * join key ONCE up front (and each round's hook output arrives
+    * partitioned by node from its own groupBy), so the hook join runs
+    * without re-exchanging the edges — only the groupBy and the jump's
+    * self-join move data. At 100 TB the edge table is the big side; not
+    * re-shuffling it every round is the difference between O(rounds) and
+    * O(1) passes over the edges.
     * `maxIters` is a safety cap only; if labels are still changing when it
     * is hit the method THROWS rather than silently returning truncated
     * groups (the at-scale failure mode: a duplicate chain longer than the
@@ -219,10 +231,14 @@ object Dedup {
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIters: Int = 40): DataFrame = {
     // self-loops make every node its own neighbor, so one join+groupBy per
-    // round covers both "keep own label" and "take neighbors' min"
+    // round covers both "keep own label" and "take neighbors' min".
+    // repartition(y): materialize the edges already partitioned on the
+    // per-round join key — every hook join then reuses this one exchange
+    // instead of re-shuffling the (large) edge table each round
     val edges = Materialize(pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
-      .union(ids.select(col("id").as("x"), col("id").as("y"))))
+      .union(ids.select(col("id").as("x"), col("id").as("y")))
+      .repartition(col("y")))
     var labels = Materialize(ids.select(col("id"), col("id").as("label")))
     // decimal sum: exact at any node count (a bigint sum could overflow at
     // 10^9+ rows of 10^9+ ids, turning the convergence test into UB)
@@ -243,16 +259,19 @@ object Dedup {
       val prev = labels
       if (sH.compareTo(prevSum) == 0) {
         // hook-fixpoint ⟺ converged: labels are constant across every edge,
-        // so each component already carries its minimum — skip the jump
+        // so each component already carries its minimum — skip the jump.
+        // (Comparing consecutive HOOK sums is sound by the monotone chain
+        // hooked(i−1) ≥ jumped(i−1) ≥ hooked(i): equal sums at the ends
+        // force pointwise equality throughout.)
         converged = true
         labels = hooked
         Materialize.release(prev)
       } else {
+        prevSum = sH
         val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
           .select(col("h1.id").as("id"), col("h2.label").as("label"))
-        labels = Materialize(jumped)
-        prevSum = labelSum(labels) // forces materialization before inputs are released
-        Materialize.release(hooked)
+        labels = Materialize(jumped) // eager under the checkpoint strategies;
+        Materialize.release(hooked)  // persist keeps lineage, so release is safe
         Materialize.release(prev)
       }
       i += 1
