@@ -323,6 +323,26 @@ object SparkEntry {
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""")
     },
+    "rel_range_join" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // point-in-interval range join WITHOUT an inequality join: 7-day
+      // "promotion windows" (sampled orders) matched against every
+      // lineitem ship date via the binned equi-join (see Relational.rangeJoin)
+      val epoch = lit("1970-01-01").cast("date")
+      val intervals = s.table("orders").where(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 7)
+      val points = s.table("lineitem")
+        .select(datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
+          col("l_quantity"))
+      pipeline.Relational.rangeJoin(points, intervals,
+          "ship_day", "start_day", "end_day", bin = 7L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("window_id")
+    },
     "rel_exists_semi" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       s.sql("""
@@ -890,6 +910,15 @@ object SparkEntry {
          WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
             OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
             OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""",
+    "rel_range_join" ->
+      """SELECT o.o_orderkey AS window_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM orders o
+         JOIN lineitem l ON l.l_shipdate >= o.o_orderdate
+                        AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         WHERE o.o_orderkey % 997 = 0
+         GROUP BY o.o_orderkey
+         ORDER BY window_id""",
     "rel_exists_semi" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders o

@@ -10,6 +10,47 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Point-in-interval range join WITHOUT an inequality join: every
+    * (point, interval) pair with `start <= point < end`.
+    *
+    * Spark plans a bare `ON p >= s AND p < e` as BroadcastNestedLoopJoin —
+    * O(|points| × |intervals|) and a guaranteed non-starter at scale. This
+    * operator makes the join an EQUI join on a time bin: intervals are
+    * exploded to the bins they overlap (ceil(len/bin)+1 rows each), points
+    * map to exactly one bin, the join runs hash-partitioned on the bin,
+    * and the residual `start <= p < e` predicate filters within the bin —
+    * the standard OLAP binned-range-join recipe (DuckDB/Trino implement
+    * the same idea natively as an IEJoin/bin variant).
+    *
+    * An interval spanning k bins appears k times pre-join but each point
+    * matches in exactly ONE bin (its own), so no post-join dedup is needed.
+    * `bin` should be chosen near the typical interval length: much smaller
+    * explodes intervals into many bins; much larger packs unrelated rows
+    * into one bin (both still correct — the residual filter trims).
+    * Skewed bins (a hot hour) are ordinary join skew — AQE's skew-join
+    * split applies, which a nested-loop join would not get.
+    *
+    * `points`/`intervals` carry arbitrary columns; output = every point
+    * column + every interval column (names must not collide), one row per
+    * qualifying pair. Time columns are numeric (cast timestamps to epoch
+    * seconds/days upstream so `bin` has explicit units). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, startCol: String, endCol: String,
+                bin: Long): DataFrame = {
+    require(bin > 0, s"bin must be positive, got $bin")
+    val iBinned = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) < col(endCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(startCol) / bin).cast("long"),
+        floor((col(endCol) - 1) / bin).cast("long"))))
+    val pBinned = points
+      .where(col(pointCol).isNotNull)
+      .withColumn("__bin", floor(col(pointCol) / bin).cast("long"))
+    pBinned.join(iBinned, Seq("__bin"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** Backward as-of join: for every left row, the single most recent right
     * row with `right.timeCol <= left.timeCol` in the same `keyCols` group
     * (the time-series "latest snapshot at event time" join; pandas

@@ -275,6 +275,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("still changing"))
   }
 
+  test("rangeJoin matches points to intervals exactly, half-open, no nested loop") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L), (5L, 100L))
+      .toDF("pid", "t")
+    val intervals = Seq((10L, 0L, 10L), (20L, 10L, 20L), (30L, 5L, 6L), (40L, 0L, 100L))
+      .toDF("iid", "s", "e")
+    val out = Relational.rangeJoin(points, intervals, "t", "s", "e", bin = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // half-open [s, e): t=10 joins [10,20) not [0,10); t=100 outside [0,100);
+    // the 25-bin interval [0,100) matches each point exactly once
+    assert(out == Set((1L, 10L), (1L, 30L), (1L, 40L), (2L, 20L), (2L, 40L),
+      (3L, 20L), (3L, 40L), (4L, 40L)))
+    val plan = Relational.rangeJoin(points, intervals, "t", "s", "e", bin = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi join on the bin:\n$plan")
+  }
+
+  test("rangeJoin ignores null and empty intervals and null points") {
+    val points = Seq((1L, Option(5L)), (2L, Option.empty[Long])).toDF("pid", "t")
+    val intervals = Seq((10L, Option(0L), Option(10L)), (20L, Option(5L), Option(5L)),
+      (30L, Option.empty[Long], Option(10L))).toDF("iid", "s", "e")
+    val out = Relational.rangeJoin(points, intervals, "t", "s", "e", bin = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("asofJoin picks the nearest preceding right row; ties inclusive, nulls carried") {
     val left = Seq((1L, 1L, 5L), (2L, 1L, 15L), (3L, 1L, 25L), (4L, 2L, 7L))
       .toDF("lid", "user", "t")
