@@ -593,6 +593,15 @@ object SparkEntry {
           nLists = 16, nProbe = 10)
         .orderBy("query_id", "rank")
     },
+    "ann_pq_topk" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // product-quantization ADC scan + exact rerank — rows-only (the
+      // quantizer is data-defined); recall floor measured in PipelineSpec
+      val emb = s.table("embeddings")
+      pipeline.Similarity.pqTopK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    },
     "text_langid" -> { (s, dir) =>
       prep(s, dir, "documents")
       s.table("documents")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -48,4 +48,147 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nPro
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
   override def prettyName: String = "nearest_centroids"
+}
+
+/** pq_codes(vec) → array<int>: product-quantization codes — the vector is
+  * unit-normalized, split into `codebooks.length` contiguous subvectors,
+  * and each subvector is replaced by the index of its nearest (L2) entry
+  * in that subspace's codebook. `codebooks(m)(k)(d)` is a plan-time
+  * constant trained driver-side (see Similarity.trainPqCodebooks).
+  *
+  * This is the corpus-side compression pass of PQ search: a dim-float
+  * vector becomes m small ints (m bytes on disk at ksub ≤ 256) — the
+  * representation the ADC scan reads INSTEAD of raw vectors, which is
+  * what makes an exhaustive approximate scan affordable at 100 TB. */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val unit = PqSupport.unitVec(vec, dim)
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < book.length) {
+        val cent = book(k)
+        var d = 0.0
+        var j = 0
+        while (j < dsub && off + j < dim) {
+          val t = unit(off + j) - cent(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
+/** pq_lut(vec) → array<double> (m·ksub, flattened): the query-side ADC
+  * lookup table — dot product of the query's unit-normalized subvector
+  * with every codebook entry of its subspace. `pq_adc` then scores a
+  * candidate as Σₘ lut[m·ksub + code_m] ≈ cosine(query, candidate),
+  * m additions per candidate instead of a dim-length dot product. */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val unit = PqSupport.unitVec(vec, dim)
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val lut = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var k = 0
+      while (k < ksub) {
+        val cent = book(k)
+        var dot = 0.0
+        var j = 0
+        while (j < dsub && off + j < dim) { dot += unit(off + j) * cent(j); j += 1 }
+        lut(s * ksub + k) = dot
+        k += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+/** pq_adc(codes, lut) → double: asymmetric-distance-computation score,
+  * Σₘ lut[m·ksub + codes[m]]. The hot inner loop of the PQ scan — m array
+  * reads and adds per (candidate, query) pair; a Spark higher-order
+  * `aggregate`/`zip_with` here would run interpreted per pair. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(ksub >= 1)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut.getDouble(s * ksub + codes.getInt(s)); s += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc"
+}
+
+private[functions] object PqSupport {
+  /** float ArrayData → unit-normalized double array (zero vector kept). */
+  def unitVec(vec: ArrayData, dim: Int): Array[Double] = {
+    val a = new Array[Double](dim)
+    var i = 0
+    var sq = 0.0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; a(i) = x; sq += x * x; i += 1 }
+    if (sq > 0) {
+      val inv = 1.0 / math.sqrt(sq)
+      i = 0
+      while (i < dim) { a(i) *= inv; i += 1 }
+    }
+    a
+  }
 }

@@ -248,4 +248,101 @@ object Similarity {
     val cands = ivfCandidates(corpus, queries, idCol, vecCol, nLists, nProbe, sampleSize, iters)
     rerank(cands, corpus, queries, idCol, vecCol, k)
   }
+
+  // ---- PQ (product quantization) ANN -----------------------------------
+
+  /** PQ codebooks: the sample vectors are unit-normalized, split into `m`
+    * contiguous subvectors, and each subspace gets its own `ksub`-centroid
+    * plain (Euclidean) Lloyd run — the Jégou et al. (TPAMI 2011) product
+    * quantizer. Deterministic: seeded init per subspace, fixed iteration
+    * count. Returns codebooks(subspace)(code)(component). */
+  private[pipeline] def trainPqCodebooks(sample: Array[Array[Float]], m: Int,
+                                         ksub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(sample.nonEmpty && m >= 1)
+    val dim = sample.head.length
+    require(dim % m == 0, s"subspaces m=$m must divide dim=$dim")
+    val dsub = dim / m
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(v => unit(v.map(_.toDouble)))
+    (0 until m).map { s =>
+      val sub = pts.map(_.slice(s * dsub, (s + 1) * dsub))
+      val n = sub.length
+      // seeded per-subspace init on distinct sample indices
+      val picked = scala.collection.mutable.LinkedHashSet[Int]()
+      var t = 0L
+      while (picked.size < math.min(ksub, n)) {
+        picked += ((Mix.splitmix64(0x9e3779b9L + s * 7919 + t) >>> 1) % n).toInt
+        t += 1
+      }
+      var cents = picked.toArray.map(i => sub(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, dsub)(0.0)
+        val counts = new Array[Int](cents.length)
+        var i = 0
+        while (i < n) {
+          val v = sub(i)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val x = v(j) - cents(c)(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ ANN: exhaustive ASYMMETRIC-DISTANCE scan over compressed codes +
+    * exact rerank. Corpus vectors are product-quantized to `m` codes
+    * (PqCodes, one map-side pass); each query precomputes an m×ksub dot-
+    * product lookup table (PqLut); the scan scores every (candidate,
+    * query) pair with m table reads (PqAdc) instead of a dim-length dot
+    * product, keeps the `k·expand` best per query (two-phase TopKPairs),
+    * and reranks those exactly on the raw vectors.
+    *
+    * Where IVF prunes ROWS (visit nProbe/nLists of the corpus), PQ shrinks
+    * BYTES: a dim-float vector becomes m codes (m bytes at ksub ≤ 256 —
+    * 32× smaller at dim=64), so the exhaustive pass streams the compressed
+    * table instead of the raw one. The rerank touches raw vectors for only
+    * k·expand candidates per query. At 100 TB the two compose (FAISS's
+    * IVF-PQ): coarse lists bound rows, PQ bounds bytes per row; here they
+    * share ivfCandidates/rerank so that composition is a two-line caller.
+    * Output schema matches bruteForceTopK; recall floor spec'd like
+    * LSH/IVF (rows-only oracle — quantization is data-defined). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 64,
+             sampleSize: Int = 10000, iters: Int = 10, expand: Int = 8): DataFrame = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol))
+      .orderBy(col("__h"), col(idCol)) // spread sample, one TakeOrdered pass
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val books = trainPqCodebooks(sample, m, ksub, iters)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      E.column(graft.functions.PqCodes(E.expression(col(vecCol)), books)).as("__codes"))
+    val luts = queries.select(col(idCol).as("query_id"),
+      E.column(graft.functions.PqLut(E.expression(col(vecCol)), books)).as("__lut"))
+    val scored = codes.join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_scaled", floor(lit(1e9) *
+        E.column(graft.functions.PqAdc(
+          E.expression(col("__codes")), E.expression(col("__lut")), ksub))).cast("long"))
+    val cands = topKPerQuery(scored, k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(cands, corpus, queries, idCol, vecCol, k)
+  }
 }

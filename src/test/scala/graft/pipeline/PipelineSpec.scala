@@ -158,6 +158,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(nCands < 10 * (nCorpus - 1) * 0.75, s"IVF candidate set $nCands too large")
   }
 
+  test("ANN PQ-ADC recall@10 >= 0.8 on near-uniform vectors (ANN worst case)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ recall@10 = $recall%.3f (m=8, ksub=64, expand=8)")
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8")
+  }
+
+  test("PQ scan is deterministic and rerank output is exact-cosine ranked") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 3)
+    val a = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5).collect().toSeq
+    val b = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5).collect().toSeq
+    assert(a.toSet == b.toSet, "seeded PQ training must be run-deterministic")
+    // the rerank recomputes exact quantized cosine, so scores must agree
+    // with brute force wherever the neighbor survived quantization
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 50)
+      .select("query_id", "neighbor_id", "cos_scaled")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "cos_scaled")
+      .as[(Long, Long, Long)].collect()
+    pq.foreach { case (q, n, c) =>
+      bf.get((q, n)).foreach(exactC => assert(exactC == c,
+        s"rerank score for ($q,$n) must be the exact cosine: $c vs $exactC"))
+    }
+  }
+
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
     // regression for the r2 finding: the training sample was the HEAD of
     // the table (orderBy(id).limit(n)); on a corpus where ingestion order
