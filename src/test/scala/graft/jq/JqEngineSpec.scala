@@ -565,6 +565,13 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("""gsub("[^][:digit:]]"; "_")""", "\"a]1b\"") == "\"_]1_\"")
   }
 
+  test("builtins lists name/arity strings including itself") {
+    assert(run1("""builtins | type""", "null") == "\"array\"")
+    assert(run1("""[builtins[] | select(. == "length/0" or . == "map/1" or . == "builtins/0")] | length""",
+      "null") == "3")
+    assert(run1("""builtins | (. == sort)""", "null") == "true") // deterministic order
+  }
+
   test("uppercase GROUP_BY / UNIQUE_BY / ANY / ALL") {
     // builtin.jq: GROUP_BY(f) == group_by(f), UNIQUE_BY(f) == unique_by(f)
     assert(run1("""GROUP_BY(.a)""", """[{"a":1,"b":2},{"a":2,"b":4},{"a":1,"b":3}]""") ==

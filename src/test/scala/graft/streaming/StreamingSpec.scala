@@ -115,6 +115,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming stratified sampling: pure-map gate works unchanged on a stream") {
+    // stratifiedSample is a stateless map (md5 bucket < per-stratum cut),
+    // so the SAME operator code runs in append mode with no watermark or
+    // state store — and must select exactly the rows the batch run selects
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val fractions = Map("en" -> 0.5, "de" -> 0.25)
+    val sampled = graft.pipeline.TextAnalysis.stratifiedSample(
+      src.toDF().toDF("id", "lang"), "id", "lang", fractions)
+    val q = sampled.writeStream.outputMode("append")
+      .format("memory").queryName("strat_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("strat_stream_out").as[(Long, String)].collect().toSet
+      val batch = graft.pipeline.TextAnalysis.stratifiedSample(
+        rows.toDF("id", "lang"), "id", "lang", fractions)
+        .as[(Long, String)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
