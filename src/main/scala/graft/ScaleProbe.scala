@@ -150,6 +150,22 @@ object ScaleProbe {
     println(f"[scale]   IVF recall@10=$ivfRecall%.3f, candidates=$ivfCands "
       + f"(${100.0 * ivfCands / (100.0 * (nVecs - 1))}%.2f%%)")
 
+    // PQ: exhaustive ADC scan over m-byte codes + exact rerank — prunes
+    // BYTES (dim·4 / m at ksub ≤ 256) where IVF prunes rows. Quantization
+    // noise grows with corpus size relative to the top-10 cosine gap, so
+    // the scale operating point needs finer codes (m up) and a wider
+    // shortlist (expand up) than the small-corpus default.
+    val pqM = sys.env.getOrElse("SCALE_PQ_M", "16").toInt
+    val pqK = sys.env.getOrElse("SCALE_PQ_KSUB", "256").toInt
+    val pqX = sys.env.getOrElse("SCALE_PQ_EXPAND", "40").toInt
+    val pq = timed(s"ANN PQ-ADC (m=$pqM ksub=$pqK expand=$pqX)")(
+      pipeline.Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10,
+        m = pqM, ksub = pqK, expand = pqX)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    println(f"[scale]   PQ recall@10=$pqRecall%.3f (shortlist ${10 * pqX}/query of $nVecs — "
+      + f"${100.0 * 10 * pqX / nVecs}%.2f%% of raw vectors touched)")
+
     // ---- decontamination: broadcast benchmark grams, train never shuffles -
     val bench = docs.where(col("doc_id") % 1000 === 0)
       .select(concat_ws(" ", slice(split(col("text"), " "), 1, 16)).as("text"))

@@ -323,7 +323,14 @@ object Similarity {
     * IVF-PQ): coarse lists bound rows, PQ bounds bytes per row; here they
     * share ivfCandidates/rerank so that composition is a two-line caller.
     * Output schema matches bruteForceTopK; recall floor spec'd like
-    * LSH/IVF (rows-only oracle — quantization is data-defined). */
+    * LSH/IVF (rows-only oracle — quantization is data-defined).
+    *
+    * Tuning at scale: quantization noise is corpus-size-relative — the
+    * small-corpus default (m=8, ksub=64) holds recall 0.94 at 2k vectors
+    * but collapses to 0.39 at 200k near-uniform vectors; m=16/ksub=256
+    * (16-byte codes, still 16× compression at dim 64) measures 0.96 at
+    * expand=8 and 0.999 at expand=40 on the same 200k corpus
+    * (SCALE_PROBE.md). Grow m first, then expand. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 64,
              sampleSize: Int = 10000, iters: Int = 10, expand: Int = 8): DataFrame = {
