@@ -727,6 +727,14 @@ object SparkEntry {
       pipeline.TextAnalysis.bigramLmScore(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "pipeline_source_filter" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // domain-level curation: drop entire sources whose MEAN doc quality
+      // is below 460/1000 (integer-exact mean test, source verdicts broadcast)
+      pipeline.TextAnalysis.sourceFilter(s.table("documents"),
+          "doc_id", "text", "source", minMeanQuality = 460)
+        .orderBy("doc_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
@@ -1243,6 +1251,24 @@ object SparkEntry {
                 CAST(coalesce(sc.ppm_sum // sc.n_bigrams, 0) AS BIGINT) AS lm_ppm
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "pipeline_source_filter" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              q AS (SELECT doc_id, source,
+                      CAST(len(ws) AS BIGINT) n_words,
+                      CAST(len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is','that','it','for'])) AS BIGINT) n_stopwords,
+                      CAST(len(list_distinct(ws)) AS BIGINT) n_distinct_words
+                    FROM w),
+              sc AS (SELECT doc_id, source,
+                      CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                                + least(n_stopwords / 5.0, 1.0) * 0.3
+                                + n_distinct_words / greatest(CAST(n_words AS DOUBLE), 1.0) * 0.3) * 1000.0 + 0.5) AS BIGINT) AS quality_score
+                     FROM q),
+              ok AS (SELECT source FROM sc GROUP BY source
+                     HAVING sum(quality_score) >= 460 * count(*))
+         SELECT sc.doc_id, sc.source, sc.quality_score
+         FROM sc JOIN ok USING (source)
+         ORDER BY sc.doc_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
               d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,

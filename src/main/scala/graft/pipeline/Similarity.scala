@@ -334,22 +334,60 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 64,
              sampleSize: Int = 10000, iters: Int = 10, expand: Int = 8): DataFrame = {
-    val sample = corpus
+    val books = trainPqCodebooks(spreadSample(corpus, idCol, vecCol, sampleSize), m, ksub, iters)
+    val scored = pqScore(corpus, queries, idCol, vecCol, books, ksub, cands = None)
+    val shortlist = topKPerQuery(scored, k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ (FAISS composition): IVF lists bound the ROWS visited
+    * (candidate fraction ≈ nProbe/nLists), PQ bounds the BYTES per visited
+    * row (m codes ADC-scored instead of a raw-vector dot), and the exact
+    * rerank touches raw vectors for only k·expand winners. The same three
+    * building blocks as ivfTopK/pqTopK — this is the composition the
+    * pqTopK scaladoc promises. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nLists: Int = 64, nProbe: Int = 8,
+                m: Int = 8, ksub: Int = 64, sampleSize: Int = 10000,
+                iters: Int = 10, expand: Int = 8): DataFrame = {
+    val cands = ivfCandidates(corpus, queries, idCol, vecCol, nLists, nProbe, sampleSize, iters)
+    val books = trainPqCodebooks(spreadSample(corpus, idCol, vecCol, sampleSize), m, ksub, iters)
+    val scored = pqScore(corpus, queries, idCol, vecCol, books, ksub, Some(cands))
+    val shortlist = topKPerQuery(scored, k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Deterministic spread sample: the `n` rows with the smallest
+    * xxhash64(id) — one TakeOrdered pass, no count job, not the table head
+    * (see ivfCandidates for why head samples are a trap). */
+  private def spreadSample(corpus: DataFrame, idCol: String, vecCol: String,
+                           n: Int): Array[Array[Float]] =
+    corpus
       .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol))
-      .orderBy(col("__h"), col(idCol)) // spread sample, one TakeOrdered pass
-      .limit(sampleSize)
+      .orderBy(col("__h"), col(idCol)) // id tie-break: deterministic under collisions
+      .limit(n)
       .collect().map(_.getSeq[Float](0).toArray)
-    val books = trainPqCodebooks(sample, m, ksub, iters)
+
+  /** ADC-scored (query, candidate) pairs: corpus compressed to codes
+    * map-side, per-query LUTs broadcast. `cands = None` scans the full
+    * cross product (exhaustive PQ); `Some(pairs)` scores only those pairs
+    * (the IVF-PQ path). */
+  private def pqScore(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, books: Seq[Seq[Seq[Double]]], ksub: Int,
+                      cands: Option[DataFrame]): DataFrame = {
     val codes = corpus.select(col(idCol).as("neighbor_id"),
       E.column(graft.functions.PqCodes(E.expression(col(vecCol)), books)).as("__codes"))
     val luts = queries.select(col(idCol).as("query_id"),
       E.column(graft.functions.PqLut(E.expression(col(vecCol)), books)).as("__lut"))
-    val scored = codes.join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_scaled", floor(lit(1e9) *
+    val joined = cands match {
+      case None => codes.join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
+      case Some(c) => c.join(broadcast(luts), "query_id").join(codes, "neighbor_id")
+    }
+    joined.withColumn("cos_scaled", floor(lit(1e9) *
         E.column(graft.functions.PqAdc(
           E.expression(col("__codes")), E.expression(col("__lut")), ksub))).cast("long"))
-    val cands = topKPerQuery(scored, k * expand)
-      .select(col("query_id"), col("neighbor_id"))
-    rerank(cands, corpus, queries, idCol, vecCol, k)
+      .drop("__codes", "__lut")
   }
 }

@@ -157,6 +157,31 @@ object TextAnalysis {
   def splitBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
 
+  /** Source-level (domain-level) filtering — the C4/RefinedWeb curation
+    * step that drops entire low-quality SOURCES rather than individual
+    * documents (a domain whose average document is spam poisons even its
+    * above-average pages). Keeps every doc whose source's MEAN
+    * [[qualityScore]] is ≥ `minMeanQuality` (0–1000 scale).
+    *
+    * The mean test is integer-exact: `sum(q) ≥ minMeanQuality · count`
+    * — no float division to drift cross-engine. Plan shape: one scan
+    * computes the quality expressions map-side (materialized — consumed by
+    * both the aggregate and the final filter join); the per-source
+    * aggregate partial-aggregates map-side and the verdict table — one row
+    * per source, tiny by construction — broadcasts back, so the corpus
+    * never shuffles. */
+  def sourceFilter(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, minMeanQuality: Int): DataFrame = {
+    val q = Materialize(qualityScore(df, textCol)
+      .select(col(idCol), col(sourceCol), col("quality_score")))
+    val verdict = q.groupBy(sourceCol)
+      .agg(sum("quality_score").as("__sum"), count(lit(1)).as("__n"))
+      .where(col("__sum") >= lit(minMeanQuality.toLong) * col("__n"))
+      .select(col(sourceCol))
+    q.join(broadcast(verdict), sourceCol)
+      .select(col(idCol), col(sourceCol), col("quality_score"))
+  }
+
   /** 256-way sampling bucket: the first two md5 hex digits of the id
     * (0–255). Same construction as [[splitBucket]], one more digit of
     * resolution so per-stratum fractions quantize to 1/256 steps. */

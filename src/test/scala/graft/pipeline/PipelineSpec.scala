@@ -191,6 +191,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composition holds recall while bounding rows AND bytes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 10,
+      nLists = 16, nProbe = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 = $recall%.3f (nProbe 12/16, m=8 ksub=64 expand=8)")
+    assert(recall >= 0.75, s"IVF-PQ recall $recall below 0.75 " +
+      "(compounds IVF list misses with PQ quantization — floor is below either alone)")
+  }
+
+  test("sourceFilter keeps exactly the docs of above-cutoff sources") {
+    val df = Seq(
+      (1L, "the and of to a in is that it for good long words here", "good"),
+      (2L, "the and of to a in is that it for more quality text js", "good"),
+      (3L, "zz", "bad"),
+      (4L, "yy", "bad")).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.sourceFilter(df, "doc_id", "text", "source", minMeanQuality = 400)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), "bad source (two near-empty docs) must drop entirely")
+  }
+
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
     // regression for the r2 finding: the training sample was the HEAD of
     // the table (orderBy(id).limit(n)); on a corpus where ingestion order
