@@ -323,6 +323,77 @@ object SparkEntry {
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""")
     },
+    "rel_q6_forecast" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // TPC-H Q6 shape: pure scan+filter+agg — every predicate must reach
+      // the parquet scan (PushedFilters) since nothing else bounds the read
+      s.sql("""
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    },
+    "rel_q14_promo" -> { (s, dir) =>
+      prep(s, dir, "part", "lineitem")
+      // TPC-H Q14 shape: conditional revenue share — both sums integer-
+      // exact cents; the final ratio is one IEEE division (engine-identical)
+      s.sql("""
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""")
+    },
+    "rel_q16_supplier_cnt" -> { (s, dir) =>
+      prep(s, dir, "part", "supplier", "lineitem")
+      // TPC-H Q16 shape: DISTINCT-supplier count per part attribute with a
+      // NOT IN exclusion subquery (anti join against low-balance suppliers)
+      s.sql("""
+        SELECT p.p_brand, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size IN (1, 14, 23, 45)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""")
+    },
+    "rel_q15_top_supplier" -> { (s, dir) =>
+      prep(s, dir, "supplier", "lineitem")
+      // TPC-H Q15 shape: revenue per supplier over a quarter, keep the
+      // max-revenue supplier(s) — the "view + scalar subquery" pattern
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_cents
+        FROM supplier s
+        JOIN rev r ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+        ORDER BY s.s_suppkey""")
+    },
+    "jq_regex_text" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // the regex builtin family through the SQL surface (was spec-only):
+      // gsub rewrite + match counting, oracle-mirrored by DuckDB RE2 calls
+      s.sql("""
+        SELECT doc_id, x.vowelless, x.n_numbers
+        FROM documents
+        LATERAL VIEW jq(to_json(named_struct('t', text)),
+          '{vowelless: (.t | gsub("[aeiou]"; "_") | .[0:40]), n_numbers: (.t | [match("[0-9]+"; "g")] | length)}',
+          'vowelless:string', 'n_numbers:int') x
+        ORDER BY doc_id""")
+    },
     "rel_range_join" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // point-in-interval range join WITHOUT an inequality join: 7-day
@@ -927,6 +998,51 @@ object SparkEntry {
          WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
             OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
             OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""",
+    "rel_q6_forecast" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "rel_q14_promo" ->
+      """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS promo_cents,
+                CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
+    "rel_q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_size,
+                CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM part p
+         JOIN lineitem l ON l.l_partkey = p.p_partkey
+         WHERE p.p_size IN (1, 14, 23, 45)
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p.p_brand, p.p_size
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""",
+    "rel_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_cents
+         FROM supplier s
+         JOIN rev r ON r.l_suppkey = s.s_suppkey
+         WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+         ORDER BY s.s_suppkey""",
+    "jq_regex_text" ->
+      """SELECT doc_id,
+                substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS vowelless,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+         FROM documents
+         ORDER BY doc_id""",
     "rel_range_join" ->
       """SELECT o.o_orderkey AS window_id, CAST(count(*) AS BIGINT) AS n_lines,
                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
