@@ -90,4 +90,33 @@ class PlanSpec extends AnyFunSuite {
     val plan = GraftShim.explainString(SparkEntry.queries("text_vocab")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not TakeOrdered:\n$plan")
   }
+
+  test("dedup_crosscorpus plan: reference hashes broadcast into a LEFT ANTI join") {
+    val plan = GraftShim.explainString(SparkEntry.queries("dedup_crosscorpus")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"cross-corpus gate must be a broadcast anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fresh (100 TB) side shuffled into a merge join:\n$plan")
+  }
+
+  test("rel_q6_forecast plan: every predicate reaches the parquet scan") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_q6_forecast")(spark, sf))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(plan.contains(s"IsNotNull($c)") || plan.contains(s"GreaterThanOrEqual($c"),
+        s"$c predicate not pushed:\n$plan"))
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan(l_quantity,24.0)"),
+      s"quantity predicate not pushed:\n$plan")
+  }
+
+  test("pipeline_source_filter plan: source verdicts broadcast back, corpus not merge-joined") {
+    val plan = GraftShim.explainString(SparkEntry.queries("pipeline_source_filter")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"source verdict table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into a merge join:\n$plan")
+  }
+
+  test("rel_range_join plan: binned equi join, no nested-loop fallback") {
+    val plan = GraftShim.explainString(SparkEntry.queries("rel_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop join:\n$plan")
+  }
 }
