@@ -186,8 +186,7 @@ object TextAnalysis {
     * (0–255). Same construction as [[splitBucket]], one more digit of
     * resolution so per-stratum fractions quantize to 1/256 steps. */
   def sampleBucket(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int") * 16 +
-      conv(substring(md5(id.cast("string")), 2, 1), 16, 10).cast("int"))
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
 
   /** Deterministic stratified sampling: keep a row iff its [[sampleBucket]]
     * falls below `floor(fraction(stratum) * 256)` — e.g. rebalancing a

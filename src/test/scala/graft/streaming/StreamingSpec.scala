@@ -138,6 +138,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus gate: fresh stream anti-joined against the shipped corpus") {
+    // the incremental-batch dedup gate as a stream: arriving docs pass only
+    // if their normalized content is absent from a STATIC reference corpus
+    // (stream-static LEFT ANTI join, append mode, no state store) — same
+    // operator code as the batch dedup_crosscorpus query
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "The quick   brown fox")).toDF("doc_id", "text")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(
+      (1L, "the quick brown fox"), // normalized duplicate of ref 100
+      (2L, "an entirely new document"))
+    val admitted = graft.pipeline.Dedup.crossCorpus(
+      src.toDF().toDF("doc_id", "text"), ref, "text", broadcastRef = true)
+    val q = admitted.writeStream.outputMode("append")
+      .format("memory").queryName("crosscorpus_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("crosscorpus_stream_out").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
