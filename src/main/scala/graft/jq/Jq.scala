@@ -14,6 +14,11 @@ import java.util.concurrent.ConcurrentHashMap
   */
 final class CompiledJq private[jq] (val ast: JqExpr) extends Serializable {
 
+  /** Static top-level-field footprint (see [[Footprint]]): `Some(S)` when
+    * the program observes object inputs only through fields in S — the
+    * per-row parse then skips every other field's node construction. */
+  @transient lazy val footprint: Option[Set[String]] = Footprint(ast)
+
   /** Run on an already-parsed JSON value. */
   def apply(input: JsonNode, vars: Map[String, JsonNode] = Map.empty): Iterator[JsonNode] =
     Interp.eval(ast, input, Env(vars, Map.empty)).iterator
@@ -21,9 +26,17 @@ final class CompiledJq private[jq] (val ast: JqExpr) extends Serializable {
   /** Run with the reference's corrupt-input contract: a null or unparsable
     * `jsonText` makes the input `null` and binds `$error` to
     * {message, class, input}; a valid parse binds `$error` to null.
-    * jq runtime errors surface as JqError (caller maps to its failure model). */
+    * jq runtime errors surface as JqError (caller maps to its failure model).
+    *
+    * Rows parse through the footprint-pruned path when the program
+    * certifies one — identical error/trailing-garbage/type semantics (the
+    * pruned parse still lexes every byte), minus the tree-building cost of
+    * untouched fields. */
   def applyToText(jsonText: String): Iterator[JsonNode] = {
-    val (input, error) = Jq.parseWithError(jsonText)
+    val (input, error) = footprint match {
+      case Some(fields) => Jq.parsePrunedWithError(jsonText, fields)
+      case None => Jq.parseWithError(jsonText)
+    }
     apply(input, Map("error" -> error))
   }
 }
@@ -68,6 +81,49 @@ object Jq {
     if (text == null) (Json.NullN, Json.NullN)
     else
       try (parseJson(text), Json.NullN)
+      catch {
+        case e: Exception =>
+          (Json.NullN, Json.obj(List(
+            "message" -> Json.text(if (e.getMessage == null) e.toString else e.getMessage),
+            "class" -> Json.text(e.getClass.getName),
+            "input" -> Json.text(text))))
+      }
+
+  /** Footprint-pruned strict parse: object inputs build JsonNode subtrees
+    * ONLY for top-level fields in `fields`; everything else is
+    * `skipChildren()`ed (lexed for validity, never materialized). Non-
+    * object inputs parse fully (the program may legitimately error on
+    * them, previewing the value). Trailing garbage rejected exactly like
+    * [[parseJson]]; duplicate keys keep the LAST occurrence (Jackson
+    * readTree behavior). */
+  def parsePruned(text: String, fields: Set[String]): JsonNode = {
+    val mapper = mappers.get()
+    val parser = mapper.createParser(text)
+    try {
+      val first = parser.nextToken()
+      val node: JsonNode =
+        if (first == null) null
+        else if (first == com.fasterxml.jackson.core.JsonToken.START_OBJECT) {
+          val obj = mapper.createObjectNode()
+          while (parser.nextToken() != com.fasterxml.jackson.core.JsonToken.END_OBJECT) {
+            val name = parser.currentName()
+            parser.nextToken() // advance to the value
+            if (fields.contains(name)) obj.set[JsonNode](name, mapper.readTree[JsonNode](parser))
+            else parser.skipChildren() // no-op on scalars; skips whole subtrees
+          }
+          obj
+        } else mapper.readTree[JsonNode](parser)
+      if (parser.nextToken() != null)
+        throw new com.fasterxml.jackson.core.JsonParseException(parser, "trailing characters")
+      if (node == null) Json.NullN else node
+    } finally parser.close()
+  }
+
+  /** [[parsePruned]] with the corrupt-input contract of [[parseWithError]]. */
+  def parsePrunedWithError(text: String, fields: Set[String]): (JsonNode, JsonNode) =
+    if (text == null) (Json.NullN, Json.NullN)
+    else
+      try (parsePruned(text, fields), Json.NullN)
       catch {
         case e: Exception =>
           (Json.NullN, Json.obj(List(
