@@ -382,6 +382,22 @@ object SparkEntry {
         WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
         ORDER BY s.s_suppkey""")
     },
+    "jq_wide_extract" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // the dominant 100 TB UDTF shape: scalar extraction from a WIDE
+      // payload — 12 fields synthesized per row, program touches 2, so the
+      // footprint-pruned parse (Footprint/parsePruned) skips 10 subtrees
+      s.sql("""
+        SELECT doc_id, x.lang2, x.half
+        FROM (SELECT doc_id, to_json(named_struct(
+                'f0', text, 'f1', source, 'f2', n_chars, 'f3', text,
+                'f4', doc_id * 2, 'f5', text, 'f6', source, 'f7', n_chars,
+                'lang', lang, 'f8', text, 'n', n_chars, 'f9', text)) AS payload
+              FROM documents) t
+        LATERAL VIEW jq(payload, '{lang2: (.lang + .lang), half: (.n / 2 | floor)}',
+                        'lang2:string', 'half:bigint') x
+        ORDER BY doc_id""")
+    },
     "jq_regex_text" -> { (s, dir) =>
       prep(s, dir, "documents")
       // the regex builtin family through the SQL surface (was spec-only):
@@ -1037,6 +1053,11 @@ object SparkEntry {
          JOIN rev r ON r.l_suppkey = s.s_suppkey
          WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
          ORDER BY s.s_suppkey""",
+    "jq_wide_extract" ->
+      """SELECT doc_id, lang || lang AS lang2,
+                CAST(floor(n_chars / 2.0) AS BIGINT) AS half
+         FROM documents
+         ORDER BY doc_id""",
     "jq_regex_text" ->
       """SELECT doc_id,
                 substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS vowelless,
