@@ -151,6 +151,51 @@ class JqPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("footprint-certified programs agree between pruned and full parse lanes") {
+    // generative soundness check for the parse-projection pushdown: random
+    // programs mixing eligible and whole-input constructs; whenever the
+    // analysis certifies a footprint, the pruned lane must be observably
+    // identical to the full parse (outputs AND error messages)
+    val leaf = Gen.oneOf(".a", ".b", ".k", ".n", ".a.b", ".xs[0]", "1", "\"s\"",
+      "null", ".", ".[]", "keys", "length", "tojson", ". as $x | .a")
+    def genProg(depth: Int): Gen[String] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        2 -> Gen.zip(genProg(depth - 1), genProg(depth - 1)).map { case (f, g) => s"($f | $g)" },
+        2 -> Gen.zip(genProg(depth - 1), genProg(depth - 1)).map { case (f, g) => s"($f, $g)" },
+        1 -> genProg(depth - 1).map(f => s"[$f]"),
+        1 -> genProg(depth - 1).map(f => s"{v: $f}"),
+        1 -> Gen.zip(genProg(depth - 1), genProg(depth - 1)).map { case (f, g) => s"($f // $g)" },
+        1 -> Gen.zip(genProg(depth - 1), genProg(depth - 1)).map { case (f, g) => s"(try $f catch $g)" },
+        1 -> Gen.zip(genProg(depth - 1), genProg(depth - 1), genProg(depth - 1))
+          .map { case (c, t, e) => s"(if $c then $t else $e end)" },
+        1 -> Gen.zip(genProg(depth - 1), genProg(depth - 1)).map { case (f, g) => s"($f + $g)" },
+        1 -> genProg(depth - 1).map(f => s"($f | select(. != null))"),
+        1 -> genProg(depth - 1).map(f => s"(reduce .xs[] as $$i ($f; . + 1))"))
+    val inputs = Seq(
+      """{"a": 1, "b": {"c": [1,2]}, "k": "x", "n": 5, "xs": [1,2,3], "zz": {"big": [1,2,3]}}""",
+      """{"a": [7], "xs": []}""",
+      """{"k": {"deep": true}, "other": "skipped"}""",
+      """[1, 2]""", """7""", """{}""", """{"bad""", null)
+    forAll(genProg(3)) { prog =>
+      val c = Jq.compile(prog)
+      c.footprint.foreach { fields =>
+        for (in <- inputs) {
+          def run(parse: String => (JsonNode, JsonNode)): Either[String, List[String]] =
+            try {
+              val (v, err) = parse(in)
+              Right(c(v, Map("error" -> err)).map(Json.serialize).toList)
+            } catch { case e: JqError => Left(e.getMessage) }
+          val full = run(Jq.parseWithError)
+          val pruned = run(Jq.parsePrunedWithError(_, fields))
+          assert(full == pruned,
+            s"lane mismatch: program '$prog' (footprint $fields) on '$in': $full vs $pruned")
+        }
+      }
+    }
+  }
+
   test("parser never hangs or escapes JqSyntaxError on garbage programs") {
     val soup = Gen.listOfN(24, Gen.frequency(
       5 -> Gen.oneOf('.', '|', '[', ']', '{', '}', '(', ')', '"', '$', ';', ',',
