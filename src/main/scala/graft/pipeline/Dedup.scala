@@ -57,7 +57,9 @@ object Dedup {
     * it, both sides co-partition on the hash (the right shape when the
     * reference corpus is itself huge). Normalization matches [[exact]]
     * (md5 over whitespace-collapsed lowercase) so the two compose, and the
-    * same hash is DuckDB-expressible for the oracle. */
+    * same hash is DuckDB-expressible for the oracle. NULL-text rows hash
+    * to NULL, which never equals an anti-join key — they are always
+    * admitted (filter them upstream if they should not survive). */
   def crossCorpus(fresh: DataFrame, ref: DataFrame, textCol: String,
                   broadcastRef: Boolean = false): DataFrame = {
     def norm(t: Column) = md5(regexp_replace(lower(t), "\\s+", " "))

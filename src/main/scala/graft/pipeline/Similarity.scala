@@ -346,7 +346,9 @@ object Similarity {
     * row (m codes ADC-scored instead of a raw-vector dot), and the exact
     * rerank touches raw vectors for only k·expand winners. The same three
     * building blocks as ivfTopK/pqTopK — this is the composition the
-    * pqTopK scaladoc promises. */
+    * pqTopK scaladoc promises. (Training makes two TakeOrdered sample
+    * passes — one per quantizer; at 100 TB fold them into one collect if
+    * the extra scan matters more than the code seam.) */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nLists: Int = 64, nProbe: Int = 8,
                 m: Int = 8, ksub: Int = 64, sampleSize: Int = 10000,
