@@ -410,6 +410,56 @@ object SparkEntry {
           'vowelless:string', 'n_numbers:int') x
         ORDER BY doc_id""")
     },
+    "rel_q13_custdist" -> { (s, dir) =>
+      prep(s, dir, "customer", "orders")
+      // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+      // join (customers with zero orders must appear) + double aggregation
+      s.sql("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority <> '5-LOW'
+              GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    },
+    "rel_q17_small_qty" -> { (s, dir) =>
+      prep(s, dir, "part", "lineitem")
+      // TPC-H Q17 shape: lineitems below 20% of their part's average
+      // quantity — per-part avg as an exact integer comparison
+      // (5 * qty < sum/count ⟺ 5 * qty * count < sum, all BIGINT)
+      s.sql("""
+        SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN (SELECT l_partkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                     CAST(count(*) AS BIGINT) AS qty_n
+              FROM lineitem GROUP BY l_partkey) a
+          ON a.l_partkey = l.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND 5 * CAST(l.l_quantity AS BIGINT) * a.qty_n < a.qty_sum""")
+    },
+    "rel_q22_global_sales" -> { (s, dir) =>
+      prep(s, dir, "customer", "orders")
+      // TPC-H Q22 shape: above-average-balance customers with NO orders —
+      // "bal > avg" tested as cents·n > sum (pure BIGINT — an avg would be
+      // one float division per engine and can drift a ulp) + anti join
+      s.sql("""
+        WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM customer WHERE c_acctbal > 0)
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        FROM customer c CROSS JOIN pos
+        WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment""")
+    },
     "rel_range_join" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // point-in-interval range join WITHOUT an inequality join: 7-day
@@ -1064,6 +1114,39 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
          FROM documents
          ORDER BY doc_id""",
+    "rel_q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+               FROM customer c
+               LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority <> '5-LOW'
+               GROUP BY c.c_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "rel_q17_small_qty" ->
+      """SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem l
+         JOIN (SELECT l_partkey,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                      CAST(count(*) AS BIGINT) AS qty_n
+               FROM lineitem GROUP BY l_partkey) a
+           ON a.l_partkey = l.l_partkey
+         JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#23'
+           AND 5 * CAST(l.l_quantity AS BIGINT) * a.qty_n < a.qty_sum""",
+    "rel_q22_global_sales" ->
+      """WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM customer WHERE c_acctbal > 0)
+         SELECT c.c_mktsegment,
+                CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+         FROM customer c CROSS JOIN pos
+         WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c.c_mktsegment
+         ORDER BY c.c_mktsegment""",
     "rel_range_join" ->
       """SELECT o.o_orderkey AS window_id, CAST(count(*) AS BIGINT) AS n_lines,
                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
