@@ -835,6 +835,22 @@ object SparkEntry {
         .select("doc_id", "lang", "quality_score")
         .orderBy("doc_id")
     },
+    "dedup_crosscorpus_near" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // NEAR-dup incremental gate: fresh batch blocked against the shipped
+      // corpus via MinHash bands, exact-Jaccard verified. Rows-only (LSH
+      // is probabilistic); planted-pair recall spec'd in PipelineSpec
+      val docs = s.table("documents")
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      val fresh = docs.where(col("doc_id") % 5 =!= 0)
+      val cands = pipeline.Dedup.minhashCrossCandidates(fresh, ref, "doc_id", "text",
+        broadcastRef = true)
+      pipeline.Dedup.verifyJaccard(cands, docs, "doc_id", "text", shingle = 5)
+        .where(col("jaccard") >= 0.6)
+        .withColumn("jacc_scaled", floor(col("jaccard") * 1e6).cast("long"))
+        .select("a", "b", "jacc_scaled")
+        .orderBy("a", "b")
+    },
     "dedup_crosscorpus" -> { (s, dir) =>
       prep(s, dir, "documents")
       // incremental-batch gate: docs with id % 5 == 0 play the already-

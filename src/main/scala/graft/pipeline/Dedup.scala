@@ -98,6 +98,46 @@ object Dedup {
       .distinct()
   }
 
+  /** NEAR-dup cross-corpus gate: MinHash band-bucket candidates between a
+    * FRESH batch (or stream) and a static REFERENCE corpus — the
+    * approximate sibling of [[crossCorpus]] (which catches only exact
+    * normalized duplicates). Output: (a = fresh id, b = matching ref id)
+    * candidate pairs; compose with [[verifyJaccard]] + an anti join to
+    * admit only genuinely novel documents.
+    *
+    * Stream-safe by construction: the fresh side is a pure map (signature
+    * → band keys) followed by an equi join against the PRE-BUILT reference
+    * bucket table — no window, no self-join, no state. In batch, the
+    * reference table is built once (`Materialize`) and the fresh (new
+    * crawl) side never shuffles when `broadcastRef` is set; on a stream,
+    * pass the already-materialized reference as a static DataFrame. The
+    * maxBucket skew guard applies to the reference side only (a window on
+    * the stream side would break append mode). */
+  def minhashCrossCandidates(fresh: DataFrame, ref: DataFrame, idCol: String,
+                             textCol: String, numHashes: Int = 128,
+                             bands: Int = 16, shingle: Int = 5,
+                             maxBucket: Int = 200,
+                             broadcastRef: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bandKeys(df: DataFrame, side: String) =
+      df.select(col(idCol).as(side),
+          minhashCol(col(textCol), numHashes, shingle).as("sig"))
+        .select(col(side), posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
+          .as(Seq("band", "bucket")))
+    require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
+    val refKeys = Materialize(bandKeys(ref, "b")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("__n") <= maxBucket)
+      .drop("__n"))
+    val freshKeys = bandKeys(fresh, "a")
+    freshKeys.join(
+        if (broadcastRef) broadcast(refKeys) else refKeys, Seq("band", "bucket"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+  }
+
   /** Exact character-shingle Jaccard for a pair DataFrame (a, b) against the
     * source texts: appends n_int / n_union / jaccard. Built-in expressions
     * only — stays inside whole-stage codegen. */

@@ -465,6 +465,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(bcast == Set(2L))
   }
 
+  test("minhashCrossCandidates blocks fresh near-dups of reference docs") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "a completely different reference document about catalyst internals")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 100
+      (2L, "totally unrelated content regarding quantum chromodynamics")).toDF("doc_id", "text")
+    val cands = Dedup.minhashCrossCandidates(fresh, ref, "doc_id", "text",
+      numHashes = 128, bands = 32)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 100L)), s"planted near-dup not blocked: $cands")
+    val verified = Dedup.verifyJaccard(
+      Dedup.minhashCrossCandidates(fresh, ref, "doc_id", "text", numHashes = 128, bands = 32),
+      fresh.unionByName(ref), "doc_id", "text", shingle = 5)
+      .where($"jaccard" >= 0.6).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((1L, 100L)), s"verify must keep only the true near-dup: $verified")
+  }
+
   test("stratifiedSample keeps exact fractions' buckets, deterministically") {
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("id", "lang")
     val all = TextAnalysis.stratifiedSample(df, "id", "lang",

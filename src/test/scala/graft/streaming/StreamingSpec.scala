@@ -160,6 +160,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup gate: arriving docs blocked against a static corpus by MinHash bands") {
+    // the approximate sibling of the streaming cross-corpus gate: the
+    // fresh side is a pure map (signature → band keys) + stream-static
+    // equi join, so the SAME operator code runs in append mode
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "totally unrelated content regarding quantum chromodynamics"))
+    val cands = graft.pipeline.Dedup.minhashCrossCandidates(
+      src.toDF().toDF("doc_id", "text"), ref, "doc_id", "text",
+      numHashes = 128, bands = 32)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream_out").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 100L)), s"planted near-dup not blocked on the stream: $pairs")
+      assert(!pairs.exists(_._1 == 2L), "unrelated doc must not collide in any band")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
