@@ -17,9 +17,13 @@ class DeterminismSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // one per operator family: window topk, bounded-agg topk, as-of join,
-  // connected components, sequence packing, salted agg, jq generator
+  // connected components, sequence packing, salted agg, jq generator;
+  // r4 families: binned range join, cross-corpus gates, bigram LM,
+  // source filter, PQ ANN (seeded training must not see partitioning)
   private val queries = Seq("rel_window_topn", "rel_topk_agg", "rel_asof_join",
-    "dedup_groups", "text_packing", "rel_salted_distinct", "jq_multi_col")
+    "dedup_groups", "text_packing", "rel_salted_distinct", "jq_multi_col",
+    "rel_range_join", "dedup_crosscorpus", "dedup_crosscorpus_near",
+    "text_lm_score", "pipeline_source_filter", "ann_pq_topk")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
