@@ -905,6 +905,51 @@ object SparkEntry {
       pipeline.Multimodal.sampleFrames(s, pipeline.Multimodal.decodeMeta(s, media), everyNth = 2)
         .orderBy("doc_id", "frame")
     },
+    "events_funnel" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // classic funnel: users who signed up, then viewed AFTER signup, then
+      // purchased AFTER that view — per-user min-timestamp staging (three
+      // partial-aggregated mins, no self-joins over the event log)
+      s.sql("""
+        WITH stage AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+          FROM events GROUP BY user_id),
+        v AS (
+          SELECT e.user_id, min(e.ts) AS t_view
+          FROM events e JOIN stage s ON s.user_id = e.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t_signup
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+          GROUP BY e.user_id)
+        SELECT CAST(count(DISTINCT stage.user_id) AS BIGINT) AS n_signup,
+               CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_viewed,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_purchased
+        FROM stage
+        LEFT JOIN v ON v.user_id = stage.user_id
+        LEFT JOIN p ON p.user_id = stage.user_id
+        WHERE stage.t_signup IS NOT NULL""")
+    },
+    "events_retention" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // cohort retention: users grouped by first-seen day, activity counted
+      // by day offset — the standard growth-analytics triangle
+      s.sql("""
+        WITH first_seen AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id)
+        SELECT f.cohort_day,
+               CAST(datediff(CAST(e.ts AS DATE), f.cohort_day) AS INT) AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e
+        JOIN first_seen f ON f.user_id = e.user_id
+        WHERE datediff(CAST(e.ts AS DATE), f.cohort_day) <= 7
+        GROUP BY f.cohort_day, datediff(CAST(e.ts AS DATE), f.cohort_day)
+        ORDER BY cohort_day, day_offset""")
+    },
     "sessionize_events" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch twin of streaming.EventStreams.sessionize (30-minute gap)
@@ -1521,6 +1566,41 @@ object SparkEntry {
                            CAST(1 + n % 5 AS INT) nf FROM m)
          SELECT doc_id, CAST(unnest(range(0, nf, 2)) AS INT) AS frame, w AS width, h AS height
          FROM d ORDER BY doc_id, frame""",
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+              stage AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+           FROM ev GROUP BY user_id),
+              v AS (
+           SELECT e.user_id, min(e.ts) AS t_view
+           FROM ev e JOIN stage s ON s.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.ts > s.t_signup
+           GROUP BY e.user_id),
+              p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM ev e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY e.user_id)
+         SELECT CAST(count(DISTINCT stage.user_id) AS BIGINT) AS n_signup,
+                CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_viewed,
+                CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_purchased
+         FROM stage
+         LEFT JOIN v ON v.user_id = stage.user_id
+         LEFT JOIN p ON p.user_id = stage.user_id
+         WHERE stage.t_signup IS NOT NULL""",
+    "events_retention" ->
+      """WITH first_seen AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id)
+         SELECT f.cohort_day,
+                CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+         FROM events e
+         JOIN first_seen f ON f.user_id = e.user_id
+         WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+         GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+         ORDER BY cohort_day, day_offset""",
     "sessionize_events" ->
       """WITH g AS (SELECT user_id, ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
