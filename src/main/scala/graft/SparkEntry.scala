@@ -880,6 +880,13 @@ object SparkEntry {
       pipeline.TextAnalysis.bigramLmScore(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "pipeline_profile" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-column drift monitoring: one aggregate pass, rows unpivoted
+      pipeline.TextAnalysis.profile(s.table("documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name")
+    },
     "pipeline_source_filter" -> { (s, dir) =>
       prep(s, dir, "documents")
       // domain-level curation: drop entire sources whose MEAN doc quality
@@ -1532,6 +1539,23 @@ object SparkEntry {
                 CAST(coalesce(sc.ppm_sum // sc.n_bigrams, 0) AS BIGINT) AS lm_ppm
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "pipeline_profile" ->
+      """SELECT col_name, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+                n_nulls, n_distinct, min_value, max_value
+         FROM (
+           SELECT 'doc_id' AS col_name, CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_nulls,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) n_distinct,
+                  CAST(min(doc_id) AS VARCHAR) min_value, CAST(max(doc_id) AS VARCHAR) max_value FROM documents
+           UNION ALL
+           SELECT 'lang', CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM documents
+           UNION ALL
+           SELECT 'source', CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT n_chars) AS BIGINT), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents) t
+         ORDER BY col_name""",
     "pipeline_source_filter" ->
       """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

@@ -182,6 +182,32 @@ object TextAnalysis {
       .select(col(idCol), col(sourceCol), col("quality_score"))
   }
 
+  /** Column-level data profiling — the monitoring pass a curation pipeline
+    * runs per batch to catch schema/content drift (null spikes, cardinality
+    * collapse, truncated text). One row per profiled column: nulls, exact
+    * distinct count, min/max as strings. ONE aggregate pass over the data
+    * (every stat partial-aggregates map-side); the per-column rows are
+    * unpivoted from that single row, not one scan per column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    one.select(col("__rows"), explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))): _*)).as("__p"))
+      .select(col("__p.col_name").as("col_name"), col("__rows").cast("long").as("n_rows"),
+        col("__p.n_nulls").cast("long").as("n_nulls"),
+        col("__p.n_distinct").cast("long").as("n_distinct"),
+        col("__p.min_value"), col("__p.max_value"))
+  }
+
   /** 256-way sampling bucket: the first two md5 hex digits of the id
     * (0–255). Same construction as [[splitBucket]], one more digit of
     * resolution so per-stratum fractions quantize to 1/256 steps. */

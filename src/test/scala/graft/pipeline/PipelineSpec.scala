@@ -205,6 +205,16 @@ class PipelineSpec extends AnyFunSuite {
       "(compounds IVF list misses with PQ quantization — floor is below either alone)")
   }
 
+  test("profile reports nulls, distincts, and extrema per column in one pass") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (3L, Option("b"))).toDF("id", "s")
+    val p = TextAnalysis.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == ("id", 4L, 0L, 3L, Some("1"), Some("3")))
+    assert(p("s") == ("s", 4L, 1L, 2L, Some("a"), Some("b")))
+  }
+
   test("sourceFilter keeps exactly the docs of above-cutoff sources") {
     val df = Seq(
       (1L, "the and of to a in is that it for good long words here", "good"),
