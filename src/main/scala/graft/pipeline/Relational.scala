@@ -38,6 +38,8 @@ object Relational {
                 pointCol: String, startCol: String, endCol: String,
                 bin: Long): DataFrame = {
     require(bin > 0, s"bin must be positive, got $bin")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "rangeJoin reserves the __bin column name")
     val iBinned = intervals
       .where(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) < col(endCol))
       .withColumn("__bin", explode(sequence(

@@ -189,6 +189,7 @@ object TextAnalysis {
     * (every stat partial-aggregates map-side); the per-column rows are
     * unpivoted from that single row, not one scan per column. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
         count_distinct(col(c)).as(s"__nd_$c"),
@@ -228,7 +229,9 @@ object TextAnalysis {
       require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
       math.floor(f * 256).toInt
     }
-    val cut = fractions.foldRight(lit(thresh(defaultFraction)): Column) {
+    // sorted: Map iteration order is unspecified and the when-chain should
+    // produce the same plan every run (conditions are disjoint either way)
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(lit(thresh(defaultFraction)): Column) {
       case ((s, f), acc) => when(col(stratumCol) === s, lit(thresh(f))).otherwise(acc)
     }
     df.where(sampleBucket(col(idCol)) < cut)
