@@ -361,6 +361,63 @@ object Similarity {
     rerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
+  /** Persisted IVF index: training + corpus assignment run ONCE and land
+    * on storage; every later query job skips both. Layout under `dir`:
+    *  - `centroids/` — (list, centroid array<double>) parquet;
+    *  - `lists/` — (id, vec) parquet PARTITIONED BY `list`, so probing
+    *    nProbe lists is a storage-level partition-pruned read: the scan
+    *    touches nProbe/nLists of the corpus bytes — the on-disk analogue
+    *    of FAISS's inverted file, expressed entirely through Spark's
+    *    partitioned-parquet machinery (no custom format).
+    * Same seeded training as [[ivfTopK]], so a fresh index + query equals
+    * the in-job operator exactly (spec-pinned). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+                    nLists: Int = 64, sampleSize: Int = 10000, iters: Int = 10): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(spreadSample(corpus, idCol, vecCol, sampleSize), nLists, iters)
+    import scala.jdk.CollectionConverters._
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c)
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("list", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(centRows.asJava, centSchema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        E.column(graft.functions.NearestCentroids(
+          E.expression(col(vecCol)), cents, 1)).getItem(0).as("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/lists")
+  }
+
+  /** Query a persisted IVF index: centroids load once (driver-side, KBs),
+    * the probed lists arrive through a PARTITION-PRUNED scan of `lists/`,
+    * and the exact rerank runs on just those rows. Output schema matches
+    * bruteForceTopK. */
+  def queryIvfIndex(queries: DataFrame, idCol: String, vecCol: String, dir: String,
+                    k: Int, nProbe: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list").collect().map(_.getSeq[Double](1)).toSeq
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        E.column(graft.functions.NearestCentroids(
+          E.expression(col(vecCol)), cents, nProbe)).as("__ls"))
+      .select(col("query_id"), col("__qv"), explode(col("__ls")).as("list"))
+    val probedLists = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ queries × nProbe values, driver-small
+    val lists = spark.read.parquet(s"$dir/lists")
+      .where(col("list").isin(probedLists: _*)) // partition-pruned at the source
+    val scored = lists.join(broadcast(probes), Seq("list"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("cos_scaled",
+        cosScaled(Dedup.quantize(col("__qv")), Dedup.quantize(col("vec"))))
+      .withColumnRenamed("id", "neighbor_id")
+    // no dedup needed: a corpus vector lives in exactly one list, so each
+    // (query, neighbor) pair joins through at most one probed list
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic spread sample: the `n` rows with the smallest
     * xxhash64(id) — one TakeOrdered pass, no count job, not the table head
     * (see ivfCandidates for why head samples are a trap). */

@@ -191,6 +191,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index equals the in-job operator and prunes partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    val dir = "target/ivf_index_spec"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nLists = 16)
+    val fromIndex = Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir,
+      k = 10, nProbe = 10)
+    val inJob = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nLists = 16, nProbe = 10)
+    assert(fromIndex.collect().toSet == inJob.collect().toSet,
+      "index + query must reproduce the in-job operator exactly (same seeded training)")
+    // the probed read must be partition-pruned at the source
+    val plan = Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir,
+      k = 10, nProbe = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list#") || plan.contains("PartitionFilters: [isnotnull(list"),
+      s"probe scan not partition-pruned:\n$plan")
+  }
+
   test("IVF-PQ composition holds recall while bounding rows AND bytes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)
