@@ -349,12 +349,6 @@ object Builtins {
 
   val table: Map[(String, Int), Builtin] = Map[(String, Int), Builtin](
     ("empty", 0) -> { (_, _, _) => JqStream.empty },
-    // jq 1.6 `builtins`: "name/arity" strings; sorted here (jq's order is
-    // an internal artifact). Lambda body runs post-init, so the self-
-    // reference to `table` is safe.
-    ("builtins", 0) -> { (_, _, _) =>
-      one(arr(table.keys.toList.map { case (n, a) => s"$n/$a" }.sorted.map(text)))
-    },
     ("error", 0) -> { (_, in, _) => throw new JqError(in) },
     v1("error")((_, msg) => throw new JqError(msg)),
     v0("not")(in => one(bool(!truthy(in)))),
