@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance for long-lived curated corpora. A pipeline that
+  * appends per-batch output (crawl ingests, dedup deltas) accumulates
+  * small files; at 100 TB the resulting scan-task explosion and NameNode/
+  * listing pressure dominate read cost long before raw bytes do.
+  */
+object Maintenance {
+
+  /** Rewrite the parquet table at `src` into ≈`targetBytes` files under
+    * `dst`. File count = ceil(current bytes / target), derived from the
+    * source listing — no count() job and no data-dependent heuristics, so
+    * the rewrite is ONE distributed pass (read → round-robin repartition →
+    * write). Round-robin (not coalesce): coalesce would chain narrow
+    * dependencies back into the scan and skew output files by input
+    * locality; a compaction's whole point is evenly sized output.
+    * Returns (filesBefore, filesAfter, bytesBefore). */
+  def compactParquet(spark: SparkSession, src: String, dst: String,
+                     targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    def parts(dir: String): Seq[java.io.File] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val before = parts(src)
+    require(before.nonEmpty, s"no parquet part files under $src")
+    val bytes = before.map(_.length()).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(src)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(dst)
+    (before.size, parts(dst).size, bytes)
+  }
+}

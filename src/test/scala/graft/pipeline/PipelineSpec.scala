@@ -223,6 +223,23 @@ class PipelineSpec extends AnyFunSuite {
       "(compounds IVF list misses with PQ quantization — floor is below either alone)")
   }
 
+  test("compactParquet folds a fragmented table into target-sized files, rows intact") {
+    val src = "target/compact_spec_src"
+    val dst = "target/compact_spec_dst"
+    spark.range(0, 10000).toDF("id").repartition(40)
+      .write.mode("overwrite").parquet(src)
+    val (before, after, bytes) = Maintenance.compactParquet(spark, src, dst,
+      targetBytes = bytesOfDir(src)) // target = whole table → 1 output file
+    assert(before == 40 && after == 1 && bytes > 0)
+    assert(spark.read.parquet(dst).count() == 10000)
+    assert(spark.read.parquet(dst).agg(sum("id")).head.getLong(0) ==
+      spark.read.parquet(src).agg(sum("id")).head.getLong(0))
+  }
+
+  private def bytesOfDir(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.length()).sum
+
   test("profile reports nulls, distincts, and extrema per column in one pass") {
     val df = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
       (3L, Option("b"))).toDF("id", "s")
