@@ -249,11 +249,12 @@ object TextAnalysis {
     * DuckDB oracle matches bit-for-bit where a log-prob would drift ulps.
     *
     * Plan shape: the exploded bigram stream is materialized once and
-    * consumed three times (unigram counts, bigram counts, re-join); the
-    * count tables aggregate with map-side partials and are vocabulary-
-    * sized (≪ corpus), the probability join co-partitions grams and counts
-    * on (w1,w2), and the per-doc rollup is one more keyed shuffle. Docs
-    * with < 2 words survive with zero counts (left join back to ids). */
+    * consumed twice (bigram counts, re-join); the continuation count
+    * c(w1·) is NOT a third pass over the grams — it is Σ_w2 c(w1,w2),
+    * rolled up from the already-aggregated bigram table (vocabulary²-
+    * sized, ≪ corpus). The probability join co-partitions grams and
+    * counts on (w1,w2), and the per-doc rollup is one more keyed shuffle.
+    * Docs with < 2 words survive with zero counts (left join back). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
     // sequence(0, n) flips to a DESCENDING range when n < 0 — guard short docs
@@ -263,8 +264,8 @@ object TextAnalysis {
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val grams = Materialize(df.select(col(idCol), explode(bigrams).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2")))
-    val uni = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val bi = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    val uni = bi.groupBy("w1").agg(sum("c2").as("c1")) // c(w1·) from the small table
     val probs = bi.join(uni, "w1")
       .select(col("w1"), col("w2"), expr("1000000 * c2 DIV c1").as("ppm"))
     val scored = grams.join(probs, Seq("w1", "w2"))
