@@ -880,6 +880,21 @@ object SparkEntry {
       pipeline.TextAnalysis.bigramLmScore(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "text_repetition" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Gopher-style within-doc repetition signals, integer ppm (see
+      // TextAnalysis.repetitionSignals scaladoc for the metric definitions)
+      pipeline.TextAnalysis.repetitionSignals(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "text_dup_ngrams" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // cross-document duplicated 8-grams (exact-substring dedup signal at
+      // n-gram granularity) — hashed inverted index, Spark side; the oracle
+      // groups the raw gram strings (64-bit hash collisions negligible)
+      pipeline.TextAnalysis.corpusDupNgrams(s.table("documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
     "pipeline_profile" -> { (s, dir) =>
       prep(s, dir, "documents")
       // per-column drift monitoring: one aggregate pass, rows unpivoted
@@ -1538,6 +1553,52 @@ object SparkEntry {
                 CAST(coalesce(sc.ppm_sum, 0) AS BIGINT) AS ppm_sum,
                 CAST(coalesce(sc.ppm_sum // sc.n_bigrams, 0) AS BIGINT) AS lm_ppm
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+                        list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          x -> len(x) > 0) AS ws FROM documents),
+              g AS (SELECT doc_id, 2 AS n,
+                           unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+                    FROM base
+                    UNION ALL
+                    SELECT doc_id, 3,
+                           unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])
+                    FROM base),
+              c AS (SELECT doc_id, n, gram, count(*) AS cnt,
+                           count(*) * len(gram) AS chars
+                    FROM g GROUP BY 1, 2, 3),
+              pd AS (SELECT doc_id,
+                            max(CASE WHEN n = 2 THEN chars END) AS top2,
+                            sum(CASE WHEN n = 3 AND cnt >= 2 THEN chars END) AS dup3
+                     FROM c GROUP BY 1)
+         SELECT b.doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(CASE WHEN len(ws) > 0
+                     THEN (1000000 * (len(ws) - len(list_distinct(ws)))) // len(ws)
+                     ELSE 0 END AS BIGINT) AS dup_word_ppm,
+                CAST(CASE WHEN nc > 0 THEN coalesce((1000000 * top2) // nc, 0)
+                     ELSE 0 END AS BIGINT) AS top_bigram_ppm,
+                CAST(CASE WHEN nc > 0 THEN coalesce((1000000 * dup3) // nc, 0)
+                     ELSE 0 END AS BIGINT) AS dup_trigram_ppm
+         FROM base b LEFT JOIN pd USING (doc_id)
+         ORDER BY b.doc_id""",
+    "text_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              g0 AS (SELECT doc_id, list_distinct(
+                       [array_to_string(ws[i : i + 7], ' ') for i in range(1, len(ws) - 6)]) AS gs
+                     FROM w),
+              g AS (SELECT doc_id, unnest(gs) AS gram FROM g0),
+              dc AS (SELECT gram, count(*) AS docs FROM g GROUP BY 1),
+              pd AS (SELECT doc_id, count(*) AS n_grams,
+                            sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+                     FROM g JOIN dc USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+                CAST(coalesce((1000000 * n_dup) // n_grams, 0) AS BIGINT) AS dup_ngram_ppm
+         FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id""",
     "pipeline_profile" ->
       """SELECT col_name, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,

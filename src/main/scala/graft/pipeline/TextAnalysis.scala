@@ -322,4 +322,97 @@ object TextAnalysis {
       .as(Seq("chunk_id", "chunk")))
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
+
+  /** Word `n`-grams as space-joined strings (empty array below `n` words).
+    * Unlike [[ngramHashes]] this keeps the gram TEXT — repetition metrics
+    * need the gram's character length, not just its identity. */
+  private def gramStrings(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition signals — the Gopher/MassiveText-style
+    * quality rules that catch boilerplate and degenerate (looping) text
+    * (Rae et al. 2021, §A1.1: "fraction of characters in the most frequent
+    * word 2-gram" / "in duplicated 3-grams"). Per doc:
+    *
+    *  - `dup_word_ppm` — repeated-word fraction: (n_words − n_distinct) / n_words
+    *  - `top_bigram_ppm` — characters covered by the single best-covering
+    *    bigram: max over bigrams of count·gram_chars, over total chars.
+    *    (max of count·len, not "len of the max-count gram" — the latter is
+    *    tie-ambiguous and would drift between engines)
+    *  - `dup_trigram_ppm` — characters in trigrams occurring ≥ 2 times:
+    *    Σ count·gram_chars over duplicated trigrams, over total chars.
+    *    Overlapping occurrences double-count characters — the standard
+    *    cheap form of the rule; identical in the oracle by construction.
+    *
+    * All ratios are integer ppm (`1e6·x DIV y`) — bit-exact cross-engine.
+    * Scale shape: ONE explode produces both gram sizes (tagged structs),
+    * one (doc, n, gram) count with map-side partials, one per-doc rollup,
+    * then a left join back to the scan-side frame (docs under 2 words
+    * survive with zeros). No driver work, no UDFs. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val tagged = concat(
+      transform(gramStrings(w, 2), g => struct(lit(2).as("n"), g.as("g"))),
+      transform(gramStrings(w, 3), g => struct(lit(3).as("n"), g.as("g"))))
+    val cnts = df.select(col(idCol), explode(tagged).as("__t"))
+      .groupBy(col(idCol), col("__t.n").as("__n"), col("__t.g").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__chars", col("__c") * length(col("__g")).cast("long"))
+    val perDoc = cnts.groupBy(idCol).agg(
+      max(when(col("__n") === 2, col("__chars"))).as("__top2"),
+      sum(when(col("__n") === 3 && col("__c") >= 2, col("__chars"))).as("__dup3"))
+    df.select(col(idCol),
+        length(col(textCol)).cast("long").as("__nc"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("__nd"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0,
+          expr("1000000 * (n_words - __nd) DIV n_words")).otherwise(lit(0L))
+          .as("dup_word_ppm"),
+        when(col("__nc") > 0,
+          coalesce(expr("1000000 * __top2 DIV __nc"), lit(0L))).otherwise(lit(0L))
+          .as("top_bigram_ppm"),
+        when(col("__nc") > 0,
+          coalesce(expr("1000000 * __dup3 DIV __nc"), lit(0L))).otherwise(lit(0L))
+          .as("dup_trigram_ppm"))
+  }
+
+  /** Cross-document duplicated n-gram fraction — the corpus-level twin of
+    * [[repetitionSignals]] and the n-gram-granular form of exact-substring
+    * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": substrings repeated across documents are
+    * memorization fuel). Per doc: how much of it also appears verbatim
+    * (n consecutive words) in ANOTHER document.
+    *
+    *  - `n_grams` — distinct word n-grams in the doc (docs under n words → 0)
+    *  - `n_dup_grams` — of those, grams present in ≥ 2 distinct docs
+    *  - `dup_ngram_ppm` — 1e6·n_dup_grams DIV n_grams
+    *
+    * Scale shape: the inverted-index recipe. Grams are hashed to 8-byte
+    * keys ([[ngramHashes]] — fixed-width longs cross the shuffle, never
+    * gram strings); per-doc grams are DISTINCT at the source, so the
+    * gram→doc-count aggregate partial-aggregates map-side; the count joins
+    * back co-partitioned on the gram key (both sides of the join come out
+    * of the same exchange — the gram stream is materialized once and
+    * consumed twice); one final per-doc rollup. Short docs survive via the
+    * left join back to the scan frame. */
+  def corpusDupNgrams(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    val grams = Materialize(df.select(col(idCol),
+      explode(ngramHashes(col(textCol), n)).as("__g")))
+    val docCounts = grams.groupBy("__g").agg(count(lit(1)).as("__docs"))
+    val perDoc = grams.join(docCounts, "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__docs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_grams"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(expr("1000000 * n_dup_grams DIV n_grams"), lit(0L)).as("dup_ngram_ppm"))
+  }
 }

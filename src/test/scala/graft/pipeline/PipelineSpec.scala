@@ -659,6 +659,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunks(0).split(" ").length == 16 && chunks(2).split(" ").length == 8)
   }
 
+  test("repetition signals match hand-computed values") {
+    // "a b a b a b": words 6, distinct 2 → dup_word = 1e6*4 DIV 6 = 666666
+    // bigrams: "a b"×3 (3 chars → 9), "b a"×2 (6) → top2 = 9; chars = 11
+    //   → top_bigram = 9e6 DIV 11 = 818181
+    // trigrams: "a b a"×2, "b a b"×2 (5 chars each → 10+10=20)
+    //   → dup_trigram = 20e6 DIV 11 = 1818181
+    val df = Seq(
+      (0L, "a b a b a b"),
+      (1L, "x"), // no bigrams at all → zeros, row must survive
+      (2L, "all words here are fully distinct tokens")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_words", "dup_word_ppm", "top_bigram_ppm", "dup_trigram_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) == ((6L, 666666L, 818181L, 1818181L)))
+    assert(out(1) == ((1L, 0L, 0L, 0L)))
+    assert(out(2)._2 == 0L && out(2)._4 == 0L) // distinct text: no dup signal
+    assert(out(2)._3 > 0L) // every bigram occurs once — best-covering still > 0
+  }
+
+  test("corpus dup-ngrams flags only grams shared across documents") {
+    // docs 0 and 1 share one exact 4-word run; doc 2 is disjoint; doc 3 short
+    val df = Seq(
+      (0L, "alpha beta gamma delta one two three"), // grams: 4 distinct
+      (1L, "x alpha beta gamma delta y"),           // shares "alpha beta gamma delta"
+      (2L, "p q r s t u"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDupNgrams(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("n_grams", "n_dup_grams", "dup_ngram_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) == ((4L, 1L, 250000L)))
+    assert(out(1) == ((3L, 1L, 333333L)))
+    assert(out(2) == ((3L, 0L, 0L)))
+    assert(out(3) == ((0L, 0L, 0L))) // under n words: survives with zeros
+  }
+
   test("quality score bounded and monotone-ish in stopword density") {
     val docs = Seq(
       (1L, "the and of to a in is that it for extra words here making length"),
