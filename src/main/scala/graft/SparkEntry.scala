@@ -460,6 +460,144 @@ object SparkEntry {
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment""")
     },
+    "rel_q2_min_cost" -> { (s, dir) =>
+      prep(s, dir, "part", "supplier", "nation", "region", "lineitem")
+      // TPC-H Q2 shape: minimum-cost supplier per part via a CORRELATED
+      // scalar-MIN subquery over a derived cost relation (the partsupp
+      // table doesn't exist in this schema, so per-(part, supplier) min
+      // line price in cents stands in for ps_supplycost)
+      s.sql("""
+        WITH costs AS (
+          SELECT l.l_partkey, s.s_suppkey, s.s_name,
+                 CAST(min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cost_cents
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'ASIA'
+          GROUP BY l.l_partkey, s.s_suppkey, s.s_name)
+        SELECT p.p_partkey, p.p_brand, c.s_suppkey, c.s_name, c.cost_cents
+        FROM part p
+        JOIN costs c ON c.l_partkey = p.p_partkey
+        WHERE p.p_size IN (5, 10, 23)
+          AND c.cost_cents = (SELECT min(c2.cost_cents) FROM costs c2
+                              WHERE c2.l_partkey = p.p_partkey)
+        ORDER BY c.cost_cents, p.p_partkey, c.s_suppkey
+        LIMIT 100""")
+    },
+    "rel_q8_market_share" -> { (s, dir) =>
+      prep(s, dir, "part", "supplier", "customer", "orders", "lineitem", "nation", "region")
+      // TPC-H Q8 shape: a nation's yearly market share inside a region —
+      // 7-table join, conditional numerator, share as integer ppm
+      // (1e6·nation_cents DIV total_cents — no cross-engine float division)
+      s.sql("""
+        WITH vol AS (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS vol_cents,
+                 n2.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n1.n_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+        SELECT o_year,
+               CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_1' THEN vol_cents ELSE 0 END))
+                    DIV sum(vol_cents) AS BIGINT) AS share_ppm,
+               CAST(sum(vol_cents) AS BIGINT) AS total_cents
+        FROM vol
+        GROUP BY o_year
+        ORDER BY o_year""")
+    },
+    "rel_q9_profit" -> { (s, dir) =>
+      prep(s, dir, "part", "supplier", "orders", "lineitem", "nation")
+      // TPC-H Q9 shape: profit by supplier nation and year over a
+      // name-pattern part slice; cost side is retailprice·quantity cents
+      // (no partsupp here) so profit stays pure-BIGINT on both engines
+      s.sql("""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                        - ((CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                            * CAST(l.l_quantity AS BIGINT)) DIV 10)) AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY nation, o_year DESC""")
+    },
+    "rel_q11_important_stock" -> { (s, dir) =>
+      prep(s, dir, "supplier", "lineitem", "nation")
+      // TPC-H Q11 shape: groups whose value exceeds a FRACTION of the
+      // global total (scalar-subquery HAVING) — part revenue via one
+      // nation's suppliers, threshold 1/10000 of the grand total, all BIGINT
+      s.sql("""
+        WITH v AS (
+          SELECT l.l_partkey,
+                 CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS val_cents
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          GROUP BY l.l_partkey)
+        SELECT l_partkey, val_cents
+        FROM v
+        WHERE 10000 * val_cents > (SELECT sum(val_cents) FROM v)
+        ORDER BY val_cents DESC, l_partkey""")
+    },
+    "rel_q20_excess_supply" -> { (s, dir) =>
+      prep(s, dir, "supplier", "lineitem", "nation")
+      // TPC-H Q20 shape: nested semi-joins against an aggregate threshold —
+      // suppliers who shipped MORE THAN TWICE the average supplier's share
+      // of some part (availqty > threshold·moved, recast on shipped volumes
+      // relative to the part's average so the predicate is scale-invariant:
+      // a fixed fraction-of-total empties out as supplier count grows)
+      s.sql("""
+        WITH ps AS (SELECT l_partkey, l_suppkey,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                    FROM lineitem GROUP BY l_partkey, l_suppkey),
+             pt AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total,
+                           CAST(count(*) AS BIGINT) AS ns
+                    FROM ps GROUP BY l_partkey)
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (SELECT ps.l_suppkey FROM ps
+                              JOIN pt ON pt.l_partkey = ps.l_partkey
+                              WHERE ps.qty * pt.ns > 2 * pt.total)
+          AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4'))
+        ORDER BY s.s_suppkey""")
+    },
+    "rel_q21_waiting" -> { (s, dir) =>
+      prep(s, dir, "supplier", "orders", "lineitem", "nation")
+      // TPC-H Q21 shape: EXISTS + correlated NOT EXISTS over the same fact
+      // table — suppliers who were the ONLY late shipper on a multi-supplier
+      // finished order ("late" = shipped >30 days after the order date;
+      // this schema has no commit/receipt dates)
+      s.sql("""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name""")
+    },
     "rel_range_join" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // point-in-interval range join WITHOUT an inequality join: 7-day
@@ -1230,6 +1368,104 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          GROUP BY c.c_mktsegment
          ORDER BY c.c_mktsegment""",
+    "rel_q2_min_cost" ->
+      """WITH costs AS (
+           SELECT l.l_partkey, s.s_suppkey, s.s_name,
+                  CAST(min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cost_cents
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           WHERE r.r_name = 'ASIA'
+           GROUP BY l.l_partkey, s.s_suppkey, s.s_name)
+         SELECT p.p_partkey, p.p_brand, c.s_suppkey, c.s_name, c.cost_cents
+         FROM part p
+         JOIN costs c ON c.l_partkey = p.p_partkey
+         WHERE p.p_size IN (5, 10, 23)
+           AND c.cost_cents = (SELECT min(c2.cost_cents) FROM costs c2
+                               WHERE c2.l_partkey = p.p_partkey)
+         ORDER BY c.cost_cents, p.p_partkey, c.s_suppkey
+         LIMIT 100""",
+    "rel_q8_market_share" ->
+      """WITH vol AS (
+           SELECT year(o.o_orderdate) AS o_year,
+                  CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS vol_cents,
+                  n2.n_name AS supp_nation
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n1.n_regionkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+           WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+         SELECT o_year,
+                CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_1' THEN vol_cents ELSE 0 END))
+                     // sum(vol_cents) AS BIGINT) AS share_ppm,
+                CAST(sum(vol_cents) AS BIGINT) AS total_cents
+         FROM vol
+         GROUP BY o_year
+         ORDER BY o_year""",
+    "rel_q9_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                         - ((CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                             * CAST(l.l_quantity AS BIGINT)) // 10)) AS BIGINT) AS profit_cents
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE p.p_name LIKE '%red%'
+         GROUP BY n.n_name, year(o.o_orderdate)
+         ORDER BY nation, o_year DESC""",
+    "rel_q11_important_stock" ->
+      """WITH v AS (
+           SELECT l.l_partkey,
+                  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS val_cents
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           GROUP BY l.l_partkey)
+         SELECT l_partkey, val_cents
+         FROM v
+         WHERE 10000 * val_cents > (SELECT sum(val_cents) FROM v)
+         ORDER BY val_cents DESC, l_partkey""",
+    "rel_q20_excess_supply" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                     FROM lineitem GROUP BY l_partkey, l_suppkey),
+              pt AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total,
+                            CAST(count(*) AS BIGINT) AS ns
+                     FROM ps GROUP BY l_partkey)
+         SELECT s.s_suppkey, s.s_name
+         FROM supplier s
+         WHERE s.s_suppkey IN (SELECT ps.l_suppkey FROM ps
+                               JOIN pt ON pt.l_partkey = ps.l_partkey
+                               WHERE ps.qty * pt.ns > 2 * pt.total)
+           AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                                 WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4'))
+         ORDER BY s.s_suppkey""",
+    "rel_q21_waiting" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE o.o_orderstatus = 'F'
+           AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name""",
     "rel_range_join" ->
       """SELECT o.o_orderkey AS window_id, CAST(count(*) AS BIGINT) AS n_lines,
                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
