@@ -173,6 +173,23 @@ object ScaleProbe {
       pipeline.TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 8).count())
     println(s"[scale]   contaminated docs flagged: $nContam (expect >= ${nDocs / 1000} sources)")
 
+    // ---- cross-doc duplicated 8-grams: hashed inverted index -------------
+    // planted near-dup docs (and their sources) share 149/150 words, so
+    // ≥ 135 of their 143 8-gram windows are corpus-duplicated (all windows
+    // not touching substituted position 7) → expect ≥ ~944k ppm; clean
+    // docs share grams only via vocab-hash coincidence → expect ~0
+    val dupNg = timed("corpus dup 8-grams (inverted index)")(
+      pipeline.TextAnalysis.corpusDupNgrams(docs, "doc_id", "text", n = 8)
+        .localCheckpoint(true))
+    val plantedMinPpm = dupNg.where(col("doc_id") % 100 <= 1)
+      .agg(min("dup_ngram_ppm")).head.getLong(0)
+    val cleanMaxPpm = dupNg.where(col("doc_id") % 100 > 1)
+      .agg(max("dup_ngram_ppm")).head.getLong(0)
+    println(s"[scale]   dup-8gram ppm: planted min=$plantedMinPpm (expect >= 944055), "
+      + s"clean max=$cleanMaxPpm (expect ~0)"
+      + (if (plantedMinPpm >= 944055 && cleanMaxPpm < 100000) " (separation holds)"
+         else " (SEPARATION BROKEN)"))
+
     // ---- as-of join: one co-partitioned sort, no inequality join ---------
     val nEvents = nVecs // 200k synthetic events over 10k users
     val ev = spark.range(nEvents).selectExpr(
