@@ -1869,7 +1869,7 @@ object SparkEntry {
               ok AS (SELECT source FROM sc GROUP BY source
                      HAVING sum(quality_score) >= 460 * count(*))
          SELECT sc.doc_id, sc.source, sc.quality_score
-         FROM sc JOIN ok USING (source)
+         FROM sc JOIN ok ON sc.source IS NOT DISTINCT FROM ok.source
          ORDER BY sc.doc_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),

@@ -138,6 +138,8 @@ object Builtins {
     var i = 0
     var inClass = false
     var classStart = false // just after '[' or '[^': a ']' there is literal
+    var negSeen = false    // only the FIRST '^' after '[' is the negation
+                           // marker; a second one is a literal ([^^])
     while (i < re.length) {
       val c = re.charAt(i)
       if (c == '\\' && i + 1 < re.length) { classStart = false; sb.append(c).append(re.charAt(i + 1)); i += 2 }
@@ -154,8 +156,8 @@ object Builtins {
         }
       }
       else {
-        if (c == '[' && !inClass) { inClass = true; classStart = true }
-        else if (c == '^' && classStart) () // [^ keeps the start position
+        if (c == '[' && !inClass) { inClass = true; classStart = true; negSeen = false }
+        else if (c == '^' && classStart && !negSeen) negSeen = true // [^ keeps the start position
         else if (c == ']' && inClass && !classStart) inClass = false
         else classStart = false // ']' right after '[' / '[^' is a literal
         sb.append(c); i += 1

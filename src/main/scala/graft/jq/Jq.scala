@@ -76,11 +76,13 @@ object Jq {
     } finally parser.close()
   }
 
-  /** (input, $error) with the reference's corrupt-input semantics. */
-  def parseWithError(text: String): (JsonNode, JsonNode) =
+  /** The corrupt-input contract shared by the full and pruned parse lanes:
+    * null input → (null, no error); parse failure → (null, the reference's
+    * three-field $error object). ONE definition so the lanes cannot drift. */
+  private def withErrorContract(text: String)(parse: String => JsonNode): (JsonNode, JsonNode) =
     if (text == null) (Json.NullN, Json.NullN)
     else
-      try (parseJson(text), Json.NullN)
+      try (parse(text), Json.NullN)
       catch {
         case e: Exception =>
           (Json.NullN, Json.obj(List(
@@ -88,6 +90,10 @@ object Jq {
             "class" -> Json.text(e.getClass.getName),
             "input" -> Json.text(text))))
       }
+
+  /** (input, $error) with the reference's corrupt-input semantics. */
+  def parseWithError(text: String): (JsonNode, JsonNode) =
+    withErrorContract(text)(parseJson)
 
   /** Footprint-pruned strict parse: object inputs build JsonNode subtrees
     * ONLY for top-level fields in `fields`; everything else is
@@ -121,14 +127,5 @@ object Jq {
 
   /** [[parsePruned]] with the corrupt-input contract of [[parseWithError]]. */
   def parsePrunedWithError(text: String, fields: Set[String]): (JsonNode, JsonNode) =
-    if (text == null) (Json.NullN, Json.NullN)
-    else
-      try (parsePruned(text, fields), Json.NullN)
-      catch {
-        case e: Exception =>
-          (Json.NullN, Json.obj(List(
-            "message" -> Json.text(if (e.getMessage == null) e.toString else e.getMessage),
-            "class" -> Json.text(e.getClass.getName),
-            "input" -> Json.text(text))))
-      }
+    withErrorContract(text)(parsePruned(_, fields))
 }

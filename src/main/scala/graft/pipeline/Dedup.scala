@@ -62,6 +62,8 @@ object Dedup {
     * admitted (filter them upstream if they should not survive). */
   def crossCorpus(fresh: DataFrame, ref: DataFrame, textCol: String,
                   broadcastRef: Boolean = false): DataFrame = {
+    require(!fresh.columns.contains("__h"),
+      "crossCorpus reserves column name __h; rename it on the fresh side")
     def norm(t: Column) = md5(regexp_replace(lower(t), "\\s+", " "))
     val refHashes = ref.select(norm(col(textCol)).as("__h")).distinct()
     fresh.withColumn("__h", norm(col(textCol)))
@@ -112,13 +114,22 @@ object Dedup {
     * crawl) side never shuffles when `broadcastRef` is set; on a stream,
     * pass the already-materialized reference as a static DataFrame. The
     * maxBucket skew guard applies to the reference side only (a window on
-    * the stream side would break append mode). */
+    * the stream side would break append mode).
+    *
+    * Pair multiplicity: in BATCH the output is distinct (a, b). On a
+    * STREAM the same pair may be emitted once per matching band (at most
+    * `bands` times) — a streaming dropDuplicates would be unbounded state
+    * (no watermark can expire pair keys), violating the no-state contract
+    * above. The intended consumer (admit fresh docs with NO match — an
+    * anti join / EXISTS on `a`) is insensitive to pair multiplicity. */
   def minhashCrossCandidates(fresh: DataFrame, ref: DataFrame, idCol: String,
                              textCol: String, numHashes: Int = 128,
                              bands: Int = 16, shingle: Int = 5,
                              maxBucket: Int = 200,
                              broadcastRef: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(!Set("sig", "band", "bucket", "a", "b").contains(idCol) && idCol != textCol,
+      s"minhashCrossCandidates reserves column names sig/band/bucket/a/b; rename '$idCol'")
     val r = numHashes / bands
     def bandKeys(df: DataFrame, side: String) =
       df.select(col(idCol).as(side),
@@ -132,10 +143,10 @@ object Dedup {
       .where(col("__n") <= maxBucket)
       .drop("__n"))
     val freshKeys = bandKeys(fresh, "a")
-    freshKeys.join(
+    val joined = freshKeys.join(
         if (broadcastRef) broadcast(refKeys) else refKeys, Seq("band", "bucket"))
       .select(col("a"), col("b"))
-      .dropDuplicates("a", "b")
+    if (fresh.isStreaming) joined else joined.dropDuplicates("a", "b")
   }
 
   /** Exact character-shingle Jaccard for a pair DataFrame (a, b) against the
@@ -277,11 +288,11 @@ object Dedup {
     // repartition(y): materialize the edges already partitioned on the
     // per-round join key — every hook join then reuses this one exchange
     // instead of re-shuffling the (large) edge table each round
-    val edges = Materialize(pairs.select(col("a").as("x"), col("b").as("y"))
+    val edges = Materialize.cut(pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .union(ids.select(col("id").as("x"), col("id").as("y")))
       .repartition(col("y")))
-    var labels = Materialize(ids.select(col("id"), col("id").as("label")))
+    var labels = Materialize.cut(ids.select(col("id"), col("id").as("label")))
     // decimal sum: exact at any node count (a bigint sum could overflow at
     // 10^9+ rows of 10^9+ ids, turning the convergence test into UB)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -291,13 +302,23 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    // Frames whose release is DEFERRED until the frame derived from them
+    // has been forced by an action. Under the persist strategy Materialize
+    // is a lazy cache mark: releasing an input before the derived frame's
+    // first action would guarantee its recompute (and the recompute chain
+    // compounds round over round — the self-join doubles the fan-in). The
+    // next round's labelSum(hooked) transitively forces the current labels
+    // frame, after which last round's inputs are safe to drop.
+    var deferred: Seq[DataFrame] = Nil
     while (!converged && i < maxIters) {
       // hooked is materialized because the jump self-joins it: without the
       // cut, BOTH join sides would recompute the edge-join + groupBy
-      val hooked = Materialize(edges.join(labels, edges("y") === labels("id"))
+      val hooked = Materialize.cut(edges.join(labels, edges("y") === labels("id"))
         .groupBy("x").agg(min("label").as("label"))
         .withColumnRenamed("x", "id"))
-      val sH = labelSum(hooked)
+      val sH = labelSum(hooked) // forces hooked AND (first use) labels
+      deferred.foreach(Materialize.release)
+      deferred = Nil
       val prev = labels
       if (sH.compareTo(prevSum) == 0) {
         // hook-fixpoint ⟺ converged: labels are constant across every edge,
@@ -307,18 +328,18 @@ object Dedup {
         // force pointwise equality throughout.)
         converged = true
         labels = hooked
-        Materialize.release(prev)
+        Materialize.release(prev) // forced computing hooked — safe to drop
       } else {
         prevSum = sH
         val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
           .select(col("h1.id").as("id"), col("h2.label").as("label"))
-        labels = Materialize(jumped) // eager under the checkpoint strategies;
-        Materialize.release(hooked)  // persist keeps lineage, so release is safe
-        Materialize.release(prev)
+        labels = Materialize.cut(jumped)
+        deferred = Seq(hooked, prev) // released after jumped's first action
       }
       i += 1
     }
     Materialize.release(edges)
+    deferred.foreach(Materialize.release) // cap path: nothing forced them
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: labels still changing after maxIters=$maxIters rounds " +

@@ -16,16 +16,24 @@ object Maintenance {
     * write). Round-robin (not coalesce): coalesce would chain narrow
     * dependencies back into the scan and skew output files by input
     * locality; a compaction's whole point is evenly sized output.
-    * Returns (filesBefore, filesAfter, bytesBefore). */
+    * Listing goes through the Hadoop FileSystem API, so `src`/`dst` may
+    * live on any configured filesystem (local, HDFS, object store) — the
+    * deployments whose listing pressure motivates compaction in the first
+    * place. Returns (filesBefore, filesAfter, bytesBefore). */
   def compactParquet(spark: SparkSession, src: String, dst: String,
                      targetBytes: Long = 128L << 20): (Int, Int, Long) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    def parts(dir: String): Seq[java.io.File] =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val conf = spark.sessionState.newHadoopConf()
+    def parts(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    }
     val before = parts(src)
     require(before.nonEmpty, s"no parquet part files under $src")
-    val bytes = before.map(_.length()).sum
+    val bytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src)
       .repartition(nOut)

@@ -42,6 +42,23 @@ private[graft] object Materialize {
         s"$ConfKey must be localCheckpoint | checkpoint | persist, got '$other'")
     }
 
+  /** [[apply]] for ITERATIVE per-round frames: additionally guarantees the
+    * returned frame's Catalyst plan is FLAT. The eager checkpoint
+    * strategies already return LogicalRDD plans; plain `persist` keeps
+    * the full logical plan, and a self-join loop's plan doubles per round
+    * — analysis and plan-string generation go exponential long before any
+    * data moves. Under `persist` the plan is first cut
+    * (`GraftShim.flattenPlan` — the RDD keeps its lineage, so
+    * recompute-on-block-loss is retained) and the flat frame is what gets
+    * cached, so [[release]] unpersists it. */
+  def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
+      case "persist" =>
+        org.apache.spark.sql.graftshim.GraftShim.flattenPlan(df)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case _ => apply(df)
+    }
+
   /** Releases an intermediate once superseded. Only the persist strategy
     * parks a CacheManager entry that needs explicit release; the checkpoint
     * strategies' blocks are RDD-owned / on reliable storage, so release is

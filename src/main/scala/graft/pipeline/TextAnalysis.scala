@@ -164,12 +164,15 @@ object TextAnalysis {
     * [[qualityScore]] is ≥ `minMeanQuality` (0–1000 scale).
     *
     * The mean test is integer-exact: `sum(q) ≥ minMeanQuality · count`
-    * — no float division to drift cross-engine. Plan shape: one scan
-    * computes the quality expressions map-side (materialized — consumed by
-    * both the aggregate and the final filter join); the per-source
-    * aggregate partial-aggregates map-side and the verdict table — one row
-    * per source, tiny by construction — broadcasts back, so the corpus
-    * never shuffles. */
+    * — no float division to drift cross-engine. Docs with a NULL source
+    * form their own group and pass or fail TOGETHER on that group's mean
+    * (the verdict join is null-safe — a plain equi-join would silently
+    * drop every unattributed doc however good its group). Plan shape: one
+    * scan computes the quality expressions map-side (materialized —
+    * consumed by both the aggregate and the final filter join); the
+    * per-source aggregate partial-aggregates map-side and the verdict
+    * table — one row per source, tiny by construction — broadcasts back,
+    * so the corpus never shuffles. */
   def sourceFilter(df: DataFrame, idCol: String, textCol: String,
                    sourceCol: String, minMeanQuality: Int): DataFrame = {
     val q = Materialize(qualityScore(df, textCol)
@@ -177,8 +180,8 @@ object TextAnalysis {
     val verdict = q.groupBy(sourceCol)
       .agg(sum("quality_score").as("__sum"), count(lit(1)).as("__n"))
       .where(col("__sum") >= lit(minMeanQuality.toLong) * col("__n"))
-      .select(col(sourceCol))
-    q.join(broadcast(verdict), sourceCol)
+      .select(col(sourceCol).as("__vsrc"))
+    q.join(broadcast(verdict), col(sourceCol) <=> col("__vsrc"))
       .select(col(idCol), col(sourceCol), col("quality_score"))
   }
 

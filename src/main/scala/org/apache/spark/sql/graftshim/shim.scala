@@ -23,6 +23,21 @@ object GraftShim {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Rewraps a DataFrame's execution RDD as a flat LogicalRDD plan —
+    * `LogicalRDD.fromDataset`, the same construction `Dataset.checkpoint`
+    * uses, so output partitioning/ordering are preserved. Execution and
+    * fault-tolerance are untouched (the RDD keeps its full lineage; nothing
+    * is computed here): only the CATALYST plan is cut. Iterative operators
+    * need this under the `persist` materialization strategy, where the
+    * logical plan would otherwise nest per round (a self-join loop's plan
+    * doubles each iteration — analysis/explain go exponential). */
+  def flattenPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** Applies a SparkSessionExtensions setup to a fresh FunctionRegistry and
     * returns the registered names — verifies the `spark.sql.extensions`
     * deployment path without needing a second SparkContext in the JVM. */

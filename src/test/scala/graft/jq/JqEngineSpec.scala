@@ -563,6 +563,14 @@ class JqEngineSpec extends AnyFunSuite {
     // (java.util.regex accepts []…] / [^]…] like Oniguruma)
     assert(run1("""gsub("[][:digit:]]"; "#")""", "\"a]1b\"") == "\"a##b\"")
     assert(run1("""gsub("[^][:digit:]]"; "_")""", "\"a]1b\"") == "\"_]1_\"")
+    // only the FIRST '^' after '[' is the negation marker: in [^^] the
+    // second '^' is a literal and the following ']' CLOSES the class —
+    // the tracker must resync so a later [:alpha:] (outside any class)
+    // keeps its literal bracket-expression meaning
+    assert(run1("""gsub("[^^]"; "#")""", "\"a^b\"") == "\"#^#\"")
+    assert(run1("""test("[^^][:alpha:]")""", "\"ba\"") == "true")
+    assert(run1("""test("[^^][:alpha:]")""", "\"bz\"") == "false")
+    assert(run1("""test("[^^][[:alpha:]]")""", "\"bz\"") == "true")
   }
 
   test("builtins lists name/arity strings including itself") {

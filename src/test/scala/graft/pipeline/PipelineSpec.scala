@@ -261,6 +261,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L), "bad source (two near-empty docs) must drop entirely")
   }
 
+  test("sourceFilter: NULL-source docs form their own group, kept or dropped together") {
+    // a plain equi-join on source would silently drop every NULL-source
+    // doc regardless of quality — the verdict join must be null-safe
+    val good = "the and of to a in is that it for good long words here"
+    val keep = Seq(
+      (1L, good, null.asInstanceOf[String]),
+      (2L, good, null.asInstanceOf[String]),
+      (3L, "zz", "bad")).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.sourceFilter(keep, "doc_id", "text", "source", minMeanQuality = 400)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), "high-quality NULL-source group must survive")
+    val drop = Seq(
+      (1L, "zz", null.asInstanceOf[String]),
+      (2L, good, "good")).toDF("doc_id", "text", "source")
+    val kept2 = TextAnalysis.sourceFilter(drop, "doc_id", "text", "source", minMeanQuality = 400)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(2L), "low-quality NULL-source group must drop entirely")
+  }
+
+  test("cross-corpus gates reject reserved column names instead of clobbering them") {
+    val fresh = Seq((1L, "some text", 9L)).toDF("doc_id", "text", "__h")
+    val ref = Seq((2L, "other text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.crossCorpus(fresh, ref, "text")
+    }
+    val byBand = Seq((1L, "some text")).toDF("band", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCrossCandidates(byBand, ref.toDF("band", "text"), "band", "text")
+    }
+  }
+
+  test("connected components: long chain converges under the persist strategy") {
+    // regression for the release-before-force hazard: under persist,
+    // Materialize is a lazy cache mark, so each round's inputs must stay
+    // cached until the derived frame's first action — a chain needing ~8
+    // hook+jump rounds exercises the deferred-release schedule end to end
+    try {
+      spark.conf.set(Materialize.ConfKey, "persist")
+      val n = 120
+      val ids = spark.range(n + 1).select($"id")
+      val chain = spark.range(n).selectExpr("id AS a", "id + 1 AS b")
+      val labels = Dedup.connectedComponents(ids.toDF(), chain)
+        .as[(Long, Long)].collect()
+      assert(labels.length == n + 1)
+      assert(labels.forall(_._2 == 0L), "every chain member must fold to label 0")
+    } finally {
+      spark.conf.set(Materialize.ConfKey, "localCheckpoint")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
     // regression for the r2 finding: the training sample was the HEAD of
     // the table (orderBy(id).limit(n)); on a corpus where ingestion order

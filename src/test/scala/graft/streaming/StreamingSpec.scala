@@ -182,6 +182,10 @@ class StreamingSpec extends AnyFunSuite {
       val pairs = spark.table("neardup_stream_out").as[(Long, Long)].collect().toSet
       assert(pairs.contains((1L, 100L)), s"planted near-dup not blocked on the stream: $pairs")
       assert(!pairs.exists(_._1 == 2L), "unrelated doc must not collide in any band")
+      // the no-state contract: pure map + stream-static join — a streaming
+      // dropDuplicates here would park every pair in an unbounded state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"streaming gate must be stateless, got ${q.lastProgress.stateOperators.mkString(",")}")
     } finally q.stop()
   }
 
