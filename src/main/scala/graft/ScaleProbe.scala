@@ -190,6 +190,26 @@ object ScaleProbe {
       + (if (plantedMinPpm >= 944055 && cleanMaxPpm < 100000) " (separation holds)"
          else " (SEPARATION BROKEN)"))
 
+    // ---- SemDeDup: k-means blocking + within-cluster cosine prune --------
+    // 1% of vectors get a near-identical twin (one dim perturbed by 1e-3,
+    // cos ≈ 1−1e-7); near-uniform originals almost never clear 0.99 among
+    // themselves, so flags ≈ planted twins exactly. Worst-case corpus for
+    // the blocking (no real cluster structure → even N/k cluster fill).
+    val semVecs = sys.env.getOrElse("SCALE_SEM_VECS", "50000").toInt
+    val semBase = emb.where(col("vec_id") < semVecs)
+    val twins = semBase.where(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + semVecs).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x + 0.001 ELSE x END AS FLOAT))")
+          .as("embedding"))
+    val semCorpus = semBase.union(twins).localCheckpoint(true)
+    val sem = timed(s"SemDeDup (${semVecs + semVecs / 100} vectors, k=128, threshold=0.99)")(
+      pipeline.Dedup.semanticDedup(semCorpus, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 128).localCheckpoint(true))
+    val semFlagged = sem.where(col("is_semantic_duplicate")).count()
+    val twinsFlagged = sem.where(col("is_semantic_duplicate") && col("vec_id") >= semVecs).count()
+    println(s"[scale]   flagged=$semFlagged, planted twins flagged=$twinsFlagged of ${semVecs / 100}"
+      + (if (twinsFlagged == semVecs / 100) " (all twins caught)" else " (TWINS MISSED)"))
+
     // ---- as-of join: one co-partitioned sort, no inequality join ---------
     val nEvents = nVecs // 200k synthetic events over 10k users
     val ev = spark.range(nEvents).selectExpr(

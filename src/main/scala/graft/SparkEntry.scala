@@ -858,6 +858,15 @@ object SparkEntry {
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     },
+    "dedup_semantic" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // SemDeDup: k-means-blocked embedding near-dup flags — rows-only
+      // (the k-means blocking is data-dependent); planted-pair behavior
+      // and the maxCluster guard are spec'd in PipelineSpec
+      pipeline.Dedup.semanticDedup(s.table("embeddings"), "vec_id", "embedding",
+          threshold = 0.995, nClusters = 16)
+        .orderBy("vec_id")
+    },
     "ann_ivf_topk" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // IVF coarse-quantizer ANN — rows-only (k-means blocking is

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim => E}
 
-import graft.functions.{Hamming64, MinHashSignature, SimHash64}
+import graft.functions.{CosineSim, Hamming64, MinHashSignature, SimHash64}
 
 /** Deduplication family for LLM training-data pipelines.
   *
@@ -360,6 +360,58 @@ object Dedup {
       .withColumn("cos", quantizedCosine(col("__qa"), col("__qb")))
       .drop("__qa", "__qb")
       .where(col("cos") >= threshold)
+  }
+
+  /** Semantic deduplication — SemDeDup (Abbas et al. 2023, arXiv:
+    * 2303.09540): drop documents whose EMBEDDING is near-identical to
+    * another document's within the same semantic cluster. Catches the
+    * paraphrases and templated rewrites that lexical dedup (minhash /
+    * simhash over surface n-grams) cannot see.
+    *
+    * Recipe: [[Similarity.assignClusters]] (deterministic spherical
+    * k-means, one map-side assignment pass) blocks the corpus into
+    * nClusters semantic regions; within each cluster, a co-partitioned
+    * self-join tests single-pass exact cosine ≥ `threshold`; a doc is a
+    * duplicate iff some SMALLER-id doc in its cluster clears the
+    * threshold (greedy keep-min-id — deterministic, and at most one
+    * survivor per mutually-similar set; slightly more aggressive than a
+    * connected-components grouping on borderline non-transitive chains,
+    * matching the paper's per-cluster pruning).
+    *
+    * Scale shape: clustering shuffles nothing (plan-constant centroids);
+    * the only shuffle is the cluster-key self-join, quadratic within a
+    * cluster but bounded by `maxCluster` — clusters larger than the cap
+    * skip pairing entirely (flagged nothing) rather than detonate the
+    * join; the guard count rides the same shuffle as the join. Like the
+    * paper, nClusters should grow with corpus size to keep N/k bounded.
+    * Output: (idCol, cluster, is_semantic_duplicate). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int = 64,
+                    sampleSize: Int = 10000, iters: Int = 10,
+                    maxCluster: Int = 10000): DataFrame = {
+    // trained + assigned ONCE; materialized because it feeds the pairing
+    // join (twice, via self-join) and the final flag join. The pairing
+    // predicate is CosineSim — a single-pass expression with fixed
+    // accumulation order (deterministic), not the interpreted higher-order
+    // quantized form: this op is rows-only, no oracle to stay bit-equal to
+    val clusters = Materialize(Similarity
+      .assignClusters(emb, idCol, vecCol, nClusters, sampleSize, iters)
+      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol))
+    val guarded = clusters
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("__n") <= maxCluster)
+      .drop("__n")
+    val dups = guarded.as("x").join(guarded.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x." + idCol) < col("y." + idCol))
+      .where(E.column(CosineSim(
+        E.expression(col("x.__v")), E.expression(col("y.__v")))) >= threshold)
+      .select(col("y." + idCol).as(idCol))
+      .distinct()
+    clusters
+      .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_semantic_duplicate"))
   }
 
   /** float vector → scaled bigint vector. The float→double widening is

@@ -202,6 +202,23 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
+  /** Deterministic spherical-k-means cluster id per row — the IVF coarse
+    * quantizer exposed standalone: the semantic blocking function for
+    * [[Dedup.semanticDedup]], and useful on its own to shard a corpus by
+    * content region. One driver-side training pass on a hash-spread
+    * sample, then a single map-side assignment (plan-constant centroids);
+    * the corpus is never shuffled. Output: (idCol, cluster). */
+  def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                     nClusters: Int = 64, sampleSize: Int = 10000,
+                     iters: Int = 10): DataFrame = {
+    val cents = trainCentroids(spreadSample(corpus, idCol, vecCol, sampleSize),
+      nClusters, iters)
+    corpus.select(col(idCol),
+        E.column(graft.functions.NearestCentroids(
+          E.expression(col(vecCol)), cents, 1)).as("__ls"))
+      .select(col(idCol), col("__ls").getItem(0).as("cluster"))
+  }
+
   /** IVF candidate pairs: corpus assigned to its nearest centroid (one
     * map-side pass, `list` column), queries probe their `nProbe` nearest
     * lists. The centroid table is trained on `sampleSize` corpus rows

@@ -312,6 +312,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup flags within-cluster near-identical embeddings, keeps min id") {
+    // three well-separated directions; ids 0/1 and 10/11 are planted
+    // near-identical pairs (cos ≈ 0.99997), id 2 shares direction 0 but
+    // is rotated well below the threshold, ids 20/21 are lone docs
+    val dim = 8
+    def v(dir: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(dim)(d => (if (d == dir) 1.0f else 0.0f) + (if (d == dir + 3) eps else 0.0f))
+    val rot = Seq.tabulate(dim)(d => if (d == 0) 1.0f else if (d == 1) 0.5f else 0.0f)
+    val emb = Seq(
+      (0L, v(0, 0.000f)), (1L, v(0, 0.008f)), (2L, rot),
+      (10L, v(1, 0.000f)), (11L, v(1, 0.008f)),
+      (20L, v(2, 0.000f)), (21L, v(4, 0.000f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.995, nClusters = 3, sampleSize = 100)
+      .orderBy("vec_id")
+      .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L),
+      "every doc must survive with a flag")
+    val flagged = out.filter(_._2).map(_._1).toSet
+    assert(flagged == Set(1L, 11L),
+      s"exactly the larger id of each planted pair must be flagged, got $flagged")
+    // the maxCluster guard skips pairing instead of detonating the join
+    val guarded = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.995, nClusters = 3, sampleSize = 100, maxCluster = 1)
+      .select("is_semantic_duplicate").as[Boolean].collect()
+    assert(guarded.forall(!_), "capped clusters must flag nothing")
+  }
+
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
     // regression for the r2 finding: the training sample was the HEAD of
     // the table (orderBy(id).limit(n)); on a corpus where ingestion order
