@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass word n-gram expressions — the ShingleSet pattern applied to
+  * the WORD-gram family (repetition signals, bigram LM, inverted-index /
+  * decontamination gram hashing).
+  *
+  * Why not built-ins: the `transform(sequence(0, size(w) - n),
+  * i -> ...slice(w, i+1, n)...)` formulation references the tokenizer array
+  * `w = split(lower(text), "\s+")` inside the lambda, and after
+  * CollapseProject inlines it the FULL split re-evaluates on every lambda
+  * invocation — O(n_words) work per gram, O(n_words²) per document. At
+  * bench doc sizes (~150 words) that is invisible; on a heavy-tailed web
+  * corpus one 100k-word document costs ~10^10 word-copies inside a single
+  * task — a straggler that stalls the whole stage. These expressions
+  * tokenize ONCE and slide a window: O(total output chars) per document.
+  *
+  * Tokenization replicates `filter(split(lower(text), "\\s+"), length > 0)`
+  * EXACTLY (lowercase first — full-string String#toLowerCase like Spark's
+  * UTF8String.toLowerCase for non-ASCII; split on java-regex \s runs =
+  * [ \t\n\x0B\f\r]; empty tokens dropped) so the DuckDB oracles that mirror
+  * that built-in pipeline keep matching hash-for-hash.
+  */
+object WordTok {
+  @inline private def isWs(c: Char): Boolean = // java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  /** Whitespace-run tokens of the lowercased text. */
+  def tokens(s0: String): Array[String] = {
+    val s = s0.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !isWs(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** Space-joined window w(i..i+n-1). */
+  @inline def joinGram(w: Array[String], i: Int, n: Int): UTF8String = {
+    var len = n - 1
+    var j = 0
+    while (j < n) { len += w(i + j).length; j += 1 }
+    val sb = new java.lang.StringBuilder(len)
+    j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(w(i + j))
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** word_grams(text, n) → array<string>: ALL space-joined word n-grams in
+  * document order (length = n_words − n + 1; empty array below n words) —
+  * the single-pass equivalent of
+  * `transform(sequence(0, size(w) - n), i -> array_join(slice(w, i+1, n), ' '))`. */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
+    if (w.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](w.length - n + 1)
+      var i = 0
+      while (i < out.length) { out(i) = WordTok.joinGram(w, i, n); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_grams"
+}
+
+/** word_grams_tagged(text, ns) → array<struct<n:int, g:string>>: the grams
+  * of EVERY size in `ns`, tagged with their size, from ONE tokenize pass —
+  * for consumers that explode multiple gram sizes together (repetition
+  * signals needs 2-grams and 3-grams of the same document). */
+case class WordGramsTagged(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(ns.nonEmpty && ns.forall(_ > 0))
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
+    var total = 0
+    ns.foreach { n => if (w.length >= n) total += w.length - n + 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    ns.foreach { n =>
+      if (w.length >= n) {
+        var i = 0
+        while (i <= w.length - n) {
+          val row = new GenericInternalRow(2)
+          row.update(0, n)
+          row.update(1, WordTok.joinGram(w, i, n))
+          out(k) = row: InternalRow
+          k += 1
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsTagged =
+    copy(child = newChild)
+  override def prettyName: String = "word_grams_tagged"
+}
+
+/** word_gram_hashes(text, n) → array<bigint>: DISTINCT xxhash64 values of
+  * the space-joined word n-grams, first-occurrence order — the single-pass
+  * equivalent of `array_distinct(transform(..., i -> xxhash64(array_join(
+  * slice(w, i+1, n), ' '))))`. Hashing goes through Spark's own
+  * XxHash64Function (seed 42), so values are bit-identical to the built-in
+  * `xxhash64` — existing tables/specs keyed on those hashes keep matching. */
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
+    if (w.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= w.length - n) {
+        seen.add(XxHash64Function.hash(WordTok.joinGram(w, i, n), StringType, 42L))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "word_gram_hashes"
+}
