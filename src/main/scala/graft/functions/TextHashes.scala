@@ -157,7 +157,7 @@ case class RollingHash64(child: Expression) extends UnaryExpression with Codegen
   * formulation re-evaluates the regexp_replace per shingle position after
   * CollapseProject inlines it into the lambda (measured 30× slower). */
 case class ShingleSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(n > 0)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -167,12 +167,13 @@ case class ShingleSet(child: Expression, n: Int)
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   override def nullSafeEval(v: Any): Any = {
-    // Full-string lowering first (Spark's lower() = UTF8String.toLowerCase =
-    // String#toLowerCase for non-ASCII), not per-char Character.toLowerCase:
-    // special-casing codepoints like U+0130 lower to MULTIPLE chars, which a
-    // per-char loop gets wrong. DuckDB (utf8proc) still differs on those rare
-    // codepoints; on ASCII the three agree exactly.
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    // Full-string lowering first via the UTF8String.toLowerCase replica
+    // (ASCII per-char — locale-independent — else String#toLowerCase), not a
+    // bare per-char Character.toLowerCase loop: special-cased codepoints like
+    // U+0130 lower to MULTIPLE chars, which a per-char loop gets wrong.
+    // DuckDB (utf8proc) still differs on those rare codepoints; on ASCII the
+    // three agree exactly.
+    val s = WordTok.lowerLikeSpark(v.asInstanceOf[UTF8String].toString)
     val norm = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -23,8 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenize ONCE and slide a window: O(total output chars) per document.
   *
   * Tokenization replicates `filter(split(lower(text), "\\s+"), length > 0)`
-  * EXACTLY (lowercase first — full-string String#toLowerCase like Spark's
-  * UTF8String.toLowerCase for non-ASCII; split on java-regex \s runs =
+  * EXACTLY (lowercase first via [[WordTok.lowerLikeSpark]], the
+  * UTF8String.toLowerCase replica; split on java-regex \s runs =
   * [ \t\n\x0B\f\r]; empty tokens dropped) so the DuckDB oracles that mirror
   * that built-in pipeline keep matching hash-for-hash.
   */
@@ -32,9 +33,28 @@ object WordTok {
   @inline private def isWs(c: Char): Boolean = // java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
 
+  /** Replica of Spark's `lower()` (UTF8String.toLowerCase): all-ASCII
+    * strings lower per-char via Character.toLowerCase — locale-INDEPENDENT,
+    * where a bare String#toLowerCase under a Turkish/Azeri default locale
+    * would map ASCII 'I' → 'ı' and break hash parity with the built-in
+    * pipeline — and only non-ASCII strings take the String#toLowerCase
+    * slow path (default locale, exactly like UTF8String.toLowerCaseSlow). */
+  def lowerLikeSpark(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase
+    else {
+      val out = new Array[Char](s.length)
+      var j = 0
+      while (j < s.length) { out(j) = Character.toLowerCase(s.charAt(j)); j += 1 }
+      new String(out)
+    }
+  }
+
   /** Whitespace-run tokens of the lowercased text. */
   def tokens(s0: String): Array[String] = {
-    val s = s0.toLowerCase
+    val s = lowerLikeSpark(s0)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < s.length) {
@@ -62,12 +82,22 @@ object WordTok {
   }
 }
 
+/** Clean analysis-time error (instead of an execution-time ClassCastException)
+  * when a text expression is fed a non-string child. */
+trait RequiresStringInput extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.catalogString}")
+  }
+}
+
 /** word_grams(text, n) → array<string>: ALL space-joined word n-grams in
   * document order (length = n_words − n + 1; empty array below n words) —
   * the single-pass equivalent of
   * `transform(sequence(0, size(w) - n), i -> array_join(slice(w, i+1, n), ' '))`. */
 case class WordGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(n > 0)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -94,8 +124,11 @@ case class WordGrams(child: Expression, n: Int)
   * for consumers that explode multiple gram sizes together (repetition
   * signals needs 2-grams and 3-grams of the same document). */
 case class WordGramsTagged(child: Expression, ns: Seq[Int])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(ns.nonEmpty && ns.forall(_ > 0))
+  // duplicate sizes would silently emit every gram of that size twice,
+  // skewing downstream count-based repetition metrics
+  require(ns.distinct.length == ns.length, s"duplicate gram sizes in $ns")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("n", IntegerType, nullable = false),
@@ -136,7 +169,7 @@ case class WordGramsTagged(child: Expression, ns: Seq[Int])
   * XxHash64Function (seed 42), so values are bit-identical to the built-in
   * `xxhash64` — existing tables/specs keyed on those hashes keep matching. */
 case class WordGramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(n > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

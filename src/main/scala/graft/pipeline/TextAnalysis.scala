@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim => E}
 
-import graft.functions.RollingHash64
+import graft.functions.{RollingHash64, WordGramHashes, WordGrams, WordGramsTagged}
 
 /** Text-analysis operators for training-data curation: language ID,
   * quality scoring, token counting, fingerprinting.
@@ -119,14 +119,16 @@ object TextAnalysis {
   /** Distinct hashed word `n`-grams of a text column (xxhash64 of the
     * space-joined window) — 8-byte keys instead of strings, so overlap
     * joins ship fixed-width longs. Documents shorter than `n` words have
-    * no n-gram. */
-  def ngramHashes(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => xxhash64(array_join(slice(w, i + 1, lit(n)), " ")))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * no n-gram.
+    *
+    * Single-pass expression (WordGramHashes — one tokenize, one slide,
+    * Spark's own XxHash64Function so hashes stay bit-identical to the
+    * `xxhash64(array_join(slice(w, ...)))` built-in formulation): the
+    * lambda form re-evaluated the full `split(lower(text))` per gram
+    * after CollapseProject inlining — O(n_words²) per document, a
+    * straggler stall on heavy-tailed web docs. */
+  def ngramHashes(text: Column, n: Int): Column =
+    E.column(WordGramHashes(E.expression(text), n))
 
   /** Benchmark decontamination: flags training docs that share at least
     * `minHits` distinct word `n`-grams with any benchmark doc (the overlap
@@ -259,14 +261,16 @@ object TextAnalysis {
     * counts on (w1,w2), and the per-doc rollup is one more keyed shuffle.
     * Docs with < 2 words survive with zero counts (left join back). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
-    // sequence(0, n) flips to a DESCENDING range when n < 0 — guard short docs
-    val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2),
-          i => struct(element_at(w, i + 1).as("w1"), element_at(w, i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val grams = Materialize(df.select(col(idCol), explode(bigrams).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2")))
+    // single-pass WordGrams (one tokenize, one slide — see ngramHashes for
+    // why not the transform-lambda form), split back into (w1, w2) AFTER the
+    // explode: tokens contain no whitespace, so each bigram has exactly one
+    // space and substring_index on the exploded scalar is O(gram), not
+    // O(document)
+    val grams = Materialize(df
+      .select(col(idCol), explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
+      .select(col(idCol),
+        substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2")))
     val bi = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
     val uni = bi.groupBy("w1").agg(sum("c2").as("c1")) // c(w1·) from the small table
     val probs = bi.join(uni, "w1")
@@ -326,15 +330,6 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 
-  /** Word `n`-grams as space-joined strings (empty array below `n` words).
-    * Unlike [[ngramHashes]] this keeps the gram TEXT — repetition metrics
-    * need the gram's character length, not just its identity. */
-  private def gramStrings(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-
   /** Within-document repetition signals — the Gopher/MassiveText-style
     * quality rules that catch boilerplate and degenerate (looping) text
     * (Rae et al. 2021, §A1.1: "fraction of characters in the most frequent
@@ -351,15 +346,16 @@ object TextAnalysis {
     *    cheap form of the rule; identical in the oracle by construction.
     *
     * All ratios are integer ppm (`1e6·x DIV y`) — bit-exact cross-engine.
-    * Scale shape: ONE explode produces both gram sizes (tagged structs),
-    * one (doc, n, gram) count with map-side partials, one per-doc rollup,
-    * then a left join back to the scan-side frame (docs under 2 words
-    * survive with zeros). No driver work, no UDFs. */
+    * Scale shape: ONE explode produces both gram sizes (tagged structs from
+    * the single-pass WordGramsTagged expression — one tokenize per document,
+    * where the transform-lambda form re-evaluated the split per gram:
+    * O(n_words²), a straggler stall on heavy-tailed docs), one (doc, n,
+    * gram) count with map-side partials, one per-doc rollup, then a left
+    * join back to the scan-side frame (docs under 2 words survive with
+    * zeros). No driver work, no UDFs. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
-    val tagged = concat(
-      transform(gramStrings(w, 2), g => struct(lit(2).as("n"), g.as("g"))),
-      transform(gramStrings(w, 3), g => struct(lit(3).as("n"), g.as("g"))))
+    val tagged = E.column(WordGramsTagged(E.expression(col(textCol)), Seq(2, 3)))
     val cnts = df.select(col(idCol), explode(tagged).as("__t"))
       .groupBy(col(idCol), col("__t.n").as("__n"), col("__t.g").as("__g"))
       .agg(count(lit(1)).as("__c"))
