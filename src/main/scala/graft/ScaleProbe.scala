@@ -190,6 +190,29 @@ object ScaleProbe {
       + (if (plantedMinPpm >= 944055 && cleanMaxPpm < 100000) " (separation holds)"
          else " (SEPARATION BROKEN)"))
 
+    // ---- heavy-tailed doc lengths: gram family must be LINEAR ------------
+    // Real web corpora have heavy-tailed lengths; the gram operators run on
+    // single-pass WordGrams expressions, so one 100k-word document is ~667×
+    // a 150-word doc's work — seconds. The replaced transform(sequence(...))
+    // lambda formulation re-evaluated the tokenizer split per gram:
+    // ~10^10 word-copies for that one document inside ONE task, a stage
+    // stall this probe exists to catch regressing.
+    val heavy = spark.range(2000).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ', transform(sequence(1, CASE WHEN id = 0 THEN 100000 ELSE 150 END),
+           w -> concat('w', pmod(xxhash64(id, w), 5000)))) AS text""")
+      .localCheckpoint(true)
+    timed("repetition signals, heavy tail (1 doc of 100k words + 1999 of 150)")(
+      pipeline.TextAnalysis.repetitionSignals(heavy, "doc_id", "text").count())
+    timed("bigram LM score, heavy tail")(
+      pipeline.TextAnalysis.bigramLmScore(heavy, "doc_id", "text").count())
+    timed("corpus dup 8-grams, heavy tail")(
+      pipeline.TextAnalysis.corpusDupNgrams(heavy, "doc_id", "text", n = 8).count())
+    val heavyBench = heavy.where(col("doc_id") === 1999)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 16)).as("text"))
+    timed("decontamination, heavy tail")(
+      pipeline.TextAnalysis.contamination(heavy, heavyBench, "doc_id", "text", n = 8).count())
+
     // ---- SemDeDup: k-means blocking + within-cluster cosine prune --------
     // 1% of vectors get a near-identical twin (one dim perturbed by 1e-3,
     // cos ≈ 1−1e-7); near-uniform originals almost never clear 0.99 among

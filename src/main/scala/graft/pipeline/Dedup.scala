@@ -112,7 +112,11 @@ object Dedup {
     * bucket table — no window, no self-join, no state. In batch, the
     * reference table is built once (`Materialize`) and the fresh (new
     * crawl) side never shuffles when `broadcastRef` is set; on a stream,
-    * pass the already-materialized reference as a static DataFrame. The
+    * pass the already-materialized reference as a static DataFrame. For
+    * REPEATED gating against the same reference corpus (the daily-crawl
+    * lifecycle), build the bucket table once with [[buildNearDupGate]] and
+    * gate each batch with [[queryNearDupGate]] — later batches then skip
+    * the reference pass entirely. The
     * maxBucket skew guard applies to the reference side only (a window on
     * the stream side would break append mode).
     *
@@ -127,26 +131,87 @@ object Dedup {
                              bands: Int = 16, shingle: Int = 5,
                              maxBucket: Int = 200,
                              broadcastRef: Boolean = false): DataFrame = {
+    require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
+    val refKeys = Materialize(guardedBandKeys(ref, "b", idCol, textCol,
+      numHashes, bands, shingle, maxBucket))
+    crossCandidatesAgainst(fresh, refKeys, idCol, textCol,
+      numHashes, bands, shingle, broadcastRef)
+  }
+
+  /** (side, band, bucket) LSH band keys of every row — the shared
+    * construction of both cross-gate sides and the persisted gate. */
+  private def bandKeys(df: DataFrame, side: String, idCol: String, textCol: String,
+                       numHashes: Int, bands: Int, shingle: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(!Set("sig", "band", "bucket", "a", "b").contains(idCol) && idCol != textCol,
-      s"minhashCrossCandidates reserves column names sig/band/bucket/a/b; rename '$idCol'")
+      s"the cross-corpus gate reserves column names sig/band/bucket/a/b; rename '$idCol'")
     val r = numHashes / bands
-    def bandKeys(df: DataFrame, side: String) =
-      df.select(col(idCol).as(side),
-          minhashCol(col(textCol), numHashes, shingle).as("sig"))
-        .select(col(side), posexplode(
-          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
-          .as(Seq("band", "bucket")))
-    require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
-    val refKeys = Materialize(bandKeys(ref, "b")
+    df.select(col(idCol).as(side),
+        minhashCol(col(textCol), numHashes, shingle).as("sig"))
+      .select(col(side), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Reference-side band keys with the maxBucket skew guard applied (the
+    * count window rides the same shuffle that co-partitions the join). */
+  private def guardedBandKeys(ref: DataFrame, side: String, idCol: String,
+                              textCol: String, numHashes: Int, bands: Int,
+                              shingle: Int, maxBucket: Int): DataFrame =
+    bandKeys(ref, side, idCol, textCol, numHashes, bands, shingle)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("__n") <= maxBucket)
-      .drop("__n"))
-    val freshKeys = bandKeys(fresh, "a")
+      .drop("__n")
+
+  /** Fresh side of the gate: pure map to band keys, equi join against a
+    * prepared reference bucket table. */
+  private def crossCandidatesAgainst(fresh: DataFrame, refKeys: DataFrame,
+                                     idCol: String, textCol: String,
+                                     numHashes: Int, bands: Int, shingle: Int,
+                                     broadcastRef: Boolean): DataFrame = {
+    val freshKeys = bandKeys(fresh, "a", idCol, textCol, numHashes, bands, shingle)
     val joined = freshKeys.join(
         if (broadcastRef) broadcast(refKeys) else refKeys, Seq("band", "bucket"))
       .select(col("a"), col("b"))
     if (fresh.isStreaming) joined else joined.dropDuplicates("a", "b")
+  }
+
+  /** Persisted near-dup gate: the reference corpus's guarded band-bucket
+    * table is built ONCE and lands on storage — the [[Similarity.buildIvfIndex]]
+    * lifecycle applied to the cross-corpus gate. An incremental crawl
+    * pipeline gates batches daily against the same 100 TB reference;
+    * in-job [[minhashCrossCandidates]] recomputes the reference signatures
+    * per batch, which at that cadence is a full extra corpus pass per day.
+    * Layout under `dir`:
+    *  - `buckets/` — (b, band, bucket) parquet, skew guard pre-applied;
+    *  - `meta/`    — one row (num_hashes, bands, shingle, max_bucket), so
+    *    queries derive the signature parameters FROM the index and can
+    *    never probe with mismatched band geometry. */
+  def buildNearDupGate(ref: DataFrame, idCol: String, textCol: String, dir: String,
+                       numHashes: Int = 128, bands: Int = 16, shingle: Int = 5,
+                       maxBucket: Int = 200): Unit = {
+    require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
+    guardedBandKeys(ref, "b", idCol, textCol, numHashes, bands, shingle, maxBucket)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    import ref.sparkSession.implicits._
+    Seq((numHashes, bands, shingle, maxBucket))
+      .toDF("num_hashes", "bands", "shingle", "max_bucket")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Gate a fresh batch (or stream) against a gate built by
+    * [[buildNearDupGate]]: the fresh side is a pure map (signature → band
+    * keys) joined against the STORED bucket table — the reference corpus
+    * is not touched at all. Output and semantics match
+    * [[minhashCrossCandidates]] exactly (spec-pinned), including the
+    * streaming pair-multiplicity contract. */
+  def queryNearDupGate(fresh: DataFrame, idCol: String, textCol: String,
+                       dir: String, broadcastRef: Boolean = true): DataFrame = {
+    val spark = fresh.sparkSession
+    val m = spark.read.parquet(s"$dir/meta")
+      .select("num_hashes", "bands", "shingle").head
+    crossCandidatesAgainst(fresh, spark.read.parquet(s"$dir/buckets"),
+      idCol, textCol, m.getInt(0), m.getInt(1), m.getInt(2), broadcastRef)
   }
 
   /** Exact character-shingle Jaccard for a pair DataFrame (a, b) against the
@@ -379,36 +444,124 @@ object Dedup {
     * matching the paper's per-cluster pruning).
     *
     * Scale shape: clustering shuffles nothing (plan-constant centroids);
-    * the only shuffle is the cluster-key self-join, quadratic within a
-    * cluster but bounded by `maxCluster` — clusters larger than the cap
-    * skip pairing entirely (flagged nothing) rather than detonate the
-    * join; the guard count rides the same shuffle as the join. Like the
-    * paper, nClusters should grow with corpus size to keep N/k bounded.
-    * Output: (idCol, cluster, is_semantic_duplicate). */
+    * the only shuffle is the block-key self-join, quadratic within a
+    * block but bounded by `maxCluster`. Clusters larger than the cap are
+    * SUB-SPLIT, never skipped: over-cap blocks are re-clustered with a
+    * finer per-block k-means (one driver-side training sample per over-cap
+    * block — their count is ≤ N/maxCluster, tiny) until every block fits;
+    * if `maxSplitDepth` rounds cannot split a block (only near-IDENTICAL
+    * vectors defeat k-means — ties all assign to one centroid), it is
+    * chunked deterministically by id instead. Every split additionally
+    * emits a REPRESENTATIVE CHAIN — consecutive child-block min-ids pair
+    * with each other — so a tight family that a split separates still
+    * links up (identical vectors: cos = 1 along the chain, everything but
+    * the global min flags — exactly right for the boilerplate families
+    * that form giant clusters, the case the old skip-guard silently
+    * exempted). General cross-boundary pairs between non-representatives
+    * remain blocking misses, the same acceptance the paper makes for its
+    * top-level clustering. Like the paper, nClusters should grow with
+    * corpus size to keep N/k bounded.
+    * Output: (idCol, cluster, is_semantic_duplicate) — `cluster` is the
+    * TOP-level cluster id; sub-split block keys are internal. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nClusters: Int = 64,
                     sampleSize: Int = 10000, iters: Int = 10,
-                    maxCluster: Int = 10000): DataFrame = {
-    // trained + assigned ONCE; materialized because it feeds the pairing
-    // join (twice, via self-join) and the final flag join. The pairing
-    // predicate is CosineSim — a single-pass expression with fixed
-    // accumulation order (deterministic), not the interpreted higher-order
-    // quantized form: this op is rows-only, no oracle to stay bit-equal to
-    val clusters = Materialize(Similarity
+                    maxCluster: Int = 10000, maxSplitDepth: Int = 4): DataFrame = {
+    // trained + assigned ONCE; materialized because it feeds the per-level
+    // size checks, the pairing join (twice, via self-join) and the final
+    // flag join. The pairing predicate is CosineSim — a single-pass
+    // expression with fixed accumulation order (deterministic), not the
+    // interpreted higher-order quantized form: this op is rows-only, no
+    // oracle to stay bit-equal to
+    var blocks = Materialize.cut(Similarity
       .assignClusters(emb, idCol, vecCol, nClusters, sampleSize, iters)
-      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol))
-    val guarded = clusters
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cluster")))
-      .where(col("__n") <= maxCluster)
-      .drop("__n")
-    val dups = guarded.as("x").join(guarded.as("y"),
-        col("x.cluster") === col("y.cluster") &&
+      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol)
+      .withColumn("__blk", col("cluster").cast("string")))
+    // (a, b) rep-chain pairs, a < b — collected to the driver (≤ #children
+    // per split: ≤ 64 for k-means splits, rows/maxCluster for chunk splits;
+    // KBs) so their lifecycle is independent of the iterated frames
+    var chainRows = List.empty[org.apache.spark.sql.Row]
+    var depth = 0
+    var done = false
+    while (!done) {
+      val over = blocks.groupBy("__blk").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxCluster)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      if (over.isEmpty) done = true
+      else {
+        val prev = blocks
+        val overKeys = over.map(_._1)
+        val isOver = col("__blk").isin(overKeys: _*)
+        val (split, sep) =
+          if (depth < maxSplitDepth) {
+            // finer per-block k-means: k sized so an even split lands
+            // children at ~maxCluster/2
+            (over.map { case (b, n) =>
+              val k = math.min(64, math.max(2, math.ceil(2.0 * n / maxCluster).toInt))
+              val sub = prev.where(col("__blk") === b)
+              val asg = Similarity.assignClusters(
+                  sub.select(col(idCol), col("__v").as(vecCol)), idCol, vecCol,
+                  k, sampleSize, iters)
+                .select(col(idCol), col("cluster").as("__sub"))
+              sub.join(asg, idCol)
+                .withColumn("__blk", concat_ws(".", col("__blk"), col("__sub")))
+                .drop("__sub")
+            }.reduce(_.union(_)), ".")
+          } else {
+            // depth cap: only (near-)identical-vector families get here —
+            // k-means cannot split exact ties. Chunk by id: provably under
+            // the cap in one pass, and for identical vectors the rep chain
+            // below makes the flagging EXACT (all but the global min).
+            System.err.println(s"[graft] semanticDedup: ${over.length} block(s) / " +
+              s"${over.map(_._2).sum} rows unsplittable after $depth k-means rounds — chunking by id")
+            val w = Window.partitionBy("__blk").orderBy(idCol)
+            (prev.where(isOver).withColumn("__blk",
+              concat_ws("#", col("__blk"),
+                floor((row_number().over(w) - 1) / maxCluster).cast("string"))), "#")
+          }
+        blocks = Materialize.cut(prev.where(!isOver).union(split))
+        // representative chain: consecutive child min-ids of each split
+        // parent pair up (child keys = parent + sep + suffix; a parent key
+        // is never a prefix-plus-sep of a sibling's children)
+        val reps = blocks
+          .where(overKeys.map(p => col("__blk").startsWith(p + sep)).reduce(_ || _))
+          .groupBy("__blk").agg(min(col(idCol)).as("__rep"))
+          .withColumn("__parent", expr(
+            s"substring(__blk, 1, length(__blk) - length(substring_index(__blk, '$sep', -1)) - 1)"))
+        val w = Window.partitionBy("__parent").orderBy("__rep")
+        chainRows = chainRows ++ reps
+          .select(lag("__rep", 1).over(w).as("a"), col("__rep").as("b"))
+          .where(col("a").isNotNull)
+          .collect() // first action on the new blocks frame — populates it
+        Materialize.release(prev) // new blocks forced above; prev superseded
+        if (sep == "#") done = true // chunks are under the cap by construction
+        depth += 1
+      }
+    }
+    val within = blocks.as("x").join(blocks.as("y"),
+        col("x.__blk") === col("y.__blk") &&
           col("x." + idCol) < col("y." + idCol))
       .where(E.column(CosineSim(
         E.expression(col("x.__v")), E.expression(col("y.__v")))) >= threshold)
       .select(col("y." + idCol).as(idCol))
-      .distinct()
-    clusters
+    val dups = (if (chainRows.isEmpty) within
+    else {
+      import scala.jdk.CollectionConverters._
+      val idType = emb.schema(emb.schema.fieldIndex(idCol)).dataType
+      val chain = emb.sparkSession.createDataFrame(chainRows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", idType),
+          org.apache.spark.sql.types.StructField("b", idType))))
+      val vecs = blocks.select(col(idCol).as("__cid"), col("__v"))
+      val chained = chain
+        .join(vecs.withColumnRenamed("__v", "__va"), col("a") === col("__cid")).drop("__cid")
+        .join(vecs.withColumnRenamed("__v", "__vb"), col("b") === col("__cid")).drop("__cid")
+        .where(E.column(CosineSim(
+          E.expression(col("__va")), E.expression(col("__vb")))) >= threshold)
+        .select(col("b").as(idCol))
+      within.union(chained)
+    }).distinct()
+    blocks
       .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_semantic_duplicate"))

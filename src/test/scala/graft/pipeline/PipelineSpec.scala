@@ -334,11 +334,41 @@ class PipelineSpec extends AnyFunSuite {
     val flagged = out.filter(_._2).map(_._1).toSet
     assert(flagged == Set(1L, 11L),
       s"exactly the larger id of each planted pair must be flagged, got $flagged")
-    // the maxCluster guard skips pairing instead of detonating the join
+    // over-cap clusters are SUB-SPLIT, not skipped: with maxCluster = 1
+    // every multi-member cluster is over the cap — the old skip-guard
+    // flagged NOTHING here; sub-splitting + the representative chain must
+    // still catch both planted twin pairs
     val guarded = Dedup.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.995, nClusters = 3, sampleSize = 100, maxCluster = 1)
-      .select("is_semantic_duplicate").as[Boolean].collect()
-    assert(guarded.forall(!_), "capped clusters must flag nothing")
+      .orderBy("vec_id")
+      .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
+    assert(guarded.map(_._1).toSeq == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L),
+      "every doc must survive the sub-split with a flag")
+    val gFlagged = guarded.filter(_._2).map(_._1).toSet
+    assert(gFlagged == Set(1L, 11L),
+      s"sub-split must still flag the larger id of each planted pair, got $gFlagged")
+  }
+
+  test("semanticDedup chunk fallback: identical-vector family flags all but the global min") {
+    // 40 IDENTICAL vectors (+ 3 unrelated) — k-means cannot split exact
+    // ties, so the over-cap block hits the depth cap and chunks by id; the
+    // representative chain (cos = 1 between chunk mins) must flag every
+    // member except the global min. This is the boilerplate-family case the
+    // old skip-guard silently exempted: giant semantic clusters are exactly
+    // where duplicates concentrate.
+    val dim = 8
+    val same = Seq.tabulate(dim)(d => if (d == 3) 1.0f else 0.1f)
+    val lone = (100L to 102L).map(i =>
+      (i, Seq.tabulate(dim)(d => if (d == (i % dim).toInt) 1.0f else 0.0f)))
+    val emb = ((0L until 40L).map(i => (i, same)) ++ lone).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.995, nClusters = 4, sampleSize = 100,
+        maxCluster = 7, maxSplitDepth = 1)
+      .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
+    assert(out.length == 43, "every doc must survive")
+    val flagged = out.filter(_._2).map(_._1).toSet
+    assert(flagged == (1L until 40L).toSet,
+      s"all identical docs except the global min must flag, got $flagged")
   }
 
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
@@ -606,6 +636,43 @@ class PipelineSpec extends AnyFunSuite {
       fresh.unionByName(ref), "doc_id", "text", shingle = 5)
       .where($"jaccard" >= 0.6).select("a", "b").as[(Long, Long)].collect().toSet
     assert(verified == Set((1L, 100L)), s"verify must keep only the true near-dup: $verified")
+  }
+
+  test("persisted near-dup gate equals the in-job gate; two batches reuse one build") {
+    // bigger reference so the gate has real bucket structure: 40 docs with
+    // hash-drawn words + 2 distinctive docs the batches will near-duplicate
+    val refDocs = (0L until 40L).map { i =>
+      (100L + i, (0 until 30).map(w => s"w${(i * 31 + w * 7) % 97}").mkString(" "))
+    } ++ Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (901L, "a completely different reference document about catalyst internals"))
+    val ref = refDocs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_gate").toString
+    Dedup.buildNearDupGate(ref, "doc_id", "text", dir, numHashes = 128, bands = 32)
+    // batch 1: one near-dup of ref 900, one novel doc
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "totally unrelated content regarding quantum chromodynamics")).toDF("doc_id", "text")
+    // batch 2 (same build, later day): near-dup of ref 901 + novel
+    val batch2 = Seq(
+      (3L, "a completely different reference document about catalyst itself"),
+      (4L, "fresh crawl material with no counterpart whatsoever in the corpus")).toDF("doc_id", "text")
+    for (batch <- Seq(batch1, batch2)) {
+      val persisted = Dedup.queryNearDupGate(batch, "doc_id", "text", dir)
+        .as[(Long, Long)].collect().toSet
+      val inJob = Dedup.minhashCrossCandidates(batch, ref, "doc_id", "text",
+        numHashes = 128, bands = 32).as[(Long, Long)].collect().toSet
+      assert(persisted == inJob, s"persisted gate must equal in-job gate: $persisted vs $inJob")
+    }
+    // the planted pairs actually surface (the equality above is not vacuous)
+    assert(Dedup.queryNearDupGate(batch1, "doc_id", "text", dir)
+      .as[(Long, Long)].collect().toSet.contains((1L, 900L)))
+    assert(Dedup.queryNearDupGate(batch2, "doc_id", "text", dir)
+      .as[(Long, Long)].collect().toSet.contains((3L, 901L)))
+    // band geometry comes from the stored meta — a query cannot probe with
+    // mismatched parameters by construction (no parameters to pass)
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    assert((meta.getInt(0), meta.getInt(1)) == (128, 32))
   }
 
   test("stratifiedSample keeps exact fractions' buckets, deterministically") {
