@@ -26,6 +26,10 @@ import org.apache.spark.sql.SparkSession
   * a hardcoded warmup path would silently skip warmup on machines without
   * it and bill JIT/codegen cost to the first timed query.
   *
+  * Each query is timed TWICE and the min reported — one pass has no
+  * defense against co-tenant contention (r4: two phantom ~22 s outliers
+  * that re-ran at 1.5-1.9 s nearly produced a false perf verdict).
+  *
   * A query that throws is reported with time -1 and listed under "failed",
   * so a failure can never masquerade as a fast success. */
 object Bench {
@@ -81,15 +85,22 @@ object Bench {
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
+    // min of TWO timed passes per query: a single pass has no defense
+    // against co-tenant noise — r4's driver run recorded two ~22 s outliers
+    // that did not reproduce (1.5-1.9 s on re-run) and nearly read as a 15×
+    // regression. The min is the honest estimate of the query's cost; a
+    // failure on either pass reports -1 (never masquerades as fast).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, benchDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, benchDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { val t = math.min(onePass(), onePass()); (name, t, true) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (name, -1.0, false)
+      }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")

@@ -462,10 +462,15 @@ object SparkEntry {
     },
     "rel_q2_min_cost" -> { (s, dir) =>
       prep(s, dir, "part", "supplier", "nation", "region", "lineitem")
-      // TPC-H Q2 shape: minimum-cost supplier per part via a CORRELATED
-      // scalar-MIN subquery over a derived cost relation (the partsupp
-      // table doesn't exist in this schema, so per-(part, supplier) min
-      // line price in cents stands in for ps_supplycost)
+      // TPC-H Q2 shape: minimum-cost supplier per part over a derived cost
+      // relation (the partsupp table doesn't exist in this schema, so
+      // per-(part, supplier) min line price in cents stands in for
+      // ps_supplycost). The textbook correlated scalar-MIN subquery
+      // REFERENCES the costs CTE twice, and Spark evaluates both copies —
+      // two full lineitem joins (plan-asserted in r4/r6 audits, no
+      // ReusedExchange). Rewritten as a window-min over ONE costs pass:
+      // same rows, one lineitem scan, one extra per-partkey exchange
+      // instead of a second 4-table join.
       s.sql("""
         WITH costs AS (
           SELECT l.l_partkey, s.s_suppkey, s.s_name,
@@ -475,13 +480,16 @@ object SparkEntry {
           JOIN nation n ON n.n_nationkey = s.s_nationkey
           JOIN region r ON r.r_regionkey = n.n_regionkey
           WHERE r.r_name = 'ASIA'
-          GROUP BY l.l_partkey, s.s_suppkey, s.s_name)
+          GROUP BY l.l_partkey, s.s_suppkey, s.s_name),
+        ranked AS (
+          SELECT l_partkey, s_suppkey, s_name, cost_cents,
+                 min(cost_cents) OVER (PARTITION BY l_partkey) AS min_cents
+          FROM costs)
         SELECT p.p_partkey, p.p_brand, c.s_suppkey, c.s_name, c.cost_cents
         FROM part p
-        JOIN costs c ON c.l_partkey = p.p_partkey
+        JOIN ranked c ON c.l_partkey = p.p_partkey
         WHERE p.p_size IN (5, 10, 23)
-          AND c.cost_cents = (SELECT min(c2.cost_cents) FROM costs c2
-                              WHERE c2.l_partkey = p.p_partkey)
+          AND c.cost_cents = c.min_cents
         ORDER BY c.cost_cents, p.p_partkey, c.s_suppkey
         LIMIT 100""")
     },
@@ -556,19 +564,22 @@ object SparkEntry {
       // suppliers who shipped MORE THAN TWICE the average supplier's share
       // of some part (availqty > threshold·moved, recast on shipped volumes
       // relative to the part's average so the predicate is scale-invariant:
-      // a fixed fraction-of-total empties out as supplier count grows)
+      // a fixed fraction-of-total empties out as supplier count grows).
+      // The per-part total/count is a WINDOW over the ps aggregate, not a
+      // second CTE reference (ps JOIN pt re-evaluated ps — two lineitem
+      // scans, no ReusedExchange; plan-asserted): one lineitem pass, one
+      // per-partkey exchange.
       s.sql("""
         WITH ps AS (SELECT l_partkey, l_suppkey,
                            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
                     FROM lineitem GROUP BY l_partkey, l_suppkey),
-             pt AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total,
-                           CAST(count(*) AS BIGINT) AS ns
-                    FROM ps GROUP BY l_partkey)
+             w AS (SELECT l_suppkey, qty,
+                          CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS total,
+                          CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS ns
+                   FROM ps)
         SELECT s.s_suppkey, s.s_name
         FROM supplier s
-        WHERE s.s_suppkey IN (SELECT ps.l_suppkey FROM ps
-                              JOIN pt ON pt.l_partkey = ps.l_partkey
-                              WHERE ps.qty * pt.ns > 2 * pt.total)
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM w WHERE qty * ns > 2 * total)
           AND s.s_nationkey IN (SELECT n_nationkey FROM nation
                                 WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4'))
         ORDER BY s.s_suppkey""")

@@ -227,20 +227,19 @@ object Similarity {
     * sign-LSH the pruning ratio is explicit and corpus-size-independent. */
   def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, nLists: Int = 64, nProbe: Int = 8,
-                    sampleSize: Int = 10000, iters: Int = 10): DataFrame = {
+                    sampleSize: Int = 10000, iters: Int = 10): DataFrame =
     // Training sample must be a SPREAD of the corpus, not its head: on real
     // corpora ingestion order correlates with content (crawl batches, source
     // shards), so `orderBy(id).limit(n)` would train centroids on one slice
-    // of the distribution and recall would collapse. The sampleSize rows
-    // with the SMALLEST xxhash64(id) are a uniform deterministic sample,
-    // and orderBy+limit compiles to TakeOrdered — a per-partition heap of
-    // sampleSize entries merged on the driver, ONE corpus pass, no global
-    // sort and no separate count() job to size a filter rate.
-    val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol))
-      .orderBy(col("__h"), col(idCol)) // id tie-break: deterministic under hash collisions
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // of the distribution and recall would collapse (see spreadSample).
+    ivfCandidatesFrom(spreadSample(corpus, idCol, vecCol, sampleSize),
+      corpus, queries, idCol, vecCol, nLists, nProbe, iters)
+
+  /** [[ivfCandidates]] over a PRE-COLLECTED training sample — lets
+    * compositions (IVF-PQ) train both quantizers from one corpus pass. */
+  private def ivfCandidatesFrom(sample: Array[Array[Float]], corpus: DataFrame,
+                                queries: DataFrame, idCol: String, vecCol: String,
+                                nLists: Int, nProbe: Int, iters: Int): DataFrame = {
     val cents = trainCentroids(sample, nLists, iters)
     def assign(df: DataFrame, side: String, probes: Int): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
@@ -363,15 +362,16 @@ object Similarity {
     * row (m codes ADC-scored instead of a raw-vector dot), and the exact
     * rerank touches raw vectors for only k·expand winners. The same three
     * building blocks as ivfTopK/pqTopK — this is the composition the
-    * pqTopK scaladoc promises. (Training makes two TakeOrdered sample
-    * passes — one per quantizer; at 100 TB fold them into one collect if
-    * the extra scan matters more than the code seam.) */
+    * pqTopK scaladoc promises. Training collects the spread sample ONCE
+    * and feeds both quantizers from it (one TakeOrdered corpus pass,
+    * spec-pinned by job count). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nLists: Int = 64, nProbe: Int = 8,
                 m: Int = 8, ksub: Int = 64, sampleSize: Int = 10000,
                 iters: Int = 10, expand: Int = 8): DataFrame = {
-    val cands = ivfCandidates(corpus, queries, idCol, vecCol, nLists, nProbe, sampleSize, iters)
-    val books = trainPqCodebooks(spreadSample(corpus, idCol, vecCol, sampleSize), m, ksub, iters)
+    val sample = spreadSample(corpus, idCol, vecCol, sampleSize)
+    val cands = ivfCandidatesFrom(sample, corpus, queries, idCol, vecCol, nLists, nProbe, iters)
+    val books = trainPqCodebooks(sample, m, ksub, iters)
     val scored = pqScore(corpus, queries, idCol, vecCol, books, ksub, Some(cands))
     val shortlist = topKPerQuery(scored, k * expand)
       .select(col("query_id"), col("neighbor_id"))

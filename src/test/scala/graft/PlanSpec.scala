@@ -119,4 +119,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a nested-loop join:\n$plan")
   }
+
+  // Q2/Q20 audit (VERDICT r4 #3): a CTE referenced twice (Q2's correlated
+  // scalar-MIN over costs, Q20's ps ⋈ pt) is NOT deduplicated by Spark —
+  // the measured plans evaluated the whole lineitem join twice with no
+  // ReusedExchange. Both queries were restructured as window aggregates
+  // over ONE pass; at 100× a silently recomputed 4-table join is a full
+  // extra corpus pass, so the single-scan shape is pinned here.
+  test("rel_q2_min_cost plan: ONE lineitem scan (window-min, no CTE re-evaluation)") {
+    val plan = SparkEntry.queries("rel_q2_min_cost")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+  }
+
+  test("rel_q20_excess_supply plan: ONE lineitem scan (window totals, no CTE re-evaluation)") {
+    val plan = SparkEntry.queries("rel_q20_excess_supply")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+  }
 }

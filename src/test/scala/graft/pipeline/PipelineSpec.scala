@@ -223,6 +223,33 @@ class PipelineSpec extends AnyFunSuite {
       "(compounds IVF list misses with PQ quantization — floor is below either alone)")
   }
 
+  test("ivfPqTopK trains both quantizers from ONE corpus sample pass") {
+    // construction (no action) runs exactly the training collects; the two
+    // quantizers must share one spread-sample job — at 100 TB a second
+    // TakeOrdered training pass is a full extra corpus scan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.ivfPqTopK(emb, emb.where($"vec_id" < 3), "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4)
+      // listener bus is async — wait until the count is stable
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = jobs.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      assert(jobs.get == 1,
+        s"expected ONE sample job during ivfPqTopK construction, got ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("compactParquet folds a fragmented table into target-sized files, rows intact") {
     val src = "target/compact_spec_src"
     val dst = "target/compact_spec_dst"
