@@ -5,37 +5,65 @@ import JqExpr._
 /** Static input-footprint analysis: the jq analogue of Spark's projection
   * pushdown, pushed one level deeper — into the JSON PARSE itself.
   *
-  * `Footprint(ast) = Some(S)` certifies that evaluating the program on an
+  * `Footprint(ast) = Some(m)` certifies that evaluating the program on an
   * OBJECT input only ever observes the input through `.f` field accesses
-  * with f ∈ S (never iterating, serializing, or passing the whole input
-  * downstream). The generator then parses rows with [[Jq.parsePruned]],
-  * which lexes every byte (corrupt-input and trailing-garbage semantics
-  * are exactly those of the full parse) but builds JsonNode trees ONLY for
-  * the needed fields and `skipChildren()`s the rest — on wide crawl/event
-  * payloads where a UDTF extracts a few fields from many, node
-  * construction is the parse cost, and this removes it for every
-  * untouched field. `None` = the program may observe the whole input;
-  * callers fall back to the full parse.
+  * with f ∈ m.keySet (never iterating, serializing, or passing the whole
+  * input downstream) — and, one level down, `m(f) = Some(S)` additionally
+  * certifies that when `.f` is an OBJECT it is only observed through its
+  * subfields in S (`m(f) = None` = the whole `.f` subtree is needed). The
+  * generator then parses rows with [[Jq.parsePruned]], which lexes every
+  * byte (corrupt-input and trailing-garbage semantics are exactly those of
+  * the full parse) but builds JsonNode trees ONLY for the needed fields —
+  * and only the needed SUBfields of nested objects — `skipChildren()`ing
+  * the rest. On wide crawl/event payloads where a UDTF extracts a few
+  * nested fields from many, node construction is the parse cost, and this
+  * removes it for every untouched field and subfield. Non-object values of
+  * a sub-tracked field are materialized in full (the program may
+  * legitimately error on them, previewing the value). `None` overall = the
+  * program may observe the whole input; callers fall back to the full
+  * parse.
   *
   * Soundness bar mirrors StrictRewrite: every rule here must OVER-
-  * approximate (more fields, or None) — when in doubt, None. Rules are
-  * input-relative: sub-expressions evaluated on a DIFFERENT input (a pipe
-  * rhs, a reduce update on its accumulator) contribute nothing, because
-  * whatever value flows to them was already fully extracted. Variables
-  * are values (safe); `as` bodies run on the ORIGINAL input and are
-  * analyzed; assignments return the modified input (whole-input by
-  * definition); every builtin call in input position is whole-input
-  * (`select` alone would leak the full input as its output). */
+  * approximate (more fields, a deeper-than-needed None, or outer None) —
+  * when in doubt, None. Rules are input-relative: sub-expressions evaluated
+  * on a DIFFERENT input (a pipe rhs, a reduce update on its accumulator)
+  * contribute nothing, because whatever value flows to them was already
+  * fully extracted. The ONE sharpening below level 1: an access chain
+  * `.a.b` (field or constant-string index on a value that is EXACTLY a
+  * single static access on the input) observes only subfield b of a —
+  * constructed values (`{x: .a} | .x` style) never qualify because the
+  * sharpening is syntactic on the access target. Variables are values
+  * (safe); `as` bodies run on the ORIGINAL input and are analyzed;
+  * assignments return the modified input (whole-input by definition);
+  * every builtin call in input position is whole-input (`select` alone
+  * would leak the full input as its output). */
 object Footprint {
 
-  def apply(e: JqExpr): Option[Set[String]] = fp(e)
+  /** Needed top-level fields → per-field need: `None` = whole subtree,
+    * `Some(S)` = only subfields S (when the value is an object). */
+  type Fields = Map[String, Option[Set[String]]]
 
-  private val empty: Option[Set[String]] = Some(Set.empty)
+  def apply(e: JqExpr): Option[Fields] = fp(e)
 
-  private def union(a: Option[Set[String]], b: Option[Set[String]]): Option[Set[String]] =
-    for (x <- a; y <- b) yield x | y
+  private val empty: Option[Fields] = Some(Map.empty)
 
-  private def unionAll(es: Iterable[Option[Set[String]]]): Option[Set[String]] =
+  /** Whole-subtree need for one field. */
+  private def whole(name: String): Option[Fields] = Some(Map(name -> None))
+
+  private def merge(a: Fields, b: Fields): Fields =
+    (a.keySet | b.keySet).iterator.map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(None), _) | (_, Some(None)) => None // whole subtree wins
+        case (Some(Some(x)), Some(Some(y))) => Some(x | y)
+        case (Some(s), None) => s
+        case (None, s) => s.flatten
+      })
+    }.toMap
+
+  private def union(a: Option[Fields], b: Option[Fields]): Option[Fields] =
+    for (x <- a; y <- b) yield merge(x, y)
+
+  private def unionAll(es: Iterable[Option[Fields]]): Option[Fields] =
     es.foldLeft(empty)(union)
 
   /** Constant string value of an index expression, if statically known. */
@@ -45,21 +73,44 @@ object Footprint {
     case _ => None
   }
 
+  /** The expression's value is EXACTLY `input.<name>` for a static name
+    * (one field/constant-index step on the input, modulo `?`): a further
+    * static access on that value observes only the named subfield. */
+  private def level1(e: JqExpr): Option[String] = e match {
+    case Field(Identity, name, _) => Some(name)
+    case Field(Strict(Identity), name, _) => Some(name)
+    case Index(Identity, idx, _) => constString(idx)
+    case Index(Strict(Identity), idx, _) => constString(idx)
+    case Strict(inner) => level1(inner)
+    case Semi(inner) => level1(inner)
+    // `.a?` desugars to try(.a) with NO handler: the only value that flows
+    // on is input.a (errors are suppressed to empty). A try WITH a handler
+    // never qualifies — the handler's value would flow to the access too.
+    case TryCatch(inner, None) => level1(inner)
+    case _ => None
+  }
+
   private def patternsSafe(ps: List[Pattern]): Boolean = ps.forall {
     case Pattern.PVar(_) => true
     case _ => false // PObject keys evaluate on the original input; PArray may nest them
   }
 
-  private def fp(e: JqExpr): Option[Set[String]] = e match {
+  private def fp(e: JqExpr): Option[Fields] = e match {
     case Identity | RecurseDefault => None
 
-    case Field(Identity, name, _) => Some(Set(name))
-    case Field(Strict(Identity), name, _) => Some(Set(name))
-    case Field(target, _, _) => fp(target) // deeper access stays inside the extracted subtree
+    case Field(Identity, name, _) => whole(name)
+    case Field(Strict(Identity), name, _) => whole(name)
+    case Field(target, name, _) => level1(target) match {
+      case Some(a) => Some(Map(a -> Some(Set(name)))) // .a.b → subfield b of a
+      case None => fp(target) // deeper access stays inside the extracted subtree
+    }
 
-    case Index(Identity, idx, _) => constString(idx).map(Set(_))
-    case Index(Strict(Identity), idx, _) => constString(idx).map(Set(_))
-    case Index(target, idx, _) => union(fp(target), fp(idx)) // idx evaluates on the input
+    case Index(Identity, idx, _) => constString(idx).map(k => Map(k -> None))
+    case Index(Strict(Identity), idx, _) => constString(idx).map(k => Map(k -> None))
+    case Index(target, idx, _) => (level1(target), constString(idx)) match {
+      case (Some(a), Some(k)) => Some(Map(a -> Some(Set(k)))) // .a["b"]
+      case _ => union(fp(target), fp(idx)) // idx evaluates on the input
+    }
 
     case Slice(target, from, to, _) =>
       unionAll(Seq(fp(target)) ++ from.map(fp) ++ to.map(fp))
@@ -77,7 +128,7 @@ object Footprint {
     case ArrayLit(body) => body.map(fp).getOrElse(empty)
 
     case ObjectLit(entries) => unionAll(entries.map {
-      case (ObjKey.Fixed(name), None) => Some(Set(name)) // {a} shorthand reads .a
+      case (ObjKey.Fixed(name), None) => whole(name) // {a} shorthand reads .a
       case (ObjKey.Fixed(_), Some(v)) => fp(v)
       case (ObjKey.Var(_), None) => empty
       case (ObjKey.Var(_), Some(v)) => fp(v)

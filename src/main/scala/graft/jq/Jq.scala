@@ -14,10 +14,11 @@ import java.util.concurrent.ConcurrentHashMap
   */
 final class CompiledJq private[jq] (val ast: JqExpr) extends Serializable {
 
-  /** Static top-level-field footprint (see [[Footprint]]): `Some(S)` when
-    * the program observes object inputs only through fields in S — the
-    * per-row parse then skips every other field's node construction. */
-  @transient lazy val footprint: Option[Set[String]] = Footprint(ast)
+  /** Static field footprint (see [[Footprint]]): `Some(m)` when the
+    * program observes object inputs only through fields in m.keySet —
+    * with per-field subfield sets one level down — so the per-row parse
+    * skips every other field's (and subfield's) node construction. */
+  @transient lazy val footprint: Option[Footprint.Fields] = Footprint(ast)
 
   /** Run on an already-parsed JSON value. */
   def apply(input: JsonNode, vars: Map[String, JsonNode] = Map.empty): Iterator[JsonNode] =
@@ -96,29 +97,42 @@ object Jq {
     withErrorContract(text)(parseJson)
 
   /** Footprint-pruned strict parse: object inputs build JsonNode subtrees
-    * ONLY for top-level fields in `fields`; everything else is
-    * `skipChildren()`ed (lexed for validity, never materialized). Non-
-    * object inputs parse fully (the program may legitimately error on
-    * them, previewing the value). Trailing garbage rejected exactly like
-    * [[parseJson]]; duplicate keys keep the LAST occurrence (Jackson
-    * readTree behavior). */
-  def parsePruned(text: String, fields: Set[String]): JsonNode = {
+    * ONLY for top-level fields in `fields`, and for a field mapped to
+    * `Some(S)` only the subfields in S of an OBJECT value (one more path
+    * level — `.a.b` programs no longer materialize all of `.a`); everything
+    * else is `skipChildren()`ed (lexed for validity, never materialized).
+    * Non-object inputs — and non-object values of a sub-tracked field —
+    * parse fully (the program may legitimately error on them, previewing
+    * the value). Trailing garbage rejected exactly like [[parseJson]];
+    * duplicate keys keep the LAST occurrence at every level (Jackson
+    * readTree behavior: ObjectNode.set overwrites). */
+  def parsePruned(text: String, fields: Footprint.Fields): JsonNode = {
     val mapper = mappers.get()
     val parser = mapper.createParser(text)
+    def prunedObject(keep: String => Option[Option[Set[String]]]): JsonNode = {
+      val obj = mapper.createObjectNode()
+      while (parser.nextToken() != com.fasterxml.jackson.core.JsonToken.END_OBJECT) {
+        val name = parser.currentName()
+        parser.nextToken() // advance to the value
+        keep(name) match {
+          case None => parser.skipChildren() // no-op on scalars; skips whole subtrees
+          case Some(None) => obj.set[JsonNode](name, mapper.readTree[JsonNode](parser))
+          case Some(Some(sub)) =>
+            if (parser.currentToken() == com.fasterxml.jackson.core.JsonToken.START_OBJECT)
+              obj.set[JsonNode](name, prunedObject(n => if (sub.contains(n)) Some(None) else None))
+            else // non-object value: the subfield certificate says nothing — materialize
+              obj.set[JsonNode](name, mapper.readTree[JsonNode](parser))
+        }
+      }
+      obj
+    }
     try {
       val first = parser.nextToken()
       val node: JsonNode =
         if (first == null) null
-        else if (first == com.fasterxml.jackson.core.JsonToken.START_OBJECT) {
-          val obj = mapper.createObjectNode()
-          while (parser.nextToken() != com.fasterxml.jackson.core.JsonToken.END_OBJECT) {
-            val name = parser.currentName()
-            parser.nextToken() // advance to the value
-            if (fields.contains(name)) obj.set[JsonNode](name, mapper.readTree[JsonNode](parser))
-            else parser.skipChildren() // no-op on scalars; skips whole subtrees
-          }
-          obj
-        } else mapper.readTree[JsonNode](parser)
+        else if (first == com.fasterxml.jackson.core.JsonToken.START_OBJECT)
+          prunedObject(fields.get)
+        else mapper.readTree[JsonNode](parser)
       if (parser.nextToken() != null)
         throw new com.fasterxml.jackson.core.JsonParseException(parser, "trailing characters")
       if (node == null) Json.NullN else node
@@ -126,6 +140,6 @@ object Jq {
   }
 
   /** [[parsePruned]] with the corrupt-input contract of [[parseWithError]]. */
-  def parsePrunedWithError(text: String, fields: Set[String]): (JsonNode, JsonNode) =
+  def parsePrunedWithError(text: String, fields: Footprint.Fields): (JsonNode, JsonNode) =
     withErrorContract(text)(parsePruned(_, fields))
 }
