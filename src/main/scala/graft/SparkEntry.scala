@@ -20,6 +20,18 @@ object SparkEntry {
     * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects —
     * read it as long nanos and rebuild a microsecond timestamp (integer
     * division: ns since 2024 overflows double precision). */
+  /** Deterministic MULTI-line view of the (single-line) documents table:
+    * the wordChunks 8-word-window construction joined with '\n'. Input for
+    * the line-dedup queries; the DuckDB oracles rebuild the identical
+    * view, so line semantics are hash-gated end to end. */
+  private def multilineView(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    val arr = split(col("text"), "\\s+")
+    val nChunks = greatest(ceil(size(arr).cast("double") / 8).cast("int"), lit(1))
+    spark.table("documents").select(col("doc_id"),
+      concat_ws("\n", transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(arr, i * 8 + 1, lit(8)), " "))).as("text"))
+  }
+
   private def prep(spark: SparkSession, dir: String, tables: String*): Unit = {
     Graft.register(spark)
     tables.foreach { t =>
@@ -1053,6 +1065,25 @@ object SparkEntry {
       pipeline.TextAnalysis.corpusDupNgrams(s.table("documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id")
     },
+    "text_dup_lines" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // C4/RefinedWeb-style line-level dedup SIGNAL. The corpus texts are
+      // single-line, so the query first derives a deterministic MULTI-line
+      // view (the text_chunks 8-word-window construction joined with \n —
+      // oracle rebuilds the identical view), then counts corpus-duplicated
+      // lines per doc
+      pipeline.TextAnalysis.dupLineStats(multilineView(s), "doc_id", "text",
+          minDocs = 2, minLineChars = 10)
+        .orderBy("doc_id")
+    },
+    "text_line_dedup" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // line-level dedup REWRITE: strip corpus-duplicated lines and
+      // reassemble each doc (same multiline view as text_dup_lines)
+      pipeline.TextAnalysis.removeDuplicateLines(multilineView(s), "doc_id", "text",
+          minDocs = 2, minLineChars = 10)
+        .orderBy("doc_id")
+    },
     "pipeline_profile" -> { (s, dir) =>
       prep(s, dir, "documents")
       // per-column drift monitoring: one aggregate pass, rows unpivoted
@@ -1856,6 +1887,43 @@ object SparkEntry {
                 CAST(coalesce((1000000 * n_dup) // n_grams, 0) AS BIGINT) AS dup_ngram_ppm
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id""",
+    "text_dup_lines" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+              c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 8.0) AS INT), 1) AS n, arr FROM w),
+              m AS (SELECT doc_id, array_to_string(list_transform(range(n),
+                      i -> array_to_string(arr[i*8+1 : i*8+8], ' ')), chr(10)) AS mtext FROM c),
+              ls AS (SELECT doc_id, string_split(mtext, chr(10)) AS lst FROM m),
+              lines AS (SELECT doc_id, unnest(lst) AS line FROM ls),
+              elig AS (SELECT doc_id, line FROM lines WHERE len(line) >= 10 GROUP BY 1, 2),
+              dup AS (SELECT line FROM elig GROUP BY line HAVING count(*) >= 2),
+              pd AS (SELECT li.doc_id, count(*) AS n_lines,
+                            sum(CASE WHEN d.line IS NOT NULL AND len(li.line) >= 10
+                                THEN 1 ELSE 0 END) AS n_dup
+                     FROM lines li LEFT JOIN dup d ON li.line = d.line GROUP BY 1)
+         SELECT doc.doc_id,
+                CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+                CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_lines,
+                CAST(coalesce((1000000 * n_dup) // n_lines, 0) AS BIGINT) AS dup_line_ppm
+         FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id
+         ORDER BY doc.doc_id""",
+    "text_line_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+              c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 8.0) AS INT), 1) AS n, arr FROM w),
+              m AS (SELECT doc_id, array_to_string(list_transform(range(n),
+                      i -> array_to_string(arr[i*8+1 : i*8+8], ' ')), chr(10)) AS mtext FROM c),
+              ls AS (SELECT doc_id, string_split(mtext, chr(10)) AS lst FROM m),
+              lines AS (SELECT doc_id, CAST(unnest(range(len(lst))) AS INT) AS pos,
+                               unnest(lst) AS line FROM ls),
+              elig AS (SELECT doc_id, line FROM lines WHERE len(line) >= 10 GROUP BY 1, 2),
+              dup AS (SELECT line FROM elig GROUP BY line HAVING count(*) >= 2),
+              kept AS (SELECT li.doc_id, li.pos, li.line
+                       FROM lines li LEFT JOIN dup d ON li.line = d.line
+                       WHERE d.line IS NULL OR len(li.line) < 10),
+              reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                      FROM kept GROUP BY 1)
+         SELECT doc.doc_id, coalesce(r.clean_text, '') AS clean_text
+         FROM documents doc LEFT JOIN reb r ON r.doc_id = doc.doc_id
+         ORDER BY doc.doc_id""",
     "pipeline_profile" ->
       """SELECT col_name, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
                 n_nulls, n_distinct, min_value, max_value

@@ -330,6 +330,76 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 
+  /** Exploded (idCol, __pos, __line, __h, __elig) frame of a text column
+    * split on newlines — the shared head of the line-dedup family. Lines
+    * shorter than `minLineChars` are marked ineligible: blank lines and
+    * short connectors ("===", "-") occur everywhere and would otherwise
+    * link every document into one dup family. Hashes (not line strings)
+    * are the join/shuffle keys — 8 fixed bytes per line. */
+  private def lineFrame(df: DataFrame, idCol: String, textCol: String,
+                        minLineChars: Int): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+      .withColumn("__elig", length(col("__line")) >= minLineChars)
+
+  /** Hashes of eligible lines present in ≥ `minDocs` DISTINCT documents.
+    * Per-doc-distinct first (within-doc repeats don't vote), then the
+    * doc-count partial-aggregates map-side; the result joins back
+    * co-partitioned on the hash. */
+  private def dupLineHashes(lines: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    lines.where(col("__elig"))
+      .select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("__h"), lit(true).as("__dup"))
+
+  /** Corpus-duplicated LINE statistics — the line-granular sibling of
+    * [[corpusDupNgrams]] and the signal behind C4/RefinedWeb-style
+    * line-level dedup (Raffel et al. 2020 dedup paragraphs/lines repeated
+    * across the corpus; boilerplate headers/footers/nav bars are exactly
+    * such lines). Per doc: `n_lines`, `n_dup_lines` (occurrences of
+    * eligible lines found in ≥ `minDocs` distinct docs), integer
+    * `dup_line_ppm`.
+    *
+    * Scale shape: one explode; the dup-line table derives from a
+    * (doc, hash)-distinct + hash-count (both partial-aggregating); the
+    * flag join is co-partitioned on the 8-byte hash; one per-doc rollup;
+    * left join back so every doc survives. */
+  def dupLineStats(df: DataFrame, idCol: String, textCol: String,
+                   minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
+    val lines = Materialize(lineFrame(df, idCol, textCol, minLineChars))
+    val perDoc = lines.join(dupLineHashes(lines, idCol, minDocs), Seq("__h"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__dup") && col("__elig"), lit(1L)).otherwise(lit(0L))).as("n_dup_lines"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(expr("1000000 * n_dup_lines DIV n_lines"), lit(0L)).as("dup_line_ppm"))
+  }
+
+  /** Line-level dedup REWRITE: drop every eligible line that appears in
+    * ≥ `minDocs` distinct documents and reassemble each document's
+    * remaining lines in order — the C4 curation step that strips
+    * boilerplate from the corpus rather than merely scoring it. Docs
+    * whose lines are all removed (or with NULL text) come back as ''.
+    *
+    * Reassembly is a per-doc collect_list sorted on the line position —
+    * bounded by the document's own size (the same bound as the original
+    * text column), never by corpus size. Output: (idCol, clean_text). */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
+    val lines = Materialize(lineFrame(df, idCol, textCol, minLineChars))
+    val rebuilt = lines.join(dupLineHashes(lines, idCol, minDocs), Seq("__h"), "left")
+      .where(col("__dup").isNull || !col("__elig"))
+      .groupBy(idCol).agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Within-document repetition signals — the Gopher/MassiveText-style
     * quality rules that catch boilerplate and degenerate (looping) text
     * (Rae et al. 2021, §A1.1: "fraction of characters in the most frequent

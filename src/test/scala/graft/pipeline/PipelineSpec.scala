@@ -702,6 +702,45 @@ class PipelineSpec extends AnyFunSuite {
     assert((meta.getInt(0), meta.getInt(1)) == (128, 32))
   }
 
+  test("line-level dedup flags and strips corpus-duplicated lines, preserving order") {
+    val boiler = "subscribe to our newsletter for updates" // ≥ minLineChars, in 3 docs
+    val nav = "home about contact privacy terms of service"
+    val docs = Seq(
+      (1L, s"$boiler\nunique first content line\n$nav\nmore unique text one"),
+      (2L, s"unique second document line\n$boiler\n$nav"),
+      (3L, s"$boiler\nanother one-off line entirely"),
+      (4L, "a doc with no shared lines\nat all\n==="), // "at all"/"===" short → ineligible
+      (5L, "at all\n===") // shares only SHORT lines with doc 4 — must not link
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.dupLineStats(docs, "doc_id", "text",
+        minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats == Seq(
+      (1L, 4L, 2L, 500000L), // boiler + nav of 4 lines
+      (2L, 3L, 2L, 666666L),
+      (3L, 2L, 1L, 500000L),
+      (4L, 3L, 0L, 0L), // short lines never flag
+      (5L, 2L, 0L, 0L)), s"got $stats")
+    val clean = TextAnalysis.removeDuplicateLines(docs, "doc_id", "text",
+        minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) == "unique first content line\nmore unique text one",
+      "duplicated lines stripped, original order kept")
+    assert(clean(2L) == "unique second document line")
+    assert(clean(3L) == "another one-off line entirely")
+    assert(clean(4L) == "a doc with no shared lines\nat all\n===",
+      "ineligible short lines survive even when shared")
+    assert(clean(5L) == "at all\n===")
+    // within-doc repeats don't vote toward minDocs (distinct docs only)
+    val solo = Seq((1L, "repeated inside one doc\nrepeated inside one doc"),
+      (2L, "something else entirely here")).toDF("doc_id", "text")
+    val soloStats = TextAnalysis.dupLineStats(solo, "doc_id", "text", 2, 10)
+      .where($"doc_id" === 1).select("n_dup_lines").as[Long].head()
+    assert(soloStats == 0L, "within-doc repetition must not create a corpus dup")
+  }
+
   test("stratifiedSample keeps exact fractions' buckets, deterministically") {
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("id", "lang")
     val all = TextAnalysis.stratifiedSample(df, "id", "lang",
