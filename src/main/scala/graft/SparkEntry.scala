@@ -1084,6 +1084,15 @@ object SparkEntry {
           minDocs = 2, minLineChars = 10)
         .orderBy("doc_id")
     },
+    "text_heavy_hitters" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Misra-Gries bounded-state frequent tokens (k-entry summaries are
+      // the aggregation state, never one-entry-per-distinct-key). k=256 ≫
+      // this corpus's vocabulary, so the sketch runs in its EXACT regime
+      // and hash-gates against the exact GROUP BY oracle; the
+      // approximate-regime guarantee is spec-asserted (HeavyHittersSpec)
+      graft.functions.HeavyHitters.topTokens(s.table("documents"), "text", 256)
+    },
     "pipeline_profile" -> { (s, dir) =>
       prep(s, dir, "documents")
       // per-column drift monitoring: one aggregate pass, rows unpivoted
@@ -1924,6 +1933,14 @@ object SparkEntry {
          SELECT doc.doc_id, coalesce(r.clean_text, '') AS clean_text
          FROM documents doc LEFT JOIN reb r ON r.doc_id = doc.doc_id
          ORDER BY doc.doc_id""",
+    "text_heavy_hitters" ->
+      """SELECT CAST(rn AS INT) AS rank, token, n FROM (
+           SELECT token, CAST(count(*) AS BIGINT) AS n,
+                  row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+           FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> len(x) > 0)) AS token FROM documents)
+           GROUP BY token)
+         WHERE rn <= 256 ORDER BY rank""",
     "pipeline_profile" ->
       """SELECT col_name, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
                 n_nulls, n_distinct, min_value, max_value

@@ -189,6 +189,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming batches gate against a PERSISTED near-dup gate (daily-crawl lifecycle)") {
+    // build once on the reference corpus, then gate a stream against the
+    // STORED bucket table: the reference corpus is not read at all on the
+    // query path, and the stream side stays a stateless pure map + join —
+    // the shape an incremental crawl pipeline runs every day
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_gate_stream").toString
+    graft.pipeline.Dedup.buildNearDupGate(ref, "doc_id", "text", dir,
+      numHashes = 128, bands = 32)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "totally unrelated content regarding quantum chromodynamics"))
+    val cands = graft.pipeline.Dedup.queryNearDupGate(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_persisted_out").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch reuses the same stored gate
+      src.addData((3L, "the quick brown fox jumps over the lazy dog near the river bank sometimes"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_persisted_out").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 100L)) && pairs.contains((3L, 100L)),
+        s"planted near-dups not blocked via the persisted gate: $pairs")
+      assert(!pairs.exists(_._1 == 2L), "unrelated doc must not collide in any band")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"persisted gate must be stateless on the stream, got ${q.lastProgress.stateOperators.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
