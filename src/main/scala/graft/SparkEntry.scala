@@ -21,15 +21,15 @@ object SparkEntry {
     * read it as long nanos and rebuild a microsecond timestamp (integer
     * division: ns since 2024 overflows double precision). */
   /** Deterministic MULTI-line view of the (single-line) documents table:
-    * the wordChunks 8-word-window construction joined with '\n'. Input for
+    * the wordChunks 8-word-window construction joined with '\n' (single-
+    * pass WordChunks expression — one tokenize per document). Input for
     * the line-dedup queries; the DuckDB oracles rebuild the identical
     * view, so line semantics are hash-gated end to end. */
   private def multilineView(spark: SparkSession): org.apache.spark.sql.DataFrame = {
-    val arr = split(col("text"), "\\s+")
-    val nChunks = greatest(ceil(size(arr).cast("double") / 8).cast("int"), lit(1))
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
     spark.table("documents").select(col("doc_id"),
-      concat_ws("\n", transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(arr, i * 8 + 1, lit(8)), " "))).as("text"))
+      concat_ws("\n", E.column(graft.functions.WordChunks(
+        E.expression(col("text")), 8))).as("text"))
   }
 
   private def prep(spark: SparkSession, dir: String, tables: String*): Unit = {

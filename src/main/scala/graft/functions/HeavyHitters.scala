@@ -83,9 +83,16 @@ case class HeavyHitters(child: Expression, k: Int,
   }
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val sorted = buf.toArray.sortBy { case (item, c) => (-c, item) }
+    // ties break on UTF-8 BYTE order (UTF8String.compareTo), not Java's
+    // UTF-16 code-unit order: supplementary-plane tokens sort differently
+    // between the two, and the exact-regime oracle (DuckDB, binary UTF-8
+    // collation) must see the identical rank order
+    val entries = buf.toArray.map { case (item, c) => (UTF8String.fromString(item), c) }
+    val sorted = entries.sortWith { case ((ia, ca), (ib, cb)) =>
+      if (ca != cb) ca > cb else ia.compareTo(ib) < 0
+    }
     new GenericArrayData(sorted.map { case (item, c) =>
-      InternalRow(UTF8String.fromString(item), c)
+      InternalRow(item, c)
     }.toArray[Any])
   }
 

@@ -162,6 +162,51 @@ case class WordGramsTagged(child: Expression, ns: Seq[Int])
   override def prettyName: String = "word_grams_tagged"
 }
 
+/** word_chunks(text, n) → array<string>: NON-overlapping n-token windows
+  * of the RAW whitespace split — unlike the gram family this replicates
+  * `transform(sequence(0, ceil(size(arr)/n)-1), i -> array_join(slice(
+  * arr, i*n+1, n), ' '))` over `arr = split(text, "\\s+")` EXACTLY: java
+  * split with limit -1 (no lowercasing, no empty-token filtering; leading
+  * whitespace yields an empty first token, empty text yields one ""
+  * chunk), so the text_chunks DuckDB oracle keeps matching. Single pass —
+  * the lambda form re-evaluates the split once per CHUNK (O(n_words²/n)
+  * per document on the heavy tail). */
+case class WordChunks(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split("\\s+", -1)
+    val nChunks = (toks.length + n - 1) / n // toks is never empty: ceil >= 1
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val from = c * n
+      val until = math.min(from + n, toks.length)
+      var len = until - from - 1
+      var j = from
+      while (j < until) { len += toks(j).length; j += 1 }
+      val sb = new java.lang.StringBuilder(math.max(len, 0))
+      j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+  override def prettyName: String = "word_chunks"
+}
+
 /** word_gram_hashes(text, n) → array<bigint>: DISTINCT xxhash64 values of
   * the space-joined word n-grams, first-occurrence order — the single-pass
   * equivalent of `array_distinct(transform(..., i -> xxhash64(array_join(

@@ -204,9 +204,15 @@ object Dedup {
     * keys) joined against the STORED bucket table — the reference corpus
     * is not touched at all. Output and semantics match
     * [[minhashCrossCandidates]] exactly (spec-pinned), including the
-    * streaming pair-multiplicity contract. */
+    * streaming pair-multiplicity contract.
+    *
+    * `broadcastRef` defaults to false like the in-job gate: the stored
+    * bucket table is docs × bands rows — at the 100 TB reference scale
+    * this lifecycle exists for, that is far beyond the broadcast cap, so
+    * the safe default co-partitions both sides on (band, bucket). Set it
+    * true only when the reference corpus is genuinely small. */
   def queryNearDupGate(fresh: DataFrame, idCol: String, textCol: String,
-                       dir: String, broadcastRef: Boolean = true): DataFrame = {
+                       dir: String, broadcastRef: Boolean = false): DataFrame = {
     val spark = fresh.sparkSession
     val m = spark.read.parquet(s"$dir/meta")
       .select("num_hashes", "bands", "shingle").head
@@ -451,7 +457,8 @@ object Dedup {
     * block — their count is ≤ N/maxCluster, tiny) until every block fits;
     * if `maxSplitDepth` rounds cannot split a block (only near-IDENTICAL
     * vectors defeat k-means — ties all assign to one centroid), it is
-    * chunked deterministically by id instead. Every split additionally
+    * hash-chunked by id instead (a pure map — no window sort of the
+    * giant family in one task). Every split additionally
     * emits a REPRESENTATIVE CHAIN — consecutive child-block min-ids pair
     * with each other — so a tight family that a split separates still
     * links up (identical vectors: cos = 1 along the chain, everything but
@@ -483,12 +490,22 @@ object Dedup {
     var chainRows = List.empty[org.apache.spark.sql.Row]
     var depth = 0
     var done = false
+    // absolute cap on split rounds: k-means rounds are bounded by
+    // maxSplitDepth, and hash-chunking shrinks over-cap blocks with
+    // near-certainty each round — but if pathological hashing ever kept a
+    // block over the cap this long, THROW (the CC precedent: an explicit
+    // failure beats an infinite loop or a silently skipped block)
+    val maxRounds = maxSplitDepth + 16
     while (!done) {
       val over = blocks.groupBy("__blk").agg(count(lit(1)).as("__n"))
         .where(col("__n") > maxCluster)
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
       if (over.isEmpty) done = true
       else {
+        if (depth >= maxRounds)
+          throw new IllegalStateException(
+            s"semanticDedup: ${over.length} block(s) still over maxCluster=$maxCluster " +
+              s"after $depth split rounds; raise maxCluster or maxSplitDepth")
         val prev = blocks
         val overKeys = over.map(_._1)
         val isOver = col("__blk").isin(overKeys: _*)
@@ -509,15 +526,23 @@ object Dedup {
             }.reduce(_.union(_)), ".")
           } else {
             // depth cap: only (near-)identical-vector families get here —
-            // k-means cannot split exact ties. Chunk by id: provably under
-            // the cap in one pass, and for identical vectors the rep chain
-            // below makes the flagging EXACT (all but the global min).
+            // k-means cannot split exact ties. HASH-chunk by id — a pure
+            // MAP: a row_number window over the one giant block key would
+            // sort the whole family in a single task, exactly the
+            // straggler this operator exists to avoid. 2× headroom over
+            // the target chunk count makes residual over-cap chunks
+            // vanishingly rare; the loop's size check re-chunks any. For
+            // identical vectors the rep chain below makes the flagging
+            // EXACT (all but the global min).
             System.err.println(s"[graft] semanticDedup: ${over.length} block(s) / " +
-              s"${over.map(_._2).sum} rows unsplittable after $depth k-means rounds — chunking by id")
-            val w = Window.partitionBy("__blk").orderBy(idCol)
+              s"${over.map(_._2).sum} rows unsplittable after $depth k-means rounds — hash-chunking")
+            val nChunks = over.foldLeft(lit(2L)) { case (acc, (b, n)) =>
+              when(col("__blk") === b,
+                lit(math.max(2L, 2L * ((n + maxCluster - 1) / maxCluster)))).otherwise(acc)
+            }
             (prev.where(isOver).withColumn("__blk",
               concat_ws("#", col("__blk"),
-                floor((row_number().over(w) - 1) / maxCluster).cast("string"))), "#")
+                pmod(xxhash64(col(idCol)), nChunks).cast("string"))), "#")
           }
         blocks = Materialize.cut(prev.where(!isOver).union(split))
         // representative chain: consecutive child min-ids of each split
@@ -534,7 +559,6 @@ object Dedup {
           .where(col("a").isNotNull)
           .collect() // first action on the new blocks frame — populates it
         Materialize.release(prev) // new blocks forced above; prev superseded
-        if (sep == "#") done = true // chunks are under the cap by construction
         depth += 1
       }
     }

@@ -315,18 +315,16 @@ object TextAnalysis {
 
   /** Fixed-window chunking: one output row per `chunkWords`-word window
     * with a stable (doc_id, chunk_id) key — the context-window prep stage
-    * of a training pipeline. The per-chunk lambda re-evaluates the split
-    * after CollapseProject inlining, but only once per CHUNK (a handful
-    * per doc), not per element — fine, unlike the per-shingle case that
-    * motivated ShingleSet. */
+    * of a training pipeline. Single-pass WordChunks expression (one
+    * tokenize per document — the transform-lambda form re-evaluated the
+    * split once per chunk, O(n_words²/chunkWords) on heavy-tailed docs).
+    * NULL text keeps its historical contract: one (0, NULL) chunk row. */
   def wordChunks(df: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int = 16): DataFrame = {
-    val arr = split(col(textCol), "\\s+")
-    val nChunks = greatest(ceil(size(arr).cast("double") / chunkWords).cast("int"), lit(1))
-    df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(arr, i * chunkWords + 1, lit(chunkWords)), " ")))
-      .as(Seq("chunk_id", "chunk")))
+    val chunks = coalesce(
+      E.column(graft.functions.WordChunks(E.expression(col(textCol)), chunkWords)),
+      array(lit(null).cast("string")))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 

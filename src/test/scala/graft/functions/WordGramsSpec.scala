@@ -116,6 +116,27 @@ class WordGramsSpec extends AnyFunSuite {
     }
   }
 
+  test("WordChunks equals the raw-split transform formulation (no lower, no filter)") {
+    // note: RAW split semantics — unlike the gram family, leading
+    // whitespace yields an empty first token and case is preserved
+    def chunksBuiltin(text: Column, n: Int): Column = {
+      val arr = split(text, "\\s+")
+      val nChunks = greatest(ceil(size(arr).cast("double") / n).cast("int"), lit(1))
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(arr, i * n + 1, lit(n)), " "))
+    }
+    val df = trickyDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 3, 8)) {
+      val got = df.select($"id",
+        E.column(WordChunks(E.expression($"text"), n)).as("g"),
+        chunksBuiltin($"text", n).as("b")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("null text: explode consumers see zero rows, like the built-in empty array") {
     val df = Seq((0L, null: String), (1L, "a b c")).toDF("id", "text")
     val n = df.select($"id", explode(E.column(WordGrams(E.expression($"text"), 2))).as("g"))
