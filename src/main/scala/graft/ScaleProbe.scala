@@ -233,6 +233,22 @@ object ScaleProbe {
     println(s"[scale]   flagged=$semFlagged, planted twins flagged=$twinsFlagged of ${semVecs / 100}"
       + (if (twinsFlagged == semVecs / 100) " (all twins caught)" else " (TWINS MISSED)"))
 
+    // ---- SemDeDup worst case: one giant IDENTICAL-vector family ----------
+    // the boilerplate-family shape the old maxCluster guard silently
+    // exempted and r6's sub-split handles: k-means cannot split exact
+    // ties, so the block rides the hash-chunk fallback (pure map, no
+    // single-task sort) and the rep chain must flag ALL but the global min
+    val famN = 100000
+    val fam = spark.range(famN).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), d -> CAST(CASE WHEN d = 0 THEN 1.0 ELSE 0.01 END AS FLOAT)) AS embedding")
+      .localCheckpoint(true)
+    val famFlagged = timed(s"SemDeDup identical family ($famN vectors, maxCluster=5000)")(
+      pipeline.Dedup.semanticDedup(fam, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 8, maxCluster = 5000)
+        .where(col("is_semantic_duplicate")).count())
+    println(s"[scale]   identical-family flagged: $famFlagged of ${famN - 1} "
+      + (if (famFlagged == famN - 1) "(exact: all but the global min)" else "(WRONG)"))
+
     // ---- as-of join: one co-partitioned sort, no inequality join ---------
     val nEvents = nVecs // 200k synthetic events over 10k users
     val ev = spark.range(nEvents).selectExpr(

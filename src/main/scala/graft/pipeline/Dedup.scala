@@ -455,8 +455,10 @@ object Dedup {
     * SUB-SPLIT, never skipped: over-cap blocks are re-clustered with a
     * finer per-block k-means (one driver-side training sample per over-cap
     * block — their count is ≤ N/maxCluster, tiny) until every block fits;
-    * if `maxSplitDepth` rounds cannot split a block (only near-IDENTICAL
-    * vectors defeat k-means — ties all assign to one centroid), it is
+    * if `maxSplitDepth` rounds cannot split a block — or one round changes
+    * nothing, which under the fixed seeds means no later round can either
+    * — (only near-IDENTICAL vectors defeat k-means: ties all assign to
+    * one centroid), it is
     * hash-chunked by id instead (a pure map — no window sort of the
     * giant family in one task). Every split additionally
     * emits a REPRESENTATIVE CHAIN — consecutive child-block min-ids pair
@@ -496,6 +498,12 @@ object Dedup {
     // block over the cap this long, THROW (the CC precedent: an explicit
     // failure beats an infinite loop or a silently skipped block)
     val maxRounds = maxSplitDepth + 16
+    // over-cap size multiset of the previous round: if a k-means round
+    // changes NOTHING (identical vectors assign identically under the
+    // fixed seeds every time), further rounds are guaranteed no-ops —
+    // escalate straight to the chunk fallback instead of burning the
+    // remaining depth re-training on the same ties
+    var prevSig: Seq[Long] = null
     while (!done) {
       val over = blocks.groupBy("__blk").agg(count(lit(1)).as("__n"))
         .where(col("__n") > maxCluster)
@@ -509,8 +517,11 @@ object Dedup {
         val prev = blocks
         val overKeys = over.map(_._1)
         val isOver = col("__blk").isin(overKeys: _*)
+        val sig = over.map(_._2).sorted.toSeq
+        val stuck = sig == prevSig
+        prevSig = sig
         val (split, sep) =
-          if (depth < maxSplitDepth) {
+          if (depth < maxSplitDepth && !stuck) {
             // finer per-block k-means: k sized so an even split lands
             // children at ~maxCluster/2
             (over.map { case (b, n) =>
