@@ -927,6 +927,26 @@ object SparkEntry {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")
     },
+    "text_len_quantile_sketch" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-language word-count quantiles via the MERGEABLE bounded-state
+      // sketch (built-in percentile parks every value in the agg state —
+      // executor-OOM at web-corpus group sizes). Exact regime here
+      // (groups ≪ k) so R-7 parity with DuckDB quantile_cont hash-gates;
+      // the approximate regime's rank-error bound is spec'd at N ≫ k
+      s.table("documents")
+        .select(col("lang"),
+          size(pipeline.TextAnalysis.words(col("text"))).cast("double").as("n"))
+        .groupBy("lang")
+        .agg(functions.QuantileSketch.sketchQuantiles(
+          col("n"), 4096, Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+        .select(col("lang"),
+          floor(col("qs")(0) * 100 + 0.5).cast("long").as("p25_c"),
+          floor(col("qs")(1) * 100 + 0.5).cast("long").as("p50_c"),
+          floor(col("qs")(2) * 100 + 0.5).cast("long").as("p75_c"),
+          floor(col("qs")(3) * 100 + 0.5).cast("long").as("p90_c"))
+        .orderBy("lang")
+    },
     "text_fingerprint" -> { (s, dir) =>
       prep(s, dir, "documents")
       pipeline.TextAnalysis.fingerprints(s.table("documents"), "text")
@@ -1031,6 +1051,19 @@ object SparkEntry {
       pipeline.Dedup.crossCorpus(
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0), "text", broadcastRef = true)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    "dedup_bloom_gate" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // the 100-TB-shape exact gate: reference hashes too big to
+      // broadcast, fresh side too big to shuffle — a mergeable Bloom
+      // filter prefilters with a pure map, candidates confirmed exactly.
+      // Output is EXACT (bloom only routes), same NOT-EXISTS oracle
+      val docs = s.table("documents")
+      pipeline.Dedup.crossCorpusBloom(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 3 === 0), "text", fpp = 0.05)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
@@ -1720,6 +1753,18 @@ object SparkEntry {
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "text_len_quantile_sketch" ->
+      """SELECT lang,
+                CAST(floor(ps[1] * 100 + 0.5) AS BIGINT) AS p25_c,
+                CAST(floor(ps[2] * 100 + 0.5) AS BIGINT) AS p50_c,
+                CAST(floor(ps[3] * 100 + 0.5) AS BIGINT) AS p75_c,
+                CAST(floor(ps[4] * 100 + 0.5) AS BIGINT) AS p90_c
+         FROM (SELECT lang,
+                      quantile_cont(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                         x -> len(x) > 0)) AS DOUBLE),
+                                    [0.25, 0.5, 0.75, 0.9]) AS ps
+               FROM documents GROUP BY lang)
+         ORDER BY lang""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
          FROM documents ORDER BY doc_id""",
@@ -1819,6 +1864,13 @@ object SparkEntry {
       """SELECT f.doc_id, f.lang FROM documents f
          WHERE f.doc_id % 5 <> 0 AND NOT EXISTS (
            SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0
+             AND md5(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
+               = md5(regexp_replace(lower(f.text), '\s+', ' ', 'g')))
+         ORDER BY f.doc_id""",
+    "dedup_bloom_gate" ->
+      """SELECT f.doc_id, f.lang FROM documents f
+         WHERE f.doc_id % 3 <> 0 AND NOT EXISTS (
+           SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
              AND md5(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
                = md5(regexp_replace(lower(f.text), '\s+', ' ', 'g')))
          ORDER BY f.doc_id""",

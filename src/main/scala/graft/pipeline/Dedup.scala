@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim => E}
 
-import graft.functions.{CosineSim, Hamming64, MinHashSignature, SimHash64}
+import graft.functions.{Bloom, BloomAgg, BloomMightContain, CosineSim, Hamming64, MinHashSignature, SimHash64}
 
 /** Deduplication family for LLM training-data pipelines.
   *
@@ -64,11 +64,118 @@ object Dedup {
                   broadcastRef: Boolean = false): DataFrame = {
     require(!fresh.columns.contains("__h"),
       "crossCorpus reserves column name __h; rename it on the fresh side")
-    def norm(t: Column) = md5(regexp_replace(lower(t), "\\s+", " "))
-    val refHashes = ref.select(norm(col(textCol)).as("__h")).distinct()
-    fresh.withColumn("__h", norm(col(textCol)))
+    val refHashes = ref.select(contentHash(col(textCol)).as("__h")).distinct()
+    fresh.withColumn("__h", contentHash(col(textCol)))
       .join(if (broadcastRef) broadcast(refHashes) else refHashes, Seq("__h"), "left_anti")
       .drop("__h")
+  }
+
+  /** The normalization every EXACT cross-corpus gate keys on: md5 over
+    * whitespace-collapsed lowercase — identical to [[exact]] and DuckDB-
+    * expressible, so all the exact gates compose and oracle-gate. */
+  private def contentHash(t: Column): Column =
+    md5(regexp_replace(lower(t), "\\s+", " "))
+
+  /** [[crossCorpus]] for the regime where the reference's DISTINCT hash
+    * set is too big to broadcast AND shuffling the fresh corpus is
+    * unaffordable — i.e. the actual 100 TB shape. A Bloom filter of the
+    * reference hashes (bounded-state mergeable [[BloomAgg]], a few GB at
+    * one byte per reference document where the hash set is hundreds) ships
+    * as plan-constant bytes and prefilters the fresh side with a PURE MAP:
+    * bloom-negative rows — the overwhelming majority of a daily batch —
+    * are admitted definitively (Bloom filters have no false negatives)
+    * without ever touching a join. Only the candidate DISTINCT hashes
+    * (true dups + an `fpp` sliver) shuffle into an exact semi-join against
+    * the reference hashes, and the confirmed-dup set — bounded by the
+    * batch's own dup cardinality — broadcasts back into the final anti
+    * join. The OUTPUT IS EXACT (the bloom only routes; membership is
+    * confirmed exactly), hash-identical to [[crossCorpus]], so the same
+    * NOT-EXISTS oracle gates it.
+    *
+    * Shuffle budget: candidate distinct hashes only. The fresh corpus is
+    * scanned twice (a text-column-pruned candidate pass + the output
+    * pass) but never shuffles; set `broadcastConfirmed = false` if a
+    * degenerate batch (mostly dups) overflows the broadcast cap.
+    *
+    * `expectedItems` sizes the filter; defaults to counting the reference
+    * hash set (one cheap job on the materialized hashes — at build time,
+    * not query time). */
+  def crossCorpusBloom(fresh: DataFrame, ref: DataFrame, textCol: String,
+                       fpp: Double = 0.01, expectedItems: Long = -1L,
+                       broadcastConfirmed: Boolean = true): DataFrame = {
+    require(!fresh.columns.contains("__h"),
+      "crossCorpusBloom reserves column name __h; rename it on the fresh side")
+    val refHashes = Materialize(ref.select(contentHash(col(textCol)).as("__h")).distinct())
+    bloomGateAgainst(fresh, refHashes, buildBloomBytes(refHashes, fpp, expectedItems),
+      textCol, broadcastConfirmed)
+  }
+
+  /** Aggregate a materialized `__h`-hash frame into serialized Bloom bytes. */
+  private def buildBloomBytes(refHashes: DataFrame, fpp: Double,
+                              expectedItems: Long): Array[Byte] = {
+    val n = (if (expectedItems > 0) expectedItems else refHashes.count()).max(1L)
+    val (numBits, k) = Bloom.geometry(n, fpp)
+    val agg = E.column(BloomAgg(
+      E.expression(xxhash64(col("__h"))), numBits, k).toAggregateExpression())
+    refHashes.agg(agg.as("__bloom")).head.getAs[Array[Byte]](0)
+  }
+
+  /** The shared gate: bloom-prefilter on xxhash64(__h), exact confirm on
+    * the md5 itself (the 64-bit bloom key is a router, never the
+    * membership verdict — a 64-bit collision cannot drop a clean row).
+    * NULL-text rows hash to NULL: never bloom candidates, never equal to
+    * an anti-join key — always admitted, matching [[crossCorpus]]. */
+  private def bloomGateAgainst(fresh: DataFrame, refHashes: DataFrame,
+                               bloomBytes: Array[Byte], textCol: String,
+                               broadcastConfirmed: Boolean): DataFrame = {
+    val withH = fresh.withColumn("__h", contentHash(col(textCol)))
+    val might = E.column(BloomMightContain(
+      E.expression(lit(bloomBytes)), E.expression(xxhash64(col("__h")))))
+    if (fresh.isStreaming) {
+      // stateless micro-batch shape: a streaming frame can neither feed a
+      // broadcast nor run an unwatermarked distinct, so bloom-negative
+      // rows (definitively clean, incl. NULL-text rows whose probe is
+      // NULL) pass straight through and only bloom-positive rows ride the
+      // stream-static anti join against the stored hashes
+      withH.where(coalesce(!might, lit(true)))
+        .union(withH.where(might).join(refHashes, Seq("__h"), "left_anti")
+          .select(withH.columns.map(col).toSeq: _*))
+        .drop("__h")
+    } else {
+      val candHashes = withH.where(might).select("__h").distinct()
+      val confirmed = candHashes.join(refHashes, Seq("__h"), "left_semi")
+      withH.join(if (broadcastConfirmed) broadcast(confirmed) else confirmed,
+          Seq("__h"), "left_anti")
+        .drop("__h")
+    }
+  }
+
+  /** Persist the exact-dedup bloom gate once — `dir/bloom` (one row of
+    * serialized filter bytes, self-describing geometry) + `dir/hashes`
+    * (the DISTINCT reference content hashes for exact confirmation) — so
+    * every later batch gates against the STORED artifacts and the
+    * reference corpus is never re-read: the daily-crawl lifecycle, same as
+    * [[buildNearDupGate]] for the near-dup gate. */
+  def buildBloomGate(ref: DataFrame, textCol: String, dir: String,
+                     fpp: Double = 0.01, expectedItems: Long = -1L): Unit = {
+    require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
+    val refHashes = Materialize(ref.select(contentHash(col(textCol)).as("__h")).distinct())
+    refHashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    import ref.sparkSession.implicits._
+    Seq(Tuple1(buildBloomBytes(refHashes, fpp, expectedItems))).toDF("bloom")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  /** Gate a fresh batch against a gate built by [[buildBloomGate]]:
+    * identical output to [[crossCorpusBloom]] (spec-pinned), reference
+    * corpus untouched. The filter bytes load once at PLAN time; works on
+    * a streaming `fresh` too (stream-static anti join, stateless). */
+  def queryBloomGate(fresh: DataFrame, textCol: String, dir: String,
+                     broadcastConfirmed: Boolean = true): DataFrame = {
+    val spark = fresh.sparkSession
+    val bloomBytes = spark.read.parquet(s"$dir/bloom").head.getAs[Array[Byte]](0)
+    bloomGateAgainst(fresh, spark.read.parquet(s"$dir/hashes"), bloomBytes,
+      textCol, broadcastConfirmed)
   }
 
   /** MinHash/LSH candidate pairs: (a, b) with a < b sharing ≥1 LSH band.
