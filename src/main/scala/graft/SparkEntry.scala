@@ -927,6 +927,34 @@ object SparkEntry {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")
     },
+    "text_bpe_encode" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // corpus-trained BPE: one distributed word-count pass, driver merge
+      // learning over the (tiny) vocab table, broadcast-merges encode as a
+      // pure map. Rows-only: the segmentation itself is not SQL-
+      // expressible; round-trip exactness is hash-gated by
+      // text_bpe_roundtrip and the merge sequence is hand-verified in BpeSpec
+      val docs = s.table("documents")
+      val model = pipeline.Bpe.train(docs, "text", nMerges = 200)
+      docs.select(col("doc_id"),
+          pipeline.Bpe.encode(model, col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    "text_bpe_roundtrip" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // hash-gated round-trip: detokenizing the BPE stream must
+      // reconstruct the whitespace-normalized document exactly — proves
+      // the trained segmentation loses nothing, against a DuckDB oracle
+      // that never saw the tokenizer
+      val docs = s.table("documents")
+      val model = pipeline.Bpe.train(docs, "text", nMerges = 200)
+      docs.select(col("doc_id"),
+          pipeline.Bpe.encode(model, col("text")).as("toks"))
+        .select(col("doc_id"),
+          rtrim(regexp_replace(array_join(col("toks"), ""), "</w>", " ")).as("detok"))
+        .orderBy("doc_id")
+    },
     "text_len_quantile_sketch" -> { (s, dir) =>
       prep(s, dir, "documents")
       // per-language word-count quantiles via the MERGEABLE bounded-state
@@ -1752,6 +1780,11 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_bpe_roundtrip" ->
+      """SELECT doc_id,
+                array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                            x -> len(x) > 0), ' ') AS detok
          FROM documents ORDER BY doc_id""",
     "text_len_quantile_sketch" ->
       """SELECT lang,
