@@ -1095,6 +1095,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
+    "pipeline_source_mix" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // data-recipe mixing: keep the largest corpus matching 30/30/20/20
+      // across four sources; integer ppm/floor arithmetic end-to-end so
+      // the keep decision is bit-identical to the DuckDB oracle
+      pipeline.TextAnalysis.sourceMix(s.table("documents"), "doc_id", "source",
+          Map("src0" -> 300000L, "src1" -> 300000L, "src2" -> 200000L, "src3" -> 200000L))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
     "pipeline_sample_stratified" -> { (s, dir) =>
       prep(s, dir, "documents")
       // language rebalancing: keep 50% of en, 25% of de, 12.5% of the rest,
@@ -1907,6 +1917,20 @@ object SparkEntry {
              AND md5(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
                = md5(regexp_replace(lower(f.text), '\s+', ' ', 'g')))
          ORDER BY f.doc_id""",
+    "pipeline_source_mix" ->
+      """WITH w(source, w_ppm) AS (VALUES ('src0', 300000), ('src1', 300000),
+                                          ('src2', 200000), ('src3', 200000)),
+              n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+              t AS (SELECT min(n.n * 1000000 // w.w_ppm) AS t
+                    FROM w JOIN n USING (source)),
+              cuts AS (SELECT w.source,
+                              LEAST(256, ((w.w_ppm * t.t // 1000000) * 256) // n.n) AS cut
+                       FROM w JOIN n USING (source) CROSS JOIN t)
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN cuts ON cuts.source = d.source
+         WHERE (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1 < cuts.cut
+         ORDER BY d.doc_id""",
     "pipeline_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -242,6 +242,42 @@ object TextAnalysis {
     df.where(sampleBucket(col(idCol)) < cut)
   }
 
+  /** Corpus MIXING to target proportions — the "data recipe" step of a
+    * training pipeline: given per-source target weights (ppm), keep the
+    * LARGEST total corpus whose source composition matches the recipe.
+    * The binding source sets the total (T = minₛ ⌊n_s·10⁶ / w_s⌋ — the
+    * classic max-feasible-mixture bound); every other source downsamples
+    * to its share k_s = ⌊w_s·T / 10⁶⌋ via the same deterministic md5
+    * bucket as [[stratifiedSample]] (cut_s = ⌊k_s·256 / n_s⌋).
+    *
+    * All arithmetic is INTEGER (ppm weights, floor division) so the keep
+    * decision is bit-identical across engines and runs. Sources absent
+    * from `weightsPpm` are dropped (a recipe is exhaustive); a listed
+    * source missing from the corpus makes the recipe infeasible → empty
+    * output (loudly wrong beats silently skewed).
+    *
+    * Plan shape: one tiny per-source count aggregate (collected — one row
+    * per source), then the keep filter is a PURE MAP over the corpus: no
+    * shuffle, no join, composes downstream. The count pass makes this a
+    * batch op; for streams, compute cuts on a batch profile and apply
+    * [[stratifiedSample]] with the derived fractions. */
+  def sourceMix(df: DataFrame, idCol: String, sourceCol: String,
+                weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.nonEmpty, "sourceMix needs at least one target weight")
+    require(weightsPpm.values.forall(_ > 0), s"weights must be positive ppm: $weightsPpm")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1))).toMap
+    val total = weightsPpm.map { case (s, w) => counts.getOrElse(s, 0L) * 1000000L / w }.min
+    val cut = weightsPpm.toSeq.sortBy(_._1).foldRight(lit(0): Column) {
+      case ((s, w), acc) =>
+        val n = counts.getOrElse(s, 0L)
+        val keep = w * total / 1000000L
+        val c = if (n == 0) 0 else math.min(256L, keep * 256L / n).toInt
+        when(col(sourceCol) === s, lit(c)).otherwise(acc)
+    }
+    df.where(sampleBucket(col(idCol)) < cut)
+  }
+
   /** Corpus-trained bigram language-model scoring — the classic "how
     * typical is this document of the corpus" signal (cheap stand-in for
     * model perplexity in curation pipelines; low scores flag gibberish /

@@ -754,6 +754,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == again, "content-hash sampling is deterministic")
   }
 
+  test("sourceMix hits the recipe: binding source kept whole, others downsampled") {
+    // src A: 1000 docs, src B: 1000 docs; recipe 75/25 → A binds:
+    // T = min(1000/0.75, 1000/0.25) = 1333; keep_A = 999, keep_B = 333
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("src", when(col("id") < 1000, "A").otherwise("B"))
+    val out = TextAnalysis.sourceMix(df, "id", "src",
+      Map("A" -> 750000L, "B" -> 250000L))
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // bucket sampling quantizes to 1/256: cut_A = 999*256/1000 = 255 → ~255/256
+    // of A; cut_B = 333*256/1000 = 85 → ~85/256 of B. Allow sampling noise.
+    assert(math.abs(bySrc("A") - 1000.0 * 255 / 256) < 60, s"A kept ${bySrc("A")}")
+    assert(math.abs(bySrc("B") - 1000.0 * 85 / 256) < 60, s"B kept ${bySrc("B")}")
+    val again = TextAnalysis.sourceMix(df, "id", "src",
+      Map("A" -> 750000L, "B" -> 250000L)).groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc == again, "mixing is deterministic")
+    // unlisted source dropped entirely
+    val withC = df.withColumn("src", when(col("id") < 10, "C").otherwise(col("src")))
+    val mixed = TextAnalysis.sourceMix(withC, "id", "src",
+      Map("A" -> 750000L, "B" -> 250000L))
+    assert(mixed.where(col("src") === "C").count() == 0, "unlisted source must be dropped")
+    // listed-but-absent source → infeasible recipe → empty, not skewed
+    val infeasible = TextAnalysis.sourceMix(df, "id", "src",
+      Map("A" -> 500000L, "Z" -> 500000L))
+    assert(infeasible.count() == 0, "a recipe naming an absent source is infeasible")
+  }
+
   test("bigramLmScore matches hand-computed conditional counts") {
     val df = Seq((1L, "a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
     val got = TextAnalysis.bigramLmScore(df, "doc_id", "text")
