@@ -900,6 +900,17 @@ object SparkEntry {
           nLists = 16, nProbe = 10)
         .orderBy("query_id", "rank")
     },
+    "ann_pca_topk" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // PCA-reduced ANN (covariance pass + driver eigensolve, reduced-
+      // space shortlist, exact rerank) — rows-only (the model is data-
+      // defined); recall floors measured in PcaSpec (1.0 low-rank
+      // regime, 0.83 near-uniform worst case at r=16)
+      val emb = s.table("embeddings")
+      pipeline.Similarity.pcaTopK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10, r = 16)
+        .orderBy("query_id", "rank")
+    },
     "ann_pq_topk" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // product-quantization ADC scan + exact rerank — rows-only (the

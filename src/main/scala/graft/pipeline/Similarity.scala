@@ -388,6 +388,28 @@ object Similarity {
     *    partitioned-parquet machinery (no custom format).
     * Same seeded training as [[ivfTopK]], so a fresh index + query equals
     * the in-job operator exactly (spec-pinned). */
+  /** PCA-reduced ANN: fit a [[Pca]] model (one covariance pass + driver
+    * eigensolve), score candidates by cosine in the r-d projected space —
+    * bounding the BYTES/FLOPs per scored pair like PQ's ADC, but with
+    * linear algebra instead of codebooks (r/d of the work; r=8 over d=64
+    * is 8×) — then exact-rerank the k·expand shortlist in the full space.
+    * Projection is a plan-constant pure map; the reduced-space score is a
+    * proxy (projection drops variance and centering shifts angles), so
+    * recall is probabilistic — floor-spec'd like the LSH/IVF/PQ family. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, r: Int = 8, expand: Int = 8): DataFrame = {
+    val model = Pca.fit(corpus, vecCol, r)
+    val rc = corpus.select(col(idCol).as("neighbor_id"),
+      Dedup.quantize(Pca.transform(model, col(vecCol))).as("__qc"))
+    val rq = queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(Pca.transform(model, col(vecCol))).as("__qq"))
+    val scored = rc.join(broadcast(rq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+    val shortlist = topKPerQuery(scored, k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                     nLists: Int = 64, sampleSize: Int = 10000, iters: Int = 10): Unit = {
     val spark = corpus.sparkSession
