@@ -235,9 +235,12 @@ object ScaleProbe {
 
     // ---- SemDeDup worst case: one giant IDENTICAL-vector family ----------
     // the boilerplate-family shape the old maxCluster guard silently
-    // exempted and r6's sub-split handles: k-means cannot split exact
-    // ties, so the block rides the hash-chunk fallback (pure map, no
-    // single-task sort) and the rep chain must flag ALL but the global min
+    // exempted: bit-equal vectors now COLLAPSE in a map-side-combining
+    // aggregate before anything quadratic (cos exactly 1 — non-min members
+    // flag directly), so the family costs one aggregate instead of
+    // 20 chunks × maxCluster²/2 pairwise cosines (154 s → ~2 s at this
+    // size); near-identical-but-distinct families still ride the
+    // hash-chunk fallback + rep chain (spec-pinned)
     val famN = 100000
     val fam = spark.range(famN).selectExpr("id AS vec_id",
         "transform(sequence(0, 63), d -> CAST(CASE WHEN d = 0 THEN 1.0 ELSE 0.01 END AS FLOAT)) AS embedding")
@@ -248,6 +251,50 @@ object ScaleProbe {
         .where(col("is_semantic_duplicate")).count())
     println(s"[scale]   identical-family flagged: $famFlagged of ${famN - 1} "
       + (if (famFlagged == famN - 1) "(exact: all but the global min)" else "(WRONG)"))
+
+    // ---- Bloom gate at a reference scale the broadcast gate can't do ----
+    // 2M reference hashes (a ~2.4 MB filter at fpp=0.01) gating a 200k-row
+    // batch with 1% true dups: the filter build is one bounded-state agg
+    // pass; the gate's join only ever sees candidate hashes
+    val refN = 2000000
+    val bloomRef = spark.range(refN)
+      .selectExpr("id AS doc_id", "concat('reference body ', id) AS text")
+    val bloomFresh = spark.range(200000)
+      .selectExpr("id + 10000000 AS doc_id",
+        "concat('reference body ', CASE WHEN id % 100 = 0 THEN id ELSE id + 100000000 END) AS text")
+      .localCheckpoint(true)
+    val admitted = timed(s"bloom exact gate ($refN ref hashes, 200k batch, 1% dups)")(
+      pipeline.Dedup.crossCorpusBloom(bloomFresh, bloomRef, "text").count())
+    println(s"[scale]   admitted ${admitted} of 200000 (expect exactly 198000 — output is exact)"
+      + (if (admitted == 198000) "" else " (WRONG)"))
+
+    // ---- quantile sketch at N >> k: bounded state, bounded rank error ---
+    val qN = 10000000
+    val qVals = spark.range(qN).selectExpr("CAST(pmod(xxhash64(id), 1000000) AS DOUBLE) AS v")
+    val qs = timed(s"quantile sketch ($qN values, k=512)")(
+      qVals.agg(graft.functions.QuantileSketch.sketchQuantiles(
+        col("v"), 512, Seq(0.5, 0.99)).as("q"))
+        .selectExpr("q[0]", "q[1]").head)
+    val (p50, p99) = (qs.getDouble(0), qs.getDouble(1))
+    println(f"[scale]   p50=$p50%.0f (true ~500000), p99=$p99%.0f (true ~990000)"
+      + (if (math.abs(p50 - 500000) < 20000 && math.abs(p99 - 990000) < 20000) ""
+         else " (DRIFTED)"))
+
+    // ---- BPE: vocab-bounded training; heavy-tailed encode is linear ----
+    val bpeDocs = spark.range(2000).selectExpr("id AS doc_id",
+        // ~300-word docs from a 2k-word vocabulary (Zipf-ish via pmod skew)
+        """array_join(transform(sequence(0, 299),
+             i -> concat('w', pmod(xxhash64(id, i), CASE WHEN pmod(xxhash64(id, i), 10) < 7 THEN 100 ELSE 2000 END))), ' ') AS text""")
+      .localCheckpoint(true)
+    val bpeModel = timed("BPE train (2k docs, 600k words, 500 merges)")(
+      pipeline.Bpe.train(bpeDocs, "text", nMerges = 500))
+    val heavyBpe = spark.range(1).selectExpr("0 AS doc_id",
+        "array_join(transform(sequence(0, 99999), i -> concat('w', pmod(i, 2000))), ' ') AS text")
+      .union(bpeDocs.limit(999)).localCheckpoint(true)
+    val bpeToks = timed("BPE encode heavy tail (1 doc of 100k words + 999 of 300)")(
+      heavyBpe.select(org.apache.spark.sql.functions.explode(
+        pipeline.Bpe.encode(bpeModel, col("text")))).count())
+    println(s"[scale]   BPE tokens emitted: $bpeToks (cache-hit encode, linear in doc length)")
 
     // ---- as-of join: one co-partitioned sort, no inequality join ---------
     val nEvents = nVecs // 200k synthetic events over 10k users

@@ -558,8 +558,12 @@ object Dedup {
     *
     * Scale shape: clustering shuffles nothing (plan-constant centroids);
     * the only shuffle is the block-key self-join, quadratic within a
-    * block but bounded by `maxCluster`. Clusters larger than the cap are
-    * SUB-SPLIT, never skipped: over-cap blocks are re-clustered with a
+    * block but bounded by `maxCluster`. BIT-EQUAL vectors collapse first
+    * (map-side-combining aggregate; non-min members flag directly, cos
+    * exactly 1) so exact-duplicate families — where web-corpus semantic
+    * mass concentrates — never enter the quadratic stage at all; the
+    * sub-split machinery below then only ever sees DISTINCT vectors.
+    * Clusters larger than the cap are SUB-SPLIT, never skipped: over-cap blocks are re-clustered with a
     * finer per-block k-means (one driver-side training sample per over-cap
     * block — their count is ≤ N/maxCluster, tiny) until every block fits;
     * if `maxSplitDepth` rounds cannot split a block — or one round changes
@@ -589,9 +593,35 @@ object Dedup {
     // expression with fixed accumulation order (deterministic), not the
     // interpreted higher-order quantized form: this op is rows-only, no
     // oracle to stay bit-equal to
-    var blocks = Materialize.cut(Similarity
+    val assigned = Similarity
       .assignClusters(emb, idCol, vecCol, nClusters, sampleSize, iters)
       .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol)
+    // EXACT-duplicate collapse before anything quadratic: bit-equal
+    // vectors have cosine exactly 1 ≥ any threshold, so each (cluster,
+    // vector) identity group keeps only its min id in the pairwise
+    // pipeline and every other member is flagged directly — a map-side-
+    // combining aggregate (identical vectors collapse within each task,
+    // so a 10^9-row boilerplate family ships ~one row per task, not 10^9)
+    // + one co-partitioned join. This is EXACT, not an approximation:
+    // for a non-rep x, rep < x with cos 1; for a rep r, any smaller
+    // similar y implies y's rep < r with the same cosine. Zero-norm and
+    // NaN vectors are exempt (their self-cosine is not 1) and keep
+    // individual rows. Giant identical families — exactly the clusters
+    // that used to detonate the within-block self-join or ride the chunk
+    // fallback — now cost one aggregate. Grouping uses the vector VALUE
+    // (no hash-collision false dups); Spark normalizes -0.0 at group
+    // keys, whose cosine is unaffected.
+    val collapsible = exists(col("__v"), x => x =!= lit(0.0f)) &&
+      !exists(col("__v"), x => isnan(x))
+    val reps = assigned.where(collapsible)
+      .groupBy(col("cluster"), col("__v")).agg(min(col(idCol)).as("__rep"))
+    val withRep = assigned.join(reps, Seq("cluster", "__v"), "left")
+    val identityDups = Materialize(withRep
+      .where(collapsible && col(idCol) =!= col("__rep"))
+      .select(col(idCol), col("cluster")))
+    var blocks = Materialize.cut(withRep
+      .where(!collapsible || col(idCol) === col("__rep"))
+      .select(col(idCol), col("cluster"), col("__v"))
       .withColumn("__blk", col("cluster").cast("string")))
     // (a, b) rep-chain pairs, a < b — collected to the driver (≤ #children
     // per split: ≤ 64 for k-means splits, rows/maxCluster for chunk splits;
@@ -707,6 +737,8 @@ object Dedup {
       .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_semantic_duplicate"))
+      .union(identityDups.select(col(idCol), col("cluster"),
+        lit(true).as("is_semantic_duplicate")))
   }
 
   /** float vector → scaled bigint vector. The float→double widening is

@@ -376,26 +376,51 @@ class PipelineSpec extends AnyFunSuite {
       s"sub-split must still flag the larger id of each planted pair, got $gFlagged")
   }
 
-  test("semanticDedup chunk fallback: identical-vector family flags all but the global min") {
-    // 40 IDENTICAL vectors (+ 3 unrelated) — k-means cannot split exact
-    // ties, so the over-cap block hits the depth cap and chunks by id; the
-    // representative chain (cos = 1 between chunk mins) must flag every
-    // member except the global min. This is the boilerplate-family case the
-    // old skip-guard silently exempted: giant semantic clusters are exactly
-    // where duplicates concentrate.
+  test("semanticDedup chunk fallback: near-identical family flags all but the global min") {
+    // 40 NEAR-identical vectors (bit-distinct — a per-id 1e-6 epsilon, cos
+    // ≈ 1-1e-12 — so the exact-duplicate collapse leaves them alone) + 3
+    // unrelated. k-means cannot usefully split near-ties, so the over-cap
+    // block hits the depth cap and chunks by id; the representative chain
+    // between chunk mins must flag every member except the global min.
     val dim = 8
-    val same = Seq.tabulate(dim)(d => if (d == 3) 1.0f else 0.1f)
-    val lone = (100L to 102L).map(i =>
-      (i, Seq.tabulate(dim)(d => if (d == (i % dim).toInt) 1.0f else 0.0f)))
-    val emb = ((0L until 40L).map(i => (i, same)) ++ lone).toDF("vec_id", "embedding")
+    def same(i: Long) = Seq.tabulate(dim)(d =>
+      (if (d == 3) 1.0f else 0.1f) + (if (d == 5) i * 1e-6f else 0.0f))
+    // nClusters = 1 pins the family into ONE top-level cluster and
+    // maxSplitDepth = 0 sends the over-cap block STRAIGHT to the hash-
+    // chunk fallback (with k-means rounds allowed, the epsilon gradient
+    // can legitimately sub-split it — a different path than this test
+    // probes). Family-only corpus: every chunk min is a family member, so
+    // the representative chain must flag all but the global min.
+    val emb = (0L until 40L).map(i => (i, same(i))).toDF("vec_id", "embedding")
     val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
-        threshold = 0.995, nClusters = 4, sampleSize = 100,
-        maxCluster = 7, maxSplitDepth = 1)
+        threshold = 0.995, nClusters = 1, sampleSize = 100,
+        maxCluster = 7, maxSplitDepth = 0)
       .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
-    assert(out.length == 43, "every doc must survive")
+    assert(out.length == 40, "every doc must survive")
     val flagged = out.filter(_._2).map(_._1).toSet
     assert(flagged == (1L until 40L).toSet,
-      s"all identical docs except the global min must flag, got $flagged")
+      s"all near-identical docs except the global min must flag, got $flagged")
+  }
+
+  test("semanticDedup exact-duplicate collapse: identical family never goes quadratic") {
+    // 40 BIT-IDENTICAL vectors: the collapse flags 1..39 directly (cos
+    // exactly 1) and only ONE representative enters the pairwise stage —
+    // even with maxSplitDepth = 0 and an over-cap maxCluster the result is
+    // exact. Zero vectors are exempt: self-cosine is not 1, so they must
+    // never be collapsed into "duplicates" of each other.
+    val dim = 8
+    val same = Seq.tabulate(dim)(d => if (d == 3) 1.0f else 0.1f)
+    val zero = Seq.fill(dim)(0.0f)
+    val emb = ((0L until 40L).map(i => (i, same)) ++ Seq((200L, zero), (201L, zero)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.995, nClusters = 2, sampleSize = 100,
+        maxCluster = 5, maxSplitDepth = 0)
+      .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
+    assert(out.length == 42, "every doc must survive")
+    val flagged = out.filter(_._2).map(_._1).toSet
+    assert(flagged == (1L until 40L).toSet,
+      s"identical members except the min must flag; zero vectors never flag: $flagged")
   }
 
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
