@@ -1116,6 +1116,13 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    "pipeline_sample_per_group" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // k exemplar docs per language by deterministic md5 bottom-k —
+      // bounded two-phase aggregate, no per-group window sort
+      pipeline.TextAnalysis.samplePerGroup(s.table("documents"), "lang", "doc_id", k = 8)
+        .orderBy("lang", "rank")
+    },
     "pipeline_sample_stratified" -> { (s, dir) =>
       prep(s, dir, "documents")
       // language rebalancing: keep 50% of en, 25% of de, 12.5% of the rest,
@@ -1928,6 +1935,15 @@ object SparkEntry {
              AND md5(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
                = md5(regexp_replace(lower(f.text), '\s+', ' ', 'g')))
          ORDER BY f.doc_id""",
+    "pipeline_sample_per_group" ->
+      """SELECT lang, CAST(rn AS INT) AS rank, doc_id FROM (
+           SELECT lang, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                             doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 8
+         ORDER BY lang, rank""",
     "pipeline_source_mix" ->
       """WITH w(source, w_ppm) AS (VALUES ('src0', 300000), ('src1', 300000),
                                           ('src2', 200000), ('src3', 200000)),

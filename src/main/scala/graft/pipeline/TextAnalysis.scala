@@ -242,6 +242,29 @@ object TextAnalysis {
     df.where(sampleBucket(col(idCol)) < cut)
   }
 
+  /** Deterministic per-group k-sample — the "pull k exemplar docs per
+    * language/source" step (eval-set construction, manual QA batches,
+    * per-stratum debugging) WITHOUT a per-group window sort: bottom-k by
+    * a content-independent md5 rank key through the bounded two-phase
+    * [[graft.functions.TopKPairs]] aggregate, so each task reduces its
+    * slice of a group to ≤ k entries map-side and only k-sized states
+    * shuffle (`row_number() OVER (PARTITION BY group)` ships EVERY row of
+    * a group to one reducer — a straggler when one source is 10^9 docs).
+    *
+    * The rank key — the first 60 bits of md5(id), ties on id — is
+    * deterministic and engine-portable (DuckDB: `CAST('0x' || substr(md5,
+    * 1, 15) AS BIGINT)`), so the selection is reproducible forever and
+    * oracle-gated exactly. Output: (groupCol, rank 1..k, idCol). */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val key = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val agg = E.column(graft.functions.TopKPairs(
+      E.expression(-key), E.expression(col(idCol).cast("long")), k).toAggregateExpression())
+    df.groupBy(groupCol).agg(agg.as("__s"))
+      .select(col(groupCol), posexplode(col("__s")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol))
+  }
+
   /** Corpus MIXING to target proportions — the "data recipe" step of a
     * training pipeline: given per-source target weights (ppm), keep the
     * LARGEST total corpus whose source composition matches the recipe.

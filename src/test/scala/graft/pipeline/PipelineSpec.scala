@@ -779,6 +779,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == again, "content-hash sampling is deterministic")
   }
 
+  test("samplePerGroup equals the window formulation, stable under partitioning") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp", (col("id") % 5).cast("string"))
+    val viaAgg = TextAnalysis.samplePerGroup(df.repartition(13), "grp", "id", k = 4)
+      .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
+    // reference: the row_number window this op replaces
+    val key = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(key.asc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 4)
+      .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(viaAgg == viaWindow, "bounded two-phase sample must equal the window form")
+    assert(viaAgg.size == 20, "4 exemplars per each of 5 groups")
+    val again = TextAnalysis.samplePerGroup(df.repartition(2), "grp", "id", k = 4)
+      .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(again == viaAgg, "selection must be partition-invariant")
+  }
+
   test("sourceMix hits the recipe: binding source kept whole, others downsampled") {
     // src A: 1000 docs, src B: 1000 docs; recipe 75/25 → A binds:
     // T = min(1000/0.75, 1000/0.25) = 1333; keep_A = 999, keep_B = 333
