@@ -223,6 +223,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergeable sketches run as streaming aggregates: heavy hitters + quantiles") {
+    // the bounded-state sketches are TypedImperativeAggregates, so
+    // Structured Streaming runs them incrementally with NO extra code —
+    // the state store holds one k-bounded summary per group, never a
+    // per-distinct-key map. Exact regime → results equal the batch twin
+    // after every micro-batch.
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    src.addData("alpha beta alpha", "gamma alpha beta")
+    val hhAgg = org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.HeavyHitters(
+        org.apache.spark.sql.graftshim.GraftShim.expression(col("token")), 16)
+        .toAggregateExpression())
+    val tokens = src.toDF().toDF("text")
+      .select(explode(graft.pipeline.TextAnalysis.words(col("text"))).as("token"))
+    val q = tokens.groupBy().agg(hhAgg.as("hh"),
+        graft.functions.QuantileSketch.sketchQuantiles(
+          length(col("token")).cast("double"), 64, Seq(0.5)).as("qs"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sketch_stream_out").start()
+    try {
+      q.processAllAvailable()
+      src.addData("alpha delta")
+      q.processAllAvailable()
+      val row = spark.table("sketch_stream_out").head
+      val counts = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // alpha 4, beta 2, gamma 1, delta 1 over both micro-batches
+      assert(counts == Map("alpha" -> 4L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L),
+        s"streaming exact-regime counts must match the batch truth: $counts")
+      val median = row.getSeq[Double](1).head
+      assert(median == 5.0, s"median token length over 8 tokens must be 5.0, got $median")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
