@@ -276,9 +276,12 @@ object ScaleProbe {
         col("v"), 512, Seq(0.5, 0.99)).as("q"))
         .selectExpr("q[0]", "q[1]").head)
     val (p50, p99) = (qs.getDouble(0), qs.getDouble(1))
+    // tolerance matches the sketch's own bound: eps ≈ log2(N/k)/k ≈ 2.8%
+    // of rank at N=1e7/k=512 → ~28000 on this 0..999999 uniform range; a
+    // tighter probe would flag a within-contract sketch as regressed
     println(f"[scale]   p50=$p50%.0f (true ~500000), p99=$p99%.0f (true ~990000)"
-      + (if (math.abs(p50 - 500000) < 20000 && math.abs(p99 - 990000) < 20000) ""
-         else " (DRIFTED)"))
+      + (if (math.abs(p50 - 500000) < 29000 && math.abs(p99 - 990000) < 29000) ""
+         else " (OUTSIDE THE SKETCH BOUND)"))
 
     // ---- BPE: vocab-bounded training; heavy-tailed encode is linear ----
     val bpeDocs = spark.range(2000).selectExpr("id AS doc_id",

@@ -960,10 +960,13 @@ object SparkEntry {
       // that never saw the tokenizer
       val docs = s.table("documents")
       val model = pipeline.Bpe.train(docs, "text", nMerges = 200)
+      // detokenization is pure concatenation: the space end-of-word
+      // marker is collision-free by construction (words are whitespace-
+      // split, no token contains a space)
       docs.select(col("doc_id"),
           pipeline.Bpe.encode(model, col("text")).as("toks"))
         .select(col("doc_id"),
-          rtrim(regexp_replace(array_join(col("toks"), ""), "</w>", " ")).as("detok"))
+          rtrim(array_join(col("toks"), ""), " ").as("detok"))
         .orderBy("doc_id")
     },
     "text_len_quantile_sketch" -> { (s, dir) =>
@@ -1948,8 +1951,10 @@ object SparkEntry {
       """WITH w(source, w_ppm) AS (VALUES ('src0', 300000), ('src1', 300000),
                                           ('src2', 200000), ('src3', 200000)),
               n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-              t AS (SELECT min(n.n * 1000000 // w.w_ppm) AS t
-                    FROM w JOIN n USING (source)),
+              -- LEFT JOIN + coalesce matches sourceMix's infeasible-recipe
+              -- semantics: a listed-but-absent source forces total 0
+              t AS (SELECT min(coalesce(n.n, 0) * 1000000 // w.w_ppm) AS t
+                    FROM w LEFT JOIN n USING (source)),
               cuts AS (SELECT w.source,
                               LEAST(256, ((w.w_ppm * t.t // 1000000) * 256) // n.n) AS cut
                        FROM w JOIN n USING (source) CROSS JOIN t)

@@ -39,9 +39,11 @@ import graft.functions.{RequiresStringInput, WordTok}
   * Determinism: pair selection breaks count ties on lexicographic pair
   * order, the vocab cap breaks count ties on word order, so the same
   * corpus always learns the same merges under any partitioning — and
-  * encode is a pure function of (merges, text). Classic `</w>`
-  * end-of-word marker; round-trip (concat tokens − markers = document
-  * words) is spec-enforced.
+  * encode is a pure function of (merges, text). End-of-word marker is a
+  * SPACE (see [[Bpe.EndOfWord]] — collision-free by construction where
+  * the classic "</w>" is ambiguous against literal markup); round-trip
+  * (concatenating the token stream reproduces the whitespace-normalized
+  * document exactly) is spec- and oracle-enforced.
   *
   * Lifecycle mirrors the other persisted artifacts ([[Dedup.buildBloomGate]],
   * `Similarity.buildIvfIndex`): [[Bpe.saveModel]] / [[Bpe.loadModel]]
@@ -49,19 +51,36 @@ import graft.functions.{RequiresStringInput, WordTok}
   * tokenizes every later batch (or stream — encode is stateless).
   */
 object Bpe {
-  val EndOfWord = "</w>"
+  /** End-of-word marker: a single SPACE, not the classic "</w>" string.
+    * Words come from whitespace splitting, so no symbol can ever contain
+    * a space — the marker is PROVABLY collision-free with document
+    * content (a literal "</w>" in scraped XML would make the classic
+    * marker ambiguous and detokenization lossy), and detokenization is
+    * just concatenation: tokens of "low lower" concat to "low lower ". */
+  val EndOfWord = " "
 
   final case class Model(merges: IndexedSeq[(String, String)]) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
   }
 
-  /** Symbols of one word: characters + the end-of-word marker. */
+  /** Symbols of one word: UNICODE CODE POINTS + the end-of-word marker.
+    * Code points, not UTF-16 chars — splitting a surrogate pair would
+    * emit unpaired-surrogate tokens that UTF8String silently turns into
+    * '?', corrupting every emoji/astral-plane word. */
   private[pipeline] def symbols(word: String): Array[String] = {
-    val out = new Array[String](word.length + 1)
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n + 1)
     var i = 0
-    while (i < word.length) { out(i) = String.valueOf(word.charAt(i)); i += 1 }
-    out(word.length) = EndOfWord
+    var off = 0
+    while (i < n) {
+      val cp = word.codePointAt(off)
+      val len = Character.charCount(cp)
+      out(i) = word.substring(off, off + len)
+      off += len
+      i += 1
+    }
+    out(n) = EndOfWord
     out
   }
 

@@ -123,14 +123,19 @@ object Dedup {
   /** The shared gate: bloom-prefilter on xxhash64(__h), exact confirm on
     * the md5 itself (the 64-bit bloom key is a router, never the
     * membership verdict — a 64-bit collision cannot drop a clean row).
-    * NULL-text rows hash to NULL: never bloom candidates, never equal to
-    * an anti-join key — always admitted, matching [[crossCorpus]]. */
+    * NULL-text rows: the probe is explicitly gated on `__h IS NOT NULL`
+    * (Spark's xxhash64 maps NULL to the seed hash, NOT to NULL — without
+    * the guard a NULL row would probe a real bit), so they are never
+    * bloom candidates and never equal an anti-join key — always admitted,
+    * matching [[crossCorpus]]. */
   private def bloomGateAgainst(fresh: DataFrame, refHashes: DataFrame,
                                bloomBytes: Array[Byte], textCol: String,
                                broadcastConfirmed: Boolean): DataFrame = {
+    require(!fresh.columns.contains("__h"),
+      "the bloom gate reserves column name __h; rename it on the fresh side")
     val withH = fresh.withColumn("__h", contentHash(col(textCol)))
-    val might = E.column(BloomMightContain(
-      E.expression(lit(bloomBytes)), E.expression(xxhash64(col("__h")))))
+    val might = when(col("__h").isNotNull, E.column(BloomMightContain(
+      E.expression(lit(bloomBytes)), E.expression(xxhash64(col("__h"))))))
     if (fresh.isStreaming) {
       // stateless micro-batch shape: a streaming frame can neither feed a
       // broadcast nor run an unwatermarked distinct, so bloom-negative
@@ -593,9 +598,13 @@ object Dedup {
     // expression with fixed accumulation order (deterministic), not the
     // interpreted higher-order quantized form: this op is rows-only, no
     // oracle to stay bit-equal to
-    val assigned = Similarity
+    // materialized: the corpus-wide centroid assignment + vector join is
+    // the most expensive upstream pass and feeds the rep aggregate, the
+    // identity-dup frame and the blocks frame below — without this cut it
+    // would recompute per downstream action
+    val assigned = Materialize.cut(Similarity
       .assignClusters(emb, idCol, vecCol, nClusters, sampleSize, iters)
-      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol)
+      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol))
     // EXACT-duplicate collapse before anything quadratic: bit-equal
     // vectors have cosine exactly 1 ≥ any threshold, so each (cluster,
     // vector) identity group keeps only its min id in the pairwise
@@ -611,8 +620,18 @@ object Dedup {
     // fallback — now cost one aggregate. Grouping uses the vector VALUE
     // (no hash-collision false dups); Spark normalizes -0.0 at group
     // keys, whose cosine is unaffected.
-    val collapsible = exists(col("__v"), x => x =!= lit(0.0f)) &&
-      !exists(col("__v"), x => isnan(x))
+    // coalesce pins three-valued logic: a NULL vector (or one whose only
+    // non-null elements are zeros) makes `exists` NULL, and a bare NULL
+    // predicate would drop the row from BOTH the collapse and the keep
+    // branch — silent document loss. Whole-NULL vectors are never
+    // collapsible (they keep their row and can never flag — CosineSim is
+    // NULL against them). Vectors with SOME null elements collapse like
+    // any other when group-equal: the columnar accessor reads a null
+    // element as 0.0 in the pairwise CosineSim stage too, so collapse and
+    // pairwise agree on their verdicts.
+    val collapsible = coalesce(
+      exists(col("__v"), x => x =!= lit(0.0f)) &&
+        !exists(col("__v"), x => isnan(x)), lit(false))
     val reps = assigned.where(collapsible)
       .groupBy(col("cluster"), col("__v")).agg(min(col(idCol)).as("__rep"))
     val withRep = assigned.join(reps, Seq("cluster", "__v"), "left")

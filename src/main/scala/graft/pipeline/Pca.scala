@@ -98,8 +98,10 @@ object Pca {
   /** One covariance pass + driver eigen-decomposition → top-`r` model.
     * Eigenvalue ties break on index; each eigenvector's sign is pinned. */
   def fit(corpus: DataFrame, vecCol: String, r: Int): Model = {
-    val d = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
-      .head.getSeq[Float](0).length
+    val firstVec = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(1).collect()
+    require(firstVec.nonEmpty, "PCA fit needs at least one non-null vector")
+    val d = firstVec.head.getSeq[Float](0).length
     require(r >= 1 && r <= d, s"r must be in [1, d=$d], got $r")
     val agg = E.column(CovarianceAgg(E.expression(col(vecCol)), d).toAggregateExpression())
     val row = corpus.agg(agg.as("c")).select("c.n", "c.mean", "c.cov").head

@@ -256,6 +256,18 @@ object TextAnalysis {
     * 1, 15) AS BIGINT)`), so the selection is reproducible forever and
     * oracle-gated exactly. Output: (groupCol, rank 1..k, idCol). */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    // integral ids only (the TopKPairs.perGroup contract): a silent
+    // cast("long") on a string id would null out every row and return an
+    // EMPTY sample with no error
+    val idType = df.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral,
+      s"samplePerGroup id column '$idCol' must be an integral type, got $idType")
     val key = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
     val agg = E.column(graft.functions.TopKPairs(
       E.expression(-key), E.expression(col(idCol).cast("long")), k).toAggregateExpression())

@@ -19,10 +19,10 @@ class BpeSpec extends AnyFunSuite {
     val counts = Seq(("low", 5L), ("lowest", 2L), ("newer", 6L), ("wider", 3L))
     val model = Bpe.trainFromCounts(counts, nMerges = 4)
     // pair counts round 1: (e,r)=9 from newer+wider is the max → "er";
-    // round 2: (er,</w>)=9 → "er</w>"; round 3: (l,o)=7 from low+lowest →
-    // "lo"; round 4: (lo,w)=7 → "low"
+    // round 2: (er,' ')=9 → "er " (the space end-of-word marker); round 3:
+    // (l,o)=7 from low+lowest → "lo"; round 4: (lo,w)=7 → "low"
     assert(model.merges == IndexedSeq(
-      ("e", "r"), ("er", "</w>"), ("l", "o"), ("lo", "w")),
+      ("e", "r"), ("er", " "), ("l", "o"), ("lo", "w")),
       s"merge sequence diverged from the hand computation: ${model.merges}")
   }
 
@@ -43,11 +43,17 @@ class BpeSpec extends AnyFunSuite {
       (2L, "ünïcödé wörds déjà vu naïve café"),
       (3L, "numbers 12345 and punct!?;: mixed-tokens a,b,c"),
       (4L, "a"),
-      (5L, "repetition repetition repetition repetition"))
+      (5L, "repetition repetition repetition repetition"),
+      // astral-plane code points: splitting into UTF-16 chars would emit
+      // unpaired surrogates that UTF8String silently turns into '?'
+      (6L, "emoji 🌍🚀 and astral 𝕊𝕡𝕒𝕣𝕜 text"),
+      // literal "</w>" in scraped markup: the classic marker would make
+      // detokenization ambiguous; the space marker cannot collide
+      (7L, "xml tag </w> inside a document"))
       .toDF("doc_id", "text")
     val model = Bpe.train(docs, "text", nMerges = 100)
     val got = docs.select(col("doc_id"),
-        rtrim(regexp_replace(array_join(Bpe.encode(model, col("text")), ""), "</w>", " ")).as("detok"),
+        rtrim(array_join(Bpe.encode(model, col("text")), ""), " ").as("detok"),
         array_join(TextAnalysis.words(col("text")), " ").as("expected"))
       .as[(Long, String, String)].collect()
     got.foreach { case (id, detok, expected) =>
@@ -65,12 +71,12 @@ class BpeSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     // every word occurs with the same (maximal) count, so with enough
     // merges each collapses to ONE token: word + marker
-    assert(toks.toSet == Set("internationalization</w>", "considered</w>", "essential</w>"),
+    assert(toks.toSet == Set("internationalization ", "considered ", "essential "),
       s"frequent words must collapse to single tokens, got ${toks.toSet}")
     // untrained text still encodes (down to chars where no merge applies)
     val cold = docs.sparkSession.createDataFrame(Seq(Tuple1("zyxw qqq"))).toDF("text")
       .select(Bpe.encode(model, col("text")).as("t")).as[Seq[String]].head()
-    assert(cold.mkString("") == "zyxw</w>qqq</w>", s"cold words must round-trip too: $cold")
+    assert(cold.mkString("") == "zyxw qqq ", s"cold words must round-trip too: $cold")
   }
 
   test("persisted model: save/load yields the identical encoding") {

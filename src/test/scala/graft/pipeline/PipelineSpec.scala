@@ -411,16 +411,25 @@ class PipelineSpec extends AnyFunSuite {
     val dim = 8
     val same = Seq.tabulate(dim)(d => if (d == 3) 1.0f else 0.1f)
     val zero = Seq.fill(dim)(0.0f)
-    val emb = ((0L until 40L).map(i => (i, same)) ++ Seq((200L, zero), (201L, zero)))
+    // a NULL-element vector makes the collapse predicate three-valued:
+    // without the coalesce pin such rows would vanish from BOTH branches.
+    // Two group-equal null-element vectors DO dedup against each other
+    // (the columnar accessor reads null elements as 0.0 — in the pairwise
+    // cosine stage exactly as in the collapse), so 203 flags against 202.
+    val withNull = Seq.tabulate(dim)(d =>
+      if (d == 0) null.asInstanceOf[java.lang.Float] else java.lang.Float.valueOf(0.5f))
+    val emb = ((0L until 40L).map(i => (i, same.map(java.lang.Float.valueOf))) ++
+        Seq((200L, zero.map(java.lang.Float.valueOf)), (201L, zero.map(java.lang.Float.valueOf)),
+          (202L, withNull), (203L, withNull)))
       .toDF("vec_id", "embedding")
     val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.995, nClusters = 2, sampleSize = 100,
         maxCluster = 5, maxSplitDepth = 0)
       .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
-    assert(out.length == 42, "every doc must survive")
+    assert(out.length == 44, s"every doc must survive, incl. zero and NULL-element vectors: ${out.length}")
     val flagged = out.filter(_._2).map(_._1).toSet
-    assert(flagged == (1L until 40L).toSet,
-      s"identical members except the min must flag; zero vectors never flag: $flagged")
+    assert(flagged == (1L until 40L).toSet + 203L,
+      s"identical members except mins must flag; zero vectors never flag: $flagged")
   }
 
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
