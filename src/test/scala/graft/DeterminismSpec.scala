@@ -23,7 +23,11 @@ class DeterminismSpec extends AnyFunSuite {
   private val queries = Seq("rel_window_topn", "rel_topk_agg", "rel_asof_join",
     "dedup_groups", "text_packing", "rel_salted_distinct", "jq_multi_col",
     "rel_range_join", "dedup_crosscorpus", "dedup_crosscorpus_near",
-    "text_lm_score", "pipeline_source_filter", "ann_pq_topk")
+    "text_lm_score", "pipeline_source_filter", "ann_pq_topk",
+    // r6 families: bloom routing, sketch compaction/merge order, BPE
+    // training ties, recipe cuts, bottom-k sampling, PCA model fit
+    "dedup_bloom_gate", "text_len_quantile_sketch", "text_bpe_roundtrip",
+    "pipeline_source_mix", "pipeline_sample_per_group", "text_heavy_hitters")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

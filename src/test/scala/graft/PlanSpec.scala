@@ -141,4 +141,40 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Scan parquet") && l.contains("lineitem"))
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
   }
+
+  test("sketch queries plan: ObjectHashAggregate carries k-bounded states, no sort-agg fallback") {
+    // the whole point of the sketch aggregates is bounded two-phase
+    // aggregation; a SortAggregate fallback would buffer and sort whole
+    // groups and a missing partial_ stage would ship raw rows
+    Seq("text_heavy_hitters", "text_len_quantile_sketch", "pipeline_sample_per_group")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("ObjectHashAggregate"),
+          s"$q must aggregate under ObjectHashAggregate:\n$plan")
+        assert(plan.contains("partial_"),
+          s"$q must partial-aggregate map-side:\n$plan")
+      }
+  }
+
+  test("pipeline_source_mix plan: keep filter is a pure map — no join, no exchange before the filter") {
+    // the per-source cuts are driver-computed constants folded into ONE
+    // when-chain filter; the corpus must not shuffle or join to be gated
+    val plan = SparkEntry.queries("pipeline_source_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"source mix must not join the corpus:\n$plan")
+    // the only allowed exchange is the final orderBy's range partitioning
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(plan.linesIterator.count(_.contains("rangepartitioning")) >= exchanges - 1,
+      s"unexpected non-sort exchange in the mix plan:\n$plan")
+  }
+
+  test("text_bpe_encode plan: encode stage reads the corpus once, no shuffle") {
+    val plan = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"encode output must be one documents scan, got $scans:\n$plan")
+    assert(plan.contains("bpe_encode"), s"encode expression missing:\n$plan")
+  }
 }
