@@ -1200,6 +1200,19 @@ object SparkEntry {
           "doc_id", "text", "source", minMeanQuality = 460)
         .orderBy("doc_id")
     },
+    "multimodal_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL container parsing (no stub): spec-valid PNG/WAV headers are
+      // built from the id, and MediaProbe extracts geometry byte-for-byte
+      // per the container specs; the oracle recomputes the geometry
+      // arithmetically — builder and parser must agree exactly
+      val media = pipeline.Multimodal.synthesizeContainerPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeMeta(media, "payload")
+        .select("doc_id", "format", "width", "height", "channels",
+          "sample_rate", "n_samples")
+        .orderBy("doc_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
@@ -2117,6 +2130,16 @@ object SparkEntry {
          SELECT sc.doc_id, sc.source, sc.quality_score
          FROM sc JOIN ok ON sc.source IS NOT DISTINCT FROM ok.source
          ORDER BY sc.doc_id""",
+    "multimodal_probe" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 <> 2 THEN 'png' ELSE 'wav' END AS format,
+                CASE WHEN doc_id % 3 <> 2 THEN CAST(16 + doc_id % 640 AS INT) END AS width,
+                CASE WHEN doc_id % 3 <> 2 THEN CAST(16 + (doc_id * 7) % 480 AS INT) END AS height,
+                CASE WHEN doc_id % 3 <> 2 THEN CAST(4 AS INT)
+                     ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+                CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
+                CASE WHEN doc_id % 3 = 2 THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS n_samples
+         FROM documents ORDER BY doc_id""",
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
               d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL binary container probing — the byte-level metadata pass a
+  * multimodal pipeline runs over 100 TB of blobs BEFORE any GPU decode:
+  * identify the format and pull dimensions / audio geometry straight from
+  * container headers (what `file`, Pillow's lazy open, and ffprobe's
+  * header pass do), needing no codec at all. Filtering "images smaller
+  * than 64px" or "audio shorter than 1s" this way reads a few hundred
+  * bytes per blob instead of decoding pixels.
+  *
+  * Formats (headers per the published container specs):
+  *  - PNG: 8-byte signature, IHDR width/height (big-endian u32), bit
+  *    depth, color type
+  *  - JPEG: FFD8 signature, marker walk to the first SOF0/1/2 frame
+  *    header → height/width (big-endian u16), components
+  *  - GIF: GIF87a/GIF89a, logical-screen width/height (little-endian u16)
+  *  - BMP: "BM", BITMAPINFOHEADER width/height (little-endian s32)
+  *  - WAV: RIFF/WAVE, fmt chunk → channels, sample rate, bits/sample;
+  *    data chunk size → sample count
+  * Unknown / truncated / corrupt payloads yield format "unknown" with
+  * null fields — never an exception (a curation pass must survive
+  * arbitrary crawled bytes).
+  */
+object MediaFormats {
+  /** (format, width, height, channels, sampleRate, bitsPerSample, nSamples)
+    * — image fields null for audio and vice versa. */
+  final case class Probe(format: String, width: Integer = null,
+                         height: Integer = null, channels: Integer = null,
+                         sampleRate: Integer = null, bits: Integer = null,
+                         nSamples: java.lang.Long = null)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def probe(b: Array[Byte]): Probe = {
+    if (b == null || b.length < 12) return Probe("unknown")
+    if (b.startsWith(PngSig)) parsePng(b)
+    else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') parseGif(b)
+    else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') parseWav(b)
+    else Probe("unknown")
+  }
+
+  private def parsePng(b: Array[Byte]): Probe = {
+    // signature(8) + chunk length(4) + "IHDR"(4) + width(4) + height(4)
+    if (b.length < 26 || !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return Probe("unknown")
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) Probe("unknown")
+    else Probe("png", width = w.toInt, height = h.toInt,
+      channels = u8(b, 25) match { // color type → component count
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => null
+      }, bits = u8(b, 24))
+  }
+
+  private def parseJpeg(b: Array[Byte]): Probe = {
+    // marker walk: FF D8, then segments FF mk len(be16, incl itself);
+    // SOF0/1/2 (C0/C1/C2) carry precision(1) height(2) width(2) ncomp(1)
+    var i = 2
+    while (i + 9 < b.length) {
+      if (u8(b, i) != 0xff) return Probe("unknown")
+      val mk = u8(b, i + 1)
+      if (mk == 0xd8 || (mk >= 0xd0 && mk <= 0xd7) || mk == 0x01) { i += 2 }
+      else if (mk == 0xc0 || mk == 0xc1 || mk == 0xc2) {
+        return Probe("jpeg", width = be16(b, i + 7), height = be16(b, i + 5),
+          channels = u8(b, i + 9), bits = u8(b, i + 4))
+      }
+      else if (mk == 0xd9 || mk == 0xda) return Probe("unknown") // EOI/SOS before any SOF
+      else i += 2 + be16(b, i + 2)
+    }
+    Probe("unknown")
+  }
+
+  private def parseGif(b: Array[Byte]): Probe =
+    if (b.length < 10) Probe("unknown")
+    else Probe("gif", width = le16(b, 6), height = le16(b, 8))
+
+  private def parseBmp(b: Array[Byte]): Probe = {
+    if (b.length < 26) return Probe("unknown")
+    val w = le32(b, 18); val h = le32(b, 22)
+    // height may be negative (top-down rows); magnitude is the dimension
+    if (w <= 0 || w > Int.MaxValue) Probe("unknown")
+    else Probe("bmp", width = w.toInt, height = math.abs(h.toInt))
+  }
+
+  private def parseWav(b: Array[Byte]): Probe = {
+    // chunk walk from offset 12: id(4) size(le32) payload(size, padded)
+    var i = 12
+    var ch: Integer = null; var rate: Integer = null; var bits: Integer = null
+    var dataBytes = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        ch = le16(b, i + 10); rate = le32(b, i + 12).toInt; bits = le16(b, i + 22)
+      } else if (id == "data") dataBytes = size
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (ch == null || rate == null || bits == null || ch <= 0 || bits <= 0) Probe("unknown")
+    else Probe("wav", channels = ch, sampleRate = rate, bits = bits,
+      nSamples = if (dataBytes < 0) null else java.lang.Long.valueOf(
+        dataBytes / math.max(1, ch * bits / 8)))
+  }
+}
+
+/** media_probe(binary) → struct<format, width, height, channels,
+  * sample_rate, bits_per_sample, n_samples> — [[MediaFormats.probe]] as a
+  * scalar expression (pure map over the blob column; header-only reads). */
+case class MediaProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val p = MediaFormats.probe(input.asInstanceOf[Array[Byte]])
+    InternalRow(UTF8String.fromString(p.format), p.width, p.height,
+      p.channels, p.sampleRate, p.bits,
+      if (p.nSamples == null) null else p.nSamples.longValue())
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_probe expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true)))
+  override protected def withNewChildInternal(newChild: Expression): MediaProbe =
+    copy(child = newChild)
+  override def prettyName: String = "media_probe"
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container-header parsing against REAL bytes: the canonical 1×1
+  * transparent PNG that ships in half the web's tracking pixels, hand-
+  * assembled JPEG/GIF/BMP/WAV headers per the specs, and the
+  * corrupt-input contract (never throw, report unknown). Pure byte-level
+  * unit tests — no Spark session needed. */
+class MediaProbeSpec extends AnyFunSuite {
+
+  test("the canonical 1x1 transparent PNG parses (real-world bytes)") {
+    val b64 = "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    val p = MediaFormats.probe(java.util.Base64.getDecoder.decode(b64))
+    assert(p.format == "png" && p.width == 1 && p.height == 1, s"$p")
+    assert(p.bits == 8 && p.channels == 4, s"bit depth 8, RGBA: $p")
+  }
+
+  test("JPEG: marker walk skips APP segments and reads the SOF0 frame header") {
+    // FFD8 | APP0 len=16 "JFIF".. | SOF0 len=17: precision 8, h=480, w=640, 3 comp
+    val bb = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 16 + 2 + 2 + 6)
+    bb.put(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte))
+    bb.putShort(18.toShort) // APP0 length (incl. itself)
+    bb.put("JFIF".getBytes("US-ASCII")); bb.put(new Array[Byte](12))
+    bb.put(Array(0xff, 0xc0).map(_.toByte))
+    bb.putShort(17.toShort)
+    bb.put(8.toByte)          // precision
+    bb.putShort(480.toShort)  // height
+    bb.putShort(640.toShort)  // width
+    bb.put(3.toByte)          // components
+    val p = MediaFormats.probe(bb.array())
+    assert(p.format == "jpeg" && p.width == 640 && p.height == 480 &&
+      p.channels == 3 && p.bits == 8, s"$p")
+  }
+
+  test("GIF and BMP: little-endian screen/bitmap dimensions") {
+    val gif = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gif.put("GIF89a".getBytes("US-ASCII")); gif.putShort(320.toShort); gif.putShort(200.toShort)
+    val g = MediaFormats.probe(gif.array())
+    assert(g.format == "gif" && g.width == 320 && g.height == 200, s"$g")
+
+    val bmp = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put("BM".getBytes("US-ASCII")); bmp.position(18)
+    bmp.putInt(1024); bmp.putInt(-768) // top-down bitmap: negative height
+    val b = MediaFormats.probe(bmp.array())
+    assert(b.format == "bmp" && b.width == 1024 && b.height == 768,
+      s"negative (top-down) height must report its magnitude: $b")
+  }
+
+  test("WAV: fmt + data chunk walk yields channels, rate, and sample count") {
+    // 44.1k stereo 16-bit, header-only (data chunk declared, payload absent)
+    val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 4 * 1000)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(2.toShort); bb.putInt(44100)
+    bb.putInt(44100 * 4); bb.putShort(4.toShort); bb.putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(4 * 1000)
+    val p = MediaFormats.probe(bb.array())
+    assert(p.format == "wav" && p.channels == 2 && p.sampleRate == 44100 &&
+      p.bits == 16 && p.nSamples == 1000L, s"$p")
+  }
+
+  test("corrupt/truncated/unknown bytes never throw — they report unknown") {
+    val cases = Seq[Array[Byte]](
+      null,
+      Array.empty,
+      Array[Byte](1, 2, 3),
+      "just some text pretending to be a blob".getBytes("UTF-8"),
+      MediaFormats.PngSig, // signature but no IHDR
+      Array(0xff, 0xd8, 0x00).map(_.toByte), // JPEG SOI then garbage
+      {
+        val b = java.nio.ByteBuffer.allocate(16)
+        b.put("RIFF".getBytes); b.putInt(0); b.put("WAVE".getBytes); b.array()
+      }) // RIFF/WAVE with no fmt chunk
+    cases.foreach { c =>
+      val p = MediaFormats.probe(c)
+      assert(p.format == "unknown", s"expected unknown, got $p")
+    }
+  }
+}
