@@ -989,6 +989,20 @@ object SparkEntry {
           floor(col("qs")(3) * 100 + 0.5).cast("long").as("p90_c"))
         .orderBy("lang")
     },
+    "text_nfc_normalize" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Unicode NFC vs DuckDB's nfc_normalize: both engines append the
+      // SAME decomposed suffix (e + combining acute U+0301 — a literal
+      // here, chr(101)||chr(769) in the oracle; Spark's chr is ASCII-mod-
+      // 256, not a code point) so the normalizer genuinely has work to do
+      // — a pure-ASCII corpus would gate nothing
+      s.table("documents")
+        .select(col("doc_id"),
+          pipeline.TextAnalysis.normalizeUnicode(
+            concat(col("text"), lit(" caf" + "e\u0301")), "NFC")
+            .as("norm"))
+        .orderBy("doc_id")
+    },
     "text_fingerprint" -> { (s, dir) =>
       prep(s, dir, "documents")
       pipeline.TextAnalysis.fingerprints(s.table("documents"), "text")
@@ -1842,6 +1856,10 @@ object SparkEntry {
                                     [0.25, 0.5, 0.75, 0.9]) AS ps
                FROM documents GROUP BY lang)
          ORDER BY lang""",
+    "text_nfc_normalize" ->
+      """SELECT doc_id,
+                nfc_normalize(text || ' caf' || chr(101) || chr(769)) AS norm
+         FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
          FROM documents ORDER BY doc_id""",

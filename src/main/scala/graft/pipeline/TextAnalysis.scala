@@ -242,6 +242,12 @@ object TextAnalysis {
     df.where(sampleBucket(col(idCol)) < cut)
   }
 
+  /** Unicode normalization ([[graft.functions.UnicodeNormalize]]): pin
+    * composed/decomposed forms BEFORE any hash/shingle/dedup equality.
+    * `form` ∈ NFC | NFD | NFKC | NFKD. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    E.column(graft.functions.UnicodeNormalize(E.expression(text), form))
+
   /** Deterministic per-group k-sample — the "pull k exemplar docs per
     * language/source" step (eval-set construction, manual QA batches,
     * per-stratum debugging) WITHOUT a per-group window sort: bottom-k by
