@@ -1133,6 +1133,16 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    "pipeline_drift" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // snapshot drift monitor: doc-length histograms of two corpus
+      // halves, integer bins + ppm — bit-identical cross-engine
+      val tok = pipeline.TextAnalysis.tokenCounts(s.table("documents"), "text")
+        .select(col("doc_id"), col("n_ws_tokens"))
+      pipeline.TextAnalysis.drift(
+        tok.where(col("doc_id") % 2 === 0), tok.where(col("doc_id") % 2 === 1),
+        "n_ws_tokens", bins = 10, lo = 0, hi = 499)
+    },
     "pipeline_sample_per_group" -> { (s, dir) =>
       prep(s, dir, "documents")
       // k exemplar docs per language by deterministic md5 bottom-k —
@@ -1969,6 +1979,24 @@ object SparkEntry {
              AND md5(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
                = md5(regexp_replace(lower(f.text), '\s+', ' ', 'g')))
          ORDER BY f.doc_id""",
+    "pipeline_drift" ->
+      """WITH tok AS (SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> len(x) > 0)) AS BIGINT) AS n
+               FROM documents),
+              bn AS (SELECT doc_id, CAST(least(9, greatest(0, n * 10 // 500)) AS INT) AS bin FROM tok),
+              ha AS (SELECT bin, count(*) AS n_a FROM bn WHERE doc_id % 2 = 0 GROUP BY bin),
+              hb AS (SELECT bin, count(*) AS n_b FROM bn WHERE doc_id % 2 = 1 GROUP BY bin),
+              bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+              t AS (SELECT greatest(1, (SELECT count(*) FROM bn WHERE doc_id % 2 = 0)) AS ta,
+                           greatest(1, (SELECT count(*) FROM bn WHERE doc_id % 2 = 1)) AS tb)
+         SELECT bins.bin,
+                CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+                CAST(coalesce(n_a, 0) * 1000000 // t.ta AS BIGINT) AS ppm_a,
+                CAST(coalesce(n_b, 0) * 1000000 // t.tb AS BIGINT) AS ppm_b
+         FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin) CROSS JOIN t
+         ORDER BY bin""",
     "pipeline_sample_per_group" ->
       """SELECT lang, CAST(rn AS INT) AS rank, doc_id FROM (
            SELECT lang, doc_id,

@@ -248,6 +248,39 @@ object TextAnalysis {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     E.column(graft.functions.UnicodeNormalize(E.expression(text), form))
 
+  /** Distribution DRIFT between two corpus snapshots — the monitoring
+    * pass that catches "this week's crawl is suddenly all short docs"
+    * before it poisons training: both sides bin a metric column into the
+    * SAME fixed integer histogram (one partial-agg pass each — map-side
+    * combine makes the shuffled state `bins` rows however big the
+    * corpus), aligned on a full outer join over the tiny bin table.
+    * ALL-INTEGER binning and ppm proportions (floor division), so the
+    * histogram is bit-identical cross-engine and oracle-gated exactly;
+    * derived scores that need floats (PSI = Σ(pA−pB)·ln(pA/pB)) are
+    * computed FROM the gated ppm columns downstream (spec-asserted with
+    * tolerance — ln is not cross-engine-exact).
+    * Output: (bin, n_a, n_b, ppm_a, ppm_b), every bin present. */
+  def drift(a: DataFrame, b: DataFrame, valueCol: String, bins: Int,
+            lo: Long, hi: Long): DataFrame = {
+    require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo, got bins=$bins [$lo,$hi]")
+    val span = hi - lo + 1
+    def hist(df: DataFrame, side: String): DataFrame =
+      df.select(expr(
+          s"CAST(least($bins - 1, greatest(0, (($valueCol - $lo) * $bins) DIV $span)) AS INT)")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"n_$side"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val allBins = (0 until bins).toDF("bin")
+    allBins
+      .join(hist(a, "a"), Seq("bin"), "left")
+      .join(hist(b, "b"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("ppm_a", expr("n_a * 1000000 DIV greatest(1, sum(n_a) OVER ())"))
+      .withColumn("ppm_b", expr("n_b * 1000000 DIV greatest(1, sum(n_b) OVER ())"))
+      .orderBy("bin")
+  }
+
   /** Deterministic per-group k-sample — the "pull k exemplar docs per
     * language/source" step (eval-set construction, manual QA batches,
     * per-stratum debugging) WITHOUT a per-group window sort: bottom-k by

@@ -807,6 +807,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == viaAgg, "selection must be partition-invariant")
   }
 
+  test("drift: hand-computed histograms, every bin present, PSI from gated ppm") {
+    val a = Seq(5L, 15L, 15L, 25L, 95L).map(Tuple1(_)).toDF("v")   // bins 0,1,1,2,9
+    val b = Seq(5L, 5L, 5L, 85L).map(Tuple1(_)).toDF("v")          // bins 0,0,0,8
+    val rows = TextAnalysis.drift(a, b, "v", bins = 10, lo = 0, hi = 99)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0 until 10), "every bin must be present")
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(0)._2 == 1 && m(1)._2 == 2 && m(2)._2 == 1 && m(9)._2 == 1, s"a-side: ${rows.toSeq}")
+    assert(m(0)._3 == 3 && m(8)._3 == 1 && m(1)._3 == 0, s"b-side: ${rows.toSeq}")
+    assert(m(0)._4 == 200000 && m(0)._5 == 750000, "integer ppm floor")
+    // PSI from the gated ppm columns (zero-bins smoothed) — the float
+    // score lives downstream of the exact histogram, never inside it
+    val psi = rows.map { case (_, _, _, pa, pb) =>
+      val (qa, qb) = (math.max(pa, 1) / 1e6, math.max(pb, 1) / 1e6)
+      (qa - qb) * math.log(qa / qb)
+    }.sum
+    assert(psi > 0.5, s"these planted snapshots drift heavily, psi=$psi")
+    val same = TextAnalysis.drift(a, a, "v", 10, 0, 99)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(same.forall(r => r._2 == r._3 && r._4 == r._5), "self-drift must be zero")
+    // out-of-range values clamp to the edge bins, never vanish
+    val clamp = TextAnalysis.drift(
+      Seq(-50L, 1000L).map(Tuple1(_)).toDF("v"), b, "v", 10, 0, 99)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(clamp.head._2 == 1 && clamp.last._2 == 1, "clamped to bins 0 and 9")
+  }
+
   test("sourceMix hits the recipe: binding source kept whole, others downsampled") {
     // src A: 1000 docs, src B: 1000 docs; recipe 75/25 → A binds:
     // T = min(1000/0.75, 1000/0.25) = 1333; keep_A = 999, keep_B = 333
