@@ -1984,7 +1984,10 @@ object SparkEntry {
                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                       x -> len(x) > 0)) AS BIGINT) AS n
                FROM documents),
-              bn AS (SELECT doc_id, CAST(least(9, greatest(0, n * 10 // 500)) AS INT) AS bin FROM tok),
+              -- NULL metric rows are excluded from counts AND denominators
+              -- (the drift() contract)
+              bn AS (SELECT doc_id, CAST(least(9, greatest(0, n * 10 // 500)) AS INT) AS bin
+                     FROM tok WHERE n IS NOT NULL),
               ha AS (SELECT bin, count(*) AS n_a FROM bn WHERE doc_id % 2 = 0 GROUP BY bin),
               hb AS (SELECT bin, count(*) AS n_b FROM bn WHERE doc_id % 2 = 1 GROUP BY bin),
               bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),

@@ -73,18 +73,28 @@ object MediaFormats {
 
   private def parseJpeg(b: Array[Byte]): Probe = {
     // marker walk: FF D8, then segments FF mk len(be16, incl itself);
-    // SOF0/1/2 (C0/C1/C2) carry precision(1) height(2) width(2) ncomp(1)
+    // SOF0/1/2 (C0/C1/C2) carry precision(1) height(2) width(2) ncomp(1).
+    // The spec permits any number of 0xFF FILL bytes before a marker —
+    // skip them one at a time, never treat a pad byte as a segment.
     var i = 2
     while (i + 9 < b.length) {
       if (u8(b, i) != 0xff) return Probe("unknown")
-      val mk = u8(b, i + 1)
+      var j = i + 1
+      while (j < b.length - 8 && u8(b, j) == 0xff) j += 1 // fill bytes
+      val mk = u8(b, j)
+      i = j - 1
+      if (i + 9 >= b.length) return Probe("unknown") // pads ran to the end
       if (mk == 0xd8 || (mk >= 0xd0 && mk <= 0xd7) || mk == 0x01) { i += 2 }
       else if (mk == 0xc0 || mk == 0xc1 || mk == 0xc2) {
         return Probe("jpeg", width = be16(b, i + 7), height = be16(b, i + 5),
           channels = u8(b, i + 9), bits = u8(b, i + 4))
       }
       else if (mk == 0xd9 || mk == 0xda) return Probe("unknown") // EOI/SOS before any SOF
-      else i += 2 + be16(b, i + 2)
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return Probe("unknown") // a segment length below 2 cannot advance
+        i += 2 + len
+      }
     }
     Probe("unknown")
   }
@@ -95,27 +105,45 @@ object MediaFormats {
 
   private def parseBmp(b: Array[Byte]): Probe = {
     if (b.length < 26) return Probe("unknown")
-    val w = le32(b, 18); val h = le32(b, 22)
-    // height may be negative (top-down rows); magnitude is the dimension
-    if (w <= 0 || w > Int.MaxValue) Probe("unknown")
-    else Probe("bmp", width = w.toInt, height = math.abs(h.toInt))
+    le32(b, 14) match { // DIB header size discriminates the layout
+      case 12 => // BITMAPCOREHEADER (OS/2): u16 dims at 18/20
+        val w = le16(b, 18); val h = le16(b, 20)
+        if (w <= 0 || h <= 0) Probe("unknown") else Probe("bmp", width = w, height = h)
+      case 40 | 52 | 56 | 108 | 124 => // BITMAPINFOHEADER + V2..V5: s32 dims at 18/22
+        val w = le32(b, 18); val h = le32(b, 22).toInt
+        // height may be negative (top-down rows); magnitude is the dimension
+        val hAbs = if (h == Int.MinValue) -1L else math.abs(h).toLong
+        if (w <= 0 || w > Int.MaxValue || hAbs <= 0) Probe("unknown")
+        else Probe("bmp", width = w.toInt, height = hAbs.toInt)
+      case _ => Probe("unknown")
+    }
   }
 
   private def parseWav(b: Array[Byte]): Probe = {
-    // chunk walk from offset 12: id(4) size(le32) payload(size, padded)
-    var i = 12
-    var ch: Integer = null; var rate: Integer = null; var bits: Integer = null
+    // chunk walk from offset 12: id(4) size(le32) payload(size, padded).
+    // Every step must ADVANCE and stay in bounds: a hostile size field
+    // (negative after toInt, or overflowing the walk index) would
+    // otherwise hang or throw — the never-throw contract is the point.
+    // the index is a Long and le32 yields an UNSIGNED 32-bit Long, so
+    // every step advances by >= 8 and can never wrap negative — a hostile
+    // 0xFFFFFFF8 size (which as .toInt was -8, a zero-advance hang) just
+    // walks past the end and terminates. A declared size beyond the
+    // buffer is LEGAL for the final chunk: header-only blobs declare
+    // their data payload without carrying it.
+    var i = 12L
+    var ch: Integer = null; var rate: Long = -1; var bits: Integer = null
     var dataBytes = -1L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(b, i + 4)
+      val id = new String(b, i.toInt, 4, "US-ASCII")
+      val size = le32(b, i.toInt + 4)
       if (id == "fmt " && i + 24 <= b.length) {
-        ch = le16(b, i + 10); rate = le32(b, i + 12).toInt; bits = le16(b, i + 22)
+        ch = le16(b, i.toInt + 10); rate = le32(b, i.toInt + 12); bits = le16(b, i.toInt + 22)
       } else if (id == "data") dataBytes = size
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8 + size + (size & 1)
     }
-    if (ch == null || rate == null || bits == null || ch <= 0 || bits <= 0) Probe("unknown")
-    else Probe("wav", channels = ch, sampleRate = rate, bits = bits,
+    if (ch == null || bits == null || ch <= 0 || bits <= 0 ||
+      rate <= 0 || rate > Int.MaxValue) Probe("unknown")
+    else Probe("wav", channels = ch, sampleRate = rate.toInt, bits = bits,
       nSamples = if (dataBytes < 0) null else java.lang.Long.valueOf(
         dataBytes / math.max(1, ch * bits / 8)))
   }

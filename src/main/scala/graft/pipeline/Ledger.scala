@@ -21,31 +21,33 @@ import org.apache.spark.sql.functions._
 object Ledger {
 
   /** Append/overwrite one batch's sketch. Partitioned by batch_id: a
-    * re-run replaces its own row only (dynamic partition overwrite). */
+    * re-run replaces its own row only. The dynamic overwrite mode is set
+    * as a WRITER option, never on the shared session conf — a session-
+    * conf toggle races under concurrent updates, and losing that race
+    * means a STATIC overwrite that deletes every prior batch's sketch. */
   def update(batch: DataFrame, keyCol: String, batchId: String, dir: String,
-             lgConfigK: Int = 14): Unit = {
-    val spark = batch.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      batch.agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sketch"))
-        .withColumn("batch_id", lit(batchId))
-        .repartition(1)
-        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+             lgConfigK: Int = 14): Unit =
+    batch.agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sketch"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
 
   /** Distinct estimate across every batch (or a batch_id predicate) —
-    * reads only the sketch rows, never the data. */
+    * reads only the sketch rows, never the data. 0 when the filter
+    * matches nothing. Unions tolerate batches written at different
+    * lgConfigK (the union downgrades to the coarsest precision — a
+    * ledger must stay readable after its owner tightens the setting). */
   def distinct(spark: SparkSession, dir: String,
-               batchFilter: org.apache.spark.sql.Column = lit(true)): Long =
-    spark.read.parquet(dir)
+               batchFilter: org.apache.spark.sql.Column = lit(true)): Long = {
+    val row = spark.read.parquet(dir)
       .where(batchFilter)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("d"))
-      .head.getLong(0)
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(true))).as("d"))
+      .head
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   /** Per-batch distinct estimates next to the running cumulative estimate
     * — the daily-report query (one row per batch, sketches only). */
@@ -56,7 +58,7 @@ object Ledger {
     sketches
       .select(col("batch_id"),
         hll_sketch_estimate(col("sketch")).as("batch_distinct"),
-        hll_sketch_estimate(hll_union_agg(col("sketch")).over(w))
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)).over(w))
           .as("cumulative_distinct"))
       .orderBy("batch_id")
   }

@@ -264,9 +264,16 @@ object TextAnalysis {
             lo: Long, hi: Long): DataFrame = {
     require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo, got bins=$bins [$lo,$hi]")
     val span = hi - lo + 1
+    require(span <= Long.MaxValue / bins,
+      s"[$lo,$hi] x $bins bins overflows the bin arithmetic; narrow the range")
+    // NULL metric rows are excluded from counts AND denominators (the
+    // documented contract, mirrored in the oracle); values are clamped
+    // into [lo,hi] BEFORE the multiply so an extreme value lands in the
+    // edge bin instead of overflowing the product
     def hist(df: DataFrame, side: String): DataFrame =
-      df.select(expr(
-          s"CAST(least($bins - 1, greatest(0, (($valueCol - $lo) * $bins) DIV $span)) AS INT)")
+      df.where(col(valueCol).isNotNull)
+        .select(expr(
+          s"CAST(((least($hi, greatest($lo, $valueCol)) - $lo) * $bins) DIV $span AS INT)")
           .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(s"n_$side"))
     val spark = a.sparkSession

@@ -40,7 +40,8 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(g.format == "gif" && g.width == 320 && g.height == 200, s"$g")
 
     val bmp = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bmp.put("BM".getBytes("US-ASCII")); bmp.position(18)
+    bmp.put("BM".getBytes("US-ASCII")); bmp.position(14)
+    bmp.putInt(40) // BITMAPINFOHEADER
     bmp.putInt(1024); bmp.putInt(-768) // top-down bitmap: negative height
     val b = MediaFormats.probe(bmp.array())
     assert(b.format == "bmp" && b.width == 1024 && b.height == 768,
@@ -59,6 +60,52 @@ class MediaProbeSpec extends AnyFunSuite {
     val p = MediaFormats.probe(bb.array())
     assert(p.format == "wav" && p.channels == 2 && p.sampleRate == 44100 &&
       p.bits == 16 && p.nSamples == 1000L, s"$p")
+  }
+
+  test("JPEG fill bytes before markers are skipped, not parsed as segments") {
+    // FFD8 | FF FF FF (fill) | FFC0 SOF0
+    val bb = java.nio.ByteBuffer.allocate(2 + 3 + 2 + 2 + 6)
+    bb.put(Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte))
+    bb.put(Array(0xff, 0xc0).map(_.toByte))
+    bb.putShort(17.toShort); bb.put(8.toByte)
+    bb.putShort(100.toShort); bb.putShort(200.toShort); bb.put(3.toByte)
+    val p = MediaFormats.probe(bb.array())
+    assert(p.format == "jpeg" && p.width == 200 && p.height == 100, s"$p")
+  }
+
+  test("OS/2 BITMAPCOREHEADER parses its 16-bit dims; bogus DIB headers are unknown") {
+    val core = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put("BM".getBytes("US-ASCII")); core.position(14)
+    core.putInt(12); core.putShort(100.toShort); core.putShort(50.toShort)
+    val c = MediaFormats.probe(core.array())
+    assert(c.format == "bmp" && c.width == 100 && c.height == 50,
+      s"core header dims are u16 at 18/20, not s32: $c")
+    val bogus = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bogus.put("BM".getBytes("US-ASCII")); bogus.position(14)
+    bogus.putInt(99); bogus.putInt(640); bogus.putInt(480)
+    assert(MediaFormats.probe(bogus.array()).format == "unknown",
+      "an unrecognized DIB header size must not be parsed as INFOHEADER")
+  }
+
+  test("hostile WAV chunk sizes terminate (no hang) and corrupt rates are unknown") {
+    def wav(tail: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(1000); bb.put("WAVE".getBytes)
+      tail(bb); bb.array()
+    }
+    // size 0xFFFFFFF8: as a signed int this was a -8, a zero-advance hang
+    val hostile = wav { bb =>
+      bb.put("junk".getBytes); bb.putInt(0xfffffff8)
+    }
+    assert(MediaFormats.probe(hostile).format == "unknown", "must terminate, not hang")
+    // fmt chunk with rate >= 2^31: reported as unknown, never negative
+    val badRate = wav { bb =>
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1.toShort); bb.putShort(2.toShort); bb.putInt(0x80000000)
+      bb.putInt(0); bb.putShort(4.toShort); bb.putShort(16.toShort)
+    }
+    assert(MediaFormats.probe(badRate).format == "unknown",
+      s"a wrapped sample rate must not classify as wav: ${MediaFormats.probe(badRate)}")
   }
 
   test("corrupt/truncated/unknown bytes never throw — they report unknown") {

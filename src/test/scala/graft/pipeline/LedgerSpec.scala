@@ -37,6 +37,17 @@ class LedgerSpec extends AnyFunSuite {
     assert(math.abs(est - 30000.0) / 30000.0 < 0.03, s"estimate $est after re-run")
   }
 
+  test("empty filter yields 0; mixed-precision batches stay unionable") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger_mixed").toString
+    Ledger.update(spark.range(0, 10000).toDF("u"), "u", "d1", dir, lgConfigK = 12)
+    Ledger.update(spark.range(5000, 20000).toDF("u"), "u", "d2", dir, lgConfigK = 14)
+    assert(Ledger.distinct(spark, dir, col("batch_id") === "no-such-batch") == 0L,
+      "a filter matching nothing must answer 0, not NPE")
+    val est = Ledger.distinct(spark, dir)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05,
+      s"mixed-lgConfigK union must stay readable (coarsest precision), got $est")
+  }
+
   test("report: per-batch and cumulative estimates from sketches only") {
     val dir = java.nio.file.Files.createTempDirectory("ledger_rep").toString
     Ledger.update(spark.range(0, 20000).toDF("u"), "u", "d1", dir)
