@@ -989,6 +989,15 @@ object SparkEntry {
           floor(col("qs")(3) * 100 + 0.5).cast("long").as("p90_c"))
         .orderBy("lang")
     },
+    "text_compress_ratio" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // zlib redundancy signal — rows-only (deflate is not replayable in
+      // SQL); ordering/determinism contracts spec'd in NormalizeSpec
+      s.table("documents")
+        .select(col("doc_id"),
+          pipeline.TextAnalysis.compressionRatio(col("text")).as("compress_ppm"))
+        .orderBy("doc_id")
+    },
     "text_nfc_normalize" -> { (s, dir) =>
       prep(s, dir, "documents")
       // Unicode NFC vs DuckDB's nfc_normalize: both engines append the

@@ -7,6 +7,41 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** compression_ratio_ppm(text) → bigint — deflate(level 6) bytes over
+  * raw UTF-8 bytes, in ppm. The classic cheap proxy for redundancy that
+  * pairs with the gram-based repetition signals: boilerplate, templated
+  * spam, and pathological repetition compress far below normal prose
+  * (~300k-600k ppm), while encrypted/binary-in-text junk sits near or
+  * above 1e6. Deterministic for a fixed zlib level (the JDK bundles
+  * zlib; same bytes → same ratio), so it is spec-pinned by ORDERING
+  * contracts (repetitive < prose < random) rather than exact ppm values,
+  * and the query is rows-only — no SQL engine can replay deflate.
+  * Per-task Deflater instance, reset between rows (allocation per row
+  * would dominate at web scale); NULL → NULL; empty string → 1e6. */
+case class CompressionRatioPpm(child: Expression)
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+
+  @transient private lazy val deflater =
+    new java.util.zip.Deflater(6, /* nowrap = */ true)
+  @transient private lazy val sink = new Array[Byte](64 * 1024)
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) return 1000000L
+    deflater.reset()
+    deflater.setInput(raw)
+    deflater.finish()
+    var compressed = 0L
+    while (!deflater.finished()) compressed += deflater.deflate(sink)
+    compressed * 1000000L / raw.length
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatioPpm =
+    copy(child = newChild)
+  override def prettyName: String = "compression_ratio_ppm"
+}
+
 /** unicode_normalize(text, form) — Unicode normalization as a scalar
   * expression (Spark has no built-in for it; DuckDB's `nfc_normalize`
   * gates the NFC path cross-engine). The canonical curation step before

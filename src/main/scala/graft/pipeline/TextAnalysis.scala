@@ -248,6 +248,12 @@ object TextAnalysis {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     E.column(graft.functions.UnicodeNormalize(E.expression(text), form))
 
+  /** zlib-ratio redundancy signal ([[graft.functions.CompressionRatioPpm]]):
+    * deflate bytes / raw bytes in ppm — low = boilerplate/templated/
+    * repetitive, ~1e6 = incompressible junk. */
+  def compressionRatio(text: Column): Column =
+    E.column(graft.functions.CompressionRatioPpm(E.expression(text)))
+
   /** Distribution DRIFT between two corpus snapshots — the monitoring
     * pass that catches "this week's crawl is suddenly all short docs"
     * before it poisons training: both sides bin a metric column into the

@@ -31,6 +31,33 @@ class NormalizeSpec extends AnyFunSuite {
     assert(norm("１２３", "NFKC") == "123", "full-width digits fold")
   }
 
+  test("compression ratio orders repetitive < prose < random, deterministically") {
+    def unif(s: Long) = (Mix.splitmix64(s) >>> 11).toDouble / (1L << 53).toDouble
+    val repetitive = "the same boilerplate line over and over " * 50
+    val prose = (0 until 300).map(i =>
+      s"word${(unif(i) * 800).toInt} item${(unif(i + 7000) * 300).toInt}").mkString(" ")
+    val random = (0 until 2000).map(i =>
+      (0x21 + (unif(i * 31L) * 93).toInt).toChar).mkString
+    val df = Seq((1L, repetitive), (2L, prose), (3L, random)).toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.pipeline.TextAnalysis.compressionRatio(col("t")).as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) < got(2L) && got(2L) < got(3L),
+      s"repetitive < prose < random must hold: $got")
+    assert(got(1L) < 100000, s"heavy repetition compresses under 10%: ${got(1L)}")
+    assert(got(3L) > 700000, s"near-random text barely compresses: ${got(3L)}")
+    val again = df.select(col("id"),
+        graft.pipeline.TextAnalysis.compressionRatio(col("t")).as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == again, "fixed-level deflate is deterministic")
+    // null -> null; empty -> 1e6 (incompressible by definition)
+    val edge = Seq[(java.lang.Long, String)]((10L, null), (11L, ""))
+      .toDF("id", "t")
+      .select(col("id"), graft.pipeline.TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(edge(10L) == null && edge(11L) == 1000000L, s"$edge")
+  }
+
   test("invalid form is rejected; NULL passes through; non-string is an analysis error") {
     intercept[IllegalArgumentException] {
       graft.functions.UnicodeNormalize(
