@@ -2027,12 +2027,11 @@ object SparkEntry {
               t AS (SELECT min(coalesce(n.n, 0) * 1000000 // w.w_ppm) AS t
                     FROM w LEFT JOIN n USING (source)),
               cuts AS (SELECT w.source,
-                              LEAST(256, ((w.w_ppm * t.t // 1000000) * 256) // n.n) AS cut
+                              LEAST(65536, ((w.w_ppm * t.t // 1000000) * 65536) // n.n) AS cut
                        FROM w JOIN n USING (source) CROSS JOIN t)
          SELECT d.doc_id, d.source FROM documents d
          JOIN cuts ON cuts.source = d.source
-         WHERE (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-               + strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1 < cuts.cut
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) < cuts.cut
          ORDER BY d.doc_id""",
     "pipeline_sample_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -16,16 +16,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why not `groupBy(token).count.orderBy.limit`: that plan's aggregation
   * state is ONE ENTRY PER DISTINCT KEY — fine for a 31-word synthetic
   * vocabulary, a multi-TB hash table for web-corpus token/URL/host
-  * streams at 100 TB. This summary holds AT MOST k entries per task and
-  * k-sized states cross the shuffle, trading exactness for the classic
+  * streams at 100 TB. This summary holds AT MOST 2k entries per task
+  * (<= k after every reduction) and k-sized states cross the shuffle,
+  * trading exactness for the classic
   * guarantee: after any sequence of updates and merges totalling N items,
   * every item with true count > N/(k+1) is present, and each reported
   * count undercounts its true count by at most N/(k+1).
   *
-  * Update: count if present; insert if room; else decrement all (drop
-  * zeros) — the standard MG step. Merge: pointwise sum, then subtract the
-  * (k+1)-largest count and drop non-positives (the mergeable-summaries
-  * reduction, same error bound).
+  * Update: count if present; insert while the buffer holds fewer than 2k
+  * entries; at 2k, one batch reduction (subtract the (k+1)-th largest
+  * count, drop non-positives — the mergeable-summaries reduction) brings
+  * it back to ≤ k. The textbook MG step decrements ALL k counters for
+  * EVERY unseen item once full — O(N·k) per task on exactly the
+  * high-cardinality token/URL streams the sketch exists for; batching k
+  * inserts per O(k log k) reduction makes updates O(log k) amortized.
+  * Delaying reductions only lowers error (the reduction is the lossy
+  * step), and each reduction is a merge of ≤ k singleton summaries, so
+  * the N/(k+1) bound is unchanged (Agarwal et al. §2). Merge: pointwise
+  * sum, then the same reduction. serialize() and eval() reduce first, so
+  * AT MOST k entries ever cross the shuffle or reach the caller — the
+  * transient 2k in-memory headroom never escapes a task.
   *
   * Determinism contract: in the EXACT regime (fewer than k distinct items
   * ever touch one buffer — no decrement ever fires) counts are exact sums
@@ -51,38 +61,42 @@ case class HeavyHitters(child: Expression, k: Int,
       val item = v.asInstanceOf[UTF8String].toString
       buf.get(item) match {
         case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < k => buf.update(item, 1L)
-        case None => // full: decrement every counter, drop zeros (MG step)
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { key =>
-            val c = buf(key) - 1
-            if (c == 0) dead += key else buf.update(key, c)
-          }
-          dead.foreach(buf.remove)
+        case None if buf.size < 2 * k => buf.update(item, 1L)
+        case None => // 2k reached: batch-reduce to <= k, then insert
+          reduceToK(buf)
+          buf.update(item, 1L)
       }
     }
     buf
+  }
+
+  /** The mergeable-summaries reduction: subtract the (k+1)-th largest
+    * count from everything, drop non-positives — at most k entries
+    * (those strictly above the cut) survive. No-op at size <= k, so the
+    * exact regime never loses a count. */
+  private def reduceToK(buf: mutable.HashMap[String, Long]): Unit = {
+    if (buf.size <= k) return
+    val counts = buf.values.toArray
+    java.util.Arrays.sort(counts)
+    val cut = counts(counts.length - (k + 1)) // (k+1)-th largest
+    val dead = mutable.ArrayBuffer.empty[String]
+    buf.keysIterator.foreach { key =>
+      val c = buf(key) - cut
+      if (c <= 0) dead += key else buf.update(key, c)
+    }
+    dead.foreach(buf.remove)
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
                      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     other.foreach { case (item, c) => buf.update(item, buf.getOrElse(item, 0L) + c) }
-    if (buf.size > k) {
-      // subtract the (k+1)-th largest count from everything, drop <= 0
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val cut = counts(counts.length - (k + 1)) // (k+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { key =>
-        val c = buf(key) - cut
-        if (c <= 0) dead += key else buf.update(key, c)
-      }
-      dead.foreach(buf.remove)
-    }
+    reduceToK(buf)
     buf
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+  override def eval(buf0: mutable.HashMap[String, Long]): Any = {
+    reduceToK(buf0)
+    val buf = buf0
     // ties break on UTF-8 BYTE order (UTF8String.compareTo), not Java's
     // UTF-16 code-unit order: supplementary-plane tokens sort differently
     // between the two, and the exact-regime oracle (DuckDB, binary UTF-8
@@ -97,6 +111,7 @@ case class HeavyHitters(child: Expression, k: Int,
   }
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    reduceToK(buf) // the k-sized-state shuffle contract: <= k entries cross
     val entries = buf.toArray
     val byteArrays = entries.map { case (item, _) => item.getBytes("UTF-8") }
     val size = 4 + byteArrays.map(_.length + 12).sum

@@ -101,7 +101,12 @@ object MediaFormats {
 
   private def parseGif(b: Array[Byte]): Probe =
     if (b.length < 10) Probe("unknown")
-    else Probe("gif", width = le16(b, 6), height = le16(b, 8))
+    else {
+      // a zero logical-screen dimension is a corrupt header — same
+      // validation convention as the PNG/BMP parsers
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w == 0 || h == 0) Probe("unknown") else Probe("gif", width = w, height = h)
+    }
 
   private def parseBmp(b: Array[Byte]): Probe = {
     if (b.length < 26) return Probe("unknown")

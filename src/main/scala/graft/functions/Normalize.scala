@@ -16,18 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * zlib; same bytes → same ratio), so it is spec-pinned by ORDERING
   * contracts (repetitive < prose < random) rather than exact ppm values,
   * and the query is rows-only — no SQL engine can replay deflate.
-  * Per-task Deflater instance, reset between rows (allocation per row
-  * would dominate at web scale); NULL → NULL; empty string → 1e6. */
+  * One Deflater PER EXECUTOR THREAD (ThreadLocal, reset between rows):
+  * allocation per row would dominate at web scale, and a per-expression-
+  * instance Deflater leaks native zlib state between GC cycles on
+  * long-lived executors running many tasks — the thread pool bounds the
+  * live count to #cores regardless of task churn.
+  * NULL → NULL; empty string → 1e6. */
 case class CompressionRatioPpm(child: Expression)
     extends UnaryExpression with CodegenFallback with RequiresStringInput {
-
-  @transient private lazy val deflater =
-    new java.util.zip.Deflater(6, /* nowrap = */ true)
-  @transient private lazy val sink = new Array[Byte](64 * 1024)
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) return 1000000L
+    val deflater = CompressionRatioPpm.deflaters.get()
+    val sink = CompressionRatioPpm.sinks.get()
     deflater.reset()
     deflater.setInput(raw)
     deflater.finish()
@@ -40,6 +42,18 @@ case class CompressionRatioPpm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CompressionRatioPpm =
     copy(child = newChild)
   override def prettyName: String = "compression_ratio_ppm"
+}
+
+object CompressionRatioPpm {
+  // per-thread native zlib state: executor threads are pooled and
+  // long-lived, so this is bounded by thread count, not task count
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, /* nowrap = */ true)
+  }
+  private val sinks = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
 }
 
 /** unicode_normalize(text, form) — Unicode normalization as a scalar

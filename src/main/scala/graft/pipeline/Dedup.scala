@@ -654,12 +654,17 @@ object Dedup {
     // block over the cap this long, THROW (the CC precedent: an explicit
     // failure beats an infinite loop or a silently skipped block)
     val maxRounds = maxSplitDepth + 16
-    // over-cap size multiset of the previous round: if a k-means round
-    // changes NOTHING (identical vectors assign identically under the
-    // fixed seeds every time), further rounds are guaranteed no-ops —
-    // escalate straight to the chunk fallback instead of burning the
-    // remaining depth re-training on the same ties
-    var prevSig: Seq[Long] = null
+    // over-cap blocks of the previous round (key → size) plus the
+    // separator its split used: a round made NO progress for a parent iff
+    // it produced exactly ONE over-cap child of the SAME size (identical
+    // vectors assign identically under the fixed seeds every time).
+    // Escalate to the chunk fallback only when EVERY parent is stuck —
+    // matched PER PARENT by key prefix, so a productive split whose
+    // still-over children coincidentally reproduce the previous round's
+    // size multiset (different blocks, same sizes) can never trigger the
+    // fallback and silently trade dense cross-chunk pairs for recall
+    var prevOver: Map[String, Long] = null
+    var prevSep: String = "."
     while (!done) {
       val over = blocks.groupBy("__blk").agg(count(lit(1)).as("__n"))
         .where(col("__n") > maxCluster)
@@ -673,9 +678,18 @@ object Dedup {
         val prev = blocks
         val overKeys = over.map(_._1)
         val isOver = col("__blk").isin(overKeys: _*)
-        val sig = over.map(_._2).sorted.toSeq
-        val stuck = sig == prevSig
-        prevSig = sig
+        // (a parent key is never a prefix-plus-sep of a sibling's children,
+        // so the prefix match resolves each child to exactly one parent)
+        val stuck = prevOver != null && {
+          val byParent = over.toSeq
+            .flatMap { case (k, n) =>
+              prevOver.keys.find(p => k.startsWith(p + prevSep)).map(_ -> n) }
+            .groupBy(_._1).map { case (p, kids) => p -> kids.map(_._2).sorted }
+          prevOver.forall { case (p, n) => byParent.get(p).contains(Seq(n)) } &&
+            over.forall { case (k, _) =>
+              prevOver.keys.exists(p => k.startsWith(p + prevSep)) }
+        }
+        prevOver = over.toMap
         val (split, sep) =
           if (depth < maxSplitDepth && !stuck) {
             // finer per-block k-means: k sized so an even split lands
@@ -711,6 +725,7 @@ object Dedup {
               concat_ws("#", col("__blk"),
                 pmod(xxhash64(col(idCol)), nChunks).cast("string"))), "#")
           }
+        prevSep = sep
         blocks = Materialize.cut(prev.where(!isOver).union(split))
         // representative chain: consecutive child min-ids of each split
         // parent pair up (child keys = parent + sep + suffix; a parent key

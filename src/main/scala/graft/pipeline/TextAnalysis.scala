@@ -220,6 +220,13 @@ object TextAnalysis {
   def sampleBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
 
+  /** 65536-way sampling bucket: the first four md5 hex digits (0–65535).
+    * The high-resolution variant for [[sourceMix]], where per-source cut
+    * granularity bounds how far realized counts can undershoot the recipe
+    * share (≤ n_s/65536 rows per source vs n_s/256 with [[sampleBucket]]). */
+  def sampleBucket16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+
   /** Deterministic stratified sampling: keep a row iff its [[sampleBucket]]
     * falls below `floor(fraction(stratum) * 256)` — e.g. rebalancing a
     * corpus by language before training. Content-independent, identical
@@ -334,8 +341,14 @@ object TextAnalysis {
     * LARGEST total corpus whose source composition matches the recipe.
     * The binding source sets the total (T = minₛ ⌊n_s·10⁶ / w_s⌋ — the
     * classic max-feasible-mixture bound); every other source downsamples
-    * to its share k_s = ⌊w_s·T / 10⁶⌋ via the same deterministic md5
-    * bucket as [[stratifiedSample]] (cut_s = ⌊k_s·256 / n_s⌋).
+    * to its share k_s = ⌊w_s·T / 10⁶⌋ via a deterministic 65536-way md5
+    * bucket ([[sampleBucket16]]; cut_s = ⌊k_s·65536 / n_s⌋).
+    *
+    * GRANULARITY: the cut quantizes each source's keep fraction to
+    * 1/65536 steps (floor), so the realized count can undershoot k_s by
+    * up to ~n_s/65536 rows — 1 row per 65k docs of a source, vs the
+    * 1/256 steps (up to ~n_s/256 rows) of [[stratifiedSample]]'s bucket.
+    * "Matches the recipe" means within that quantization, never over.
     *
     * All arithmetic is INTEGER (ppm weights, floor division) so the keep
     * decision is bit-identical across engines and runs. Sources absent
@@ -359,10 +372,10 @@ object TextAnalysis {
       case ((s, w), acc) =>
         val n = counts.getOrElse(s, 0L)
         val keep = w * total / 1000000L
-        val c = if (n == 0) 0 else math.min(256L, keep * 256L / n).toInt
+        val c = if (n == 0) 0 else math.min(65536L, keep * 65536L / n).toInt
         when(col(sourceCol) === s, lit(c)).otherwise(acc)
     }
-    df.where(sampleBucket(col(idCol)) < cut)
+    df.where(sampleBucket16(col(idCol)) < cut)
   }
 
   /** Corpus-trained bigram language-model scoring — the classic "how

@@ -52,6 +52,36 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(out.size <= k, s"summary must hold at most k entries, got ${out.size}")
   }
 
+  test("amortized batch reduction: 50k-cardinality stream, bounds hold, <= k emitted") {
+    // the regime the O(1)-amortized update exists for: nearly every item
+    // is unseen, so the textbook decrement-all step would fire ~N times;
+    // the 2k-capacity buffer instead reduces once per k inserts. The
+    // guarantee must be identical: membership above N/(k+1), undercount
+    // within the bound, never an overcount, at most k entries out.
+    val k = 16
+    val heavy = Seq("alpha" -> 9000L, "beta" -> 8000L, "gamma" -> 6000L)
+    val items = heavy.flatMap { case (w, n) => Seq.fill(n.toInt)(w) } ++
+      (0 until 50000).map(i => s"tail$i")
+    val n = items.length.toLong
+    val bound = n / (k + 1)
+    val df = items.zipWithIndex
+      .sortBy { case (w, i) => graft.functions.Mix.splitmix64(0x7e57 + i.toLong) }
+      .map(_._1).toDF("token").repartition(8)
+    val agg = org.apache.spark.sql.graftshim.GraftShim.column(
+      HeavyHitters(org.apache.spark.sql.graftshim.GraftShim.expression(col("token")), k)
+        .toAggregateExpression())
+    val out = df.agg(agg.as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.token", "e.n")
+      .as[(String, Long)].collect().toMap
+    assert(out.size <= k, s"at most k entries may leave the aggregate, got ${out.size}")
+    heavy.foreach { case (w, trueN) =>
+      assert(trueN > bound, s"test setup: $w must be a guaranteed heavy hitter")
+      assert(out.contains(w), s"$w (count $trueN > $bound) must be present: $out")
+      assert(out(w) <= trueN && out(w) >= trueN - bound,
+        s"$w estimate ${out(w)} outside [$trueN - $bound, $trueN]")
+    }
+  }
+
   test("single-partition overflow path keeps the heavy item") {
     val items = Seq.fill(300)("hot") ++ (0 until 900).map(i => s"cold$i")
     val df = items.zipWithIndex

@@ -48,6 +48,17 @@ class MediaProbeSpec extends AnyFunSuite {
       s"negative (top-down) height must report its magnitude: $b")
   }
 
+  test("GIF with a zero logical-screen dimension is corrupt → unknown") {
+    // same validation convention as PNG/BMP: non-positive dims reject
+    for ((w, h) <- Seq((0, 200), (320, 0), (0, 0))) {
+      val gif = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      gif.put("GIF89a".getBytes("US-ASCII"))
+      gif.putShort(w.toShort); gif.putShort(h.toShort)
+      val g = MediaFormats.probe(gif.array())
+      assert(g.format == "unknown", s"${w}x$h must be unknown: $g")
+    }
+  }
+
   test("WAV: fmt + data chunk walk yields channels, rate, and sample count") {
     // 44.1k stereo 16-bit, header-only (data chunk declared, payload absent)
     val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
