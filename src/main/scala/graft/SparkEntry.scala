@@ -1308,6 +1308,36 @@ object SparkEntry {
         GROUP BY f.cohort_day, datediff(CAST(e.ts AS DATE), f.cohort_day)
         ORDER BY cohort_day, day_offset""")
     },
+    "events_resample_gapfill" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // calendar resample + gap-fill: every (user, day) in the user's
+      // active span gets a row, silent days as explicit zeros; values
+      // fixed to cents pre-sum so the rollup is integer-exact
+      pipeline.TimeSeries.resampleGapFill(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id", "day")
+    },
+    "events_rolling_7d" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // trailing 7-day rolling totals over the gap-filled spine — the
+      // ROWS frame IS the calendar window because every day materializes
+      pipeline.TimeSeries.rollingDaily(s.table("events"), "user_id", "ts", "value", 7)
+        .orderBy("user_id", "day")
+    },
+    "search_bm25" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // BM25 retrieval, integer fixed point end-to-end (bit-length idf;
+      // ppm tf saturation): top-10 docs for a 3-term query mixing the
+      // rarest vocab term with two common ones
+      pipeline.Search.bm25TopK(s.table("documents"), "doc_id", "text",
+        Seq("dup", "spark", "join"), 10)
+    },
+    "search_keywords" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-doc TF-IDF keywords through the bounded string top-k
+      // aggregate — no window, ≤ k states per doc cross the shuffle
+      pipeline.Search.keywordsTfIdf(s.table("documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    },
     "sessionize_events" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch twin of streaming.EventStreams.sessionize (30-minute gap)
@@ -2248,6 +2278,76 @@ object SparkEntry {
          WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
          GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
          ORDER BY cohort_day, day_offset""",
+    "events_resample_gapfill" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r)
+         SELECT s.user_id, s.day,
+                CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+                CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
+         FROM spine s LEFT JOIN b USING (user_id, day)
+         ORDER BY user_id, day""",
+    "events_rolling_7d" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              g AS (SELECT s.user_id, s.day,
+                      CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+                      CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
+                    FROM spine s LEFT JOIN b USING (user_id, day))
+         SELECT user_id, day, n_events, value_cents,
+                CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+                CAST(sum(value_cents) OVER w AS BIGINT) AS roll_cents
+         FROM g
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
+    "search_bm25" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot FROM w),
+              tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+              p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+                    WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
+              d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              sc AS (SELECT p.doc_id,
+                       CAST(sum(length(printf('%b', (SELECT n FROM st) // d.df)) *
+                         ((p.tf * 2200000000000) //
+                          (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
+                            ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))) AS BIGINT)
+                         AS score_ppm
+                     FROM p JOIN d USING (term) GROUP BY 1)
+         SELECT CAST(rank AS INT) AS rank, doc_id, score_ppm FROM (
+           SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank, doc_id, score_ppm
+           FROM sc) t
+         WHERE rank <= 10 ORDER BY rank""",
+    "search_keywords" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+              tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+              p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+              d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              wt AS (SELECT p.doc_id, p.term,
+                       CAST(((p.tf * 1000000) // p.dl) *
+                         length(printf('%b', (SELECT n FROM st) // d.df)) AS BIGINT) AS weight_ppm
+                     FROM p JOIN d USING (term)),
+              r AS (SELECT doc_id, term, weight_ppm,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY weight_ppm DESC, term) AS rn
+                    FROM wt)
+         SELECT doc_id, CAST(rn AS INT) AS rank, term, weight_ppm
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rank""",
     "sessionize_events" ->
       """WITH g AS (SELECT user_id, ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts

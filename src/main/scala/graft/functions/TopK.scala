@@ -147,3 +147,111 @@ object TopKPairs {
         col("__e.id").as("id"), col("__e.score").as("score")): _*)
   }
 }
+
+/** top_k_strings(score, item, k) → array<struct<score:long, item:string>> —
+  * [[TopKPairs]] with a STRING payload: the k highest-scoring (score, item)
+  * entries of the group, ordered by (score DESC, item ASC by UTF-8 BYTES —
+  * `UTF8String.compareTo`, the order DuckDB's binary collation sees, so an
+  * exact-SQL oracle ranks supplementary-plane terms identically).
+  *
+  * Same scale contract as TopKPairs: a bounded TypedImperativeAggregate
+  * under ObjectHashAggregate — each task reduces its slice of a group to
+  * ≤ k entries map-side and only k-sized states cross the shuffle, where
+  * `row_number() OVER (PARTITION BY doc)` would ship every candidate row
+  * of a document to one reducer. Buffer holds at most 2k entries
+  * (compacted to k on overflow — amortized O(log k) per row). NULL score
+  * or item rows are ignored. */
+case class TopKStrings(scoreExpr: Expression, itemExpr: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, org.apache.spark.unsafe.types.UTF8String)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // (score DESC, item bytes ASC): better entries first
+  private val ord: Ordering[(Long, UTF8String)] = new Ordering[(Long, UTF8String)] {
+    def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else a._2.compareTo(b._2)
+    }
+  }
+
+  private def compact(buf: ArrayBuffer[(Long, UTF8String)]): ArrayBuffer[(Long, UTF8String)] = {
+    if (buf.length > k) {
+      val best = buf.sorted(ord).take(k)
+      buf.clear()
+      buf ++= best
+    }
+    buf
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, UTF8String)] =
+    new ArrayBuffer[(Long, UTF8String)](k + 1)
+
+  override def update(buf: ArrayBuffer[(Long, UTF8String)],
+                      input: InternalRow): ArrayBuffer[(Long, UTF8String)] = {
+    val s = scoreExpr.eval(input)
+    val i = itemExpr.eval(input)
+    if (s != null && i != null) {
+      // clone: the evaluated UTF8String may alias a reused row buffer
+      buf += ((s.asInstanceOf[Long], i.asInstanceOf[UTF8String].clone()))
+      if (buf.length >= 2 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[(Long, UTF8String)],
+                     other: ArrayBuffer[(Long, UTF8String)]): ArrayBuffer[(Long, UTF8String)] = {
+    buf ++= other
+    compact(buf)
+  }
+
+  override def eval(buf: ArrayBuffer[(Long, UTF8String)]): Any = {
+    val best = buf.sorted(ord).take(k)
+    new GenericArrayData(best.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, UTF8String)]): Array[Byte] = {
+    val compacted = compact(buf)
+    val bytes = compacted.map { case (_, i) => i.getBytes }
+    val bb = java.nio.ByteBuffer.allocate(4 + bytes.map(_.length + 12).sum)
+    bb.putInt(compacted.length)
+    compacted.zip(bytes).foreach { case ((s, _), b) =>
+      bb.putLong(s); bb.putInt(b.length); bb.put(b)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, UTF8String)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[(Long, UTF8String)](n + 1)
+    var j = 0
+    while (j < n) {
+      val s = bb.getLong
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf += ((s, UTF8String.fromBytes(b)))
+      j += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("item", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreExpr, itemExpr)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStrings =
+    copy(scoreExpr = newChildren(0), itemExpr = newChildren(1))
+  override def prettyName: String = "top_k_strings"
+}

@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{GraftShim => E}
+
+/** Full-text retrieval over a document corpus: inverted-index postings,
+  * BM25 ranking, and per-document TF-IDF keyword extraction — the search
+  * side of a training-data pipeline (dedup finds what's identical;
+  * retrieval finds what's RELEVANT — decontamination probes, targeted
+  * corpus slicing, "show me documents like this query" debugging).
+  *
+  * EXACTNESS: every score is computed in fixed-point INTEGER arithmetic
+  * so a SQL oracle replays it bit-for-bit (no transcendental in the hot
+  * path — see [[Search.bm25TopK]] for the idf/tf fixed-point scheme).
+  *
+  * SCALE: the postings list is the classic inverted index as a DataFrame
+  * — built with one explode + groupBy (shuffled by term, which is exactly
+  * the layout queries want), optionally persisted hash-bucketed by term
+  * so a query reads only its terms' buckets (partition pruning, see
+  * [[Search.buildPostingsIndex]]). Query scoring touches ONLY the query
+  * terms' postings (a pushed-down `term IN (…)` filter), joins the
+  * per-term df stats broadcast (≤ |query| rows), and reduces to the
+  * global top-k through the bounded two-phase [[graft.functions.TopKPairs]]
+  * aggregate — no window, no full sort, no per-doc state beyond k.
+  *
+  * Reference scope: the reference engine (hive-jq-udtf) has no retrieval
+  * surface; this family is part of the beyond-reference LLM-pipeline ops. */
+object Search {
+
+  /** Inverted-index postings: one row per (term, doc) — `term, doc_id,
+    * tf` (term frequency) plus `dl` (the document's whitespace-token
+    * length, constant per doc, carried so scoring needs no second join).
+    * Tokenization is [[TextAnalysis.words]] (lowercased whitespace split)
+    * — the same contract as the vocab/LM/dup-gram family, so index terms
+    * and text-analysis terms agree. One explode + one groupBy: the
+    * shuffle lands postings partitioned BY TERM, the access path every
+    * retrieval query wants. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per term (how many docs contain it) — the idf
+    * input. Shuffles by term (same layout as [[postings]]). */
+  def documentFrequency(p: DataFrame): DataFrame =
+    p.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** (n_docs, total_tokens) of the corpus — one tiny aggregate. */
+  private def corpusStats(df: DataFrame, textCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(TextAnalysis.words(col(textCol)))), lit(0L)).as("tot")).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The fixed-point BM25 contribution of one (term, doc) posting, in ppm.
+    *
+    * Classic BM25 (k1 = 1.2, b = 0.75) needs `ln` for idf — transcendental,
+    * so two engines' libm disagreement could flip a floor() and break a
+    * hash gate. This engine instead uses the BIT-LENGTH idf:
+    *
+    *   idf_bits(t) = bitlength(N DIV df(t))  (= floor(log2(N/df)) + 1 ≥ 1)
+    *
+    * — integer-exact in any engine (Spark `length(bin(x))`, DuckDB
+    * `length(printf('%b', x))`), monotone decreasing in df, and within a
+    * constant factor (log2 vs ln) of the classic idf. The tf saturation
+    * term is classic BM25 in ppm fixed point:
+    *
+    *   B_ppm      = 250000 + (750000 · dl · 1000) DIV avgdl_milli
+    *   denom_µ    = tf·1e6 + (12 · B_ppm) DIV 10          (k1 = 12/10)
+    *   tfcomp_ppm = (tf · 2.2e12) DIV denom_µ             (k1+1 = 22/10)
+    *   score_ppm  = Σ_t idf_bits(t) · tfcomp_ppm(t, d)
+    *
+    * Every division is integer floor — both engines evaluate the SAME
+    * integer expression, so equality is exact, not within-epsilon.
+    * Documented divergence from textbook BM25 (SURVEY §5): idf is graded
+    * in powers of two rather than nats — ranking-equivalent for terms
+    * whose df differ by ≥ 2×, coarser below that. */
+  private def bm25ContribPpm(n: Long, avgdlMilli: Long): Column = {
+    // one expression string: every division must be DIV (integer floor) —
+    // the Column `/` operator is DOUBLE division and would break exactness
+    val idfBits = s"CAST(length(bin(${n}L DIV df)) AS BIGINT)"
+    val bPpm = s"(250000L + (750000L * dl * 1000L) DIV ${avgdlMilli}L)"
+    val denomMicro = s"(tf * 1000000L + (12L * $bPpm) DIV 10L)"
+    val tfcompPpm = s"((tf * 2200000000000L) DIV $denomMicro)"
+    expr(s"$idfBits * $tfcompPpm").as("__contrib")
+  }
+
+  /** BM25 top-k: the `k` documents scoring highest for `queryTerms`
+    * (OR semantics — standard BM25 sums over matched terms), ordered by
+    * (score_ppm DESC, doc_id ASC). Output: `rank, doc_id, score_ppm`.
+    *
+    * Plan shape: postings filtered to the query terms (the filter sits on
+    * the exploded stream BEFORE the tf groupBy, so non-query terms never
+    * reach a shuffle), per-term df as a broadcast (≤ |query| rows), one
+    * sum per candidate doc, then ONE bounded global top-k aggregate —
+    * k-sized states cross the final (single-group) exchange. `idCol` must
+    * be integral (the TopKPairs contract). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val (n, tot) = corpusStats(df, textCol)
+    require(n > 0 && tot > 0, s"bm25TopK needs a non-empty corpus (n=$n, tokens=$tot)")
+    val p = postings(df, idCol, textCol)
+      .where(col("term").isin(queryTerms.distinct: _*))
+    scoreAndRank(p, n, tot * 1000L / n, k)
+  }
+
+  /** Scoring core shared by the in-job and persisted-index paths:
+    * query-term postings → broadcast df join → per-doc sum → global
+    * bounded top-k. */
+  private def scoreAndRank(queryPostings: DataFrame, n: Long,
+                           avgdlMilli: Long, k: Int): DataFrame = {
+    val p = Materialize.cut(queryPostings) // consumed twice: df stats + scoring
+    val dfs = documentFrequency(p)
+    val scored = p.join(broadcast(dfs), "term")
+      .select(col("doc_id"), bm25ContribPpm(n, avgdlMilli))
+      .groupBy("doc_id").agg(sum(col("__contrib")).as("score_ppm"))
+    val agg = E.column(graft.functions.TopKPairs(
+      E.expression(col("score_ppm")), E.expression(col("doc_id").cast("long")),
+      k).toAggregateExpression())
+    scored.agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select((col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score_ppm"))
+  }
+
+  /** Per-document TF-IDF keywords: the `kPerDoc` highest-weighted terms
+    * of each document, weight_ppm = (tf · 1e6 DIV dl) · idf_bits — the
+    * same integer-exact bit-length idf as [[bm25TopK]]. Ties break on
+    * ascending term (UTF-8 byte order, the order a binary-collation SQL
+    * oracle sees). Output: `doc_id, rank, term, weight_ppm`.
+    *
+    * Plan shape: postings ⋈ df — BOTH sides partitioned by term (the df
+    * aggregate rides the postings shuffle's layout; vocab at web scale is
+    * far past broadcast), then ONE bounded [[graft.functions.TopKStrings]]
+    * aggregate per doc — each task reduces a doc's candidate terms to
+    * ≤ kPerDoc map-side; no window, no per-doc full sort. */
+  def keywordsTfIdf(df: DataFrame, idCol: String, textCol: String,
+                    kPerDoc: Int): DataFrame = {
+    val (n, _) = corpusStats(df, textCol)
+    require(n > 0, "keywordsTfIdf needs a non-empty corpus")
+    val p = Materialize.cut(postings(df, idCol, textCol))
+    val dfs = documentFrequency(p)
+    val weighted = p.join(dfs, "term")
+      .select(col("doc_id"), col("term"),
+        (expr("(tf * 1000000L) DIV dl") *
+          length(bin(expr(s"${n}L DIV df"))).cast("long")).as("weight_ppm"))
+    val agg = E.column(graft.functions.TopKStrings(
+      E.expression(col("weight_ppm")), E.expression(col("term")),
+      kPerDoc).toAggregateExpression())
+    weighted.groupBy("doc_id").agg(agg.as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("doc_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.item").as("term"), col("__e.score").as("weight_ppm"))
+  }
+
+  /** Persist the inverted index hash-bucketed BY TERM: postings land in
+    * `nBuckets` directory partitions keyed by `xxhash64(term) mod
+    * nBuckets`, so a query's scan PRUNES to its terms' buckets instead of
+    * reading the whole index — the difference between touching ~|query|/
+    * nBuckets of a 100 TB index and all of it. Corpus stats (n_docs,
+    * total_tokens) persist alongside so queries need not touch the corpus.
+    * Layout: `dir/postings/__tb=<bucket>/…` + `dir/stats`. */
+  def buildPostingsIndex(df: DataFrame, idCol: String, textCol: String,
+                         dir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val (n, tot) = corpusStats(df, textCol)
+    postings(df, idCol, textCol)
+      .withColumn("__tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("__tb"))
+      .write.mode("overwrite").partitionBy("__tb").parquet(s"$dir/postings")
+    import df.sparkSession.implicits._
+    Seq((n, tot, nBuckets)).toDF("n_docs", "total_tokens", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k against a persisted [[buildPostingsIndex]] index — same
+    * output as [[bm25TopK]] on the indexed corpus (spec-pinned), but the
+    * corpus itself is never touched and the postings scan prunes to the
+    * query terms' hash buckets (`__tb IN …` is a partition filter; the
+    * in-partition `term IN …` filter pushes to parquet row groups). */
+  def bm25TopKIndexed(spark: SparkSession, dir: String,
+                      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    val stats = spark.read.parquet(s"$dir/stats").head
+    val n = stats.getAs[Long]("n_docs")
+    val tot = stats.getAs[Long]("total_tokens")
+    val nBuckets = stats.getAs[Int]("n_buckets")
+    require(n > 0 && tot > 0, s"indexed corpus is empty (n=$n, tokens=$tot)")
+    val terms = queryTerms.distinct
+    val p = spark.read.parquet(s"$dir/postings")
+      .where(col("__tb").isin(terms.map(bucketOf(spark, _, nBuckets)): _*) &&
+        col("term").isin(terms: _*))
+      .drop("__tb")
+    scoreAndRank(p, n, tot * 1000L / n, k)
+  }
+
+  /** The bucket a term lands in — computed through Spark's own xxhash64
+    * expression so build and query can never disagree on the hash. */
+  private def bucketOf(spark: SparkSession, term: String, nBuckets: Int): Long = {
+    import spark.implicits._
+    Seq(term).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong))).head.getLong(0)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+/** The retrieval family: postings correctness, hand-computed fixed-point
+  * BM25, keyword tie order, persisted-index equivalence + bucket pruning,
+  * and the bounded-aggregate plan shape (no window in the top-k paths). */
+class SearchSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark join join fast"),
+    (2L, "spark scan slow slow slow"),
+    (3L, "join hash"),
+    (4L, "the the the the")).toDF("doc_id", "text")
+
+  test("postings: tf per (term, doc) and per-doc length") {
+    val p = Search.postings(corpus, "doc_id", "text")
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(p.contains(("join", 1L, 4, 2L)), s"$p")
+    assert(p.contains(("slow", 2L, 5, 3L)), s"$p")
+    assert(p.contains(("hash", 3L, 2, 1L)), s"$p")
+    // dl is the doc's token count, constant across its terms
+    assert(p.filter(_._2 == 1L).forall(_._3 == 4))
+  }
+
+  test("bm25TopK matches the fixed-point formula computed by hand") {
+    // N = 4 docs, tot = 4+5+2+4 = 15 tokens, avgdl_milli = 15000/4 = 3750
+    // query {spark, join}: df(spark)=2, df(join)=2 → idf_bits = bits(4/2) = 2
+    def contrib(tf: Long, dl: Long): Long = {
+      val bPpm = 250000L + (750000L * dl * 1000L) / 3750L
+      val denom = tf * 1000000L + (12L * bPpm) / 10L
+      2L * (tf * 2200000000000L / denom)
+    }
+    val expected = Map(
+      1L -> (contrib(1, 4) + contrib(2, 4)), // spark tf=1, join tf=2
+      2L -> contrib(1, 5),                   // spark tf=1
+      3L -> contrib(1, 2))                   // join tf=1
+    val got = Search.bm25TopK(corpus, "doc_id", "text", Seq("spark", "join"), 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(r => r._2 -> r._3).toMap == expected, s"$got")
+    // rank order: score desc, doc_id asc; doc 4 (no query term) absent
+    assert(got.map(_._2) == expected.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    assert(got.map(_._1) == (1 to got.length))
+  }
+
+  test("keyword ties break on term UTF-8 byte order within equal weights") {
+    // one doc, four distinct terms with tf=1, dl=4 → identical weights;
+    // top-3 must be the three byte-smallest terms
+    val one = Seq((9L, "delta bravo alpha charlie")).toDF("doc_id", "text")
+    val kw = Search.keywordsTfIdf(one, "doc_id", "text", 3)
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(kw.map(_._3) == Seq("alpha", "bravo", "charlie"), s"$kw")
+    assert(kw.map(_._2) == Seq(1, 2, 3))
+    assert(kw.map(_._4).distinct.size == 1, s"equal weights expected: $kw")
+  }
+
+  test("keywordsTfIdf ranks rare terms above common ones") {
+    val kw = Search.keywordsTfIdf(corpus, "doc_id", "text", 2)
+    val doc2 = kw.where(col("doc_id") === 2L).orderBy("rank")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    // doc 2 = "spark scan slow slow slow": slow (tf 3, df 1) must beat
+    // spark (tf 1, df 2); scan (tf 1, df 1) beats spark on idf
+    assert(doc2.map(_._3) == Seq("slow", "scan"), s"$doc2")
+  }
+
+  test("persisted index: bm25TopKIndexed ≡ in-job bm25TopK, and the scan prunes buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_search_idx").toString
+    Search.buildPostingsIndex(corpus, "doc_id", "text", dir, nBuckets = 8)
+    val q = Seq("spark", "join")
+    val inJob = Search.bm25TopK(corpus, "doc_id", "text", q, 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    val indexed = Search.bm25TopKIndexed(spark, dir, q, 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(indexed == inJob, s"persisted $indexed != in-job $inJob")
+    // pruning: the filtered read touches at most |query| bucket dirs of 8
+    val pruned = spark.read.parquet(s"$dir/postings")
+    val allBuckets = pruned.select("__tb").distinct().count()
+    val touched = Search.bm25TopKIndexed(spark, dir, q, 10).inputFiles
+      .flatMap(f => "__tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+    assert(touched.length <= q.length,
+      s"scan must touch <= ${q.length} of $allBuckets buckets, touched ${touched.mkString(",")}")
+  }
+
+  test("top-k paths use bounded aggregates — no window operator in the plan") {
+    for (df <- Seq(
+      Search.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 5),
+      Search.keywordsTfIdf(corpus, "doc_id", "text", 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window-free plan expected:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"bounded two-phase aggregate expected:\n$plan")
+    }
+  }
+
+  test("empty corpus and empty query are loud errors, not empty results") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(empty, "doc_id", "text", Seq("spark"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(corpus, "doc_id", "text", Seq.empty, 5)
+    }
+  }
+}

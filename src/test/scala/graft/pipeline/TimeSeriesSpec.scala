@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+/** Resample/gap-fill contracts: silent days materialize as zeros within
+  * each key's own span (never beyond it), values fix to cents pre-sum,
+  * and the rolling frame over the filled spine equals a hand-computed
+  * calendar window. */
+class TimeSeriesSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 12) =
+    Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+
+  private def events = Seq(
+    // user 7: active day 1 and day 4 — days 2,3 are gaps
+    (7L, ts(1), 1.004),  // floor(100.4 + .5) = 100 cents
+    (7L, ts(1, 23), 2.996), // floor(299.6 + .5) = 300
+    (7L, ts(4), 10.0),
+    // user 8: a single day — spine is one row, no gaps
+    (8L, ts(2), 5.555) // floor(555.5 + .5) = 556
+  ).toDF("user_id", "ts", "value")
+
+  test("gap-fill: every day of each key's span appears, silent days as zeros") {
+    val got = TimeSeries.resampleGapFill(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .as[(Long, Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, Date.valueOf("2024-03-01"), 2L, 400L),
+      (7L, Date.valueOf("2024-03-02"), 0L, 0L),
+      (7L, Date.valueOf("2024-03-03"), 0L, 0L),
+      (7L, Date.valueOf("2024-03-04"), 1L, 1000L),
+      (8L, Date.valueOf("2024-03-02"), 1L, 556L)), s"$got")
+  }
+
+  test("rolling totals over the filled spine equal the calendar window") {
+    val got = TimeSeries.rollingDaily(events, "user_id", "ts", "value", nDays = 3)
+      .orderBy("user_id", "day")
+      .select("user_id", "day", "roll_events", "roll_cents")
+      .as[(Long, Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, Date.valueOf("2024-03-01"), 2L, 400L),
+      (7L, Date.valueOf("2024-03-02"), 2L, 400L),
+      (7L, Date.valueOf("2024-03-03"), 2L, 400L),
+      (7L, Date.valueOf("2024-03-04"), 1L, 1000L), // day 1 left the 3-day frame
+      (8L, Date.valueOf("2024-03-02"), 1L, 556L)), s"$got")
+  }
+
+  test("negative values round half-up toward +inf like the relational family") {
+    val neg = Seq((1L, ts(5), -0.004), (1L, ts(5), -0.006)).toDF("user_id", "ts", "value")
+    val got = TimeSeries.resampleGapFill(neg, "user_id", "ts", "value")
+      .as[(Long, Date, Long, Long)].collect().toSeq
+    // floor(-0.4 + 0.5) = 0; floor(-0.6 + 0.5) = -1
+    assert(got == Seq((1L, Date.valueOf("2024-03-05"), 2L, -1L)), s"$got")
+  }
+}
