@@ -1338,6 +1338,45 @@ object SparkEntry {
       pipeline.Search.keywordsTfIdf(s.table("documents"), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")
     },
+    "search_phrase" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // positional phrase match: docs containing "batch scan" as
+      // CONSECUTIVE tokens, with occurrence counts — adjacency that
+      // bag-of-words BM25 cannot see
+      pipeline.Search.phraseCount(s.table("documents"), "doc_id", "text",
+        Seq("batch", "scan"))
+        .orderBy("doc_id")
+    },
+    "text_collocations" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // PMI-style collocation mining: top-15 adjacent pairs by integer
+      // lift (ppm), noise-floored at 10 occurrences
+      pipeline.TextAnalysis.collocations(s.table("documents"), "text",
+        minCount = 10L, k = 15)
+    },
+    "emb_label_outliers" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // per-label centroid outlier sweep: the 5 vectors least similar to
+      // their own label's centroid — integer-quantized end-to-end
+      pipeline.Similarity.labelCentroidOutliers(s.table("embeddings"),
+        "vec_id", "embedding", "label", kPerLabel = 5)
+        .orderBy("label", "rank")
+    },
+    "pipeline_snapshot_diff" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // corpus version diff: v2 drops doc_id%7==0, rewrites text for
+      // doc_id%5==0, and appends re-keyed copies of doc_id%11==0 —
+      // the diff must report exactly those as removed/changed/added
+      val v1 = s.table("documents")
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      pipeline.Maintenance.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "sessionize_events" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch twin of streaming.EventStreams.sessionize (30-minute gap)
@@ -2348,6 +2387,71 @@ object SparkEntry {
                     FROM wt)
          SELECT doc_id, CAST(rn AS INT) AS rank, term, weight_ppm
          FROM r WHERE rn <= 3 ORDER BY doc_id, rank""",
+    "search_phrase" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term FROM w),
+              a AS (SELECT doc_id, pos FROM tok WHERE term = 'batch'),
+              b AS (SELECT doc_id, pos FROM tok WHERE term = 'scan')
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "text_collocations" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+                       THEN list_transform(range(len(ws) - 1), i -> [ws[i+1], ws[i+2]])
+                       ELSE [] END AS bgs FROM w),
+              g AS (SELECT unnest(bgs) AS bg FROM g0),
+              bi AS (SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+                     FROM g GROUP BY 1, 2),
+              ua AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bi GROUP BY 1),
+              ub AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM bi GROUP BY 1),
+              t AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM bi),
+              sc AS (SELECT bi.w1, bi.w2, bi.c_ab,
+                       CAST(((bi.c_ab * 1000000) // ua.c_a) * (SELECT t FROM t) // ub.c_b AS BIGINT)
+                         AS lift_ppm
+                     FROM bi JOIN ua USING (w1) JOIN ub USING (w2)
+                     WHERE bi.c_ab >= 10)
+         SELECT CAST(rn AS INT) AS rank, w1, w2, c_ab AS n_ab, lift_ppm FROM (
+           SELECT w1, w2, c_ab, lift_ppm,
+                  row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rn
+           FROM sc) x
+         WHERE rn <= 15 ORDER BY rank""",
+    "emb_label_outliers" ->
+      """WITH q AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings),
+              comp AS (SELECT label, generate_subscripts(qv, 1) AS p, unnest(qv) AS x FROM q),
+              cm AS (SELECT label, p, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+                     FROM comp GROUP BY 1, 2),
+              cent AS (SELECT label, list(c ORDER BY p) AS cv FROM cm GROUP BY 1),
+              scored AS (SELECT q.label, q.vec_id,
+                           CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, cent.cv), pr -> pr[1] * pr[2])) AS DOUBLE)
+                             / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                              * sqrt(CAST(list_sum(list_transform(cent.cv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                         FROM q JOIN cent USING (label))
+         SELECT label, CAST(rn AS INT) AS rank, vec_id, cos_scaled FROM (
+           SELECT label, vec_id, cos_scaled,
+                  row_number() OVER (PARTITION BY label ORDER BY cos_scaled, vec_id) AS rn
+           FROM scored) x
+         WHERE rn <= 5 ORDER BY label, rank""",
+    "pipeline_snapshot_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+              o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+              n AS (SELECT doc_id, md5(text) AS hn FROM v2)
+         SELECT doc_id,
+                CASE WHEN ho IS NULL THEN 'added'
+                     WHEN hn IS NULL THEN 'removed'
+                     WHEN ho <> hn THEN 'changed' END AS change
+         FROM o FULL OUTER JOIN n USING (doc_id)
+         WHERE (ho IS NULL OR hn IS NULL OR ho <> hn)
+         ORDER BY doc_id""",
     "sessionize_events" ->
       """WITH g AS (SELECT user_id, ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts

@@ -40,4 +40,27 @@ object Maintenance {
       .write.mode("overwrite").parquet(dst)
     (before.size, parts(dst).size, bytes)
   }
+  /** Snapshot DIFF between two corpus versions: which ids were added,
+    * removed, or changed (content hash differs) — the review gate before
+    * promoting a re-crawled / re-filtered corpus version. Output:
+    * `idCol, change` ('added' | 'removed' | 'changed'); unchanged ids
+    * are absent.
+    *
+    * SCALE: each side reduces to (id, md5(content)) BEFORE the join — the
+    * full-outer join ships 16-byte hashes, never document bodies, and
+    * both sides hash-partition on id. md5 (not xxhash64) so the digest is
+    * engine-portable and the diff is oracle hash-gated. */
+  def snapshotDiff(oldDf: org.apache.spark.sql.DataFrame,
+                   newDf: org.apache.spark.sql.DataFrame,
+                   idCol: String, contentCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select(col(idCol), md5(col(contentCol).cast("string")).as("__ho"))
+    val n = newDf.select(col(idCol), md5(col(contentCol).cast("string")).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed")).as("change"))
+      .where(col("change").isNotNull)
+  }
 }

@@ -196,6 +196,33 @@ object Search {
     scoreAndRank(p, n, tot * 1000L / n, k)
   }
 
+  /** Exact phrase occurrence counts: documents containing `phrase` as
+    * CONSECUTIVE tokens, with how many times it occurs. Output: `doc_id,
+    * n_occurrences` (docs without the phrase are absent). The positional
+    * side of the retrieval family — BM25's bag-of-words OR can't see
+    * adjacency.
+    *
+    * Plan shape: ONE posexplode of the token stream, then one filtered
+    * frame PER PHRASE TERM (each keeps only its term's positions,
+    * rebased by the term's offset so every frame joins on the SAME
+    * (doc, start-position) key), chained equi-joins co-partitioned on
+    * that key, one count per doc. Filters land before any shuffle; the
+    * join fans out only on positions of the phrase's OWN terms — the
+    * rest of the corpus token stream never crosses the wire. */
+  def phraseCount(df: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, s"a phrase needs >= 2 terms, got $phrase")
+    val tok = Materialize.cut(df
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term"))))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      tok.where(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+    }
+    frames.reduce(_.join(_, Seq("doc_id", "p0")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** The bucket a term lands in — computed through Spark's own xxhash64
     * expression so build and query can never disagree on the hash. */
   private def bucketOf(spark: SparkSession, term: String, nBuckets: Int): Long = {

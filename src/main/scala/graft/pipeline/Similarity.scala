@@ -488,4 +488,44 @@ object Similarity {
           E.expression(col("__codes")), E.expression(col("__lut")), ksub))).cast("long"))
       .drop("__codes", "__lut")
   }
+
+  /** Per-label embedding OUTLIERS: for each label, the `kPerLabel` vectors
+    * least similar to their own label's centroid — the standard "find the
+    * mislabeled / noise embeddings" curation sweep. Output: `label, rank,
+    * vec_id, cos_scaled` (rank 1 = farthest; ties cos ASC then id ASC).
+    *
+    * EXACTNESS: vectors quantize to 1e6-scaled longs first
+    * ([[Dedup.quantize]]); centroid components are integer sums FLOOR-
+    * divided by the label count, and the final cosine is
+    * [[Dedup.quantizedCosine]] over exact integers (+ IEEE sqrt, which is
+    * correctly rounded) — bit-identical in any engine, so the sweep is
+    * oracle hash-gated, where a float mean would drift by summation order.
+    *
+    * SCALE: centroids come from ONE partial-aggregating pass over the
+    * (vec, component) posexplode — (labels × dim) rows of shuffled state
+    * however big the corpus — and broadcast back (labels × dim longs, KBs
+    * for any real label set); scoring is then a pure map, and ranking is
+    * the bounded per-group [[graft.functions.TopKPairs]] — no window, no
+    * per-label sort of the corpus. */
+  def labelCentroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, kPerLabel: Int): DataFrame = {
+    val q = emb.select(col(idCol), col(labelCol),
+      Dedup.quantize(col(vecCol)).as("__qv"))
+    val comps = q.select(col(labelCol), posexplode(col("__qv")).as(Seq("__p", "__x")))
+      .groupBy(labelCol, "__p")
+      .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+      .select(col(labelCol), col("__p"), expr("__s DIV __n").as("__c"))
+    val centroids = comps.groupBy(labelCol)
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
+      .select(col(labelCol), expr("transform(__pc, e -> e.__c)").as("__cent"))
+    val scored = q.join(broadcast(centroids), labelCol)
+      .select(col(labelCol), col(idCol),
+        floor(lit(1e9) * Dedup.quantizedCosine(col("__qv"), col("__cent")))
+          .cast("long").as("cos_scaled"))
+    graft.functions.TopKPairs.perGroup(
+        scored.withColumn("__neg", -col("cos_scaled")),
+        Seq(labelCol), "__neg", idCol, kPerLabel)
+      .select(col(labelCol), col("rank"), col("id").as("vec_id"),
+        (-col("score")).as("cos_scaled"))
+  }
 }

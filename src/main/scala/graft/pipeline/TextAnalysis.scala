@@ -422,6 +422,66 @@ object TextAnalysis {
         coalesce(expr("ppm_sum DIV n_bigrams"), lit(0L)).as("lm_ppm"))
   }
 
+  /** Corpus collocations: the `k` adjacent word pairs most over-represented
+    * vs independence — classic PMI-style collocation mining ("new york",
+    * "machine learning"), here as the integer LIFT in ppm:
+    *
+    *   lift_ppm(a,b) = ((c_ab · 10⁶) DIV c_a) · T DIV c_b
+    *
+    * (T = total tokens; = 10⁶·P(ab)/(P(a)·P(b)) up to the two documented
+    * staged floors — the same quantity as exp(PMI), monotone in PMI, and
+    * integer-exact cross-engine where a log would drift ulps. The floors
+    * are staged, (…DIV c_a)·T DIV c_b, so no intermediate exceeds
+    * c_ab·10⁶·T ≈ 10²⁷ territory — the first floor caps the left factor
+    * at ~10⁶·tf ratios before T multiplies in.) Pairs below `minCount`
+    * occurrences are noise-floored out BEFORE ranking — rare pairs
+    * otherwise dominate any PMI-family score.
+    *
+    * Output: `rank, w1, w2, n_ab, lift_ppm`, ordered by (lift_ppm DESC,
+    * w1 ASC, w2 ASC — UTF-8 byte order both engines).
+    *
+    * Plan shape: one WordGrams slide per doc (no per-gram re-tokenize),
+    * ONE bigram aggregate (vocabulary²-bounded, far smaller than the
+    * corpus) from which both unigram margins roll up (w1 margin directly;
+    * w2 margin re-aggregated from the same small table — the token
+    * stream is touched once); ranking is the bounded global
+    * [[graft.functions.TopKStrings]] over "w1 w2" keys (space < every
+    * printable non-space byte, so concat order IS pair order), counts
+    * re-attached by broadcasting the k winners against the small bigram
+    * table. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+                   k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val grams = df
+      .select(explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
+      .select(substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
+    val bi = Materialize.cut(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")))
+    val uniA = bi.groupBy("w1").agg(sum("c_ab").as("c_a"))
+    val uniB = bi.groupBy("w2").agg(sum("c_ab").as("c_b"))
+    // T, c_a, c_b all live on the same measure — bigram SLOTS (tokens-1
+    // per doc): c_a is the first-position margin, c_b the second-position
+    // margin, T = sum(c_ab) their common total, so lift is a proper
+    // ratio-of-frequencies on one sample space.
+    val t = bi.agg(coalesce(sum("c_ab"), lit(0L))).head.getLong(0) // 0 on an empty corpus → empty output
+    val scored = bi.where(col("c_ab") >= minCount)
+      .join(uniA, "w1").join(uniB, "w2")
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr(s"((c_ab * 1000000L) DIV c_a) * ${t}L DIV c_b").as("lift_ppm"))
+    val agg = E.column(graft.functions.TopKStrings(
+      E.expression(col("lift_ppm")), E.expression(concat_ws(" ", col("w1"), col("w2"))),
+      k).toAggregateExpression())
+    val top = scored.agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select((col("__pos") + 1).cast("int").as("rank"),
+        substring_index(col("__e.item"), " ", 1).as("w1"),
+        substring_index(col("__e.item"), " ", -1).as("w2"),
+        col("__e.score").as("lift_ppm"))
+    broadcast(top).join(scored.select("w1", "w2", "c_ab"), Seq("w1", "w2"))
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab").as("n_ab"), col("lift_ppm"))
+      .orderBy("rank")
+  }
+
   /** Sequence packing: lay documents out into fixed-size context windows
     * (the "pack to 4096 tokens" step before tokenized training). Documents
     * are sharded (`idCol % shards` — mirrorable arithmetic), and within a

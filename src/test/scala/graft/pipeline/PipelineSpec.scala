@@ -1027,4 +1027,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(q(1L) > q(2L))
     assert(q.values.forall(v => v >= 0 && v <= 1000))
   }
+  test("collocations: planted adjacent pair tops the lift ranking, hand-checked") {
+    // corpus engineered so "neural nets" is a perfect collocation (each
+    // member appears ONLY in the pair) and "the cat" is a weak one
+    val docs = Seq(
+      (1L, "neural nets the cat sat"),
+      (2L, "neural nets the dog sat"),
+      (3L, "the cat saw neural nets"),
+      (4L, "sat the dog saw the cat")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2L, k = 3)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(got.head._2 == "neural" && got.head._3 == "nets", s"$got")
+    assert(got.head._4 == 3L, s"n_ab of the planted pair: $got")
+    // hand check: T = 4+4+4+5 = 17 slots; c(neural·)=3, c(·nets)=3, c_ab=3
+    // lift = ((3*1e6)//3)*17//3 = 5666666
+    assert(got.head._5 == 5666666L, s"hand-computed lift: $got")
+    assert(got.map(_._1) == (1 to got.length), "ranks are 1..k")
+  }
+
+  test("phraseCount finds consecutive tokens only, counts multiplicity") {
+    val docs = Seq(
+      (1L, "big scan big scan big"),   // "big scan" twice
+      (2L, "scan big"),                // reversed — no match
+      (3L, "big gap scan"),            // not adjacent
+      (4L, "big scan")).toDF("doc_id", "text")
+    val got = Search.phraseCount(docs, "doc_id", "text", Seq("big", "scan"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"$got")
+    // 3-term phrase incl. a repeated term
+    val tri = Search.phraseCount(docs, "doc_id", "text", Seq("big", "scan", "big"))
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 2L), s"$tri")
+  }
+
+  test("labelCentroidOutliers flags the planted off-centroid vector first") {
+    // label 0: three near-identical vectors + one orthogonal outlier;
+    // label 1: two identical vectors (both at cosine 1 to their centroid)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.02f), 0),
+      (2L, Array(1.0f, 0.01f), 0),
+      (3L, Array(1.0f, 0.03f), 0),
+      (4L, Array(0.0f, 1.0f), 0), // planted outlier
+      (5L, Array(0.5f, 0.5f), 1),
+      (6L, Array(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidOutliers(emb, "vec_id", "embedding", "label", 2)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val lab0 = got.filter(_._1 == 0)
+    assert(lab0.head._3 == 4L, s"rank 1 of label 0 must be the planted outlier: $got")
+    assert(lab0.head._4 < 500000000L, "outlier cosine far below 1")
+    val lab1 = got.filter(_._1 == 1)
+    assert(lab1.map(_._3) == Seq(5L, 6L), s"ties break on vec_id: $got")
+  }
+
+  test("snapshotDiff reports exactly added/removed/changed, never unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c CHANGED"), (9L, "new")).toDF("id", "text")
+    val got = Maintenance.snapshotDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 9L -> "added"), s"$got")
+  }
 }
