@@ -1362,6 +1362,15 @@ object SparkEntry {
         "vec_id", "embedding", "label", kPerLabel = 5)
         .orderBy("label", "rank")
     },
+    "pipeline_weighted_sample" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // quality-weighted downsample: keep probability scales with doc
+      // length (proxy weight), cross-multiplied integers — no floor loss
+      pipeline.TextAnalysis.weightedSample(s.table("documents"), "doc_id",
+          least(lit(1000000L), col("n_chars") * 2000L))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
     "pipeline_snapshot_diff" -> { (s, dir) =>
       prep(s, dir, "documents")
       // corpus version diff: v2 drops doc_id%7==0, rewrites text for
@@ -2436,6 +2445,11 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY label ORDER BY cos_scaled, vec_id) AS rn
            FROM scored) x
          WHERE rn <= 5 ORDER BY label, rank""",
+    "pipeline_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 1000000
+               < LEAST(1000000, n_chars * 2000) * 65536
+         ORDER BY doc_id""",
     "pipeline_snapshot_diff" ->
       """WITH v2 AS (
            SELECT doc_id,

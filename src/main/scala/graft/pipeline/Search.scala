@@ -223,6 +223,34 @@ object Search {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Append a NEW batch of documents to a persisted [[buildPostingsIndex]]
+    * index without rebuilding it: the batch's postings land in the same
+    * term-hash buckets (append mode — existing files untouched) and the
+    * corpus stats are re-summed. After the append, [[bm25TopKIndexed]]
+    * over the index ≡ an in-job [[bm25TopK]] over the union corpus
+    * (spec-pinned): df counts fall out of the merged postings rows and
+    * dl is per-doc, so the query path needs no merge logic at all.
+    *
+    * CONTRACT: batch doc ids must be NEW (an id re-appended would hold
+    * two dl/tf row sets and score twice). The append is NOT idempotent —
+    * re-running a batch double-counts it; gate re-runs upstream (e.g. a
+    * processed-batch ledger) the way any append-only table is gated. */
+  def appendPostingsIndex(df: DataFrame, idCol: String, textCol: String,
+                          dir: String): Unit = {
+    val spark = df.sparkSession
+    val stats = spark.read.parquet(s"$dir/stats").head
+    val nBuckets = stats.getAs[Int]("n_buckets")
+    val (n, tot) = corpusStats(df, textCol)
+    postings(df, idCol, textCol)
+      .withColumn("__tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("__tb"))
+      .write.mode("append").partitionBy("__tb").parquet(s"$dir/postings")
+    import spark.implicits._
+    Seq((stats.getAs[Long]("n_docs") + n, stats.getAs[Long]("total_tokens") + tot,
+        nBuckets)).toDF("n_docs", "total_tokens", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** The bucket a term lands in — computed through Spark's own xxhash64
     * expression so build and query can never disagree on the hash. */
   private def bucketOf(spark: SparkSession, term: String, nBuckets: Int): Long = {

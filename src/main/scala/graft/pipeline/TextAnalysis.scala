@@ -336,6 +336,20 @@ object TextAnalysis {
         col("__e.id").as(idCol))
   }
 
+  /** Deterministic PER-ROW weighted sampling: keep a row with probability
+    * `weightPpm / 10⁶`, decided by its own id — the "quality-weighted
+    * downsample" step (keep high-quality docs at full rate, tail quality
+    * at their score). The keep test cross-multiplies integers —
+    * `bucket · 10⁶ < weightPpm · 65536` over the 65536-way md5 bucket —
+    * so there is NO precomputed cut and NO floor loss: realized keep
+    * probability is within 1/65536 of the weight, bit-identical across
+    * engines/runs, and the decision is a PURE MAP (streams, composes,
+    * no state). Weights outside [0, 10⁶] clamp naturally (≤0 keeps
+    * nothing, ≥10⁶ keeps everything). */
+  def weightedSample(df: DataFrame, idCol: String, weightPpm: Column): DataFrame =
+    df.where(sampleBucket16(col(idCol)).cast("long") * 1000000L <
+      weightPpm.cast("long") * 65536L)
+
   /** Corpus MIXING to target proportions — the "data recipe" step of a
     * training pipeline: given per-source target weights (ppm), keep the
     * LARGEST total corpus whose source composition matches the recipe.

@@ -1086,4 +1086,17 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "removed", 3L -> "changed", 9L -> "added"), s"$got")
   }
+  test("weightedSample: 0 keeps nothing, 1e6 keeps all, rate tracks the weight") {
+    val ids = (0L until 2000L).map(i => (i, i)).toDF("id", "x")
+    assert(TextAnalysis.weightedSample(ids, "id", lit(0L)).count() == 0L)
+    assert(TextAnalysis.weightedSample(ids, "id", lit(1000000L)).count() == 2000L)
+    val half = TextAnalysis.weightedSample(ids, "id", lit(500000L)).count()
+    assert(math.abs(half - 1000L) < 100, s"~50% expected, got $half")
+    // per-row weights: the kept set of a smaller weight is a subset
+    val hi = TextAnalysis.weightedSample(ids, "id", lit(700000L))
+      .select("id").as[Long].collect().toSet
+    val lo = TextAnalysis.weightedSample(ids, "id", lit(300000L))
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "weight monotonicity: lower weight keeps a subset")
+  }
 }

@@ -107,4 +107,19 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopK(corpus, "doc_id", "text", Seq.empty, 5)
     }
   }
+  test("appendPostingsIndex: build(a) + append(b) ≡ in-job over the union") {
+    val a = corpus.where(col("doc_id") <= 2)
+    val b = corpus.where(col("doc_id") >= 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_search_append").toString
+    Search.buildPostingsIndex(a, "doc_id", "text", dir, nBuckets = 4)
+    Search.appendPostingsIndex(b, "doc_id", "text", dir)
+    val q = Seq("spark", "join", "the")
+    val indexed = Search.bm25TopKIndexed(spark, dir, q, 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    val union = Search.bm25TopK(corpus, "doc_id", "text", q, 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(indexed == union, s"appended $indexed != union $union")
+    val st = spark.read.parquet(s"$dir/stats").head
+    assert(st.getAs[Long]("n_docs") == 4L && st.getAs[Long]("total_tokens") == 15L, s"$st")
+  }
 }
