@@ -1308,6 +1308,25 @@ object SparkEntry {
         GROUP BY f.cohort_day, datediff(CAST(e.ts AS DATE), f.cohort_day)
         ORDER BY cohort_day, day_offset""")
     },
+    "rel_interval_overlap" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // interval × interval overlap through the binned equi join: weekly
+      // per-user activity spans of two event types, anchored-bin dedup,
+      // no inequality join anywhere
+      val iv = s.table("events")
+        .groupBy(col("user_id"), col("event_type"), date_trunc("week", col("ts")).as("wk"))
+        .agg(unix_timestamp(min(col("ts"))).as("s"),
+          (unix_timestamp(max(col("ts"))) + 1).as("e"))
+      val a = iv.where(col("event_type") === "view" && col("user_id") % 10 === 0)
+        .select(col("user_id").as("a_user"), col("s").as("a_s"), col("e").as("a_e"))
+      val b = iv.where(col("event_type") === "purchase" && col("user_id") % 10 === 5)
+        .select(col("user_id").as("b_user"), col("s").as("b_s"), col("e").as("b_e"))
+      pipeline.Relational.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 86400L)
+        .select(col("a_user"), col("b_user"), col("a_s"), col("b_s"),
+          (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .as("overlap_secs"))
+        .orderBy("a_user", "b_user", "a_s", "b_s")
+    },
     "events_resample_gapfill" -> { (s, dir) =>
       prep(s, dir, "events")
       // calendar resample + gap-fill: every (user, day) in the user's
@@ -2326,6 +2345,19 @@ object SparkEntry {
          WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
          GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
          ORDER BY cohort_day, day_offset""",
+    "rel_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_type, date_trunc('week', ts) AS wk,
+                      CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+                      CAST(floor(epoch(max(ts))) AS BIGINT) + 1 AS e
+                    FROM events GROUP BY 1, 2, 3),
+              a AS (SELECT user_id AS a_user, s AS a_s, e AS a_e FROM iv
+                    WHERE event_type = 'view' AND user_id % 10 = 0),
+              b AS (SELECT user_id AS b_user, s AS b_s, e AS b_e FROM iv
+                    WHERE event_type = 'purchase' AND user_id % 10 = 5)
+         SELECT a_user, b_user, a_s, b_s,
+                CAST(LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS BIGINT) AS overlap_secs
+         FROM a JOIN b ON a_s < b_e AND b_s < a_e
+         ORDER BY a_user, b_user, a_s, b_s""",
     "events_resample_gapfill" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(count(*) AS BIGINT) AS n_events,

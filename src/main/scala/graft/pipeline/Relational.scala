@@ -53,6 +53,41 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Interval × interval OVERLAP join WITHOUT an inequality join: every
+    * (left, right) pair of half-open intervals with
+    * `lStart < rEnd AND rStart < lEnd` — the second classic range-join
+    * shape ([[rangeJoin]] is point-in-interval).
+    *
+    * Same binned equi-join recipe: both sides explode to the bins they
+    * cover and join hash-partitioned on the bin with the overlap
+    * predicate as a residual. A pair overlapping across k shared bins
+    * would emit k duplicates, so each pair is ANCHORED to one bin — the
+    * bin of `greatest(lStart, rStart)`, the first instant of the
+    * intersection, which both sides provably cover — via a pure-filter
+    * dedup: no `distinct()`, no second shuffle. Degenerate (`start >=
+    * end`) and NULL intervals drop before the explode.
+    *
+    * Output: all left + all right columns (names must not collide), one
+    * row per overlapping pair. Time columns are numeric — cast
+    * timestamps to epoch seconds/days upstream so `bin` has units. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bin: Long): DataFrame = {
+    require(bin > 0, s"bin must be positive, got $bin")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "intervalOverlapJoin reserves the __bin column name")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .where(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
+      .withColumn("__bin", explode(sequence(
+        floor(col(s) / bin).cast("long"),
+        floor((col(e) - 1) / bin).cast("long"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("__bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bin") === floor(greatest(col(lStart), col(rStart)) / bin).cast("long"))
+      .drop("__bin")
+  }
+
   /** Backward as-of join: for every left row, the single most recent right
     * row with `right.timeCol <= left.timeCol` in the same `keyCols` group
     * (the time-series "latest snapshot at event time" join; pandas

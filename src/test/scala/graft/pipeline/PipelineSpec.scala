@@ -1099,4 +1099,32 @@ class PipelineSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(lo.subsetOf(hi), "weight monotonicity: lower weight keeps a subset")
   }
+  test("intervalOverlapJoin: overlap pairs exact, multi-bin spans emit once") {
+    val a = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 5L, 95L)).toDF("aid", "as", "ae")
+    val b = Seq((10L, 8L, 12L), (20L, 20L, 30L), (30L, 0L, 100L)).toDF("bid", "bs", "be")
+    val out = Relational.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", bin = 4L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    // half-open: [10,20) does NOT overlap [20,30); the 24-bin × 25-bin pair
+    // (3,30) shares ~23 bins but the anchor filter emits it exactly ONCE
+    assert(out.sorted == Seq((1L, 10L), (1L, 30L), (2L, 10L), (2L, 30L), (3L, 10L),
+      (3L, 20L), (3L, 30L)), s"$out")
+    assert(out.size == out.distinct.size, "no duplicate pairs")
+    val plan = Relational.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", bin = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi join on the bin:\n$plan")
+  }
+
+  test("intervalOverlapJoin equals the inequality join on random intervals") {
+    val rnd = new scala.util.Random(41)
+    def gen(n: Int, id0: Long) = (0 until n).map { i =>
+      val s0 = rnd.nextInt(1000).toLong; (id0 + i, s0, s0 + 1 + rnd.nextInt(60)) }
+    val a = gen(200, 0L).toDF("aid", "as", "ae")
+    val b = gen(200, 1000L).toDF("bid", "bs", "be")
+    val fast = Relational.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", bin = 32L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val truth = a.join(b, col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(fast == truth, s"missing ${truth -- fast}, extra ${fast -- truth}")
+  }
 }
