@@ -314,6 +314,35 @@ object ScaleProbe {
         .where(col("event_id_asof").isNotNull).count())
     println(s"[scale]   purchases with a preceding view: $nAsof of ${nEvents / 2}")
 
+    // ---- retrieval: postings build, bucket-pruned BM25, phrase, PMI ------
+    // 100k docs of ~60 tokens from a 10k-term vocabulary, one planted doc
+    // saturated with a rare term; plus ONE heavy-tail doc of 200k tokens —
+    // the straggler shape the single-slide gram/postings paths must stay
+    // linear on.
+    val sDocs = spark.range(100000).selectExpr("id AS doc_id",
+        """array_join(transform(sequence(0, 59),
+             i -> concat('t', pmod(xxhash64(id, i), CASE WHEN pmod(xxhash64(id, i), 10) < 7 THEN 500 ELSE 10000 END))), ' ') AS text""")
+      .union(spark.range(1).selectExpr("100001 AS doc_id",
+        "concat('rareterm ', array_join(transform(sequence(0, 57), i -> 'rareterm'), ' ')) AS text"))
+      .union(spark.range(1).selectExpr("100002 AS doc_id",
+        "array_join(transform(sequence(0, 199999), i -> concat('t', pmod(i, 10000))), ' ') AS text"))
+      .localCheckpoint(true)
+    val sIdxDir = java.nio.file.Files.createTempDirectory("graft_scale_idx").toString
+    timed("postings index build (100k docs, ~6M tokens + 200k-token tail doc)")(
+      pipeline.Search.buildPostingsIndex(sDocs, "doc_id", "text", sIdxDir, nBuckets = 256))
+    val bmTop = timed("BM25 top-10 from the persisted index (bucket-pruned)")(
+      pipeline.Search.bm25TopKIndexed(spark, sIdxDir, Seq("rareterm", "t42"), 10)
+        .collect())
+    println(s"[scale]   BM25 rank-1 doc: ${bmTop.head.getLong(1)} " +
+      s"(expect 100001 — the planted rare-term doc)")
+    val nPhrase = timed("phrase count (2-term) over 100k docs")(
+      pipeline.Search.phraseCount(sDocs, "doc_id", "text", Seq("t1", "t2")).count())
+    println(s"[scale]   docs containing the phrase: $nPhrase")
+    val colloc = timed("collocations top-20 (minCount 50) incl. 200k-token doc")(
+      pipeline.TextAnalysis.collocations(sDocs, "text", minCount = 50L, k = 20).collect())
+    println(s"[scale]   top collocation: ${colloc.head.getString(1)} ${colloc.head.getString(2)} " +
+      s"lift=${colloc.head.getLong(4)}")
+
     spark.stop()
   }
 }

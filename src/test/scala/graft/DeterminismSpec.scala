@@ -27,7 +27,14 @@ class DeterminismSpec extends AnyFunSuite {
     // r6 families: bloom routing, sketch compaction/merge order, BPE
     // training ties, recipe cuts, bottom-k sampling, PCA model fit
     "dedup_bloom_gate", "text_len_quantile_sketch", "text_bpe_roundtrip",
-    "pipeline_source_mix", "pipeline_sample_per_group", "text_heavy_hitters")
+    "pipeline_source_mix", "pipeline_sample_per_group", "text_heavy_hitters",
+    // r7 families: BM25 bounded top-k + tie order, string-payload top-k
+    // (keywords + collocations), phrase join, centroid floor-div means,
+    // gap-fill spine + rolling frame, anchored-bin overlap dedup,
+    // weighted-sample cut, md5 snapshot diff
+    "search_bm25", "search_keywords", "search_phrase", "text_collocations",
+    "emb_label_outliers", "events_rolling_7d", "rel_interval_overlap",
+    "pipeline_weighted_sample", "pipeline_snapshot_diff")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
