@@ -49,17 +49,24 @@ object Maintenance {
     * SCALE: each side reduces to (id, md5(content)) BEFORE the join — the
     * full-outer join ships 16-byte hashes, never document bodies, and
     * both sides hash-partition on id. md5 (not xxhash64) so the digest is
-    * engine-portable and the diff is oracle hash-gated. */
+    * engine-portable and the diff is oracle hash-gated.
+    *
+    * NULL content is a VALUE, not absence: id-presence is tracked by its
+    * own flag, and a NULL content hashes to a sentinel no real md5 can
+    * collide with — so NULL→"x" reports 'changed' (not 'added'),
+    * "x"→NULL reports 'changed' (not 'removed'), NULL→NULL is unchanged. */
   def snapshotDiff(oldDf: org.apache.spark.sql.DataFrame,
                    newDf: org.apache.spark.sql.DataFrame,
                    idCol: String, contentCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val o = oldDf.select(col(idCol), md5(col(contentCol).cast("string")).as("__ho"))
-    val n = newDf.select(col(idCol), md5(col(contentCol).cast("string")).as("__hn"))
+    // md5 output is 32 hex chars; "null" cannot collide with any digest
+    def h(c: org.apache.spark.sql.Column) = coalesce(md5(c.cast("string")), lit("null"))
+    val o = oldDf.select(col(idCol), h(col(contentCol)).as("__ho"), lit(true).as("__po"))
+    val n = newDf.select(col(idCol), h(col(contentCol)).as("__hn"), lit(true).as("__pn"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__ho").isNull, lit("added"))
-          .when(col("__hn").isNull, lit("removed"))
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
           .when(col("__ho") =!= col("__hn"), lit("changed")).as("change"))
       .where(col("change").isNotNull)
   }

@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** 64-bit-exact bin id: `t DIV bin` (truncating integer division — the
+    * direction is irrelevant as long as every bin computation in a join
+    * uses THIS one function; truncation is monotone, so interval bin
+    * ranges stay ascending and residual predicates trim the rest). */
+  private def binOf(t: org.apache.spark.sql.Column, bin: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftshim.GraftShim.expression(t.cast("long")),
+        org.apache.spark.sql.catalyst.expressions.Literal(bin))).cast("long")
+
+  private def requireIntegralTime(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(c).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(ok, s"$op time column '$c' must be integral (epoch seconds/days), got $dt — " +
+      "double binning loses integer resolution past 2^53")
+  }
+
   /** Point-in-interval range join WITHOUT an inequality join: every
     * (point, interval) pair with `start <= point < end`.
     *
@@ -32,22 +54,28 @@ object Relational {
     *
     * `points`/`intervals` carry arbitrary columns; output = every point
     * column + every interval column (names must not collide), one row per
-    * qualifying pair. Time columns are numeric (cast timestamps to epoch
-    * seconds/days upstream so `bin` has explicit units). */
+    * qualifying pair. Time columns must be INTEGRAL (cast timestamps to
+    * epoch seconds/days upstream so `bin` has explicit units): binning is
+    * 64-bit integer division end-to-end — a double `floor(x/bin)` loses
+    * integer resolution past 2^53 (epoch NANOS are ~1.7e18), where two
+    * independently-rounded bin computations can disagree by one bin and
+    * silently drop pairs. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
                 bin: Long): DataFrame = {
     require(bin > 0, s"bin must be positive, got $bin")
     require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
       "rangeJoin reserves the __bin column name")
+    Seq(points -> Seq(pointCol), intervals -> Seq(startCol, endCol)).foreach {
+      case (df, cols) => cols.foreach(c => requireIntegralTime(df, c, "rangeJoin"))
+    }
     val iBinned = intervals
       .where(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) < col(endCol))
       .withColumn("__bin", explode(sequence(
-        floor(col(startCol) / bin).cast("long"),
-        floor((col(endCol) - 1) / bin).cast("long"))))
+        binOf(col(startCol), bin), binOf(col(endCol) - 1, bin))))
     val pBinned = points
       .where(col(pointCol).isNotNull)
-      .withColumn("__bin", floor(col(pointCol) / bin).cast("long"))
+      .withColumn("__bin", binOf(col(pointCol), bin))
     pBinned.join(iBinned, Seq("__bin"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
@@ -68,8 +96,12 @@ object Relational {
     * end`) and NULL intervals drop before the explode.
     *
     * Output: all left + all right columns (names must not collide), one
-    * row per overlapping pair. Time columns are numeric — cast
-    * timestamps to epoch seconds/days upstream so `bin` has units. */
+    * row per overlapping pair. Time columns must be INTEGRAL — cast
+    * timestamps to epoch seconds/days upstream so `bin` has units; the
+    * anchor-bin dedup depends on every bin computation agreeing exactly,
+    * so binning is 64-bit integer division (a double `floor(x/bin)` past
+    * 2^53 — epoch nanos — could round the anchor outside a side's
+    * exploded range and silently DROP the pair). */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           lStart: String, lEnd: String,
                           rStart: String, rEnd: String,
@@ -77,14 +109,16 @@ object Relational {
     require(bin > 0, s"bin must be positive, got $bin")
     require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
       "intervalOverlapJoin reserves the __bin column name")
+    Seq(left -> Seq(lStart, lEnd), right -> Seq(rStart, rEnd)).foreach {
+      case (df, cols) => cols.foreach(c => requireIntegralTime(df, c, "intervalOverlapJoin"))
+    }
     def binned(df: DataFrame, s: String, e: String) = df
       .where(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
       .withColumn("__bin", explode(sequence(
-        floor(col(s) / bin).cast("long"),
-        floor((col(e) - 1) / bin).cast("long"))))
+        binOf(col(s), bin), binOf(col(e) - 1, bin))))
     binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("__bin"))
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
-        col("__bin") === floor(greatest(col(lStart), col(rStart)) / bin).cast("long"))
+        col("__bin") === binOf(greatest(col(lStart), col(rStart)), bin))
       .drop("__bin")
   }
 

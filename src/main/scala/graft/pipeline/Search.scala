@@ -99,11 +99,32 @@ object Search {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    requireIntegralId(df, idCol, "bm25TopK")
     val (n, tot) = corpusStats(df, textCol)
     require(n > 0 && tot > 0, s"bm25TopK needs a non-empty corpus (n=$n, tokens=$tot)")
+    val avgdlMilli = tot * 1000L / n
+    // a corpus that is mostly empty docs can floor avg doc length to 0 —
+    // that would NULL every contribution (DIV 0) and return an empty
+    // result with no error; fail loudly instead
+    require(avgdlMilli > 0,
+      s"bm25TopK: avg doc length floors to 0 milli-tokens (n=$n, tokens=$tot)")
     val p = postings(df, idCol, textCol)
       .where(col("term").isin(queryTerms.distinct: _*))
-    scoreAndRank(p, n, tot * 1000L / n, k)
+    scoreAndRank(p, n, avgdlMilli, k)
+  }
+
+  /** The TopKPairs contract, enforced here too: a silent `cast("long")`
+    * on a string id would NULL every id and return an EMPTY result with
+    * no error; a fractional id would truncate to the wrong document. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(ok, s"$op id column '$idCol' must be an integral type, got $dt")
   }
 
   /** Scoring core shared by the in-job and persisted-index paths:
@@ -188,12 +209,15 @@ object Search {
     val tot = stats.getAs[Long]("total_tokens")
     val nBuckets = stats.getAs[Int]("n_buckets")
     require(n > 0 && tot > 0, s"indexed corpus is empty (n=$n, tokens=$tot)")
+    val avgdlMilli = tot * 1000L / n
+    require(avgdlMilli > 0,
+      s"bm25TopKIndexed: avg doc length floors to 0 milli-tokens (n=$n, tokens=$tot)")
     val terms = queryTerms.distinct
     val p = spark.read.parquet(s"$dir/postings")
-      .where(col("__tb").isin(terms.map(bucketOf(spark, _, nBuckets)): _*) &&
+      .where(col("__tb").isin(bucketsOf(spark, terms, nBuckets): _*) &&
         col("term").isin(terms: _*))
       .drop("__tb")
-    scoreAndRank(p, n, tot * 1000L / n, k)
+    scoreAndRank(p, n, avgdlMilli, k)
   }
 
   /** Exact phrase occurrence counts: documents containing `phrase` as
@@ -208,13 +232,17 @@ object Search {
     * (doc, start-position) key), chained equi-joins co-partitioned on
     * that key, one count per doc. Filters land before any shuffle; the
     * join fans out only on positions of the phrase's OWN terms — the
-    * rest of the corpus token stream never crosses the wire. */
+    * rest of the corpus token stream never crosses the wire. The token
+    * stream is deliberately NOT materialized: each per-term frame
+    * re-derives it (|phrase| corpus scans with the term filter applied
+    * at the explode), which beats parking the full (doc, pos, term)
+    * explosion — a dataset LARGER than the corpus — in block storage. */
   def phraseCount(df: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, s"a phrase needs >= 2 terms, got $phrase")
-    val tok = Materialize.cut(df
+    val tok = df
       .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term"))))
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term")))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
       tok.where(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("p0"))
@@ -234,7 +262,15 @@ object Search {
     * CONTRACT: batch doc ids must be NEW (an id re-appended would hold
     * two dl/tf row sets and score twice). The append is NOT idempotent —
     * re-running a batch double-counts it; gate re-runs upstream (e.g. a
-    * processed-batch ledger) the way any append-only table is gated. */
+    * processed-batch ledger) the way any append-only table is gated.
+    * NOT ATOMIC either: postings append first, stats re-sum second, as
+    * two plain-parquet writes — a failure between them leaves stats
+    * undercounting the appended postings (idf/avgdl drift mildly until
+    * repaired), and the natural retry double-counts per the
+    * non-idempotency above. On a failed append, REBUILD the index (or
+    * run on a transactional table format); plain parquet has no commit
+    * protocol to make append+overwrite atomic, so this lifecycle
+    * documents the failure mode instead of pretending otherwise. */
   def appendPostingsIndex(df: DataFrame, idCol: String, textCol: String,
                           dir: String): Unit = {
     val spark = df.sparkSession
@@ -251,11 +287,15 @@ object Search {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** The bucket a term lands in — computed through Spark's own xxhash64
-    * expression so build and query can never disagree on the hash. */
-  private def bucketOf(spark: SparkSession, term: String, nBuckets: Int): Long = {
+  /** The buckets the query terms land in — ONE local job through Spark's
+    * own xxhash64 expression (build and query can never disagree on the
+    * hash; per-term jobs would serialize q scheduler round-trips onto the
+    * index fast path). */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String],
+                        nBuckets: Int): Seq[Long] = {
     import spark.implicits._
-    Seq(term).toDF("t")
-      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong))).head.getLong(0)
+    terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+      .collect().map(_.getLong(0)).toSeq.distinct
   }
 }

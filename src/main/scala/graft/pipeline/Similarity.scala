@@ -495,8 +495,9 @@ object Similarity {
     * vec_id, cos_scaled` (rank 1 = farthest; ties cos ASC then id ASC).
     *
     * EXACTNESS: vectors quantize to 1e6-scaled longs first
-    * ([[Dedup.quantize]]); centroid components are integer sums FLOOR-
-    * divided by the label count, and the final cosine is
+    * ([[Dedup.quantize]]); centroid components are integer sums divided
+    * by the label count with TRUNCATING integer division (`DIV`, toward
+    * zero — exactly DuckDB's `//`), and the final cosine is
     * [[Dedup.quantizedCosine]] over exact integers (+ IEEE sqrt, which is
     * correctly rounded) — bit-identical in any engine, so the sweep is
     * oracle hash-gated, where a float mean would drift by summation order.

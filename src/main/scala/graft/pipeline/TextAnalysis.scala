@@ -459,10 +459,13 @@ object TextAnalysis {
     * corpus) from which both unigram margins roll up (w1 margin directly;
     * w2 margin re-aggregated from the same small table — the token
     * stream is touched once); ranking is the bounded global
-    * [[graft.functions.TopKStrings]] over "w1 w2" keys (space < every
-    * printable non-space byte, so concat order IS pair order), counts
-    * re-attached by broadcasting the k winners against the small bigram
-    * table. */
+    * [[graft.functions.TopKStrings]] over "w1 w2" keys (space 0x20 <
+    * every printable byte, so concat order IS (w1, w2) pair order for
+    * printable tokens; a token carrying a raw control byte < 0x20 — which
+    * the \s+ tokenizer does not strip for 0x00-0x08/0x0E-0x1F — could
+    * flip the DOCUMENTED tie order on exact lift ties; normalize such
+    * bytes upstream if they occur), counts re-attached by broadcasting
+    * the k winners against the small bigram table. */
   def collocations(df: DataFrame, textCol: String, minCount: Long,
                    k: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

@@ -1127,4 +1127,47 @@ class PipelineSpec extends AnyFunSuite {
       .select("aid", "bid").as[(Long, Long)].collect().toSet
     assert(fast == truth, s"missing ${truth -- fast}, extra ${fast -- truth}")
   }
+  test("snapshotDiff: NULL content is a value — changed, not added/removed") {
+    val v1 = Seq((1L, Option.empty[String]), (2L, Option("x")), (3L, Option.empty[String]))
+      .toDF("id", "text")
+    val v2 = Seq((1L, Option("x")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("id", "text")
+    val got = Maintenance.snapshotDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // NULL→"x" and "x"→NULL are CHANGED (id present both sides);
+    // NULL→NULL is unchanged and absent
+    assert(got == Map(1L -> "changed", 2L -> "changed"), s"$got")
+  }
+
+  test("intervalOverlapJoin: integer binning exact at epoch-nano magnitudes") {
+    // past 2^53 a double floor(x/bin) can misplace the anchor bin; these
+    // two intervals overlap by exactly 1 ns at ~1.7e18
+    val t0 = 1700000000000000000L
+    val a = Seq((1L, t0, t0 + 1000L)).toDF("aid", "as", "ae")
+    val b = Seq((2L, t0 + 999L, t0 + 2000L)).toDF("bid", "bs", "be")
+    val out = Relational.intervalOverlapJoin(a, b, "as", "ae", "bs", "be",
+        bin = 86400L * 1000000000L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)), s"$out")
+    // non-integral time columns are a loud error, not silent bin drift
+    val dbl = Seq((1L, 0.5, 2.5)).toDF("aid", "as", "ae")
+    intercept[IllegalArgumentException] {
+      Relational.intervalOverlapJoin(dbl, b, "as", "ae", "bs", "be", bin = 10L)
+    }
+  }
+
+  test("bm25TopK rejects non-integral ids and all-empty corpora loudly") {
+    val strIds = Seq(("doc-1", "spark join")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(strIds, "doc_id", "text", Seq("spark"), 5)
+    }
+    // 2000 near-empty docs floor avg doc length to 0 milli-tokens: loud,
+    // not an empty result
+    val sparse = (0L until 2000L).map(i => (i, if (i == 0) "hello" else ""))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25TopK(sparse, "doc_id", "text", Seq("hello"), 5)
+    }
+    assert(e.getMessage.contains("floors to 0"), e.getMessage)
+  }
 }
