@@ -226,29 +226,37 @@ object Search {
     * side of the retrieval family — BM25's bag-of-words OR can't see
     * adjacency.
     *
-    * Plan shape: ONE posexplode of the token stream, then one filtered
-    * frame PER PHRASE TERM (each keeps only its term's positions,
-    * rebased by the term's offset so every frame joins on the SAME
-    * (doc, start-position) key), chained equi-joins co-partitioned on
-    * that key, one count per doc. Filters land before any shuffle; the
-    * join fans out only on positions of the phrase's OWN terms — the
-    * rest of the corpus token stream never crosses the wire. The token
-    * stream is deliberately NOT materialized: each per-term frame
-    * re-derives it (|phrase| corpus scans with the term filter applied
-    * at the explode), which beats parking the full (doc, pos, term)
-    * explosion — a dataset LARGER than the corpus — in block storage. */
+    * Plan shape: a PURE MAP — adjacency is a WITHIN-document property, so
+    * each row counts its phrase starts over its own token array (one
+    * codegen'd higher-order filter per row, one tokenize, handles
+    * repeated terms and overlapping occurrences) and no token ever
+    * leaves its row: zero shuffle, zero explode, composes on a
+    * readStream unchanged. (An earlier formulation exploded positions
+    * and chained per-term equi-joins — corpus-sized shuffles for a
+    * per-row computation.) */
   def phraseCount(df: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, s"a phrase needs >= 2 terms, got $phrase")
-    val tok = df
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term")))
-    val frames = phrase.zipWithIndex.map { case (t, i) =>
-      tok.where(col("term") === t)
-        .select(col("doc_id"), (col("pos") - i).as("p0"))
-    }
-    frames.reduce(_.join(_, Seq("doc_id", "p0")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+    val n = phraseOccurrences(col(textCol), phrase)
+    df.select(col(idCol).as("doc_id"), n.as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
+
+  /** Scalar form of [[phraseCount]]: occurrences of `phrase` as
+    * consecutive [[TextAnalysis.words]] tokens of `text`, as a Column —
+    * usable in any projection, batch or streaming. */
+  def phraseOccurrences(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val ws = TextAnalysis.words(text)
+    // start positions i (0-based) with every term matching at offset j;
+    // element_at is 1-based. sequence(0, n-len) would DESCEND for short
+    // docs (negative stop), so they short-circuit to 0.
+    val starts = sequence(lit(0), size(ws) - phrase.length)
+    val matchAt = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
+      element_at(ws, i + (j + 1)) === lit(t)
+    }.reduce(_ && _)
+    when(size(ws) >= phrase.length,
+      size(filter(starts, matchAt)).cast("long")).otherwise(lit(0L))
   }
 
   /** Append a NEW batch of documents to a persisted [[buildPostingsIndex]]

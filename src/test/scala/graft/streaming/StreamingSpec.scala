@@ -308,4 +308,30 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+  test("streaming phrase alert + weighted sample: r7 pure maps run unchanged on a stream") {
+    // phraseOccurrences counts within each row's own token array and
+    // weightedSample is a cross-multiplied md5 keep test — both stateless
+    // maps, so the SAME operator code runs append-mode with no state
+    // store, selecting exactly what the batch run selects
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 100L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma alpha beta" else "alpha gamma beta alpha"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.weightedSample(
+        graft.pipeline.Search.phraseCount(df.toDF("doc_id", "text"), "doc_id", "text",
+          Seq("alpha", "beta")),
+        "doc_id", org.apache.spark.sql.functions.lit(600000L))
+    val q = pipe(src.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("phrase_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("phrase_stream_out").as[(Long, Long)].collect().toSet
+      val batch = pipe(rows.toDF("a", "b")).as[(Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty, s"stream $streamed != batch $batch")
+      // multiplicity survives the stream: docs i%3==0 contain the phrase twice
+      assert(streamed.forall { case (id, n) => n == (if (id % 3 == 0) 2L else 1L) })
+    } finally q.stop()
+  }
 }
