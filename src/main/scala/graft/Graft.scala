@@ -62,10 +62,34 @@ object Graft {
     JqExtractAll(args.head, validated(constString(args(1), "JQ")))
   }
 
+  private[graft] def unicodeNormalizeBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException("unicode_normalize() takes exactly two arguments.")
+    graft.functions.UnicodeNormalize(args.head, constString(args(1), "FORM"))
+  }
+
+  private[graft] def compressionRatioBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 1)
+      throw new IllegalArgumentException("compression_ratio_ppm() takes exactly one argument.")
+    graft.functions.CompressionRatioPpm(args.head)
+  }
+
+  private[graft] def phraseOccurrencesBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException("phrase_occurrences() takes exactly two arguments.")
+    val phrase = constString(args(1), "PHRASE").trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (phrase.isEmpty)
+      throw new IllegalArgumentException("PHRASE must contain at least one token.")
+    graft.functions.PhraseOccurrences(args.head, phrase)
+  }
+
   private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("jq", "_FUNC_(JSON, 'JQ', 'TYPE'), _FUNC_(JSON, 'JQ', 'F1:T1', ..., 'FN:TN') - jq for Spark", jqBuilder),
     ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
-    ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder))
+    ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder),
+    ("unicode_normalize", "_FUNC_(TEXT, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization", unicodeNormalizeBuilder),
+    ("compression_ratio_ppm", "_FUNC_(TEXT) - deflate bytes over raw bytes, ppm", compressionRatioBuilder),
+    ("phrase_occurrences", "_FUNC_(TEXT, 'w1 w2 ...') - consecutive-token phrase count", phraseOccurrencesBuilder))
 
   /** Sessions already registered — weak keys so dropped sessions don't pin. */
   private val registeredSessions =

@@ -242,3 +242,40 @@ case class WordGramHashes(child: Expression, n: Int)
     copy(child = newChild)
   override def prettyName: String = "word_gram_hashes"
 }
+
+/** phrase_occurrences(text, phrase) → bigint: occurrences of `phrase` as
+  * CONSECUTIVE [[WordTok.tokens]] tokens of the text (the tokenizer the
+  * whole text family shares, so index terms, grams, and phrase matches
+  * agree). Overlapping occurrences all count; a doc shorter than the
+  * phrase counts 0; NULL text → NULL. One tight per-row scan — adjacency
+  * is a within-document property, so this is a pure scalar and the
+  * phrase operators built on it shuffle nothing. */
+case class PhraseOccurrences(child: Expression, phrase: Seq[String])
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+    s"phrase must be non-empty tokens, got $phrase")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
+    val m = w.length - phrase.length
+    var c = 0L
+    var i = 0
+    while (i <= m) {
+      var j = 0
+      var ok = true
+      while (ok && j < phrase.length) {
+        if (w(i + j) != phrase(j)) ok = false
+        j += 1
+      }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhraseOccurrences =
+    copy(child = newChild)
+  override def prettyName: String = "phrase_occurrences"
+}

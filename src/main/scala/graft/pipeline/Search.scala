@@ -228,12 +228,12 @@ object Search {
     *
     * Plan shape: a PURE MAP — adjacency is a WITHIN-document property, so
     * each row counts its phrase starts over its own token array (one
-    * codegen'd higher-order filter per row, one tokenize, handles
-    * repeated terms and overlapping occurrences) and no token ever
-    * leaves its row: zero shuffle, zero explode, composes on a
-    * readStream unchanged. (An earlier formulation exploded positions
-    * and chained per-term equi-joins — corpus-sized shuffles for a
-    * per-row computation.) */
+    * tokenize + one tight scan per row via
+    * [[graft.functions.PhraseOccurrences]]; handles repeated terms and
+    * overlapping occurrences) and no token ever leaves its row: zero
+    * shuffle, zero explode, composes on a readStream unchanged. (An
+    * earlier formulation exploded positions and chained per-term
+    * equi-joins — corpus-sized shuffles for a per-row computation.) */
   def phraseCount(df: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, s"a phrase needs >= 2 terms, got $phrase")
@@ -243,21 +243,12 @@ object Search {
   }
 
   /** Scalar form of [[phraseCount]]: occurrences of `phrase` as
-    * consecutive [[TextAnalysis.words]] tokens of `text`, as a Column —
-    * usable in any projection, batch or streaming. */
-  def phraseOccurrences(text: Column, phrase: Seq[String]): Column = {
-    require(phrase.nonEmpty, "phrase must be non-empty")
-    val ws = TextAnalysis.words(text)
-    // start positions i (0-based) with every term matching at offset j;
-    // element_at is 1-based. sequence(0, n-len) would DESCEND for short
-    // docs (negative stop), so they short-circuit to 0.
-    val starts = sequence(lit(0), size(ws) - phrase.length)
-    val matchAt = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
-      element_at(ws, i + (j + 1)) === lit(t)
-    }.reduce(_ && _)
-    when(size(ws) >= phrase.length,
-      size(filter(starts, matchAt)).cast("long")).otherwise(lit(0L))
-  }
+    * consecutive tokens of `text` ([[graft.functions.PhraseOccurrences]] —
+    * one tight per-row scan over the shared WordTok tokenizer), usable in
+    * any projection, batch or streaming; also SQL-registered as
+    * `phrase_occurrences(text, 'w1 w2 …')`. NULL text → NULL. */
+  def phraseOccurrences(text: Column, phrase: Seq[String]): Column =
+    E.column(graft.functions.PhraseOccurrences(E.expression(text), phrase))
 
   /** Append a NEW batch of documents to a persisted [[buildPostingsIndex]]
     * index without rebuilding it: the batch's postings land in the same

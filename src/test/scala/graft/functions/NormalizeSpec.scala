@@ -73,4 +73,22 @@ class NormalizeSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("string"), s"got: ${err.getMessage}")
   }
+  test("SQL surface: unicode_normalize / compression_ratio_ppm / phrase_occurrences") {
+    graft.Graft.register(spark)
+    import spark.implicits._
+    Seq(("e\u0301 big scan big scan", 1)).toDF("t", "x").createOrReplaceTempView("sqlsurf")
+    val r = spark.sql("""
+      SELECT unicode_normalize(t, 'NFC') AS nfc,
+             compression_ratio_ppm(t) AS ratio,
+             phrase_occurrences(t, 'big scan') AS n
+      FROM sqlsurf""").head
+    assert(r.getString(0).startsWith("\u00e9"), "NFC composes the accent")
+    assert(r.getLong(1) > 0L)
+    assert(r.getLong(2) == 2L, s"phrase twice: $r")
+    // constant-argument validation is an ANALYSIS-time error, like jq
+    val e = intercept[Exception] {
+      spark.sql("SELECT phrase_occurrences(t, t) FROM sqlsurf").collect()
+    }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
 }
