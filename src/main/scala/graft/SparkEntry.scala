@@ -1366,6 +1366,14 @@ object SparkEntry {
         Seq("batch", "scan"))
         .orderBy("doc_id")
     },
+    "text_chunks_overlap" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // RAG-style overlapping windows: 16-token windows every 8 tokens —
+      // facts straddling a boundary are whole in the next window
+      pipeline.TextAnalysis.wordChunksOverlap(s.table("documents"), "doc_id", "text",
+          windowWords = 16, strideWords = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
     "text_collocations" -> { (s, dir) =>
       prep(s, dir, "documents")
       // PMI-style collocation mining: top-15 adjacent pairs by integer
@@ -1996,6 +2004,18 @@ object SparkEntry {
               u AS (SELECT doc_id, CAST(unnest(range(n)) AS INT) AS chunk_id,
                            unnest(list_transform(range(n),
                              i -> array_to_string(arr[i*16+1 : i*16+16], ' '))) AS chunk
+                    FROM c)
+         SELECT doc_id, chunk_id, chunk, CAST(len(chunk) AS BIGINT) AS n_chars
+         FROM u ORDER BY doc_id, chunk_id""",
+    "text_chunks_overlap" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+              c AS (SELECT doc_id,
+                      CASE WHEN len(arr) <= 16 THEN 1
+                           ELSE CAST(ceil((len(arr) - 16) / 8.0) AS INT) + 1 END AS n, arr
+                    FROM w),
+              u AS (SELECT doc_id, CAST(unnest(range(n)) AS INT) AS chunk_id,
+                           unnest(list_transform(range(n),
+                             i -> array_to_string(arr[i*8+1 : i*8+16], ' '))) AS chunk
                     FROM c)
          SELECT doc_id, chunk_id, chunk, CAST(len(chunk) AS BIGINT) AS n_chars
          FROM u ORDER BY doc_id, chunk_id""",

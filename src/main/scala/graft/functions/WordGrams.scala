@@ -162,29 +162,40 @@ case class WordGramsTagged(child: Expression, ns: Seq[Int])
   override def prettyName: String = "word_grams_tagged"
 }
 
-/** word_chunks(text, n) → array<string>: NON-overlapping n-token windows
-  * of the RAW whitespace split — unlike the gram family this replicates
+/** word_chunks(text, n[, stride]) → array<string>: n-token windows of the
+  * RAW whitespace split, starting every `stride` tokens — `stride = n`
+  * (the default) is NON-overlapping chunking; `stride < n` is the RAG-
+  * style overlapping window (`n - stride` tokens of context repeat
+  * between neighbors). The non-overlapping form replicates
   * `transform(sequence(0, ceil(size(arr)/n)-1), i -> array_join(slice(
   * arr, i*n+1, n), ' '))` over `arr = split(text, "\\s+")` EXACTLY: java
   * split with limit -1 (no lowercasing, no empty-token filtering; leading
   * whitespace yields an empty first token, empty text yields one ""
-  * chunk), so the text_chunks DuckDB oracle keeps matching. Single pass —
-  * the lambda form re-evaluates the split once per CHUNK (O(n_words²/n)
-  * per document on the heavy tail). */
-case class WordChunks(child: Expression, n: Int)
+  * chunk), so the text_chunks DuckDB oracle keeps matching; the
+  * overlapping form covers every token with the last window starting at
+  * the latest stride multiple that still reaches new tokens. Single
+  * pass — the lambda form re-evaluates the split once per CHUNK
+  * (O(n_words²/n) per document on the heavy tail). */
+case class WordChunks(child: Expression, n: Int, strideOpt: Option[Int] = None)
     extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(n > 0)
+  private val stride = strideOpt.getOrElse(n)
+  require(stride > 0 && stride <= n,
+    s"stride must be in [1, n=$n], got $stride (stride > n would DROP tokens)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[UTF8String].toString.split("\\s+", -1)
-    val nChunks = (toks.length + n - 1) / n // toks is never empty: ceil >= 1
+    // ceil((len - n) / stride) + 1 windows once len > n; always >= 1
+    val nChunks =
+      if (toks.length <= n) 1
+      else (toks.length - n + stride - 1) / stride + 1
     val out = new Array[Any](nChunks)
     var c = 0
     while (c < nChunks) {
-      val from = c * n
+      val from = c * stride
       val until = math.min(from + n, toks.length)
       var len = until - from - 1
       var j = from

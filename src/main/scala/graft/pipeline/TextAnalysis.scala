@@ -541,6 +541,23 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 
+  /** OVERLAPPING context windows — [[wordChunks]] with a stride: windows
+    * of `windowWords` tokens starting every `strideWords` tokens, so
+    * `windowWords - strideWords` tokens of context repeat between
+    * neighbors (the RAG-retrieval chunking shape: a fact straddling a
+    * hard chunk boundary is whole in the next overlapped window). Same
+    * single-pass expression, raw-split semantics, and NULL contract as
+    * [[wordChunks]]; pure map, stream-safe. */
+  def wordChunksOverlap(df: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int, strideWords: Int): DataFrame = {
+    val chunks = coalesce(
+      E.column(graft.functions.WordChunks(E.expression(col(textCol)), windowWords,
+        Some(strideWords))),
+      array(lit(null).cast("string")))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
+
   /** Exploded (idCol, __pos, __line, __h, __elig) frame of a text column
     * split on newlines — the shared head of the line-dedup family. Lines
     * shorter than `minLineChars` are marked ineligible: blank lines and

@@ -167,4 +167,27 @@ class WordGramsSpec extends AnyFunSuite {
       assert(WordTok.tokens("I AM TITLE").toSeq == Seq("i", "am", "title"))
     } finally java.util.Locale.setDefault(dflt)
   }
+  test("overlapping word chunks: stride coverage, boundary straddle, back-compat") {
+    import org.apache.spark.sql.functions.col
+    val doc = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.wordChunksOverlap(doc, "doc_id", "text", 8, 4)
+      .select("chunk_id", "chunk").as[(Int, String)].collect().toSeq
+    // 20 tokens, window 8, stride 4 → ceil((20-8)/4)+1 = 4 windows
+    assert(got.map(_._1) == Seq(0, 1, 2, 3), s"$got")
+    assert(got(0)._2.startsWith("w1 ") && got(1)._2.startsWith("w5 "), s"$got")
+    // the boundary-straddling pair (w8, w9) is whole in window 1
+    assert(got(1)._2.contains("w8 w9"), s"$got")
+    // last window clamps at the end and still reaches the final token
+    assert(got(3)._2.endsWith("w20"), s"$got")
+    // stride == window is bit-identical to the non-overlapping form
+    val plain = graft.pipeline.TextAnalysis.wordChunks(doc, "doc_id", "text", 8)
+      .select("chunk_id", "chunk").as[(Int, String)].collect().toSeq
+    val strided = graft.pipeline.TextAnalysis.wordChunksOverlap(doc, "doc_id", "text", 8, 8)
+      .select("chunk_id", "chunk").as[(Int, String)].collect().toSeq
+    assert(plain == strided)
+    // stride > window would silently drop tokens: loud error
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.wordChunksOverlap(doc, "doc_id", "text", 8, 9).collect()
+    }
+  }
 }
