@@ -1246,6 +1246,18 @@ object SparkEntry {
           "sample_rate", "n_samples")
         .orderBy("doc_id")
     },
+    "multimodal_audio_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // FLAC STREAMINFO bit-unpacking + MP3 frame-header tables (with the
+      // ID3v2 skip exercised every 6th id); oracle recomputes the
+      // geometry arithmetically — builder and parser must agree exactly
+      val media = pipeline.Multimodal.synthesizeAudioPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeMeta(media, "payload")
+        .select("doc_id", "format", "channels", "sample_rate",
+          "bits_per_sample", "n_samples")
+        .orderBy("doc_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
@@ -2304,6 +2316,17 @@ object SparkEntry {
          SELECT sc.doc_id, sc.source, sc.quality_score
          FROM sc JOIN ok ON sc.source IS NOT DISTINCT FROM ok.source
          ORDER BY sc.doc_id""",
+    "multimodal_audio_probe" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS format,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
+                          WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 4000
+                          ELSE CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                               ELSE 32000 END END AS INT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 16 END AS INT) AS bits_per_sample,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 5000 END AS BIGINT) AS n_samples
+         FROM documents ORDER BY doc_id""",
     "multimodal_probe" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 3 <> 2 THEN 'png' ELSE 'wav' END AS format,

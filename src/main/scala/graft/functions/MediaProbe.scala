@@ -24,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP: "BM", BITMAPINFOHEADER width/height (little-endian s32)
   *  - WAV: RIFF/WAVE, fmt chunk → channels, sample rate, bits/sample;
   *    data chunk size → sample count
+  *  - FLAC: "fLaC" magic, STREAMINFO block (type 0, 34 bytes) →
+  *    sample rate (20 bits), channels (3), bits/sample (5), total
+  *    samples (36) from the packed 8-byte field
+  *  - MP3: optional ID3v2 tag (syncsafe size, footer flag honored)
+  *    skipped, then the first frame header → MPEG version × samplerate
+  *    index table, channel mode (bits/sample and duration are not
+  *    header-level concepts in MPEG audio → null)
   * Unknown / truncated / corrupt payloads yield format "unknown" with
   * null fields — never an exception (a curation pass must survive
   * arbitrary crawled bytes).
@@ -56,6 +63,9 @@ object MediaFormats {
     else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') parseWav(b)
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
+    else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)) parseMp3(b)
     else Probe("unknown")
   }
 
@@ -151,6 +161,50 @@ object MediaFormats {
     else Probe("wav", channels = ch, sampleRate = rate.toInt, bits = bits,
       nSamples = if (dataBytes < 0) null else java.lang.Long.valueOf(
         dataBytes / math.max(1, ch * bits / 8)))
+  }
+
+  private def parseFlac(b: Array[Byte]): Probe = {
+    // "fLaC"(4) + block header(4: last-flag|type, be24 length) +
+    // STREAMINFO(34): blocks(4) frames(6) then the packed 8 bytes at 18:
+    // sampleRate(20) channels-1(3) bits-1(5) totalSamples(36)
+    if (b.length < 42) return Probe("unknown")
+    if ((u8(b, 4) & 0x7f) != 0) return Probe("unknown") // first block must be STREAMINFO
+    val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (len != 34) return Probe("unknown")
+    val sr = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+    if (sr == 0) return Probe("unknown") // spec: 0 is invalid
+    val ch = ((u8(b, 20) >> 1) & 0x7) + 1
+    val bits = (((u8(b, 20) & 1) << 4) | (u8(b, 21) >> 4)) + 1
+    val total = ((u8(b, 21) & 0xf).toLong << 32) | (u8(b, 22).toLong << 24) |
+      (u8(b, 23) << 16) | (u8(b, 24) << 8) | u8(b, 25)
+    Probe("flac", channels = ch, sampleRate = sr, bits = bits,
+      nSamples = if (total == 0) null else total) // 0 = "unknown" per spec
+  }
+
+  private def parseMp3(b: Array[Byte]): Probe = {
+    // optional ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag
+    // (0x10) adds 10 more. Then the 4-byte frame header.
+    var i = 0
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+        ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+      i = 10 + size + (if ((u8(b, 5) & 0x10) != 0) 10 else 0)
+    }
+    if (i < 0 || i + 3 >= b.length) return Probe("unknown")
+    if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xe0) != 0xe0) return Probe("unknown")
+    val verBits = (u8(b, i + 1) >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    if (verBits == 1) return Probe("unknown")
+    if (((u8(b, i + 1) >> 1) & 3) == 0) return Probe("unknown") // reserved layer
+    val srIdx = (u8(b, i + 2) >> 2) & 3
+    if (srIdx == 3) return Probe("unknown") // reserved samplerate index
+    if (((u8(b, i + 2) >> 4) & 0xf) == 0xf) return Probe("unknown") // bad bitrate index
+    val sr = verBits match {
+      case 3 => Array(44100, 48000, 32000)(srIdx)
+      case 2 => Array(22050, 24000, 16000)(srIdx)
+      case _ => Array(11025, 12000, 8000)(srIdx)
+    }
+    val mode = (u8(b, i + 3) >> 6) & 3 // 3 = mono
+    Probe("mp3", channels = if (mode == 3) 1 else 2, sampleRate = sr)
   }
 }
 

@@ -87,6 +87,58 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Spec-valid FLAC / MP3 headers derived from the id — the audio twin
+    * of [[synthesizeContainerPayloads]] (even ids FLAC, odd ids MP3;
+    * every 6th MP3 carries an ID3v2 tag so the skip path is exercised).
+    * Geometry is pure id arithmetic, so an oracle recomputes it exactly. */
+  def synthesizeAudioPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 2 == 0)
+          flacHeader(channels = (1 + (id % 4) / 2).toInt,
+            rate = (8000 + (id % 8) * 4000).toInt, bits = 16,
+            totalSamples = 1000 + id % 5000)
+        else
+          mp3Header(srIdx = (id % 3).toInt, mono = id % 4 == 1,
+            id3Pad = if (id % 6 == 1) (id % 100).toInt else -1)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  private def flacHeader(channels: Int, rate: Int, bits: Int,
+                         totalSamples: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put(0x80.toByte) // last-metadata-block flag + type 0 (STREAMINFO)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(34.toByte) // be24 length
+    bb.putShort(4096.toShort); bb.putShort(4096.toShort)  // min/max block
+    bb.put(new Array[Byte](6))                            // min/max frame (unknown)
+    // packed 64 bits: rate(20) channels-1(3) bits-1(5) totalSamples(36)
+    bb.putLong((rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | (totalSamples & 0xfffffffffL))
+    bb.put(new Array[Byte](16))                           // md5 of raw audio (zeroed)
+    bb.array().take(42)
+  }
+
+  private def mp3Header(srIdx: Int, mono: Boolean, id3Pad: Int): Array[Byte] = {
+    val tag = if (id3Pad < 0) Array.empty[Byte] else {
+      val t = java.nio.ByteBuffer.allocate(10 + id3Pad)
+      t.put("ID3".getBytes("US-ASCII"))
+      t.put(3.toByte); t.put(0.toByte) // v2.3
+      t.put(0.toByte)                  // flags: no footer
+      // syncsafe size (7 bits per byte)
+      t.put(((id3Pad >> 21) & 0x7f).toByte); t.put(((id3Pad >> 14) & 0x7f).toByte)
+      t.put(((id3Pad >> 7) & 0x7f).toByte); t.put((id3Pad & 0x7f).toByte)
+      t.array() // pad bytes already zeroed
+    }
+    // MPEG1 Layer III, no CRC; bitrate index 9 (128 kbps); mode in bits 6-7
+    val frame = Array(0xff.toByte, 0xfb.toByte,
+      ((9 << 4) | (srIdx << 2)).toByte,
+      (if (mono) 0xc0 else 0x40).toByte)
+    tag ++ frame ++ new Array[Byte](16) // a few post-header bytes like real frames
+  }
+
   private def pngHeader(w: Int, h: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13 + 4) // sig + len + IHDR + fields + crc
     bb.put(graft.functions.MediaFormats.PngSig)

@@ -136,4 +136,48 @@ class MediaProbeSpec extends AnyFunSuite {
       assert(p.format == "unknown", s"expected unknown, got $p")
     }
   }
+  test("FLAC: STREAMINFO bit unpacking — hand-packed 44.1k stereo 24-bit") {
+    val bb = java.nio.ByteBuffer.allocate(42)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put(0x80.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.put(34.toByte)
+    bb.putShort(4096.toShort); bb.putShort(4096.toShort)
+    bb.put(new Array[Byte](6))
+    // rate 44100 (20 bits) | channels-1=1 (3) | bits-1=23 (5) | total 123456 (36)
+    bb.putLong((44100L << 44) | (1L << 41) | (23L << 36) | 123456L)
+    val p = MediaFormats.probe(bb.array())
+    assert(p.format == "flac" && p.sampleRate == 44100 && p.channels == 2 &&
+      p.bits == 24 && p.nSamples == 123456L, s"$p")
+    // sample rate 0 is invalid per spec; non-STREAMINFO first block rejects
+    val zr = bb.array().clone()
+    zr(18) = 0; zr(19) = 0; zr(20) = (zr(20) & 0x0f).toByte
+    assert(MediaFormats.probe(zr).format == "unknown")
+    val wrongType = bb.array().clone(); wrongType(4) = 0x81.toByte
+    assert(MediaFormats.probe(wrongType).format == "unknown")
+  }
+
+  test("MP3: frame-header tables and the ID3v2 skip") {
+    def frame(b1: Int, b2: Int, b3: Int) =
+      Array(0xff.toByte, b1.toByte, b2.toByte, b3.toByte) ++ new Array[Byte](16)
+    // MPEG1 Layer III, 44100 (idx 0), joint stereo
+    val p1 = MediaFormats.probe(frame(0xfb, 0x90, 0x40))
+    assert(p1.format == "mp3" && p1.sampleRate == 44100 && p1.channels == 2, s"$p1")
+    // MPEG2, 24000 (idx 1), mono
+    val p2 = MediaFormats.probe(frame(0xf3, 0x94, 0xc0))
+    assert(p2.format == "mp3" && p2.sampleRate == 24000 && p2.channels == 1, s"$p2")
+    // ID3v2 tag (size 100) then the frame — the skip must land on the sync
+    val tag = java.nio.ByteBuffer.allocate(110)
+    tag.put("ID3".getBytes("US-ASCII")); tag.put(3.toByte); tag.put(0.toByte)
+    tag.put(0.toByte); tag.put(0.toByte); tag.put(0.toByte); tag.put(0.toByte)
+    tag.put(100.toByte)
+    val tagged = tag.array() ++ frame(0xfb, 0x90, 0x40)
+    val p3 = MediaFormats.probe(tagged)
+    assert(p3.format == "mp3" && p3.sampleRate == 44100, s"$p3")
+    // reserved version / samplerate index / bitrate 1111 are corrupt
+    assert(MediaFormats.probe(frame(0xeb, 0x90, 0x40)).format == "unknown") // version reserved
+    assert(MediaFormats.probe(frame(0xfb, 0x9c, 0x40)).format == "unknown") // sr idx 3
+    assert(MediaFormats.probe(frame(0xfb, 0xf0, 0x40)).format == "unknown") // bitrate 1111
+    // an ID3 tag whose size overruns the buffer is unknown, never a throw
+    val overrun = tag.array().take(10) ++ new Array[Byte](5)
+    assert(MediaFormats.probe(overrun).format == "unknown")
+  }
 }
