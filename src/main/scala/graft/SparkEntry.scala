@@ -1354,6 +1354,15 @@ object SparkEntry {
       pipeline.TimeSeries.rollingDaily(s.table("events"), "user_id", "ts", "value", 7)
         .orderBy("user_id", "day")
     },
+    "events_anomalies" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // trailing-baseline z-score anomalies, integer cross-multiplied —
+      // no sqrt/float anywhere, the tested day never taints its baseline
+      pipeline.TimeSeries.anomalies(s.table("events"), "user_id", "ts", "value",
+          nDays = 7, k = 2)
+        .select("user_id", "day", "value_cents", "base_days", "base_sum", "is_anomaly")
+        .orderBy("user_id", "day")
+    },
     "search_bm25" -> { (s, dir) =>
       prep(s, dir, "documents")
       // BM25 retrieval, integer fixed point end-to-end (bit-length idf;
@@ -2435,6 +2444,30 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, day""",
+    "events_anomalies" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              g AS (SELECT s.user_id, s.day,
+                      CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              win AS (SELECT user_id, day, value_cents,
+                        CAST(count(*) OVER w AS BIGINT) AS base_days,
+                        CAST(coalesce(sum(value_cents) OVER w, 0) AS BIGINT) AS base_sum,
+                        CAST(coalesce(sum(value_cents * value_cents) OVER w, 0) AS BIGINT) AS ss
+                      FROM g
+                      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, day, value_cents, base_days, base_sum,
+                (base_days = 7 AND
+                 (value_cents * base_days - base_sum) * (value_cents * base_days - base_sum)
+                   > 4 * (base_days * ss - base_sum * base_sum)) AS is_anomaly
+         FROM win ORDER BY user_id, day""",
     "search_bm25" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

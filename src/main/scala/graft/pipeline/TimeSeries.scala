@@ -60,4 +60,46 @@ object TimeSeries {
       .withColumn("roll_events", sum(col("n_events")).over(w))
       .withColumn("roll_cents", sum(col("value_cents")).over(w))
   }
+
+  /** Daily anomaly flags: a day is anomalous when its value deviates from
+    * the TRAILING `nDays`-day baseline (the window ENDING the PREVIOUS
+    * day — the tested day never contaminates its own baseline) by more
+    * than `k` population standard deviations.
+    *
+    * The z-score test runs in INTEGER arithmetic with both sides
+    * cross-multiplied — no sqrt, no float, oracle-replayable exactly:
+    *
+    *   (v·n − Σ)² · n  >  k² · (n·Σ² − (Σ)²) · n   reduces to
+    *   (v·n − Σ)²      >  k² · (n·sumsq − sum²)
+    *
+    * (v in cents; n = baseline days actually present; a day with no full
+    * baseline — fewer than nDays prior spine days — is never flagged).
+    * Zero-variance baselines flag ANY deviation (the inequality is
+    * strict, so an exactly-on-baseline day stays quiet). Magnitude note:
+    * cents × nDays stays far under 2^63 for any realistic per-day total
+    * (overflow needs a single key moving ~$10^8 per day with a 30-day
+    * window); keep values in cents, not micro-units, at that scale.
+    *
+    * Output: the gap-filled spine + `base_days, base_sum, is_anomaly`.
+    * Same plan shape as [[rollingDaily]]: one key-partitioned window over
+    * the spine, no self-join. */
+  def anomalies(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, nDays: Int, k: Int = 3): DataFrame = {
+    require(nDays >= 2, s"a baseline needs nDays >= 2, got $nDays")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-nDays, -1) // trailing window EXCLUDING the tested day
+    resampleGapFill(events, keyCol, tsCol, valueCol)
+      .withColumn("base_days", count(lit(1)).over(w))
+      .withColumn("base_sum", coalesce(sum(col("value_cents")).over(w), lit(0L)))
+      .withColumn("__sumsq",
+        coalesce(sum(col("value_cents") * col("value_cents")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        col("base_days") === nDays && {
+          val dev = col("value_cents") * col("base_days") - col("base_sum")
+          val varN2 = col("base_days") * col("__sumsq") - col("base_sum") * col("base_sum")
+          dev * dev > lit(k.toLong * k) * varN2
+        })
+      .drop("__sumsq")
+  }
 }

@@ -60,4 +60,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     // floor(-0.4 + 0.5) = 0; floor(-0.6 + 0.5) = -1
     assert(got == Seq((1L, Date.valueOf("2024-03-05"), 2L, -1L)), s"$got")
   }
+  test("anomalies: spike flagged against its trailing baseline, never self-tainted") {
+    // user 1: 7 flat days of 1.00 then a 10.00 spike, then 7 more flat 1.00
+    // days and a day exactly on baseline
+    val rows = (1 to 7).map(d => (1L, ts(d), 1.0)) ++ Seq((1L, ts(8), 10.0)) ++
+      (9 to 15).map(d => (1L, ts(d), 1.0)) ++ Seq((1L, ts(16), 1.0))
+    val got = TimeSeries.anomalies(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", nDays = 7, k = 3)
+      .select("day", "is_anomaly").as[(Date, Boolean)].collect().toMap
+    // days 1-7 lack a full baseline → never flagged
+    (1 to 7).foreach(d => assert(!got(Date.valueOf(f"2024-03-$d%02d")),
+      s"day $d has no full baseline"))
+    // the spike deviates from a zero-variance baseline → flagged
+    assert(got(Date.valueOf("2024-03-08")), "spike must flag")
+    // day 9's baseline CONTAINS the spike (variance now > 0) but 1.00 is
+    // within 3 sigma of it; day 16 is exactly on a flat baseline — strict
+    // inequality keeps it quiet
+    assert(!got(Date.valueOf("2024-03-09")), "post-spike normal day stays quiet")
+    assert(!got(Date.valueOf("2024-03-16")), "exactly-on-baseline stays quiet")
+  }
 }
