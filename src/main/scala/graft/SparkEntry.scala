@@ -1419,6 +1419,21 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
+    "pipeline_quality_classifier" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // FineWeb-style trainable filter: hashed BoW + logistic regression
+      // trained on even ids (label: is-English), pure-map scoring of the
+      // held-out half. Rows-only by design: gradient sums are partition-
+      // order floats — reproducibility comes from persisting the model.
+      val docs = s.table("documents")
+      val model = pipeline.Classifier.train(
+        docs.where(col("doc_id") % 2 === 0)
+          .withColumn("label", (col("lang") === "en").cast("double")),
+        "text", "label", numFeatures = 1 << 14)
+      pipeline.Classifier.score(model, docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "pipeline_snapshot_diff" -> { (s, dir) =>
       prep(s, dir, "documents")
       // corpus version diff: v2 drops doc_id%7==0, rewrites text for

@@ -1170,4 +1170,35 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("floors to 0"), e.getMessage)
   }
+  test("quality classifier: separable planted data scores cleanly held-out") {
+    // "spammy" docs carry promo tokens; "clean" docs carry prose tokens —
+    // linearly separable, so a held-out split must score near-perfectly
+    val rnd = new scala.util.Random(7)
+    val spamV = Vector("buy", "free", "winner", "click", "offer", "cash")
+    val cleanV = Vector("the", "study", "results", "method", "data", "analysis")
+    def doc(v: Vector[String]) = (0 until 12).map(_ => v(rnd.nextInt(v.size))).mkString(" ")
+    val rows = (0 until 200).map { i =>
+      val spam = i % 2 == 0
+      (i.toLong, doc(if (spam) spamV else cleanV), if (spam) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "text", "label")
+    val model = Classifier.train(df.where($"id" % 4 < 2), "text", "label",
+      numFeatures = 1 << 12)
+    val held = df.where($"id" % 4 >= 2)
+    val scored = Classifier.score(model, held, "id", "text")
+      .join(held.select("id", "label"), "id")
+      .select($"label", $"quality_prob").as[(Double, Double)].collect()
+    val acc = scored.count { case (l, p) => (p >= 0.5) == (l == 1.0) }.toDouble / scored.length
+    assert(acc >= 0.98, s"separable data must score >= 0.98 held-out, got $acc")
+    // filter stage keeps only above-threshold rows
+    val kept = Classifier.filterByQuality(model, held, "id", "text", 0.5)
+    assert(kept.count() > 0 && kept.count() < held.count())
+    // persisted model round-trips and scores identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    Classifier.save(model, dir)
+    val re = Classifier.load(spark, dir)
+    val a = Classifier.score(model, held, "id", "text").orderBy("id").collect()
+    val b = Classifier.score(re, held, "id", "text").orderBy("id").collect()
+    assert(a.sameElements(b), "persisted model must score bit-identically")
+  }
 }
