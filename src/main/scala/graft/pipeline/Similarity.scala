@@ -430,6 +430,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/lists")
   }
 
+  /** Append NEW vectors to a persisted [[buildIvfIndex]] index without
+    * retraining: the stored centroids assign the batch (pure map) and its
+    * rows land in the same `list=` partition dirs (append mode — existing
+    * files untouched), so [[queryIvfIndex]] sees old and new vectors
+    * through the same partition-pruned scan with zero query-path change.
+    * The coarse quantizer is FROZEN — recall stays tied to how well the
+    * original training sample covers the new distribution; on real drift
+    * (a new embedding model, a new modality) REBUILD rather than append.
+    * Same append-only contract as the postings index: ids must be new,
+    * re-runs double-insert — gate upstream. */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     dir: String): Unit = {
+    val spark = batch.sparkSession
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list").collect().map(_.getSeq[Double](1)).toSeq
+    batch.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        E.column(graft.functions.NearestCentroids(
+          E.expression(col(vecCol)), cents, 1)).getItem(0).as("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$dir/lists")
+  }
+
   /** Query a persisted IVF index: centroids load once (driver-side, KBs),
     * the probed lists arrive through a PARTITION-PRUNED scan of `lists/`,
     * and the exact rerank runs on just those rows. Output schema matches

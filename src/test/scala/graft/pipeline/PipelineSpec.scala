@@ -1201,4 +1201,20 @@ class PipelineSpec extends AnyFunSuite {
     val b = Classifier.score(re, held, "id", "text").orderBy("id").collect()
     assert(a.sameElements(b), "persisted model must score bit-identically")
   }
+  test("appendIvfIndex: build(half) + append(half) answers like build(all)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.where($"vec_id" % 2 === 0)
+    val b = emb.where($"vec_id" % 2 === 1)
+    val dir = "target/ivf_append_spec"
+    Similarity.buildIvfIndex(a, "vec_id", "embedding", dir, nLists = 16)
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", dir)
+    val queries = emb.where($"vec_id" < 5)
+    val got = Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir,
+      k = 10, nProbe = 16) // all lists probed → candidate set is the FULL corpus
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    // probing every list makes IVF exhaustive: appended rows must be fully
+    // visible — results equal brute force exactly
+    assert(got.collect().toSet == exact.collect().toSet,
+      "appended vectors must be first-class citizens of every probed list")
+  }
 }
