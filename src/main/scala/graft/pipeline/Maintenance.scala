@@ -40,6 +40,33 @@ object Maintenance {
       .write.mode("overwrite").parquet(dst)
     (before.size, parts(dst).size, bytes)
   }
+  /** Deletion sweep — the takedown/right-to-be-forgotten pass: rewrite
+    * the parquet table at `src` into `dst` WITHOUT the rows whose id
+    * appears in `tombstones`. The tombstone set rides a BROADCAST anti
+    * join when small (the usual case — deletion requests are rare events
+    * against a huge corpus; set `broadcastTombstones = false` past the
+    * broadcast cap and both sides co-partition on id instead). One
+    * distributed pass, no driver collection of the corpus; returns
+    * (rowsBefore, rowsDeleted). `dst` must differ from `src` — plain
+    * parquet has no in-place delete, and a same-path rewrite that fails
+    * mid-write would destroy the source. */
+  def applyTombstones(spark: SparkSession, src: String, dst: String,
+                      tombstones: org.apache.spark.sql.DataFrame, idCol: String,
+                      broadcastTombstones: Boolean = true): (Long, Long) = {
+    require(new org.apache.hadoop.fs.Path(src).toUri.normalize() !=
+      new org.apache.hadoop.fs.Path(dst).toUri.normalize(),
+      "applyTombstones must write to a NEW path — a failed in-place rewrite would destroy the source")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val data = spark.read.parquet(src)
+    val ids = tombstones.select(col(idCol)).distinct()
+    val kept = data.join(
+      if (broadcastTombstones) broadcast(ids) else ids, Seq(idCol), "left_anti")
+    kept.write.mode("overwrite").parquet(dst)
+    val before = data.count()
+    val after = spark.read.parquet(dst).count()
+    (before, before - after)
+  }
+
   /** Snapshot DIFF between two corpus versions: which ids were added,
     * removed, or changed (content hash differs) — the review gate before
     * promoting a re-crawled / re-filtered corpus version. Output:

@@ -1217,4 +1217,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.collect().toSet == exact.collect().toSet,
       "appended vectors must be first-class citizens of every probed list")
   }
+  test("applyTombstones deletes exactly the listed ids, refuses in-place rewrite") {
+    val src = java.nio.file.Files.createTempDirectory("graft_tomb_src").toString
+    val dst = src + "_out"
+    (0L until 100L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .write.mode("overwrite").parquet(src)
+    val tombs = Seq(3L, 50L, 99L, 1234L).toDF("id") // 1234 absent: no-op
+    val (before, deleted) = Maintenance.applyTombstones(spark, src, dst, tombs, "id")
+    assert(before == 100L && deleted == 3L, s"($before, $deleted)")
+    val left = spark.read.parquet(dst).select("id").as[Long].collect().toSet
+    assert(!left.exists(Set(3L, 50L, 99L)) && left.size == 97)
+    intercept[IllegalArgumentException] {
+      Maintenance.applyTombstones(spark, src, src, tombs, "id")
+    }
+  }
 }
