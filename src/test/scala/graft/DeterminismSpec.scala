@@ -34,7 +34,10 @@ class DeterminismSpec extends AnyFunSuite {
     // weighted-sample cut, md5 snapshot diff
     "search_bm25", "search_keywords", "search_phrase", "text_collocations",
     "emb_label_outliers", "events_rolling_7d", "rel_interval_overlap",
-    "pipeline_weighted_sample", "pipeline_snapshot_diff")
+    "pipeline_weighted_sample", "pipeline_snapshot_diff",
+    // r7 late wave: anomaly window frames, strided chunk explode,
+    // audio-header probe map
+    "events_anomalies", "text_chunks_overlap", "multimodal_audio_probe")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
