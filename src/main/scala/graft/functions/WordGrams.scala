@@ -265,10 +265,14 @@ case class PhraseOccurrences(child: Expression, phrase: Seq[String])
     extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
     s"phrase must be non-empty tokens, got $phrase")
+  // the text side tokenizes LOWERCASED (WordTok contract) — phrase terms
+  // must join the same space or 'Big Scan' would silently match nothing
+  private val normPhrase: Seq[String] = phrase.map(WordTok.lowerLikeSpark)
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {
+    val phrase = normPhrase
     val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
     val m = w.length - phrase.length
     var c = 0L

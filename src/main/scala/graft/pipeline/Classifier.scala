@@ -38,8 +38,10 @@ object Classifier {
             regParam: Double = 1e-4): LogisticRegressionModel = {
     require(numFeatures > 0 && (numFeatures & (numFeatures - 1)) == 0,
       s"numFeatures must be a power of two, got $numFeatures")
+    // NULL text must not NPE inside HashingTF's transform UDF — crawled
+    // corpora routinely carry null bodies; they contribute an empty doc
     val toks = labeled.select(col(labelCol).cast("double").as("label"),
-      TextAnalysis.words(col(textCol)).as("__toks"))
+      coalesce(TextAnalysis.words(col(textCol)), array()).as("__toks"))
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("features")
       .setNumFeatures(numFeatures)
     new LogisticRegression().setMaxIter(maxIter).setRegParam(regParam)
@@ -54,23 +56,25 @@ object Classifier {
             idCol: String, textCol: String): DataFrame = {
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("features")
       .setNumFeatures(model.numFeatures)
-    val feats = tf.transform(
-      df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__toks")))
+    val feats = tf.transform(df.select(col(idCol),
+      coalesce(TextAnalysis.words(col(textCol)), array()).as("__toks")))
     model.transform(feats)
       .select(col(idCol),
         vector_to_array(col(model.getProbabilityCol)).getItem(1).as("quality_prob"))
   }
 
-  /** Keep rows scoring ≥ `minProb` — the filter stage. */
+  /** Keep rows scoring ≥ `minProb` — the filter stage. left_semi: df rows
+    * pass through exactly once even if ids repeat (an inner join would
+    * multiply duplicate-id rows). */
   def filterByQuality(model: LogisticRegressionModel, df: DataFrame,
                       idCol: String, textCol: String,
                       minProb: Double): DataFrame =
     df.join(score(model, df, idCol, textCol)
-      .where(col("quality_prob") >= minProb).select(idCol), idCol)
+      .where(col("quality_prob") >= minProb).select(idCol), Seq(idCol), "left_semi")
 
   def save(model: LogisticRegressionModel, path: String): Unit =
     model.write.overwrite().save(path)
 
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): LogisticRegressionModel =
+  def load(path: String): LogisticRegressionModel =
     LogisticRegressionModel.load(path)
 }

@@ -53,8 +53,17 @@ object Maintenance {
   def applyTombstones(spark: SparkSession, src: String, dst: String,
                       tombstones: org.apache.spark.sql.DataFrame, idCol: String,
                       broadcastTombstones: Boolean = true): (Long, Long) = {
-    require(new org.apache.hadoop.fs.Path(src).toUri.normalize() !=
-      new org.apache.hadoop.fs.Path(dst).toUri.normalize(),
+    // fully qualify BOTH paths through the filesystem (scheme + authority
+    // + absolute path) before comparing: "file:///data/x" vs "/data/x" or
+    // a relative alias must not slip past the guard — overwrite deletes
+    // dst before the lazy src read runs, so an aliased pair destroys the
+    // source mid-job
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).makeQualified(path)
+    }
+    require(qualified(src) != qualified(dst),
       "applyTombstones must write to a NEW path — a failed in-place rewrite would destroy the source")
     import org.apache.spark.sql.functions.{broadcast, col}
     val data = spark.read.parquet(src)

@@ -118,7 +118,7 @@ object Multimodal {
     bb.putLong((rate.toLong << 44) | ((channels - 1).toLong << 41) |
       ((bits - 1).toLong << 36) | (totalSamples & 0xfffffffffL))
     bb.put(new Array[Byte](16))                           // md5 of raw audio (zeroed)
-    bb.array().take(42)
+    bb.array() // 42 bytes exactly: 4 magic + 4 block header + 34 STREAMINFO
   }
 
   private def mp3Header(srIdx: Int, mono: Boolean, id3Pad: Int): Array[Byte] = {

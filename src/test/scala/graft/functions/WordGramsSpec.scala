@@ -190,4 +190,11 @@ class WordGramsSpec extends AnyFunSuite {
       graft.pipeline.TextAnalysis.wordChunksOverlap(doc, "doc_id", "text", 8, 9).collect()
     }
   }
+  test("phrase terms are lowercased like the text side (shared tokenizer contract)") {
+    import org.apache.spark.sql.functions.col
+    val doc = Seq((1L, "Big Scan big scan")).toDF("doc_id", "text")
+    val got = graft.pipeline.Search.phraseCount(doc, "doc_id", "text", Seq("Big", "SCAN"))
+      .select("n_occurrences").as[Long].collect().toSeq
+    assert(got == Seq(2L), s"mixed-case phrase must match the lowercased tokens: $got")
+  }
 }

@@ -1196,10 +1196,13 @@ class PipelineSpec extends AnyFunSuite {
     // persisted model round-trips and scores identically
     val dir = java.nio.file.Files.createTempDirectory("graft_lr").toString
     Classifier.save(model, dir)
-    val re = Classifier.load(spark, dir)
+    val re = Classifier.load(dir)
     val a = Classifier.score(model, held, "id", "text").orderBy("id").collect()
     val b = Classifier.score(re, held, "id", "text").orderBy("id").collect()
     assert(a.sameElements(b), "persisted model must score bit-identically")
+    // NULL text scores as an empty doc instead of NPE-ing the job
+    val withNull = Seq((9999L, Option.empty[String])).toDF("id", "text")
+    assert(Classifier.score(model, withNull, "id", "text").count() == 1L)
   }
   test("appendIvfIndex: build(half) + append(half) answers like build(all)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
