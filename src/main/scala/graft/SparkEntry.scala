@@ -1419,6 +1419,23 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
+    "pipeline_e2e_curation" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // the full curation chain in ONE composed plan — Unicode-normalize,
+      // exact-dedup keep-first, language-stratified downsample, token
+      // stats — every stage integer/hash-exact, so the END-TO-END output
+      // hash-gates against a single DuckDB CTE chain
+      val docs = s.table("documents")
+      val norm = docs.withColumn("text",
+        pipeline.TextAnalysis.normalizeUnicode(col("text"), "NFC"))
+      val dd = pipeline.Dedup.exact(norm, "doc_id", "text")
+        .where(!col("is_duplicate"))
+      val sampled = pipeline.TextAnalysis.stratifiedSample(dd, "doc_id", "lang",
+        Map("en" -> 0.75, "de" -> 0.5), defaultFraction = 0.25)
+      pipeline.TextAnalysis.tokenCounts(sampled, "text")
+        .select(col("doc_id"), col("lang"), col("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
     "pipeline_quality_classifier" -> { (s, dir) =>
       prep(s, dir, "documents")
       // FineWeb-style trainable filter: hashed BoW + logistic regression
@@ -2568,6 +2585,21 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY label ORDER BY cos_scaled, vec_id) AS rn
            FROM scored) x
          WHERE rn <= 5 ORDER BY label, rank""",
+    "pipeline_e2e_curation" ->
+      """WITH norm AS (SELECT doc_id, lang, nfc_normalize(text) AS text FROM documents),
+              dd AS (SELECT doc_id, lang, text,
+                       min(doc_id) OVER (PARTITION BY
+                         md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS keeper
+                     FROM norm),
+              kept AS (SELECT doc_id, lang, text FROM dd WHERE doc_id = keeper),
+              samp AS (SELECT doc_id, lang, text FROM kept
+                       WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                             + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                             < CASE lang WHEN 'en' THEN 192 WHEN 'de' THEN 128 ELSE 64 END)
+         SELECT doc_id, lang,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens
+         FROM samp ORDER BY doc_id""",
     "pipeline_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 1000000
