@@ -1419,6 +1419,17 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
+    "pipeline_k_anonymity" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // release-audit: (user bucket, event_type, day) combinations shared
+      // by fewer than 5 events are the re-identification risk set
+      val ev = s.table("events")
+        .select((col("user_id") % 25).as("user_bucket"), col("event_type"),
+          to_date(col("ts")).as("day"))
+      pipeline.Maintenance.kAnonymityViolations(ev,
+          Seq("user_bucket", "event_type", "day"), k = 5L)
+        .orderBy("user_bucket", "event_type", "day")
+    },
     "pipeline_e2e_curation" -> { (s, dir) =>
       prep(s, dir, "documents")
       // the full curation chain in ONE composed plan — Unicode-normalize,
@@ -2585,6 +2596,12 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY label ORDER BY cos_scaled, vec_id) AS rn
            FROM scored) x
          WHERE rn <= 5 ORDER BY label, rank""",
+    "pipeline_k_anonymity" ->
+      """SELECT user_id % 25 AS user_bucket, event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         GROUP BY 1, 2, 3 HAVING count(*) < 5
+         ORDER BY user_bucket, event_type, day""",
     "pipeline_e2e_curation" ->
       """WITH norm AS (SELECT doc_id, lang, nfc_normalize(text) AS text FROM documents),
               dd AS (SELECT doc_id, lang, text,

@@ -49,6 +49,35 @@ object Ledger {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Estimated key overlap between two corpora by inclusion-exclusion
+    * over HLL sketches: |A∩B| ≈ |A| + |B| − |A∪B| — "how many users/docs/
+    * urls do these two sources share" with ONE bounded-state aggregate
+    * per side and a sketch union, never a join (the exact intersect of
+    * two 100 TB key sets is a full co-shuffle of both). Returns
+    * (distinctA, distinctB, estOverlap). Error compounds across the three
+    * estimates (spec-asserted envelope); overlap is clamped at 0 —
+    * inclusion-exclusion on independent sketch errors can go slightly
+    * negative on disjoint sets. For small corpora the Datasketches
+    * coupon regime makes the estimates exact (spec-pinned). */
+  def overlap(a: DataFrame, b: DataFrame, keyCol: String,
+              lgConfigK: Int = 14): (Long, Long, Long) = {
+    // ONE corpus scan per side: the KB sketches collect to the driver and
+    // every estimate/union below runs on local literals
+    val spark = a.sparkSession
+    import spark.implicits._
+    def sketchOf(df: DataFrame): Array[Byte] =
+      df.agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("s"))
+        .head.getAs[Array[Byte]]("s")
+    val (sa, sb) = (sketchOf(a), sketchOf(b))
+    def est(sk: Array[Byte]*): Long = {
+      val r = sk.toSeq.toDF("s")
+        .agg(hll_sketch_estimate(hll_union_agg(col("s"), lit(true)))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val (da, db, u) = (est(sa), est(sb), est(sa, sb))
+    (da, db, math.max(0L, da + db - u))
+  }
+
   /** Per-batch distinct estimates next to the running cumulative estimate
     * — the daily-report query (one row per batch, sketches only). */
   def report(spark: SparkSession, dir: String): DataFrame = {

@@ -40,6 +40,24 @@ object Maintenance {
       .write.mode("overwrite").parquet(dst)
     (before.size, parts(dst).size, bytes)
   }
+  /** K-anonymity audit over a quasi-identifier column set: every value
+    * combination shared by FEWER than `k` rows — the groups a release
+    * would have to generalize or suppress (small groups are the
+    * re-identification risk; a combination unique to one row IS that
+    * row's fingerprint). One groupBy + HAVING; NULLs group as values
+    * (SQL GROUP BY semantics — a NULL quasi-identifier still
+    * fingerprints). Output: the quasi-identifier columns + `n`,
+    * n < k, smallest groups first. */
+  def kAnonymityViolations(df: org.apache.spark.sql.DataFrame,
+                           quasiIdCols: Seq[String], k: Long): org.apache.spark.sql.DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k = 1 can never be violated), got $k")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+  }
+
   /** Deletion sweep — the takedown/right-to-be-forgotten pass: rewrite
     * the parquet table at `src` into `dst` WITHOUT the rows whose id
     * appears in `tombstones`. The tombstone set rides a BROADCAST anti

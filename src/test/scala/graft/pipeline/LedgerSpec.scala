@@ -62,4 +62,19 @@ class LedgerSpec extends AnyFunSuite {
     assert(cum(2) == cum(1),
       "a batch of already-seen keys must not move the cumulative estimate")
   }
+  test("overlap: inclusion-exclusion over sketches, exact in the coupon regime") {
+    import spark.implicits._
+    val a = (0L until 300L).toDF("k")             // 300 keys
+    val b = (200L until 500L).toDF("k")           // 300 keys, 100 shared
+    val (da, db, ov) = Ledger.overlap(a, b, "k")
+    // small cardinalities ride the Datasketches coupon path: exact
+    assert(da == 300L && db == 300L, s"($da, $db)")
+    assert(ov == 100L, s"overlap must be exact at coupon cardinalities: $ov")
+    // disjoint sets clamp at zero, never negative
+    val (_, _, none) = Ledger.overlap(a, (1000L until 1300L).toDF("k"), "k")
+    assert(none == 0L, s"$none")
+    // empty side: zero everywhere
+    val (ea, eb, eo) = Ledger.overlap(a.where($"k" < 0), b, "k")
+    assert(ea == 0L && eo == 0L && eb == 300L, s"($ea, $eb, $eo)")
+  }
 }

@@ -1234,4 +1234,14 @@ class PipelineSpec extends AnyFunSuite {
       Maintenance.applyTombstones(spark, src, src, tombs, "id")
     }
   }
+  test("kAnonymityViolations reports exactly the small groups, NULLs included") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", Some(1)),  // group of 3: safe at k=3
+      ("b", Some(2)), ("b", Some(2)),                   // group of 2: violation
+      ("c", None), ("d", Some(9))                       // singletons incl. NULL qi
+    ).toDF("city", "age")
+    val got = Maintenance.kAnonymityViolations(df, Seq("city", "age"), k = 3L)
+      .as[(String, Option[Int], Long)].collect().toSet
+    assert(got == Set(("b", Some(2), 2L), ("c", None, 1L), ("d", Some(9), 1L)), s"$got")
+  }
 }
