@@ -1477,6 +1477,14 @@ object SparkEntry {
       pipeline.Maintenance.snapshotDiff(v1, v2, "doc_id", "text")
         .orderBy("doc_id")
     },
+    "search_snippets" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // search-result previews: ±3 tokens around the first hit of either
+      // query term — a pure map, docs without a match absent
+      pipeline.Search.snippets(s.table("documents"), "doc_id", "text",
+          Seq("dup", "window"), window = 3)
+        .orderBy("doc_id")
+    },
     "sessionize_events" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch twin of streaming.EventStreams.sessionize (30-minute gap)
@@ -2638,6 +2646,16 @@ object SparkEntry {
          FROM o FULL OUTER JOIN n USING (doc_id)
          WHERE (ho IS NULL OR hn IS NULL OR ho <> hn)
          ORDER BY doc_id""",
+    "search_snippets" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              p AS (SELECT doc_id, ws,
+                      LEAST(nullif(list_position(ws, 'dup'), 0),
+                            nullif(list_position(ws, 'window'), 0)) AS pos
+                    FROM w)
+         SELECT doc_id,
+                array_to_string(ws[greatest(pos - 3, 1) : pos + 3], ' ') AS snippet
+         FROM p WHERE pos IS NOT NULL ORDER BY doc_id""",
     "sessionize_events" ->
       """WITH g AS (SELECT user_id, ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts

@@ -294,3 +294,46 @@ case class PhraseOccurrences(child: Expression, phrase: Seq[String])
     copy(child = newChild)
   override def prettyName: String = "phrase_occurrences"
 }
+
+/** snippet_around(text, terms, window) → string: the ±`window`-token
+  * context around the FIRST occurrence of any query term — the
+  * search-result preview. Terms are lowercased through the shared
+  * tokenizer contract; the earliest match across all terms anchors the
+  * snippet (ties resolved by position, not term order); no match → NULL
+  * (a filterable miss, distinct from an empty snippet). One tokenize +
+  * one scan per row ([[WordTok]]); pure scalar, stream-safe. */
+case class SnippetAround(child: Expression, terms: Seq[String], window: Int)
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(terms.nonEmpty && terms.forall(_.nonEmpty),
+    s"terms must be non-empty, got $terms")
+  require(window >= 0, s"window must be >= 0, got $window")
+  private val normTerms: Set[String] = terms.map(WordTok.lowerLikeSpark).toSet
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
+    var i = 0
+    while (i < w.length) {
+      if (normTerms.contains(w(i))) {
+        val from = math.max(0, i - window)
+        val until = math.min(w.length, i + window + 1)
+        val sb = new java.lang.StringBuilder
+        var j = from
+        while (j < until) {
+          if (j > from) sb.append(' ')
+          sb.append(w(j))
+          j += 1
+        }
+        return UTF8String.fromString(sb.toString)
+      }
+      i += 1
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SnippetAround =
+    copy(child = newChild)
+  override def prettyName: String = "snippet_around"
+}

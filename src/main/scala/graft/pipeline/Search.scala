@@ -286,6 +286,18 @@ object Search {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Search-result snippets: the ±`window`-token context around the
+    * first occurrence of any query term, per document
+    * ([[graft.functions.SnippetAround]] — one tokenize + one scan per
+    * row, pure map, stream-safe). Docs with no match are absent. Output:
+    * `doc_id, snippet`. */
+  def snippets(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], window: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        E.column(graft.functions.SnippetAround(
+          E.expression(col(textCol)), terms, window)).as("snippet"))
+      .where(col("snippet").isNotNull)
+
   /** The buckets the query terms land in — ONE local job through Spark's
     * own xxhash64 expression (build and query can never disagree on the
     * hash; per-term jobs would serialize q scheduler round-trips onto the

@@ -122,4 +122,20 @@ class SearchSpec extends AnyFunSuite {
     val st = spark.read.parquet(s"$dir/stats").head
     assert(st.getAs[Long]("n_docs") == 4L && st.getAs[Long]("total_tokens") == 15L, s"$st")
   }
+  test("snippets: earliest match anchors, window clamps, miss is absent") {
+    val docs = Seq(
+      (1L, "a b c TARGET d e f g"),     // interior match, full window
+      (2L, "TARGET x y z"),             // match at the start: clamps left
+      (3L, "p q r s target"),           // match at the end: clamps right
+      (4L, "nothing to see here"),      // no match: absent
+      (5L, "u second v w x first y second")) // first/second: EARLIEST anchors
+      .toDF("doc_id", "text")
+    val got = Search.snippets(docs, "doc_id", "text", Seq("first", "second", "target"), 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "b c target d e",
+      2L -> "target x y",
+      3L -> "r s target",
+      5L -> "u second v w"), s"$got")
+  }
 }
