@@ -83,13 +83,30 @@ object Graft {
     graft.functions.PhraseOccurrences(args.head, phrase)
   }
 
+  private[graft] def snippetAroundBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 3)
+      throw new IllegalArgumentException("snippet_around() takes exactly three arguments.")
+    val terms = constString(args(1), "TERMS").trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty)
+      throw new IllegalArgumentException("TERMS must contain at least one token.")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val window = args(2) match {
+      case e if e.foldable &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType) =>
+        e.eval().toString.toInt
+      case _ => throw new IllegalArgumentException("WINDOW must be a constant integer.")
+    }
+    graft.functions.SnippetAround(args.head, terms, window)
+  }
+
   private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("jq", "_FUNC_(JSON, 'JQ', 'TYPE'), _FUNC_(JSON, 'JQ', 'F1:T1', ..., 'FN:TN') - jq for Spark", jqBuilder),
     ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
     ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder),
     ("unicode_normalize", "_FUNC_(TEXT, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization", unicodeNormalizeBuilder),
     ("compression_ratio_ppm", "_FUNC_(TEXT) - deflate bytes over raw bytes, ppm", compressionRatioBuilder),
-    ("phrase_occurrences", "_FUNC_(TEXT, 'w1 w2 ...') - consecutive-token phrase count", phraseOccurrencesBuilder))
+    ("phrase_occurrences", "_FUNC_(TEXT, 'w1 w2 ...') - consecutive-token phrase count", phraseOccurrencesBuilder),
+    ("snippet_around", "_FUNC_(TEXT, 'terms ...', WINDOW) - context around the first query-term hit", snippetAroundBuilder))
 
   /** Sessions already registered — weak keys so dropped sessions don't pin. */
   private val registeredSessions =

@@ -36,8 +36,10 @@ class DeterminismSpec extends AnyFunSuite {
     "emb_label_outliers", "events_rolling_7d", "rel_interval_overlap",
     "pipeline_weighted_sample", "pipeline_snapshot_diff",
     // r7 late wave: anomaly window frames, strided chunk explode,
-    // audio-header probe map
-    "events_anomalies", "text_chunks_overlap", "multimodal_audio_probe")
+    // audio-header probe map, governance groupBy, snippet map, the
+    // composed curation chain
+    "events_anomalies", "text_chunks_overlap", "multimodal_audio_probe",
+    "pipeline_k_anonymity", "search_snippets", "pipeline_e2e_curation")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -80,11 +80,13 @@ class NormalizeSpec extends AnyFunSuite {
     val r = spark.sql("""
       SELECT unicode_normalize(t, 'NFC') AS nfc,
              compression_ratio_ppm(t) AS ratio,
-             phrase_occurrences(t, 'big scan') AS n
+             phrase_occurrences(t, 'big scan') AS n,
+             snippet_around(t, 'scan', 1) AS snip
       FROM sqlsurf""").head
     assert(r.getString(0).startsWith("\u00e9"), "NFC composes the accent")
     assert(r.getLong(1) > 0L)
     assert(r.getLong(2) == 2L, s"phrase twice: $r")
+    assert(r.getString(3) == "big scan big", s"snippet: $r")
     // constant-argument validation is an ANALYSIS-time error, like jq
     val e = intercept[Exception] {
       spark.sql("SELECT phrase_occurrences(t, t) FROM sqlsurf").collect()
