@@ -1477,6 +1477,14 @@ object SparkEntry {
       pipeline.Maintenance.snapshotDiff(v1, v2, "doc_id", "text")
         .orderBy("doc_id")
     },
+    "search_hybrid" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // phrase-boosted BM25: bag-of-words score + 1e6 ppm per exact
+      // "batch scan" adjacency — both components integer, composed score
+      // hash-gated end-to-end
+      pipeline.Search.bm25PhraseBoostTopK(s.table("documents"), "doc_id", "text",
+        Seq("batch", "scan"), k = 15)
+    },
     "search_snippets" -> { (s, dir) =>
       prep(s, dir, "documents")
       // search-result previews: ±3 tokens around the first hit of either
@@ -2646,6 +2654,32 @@ object SparkEntry {
          FROM o FULL OUTER JOIN n USING (doc_id)
          WHERE (ho IS NULL OR hn IS NULL OR ho <> hn)
          ORDER BY doc_id""",
+    "search_hybrid" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot FROM w),
+              tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+              p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+                    WHERE term IN ('batch', 'scan') GROUP BY 1, 2, 3),
+              d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              bm AS (SELECT p.doc_id,
+                       CAST(sum(length(printf('%b', (SELECT n FROM st) // d.df)) *
+                         ((p.tf * 2200000000000) //
+                          (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
+                            ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))) AS BIGINT)
+                         AS bmv
+                     FROM p JOIN d USING (term) GROUP BY 1),
+              pos AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term FROM w),
+              ph AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS np
+                     FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                     WHERE a.term = 'batch' AND b.term = 'scan' GROUP BY 1),
+              sc AS (SELECT bm.doc_id,
+                       CAST(bm.bmv + 1000000 * coalesce(ph.np, 0) AS BIGINT) AS score_ppm
+                     FROM bm LEFT JOIN ph USING (doc_id))
+         SELECT CAST(rank AS INT) AS rank, doc_id, score_ppm FROM (
+           SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank, doc_id, score_ppm
+           FROM sc) t
+         WHERE rank <= 15 ORDER BY rank""",
     "search_snippets" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

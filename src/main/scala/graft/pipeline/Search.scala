@@ -286,6 +286,42 @@ object Search {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Hybrid retrieval: BM25 bag-of-words score PLUS a fixed bonus per
+    * exact-phrase occurrence — the standard "phrase-boosted" ranking
+    * (bag-of-words recall, adjacency precision). Both components are
+    * integer-exact, so the COMPOSED score hash-gates like its parts.
+    * score = bm25_ppm + phraseBonusPpm · occurrences(phrase). The phrase
+    * side is a pure map over the BM25 candidates only (already ≤ the
+    * docs matching any phrase term, since the phrase terms are query
+    * terms). Output: `rank, doc_id, score_ppm`. */
+  def bm25PhraseBoostTopK(df: DataFrame, idCol: String, textCol: String,
+                          phrase: Seq[String], k: Int,
+                          phraseBonusPpm: Long = 1000000L): DataFrame = {
+    require(phrase.length >= 2, s"a phrase needs >= 2 terms, got $phrase")
+    requireIntegralId(df, idCol, "bm25PhraseBoostTopK")
+    val (n, tot) = corpusStats(df, textCol)
+    require(n > 0 && tot > 0, s"bm25PhraseBoostTopK needs a non-empty corpus")
+    val avgdlMilli = tot * 1000L / n
+    require(avgdlMilli > 0, "avg doc length floors to 0 milli-tokens")
+    val p = Materialize.cut(postings(df, idCol, textCol)
+      .where(col("term").isin(phrase.distinct: _*)))
+    val dfs = documentFrequency(p)
+    val bm = p.join(broadcast(dfs), "term")
+      .select(col("doc_id"), bm25ContribPpm(n, avgdlMilli))
+      .groupBy("doc_id").agg(sum(col("__contrib")).as("__bm"))
+    val boosted = bm
+      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+      .select(col("doc_id"), (col("__bm") +
+        lit(phraseBonusPpm) * phraseOccurrences(col("__t"), phrase)).as("score_ppm"))
+    val agg = E.column(graft.functions.TopKPairs(
+      E.expression(col("score_ppm")), E.expression(col("doc_id").cast("long")),
+      k).toAggregateExpression())
+    boosted.agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select((col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score_ppm"))
+  }
+
   /** Search-result snippets: the ±`window`-token context around the
     * first occurrence of any query term, per document
     * ([[graft.functions.SnippetAround]] — one tokenize + one scan per

@@ -197,4 +197,24 @@ class WordGramsSpec extends AnyFunSuite {
       .select("n_occurrences").as[Long].collect().toSeq
     assert(got == Seq(2L), s"mixed-case phrase must match the lowercased tokens: $got")
   }
+  test("phrase scanner vs naive sliding window — generative agreement") {
+    // 500 random (doc, phrase) pairs over a tiny vocab so matches are
+    // plentiful: the expression must agree with the obvious reference
+    // implementation on every one, including overlapping self-matches
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "ab", "ba", "x")
+    (0 until 500).foreach { trial =>
+      val doc = (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val phrase = (0 to rnd.nextInt(2)).map(_ => vocab(rnd.nextInt(vocab.size))) ++
+        Seq(vocab(rnd.nextInt(vocab.size)))
+      val expected = (0 to doc.length - phrase.length)
+        .count(i => doc.slice(i, i + phrase.length) == phrase)
+      val got = org.apache.spark.sql.graftshim.GraftShim.column(
+        PhraseOccurrences(org.apache.spark.sql.graftshim.GraftShim.expression(
+          org.apache.spark.sql.functions.lit(doc.mkString(" "))), phrase))
+      val res = Seq(1).toDF("x").select(got.as("n")).as[Long].head()
+      assert(res == expected.toLong,
+        s"trial $trial: doc=$doc phrase=$phrase expected $expected got $res")
+    }
+  }
 }
