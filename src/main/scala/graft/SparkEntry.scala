@@ -1419,6 +1419,13 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
+    "pipeline_dataset_card" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // the release manifest: size, composition cardinality, volume, and
+      // the exact-dup rate in ppm — bit-replayable published numbers
+      pipeline.Maintenance.datasetCard(s.table("documents"),
+        "doc_id", "text", "source", "lang")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -2612,6 +2619,16 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY label ORDER BY cos_scaled, vec_id) AS rn
            FROM scored) x
          WHERE rn <= 5 ORDER BY label, rank""",
+    "pipeline_dataset_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(len(text)) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                  AS n_unique_texts,
+                CAST((count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                  * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         FROM documents""",
     "pipeline_k_anonymity" ->
       """SELECT user_id % 25 AS user_bucket, event_type, CAST(ts AS DATE) AS day,
                 CAST(count(*) AS BIGINT) AS n

@@ -40,6 +40,28 @@ object Maintenance {
       .write.mode("overwrite").parquet(dst)
     (before.size, parts(dst).size, bytes)
   }
+  /** Dataset card — the one-row release manifest: corpus size, source/
+    * language cardinality and entropy-free composition extremes, content
+    * volume, and the exact-duplicate rate, in one aggregate pass plus the
+    * dedup hash distinct. All INTEGER/ppm arithmetic (dup rate in ppm,
+    * floor) so the card is oracle-replayable bit-for-bit — a dataset's
+    * published numbers should never drift between engines. */
+  def datasetCard(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, sourceCol: String,
+                  langCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("total_chars"),
+      countDistinct(md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+        .as("n_unique_texts"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"), col("total_chars"),
+        col("n_unique_texts"),
+        expr("(n_docs - n_unique_texts) * 1000000L DIV n_docs").as("dup_ppm"))
+  }
+
   /** K-anonymity audit over a quasi-identifier column set: every value
     * combination shared by FEWER than `k` rows — the groups a release
     * would have to generalize or suppress (small groups are the

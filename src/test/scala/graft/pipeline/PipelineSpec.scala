@@ -1244,4 +1244,16 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Option[Int], Long)].collect().toSet
     assert(got == Set(("b", Some(2), 2L), ("c", None, 1L), ("d", Some(9), 1L)), s"$got")
   }
+  test("datasetCard: one-row manifest with exact integer dup rate") {
+    val docs = Seq(
+      (1L, "same text", "web", "en"),
+      (2L, "same  text", "web", "en"),   // whitespace-normalized dup of 1
+      (3L, "other", "books", "de"),
+      (4L, "third", "web", "en")).toDF("doc_id", "text", "source", "lang")
+    val card = Maintenance.datasetCard(docs, "doc_id", "text", "source", "lang")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // 4 docs, 2 sources, 2 langs, 3 unique texts, dup_ppm = 1e6/4 = 250000
+    assert(card == (4L, 2L, 2L, ("same text" + "same  text" + "other" + "third").length.toLong,
+      3L, 250000L), s"$card")
+  }
 }
