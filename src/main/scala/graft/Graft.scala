@@ -93,13 +93,21 @@ object Graft {
     val window = args(2) match {
       case e if e.foldable &&
         Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType) =>
-        e.eval().toString.toInt
+        e.eval() match {
+          case null => throw new IllegalArgumentException(
+            "WINDOW must be a non-null constant integer.")
+          case v =>
+            val l = v.asInstanceOf[Number].longValue
+            if (l < 0 || l > Int.MaxValue) throw new IllegalArgumentException(
+              s"WINDOW must be in [0, ${Int.MaxValue}], got $l")
+            l.toInt
+        }
       case _ => throw new IllegalArgumentException("WINDOW must be a constant integer.")
     }
     graft.functions.SnippetAround(args.head, terms, window)
   }
 
-  private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("jq", "_FUNC_(JSON, 'JQ', 'TYPE'), _FUNC_(JSON, 'JQ', 'F1:T1', ..., 'FN:TN') - jq for Spark", jqBuilder),
     ("jq_string", "_FUNC_(JSON, 'JQ') - first jq output as string", jqStringBuilder),
     ("jq_extract_all", "_FUNC_(JSON, 'JQ') - all jq outputs as array<string>", jqExtractAllBuilder),
@@ -145,14 +153,14 @@ object Graft {
 
 }
 
-/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.GraftExtensions` — injects the SAME
+  * function surface as [[Graft.register]] (jq trio + the text scalars), so
+  * a cluster deployed via `spark.sql.extensions` and a notebook calling
+  * `register` see one SQL surface. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("jq"),
-      new ExpressionInfo("graft", "jq"), Graft.jqBuilder))
-    e.injectFunction((FunctionIdentifier("jq_string"),
-      new ExpressionInfo("graft", "jq_string"), Graft.jqStringBuilder))
-    e.injectFunction((FunctionIdentifier("jq_extract_all"),
-      new ExpressionInfo("graft", "jq_extract_all"), Graft.jqExtractAllBuilder))
-  }
+  def apply(e: SparkSessionExtensions): Unit =
+    Graft.all.foreach { case (name, _, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
 }

@@ -2624,10 +2624,13 @@ object SparkEntry {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                 CAST(sum(len(text)) AS BIGINT) AS total_chars,
-                CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     + coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
                   AS n_unique_texts,
-                CAST((count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))))
-                  * 1000000 // count(*) AS BIGINT) AS dup_ppm
+                CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+                  (count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   - coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0))
+                  * 1000000 // count(*) END AS BIGINT) AS dup_ppm
          FROM documents""",
     "pipeline_k_anonymity" ->
       """SELECT user_id % 25 AS user_bucket, event_type, CAST(ts AS DATE) AS day,

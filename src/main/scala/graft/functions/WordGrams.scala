@@ -318,7 +318,10 @@ case class SnippetAround(child: Expression, terms: Seq[String], window: Int)
     while (i < w.length) {
       if (normTerms.contains(w(i))) {
         val from = math.max(0, i - window)
-        val until = math.min(w.length, i + window + 1)
+        // Long math: i + window + 1 overflows Int for window near
+        // Int.MaxValue, which would silently yield an EMPTY snippet for a
+        // real hit — an oversized window must clamp to the whole doc
+        val until = math.min(w.length.toLong, i.toLong + window.toLong + 1L).toInt
         val sb = new java.lang.StringBuilder
         var j = from
         while (j < until) {

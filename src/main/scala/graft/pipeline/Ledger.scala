@@ -55,9 +55,10 @@ object Ledger {
     * per side and a sketch union, never a join (the exact intersect of
     * two 100 TB key sets is a full co-shuffle of both). Returns
     * (distinctA, distinctB, estOverlap). Error compounds across the three
-    * estimates (spec-asserted envelope); overlap is clamped at 0 —
-    * inclusion-exclusion on independent sketch errors can go slightly
-    * negative on disjoint sets. For small corpora the Datasketches
+    * estimates (spec-asserted envelope); overlap is clamped to
+    * [0, min(|A|,|B|)] — inclusion-exclusion on independent sketch
+    * errors can go slightly negative on disjoint sets and slightly past
+    * the smaller corpus when A ⊂ B. For small corpora the Datasketches
     * coupon regime makes the estimates exact (spec-pinned). */
   def overlap(a: DataFrame, b: DataFrame, keyCol: String,
               lgConfigK: Int = 14): (Long, Long, Long) = {
@@ -75,7 +76,10 @@ object Ledger {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val (da, db, u) = (est(sa), est(sb), est(sa, sb))
-    (da, db, math.max(0L, da + db - u))
+    // clamp both ends: independent sketch errors can push the
+    // inclusion-exclusion estimate below 0 (disjoint sets) or above
+    // min(|A|,|B|) (A ⊂ B) — neither is a possible overlap
+    (da, db, math.min(math.max(0L, da + db - u), math.min(da, db)))
   }
 
   /** Per-batch distinct estimates next to the running cumulative estimate

@@ -41,11 +41,15 @@ object Maintenance {
     (before.size, parts(dst).size, bytes)
   }
   /** Dataset card — the one-row release manifest: corpus size, source/
-    * language cardinality and entropy-free composition extremes, content
-    * volume, and the exact-duplicate rate, in one aggregate pass plus the
-    * dedup hash distinct. All INTEGER/ppm arithmetic (dup rate in ppm,
-    * floor) so the card is oracle-replayable bit-for-bit — a dataset's
-    * published numbers should never drift between engines. */
+    * language cardinality, content volume, and the exact-duplicate rate,
+    * in one aggregate pass plus the dedup hash distinct. All INTEGER/ppm
+    * arithmetic (dup rate in ppm, floor) so the card is oracle-replayable
+    * bit-for-bit — a dataset's published numbers should never drift
+    * between engines. NULL-text rows count as ONE unique text among
+    * themselves (SQL GROUP BY semantics, matching [[Dedup.exact]]'s
+    * hash-groupBy which keeps one NULL row) — countDistinct alone would
+    * skip them and report phantom duplicates. An empty corpus yields the
+    * all-zeros card, not a divide-by-zero. */
   def datasetCard(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, sourceCol: String,
                   langCol: String): org.apache.spark.sql.DataFrame = {
@@ -55,11 +59,13 @@ object Maintenance {
       countDistinct(col(sourceCol)).as("n_sources"),
       countDistinct(col(langCol)).as("n_langs"),
       coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("total_chars"),
-      countDistinct(md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      (countDistinct(md5(regexp_replace(lower(col(textCol)), "\\s+", " "))) +
+        coalesce(max(when(col(textCol).isNull, 1L).otherwise(0L)), lit(0L)))
         .as("n_unique_texts"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"), col("total_chars"),
         col("n_unique_texts"),
-        expr("(n_docs - n_unique_texts) * 1000000L DIV n_docs").as("dup_ppm"))
+        expr("CASE WHEN n_docs = 0 THEN 0L ELSE (n_docs - n_unique_texts) * 1000000L DIV n_docs END")
+          .as("dup_ppm"))
   }
 
   /** K-anonymity audit over a quasi-identifier column set: every value
@@ -68,8 +74,9 @@ object Maintenance {
     * re-identification risk; a combination unique to one row IS that
     * row's fingerprint). One groupBy + HAVING; NULLs group as values
     * (SQL GROUP BY semantics — a NULL quasi-identifier still
-    * fingerprints). Output: the quasi-identifier columns + `n`,
-    * n < k, smallest groups first. */
+    * fingerprints). Output: the quasi-identifier columns + `n` with
+    * n < k; row order is unspecified (post-groupBy, partition-dependent)
+    * — add `.orderBy("n")` to triage smallest groups first. */
   def kAnonymityViolations(df: org.apache.spark.sql.DataFrame,
                            quasiIdCols: Seq[String], k: Long): org.apache.spark.sql.DataFrame = {
     require(quasiIdCols.nonEmpty, "need at least one quasi-identifier column")

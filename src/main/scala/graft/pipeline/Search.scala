@@ -131,12 +131,26 @@ object Search {
     * query-term postings → broadcast df join → per-doc sum → global
     * bounded top-k. */
   private def scoreAndRank(queryPostings: DataFrame, n: Long,
-                           avgdlMilli: Long, k: Int): DataFrame = {
+                           avgdlMilli: Long, k: Int): DataFrame =
+    rankTopK(bm25Scores(queryPostings, n, avgdlMilli), k)
+
+  /** Per-doc BM25 sum over query-term postings: postings → broadcast
+    * document-frequency join → per-doc contribution sum → one
+    * `(doc_id, score_ppm)` row per candidate. */
+  private def bm25Scores(queryPostings: DataFrame, n: Long,
+                         avgdlMilli: Long): DataFrame = {
     val p = Materialize.cut(queryPostings) // consumed twice: df stats + scoring
     val dfs = documentFrequency(p)
-    val scored = p.join(broadcast(dfs), "term")
+    p.join(broadcast(dfs), "term")
       .select(col("doc_id"), bm25ContribPpm(n, avgdlMilli))
       .groupBy("doc_id").agg(sum(col("__contrib")).as("score_ppm"))
+  }
+
+  /** Global bounded top-k over `(doc_id, score_ppm)` rows via ONE
+    * [[graft.functions.TopKPairs]] aggregate (k-sized states shuffle, no
+    * window), exploded to `rank, doc_id, score_ppm`. Tie order: score
+    * DESC, id ASC. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = E.column(graft.functions.TopKPairs(
       E.expression(col("score_ppm")), E.expression(col("doc_id").cast("long")),
       k).toAggregateExpression())
@@ -291,9 +305,11 @@ object Search {
     * (bag-of-words recall, adjacency precision). Both components are
     * integer-exact, so the COMPOSED score hash-gates like its parts.
     * score = bm25_ppm + phraseBonusPpm · occurrences(phrase). The phrase
-    * side is a pure map over the BM25 candidates only (already ≤ the
-    * docs matching any phrase term, since the phrase terms are query
-    * terms). Output: `rank, doc_id, score_ppm`. */
+    * count is computed in the doc-side PROJECTION, before the join — so
+    * only `(doc_id, occurrences)` longs cross the exchange, never
+    * document bodies (the "ship digests, not bodies" discipline; the
+    * tokenize is a pure map on the same corpus scan postings already
+    * pays). Output: `rank, doc_id, score_ppm`. */
   def bm25PhraseBoostTopK(df: DataFrame, idCol: String, textCol: String,
                           phrase: Seq[String], k: Int,
                           phraseBonusPpm: Long = 1000000L): DataFrame = {
@@ -303,23 +319,15 @@ object Search {
     require(n > 0 && tot > 0, s"bm25PhraseBoostTopK needs a non-empty corpus")
     val avgdlMilli = tot * 1000L / n
     require(avgdlMilli > 0, "avg doc length floors to 0 milli-tokens")
-    val p = Materialize.cut(postings(df, idCol, textCol)
-      .where(col("term").isin(phrase.distinct: _*)))
-    val dfs = documentFrequency(p)
-    val bm = p.join(broadcast(dfs), "term")
-      .select(col("doc_id"), bm25ContribPpm(n, avgdlMilli))
-      .groupBy("doc_id").agg(sum(col("__contrib")).as("__bm"))
-    val boosted = bm
-      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
-      .select(col("doc_id"), (col("__bm") +
-        lit(phraseBonusPpm) * phraseOccurrences(col("__t"), phrase)).as("score_ppm"))
-    val agg = E.column(graft.functions.TopKPairs(
-      E.expression(col("score_ppm")), E.expression(col("doc_id").cast("long")),
-      k).toAggregateExpression())
-    boosted.agg(agg.as("__top"))
-      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select((col("__pos") + 1).cast("int").as("rank"),
-        col("__e.id").as("doc_id"), col("__e.score").as("score_ppm"))
+    val p = postings(df, idCol, textCol)
+      .where(col("term").isin(phrase.distinct: _*))
+    val bm = bm25Scores(p, n, avgdlMilli).withColumnRenamed("score_ppm", "__bm")
+    val occ = df.select(col(idCol).as("doc_id"),
+      phraseOccurrences(col(textCol), phrase).as("__occ"))
+    val boosted = bm.join(occ, "doc_id")
+      .select(col("doc_id"),
+        (col("__bm") + lit(phraseBonusPpm) * col("__occ")).as("score_ppm"))
+    rankTopK(boosted, k)
   }
 
   /** Search-result snippets: the ±`window`-token context around the

@@ -209,10 +209,11 @@ class WordGramsSpec extends AnyFunSuite {
         Seq(vocab(rnd.nextInt(vocab.size)))
       val expected = (0 to doc.length - phrase.length)
         .count(i => doc.slice(i, i + phrase.length) == phrase)
-      val got = org.apache.spark.sql.graftshim.GraftShim.column(
-        PhraseOccurrences(org.apache.spark.sql.graftshim.GraftShim.expression(
-          org.apache.spark.sql.functions.lit(doc.mkString(" "))), phrase))
-      val res = Seq(1).toDF("x").select(got.as("n")).as[Long].head()
+      // direct expression eval — 500 one-row Spark jobs would test the
+      // same scalar code path at 500 scheduler round-trips' cost
+      val res = PhraseOccurrences(
+        org.apache.spark.sql.catalyst.expressions.Literal(doc.mkString(" ")),
+        phrase).eval(null).asInstanceOf[Long]
       assert(res == expected.toLong,
         s"trial $trial: doc=$doc phrase=$phrase expected $expected got $res")
     }
