@@ -1426,6 +1426,20 @@ object SparkEntry {
       pipeline.Maintenance.datasetCard(s.table("documents"),
         "doc_id", "text", "source", "lang")
     },
+    "graph_pagerank" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // integer fixed-point PageRank over the bidirected customer↔supplier
+      // trade graph (distinct order pairs; suppliers offset by 1e6 into
+      // the shared node id space) — 5 iterations, bit-replayable
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -1519,7 +1533,35 @@ object SparkEntry {
         ORDER BY h, event_type""")
     })
 
+  /** DuckDB replay of [[pipeline.Graph.pageRank]] with the iterations
+    * UNROLLED as chained CTEs (standard SQL forbids aggregation inside a
+    * recursive term, and unrolling keeps every engine on the plain-join
+    * path). Must mirror the Spark edge build in `graph_pagerank` exactly:
+    * bidirected customer↔supplier edges, suppliers offset by 1e6. */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""pr$i AS (SELECT n.node,
+         |  CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // d.dg) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |                 JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, sp + 1000000 AS dst FROM e0
+       |          UNION ALL SELECT sp + 1000000 AS src, c AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS rank_ppm FROM pr$iterations ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracleSql(5),
     "jq_single_int" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",

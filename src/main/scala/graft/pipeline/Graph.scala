@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. Like
+  * [[Dedup.connectedComponents]], the edge table is shuffled onto the
+  * per-round join key ONCE and every iteration reuses that layout — at
+  * 100 TB the edges are the big side, and not re-exchanging them per
+  * round is the difference between O(rounds) and O(1) passes. */
+object Graph {
+
+  /** PageRank in INTEGER fixed-point (ppm) arithmetic — every rank is an
+    * exact integer, so a run is bit-replayable by any engine that floors
+    * integer division (oracle-gated vs DuckDB; float PageRank drifts a
+    * ulp per iteration per engine). Semantics per iteration:
+    *
+    *   contrib(edge s→d) = rank(s) DIV outdeg(s)            (floor)
+    *   rank'(v) = (1e6 − dampingPpm)
+    *            + dampingPpm · Σ_{s→v} contrib DIV 1e6      (floor)
+    *
+    * starting from rank = 1 000 000 for every node that appears as a src
+    * or dst. Runs a FIXED `iterations` count (PageRank converges
+    * geometrically; a fixed horizon keeps the result a pure function of
+    * the input — no float-epsilon stopping rule to drift). Dangling
+    * nodes (no out-edges) keep receiving but stop forwarding mass — the
+    * standard "mass drop" variant, chosen over global redistribution
+    * because it needs no per-iteration global scalar; feed a bidirected
+    * edge set if every node must forward.
+    *
+    * Overflow envelope (documented, not silently wrong): per-node
+    * contributions sum in DECIMAL(38,0) — exact at any in-degree — and
+    * the damped product stays ≤ 1e6·(1e6·|V|), within decimal(38,0) for
+    * any |V| a cluster can hold; the final rank is ≤ 1e6·|V|, cast back
+    * to BIGINT (exact to |V| ≤ 9·10^12 nodes).
+    *
+    * Plan shape: edges+outdeg materialize partitioned by src once; each
+    * iteration is ranks→(join on src, reusing the edge layout)→groupBy
+    * dst→left join onto the node set (both sides hash-partitioned on the
+    * node key — no extra exchange). Output: `node, rank_ppm`. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, dampingPpm: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations must be in [1, 1000], got $iterations")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 1000000], got $dampingPpm")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = Materialize.cut(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct()
+        .repartition(col("node")))
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // the ONE exchange the edges ever see: partitioned by src, the
+    // per-round join key, with out-degree already attached
+    val ej = Materialize.cut(
+      e0.join(deg, "src").repartition(col("src")))
+    val basePpm = 1000000L - dampingPpm
+    var ranks = Materialize.cut(
+      nodes.select(col("node"), lit(1000000L).as("rank_ppm")))
+    // released at the END: under the persist strategy nothing forces a
+    // round's frame until the next round's cut (or the caller's action),
+    // so an in-loop release would schedule recomputes; rounds hold only
+    // node-sized frames, far below the edge table this loop never copies
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iterations) {
+      val contribs = ej.join(ranks, ej("src") === ranks("node"))
+        .select(col("dst"), expr("rank_ppm DIV __deg").as("__c"))
+        .groupBy("dst")
+        .agg(sum(col("__c").cast("decimal(38,0)")).as("__s"))
+      val next = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(nodes("node"),
+          expr(s"CAST($basePpm + ($dampingPpm * coalesce(__s, CAST(0 AS DECIMAL(38,0)))) DIV 1000000 AS BIGINT)")
+            .as("rank_ppm"))
+      retired += ranks
+      ranks = Materialize.cut(next)
+    }
+    Materialize.release(ej)
+    Materialize.release(nodes)
+    retired.foreach(Materialize.release)
+    ranks
+  }
+}

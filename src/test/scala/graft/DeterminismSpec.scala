@@ -39,7 +39,10 @@ class DeterminismSpec extends AnyFunSuite {
     // audio-header probe map, governance groupBy, snippet map, the
     // composed curation chain
     "events_anomalies", "text_chunks_overlap", "multimodal_audio_probe",
-    "pipeline_k_anonymity", "search_snippets", "pipeline_e2e_curation")
+    "pipeline_k_anonymity", "search_snippets", "pipeline_e2e_curation",
+    // r7 continued: iterative integer PageRank (per-round join + agg must
+    // not see partitioning)
+    "graph_pagerank")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -42,7 +42,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("GraftExtensions injects all SQL functions via spark.sql.extensions") {
     val names = GraftShim.extensionFunctionNames(new GraftExtensions()(_))
-    Seq("jq", "jq_string", "jq_extract_all").foreach(f =>
+    // the ENTIRE register() surface, so the two deployment paths can't
+    // drift apart again (extensions used to inject only the jq trio)
+    graft.Graft.all.map(_._1).foreach(f =>
       assert(names.contains(f), s"$f not injected by GraftExtensions"))
   }
 

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SharedSpark
+
+/** Integer fixed-point PageRank: hand-computed ranks on tiny graphs, the
+  * dangling-node mass-drop contract, and damping bounds. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark = SharedSpark.session
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("symmetric cycle is the fixpoint: every rank stays exactly 1000000") {
+    // a <-> b: deg 1 each, each forwards its whole rank every round
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), 7)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L), s"got $r")
+  }
+
+  test("bidirected star: two hand-computed iterations, exact floor arithmetic") {
+    // a=1 hub; b=2, c=3 leaves; edges a->b, a->c, b->a, c->a
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    // iter 1: a gets 1e6+1e6 -> 150000 + 850000*2000000 DIV 1e6 = 1850000
+    //         b,c get 1e6 DIV 2 -> 150000 + 850000*500000 DIV 1e6 = 575000
+    val r1 = ranks(edges, 1)
+    assert(r1 == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L), s"got $r1")
+    // iter 2: a gets 575000*2 -> 150000 + 850000*1150000 DIV 1e6 = 1127500
+    //         b,c get 1850000 DIV 2 = 925000 -> 150000 + 786250 = 936250
+    val r2 = ranks(edges, 2)
+    assert(r2 == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L), s"got $r2")
+  }
+
+  test("dangling node keeps receiving but forwards nothing (mass drop)") {
+    // a -> b only: b has no out-edges; a receives nothing
+    val r = ranks(Seq((1L, 2L)), 1)
+    assert(r == Map(1L -> 150000L, 2L -> 1000000L), s"got $r")
+    // next round b's mass vanishes instead of wrapping anywhere
+    val r2 = ranks(Seq((1L, 2L)), 2)
+    assert(r2 == Map(1L -> 150000L, 2L -> 277500L), s"got $r2")
+  }
+
+  test("total mass is conserved on a dangling-free graph") {
+    // bidirected random-ish graph: every node forwards, so the only mass
+    // loss is floor truncation — bounded by (edges + nodes) ulps per round
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val edges = base ++ base.map { case (s, d) => (d, s) }
+    val r = ranks(edges, 5)
+    val total = r.values.sum
+    val n = r.size
+    assert(total <= n * 1000000L, s"mass created: $total > ${n * 1000000L}")
+    assert(total >= n * 1000000L - 5 * (edges.size + n),
+      s"mass lost beyond floor truncation: $total")
+  }
+
+  test("damping 1000000 removes the teleport term; 0 freezes ranks at the base") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val full = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 3,
+      dampingPpm = 1000000L).collect().map(_.getLong(1)).toSeq
+    assert(full.forall(_ == 1000000L), s"got $full")
+    // damping 0: rank' = base = 1e6 regardless of the graph
+    val none = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 3,
+      dampingPpm = 0L).collect().map(_.getLong(1)).toSeq
+    assert(none.forall(_ == 1000000L), s"got $none")
+  }
+
+  test("iteration and damping bounds are validated") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", 1, dampingPpm = 1000001L))
+  }
+}
