@@ -722,6 +722,18 @@ object SparkEntry {
               FROM lineitem GROUP BY l_returnflag)
         ORDER BY l_returnflag""")
     },
+    "rel_quantile_buckets" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // equal-frequency discretizer: 8 exact-percentile price buckets,
+      // boundary pass + pure-map assignment (no window, no join)
+      val cents = expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      pipeline.Relational.quantileBuckets(s.table("lineitem"),
+          "l_extendedprice", nBuckets = 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(cents).as("min_cents"),
+          max(cents).as("max_cents"))
+        .orderBy("bucket")
+    },
     "rel_pivot" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // DataFrame pivot with explicit value list (stable columns)
@@ -780,6 +792,22 @@ object SparkEntry {
           salts = 16, resultCol = "cents")
         .withColumn("cents", col("cents").cast("long"))
         .orderBy("l_returnflag")
+    },
+    "rel_skew_join" -> { (s, dir) =>
+      prep(s, dir, "lineitem", "supplier", "nation")
+      // salt-and-replicate equi join: lineitem (big, hot suppkeys) against
+      // supplier without broadcasting and without one-reducer hot keys;
+      // result must equal the plain join bit-for-bit
+      val li = s.table("lineitem").select(col("l_suppkey").as("s_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      val sup = s.table("supplier").join(s.table("nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      pipeline.Skew.replicatedJoin(li, sup, Seq("s_suppkey"), replication = 8)
+        .groupBy("n_name").agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
     },
     // ---- LLM-pipeline ops (SURVEY §2.4) ---------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -1506,6 +1534,18 @@ object SparkEntry {
       pipeline.Search.bm25PhraseBoostTopK(s.table("documents"), "doc_id", "text",
         Seq("batch", "scan"), k = 15)
     },
+    "search_rrf" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // reciprocal-rank fusion: BM25 relevance list × a document-length
+      // prior list — incomparable raw scores, fused on RANKS alone with
+      // integer 1e6 DIV (60 + rank) contributions
+      val docs = s.table("documents")
+      val bm = pipeline.Search.bm25TopK(docs, "doc_id", "text",
+        Seq("dup", "spark", "join"), 100)
+      val lenPrior = pipeline.Search.rankByScore(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 100)
+      pipeline.Search.rrfFuse(Seq(bm, lenPrior), k = 10)
+    },
     "search_snippets" -> { (s, dir) =>
       prep(s, dir, "documents")
       // search-result previews: ±3 tokens around the first hit of either
@@ -1963,6 +2003,15 @@ object SparkEntry {
                       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS ps
                FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
+    "rel_quantile_buckets" ->
+      """WITH b AS (SELECT unnest(quantile_cont(l_extendedprice,
+                      [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS q FROM lineitem),
+              bc AS (SELECT CAST(floor(q * 100 + 0.5) AS BIGINT) AS c FROM b),
+              v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+              x AS (SELECT cents, (SELECT count(*) FROM bc WHERE v.cents > bc.c) AS bucket FROM v)
+         SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM x GROUP BY bucket ORDER BY bucket""",
     "rel_pivot" ->
       """SELECT l_returnflag,
                 CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
@@ -1993,6 +2042,14 @@ object SparkEntry {
       """SELECT l_returnflag,
                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_skew_join" ->
+      """SELECT n_name,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS n
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
                 CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_dup,
@@ -2716,6 +2773,29 @@ object SparkEntry {
          FROM o FULL OUTER JOIN n USING (doc_id)
          WHERE (ho IS NULL OR hn IS NULL OR ho <> hn)
          ORDER BY doc_id""",
+    "search_rrf" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot FROM w),
+              tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+              p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+                    WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
+              d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              sc AS (SELECT p.doc_id,
+                       CAST(sum(length(printf('%b', (SELECT n FROM st) // d.df)) *
+                         ((p.tf * 2200000000000) //
+                          (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
+                            ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))) AS BIGINT)
+                         AS score_ppm
+                     FROM p JOIN d USING (term) GROUP BY 1),
+              bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank FROM sc),
+              lpr AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM documents),
+              u AS (SELECT doc_id, rank FROM bmr WHERE rank <= 100
+                    UNION ALL SELECT doc_id, rank FROM lpr WHERE rank <= 100),
+              f AS (SELECT doc_id, sum(1000000 // (60 + rank)) AS s FROM u GROUP BY doc_id)
+         SELECT CAST(rank AS INT) AS rank, doc_id, CAST(s AS BIGINT) AS score_ppm FROM (
+           SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rank, doc_id, s FROM f) t
+         WHERE rank <= 10 ORDER BY rank""",
     "search_hybrid" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

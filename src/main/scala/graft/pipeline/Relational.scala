@@ -197,4 +197,37 @@ object Relational {
     rightCols.foldLeft(joined)((df, c) => df.withColumn(c + suffix, col(s"__match.$c")))
       .select((leftCols ++ rightCols.map(_ + suffix)).map(col): _*)
   }
+
+  /** Equal-frequency quantile bucketing (the feature-engineering
+    * "discretizer"): adds `outCol` = number of quantile boundaries the
+    * row's value exceeds, bucket ∈ [0, nBuckets). Boundaries are EXACT
+    * R-7 interpolated percentiles (one aggregate pass — same rule as
+    * DuckDB `quantile_cont`, parity proven by `rel_percentiles`),
+    * quantized to cents so the comparison is integer-exact cross-engine;
+    * values are quantized the same way before comparing. Pass 2 is a pure
+    * map against the collected boundary array (nBuckets−1 longs — a
+    * driver literal, broadcast with the plan; never a join). Ties sharing
+    * a boundary value all land in the lower bucket — equal-frequency up
+    * to tie mass, deterministic always. */
+  def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                      outCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be in [2, 1000], got $nBuckets")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists")
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val row = df.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(", ")}))")).head
+    require(!row.isNullAt(0), "quantileBuckets needs a non-empty input")
+    val boundaries = row.getSeq[Double](0)
+      .map(q => math.floor(q * 100 + 0.5).toLong).toArray
+    val cents = expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)")
+    // ONE array literal + a size(filter(...)) scan per row: no chained
+    // CASE blowup at large nBuckets, no per-element re-derivation (the
+    // lambda compares against a precomputed column, not an expression)
+    df.withColumn("__cents", cents)
+      .withColumn(outCol,
+        size(filter(lit(boundaries), b => col("__cents") > b)))
+      .drop("__cents")
+  }
 }

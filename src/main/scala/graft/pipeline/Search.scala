@@ -330,6 +330,44 @@ object Search {
     rankTopK(boosted, k)
   }
 
+  /** Rank documents by an arbitrary INTEGER score through the bounded
+    * top-k aggregate — the generic "prior" list for fusion (length,
+    * recency, quality score). Ties break score DESC then id ASC, the
+    * [[graft.functions.TopKPairs]] contract, so the list is deterministic
+    * and SQL-replayable. Output: `rank, doc_id, score_ppm`. */
+  def rankByScore(df: DataFrame, idCol: String, scoreCol: String,
+                  k: Int): DataFrame = {
+    requireIntegralId(df, idCol, "rankByScore")
+    requireIntegralId(df, scoreCol, "rankByScore")
+    rankTopK(df.select(col(idCol).as("doc_id"),
+      col(scoreCol).cast("long").as("score_ppm")), k)
+  }
+
+  /** Reciprocal-rank fusion of ranked lists (`rank, doc_id, ...` as
+    * produced by [[bm25TopK]], [[rankByScore]], or the ANN rankers):
+    * fused(doc) = Σ_lists 1e6 DIV (k0 + rank(doc)) — the standard way to
+    * combine retrieval signals whose raw scores are incomparable (BM25
+    * ppm vs cosine vs a length prior); only the RANKS matter. Integer
+    * division keeps the fused score exact, so the composition hash-gates
+    * like its inputs. Docs absent from a list contribute nothing for it.
+    * One union + one bounded top-k — the lists are already ≤ their own k
+    * rows, so this never touches the corpus. Output:
+    * `rank, doc_id, score_ppm` (score is the fused RRF value). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Long = 60L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    lists.foreach { l =>
+      require(l.columns.contains("doc_id") && l.columns.contains("rank"),
+        s"each list needs doc_id + rank columns, got ${l.columns.mkString(",")}")
+    }
+    val union = lists.map(_.select(col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_ union _)
+    val scored = union
+      .select(col("doc_id"), expr(s"1000000L DIV (${k0}L + rank)").as("__c"))
+      .groupBy("doc_id").agg(sum(col("__c")).as("score_ppm"))
+    rankTopK(scored, k)
+  }
+
   /** Search-result snippets: the ±`window`-token context around the
     * first occurrence of any query term, per document
     * ([[graft.functions.SnippetAround]] — one tokenize + one scan per

@@ -53,4 +53,41 @@ object Skew {
       .groupBy(keys: _*)
       .agg(sum(col("__partial")).as(resultCol))
   }
+
+  /** Skew-safe equi join by SALT-AND-REPLICATE: the big side's hot join
+    * keys melt one reducer in a plain shuffle join (every row of the hot
+    * key lands on a single task); here each big row is salted
+    * DETERMINISTICALLY (hash of the whole row — stable across task
+    * retries, no `rand()` whose replay could route a row differently mid
+    * job) and the small side is replicated once per salt, so the hot key
+    * spreads over `replication` reducers. Result is identical to
+    * `big.join(small, keys, joinType)` — the salt only changes routing.
+    *
+    * Use when the small side is past the broadcast cap but far smaller
+    * than the big side (the replicated small side costs
+    * `replication × |small|` shuffle bytes — that is the price of the
+    * spread) and AQE's skew-join splitting is unavailable or defeated
+    * (e.g. the skew emerges only after upstream filters with stale
+    * stats). `joinType` is restricted to the LEFT-preserving joins —
+    * replicating the small side would duplicate its unmatched rows under
+    * right/full outer. */
+  def replicatedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     replication: Int = 8,
+                     joinType: String = "inner"): DataFrame = {
+    require(replication >= 1 && replication <= 4096,
+      s"replication must be in [1, 4096], got $replication")
+    require(keys.nonEmpty, "need at least one join key")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"joinType must be left-preserving (${allowed.mkString("/")}), got $joinType")
+    val bigCols = big.columns
+    require(!bigCols.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(bigCols.map(col): _*)), lit(replication)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(replication - 1L))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -41,8 +41,9 @@ class DeterminismSpec extends AnyFunSuite {
     "events_anomalies", "text_chunks_overlap", "multimodal_audio_probe",
     "pipeline_k_anonymity", "search_snippets", "pipeline_e2e_curation",
     // r7 continued: iterative integer PageRank (per-round join + agg must
-    // not see partitioning)
-    "graph_pagerank")
+    // not see partitioning), salted-replica join routing, RRF fusion ties,
+    // percentile-boundary bucketing
+    "graph_pagerank", "rel_skew_join", "search_rrf", "rel_quantile_buckets")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -962,6 +962,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("replicated join equals the plain join on hot-key data, inner and left") {
+    // 90% of big rows share one key; small has keys 0..19, big refs 0..29
+    // so left join must also produce null-filled unmatched rows
+    val big = spark.range(5000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 30 END AS k", "id AS payload")
+    val small = spark.range(20).selectExpr("id AS k", "concat('v', id) AS tag")
+    for (jt <- Seq("inner", "left")) {
+      val expected = big.join(small, Seq("k"), jt)
+        .collect().map(_.toString).sorted.toSeq
+      val got = Skew.replicatedJoin(big, small, Seq("k"), replication = 8, joinType = jt)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"$jt replicated join diverged from plain join")
+    }
+  }
+
+  test("replicated join routes through a salted key and rejects non-left-preserving types") {
+    val big = spark.range(100).selectExpr("id % 5 AS k", "id AS p")
+    val small = spark.range(5).selectExpr("id AS k", "id * 10 AS t")
+    val joined = Skew.replicatedJoin(big, small, Seq("k"), replication = 4)
+    val plan = org.apache.spark.sql.graftshim.GraftShim.explainString(joined)
+    assert(plan.contains("__salt"), s"join does not route on the salt:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join strategy:\n$plan")
+    intercept[IllegalArgumentException](
+      Skew.replicatedJoin(big, small, Seq("k"), joinType = "right"))
+    intercept[IllegalArgumentException](
+      Skew.replicatedJoin(big, small, Seq("k"), joinType = "full"))
+    intercept[IllegalArgumentException](
+      Skew.replicatedJoin(big.withColumn("__salt", lit(1)), small, Seq("k")))
+  }
+
+  test("quantileBuckets: equal-frequency split, tie mass to the lower bucket") {
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val got = Relational.quantileBuckets(df, "v", 4)
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    // boundaries at p25/p50/p75 of 1..8 = 2.75, 4.5, 6.25 → 2 per bucket
+    assert(got == Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1,
+      5.0 -> 2, 6.0 -> 2, 7.0 -> 3, 8.0 -> 3), s"got $got")
+    // an all-ties column collapses into bucket 0 (nothing EXCEEDS the
+    // boundary), never an arbitrary spread
+    val ties = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    val t = Relational.quantileBuckets(ties, "v", 4)
+      .select("bucket").as[Int].collect().toSeq
+    assert(t == Seq(0, 0, 0, 0), s"got $t")
+    intercept[IllegalArgumentException](Relational.quantileBuckets(df, "v", 1))
+    intercept[IllegalArgumentException](
+      Relational.quantileBuckets(df.withColumn("bucket", lit(1)), "v", 4))
+  }
+
   test("PII redaction scrubs emails, IPs, and phone numbers") {
     val df = Seq((1L, "mail me at a.b+c@x-mail.org or call 555-123-4567 from 10.0.0.1 ok"))
       .toDF("doc_id", "text")

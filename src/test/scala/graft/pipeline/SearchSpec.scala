@@ -138,4 +138,32 @@ class SearchSpec extends AnyFunSuite {
       3L -> "r s target",
       5L -> "u second v w"), s"$got")
   }
+
+  test("rrfFuse: hand-computed fusion, both-list docs beat single-list docs") {
+    // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 9 is B-only
+    val a = Seq((1, 1L), (2, 2L), (3, 3L)).toDF("rank", "doc_id")
+    val b = Seq((1, 2L), (2, 1L), (3, 9L)).toDF("rank", "doc_id")
+    val got = Search.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // contributions: 1e6 DIV 61 = 16393, DIV 62 = 16129, DIV 63 = 15873
+    // doc 1: 16393 + 16129 = 32522; doc 2: 16129 + 16393 = 32522 (tie -> id)
+    // doc 3: 15873; doc 9: 15873 (tie -> id)
+    assert(got == Seq((1, 1L, 32522L), (2, 2L, 32522L),
+      (3, 3L, 15873L), (4, 9L, 15873L)), s"got $got")
+  }
+
+  test("rankByScore ranks by score desc then id asc, bounded at k") {
+    val df = Seq((10L, 5L), (11L, 9L), (12L, 5L), (13L, 1L)).toDF("id", "s")
+    val got = Search.rankByScore(df, "id", "s", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 11L, 9L), (2, 10L, 5L), (3, 12L, 5L)), s"got $got")
+  }
+
+  test("rrfFuse validates inputs loudly") {
+    val ok = Seq((1, 1L)).toDF("rank", "doc_id")
+    intercept[IllegalArgumentException](Search.rrfFuse(Nil, 5))
+    intercept[IllegalArgumentException](Search.rrfFuse(Seq(ok), 5, k0 = 0))
+    intercept[IllegalArgumentException](
+      Search.rrfFuse(Seq(ok.withColumnRenamed("rank", "r")), 5))
+  }
 }
