@@ -829,6 +829,14 @@ object SparkEntry {
         .select("a", "b", "n_int", "n_union", "is_dup")
         .orderBy("a")
     },
+    "dedup_fuzzy_names" -> { (s, dir) =>
+      prep(s, dir, "customer")
+      // record linkage: customer-name pairs within ONE edit — deletion-
+      // neighborhood blocking + exact levenshtein verify, never the
+      // quadratic cross join the oracle runs
+      pipeline.Dedup.editDistance1Pairs(s.table("customer"), "c_custkey", "c_name")
+        .orderBy("a", "b")
+    },
     "dedup_minhash_pairs" -> { (s, dir) =>
       prep(s, dir, "documents")
       // LSH-blocked near-dup pairs, exact-Jaccard verified. No SQL oracle
@@ -2055,6 +2063,11 @@ object SparkEntry {
                 CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_dup,
                 CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique
          FROM documents""",
+    "dedup_fuzzy_names" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n)

@@ -530,6 +530,42 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
+  /** Typo-tolerant fuzzy matching: every id pair whose strings are within
+    * Levenshtein distance 1, WITHOUT the quadratic all-pairs comparison.
+    * Blocking is the deletion neighborhood (the SymSpell scheme): each
+    * string is keyed by itself plus every single-character deletion, and
+    * two strings within distance 1 PROVABLY share a key — substitution:
+    * deleting the differing position from both yields the same string;
+    * insert/delete: the shorter string IS a deletion key of the longer;
+    * equality: the strings themselves. Shared keys only make candidates
+    * (e.g. "ab"/"ba" share both "a" and "b" at distance 2), so every pair
+    * is verified with an exact `levenshtein` before it is emitted — the
+    * blocking affects cost, never the answer.
+    *
+    * Cost: |s|+1 keys per row, so this is for SHORT identifier-like
+    * strings (names, titles, SKUs) — the record-linkage shape — not for
+    * document bodies. One shuffle on the deletion key, `distinct` over
+    * candidate pairs only (a pair can meet under several shared keys).
+    * NULL strings never match anything. Output: `a, b` (id pairs, a < b),
+    * including distance-0 (identical-string) pairs. */
+  def editDistance1Pairs(df: DataFrame, idCol: String,
+                         strCol: String): DataFrame = {
+    val s = df.where(col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+    val keyed = s.select(col("__id"), col("__s"),
+      explode(expr(
+        """CASE WHEN length(__s) = 0 THEN array(__s)
+          |ELSE array_union(array(__s),
+          |  transform(sequence(1, length(__s)),
+          |    i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1))))
+          |END""".stripMargin)).as("__k"))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.__k") === col("r.__k") && col("l.__id") < col("r.__id"))
+      .where(levenshtein(col("l.__s"), col("r.__s")) <= 1)
+      .select(col("l.__id").as("a"), col("r.__id").as("b"))
+      .distinct()
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, restricted to a
     * blocking window (caller chooses the blocking: LSH buckets, shard key,
     * or a window join). Uses exact quantized-integer cosine (deterministic

@@ -43,7 +43,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r7 continued: iterative integer PageRank (per-round join + agg must
     // not see partitioning), salted-replica join routing, RRF fusion ties,
     // percentile-boundary bucketing
-    "graph_pagerank", "rel_skew_join", "search_rrf", "rel_quantile_buckets")
+    "graph_pagerank", "rel_skew_join", "search_rrf", "rel_quantile_buckets",
+    "dedup_fuzzy_names")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -993,6 +993,40 @@ class PipelineSpec extends AnyFunSuite {
       Skew.replicatedJoin(big.withColumn("__salt", lit(1)), small, Seq("k")))
   }
 
+  test("editDistance1Pairs: substitution, insertion, deletion, identity — and no false pairs") {
+    val df = Seq((1L, "cat"), (2L, "cut"), (3L, "cats"), (4L, "ca"),
+      (5L, "dog"), (6L, "cat"), (7L, ""), (8L, "a")).toDF("id", "s")
+    val got = Dedup.editDistance1Pairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cat: sub(cut)/ins(cats)/del(ca)/equal(cat); the duplicate cat repeats
+    // them; ca-a is another single delete; ""/"a" is the empty-string
+    // insert edge; cats-ca is distance 2 and dog matches nothing
+    val want = Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 6L),
+      (2L, 6L), (3L, 6L), (4L, 6L), (4L, 8L), (7L, 8L))
+    assert(got == want, s"got $got")
+  }
+
+  test("editDistance1Pairs: transposition candidates sharing keys are rejected by verify") {
+    // "ab" and "ba" share deletion keys "a" AND "b" but are distance 2
+    val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "s")
+    val got = Dedup.editDistance1Pairs(df, "id", "s").collect()
+    assert(got.isEmpty, s"false pair emitted: ${got.mkString(",")}")
+  }
+
+  test("editDistance1Pairs agrees with the brute-force cross join on random strings") {
+    val rnd = new scala.util.Random(7)
+    val strs = (1L to 80L).map(i =>
+      i -> (0 until rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = strs.toDF("id", "s")
+    val brute = df.as("x").join(df.as("y"), $"x.id" < $"y.id")
+      .where(levenshtein($"x.s", $"y.s") <= 1)
+      .select($"x.id", $"y.id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.editDistance1Pairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("quantileBuckets: equal-frequency split, tie mass to the lower bucket") {
     val df = (1 to 8).map(_.toDouble).toDF("v")
     val got = Relational.quantileBuckets(df, "v", 4)
