@@ -837,6 +837,17 @@ object SparkEntry {
       pipeline.Dedup.editDistance1Pairs(s.table("customer"), "c_custkey", "c_name")
         .orderBy("a", "b")
     },
+    "multimodal_phash_pairs" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // image near-dup: stub decode → REAL dHash → the same Manku radius
+      // join the text simhash path uses; planted groups-of-8 re-encodes
+      // surface at hamming <= 3
+      val media = pipeline.Multimodal.synthesizePayloads(
+        s.table("documents"), "doc_id", "text")
+      val fps = pipeline.Multimodal.grayDHash(s, media)
+      pipeline.Dedup.hamming64Pairs(fps, "doc_id", "dhash", maxHamming = 3)
+        .orderBy("a", "b")
+    },
     "dedup_minhash_pairs" -> { (s, dir) =>
       prep(s, dir, "documents")
       // LSH-blocked near-dup pairs, exact-Jaccard verified. No SQL oracle
@@ -2067,6 +2078,22 @@ object SparkEntry {
       """SELECT a.c_custkey AS a, b.c_custkey AS b
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY a, b""",
+    "multimodal_phash_pairs" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN
+                      (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8) + 1) * 131) % 251
+                       + CASE WHEN (b // 8) * 9 + (b % 8) + 1 = doc_id % 72 THEN doc_id % 8 ELSE 0 END)
+                    > (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8)) * 131) % 251
+                       + CASE WHEN (b // 8) * 9 + (b % 8) = doc_id % 72 THEN doc_id % 8 ELSE 0 END)
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS BIGINT) AS dh
+           FROM documents, generate_series(0, 62) AS t(b)
+           GROUP BY doc_id)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 3
          ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),

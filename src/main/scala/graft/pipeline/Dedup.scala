@@ -383,11 +383,28 @@ object Dedup {
     * minhash path. Output: (a, b, hamming), a < b, hamming ≤ maxHamming. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingle: Int = 3, maxHamming: Int = 3,
-                        blocks: Int = 6, maxBucket: Int = 200): DataFrame = {
-    val kept = Materialize(simhashBanded(df, idCol, textCol, shingle, maxHamming, blocks)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
-      .where(col("__n") <= maxBucket)
-      .drop("__n"))
+                        blocks: Int = 6, maxBucket: Int = 200): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp")),
+      "id", "fp", maxHamming, blocks, maxBucket)
+
+  /** All id pairs whose 64-bit fingerprints are within hamming distance
+    * ≤ `maxHamming` — the GENERIC radius join behind [[simhashCandidates]]
+    * (text simhash) and the image dHash path
+    * ([[Multimodal.grayDHash]]): any map-side 64-bit fingerprint gets the
+    * same Manku combinatorial blocking + exact [[Hamming64]] verify.
+    * Recall within the radius is guaranteed up to `maxBucket` drops;
+    * precision is exact (every emitted pair re-checked). Output:
+    * `(a, b, hamming)`, a < b. */
+  def hamming64Pairs(fps: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 3, blocks: Int = 6,
+                     maxBucket: Int = 200): DataFrame = {
+    val kept = Materialize(
+      banded64(fps.select(col(idCol).as("id"), col(fpCol).as("fp")),
+        maxHamming, blocks)
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
+        .where(col("__n") <= maxBucket)
+        .drop("__n"))
     kept.as("x").join(kept.as("y"),
         col("x.combo") === col("y.combo") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -399,9 +416,10 @@ object Dedup {
   }
 
   /** (id, fp, combo, key) rows for the Manku combinatorial blocking —
-    * shared by simhashCandidates and the bucket-histogram diagnostic. */
-  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
-                            shingle: Int, maxHamming: Int, blocks: Int): DataFrame = {
+    * shared by the radius join and the bucket-histogram diagnostic.
+    * Input must already carry `id` + 64-bit `fp`. */
+  private def banded64(fps: DataFrame, maxHamming: Int,
+                       blocks: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming < blocks && blocks <= 16,
       s"need 1 <= maxHamming < blocks <= 16; got maxHamming=$maxHamming blocks=$blocks")
     val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
@@ -411,10 +429,15 @@ object Dedup {
     val keyCols = (0 until blocks).combinations(blocks - maxHamming).map { c =>
       c.foldLeft(lit(0L))((acc, i) => shiftleft(acc, widths(i)).bitwiseOR(blockCol(i)))
     }.toSeq
-    df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp"))
-      .select(col("id"), col("fp"),
-        posexplode(array(keyCols: _*)).as(Seq("combo", "key")))
+    fps.select(col("id"), col("fp"),
+      posexplode(array(keyCols: _*)).as(Seq("combo", "key")))
   }
+
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            shingle: Int, maxHamming: Int, blocks: Int): DataFrame =
+    banded64(
+      df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp")),
+      maxHamming, blocks)
 
   /** Histogram of blocking-bucket sizes (size → number of buckets), the
     * quantity that decides whether the simhash self-join stays linear.

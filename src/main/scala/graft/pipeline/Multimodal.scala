@@ -48,6 +48,47 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(fakeDecode)
   }
 
+  /** ======= STUB decode + REAL perceptual hash =======
+    * Difference hash (dHash) per image: decode to a 9×8 grayscale grid,
+    * then bit (r,c) = 1 iff grid(r,c+1) > grid(r,c) — near-identical
+    * images flip only the bits whose local gradient changed, so visual
+    * near-dups sit at small hamming distance. The GRID is the stub (a
+    * deterministic arithmetic fake — no codecs in this container; a real
+    * decoder swaps into `fakeGray` and nothing downstream changes); the
+    * hash math, the batch shape, and the [[Dedup.hamming64Pairs]] radius
+    * join downstream are the real pipeline. Bit 63 is reserved ZERO (63
+    * comparison bits) so the fingerprint stays non-negative in engines
+    * without unsigned 64-bit — the blocking is indifferent. Output:
+    * `doc_id, dhash`. */
+  def grayDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val g = fakeGray(r.doc_id)
+        var dh = 0L
+        var b = 0
+        while (b < 63) {
+          val (row, c) = (b / 8, b % 8)
+          if (g(row * 9 + c + 1) > g(row * 9 + c)) dh |= (1L << b)
+          b += 1
+        }
+        (r.doc_id, dh)
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** The fake 9×8 grayscale decode: docs in the same group of 8 share a
+    * base image; each doc perturbs ONE cell by its in-group index —
+    * planted near-dups at hamming ≤ 2 per perturbed neighbor, exactly
+    * what a thumbnail/re-encode pass produces. Replayable in SQL (the
+    * oracle recomputes this arithmetic), which a real pixel decode would
+    * not be — that is the point of the stub. */
+  private def fakeGray(docId: Long): Array[Int] =
+    Array.tabulate(72) { k =>
+      val base = (((docId / 8) * 31 + k * 131) % 251).toInt
+      if (k == (docId % 72).toInt) base + (docId % 8).toInt else base
+    }
+
   /** ======= STUB: resize =======
     * Real impl: scaled pixel buffer. Fake: metadata-only transform with the
     * same signature/flow. */

@@ -993,6 +993,38 @@ class PipelineSpec extends AnyFunSuite {
       Skew.replicatedJoin(big.withColumn("__salt", lit(1)), small, Seq("k")))
   }
 
+  test("hamming64Pairs: exact radius on planted fingerprints, including the sign bit") {
+    val fps = Seq((1L, 0L), (2L, 7L), (3L, 15L), (4L, Long.MinValue))
+      .toDF("id", "fp")
+    val got = Dedup.hamming64Pairs(fps, "id", "fp", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // 0^7=3 bits, 7^15=1, 0^15=4 (outside), MinValue is 1 bit from 0,
+    // 4 from 7 (outside), 5 from 15 (outside)
+    assert(got == Map((1L, 2L) -> 3, (2L, 3L) -> 1, (1L, 4L) -> 1), s"got $got")
+  }
+
+  test("grayDHash: planted group-of-8 re-encodes sit within hamming 4, strangers far") {
+    val media = Seq.tabulate(16)(i =>
+      (i.toLong, s"doc $i payload")).toDF("doc_id", "text")
+    val fps = Multimodal.grayDHash(spark,
+      Multimodal.synthesizePayloads(media, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- 0 until 8; b <- (a + 1) until 8) {
+      val h = java.lang.Long.bitCount(fps(a.toLong) ^ fps(b.toLong))
+      assert(h <= 4, s"in-group pair ($a,$b) at hamming $h > 4")
+    }
+    val cross = java.lang.Long.bitCount(fps(0L) ^ fps(8L))
+    assert(cross > 4, s"cross-group pair at hamming $cross — planted structure lost")
+    // independent reimplementation of the stub grid + hash for one doc
+    def grid(d: Long)(k: Int): Int =
+      (((d / 8) * 31 + k * 131) % 251).toInt + (if (k == (d % 72).toInt) (d % 8).toInt else 0)
+    val expect5 = (0 until 63).foldLeft(0L) { (acc, b) =>
+      val k = (b / 8) * 9 + (b % 8)
+      if (grid(5L)(k + 1) > grid(5L)(k)) acc | (1L << b) else acc
+    }
+    assert(fps(5L) == expect5, s"dhash(5) = ${fps(5L)}, expected $expect5")
+  }
+
   test("editDistance1Pairs: substitution, insertion, deletion, identity — and no false pairs") {
     val df = Seq((1L, "cat"), (2L, "cut"), (3L, "cats"), (4L, "ca"),
       (5L, "dog"), (6L, "cat"), (7L, ""), (8L, "a")).toDF("id", "s")
