@@ -734,6 +734,16 @@ object SparkEntry {
           max(cents).as("max_cents"))
         .orderBy("bucket")
     },
+    "rel_winsorize" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // outlier trim: prices clamped to exact [p05, p95] before the sum a
+      // heavy tail would otherwise own
+      pipeline.Relational.winsorize(s.table("lineitem"), "l_extendedprice",
+          0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(sum("winsorized_cents").as("w_cents"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
     "rel_pivot" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // DataFrame pivot with explicit value list (stable columns)
@@ -2031,6 +2041,15 @@ object SparkEntry {
          SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
                 min(cents) AS min_cents, max(cents) AS max_cents
          FROM x GROUP BY bucket ORDER BY bucket""",
+    "rel_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, [0.05, 0.95]) AS q FROM lineitem),
+              c AS (SELECT CAST(floor(q[1] * 100 + 0.5) AS BIGINT) AS lo,
+                           CAST(floor(q[2] * 100 + 0.5) AS BIGINT) AS hi FROM b)
+         SELECT l_returnflag,
+                CAST(sum(greatest((SELECT lo FROM c), least((SELECT hi FROM c),
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)))) AS BIGINT) AS w_cents,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "rel_pivot" ->
       """SELECT l_returnflag,
                 CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'

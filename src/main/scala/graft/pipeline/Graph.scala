@@ -37,9 +37,16 @@ object Graph {
     * Plan shape: edges+outdeg materialize partitioned by src once; each
     * iteration is ranks→(join on src, reusing the edge layout)→groupBy
     * dst→left join onto the node set (both sides hash-partitioned on the
-    * node key — no extra exchange). Output: `node, rank_ppm`. */
+    * node key — no extra exchange). Unlike connectedComponents (whose
+    * self-join DOUBLES the plan per round), an iteration here references
+    * the previous ranks once, so the logical plan grows LINEARLY — the
+    * lineage is cut only every `cutEvery` rounds, letting Catalyst run a
+    * whole stretch as one job instead of paying a materialize+action per
+    * round. Output: `node, rank_ppm`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, dampingPpm: Long = 850000L): DataFrame = {
+               iterations: Int, dampingPpm: Long = 850000L,
+               cutEvery: Int = 8): DataFrame = {
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in [1, 1000], got $iterations")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
@@ -56,14 +63,13 @@ object Graph {
     val ej = Materialize.cut(
       e0.join(deg, "src").repartition(col("src")))
     val basePpm = 1000000L - dampingPpm
-    var ranks = Materialize.cut(
-      nodes.select(col("node"), lit(1000000L).as("rank_ppm")))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
     // released at the END: under the persist strategy nothing forces a
     // round's frame until the next round's cut (or the caller's action),
     // so an in-loop release would schedule recomputes; rounds hold only
     // node-sized frames, far below the edge table this loop never copies
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ej.join(ranks, ej("src") === ranks("node"))
         .select(col("dst"), expr("rank_ppm DIV __deg").as("__c"))
         .groupBy("dst")
@@ -72,8 +78,11 @@ object Graph {
         .select(nodes("node"),
           expr(s"CAST($basePpm + ($dampingPpm * coalesce(__s, CAST(0 AS DECIMAL(38,0)))) DIV 1000000 AS BIGINT)")
             .as("rank_ppm"))
-      retired += ranks
-      ranks = Materialize.cut(next)
+      ranks = if (i % cutEvery == 0 && i < iterations) {
+        val cut = Materialize.cut(next)
+        retired += cut
+        cut
+      } else next
     }
     Materialize.release(ej)
     Materialize.release(nodes)

@@ -208,7 +208,15 @@ object Relational {
     * map against the collected boundary array (nBuckets−1 longs — a
     * driver literal, broadcast with the plan; never a join). Ties sharing
     * a boundary value all land in the lower bucket — equal-frequency up
-    * to tie mass, deterministic always. */
+    * to tie mass, deterministic always.
+    *
+    * Scale note: the boundary pass uses `percentile`, a HOLISTIC
+    * aggregate (per-partition value buffers merge at one reducer) —
+    * exact, and priced accordingly at web scale. When approximate
+    * boundaries are acceptable, fit them with the mergeable KLL sketch
+    * ([[graft.functions.QuantileSketch]]) instead and keep pass 2
+    * unchanged; the exactness contract here is what makes the result
+    * oracle-replayable. */
   def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
                       outCol: String = "bucket"): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 1000,
@@ -229,5 +237,26 @@ object Relational {
       .withColumn(outCol,
         size(filter(lit(boundaries), b => col("__cents") > b)))
       .drop("__cents")
+  }
+
+  /** Winsorize: clamp `valueCol` (as cents) to its [pLo, pHi] exact
+    * percentiles — the outlier-trim before a mean/sum a heavy tail would
+    * otherwise own. Same two-pass shape as [[quantileBuckets]] (exact
+    * boundary aggregate, then a pure-map `greatest/least` clamp with two
+    * driver literals) and the same holistic-boundary scale note applies.
+    * Adds `outCol` (BIGINT cents); the source column is untouched. */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
+                outCol: String = "winsorized_cents"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists")
+    val row = df.agg(expr(s"percentile($valueCol, array($pLo, $pHi))")).head
+    require(!row.isNullAt(0), "winsorize needs a non-empty input")
+    val Seq(lo, hi) = row.getSeq[Double](0)
+      .map(q => math.floor(q * 100 + 0.5).toLong).toSeq
+    df.withColumn(outCol,
+      greatest(lit(lo), least(lit(hi),
+        expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)"))))
   }
 }

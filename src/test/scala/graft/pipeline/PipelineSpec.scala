@@ -1077,6 +1077,17 @@ class PipelineSpec extends AnyFunSuite {
       Relational.quantileBuckets(df.withColumn("bucket", lit(1)), "v", 4))
   }
 
+  test("winsorize clamps both tails to exact percentile cents") {
+    // 1..100: p10 = 10.9, p90 = 90.1 → cents 1090 / 9010
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = Relational.winsorize(df, "v", 0.1, 0.9, "wc")
+      .select("v", "wc").as[(Double, Long)].collect().toMap
+    assert(w(1.0) == 1090L && w(5.0) == 1090L, s"low tail: ${w(1.0)}, ${w(5.0)}")
+    assert(w(100.0) == 9010L && w(95.0) == 9010L, s"high tail: ${w(100.0)}")
+    assert(w(50.0) == 5000L, s"interior untouched: ${w(50.0)}")
+    intercept[IllegalArgumentException](Relational.winsorize(df, "v", 0.9, 0.1))
+  }
+
   test("PII redaction scrubs emails, IPs, and phone numbers") {
     val df = Seq((1L, "mail me at a.b+c@x-mail.org or call 555-123-4567 from 10.0.0.1 ok"))
       .toDF("doc_id", "text")
