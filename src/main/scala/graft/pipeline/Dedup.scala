@@ -573,15 +573,29 @@ object Dedup {
     * including distance-0 (identical-string) pairs. */
   def editDistance1Pairs(df: DataFrame, idCol: String,
                          strCol: String): DataFrame = {
+    // loud on non-integral ids: a silent cast("long") would NULL string
+    // ids (the common shape in exactly this record-linkage domain), the
+    // join would match nothing, and the empty result would look plausible
+    val idType = df.schema(idCol).dataType
+    val idOk = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(idOk,
+      s"editDistance1Pairs id column '$idCol' must be an integral type, got $idType")
     val s = df.where(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
-    val keyed = s.select(col("__id"), col("__s"),
+    // materialized: the self-join below consumes it twice, and the
+    // |s|+1-key explode is the expensive upstream pass
+    val keyed = Materialize(s.select(col("__id"), col("__s"),
       explode(expr(
         """CASE WHEN length(__s) = 0 THEN array(__s)
           |ELSE array_union(array(__s),
           |  transform(sequence(1, length(__s)),
           |    i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1))))
-          |END""".stripMargin)).as("__k"))
+          |END""".stripMargin)).as("__k")))
     keyed.as("l").join(keyed.as("r"),
         col("l.__k") === col("r.__k") && col("l.__id") < col("r.__id"))
       .where(levenshtein(col("l.__s"), col("r.__s")) <= 1)

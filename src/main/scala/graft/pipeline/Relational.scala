@@ -208,7 +208,8 @@ object Relational {
     * map against the collected boundary array (nBuckets−1 longs — a
     * driver literal, broadcast with the plan; never a join). Ties sharing
     * a boundary value all land in the lower bucket — equal-frequency up
-    * to tie mass, deterministic always.
+    * to tie mass, deterministic always; NULL values get a NULL bucket,
+    * never a silent minimum-imputation.
     *
     * Scale note: the boundary pass uses `percentile`, a HOLISTIC
     * aggregate (per-partition value buffers merge at one reducer) —
@@ -223,6 +224,8 @@ object Relational {
       s"nBuckets must be in [2, 1000], got $nBuckets")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists")
+    require(!df.columns.contains("__cents"),
+      "input must not already carry a __cents column")
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val row = df.agg(
       expr(s"percentile($valueCol, array(${probs.mkString(", ")}))")).head
@@ -232,10 +235,14 @@ object Relational {
     val cents = expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)")
     // ONE array literal + a size(filter(...)) scan per row: no chained
     // CASE blowup at large nBuckets, no per-element re-derivation (the
-    // lambda compares against a precomputed column, not an expression)
+    // lambda compares against a precomputed column, not an expression).
+    // NULL values get a NULL bucket — filter() would silently drop the
+    // NULL-predicate elements and impute "minimum", the worst kind of
+    // missing-value handling for a feature column
     df.withColumn("__cents", cents)
       .withColumn(outCol,
-        size(filter(lit(boundaries), b => col("__cents") > b)))
+        when(col("__cents").isNull, lit(null).cast("int"))
+          .otherwise(size(filter(lit(boundaries), b => col("__cents") > b))))
       .drop("__cents")
   }
 
@@ -244,7 +251,8 @@ object Relational {
     * otherwise own. Same two-pass shape as [[quantileBuckets]] (exact
     * boundary aggregate, then a pure-map `greatest/least` clamp with two
     * driver literals) and the same holistic-boundary scale note applies.
-    * Adds `outCol` (BIGINT cents); the source column is untouched. */
+    * Adds `outCol` (BIGINT cents); the source column is untouched and
+    * NULL values stay NULL. */
   def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
                 outCol: String = "winsorized_cents"): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
@@ -255,8 +263,12 @@ object Relational {
     require(!row.isNullAt(0), "winsorize needs a non-empty input")
     val Seq(lo, hi) = row.getSeq[Double](0)
       .map(q => math.floor(q * 100 + 0.5).toLong).toSeq
+    // NULL stays NULL: Spark's least/greatest SKIP null arguments, so an
+    // unguarded clamp would fabricate the upper boundary for every
+    // missing value and silently inflate any downstream sum
     df.withColumn(outCol,
-      greatest(lit(lo), least(lit(hi),
-        expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)"))))
+      when(col(valueCol).isNull, lit(null).cast("long"))
+        .otherwise(greatest(lit(lo), least(lit(hi),
+          expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)")))))
   }
 }

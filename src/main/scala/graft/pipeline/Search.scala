@@ -115,8 +115,11 @@ object Search {
 
   /** The TopKPairs contract, enforced here too: a silent `cast("long")`
     * on a string id would NULL every id and return an EMPTY result with
-    * no error; a fractional id would truncate to the wrong document. */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    * no error; a fractional value would truncate to the wrong document.
+    * `role` names the argument in the error (id vs score — rankByScore
+    * validates both). */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String,
+                                role: String = "id"): Unit = {
     import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
     val ok = dt match {
@@ -124,7 +127,7 @@ object Search {
       case d: DecimalType => d.scale == 0
       case _ => false
     }
-    require(ok, s"$op id column '$idCol' must be an integral type, got $dt")
+    require(ok, s"$op $role column '$idCol' must be an integral type, got $dt")
   }
 
   /** Scoring core shared by the in-job and persisted-index paths:
@@ -338,7 +341,7 @@ object Search {
   def rankByScore(df: DataFrame, idCol: String, scoreCol: String,
                   k: Int): DataFrame = {
     requireIntegralId(df, idCol, "rankByScore")
-    requireIntegralId(df, scoreCol, "rankByScore")
+    requireIntegralId(df, scoreCol, "rankByScore", role = "score")
     rankTopK(df.select(col(idCol).as("doc_id"),
       col(scoreCol).cast("long").as("score_ppm")), k)
   }
@@ -360,8 +363,23 @@ object Search {
       require(l.columns.contains("doc_id") && l.columns.contains("rank"),
         s"each list needs doc_id + rank columns, got ${l.columns.mkString(",")}")
     }
-    val union = lists.map(_.select(col("doc_id").cast("long").as("doc_id"),
-      col("rank").cast("long").as("rank"))).reduce(_ union _)
+    val union = Materialize.cut(lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"), lit(i).as("__list"))
+    }.reduce(_ union _))
+    // a doc ranked twice WITHIN one list would sum two contributions and
+    // silently inflate its fused score; a rank < 1 breaks the 1e6 DIV
+    // (k0+rank) contract (and could hit DIV 0). The lists are ≤ their own
+    // k rows, so this one extra aggregate over the materialized union is
+    // driver-cheap insurance, not a corpus pass.
+    val bad = union.groupBy("__list", "doc_id")
+      .agg(count(lit(1)).as("__n"), min(col("rank")).as("__minr"))
+      .agg(max(col("__n")).as("__maxn"), min(col("__minr")).as("__minr")).head
+    // all-empty lists → NULL aggregates → legal (empty fusion)
+    require(bad.isNullAt(0) || bad.getLong(0) <= 1L,
+      "rrfFuse: a doc_id appears more than once within a single list")
+    require(bad.isNullAt(1) || bad.getLong(1) >= 1L,
+      s"rrfFuse: ranks must be >= 1, got ${bad.getLong(1)}")
     val scored = union
       .select(col("doc_id"), expr(s"1000000L DIV (${k0}L + rank)").as("__c"))
       .groupBy("doc_id").agg(sum(col("__c")).as("score_ppm"))

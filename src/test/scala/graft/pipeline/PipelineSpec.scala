@@ -1038,6 +1038,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("editDistance1Pairs rejects non-integral id columns loudly") {
+    val df = Seq(("C001", "cat"), ("C002", "cut")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      Dedup.editDistance1Pairs(df, "id", "s"))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("editDistance1Pairs: transposition candidates sharing keys are rejected by verify") {
     // "ab" and "ba" share deletion keys "a" AND "b" but are distance 2
     val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "s")
@@ -1086,6 +1093,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(w(100.0) == 9010L && w(95.0) == 9010L, s"high tail: ${w(100.0)}")
     assert(w(50.0) == 5000L, s"interior untouched: ${w(50.0)}")
     intercept[IllegalArgumentException](Relational.winsorize(df, "v", 0.9, 0.1))
+  }
+
+  test("winsorize and quantileBuckets keep NULL values NULL, never imputed") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("v")
+    val w = Relational.winsorize(df, "v", 0.25, 0.75, "wc").select("wc")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(w.count(_.isEmpty) == 1,
+      s"NULL row must stay NULL (least/greatest would fabricate the upper bound): ${w.toSeq}")
+    val b = Relational.quantileBuckets(df, "v", 2).select("bucket")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(b.count(_.isEmpty) == 1,
+      s"NULL row must get a NULL bucket, not silent minimum-imputation: ${b.toSeq}")
   }
 
   test("PII redaction scrubs emails, IPs, and phone numbers") {

@@ -165,5 +165,19 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Search.rrfFuse(Seq(ok), 5, k0 = 0))
     intercept[IllegalArgumentException](
       Search.rrfFuse(Seq(ok.withColumnRenamed("rank", "r")), 5))
+    // a doc ranked twice WITHIN one list would silently double-count
+    val dup = Seq((1, 7L), (2, 7L)).toDF("rank", "doc_id")
+    val eDup = intercept[IllegalArgumentException](Search.rrfFuse(Seq(dup), 5))
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    // rank 0 breaks the 1e6 DIV (k0+rank) contract
+    val zero = Seq((0, 7L)).toDF("rank", "doc_id")
+    val eZero = intercept[IllegalArgumentException](Search.rrfFuse(Seq(zero), 5))
+    assert(eZero.getMessage.contains(">= 1"), eZero.getMessage)
+    // the SAME doc in two DIFFERENT lists is the point of fusion, not an error
+    val a = Seq((1, 7L)).toDF("rank", "doc_id")
+    val b = Seq((1, 7L)).toDF("rank", "doc_id")
+    assert(Search.rrfFuse(Seq(a, b), 5).count() == 1L)
+    // all-empty lists fuse to an empty result, not an NPE
+    assert(Search.rrfFuse(Seq(a.where(lit(false))), 5).count() == 0L)
   }
 }
