@@ -565,14 +565,19 @@ object Dedup {
     * is verified with an exact `levenshtein` before it is emitted — the
     * blocking affects cost, never the answer.
     *
-    * Cost: |s|+1 keys per row, so this is for SHORT identifier-like
-    * strings (names, titles, SKUs) — the record-linkage shape — not for
-    * document bodies. One shuffle on the deletion key, `distinct` over
-    * candidate pairs only (a pair can meet under several shared keys).
-    * NULL strings never match anything. Output: `a, b` (id pairs, a < b),
-    * including distance-0 (identical-string) pairs. */
-  def editDistance1Pairs(df: DataFrame, idCol: String,
-                         strCol: String): DataFrame = {
+    * Cost: |s|+1 keys per row — and |s|+1 STRINGS of length |s|, so the
+    * explode is QUADRATIC bytes in string length. This is for SHORT
+    * identifier-like strings (names, titles, SKUs) — the record-linkage
+    * shape — not for document bodies; rows longer than `maxLen` FAIL the
+    * job loudly (a per-row `assert_true`, no extra pass) rather than
+    * silently detonating the shuffle — raise `maxLen` deliberately if
+    * your keys really are that long. One shuffle on the deletion key,
+    * `distinct` over candidate pairs only (a pair can meet under several
+    * shared keys). NULL strings never match anything. Output: `a, b`
+    * (id pairs, a < b), including distance-0 (identical-string) pairs. */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
+                         maxLen: Int = 256): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     // loud on non-integral ids: a silent cast("long") would NULL string
     // ids (the common shape in exactly this record-linkage domain), the
     // join would match nothing, and the empty result would look plausible
@@ -585,8 +590,15 @@ object Dedup {
     }
     require(idOk,
       s"editDistance1Pairs id column '$idCol' must be an integral type, got $idType")
+    // the guard lives INSIDE the consumed column (a dropped assert_true
+    // projection would be pruned by the optimizer and never run)
     val s = df.where(col(strCol).isNotNull)
-      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+      .select(col(idCol).cast("long").as("__id"),
+        expr(s"CASE WHEN length($strCol) <= $maxLen THEN $strCol " +
+          s"ELSE raise_error('editDistance1Pairs: string longer than " +
+          s"maxLen=$maxLen — the deletion-neighborhood explode is " +
+          "quadratic in string length; raise maxLen only for genuinely " +
+          "long keys') END").as("__s"))
     // materialized: the self-join below consumes it twice, and the
     // |s|+1-key explode is the expensive upstream pass
     val keyed = Materialize(s.select(col("__id"), col("__s"),

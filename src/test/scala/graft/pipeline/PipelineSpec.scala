@@ -1045,6 +1045,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("editDistance1Pairs fails loudly past maxLen instead of exploding quadratically") {
+    val df = Seq((1L, "x" * 300), (2L, "ok")).toDF("id", "s")
+    val e = intercept[Exception](Dedup.editDistance1Pairs(df, "id", "s").collect())
+    assert(e.getMessage.contains("maxLen"), e.getMessage)
+    // raising the cap deliberately makes the same input legal
+    assert(Dedup.editDistance1Pairs(df, "id", "s", maxLen = 512).count() == 0L)
+  }
+
   test("editDistance1Pairs: transposition candidates sharing keys are rejected by verify") {
     // "ab" and "ba" share deletion keys "a" AND "b" but are distance 2
     val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "s")
