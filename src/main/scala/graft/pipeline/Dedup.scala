@@ -388,6 +388,53 @@ object Dedup {
       df.select(col(idCol).as("id"), simhashCol(col(textCol), shingle).as("fp")),
       "id", "fp", maxHamming, blocks, maxBucket)
 
+  /** Persisted HAMMING gate — the [[buildNearDupGate]] lifecycle for
+    * 64-bit fingerprints (text simhash, image dHash): the reference
+    * set's Manku banded keys land on storage once; each fresh batch (or
+    * micro-batch — the query side is a pure map + equi join, stream-safe)
+    * probes only the banded-key join and verifies with exact
+    * [[Hamming64]]. Layout under `dir`: `bands/` (ref_id, ref_fp, combo,
+    * key), `meta/` one row (max_hamming, blocks) so queries can never
+    * probe with mismatched band geometry. */
+  def buildHammingGate(ref: DataFrame, idCol: String, fpCol: String,
+                       dir: String, maxHamming: Int = 3,
+                       blocks: Int = 6): Unit = {
+    require(!ref.isStreaming, "the reference set must be a static DataFrame")
+    banded64(ref.select(col(idCol).as("id"), col(fpCol).as("fp")),
+        maxHamming, blocks)
+      .select(col("id").as("ref_id"), col("fp").as("ref_fp"),
+        col("combo"), col("key"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    import ref.sparkSession.implicits._
+    Seq((maxHamming, blocks)).toDF("max_hamming", "blocks")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fresh rows within the stored gate's hamming radius of ANY reference
+    * fingerprint: `(id, ref_id, hamming)`. Works on a STREAMING `fresh`
+    * unchanged (stateless: map-side banding + a stream-static join); on a
+    * stream the same (id, ref_id) may be emitted once per matching key
+    * subset — up to C(blocks, blocks−maxHamming) times — because a
+    * streaming dropDuplicates would be unbounded state; the batch path
+    * dedups. Band geometry comes FROM the index metadata. */
+  def queryHammingGate(fresh: DataFrame, idCol: String, fpCol: String,
+                       dir: String, broadcastRef: Boolean = false): DataFrame = {
+    val spark = fresh.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").select("max_hamming", "blocks").head
+    val (maxHamming, blocks) = (m.getInt(0), m.getInt(1))
+    val freshKeys = banded64(
+      fresh.select(col(idCol).as("id"), col(fpCol).as("fp")),
+      maxHamming, blocks)
+    val ref = spark.read.parquet(s"$dir/bands")
+    val joined = freshKeys
+      .join(if (broadcastRef) broadcast(ref) else ref, Seq("combo", "key"))
+      .select(col("id"), col("ref_id"),
+        E.column(Hamming64(
+          E.expression(col("fp")), E.expression(col("ref_fp")))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    if (fresh.isStreaming) joined else joined.dropDuplicates("id", "ref_id")
+  }
+
   /** All id pairs whose 64-bit fingerprints are within hamming distance
     * ≤ `maxHamming` — the GENERIC radius join behind [[simhashCandidates]]
     * (text simhash) and the image dHash path

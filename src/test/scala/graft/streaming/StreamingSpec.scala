@@ -223,6 +223,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image fingerprints gate against a PERSISTED hamming index") {
+    // the dHash twin of the near-dup gate: reference fingerprints banded
+    // once on storage; micro-batches probe with a pure map + stream-static
+    // join and exact Hamming64 verify — no state store
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, 0x0F0F0F0FL), (200L, 0x7777000012345678L))
+      .toDF("img_id", "dhash")
+    val dir = java.nio.file.Files.createTempDirectory("hamming_gate").toString
+    graft.pipeline.Dedup.buildHammingGate(ref, "img_id", "dhash", dir, maxHamming = 3)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    src.addData(
+      (1L, 0x0F0F0F0EL),          // 1 bit from ref 100 -> gated
+      (2L, 0x00000000DEADBEEFL))  // far from both refs -> passes
+    val hits = graft.pipeline.Dedup.queryHammingGate(
+      src.toDF().toDF("img_id", "dhash"), "img_id", "dhash", dir)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("hamming_gate_out").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch reuses the same stored index
+      src.addData((3L, 0x7777000012345679L)) // 1 bit from ref 200
+      q.processAllAvailable()
+      val got = spark.table("hamming_gate_out")
+        .select("id", "ref_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L)) && got.contains((3L, 200L)),
+        s"planted near-dup fingerprints not gated: $got")
+      assert(!got.exists(_._1 == 2L), s"distant fingerprint wrongly gated: $got")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"hamming gate must be stateless on the stream, got ${q.lastProgress.stateOperators.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("hamming gate batch path dedups multi-band hits and matches the radius join") {
+    val ref = Seq((100L, 0L), (200L, -1L)).toDF("img_id", "dhash")
+    val dir = java.nio.file.Files.createTempDirectory("hamming_gate_b").toString
+    graft.pipeline.Dedup.buildHammingGate(ref, "img_id", "dhash", dir, maxHamming = 3)
+    // fp == ref 100 exactly: every C(6,3)=20 key subset matches — batch
+    // output must still be ONE row
+    val fresh = Seq((1L, 0L), (2L, 7L), (3L, 0x00FFFFFFFFFFFFFFL)).toDF("img_id", "dhash")
+    val got = graft.pipeline.Dedup.queryHammingGate(fresh, "img_id", "dhash", dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // 1->100 hamming 0; 2->100 hamming 3; 3 is 8 bits from -1 (outside)
+    assert(got == Map((1L, 100L) -> 0, (2L, 100L) -> 3), s"got $got")
+  }
+
   test("mergeable sketches run as streaming aggregates: heavy hitters + quantiles") {
     // the bounded-state sketches are TypedImperativeAggregates, so
     // Structured Streaming runs them incrementally with NO extra code —
