@@ -53,14 +53,22 @@ object Graph {
       s"dampingPpm must be in [0, 1000000], got $dampingPpm")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = Materialize.cut(
+    // Short horizons (no mid-run cut) run as ONE lazy job: every round
+    // references the same repartition subtrees, and Spark's ReuseExchange
+    // computes each ONCE per job — eager materialization would just add
+    // jobs. Multi-stretch runs (iterations > cutEvery) materialize, so a
+    // later stretch doesn't re-derive the edges from source.
+    val multiStretch = iterations > cutEvery
+    def stage(df: DataFrame): DataFrame =
+      if (multiStretch) Materialize.cut(df) else df
+    val nodes = stage(
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
         .repartition(col("node")))
     val deg = e0.groupBy("src").agg(count(lit(1)).as("__deg"))
     // the ONE exchange the edges ever see: partitioned by src, the
     // per-round join key, with out-degree already attached
-    val ej = Materialize.cut(
+    val ej = stage(
       e0.join(deg, "src").repartition(col("src")))
     val basePpm = 1000000L - dampingPpm
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
@@ -84,8 +92,10 @@ object Graph {
         cut
       } else next
     }
-    Materialize.release(ej)
-    Materialize.release(nodes)
+    if (multiStretch) {
+      Materialize.release(ej)
+      Materialize.release(nodes)
+    }
     retired.foreach(Materialize.release)
     ranks
   }

@@ -67,6 +67,15 @@ class GraphSpec extends AnyFunSuite {
     assert(none.forall(_ == 1000000L), s"got $none")
   }
 
+  test("a horizon crossing the cut boundary equals the fully lazy run") {
+    // 12 iterations with cutEvery=8 materializes mid-run; cutEvery=100
+    // stays one lazy plan — the cadence must never change the numbers
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def run(cut: Int) = Graph.pageRank(e, "src", "dst", 12, cutEvery = cut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(8) == run(100), "cut cadence changed PageRank values")
+  }
+
   test("iteration and damping bounds are validated") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", 0))
