@@ -1497,6 +1497,19 @@ object SparkEntry {
       pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5)
         .orderBy("node")
     },
+    "graph_triangles" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // per-part triangle counts in the co-purchase graph (parts sharing
+      // an order) — degree-ordered wedge join, every triangle found once;
+      // a quarter of the orders keeps the wedge volume bench-sized while
+      // exercising every stage of the operator
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.triangleCounts(e, "src", "dst").orderBy("node")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -1631,6 +1644,19 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(5),
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+              p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                    FROM li x JOIN li y
+                      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              tri AS (SELECT xy.a AS x, xy.b AS y, yz.b AS z
+                      FROM p xy JOIN p yz ON xy.b = yz.a
+                                JOIN p xz ON xz.a = xy.a AND xz.b = yz.b)
+         SELECT node, count(*) AS n_triangles
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY node ORDER BY node""",
     "jq_single_int" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",

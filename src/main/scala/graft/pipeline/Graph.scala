@@ -99,4 +99,62 @@ object Graph {
     retired.foreach(Materialize.release)
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge set (self-loops
+    * dropped, duplicate/reversed edges collapsed): `node, n_triangles` —
+    * the local clustering signal (spam-farm rings, copy networks,
+    * community density).
+    *
+    * Degree-ordered orientation (Schank & Wagner 2005): every edge
+    * points from its (degree, id)-SMALLER endpoint to the larger, and a
+    * triangle is found exactly once as wedge u→v, u→w (v before w in the
+    * same order) closed by edge v→w. The orientation bounds every node's
+    * out-degree by O(√m), so the wedge join — the quadratic step in a
+    * naive neighbor join — generates at most O(m^1.5) candidates TOTAL
+    * regardless of hub skew: a 10^8-degree hub contributes wedges only
+    * through edges where it is the LARGER endpoint. Three shuffles: the
+    * orientation join (edges ⋈ degrees, broadcast-eligible per AQE), the
+    * wedge self-join on u, and the closing semi join on (v, w); per-node
+    * counts ride the corner explode's aggregate. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    // canonical undirected edge (min, max), deduped
+    val und = Materialize.cut(
+      e0.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u = smaller endpoint in that total order
+    val oriented = Materialize.cut(
+      und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+            .otherwise(
+              struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+            .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
+    // wedges u→v, u→w with v before w in the (deg, id) order, closed by
+    // the oriented edge v→w
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+      "left_semi")
+    val counts = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    Materialize.release(und)
+    Materialize.release(oriented)
+    counts
+  }
 }

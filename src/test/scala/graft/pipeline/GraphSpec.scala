@@ -76,6 +76,34 @@ class GraphSpec extends AnyFunSuite {
     assert(run(8) == run(100), "cut cadence changed PageRank values")
   }
 
+  test("triangleCounts: K4, a triangle-free square, and messy duplicate input") {
+    def counts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every node sits in C(3,2) = 3 of the 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(counts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 4-cycle has no triangles at all
+    assert(counts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).isEmpty)
+    // reversed duplicates + self-loops must not inflate anything
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 3L))
+    assert(counts(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"${counts(messy)}")
+  }
+
+  test("triangleCounts agrees with the brute-force triple join on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val brute = (for {
+      (a, b) <- und; (c, d) <- und if a == c && b < d
+      if und.contains((b, d))
+    } yield Seq(a, b, d)).flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"missing=${brute.toSet -- got.toSet} extra=${got.toSet -- brute.toSet}")
+  }
+
   test("iteration and damping bounds are validated") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", 0))
