@@ -393,20 +393,28 @@ object Dedup {
     * set's Manku banded keys land on storage once; each fresh batch (or
     * micro-batch — the query side is a pure map + equi join, stream-safe)
     * probes only the banded-key join and verifies with exact
-    * [[Hamming64]]. Layout under `dir`: `bands/` (ref_id, ref_fp, combo,
-    * key), `meta/` one row (max_hamming, blocks) so queries can never
+    * [[Hamming64]]. The same `maxBucket` skew guard as
+    * [[hamming64Pairs]] is applied AT BUILD TIME (a degenerate
+    * fingerprint mass — blank/uniform images all hashing alike — would
+    * otherwise detonate every query join; dropped buckets trade recall
+    * for survival, same contract as the minhash gate). Layout under
+    * `dir`: `bands/` (ref_id, ref_fp, combo, key) skew-capped, `meta/`
+    * one row (max_hamming, blocks, max_bucket) so queries can never
     * probe with mismatched band geometry. */
   def buildHammingGate(ref: DataFrame, idCol: String, fpCol: String,
                        dir: String, maxHamming: Int = 3,
-                       blocks: Int = 6): Unit = {
+                       blocks: Int = 6, maxBucket: Int = 200): Unit = {
     require(!ref.isStreaming, "the reference set must be a static DataFrame")
     banded64(ref.select(col(idCol).as("id"), col(fpCol).as("fp")),
         maxHamming, blocks)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
+      .where(col("__n") <= maxBucket)
       .select(col("id").as("ref_id"), col("fp").as("ref_fp"),
         col("combo"), col("key"))
       .write.mode("overwrite").parquet(s"$dir/bands")
     import ref.sparkSession.implicits._
-    Seq((maxHamming, blocks)).toDF("max_hamming", "blocks")
+    Seq((maxHamming, blocks, maxBucket))
+      .toDF("max_hamming", "blocks", "max_bucket")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -416,7 +424,9 @@ object Dedup {
     * stream the same (id, ref_id) may be emitted once per matching key
     * subset — up to C(blocks, blocks−maxHamming) times — because a
     * streaming dropDuplicates would be unbounded state; the batch path
-    * dedups. Band geometry comes FROM the index metadata. */
+    * dedups to the MINIMUM hamming per (id, ref_id) — a re-crawled id
+    * carrying two fingerprints must not report a partition-dependent
+    * pick. Band geometry comes FROM the index metadata. */
   def queryHammingGate(fresh: DataFrame, idCol: String, fpCol: String,
                        dir: String, broadcastRef: Boolean = false): DataFrame = {
     val spark = fresh.sparkSession
@@ -432,7 +442,8 @@ object Dedup {
         E.column(Hamming64(
           E.expression(col("fp")), E.expression(col("ref_fp")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-    if (fresh.isStreaming) joined else joined.dropDuplicates("id", "ref_id")
+    if (fresh.isStreaming) joined
+    else joined.groupBy("id", "ref_id").agg(min(col("hamming")).as("hamming"))
   }
 
   /** All id pairs whose 64-bit fingerprints are within hamming distance
@@ -628,24 +639,18 @@ object Dedup {
     // loud on non-integral ids: a silent cast("long") would NULL string
     // ids (the common shape in exactly this record-linkage domain), the
     // join would match nothing, and the empty result would look plausible
-    val idType = df.schema(idCol).dataType
-    val idOk = idType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
-      case _ => false
-    }
-    require(idOk,
-      s"editDistance1Pairs id column '$idCol' must be an integral type, got $idType")
+    Search.requireIntegralId(df, idCol, "editDistance1Pairs")
     // the guard lives INSIDE the consumed column (a dropped assert_true
-    // projection would be pruned by the optimizer and never run)
+    // projection would be pruned by the optimizer and never run); Column
+    // API, not an expr() string — exotic column names must keep working
     val s = df.where(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
-        expr(s"CASE WHEN length($strCol) <= $maxLen THEN $strCol " +
-          s"ELSE raise_error('editDistance1Pairs: string longer than " +
-          s"maxLen=$maxLen — the deletion-neighborhood explode is " +
-          "quadratic in string length; raise maxLen only for genuinely " +
-          "long keys') END").as("__s"))
+        when(length(col(strCol)) <= maxLen, col(strCol))
+          .otherwise(raise_error(lit(
+            s"editDistance1Pairs: string longer than maxLen=$maxLen — " +
+              "the deletion-neighborhood explode is quadratic in string " +
+              "length; raise maxLen only for genuinely long keys")))
+          .as("__s"))
     // materialized: the self-join below consumes it twice, and the
     // |s|+1-key explode is the expensive upstream pass
     val keyed = Materialize(s.select(col("__id"), col("__s"),

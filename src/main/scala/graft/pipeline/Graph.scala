@@ -150,11 +150,13 @@ object Graph {
     val triangles = wedges.join(
       oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
       "left_semi")
-    val counts = triangles
+    // und/oriented are single-shot intermediates the RETURNED plan still
+    // references lazily — per the Materialize contract the operator must
+    // NOT release them (under the persist strategy that would unpersist
+    // never-computed caches and forfeit all reuse); they follow the
+    // session cache lifecycle like the LSH bucket tables
+    triangles
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    Materialize.release(und)
-    Materialize.release(oriented)
-    counts
   }
 }

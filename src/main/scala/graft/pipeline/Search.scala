@@ -117,9 +117,11 @@ object Search {
     * on a string id would NULL every id and return an EMPTY result with
     * no error; a fractional value would truncate to the wrong document.
     * `role` names the argument in the error (id vs score — rankByScore
-    * validates both). */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String,
-                                role: String = "id"): Unit = {
+    * validates both). Shared across the pipeline package — one check,
+    * one error shape. */
+  private[pipeline] def requireIntegralId(df: DataFrame, idCol: String,
+                                          op: String,
+                                          role: String = "id"): Unit = {
     import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
     val ok = dt match {
@@ -362,6 +364,11 @@ object Search {
     lists.foreach { l =>
       require(l.columns.contains("doc_id") && l.columns.contains("rank"),
         s"each list needs doc_id + rank columns, got ${l.columns.mkString(",")}")
+      // loud on non-integral ids/ranks: the cast below would NULL string
+      // ids and either fuse them into one bogus NULL row or trip the
+      // duplicate check with a misleading message
+      requireIntegralId(l, "doc_id", "rrfFuse")
+      requireIntegralId(l, "rank", "rrfFuse", role = "rank")
     }
     val union = Materialize.cut(lists.zipWithIndex.map { case (l, i) =>
       l.select(col("doc_id").cast("long").as("doc_id"),

@@ -173,6 +173,10 @@ class SearchSpec extends AnyFunSuite {
     val zero = Seq((0, 7L)).toDF("rank", "doc_id")
     val eZero = intercept[IllegalArgumentException](Search.rrfFuse(Seq(zero), 5))
     assert(eZero.getMessage.contains(">= 1"), eZero.getMessage)
+    // string ids must fail loudly, not NULL out through the cast
+    val strIds = Seq((1, "doc-1")).toDF("rank", "doc_id")
+    val eStr = intercept[IllegalArgumentException](Search.rrfFuse(Seq(strIds), 5))
+    assert(eStr.getMessage.contains("integral"), eStr.getMessage)
     // the SAME doc in two DIFFERENT lists is the point of fusion, not an error
     val a = Seq((1, 7L)).toDF("rank", "doc_id")
     val b = Seq((1, 7L)).toDF("rank", "doc_id")

@@ -266,6 +266,30 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     // 1->100 hamming 0; 2->100 hamming 3; 3 is 8 bits from -1 (outside)
     assert(got == Map((1L, 100L) -> 0, (2L, 100L) -> 3), s"got $got")
+    // a re-crawled id carrying two fingerprints reports the MINIMUM
+    // hamming deterministically, not a partition-dependent pick
+    val dup = Seq((9L, 7L), (9L, 1L)).toDF("img_id", "dhash") // h=3 and h=1 vs ref 0
+    val d = graft.pipeline.Dedup.queryHammingGate(dup, "img_id", "dhash", dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(d == Map((9L, 100L) -> 1), s"got $d")
+  }
+
+  test("buildHammingGate applies the maxBucket skew guard at build time") {
+    // 5 identical reference fingerprints with maxBucket=4: every band
+    // bucket overflows and is dropped — a probe at distance 0 finds
+    // nothing (recall traded for join survival, the minhash-gate contract)
+    val ref = (1L to 5L).map(i => (i, 42L)).toDF("img_id", "dhash")
+    val dir = java.nio.file.Files.createTempDirectory("hamming_gate_skew").toString
+    graft.pipeline.Dedup.buildHammingGate(ref, "img_id", "dhash", dir,
+      maxHamming = 3, maxBucket = 4)
+    val fresh = Seq((1L, 42L)).toDF("img_id", "dhash")
+    assert(graft.pipeline.Dedup.queryHammingGate(fresh, "img_id", "dhash", dir).count() == 0L,
+      "overflowing reference bucket must be dropped by the build-time guard")
+    // under the cap the same probe hits
+    val dir2 = java.nio.file.Files.createTempDirectory("hamming_gate_ok").toString
+    graft.pipeline.Dedup.buildHammingGate(ref.limit(3), "img_id", "dhash", dir2,
+      maxHamming = 3, maxBucket = 4)
+    assert(graft.pipeline.Dedup.queryHammingGate(fresh, "img_id", "dhash", dir2).count() == 3L)
   }
 
   test("mergeable sketches run as streaming aggregates: heavy hitters + quantiles") {
