@@ -1497,6 +1497,20 @@ object SparkEntry {
       pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5)
         .orderBy("node")
     },
+    "graph_pagerank_weighted" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // trade-volume-weighted PageRank: edge weight = distinct orders
+      // linking the pair; contrib = rank·w DIV Σw, same fixed-point ppm
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"), col("w"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst"), col("w")))
+      pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5,
+          weightCol = Some("w"))
+        .orderBy("node")
+    },
     "graph_triangles" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // per-part triangle counts in the co-purchase graph (parts sharing
@@ -1620,23 +1634,32 @@ object SparkEntry {
     * recursive term, and unrolling keeps every engine on the plain-join
     * path). Must mirror the Spark edge build in `graph_pagerank` exactly:
     * bidirected customer↔supplier edges, suppliers offset by 1e6. */
-  private def pageRankOracleSql(iterations: Int): String = {
+  private def pageRankOracleSql(iterations: Int,
+                                weighted: Boolean = false): String = {
     val rounds = (1 to iterations).map { i =>
       s"""pr$i AS (SELECT n.node,
          |  CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst AS node, sum(p.r // d.dg) AS s
+         |    SELECT e.dst AS node, sum((CAST(p.r AS HUGEINT) * e.w) // d.sw) AS s
          |    FROM edges e JOIN deg d ON e.src = d.src
          |                 JOIN pr${i - 1} p ON p.node = e.src
          |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
-       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |edges AS (SELECT c AS src, sp + 1000000 AS dst FROM e0
-       |          UNION ALL SELECT sp + 1000000 AS src, c AS dst FROM e0),
+    val e0 =
+      if (weighted)
+        """SELECT o_custkey AS c, l_suppkey AS sp,
+          |            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+          |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |            GROUP BY 1, 2""".stripMargin
+      else
+        """SELECT DISTINCT o_custkey AS c, l_suppkey AS sp, CAST(1 AS BIGINT) AS w
+          |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    s"""WITH e0 AS ($e0),
+       |edges AS (SELECT c AS src, sp + 1000000 AS dst, w FROM e0
+       |          UNION ALL SELECT sp + 1000000 AS src, c AS dst, w FROM e0),
        |nodes AS (SELECT DISTINCT src AS node FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
-       |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+       |deg AS (SELECT src, sum(w) AS sw FROM edges GROUP BY src),
        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT node, r AS rank_ppm FROM pr$iterations ORDER BY node""".stripMargin
@@ -1644,6 +1667,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(5),
+    "graph_pagerank_weighted" -> pageRankOracleSql(5, weighted = true),
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
               p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

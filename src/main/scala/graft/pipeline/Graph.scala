@@ -28,6 +28,11 @@ object Graph {
     * because it needs no per-iteration global scalar; feed a bidirected
     * edge set if every node must forward.
     *
+    * WEIGHTED edges via `weightCol` (positive INTEGER weights — trade
+    * volume, link counts; a zero/negative weight fails the job loudly):
+    * contrib(s→d) = rank(s)·w(s→d) DIV Σw(s). Unweighted is the w = 1
+    * case of the same arithmetic, so the two paths can never drift.
+    *
     * Overflow envelope (documented, not silently wrong): per-node
     * contributions sum in DECIMAL(38,0) — exact at any in-degree — and
     * the damped product stays ≤ 1e6·(1e6·|V|), within decimal(38,0) for
@@ -45,14 +50,21 @@ object Graph {
     * round. Output: `node, rank_ppm`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPpm: Long = 850000L,
-               cutEvery: Int = 8): DataFrame = {
+               cutEvery: Int = 8,
+               weightCol: Option[String] = None): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in [1, 1000], got $iterations")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 1000000], got $dampingPpm")
+    val w = weightCol.map { c =>
+      // the guard lives inside the consumed column (prune-safe)
+      when(col(c).cast("long") >= 1L, col(c).cast("long"))
+        .otherwise(raise_error(lit(
+          s"pageRank: weight column '$c' must be a positive integer")))
+    }.getOrElse(lit(1L))
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst"), w.as("__w"))
     // Short horizons (no mid-run cut) run as ONE lazy job: every round
     // references the same repartition subtrees, and Spark's ReuseExchange
     // computes each ONCE per job — eager materialization would just add
@@ -65,9 +77,9 @@ object Graph {
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
         .repartition(col("node")))
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val deg = e0.groupBy("src").agg(sum(col("__w")).as("__sw"))
     // the ONE exchange the edges ever see: partitioned by src, the
-    // per-round join key, with out-degree already attached
+    // per-round join key, with out-weight already attached
     val ej = stage(
       e0.join(deg, "src").repartition(col("src")))
     val basePpm = 1000000L - dampingPpm
@@ -78,8 +90,12 @@ object Graph {
     // node-sized frames, far below the edge table this loop never copies
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iterations) {
+      // decimal multiply: rank·w would overflow BIGINT at hub weights;
+      // unweighted (w = 1) reduces to rank DIV Σ1 = rank DIV outdeg
       val contribs = ej.join(ranks, ej("src") === ranks("node"))
-        .select(col("dst"), expr("rank_ppm DIV __deg").as("__c"))
+        .select(col("dst"),
+          expr("CAST((CAST(rank_ppm AS DECIMAL(38,0)) * __w) DIV __sw AS BIGINT)")
+            .as("__c"))
         .groupBy("dst")
         .agg(sum(col("__c").cast("decimal(38,0)")).as("__s"))
       val next = nodes.join(contribs, nodes("node") === contribs("dst"), "left")

@@ -44,7 +44,8 @@ class DeterminismSpec extends AnyFunSuite {
     // not see partitioning), salted-replica join routing, RRF fusion ties,
     // percentile-boundary bucketing
     "graph_pagerank", "rel_skew_join", "search_rrf", "rel_quantile_buckets",
-    "dedup_fuzzy_names", "multimodal_phash_pairs", "graph_triangles")
+    "dedup_fuzzy_names", "multimodal_phash_pairs", "graph_triangles",
+    "graph_pagerank_weighted")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -67,6 +67,28 @@ class GraphSpec extends AnyFunSuite {
     assert(none.forall(_ == 1000000L), s"got $none")
   }
 
+  test("weighted star: hand-computed iteration, and w=1 equals unweighted") {
+    // hub a -> b (w=3), a -> c (w=1); leaves return with w=1
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRank(e, "src", "dst", 1, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // a gets 1e6 + 1e6; b gets 1e6*3 DIV 4 = 750000; c gets 250000
+    assert(r == Map(1L -> 1850000L, 2L -> 787500L, 3L -> 362500L), s"got $r")
+    // all-ones weights must be bit-identical to the unweighted path
+    val ones = e.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val a = Graph.pageRank(ones, "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = Graph.pageRank(ones, "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b, s"weighted(1) $a != unweighted $b")
+    // zero/negative weights fail loudly
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception](
+      Graph.pageRank(bad, "src", "dst", 1, weightCol = Some("w")).collect())
+    assert(ex.getMessage.contains("positive"), ex.getMessage)
+  }
+
   test("a horizon crossing the cut boundary equals the fully lazy run") {
     // 12 iterations with cutEvery=8 materializes mid-run; cutEvery=100
     // stays one lazy plan — the cadence must never change the numbers
