@@ -1266,6 +1266,15 @@ object SparkEntry {
           minDocs = 2, minLineChars = 10)
         .orderBy("doc_id")
     },
+    "text_span_dedup" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // exact-substring span REMOVAL (Lee et al. 2022): cut every 8-word
+      // span that also appears verbatim in another document, rebuild the
+      // survivors — the rewrite twin of text_dup_ngrams' signal
+      pipeline.TextAnalysis.removeDuplicateSpans(s.table("documents"), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy("doc_id")
+    },
     "text_heavy_hitters" -> { (s, dir) =>
       prep(s, dir, "documents")
       // Misra-Gries bounded-state frequent tokens (k-entry summaries are
@@ -2556,6 +2565,30 @@ object SparkEntry {
          SELECT doc.doc_id, coalesce(r.clean_text, '') AS clean_text
          FROM documents doc LEFT JOIN reb r ON r.doc_id = doc.doc_id
          ORDER BY doc.doc_id""",
+    "text_span_dedup" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              toks AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos,
+                              unnest(ws) AS w FROM w),
+              g AS (SELECT doc_id, CAST(unnest(range(len(ws) - 7)) AS INT) AS pos,
+                           unnest([array_to_string(ws[i + 1 : i + 8], ' ')
+                                   for i in range(len(ws) - 7)]) AS gram FROM w),
+              dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                      GROUP BY gram HAVING count(*) >= 2),
+              cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + 8)) AS INT) AS pos
+                      FROM g JOIN dup USING (gram)),
+              kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
+                       LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+                       WHERE c.doc_id IS NULL),
+              reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+                             string_agg(w, ' ' ORDER BY pos) AS clean_text
+                      FROM kept GROUP BY 1),
+              nw AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words FROM w)
+         SELECT d.doc_id, nw.n_words,
+                CAST(nw.n_words - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM documents d JOIN nw USING (doc_id) LEFT JOIN reb r ON r.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "text_heavy_hitters" ->
       """SELECT CAST(rn AS INT) AS rank, token, n FROM (
            SELECT token, CAST(count(*) AS BIGINT) AS n,

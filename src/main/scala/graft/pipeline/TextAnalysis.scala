@@ -712,4 +712,59 @@ object TextAnalysis {
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(expr("1000000 * n_dup_grams DIV n_grams"), lit(0L)).as("dup_ngram_ppm"))
   }
+
+  /** Exact-substring span REMOVAL — the rewrite form of [[corpusDupNgrams]]
+    * (Lee et al. 2022 ExactSubstr: substrings repeated across documents are
+    * memorization fuel; the cure is cutting the span out of the corpus, not
+    * merely scoring it). A token is removed when ANY word `n`-gram covering
+    * it occurs in ≥ `minDocs` DISTINCT documents; runs of duplicated grams
+    * merge into one excised span by construction (coverage is per token).
+    * Like [[removeDuplicateLines]], the span is cut from EVERY document
+    * holding it — keep-one-copy would need a global occurrence order, a
+    * corpus-wide sequential dependency with no distributed justification.
+    *
+    * Output per input doc: `n_words`, `n_removed`, `clean_text` (the kept
+    * tokens of the SHARED tokenizer stream — lowercased, single-space
+    * joined; NULL-text/short docs come back as '' with zero counts).
+    *
+    * Scale shape: positional grams come from ONE tokenize pass
+    * (posexplode over the single-pass [[graft.functions.WordGrams]] —
+    * a lambda would re-split per gram, O(n_words²)); gram strings are
+    * hashed to 8-byte keys IN the explode's project, so only (doc, pos,
+    * hash) longs ever cross a shuffle. The gram stream is materialized
+    * once and consumed twice (dup-table build + coverage probe); the
+    * dup table derives from a (doc, hash)-distinct + hash-count, both
+    * partial-aggregating; coverage explodes each duplicated gram into its
+    * `n` covered positions — output-proportional to the dup volume, never
+    * to the corpus; the kept-token anti-join is co-partitioned on
+    * (doc, pos); one per-doc rebuild bounded by the doc's own length.
+    * 64-bit gram-hash collisions can over-remove a token pair per ~2^32
+    * distinct grams — the same (documented) exposure as corpusDupNgrams. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2; got n=$n minDocs=$minDocs")
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+    val grams = Materialize(df.select(col(idCol),
+        posexplode(E.column(WordGrams(E.expression(col(textCol)), n))).as(Seq("__pos", "__gs")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__gs")).as("__g")))
+    val dup = grams.select(col(idCol), col("__g")).distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select("__g")
+    val covered = grams.join(dup, "__g")
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__pos"))
+      .distinct()
+    val perDoc = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w"))).as("clean_text"))
+    df.select(col(idCol), size(words(col(textCol))).cast("long").as("__nw"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        greatest(col("__nw"), lit(0L)).as("n_words"),
+        (greatest(col("__nw"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -45,7 +45,10 @@ class DeterminismSpec extends AnyFunSuite {
     // percentile-boundary bucketing
     "graph_pagerank", "rel_skew_join", "search_rrf", "rel_quantile_buckets",
     "dedup_fuzzy_names", "multimodal_phash_pairs", "graph_triangles",
-    "graph_pagerank_weighted")
+    "graph_pagerank_weighted",
+    // r7 session 3: span-removal rebuild (anti-join + per-doc sort rebuild
+    // must not see partitioning)
+    "text_span_dedup")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -775,6 +775,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(soloStats == 0L, "within-doc repetition must not create a corpus dup")
   }
 
+  test("removeDuplicateSpans cuts cross-doc 8-gram spans, keeps the rest in order") {
+    val span = "one two three four five six seven eight" // exactly 8 tokens, in docs 1+2
+    val solo6 = "s1 s2 s3 s4 s5 s6 s7 s8" // 8 tokens seen only in doc 6
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"prefix words here $span and a suffix tail"),
+      (3L, "a wholly unique document with no shared span at all present"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "short doc"), // under 8 words: no gram, nothing removable
+      // within-doc repeat of a doc-6-only span — ONE distinct doc, must not vote
+      (6L, s"$solo6 $solo6")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == (1L, 12L, 8L, "alpha beta gamma delta"), s"got ${out(0)}")
+    assert(out(1) == (2L, 15L, 8L, "prefix words here and a suffix tail"))
+    assert(out(2) == (3L, 11L, 0L, "a wholly unique document with no shared span at all present"),
+      "clean docs come back token-identical")
+    assert(out(3) == (4L, 0L, 0L, ""), "NULL text -> empty with zero counts")
+    assert(out(4) == (5L, 2L, 0L, "short doc"))
+    assert(out(5) == (6L, 16L, 0L, solo6 + " " + solo6),
+      "within-doc repetition alone must not trigger removal (distinct-doc vote)")
+    // overlapping dup grams merge into one excised span: doc 7/8 share a
+    // 9-token run = two overlapping 8-grams; coverage removes 9 tokens once
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val docs2 = Seq((7L, s"head $run tail"), (8L, s"$run trailer words")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.removeDuplicateSpans(docs2, "doc_id", "text", 8, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out2(0) == (7L, 11L, 9L, "head tail"), s"got ${out2(0)}")
+    assert(out2(1) == (8L, 11L, 9L, "trailer words"))
+    // partition invariance
+    val p3 = TextAnalysis.removeDuplicateSpans(docs.repartition(3), "doc_id", "text", 8, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(p3 == out, "result independent of input partitioning")
+  }
+
   test("stratifiedSample keeps exact fractions' buckets, deterministically") {
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("id", "lang")
     val all = TextAnalysis.stratifiedSample(df, "id", "lang",
