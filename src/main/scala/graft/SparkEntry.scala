@@ -1275,6 +1275,16 @@ object SparkEntry {
           n = 8, minDocs = 2)
         .orderBy("doc_id")
     },
+    "pipeline_dsir_weights" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // DSIR importance weights: raw corpus scored against the src0 slice
+      // as the quality-exemplar target (bit-length integer log2 stand-in
+      // for the hashed-unigram log-likelihood ratio)
+      val docs = s.table("documents")
+      pipeline.TextAnalysis.importanceWeights(docs,
+          docs.where(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "text_heavy_hitters" -> { (s, dir) =>
       prep(s, dir, "documents")
       // Misra-Gries bounded-state frequent tokens (k-entry summaries are
@@ -2588,6 +2598,25 @@ object SparkEntry {
                 CAST(nw.n_words - coalesce(r.kept, 0) AS BIGINT) AS n_removed,
                 coalesce(r.clean_text, '') AS clean_text
          FROM documents d JOIN nw USING (doc_id) LEFT JOIN reb r ON r.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "pipeline_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              tok AS (SELECT doc_id,
+                             CAST('0x' || substr(md5(unnest(ws)), 1, 4) AS BIGINT) AS b FROM w),
+              cr AS (SELECT b, count(*) AS c FROM tok GROUP BY 1),
+              ct AS (SELECT b, count(*) AS c FROM tok JOIN documents USING (doc_id)
+                     WHERE source = 'src0' GROUP BY 1),
+              model AS (SELECT cr.b,
+                               CAST(length(bin(coalesce(ct.c, 0) + 1))
+                                    - length(bin(cr.c + 1)) AS BIGINT) AS llr
+                        FROM cr LEFT JOIN ct ON ct.b = cr.b),
+              pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(sum(llr) AS BIGINT) AS dsir_score
+                     FROM tok JOIN model USING (b) GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+                coalesce(dsir_score, 0) AS dsir_score
+         FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id""",
     "text_heavy_hitters" ->
       """SELECT CAST(rn AS INT) AS rank, token, n FROM (

@@ -767,4 +767,49 @@ object TextAnalysis {
         (greatest(col("__nw"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each RAW document
+    * by how much its hashed-unigram profile looks like the TARGET corpus
+    * (the quality exemplar — in DSIR, Wikipedia+books) rather than the raw
+    * crawl. Per token with feature bucket b ([[sampleBucket16]] of the token, 65536-way):
+    *
+    *   llr(b) = bitlen(c_target(b) + 1) − bitlen(c_raw(b) + 1)
+    *
+    * where bitlen(x) = ⌊log2 x⌋ + 1 — the exact-integer stand-in for the
+    * log-likelihood ratio (within 1 of log2; add-one smoothing keeps
+    * unseen-in-target buckets finite). `dsir_score` = Σ llr over the doc's
+    * tokens. The corpus-size normalizer (−n·log N_t + n·log N_r) is
+    * deliberately dropped: it is per-token constant, so rankings at equal
+    * token count are unchanged — compare scores of similar-length docs, or
+    * feed (score, n_tokens) to a downstream cut (e.g. [[weightedSample]]).
+    * Output: (idCol, n_tokens, dsir_score) for every raw doc (NULL/empty
+    * text → 0, 0).
+    *
+    * Scale shape: the raw corpus is tokenized ONCE (materialized (id,
+    * bucket) stream consumed by the count pass and the scoring pass); the
+    * model is ≤ 65536 rows by construction — built with two partial
+    * aggregates and BROADCAST back, so scoring is map-side and the corpus
+    * shuffles only for the per-doc rollup. The target side is the small
+    * exemplar corpus by definition. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = Materialize(raw.select(col(idCol),
+      explode(words(col(textCol))).as("__t"))
+      .select(col(idCol), sampleBucket16(col("__t")).cast("long").as("__b")))
+    val cr = toks.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = target.select(explode(words(col(textCol))).as("__t"))
+      .groupBy(sampleBucket16(col("__t")).cast("long").as("__b")).agg(count(lit(1)).as("__ct"))
+    // every raw token's bucket is in cr by construction → left join only on ct
+    val model = cr.join(ct, Seq("__b"), "left")
+      .select(col("__b"),
+        (length(bin(coalesce(col("__ct"), lit(0L)) + lit(1L))) -
+          length(bin(col("__cr") + lit(1L)))).cast("long").as("__llr"))
+    val perDoc = toks.join(broadcast(model), Seq("__b"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_tokens"), sum("__llr").as("dsir_score"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+  }
 }

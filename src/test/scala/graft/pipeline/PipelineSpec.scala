@@ -810,6 +810,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(p3 == out, "result independent of input partitioning")
   }
 
+  test("importanceWeights: bit-length llr, exact on a hand-computed corpus") {
+    // md5-4hex buckets of aa/bb/cc/zz/yy are distinct (4124/21ad/e032/25ed/2fb1)
+    val raw = Seq((1L, "aa bb"), (2L, "zz yy"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "aa bb cc")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // llr(aa)=bitlen(1+1)-bitlen(1+1)=0; same bb → doc1 = 0
+    // llr(zz)=bitlen(0+1)-bitlen(1+1)=1-2=-1; same yy → doc2 = -2
+    assert(out == Seq((1L, 2L, 0L), (2L, 2L, -2L), (3L, 0L, 0L)), s"got $out")
+    // target-resembling docs outrank off-target docs at equal length
+    val big = (1L to 40L).map(i => (i, if (i <= 20) "aa bb aa bb" else "zz yy zz yy"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.importanceWeights(big, target, "doc_id", "text")
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect().toMap
+    assert((1L to 20L).forall(i => scores(i) > scores(21L)),
+      "every target-like doc must outscore the off-target docs")
+    // partition invariance
+    val p3 = TextAnalysis.importanceWeights(raw.repartition(3), target, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(p3 == out)
+  }
+
   test("stratifiedSample keeps exact fractions' buckets, deterministically") {
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("id", "lang")
     val all = TextAnalysis.stratifiedSample(df, "id", "lang",
