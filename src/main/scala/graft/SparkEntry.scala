@@ -1543,6 +1543,18 @@ object SparkEntry {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       pipeline.Graph.triangleCounts(e, "src", "dst").orderBy("node")
     },
+    "graph_communities" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // label-propagation communities over the same co-purchase graph as
+      // graph_triangles — 4 synchronous min-tie rounds, bit-replayable
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
+        .orderBy("node")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -1684,7 +1696,35 @@ object SparkEntry {
        |SELECT node, r AS rank_ppm FROM pr$iterations ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Graph.labelPropagation]], rounds unrolled
+    * as chained CTEs (same reason as [[pageRankOracleSql]]). Mirrors the
+    * Spark edge build in `graph_communities`: co-purchase part pairs from
+    * a quarter of the orders, undirected. The per-node argmax is a
+    * row_number window here (count DESC, label ASC) — semantically the
+    * max(struct(c, −label)) aggregate on the Spark side. */
+  private def labelPropagationOracleSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""lp$i AS (SELECT node, label FROM (
+         |  SELECT a.node, p.label, count(*) AS c,
+         |         row_number() OVER (PARTITION BY a.node
+         |                            ORDER BY count(*) DESC, p.label) AS rn
+         |  FROM adj a JOIN lp${i - 1} p ON p.node = a.nbr
+         |  GROUP BY a.node, p.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |        FROM li x JOIN li y
+       |          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |adj AS (SELECT a AS node, b AS nbr FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |lp0 AS (SELECT DISTINCT node, node AS label FROM adj),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       |FROM lp$iterations ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_communities" -> labelPropagationOracleSql(4),
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_pagerank_weighted" -> pageRankOracleSql(5, weighted = true),
     "graph_triangles" ->

@@ -123,6 +123,72 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge set — the near-linear community detector: every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors, ties broken by SMALLEST
+    * label. Both rules are deterministic, so a fixed `iterations` horizon
+    * makes the result a pure function of the input — bit-replayable by
+    * the DuckDB oracle round for round (the classic randomized-order
+    * variant is not). Self-loops dropped; duplicate/reversed edges
+    * collapse to one undirected edge (one neighbor vote each way).
+    * Synchronous updates can oscillate on bipartite-ish regions rather
+    * than converge — standard for the synchronous variant; pick the
+    * horizon as the community resolution knob, not a convergence bound.
+    *
+    * Plan shape mirrors [[pageRank]]: the adjacency (both directions of
+    * each undirected edge) is shuffled onto the per-round join key ONCE;
+    * each round is labels→(shuffle_hash join reusing that layout — label
+    * frames are |V|-sized and can never broadcast at graph scale)→vote
+    * count partial-aggregating map-side→per-node argmax as max(struct(
+    * count, −label)) — an aggregate, not a window: no per-node sort, and
+    * the tie rule rides the struct order. The logical plan grows linearly
+    * (each round references the previous labels once), so lineage is cut
+    * only every `cutEvery` rounds. Output: `node, label` (label = the
+    * smallest node id that won the node's final vote). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int, cutEvery: Int = 8): DataFrame = {
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations must be in [1, 1000], got $iterations")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val multiStretch = iterations > cutEvery
+    def stage(df: DataFrame): DataFrame =
+      if (multiStretch) Materialize.cut(df) else df
+    // the ONE exchange the adjacency ever sees: partitioned by nbr, the
+    // per-round join key
+    val adj = stage(
+      und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+        .repartition(col("nbr")))
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to iterations) {
+      // explicit aliases: labels derives from adj on round 1, so the
+      // unqualified columns would be an ambiguous self-join
+      val votes = adj.as("__a").join(labels.as("__l").hint("shuffle_hash"),
+          col("__a.nbr") === col("__l.node"))
+        .select(col("__a.node").as("__n"), col("__l.label").as("label"))
+        .groupBy("__n", "label").agg(count(lit(1)).as("__c"))
+      val next = votes.groupBy("__n")
+        .agg(max(struct(col("__c"), (-col("label")).as("__neg"))).as("__m"))
+        .select(col("__n").as("node"), (-col("__m.__neg")).as("label"))
+      labels = if (i % cutEvery == 0 && i < iterations) {
+        val cut = Materialize.cut(next)
+        retired += cut
+        cut
+      } else next
+    }
+    if (multiStretch) Materialize.release(adj)
+    retired.foreach(Materialize.release)
+    labels
+  }
+
   /** Per-node triangle counts over an undirected edge set (self-loops
     * dropped, duplicate/reversed edges collapsed): `node, n_triangles` —
     * the local clustering signal (spam-farm rings, copy networks,

@@ -47,8 +47,9 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_fuzzy_names", "multimodal_phash_pairs", "graph_triangles",
     "graph_pagerank_weighted",
     // r7 session 3: span-removal rebuild (anti-join + per-doc sort rebuild
-    // must not see partitioning), DSIR model build + broadcast scoring
-    "text_span_dedup", "pipeline_dsir_weights")
+    // must not see partitioning), DSIR model build + broadcast scoring,
+    // label-propagation vote argmax
+    "text_span_dedup", "pipeline_dsir_weights", "graph_communities")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

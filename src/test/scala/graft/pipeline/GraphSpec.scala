@@ -132,4 +132,27 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.pageRank(e, "src", "dst", 1, dampingPpm = 1000001L))
   }
+
+  test("labelPropagation: two bridged triangles, four hand-computed rounds") {
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10; messy input: a
+    // self-loop, a duplicate, and a reversed edge must all collapse
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (3L, 10L), (1L, 1L), (2L, 3L), (3L, 2L))
+    def run(iters: Int, cut: Int = 8) =
+      Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters,
+        cutEvery = cut).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every vote count is 1 -> min neighbor id everywhere
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 10L -> 3L,
+      11L -> 10L, 12L -> 10L), s"got ${run(1)}")
+    // round 4: stable two-community split, labels = 1 and 3 (the bridge
+    // node's id wins the right triangle via the bridge)
+    val r4 = run(4)
+    assert(r4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L,
+      11L -> 3L, 12L -> 3L), s"got $r4")
+    // cut cadence must never change the labels
+    assert(run(5, cut = 2) == run(5, cut = 100),
+      "cut cadence changed label propagation values")
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", 0))
+  }
 }
