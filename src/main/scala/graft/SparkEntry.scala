@@ -1543,6 +1543,23 @@ object SparkEntry {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       pipeline.Graph.triangleCounts(e, "src", "dst").orderBy("node")
     },
+    "graph_ppr" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // personalized PageRank: restart mass pinned to a 1-in-97 customer
+      // seed cohort — "suppliers relevant to THESE customers", the
+      // random-walk-with-restart retrieval form of graph_pagerank
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      val seeds = s.table("orders").select(col("o_custkey").as("node"))
+        .where(col("node") % 97 === 0).distinct()
+      pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5,
+          seeds = Some(seeds))
+        .orderBy("node")
+    },
     "graph_communities" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // label-propagation communities over the same co-purchase graph as
@@ -1666,10 +1683,17 @@ object SparkEntry {
     * path). Must mirror the Spark edge build in `graph_pagerank` exactly:
     * bidirected customer↔supplier edges, suppliers offset by 1e6. */
   private def pageRankOracleSql(iterations: Int,
-                                weighted: Boolean = false): String = {
+                                weighted: Boolean = false,
+                                seeded: Boolean = false): String = {
+    // personalized runs pin the restart mass (and the initial rank) to the
+    // seed flag; the global run is the all-seeds case of the same formula
+    val base = if (seeded) "CASE WHEN n.seed THEN 150000 ELSE 0 END" else "150000"
+    val init = if (seeded) "CASE WHEN seed THEN 1000000 ELSE 0 END" else "1000000"
+    val seedFlag =
+      if (seeded) ", (node < 1000000 AND node % 97 = 0) AS seed" else ""
     val rounds = (1 to iterations).map { i =>
       s"""pr$i AS (SELECT n.node,
-         |  CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT) AS r
+         |  CAST($base + (850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node, sum((CAST(p.r AS HUGEINT) * e.w) // d.sw) AS s
          |    FROM edges e JOIN deg d ON e.src = d.src
@@ -1688,10 +1712,10 @@ object SparkEntry {
     s"""WITH e0 AS ($e0),
        |edges AS (SELECT c AS src, sp + 1000000 AS dst, w FROM e0
        |          UNION ALL SELECT sp + 1000000 AS src, c AS dst, w FROM e0),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges
-       |          UNION SELECT DISTINCT dst FROM edges),
+       |nodes AS (SELECT node$seedFlag FROM (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges)),
        |deg AS (SELECT src, sum(w) AS sw FROM edges GROUP BY src),
-       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |pr0 AS (SELECT node, CAST($init AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT node, r AS rank_ppm FROM pr$iterations ORDER BY node""".stripMargin
   }
@@ -1726,6 +1750,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_pagerank" -> pageRankOracleSql(5),
+    "graph_ppr" -> pageRankOracleSql(5, seeded = true),
     "graph_pagerank_weighted" -> pageRankOracleSql(5, weighted = true),
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),

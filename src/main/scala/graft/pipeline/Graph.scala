@@ -28,6 +28,12 @@ object Graph {
     * because it needs no per-iteration global scalar; feed a bidirected
     * edge set if every node must forward.
     *
+    * PERSONALIZED PageRank via `seeds` (Haveliwala 2002; the
+    * random-walk-with-restart relevance used for seed-based retrieval /
+    * recommendations): restart mass goes only to the seed node set and
+    * ranks start there — see the inline note at the seed join for the
+    * arithmetic; `None` keeps the global behavior.
+    *
     * WEIGHTED edges via `weightCol` (positive INTEGER weights — trade
     * volume, link counts; a zero/negative weight fails the job loudly):
     * contrib(s→d) = rank(s)·w(s→d) DIV Σw(s). Unweighted is the w = 1
@@ -51,7 +57,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPpm: Long = 850000L,
                cutEvery: Int = 8,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               seeds: Option[DataFrame] = None): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in [1, 1000], got $iterations")
@@ -73,17 +80,36 @@ object Graph {
     val multiStretch = iterations > cutEvery
     def stage(df: DataFrame): DataFrame =
       if (multiStretch) Materialize.cut(df) else df
+    // PERSONALIZED teleport: with `seeds`, the (1 − d) restart mass lands
+    // only on the seed set (single-column frame of node ids; tiny by
+    // definition — a query/user context — so it broadcasts), and ranks
+    // start AT the seeds. seeds = None ⇒ every node is a seed with init
+    // 1e6 — exactly the global PageRank arithmetic, one code path, the
+    // two modes can never drift. Seed ids not present in the edge set
+    // have no row to rank and are ignored.
+    val seeded = seeds.map { sd =>
+      val sCol = sd.columns match {
+        case Array(c) => c
+        case cs => sys.error(s"seeds must have exactly one column, got ${cs.mkString(",")}")
+      }
+      sd.select(col(sCol).cast("long").as("node")).distinct()
+        .select(col("node"), lit(true).as("__seed"))
+    }
+    val nodeSet = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
     val nodes = stage(
-      e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node"))).distinct()
-        .repartition(col("node")))
+      seeded.fold(nodeSet.select(col("node"), lit(true).as("__seed"))) { sd =>
+        nodeSet.join(broadcast(sd), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      }.repartition(col("node")))
     val deg = e0.groupBy("src").agg(sum(col("__w")).as("__sw"))
     // the ONE exchange the edges ever see: partitioned by src, the
     // per-round join key, with out-weight already attached
     val ej = stage(
       e0.join(deg, "src").repartition(col("src")))
     val basePpm = 1000000L - dampingPpm
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
+    var ranks = nodes.select(col("node"),
+      when(col("__seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_ppm"))
     // released at the END: under the persist strategy nothing forces a
     // round's frame until the next round's cut (or the caller's action),
     // so an in-loop release would schedule recomputes; rounds hold only
@@ -107,7 +133,7 @@ object Graph {
       val next = nodes.join(contribs.hint("shuffle_hash"),
         nodes("node") === contribs("dst"), "left")
         .select(nodes("node"),
-          expr(s"CAST($basePpm + ($dampingPpm * coalesce(__s, CAST(0 AS DECIMAL(38,0)))) DIV 1000000 AS BIGINT)")
+          expr(s"CAST((CASE WHEN __seed THEN $basePpm ELSE 0 END) + ($dampingPpm * coalesce(__s, CAST(0 AS DECIMAL(38,0)))) DIV 1000000 AS BIGINT)")
             .as("rank_ppm"))
       ranks = if (i % cutEvery == 0 && i < iterations) {
         val cut = Materialize.cut(next)

@@ -49,7 +49,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r7 session 3: span-removal rebuild (anti-join + per-doc sort rebuild
     // must not see partitioning), DSIR model build + broadcast scoring,
     // label-propagation vote argmax
-    "text_span_dedup", "pipeline_dsir_weights", "graph_communities")
+    "text_span_dedup", "pipeline_dsir_weights", "graph_communities",
+    "graph_ppr")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -133,6 +133,36 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(e, "src", "dst", 1, dampingPpm = 1000001L))
   }
 
+  test("personalized PageRank: restart mass pinned to seeds, hand-computed") {
+    // star a=1 hub, leaves 2,3 (bidirected); seed = {2}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def ppr(seedIds: Seq[Long], iters: Int) =
+      Graph.pageRank(edges, "src", "dst", iters,
+          seeds = Some(seedIds.toDF("node")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init: r(2)=1e6, r(1)=r(3)=0
+    // iter1: node1 gets contribs r(2)/1 + r(3)/1 = 1e6 -> 0 + 850000*1e6 DIV 1e6 = 850000
+    //        node2: seed base 150000 + contrib r(1)/2=0 -> 150000; node3: 0
+    val r1 = ppr(Seq(2L), 1)
+    assert(r1 == Map(1L -> 850000L, 2L -> 150000L, 3L -> 0L), s"got $r1")
+    // iter2: node1 <- r2+r3 = 150000 -> 850000*150000 DIV 1e6 = 127500
+    //        node2 <- 150000 + 850000*(850000 DIV 2) DIV 1e6 = 150000+361250 = 511250
+    //        node3 <- 850000*425000 DIV 1e6 = 361250
+    val r2 = ppr(Seq(2L), 2)
+    assert(r2 == Map(1L -> 127500L, 2L -> 511250L, 3L -> 361250L), s"got $r2")
+    // seeding EVERY node is bit-identical to the global run
+    val all = ppr(Seq(1L, 2L, 3L), 5)
+    val global = Graph.pageRank(edges, "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == global, "all-seeds must equal unseeded bit-for-bit")
+    // seed ids outside the graph are ignored, not ranked
+    val ghost = ppr(Seq(2L, 99L), 1)
+    assert(ghost == r1, s"ghost seed changed ranks: $ghost")
+    // a multi-column seed frame is a loud error
+    intercept[RuntimeException](Graph.pageRank(edges, "src", "dst", 1,
+      seeds = Some(Seq((1L, 2L)).toDF("a", "b"))))
+  }
+
   test("labelPropagation: two bridged triangles, four hand-computed rounds") {
     // triangles {1,2,3} and {10,11,12}, bridge 3-10; messy input: a
     // self-loop, a duplicate, and a reversed edge must all collapse
