@@ -989,6 +989,15 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_punct", "n_stopwords", "n_distinct_words", "quality_score")
         .orderBy("doc_id")
     },
+    "text_gopher_rules" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Gopher/MassiveText filter battery, all-integer cross-multiplied
+      // ratio tests; minWords=20 fits this corpus' ~25-word docs so the
+      // verdict actually varies (50 is the paper's web default)
+      pipeline.TextAnalysis.gopherRules(s.table("documents"), "doc_id", "text",
+          minWords = 20L)
+        .orderBy("doc_id")
+    },
     "text_tokens" -> { (s, dir) =>
       prep(s, dir, "documents")
       pipeline.TextAnalysis.tokenCounts(s.table("documents"), "text")
@@ -2321,6 +2330,32 @@ object SparkEntry {
                      WHEN fr >= es AND fr > 0 THEN 'fr'
                      WHEN es > 0 THEN 'es'
                      ELSE 'und' END AS lang_pred
+         FROM c ORDER BY doc_id""",
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> len(x) > 0) AS ws FROM documents),
+              c AS (SELECT doc_id,
+                      CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words,
+                      CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT) AS char_total,
+                      CAST(coalesce(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))), 0) AS BIGINT) AS n_alpha_words,
+                      CAST(coalesce(len(text) - len(replace(text, '#', '')), 0)
+                           + coalesce((len(text) - len(replace(text, '...', ''))) // 3, 0) AS BIGINT) AS n_symbols,
+                      CAST(coalesce(len(list_intersect(list_distinct(ws),
+                        ['the','and','of','to','a','in','is','that','it','for'])), 0) AS BIGINT) AS n_stopword_hits
+                    FROM w)
+         SELECT doc_id, n_words, char_total, n_alpha_words, n_symbols, n_stopword_hits,
+                (n_words >= 20 AND n_words <= 100000) AS ok_wordcount,
+                (n_words > 0 AND 3 * n_words <= char_total
+                 AND char_total <= 10 * n_words) AS ok_meanlen,
+                (10 * n_symbols <= n_words) AS ok_symbols,
+                (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+                (n_stopword_hits >= 2) AS ok_stopwords,
+                ((n_words >= 20 AND n_words <= 100000)
+                 AND (n_words > 0 AND 3 * n_words <= char_total AND char_total <= 10 * n_words)
+                 AND (10 * n_symbols <= n_words)
+                 AND (5 * n_alpha_words >= 4 * n_words)
+                 AND (n_stopword_hits >= 2)) AS gopher_pass
          FROM c ORDER BY doc_id""",
     "text_quality" ->
       """WITH w AS (SELECT doc_id,

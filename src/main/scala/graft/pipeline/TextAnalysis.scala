@@ -768,6 +768,65 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    * MassiveText filter battery), ALL-INTEGER so the verdict is
+    * bit-identical cross-engine (every ratio test is a cross-multiply,
+    * never a float division):
+    *
+    *  - `ok_wordcount` — minWords ≤ n_words ≤ maxWords
+    *  - `ok_meanlen`   — mean word length in [3, 10]:
+    *                     3·n_words ≤ Σ len(w) ≤ 10·n_words
+    *  - `ok_symbols`   — symbol-to-word ratio ≤ 1/10: '#' glyphs plus
+    *                     non-overlapping '...' runs, 10·symbols ≤ n_words
+    *  - `ok_alpha`     — ≥ 80% of words contain a letter:
+    *                     5·n_alpha_words ≥ 4·n_words
+    *  - `ok_stopwords` — ≥ 2 distinct hits on the en stopword list
+    *                     ([[stopwordHits]] — the published rule's spirit
+    *                     with this engine's marker list)
+    *  - `gopher_pass`  — AND of the five
+    *
+    * Empty/NULL docs fail `ok_wordcount` (and so the verdict) rather than
+    * erroring. The repetition battery from the same paper is
+    * [[repetitionSignals]]; compose both for the full filter.
+    *
+    * Scale shape: pure per-row projection over ONE scan — no shuffle, no
+    * state, stream-safe. Lambdas here range over their own array argument
+    * (evaluated once per row), never an outer derived array — the
+    * per-element re-evaluation trap does not apply. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
+    val t = col(textCol)
+    val w = words(t)
+    val nWords = coalesce(size(w).cast("long"), lit(0L))
+    val charTotal = coalesce(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+    val nAlpha = coalesce(
+      size(filter(w, x => x.rlike("[a-z]"))).cast("long"), lit(0L))
+    val nHash = coalesce(
+      (length(t) - length(replace(t, lit("#"), lit("")))).cast("long"), lit(0L))
+    val nEllipsis = coalesce(
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("long"),
+      lit(0L))
+    val nStop = coalesce(stopwordHits(t, "en").cast("long"), lit(0L))
+    df.select(col(idCol),
+        nWords.as("n_words"), charTotal.as("char_total"),
+        nAlpha.as("n_alpha_words"), (nHash + nEllipsis).as("n_symbols"),
+        nStop.as("n_stopword_hits"))
+      .withColumn("ok_wordcount",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_meanlen",
+        col("n_words") > 0 && lit(3L) * col("n_words") <= col("char_total") &&
+          col("char_total") <= lit(10L) * col("n_words"))
+      .withColumn("ok_symbols", lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_alpha", lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("ok_stopwords", col("n_stopword_hits") >= 2L)
+      .withColumn("gopher_pass",
+        col("ok_wordcount") && col("ok_meanlen") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each RAW document
     * by how much its hashed-unigram profile looks like the TARGET corpus

@@ -810,6 +810,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(p3 == out, "result independent of input partitioning")
   }
 
+  test("gopherRules: each rule trips on its crafted document") {
+    // 30 words, 102 chars -> mean 3.4, all alpha, 6 distinct stopword hits
+    val good = ("the quick brown fox jumps and it is of that " * 3).trim
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and"), // under minWords
+      (3L, good + " " + ("x" * 300)), // one 300-char word -> mean len > 10
+      (4L, good + " # # # #"), // 34 words, 4 symbols -> 40 > 34 fails
+      (5L, good + " 111 222 333 444 555 666 777 888"), // 30/38 alpha < 80%
+      (6L, ("lorem ipsum dolor sit amet " * 5).trim), // no stopword hits
+      (7L, null.asInstanceOf[String]),
+      (8L, good + " wait... no... well... hmm...")) // 4 ellipsis runs -> 40 > 34
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 10L)
+      .select("doc_id", "ok_wordcount", "ok_meanlen", "ok_symbols", "ok_alpha",
+        "ok_stopwords", "gopher_pass")
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out(0) == (1L, true, true, true, true, true, true), s"got ${out(0)}")
+    assert(!out(1)._2 && !out(1)._7, "short doc fails wordcount")
+    assert(!out(2)._3 && !out(2)._7, "mega-word breaks mean length")
+    assert(!out(3)._4 && !out(3)._7, s"symbol ratio must fail: ${out(3)}")
+    assert(!out(4)._5 && !out(4)._7, "digit-run words break the alpha floor")
+    assert(!out(5)._6 && !out(5)._7, "no stopword hits fails")
+    assert(out(6) == (7L, false, false, true, true, false, false),
+      s"NULL text fails wordcount/meanlen/stopwords, got ${out(6)}")
+    assert(!out(7)._4 && !out(7)._7, s"ellipsis runs count as symbols: ${out(7)}")
+    intercept[IllegalArgumentException](
+      TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 0L))
+  }
+
   test("importanceWeights: bit-length llr, exact on a hand-computed corpus") {
     // md5-4hex buckets of aa/bb/cc/zz/yy are distinct (4124/21ad/e032/25ed/2fb1)
     val raw = Seq((1L, "aa bb"), (2L, "zz yy"), (3L, null.asInstanceOf[String]))
