@@ -212,6 +212,13 @@ object ScaleProbe {
       .select(concat_ws(" ", slice(split(col("text"), " "), 1, 16)).as("text"))
     timed("decontamination, heavy tail")(
       pipeline.TextAnalysis.contamination(heavy, heavyBench, "doc_id", "text", n = 8).count())
+    // span removal adds the (doc, pos) anti-join + per-doc rebuild on top
+    // of the gram machinery — the rebuild must stay bounded by doc length
+    timed("span removal, heavy tail")(
+      pipeline.TextAnalysis.removeDuplicateSpans(heavy, "doc_id", "text", n = 8).count())
+    timed("DSIR weights, heavy tail (model + scoring)")(
+      pipeline.TextAnalysis.importanceWeights(heavy,
+        heavy.where(col("doc_id") % 10 === 0), "doc_id", "text").count())
 
     // ---- SemDeDup: k-means blocking + within-cluster cosine prune --------
     // 1% of vectors get a near-identical twin (one dim perturbed by 1e-3,

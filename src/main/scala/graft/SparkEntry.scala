@@ -998,6 +998,15 @@ object SparkEntry {
           minWords = 20L)
         .orderBy("doc_id")
     },
+    "pipeline_score_calibration" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-source percent-rank calibration of the quality score: one
+      // global cut then means "bottom X% of EACH source"
+      val scored = pipeline.TextAnalysis.qualityScore(s.table("documents"), "text")
+        .select("doc_id", "source", "quality_score")
+      pipeline.TextAnalysis.calibrateScores(scored, "doc_id", "source", "quality_score")
+        .orderBy("doc_id")
+    },
     "text_tokens" -> { (s, dir) =>
       prep(s, dir, "documents")
       pipeline.TextAnalysis.tokenCounts(s.table("documents"), "text")
@@ -2357,6 +2366,28 @@ object SparkEntry {
                  AND (5 * n_alpha_words >= 4 * n_words)
                  AND (n_stopword_hits >= 2)) AS gopher_pass
          FROM c ORDER BY doc_id""",
+    "pipeline_score_calibration" ->
+      """WITH w AS (SELECT doc_id, source,
+                      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws
+                    FROM documents),
+              c AS (SELECT doc_id, source,
+                      CAST(len(ws) AS BIGINT) n_words,
+                      CAST(len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is','that','it','for'])) AS BIGINT) n_stopwords,
+                      CAST(len(list_distinct(ws)) AS BIGINT) n_distinct_words
+                    FROM w),
+              q AS (SELECT doc_id, source,
+                      CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                                + least(n_stopwords / 5.0, 1.0) * 0.3
+                                + n_distinct_words / greatest(CAST(n_words AS DOUBLE), 1.0) * 0.3) * 1000.0 + 0.5) AS BIGINT) AS quality_score
+                    FROM c),
+              r AS (SELECT doc_id, source, quality_score,
+                      CAST(rank() OVER (PARTITION BY source ORDER BY quality_score) AS BIGINT) AS rk,
+                      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                    FROM q)
+         SELECT doc_id, source, quality_score,
+                CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                     ELSE 0 END AS BIGINT) AS pct_ppm
+         FROM r ORDER BY doc_id""",
     "text_quality" ->
       """WITH w AS (SELECT doc_id,
                       list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws,

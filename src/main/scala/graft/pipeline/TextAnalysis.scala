@@ -827,6 +827,36 @@ object TextAnalysis {
           col("ok_alpha") && col("ok_stopwords"))
   }
 
+  /** Per-group score calibration: integer percent-rank of `scoreCol`
+    * WITHIN each `groupCol` partition — `pct_ppm = (rank − 1)·10⁶ DIV
+    * (n − 1)` (ties share a rank; single-row groups → 0). The curation
+    * use: raw quality scores are not comparable across sources (every
+    * scorer is biased by its source's register), so a single global
+    * threshold over-prunes some sources and under-prunes others;
+    * rank-calibrating per source first makes one cut ("drop the bottom
+    * 20% OF EACH SOURCE") mean the same thing everywhere.
+    *
+    * Scale shape: one shuffle on the group key; the window sorts only
+    * (group, score) plus the id — project before calling if the frame
+    * carries document bodies. A mega-source skews its partition: at that
+    * point switch to [[quantileBuckets]]-style boundary cuts (exact
+    * percentile boundaries, no per-group total sort); the window form is
+    * the exact-rank reference. NULL scores sort FIRST (Spark and DuckDB
+    * agree on NULLS FIRST for ASC) and so calibrate to the bottom. */
+  def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("__r", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col("__n") > 1L,
+          expr("(__r - 1) * 1000000 DIV (__n - 1)")).otherwise(lit(0L))
+          .as("pct_ppm"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each RAW document
     * by how much its hashed-unigram profile looks like the TARGET corpus

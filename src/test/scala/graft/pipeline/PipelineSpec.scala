@@ -810,6 +810,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(p3 == out, "result independent of input partitioning")
   }
 
+  test("calibrateScores: integer percent-rank per group, ties and edge groups") {
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val df = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", jl(10)), (2L, "a", jl(20)), (3L, "a", jl(20)), (4L, "a", jl(40)),
+      (5L, "a", jl(50)),
+      (6L, "b", jl(999)), // single-row group -> 0
+      (7L, "c", jl(5)), (8L, "c", null)) // NULL sorts first
+      .toDF("id", "grp", "score")
+    val out = TextAnalysis.calibrateScores(df, "id", "grp", "score")
+      .orderBy("id").select("id", "pct_ppm").as[(Long, Long)].collect().toMap
+    // group a (n=5): ranks 1,2,2,4,5 -> 0, 250000, 250000, 750000, 1000000
+    assert(out(1L) == 0L && out(2L) == 250000L && out(3L) == 250000L &&
+      out(4L) == 750000L && out(5L) == 1000000L, s"got $out")
+    assert(out(6L) == 0L, "single-row group calibrates to 0")
+    assert(out(8L) == 0L && out(7L) == 1000000L, "NULL score ranks bottom")
+    // a uniform per-group cut keeps the same FRACTION of each group
+    val big = (1L to 300L).map(i => (i, if (i % 3 == 0) "x" else "y", i * 7 % 101))
+      .toDF("id", "grp", "score")
+    val kept = TextAnalysis.calibrateScores(big, "id", "grp", "score")
+      .where(col("pct_ppm") >= 200000L).groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(kept("x") * 2L - kept("y")) <= 2L,
+      s"per-group cut must keep proportional counts, got $kept")
+  }
+
   test("gopherRules: each rule trips on its crafted document") {
     // 30 words, 102 chars -> mean 3.4, all alpha, 6 distinct stopword hits
     val good = ("the quick brown fox jumps and it is of that " * 3).trim
