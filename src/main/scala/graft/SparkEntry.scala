@@ -2381,7 +2381,8 @@ object SparkEntry {
                                 + n_distinct_words / greatest(CAST(n_words AS DOUBLE), 1.0) * 0.3) * 1000.0 + 0.5) AS BIGINT) AS quality_score
                     FROM c),
               r AS (SELECT doc_id, source, quality_score,
-                      CAST(rank() OVER (PARTITION BY source ORDER BY quality_score) AS BIGINT) AS rk,
+                      CAST(rank() OVER (PARTITION BY source
+                             ORDER BY quality_score NULLS FIRST) AS BIGINT) AS rk,
                       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
                     FROM q)
          SELECT doc_id, source, quality_score,

@@ -727,24 +727,26 @@ object TextAnalysis {
     * tokens of the SHARED tokenizer stream — lowercased, single-space
     * joined; NULL-text/short docs come back as '' with zero counts).
     *
-    * Scale shape: positional grams come from ONE tokenize pass
-    * (posexplode over the single-pass [[graft.functions.WordGrams]] —
-    * a lambda would re-split per gram, O(n_words²)); gram strings are
-    * hashed to 8-byte keys IN the explode's project, so only (doc, pos,
-    * hash) longs ever cross a shuffle. The gram stream is materialized
-    * once and consumed twice (dup-table build + coverage probe); the
-    * dup table derives from a (doc, hash)-distinct + hash-count, both
-    * partial-aggregating; coverage explodes each duplicated gram into its
-    * `n` covered positions — output-proportional to the dup volume, never
-    * to the corpus; the kept-token anti-join is co-partitioned on
-    * (doc, pos); one per-doc rebuild bounded by the doc's own length.
+    * Scale shape: each document is tokenized exactly TWICE — once for the
+    * positional token stream (materialized; consumed by the n_words
+    * rollup and the anti-join) and once inside the single-pass
+    * [[graft.functions.WordGrams]] expression (a lambda would re-split
+    * per gram, O(n_words²)); gram strings are hashed to 8-byte keys IN
+    * the explode's project, so only (doc, pos, hash) longs ever cross a
+    * shuffle. The gram stream is materialized once and consumed twice
+    * (dup-table build + coverage probe); the dup table derives from a
+    * (doc, hash)-distinct + hash-count, both partial-aggregating;
+    * coverage explodes each duplicated gram into its `n` covered
+    * positions — output-proportional to the dup volume, never to the
+    * corpus; the kept-token anti-join is co-partitioned on (doc, pos);
+    * one per-doc rebuild bounded by the doc's own length.
     * 64-bit gram-hash collisions can over-remove a token pair per ~2^32
     * distinct grams — the same (documented) exposure as corpusDupNgrams. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2; got n=$n minDocs=$minDocs")
-    val toks = df.select(col(idCol),
-      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+    val toks = Materialize(df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("__pos", "__w"))))
     val grams = Materialize(df.select(col(idCol),
         posexplode(E.column(WordGrams(E.expression(col(textCol)), n))).as(Seq("__pos", "__gs")))
       .select(col(idCol), col("__pos"), xxhash64(col("__gs")).as("__g")))
@@ -760,11 +762,15 @@ object TextAnalysis {
         count(lit(1)).as("__kept"),
         concat_ws(" ", transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
           x => x.getField("__w"))).as("clean_text"))
-    df.select(col(idCol), size(words(col(textCol))).cast("long").as("__nw"))
+    // n_words rolls up from the SAME materialized token stream — a third
+    // words(text) evaluation here would re-tokenize every doc end to end
+    val nWords = toks.groupBy(idCol).agg(count(lit(1)).as("__nw"))
+    df.select(col(idCol))
+      .join(nWords, Seq(idCol), "left")
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
-        greatest(col("__nw"), lit(0L)).as("n_words"),
-        (greatest(col("__nw"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        (coalesce(col("__nw"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
@@ -806,14 +812,20 @@ object TextAnalysis {
       size(filter(w, x => x.rlike("[a-z]"))).cast("long"), lit(0L))
     val nHash = coalesce(
       (length(t) - length(replace(t, lit("#"), lit("")))).cast("long"), lit(0L))
-    val nEllipsis = coalesce(
-      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("long"),
-      lit(0L))
+    // chars removed by stripping '...' runs; always a multiple of 3
+    val ellipsisChars = coalesce(
+      (length(t) - length(replace(t, lit("..."), lit("")))).cast("long"), lit(0L))
     val nStop = coalesce(stopwordHits(t, "en").cast("long"), lit(0L))
     df.select(col(idCol),
         nWords.as("n_words"), charTotal.as("char_total"),
-        nAlpha.as("n_alpha_words"), (nHash + nEllipsis).as("n_symbols"),
-        nStop.as("n_stopword_hits"))
+        nAlpha.as("n_alpha_words"), nHash.as("__nh"),
+        ellipsisChars.as("__ec"), nStop.as("n_stopword_hits"))
+      // integral DIV — Column `/` is double division, and the bit-exact
+      // contract must not rest on a float-rounding argument
+      .withColumn("n_symbols", expr("__nh + __ec DIV 3"))
+      .drop("__nh", "__ec")
+      .select(col(idCol), col("n_words"), col("char_total"),
+        col("n_alpha_words"), col("n_symbols"), col("n_stopword_hits"))
       .withColumn("ok_wordcount",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("ok_meanlen",
@@ -841,8 +853,10 @@ object TextAnalysis {
     * carries document bodies. A mega-source skews its partition: at that
     * point switch to [[quantileBuckets]]-style boundary cuts (exact
     * percentile boundaries, no per-group total sort); the window form is
-    * the exact-rank reference. NULL scores sort FIRST (Spark and DuckDB
-    * agree on NULLS FIRST for ASC) and so calibrate to the bottom. */
+    * the exact-rank reference. NULL scores sort FIRST (Spark's ASC
+    * default) and so calibrate to the bottom — an oracle must pin
+    * `NULLS FIRST` explicitly, because DuckDB's ASC default is the
+    * OPPOSITE (nulls_last). */
   def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
                       scoreCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
