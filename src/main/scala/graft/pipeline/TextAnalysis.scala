@@ -900,19 +900,63 @@ object TextAnalysis {
     val toks = Materialize(raw.select(col(idCol),
       explode(words(col(textCol))).as("__t"))
       .select(col(idCol), sampleBucket16(col("__t")).cast("long").as("__b")))
-    val cr = toks.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = target.select(explode(words(col(textCol))).as("__t"))
-      .groupBy(sampleBucket16(col("__t")).cast("long").as("__b")).agg(count(lit(1)).as("__ct"))
-    // every raw token's bucket is in cr by construction → left join only on ct
-    val model = cr.join(ct, Seq("__b"), "left")
-      .select(col("__b"),
-        (length(bin(coalesce(col("__ct"), lit(0L)) + lit(1L))) -
-          length(bin(col("__cr") + lit(1L)))).cast("long").as("__llr"))
-    val perDoc = toks.join(broadcast(model), Seq("__b"))
+    val perDoc = toks.join(broadcast(llrModel(toks, target, textCol)), Seq("__b"))
       .groupBy(idCol).agg(count(lit(1)).as("n_tokens"), sum("__llr").as("dsir_score"))
     raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+  }
+
+  /** (bucket, llr) model frame shared by [[importanceWeights]] and
+    * [[importanceModel]]. `rawToks` is the raw corpus' bucket stream —
+    * every raw token's bucket is in cr by construction, so the target
+    * side left-joins on. */
+  private def llrModel(rawToks: DataFrame, target: DataFrame,
+                       textCol: String): DataFrame = {
+    val cr = rawToks.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = target.select(explode(words(col(textCol))).as("__t"))
+      .groupBy(sampleBucket16(col("__t")).cast("long").as("__b")).agg(count(lit(1)).as("__ct"))
+    cr.join(ct, Seq("__b"), "left")
+      .select(col("__b"),
+        (length(bin(coalesce(col("__ct"), lit(0L)) + lit(1L))) -
+          length(bin(col("__cr") + lit(1L)))).cast("long").as("__llr"))
+  }
+
+  /** The [[importanceWeights]] llr model as a dense 65536-entry array —
+    * a bounded driver collect (the IVF-centroid lifecycle: the model is
+    * ≤ 65536 rows by construction, never corpus-sized). Buckets absent
+    * from the raw corpus carry llr 0 (= bitlen(0+1) − bitlen(0+1):
+    * unseen in both corpora — the neutral vote a genuinely novel token
+    * deserves). Feed to [[scoreWithImportanceModel]]. */
+  def importanceModel(raw: DataFrame, target: DataFrame,
+                      textCol: String): Array[Long] = {
+    val toks = raw.select(explode(words(col(textCol))).as("__t"))
+      .select(sampleBucket16(col("__t")).cast("long").as("__b"))
+    val out = Array.fill(65536)(0L)
+    llrModel(toks, target, textCol).collect()
+      .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** Score docs against a prebuilt [[importanceModel]] as a PURE MAP —
+    * the whole model rides the plan as one 512 KB array literal, each
+    * row folds over its own token array (the lambda ranges over the
+    * array argument and two constants — no per-element re-derivation),
+    * so there is no join, no shuffle, no state: the same code scores a
+    * structured stream append-mode (the daily-crawl lifecycle: build the
+    * model once from the reference corpora, score every arriving batch).
+    * Identical numbers to [[importanceWeights]] on the same inputs
+    * (spec-pinned). Output: (idCol, n_tokens, dsir_score). */
+  def scoreWithImportanceModel(df: DataFrame, idCol: String, textCol: String,
+                               model: Array[Long]): DataFrame = {
+    require(model.length == 65536, s"model must have 65536 buckets, got ${model.length}")
+    val w = words(col(textCol))
+    val m = lit(model)
+    df.select(col(idCol),
+      coalesce(size(w).cast("long"), lit(0L)).as("n_tokens"),
+      coalesce(aggregate(w, lit(0L),
+          (acc, x) => acc + element_at(m, sampleBucket16(x) + lit(1))),
+        lit(0L)).as("dsir_score"))
   }
 }

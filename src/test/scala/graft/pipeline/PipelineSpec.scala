@@ -888,6 +888,18 @@ class PipelineSpec extends AnyFunSuite {
     val p3 = TextAnalysis.importanceWeights(raw.repartition(3), target, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(p3 == out)
+    // the pure-map model scoring path is bit-identical to the in-job join
+    val model = TextAnalysis.importanceModel(raw, target, "text")
+    val viaModel = TextAnalysis.scoreWithImportanceModel(raw, "doc_id", "text", model)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(viaModel == out, s"model path diverged: $viaModel vs $out")
+    // a token unseen in BOTH corpora scores the neutral 0 per token
+    val fresh = Seq((9L, "qqqq wwww")).toDF("doc_id", "text")
+    val freshOut = TextAnalysis.scoreWithImportanceModel(fresh, "doc_id", "text", model)
+      .as[(Long, Long, Long)].head()
+    assert(freshOut == (9L, 2L, 0L), s"got $freshOut")
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreWithImportanceModel(raw, "doc_id", "text", Array(1L)))
   }
 
   test("stratifiedSample keeps exact fractions' buckets, deterministically") {

@@ -377,6 +377,45 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+  test("streaming DSIR scoring: the model-literal pure map gates a stream") {
+    // the daily-crawl lifecycle: the llr model is built ONCE from the
+    // reference corpora, then every arriving micro-batch scores + gates
+    // as a stateless map (the model is one array literal) — no join, no
+    // state store, append mode
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val raw = (0L until 50L).map(i =>
+      (i, if (i % 2 == 0) "the data pipeline runs and it is fine today"
+          else "lorem ipsum dolor sit amet nothing matches here")).toDF("doc_id", "text")
+    // 40 target copies: shared tokens get ct=40 (bitlen 6) vs cr=25
+    // (bitlen 5) -> llr +1; "today"/odd-doc tokens get 1-5 = -4, so even
+    // docs land at +4 and odd docs at -32 — the sign IS the gate
+    val target = (0L until 40L)
+      .map(j => (100L + j, "the data pipeline runs and it is fine"))
+      .toDF("doc_id", "text")
+    val model = graft.pipeline.TextAnalysis.importanceModel(raw, target, "text")
+    // one stateless branch: score against the model literal, gate on sign
+    def pipe3(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.scoreWithImportanceModel(
+        df.toDF("doc_id", "text"), "doc_id", "text", model)
+        .where(col("dsir_score") > 0)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData((0L until 50L).map(i =>
+      (i, if (i % 2 == 0) "the data pipeline runs and it is fine today"
+          else "lorem ipsum dolor sit amet nothing matches here")): _*)
+    val q = pipe3(src.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream_out")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = pipe3(raw).as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty, s"stream $streamed != batch $batch")
+      // only the target-like half survives the score gate
+      assert(streamed.map(_._1) == (0L until 50L).filter(_ % 2 == 0).toSet)
+    } finally q.stop()
+  }
+
   test("streaming phrase alert + weighted sample: r7 pure maps run unchanged on a stream") {
     // phraseOccurrences counts within each row's own token array and
     // weightedSample is a cross-multiplied md5 keep test — both stateless
