@@ -1520,6 +1520,12 @@ object SparkEntry {
       pipeline.Maintenance.datasetCard(s.table("documents"),
         "doc_id", "text", "source", "lang")
     },
+    "pipeline_diversity_card" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // type-token ratios at unigram/bigram level — the self-repetition
+      // release metric next to the dataset card
+      pipeline.TextAnalysis.diversityCard(s.table("documents"), "text")
+    },
     "graph_pagerank" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // integer fixed-point PageRank over the bidirected customer↔supplier
@@ -3034,6 +3040,21 @@ object SparkEntry {
                    - coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0))
                   * 1000000 // count(*) END AS BIGINT) AS dup_ppm
          FROM documents""",
+    "pipeline_diversity_card" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              toks AS (SELECT unnest(ws) AS t FROM w),
+              bi AS (SELECT unnest([array_to_string(ws[i + 1 : i + 2], ' ')
+                                    for i in range(len(ws) - 1)]) AS g FROM w),
+              u AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(count(DISTINCT t) AS BIGINT) AS u1 FROM toks),
+              b AS (SELECT CAST(count(*) AS BIGINT) AS t2,
+                           CAST(count(DISTINCT g) AS BIGINT) AS u2 FROM bi),
+              d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT n_docs, n_tokens,
+                CAST(coalesce((1000000 * u1) // nullif(n_tokens, 0), 0) AS BIGINT) AS uniq_unigram_ppm,
+                CAST(coalesce((1000000 * u2) // nullif(t2, 0), 0) AS BIGINT) AS uniq_bigram_ppm
+         FROM d, u, b""",
     "pipeline_k_anonymity" ->
       """SELECT user_id % 25 AS user_bucket, event_type, CAST(ts AS DATE) AS day,
                 CAST(count(*) AS BIGINT) AS n

@@ -839,6 +839,38 @@ object TextAnalysis {
           col("ok_alpha") && col("ok_stopwords"))
   }
 
+  /** Corpus diversity card — one row of type-token ratios, the
+    * self-repetition release metric (a corpus whose distinct-gram share
+    * collapses is template/boilerplate-heavy however clean each doc
+    * looks): `n_docs`, `n_tokens`, `uniq_unigram_ppm` (distinct tokens /
+    * tokens), `uniq_bigram_ppm` (distinct word bigrams / bigrams) — both
+    * 1e6·x DIV y, 0 on an empty corpus.
+    *
+    * Scale shape: BOTH gram sizes come from one tokenize pass
+    * (WordGramsTagged) and one explode; grams hash to 8-byte keys before
+    * the aggregate, so distinct-counting ships longs (distinct over
+    * 64-bit hashes — the documented ~2⁻³² collision exposure shared by
+    * the gram family); ONE aggregate computes all four gram counts
+    * (count_distinct partial-aggregates map-side), cross-joined with the
+    * one-row doc count. Exact distinct is the published number;
+    * substitute approx_count_distinct when a 100 TB card can tolerate
+    * ±2%. */
+  def diversityCard(df: DataFrame, textCol: String): DataFrame = {
+    val grams = df.select(
+        explode(E.column(WordGramsTagged(E.expression(col(textCol)), Seq(1, 2)))).as("__t"))
+      .select(col("__t.n").as("__n"), xxhash64(col("__t.g")).as("__h"))
+    val gramAgg = grams.agg(
+      sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_tokens"),
+      count_distinct(when(col("__n") === 1, col("__h"))).as("__u1"),
+      sum(when(col("__n") === 2, 1L).otherwise(0L)).as("__t2"),
+      count_distinct(when(col("__n") === 2, col("__h"))).as("__u2"))
+    df.agg(count(lit(1)).as("n_docs")).crossJoin(gramAgg)
+      .select(col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(expr("1000000 * __u1 DIV n_tokens"), lit(0L)).as("uniq_unigram_ppm"),
+        coalesce(expr("1000000 * __u2 DIV __t2"), lit(0L)).as("uniq_bigram_ppm"))
+  }
+
   /** Per-group score calibration: integer percent-rank of `scoreCol`
     * WITHIN each `groupCol` partition — `pct_ppm = (rank − 1)·10⁶ DIV
     * (n − 1)` (ties share a rank; single-row groups → 0). The curation

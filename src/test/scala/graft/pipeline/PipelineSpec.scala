@@ -810,6 +810,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(p3 == out, "result independent of input partitioning")
   }
 
+  test("diversityCard: hand-computed type-token ratios, empty corpus zeros") {
+    val docs = Seq(
+      (1L, "a b a b"),   // tokens a,b,a,b; bigrams "a b","b a","a b"
+      (2L, "a b c"),     // tokens a,b,c; bigrams "a b","b c"
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.diversityCard(docs, "text")
+      .as[(Long, Long, Long, Long)].head()
+    // 7 tokens, 3 distinct -> 428571; 5 bigrams, 3 distinct -> 600000
+    assert(out == (3L, 7L, 428571L, 600000L), s"got $out")
+    val empty = TextAnalysis.diversityCard(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(empty == (0L, 0L, 0L, 0L), s"got $empty")
+  }
+
   test("calibrateScores: integer percent-rank per group, ties and edge groups") {
     def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
     val df = Seq[(Long, String, java.lang.Long)](
