@@ -179,4 +179,33 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"encode output must be one documents scan, got $scans:\n$plan")
     assert(plan.contains("bpe_encode"), s"encode expression missing:\n$plan")
   }
+
+  test("text_span_dedup plan: equi joins only, gram hashing below every exchange") {
+    val plan = SparkEntry.queries("text_span_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"span removal must never fall back to a non-equi join:\n$plan")
+    // the coverage explode is sequence()-based (output-proportional), and
+    // the only Generates are the two posexplodes + that sequence
+    assert(plan.contains("explode(sequence("), s"coverage explode missing:\n$plan")
+  }
+
+  test("pipeline_dsir_weights plan: the 65536-row model broadcasts, corpus rollup is the only doc-side exchange") {
+    val plan = SparkEntry.queries("pipeline_dsir_weights")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"model side must broadcast (explicit broadcast hint):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring must not sort-merge the corpus against the model:\n$plan")
+  }
+
+  test("text_gopher_rules plan: pure map — no exchange, no join") {
+    val plan = SparkEntry.queries("text_gopher_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the orderBy in the query adds a range exchange for output; nothing
+    // else may shuffle, and no join may appear
+    assert(!plan.contains("Join"), s"gopher rules must not join:\n$plan")
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"gopher rules must not hash-shuffle, got $hashEx:\n$plan")
+  }
 }
