@@ -1520,6 +1520,16 @@ object SparkEntry {
       pipeline.Maintenance.datasetCard(s.table("documents"),
         "doc_id", "text", "source", "lang")
     },
+    "text_oov_rate" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // OOV against the corpus' own top-500 vocabulary — the coverage
+      // check run before committing to a tokenizer vocab
+      val docs = s.table("documents")
+      val vocab = pipeline.TextAnalysis.vocabulary(docs, "text", topN = 500)
+        .select("token")
+      pipeline.TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
     "pipeline_diversity_card" -> { (s, dir) =>
       prep(s, dir, "documents")
       // type-token ratios at unigram/bigram level — the self-repetition
@@ -3040,6 +3050,20 @@ object SparkEntry {
                    - coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0))
                   * 1000000 // count(*) END AS BIGINT) AS dup_ppm
          FROM documents""",
+    "text_oov_rate" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+              v AS (SELECT t FROM (SELECT t, count(*) AS n FROM tok GROUP BY 1
+                                   ORDER BY n DESC, t LIMIT 500)),
+              pd AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                     FROM tok LEFT JOIN v ON v.t = tok.t GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+                coalesce(n_oov, 0) AS n_oov,
+                CAST(coalesce((1000000 * n_oov) // nullif(n_tokens, 0), 0) AS BIGINT) AS oov_ppm
+         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "pipeline_diversity_card" ->
       """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

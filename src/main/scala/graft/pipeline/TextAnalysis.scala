@@ -839,6 +839,33 @@ object TextAnalysis {
           col("ok_alpha") && col("ok_stopwords"))
   }
 
+  /** Out-of-vocabulary statistics — per doc: `n_tokens`, `n_oov` (tokens
+    * absent from `vocab`), integer `oov_ppm`. The check run before
+    * committing to a tokenizer/vocab: a vocab whose OOV rate spikes on
+    * some slice will shred that slice into byte fallbacks at training
+    * time. `vocab` is a single-column frame of in-vocabulary tokens — a
+    * tokenizer vocab is bounded by construction, so it BROADCASTS and
+    * the corpus is scanned once, shuffling only for the per-doc rollup.
+    * Docs with NULL/empty text survive with zeros. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame): DataFrame = {
+    val vCol = vocab.columns match {
+      case Array(c) => c
+      case cs => sys.error(s"vocab must have exactly one column, got ${cs.mkString(",")}")
+    }
+    val v = vocab.select(col(vCol).cast("string").as("__t")).distinct()
+      .select(col("__t"), lit(true).as("__in"))
+    val perDoc = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .join(broadcast(v), Seq("__t"), "left")
+      .groupBy(idCol).agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(expr("1000000 * n_oov DIV n_tokens"), lit(0L)).as("oov_ppm"))
+  }
+
   /** Corpus diversity card — one row of type-token ratios, the
     * self-repetition release metric (a corpus whose distinct-gram share
     * collapses is template/boilerplate-heavy however clean each doc

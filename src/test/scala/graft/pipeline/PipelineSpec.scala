@@ -810,6 +810,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(p3 == out, "result independent of input partitioning")
   }
 
+  test("oovStats: per-doc OOV counts against a broadcast vocab") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),     // all in vocab
+      (2L, "alpha zz yy"),          // 2 oov
+      (3L, null.asInstanceOf[String]),
+      (4L, "ALPHA Beta")).toDF("doc_id", "text") // tokenizer lowercases
+    val vocab = Seq("alpha", "beta", "gamma").toDF("token")
+    val out = TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 0L), (2L, 3L, 2L, 666666L),
+      (3L, 0L, 0L, 0L), (4L, 2L, 0L, 0L)), s"got $out")
+    intercept[RuntimeException](
+      TextAnalysis.oovStats(docs, "doc_id", "text", docs)) // 2-column vocab
+  }
+
   test("diversityCard: hand-computed type-token ratios, empty corpus zeros") {
     val docs = Seq(
       (1L, "a b a b"),   // tokens a,b,a,b; bigrams "a b","b a","a b"
