@@ -1504,6 +1504,14 @@ object SparkEntry {
         "vec_id", "embedding", "label", kPerLabel = 5)
         .orderBy("label", "rank")
     },
+    "emb_knn_accuracy" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // leave-one-out 10-NN label agreement over the labeled eval set —
+      // exact quantized cosine, majority vote with min-label ties
+      pipeline.Similarity.knnLabelAccuracy(s.table("embeddings"),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy("vec_id")
+    },
     "pipeline_weighted_sample" -> { (s, dir) =>
       prep(s, dir, "documents")
       // quality-weighted downsample: keep probability scales with doc
@@ -2327,6 +2335,27 @@ object SparkEntry {
                    * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
          FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
          ORDER BY a""",
+    "emb_knn_accuracy" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings),
+              scored AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id, cc.label AS nl,
+                       CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(qq.qv, cc.qv), p -> p[1] * p[2])) AS DOUBLE)
+                         / (sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(cc.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                FROM q qq JOIN q cc ON cc.vec_id <> qq.vec_id),
+              topk AS (SELECT query_id, nl FROM (
+                SELECT query_id, nl,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS rn
+                FROM scored) t WHERE rn <= 10),
+              votes AS (SELECT query_id, nl, count(*) AS c FROM topk GROUP BY 1, 2),
+              pred AS (SELECT query_id, CAST(nl AS BIGINT) AS predicted FROM (
+                SELECT query_id, nl,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nl) AS rn
+                FROM votes) t WHERE rn = 1)
+         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, p.predicted,
+                (p.predicted IS NOT NULL AND p.predicted = e.label) AS correct
+         FROM embeddings e LEFT JOIN pred p ON p.query_id = e.vec_id
+         ORDER BY e.vec_id""",
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings),
               scored AS (

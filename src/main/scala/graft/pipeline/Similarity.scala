@@ -550,4 +550,35 @@ object Similarity {
       .select(col(labelCol), col("rank"), col("id").as("vec_id"),
         (-col("score")).as("cos_scaled"))
   }
+
+  /** Leave-one-out kNN label agreement — the standard embedding-quality
+    * eval (an embedding whose neighbors disagree with its label won't
+    * separate classes downstream either). Per vector: its k nearest
+    * neighbors by exact quantized cosine (self excluded), the majority
+    * neighbor label (ties → SMALLEST label — the labelPropagation
+    * convention, via the same max(struct(count, −label)) aggregate), and
+    * whether it matches. Output: (vec_id, label, predicted, correct).
+    *
+    * Scale note: leave-one-out is all-pairs O(n²) BY DEFINITION — this is
+    * an EVALUATION op for the labeled sample (labeled sets are bounded by
+    * labeling cost, not corpus size). For an eval set past brute-force
+    * range, substitute [[ivfTopK]] for the neighbor stage; the vote and
+    * verdict stages are unchanged. Labels must be integral (the argmax
+    * negation trick) — enforced loudly. */
+  def knnLabelAccuracy(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int = 10): DataFrame = {
+    Search.requireIntegralId(emb, labelCol, "knnLabelAccuracy", role = "label")
+    val topk = bruteForceTopK(emb, emb, idCol, vecCol, k)
+    val nbrLabels = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__nl"))
+    val votes = topk.join(broadcast(nbrLabels), Seq("neighbor_id"))
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
+      .select(col("query_id").as("vec_id"), (-col("__m.__neg")).as("predicted"))
+    emb.select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"))
+      .join(pred, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("predicted"),
+        (col("predicted").isNotNull && col("predicted") === col("label")).as("correct"))
+  }
 }

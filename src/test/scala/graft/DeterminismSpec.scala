@@ -50,7 +50,8 @@ class DeterminismSpec extends AnyFunSuite {
     // must not see partitioning), DSIR model build + broadcast scoring,
     // label-propagation vote argmax
     "text_span_dedup", "pipeline_dsir_weights", "graph_communities",
-    "graph_ppr", "pipeline_score_calibration", "text_oov_rate")
+    "graph_ppr", "pipeline_score_calibration", "text_oov_rate",
+    "emb_knn_accuracy")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

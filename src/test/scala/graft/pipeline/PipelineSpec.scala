@@ -1390,6 +1390,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(lab1.map(_._3) == Seq(5L, 6L), s"ties break on vec_id: $got")
   }
 
+  test("knnLabelAccuracy: clustered labels verify, the planted mislabel is caught") {
+    // two tight clusters; vec 7 sits in cluster 0 but carries label 1 —
+    // its neighbors outvote the label, so it (and only it) is incorrect
+    val emb = Seq(
+      (1L, Array(1.0f, 0.00f), 0), (2L, Array(1.0f, 0.01f), 0),
+      (3L, Array(1.0f, 0.02f), 0), (4L, Array(0.0f, 1.00f), 1),
+      (5L, Array(0.01f, 1.0f), 1), (6L, Array(0.02f, 1.0f), 1),
+      (7L, Array(1.0f, 0.03f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAccuracy(emb, "vec_id", "embedding", "label", k = 3)
+      .orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.count(!_._4) == 1 && !out(6)._4,
+      s"exactly the planted mislabel must fail: $out")
+    assert(out(6)._3 == 0L, s"vec 7 predicted into cluster 0: ${out(6)}")
+    assert(out.take(6).forall(_._4), s"clean vectors all verify: $out")
+    // vote ties break toward the SMALLEST label: k=2 over one neighbor
+    // of each label -> predicted 0
+    val tie = Seq(
+      (1L, Array(1.0f, 1.0f), 5), (2L, Array(1.0f, 0.99f), 0),
+      (3L, Array(0.99f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val t1 = Similarity.knnLabelAccuracy(tie, "vec_id", "embedding", "label", k = 2)
+      .where(col("vec_id") === 1).select("predicted").as[Long].head()
+    assert(t1 == 0L, s"tie must resolve to the smallest label, got $t1")
+    intercept[IllegalArgumentException](
+      Similarity.knnLabelAccuracy(
+        emb.withColumn("label", col("label").cast("string")),
+        "vec_id", "embedding", "label", 3))
+  }
+
   test("snapshotDiff reports exactly added/removed/changed, never unchanged") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val v2 = Seq((2L, "b"), (3L, "c CHANGED"), (9L, "new")).toDF("id", "text")
