@@ -1602,6 +1602,18 @@ object SparkEntry {
           seeds = Some(seeds))
         .orderBy("node")
     },
+    "graph_kcore" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // 3-core of the co-purchase graph by synchronous peeling — the
+      // dense-farm signal; 8 rounds cover this graph's peel depth
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.kCore(e, "src", "dst", k = 3, rounds = 8)
+        .orderBy("node")
+    },
     "graph_communities" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // label-propagation communities over the same co-purchase graph as
@@ -1789,7 +1801,31 @@ object SparkEntry {
        |FROM lp$iterations ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Graph.kCore]], peel rounds unrolled.
+    * Mirrors the co-purchase edge build in `graph_kcore`. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each round references the previous edge CTE three
+    // times — inlining would re-expand the whole chain per reference
+    // (3^rounds parquet scans; DuckDB hits the fd limit long before)
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+         |  SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |        WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |       FROM li x JOIN li y
+       |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$roundCtes
+       |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_kcore" -> kCoreOracleSql(3, 8),
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr" -> pageRankOracleSql(5, seeded = true),

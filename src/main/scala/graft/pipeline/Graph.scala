@@ -215,6 +215,59 @@ object Graph {
     labels
   }
 
+  /** k-core decomposition by synchronous peeling (Seidman 1983; the
+    * Batagelj-Zaveršnik distributed form): each round SIMULTANEOUSLY
+    * removes every node whose degree in the surviving subgraph is < k,
+    * until `rounds` rounds have run. Simultaneous removal is
+    * deterministic (no peel order to drift), so a fixed horizon is
+    * bit-replayable by the unrolled-CTE oracle; the k-core is the
+    * fixpoint, and peeling removes ≥ 1 node per non-stable round, so
+    * `rounds` ≥ the peel depth gives the exact core (pass rounds = a
+    * horizon you can replay; the spec pins a case where the cascade
+    * needs every round). Output: surviving `(node, core_degree)` —
+    * degree within the k-core.
+    *
+    * The graph-analytics use in a data pipeline: spam/copy farms and
+    * template families form dense cores that survive aggressive peeling;
+    * the 3-core of a near-dup graph is a much higher-precision "farm"
+    * signal than raw pair counts.
+    *
+    * Plan shape: each round's edge set references the previous round
+    * TWICE (degree build + the two endpoint semi-joins), which would
+    * double the logical plan per round — exactly the connectedComponents
+    * self-join hazard — so every round's survivors are Materialize.cut
+    * (the CC discipline, not the pageRank linear-growth one). Edges ship
+    * as (a, b) longs; degrees partial-aggregate map-side. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    var e = Materialize.cut(
+      e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("n")
+      e = Materialize.cut(
+        e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+    }
+    // no release: under the eager strategies the per-round frames are
+    // ContextCleaner-owned; under `persist` they are never-computed-
+    // until-action caches that dedup each round's DIAMOND reference
+    // (degree build + semi-joins read the same frame) — unpersisting
+    // them here would forfeit that reuse (the Materialize contract for
+    // lazily-referenced intermediates)
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .where(col("core_degree") >= k)
+  }
+
   /** Per-node triangle counts over an undirected edge set (self-loops
     * dropped, duplicate/reversed edges collapsed): `node, n_triangles` —
     * the local clustering signal (spam-farm rings, copy networks,

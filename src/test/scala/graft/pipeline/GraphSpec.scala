@@ -163,6 +163,31 @@ class GraphSpec extends AnyFunSuite {
       seeds = Some(Seq((1L, 2L)).toDF("a", "b"))))
   }
 
+  test("kCore: pendant chains peel in cascade, the core survives exactly") {
+    // triangle {1,2,3} with pendant chain 3-4-5 (+ messy self-loop/dup)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (1L, 1L), (2L, 1L))
+    def run(k: Int, rounds: Int) =
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 removes only 5 (deg 1); 4 still holds edge 3-4, so node 3
+    // reports core_degree 3 — the cascade is NOT done in one round
+    assert(run(2, 1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L), s"got ${run(2, 1)}")
+    // round 2 peels 4; the triangle is the exact 2-core
+    assert(run(2, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got ${run(2, 2)}")
+    // further rounds are a fixpoint
+    assert(run(2, 8) == run(2, 2), "stable core must not change")
+    // k=3: the triangle's degree-2 nodes all peel -> empty core
+    assert(run(3, 8).isEmpty, s"got ${run(3, 8)}")
+    // K4 survives k=3 intact
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val core4 = Graph.kCore(k4.toDF("src", "dst"), "src", "dst", 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core4")
+    intercept[IllegalArgumentException](
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", 0))
+  }
+
   test("labelPropagation: two bridged triangles, four hand-computed rounds") {
     // triangles {1,2,3} and {10,11,12}, bridge 3-10; messy input: a
     // self-loop, a duplicate, and a reversed edge must all collapse
