@@ -1602,6 +1602,14 @@ object SparkEntry {
           seeds = Some(seeds))
         .orderBy("node")
     },
+    "graph_copurchase" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // the weighted co-purchase graph as a first-class projection:
+      // parts sharing an order, weight = distinct shared orders
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      pipeline.Graph.bipartiteProjection(li, "l_orderkey", "l_partkey")
+        .orderBy("a", "b")
+    },
     "graph_kcore" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // 3-core of the co-purchase graph by synchronous peeling — the
@@ -1825,6 +1833,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "graph_copurchase" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+                    FROM lineitem WHERE l_orderkey % 4 = 0),
+              deg AS (SELECT l, count(*) AS d FROM e GROUP BY 1),
+              kept AS (SELECT e.l, e.r FROM e JOIN deg USING (l) WHERE d <= 1000)
+         SELECT x.r AS a, y.r AS b, CAST(count(*) AS BIGINT) AS weight
+         FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
+         GROUP BY 1, 2 ORDER BY a, b""",
     "graph_kcore" -> kCoreOracleSql(3, 8),
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_pagerank" -> pageRankOracleSql(5),

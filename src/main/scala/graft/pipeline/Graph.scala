@@ -215,6 +215,39 @@ object Graph {
     labels
   }
 
+  /** Weighted one-mode projection of a bipartite edge set — the standard
+    * co-occurrence graph build (orders×parts → parts bought together,
+    * users×items → items sharing users): for right-side nodes a < b,
+    * `weight` = number of distinct left nodes linking both. The
+    * co-purchase graphs the triangle/community queries analyze are
+    * exactly this projection.
+    *
+    * Hub guard: a left node of degree d emits d(d−1)/2 pairs, so one
+    * degenerate mega-hub (the "everyone bought shipping" item) detonates
+    * the self-join with pairs that carry the LEAST signal. Left nodes
+    * with degree > `maxDegree` are excluded — the LSH maxBucket
+    * convention: bounded, deliberate recall loss on degenerate hubs
+    * instead of an unbounded shuffle. Set it to the p99.9 left degree.
+    *
+    * Plan: edges deduped, hub-filtered (degree table partial-aggregates;
+    * semi join), materialized ONCE partitioned on the left key — the
+    * self-join reuses that one exchange on both sides — then one count
+    * aggregate on (a, b). Output: (a, b, weight), a < b. */
+  def bipartiteProjection(edges: DataFrame, leftCol: String, rightCol: String,
+                          maxDegree: Int = 1000): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val e = edges.select(col(leftCol).cast("long").as("l"),
+      col(rightCol).cast("long").as("r")).distinct()
+    val deg = e.groupBy("l").agg(count(lit(1)).as("__d"))
+    val kept = Materialize(
+      e.join(deg.where(col("__d") <= maxDegree), Seq("l"), "left_semi")
+        .repartition(col("l")))
+    kept.as("x").join(kept.as("y"),
+        col("x.l") === col("y.l") && col("x.r") < col("y.r"))
+      .groupBy(col("x.r").as("a"), col("y.r").as("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** k-core decomposition by synchronous peeling (Seidman 1983; the
     * Batagelj-Zaveršnik distributed form): each round SIMULTANEOUSLY
     * removes every node whose degree in the surviving subgraph is < k,

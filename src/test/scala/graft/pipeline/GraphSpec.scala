@@ -163,6 +163,22 @@ class GraphSpec extends AnyFunSuite {
       seeds = Some(Seq((1L, 2L)).toDF("a", "b"))))
   }
 
+  test("bipartiteProjection: weights count shared left nodes, hub guard excludes") {
+    // orders 10,11 share parts; order 12 is a 3-part hub
+    val edges = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L), (10L, 1L)) // duplicate edge collapses
+    val got = Graph.bipartiteProjection(edges.toDF("o", "p"), "o", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L)), s"got $got")
+    // maxDegree 2 drops orders 11 and 12 entirely: only order 10 projects
+    val guarded = Graph.bipartiteProjection(edges.toDF("o", "p"), "o", "p",
+        maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded == Set((1L, 2L, 1L)), s"got $guarded")
+    intercept[IllegalArgumentException](
+      Graph.bipartiteProjection(edges.toDF("o", "p"), "o", "p", maxDegree = 0))
+  }
+
   test("kCore: pendant chains peel in cascade, the core survives exactly") {
     // triangle {1,2,3} with pendant chain 3-4-5 (+ messy self-loop/dup)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
