@@ -1457,6 +1457,42 @@ object SparkEntry {
         .select("user_id", "day", "value_cents", "base_days", "base_sum", "is_anomaly")
         .orderBy("user_id", "day")
     },
+    "events_forward_fill" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // LOCF imputation over the gap-filled spine: silent days carry the
+      // last OBSERVED day's value, not zero — one key-partitioned window
+      pipeline.TimeSeries.forwardFill(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id", "day")
+    },
+    "pipeline_incremental_rollup" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // incremental aggregate maintenance: fold a delta batch's rollup
+      // state into the stored history state instead of rescanning — the
+      // oracle recomputes from scratch; the merge must be
+      // indistinguishable (count/sum/min/max monoid, avg derived at read)
+      val li = s.table("lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val hist = pipeline.Maintenance.rollupState(
+        li.where(col("l_orderkey") % 4 =!= 3), keys, "l_extendedprice")
+      val delta = pipeline.Maintenance.rollupState(
+        li.where(col("l_orderkey") % 4 === 3), keys, "l_extendedprice")
+      pipeline.Maintenance.rollupReport(
+          pipeline.Maintenance.mergeRollups(keys, hist, delta))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "emb_hard_negatives" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // contrastive hard negatives: per query, the top-10 most similar
+      // vectors EXCLUDING self and its two labeled positives — exact
+      // quantized cosine, positives + queries broadcast
+      val emb = s.table("embeddings")
+      val pos = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q"),
+          explode(array(col("vec_id") + 37, col("vec_id") + 74)).as("p"))
+      pipeline.Similarity.hardNegatives(emb, pos, "vec_id", "embedding",
+          "q", "p", k = 10)
+        .orderBy("query_id", "rank")
+    },
     "search_bm25" -> { (s, dir) =>
       prep(s, dir, "documents")
       // BM25 retrieval, integer fixed point end-to-end (bit-length idf;
@@ -3033,6 +3069,49 @@ object SparkEntry {
                  (value_cents * base_days - base_sum) * (value_cents * base_days - base_sum)
                    > 4 * (base_days * ss - base_sum * base_sum)) AS is_anomaly
          FROM win ORDER BY user_id, day""",
+    "events_forward_fill" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              g AS (SELECT s.user_id, s.day,
+                      CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+                      CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
+                    FROM spine s LEFT JOIN b USING (user_id, day))
+         SELECT user_id, day, n_events, value_cents,
+                CAST(last_value(CASE WHEN n_events > 0 THEN value_cents END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS ffill_cents
+         FROM g ORDER BY user_id, day""",
+    "pipeline_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+                CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  // CAST(count(*) AS BIGINT) AS avg_cents
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings),
+              scored AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(qq.qv, cc.qv), p -> p[1] * p[2])) AS DOUBLE)
+                         / (sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(cc.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                FROM q qq JOIN q cc ON qq.vec_id < 5 AND cc.vec_id <> qq.vec_id
+                  AND cc.vec_id <> qq.vec_id + 37 AND cc.vec_id <> qq.vec_id + 74)
+         SELECT query_id, rank, neighbor_id, cos_scaled FROM (
+           SELECT query_id, neighbor_id, cos_scaled,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS INT) AS rank
+           FROM scored) t
+         WHERE rank <= 10
+         ORDER BY query_id, rank""",
     "search_bm25" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

@@ -123,6 +123,66 @@ object Maintenance {
     (before, before - after)
   }
 
+  /** Mergeable per-key rollup STATE — the building block of incremental
+    * aggregate maintenance: `(n, sum_cents, min_cents, max_cents)` per key
+    * combination. Every component is a commutative monoid, so states from
+    * disjoint batches MERGE ([[mergeRollups]]) into exactly the state a
+    * full recompute would build — the 100 TB daily-report pattern: keep a
+    * keys-cardinality-sized state table, fold each day's delta into it,
+    * and NEVER rescan history. Derived metrics (avg) live in
+    * [[rollupReport]], computed at read time — storing them would break
+    * mergeability.
+    *
+    * Values fix to cents BEFORE aggregating (`floor(v·100 + 0.5)`, the
+    * half-up rule shared with [[TimeSeries]]) so sums are integer-exact
+    * and engine-replayable. `n` counts ALL rows of the key; NULL values
+    * are excluded from sum/min/max (SQL aggregate semantics) — an
+    * all-NULL key carries NULL metric columns through the merge
+    * untouched. */
+  def rollupState(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                  valueCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "rollupState needs at least one key column")
+    import org.apache.spark.sql.functions._
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(cents).as("sum_cents"),
+      min(cents).as("min_cents"),
+      max(cents).as("max_cents"))
+  }
+
+  /** Merge rollup states from disjoint batches into one: union + one
+    * re-aggregate on the key columns (sum for n/sum, min/max for the
+    * extrema). Each input is keys-cardinality-sized, so the merge cost is
+    * proportional to the STATE tables, not the data that built them —
+    * rerunning this daily against a stored state + a fresh delta replaces
+    * a full-history scan. Batches must be disjoint ROW sets (overlapping
+    * batches double-count n/sum; min/max are merge-idempotent but the
+    * additive components are not — append-only-ledger semantics, same
+    * contract as [[graft.pipeline.Search.appendPostingsIndex]]). */
+  def mergeRollups(keyCols: Seq[String],
+                   states: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "mergeRollups needs at least one key column")
+    require(states.nonEmpty, "mergeRollups needs at least one state frame")
+    import org.apache.spark.sql.functions._
+    states.reduce(_.unionByName(_)).groupBy(keyCols.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_cents")).as("sum_cents"),
+      min(col("min_cents")).as("min_cents"),
+      max(col("max_cents")).as("max_cents"))
+  }
+
+  /** Read-time report over a rollup state: adds `avg_cents`
+    * (`sum_cents DIV n` — integral division so the report replays
+    * bit-identically cross-engine; truncation == floor for the
+    * non-negative money/measurement values this targets). Derived
+    * metrics are computed HERE, never stored: a stored average cannot
+    * merge. */
+  def rollupReport(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    state.withColumn("avg_cents", expr("sum_cents DIV n"))
+  }
+
   /** Snapshot DIFF between two corpus versions: which ids were added,
     * removed, or changed (content hash differs) — the review gate before
     * promoting a re-crawled / re-filtered corpus version. Output:

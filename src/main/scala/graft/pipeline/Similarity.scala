@@ -36,6 +36,45 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * id appearing in `positives`, the top-k corpus neighbors by exact
+    * quantized cosine EXCLUDING the query itself and its known positives
+    * — the highest-similarity non-matches are exactly the negatives a
+    * retrieval/embedding model learns most from (in-batch random
+    * negatives are trivially far at scale).
+    *
+    * `positives` is a directed pair frame (`queryCol`, `posCol`); it is
+    * the labeled training set, so it is BOUNDED and both it and the
+    * derived query-vector frame broadcast — the corpus is read once,
+    * never shuffled except the bounded per-query top-k aggregate
+    * ([[bruteForceTopK]]'s TopKPairs discipline: ≤ k entries per task
+    * cross the shuffle). Exact by design (the mined negatives define the
+    * training set — a recall miss here IS a label error); at corpus
+    * scales where exact is too hot, block first (IVF/LSH) and pass the
+    * candidate slice as `corpus`.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_scaled), deterministic via
+    * the quantized-cosine + smaller-id tie-break. */
+  def hardNegatives(corpus: DataFrame, positives: DataFrame, idCol: String,
+                    vecCol: String, queryCol: String, posCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Search.requireIntegralId(corpus, idCol, "hardNegatives")
+    Search.requireIntegralId(positives, queryCol, "hardNegatives", role = "query id")
+    Search.requireIntegralId(positives, posCol, "hardNegatives", role = "positive id")
+    val pos = positives.select(col(queryCol).cast("long").as("query_id"),
+      col(posCol).cast("long").as("neighbor_id")).distinct()
+    val q = corpus.join(pos.select(col("query_id")).distinct(),
+        col(idCol).cast("long") === col("query_id"), "left_semi")
+      .select(col(idCol).cast("long").as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      Dedup.quantize(col(vecCol)).as("__qc"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-query top-k as a TWO-PHASE aggregation (TopKPairs under
     * ObjectHashAggregate): each task partial-aggregates its slice of a
     * query's scored rows down to ≤ k entries map-side, so only k-sized

@@ -61,6 +61,27 @@ object TimeSeries {
       .withColumn("roll_cents", sum(col("value_cents")).over(w))
   }
 
+  /** Forward-fill (last-observation-carried-forward) over the gap-filled
+    * spine: silent days carry the value of the key's most recent OBSERVED
+    * day instead of zero — the imputation a sensor/price/balance series
+    * wants (a meter that went quiet did not read zero; it reads "what it
+    * last read"). Observed days keep their own rollup value. The spine
+    * starts at each key's FIRST observed day, so the fill is total — no
+    * leading-NULL edge exists by construction.
+    *
+    * Same plan shape as [[rollingDaily]]: one key-partitioned window over
+    * the spine (`last(..., ignoreNulls)` over an unbounded-preceding ROWS
+    * frame — per-key bounded state, no self-join, no global sort).
+    * Output: the [[resampleGapFill]] columns + `ffill_cents`. */
+  def forwardFill(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    resampleGapFill(events, keyCol, tsCol, valueCol)
+      .withColumn("ffill_cents",
+        last(when(col("n_events") > 0, col("value_cents")), ignoreNulls = true).over(w))
+  }
+
   /** Daily anomaly flags: a day is anomalous when its value deviates from
     * the TRAILING `nDays`-day baseline (the window ENDING the PREVIOUS
     * day — the tested day never contaminates its own baseline) by more

@@ -51,7 +51,11 @@ class DeterminismSpec extends AnyFunSuite {
     // label-propagation vote argmax
     "text_span_dedup", "pipeline_dsir_weights", "graph_communities",
     "graph_ppr", "pipeline_score_calibration", "text_oov_rate",
-    "emb_knn_accuracy")
+    "emb_knn_accuracy",
+    // r7 session 4: state-merge re-aggregate, LOCF window fill,
+    // anti-joined bounded top-k, bipartite self-join projection
+    "pipeline_incremental_rollup", "events_forward_fill",
+    "emb_hard_negatives", "graph_copurchase")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1595,4 +1595,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(card == (4L, 2L, 2L, ("same text" + "same  text" + "other" + "third").length.toLong,
       3L, 250000L), s"$card")
   }
+
+  test("incremental rollup: merged batch states equal the full recompute") {
+    val a = Seq(("x", 1.004), ("x", 2.996), ("y", 5.0)).toDF("k", "v")
+    val b = Seq(("x", 0.5), ("z", -0.006)).toDF("k", "v") // z only in the delta
+    val merged = Maintenance.rollupReport(Maintenance.mergeRollups(Seq("k"),
+        Maintenance.rollupState(a, Seq("k"), "v"),
+        Maintenance.rollupState(b, Seq("k"), "v")))
+      .orderBy("k").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // x: cents 100, 300, 50 → n=3 sum=450 min=50 max=300 avg=150
+    // y: 500; z: floor(-0.6+0.5) = -1
+    assert(merged == Seq(
+      ("x", 3L, 450L, 50L, 300L, 150L),
+      ("y", 1L, 500L, 500L, 500L, 500L),
+      ("z", 1L, -1L, -1L, -1L, -1L)), s"$merged")
+    // the merge is exactly the single-pass state over the union
+    val direct = Maintenance.rollupReport(
+        Maintenance.rollupState(a.unionByName(b), Seq("k"), "v"))
+      .orderBy("k").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(merged == direct)
+    // a state is its own 1-way merge (the no-delta day)
+    val one = Maintenance.mergeRollups(Seq("k"), Maintenance.rollupState(a, Seq("k"), "v"))
+      .orderBy("k").collect().toSeq
+    assert(one == Maintenance.rollupState(a, Seq("k"), "v").orderBy("k").collect().toSeq)
+    intercept[IllegalArgumentException](Maintenance.mergeRollups(Seq.empty))
+    intercept[IllegalArgumentException](Maintenance.rollupState(a, Seq.empty, "v"))
+  }
+
+  test("hardNegatives: positives and self never surface, nearest non-positive ranks first") {
+    // axis-aligned embeddings: q=0 nearly parallel to 1 (its positive),
+    // then 2 (the hard negative), then 3; vector 4 is orthogonal
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.04f, 0.0f)),  // labeled positive of 0
+      (2L, Array(0.97f, 0.24f, 0.0f)),   // closest NON-positive → rank 1
+      (3L, Array(0.8f, 0.6f, 0.0f)),     // rank 2
+      (4L, Array(0.0f, 0.0f, 1.0f))      // rank 3 (cos 0)
+    ).toDF("vec_id", "embedding")
+    val pos = Seq((0L, 1L)).toDF("q", "p")
+    val got = Similarity.hardNegatives(emb, pos, "vec_id", "embedding", "q", "p", k = 3)
+      .orderBy("rank").select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(2L, 3L, 4L), s"$got")
+    assert(got.forall(_._1 == 0L))
+    // string ids rejected loudly, not silently cast to an empty result
+    val bad = Seq(("a", Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(bad, pos, "vec_id", "embedding", "q", "p", k = 1))
+  }
 }

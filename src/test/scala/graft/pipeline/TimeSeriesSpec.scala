@@ -60,6 +60,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     // floor(-0.4 + 0.5) = 0; floor(-0.6 + 0.5) = -1
     assert(got == Seq((1L, Date.valueOf("2024-03-05"), 2L, -1L)), s"$got")
   }
+  test("forward-fill: silent days carry the last observed value, observed days keep their own") {
+    val got = TimeSeries.forwardFill(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .select("user_id", "day", "n_events", "value_cents", "ffill_cents")
+      .as[(Long, Date, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, Date.valueOf("2024-03-01"), 2L, 400L, 400L),
+      (7L, Date.valueOf("2024-03-02"), 0L, 0L, 400L), // gap carries day 1
+      (7L, Date.valueOf("2024-03-03"), 0L, 0L, 400L),
+      (7L, Date.valueOf("2024-03-04"), 1L, 1000L, 1000L), // observed day is itself
+      (8L, Date.valueOf("2024-03-02"), 1L, 556L, 556L)), s"$got")
+  }
+
   test("anomalies: spike flagged against its trailing baseline, never self-tainted") {
     // user 1: 7 flat days of 1.00 then a 10.00 spike, then 7 more flat 1.00
     // days and a day exactly on baseline
