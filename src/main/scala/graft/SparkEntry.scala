@@ -1480,6 +1480,24 @@ object SparkEntry {
           pipeline.Maintenance.mergeRollups(keys, hist, delta))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    "pipeline_integrity_audit" -> { (s, dir) =>
+      prep(s, dir, "lineitem", "orders")
+      // referential-integrity audit with a simulated lost parent
+      // partition (orders o_orderkey % 10 == 0 vanished): their
+      // lineitems must surface as orphans, in ppm of the child table
+      pipeline.Maintenance.integrityAudit(
+        s.table("lineitem"), "l_orderkey",
+        s.table("orders").where(col("o_orderkey") % 10 =!= 0), "o_orderkey")
+    },
+    "rel_join_explode_audit" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // pre-flight join-explosion audit: the 10 part keys contributing
+      // the most output rows to a lineitem⋈lineitem self-join, from
+      // count profiles alone — the join itself never runs
+      val li = s.table("lineitem")
+      pipeline.Relational.joinCardinalityAudit(li, "l_partkey", li, "l_partkey", k = 10)
+        .orderBy(col("est_pairs").desc, col("key"))
+    },
     "emb_hard_negatives" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // contrastive hard negatives: per query, the top-10 most similar
@@ -3097,6 +3115,25 @@ object SparkEntry {
                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                   // CAST(count(*) AS BIGINT) AS avg_cents
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "pipeline_integrity_audit" ->
+      """WITH p AS (SELECT DISTINCT o_orderkey AS pk FROM orders WHERE o_orderkey % 10 <> 0),
+              j AS (SELECT l.l_orderkey AS fk, p.pk
+                    FROM lineitem l LEFT JOIN p ON l.l_orderkey = p.pk)
+         SELECT CAST(count(*) AS BIGINT) AS n_child,
+                CAST(sum(CASE WHEN pk IS NULL AND fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+                CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(sum(CASE WHEN pk IS NULL AND fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                          * 1000000 // CAST(count(*) AS BIGINT) END AS orphan_ppm
+         FROM j""",
+    "rel_join_explode_audit" ->
+      """WITH lc AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_left
+                     FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+              rc AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_right
+                     FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+         SELECT key, n_left, n_right, CAST(n_left * n_right AS BIGINT) AS est_pairs
+         FROM lc JOIN rc USING (key)
+         ORDER BY est_pairs DESC, key LIMIT 10""",
     "emb_hard_negatives" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings),
               scored AS (

@@ -172,6 +172,38 @@ object Maintenance {
       max(col("max_cents")).as("max_cents"))
   }
 
+  /** Referential-integrity audit: one row counting child rows whose
+    * foreign key has NO parent — the data-quality gate after any ingest,
+    * backfill, or partial-restore (a lost parent partition shows up here
+    * as an orphan spike long before a downstream join silently drops the
+    * rows). NULL foreign keys are counted SEPARATELY (`n_null_fk`): a
+    * NULL never matches any parent in SQL join semantics, but "absent by
+    * design" and "dangling reference" are different findings. Output:
+    * `n_child, n_orphans, n_null_fk, orphan_ppm` (ppm of ALL child rows,
+    * floor; 0 on an empty child).
+    *
+    * SCALE: the parent reduces to DISTINCT keys (id-width bytes/row)
+    * before the join; the child ships only its FK column. One
+    * aggregation over the left join — no second pass for totals, no
+    * driver-side counting. */
+  def integrityAudit(child: org.apache.spark.sql.DataFrame, fkCol: String,
+                     parent: org.apache.spark.sql.DataFrame,
+                     pkCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    child.select(col(fkCol).as("__fk"))
+      .join(parent.select(col(pkCol).as("__fk")).distinct()
+          .withColumn("__p", lit(true)),
+        Seq("__fk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("__p").isNull && col("__fk").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_orphans"),
+        coalesce(sum(when(col("__fk").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_fk"))
+      .withColumn("orphan_ppm",
+        expr("CASE WHEN n_child = 0 THEN 0L ELSE n_orphans * 1000000L DIV n_child END"))
+  }
+
   /** Read-time report over a rollup state: adds `avg_cents`
     * (`sum_cents DIV n` — integral division so the report replays
     * bit-identically cross-engine; truncation == floor for the

@@ -271,4 +271,34 @@ object Relational {
         .otherwise(greatest(lit(lo), least(lit(hi),
           expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)")))))
   }
+
+  /** Pre-flight cardinality audit for a proposed equi join: the EXACT
+    * output-row count each key would contribute (`n_left × n_right`),
+    * top-k heaviest first — computed from per-key count profiles alone,
+    * WITHOUT running the join. At 100 TB this is the difference between
+    * discovering a skewed/exploding join from a 2-minute profile pass
+    * and discovering it from a dead executor three hours in: one hot key
+    * past the budget → route it through [[Skew.replicatedJoin]] or block
+    * it; a huge total → rethink the plan.
+    *
+    * SCALE: both profiles are partial-aggregated counts (map-side
+    * combine); their join is key-cardinality-sized, and the top-k is a
+    * `TakeOrdered` over it — bounded driver result, no global sort
+    * materialization. Inner-join semantics: only keys present on BOTH
+    * sides contribute (NULL keys match nothing and are excluded, like
+    * the join being audited). Ties order by the key for determinism.
+    * Output: `key, n_left, n_right, est_pairs`. */
+  def joinCardinalityAudit(left: DataFrame, leftKey: String,
+                           right: DataFrame, rightKey: String,
+                           k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lc = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, "key")
+      .withColumn("est_pairs", col("n_left") * col("n_right"))
+      .orderBy(col("est_pairs").desc, col("key"))
+      .limit(k)
+  }
 }

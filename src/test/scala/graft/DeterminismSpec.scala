@@ -55,7 +55,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r7 session 4: state-merge re-aggregate, LOCF window fill,
     // anti-joined bounded top-k, bipartite self-join projection
     "pipeline_incremental_rollup", "events_forward_fill",
-    "emb_hard_negatives", "graph_copurchase")
+    "emb_hard_negatives", "graph_copurchase",
+    "pipeline_integrity_audit", "rel_join_explode_audit")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1622,6 +1622,35 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Maintenance.rollupState(a, Seq.empty, "v"))
   }
 
+  test("integrityAudit: orphans exact, NULL FKs counted apart, empty child is zeros") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(3L), None).toDF("fk") // 3 dangles, NULL apart
+    val got = Maintenance.integrityAudit(child, "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == (4L, 1L, 1L, 250000L), s"$got")
+    val empty = Maintenance.integrityAudit(child.limit(0), "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    assert(empty == (0L, 0L, 0L, 0L), s"$empty")
+    // duplicate parent keys must not multiply child rows through the join
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val dup = Maintenance.integrityAudit(child, "fk", dupParent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    assert(dup == (4L, 1L, 1L, 250000L), s"$dup")
+  }
+
+  test("joinCardinalityAudit: per-key products exact, unmatched and NULL keys excluded") {
+    val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(9L), None).toDF("k")
+    val r = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(2L), None).toDF("k")
+    val got = Relational.joinCardinalityAudit(l, "k", r, "k", k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // key 1: 3×2=6; key 2: 1×3=3; key 9 unmatched, NULLs match nothing
+    assert(got == Seq((1L, 3L, 2L, 6L), (2L, 1L, 3L, 3L)), s"$got")
+    // the estimate IS the join's row count
+    val actual = l.where(col("k").isNotNull).join(r, "k").count()
+    assert(actual == got.map(_._4).sum)
+    intercept[IllegalArgumentException](Relational.joinCardinalityAudit(l, "k", r, "k", 0))
+  }
+
   test("hardNegatives: positives and self never surface, nearest non-positive ranks first") {
     // axis-aligned embeddings: q=0 nearly parallel to 1 (its positive),
     // then 2 (the hard negative), then 3; vector 4 is orthogonal

@@ -442,4 +442,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.forall { case (id, n) => n == (if (id % 3 == 0) 2L else 1L) })
     } finally q.stop()
   }
+
+  test("streaming rollup maintenance: per-batch states fold into the stored rollup") {
+    // the production shape of Maintenance.mergeRollups: each micro-batch
+    // reduces to its keys-sized rollup state inside foreachBatch and
+    // merges with the STORED state — history is never rescanned, and
+    // after any number of batches the state equals the full recompute
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Maintenance
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = src.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = Maintenance.rollupState(batch, Seq("k"), "v")
+        val merged = state.fold(s)(old => Maintenance.mergeRollups(Seq("k"), old, s))
+        // pin the state OFF the transient batch frame, as a production
+        // run's parquet write would; bounded by key cardinality
+        state = Some(spark.createDataFrame(
+          java.util.Arrays.asList(merged.collect(): _*), merged.schema))
+        ()
+      }.start()
+    try {
+      src.addData(("x", 1.004), ("x", 2.996), ("y", 5.0)); q.processAllAvailable()
+      src.addData(("x", 0.5), ("z", -0.006)); q.processAllAvailable()
+      val got = Maintenance.rollupReport(state.get).orderBy("k")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      val full = Maintenance.rollupReport(Maintenance.rollupState(
+          Seq(("x", 1.004), ("x", 2.996), ("y", 5.0), ("x", 0.5), ("z", -0.006))
+            .toDF("k", "v"), Seq("k"), "v")).orderBy("k")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == full && got.size == 3, s"stream-maintained $got != recompute $full")
+    } finally q.stop()
+  }
 }
