@@ -1688,6 +1688,59 @@ object SparkEntry {
       pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
         .orderBy("node")
     },
+    "graph_bfs" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // hop distance from a trusted customer cohort over the bidirected
+      // trade graph — the TrustRank-style link-distance quality prior;
+      // unit weights = plain BFS (the w=1 case of shortestPaths)
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      val seeds = s.table("orders").select(col("o_custkey").as("node"))
+        .where(col("node") % 97 === 0).distinct()
+      pipeline.Graph.shortestPaths(edges, "src", "dst", seeds, rounds = 4)
+        .orderBy("node")
+    },
+    "graph_shortest_paths" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // weighted min-cost variant over the same graph: integer edge cost
+      // derived from the endpoints (deterministic, oracle-replayable), so
+      // a cheap 2-hop route can beat an expensive direct edge — the case
+      // that distinguishes Bellman-Ford relaxation from plain BFS
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      val seeds = s.table("orders").select(col("o_custkey").as("node"))
+        .where(col("node") % 97 === 0).distinct()
+      pipeline.Graph.shortestPaths(edges, "src", "dst", seeds, rounds = 4,
+          weightCol = Some("w"))
+        .orderBy("node")
+    },
+    "events_scd2" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // SCD2 validity intervals over the per-user event_type change log:
+      // one row per run of identical values, valid_to = next run's start
+      pipeline.TimeSeries.scd2(s.table("events"), "user_id", "ts",
+          "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    "events_cdc_latest" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // the changelog compacted to its current snapshot — newest row per
+      // user by (ts, event_id); a user whose NEWEST event is an 'error'
+      // is treated as tombstoned and dropped
+      pipeline.Maintenance.cdcLatest(s.table("events"), Seq("user_id"),
+          "ts", "event_id",
+          deleteFilter = Some(col("event_type") === "error"))
+        .orderBy("user_id")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -1836,6 +1889,35 @@ object SparkEntry {
        |SELECT node, r AS rank_ppm FROM pr$iterations ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Graph.shortestPaths]], relaxation rounds
+    * unrolled as MATERIALIZED CTEs (each round references the previous
+    * dist frame twice — the kCore inlining hazard). Mirrors the Spark
+    * edge/seed build in `graph_bfs` / `graph_shortest_paths` exactly. */
+  private def shortestPathsOracleSql(rounds: Int, weighted: Boolean): String = {
+    val wExpr = if (weighted) "1 + (src + dst) % 7" else "1"
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, min(f.dist + e.w) AS nd
+         |  FROM edges e JOIN f${i - 1} f ON f.node = e.src GROUP BY e.dst),
+         |i$i AS MATERIALIZED (SELECT c.node, c.nd AS dist FROM c$i c
+         |  LEFT JOIN d${i - 1} d ON d.node = c.node
+         |  WHERE d.node IS NULL OR c.nd < d.dist),
+         |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+         |  (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM i$i) GROUP BY node),
+         |f$i AS (SELECT node, dist FROM i$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |eb AS (SELECT c AS src, sp + 1000000 AS dst FROM e0
+       |       UNION ALL SELECT sp + 1000000 AS src, c AS dst FROM e0),
+       |edges AS MATERIALIZED (SELECT src, dst, CAST($wExpr AS BIGINT) AS w FROM eb),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+       |  SELECT DISTINCT o_custkey AS node FROM orders WHERE o_custkey % 97 = 0)
+       |  WHERE node IN (SELECT src FROM edges UNION SELECT dst FROM edges)),
+       |f0 AS (SELECT node, dist FROM d0),
+       |$roundCtes
+       |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.Graph.labelPropagation]], rounds unrolled
     * as chained CTEs (same reason as [[pageRankOracleSql]]). Mirrors the
     * Spark edge build in `graph_communities`: co-purchase part pairs from
@@ -1896,6 +1978,31 @@ object SparkEntry {
          FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
          GROUP BY 1, 2 ORDER BY a, b""",
     "graph_kcore" -> kCoreOracleSql(3, 8),
+    "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
+    "graph_shortest_paths" -> shortestPathsOracleSql(4, weighted = true),
+    "events_scd2" ->
+      """WITH s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  (lag(event_id) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+           FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         c AS (SELECT user_id, event_type, ts AS valid_from, event_id
+               FROM s WHERE chg)
+         SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from, event_id) AS valid_to,
+                event_id
+         FROM c ORDER BY user_id, valid_from, event_id""",
+    "events_cdc_latest" ->
+      """WITH r AS (
+           SELECT user_id, ts, event_id, event_type, value, props,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
+         SELECT user_id, ts, event_id, event_type, value, props
+         FROM r WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr" -> pageRankOracleSql(5, seeded = true),

@@ -301,6 +301,95 @@ object Graph {
       .where(col("core_degree") >= k)
   }
 
+  /** Multi-source shortest paths by synchronous min-plus relaxation
+    * (Bellman-Ford rounds; unit weights = plain breadth-first search —
+    * the unweighted call IS the weighted arithmetic with w = 1, one code
+    * path, the two modes can never drift). Every relaxation is integer
+    * (`dist + w` over positive integer weights), so a fixed `rounds`
+    * horizon is a pure function of the input and bit-replayable by the
+    * unrolled-CTE oracle; after round r every node holds the EXACT
+    * min-cost over paths of ≤ r hops, and the loop stops early once a
+    * round improves nothing (at which point the ≤-hops qualifier is the
+    * true shortest-path distance). Output: `node, dist` — reached nodes
+    * only; unreachable-within-horizon nodes have no row.
+    *
+    * The data-pipeline use: hop distance from a trusted seed set (link
+    * distance from curated domains, collaboration distance from verified
+    * accounts) is a classic quality/trust prior — Fleiss/TrustRank-style
+    * — and min-COST with weights prices tiered links.
+    *
+    * Seeds: one-column frame of node ids (dist 0). Tiny by definition —
+    * a cohort/query context — but only ever joined, never collected.
+    * Seed ids absent from the edge set are ignored (the pageRank seed
+    * contract). Multi-column seed frames fail loudly.
+    *
+    * Plan shape: edges materialize partitioned by src ONCE (the
+    * iterative-loop discipline — the 100 TB edge table is never
+    * re-exchanged); each round relaxes only the FRONTIER (nodes improved
+    * last round — the only nodes that can improve a neighbor), so round
+    * cost is frontier-proportional, not |V|-proportional. Known dists
+    * and candidates merge through a union + min aggregate; each round's
+    * frames are `Materialize.cut` (the kCore diamond discipline: dists
+    * is read twice per round) and a one-scalar `isEmpty` per round
+    * detects the fixpoint. Frontier/dist frames are |reached|-sized —
+    * `shuffle_hash` hinted, never a per-round broadcast collect. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    seeds: DataFrame, rounds: Int,
+                    weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 100,
+      s"rounds must be in [1, 100], got $rounds")
+    val w = weightCol.map { c =>
+      // the guard lives inside the consumed column (prune-safe)
+      when(col(c).cast("long") >= 1L, col(c).cast("long"))
+        .otherwise(raise_error(lit(
+          s"shortestPaths: weight column '$c' must be a positive integer")))
+    }.getOrElse(lit(1L))
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), w.as("__w"))
+    val sCol = seeds.columns match {
+      case Array(c) => c
+      case cs => sys.error(
+        s"seeds must have exactly one column, got ${cs.mkString(",")}")
+    }
+    val nodeSet = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    // the ONE exchange the edges ever see: partitioned by src, the
+    // per-round relaxation key
+    val ej = Materialize.cut(e0.repartition(col("src")))
+    var dists = Materialize.cut(
+      seeds.select(col(sCol).cast("long").as("node")).distinct()
+        .join(nodeSet, Seq("node"), "left_semi")
+        .select(col("node"), lit(0L).as("dist")))
+    var frontier = dists
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      // relax every edge out of the frontier; min per destination
+      val cand = ej.join(frontier.hint("shuffle_hash"),
+          ej("src") === frontier("node"))
+        .select(col("dst"), (col("dist") + col("__w")).as("__nd"))
+        .groupBy("dst").agg(min(col("__nd")).as("__nd"))
+      // keep only genuine improvements — the next frontier
+      val imp = Materialize.cut(
+        cand.join(dists.hint("shuffle_hash"),
+            cand("dst") === dists("node"), "left")
+          .where(col("node").isNull || col("__nd") < col("dist"))
+          .select(col("dst").as("node"), col("__nd").as("dist")))
+      if (imp.isEmpty) done = true
+      else {
+        dists = Materialize.cut(
+          dists.union(imp).groupBy("node").agg(min(col("dist")).as("dist")))
+        frontier = imp
+      }
+    }
+    // no release: the per-round cuts follow the kCore/Materialize contract
+    // (under `persist` the superseded frames were computed by this loop's
+    // per-round action and stay session-cached; the returned frame is the
+    // final cut and references none of them)
+    dists
+  }
+
   /** Per-node triangle counts over an undirected edge set (self-loops
     * dropped, duplicate/reversed edges collapsed): `node, n_triangles` —
     * the local clustering signal (spam-farm rings, copy networks,

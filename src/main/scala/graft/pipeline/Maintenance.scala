@@ -215,6 +215,49 @@ object Maintenance {
     state.withColumn("avg_cents", expr("sum_cents DIV n"))
   }
 
+  /** CDC "latest snapshot" compaction: reduce a change-data-capture /
+    * append-only change log to the CURRENT row per key — the newest
+    * observation by (`tsCol`, `tieCol`), with keys whose newest row
+    * matches `deleteFilter` (a tombstone) DROPPED from the snapshot.
+    * This is the ingestion-side twin of [[rollupState]]: a 100 TB raw
+    * changelog compacts to a keys-cardinality table that downstream
+    * joins read instead of replaying history.
+    *
+    * The latest row is found with ONE `max(struct(ts, tie, payload…))`
+    * aggregate — partial-aggregates map-side, only one struct per key
+    * per task crosses the shuffle; NO window sort, no per-key
+    * row_number over the full log (which would ship every version of
+    * every key to its reducer just to discard all but one). The struct
+    * comparison is decided entirely by the leading (ts, tie) pair
+    * because (`tsCol`, `tieCol`) must be unique per key — `tieCol` (a
+    * sequence/event id) makes timestamp collisions deterministic; the
+    * payload columns ride behind and never tip the comparison.
+    *
+    * Tombstone semantics: the delete must WIN the (ts, tie) race to
+    * delete — a key whose delete is followed by a newer upsert is alive
+    * again (standard CDC replay order). Rows with NULL ts or tie have
+    * no position in the version order and are EXCLUDED (the
+    * [[TimeSeries.scd2]] / asofJoin NULL-time contract).
+    *
+    * Output: `keyCols…, tsCol, tieCol, payload…` (every other input
+    * column), one row per live key. */
+  def cdcLatest(changeLog: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                tsCol: String, tieCol: String,
+                deleteFilter: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "cdcLatest needs at least one key column")
+    import org.apache.spark.sql.functions._
+    val payload = changeLog.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == tsCol || c == tieCol)
+    val fields = (tsCol +: tieCol +: payload).map(c => col(c).as(c))
+    val latest = changeLog
+      .where(col(tsCol).isNotNull && col(tieCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(fields: _*)).as("__m"))
+      .select(keyCols.map(col) ++ (tsCol +: tieCol +: payload)
+        .map(c => col(s"__m.$c").as(c)): _*)
+    deleteFilter.fold(latest)(d => latest.where(!d))
+  }
+
   /** Snapshot DIFF between two corpus versions: which ids were added,
     * removed, or changed (content hash differs) — the review gate before
     * promoting a re-crawled / re-filtered corpus version. Output:

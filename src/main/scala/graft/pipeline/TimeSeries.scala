@@ -123,4 +123,51 @@ object TimeSeries {
         })
       .drop("__sumsq")
   }
+
+  /** Slowly-changing-dimension type-2 interval builder: turn a per-key
+    * CHANGE LOG (one row per observation, ordered by `tsCol` with
+    * `tieCol` breaking timestamp collisions) into validity intervals —
+    * one row per RUN of identical tracked values, with
+    * `valid_from` = the run's first observation and `valid_to` = the
+    * next run's start (NULL = current). Consecutive observations that
+    * repeat the previous value COLLAPSE into the run (the SCD2 no-op-
+    * update rule); a value that flips away and back later starts a NEW
+    * interval (history is intervals, not a distinct-values list). Value
+    * comparison is NULL-SAFE (`<=>`): NULL → NULL is a no-op, NULL ↔
+    * value is a change. Rows with a NULL timestamp or tie-breaker carry
+    * no position in the ordering and are EXCLUDED (the asofJoin
+    * NULL-time contract). (`tieCol`, e.g. an event/sequence id, makes
+    * same-timestamp runs deterministic — required, not optional,
+    * because a change log WILL collide timestamps at scale.)
+    *
+    * Output: `keyCol, valueCols…, valid_from, valid_to, tieCol` (the
+    * tie-breaker of the run's first row — kept so downstream ordering
+    * and the oracle stay deterministic under `valid_from` collisions).
+    *
+    * Plan shape: ONE exchange. Both windows (the lag change-detection
+    * and the lead valid_to) partition by key and order by (ts, tie), so
+    * the second window reuses the first's partitioning AND sort — the
+    * filter between them preserves both; no self-join, per-key bounded
+    * state. At 100 TB the change log shuffles once on the dimension
+    * key, exactly like the as-of join. */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2: valueCols must be non-empty")
+    val reserved = Set(keyCol, tsCol, tieCol)
+    require(valueCols.forall(!reserved.contains(_)),
+      s"scd2: valueCols must not repeat key/ts/tie columns, got $valueCols")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val changed = valueCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val runs = log
+      .where(col(tsCol).isNotNull && col(tieCol).isNotNull)
+      .withColumn("__first", lag(col(tieCol), 1).over(w).isNull)
+      .withColumn("__chg", col("__first") || changed)
+      .where(col("__chg"))
+    runs
+      .select((col(keyCol) +: valueCols.map(col) :+
+        col(tsCol).as("valid_from") :+
+        lead(col(tsCol), 1).over(w).as("valid_to") :+ col(tieCol)): _*)
+  }
 }

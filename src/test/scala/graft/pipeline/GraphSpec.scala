@@ -226,4 +226,59 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", 0))
   }
+
+  private def sp(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                 rounds: Int): Map[Long, Long] =
+    Graph.shortestPaths(edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortestPaths: BFS hop distances on a chain, horizon-bounded reach") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(sp(chain, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // a 2-round horizon reaches exactly 2 hops
+    assert(sp(chain, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("shortestPaths: multi-source min over seeds; unreachable nodes absent") {
+    // directed chain 1→2→3→4→5 plus 5→4 and upstream-only node 9→1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L), (9L, 1L))
+    val d = sp(e, Seq(1L, 5L), 10)
+    // 4 is 1 hop from seed 5 (beats 3 hops from seed 1); 9 has no row
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L),
+      s"got $d")
+  }
+
+  test("shortestPaths: a cheap 2-hop route beats the expensive direct edge") {
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    def run(r: Int) = Graph.shortestPaths(e, "src", "dst",
+        Seq(1L).toDF("node"), r, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1 holds the ≤1-hop min: the direct edge at cost 10
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 1L), s"got ${run(1)}")
+    // a later round must IMPROVE the already-reached node 2 via 3
+    assert(run(5) == Map(1L -> 0L, 2L -> 2L, 3L -> 1L), s"got ${run(5)}")
+  }
+
+  test("shortestPaths: all-ones weights are bit-identical to the unweighted path") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L))
+    val ones = base.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val a = Graph.shortestPaths(ones, "src", "dst", Seq(1L).toDF("node"), 4,
+      weightCol = Some("w")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == sp(base, Seq(1L), 4), "weighted(1) differs from unweighted")
+  }
+
+  test("shortestPaths: ghost seeds ignored; seed/weight/rounds validation") {
+    assert(sp(Seq((1L, 2L)), Seq(1L, 42L), 3) == Map(1L -> 0L, 2L -> 1L))
+    intercept[RuntimeException](Graph.shortestPaths(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+      Seq((1L, 2L)).toDF("a", "b"), 3))
+    val z = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    intercept[Exception](Graph.shortestPaths(z, "src", "dst",
+      Seq(1L).toDF("node"), 2, weightCol = Some("w")).collect())
+    intercept[IllegalArgumentException](Graph.shortestPaths(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", Seq(1L).toDF("node"), 0))
+  }
 }

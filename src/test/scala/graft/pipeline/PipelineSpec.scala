@@ -1622,6 +1622,36 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Maintenance.rollupState(a, Seq.empty, "v"))
   }
 
+  test("cdcLatest: newest row wins, tombstones delete, a newer upsert revives") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    val log = Seq(
+      (1L, 1L, Option(t(1)), "upsert", "v1"),
+      (1L, 2L, Option(t(2)), "upsert", "v2"),   // newest for key 1
+      (2L, 3L, Option(t(1)), "upsert", "v1"),
+      (2L, 4L, Option(t(2)), "delete", null),   // newest = tombstone → dropped
+      (3L, 5L, Option(t(1)), "delete", null),
+      (3L, 6L, Option(t(2)), "upsert", "v9"),   // delete then REVIVED
+      (4L, 7L, None, "upsert", "zz"),           // NULL ts: no version order
+      (4L, 8L, Option(t(1)), "upsert", "v4")
+    ).toDF("k", "seq", "ts", "op", "payload")
+    val got = Maintenance.cdcLatest(log, Seq("k"), "ts", "seq",
+        deleteFilter = Some(col("op") === "delete"))
+      .orderBy("k").as[(Long, Timestamp, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, t(2), 2L, "upsert", "v2"),
+      (3L, t(2), 6L, "upsert", "v9"),
+      (4L, t(1), 8L, "upsert", "v4")), s"$got")
+    // timestamp collision: the tie column decides deterministically
+    val tie = Seq((9L, 1L, t(1), "upsert", "lo"), (9L, 2L, t(1), "upsert", "hi"))
+      .toDF("k", "seq", "ts", "op", "payload")
+    val w = Maintenance.cdcLatest(tie, Seq("k"), "ts", "seq")
+      .select("payload").as[String].head()
+    assert(w == "hi", s"tie must resolve to the larger seq, got $w")
+    intercept[IllegalArgumentException](
+      Maintenance.cdcLatest(log, Seq.empty, "ts", "seq"))
+  }
+
   test("integrityAudit: orphans exact, NULL FKs counted apart, empty child is zeros") {
     val parent = Seq(1L, 2L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(3L), None).toDF("fk") // 3 dangles, NULL apart

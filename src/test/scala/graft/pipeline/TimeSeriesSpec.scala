@@ -92,4 +92,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!got(Date.valueOf("2024-03-09")), "post-spike normal day stays quiet")
     assert(!got(Date.valueOf("2024-03-16")), "exactly-on-baseline stays quiet")
   }
+
+  test("scd2: runs collapse, flips reopen, valid_to chains, NULL-safe values") {
+    val log = Seq(
+      (1L, 1L, ts(1), Some("a")),
+      (1L, 2L, ts(2), Some("a")),  // no-op update collapses into the run
+      (1L, 3L, ts(3), Some("b")),  // change
+      (1L, 4L, ts(4), Some("a")),  // back to 'a' — a NEW interval
+      (2L, 5L, ts(1), None),       // NULL is a value…
+      (2L, 6L, ts(2), None),       // …and NULL→NULL is a no-op
+      (2L, 7L, ts(3), Some("x"))   // NULL→value is a change
+    ).toDF("user_id", "event_id", "ts", "v")
+    val got = TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("v"))
+      .orderBy("user_id", "valid_from")
+      .as[(Long, Option[String], Timestamp, Option[Timestamp], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), ts(1), Some(ts(3)), 1L),
+      (1L, Some("b"), ts(3), Some(ts(4)), 3L),
+      (1L, Some("a"), ts(4), None, 4L),
+      (2L, None, ts(1), Some(ts(3)), 5L),
+      (2L, Some("x"), ts(3), None, 7L)), s"$got")
+  }
+
+  test("scd2: timestamp collisions order by tie; NULL ts/tie excluded; validation") {
+    val log = Seq(
+      (Some(10L), Some(ts(1)), Some("a")),
+      (Some(11L), Some(ts(1)), Some("b")), // same ts — tie 10 before 11
+      (Some(12L), None, Some("zz")),       // NULL ts: no position, excluded
+      (None, Some(ts(2)), Some("c"))       // NULL tie: excluded
+    ).map { case (id, t, v) => (1L, id, t, v) }
+      .toDF("user_id", "event_id", "ts", "v")
+    val got = TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("v"))
+      .orderBy("valid_from", "event_id")
+      .as[(Long, Option[String], Timestamp, Option[Timestamp], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), ts(1), Some(ts(1)), 10L),
+      (1L, Some("b"), ts(1), None, 11L)), s"$got")
+    intercept[IllegalArgumentException](
+      TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("ts")))
+  }
 }
