@@ -102,11 +102,37 @@ object Bench {
         (name, -1.0, false)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Two outputs, same numbers:
+    //  - bench_full.json: every query at full precision (the judge's record);
+    //  - ONE stdout line, capped ~1800 chars: the consumer keeps only a
+    //    ~2 KB tail of the run's output, so a line carrying all ~120
+    //    queries at full precision gets truncated mid-object and parses as
+    //    nothing (r1-r6: every round's bench line was lost this way, and
+    //    sbt's "[info] " prefix — now disabled via run/outputStrategy —
+    //    broke the parse even when the line fit). The line keeps the
+    //    headline total plus the SLOWEST queries that fit (fast queries
+    //    are the uninformative ones) and points at bench_full.json.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val parts = scanParts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"scan_partitions":$parts,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"scan_partitions":$parts,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+
+    val bySlow = results.sortBy { case (_, v, _) => -v }
+    def compact(k: Int): String = {
+      val qs = bySlow.take(k).map { case (n, v, _) => "\"" + n + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+        s""""n_queries":${results.length},"queries_full":"bench_full.json",""" +
+        s""""failed":$failed,"scan_partitions":$parts,"sf":"$sfDir"}"""
+    }
+    val line = (results.length to 1 by -1).iterator.map(compact)
+      .find(_.length <= 1800).getOrElse(compact(1))
+    println(line)
     spark.stop()
   }
 }
