@@ -839,6 +839,15 @@ object SparkEntry {
         .select("a", "b", "n_int", "n_union", "is_dup")
         .orderBy("a")
     },
+    "dedup_simjoin_exact" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // EXACT threshold similarity self-join (prefix filtering): every
+      // doc pair with 3-gram Jaccard >= 0.8, zero recall loss — the
+      // oracle runs the quadratic cross join this operator avoids
+      pipeline.Dedup.similarityJoin(s.table("documents"), "doc_id", "text",
+          thresholdPct = 80, shingle = 3)
+        .orderBy("a", "b")
+    },
     "dedup_fuzzy_names" -> { (s, dir) =>
       prep(s, dir, "customer")
       // record linkage: customer-name pairs within ONE edit — deletion-
@@ -1311,6 +1320,28 @@ object SparkEntry {
       // and hash-gates against the exact GROUP BY oracle; the
       // approximate-regime guarantee is spec-asserted (HeavyHittersSpec)
       graft.functions.HeavyHitters.topTokens(s.table("documents"), "text", 256)
+    },
+    "sketch_hll_distinct" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // HyperLogLog distinct users per event type — 2^8 fixed-width
+      // registers per group cross the shuffle instead of one-entry-per-
+      // distinct-user state; the all-integer register recipe (md5 hash,
+      // bin-length rank, DECIMAL DIV estimator) replays bit-for-bit in
+      // the DuckDB oracle, registers AND estimate
+      pipeline.Sketches.hllDistinct(s.table("events"),
+          Seq("event_type"), "user_id", p = 8)
+        .orderBy("event_type")
+    },
+    "sketch_cms_freq" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // Count-Min frequency estimates for a bounded probe cohort over the
+      // event stream — d×w integer counters are the only aggregation
+      // state (partial agg caps per-task shuffle output at d·w rows);
+      // n_est ≥ n_exact always, equal when no slot collides
+      val ev = s.table("events")
+      pipeline.Sketches.cmsEstimate(ev, "user_id",
+          ev.where(col("user_id") <= 50), "user_id", d = 4, w = 1024)
+        .orderBy("probe")
     },
     "pipeline_profile" -> { (s, dir) =>
       prep(s, dir, "documents")
@@ -2512,6 +2543,17 @@ object SparkEntry {
                 len(list_intersect(a.sh, b.sh)) * 10 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 8 AS is_dup
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
          ORDER BY a""",
+    "dedup_simjoin_exact" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_int,
+                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+         FROM s a JOIN s b ON b.doc_id > a.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND len(list_intersect(a.sh, b.sh)) * 100 >=
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
+         ORDER BY a, b""",
     "dedup_groups" ->
       """WITH RECURSIVE
          n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
@@ -3016,6 +3058,38 @@ object SparkEntry {
                         x -> len(x) > 0)) AS token FROM documents)
            GROUP BY token)
          WHERE rn <= 256 ORDER BY rank""",
+    "sketch_hll_distinct" -> (
+      """WITH h AS (SELECT event_type,
+                      CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                    FROM events WHERE user_id IS NOT NULL),
+              r AS (SELECT event_type, hv // 4503599627370496 AS b,
+                      CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                           ELSE 53 - length(bin(hv % 4503599627370496)) END AS rk
+                    FROM h),
+              regs AS (SELECT event_type, b, max(rk) AS reg FROM r GROUP BY 1, 2)
+         SELECT event_type,
+                CAST(256 - count(*) AS BIGINT) AS v_empty,
+                CAST(sum(reg) AS BIGINT) AS reg_sum,
+                CAST(CAST('""" + pipeline.Sketches.hllNumConstant(8).toString + """' AS HUGEINT)
+                     // ((sum(CAST(1 AS HUGEINT) << (53 - reg))
+                          + CAST(256 - count(*) AS HUGEINT) * 9007199254740992) * 1000000)
+                     AS BIGINT) AS n_distinct_est
+         FROM regs GROUP BY event_type ORDER BY event_type"""),
+    "sketch_cms_freq" ->
+      """WITH v AS (SELECT user_id AS vv FROM events WHERE user_id IS NOT NULL),
+              c AS (SELECT t.r AS r,
+                      CAST('0x' || substr(md5('cms:' || CAST(t.r AS VARCHAR) || '#' || CAST(vv AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b,
+                      count(*) AS n
+                    FROM v CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+              p AS (SELECT DISTINCT user_id AS probe FROM events WHERE user_id <= 50),
+              pb AS (SELECT probe, t.r AS r,
+                       CAST('0x' || substr(md5('cms:' || CAST(t.r AS VARCHAR) || '#' || CAST(probe AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b
+                     FROM p CROSS JOIN range(4) t(r)),
+              e AS (SELECT probe, min(coalesce(n, 0)) AS n_est FROM pb LEFT JOIN c USING (r, b) GROUP BY 1),
+              x AS (SELECT vv AS probe, count(*) AS n_exact FROM v GROUP BY 1)
+         SELECT probe, CAST(n_est AS BIGINT) AS n_est,
+                CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
+         FROM e LEFT JOIN x USING (probe) ORDER BY probe""",
     "pipeline_profile" ->
       """SELECT col_name, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
                 n_nulls, n_distinct, min_value, max_value

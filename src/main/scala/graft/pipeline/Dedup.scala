@@ -355,6 +355,83 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     E.column(graft.functions.ShingleSet(E.expression(text), n))
 
+  /** EXACT threshold similarity self-join — ALL pairs with shingle-set
+    * Jaccard ≥ `thresholdPct`/100, no sampling, no hash collisions, no
+    * recall loss — via PREFIX FILTERING (AllPairs: Bayardo, Ma & Srikant,
+    * WWW 2007; PPJoin: Xiao, Wang, Lin & Yu, WWW 2008). The exact
+    * complement to the probabilistic minhash/simhash family: when the
+    * dedup decision feeds a contractual guarantee ("no two retained docs
+    * exceed J = t"), a banded-LSH miss is unacceptable and the naive
+    * fix — the quadratic cross join — is unrunnable at corpus scale.
+    *
+    * Why this is NOT a cross join: under any fixed total order over
+    * tokens, if |A∩B| ≥ α then the first |A|−α+1 tokens of A and the
+    * first |B|−α+1 tokens of B must share a token (else all ≥ α common
+    * tokens hide in suffixes that are only α−1 long — the prefix-filter
+    * theorem). J ≥ t implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so an equi join
+    * on PREFIX tokens (length |x| − ⌈t·|x|⌉ + 1 ≈ (1−t)·|x|, e.g. 20%
+    * of each doc at t = 0.8) finds every qualifying pair. The order is
+    * chosen rarest-first (global frequency asc, token asc) so prefixes
+    * hold the rarest shingles a doc has — candidate buckets stay small
+    * on the heavy-tailed vocabularies of real corpora. A cheap length
+    * filter rides the join (J ≥ t forces t ≤ |A|/|B| ≤ 1/t), then exact
+    * set intersection over the materialized shingle sets keeps only true
+    * pairs — cross-multiplied integers, bit-replayable by the oracle.
+    *
+    * Plan shape: shingle sets materialize once (consumed by the token
+    * explode and twice by the verify joins); token frequencies are one
+    * map-side-combining aggregate over the exploded tokens; the ordered
+    * prefix is a per-doc array_sort of (freq, token) structs — no global
+    * rank window, the pair itself is the total order; candidates come
+    * from ONE equi self-join on prefix token + distinct. At 100 TB every
+    * stage is key-partitioned with bounded state; the quadratic danger
+    * lives only INSIDE a candidate bucket, and rarest-first ordering is
+    * exactly what keeps those buckets small. Docs with empty shingle
+    * sets (len(text) < shingle after normalization) cannot clear t > 0
+    * against anything and are excluded up front.
+    *
+    * Output: (a, b, n_int, n_union), a < b, integer columns only. */
+  def similarityJoin(docs: DataFrame, idCol: String, textCol: String,
+                     thresholdPct: Int, shingle: Int = 3): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    Search.requireIntegralId(docs, idCol, "similarityJoin")
+    val sets = Materialize(docs
+      .select(col(idCol).cast("long").as("__id"),
+        shingleSet(col(textCol), shingle).as("__sh"))
+      .where(col("__sh").isNotNull && size(col("__sh")) > 0))
+    val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
+    val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
+    // (freq, token) IS the total order — array_sort on the struct sorts
+    // lexicographically by field, so no dense-rank window over the
+    // global vocabulary is ever needed
+    val ordered = toks.join(freq, "__t")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__n"), col("__t")))).as("__o"))
+      .select(col("__id"),
+        expr("transform(__o, e -> e.__t)").as("__ord"))
+    val prefixed = Materialize(ordered.select(col("__id"),
+      size(col("__ord")).as("__sz"),
+      expr(s"slice(__ord, 1, size(__ord) - (($thresholdPct * size(__ord) + 99) DIV 100) + 1)")
+        .as("__pfx")))
+    val probe = prefixed.select(col("__id"), col("__sz"), explode(col("__pfx")).as("__t"))
+    val cands = probe.as("l").join(probe.as("r"),
+        col("l.__t") === col("r.__t") && col("l.__id") < col("r.__id") &&
+          col("l.__sz") * 100 >= col("r.__sz") * thresholdPct &&
+          col("r.__sz") * 100 >= col("l.__sz") * thresholdPct)
+      .select(col("l.__id").as("a"), col("r.__id").as("b")).distinct()
+    cands
+      .join(sets.select(col("__id"), col("__sh").as("__sha")), col("a") === col("__id"))
+      .drop("__id")
+      .join(sets.select(col("__id"), col("__sh").as("__shb")), col("b") === col("__id"))
+      .drop("__id")
+      .withColumn("n_int", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("__sha")) + size(col("__shb"))).cast("long") - col("n_int"))
+      .where(col("n_int") * 100 >= col("n_union") * thresholdPct)
+      .select(col("a"), col("b"), col("n_int"), col("n_union"))
+  }
+
   /** Near-dup pairs: LSH blocking then exact-Jaccard verification. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, numHashes: Int = 128,

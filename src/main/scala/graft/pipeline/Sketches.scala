@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency SKETCHES with bit-replayable integer
+  * arithmetic — the bounded-state answers to "how many distinct X" and
+  * "how often does X occur" at corpus scale, where the exact plans
+  * (COUNT(DISTINCT), per-key GROUP BY) carry one-entry-per-distinct-key
+  * aggregation state: fine at test SF, a multi-TB hash table over
+  * token/URL/user streams at 100 TB.
+  *
+  * Both sketches here are expressed as PLAIN two-level aggregates over
+  * `functions._` arithmetic — no custom Expression, no UDF — because
+  * their register state IS a tiny group-by: Spark's partial aggregation
+  * collapses each task's contribution to ≤ m (HLL) or ≤ d·w (CMS)
+  * fixed-width rows map-side, so only sketch-sized state crosses the shuffle.
+  * That is exactly the hand-written mergeable-summary contract, obtained
+  * from the declarative plan for free — and unlike the usual
+  * float-harmonic-mean HLL implementations, every step below is INTEGER
+  * (hash → bucket/rank via string ops on the md5 hex, 2^x via shiftleft,
+  * the estimator via DECIMAL(38,0) integral division), so the same rows
+  * come out of any engine that replays the recipe: the sketch is
+  * oracle-gateable bit-for-bit, not merely "close".
+  */
+object Sketches {
+
+  /** 60-bit deterministic hash of a value (the repo's md5-prefix
+    * convention: first 15 hex digits — stays inside a signed BIGINT in
+    * every engine). Salted variants namespace independent hash rows. */
+  private def h60(v: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), v.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HyperLogLog distinct-count per group (Flajolet, Fusy, Gandouet &
+    * Meunier, AofA 2007) with 2^p registers, all-integer.
+    *
+    * Register recipe over the 60-bit hash h: bucket = top p bits, rem =
+    * low W = 60−p bits; rank = number of leading zeros of rem within the
+    * W-bit field + 1 = (W+1) − len(bin(rem)) (rem = 0 → W+1, the max).
+    * Registers are `max(rank)` per (group, bucket) — the first aggregate
+    * level; the second folds the m registers of a group into the raw
+    * estimator E = α_m · m² / Σ 2^−M[j]. Scaled by 2^(W+1) the sum is an
+    * exact LONG (empty buckets contribute 2^(W+1), present ones
+    * 1 << (W+1 − M[j])), and E becomes one DECIMAL(38,0) integral
+    * division by a compile-time BigInt constant — floor semantics shared
+    * exactly with the oracle's HUGEINT replay. α_m is pinned in ppm
+    * (0.7213/(1 + 1.079/m), the standard bias constant) so both engines
+    * use the identical rational.
+    *
+    * Contract: `n_distinct_est` is the RAW HLL estimator — its ±1.04/√m
+    * relative-error regime is n ≳ 3m; below that HLL standardly switches
+    * to linear counting (needs a float ln, deliberately NOT replayed —
+    * `v_empty` is emitted so callers can apply it). `reg_sum` witnesses
+    * the full register state. The whole pipeline is two shuffles of
+    * sketch-sized state regardless of input size, and the register frame
+    * is mergeable across corpora/days by construction (max per bucket).
+    */
+  /** The HLL estimator's numerator α_m·m²·2^(W+1) as one exact integer
+    * (α_m pinned in ppm) — public so the DuckDB oracle interpolates the
+    * IDENTICAL constant instead of re-deriving the float bias term. */
+  def hllNumConstant(p: Int): BigInt = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val alphaPpm = BigDecimal(721300000L) // 0.7213 in 1e-9 units
+      ./(BigDecimal(1000000000L) + BigDecimal(1079000000L) / m)
+      .*(BigDecimal(1000000))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    alphaPpm * BigInt(m) * BigInt(m) * (BigInt(1) << maxRank)
+  }
+
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val w = 60 - p // rem field width
+    val maxRank = w + 1
+    val gs = groupCols.map(col)
+    // bucket/rem via integral DIV/%, NOT Column./ (true double division —
+    // fractional "buckets" would silently multiply the register space)
+    val hashed = df.where(col(valueCol).isNotNull)
+      .select((gs :+ h60(col(valueCol), "hll").as("__h")): _*)
+    val rem = col("__h") % (1L << w)
+    val rows = hashed.select(
+      (gs :+ expr(s"__h DIV ${1L << w}").as("__bucket") :+
+        when(rem === 0L, maxRank)
+          .otherwise(lit(maxRank) - length(bin(rem))).as("__rank")): _*)
+    val regs = rows.groupBy((gs :+ col("__bucket")): _*)
+      .agg(max(col("__rank")).as("__reg"))
+    val num = hllNumConstant(p)
+    regs.groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("__nb"),
+        sum(expr(s"shiftleft(1L, $maxRank - __reg)")).as("__s_present"),
+        sum(col("__reg")).as("reg_sum"))
+      .withColumn("v_empty", lit(m.toLong) - col("__nb"))
+      .withColumn("__s",
+        col("__s_present") + col("v_empty") * (1L << maxRank))
+      .withColumn("n_distinct_est",
+        expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) DIV " +
+          "(CAST(__s AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+      .select((gs :+ col("v_empty") :+ col("reg_sum") :+ col("n_distinct_est")): _*)
+  }
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan, J. Algorithms
+    * 2005): d independent hash rows × w counters; an item's estimate is
+    * the MIN of its d counters — always ≥ the true count, over by at most
+    * εN with probability 1−δ (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+    *
+    * The counter table is exact integer sums over (row, bucket) — fully
+    * deterministic, so unlike most sketches BOTH the state and the
+    * estimates replay bit-for-bit in any engine. d·w fixed-width rows
+    * per task cross the shuffle (partial aggregation), never per-key
+    * state; the d-fold input explode multiplies only the map side.
+    *
+    * Returns (probe, n_est, n_exact) for each distinct probe value:
+    * n_est ≥ n_exact always (CMS never undercounts), equality whenever
+    * no other value collided into any of the probe's d slots. `n_exact`
+    * rides along for calibration (the probe set is small — its exact
+    * counts are one more aggregate over the same scan); production
+    * callers wanting sketch-only cost drop that column. */
+  def cmsEstimate(df: DataFrame, valueCol: String, probes: DataFrame,
+                  probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"need 1 <= d <= 16, w >= 2; got d=$d w=$w")
+    val vals = df.where(col(valueCol).isNotNull).select(col(valueCol).as("__v"))
+    def slot(v: Column): Column = // row r probes bucket h("r#v") — the
+      h60(concat(col("__r").cast("string"), lit("#"), v.cast("string")), "cms") % w
+    // counter table: d rows per input value, counters = exact sums;
+    // partial aggregation caps per-task shuffle output at d·w rows
+    val counters = vals
+      .select(col("__v"), explode(sequence(lit(0), lit(d - 1))).as("__r"))
+      .select(col("__r"), slot(col("__v")).as("__b"))
+      .groupBy("__r", "__b").agg(count(lit(1)).as("__n"))
+    val probed = probes.select(col(probeCol).as("probe")).distinct()
+      .select(col("probe"), explode(sequence(lit(0), lit(d - 1))).as("__r"))
+      .select(col("probe"), col("__r"), slot(col("probe")).as("__b"))
+    val est = probed.join(counters, Seq("__r", "__b"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("__n"), lit(0L))).as("n_est"))
+    val exact = vals.groupBy(col("__v").as("probe"))
+      .agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("probe"), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+  }
+}
