@@ -38,8 +38,10 @@ object SparkEntry {
       val df =
         if (t == "events") {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$dir/$t.parquet")
-            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          // ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS);
+          // normalize either encoding to one TimestampType schema
+          streaming.EventStreams.normalizeEventTs(
+            spark.read.parquet(s"$dir/$t.parquet"))
         } else spark.read.parquet(s"$dir/$t.parquet")
       df.createOrReplaceTempView(t)
     }

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts stored as TIMESTAMP(NANOS) → read
-    * as long via spark.sql.legacy.parquet.nanosAsLong). */
+  /** Legacy events.parquet physical schema (ts stored as TIMESTAMP(NANOS)
+    * → read as long via spark.sql.legacy.parquet.nanosAsLong). Newer
+    * generators write ts as TIMESTAMP(MICROS); [[readEvents]] peeks the
+    * actual file schema instead of assuming this one. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos
@@ -31,11 +33,26 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events directory; rebuilds a proper timestamp. */
+  /** events.parquet has shipped `ts` under two physical encodings:
+    * TIMESTAMP(NANOS) — which Spark can only read as INT64 nanos via
+    * spark.sql.legacy.parquet.nanosAsLong — and TIMESTAMP(MICROS), which
+    * reads as TIMESTAMP_NTZ. Normalize either to session-tz TimestampType
+    * (every session here pins UTC, so the NTZ cast is a type change, not a
+    * wall-clock shift) so all consumers see ONE schema regardless of which
+    * generator wrote the file. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** Streaming read of an events directory; rebuilds a proper timestamp.
+    * The stream schema is peeked from the files' parquet footers (a batch
+    * metadata read, no data scan) — a pinned literal schema would break
+    * whenever the ts physical encoding flips (see [[normalizeEventTs]]). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val fileSchema = spark.read.parquet(dir).schema
+    normalizeEventTs(spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation (same grouping as the batch

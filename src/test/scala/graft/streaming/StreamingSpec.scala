@@ -30,8 +30,8 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("h", "event_type").collect()
 
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batch = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val batch = EventStreams.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
         .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
         .agg(count("*").as("n"),
           sum(floor($"value" * 100 + 0.5).cast("long")).as("value_cents"))
