@@ -83,6 +83,15 @@ object Graft {
     graft.functions.PhraseOccurrences(args.head, phrase)
   }
 
+  private[graft] def stripMarkupBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 1)
+      throw new IllegalArgumentException("strip_markup() takes exactly one argument.")
+    // composes the same built-in regexp/replace chain as the Column API —
+    // ONE implementation behind both surfaces (the PhraseOccurrences rule)
+    ExpressionUtils.expression(
+      graft.pipeline.TextAnalysis.stripMarkup(ExpressionUtils.column(args.head)))
+  }
+
   private[graft] def snippetAroundBuilder(args: Seq[Expression]): Expression = {
     if (args.length != 3)
       throw new IllegalArgumentException("snippet_around() takes exactly three arguments.")
@@ -114,7 +123,8 @@ object Graft {
     ("unicode_normalize", "_FUNC_(TEXT, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization", unicodeNormalizeBuilder),
     ("compression_ratio_ppm", "_FUNC_(TEXT) - deflate bytes over raw bytes, ppm", compressionRatioBuilder),
     ("phrase_occurrences", "_FUNC_(TEXT, 'w1 w2 ...') - consecutive-token phrase count", phraseOccurrencesBuilder),
-    ("snippet_around", "_FUNC_(TEXT, 'terms ...', WINDOW) - context around the first query-term hit", snippetAroundBuilder))
+    ("snippet_around", "_FUNC_(TEXT, 'terms ...', WINDOW) - context around the first query-term hit", snippetAroundBuilder),
+    ("strip_markup", "_FUNC_(TEXT) - markup tags/entities removed, whitespace collapsed", stripMarkupBuilder))
 
   /** Sessions already registered — weak keys so dropped sessions don't pin. */
   private val registeredSessions =

@@ -844,10 +844,14 @@ object SparkEntry {
     "dedup_simjoin_exact" -> { (s, dir) =>
       prep(s, dir, "documents")
       // EXACT threshold similarity self-join (prefix filtering): every
-      // doc pair with 3-gram Jaccard >= 0.8, zero recall loss — the
-      // oracle runs the quadratic cross join this operator avoids
-      pipeline.Dedup.similarityJoin(s.table("documents"), "doc_id", "text",
-          thresholdPct = 80, shingle = 3)
+      // doc pair with word-4-gram Jaccard >= 0.8, zero recall loss — the
+      // oracle runs the quadratic cross join this operator avoids. Word
+      // grams, not char-3: this corpus has only ~400 live char-3-grams,
+      // which saturates every prefix bucket and degenerated the candidate
+      // join to all-pairs (67 s at sf0.1); word 4-grams are near-unique
+      // (df ~1.2) so candidates collapse to the true near-dup pairs
+      pipeline.Dedup.similarityJoinWords(s.table("documents"), "doc_id", "text",
+          thresholdPct = 80, gramWords = 4)
         .orderBy("a", "b")
     },
     "dedup_fuzzy_names" -> { (s, dir) =>
@@ -1115,6 +1119,22 @@ object SparkEntry {
       withPii.select(col("doc_id"), pipeline.TextAnalysis.redactPii(col("t")).as("redacted"))
         .orderBy("doc_id")
     },
+    "text_strip_markup" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // wrap each doc in deterministic HTML (tags, script/style with code
+      // bodies, a comment, entities incl. the &amp;amp; no-double-decode
+      // probe), then strip it — the raw-crawl → prose step; the oracle
+      // plants and strips with the identical RE2-safe chain
+      val html = s.table("documents").withColumn("h", concat(
+        lit("<html><!-- doc "), col("doc_id").cast("string"),
+        lit(" --><head><style>p{color:red}</style><script type=\"text/javascript\">var v="),
+        col("doc_id").cast("string"),
+        lit(";</script></head><body><p class=\"main\">"), col("text"),
+        lit("</p><br>&quot;Q&quot; &amp;amp; &lt;tag&gt;&nbsp;end</body></html>")))
+      html.select(col("doc_id"),
+          pipeline.TextAnalysis.stripMarkup(col("h")).as("clean"))
+        .orderBy("doc_id")
+    },
     "text_chunks" -> { (s, dir) =>
       prep(s, dir, "documents")
       // context-window prep: one row per 16-word window, stable key
@@ -1150,6 +1170,27 @@ object SparkEntry {
         .withColumn("split", when(b <= 13, "train").when(b === 14, "val").otherwise("test"))
         .groupBy("split").agg(count(lit(1)).cast("long").as("n"),
           min("doc_id").as("min_id"))
+        .orderBy("split")
+    },
+    "pipeline_group_split" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // LEAKAGE-SAFE split: near-dup groups (the dedup_groups CC over
+      // jaccard-0.55 edges) bucket by GROUP id, so no group straddles
+      // folds — the eval-contamination guard pipeline_split lacks
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), "b")
+      val edges = pipeline.Dedup.verifyJaccard(pairs, docs, "doc_id", "text", shingle = 3)
+        .where(col("n_int") * 100 >= col("n_union") * 55)
+        .select("a", "b")
+      val groups = pipeline.Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      val b = col("bucket")
+      pipeline.TextAnalysis.groupAwareSplitBucket(docs, "doc_id", groups)
+        .withColumn("split",
+          when(b <= 13, "train").when(b === 14, "val").otherwise("test"))
+        .groupBy("split").agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("group_key")).as("n_groups"))
         .orderBy("split")
     },
     "text_packing" -> { (s, dir) =>
@@ -1543,6 +1584,18 @@ object SparkEntry {
       pipeline.Similarity.hardNegatives(emb, pos, "vec_id", "embedding",
           "q", "p", k = 10)
         .orderBy("query_id", "rank")
+    },
+    "emb_mutual_pairs" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // parallel-pair mining (bitext-style): mutual top-1 across the
+      // even/odd halves of the corpus — exact quantized cosine, mutuality
+      // is the precision filter (hub vectors fail the reverse test)
+      val emb = s.table("embeddings")
+      pipeline.Similarity.mutualNearest(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding")
+        .orderBy("id_a")
     },
     "search_bm25" -> { (s, dir) =>
       prep(s, dir, "documents")
@@ -2546,8 +2599,8 @@ object SparkEntry {
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
          ORDER BY a""",
     "dedup_simjoin_exact" ->
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
-              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n)
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w)
          SELECT a.doc_id AS a, b.doc_id AS b,
                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_int,
                 CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
@@ -2746,6 +2799,25 @@ object SparkEntry {
                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
                   '\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b', '[PHONE]', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    "text_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+                '<html><!-- doc ' || CAST(doc_id AS VARCHAR)
+                  || ' --><head><style>p{color:red}</style><script type="text/javascript">var v='
+                  || CAST(doc_id AS VARCHAR) || ';</script></head><body><p class="main">'
+                  || text
+                  || '</p><br>&quot;Q&quot; &amp;amp; &lt;tag&gt;&nbsp;end</body></html>' AS t
+              FROM documents)
+         SELECT doc_id, trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                    '&nbsp;', ' '), '&amp;', '&'),
+                  '[ \t\n\r\f]+', ' ', 'g')) AS clean
+         FROM h ORDER BY doc_id""",
     "text_chunks" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
               c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 16.0) AS INT), 1) AS n, arr FROM w),
@@ -2797,6 +2869,27 @@ object SparkEntry {
                    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
                  FROM documents) t) u
          GROUP BY split ORDER BY split""",
+    "pipeline_group_split" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n),
+         e AS (SELECT a.doc_id a, b.doc_id b FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+               WHERE len(list_intersect(a.sh, b.sh)) * 100 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 55),
+         ud AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, ud.b FROM reach JOIN ud ON ud.a = reach.r
+         ),
+         g AS (SELECT id AS doc_id, min(r) AS group_key FROM reach GROUP BY id),
+         f AS (SELECT doc_id, group_key,
+                 CASE WHEN bk <= 13 THEN 'train' WHEN bk = 14 THEN 'val' ELSE 'test' END AS split
+               FROM (SELECT doc_id, group_key,
+                       strpos('0123456789abcdef', substr(md5(CAST(group_key AS VARCHAR)), 1, 1)) - 1 AS bk
+                     FROM g) t)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups
+         FROM f GROUP BY split ORDER BY split""",
     "text_packing" ->
       """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
                       CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -3332,6 +3425,21 @@ object SparkEntry {
            FROM scored) t
          WHERE rank <= 10
          ORDER BY query_id, rank""",
+    "emb_mutual_pairs" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) qv FROM embeddings),
+              scored AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib,
+                       CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+                         / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                FROM q a JOIN q b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+              ab AS (SELECT ia, ib, cos_scaled,
+                       row_number() OVER (PARTITION BY ia ORDER BY cos_scaled DESC, ib) AS r FROM scored),
+              ba AS (SELECT ia, ib,
+                       row_number() OVER (PARTITION BY ib ORDER BY cos_scaled DESC, ia) AS r FROM scored)
+         SELECT ab.ia AS id_a, ab.ib AS id_b, ab.cos_scaled
+         FROM ab JOIN ba ON ab.ia = ba.ia AND ab.ib = ba.ib AND ab.r = 1 AND ba.r = 1
+         ORDER BY id_a""",
     "search_bm25" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

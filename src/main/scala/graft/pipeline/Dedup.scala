@@ -390,15 +390,47 @@ object Dedup {
     * sets (len(text) < shingle after normalization) cannot clear t > 0
     * against anything and are excluded up front.
     *
+    * SHINGLE CHOICE IS THE SCALE KNOB: prefix filtering only prunes when
+    * the gram space is much larger than the corpus — a char-3 alphabet
+    * tops out at ~50k grams, so past a few thousand documents EVERY
+    * "rare" gram sits in thousands of prefixes and the candidate join
+    * degenerates toward all-pairs (measured here: a 5 000-doc corpus
+    * with 377 live 3-grams produced 50M candidates ≈ the full cross
+    * join). Use [[similarityJoinWords]] (word n-grams — the vocabulary
+    * grows combinatorially, so buckets stay near 1) for prose at corpus
+    * scale; char shingles remain right for short keys/names where word
+    * tokens are too coarse.
+    *
     * Output: (a, b, n_int, n_union), a < b, integer columns only. */
   def similarityJoin(docs: DataFrame, idCol: String, textCol: String,
-                     thresholdPct: Int, shingle: Int = 3): DataFrame = {
+                     thresholdPct: Int, shingle: Int = 3): DataFrame =
+    similarityJoinOn(docs, idCol,
+      shingleSet(col(textCol), shingle), thresholdPct, "similarityJoin")
+
+  /** [[similarityJoin]] over DISTINCT word `gramWords`-gram sets (the
+    * shared WordTok tokenizer — one lowercase+split per doc). Word
+    * 4-grams of natural text are nearly unique across a corpus, which is
+    * exactly the property prefix filtering needs — candidate buckets of
+    * ~1 instead of the saturated char-gram buckets (see the shingle-
+    * choice note on [[similarityJoin]]). */
+  def similarityJoinWords(docs: DataFrame, idCol: String, textCol: String,
+                          thresholdPct: Int, gramWords: Int = 4): DataFrame = {
+    require(gramWords >= 1 && gramWords <= 16,
+      s"gramWords must be in [1, 16], got $gramWords")
+    similarityJoinOn(docs, idCol,
+      array_distinct(E.column(graft.functions.WordGrams(
+        E.expression(col(textCol)), gramWords))),
+      thresholdPct, "similarityJoinWords")
+  }
+
+  private def similarityJoinOn(docs: DataFrame, idCol: String,
+                               setCol: Column, thresholdPct: Int,
+                               opName: String): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
-    Search.requireIntegralId(docs, idCol, "similarityJoin")
+    Search.requireIntegralId(docs, idCol, opName)
     val sets = Materialize(docs
-      .select(col(idCol).cast("long").as("__id"),
-        shingleSet(col(textCol), shingle).as("__sh"))
+      .select(col(idCol).cast("long").as("__id"), setCol.as("__sh"))
       .where(col("__sh").isNotNull && size(col("__sh")) > 0))
     val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
     val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))

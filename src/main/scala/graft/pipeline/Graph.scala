@@ -370,18 +370,23 @@ object Graph {
           ej("src") === frontier("node"))
         .select(col("dst"), (col("dist") + col("__w")).as("__nd"))
         .groupBy("dst").agg(min(col("__nd")).as("__nd"))
-      // keep only genuine improvements — the next frontier
-      val imp = Materialize.cut(
-        cand.join(dists.hint("shuffle_hash"),
-            cand("dst") === dists("node"), "left")
-          .where(col("node").isNull || col("__nd") < col("dist"))
-          .select(col("dst").as("node"), col("__nd").as("dist")))
-      if (imp.isEmpty) done = true
-      else {
-        dists = Materialize.cut(
-          dists.union(imp).groupBy("node").agg(min(col("dist")).as("dist")))
-        frontier = imp
-      }
+      // ONE full-outer merge per round: the improved flag decides both the
+      // next dists and the next frontier, so a round pays one join and one
+      // materialize action where the (imp ⟕ dists, then dists ∪ imp) form
+      // paid two of each — at a 100-round horizon that is 100 fewer
+      // shuffles and 100 fewer eager actions for identical semantics
+      val improved = col("__old").isNull ||
+        (col("__nd").isNotNull && col("__nd") < col("__old"))
+      val merged = Materialize.cut(
+        dists.withColumnRenamed("dist", "__old")
+          .join(cand.hint("shuffle_hash"), col("node") === col("dst"), "full")
+          .select(
+            coalesce(col("node"), col("dst")).as("node"),
+            when(improved, col("__nd")).otherwise(col("__old")).as("dist"),
+            improved.as("__imp")))
+      frontier = merged.where(col("__imp")).select("node", "dist")
+      if (frontier.isEmpty) done = true
+      dists = merged.select("node", "dist")
     }
     // no release: the per-round cuts follow the kCore/Materialize contract
     // (under `persist` the superseded frames were computed by this loop's

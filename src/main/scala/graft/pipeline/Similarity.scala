@@ -75,6 +75,54 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Mutual top-1 nearest neighbors ACROSS two corpora — the parallel-pair
+    * mining primitive (bitext mining per Artetxe & Schwenk 2019's
+    * mutual-kNN criterion at k = 1, also the standard image↔caption and
+    * duplicate-profile linker): pair (a, b) survives iff b is a's nearest
+    * neighbor in `right` AND a is b's nearest in `left`. Mutuality is the
+    * cheap high-precision filter — a hub vector that is "nearest" to
+    * everything fails the reverse test and drops out, no tuned threshold
+    * required.
+    *
+    * Exact quantized cosine (bit-replayable; ties by SMALLER id on both
+    * directions). Both argmaxes are max(struct(cos, −id)) AGGREGATES over
+    * the scored frame — k = 1 needs no TopKPairs state and no window sort;
+    * partial aggregation reduces each task's slice to one struct per query
+    * before the shuffle. The scored frame materializes once and feeds both
+    * directions.
+    *
+    * Scale contract (the [[knnAccuracy]] convention): scoring is exact
+    * all-pairs with the `left` cohort broadcast — right-sized for the
+    * bounded cohorts mining jobs actually run (a language pair's candidate
+    * slice, a day's crawl against a catalog). At corpus×corpus scale,
+    * block first (IVF cells via [[assignClusters]], or LSH buckets) and
+    * run this op per block — mined pairs are labels, so the final pairing
+    * stays exact within blocks.
+    *
+    * Output: (id_a, id_b, cos_scaled), one row per mutual pair. */
+  def mutualNearest(left: DataFrame, right: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
+    Search.requireIntegralId(left, idCol, "mutualNearest", role = "left id")
+    Search.requireIntegralId(right, idCol, "mutualNearest", role = "right id")
+    val a = left.select(col(idCol).cast("long").as("id_a"),
+      Dedup.quantize(col(vecCol)).as("__qa"))
+    val b = right.select(col(idCol).cast("long").as("id_b"),
+      Dedup.quantize(col(vecCol)).as("__qb"))
+    val scored = Materialize(
+      b.join(broadcast(a), lit(true))
+        .select(col("id_a"), col("id_b"),
+          cosScaled(col("__qa"), col("__qb")).as("cos_scaled")))
+    val bestRight = scored.groupBy("id_a")
+      .agg(max(struct(col("cos_scaled"), (-col("id_b")).as("__n"))).as("__m"))
+      .select(col("id_a"), (-col("__m.__n")).as("id_b"),
+        col("__m.cos_scaled").as("cos_scaled"))
+    val bestLeft = scored.groupBy("id_b")
+      .agg(max(struct(col("cos_scaled"), (-col("id_a")).as("__n"))).as("__m"))
+      .select((-col("__m.__n")).as("id_a"), col("id_b"))
+    bestRight.join(bestLeft, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_scaled"))
+  }
+
   /** Per-query top-k as a TWO-PHASE aggregation (TopKPairs under
     * ObjectHashAggregate): each task partial-aggregates its slice of a
     * query's scored rows down to ≤ k entries map-side, so only k-sized

@@ -104,6 +104,45 @@ object TextAnalysis {
       regexp_replace(c, lit(pat), lit(repl))
     }
 
+  /** Markup-removal regex chain, applied in order. Every pattern is
+    * RE2-safe (no lookaround, no backrefs) so the DuckDB oracle replays
+    * the identical chain: script/style elements drop WITH their content
+    * (code is not prose), comments drop, every remaining tag becomes a
+    * space (so `a<br>b` keeps its word boundary). */
+  val markupPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ")
+
+  /** Entity decodes applied AFTER tag removal, `&amp;` strictly last —
+    * the lenient single-pass order every practical extractor uses
+    * (`&amp;lt;` decodes to `&lt;` and stops, it does not double-decode
+    * into a phantom `<`). */
+  val markupEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Boilerplate markup stripping — the first step of every web-corpus
+    * pipeline (raw crawl HTML → trainable prose). Deliberately a
+    * DETERMINISTIC regex chain, not an HTML5 tree parser: at 100 TB the
+    * value is a codegen'd pure map with bit-replayable output (the same
+    * chain runs in the oracle), and malformed-markup edge cases degrade
+    * to extra whitespace, never to an error. Tags → space, script/style/
+    * comments removed with content, the predefined XML entities + &nbsp;
+    * decoded (&amp; last), whitespace collapsed and trimmed. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = markupPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+    val decoded = markupEntities.foldLeft(noTags) { case (c, (ent, v)) =>
+      replace(c, lit(ent), lit(v))
+    }
+    // explicit class, not \s: Java \s includes \x0B, RE2's does not —
+    // the one dialect divergence that could split the engines
+    trim(regexp_replace(decoded, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
+  }
+
   /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
     * counts, ordered (count DESC, token ASC). Plan: explode → groupBy
     * (map-side partial counts) → global sort+limit, which Spark executes
@@ -158,6 +197,29 @@ object TextAnalysis {
     * train / 14 val / 15 test = 87.5 / 6.25 / 6.25). */
   def splitBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** LEAKAGE-SAFE split: bucket by the near-dup GROUP's id, not the
+    * document's own. Near-duplicates scattered across train and test are
+    * silent eval contamination — [[splitBucket]] on doc id does exactly
+    * that scatter, because two near-identical docs have unrelated ids.
+    * Feed the (id, group_id) frame from [[Dedup.connectedComponents]]
+    * (group_id = min member id) and every member of a group hashes to the
+    * SAME fold by construction.
+    *
+    * Plan: one equi join on id — (id, group_id) longs only, both sides
+    * hash-partitioned; the groups build already paid its own shuffles.
+    * Docs absent from `groups` fall back to their own id (a groups frame
+    * that omits singletons stays valid). Output: input + `group_key` +
+    * `bucket` (0–15, carve folds from it as with [[splitBucket]]). */
+  def groupAwareSplitBucket(df: DataFrame, idCol: String,
+                            groups: DataFrame): DataFrame =
+    df.join(
+        groups.select(col("id").cast("long").as("__gid"),
+          col("group_id").cast("long").as("__grp")),
+        col(idCol).cast("long") === col("__gid"), "left")
+      .withColumn("group_key", coalesce(col("__grp"), col(idCol).cast("long")))
+      .withColumn("bucket", splitBucket(col("group_key")))
+      .drop("__gid", "__grp")
 
   /** Source-level (domain-level) filtering — the C4/RefinedWeb curation
     * step that drops entire low-quality SOURCES rather than individual

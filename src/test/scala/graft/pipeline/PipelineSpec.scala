@@ -1702,4 +1702,98 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.hardNegatives(bad, pos, "vec_id", "embedding", "q", "p", k = 1))
   }
+
+  test("similarityJoin char+word variants find exactly the brute-force pairs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0L until 40L).map { i =>
+      val w =
+        if (i % 4 == 0) (1 to 25).map(j => vocab(j % 8))            // one near-dup family
+        else if (i % 4 == 1) (1 to 25).map(j => vocab(j % 8))
+          .updated(rnd.nextInt(25), vocab(rnd.nextInt(8)))          // 1-word mutation
+        else Vector.fill(25)(vocab(rnd.nextInt(8)))                 // random background
+      (i, w.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def brute(sets: Map[Long, Set[String]], pct: Int): Set[(Long, Long, Long, Long)] =
+      (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        ni = (sa & sb).size.toLong; nu = sa.size + sb.size - ni
+        if ni * 100 >= nu * pct
+      } yield (a, b, ni, nu)).toSet
+    val charSets = docs.map { case (i, t) =>
+      val nrm = t.toLowerCase.replaceAll("\\s+", " ")
+      i -> (if (nrm.length >= 3) nrm.sliding(3).toSet else Set(nrm))
+    }.toMap
+    val wordSets = docs.map { case (i, t) =>
+      i -> t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.toMap
+    val gotChar = Dedup.similarityJoin(df, "doc_id", "text", 60, shingle = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotChar == brute(charSets, 60), "char-shingle variant disagrees with brute force")
+    val gotWord = Dedup.similarityJoinWords(df, "doc_id", "text", 60, gramWords = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotWord == brute(wordSets, 60), "word-gram variant disagrees with brute force")
+    assert(gotWord.nonEmpty, "the planted near-dup family must pair up")
+  }
+
+  test("stripMarkup: tags/script/style/comments out, entities once, spaces collapsed") {
+    val html = "<html><!-- hidden --><head><style>p{color:red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+      "<body><p class=\"a\">Hello<br>world</p> &quot;q&quot; &amp;amp; " +
+      "&lt;tag&gt;&nbsp;A&#39;s\t\nend</body></html>"
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.stripMarkup($"t")).as[String].head()
+    // script/style bodies and the comment are GONE (not just untagged);
+    // &amp;amp; decodes exactly once to &amp; — never to a phantom '&'
+    assert(out == "Hello world \"q\" &amp; <tag> A's end", s"got: $out")
+    // SQL surface is the same implementation
+    Seq(html).toDF("t").createOrReplaceTempView("__sm")
+    val viaSql = spark.sql("SELECT strip_markup(t) FROM __sm").as[String].head()
+    assert(viaSql == out)
+  }
+
+  test("mutualNearest keeps only reciprocal top-1 pairs; hubs fail the reverse test") {
+    // left 0 ↔ right 11 are each other's nearest (a true pair).
+    // left 2's nearest is right 11 too — but 11 prefers 0, so 2 pairs with
+    // nobody: the mutuality filter at work. Orthogonal right 13 pairs with
+    // nothing either.
+    val left = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.435f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val right = Seq(
+      (11L, Array(0.999f, 0.04f, 0.0f)),
+      (13L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualNearest(left, right, "vec_id", "embedding")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 11L)), s"got: $got")
+  }
+
+  test("groupAwareSplitBucket: a group's members share one fold; singletons fall back") {
+    // docs 1,2,3 form one near-dup group (rep 1); docs 50, 51 are
+    // singletons — 51 deliberately absent from the groups frame
+    val docs = Seq(1L, 2L, 3L, 50L, 51L).toDF("doc_id")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (50L, 50L))
+      .toDF("id", "group_id")
+    val got = TextAnalysis.groupAwareSplitBucket(docs, "doc_id", groups)
+      .select("doc_id", "group_key", "bucket")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    assert(got.filter(_._1 <= 3).map(_._2).distinct == Seq(1L))
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L),
+      s"group members split across folds: $got")
+    // the member bucket is the REP's bucket, not the member id's own
+    val repBucket = docs.where($"doc_id" === 1L)
+      .select(TextAnalysis.splitBucket($"doc_id")).as[Int].head()
+    assert(byDoc(3L) == repBucket)
+    // absent doc falls back to its own id
+    assert(got.find(_._1 == 51L).get._2 == 51L)
+    val ownBucket = docs.where($"doc_id" === 51L)
+      .select(TextAnalysis.splitBucket($"doc_id")).as[Int].head()
+    assert(byDoc(51L) == ownBucket)
+  }
 }
