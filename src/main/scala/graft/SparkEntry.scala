@@ -1172,6 +1172,40 @@ object SparkEntry {
           min("doc_id").as("min_id"))
         .orderBy("split")
     },
+    "pipeline_domain_stats" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // synthesize deterministic crawl URLs (two shapes: www host with
+      // port/query/fragment, bare apex), decompose with urlParts, and
+      // aggregate per registrable domain — the grouping every
+      // domain-level curation decision (blocklists, caps, source
+      // filters) runs on; oracle replays the identical regexes
+      val urls = s.table("documents").withColumn("url",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com:8080/docs/"),
+            col("doc_id").cast("string"), lit("?ref=crawl#top")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".org/p/"),
+            col("doc_id").cast("string"))))
+      pipeline.TextAnalysis.urlParts(urls, "url")
+        .groupBy("scheme", "domain")
+        .agg(count(lit(1)).cast("long").as("n_docs"), min("path").as("min_path"))
+        .orderBy("scheme", "domain")
+    },
+    "text_script_profile" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // plant per-doc foreign-script suffixes (cyrillic / cjk / arabic /
+      // none by doc_id % 4), then profile writing systems — the
+      // multilingual router langId can't provide (stopwords only separate
+      // languages SHARING a script) and a mojibake/spam signal
+      val planted = s.table("documents").withColumn("t", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 4 === 1, lit(" 你好世界 こんにちは"))
+          .when(col("doc_id") % 4 === 2, lit(" مرحبا بالعالم"))
+          .otherwise(lit(""))))
+      pipeline.TextAnalysis.scriptProfile(planted, "t")
+        .select("doc_id", "n_latin", "n_cyrillic", "n_cjk", "n_arabic",
+          "n_digit", "dominant")
+        .orderBy("doc_id")
+    },
     "pipeline_group_split" -> { (s, dir) =>
       prep(s, dir, "documents")
       // LEAKAGE-SAFE split: near-dup groups (the dedup_groups CC over
@@ -2869,6 +2903,42 @@ object SparkEntry {
                    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
                  FROM documents) t) u
          GROUP BY split ORDER BY split""",
+    "pipeline_domain_stats" ->
+      """WITH u AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN 'https://www.' || source || '.example.com:8080/docs/' || CAST(doc_id AS VARCHAR) || '?ref=crawl#top'
+                  ELSE 'http://' || source || '.org/p/' || CAST(doc_id AS VARCHAR) END AS url
+              FROM documents),
+              p AS (SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+              FROM u),
+              d AS (SELECT doc_id, scheme, path,
+                regexp_replace(regexp_replace(lower(host), '^www\.', ''), ':[0-9]+$', '') AS domain
+              FROM p)
+         SELECT scheme, domain, CAST(count(*) AS BIGINT) AS n_docs, min(path) AS min_path
+         FROM d GROUP BY 1, 2 ORDER BY scheme, domain""",
+    "text_script_profile" ->
+      """WITH pl AS (SELECT doc_id, text ||
+                CASE WHEN doc_id % 4 = 0 THEN ' привет мир'
+                     WHEN doc_id % 4 = 1 THEN ' 你好世界 こんにちは'
+                     WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم'
+                     ELSE '' END AS t FROM documents),
+              c AS (SELECT doc_id,
+                CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+                CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                CAST(length(t) - length(regexp_replace(t, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+                CAST(length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+                CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+              FROM pl)
+         SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit,
+                CASE WHEN n_latin >= greatest(n_cyrillic, n_cjk, n_arabic) AND n_latin > 0 THEN 'latin'
+                     WHEN n_cyrillic >= greatest(n_cjk, n_arabic) AND n_cyrillic > 0 THEN 'cyrillic'
+                     WHEN n_cjk >= n_arabic AND n_cjk > 0 THEN 'cjk'
+                     WHEN n_arabic > 0 THEN 'arabic'
+                     ELSE 'none' END AS dominant
+         FROM c ORDER BY doc_id""",
     "pipeline_group_split" ->
       """WITH RECURSIVE
          n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),

@@ -87,6 +87,54 @@ object TextAnalysis {
       .withColumn("fp_rolling", E.column(RollingHash64(E.expression(col(textCol)))))
   }
 
+  /** URL decomposition via RE2-safe anchored regexes (one pure-map scan,
+    * no java.net.URI — a parser object per row is a UDF in disguise, and
+    * exceptions on crawl garbage would poison the task; a non-matching
+    * component extracts as '' instead). Emits `scheme, host, path,
+    * url_query, fragment` plus `domain` = host lowercased, `www.` and
+    * `:port` stripped — the key every domain-level curation op (source
+    * filters, blocklists, per-domain caps) groups on. */
+  def urlParts(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val host = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    df.withColumn("scheme", lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("host", host)
+      .withColumn("path", regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("url_query", regexp_extract(u, "\\?([^#]*)", 1))
+      .withColumn("fragment", regexp_extract(u, "#(.*)$", 1))
+      .withColumn("domain",
+        regexp_replace(regexp_replace(lower(host), "^www\\.", ""), ":[0-9]+$", ""))
+  }
+
+  /** Writing-system profile: per-document counts of Latin letters,
+    * Cyrillic, CJK (unified ideographs + kana), Arabic and ASCII digits,
+    * plus the dominant script (ties break latin > cyrillic > cjk >
+    * arabic — deterministic, oracle-replayable). The multilingual-corpus
+    * router: stopword language ID ([[langId]]) only separates LANGUAGES
+    * that share a script; script mixing inside one doc is also a spam /
+    * mojibake signal. Counts via length-difference of a class-strip —
+    * explicit \x{...} ranges (BMP only), identical in java.util.regex
+    * and RE2. One pure-map scan. */
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val out = df
+      .withColumn("n_latin", cnt("[A-Za-z]"))
+      .withColumn("n_cyrillic", cnt("[\\x{0400}-\\x{04FF}]"))
+      .withColumn("n_cjk", cnt("[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]"))
+      .withColumn("n_arabic", cnt("[\\x{0600}-\\x{06FF}]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+    out.withColumn("dominant",
+      when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_cjk"), col("n_arabic"))
+        && col("n_latin") > 0, "latin")
+        .when(col("n_cyrillic") >= greatest(col("n_cjk"), col("n_arabic"))
+          && col("n_cyrillic") > 0, "cyrillic")
+        .when(col("n_cjk") >= col("n_arabic") && col("n_cjk") > 0, "cjk")
+        .when(col("n_arabic") > 0, "arabic")
+        .otherwise("none"))
+  }
+
   /** PII redaction patterns: emails, IPv4, simple phone shapes. RE2-safe
     * (no lookaround/backrefs) so DuckDB oracles run the identical regex.
     * Order matters: IPs before phones (an IP would otherwise match the

@@ -1703,6 +1703,39 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.hardNegatives(bad, pos, "vec_id", "embedding", "q", "p", k = 1))
   }
 
+  test("urlParts: scheme/host/path/query/fragment exact, domain strips www and port") {
+    val df = Seq(
+      (1L, "https://www.News.Example.com:8443/a/b.html?q=1&r=2#frag"),
+      (2L, "http://example.org"),
+      (3L, "ftp://files.example.net/pub"),
+      (4L, "not a url at all")
+    ).toDF("id", "url")
+    val got = TextAnalysis.urlParts(df, "url")
+      .select("id", "scheme", "host", "path", "url_query", "fragment", "domain")
+      .as[(Long, String, String, String, String, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, "https", "www.News.Example.com:8443", "/a/b.html",
+      "q=1&r=2", "frag", "news.example.com")))
+    assert(got(1) == ((2L, "http", "example.org", "", "", "", "example.org")))
+    assert(got(2) == ((3L, "ftp", "files.example.net", "/pub", "", "", "files.example.net")))
+    // crawl garbage degrades to empty components, never to an error
+    assert(got(3) == ((4L, "", "", "", "", "", "")))
+  }
+
+  test("scriptProfile counts each writing system; dominance ties break deterministically") {
+    val df = Seq(
+      (1L, "abc привет 你好 مرحبا 42"),   // latin 3, cyr 6, cjk 2, arabic 5, digit 2
+      (2L, "когда-то давно"),             // cyrillic dominant
+      (3L, "...!!!")                      // nothing → none
+    ).toDF("id", "t")
+    val got = TextAnalysis.scriptProfile(df, "t")
+      .select("id", "n_latin", "n_cyrillic", "n_cjk", "n_arabic", "n_digit", "dominant")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 3L, 6L, 2L, 5L, 2L, "cyrillic")), s"got ${got(0)}")
+    assert(got(1)._7 == "cyrillic" && got(1)._2 == 0L)
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L, 0L, "none")))
+  }
+
   test("similarityJoin char+word variants find exactly the brute-force pairs") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
