@@ -86,10 +86,20 @@ object Graft {
   private[graft] def stripMarkupBuilder(args: Seq[Expression]): Expression = {
     if (args.length != 1)
       throw new IllegalArgumentException("strip_markup() takes exactly one argument.")
-    // composes the same built-in regexp/replace chain as the Column API —
-    // ONE implementation behind both surfaces (the PhraseOccurrences rule)
-    ExpressionUtils.expression(
-      graft.pipeline.TextAnalysis.stripMarkup(ExpressionUtils.column(args.head)))
+    // assembles the SAME pattern/entity tables as the Column API
+    // (TextAnalysis.markupPatterns/markupEntities — one source of truth
+    // for the chain), but as an already-resolved catalyst tree: routing
+    // the Column composition through the shim leaves an unresolved
+    // ColumnNodeExpression inside the registry path, which survives
+    // analysis and then fails whole-stage codegen at runtime
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, StringReplace, StringTrim}
+    val noTags = graft.pipeline.TextAnalysis.markupPatterns.foldLeft(args.head) {
+      case (c, (pat, repl)) => RegExpReplace(c, Literal(pat), Literal(repl))
+    }
+    val decoded = graft.pipeline.TextAnalysis.markupEntities.foldLeft(noTags) {
+      case (c, (ent, v)) => StringReplace(c, Literal(ent), Literal(v))
+    }
+    StringTrim(RegExpReplace(decoded, Literal("[ \\t\\n\\r\\f]+"), Literal(" ")))
   }
 
   private[graft] def snippetAroundBuilder(args: Seq[Expression]): Expression = {

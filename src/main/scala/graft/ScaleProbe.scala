@@ -71,6 +71,18 @@ object ScaleProbe {
     val foundPlanted = pairs.where(col("b") === col("a") + 1 && col("b") % 100 === 1).count()
     println(s"[scale]   pairs=$nPairs, planted recall=${foundPlanted.toDouble / planted}")
 
+    // ---- EXACT similarity join (word-gram prefix filtering) -------------
+    // same corpus, same planted pairs: the exact op must find EVERY
+    // planted pair (recall 1.0 by theorem, not by tuning) — word 4-grams
+    // over the 5000-word vocabulary are near-unique, so candidate buckets
+    // stay ~1 and the join never approaches all-pairs
+    val sjPairs = timed("exact similarityJoinWords (threshold 0.8, 4-grams)")(
+      pipeline.Dedup.similarityJoinWords(docs, "doc_id", "text",
+        thresholdPct = 80, gramWords = 4).localCheckpoint(true))
+    val nSj = sjPairs.count()
+    val sjPlanted = sjPairs.where(col("b") === col("a") + 1 && col("b") % 100 === 1).count()
+    println(s"[scale]   exact-join pairs=$nSj, planted recall=${sjPlanted.toDouble / planted} (must be 1.0)")
+
     // pairs → groups via connected components (every planted pair is a
     // 2-doc component, so #groups-with-dups == #pairs found); runs to the
     // checked fixpoint — no round-count assumption
