@@ -56,7 +56,12 @@ class DeterminismSpec extends AnyFunSuite {
     // anti-joined bounded top-k, bipartite self-join projection
     "pipeline_incremental_rollup", "events_forward_fill",
     "emb_hard_negatives", "graph_copurchase",
-    "pipeline_integrity_audit", "rel_join_explode_audit")
+    "pipeline_integrity_audit", "rel_join_explode_audit",
+    // r7 session 5: word-gram prefix-filter candidates (bucket join +
+    // distinct must not see partitioning), reciprocal-argmax mining,
+    // CC-keyed fold assignment, Bellman-Ford frontier rounds
+    "dedup_simjoin_exact", "emb_mutual_pairs", "pipeline_group_split",
+    "graph_shortest_paths")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
