@@ -854,6 +854,62 @@ object SparkEntry {
           thresholdPct = 80, gramWords = 4)
         .orderBy("a", "b")
     },
+    "dedup_containment" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // quote/excerpt detection: plant a 25-word excerpt of every doc as a
+      // new "quote" doc, then find (contained, container) pairs at 90%
+      // word-4-gram containment — the asymmetric relation Jaccard misses
+      // (a short quote inside a long page has near-zero Jaccard); the
+      // oracle runs the ordered quadratic cross join the operator avoids
+      val docs = s.table("documents").select("doc_id", "text")
+      val quotes = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(filter(split(col("text"), "\\s+"),
+          w => length(w) > 0), 1, 25), " ").as("text"))
+      pipeline.Dedup.containmentJoinWords(docs.union(quotes), "doc_id", "text",
+          thresholdPct = 90, gramWords = 4)
+        .orderBy("a", "b")
+    },
+    "events_transitions" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // per-user next-event transition counts — the behavioral adjacency
+      // matrix the funnel/retention queries summarize; deterministic
+      // successor via the (ts, event_id) tie-break
+      s.table("events")
+        .withColumn("next_type",
+          expr("lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("from_type", "to_type")
+    },
+    "rel_correlation" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // Pearson correlation from INTEGER-exact moment sums: Σx Σy Σxy Σx²
+      // Σy² aggregate exactly (cents-quantized longs summed in decimal —
+      // merge-order-independent), and only the FINAL expression drops to
+      // IEEE double (both engines cast the same exact decimals at the
+      // same points → bit-identical), floored to 1e9 fixed point. The
+      // cross-engine-stable form of corr(), whose float running
+      // aggregate drifts with partition/merge order
+      val x = floor(col("l_quantity") * 100 + 0.5).cast("long")
+      val y = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      s.table("lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        .select(col("l_returnflag"),
+          expr("""CAST(floor(1e9 *
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)""")
+            .as("corr_e9"))
+        .orderBy("l_returnflag")
+    },
     "dedup_fuzzy_names" -> { (s, dir) =>
       prep(s, dir, "customer")
       // record linkage: customer-name pairs within ONE edit — deletion-
@@ -2643,6 +2699,47 @@ object SparkEntry {
            AND len(list_intersect(a.sh, b.sh)) * 100 >=
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
          ORDER BY a, b""",
+    "dedup_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)[1:25], ' ')
+              FROM documents),
+              w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM base),
+              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_int,
+                CAST(len(a.sh) AS BIGINT) AS n_a
+         FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND len(list_intersect(a.sh, b.sh)) * 100 >= 90 * len(a.sh)
+         ORDER BY a, b""",
+    "events_transitions" ->
+      """WITH t AS (SELECT event_type,
+                lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              FROM events)
+         SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+         FROM t WHERE next_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "rel_correlation" ->
+      """WITH c AS (SELECT l_returnflag,
+                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+              m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+                CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+              FROM c GROUP BY 1)
+         SELECT l_returnflag,
+                CAST(floor(1e9 *
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+                  AS corr_e9
+         FROM m ORDER BY l_returnflag""",
     "dedup_groups" ->
       """WITH RECURSIVE
          n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),

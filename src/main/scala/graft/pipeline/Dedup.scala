@@ -464,6 +464,60 @@ object Dedup {
       .select(col("a"), col("b"), col("n_int"), col("n_union"))
   }
 
+  /** EXACT containment join — ORDERED pairs (a, b), a ≠ b, with
+    * C(a, b) = |A∩B| / |A| ≥ `thresholdPct`/100 over distinct word
+    * `gramWords`-gram sets: "a is (mostly) contained in b" — the
+    * quote/excerpt/snippet detector Jaccard misses by construction
+    * (a 25-word quote inside a 10 000-word page has near-zero Jaccard
+    * and containment 1.0). Zero recall loss, no cross join.
+    *
+    * Prefix filter, containment form: C ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so
+    * the first |A| − ⌈t·|A|⌉ + 1 tokens of A (rarest-first order) must
+    * hit B — but B contributes its FULL token set to the index (its
+    * required overlap is relative to |A|, so no B-side prefix is sound).
+    * The candidate join is therefore A-prefix tokens × the full inverted
+    * index of B tokens: per-token cost dfA_prefix(w)·df(w) — word-gram
+    * df ≈ 1 on prose keeps it linear; the char-gram saturation caveat on
+    * [[similarityJoin]] applies doubly here. No length filter exists in
+    * the containment direction (|B| ≫ |A| is the POINT). Exact
+    * intersection over materialized sets verifies. Output:
+    * (a, b, n_int, n_a) — a the contained side. */
+  def containmentJoinWords(docs: DataFrame, idCol: String, textCol: String,
+                           thresholdPct: Int, gramWords: Int = 4): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    require(gramWords >= 1 && gramWords <= 16,
+      s"gramWords must be in [1, 16], got $gramWords")
+    Search.requireIntegralId(docs, idCol, "containmentJoinWords")
+    val sets = Materialize(docs
+      .select(col(idCol).cast("long").as("__id"),
+        array_distinct(E.column(graft.functions.WordGrams(
+          E.expression(col(textCol)), gramWords))).as("__sh"))
+      .where(col("__sh").isNotNull && size(col("__sh")) > 0))
+    val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
+    val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
+    val ordered = toks.join(freq, "__t")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__n"), col("__t")))).as("__o"))
+      .select(col("__id"), expr("transform(__o, e -> e.__t)").as("__ord"))
+    val prefix = ordered.select(col("__id").as("__ida"),
+      expr(s"slice(__ord, 1, size(__ord) - (($thresholdPct * size(__ord) + 99) DIV 100) + 1)")
+        .as("__pfx"))
+      .select(col("__ida"), explode(col("__pfx")).as("__t"))
+    val cands = prefix.join(toks.select(col("__id").as("__idb"), col("__t")), "__t")
+      .where(col("__ida") =!= col("__idb"))
+      .select(col("__ida").as("a"), col("__idb").as("b")).distinct()
+    cands
+      .join(sets.select(col("__id"), col("__sh").as("__sha")), col("a") === col("__id"))
+      .drop("__id")
+      .join(sets.select(col("__id"), col("__sh").as("__shb")), col("b") === col("__id"))
+      .drop("__id")
+      .withColumn("n_int", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("n_a", size(col("__sha")).cast("long"))
+      .where(col("n_int") * 100 >= col("n_a") * thresholdPct)
+      .select(col("a"), col("b"), col("n_int"), col("n_a"))
+  }
+
   /** Near-dup pairs: LSH blocking then exact-Jaccard verification. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, numHashes: Int = 128,

@@ -1772,6 +1772,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotWord.nonEmpty, "the planted near-dup family must pair up")
   }
 
+  test("containmentJoinWords: ordered quote-in-page pairs exact vs brute force") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "blue", "green", "gold", "iron", "clay", "moss", "sand")
+    val pages = (0L until 12L).map(i => i -> Vector.fill(30)(vocab(rnd.nextInt(8))))
+    // quotes = the first 8 words of each even page: contained at C=1.0,
+    // while Jaccard vs the 30-word page is far below any useful threshold
+    val quotes = pages.filter(_._1 % 2 == 0)
+      .map { case (i, w) => (100L + i) -> w.take(8) }
+    val all = (pages ++ quotes).map { case (i, w) => (i, w.mkString(" ")) }
+    val df = all.toDF("doc_id", "text")
+    def grams(w: Vector[String]) =
+      w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val sets = (pages ++ quotes).map { case (i, w) => i -> grams(w.toVector) }.toMap
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty && sb.nonEmpty
+      ni = (sa & sb).size.toLong
+      if ni * 100 >= sa.size.toLong * 80
+    } yield (a, b, ni, sa.size.toLong)).toSet
+    val got = Dedup.containmentJoinWords(df, "doc_id", "text", 80, gramWords = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == brute, s"containment disagrees: got ${got.size}, brute ${brute.size}")
+    // every planted quote is found inside its page, in that direction only
+    quotes.foreach { case (qid, _) =>
+      assert(got.exists(p => p._1 == qid && p._2 == qid - 100L),
+        s"quote $qid not detected in its page")
+    }
+  }
+
   test("stripMarkup: tags/script/style/comments out, entities once, spaces collapsed") {
     val html = "<html><!-- hidden --><head><style>p{color:red}</style>" +
       "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
