@@ -199,6 +199,47 @@ class PlanSpec extends AnyFunSuite {
       s"scoring must not sort-merge the corpus against the model:\n$plan")
   }
 
+  test("dedup_simjoin_exact plan: prefix-filter candidates via equi joins only") {
+    val plan = SparkEntry.queries("dedup_simjoin_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the whole point of prefix filtering is that the candidate stage is
+    // an EQUI join on prefix tokens — any nested-loop/cartesian fallback
+    // means the op silently became the quadratic cross join it replaces
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"similarity join fell back to a non-equi join:\n$plan")
+  }
+
+  test("dedup_containment plan: A-prefix × B-postings equi join, no cross join") {
+    val plan = SparkEntry.queries("dedup_containment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"containment join fell back to a non-equi join:\n$plan")
+  }
+
+  test("emb_mutual_pairs plan: argmax aggregates, never a per-query window sort") {
+    val plan = SparkEntry.queries("emb_mutual_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both directions' top-1 must be max(struct) AGGREGATES (partial agg
+    // map-side → one struct per query per task crosses the shuffle); a
+    // row_number window would ship every scored row to one reducer per
+    // key. Struct-typed max buffers aren't hash-aggregable, so the
+    // argmax legitimately runs as SortAggregate — partial+final pairs
+    // still bound the shuffle; only a Window violates the contract.
+    assert(!plan.contains("Window"), s"mutual-NN must not window-sort:\n$plan")
+    assert(plan.contains("SortAggregate") || plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"), s"argmax aggregate missing:\n$plan")
+  }
+
+  test("text_strip_markup / text_script_profile plans: pure maps — no join, no hash shuffle") {
+    for (q <- Seq("text_strip_markup", "text_script_profile")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 0, s"$q must not hash-shuffle, got $hashEx:\n$plan")
+    }
+  }
+
   test("text_gopher_rules plan: pure map — no exchange, no join") {
     val plan = SparkEntry.queries("text_gopher_rules")(spark, sf)
       .queryExecution.executedPlan.toString

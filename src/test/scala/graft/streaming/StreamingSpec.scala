@@ -138,6 +138,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming markup strip + script profile: stateless maps, stream == batch") {
+    // stripMarkup and scriptProfile are pure codegen'd maps (plan-asserted
+    // joinless/shuffleless in PlanSpec), so the crawl-normalization front
+    // of a pipeline runs UNCHANGED on micro-batches — no watermark, no
+    // state store, and byte-identical output to the batch run
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 50L).map(i =>
+      (i, s"<p>doc $i &amp; привет</p><script>x=$i</script>"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val streamed = graft.pipeline.TextAnalysis.scriptProfile(
+      src.toDF().toDF("id", "html")
+        .withColumn("clean", graft.pipeline.TextAnalysis.stripMarkup($"html")),
+      "clean")
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("markup_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("markup_stream_out")
+        .select("id", "clean", "n_latin", "n_cyrillic", "dominant")
+        .as[(Long, String, Long, Long, String)].collect().toSet
+      val batch = graft.pipeline.TextAnalysis.scriptProfile(
+        rows.toDF("id", "html")
+          .withColumn("clean", graft.pipeline.TextAnalysis.stripMarkup($"html")),
+        "clean")
+        .select("id", "clean", "n_latin", "n_cyrillic", "dominant")
+        .as[(Long, String, Long, Long, String)].collect().toSet
+      assert(got == batch && batch.nonEmpty)
+      assert(batch.forall(_._2.contains("привет")))
+      assert(batch.forall(!_._2.contains("<p>")))
+    } finally q.stop()
+  }
+
   test("streaming cross-corpus gate: fresh stream anti-joined against the shipped corpus") {
     // the incremental-batch dedup gate as a stream: arriving docs pass only
     // if their normalized content is absent from a STATIC reference corpus
