@@ -1907,6 +1907,25 @@ object SparkEntry {
           "event_id", Seq("event_type"))
         .orderBy("user_id", "valid_from", "event_id")
     },
+    "events_scd2_lookup" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // POINT-IN-TIME dimension lookup — the temporal-leakage guard:
+      // training features must reflect the dimension state AS OF the
+      // fact's timestamp, never the current state. Composes the gated
+      // scd2 build with the gated as-of join (SCD2 intervals partition
+      // time, so as-of BACKWARD on valid_from IS the interval lookup —
+      // no BETWEEN join, one co-partitioned sort)
+      val events = s.table("events")
+      val dims = pipeline.TimeSeries.scd2(events, "user_id", "ts",
+        "event_id", Seq("event_type"))
+      val facts = events.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      pipeline.Relational.asofJoin(facts, dims, Seq("user_id"),
+          "ts", "valid_from", "event_id", rightCols = Seq("event_type"))
+        .select(col("event_id"), col("user_id"),
+          col("event_type_asof").as("state_at_purchase"))
+        .orderBy("event_id")
+    },
     "events_cdc_latest" -> { (s, dir) =>
       prep(s, dir, "events")
       // the changelog compacted to its current snapshot — newest row per
@@ -2170,6 +2189,22 @@ object SparkEntry {
                                        ORDER BY valid_from, event_id) AS valid_to,
                 event_id
          FROM c ORDER BY user_id, valid_from, event_id""",
+    "events_scd2_lookup" ->
+      """WITH s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  (lag(event_id) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+           FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         d AS (SELECT user_id, event_type, ts AS valid_from, event_id
+               FROM s WHERE chg),
+         f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id,
+                (SELECT dd.event_type FROM d dd
+                 WHERE dd.user_id = f.user_id AND dd.valid_from <= f.ts
+                 ORDER BY dd.valid_from DESC, dd.event_id DESC LIMIT 1)
+                  AS state_at_purchase
+         FROM f ORDER BY f.event_id""",
     "events_cdc_latest" ->
       """WITH r AS (
            SELECT user_id, ts, event_id, event_type, value, props,
