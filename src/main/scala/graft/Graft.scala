@@ -178,9 +178,13 @@ object Graft {
   * a cluster deployed via `spark.sql.extensions` and a notebook calling
   * `register` see one SQL surface. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     Graft.all.foreach { case (name, _, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // opt-in cartesian guardrail (spark.graft.failOnCartesian) — see
+    // CartesianGuard scaladoc; a no-op single conf read when disabled
+    e.injectOptimizerRule(_ => graft.plans.CartesianGuard)
+  }
 }

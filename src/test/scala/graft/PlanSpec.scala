@@ -199,6 +199,29 @@ class PlanSpec extends AnyFunSuite {
       s"scoring must not sort-merge the corpus against the model:\n$plan")
   }
 
+  test("CartesianGuard: unconditioned products fail at planning; hints and conditions pass") {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val guard = graft.plans.CartesianGuard
+    spark.conf.set(guard.ConfKey, "true")
+    try {
+      val a = spark.range(10).toDF("x")
+      val b = spark.range(10).toDF("y")
+      val err = intercept[IllegalStateException] {
+        guard(a.crossJoin(b).queryExecution.optimizedPlan)
+      }
+      assert(err.getMessage.contains("cartesian"), err.getMessage)
+      // the engine's own bounded-cohort pattern (mutualNearest,
+      // hardNegatives): an explicit broadcast IS the "one side is small
+      // by construction" claim, so it passes
+      guard(b.join(broadcast(a), lit(true)).queryExecution.optimizedPlan)
+      // any conditioned join passes (non-equi = the range-join family)
+      guard(a.join(b, a("x") === b("y")).queryExecution.optimizedPlan)
+      // flag off: pure no-op
+      spark.conf.set(guard.ConfKey, "false")
+      guard(a.crossJoin(b).queryExecution.optimizedPlan)
+    } finally spark.conf.unset(guard.ConfKey)
+  }
+
   test("dedup_simjoin_exact plan: prefix-filter candidates via equi joins only") {
     val plan = SparkEntry.queries("dedup_simjoin_exact")(spark, sf)
       .queryExecution.executedPlan.toString
