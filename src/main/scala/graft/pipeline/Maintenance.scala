@@ -273,6 +273,106 @@ object Maintenance {
     * own flag, and a NULL content hashes to a sentinel no real md5 can
     * collide with — so NULL→"x" reports 'changed' (not 'added'),
     * "x"→NULL reports 'changed' (not 'removed'), NULL→NULL is unchanged. */
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val VersionRe = "^v=([0-9]+)$".r
+
+  /** Versions present under `tableDir` (the `v=<n>` children), ascending. */
+  def listVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, tableDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match { case VersionRe(n) => Some(n.toLong); case _ => None }
+    }.flatten.sorted
+  }
+
+  /** WRITE-AUDIT-PUBLISH: the transactional-sink discipline for curated
+    * corpora. A plain `overwrite` that fails (or succeeds with garbage —
+    * an upstream join gone wrong, a filter that dropped 99% of rows)
+    * destroys the only good copy; at 100 TB "re-run yesterday's job" is a
+    * day of compute. Instead: (1) WRITE the batch to the next `v=<n>`
+    * directory — readers of the current version are untouched; (2) AUDIT
+    * the staged files by RE-READING them (what was actually persisted,
+    * not the in-memory frame — a lost task or a codec bug is exactly what
+    * the audit exists to catch); (3) PUBLISH by pointing `_LATEST` at the
+    * new version only if the audit passes — a failed audit deletes the
+    * staging directory and throws, leaving the previous version live.
+    *
+    * `_LATEST` is a tiny pointer file written to a temp name and renamed
+    * into place; the tiny non-atomic delete+rename window on stores
+    * without atomic rename-overwrite is documented — readers that race it
+    * fall back to the newest `v=` listing in [[readLatest]].
+    *
+    * Returns the published version number. */
+  def publishVersioned(df: org.apache.spark.sql.DataFrame, tableDir: String,
+                       audit: org.apache.spark.sql.DataFrame => Boolean): Long = {
+    val spark = df.sparkSession
+    val next = listVersions(spark, tableDir).lastOption.getOrElse(0L) + 1
+    val stagingDir = s"$tableDir/v=$next"
+    df.write.mode("errorifexists").parquet(stagingDir)
+    val ok = try audit(spark.read.parquet(stagingDir)) catch {
+      case e: Throwable =>
+        val (fs, _) = fsOf(spark, tableDir)
+        fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+        throw new IllegalStateException(
+          s"publishVersioned: audit of v=$next threw — staging deleted, " +
+            s"previous version stays live", e)
+    }
+    if (!ok) {
+      val (fs, _) = fsOf(spark, tableDir)
+      fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+      throw new IllegalStateException(
+        s"publishVersioned: audit REJECTED v=$next — staging deleted, " +
+          s"previous version stays live")
+    }
+    val (fs, _) = fsOf(spark, tableDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST.tmp")
+    val latest = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(latest, false)
+    if (!fs.rename(tmp, latest)) throw new IllegalStateException(
+      s"publishVersioned: could not move _LATEST pointer for v=$next")
+    next
+  }
+
+  /** Read the published version: the `_LATEST` pointer if present and
+    * valid, else the newest `v=` directory (covers the pointer-swap race
+    * and pointerless tables). */
+  def readLatest(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
+    val (fs, _) = fsOf(spark, tableDir)
+    val latest = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST")
+    val pointed =
+      if (!fs.exists(latest)) None
+      else {
+        val in = fs.open(latest)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toLongOption.filter(v =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v")))
+      }
+    val v = pointed.orElse(listVersions(spark, tableDir).lastOption).getOrElse(
+      throw new IllegalArgumentException(s"readLatest: no versions under $tableDir"))
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Drop all but the newest `keep` versions — never the published one.
+    * Returns the versions removed. Old versions are what make audits
+    * cheap to trust (rollback = move the pointer), but they hold bytes;
+    * vacuum is the explicit, bounded reclaim step. */
+  def vacuumVersions(spark: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"vacuumVersions: keep must be >= 1, got $keep")
+    val versions = listVersions(spark, tableDir)
+    val drop = versions.dropRight(keep)
+    val (fs, _) = fsOf(spark, tableDir)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true))
+    drop
+  }
+
   def snapshotDiff(oldDf: org.apache.spark.sql.DataFrame,
                    newDf: org.apache.spark.sql.DataFrame,
                    idCol: String, contentCol: String): org.apache.spark.sql.DataFrame = {

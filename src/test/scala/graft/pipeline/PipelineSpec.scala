@@ -1772,6 +1772,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotWord.nonEmpty, "the planted near-dup family must pair up")
   }
 
+  test("publishVersioned: audit gates the pointer; failed publishes leave the prior version live") {
+    val t = java.nio.file.Files.createTempDirectory("wap").toString + "/table"
+    val v1 = Maintenance.publishVersioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, _.count() == 2)
+    assert(v1 == 1L && Maintenance.readLatest(spark, t).count() == 2)
+    val v2 = Maintenance.publishVersioned(
+      Seq((1L, "a2")).toDF("id", "s"), t, _.count() == 1)
+    assert(v2 == 2L)
+    assert(Maintenance.readLatest(spark, t)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")))
+    // audit REJECTION: staging deleted, pointer untouched
+    intercept[IllegalStateException](Maintenance.publishVersioned(
+      Seq.empty[(Long, String)].toDF("id", "s"), t, _.count() > 0))
+    assert(Maintenance.listVersions(spark, t) == Seq(1L, 2L),
+      "rejected staging directory must not survive")
+    assert(Maintenance.readLatest(spark, t).count() == 1)
+    // audit THROWING cleans staging the same way
+    intercept[IllegalStateException](Maintenance.publishVersioned(
+      Seq((9L, "x")).toDF("id", "s"), t, _ => sys.error("boom")))
+    assert(Maintenance.listVersions(spark, t) == Seq(1L, 2L))
+    // vacuum drops only the non-published tail
+    assert(Maintenance.vacuumVersions(spark, t, keep = 1) == Seq(1L))
+    assert(Maintenance.listVersions(spark, t) == Seq(2L))
+    assert(Maintenance.readLatest(spark, t).count() == 1)
+  }
+
   test("containmentJoinWords: ordered quote-in-page pairs exact vs brute force") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("red", "blue", "green", "gold", "iron", "clay", "moss", "sand")
