@@ -280,7 +280,9 @@ object Maintenance {
 
   private val VersionRe = "^v=([0-9]+)$".r
 
-  /** Versions present under `tableDir` (the `v=<n>` children), ascending. */
+  /** Versions present under `tableDir` (the `v=<n>` children), ascending.
+    * Includes uncommitted/in-flight versions — see [[committedVersions]]
+    * for the audit-passed set. */
   def listVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
     val (fs, p) = fsOf(spark, tableDir)
     if (!fs.exists(p)) Seq.empty
@@ -288,6 +290,18 @@ object Maintenance {
       case st if st.isDirectory =>
         st.getPath.getName match { case VersionRe(n) => Some(n.toLong); case _ => None }
     }.flatten.sorted
+  }
+
+  private val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Versions whose audit passed (the commit marker exists), ascending.
+    * A version directory WITHOUT the marker is an in-flight publish or an
+    * orphan from a driver that died between staging and audit — never
+    * data a reader may serve. */
+  def committedVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val (fs, _) = fsOf(spark, tableDir)
+    listVersions(spark, tableDir).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/$CommitMarker")))
   }
 
   /** WRITE-AUDIT-PUBLISH: the transactional-sink discipline for curated
@@ -330,6 +344,10 @@ object Maintenance {
           s"previous version stays live")
     }
     val (fs, _) = fsOf(spark, tableDir)
+    // commit marker FIRST: a version without it is an orphan from a died
+    // driver (staged but never audited) and no read/vacuum path may ever
+    // treat it as published data
+    fs.create(new org.apache.hadoop.fs.Path(s"$stagingDir/$CommitMarker"), true).close()
     val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST.tmp")
     val latest = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST")
     val out = fs.create(tmp, true)
@@ -341,8 +359,9 @@ object Maintenance {
   }
 
   /** Read the published version: the `_LATEST` pointer if present and
-    * valid, else the newest `v=` directory (covers the pointer-swap race
-    * and pointerless tables). */
+    * valid, else the newest COMMITTED `v=` directory (covers the
+    * pointer-swap race and pointerless tables — never an in-flight or
+    * orphaned staging directory, which has no commit marker). */
   def readLatest(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
     val (fs, _) = fsOf(spark, tableDir)
     val latest = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST")
@@ -355,20 +374,39 @@ object Maintenance {
         txt.toLongOption.filter(v =>
           fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v")))
       }
-    val v = pointed.orElse(listVersions(spark, tableDir).lastOption).getOrElse(
+    val v = pointed.orElse(committedVersions(spark, tableDir).lastOption).getOrElse(
       throw new IllegalArgumentException(s"readLatest: no versions under $tableDir"))
     spark.read.parquet(s"$tableDir/v=$v")
   }
 
-  /** Drop all but the newest `keep` versions — never the published one.
-    * Returns the versions removed. Old versions are what make audits
+  /** Drop old versions, keeping the newest `keep` COMMITTED ones.
+    * Returns the versions removed. NEVER deletes: the version `_LATEST`
+    * points at (after a documented rollback the pointer may sit on an
+    * OLD version — reclaiming it would serve rolled-back-from data via
+    * the fallback), nor any version NEWER than the newest committed one
+    * (an in-flight publish's staging). Uncommitted orphans older than
+    * the newest committed version ARE reclaimed — they are dead staging
+    * from died drivers, not data. Old versions are what make audits
     * cheap to trust (rollback = move the pointer), but they hold bytes;
     * vacuum is the explicit, bounded reclaim step. */
   def vacuumVersions(spark: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"vacuumVersions: keep must be >= 1, got $keep")
-    val versions = listVersions(spark, tableDir)
-    val drop = versions.dropRight(keep)
     val (fs, _) = fsOf(spark, tableDir)
+    val committed = committedVersions(spark, tableDir)
+    val keepSet = committed.takeRight(keep).toSet
+    val latest = new org.apache.hadoop.fs.Path(s"$tableDir/_LATEST")
+    val pointed: Option[Long] =
+      if (!fs.exists(latest)) None
+      else {
+        val in = fs.open(latest)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toLongOption
+      }
+    val newestCommitted = committed.lastOption.getOrElse(Long.MinValue)
+    val drop = listVersions(spark, tableDir).filter { v =>
+      !keepSet.contains(v) && !pointed.contains(v) && v < newestCommitted
+    }
     drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true))
     drop
   }

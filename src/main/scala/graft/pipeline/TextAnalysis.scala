@@ -100,7 +100,10 @@ object TextAnalysis {
     df.withColumn("scheme", lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
       .withColumn("host", host)
       .withColumn("path", regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
-      .withColumn("url_query", regexp_extract(u, "\\?([^#]*)", 1))
+      // anchored through the pre-fragment text: a '?' AFTER '#' is part
+      // of the fragment, not a query component (URL syntax ends the
+      // query scope at the first '#')
+      .withColumn("url_query", regexp_extract(u, "^[^#]*?\\?([^#]*)", 1))
       .withColumn("fragment", regexp_extract(u, "#(.*)$", 1))
       .withColumn("domain",
         regexp_replace(regexp_replace(lower(host), "^www\\.", ""), ":[0-9]+$", ""))
@@ -260,7 +263,13 @@ object TextAnalysis {
     * that omits singletons stays valid). Output: input + `group_key` +
     * `bucket` (0–15, carve folds from it as with [[splitBucket]]). */
   def groupAwareSplitBucket(df: DataFrame, idCol: String,
-                            groups: DataFrame): DataFrame =
+                            groups: DataFrame): DataFrame = {
+    // loud reserved-name guard (the quantileBuckets convention): silently
+    // overwriting an existing bucket/group_key would hand downstream fold
+    // carving the WRONG assignment with no error
+    Seq("group_key", "bucket", "__gid", "__grp").foreach(c =>
+      require(!df.columns.contains(c),
+        s"groupAwareSplitBucket: input already has a '$c' column"))
     df.join(
         groups.select(col("id").cast("long").as("__gid"),
           col("group_id").cast("long").as("__grp")),
@@ -268,6 +277,7 @@ object TextAnalysis {
       .withColumn("group_key", coalesce(col("__grp"), col(idCol).cast("long")))
       .withColumn("bucket", splitBucket(col("group_key")))
       .drop("__gid", "__grp")
+  }
 
   /** Source-level (domain-level) filtering — the C4/RefinedWeb curation
     * step that drops entire low-quality SOURCES rather than individual

@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -34,11 +33,24 @@ object CartesianGuard extends Rule[LogicalPlan] {
     j.hint.leftHint.exists(_.strategy.isDefined) ||
       j.hint.rightHint.exists(_.strategy.isDefined)
 
+  /** A join is a product when it has NO condition or a trivially-true
+    * one: no optimizer rule folds `ON true` to None, so `join(df,
+    * lit(true))` would otherwise slip the guard and run the n·m
+    * nested loop anyway. A CONDITIONED Cross-typed join is deliberately
+    * allowed — `crossJoin(b).where(a.x === b.y)` keeps joinType Cross
+    * after predicate pushdown but plans as an ordinary equi join. */
+  private def unconditioned(j: Join): Boolean = j.condition match {
+    case None => true
+    case Some(c) => c.foldable && (c.eval() match {
+      case b: java.lang.Boolean => b.booleanValue
+      case _ => false
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(ConfKey, "false").toBoolean) {
       plan.foreach {
-        case j: Join if (j.condition.isEmpty || j.joinType == Cross) &&
-            !broadcastHinted(j) =>
+        case j: Join if unconditioned(j) && !broadcastHinted(j) =>
           throw new IllegalStateException(
             s"$ConfKey: unconditioned ${j.joinType} join (cartesian product) " +
               s"between ${j.left.nodeName} and ${j.right.nodeName}. A cartesian " +

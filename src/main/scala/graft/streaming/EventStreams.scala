@@ -48,10 +48,16 @@ object EventStreams {
   /** Streaming read of an events directory; rebuilds a proper timestamp.
     * The stream schema is peeked from the files' parquet footers (a batch
     * metadata read, no data scan) — a pinned literal schema would break
-    * whenever the ts physical encoding flips (see [[normalizeEventTs]]). */
+    * whenever the ts physical encoding flips (see [[normalizeEventTs]]).
+    * An EMPTY directory at start (producer not yet writing — the normal
+    * streaming deployment order) has no footers to peek, so the legacy
+    * [[rawSchema]] applies until a restart; a peek failure must not keep
+    * the stream from starting. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     normalizeEventTs(spark.readStream.schema(fileSchema).parquet(dir))
   }
 

@@ -214,8 +214,17 @@ class PlanSpec extends AnyFunSuite {
       // hardNegatives): an explicit broadcast IS the "one side is small
       // by construction" claim, so it passes
       guard(b.join(broadcast(a), lit(true)).queryExecution.optimizedPlan)
+      // ...but an UNHINTED trivially-true condition is still a product —
+      // `ON true` never folds to None, so it must not slip the guard
+      intercept[IllegalStateException] {
+        guard(a.join(b, lit(true)).queryExecution.optimizedPlan)
+      }
       // any conditioned join passes (non-equi = the range-join family)
       guard(a.join(b, a("x") === b("y")).queryExecution.optimizedPlan)
+      // conditioned CROSS-typed joins pass: after predicate pushdown
+      // crossJoin(b).where(x = y) keeps joinType Cross but plans as an
+      // ordinary equi join, not a product
+      guard(a.crossJoin(b).where(a("x") === b("y")).queryExecution.optimizedPlan)
       // flag off: pure no-op
       spark.conf.set(guard.ConfKey, "false")
       guard(a.crossJoin(b).queryExecution.optimizedPlan)

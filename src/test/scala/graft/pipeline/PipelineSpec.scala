@@ -1708,7 +1708,8 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "https://www.News.Example.com:8443/a/b.html?q=1&r=2#frag"),
       (2L, "http://example.org"),
       (3L, "ftp://files.example.net/pub"),
-      (4L, "not a url at all")
+      (4L, "not a url at all"),
+      (5L, "https://ex.com/page#sec?x=1")
     ).toDF("id", "url")
     val got = TextAnalysis.urlParts(df, "url")
       .select("id", "scheme", "host", "path", "url_query", "fragment", "domain")
@@ -1720,6 +1721,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "ftp", "files.example.net", "/pub", "", "", "files.example.net")))
     // crawl garbage degrades to empty components, never to an error
     assert(got(3) == ((4L, "", "", "", "", "", "")))
+    // a '?' AFTER '#' belongs to the fragment, not the query component
+    assert(got(4) == ((5L, "https", "ex.com", "/page", "", "sec?x=1", "ex.com")))
   }
 
   test("scriptProfile counts each writing system; dominance ties break deterministically") {
@@ -1796,6 +1799,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Maintenance.vacuumVersions(spark, t, keep = 1) == Seq(1L))
     assert(Maintenance.listVersions(spark, t) == Seq(2L))
     assert(Maintenance.readLatest(spark, t).count() == 1)
+    // ORPHANS (a driver died between staging and audit — no commit
+    // marker): a NEWER orphan is potential in-flight staging, so vacuum
+    // must preserve it and the pointerless fallback must NOT serve it;
+    // an OLDER orphan is dead staging and is reclaimed
+    Seq((7L, "garbage")).toDF("id", "s").write.parquet(s"$t/v=5")
+    Seq((8L, "older-garbage")).toDF("id", "s").write.parquet(s"$t/v=1")
+    assert(Maintenance.committedVersions(spark, t) == Seq(2L))
+    assert(Maintenance.vacuumVersions(spark, t, keep = 1) == Seq(1L),
+      "older orphan reclaimed, newer in-flight orphan preserved")
+    assert(Maintenance.listVersions(spark, t) == Seq(2L, 5L))
+    val (fs, _) = (new org.apache.hadoop.fs.Path(t))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) -> ()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/_LATEST"), false)
+    assert(Maintenance.readLatest(spark, t)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")),
+      "pointerless fallback must serve the newest COMMITTED version, never the orphan")
   }
 
   test("containmentJoinWords: ordered quote-in-page pairs exact vs brute force") {
