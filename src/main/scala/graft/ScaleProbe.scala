@@ -83,6 +83,22 @@ object ScaleProbe {
     val sjPlanted = sjPairs.where(col("b") === col("a") + 1 && col("b") % 100 === 1).count()
     println(s"[scale]   exact-join pairs=$nSj, planted recall=${sjPlanted.toDouble / planted} (must be 1.0)")
 
+    // ---- EXACT containment join (quote-in-page) -------------------------
+    // plant a 25-word excerpt of every 100th doc as a quote doc: each must
+    // be found inside its page (containment 1.0 ≥ 0.9 — exact, recall 1.0
+    // by theorem); near-dup page twins ALSO contain each other (147/150
+    // shared words → C ≈ 0.97 both directions)
+    val quotes = docs.where(col("doc_id") % 100 === 0)
+      .selectExpr("doc_id + 1000000 AS doc_id",
+        "array_join(slice(split(text, ' '), 1, 25), ' ') AS text")
+    val nQuotes = quotes.count()
+    val cPairs = timed("exact containmentJoinWords (threshold 0.9, 4-grams)")(
+      pipeline.Dedup.containmentJoinWords(docs.unionByName(quotes),
+        "doc_id", "text", thresholdPct = 90, gramWords = 4).localCheckpoint(true))
+    val quoteHits = cPairs.where(col("a") === col("b") + 1000000L).count()
+    println(s"[scale]   containment pairs=${cPairs.count()}, " +
+      s"quote-in-page recall=${quoteHits.toDouble / nQuotes} (must be 1.0)")
+
     // pairs → groups via connected components (every planted pair is a
     // 2-doc component, so #groups-with-dups == #pairs found); runs to the
     // checked fixpoint — no round-count assumption

@@ -1262,6 +1262,24 @@ object SparkEntry {
           "n_digit", "dominant")
         .orderBy("doc_id")
     },
+    "pipeline_url_dedup" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // crawl URL canonicalization + dedup: strip scheme/www/port/query/
+      // fragment, key on (domain, path) — the cheap first dedup pass that
+      // catches re-crawls of the same page before any content hashing.
+      // Planted collisions: doc_id % 400 maps multiple crawls (distinct
+      // ?session= query strings) onto one canonical page
+      val urls = s.table("documents").withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com:8080/p/"),
+          (col("doc_id") % 400).cast("string"), lit("?session="),
+          col("doc_id").cast("string")))
+      pipeline.TextAnalysis.urlParts(urls, "url")
+        .withColumn("canonical", concat(col("domain"), col("path")))
+        .withColumn("keep_id", expr("min(doc_id) OVER (PARTITION BY canonical)"))
+        .select(col("doc_id"), col("canonical"),
+          (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
+        .orderBy("doc_id")
+    },
     "pipeline_group_split" -> { (s, dir) =>
       prep(s, dir, "documents")
       // LEAKAGE-SAFE split: near-dup groups (the dedup_groups CC over
@@ -3070,6 +3088,21 @@ object SparkEntry {
                      WHEN n_cjk >= n_arabic AND n_cjk > 0 THEN 'cjk'
                      WHEN n_arabic > 0 THEN 'arabic'
                      ELSE 'none' END AS dominant
+         FROM c ORDER BY doc_id""",
+    "pipeline_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+                'https://www.' || source || '.example.com:8080/p/' || CAST(doc_id % 400 AS VARCHAR)
+                  || '?session=' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+              p AS (SELECT doc_id,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+              FROM u),
+              c AS (SELECT doc_id,
+                regexp_replace(regexp_replace(lower(host), '^www\.', ''), ':[0-9]+$', '') || path AS canonical
+              FROM p)
+         SELECT doc_id, canonical,
+                doc_id <> min(doc_id) OVER (PARTITION BY canonical) AS is_duplicate
          FROM c ORDER BY doc_id""",
     "pipeline_group_split" ->
       """WITH RECURSIVE

@@ -61,7 +61,9 @@ class DeterminismSpec extends AnyFunSuite {
     // distinct must not see partitioning), reciprocal-argmax mining,
     // CC-keyed fold assignment, Bellman-Ford frontier rounds
     "dedup_simjoin_exact", "emb_mutual_pairs", "pipeline_group_split",
-    "graph_shortest_paths")
+    "graph_shortest_paths",
+    // r7 session 6: containment posting join, scd2-interval as-of lookup
+    "dedup_containment", "events_scd2_lookup")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
