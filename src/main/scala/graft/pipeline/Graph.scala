@@ -64,6 +64,13 @@ object Graph {
       s"iterations must be in [1, 1000], got $iterations")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 1000000], got $dampingPpm")
+    // a silent cast("long") on string ids would NULL every node and
+    // return one garbage row; a DoubleType weight would pass the >= 1
+    // guard and TRUNCATE (1.7 -> 1), silently changing every rank
+    Search.requireIntegralId(edges, srcCol, "pageRank", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "pageRank", role = "dst id")
+    weightCol.foreach(c =>
+      Search.requireIntegralId(edges, c, "pageRank", role = "weight"))
     val w = weightCol.map { c =>
       // the guard lives inside the consumed column (prune-safe)
       when(col(c).cast("long") >= 1L, col(c).cast("long"))
@@ -92,6 +99,7 @@ object Graph {
         case Array(c) => c
         case cs => sys.error(s"seeds must have exactly one column, got ${cs.mkString(",")}")
       }
+      Search.requireIntegralId(sd, sCol, "pageRank", role = "seed id")
       sd.select(col(sCol).cast("long").as("node")).distinct()
         .select(col("node"), lit(true).as("__seed"))
     }
@@ -177,6 +185,8 @@ object Graph {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in [1, 1000], got $iterations")
+    Search.requireIntegralId(edges, srcCol, "labelPropagation", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "labelPropagation", role = "dst id")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
@@ -236,6 +246,8 @@ object Graph {
   def bipartiteProjection(edges: DataFrame, leftCol: String, rightCol: String,
                           maxDegree: Int = 1000): DataFrame = {
     require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    Search.requireIntegralId(edges, leftCol, "bipartiteProjection", role = "left id")
+    Search.requireIntegralId(edges, rightCol, "bipartiteProjection", role = "right id")
     val e = edges.select(col(leftCol).cast("long").as("l"),
       col(rightCol).cast("long").as("r")).distinct()
     val deg = e.groupBy("l").agg(count(lit(1)).as("__d"))
@@ -275,13 +287,23 @@ object Graph {
             rounds: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "kCore", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "kCore", role = "dst id")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
     var e = Materialize.cut(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
-    for (_ <- 1 to rounds) {
+    // fixpoint early-exit (the shortestPaths discipline): peeling only
+    // REMOVES, so an unchanged edge count means no node fell below k and
+    // every later round would rebuild identical degrees for nothing —
+    // one scalar count on the already-materialized frame per round
+    var prev = e.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      r += 1
       val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.where(col("d") >= k).select("n")
@@ -289,6 +311,9 @@ object Graph {
         e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
           .select("a", "b"))
+      val cnt = e.count()
+      stable = cnt == prev
+      prev = cnt
     }
     // no release: under the eager strategies the per-round frames are
     // ContextCleaner-owned; under `persist` they are never-computed-
@@ -338,6 +363,10 @@ object Graph {
                     weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 100,
       s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "shortestPaths", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "shortestPaths", role = "dst id")
+    weightCol.foreach(c =>
+      Search.requireIntegralId(edges, c, "shortestPaths", role = "weight"))
     val w = weightCol.map { c =>
       // the guard lives inside the consumed column (prune-safe)
       when(col(c).cast("long") >= 1L, col(c).cast("long"))
@@ -351,6 +380,7 @@ object Graph {
       case cs => sys.error(
         s"seeds must have exactly one column, got ${cs.mkString(",")}")
     }
+    Search.requireIntegralId(seeds, sCol, "shortestPaths", role = "seed id")
     val nodeSet = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
     // the ONE exchange the edges ever see: partitioned by src, the
@@ -413,6 +443,8 @@ object Graph {
     * counts ride the corner explode's aggregate. */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
+    Search.requireIntegralId(edges, srcCol, "triangleCounts", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "triangleCounts", role = "dst id")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))

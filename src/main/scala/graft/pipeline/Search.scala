@@ -100,6 +100,10 @@ object Search {
                queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     requireIntegralId(df, idCol, "bm25TopK")
+    // postings terms are lowercased by the shared tokenizer; an un-
+    // normalized query ("New York") would silently match NOTHING — the
+    // same fix phraseCount got in r7 (mixed-case phrases matched nothing)
+    val terms = queryTerms.map(graft.functions.WordTok.lowerLikeSpark)
     val (n, tot) = corpusStats(df, textCol)
     require(n > 0 && tot > 0, s"bm25TopK needs a non-empty corpus (n=$n, tokens=$tot)")
     val avgdlMilli = tot * 1000L / n
@@ -109,7 +113,7 @@ object Search {
     require(avgdlMilli > 0,
       s"bm25TopK: avg doc length floors to 0 milli-tokens (n=$n, tokens=$tot)")
     val p = postings(df, idCol, textCol)
-      .where(col("term").isin(queryTerms.distinct: _*))
+      .where(col("term").isin(terms.distinct: _*))
     scoreAndRank(p, n, avgdlMilli, k)
   }
 
@@ -205,6 +209,10 @@ object Search {
   def buildPostingsIndex(df: DataFrame, idCol: String, textCol: String,
                          dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // the in-job path validates this (bm25TopK); without it here a
+    // string-id corpus would INDEX fine and every later indexed query
+    // would silently return empty (TopKPairs ignores NULL-cast ids)
+    requireIntegralId(df, idCol, "buildPostingsIndex")
     val (n, tot) = corpusStats(df, textCol)
     postings(df, idCol, textCol)
       .withColumn("__tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
@@ -231,7 +239,7 @@ object Search {
     val avgdlMilli = tot * 1000L / n
     require(avgdlMilli > 0,
       s"bm25TopKIndexed: avg doc length floors to 0 milli-tokens (n=$n, tokens=$tot)")
-    val terms = queryTerms.distinct
+    val terms = queryTerms.map(graft.functions.WordTok.lowerLikeSpark).distinct
     val p = spark.read.parquet(s"$dir/postings")
       .where(col("__tb").isin(bucketsOf(spark, terms, nBuckets): _*) &&
         col("term").isin(terms: _*))
@@ -292,6 +300,7 @@ object Search {
   def appendPostingsIndex(df: DataFrame, idCol: String, textCol: String,
                           dir: String): Unit = {
     val spark = df.sparkSession
+    requireIntegralId(df, idCol, "appendPostingsIndex")
     val stats = spark.read.parquet(s"$dir/stats").head
     val nBuckets = stats.getAs[Int]("n_buckets")
     val (n, tot) = corpusStats(df, textCol)
@@ -324,8 +333,12 @@ object Search {
     require(n > 0 && tot > 0, s"bm25PhraseBoostTopK needs a non-empty corpus")
     val avgdlMilli = tot * 1000L / n
     require(avgdlMilli > 0, "avg doc length floors to 0 milli-tokens")
+    // the occ side lowercases through the shared tokenizer; the postings
+    // filter must too, or a mixed-case phrase scores bag-of-words zero
+    // while phraseOccurrences still matches — an inconsistent hybrid
+    val lowPhrase = phrase.map(graft.functions.WordTok.lowerLikeSpark)
     val p = postings(df, idCol, textCol)
-      .where(col("term").isin(phrase.distinct: _*))
+      .where(col("term").isin(lowPhrase.distinct: _*))
     val bm = bm25Scores(p, n, avgdlMilli).withColumnRenamed("score_ppm", "__bm")
     val occ = df.select(col(idCol).as("doc_id"),
       phraseOccurrences(col(textCol), phrase).as("__occ"))
@@ -379,6 +392,16 @@ object Search {
     // (k0+rank) contract (and could hit DIV 0). The lists are ≤ their own
     // k rows, so this one extra aggregate over the materialized union is
     // driver-cheap insurance, not a corpus pass.
+    // NULL VALUES pass the type check but vanish silently downstream (a
+    // NULL rank NULLs its contribution; a NULL doc_id is dropped by
+    // TopKPairs) — count them in the same cheap pass and fail loudly
+    val nulls = union.agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("__nd"),
+      sum(when(col("rank").isNull, 1L).otherwise(0L)).as("__nr")).head
+    require(nulls.isNullAt(0) || nulls.getLong(0) == 0L,
+      "rrfFuse: NULL doc_id values in an input list")
+    require(nulls.isNullAt(1) || nulls.getLong(1) == 0L,
+      "rrfFuse: NULL rank values in an input list")
     val bad = union.groupBy("__list", "doc_id")
       .agg(count(lit(1)).as("__n"), min(col("rank")).as("__minr"))
       .agg(max(col("__n")).as("__maxn"), min(col("__minr")).as("__minr")).head

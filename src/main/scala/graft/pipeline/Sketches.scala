@@ -123,6 +123,11 @@ object Sketches {
                   probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 16 && w >= 2, s"need 1 <= d <= 16, w >= 2; got d=$d w=$w")
     val vals = df.where(col(valueCol).isNotNull).select(col(valueCol).as("__v"))
+    // NULL probes mirror the value-stream NULL policy (dropped): a NULL
+    // probe row would otherwise surface as (NULL, 0, 0) — a data-quality
+    // problem silently reported as a zero count
+    val probeKeys = probes.where(col(probeCol).isNotNull)
+      .select(col(probeCol).as("probe")).distinct()
     def slot(v: Column): Column = // row r probes bucket h("r#v") — the
       h60(concat(col("__r").cast("string"), lit("#"), v.cast("string")), "cms") % w
     // counter table: d rows per input value, counters = exact sums;
@@ -131,13 +136,19 @@ object Sketches {
       .select(col("__v"), explode(sequence(lit(0), lit(d - 1))).as("__r"))
       .select(col("__r"), slot(col("__v")).as("__b"))
       .groupBy("__r", "__b").agg(count(lit(1)).as("__n"))
-    val probed = probes.select(col(probeCol).as("probe")).distinct()
+    val probed = probeKeys
       .select(col("probe"), explode(sequence(lit(0), lit(d - 1))).as("__r"))
       .select(col("probe"), col("__r"), slot(col("probe")).as("__b"))
     val est = probed.join(counters, Seq("__r", "__b"), "left")
       .groupBy("probe")
       .agg(min(coalesce(col("__n"), lit(0L))).as("n_est"))
-    val exact = vals.groupBy(col("__v").as("probe"))
+    // exact counts ONLY for the probe cohort: a bare groupBy over the
+    // value stream would build one aggregation-state entry per DISTINCT
+    // value — the unbounded hash table this file's contract exists to
+    // avoid; the broadcast semi-join keeps the exact pass probe-sized
+    val exact = vals
+      .join(broadcast(probeKeys), col("__v") === col("probe"), "left_semi")
+      .groupBy(col("__v").as("probe"))
       .agg(count(lit(1)).as("n_exact"))
     est.join(exact, Seq("probe"), "left")
       .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))

@@ -31,14 +31,28 @@ object TimeSeries {
     * `value_cents` are 0 on days the key was silent. Output:
     * `keyCol, day, n_events, value_cents`. */
   def resampleGapFill(events: DataFrame, keyCol: String, tsCol: String,
-                      valueCol: String): DataFrame = {
+                      valueCol: String,
+                      maxSpanDays: Int = 36500): DataFrame = {
+    require(maxSpanDays >= 1, s"maxSpanDays must be >= 1, got $maxSpanDays")
     val day = to_date(col(tsCol))
     val rollup = events.groupBy(col(keyCol), day.as("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("value_cents"))
+    // span guard INSIDE the consumed column (prune-safe): one corrupt
+    // timestamp (epoch-0 default, year 9999) would silently explode the
+    // key's spine to millions of rows and every downstream window with
+    // it — fail loudly naming the key instead; the default tolerates a
+    // century per key, tighten per deployment
     val spine = events.groupBy(col(keyCol))
       .agg(min(day).as("__d0"), max(day).as("__d1"))
-      .select(col(keyCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .select(col(keyCol), explode(sequence(col("__d0"),
+        when(datediff(col("__d1"), col("__d0")) <= maxSpanDays, col("__d1"))
+          .otherwise(raise_error(concat(
+            lit(s"resampleGapFill: key spine exceeds $maxSpanDays days ("),
+            col(keyCol).cast("string"), lit(": "), col("__d0").cast("string"),
+            lit(" .. "), col("__d1").cast("string"),
+            lit(") — corrupt timestamp? raise maxSpanDays to override")))))
+      ).as("day"))
     spine.join(rollup, Seq(keyCol, "day"), "left")
       .select(col(keyCol), col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -97,9 +111,10 @@ object TimeSeries {
     * baseline — fewer than nDays prior spine days — is never flagged).
     * Zero-variance baselines flag ANY deviation (the inequality is
     * strict, so an exactly-on-baseline day stays quiet). Magnitude note:
-    * cents × nDays stays far under 2^63 for any realistic per-day total
-    * (overflow needs a single key moving ~$10^8 per day with a 30-day
-    * window); keep values in cents, not micro-units, at that scale.
+    * the cross-multiplied test SQUARES cents and multiplies by n·k² —
+    * that wraps 2^63 around ~$1M/day (not the naive cents×n estimate),
+    * a routine merchant volume, so the whole test runs in DECIMAL(38,0):
+    * exact to ~1e17 cents/day, far past any real key.
     *
     * Output: the gap-filled spine + `base_days, base_sum, is_anomaly`.
     * Same plan shape as [[rollingDaily]]: one key-partitioned window over
@@ -110,18 +125,22 @@ object TimeSeries {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(keyCol).orderBy("day")
       .rowsBetween(-nDays, -1) // trailing window EXCLUDING the tested day
+    val dec = "decimal(38,0)"
     resampleGapFill(events, keyCol, tsCol, valueCol)
       .withColumn("base_days", count(lit(1)).over(w))
-      .withColumn("base_sum", coalesce(sum(col("value_cents")).over(w), lit(0L)))
+      .withColumn("__bsum",
+        coalesce(sum(col("value_cents").cast(dec)).over(w), lit(0L).cast(dec)))
       .withColumn("__sumsq",
-        coalesce(sum(col("value_cents") * col("value_cents")).over(w), lit(0L)))
+        coalesce(sum(col("value_cents").cast(dec) * col("value_cents")).over(w),
+          lit(0L).cast(dec)))
+      .withColumn("base_sum", col("__bsum").cast("long"))
       .withColumn("is_anomaly",
         col("base_days") === nDays && {
-          val dev = col("value_cents") * col("base_days") - col("base_sum")
-          val varN2 = col("base_days") * col("__sumsq") - col("base_sum") * col("base_sum")
+          val dev = col("value_cents").cast(dec) * col("base_days") - col("__bsum")
+          val varN2 = col("base_days") * col("__sumsq") - col("__bsum") * col("__bsum")
           dev * dev > lit(k.toLong * k) * varN2
         })
-      .drop("__sumsq")
+      .drop("__sumsq", "__bsum")
   }
 
   /** Slowly-changing-dimension type-2 interval builder: turn a per-key
@@ -156,6 +175,12 @@ object TimeSeries {
     val reserved = Set(keyCol, tsCol, tieCol)
     require(valueCols.forall(!reserved.contains(_)),
       s"scd2: valueCols must not repeat key/ts/tie columns, got $valueCols")
+    // internal + output names, loudly (the groupAwareSplitBucket rule):
+    // a value column literally named __chg would otherwise be silently
+    // replaced by the change flag and every run would read 'true'
+    Seq("__first", "__chg", "valid_from", "valid_to").foreach(c =>
+      require(!valueCols.contains(c) && c != keyCol,
+        s"scd2: column name '$c' is reserved"))
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val changed = valueCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
