@@ -2994,9 +2994,9 @@ object SparkEntry {
          SELECT doc_id, trim(regexp_replace(
                   replace(replace(replace(replace(replace(replace(
                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                      '(?s)<!--.*?-->', ' ', 'g'),
                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                      '(?s)<!--.*?-->', ' ', 'g'),
                       '<[^>]+>', ' ', 'g'),
                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                     '&nbsp;', ' '), '&amp;', '&'),
@@ -3061,7 +3061,7 @@ object SparkEntry {
               FROM documents),
               p AS (SELECT doc_id,
                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '') AS host,
                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
               FROM u),
               d AS (SELECT doc_id, scheme, path,
@@ -3078,7 +3078,7 @@ object SparkEntry {
               c AS (SELECT doc_id,
                 CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
                 CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
-                CAST(length(t) - length(regexp_replace(t, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+                CAST(length(t) - length(regexp_replace(t, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS BIGINT) AS n_cjk,
                 CAST(length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
                 CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
               FROM pl)
@@ -3095,7 +3095,7 @@ object SparkEntry {
                   || '?session=' || CAST(doc_id AS VARCHAR) AS url
               FROM documents),
               p AS (SELECT doc_id,
-                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '') AS host,
                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
               FROM u),
               c AS (SELECT doc_id,

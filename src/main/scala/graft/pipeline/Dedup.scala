@@ -423,25 +423,34 @@ object Dedup {
       thresholdPct, "similarityJoinWords")
   }
 
-  private def similarityJoinOn(docs: DataFrame, idCol: String,
-                               setCol: Column, thresholdPct: Int,
-                               opName: String): DataFrame = {
-    require(thresholdPct >= 1 && thresholdPct <= 100,
-      s"thresholdPct must be in [1, 100], got $thresholdPct")
+  /** Shared front of the similarity and containment joins: materialized
+    * distinct-set frame, its token explode, and the per-doc rarest-first
+    * ordering — ONE implementation, so a tokenization/ordering fix can
+    * never reach one join and miss the other. (freq, token) IS the total
+    * order — array_sort on the struct sorts lexicographically by field,
+    * so no dense-rank window over the global vocabulary is ever needed. */
+  private def orderedTokenSets(docs: DataFrame, idCol: String,
+                               setCol: Column, opName: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     Search.requireIntegralId(docs, idCol, opName)
     val sets = Materialize(docs
       .select(col(idCol).cast("long").as("__id"), setCol.as("__sh"))
       .where(col("__sh").isNotNull && size(col("__sh")) > 0))
     val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
     val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
-    // (freq, token) IS the total order — array_sort on the struct sorts
-    // lexicographically by field, so no dense-rank window over the
-    // global vocabulary is ever needed
     val ordered = toks.join(freq, "__t")
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("__n"), col("__t")))).as("__o"))
-      .select(col("__id"),
-        expr("transform(__o, e -> e.__t)").as("__ord"))
+      .select(col("__id"), expr("transform(__o, e -> e.__t)").as("__ord"))
+    (sets, toks, ordered)
+  }
+
+  private def similarityJoinOn(docs: DataFrame, idCol: String,
+                               setCol: Column, thresholdPct: Int,
+                               opName: String): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    val (sets, _, ordered) = orderedTokenSets(docs, idCol, setCol, opName)
     val prefixed = Materialize(ordered.select(col("__id"),
       size(col("__ord")).as("__sz"),
       expr(s"slice(__ord, 1, size(__ord) - (($thresholdPct * size(__ord) + 99) DIV 100) + 1)")
@@ -488,18 +497,10 @@ object Dedup {
       s"thresholdPct must be in [1, 100], got $thresholdPct")
     require(gramWords >= 1 && gramWords <= 16,
       s"gramWords must be in [1, 16], got $gramWords")
-    Search.requireIntegralId(docs, idCol, "containmentJoinWords")
-    val sets = Materialize(docs
-      .select(col(idCol).cast("long").as("__id"),
-        array_distinct(E.column(graft.functions.WordGrams(
-          E.expression(col(textCol)), gramWords))).as("__sh"))
-      .where(col("__sh").isNotNull && size(col("__sh")) > 0))
-    val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
-    val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
-    val ordered = toks.join(freq, "__t")
-      .groupBy("__id")
-      .agg(array_sort(collect_list(struct(col("__n"), col("__t")))).as("__o"))
-      .select(col("__id"), expr("transform(__o, e -> e.__t)").as("__ord"))
+    val (sets, toks, ordered) = orderedTokenSets(docs, idCol,
+      array_distinct(E.column(graft.functions.WordGrams(
+        E.expression(col(textCol)), gramWords))),
+      "containmentJoinWords")
     val prefix = ordered.select(col("__id").as("__ida"),
       expr(s"slice(__ord, 1, size(__ord) - (($thresholdPct * size(__ord) + 99) DIV 100) + 1)")
         .as("__pfx"))

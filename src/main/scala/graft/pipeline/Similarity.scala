@@ -108,10 +108,17 @@ object Similarity {
       Dedup.quantize(col(vecCol)).as("__qa"))
     val b = right.select(col(idCol).cast("long").as("id_b"),
       Dedup.quantize(col(vecCol)).as("__qb"))
+    // NULL cosines (a NULL vector, or the wrong-model-version join where
+    // dimensions mismatch and zip_with NULL-pads the dot) must not reach
+    // the argmax: max(struct(NULL, -id)) degenerates to min-id selection
+    // and would emit garbage "pairs". Dropping them means a full
+    // dimension mismatch yields an EMPTY result, and a corrupt vector
+    // simply cannot pair — never id-order noise dressed as labels.
     val scored = Materialize(
       b.join(broadcast(a), lit(true))
         .select(col("id_a"), col("id_b"),
-          cosScaled(col("__qa"), col("__qb")).as("cos_scaled")))
+          cosScaled(col("__qa"), col("__qb")).as("cos_scaled"))
+        .where(col("cos_scaled").isNotNull))
     val bestRight = scored.groupBy("id_a")
       .agg(max(struct(col("cos_scaled"), (-col("id_b")).as("__n"))).as("__m"))
       .select(col("id_a"), (-col("__m.__n")).as("id_b"),

@@ -95,8 +95,17 @@ object TextAnalysis {
     * `:port` stripped — the key every domain-level curation op (source
     * filters, blocklists, per-domain caps) groups on. */
   def urlParts(df: DataFrame, urlCol: String): DataFrame = {
+    Seq("scheme", "host", "path", "url_query", "fragment", "domain").foreach(c =>
+      require(!df.columns.contains(c),
+        s"urlParts: input already has a '$c' column"))
     val u = col(urlCol)
-    val host = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // authority = [userinfo@]host[:port]; strip userinfo through the
+    // LAST '@' — 'https://trusted.com@spam.example/' keying its domain
+    // as 'trusted.com…' is the classic URL-confusion trick against
+    // exactly the blocklists/per-domain caps this op feeds
+    val host = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      "^.*@", "")
     df.withColumn("scheme", lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
       .withColumn("host", host)
       .withColumn("path", regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
@@ -119,13 +128,19 @@ object TextAnalysis {
     * explicit \x{...} ranges (BMP only), identical in java.util.regex
     * and RE2. One pure-map scan. */
   def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    Seq("n_latin", "n_cyrillic", "n_cjk", "n_arabic", "n_digit", "dominant")
+      .foreach(c => require(!df.columns.contains(c),
+        s"scriptProfile: input already has a '$c' column"))
     val t = col(textCol)
     def cnt(cls: String): Column =
       (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
     val out = df
       .withColumn("n_latin", cnt("[A-Za-z]"))
       .withColumn("n_cyrillic", cnt("[\\x{0400}-\\x{04FF}]"))
-      .withColumn("n_cjk", cnt("[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]"))
+      // unified ideographs + kana + HANGUL (syllables and jamo) — Korean
+      // is a top-10 web language; omitting it routed pure-Korean docs to
+      // dominant 'none'
+      .withColumn("n_cjk", cnt("[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]"))
       .withColumn("n_arabic", cnt("[\\x{0600}-\\x{06FF}]"))
       .withColumn("n_digit", cnt("[0-9]"))
     out.withColumn("dominant",
@@ -157,13 +172,18 @@ object TextAnalysis {
 
   /** Markup-removal regex chain, applied in order. Every pattern is
     * RE2-safe (no lookaround, no backrefs) so the DuckDB oracle replays
-    * the identical chain: script/style elements drop WITH their content
-    * (code is not prose), comments drop, every remaining tag becomes a
-    * space (so `a<br>b` keeps its word boundary). */
+    * the identical chain: COMMENTS drop first (a commented-out
+    * `<script>` opener — common in real pages — must not open a
+    * swallow-to-the-next-real-`</script>` region, and a full commented
+    * script block disappears with its comment; a comment opener INSIDE a
+    * live script either closes inside it or matches nothing, so the
+    * script pattern still takes the block), then script/style elements
+    * WITH their content (code is not prose), then every remaining tag
+    * becomes a space (so `a<br>b` keeps its word boundary). */
   val markupPatterns: Seq[(String, String)] = Seq(
+    "(?s)<!--.*?-->" -> " ",
     "(?is)<script[^>]*>.*?</script>" -> " ",
     "(?is)<style[^>]*>.*?</style>" -> " ",
-    "(?s)<!--.*?-->" -> " ",
     "<[^>]+>" -> " ")
 
   /** Entity decodes applied AFTER tag removal, `&amp;` strictly last —
@@ -270,10 +290,19 @@ object TextAnalysis {
     Seq("group_key", "bucket", "__gid", "__grp").foreach(c =>
       require(!df.columns.contains(c),
         s"groupAwareSplitBucket: input already has a '$c' column"))
-    df.join(
-        groups.select(col("id").cast("long").as("__gid"),
-          col("group_id").cast("long").as("__grp")),
-        col(idCol).cast("long") === col("__gid"), "left")
+    // a silent long cast on string ids would NULL the join and quietly
+    // fall EVERY doc back to its own id — re-scattering near-dup groups
+    // across folds, the exact leakage this op exists to prevent
+    Search.requireIntegralId(df, idCol, "groupAwareSplitBucket")
+    Search.requireIntegralId(groups, "id", "groupAwareSplitBucket", role = "groups id")
+    Search.requireIntegralId(groups, "group_id", "groupAwareSplitBucket", role = "group_id")
+    // duplicate id rows in a hand-built groups frame would FAN OUT doc
+    // rows through the join; deterministic min-group per id (one small
+    // keys-sized aggregate) instead of an arbitrary dropDuplicates pick
+    val g1 = groups.select(col("id").cast("long").as("__gid"),
+        col("group_id").cast("long").as("__grp"))
+      .groupBy("__gid").agg(min(col("__grp")).as("__grp"))
+    df.join(g1, col(idCol).cast("long") === col("__gid"), "left")
       .withColumn("group_key", coalesce(col("__grp"), col(idCol).cast("long")))
       .withColumn("bucket", splitBucket(col("group_key")))
       .drop("__gid", "__grp")

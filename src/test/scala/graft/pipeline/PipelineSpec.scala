@@ -1723,6 +1723,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3) == ((4L, "", "", "", "", "", "")))
     // a '?' AFTER '#' belongs to the fragment, not the query component
     assert(got(4) == ((5L, "https", "ex.com", "/page", "", "sec?x=1", "ex.com")))
+    // userinfo is stripped: 'trusted.com@spam.example' keying its domain
+    // as trusted.com is the classic blocklist-evasion trick
+    val spoofed = TextAnalysis.urlParts(
+      Seq((9L, "https://trusted.com@spam.example/page")).toDF("id", "url"), "url")
+      .select("host", "domain").as[(String, String)].head()
+    assert(spoofed == (("spam.example", "spam.example")), s"got $spoofed")
   }
 
   test("scriptProfile counts each writing system; dominance ties break deterministically") {
@@ -1737,6 +1743,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0) == ((1L, 3L, 6L, 2L, 5L, 2L, "cyrillic")), s"got ${got(0)}")
     assert(got(1)._7 == "cyrillic" && got(1)._2 == 0L)
     assert(got(2) == ((3L, 0L, 0L, 0L, 0L, 0L, "none")))
+    // Hangul counts as CJK — a pure-Korean doc must not route to 'none'
+    val ko = TextAnalysis.scriptProfile(
+      Seq((9L, "안녕하세요 세계")).toDF("id", "t"), "t")
+      .select("n_cjk", "dominant").as[(Long, String)].head()
+    assert(ko == ((7L, "cjk")), s"got $ko")
   }
 
   test("similarityJoin char+word variants find exactly the brute-force pairs") {
