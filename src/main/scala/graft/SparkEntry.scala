@@ -2040,6 +2040,50 @@ object SparkEntry {
           Seq("dup", "window"), window = 3)
         .orderBy("doc_id")
     },
+    "rel_cube" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // full CUBE over (returnflag, linestatus): all four grouping sets in
+      // one pass — same partial-agg shape as ROLLUP, subtotal NULLs
+      // coalesced so engine null-ordering can't affect the sort
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rflag, lstatus""")
+    },
+    "rel_histogram" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // equi-width price histogram: integer bin edges (ceil-width over the
+      // observed [min,max] cents), algebraic min/max boundary pass — the
+      // cheap-at-100TB histogram, unlike the holistic percentile family
+      pipeline.Relational.histogram(s.table("lineitem"), "l_extendedprice",
+          nBins = 16)
+        .orderBy("bin")
+    },
+    "rel_mode" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // busiest ship month per return flag — deterministic per-group mode
+      // (max count, ties to the smallest value), two partial-aggregated
+      // groupBys, no window, no per-group value list
+      val li = s.table("lineitem")
+        .select(col("l_returnflag"), month(col("l_shipdate")).as("ship_month"))
+      pipeline.Relational.modeBy(li, Seq("l_returnflag"), "ship_month")
+        .orderBy("l_returnflag")
+    },
+    "rel_mad" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // robust spread: exact median absolute deviation of quantity per
+      // return flag (R-7 interpolation both engines), quantized for hashing
+      pipeline.Relational.mad(s.table("lineitem"), Seq("l_returnflag"),
+          "l_quantity")
+        .select(col("l_returnflag"),
+          floor(col("med") * 100 + 0.5).cast("long").as("med_c"),
+          floor(col("mad") * 100 + 0.5).cast("long").as("mad_c"))
+        .orderBy("l_returnflag")
+    },
     "sessionize_events" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch twin of streaming.EventStreams.sessionize (30-minute gap)
@@ -2630,6 +2674,48 @@ object SparkEntry {
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rflag, lstatus""",
+    "rel_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+                coalesce(l_linestatus, 'ALL') AS lstatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rflag, lstatus""",
+    "rel_histogram" ->
+      """WITH m AS (SELECT min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS lo,
+                           max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS hi
+                    FROM lineitem),
+              p AS (SELECT lo, greatest(1, (hi - lo) // 16 +
+                      CASE WHEN (hi - lo) % 16 = 0 THEN 0 ELSE 1 END) AS w FROM m),
+              v AS (SELECT least(15, (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                      - (SELECT lo FROM p)) // (SELECT w FROM p)) AS bin
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         SELECT CAST(bin AS INT) AS bin,
+                (SELECT lo FROM p) + bin * (SELECT w FROM p) AS lo_cents,
+                (SELECT lo FROM p) + (bin + 1) * (SELECT w FROM p) AS hi_cents,
+                count(*) AS n
+         FROM v GROUP BY bin ORDER BY bin""",
+    "rel_mode" ->
+      """SELECT l_returnflag, mode_value, mode_n FROM (
+           SELECT l_returnflag, ship_month AS mode_value, n AS mode_n,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY n DESC, ship_month ASC) AS rn
+           FROM (SELECT l_returnflag, CAST(month(l_shipdate) AS INT) AS ship_month,
+                        count(*) AS n
+                 FROM lineitem WHERE l_shipdate IS NOT NULL
+                 GROUP BY 1, 2))
+         WHERE rn = 1 ORDER BY l_returnflag""",
+    "rel_mad" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+                      FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag,
+                CAST(floor(any_value(med.m) * 100 + 0.5) AS BIGINT) AS med_c,
+                CAST(floor(quantile_cont(abs(l.l_quantity - med.m), 0.5) * 100 + 0.5)
+                     AS BIGINT) AS mad_c
+         FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+         WHERE l.l_quantity IS NOT NULL
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "rel_setops" ->
       """SELECT 'both_years' AS k, count(*) AS n FROM (
            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997

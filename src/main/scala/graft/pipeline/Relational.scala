@@ -272,6 +272,85 @@ object Relational {
           expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)")))))
   }
 
+  /** Equi-width histogram of `valueCol` (in cents): `nBins` integer-width
+    * bins over the column's observed [min, max]. Two passes, both trivially
+    * scalable: one min/max aggregate (two longs to the driver), then a
+    * pure-map bin assignment + one partial-aggregated groupBy — the same
+    * shape as [[winsorize]]'s boundary pass, but the boundary aggregate is
+    * algebraic (min/max merge), NOT holistic, so unlike the exact-percentile
+    * family this histogram costs a cheap map-side-combined pass even at
+    * 100 TB. All arithmetic is integer (`width = ceil(span / nBins)`,
+    * `bin = (cents - lo) DIV width`): bin edges replay exactly in any
+    * engine, no float boundary can drift a row across bins. The max value
+    * lands in the LAST bin (half-open bins `[lo+i·w, lo+(i+1)·w)` with the
+    * top edge clamped). NULL values are excluded (they have no position on
+    * the axis; count them separately with a `count(*) - count(v)` audit).
+    * Output: `bin, lo_cents, hi_cents, n` — `hi_cents` exclusive. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 100000,
+      s"nBins must be in [1, 100000], got $nBins")
+    val cents = expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)")
+    val row = df.agg(min(cents), max(cents)).head
+    require(!row.isNullAt(0), "histogram needs at least one non-NULL value")
+    val lo = row.getLong(0)
+    val hi = row.getLong(1)
+    val width = math.max(1L, (hi - lo) / nBins + (if ((hi - lo) % nBins == 0) 0 else 1))
+    df.where(col(valueCol).isNotNull)
+      .select(least(lit(nBins - 1L), binOf(cents - lit(lo), width)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin").cast("int").as("bin"),
+        (lit(lo) + col("bin") * width).as("lo_cents"),
+        (lit(lo) + (col("bin") + 1) * width).as("hi_cents"),
+        col("n"))
+  }
+
+  /** Per-group MODE, deterministic: the most frequent value of `valueCol`
+    * within each group, ties broken by the SMALLEST value (an undefined
+    * tie would drift between runs/engines — a mode that changes under
+    * repartitioning is not a statistic). Two partial-aggregated groupBys:
+    * (group, value) counts, then an argmax carried as `min(struct(-cnt,
+    * value))` — both merge map-side, no window, no value list ever
+    * materializes per group. NULL values are excluded (a "most frequent:
+    * unknown" answer is an audit row, not a mode). Output: the group
+    * columns + `mode_value` (valueCol's type) + `mode_n`. */
+  def modeBy(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "modeBy: groupCols must be non-empty")
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(struct((-col("__n")).as("negn"), col(valueCol).as("v"))).as("__best"))
+      .select((groupCols.map(col) :+
+        col("__best.v").as("mode_value") :+
+        (-col("__best.negn")).as("mode_n")): _*)
+  }
+
+  /** Per-group MEDIAN ABSOLUTE DEVIATION — the robust spread statistic
+    * (insensitive to the outliers that own a stddev): exact R-7 median of
+    * `|v − median(v)|` per group. Two holistic percentile aggregates with a
+    * group-cardinality-sized join between them (the median table is tiny —
+    * broadcast — so the detail frame shuffles ONCE, for the final per-group
+    * aggregate). The usual exact-percentile scale note applies ([[
+    * quantileBuckets]]): per-group value buffers at one reducer each —
+    * exact and priced accordingly; swap in the KLL sketch for the
+    * approximate variant. NULLs are excluded from both passes. Output:
+    * group columns + `med` + `mad` (both DOUBLE — R-7 interpolates
+    * halves; quantize at the call site for hashing). */
+  def mad(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mad: groupCols must be non-empty")
+    Seq("__med", "med", "mad").foreach(c =>
+      require(!df.columns.contains(c), s"mad: column name '$c' is reserved"))
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(meds), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("__med")).as("med"),
+        expr(s"percentile(abs($valueCol - __med), 0.5)").as("mad"))
+  }
+
   /** Pre-flight cardinality audit for a proposed equi join: the EXACT
     * output-row count each key would contribute (`n_left × n_right`),
     * top-k heaviest first — computed from per-key count profiles alone,

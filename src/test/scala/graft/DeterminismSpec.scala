@@ -63,7 +63,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_simjoin_exact", "emb_mutual_pairs", "pipeline_group_split",
     "graph_shortest_paths",
     // r7 session 6: containment posting join, scd2-interval as-of lookup
-    "dedup_containment", "events_scd2_lookup")
+    "dedup_containment", "events_scd2_lookup",
+    // r7 session 7: argmax-struct mode ties, two-pass holistic MAD,
+    // min/max-boundary histogram binning
+    "rel_mode", "rel_mad", "rel_histogram")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1273,6 +1273,51 @@ class PipelineSpec extends AnyFunSuite {
       s"NULL row must get a NULL bucket, not silent minimum-imputation: ${b.toSeq}")
   }
 
+  test("histogram: integer ceil-width bins, max value clamped into the last bin") {
+    // values 0..10 cents over 4 bins: span 1000, width ceil(1000/4)=250
+    val df = Seq(0.0, 1.0, 2.49, 2.5, 5.0, 10.0).toDF("v")
+    val got = Relational.histogram(df, "v", 4)
+      .orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // cents: 0, 100, 249, 250, 500, 1000 → bins 0,0,0,1,2,3(clamped max)
+    assert(got == Seq((0, 0L, 250L, 3L), (1, 250L, 500L, 1L),
+      (2, 500L, 750L, 1L), (3, 750L, 1000L, 1L)), s"got $got")
+    // degenerate single-value input: one bin, width floor 1, count intact
+    val one = Seq(7.0, 7.0).toDF("v")
+    val g1 = Relational.histogram(one, "v", 8).collect()
+    assert(g1.map(_.getLong(3)).sum == 2 && g1.length == 1, s"got ${g1.toSeq}")
+    // NULLs are excluded, not imputed into bin 0
+    val withNull = Seq(Some(1.0), Some(2.0), None).toDF("v")
+    assert(Relational.histogram(withNull, "v", 2)
+      .agg(sum("n")).head.getLong(0) == 2)
+  }
+
+  test("modeBy: most frequent value per group, ties to the smallest value") {
+    val df = Seq(("a", 3), ("a", 3), ("a", 1), ("a", 1), ("a", 2),
+      ("b", 9)).toDF("g", "v") // group a: 3 and 1 tie at 2 → mode 1
+    val got = Relational.modeBy(df, Seq("g"), "v")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 1, 2L), ("b", 9, 1L)), s"got $got")
+    // string values order lexicographically in the tie-break
+    val s = Seq(("g", "zz"), ("g", "aa")).toDF("g", "v")
+    assert(Relational.modeBy(s, Seq("g"), "v").head.getString(1) == "aa")
+    // NULL values never win (excluded before counting)
+    val n = Seq(("g", None), ("g", None), ("g", Some("x"))).toDF("g", "v")
+    assert(Relational.modeBy(n, Seq("g"), "v").head.getString(1) == "x")
+  }
+
+  test("mad: exact R-7 median absolute deviation per group") {
+    // group a: 1,2,3,4,100 → med 3, |dev| = 2,1,0,1,97 → mad 1
+    // group b: 10,20 → med 15, |dev| = 5,5 → mad 5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 10.0), ("b", 20.0)).toDF("g", "v")
+    val got = Relational.mad(df, Seq("g"), "v")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 3.0, 1.0), ("b", 15.0, 5.0)), s"got $got")
+    intercept[IllegalArgumentException](
+      Relational.mad(df.withColumn("mad", lit(1)), Seq("g"), "v"))
+  }
+
   test("PII redaction scrubs emails, IPs, and phone numbers") {
     val df = Seq((1L, "mail me at a.b+c@x-mail.org or call 555-123-4567 from 10.0.0.1 ok"))
       .toDF("doc_id", "text")
