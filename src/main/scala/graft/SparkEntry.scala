@@ -1646,6 +1646,22 @@ object SparkEntry {
       pipeline.TimeSeries.forwardFill(s.table("events"), "user_id", "ts", "value")
         .orderBy("user_id", "day")
     },
+    "events_trend" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // per-user OLS daily-revenue slope over the gap-filled spine —
+      // exact decimal moments (x = absolute epoch day; slope is
+      // x-translation-invariant, so no per-key anchor window), IEEE
+      // double only in the final num/den division
+      pipeline.TimeSeries.trend(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
+    "events_changepoint" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // per-user best mean-shift split day by the integer CUSUM argmax
+      // |n·S_k − k·S_n| — no variance, no float, ties to earliest day
+      pipeline.TimeSeries.changepoint(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
     "pipeline_incremental_rollup" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // incremental aggregate maintenance: fold a delta batch's rollup
@@ -3640,6 +3656,52 @@ object SparkEntry {
                 CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
          FROM spine s LEFT JOIN b USING (user_id, day)
          ORDER BY user_id, day""",
+    "events_trend" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id,
+                      CAST(date_diff('day', DATE '1970-01-01', s.day) AS HUGEINT) AS x,
+                      CAST(coalesce(b.cents, 0) AS HUGEINT) AS y
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              m AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                           sum(x) AS sx, sum(y) AS sy,
+                           sum(x * y) AS sxy, sum(x * x) AS sxx
+                    FROM f GROUP BY 1 HAVING count(*) >= 2)
+         SELECT user_id, CAST(n AS BIGINT) AS n_days,
+                CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS slope_ppm
+         FROM m ORDER BY user_id""",
+    "events_changepoint" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day,
+                      CAST(coalesce(b.cents, 0) AS HUGEINT) AS y
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              w AS (SELECT user_id, day,
+                      CAST(row_number() OVER pk AS HUGEINT) AS k,
+                      sum(y) OVER pk AS sk,
+                      CAST(count(*) OVER (PARTITION BY user_id) AS HUGEINT) AS n,
+                      sum(y) OVER (PARTITION BY user_id) AS sn
+                    FROM f
+                    WINDOW pk AS (PARTITION BY user_id ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              d AS (SELECT user_id, day, n, abs(n * sk - k * sn) AS dd,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY abs(n * sk - k * sn) DESC, day ASC) AS rn
+                    FROM w WHERE k < n)
+         SELECT user_id, day AS change_day, CAST(n AS BIGINT) AS n_days,
+                CAST(dd AS BIGINT) AS score
+         FROM d WHERE rn = 1 ORDER BY user_id""",
     "events_rolling_7d" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(count(*) AS BIGINT) AS n_events,

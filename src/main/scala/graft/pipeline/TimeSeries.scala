@@ -143,6 +143,82 @@ object TimeSeries {
       .drop("__sumsq", "__bsum")
   }
 
+  /** Per-key OLS TREND: the least-squares slope of daily value (cents)
+    * against the calendar day, fit over the gap-filled spine (a silent
+    * day IS zero revenue — fitting observed days only would bias every
+    * sparse key upward). All five moments (n, Σx, Σy, Σxy, Σx²)
+    * accumulate EXACTLY in DECIMAL(38,0) — x is the absolute epoch day:
+    * the OLS slope is translation-invariant in x, so no per-key
+    * first-day window/join is needed and the whole fit is the spine +
+    * ONE partial-aggregated groupBy. IEEE double appears only in the
+    * final num/den division, with the cast at one pinned point so the
+    * oracle replays it bit-for-bit (the `rel_correlation` rule).
+    *
+    * Output: `keyCol, n_days, slope_ppm` — slope in millionths of a
+    * cent per day, half-up. Keys with a single spine day have no slope
+    * and are excluded. The magnitude bound is generous: moments run in
+    * decimal, and `num`/`den` (translation-invariant) stay within 2^53
+    * for any key under ~$10M/day across a century, so the final double
+    * division is exact-input. */
+  def trend(events: DataFrame, keyCol: String, tsCol: String,
+            valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val xy = resampleGapFill(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol),
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast(dec).as("__x"),
+        col("value_cents").cast(dec).as("__y"))
+    val m = xy.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .where(col("__n") >= 2)
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    m.select(col(keyCol), col("__n").cast("long").as("n_days"),
+      floor(num.cast("double") / den.cast("double") * 1e6 + 0.5)
+        .cast("long").as("slope_ppm"))
+  }
+
+  /** Per-key CHANGEPOINT: the spine day that best splits the series into
+    * a before/after mean shift, located by the CUSUM statistic
+    * `D_k = |n·S_k − k·S_n|` (S_k = running cents sum, S_n = the key's
+    * total) — the integer-exact numerator of the classic mean-shift
+    * likelihood ratio, so the argmax replays exactly in any engine: no
+    * variance estimate, no sqrt, no float. Ties break to the EARLIEST
+    * day (first time the evidence peaks). The split day is the LAST day
+    * of the left segment; k ranges over 1..n−1, so single-day keys drop
+    * out and the maximum is over real splits only.
+    *
+    * Plan shape: the spine, two windows (running / whole-partition) on
+    * ONE key-partitioned exchange, then the argmax groupBy on the same
+    * key — bounded per-key state, no self-join. D fits BIGINT for any
+    * key under ~$40M·days² of volume; the windows run in DECIMAL(38,0)
+    * so the bound is on the OUTPUT cast only (loud in ANSI, monotone
+    * everywhere else).
+    *
+    * Output: `keyCol, change_day, n_days, score` (score = max D). */
+  def changepoint(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wRun = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val scored = resampleGapFill(events, keyCol, tsCol, valueCol)
+      .withColumn("__k", count(lit(1)).over(wRun).cast(dec))
+      .withColumn("__sk", sum(col("value_cents").cast(dec)).over(wRun))
+      .withColumn("__n", count(lit(1)).over(wAll).cast(dec))
+      .withColumn("__sn", sum(col("value_cents").cast(dec)).over(wAll))
+      .where(col("__k") < col("__n"))
+      .withColumn("__d", abs(col("__n") * col("__sk") - col("__k") * col("__sn")))
+    scored.groupBy(col(keyCol))
+      .agg(min(struct((-col("__d")).as("negd"), col("day").as("d"))).as("__best"),
+        first(col("__n")).cast("long").as("n_days"))
+      .select(col(keyCol), col("__best.d").as("change_day"), col("n_days"),
+        (-col("__best.negd")).cast("long").as("score"))
+  }
+
   /** Slowly-changing-dimension type-2 interval builder: turn a per-key
     * CHANGE LOG (one row per observation, ordered by `tsCol` with
     * `tieCol` breaking timestamp collisions) into validity intervals —

@@ -66,7 +66,9 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_containment", "events_scd2_lookup",
     // r7 session 7: argmax-struct mode ties, two-pass holistic MAD,
     // min/max-boundary histogram binning
-    "rel_mode", "rel_mad", "rel_histogram")
+    "rel_mode", "rel_mad", "rel_histogram",
+    // decimal moment sums + final-double slope; CUSUM window argmax
+    "events_trend", "events_changepoint")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -135,4 +135,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("ts")))
   }
+
+  test("trend: exact OLS slope over the spine, gaps fit as zeros, 1-day keys drop") {
+    val ev = Seq(
+      // key 1: 1.00, 2.00, 3.00, 4.00 on consecutive days → +100 cents/day
+      (1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(3), 3.0), (1L, ts(4), 4.0),
+      // key 2: 1.00 on day 1, 3.00 on day 3 — day 2 fits as ZERO, so the
+      // slope is Σ over x=0,1,2 / y=100,0,300: num=600, den=6 → 100 c/day
+      (2L, ts(1), 1.0), (2L, ts(3), 3.0),
+      // key 3: a single day — no slope, excluded
+      (3L, ts(5), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.trend(ev, "user_id", "ts", "value")
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 100000000L), (2L, 3L, 100000000L)), s"$got")
+  }
+
+  test("changepoint: CUSUM argmax lands on the true shift, ties to earliest day") {
+    val ev = Seq(
+      // key 1: 2,2,2,10,10 cents·100 → D_k = 16,32,48,24 → split after day 3
+      (1L, ts(1), 0.02), (1L, ts(2), 0.02), (1L, ts(3), 0.02),
+      (1L, ts(4), 0.10), (1L, ts(5), 0.10),
+      // key 2: flat — every D_k = 0, earliest day wins
+      (2L, ts(1), 0.01), (2L, ts(2), 0.01), (2L, ts(3), 0.01),
+      // key 3: single day — no split exists, excluded
+      (3L, ts(7), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.changepoint(ev, "user_id", "ts", "value")
+      .orderBy("user_id").as[(Long, Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Date.valueOf("2024-03-03"), 5L, 48L),
+      (2L, Date.valueOf("2024-03-01"), 3L, 0L)), s"$got")
+  }
 }
