@@ -1849,6 +1849,19 @@ object SparkEntry {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       pipeline.Graph.triangleCounts(e, "src", "dst").orderBy("node")
     },
+    "graph_clustering" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // local clustering coefficient over the same co-purchase graph —
+      // the normalized neighborhood-density signal raw triangle counts
+      // can't give (a hub's thousand triangles ≠ a dense ring); integral
+      // ppm division, degree<2 excluded, triangle-free degree≥2 → 0
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.clusteringCoefficient(e, "src", "dst").orderBy("node")
+    },
     "graph_ppr" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // personalized PageRank: restart mass pinned to a 1-in-97 customer
@@ -2309,6 +2322,27 @@ object SparkEntry {
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
          GROUP BY node ORDER BY node""",
+    "graph_clustering" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+              p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                    FROM li x JOIN li y
+                      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              deg AS (SELECT n, count(*) AS d FROM (
+                        SELECT a AS n FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+              tri AS (SELECT xy.a AS x, xy.b AS y, yz.b AS z
+                      FROM p xy JOIN p yz ON xy.b = yz.a
+                                JOIN p xz ON xz.a = xy.a AND xz.b = yz.b),
+              tc AS (SELECT node, count(*) AS n_triangles
+                     FROM (SELECT x AS node FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri)
+                     GROUP BY node)
+         SELECT deg.n AS node, deg.d AS degree,
+                CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+                (2 * CAST(coalesce(tc.n_triangles, 0) AS BIGINT) * 1000000)
+                  // (deg.d * (deg.d - 1)) AS coeff_ppm
+         FROM deg LEFT JOIN tc ON tc.node = deg.n
+         WHERE deg.d >= 2 ORDER BY node""",
     "jq_single_int" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",

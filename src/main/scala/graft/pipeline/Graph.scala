@@ -442,9 +442,40 @@ object Graph {
     * wedge self-join on u, and the closing semi join on (v, w); per-node
     * counts ride the corner explode's aggregate. */
   def triangleCounts(edges: DataFrame, srcCol: String,
-                     dstCol: String): DataFrame = {
-    Search.requireIntegralId(edges, srcCol, "triangleCounts", role = "src id")
-    Search.requireIntegralId(edges, dstCol, "triangleCounts", role = "dst id")
+                     dstCol: String): DataFrame =
+    triangleCore(edges, srcCol, dstCol, "triangleCounts")._3
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT: `2·T(v) / (d(v)·(d(v)−1))`
+    * in integer ppm — how close each node's neighborhood is to a clique
+    * (the boilerplate-ring / spam-farm density signal the raw triangle
+    * count can't normalize: a hub in a sparse web has thousands of
+    * triangles and a near-zero coefficient). Nodes of degree < 2 have no
+    * defined coefficient and are EXCLUDED (emitting 0 would conflate
+    * "leaf" with "locally tree-like"); triangle-free nodes of degree ≥ 2
+    * report 0. The division is integral (`2·T·10⁶ DIV d(d−1)` — exact,
+    * no float), overflow-safe to ~10¹² triangles/node.
+    *
+    * Same plan as [[triangleCounts]] plus one degree join (the degree
+    * frame already exists from the orientation step — reused, not
+    * recomputed). Output: `node, degree, n_triangles, coeff_ppm`. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val (_, deg, tri) = triangleCore(edges, srcCol, dstCol, "clusteringCoefficient")
+    deg.where(col("d") >= 2)
+      .join(tri, col("n") === tri("node"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_ppm",
+        expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"))
+  }
+
+  /** Shared core of [[triangleCounts]] / [[clusteringCoefficient]]:
+    * (canonical undirected edges, degree frame, per-node triangle
+    * counts). */
+  private def triangleCore(edges: DataFrame, srcCol: String, dstCol: String,
+                           op: String): (DataFrame, DataFrame, DataFrame) = {
+    Search.requireIntegralId(edges, srcCol, op, role = "src id")
+    Search.requireIntegralId(edges, dstCol, op, role = "dst id")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
@@ -482,8 +513,9 @@ object Graph {
     // NOT release them (under the persist strategy that would unpersist
     // never-computed caches and forfeit all reuse); they follow the
     // session cache lifecycle like the LSH bucket tables
-    triangles
+    val tri = triangles
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    (und, deg, tri)
   }
 }

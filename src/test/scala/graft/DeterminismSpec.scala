@@ -68,7 +68,9 @@ class DeterminismSpec extends AnyFunSuite {
     // min/max-boundary histogram binning
     "rel_mode", "rel_mad", "rel_histogram",
     // decimal moment sums + final-double slope; CUSUM window argmax
-    "events_trend", "events_changepoint")
+    "events_trend", "events_changepoint",
+    // degree-join coefficient over the wedge-join triangle core
+    "graph_clustering")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

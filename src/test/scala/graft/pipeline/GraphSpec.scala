@@ -281,4 +281,20 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.shortestPaths(
       Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", Seq(1L).toDF("node"), 0))
   }
+
+  test("clusteringCoefficient: exact ppm, leaves excluded, triangle-free wedge = 0") {
+    // triangle 1-2-3 with pendant 4 on node 3; separate wedge 6-5-7
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (5L, 6L), (5L, 7L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(e, "src", "dst")
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000000L), // closed pair: coefficient 1
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),  // 2·1·10⁶ DIV (3·2)
+      (5L, 2L, 0L, 0L)        // wedge center, no triangle: present, 0
+      // 4, 6, 7: degree 1 — excluded, not reported as 0
+    ), s"got $got")
+  }
 }
