@@ -1983,6 +1983,35 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "rel_zorder_key" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // the Morton z-value itself, oracle-gated: 8-bit buckets of
+      // (partkey, suppkey) bit-interleaved — the write-path layout key
+      // behind Layout.zorderWrite, here verified bit-for-bit against a
+      // DuckDB shift/mask replay (bucket floats evaluated at identical
+      // cast points, the rel_correlation rule)
+      val li = s.table("lineitem")
+      val st = li.agg(
+        min("l_partkey").cast("double"), max("l_partkey").cast("double"),
+        min("l_suppkey").cast("double"), max("l_suppkey").cast("double")).head
+      val z = pipeline.Layout.zValue(Seq(
+        (col("l_partkey"), st.getDouble(0), st.getDouble(1)),
+        (col("l_suppkey"), st.getDouble(2), st.getDouble(3))), bits = 8)
+      li.select(col("l_orderkey"), col("l_linenumber"), z.as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "pipeline_l_diversity" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // homogeneity-attack audit: cohorts (user bucket, day) where the
+      // sensitive attribute (event_type) shows fewer than 3 distinct
+      // values — k-anonymous size alone doesn't stop disclosure
+      val ev = s.table("events")
+        .select((col("user_id") % 25).as("user_bucket"),
+          to_date(col("ts")).as("day"), col("event_type"))
+      pipeline.Maintenance.lDiversityViolations(ev,
+          Seq("user_bucket", "day"), "event_type", l = 3L)
+        .orderBy("user_bucket", "day")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -2254,7 +2283,39 @@ object SparkEntry {
        |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Layout.zValue]] for `rel_zorder_key`:
+    * 8-bit equi-width buckets of (partkey, suppkey) — float bucket math
+    * at the identical evaluation order as the Spark Column — then the
+    * Morton interleave unrolled as 16 shift/mask terms (col 0 takes the
+    * higher bit of each level, matching zValue's fold). */
+  private def zOrderOracleSql: String = {
+    val terms = (0 until 8).flatMap { i =>
+      val base = 1L << (2 * i)
+      Seq(s"((b0 >> $i) & 1) * ${2 * base}", s"((b1 >> $i) & 1) * $base")
+    }.mkString(" + ")
+    s"""WITH m AS (SELECT CAST(min(l_partkey) AS DOUBLE) AS plo,
+       |                  CAST(max(l_partkey) AS DOUBLE) AS phi,
+       |                  CAST(min(l_suppkey) AS DOUBLE) AS slo,
+       |                  CAST(max(l_suppkey) AS DOUBLE) AS shi FROM lineitem),
+       |b AS (SELECT l_orderkey, l_linenumber,
+       |        CAST(least(255, greatest(0, floor((CAST(l_partkey AS DOUBLE) - plo)
+       |          * 256.0 / greatest(phi - plo, 4.9e-324)))) AS BIGINT) AS b0,
+       |        CAST(least(255, greatest(0, floor((CAST(l_suppkey AS DOUBLE) - slo)
+       |          * 256.0 / greatest(shi - slo, 4.9e-324)))) AS BIGINT) AS b1
+       |      FROM lineitem, m)
+       |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
+       |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "rel_zorder_key" -> zOrderOracleSql,
+    "pipeline_l_diversity" ->
+      """SELECT user_bucket, day, n, n_distinct FROM (
+           SELECT user_id % 25 AS user_bucket, CAST(ts AS DATE) AS day,
+                  count(*) AS n,
+                  count(DISTINCT event_type) AS n_distinct
+           FROM events GROUP BY 1, 2)
+         WHERE n_distinct < 3 ORDER BY user_bucket, day""",
     "graph_copurchase" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
                     FROM lineitem WHERE l_orderkey % 4 = 0),

@@ -87,6 +87,31 @@ object Maintenance {
       .where(col("n") < k)
   }
 
+  /** l-DIVERSITY audit — k-anonymity's second line of defense: a
+    * quasi-identifier group can be large (k-anonymous) yet reveal the
+    * SENSITIVE attribute anyway when every member shares one value
+    * (homogeneity attack: "all 50 rows in that cohort are 'purchase'").
+    * Returns the groups whose sensitive attribute takes fewer than `l`
+    * distinct values, with the group size and observed diversity.
+    * NULL sensitive values do NOT count toward diversity (an absent
+    * value discloses nothing and must not mask a homogeneous group) —
+    * an all-NULL group reports diversity 0. One partial-aggregated
+    * groupBy, same shape and scale posture as [[kAnonymityViolations]].
+    * Output: quasi-id columns + `n` + `n_distinct`. */
+  def lDiversityViolations(df: org.apache.spark.sql.DataFrame,
+                           quasiIdCols: Seq[String], sensitiveCol: String,
+                           l: Long): org.apache.spark.sql.DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiIdCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2 (l = 1 can never be violated), got $l")
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_distinct"))
+      .where(col("n_distinct") < l)
+  }
+
   /** Deletion sweep — the takedown/right-to-be-forgotten pass: rewrite
     * the parquet table at `src` into `dst` WITHOUT the rows whose id
     * appears in `tombstones`. The tombstone set rides a BROADCAST anti

@@ -70,7 +70,9 @@ class DeterminismSpec extends AnyFunSuite {
     // decimal moment sums + final-double slope; CUSUM window argmax
     "events_trend", "events_changepoint",
     // degree-join coefficient over the wedge-join triangle core
-    "graph_clustering")
+    "graph_clustering",
+    // driver-literal bucket stats feeding the interleave map
+    "rel_zorder_key")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1628,6 +1628,23 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Option[Int], Long)].collect().toSet
     assert(got == Set(("b", Some(2), 2L), ("c", None, 1L), ("d", Some(9), 1L)), s"$got")
   }
+  test("lDiversityViolations: homogeneous groups flagged even when k-large; NULL adds no diversity") {
+    val df = Seq(
+      // cohort "a": 4 rows but every sensitive value identical — the
+      // homogeneity attack k-anonymity misses
+      ("a", Some("x")), ("a", Some("x")), ("a", Some("x")), ("a", Some("x")),
+      ("b", Some("x")), ("b", Some("y")),          // diversity 2 < 3: flagged
+      ("c", Some("x")), ("c", Some("y")), ("c", Some("z")), // diversity 3: safe
+      ("d", None), ("d", None), ("d", Some("q"))   // NULLs don't count: diversity 1
+    ).toDF("cohort", "diag")
+    val got = Maintenance.lDiversityViolations(df, Seq("cohort"), "diag", l = 3L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 4L, 1L), ("b", 2L, 2L), ("d", 3L, 1L)), s"$got")
+    intercept[IllegalArgumentException](
+      Maintenance.lDiversityViolations(df, Seq("cohort"), "cohort", 3L))
+    intercept[IllegalArgumentException](
+      Maintenance.lDiversityViolations(df, Seq("cohort"), "diag", 1L))
+  }
   test("datasetCard: one-row manifest with exact integer dup rate") {
     val docs = Seq(
       (1L, "same text", "web", "en"),
