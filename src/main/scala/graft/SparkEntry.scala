@@ -1983,6 +1983,17 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "emb_drift" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // snapshot-drift monitor: even vs odd vec_ids as the two corpus
+      // versions; fixed sign-bucket partition (no trained centroids — the
+      // monitor itself can't drift), integer floor-div centroids, L1 gap
+      val emb = s.table("embeddings")
+      pipeline.Similarity.centroidDrift(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding", signDims = 3)
+        .orderBy("bucket")
+    },
     "rel_zorder_key" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // the Morton z-value itself, oracle-gated: 8-bit buckets of
@@ -2309,6 +2320,28 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
+    "emb_drift" ->
+      """WITH q AS (SELECT vec_id, vec_id % 2 AS side,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings WHERE embedding IS NOT NULL),
+              bk AS (SELECT side,
+                       (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS bucket, qv
+                     FROM q),
+              d AS (SELECT bucket, side, generate_subscripts(qv, 1) AS p, unnest(qv) AS x
+                    FROM bk),
+              g AS (SELECT bucket, p,
+                      CAST(sum(CASE WHEN side = 0 THEN x END) AS BIGINT) AS sa,
+                      CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN side = 1 THEN x END) AS BIGINT) AS sb,
+                      CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                    FROM d GROUP BY 1, 2),
+              c AS (SELECT bucket, na, nb, abs(sa // na - sb // nb) AS ad
+                    FROM g WHERE na > 0 AND nb > 0)
+         SELECT CAST(bucket AS INT) AS bucket, max(na) AS n_a, max(nb) AS n_b,
+                CAST(sum(ad) AS BIGINT) AS drift_q
+         FROM c GROUP BY bucket ORDER BY bucket""",
     "pipeline_l_diversity" ->
       """SELECT user_bucket, day, n, n_distinct FROM (
            SELECT user_id % 25 AS user_bucket, CAST(ts AS DATE) AS day,

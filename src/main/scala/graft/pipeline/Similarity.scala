@@ -675,4 +675,55 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("predicted"),
         (col("predicted").isNotNull && col("predicted") === col("label")).as("correct"))
   }
+
+  /** EMBEDDING DRIFT monitor between two corpus snapshots (yesterday's
+    * batch vs today's, model v1 re-embeds vs v2): per deterministic
+    * sign-bucket (the first `signDims` dimensions' sign pattern — a
+    * fixed, engine-replayable partition of the sphere; no trained
+    * centroids, so the monitor itself can't drift), the L1 distance
+    * between the two sides' integer floor-div centroids. A re-embedded
+    * or re-distributed corpus moves these centroids; matched snapshots
+    * don't. All arithmetic quantized-integer ([[Dedup.quantize]]) —
+    * exact, oracle-replayable.
+    *
+    * SCALE: one posexplode + ONE partial-aggregated groupBy — shuffled
+    * state is (2^signDims × dim) longs regardless of corpus size; the
+    * final per-bucket rollup is bucket-cardinality-sized. Buckets
+    * present on only one side are EXCLUDED (no centroid to compare;
+    * count deltas are [[Ledger]] territory). NULL vectors drop;
+    * vectors shorter than `signDims` fail loudly in the consumed
+    * column (prune-safe). Output: `bucket, n_a, n_b, drift_q` —
+    * drift in quantized units (10⁻⁶ of cosine space per dim). */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                    signDims: Int = 3): DataFrame = {
+    require(signDims >= 1 && signDims <= 20,
+      s"signDims must be in [1, 20], got $signDims")
+    def side(df: DataFrame, tag: Int): DataFrame = {
+      val bucketExpr = (0 until signDims).map(j =>
+        when(element_at(col("__qv"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      df.where(col(vecCol).isNotNull)
+        .select(lit(tag).as("__side"), Dedup.quantize(col(vecCol)).as("__qv"))
+        .withColumn("__bucket",
+          when(size(col("__qv")) >= signDims, bucketExpr)
+            .otherwise(raise_error(concat(
+              lit(s"centroidDrift: vector shorter than signDims=$signDims ("),
+              size(col("__qv")).cast("string"), lit(" dims)")))))
+    }
+    side(a, 0).unionByName(side(b, 1))
+      .select(col("__side"), col("__bucket"),
+        posexplode(col("__qv")).as(Seq("__p", "__x")))
+      .groupBy("__bucket", "__p")
+      .agg(sum(when(col("__side") === 0, col("__x"))).as("__sa"),
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === 1, col("__x"))).as("__sb"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .withColumn("__ad", abs(expr("__sa DIV __na") - expr("__sb DIV __nb")))
+      .groupBy("__bucket")
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum("__ad").as("drift_q"))
+      .select(col("__bucket").cast("int").as("bucket"),
+        col("n_a"), col("n_b"), col("drift_q"))
+  }
 }

@@ -72,7 +72,9 @@ class DeterminismSpec extends AnyFunSuite {
     // degree-join coefficient over the wedge-join triangle core
     "graph_clustering",
     // driver-literal bucket stats feeding the interleave map
-    "rel_zorder_key")
+    "rel_zorder_key",
+    // two-side conditional sums + floor-div centroid gap
+    "emb_drift")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1435,6 +1435,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(lab1.map(_._3) == Seq(5L, 6L), s"ties break on vec_id: $got")
   }
 
+  test("centroidDrift: matched snapshots read 0, a planted shift reads its exact L1") {
+    // bucket 1 (dims +,-,-… with signDims=2: sign pattern of first 2 dims)
+    val a = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f)),   // bucket 3
+      (2L, Array(1.0f, 1.0f, 0.5f)),   // bucket 3
+      (3L, Array(-1.0f, 1.0f, 0.0f)),  // bucket 2 — only on side a: excluded
+      (4L, Array(1.0f, -1.0f, 0.25f))  // bucket 1
+    ).toDF("vec_id", "embedding")
+    // side b: bucket-3 members shifted +0.5 on dim 3; bucket-1 identical
+    val b = Seq(
+      (5L, Array(1.0f, 1.0f, 0.5f)),
+      (6L, Array(1.0f, 1.0f, 1.0f)),
+      (7L, Array(1.0f, -1.0f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroidDrift(a, b, "embedding", signDims = 2)
+      .orderBy("bucket").as[(Int, Long, Long, Long)].collect().toSeq
+    // bucket 1: identical vector on both sides → drift 0
+    // bucket 3: dim-3 centroids 250000 vs 750000 → L1 = 500000
+    assert(got == Seq((1, 1L, 1L, 0L), (3, 2L, 2L, 500000L)), s"got $got")
+    // a vector shorter than signDims fails loudly, not a silent bucket-0
+    val short = Seq((9L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[Exception](
+      Similarity.centroidDrift(short, short, "embedding", signDims = 2).collect())
+    intercept[IllegalArgumentException](
+      Similarity.centroidDrift(a, b, "embedding", signDims = 0))
+  }
+
   test("knnLabelAccuracy: clustered labels verify, the planted mislabel is caught") {
     // two tight clusters; vec 7 sits in cluster 0 but carries label 1 —
     // its neighbors outvote the label, so it (and only it) is incorrect
