@@ -1983,6 +1983,34 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "events_ab_test" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // integer-exact two-proportion z-test: per-user conversion (any
+      // purchase), variants by user parity, cross-multiplied verdict —
+      // no float/sqrt before the boolean
+      pipeline.Relational.abTest(
+        s.table("events").select(col("user_id"),
+          (col("user_id") % 2).as("variant"),
+          (col("event_type") === "purchase").as("converted")),
+        "user_id", "variant", "converted")
+    },
+    "search_rbo" -> { (s, dir) =>
+      prep(s, dir, "orders", "customer")
+      // rank-biased overlap between "top orders by spend" and "by
+      // recency" per market segment — exact integer RBO at p=1/2, d=10
+      val byPrice = s.sql("""
+        SELECT c_mktsegment, o_orderkey AS doc_id,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey""")
+      val byDate = s.sql("""
+        SELECT c_mktsegment, o_orderkey AS doc_id,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_orderdate DESC, o_orderkey) AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey""")
+      pipeline.Search.rboPrefix(byPrice, byDate, "c_mktsegment", d = 10)
+        .orderBy("c_mktsegment")
+    },
     "emb_drift" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // snapshot-drift monitor: even vs odd vec_ids as the two corpus
@@ -2318,8 +2346,62 @@ object SparkEntry {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Search.rboPrefix]] for `search_rbo`:
+    * the same integer weight table W(m) = Σ_{k=m..d} (lcm/k)·2^(d−k),
+    * generated by the same arithmetic. */
+  private def rboOracleSql: String = {
+    val d = 10
+    val lcm = (1 to d).foldLeft(1L) { (acc, k) =>
+      @annotation.tailrec def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      acc / gcd(acc, k) * k
+    }
+    val w = (1 to d).map(m => (m to d).map(k => (lcm / k) << (d - k)).sum)
+    val full = lcm * ((1L << d) - 1)
+    s"""WITH ap AS (SELECT c_mktsegment, o_orderkey AS doc_id,
+       |              row_number() OVER (PARTITION BY c_mktsegment
+       |                ORDER BY o_totalprice DESC, o_orderkey) AS ra
+       |            FROM orders JOIN customer ON o_custkey = c_custkey),
+       |bp AS (SELECT c_mktsegment, o_orderkey AS doc_id,
+       |         row_number() OVER (PARTITION BY c_mktsegment
+       |           ORDER BY o_orderdate DESC, o_orderkey) AS rb
+       |       FROM orders JOIN customer ON o_custkey = c_custkey),
+       |j AS (SELECT a.c_mktsegment,
+       |        [${w.mkString(", ")}][CAST(greatest(a.ra, b.rb) AS INT)] AS wt
+       |      FROM (SELECT * FROM ap WHERE ra <= $d) a
+       |      JOIN (SELECT * FROM bp WHERE rb <= $d) b
+       |        ON a.c_mktsegment = b.c_mktsegment AND a.doc_id = b.doc_id),
+       |g AS (SELECT c_mktsegment, count(*) AS shared_docs,
+       |        (sum(wt) * 1000000) // $full AS rbo_ppm FROM j GROUP BY 1),
+       |q AS (SELECT DISTINCT c_mktsegment
+       |      FROM orders JOIN customer ON o_custkey = c_custkey)
+       |SELECT q.c_mktsegment,
+       |       CAST(coalesce(g.shared_docs, 0) AS BIGINT) AS shared_docs,
+       |       CAST(coalesce(g.rbo_ppm, 0) AS BIGINT) AS rbo_ppm
+       |FROM q LEFT JOIN g USING (c_mktsegment) ORDER BY c_mktsegment""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
+    "search_rbo" -> rboOracleSql,
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS v,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+                    FROM events GROUP BY 1, 2),
+              g AS (SELECT v, count(*) AS n, CAST(sum(s) AS BIGINT) AS c FROM u GROUP BY 1),
+              a AS (SELECT * FROM g ORDER BY v LIMIT 1),
+              b AS (SELECT * FROM g ORDER BY v DESC LIMIT 1),
+              t AS (SELECT a.v AS va, a.n AS n1, a.c AS c1,
+                           b.v AS vb, b.n AS n2, b.c AS c2 FROM a, b)
+         SELECT va AS variant_a, n1 AS n_a, c1 AS conv_a,
+                vb AS variant_b, n2 AS n_b, c2 AS conv_b,
+                CAST((c1 * 1000000) // n1 - (c2 * 1000000) // n2 AS BIGINT) AS diff_ppm,
+                (CAST(625 AS HUGEINT)
+                   * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+                   * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+                   * (n1 + n2))
+                > (CAST(2401 AS HUGEINT) * (c1 + c2)
+                   * ((n1 + n2) - (c1 + c2)) * n1 * n2) AS significant
+         FROM t""",
     "emb_drift" ->
       """WITH q AS (SELECT vec_id, vec_id % 2 AS side,
                       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv

@@ -351,6 +351,66 @@ object Relational {
         expr(s"percentile(abs($valueCol - __med), 0.5)").as("mad"))
   }
 
+  /** Two-proportion A/B TEST, integer-exact (the [[TimeSeries.anomalies]]
+    * discipline): per-unit conversion (a unit converts if ANY of its rows
+    * has `successCol` true — row-level counting would let chatty users
+    * vote repeatedly), two variants compared by the pooled two-proportion
+    * z-test at z = 1.96 (two-sided 5%), CROSS-MULTIPLIED so no float,
+    * sqrt, or division appears before the verdict:
+    *
+    *   625 · (c₁n₂ − c₂n₁)² · N  >  2401 · c · (N−c) · n₁ · n₂
+    *
+    * (z² = 3.8416 = 2401/625 exactly; c = c₁+c₂, N = n₁+n₂.) Runs in
+    * DECIMAL(38,0): exact to ~3·10⁶ units per variant — past that, run
+    * the test on a deterministic unit sample (at that n any real
+    * difference is significant anyway). A unit observed under MULTIPLE
+    * variants (or a NULL variant) is assignment corruption and fails
+    * LOUDLY inside the consumed column — the sample-ratio-mismatch class
+    * of bug silently biases every downstream readout. Exactly two
+    * variants required (checked in the consumed output, same rule).
+    * Variant `a` is the smaller variant value; `diff_ppm` = a's
+    * conversion minus b's in ppm (integral division).
+    *
+    * One row out; two partial-aggregated groupBys (unit, then variant —
+    * the second input is variant-cardinality-sized). Output: `variant_a,
+    * n_a, conv_a, variant_b, n_b, conv_b, diff_ppm, significant`. */
+  def abTest(df: DataFrame, unitCol: String, variantCol: String,
+             successCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val units = df.groupBy(col(unitCol))
+      .agg(countDistinct(col(variantCol)).as("__nv"),
+        max(col(variantCol)).as("__v"),
+        coalesce(max(col(successCol).cast("int")), lit(0)).as("__s"))
+      .select(
+        when(col("__nv") === 1, col("__v"))
+          .otherwise(raise_error(concat(
+            lit("abTest: unit under multiple or NULL variants ("),
+            col(unitCol).cast("string"), lit(")")))).as("__v"),
+        col("__s"))
+    val one = units.groupBy("__v")
+      .agg(count(lit(1)).as("n"), sum("__s").cast("long").as("c"))
+      .agg(count(lit(1)).as("__k"),
+        min(struct(col("__v"), col("n"), col("c"))).as("__a"),
+        max(struct(col("__v"), col("n"), col("c"))).as("__b"))
+    val Seq(n1, c1, n2, c2) =
+      Seq("__a.n", "__a.c", "__b.n", "__b.c").map(f => col(f).cast(dec))
+    val bigN = n1 + n2
+    val bigC = c1 + c2
+    val d = c1 * n2 - c2 * n1
+    val sig = lit(625).cast(dec) * d * d * bigN >
+      lit(2401).cast(dec) * bigC * (bigN - bigC) * n1 * n2
+    one.select(
+      when(col("__k") === 2, col("__a.__v"))
+        .otherwise(raise_error(concat(lit("abTest: expected exactly 2 variants, got "),
+          col("__k").cast("string")))).as("variant_a"),
+      col("__a.n").as("n_a"), col("__a.c").as("conv_a"),
+      col("__b.__v").as("variant_b"),
+      col("__b.n").as("n_b"), col("__b.c").as("conv_b"),
+      (expr("(__a.c * 1000000) DIV __a.n")
+        - expr("(__b.c * 1000000) DIV __b.n")).as("diff_ppm"),
+      sig.as("significant"))
+  }
+
   /** Pre-flight cardinality audit for a proposed equi join: the EXACT
     * output-row count each key would contribute (`n_left × n_right`),
     * top-k heaviest first — computed from per-key count profiles alone,

@@ -428,6 +428,62 @@ object Search {
           E.expression(col(textCol)), terms, window)).as("snippet"))
       .where(col("snippet").isNotNull)
 
+  /** RANK-BIASED OVERLAP (Webber et al. 2010) between two ranked lists
+    * per query, at p = 1/2 and depth `d`, as an EXACT integer: the
+    * ranking-similarity metric for comparing retrieval variants (did the
+    * new scorer reshuffle the head or just the tail? — RBO top-weights
+    * exactly the positions users see). The standard prefix form
+    *
+    *   RBO_min = Σ_{k=1..d} (1−p)·p^(k−1) · |A_k ∩ B_k| / k
+    *
+    * regroups per shared doc: a doc at ranks (ra, rb) joins every prefix
+    * k ≥ max(ra, rb), so its total weight is W(max(ra,rb)) with
+    * W(m) = Σ_{k=m..d} (L/k)·2^(d−k), L = lcm(1..d) — ALL integer. The
+    * op is then one equi join on (query, doc) + a W-array-literal lookup
+    * + one aggregate; identical rankings score exactly L·(2^d − 1), and
+    * the output normalizes to ppm by integral division. `d ≤ 16` keeps
+    * every intermediate within BIGINT.
+    *
+    * Docs outside a list's top-d are simply outside the prefix (rows
+    * with rank > d are filtered, not errors); ranks < 1 fail loudly
+    * (the rrfFuse contract); queries present in either input but
+    * sharing no docs report rbo_ppm = 0 rather than vanishing. Output:
+    * `queryCol, shared_docs, rbo_ppm`. */
+  def rboPrefix(a: DataFrame, b: DataFrame, queryCol: String,
+                d: Int = 10): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    Seq(a, b).foreach { l =>
+      require(l.columns.contains(queryCol) && l.columns.contains("doc_id") &&
+        l.columns.contains("rank"),
+        s"each list needs $queryCol + doc_id + rank columns, got ${l.columns.mkString(",")}")
+      requireIntegralId(l, "doc_id", "rboPrefix")
+      requireIntegralId(l, "rank", "rboPrefix", role = "rank")
+    }
+    val lcm = (1 to d).foldLeft(1L)((acc, k) => acc / gcd(acc, k) * k)
+    // W(m), 1-indexed; strictly decreasing in m
+    val w = (1 to d).map(m =>
+      (m to d).map(k => (lcm / k) << (d - k)).sum).toArray
+    val full = lcm * ((1L << d) - 1) // the identical-rankings score
+    def side(df: DataFrame, r: String) = {
+      val clean = df.select(col(queryCol), col("doc_id").cast("long").as("doc_id"),
+        when(col("rank") >= 1, col("rank").cast("long"))
+          .otherwise(raise_error(lit("rboPrefix: ranks must be >= 1"))).as(r))
+      clean.where(col(r) <= d)
+    }
+    val joined = side(a, "__ra").join(side(b, "__rb"), Seq(queryCol, "doc_id"))
+      .select(col(queryCol),
+        element_at(lit(w), greatest(col("__ra"), col("__rb")).cast("int")).as("__w"))
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("shared_docs"),
+        expr(s"(sum(__w) * 1000000) DIV ${full}L").as("rbo_ppm"))
+    a.select(col(queryCol)).union(b.select(col(queryCol))).distinct()
+      .join(joined, Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("shared_docs"), lit(0L)).as("shared_docs"),
+        coalesce(col("rbo_ppm"), lit(0L)).as("rbo_ppm"))
+  }
+
+  private def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+
   /** The buckets the query terms land in — ONE local job through Spark's
     * own xxhash64 expression (build and query can never disagree on the
     * hash; per-term jobs would serialize q scheduler round-trips onto the

@@ -74,7 +74,9 @@ class DeterminismSpec extends AnyFunSuite {
     // driver-literal bucket stats feeding the interleave map
     "rel_zorder_key",
     // two-side conditional sums + floor-div centroid gap
-    "emb_drift")
+    "emb_drift",
+    // per-unit dedup agg + variant pivot; prefix join + weight lookup
+    "events_ab_test", "search_rbo")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

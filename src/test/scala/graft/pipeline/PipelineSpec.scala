@@ -1306,6 +1306,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(Relational.modeBy(n, Seq("g"), "v").head.getString(1) == "x")
   }
 
+  test("abTest: cross-multiplied z-test verdict, per-unit conversion, loud corruption") {
+    def rows(v: Int, ids: Range, converters: Set[Long]) =
+      ids.map(i => (i.toLong, v, converters.contains(i.toLong)))
+    // 90% vs 10% on 10 units each: clearly significant, diff 800000 ppm
+    val strong = (rows(0, 1 to 10, (1L to 9L).toSet) ++
+      rows(1, 11 to 20, Set(11L))).toDF("unit", "variant", "ok")
+    val s1 = Relational.abTest(strong, "unit", "variant", "ok").head
+    assert((s1.getInt(0), s1.getLong(1), s1.getLong(2), s1.getInt(3),
+      s1.getLong(4), s1.getLong(5), s1.getLong(6), s1.getBoolean(7)) ==
+      ((0, 10L, 9L, 1, 10L, 1L, 800000L, true)), s"$s1")
+    // identical halves: zero diff, not significant; repeat rows per unit
+    // must count ONCE (unit 1 converts via its second row)
+    val flat = (Seq((1L, 0, false), (1L, 0, true)) ++
+      rows(0, 2 to 4, Set(2L)) ++ rows(1, 11 to 14, Set(11L, 12L)))
+      .toDF("unit", "variant", "ok")
+    val s2 = Relational.abTest(flat, "unit", "variant", "ok").head
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(4), s2.getLong(5),
+      s2.getLong(6), s2.getBoolean(7)) == ((4L, 2L, 4L, 2L, 0L, false)), s"$s2")
+    // a unit under two variants is assignment corruption — loud
+    val mixed = Seq((1L, 0, true), (1L, 1, false), (2L, 1, false))
+      .toDF("unit", "variant", "ok")
+    intercept[Exception](
+      Relational.abTest(mixed, "unit", "variant", "ok").collect())
+    // a single variant is loud, not a NULL-filled row
+    val solo = Seq((1L, 0, true), (2L, 0, false)).toDF("unit", "variant", "ok")
+    intercept[Exception](
+      Relational.abTest(solo, "unit", "variant", "ok").collect())
+  }
+
   test("mad: exact R-7 median absolute deviation per group") {
     // group a: 1,2,3,4,100 → med 3, |dev| = 2,1,0,1,97 → mad 1
     // group b: 10,20 → med 15, |dev| = 5,5 → mad 5

@@ -184,4 +184,29 @@ class SearchSpec extends AnyFunSuite {
     // all-empty lists fuse to an empty result, not an NPE
     assert(Search.rrfFuse(Seq(a.where(lit(false))), 5).count() == 0L)
   }
+
+  test("rboPrefix: identical = 10⁶, swapped pair = exactly 1/3, disjoint = 0") {
+    def lst(q: String, docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (doc, i) => (q, doc, i + 1) }
+        .toDF("query", "doc_id", "rank")
+    // identical rankings normalize to exactly 1.0
+    val a1 = lst("q1", Seq(10L, 20L, 30L, 40L))
+    assert(Search.rboPrefix(a1, a1, "query", d = 4)
+      .head.getLong(2) == 1000000L)
+    // d=2, lists [d1,d2] vs [d2,d1]: RBO_min 0.25 over max 0.75 → 1/3
+    val x = lst("q1", Seq(1L, 2L))
+    val y = lst("q1", Seq(2L, 1L))
+    val got = Search.rboPrefix(x, y, "query", d = 2).head
+    assert((got.getLong(1), got.getLong(2)) == ((2L, 333333L)), s"$got")
+    // disjoint lists: the query still reports, at 0 — it must not vanish
+    val z = lst("q1", Seq(8L, 9L))
+    val dj = Search.rboPrefix(x, z, "query", d = 2).head
+    assert((dj.getLong(1), dj.getLong(2)) == ((0L, 0L)), s"$dj")
+    // entries past depth d are outside the prefix, not errors; rank < 1 is loud
+    val deep = lst("q1", (1L to 9L))
+    assert(Search.rboPrefix(deep, deep, "query", d = 4).head.getLong(2) == 1000000L)
+    val bad = Seq(("q1", 5L, 0)).toDF("query", "doc_id", "rank")
+    intercept[Exception](Search.rboPrefix(bad, bad, "query", d = 4).collect())
+    intercept[IllegalArgumentException](Search.rboPrefix(x, y, "query", d = 17))
+  }
 }
