@@ -1862,6 +1862,19 @@ object SparkEntry {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       pipeline.Graph.clusteringCoefficient(e, "src", "dst").orderBy("node")
     },
+    "graph_modularity" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // modularity of the label-propagation communities — turns "we ran
+      // community detection" into a measured claim (Q ≈ 0 on noise)
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val labels = pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
+      pipeline.Graph.modularity(e, labels, "src", "dst", "node", "label")
+        .orderBy("community")
+    },
     "graph_ppr" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // personalized PageRank: restart mass pinned to a 1-in-97 customer
@@ -2299,6 +2312,32 @@ object SparkEntry {
        |FROM lp$iterations ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Graph.modularity]] over the
+    * label-propagation communities: the LP oracle runs as a nested CTE,
+    * then the cross-multiplied HUGEINT contribution per community. */
+  private def modularityOracleSql(iterations: Int): String =
+    s"""WITH lp AS (${labelPropagationOracleSql(iterations)}),
+       |li2 AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |und2 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |        FROM li2 x JOIN li2 y
+       |          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |wl AS (SELECT la.label AS la, lb.label AS lb FROM und2
+       |       JOIN lp la ON la.node = und2.a JOIN lp lb ON lb.node = und2.b),
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM wl),
+       |intra AS (SELECT la AS l, count(*) AS e FROM wl WHERE la = lb GROUP BY 1),
+       |ds AS (SELECT l, count(*) AS d FROM (
+       |         SELECT la AS l FROM wl UNION ALL SELECT lb FROM wl) GROUP BY 1),
+       |nn AS (SELECT label AS l, count(*) AS n_nodes FROM lp GROUP BY 1)
+       |SELECT nn.l AS community, nn.n_nodes,
+       |       CAST(coalesce(intra.e, 0) AS BIGINT) AS intra_edges,
+       |       CAST(coalesce(ds.d, 0) AS BIGINT) AS degree_sum,
+       |       CAST(((CAST(4 AS HUGEINT) * mm.m * coalesce(intra.e, 0)
+       |              - CAST(coalesce(ds.d, 0) AS HUGEINT) * coalesce(ds.d, 0)) * 1000000)
+       |            // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS q_ppm
+       |FROM nn LEFT JOIN intra ON intra.l = nn.l
+       |        LEFT JOIN ds ON ds.l = nn.l, mm
+       |ORDER BY community""".stripMargin
+
   /** DuckDB replay of [[pipeline.Graph.kCore]], peel rounds unrolled.
     * Mirrors the co-purchase edge build in `graph_kcore`. */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
@@ -2440,6 +2479,7 @@ object SparkEntry {
          FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
          GROUP BY 1, 2 ORDER BY a, b""",
     "graph_kcore" -> kCoreOracleSql(3, 8),
+    "graph_modularity" -> modularityOracleSql(4),
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_shortest_paths" -> shortestPathsOracleSql(4, weighted = true),
     "events_scd2" ->

@@ -76,7 +76,9 @@ class DeterminismSpec extends AnyFunSuite {
     // two-side conditional sums + floor-div centroid gap
     "emb_drift",
     // per-unit dedup agg + variant pivot; prefix join + weight lookup
-    "events_ab_test", "search_rbo")
+    "events_ab_test", "search_rbo",
+    // LP labels feeding cross-multiplied decimal contributions
+    "graph_modularity")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

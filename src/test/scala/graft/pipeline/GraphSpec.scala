@@ -282,6 +282,27 @@ class GraphSpec extends AnyFunSuite {
       Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", Seq(1L).toDF("node"), 0))
   }
 
+  test("modularity: two bridged triangles score the textbook 0.357, loud on unlabeled") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = Graph.modularity(e, labels, "src", "dst", "node", "label")
+      .orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // per community: (4·7·3 − 7²)·10⁶ DIV (4·7²) = 35·10⁶ DIV 196 = 178571
+    assert(got == Seq((10L, 3L, 3L, 7L, 178571L), (20L, 3L, 3L, 7L, 178571L)), s"$got")
+    // an edge with an unlabeled endpoint must fail loudly, not drop
+    val partial = labels.where($"node" =!= 6L)
+    intercept[Exception](
+      Graph.modularity(e, partial, "src", "dst", "node", "label").collect())
+    // a doubly-labeled node takes its smallest label deterministically
+    val dup = labels.union(Seq((1L, 99L)).toDF("node", "label"))
+    val d1 = Graph.modularity(e, dup, "src", "dst", "node", "label")
+      .orderBy("community").collect()
+    assert(d1.map(_.getLong(0)).toSeq == Seq(10L, 20L), s"${d1.toSeq}")
+  }
+
   test("clusteringCoefficient: exact ppm, leaves excluded, triangle-free wedge = 0") {
     // triangle 1-2-3 with pendant 4 on node 3; separate wedge 6-5-7
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
