@@ -695,35 +695,50 @@ object Similarity {
     * column (prune-safe). Output: `bucket, n_a, n_b, drift_q` —
     * drift in quantized units (10⁻⁶ of cosine space per dim). */
   def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
-                    signDims: Int = 3): DataFrame = {
+                    signDims: Int = 3): DataFrame =
+    driftFromStates(signBucketState(a, vecCol, signDims),
+      signBucketState(b, vecCol, signDims))
+
+  /** The MERGEABLE state behind [[centroidDrift]]: per (sign-bucket,
+    * dimension), the quantized component sum and the bucket's row count —
+    * a monoid (merge = union + re-sum, the [[Maintenance.rollupState]]
+    * contract), so a streaming snapshot folds per micro-batch into a
+    * stored (2^signDims × dim)-row state and is never rescanned.
+    * Output: `bucket, dim, s, n`. */
+  def signBucketState(df: DataFrame, vecCol: String,
+                      signDims: Int = 3): DataFrame = {
     require(signDims >= 1 && signDims <= 20,
       s"signDims must be in [1, 20], got $signDims")
-    def side(df: DataFrame, tag: Int): DataFrame = {
-      val bucketExpr = (0 until signDims).map(j =>
-        when(element_at(col("__qv"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
-      df.where(col(vecCol).isNotNull)
-        .select(lit(tag).as("__side"), Dedup.quantize(col(vecCol)).as("__qv"))
-        .withColumn("__bucket",
-          when(size(col("__qv")) >= signDims, bucketExpr)
-            .otherwise(raise_error(concat(
-              lit(s"centroidDrift: vector shorter than signDims=$signDims ("),
-              size(col("__qv")).cast("string"), lit(" dims)")))))
-    }
-    side(a, 0).unionByName(side(b, 1))
-      .select(col("__side"), col("__bucket"),
-        posexplode(col("__qv")).as(Seq("__p", "__x")))
-      .groupBy("__bucket", "__p")
-      .agg(sum(when(col("__side") === 0, col("__x"))).as("__sa"),
-        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__na"),
-        sum(when(col("__side") === 1, col("__x"))).as("__sb"),
-        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nb"))
-      .where(col("__na") > 0 && col("__nb") > 0)
+    val bucketExpr = (0 until signDims).map(j =>
+      when(element_at(col("__qv"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    df.where(col(vecCol).isNotNull)
+      .select(Dedup.quantize(col(vecCol)).as("__qv"))
+      .withColumn("bucket",
+        when(size(col("__qv")) >= signDims, bucketExpr)
+          .otherwise(raise_error(concat(
+            lit(s"centroidDrift: vector shorter than signDims=$signDims ("),
+            size(col("__qv")).cast("string"), lit(" dims)")))))
+      .select(col("bucket"), posexplode(col("__qv")).as(Seq("dim", "__x")))
+      .groupBy("bucket", "dim")
+      .agg(sum("__x").as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Drift between two [[signBucketState]] frames (in-job or stored):
+    * per bucket present on BOTH sides, the L1 gap between the integer
+    * floor-div centroids. The states are bucket×dim-sized however big
+    * the corpora — this comparison never touches a corpus. */
+  def driftFromStates(a: DataFrame, b: DataFrame): DataFrame = {
+    val an = a.select(col("bucket"), col("dim"),
+      col("s").as("__sa"), col("n").as("__na"))
+    val bn = b.select(col("bucket"), col("dim"),
+      col("s").as("__sb"), col("n").as("__nb"))
+    an.join(bn, Seq("bucket", "dim"))
       .withColumn("__ad", abs(expr("__sa DIV __na") - expr("__sb DIV __nb")))
-      .groupBy("__bucket")
+      .groupBy("bucket")
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         sum("__ad").as("drift_q"))
-      .select(col("__bucket").cast("int").as("bucket"),
+      .select(col("bucket").cast("int").as("bucket"),
         col("n_a"), col("n_b"), col("drift_q"))
   }
 }

@@ -507,4 +507,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == full && got.size == 3, s"stream-maintained $got != recompute $full")
     } finally q.stop()
   }
+
+  test("streaming drift monitor: per-batch sign-bucket states fold, drift == batch") {
+    // today's snapshot arrives as a stream; its signBucketState is a
+    // monoid, so each micro-batch folds into a stored bucket×dim state
+    // and the drift vs the fixed reference equals the full-batch recompute
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Similarity
+    val ref = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = src.toDF().toDF("vec_id", "embedding").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = Similarity.signBucketState(batch, "embedding", signDims = 2)
+        val merged = state.fold(s)(old => old.unionByName(s)
+          .groupBy("bucket", "dim").agg(
+            org.apache.spark.sql.functions.sum("s").as("s"),
+            org.apache.spark.sql.functions.sum("n").as("n")))
+        state = Some(spark.createDataFrame(
+          java.util.Arrays.asList(merged.collect(): _*), merged.schema))
+        ()
+      }.start()
+    val b1 = Seq((10L, Array(0.5f, 1.0f)), (11L, Array(1.0f, -0.5f)))
+    val b2 = Seq((12L, Array(1.5f, 1.0f)))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val got = Similarity.driftFromStates(
+          Similarity.signBucketState(ref, "embedding", 2), state.get)
+        .orderBy("bucket").collect().map(_.toString).toSeq
+      val full = Similarity.centroidDrift(ref,
+          (b1 ++ b2).toDF("vec_id", "embedding"), "embedding", signDims = 2)
+        .orderBy("bucket").collect().map(_.toString).toSeq
+      assert(got == full && got.nonEmpty,
+        s"stream-maintained $got != batch $full")
+    } finally q.stop()
+  }
 }
