@@ -1996,6 +1996,18 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "rel_skyline" -> { (s, dir) =>
+      prep(s, dir, "orders")
+      // Pareto front over (order value, recency): no single ORDER BY
+      // expresses "both big AND recent" — two-pass skyline, the global
+      // window only ever sees the distinct-x frame
+      val o = s.table("orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_num"))
+      pipeline.Relational.skylineMax(o, "price_cents", "day_num")
+        .orderBy("o_orderkey")
+    },
     "events_ab_test" -> { (s, dir) =>
       prep(s, dir, "events")
       // integer-exact two-proportion z-test: per-user conversion (any
@@ -2422,6 +2434,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "search_rbo" -> rboOracleSql,
+    "rel_skyline" ->
+      """WITH v AS (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+                    FROM orders),
+              px AS (SELECT price_cents AS x, max(day_num) AS ymax FROM v GROUP BY 1),
+              sk AS (SELECT x, ymax,
+                       max(ymax) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ma
+                     FROM px),
+              keep AS (SELECT x, ymax FROM sk WHERE ma IS NULL OR ymax > ma)
+         SELECT v.o_orderkey, v.price_cents, v.day_num
+         FROM v JOIN keep ON v.price_cents = keep.x AND v.day_num = keep.ymax
+         ORDER BY o_orderkey""",
     "events_ab_test" ->
       """WITH u AS (SELECT user_id, user_id % 2 AS v,
                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s

@@ -351,6 +351,36 @@ object Relational {
         expr(s"percentile(abs($valueCol - __med), 0.5)").as("mad"))
   }
 
+  /** 2-D SKYLINE (Pareto front), both dimensions maximized: the rows no
+    * other row dominates (x' ≥ x ∧ y' ≥ y with one strict) — "orders
+    * that are both recent AND large", the multi-objective top-N that no
+    * single ORDER BY expresses. Exact-duplicate (x, y) pairs don't
+    * dominate each other and all survive.
+    *
+    * NOT the naive quadratic NOT-EXISTS self-join: pass 1 collapses the
+    * corpus to its per-x maximum y (ONE partial-aggregated shuffle on
+    * x); pass 2 runs the running-max scan over the DISTINCT-X frame —
+    * the only global window, sized by x-cardinality, not the corpus
+    * (the skyline recurrence: an x survives iff its ymax strictly beats
+    * every larger x's ymax); pass 3 semi-joins survivors back. Both
+    * columns must be integral (loud — a silent cast would corrupt the
+    * dominance order exactly like the graph ops' id casts); NULL in
+    * either column = no position in the dominance order, excluded. */
+  def skylineMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    requireIntegralTime(df, xCol, "skylineMax")
+    requireIntegralTime(df, yCol, "skylineMax")
+    val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = clean.groupBy(col(xCol).cast("long").as("__x"))
+      .agg(max(col(yCol).cast("long")).as("__ymax"))
+    // larger-x rows precede under DESC; no peers (x is distinct here)
+    val w = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perX.withColumn("__ma", max("__ymax").over(w))
+      .where(col("__ma").isNull || col("__ymax") > col("__ma"))
+    df.join(sky, col(xCol).cast("long") === col("__x") &&
+      col(yCol).cast("long") === col("__ymax"), "left_semi")
+  }
+
   /** Two-proportion A/B TEST, integer-exact (the [[TimeSeries.anomalies]]
     * discipline): per-unit conversion (a unit converts if ANY of its rows
     * has `successCol` true — row-level counting would let chatty users

@@ -78,7 +78,9 @@ class DeterminismSpec extends AnyFunSuite {
     // per-unit dedup agg + variant pivot; prefix join + weight lookup
     "events_ab_test", "search_rbo",
     // LP labels feeding cross-multiplied decimal contributions
-    "graph_modularity")
+    "graph_modularity",
+    // distinct-x running-max recurrence + survivor semi join
+    "rel_skyline")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

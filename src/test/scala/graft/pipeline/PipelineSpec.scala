@@ -1306,6 +1306,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Relational.modeBy(n, Seq("g"), "v").head.getString(1) == "x")
   }
 
+  test("skylineMax: hand case with ties/dups, brute-force agreement, loud non-integral") {
+    // front: (5,1), (3,4), (1,9); (3,4) twice (dups both survive);
+    // (3,3) dominated by (3,4); (2,4) dominated by (3,4); (1,1) dominated
+    val pts = Seq((1L, 5L, 1L), (2L, 3L, 4L), (3L, 3L, 4L), (4L, 3L, 3L),
+      (5L, 2L, 4L), (6L, 1L, 9L), (7L, 1L, 1L)).toDF("id", "x", "y")
+    val got = Relational.skylineMax(pts, "x", "y")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 6L), s"got $got")
+    // randomized agreement with the quadratic dominance definition
+    val rnd = new scala.util.Random(7)
+    val rpts = (1 to 200).map(i => (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val brute = rpts.filterNot { case (_, x, y) =>
+      rpts.exists { case (_, a, b) => a >= x && b >= y && (a > x || b > y) }
+    }.map(_._1).toSet
+    val fast = Relational.skylineMax(rpts.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    // NULL coordinates are excluded, never dominate
+    val withNull = Seq((1L, Some(1L), Some(1L)), (2L, None, Some(99L)))
+      .toDF("id", "x", "y")
+    assert(Relational.skylineMax(withNull, "x", "y")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // a double column is loud, not silently truncated into a wrong order
+    intercept[IllegalArgumentException](
+      Relational.skylineMax(Seq((1L, 1.5, 2L)).toDF("id", "x", "y"), "x", "y"))
+  }
+
   test("abTest: cross-multiplied z-test verdict, per-unit conversion, loud corruption") {
     def rows(v: Int, ids: Range, converters: Set[Long]) =
       ids.map(i => (i.toLong, v, converters.contains(i.toLong)))
