@@ -378,6 +378,27 @@ object ScaleProbe {
     println(s"[scale]   top collocation: ${colloc.head.getString(1)} ${colloc.head.getString(2)} " +
       s"lift=${colloc.head.getLong(4)}")
 
+    // ---- r7 session-7: skyline recurrence + drift states at volume ----
+    // 10M points, x confined to 50k distinct values: the corpus shuffles
+    // once (partial-agg per-x max), the global window sees ONLY the 50k-row
+    // distinct-x frame — wall time must track the agg, not the window
+    val pts = spark.range(10000000).selectExpr("id",
+      "CAST(pmod(xxhash64(id), 50000) AS BIGINT) AS x",
+      "CAST(pmod(xxhash64(id, 7), 1000000) AS BIGINT) AS y")
+    val nSky = timed("skylineMax (10M points, 50k distinct x)")(
+      pipeline.Relational.skylineMax(pts, "x", "y").count())
+    println(s"[scale]   skyline size: $nSky of 10M")
+    // drift monitor at 200k × 64-dim: two corpus passes reduce to two
+    // 2^3×64-row states; the comparison itself never touches the vectors
+    val dv = spark.range(200000).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), i -> CAST(pmod(xxhash64(id, i), 2001) - 1000 AS FLOAT) / 1000.0) AS embedding")
+    val drift = timed("centroidDrift (200k vs 200k, 64-dim, signDims=3)")(
+      pipeline.Similarity.centroidDrift(
+        dv.where("vec_id % 2 = 0"), dv.where("vec_id % 2 = 1"), "embedding")
+        .collect())
+    println(s"[scale]   drift buckets: ${drift.length}, max drift_q: " +
+      s"${drift.map(_.getLong(3)).max} (near-0 expected — same distribution)")
+
     spark.stop()
   }
 }

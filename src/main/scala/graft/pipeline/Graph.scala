@@ -506,7 +506,9 @@ object Graph {
       .groupBy("__n").agg(min("__l").as("__l"))
     def labelOf(side: String) = lab
       .withColumnRenamed("__n", side).withColumnRenamed("__l", s"__l$side")
-    val withL = und.join(labelOf("a"), Seq("a"), "left")
+    // materialized: total/intra/degree-sum all read this frame — without
+    // the cut the edge⋈label join would run three times
+    val withL = Materialize.cut(und.join(labelOf("a"), Seq("a"), "left")
       .join(labelOf("b"), Seq("b"), "left")
       .select(
         when(col("__la").isNotNull && col("__lb").isNotNull,
@@ -514,7 +516,7 @@ object Graph {
           .otherwise(raise_error(concat(lit("modularity: unlabeled endpoint on edge ("),
             col("a").cast("string"), lit(", "), col("b").cast("string"), lit(")"))))
           .as("__ll"))
-      .select(col("__ll.__la").as("__la"), col("__ll.__lb").as("__lb"))
+      .select(col("__ll.__la").as("__la"), col("__ll.__lb").as("__lb")))
     val total = withL.agg(count(lit(1)).cast(dec).as("__m"))
     val intra = withL.where(col("__la") === col("__lb"))
       .groupBy(col("__la").as("__l")).agg(count(lit(1)).as("intra_edges"))

@@ -20,7 +20,8 @@ object Relational {
         org.apache.spark.sql.graftshim.GraftShim.expression(t.cast("long")),
         org.apache.spark.sql.catalyst.expressions.Literal(bin))).cast("long")
 
-  private def requireIntegralTime(df: DataFrame, c: String, op: String): Unit = {
+  private def requireIntegralTime(df: DataFrame, c: String, op: String,
+                                  what: String = "time"): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(c).dataType
     val ok = dt match {
@@ -28,7 +29,7 @@ object Relational {
       case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
       case _ => false
     }
-    require(ok, s"$op time column '$c' must be integral (epoch seconds/days), got $dt — " +
+    require(ok, s"$op $what column '$c' must be integral, got $dt — " +
       "double binning loses integer resolution past 2^53")
   }
 
@@ -367,8 +368,8 @@ object Relational {
     * dominance order exactly like the graph ops' id casts); NULL in
     * either column = no position in the dominance order, excluded. */
   def skylineMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    requireIntegralTime(df, xCol, "skylineMax")
-    requireIntegralTime(df, yCol, "skylineMax")
+    requireIntegralTime(df, xCol, "skylineMax", what = "dominance")
+    requireIntegralTime(df, yCol, "skylineMax", what = "dominance")
     val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     val perX = clean.groupBy(col(xCol).cast("long").as("__x"))
       .agg(max(col(yCol).cast("long")).as("__ymax"))
@@ -412,10 +413,12 @@ object Relational {
         max(col(variantCol)).as("__v"),
         coalesce(max(col(successCol).cast("int")), lit(0)).as("__s"))
       .select(
-        when(col("__nv") === 1, col("__v"))
+        // NULL unit ids would silently collapse every identity-less row
+        // into one phantom unit — corruption, same as multi-variant
+        when(col(unitCol).isNotNull && col("__nv") === 1, col("__v"))
           .otherwise(raise_error(concat(
-            lit("abTest: unit under multiple or NULL variants ("),
-            col(unitCol).cast("string"), lit(")")))).as("__v"),
+            lit("abTest: NULL unit id, or unit under multiple/NULL variants ("),
+            coalesce(col(unitCol).cast("string"), lit("null")), lit(")")))).as("__v"),
         col("__s"))
     val one = units.groupBy("__v")
       .agg(count(lit(1)).as("n"), sum("__s").cast("long").as("c"))
@@ -438,7 +441,12 @@ object Relational {
       col("__b.n").as("n_b"), col("__b.c").as("conv_b"),
       (expr("(__a.c * 1000000) DIV __a.n")
         - expr("(__b.c * 1000000) DIV __b.n")).as("diff_ppm"),
-      sig.as("significant"))
+      // the variant-count guard rides the DECISION column too: a consumer
+      // selecting only `significant` must still hit it (column pruning
+      // would silently drop a guard that lives on variant_a alone)
+      when(col("__k") === 2, sig)
+        .otherwise(raise_error(concat(lit("abTest: expected exactly 2 variants, got "),
+          col("__k").cast("string")))).as("significant"))
   }
 
   /** Pre-flight cardinality audit for a proposed equi join: the EXACT

@@ -470,7 +470,18 @@ object Search {
           .otherwise(raise_error(lit("rboPrefix: ranks must be >= 1"))).as(r))
       clean.where(col(r) <= d)
     }
-    val joined = side(a, "__ra").join(side(b, "__rb"), Seq(queryCol, "doc_id"))
+    val sa = Materialize.cut(side(a, "__ra"))
+    val sb = Materialize.cut(side(b, "__rb"))
+    // a doc ranked twice WITHIN one list's prefix would join twice and
+    // silently inflate its weight (the rrfFuse hazard, same insurance:
+    // one cheap aggregate over the ≤d-per-query filtered frames)
+    val dup = sa.select(col(queryCol), col("doc_id"), lit(0).as("__l"))
+      .union(sb.select(col(queryCol), col("doc_id"), lit(1).as("__l")))
+      .groupBy(queryCol, "doc_id", "__l").agg(count(lit(1)).as("__n"))
+      .agg(max("__n")).head
+    require(dup.isNullAt(0) || dup.getLong(0) <= 1L,
+      "rboPrefix: a doc_id appears more than once within one list's top-d prefix")
+    val joined = sa.join(sb, Seq(queryCol, "doc_id"))
       .select(col(queryCol),
         element_at(lit(w), greatest(col("__ra"), col("__rb")).cast("int")).as("__w"))
       .groupBy(queryCol)

@@ -729,6 +729,10 @@ object Similarity {
     * floor-div centroids. The states are bucket×dim-sized however big
     * the corpora — this comparison never touches a corpus. */
   def driftFromStates(a: DataFrame, b: DataFrame): DataFrame = {
+    Seq(a, b).foreach(s =>
+      require(Seq("bucket", "dim", "s", "n").forall(s.columns.contains),
+        s"driftFromStates expects signBucketState frames (bucket, dim, s, n), " +
+          s"got ${s.columns.mkString(",")}"))
     val an = a.select(col("bucket"), col("dim"),
       col("s").as("__sa"), col("n").as("__na"))
     val bn = b.select(col("bucket"), col("dim"),

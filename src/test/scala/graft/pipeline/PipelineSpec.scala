@@ -1356,10 +1356,19 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("unit", "variant", "ok")
     intercept[Exception](
       Relational.abTest(mixed, "unit", "variant", "ok").collect())
-    // a single variant is loud, not a NULL-filled row
+    // a single variant is loud, not a NULL-filled row — and the guard
+    // must fire even when ONLY the decision column is consumed
     val solo = Seq((1L, 0, true), (2L, 0, false)).toDF("unit", "variant", "ok")
     intercept[Exception](
       Relational.abTest(solo, "unit", "variant", "ok").collect())
+    intercept[Exception](
+      Relational.abTest(solo, "unit", "variant", "ok")
+        .select("significant").collect())
+    // NULL unit ids would collapse into one phantom unit — loud instead
+    val nullUnit = Seq((Some(1L), 0, true), (None, 0, true), (None, 1, false))
+      .toDF("unit", "variant", "ok")
+    intercept[Exception](
+      Relational.abTest(nullUnit, "unit", "variant", "ok").collect())
   }
 
   test("mad: exact R-7 median absolute deviation per group") {
