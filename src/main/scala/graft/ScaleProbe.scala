@@ -397,7 +397,8 @@ object ScaleProbe {
         dv.where("vec_id % 2 = 0"), dv.where("vec_id % 2 = 1"), "embedding")
         .collect())
     println(s"[scale]   drift buckets: ${drift.length}, max drift_q: " +
-      s"${drift.map(_.getLong(3)).max} (near-0 expected — same distribution)")
+      s"${drift.map(_.getLong(3)).max} (same distribution — expect only " +
+      "sampling noise, ~dim·sigma/sqrt(n) ≈ 4e5 of a 6.4e7 full-scale)")
 
     spark.stop()
   }
