@@ -1996,6 +1996,31 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "pipeline_expectations" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // data-contract gate over a deliberately corrupted view (negated
+      // quantities every 97th order, NULLed discounts every 101st) —
+      // one aggregate pass, NULL predicate = violation
+      val li = s.table("lineitem").select(
+        when(col("l_orderkey") % 97 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("qty"),
+        col("l_extendedprice").as("price"),
+        when(col("l_orderkey") % 101 === 0, lit(null).cast("double"))
+          .otherwise(col("l_discount")).as("disc"),
+        col("l_returnflag").as("flag"))
+      pipeline.Maintenance.expectations(li, Seq(
+          "qty_in_range" -> (col("qty") >= 1 && col("qty") <= 50),
+          "price_positive" -> (col("price") > 0),
+          "discount_known" -> (col("disc") >= 0 && col("disc") <= 0.1),
+          "flag_known" -> col("flag").isin("A", "N", "R")))
+        .orderBy("rule")
+    },
+    "pipeline_unique_audit" -> { (s, dir) =>
+      prep(s, dir, "orders")
+      // duplicate-key audit: how many order rows share a customer (the
+      // row count a key-dedup pass would touch, not just distinct keys)
+      pipeline.Maintenance.expectUnique(s.table("orders"), Seq("o_custkey"))
+    },
     "rel_skyline" -> { (s, dir) =>
       prep(s, dir, "orders")
       // Pareto front over (order value, recency): no single ORDER BY
@@ -2434,6 +2459,35 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "search_rbo" -> rboOracleSql,
+    "pipeline_expectations" ->
+      """WITH c AS (SELECT
+             CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS qty,
+             l_extendedprice AS price,
+             CASE WHEN l_orderkey % 101 = 0 THEN NULL ELSE l_discount END AS disc,
+             l_returnflag AS flag
+           FROM lineitem),
+         r AS (
+           SELECT 'qty_in_range' AS rule,
+                  CAST(sum(CASE WHEN coalesce(qty >= 1 AND qty <= 50, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+                  count(*) AS total FROM c
+           UNION ALL
+           SELECT 'price_positive',
+                  CAST(sum(CASE WHEN coalesce(price > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+                  count(*) FROM c
+           UNION ALL
+           SELECT 'discount_known',
+                  CAST(sum(CASE WHEN coalesce(disc >= 0 AND disc <= 0.1, FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+                  count(*) FROM c
+           UNION ALL
+           SELECT 'flag_known',
+                  CAST(sum(CASE WHEN coalesce(flag IN ('A', 'N', 'R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+                  count(*) FROM c)
+         SELECT rule, violations, total FROM r ORDER BY rule""",
+    "pipeline_unique_audit" ->
+      """WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+         SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS dup_rows,
+                CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS dup_keys,
+                CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM g""",
     "rel_skyline" ->
       """WITH v AS (SELECT o_orderkey,
                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,

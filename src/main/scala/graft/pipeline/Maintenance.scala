@@ -87,6 +87,57 @@ object Maintenance {
       .where(col("n") < k)
   }
 
+  /** DATA-CONTRACT audit: evaluate named row-level EXPECTATIONS (each a
+    * pass-predicate Column) in ONE aggregate pass over the table and
+    * report per-rule violation counts — the ingest gate that catches a
+    * broken upstream batch (negative prices, out-of-range quantities, a
+    * column gone all-NULL) before it poisons every downstream join. A
+    * NULL predicate result counts as a VIOLATION (an expectation that
+    * cannot be evaluated did not pass — `col > 0` on a NULL must not
+    * slide through on three-valued logic). Violation ROWS are the
+    * caller's `df.where(!pred)` away; this op is the cheap always-on
+    * counter, one partial-aggregated pass however many rules.
+    * Output: one row per rule — `rule, violations, total`, input order
+    * preserved. Uniqueness is a separate op ([[expectUnique]]) — it
+    * needs a groupBy, and bundling it here would smuggle a shuffle into
+    * what callers budget as a scan. */
+  def expectations(df: org.apache.spark.sql.DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "expectations: need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"expectations: duplicate rule names in ${rules.map(_._1)}")
+    import org.apache.spark.sql.functions.{coalesce, count, explode, lit, struct, sum, when, array, col}
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(i).as("__ord"), lit(name).as("rule"),
+          coalesce(col(s"__v$i"), lit(0L)).as("violations"),
+          col("__total").as("total"))
+      }: _*)).as("e"))
+      .select(col("e.__ord").as("__ord"), col("e.rule").as("rule"),
+        col("e.violations").as("violations"), col("e.total").as("total"))
+      .orderBy("__ord").drop("__ord")
+  }
+
+  /** Duplicate-key audit companion to [[expectations]]: the number of
+    * ROWS carrying a key that occurs more than once (not the number of
+    * distinct duplicated keys — the row count is what a dedup pass will
+    * touch). NULL-keyed rows group together like any value (a duplicate
+    * NULL key is still a duplicate). One partial-aggregated groupBy.
+    * Output: one row — `dup_rows, dup_keys, total`. */
+  def expectUnique(df: org.apache.spark.sql.DataFrame,
+                   keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "expectUnique: need at least one key column")
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L)).as("dup_rows"),
+        coalesce(sum(when(col("__n") > 1, 1L)), lit(0L)).as("dup_keys"),
+        coalesce(sum(col("__n")), lit(0L)).as("total"))
+  }
+
   /** l-DIVERSITY audit — k-anonymity's second line of defense: a
     * quasi-identifier group can be large (k-anonymous) yet reveal the
     * SENSITIVE attribute anyway when every member shares one value

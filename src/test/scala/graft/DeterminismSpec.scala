@@ -80,7 +80,9 @@ class DeterminismSpec extends AnyFunSuite {
     // LP labels feeding cross-multiplied decimal contributions
     "graph_modularity",
     // distinct-x running-max recurrence + survivor semi join
-    "rel_skyline")
+    "rel_skyline",
+    // one-pass multi-rule conditional sums; dup-key rollup
+    "pipeline_expectations", "pipeline_unique_audit")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

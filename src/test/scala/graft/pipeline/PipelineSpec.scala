@@ -1720,6 +1720,40 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Option[Int], Long)].collect().toSet
     assert(got == Set(("b", Some(2), 2L), ("c", None, 1L), ("d", Some(9), 1L)), s"$got")
   }
+  test("expectations: per-rule counts in one pass, NULL predicate = violation") {
+    val df = Seq(
+      (Some(5.0), "ok"), (Some(-1.0), "ok"),   // -1 violates the range
+      (None, "bad"), (Some(7.0), "ok")          // NULL can't pass the range
+    ).toDF("v", "tag")
+    val got = Maintenance.expectations(df, Seq(
+      "v_in_range" -> ($"v" >= 0 && $"v" <= 10),
+      "tag_ok" -> ($"tag" === "ok"),
+      "always" -> lit(true)))
+      .as[(String, Long, Long)].collect().toSeq
+    // input order preserved; NULL v fails the range rule
+    assert(got == Seq(("v_in_range", 2L, 4L), ("tag_ok", 1L, 4L),
+      ("always", 0L, 4L)), s"$got")
+    intercept[IllegalArgumentException](Maintenance.expectations(df, Seq.empty))
+    intercept[IllegalArgumentException](Maintenance.expectations(df,
+      Seq("a" -> lit(true), "a" -> lit(false))))
+    // empty input: zero violations over zero rows, not NULLs
+    val e = Maintenance.expectations(df.where(lit(false)),
+      Seq("r" -> ($"v" > 0))).as[(String, Long, Long)].head()
+    assert(e == (("r", 0L, 0L)), s"$e")
+  }
+
+  test("expectUnique counts duplicate ROWS and keys; NULL keys group as values") {
+    val df = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("k")
+    val got = Maintenance.expectUnique(df, Seq("k"))
+      .as[(Long, Long, Long)].head()
+    // key 1 ×3 + NULL ×2 = 5 dup rows across 2 dup keys, 6 total
+    assert(got == ((5L, 2L, 6L)), s"$got")
+    val clean = Maintenance.expectUnique(Seq(1L, 2L).toDF("k"), Seq("k"))
+      .as[(Long, Long, Long)].head()
+    assert(clean == ((0L, 0L, 2L)), s"$clean")
+  }
+
   test("lDiversityViolations: homogeneous groups flagged even when k-large; NULL adds no diversity") {
     val df = Seq(
       // cohort "a": 4 rows but every sensitive value identical — the
