@@ -208,5 +208,36 @@ class SearchSpec extends AnyFunSuite {
     val bad = Seq(("q1", 5L, 0)).toDF("query", "doc_id", "rank")
     intercept[Exception](Search.rboPrefix(bad, bad, "query", d = 4).collect())
     intercept[IllegalArgumentException](Search.rboPrefix(x, y, "query", d = 17))
+    // a doc ranked twice within one list would silently double-count — loud
+    val dup = Seq(("q1", 5L, 1), ("q1", 5L, 2)).toDF("query", "doc_id", "rank")
+    val eDup = intercept[IllegalArgumentException](
+      Search.rboPrefix(dup, lst("q1", Seq(5L)), "query", d = 4).collect())
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+  }
+
+  test("rboPrefix agrees with the direct RBO_min prefix formula on random rankings") {
+    // the per-doc regrouping is an algebraic identity — verify it against
+    // the literal sum over prefixes, on 20 random ranking pairs
+    val rnd = new scala.util.Random(13)
+    val d = 7
+    val lcm = (1 to d).foldLeft(1L)((a, k) => a / BigInt(a).gcd(k).toLong * k)
+    val full = lcm * ((1L << d) - 1)
+    val cases = (1 to 20).map { q =>
+      val docs = rnd.shuffle((1L to 15L).toList)
+      (s"q$q", docs.take(d), rnd.shuffle(docs).take(d))
+    }
+    def frame(f: ((String, List[Long], List[Long])) => List[Long]) =
+      cases.flatMap { c => f(c).zipWithIndex.map { case (doc, i) => (c._1, doc, i + 1) } }
+        .toDF("query", "doc_id", "rank")
+    val got = Search.rboPrefix(frame(_._2), frame(_._3), "query", d)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    cases.foreach { case (q, a, b) =>
+      // direct form: sum over k of (lcm/k)·2^(d−k)·|A_k ∩ B_k|, over max
+      val direct = (1 to d).map { k =>
+        lcm / k * (1L << (d - k)) * a.take(k).toSet.intersect(b.take(k).toSet).size
+      }.sum
+      assert(got(q) == direct * 1000000 / full,
+        s"$q: op ${got(q)} != direct ${direct * 1000000 / full}")
+    }
   }
 }

@@ -151,6 +151,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 100000000L), (2L, 3L, 100000000L)), s"$got")
   }
 
+  test("trend and changepoint agree with brute-force recomputation on random series") {
+    val rnd = new scala.util.Random(29)
+    // 10 keys, each a dense 6–20 day series of integer cent values
+    val series = (1L to 10L).map { k =>
+      k -> (1 to (6 + rnd.nextInt(15))).map(d => d -> rnd.nextInt(2000).toLong)
+    }
+    val ev = series.flatMap { case (k, days) =>
+      days.map { case (d, cents) => (k, ts(d), cents / 100.0) }
+    }.toDF("user_id", "ts", "value")
+    val gotT = TimeSeries.trend(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotC = TimeSeries.changepoint(ev, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(3))).toList
+    series.foreach { case (k, days) =>
+      val ys = days.map(_._2)
+      val n = ys.size
+      val xs = (0 until n).map(_.toLong) // translation-invariant
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = math.floor((n * sxy - sx * sy).toDouble /
+        (n * sxx - sx * sx).toDouble * 1e6 + 0.5).toLong
+      assert(gotT(k) == ((n.toLong, slope)), s"key $k: ${gotT(k)} != ($n, $slope)")
+      val sn = ys.sum
+      val best = (1 until n).map { j =>
+        (math.abs(n.toLong * ys.take(j).sum - j.toLong * sn), j)
+      }.minBy { case (dd, j) => (-dd, j) }
+      val day = f"2024-03-${days(best._2 - 1)._1}%02d"
+      assert(gotC.contains((k, day, best._1)),
+        s"key $k: expect ($day, ${best._1}) in $gotC")
+    }
+  }
+
   test("changepoint: CUSUM argmax lands on the true shift, ties to earliest day") {
     val ev = Seq(
       // key 1: 2,2,2,10,10 cents·100 → D_k = 16,32,48,24 → split after day 3
