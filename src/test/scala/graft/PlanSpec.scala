@@ -281,4 +281,56 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 0, s"gopher rules must not hash-shuffle, got $hashEx:\n$plan")
   }
+
+  test("rel_skyline plan: the global window runs over the AGGREGATED distinct-x frame") {
+    val plan = SparkEntry.queries("rel_skyline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // no quadratic fallback anywhere
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"skyline fell back to a non-equi join:\n$plan")
+    // the single-partition exchange (the window's input) must sit ABOVE a
+    // partial/final aggregate pair — i.e. the window sees per-x maxima,
+    // never corpus rows; if the aggregate vanished the op re-became the
+    // single-reducer corpus sort it was designed to avoid
+    val lines = plan.linesIterator.toSeq
+    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(spIdx >= 0, s"no single-partition window input found:\n$plan")
+    assert(lines.drop(spIdx).exists(l => l.contains("HashAggregate") || l.contains("SortAggregate")),
+      s"window input is not the aggregated distinct-x frame:\n$plan")
+  }
+
+  test("rel_histogram / pipeline_expectations plans: single aggregate pass, no join, no window") {
+    for (q <- Seq("rel_histogram", "pipeline_expectations")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      assert(!plan.contains("Window"), s"$q must not window:\n$plan")
+    }
+  }
+
+  test("emb_drift plan: states join AFTER aggregation — corpus rows never join") {
+    val plan = SparkEntry.queries("emb_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the join input on each side must be an aggregate (bucket×dim state),
+    // not raw exploded vectors: a pre-aggregation join would ship the
+    // corpus twice through a corpus-sized join
+    val lines = plan.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0, s"expected the state join:\n$plan")
+    // below the join (its children print after it), the first aggregation-
+    // or-explode operator of each side must be the AGGREGATE — the explode
+    // must sit under it, so only bucket×dim states reach the join
+    val below = lines.drop(joinIdx + 1)
+    val firstGen = below.indexWhere(_.contains("Generate"))
+    val firstAgg = below.indexWhere(l => l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(firstGen >= 0 && firstAgg >= 0 && firstAgg < firstGen,
+      s"join child is not an aggregated state (agg@$firstAgg vs explode@$firstGen):\n$plan")
+  }
+
+  test("search_rbo plan: prefix joins stay equi, weight lookup is a literal array") {
+    val plan = SparkEntry.queries("search_rbo")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rbo joined non-equi:\n$plan")
+  }
 }
