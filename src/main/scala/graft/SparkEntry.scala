@@ -1646,6 +1646,14 @@ object SparkEntry {
       pipeline.TimeSeries.forwardFill(s.table("events"), "user_id", "ts", "value")
         .orderBy("user_id", "day")
     },
+    "events_rolling_actives" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // exact trailing-7d distinct users per event type (the WAU family)
+      // — contribution explode, never a per-window rescan or an HLL bar
+      pipeline.TimeSeries.rollingDistinct(s.table("events"), "event_type",
+          "ts", "user_id", nDays = 7)
+        .orderBy("event_type", "win_day")
+    },
     "events_trend" -> { (s, dir) =>
       prep(s, dir, "events")
       // per-user OLS daily-revenue slope over the gap-filled spine —
@@ -3987,6 +3995,20 @@ object SparkEntry {
                 CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
          FROM spine s LEFT JOIN b USING (user_id, day)
          ORDER BY user_id, day""",
+    "events_rolling_actives" ->
+      """WITH dd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+                     FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+              b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM dd GROUP BY 1),
+              c AS (SELECT event_type, user_id,
+                      CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                        INTERVAL 1 DAY)) AS DATE) AS win_day
+                    FROM dd)
+         SELECT c.event_type AS event_type, c.win_day,
+                count(DISTINCT c.user_id) AS n_distinct
+         FROM c JOIN b ON b.event_type = c.event_type
+                      AND c.win_day BETWEEN b.d0 AND b.d1
+         GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
     "events_trend" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

@@ -143,6 +143,46 @@ object TimeSeries {
       .drop("__sumsq", "__bsum")
   }
 
+  /** Rolling DISTINCT actives (the WAU/DAU family), EXACT: for every
+    * calendar day in each key's span, the count of distinct `idCol`
+    * values seen in the trailing `nDays`-day window ending that day. A
+    * windowed `count(DISTINCT)` doesn't exist in SQL engines because
+    * distinctness doesn't decompose over frames — this op linearizes it
+    * by CONTRIBUTION EXPLODE instead: each distinct (key, day, id)
+    * fact feeds the ≤ `nDays` windows it can appear in, so cost is
+    * `facts × nDays`, never a per-window rescan, and the count is exact
+    * (no HLL error bar on a headline metric). The daily-distinct
+    * pre-collapse runs FIRST — a chatty id costs one row per active
+    * day, not one per event.
+    *
+    * Windows are trimmed to each key's observed [min, max] day (the
+    * [[resampleGapFill]] spine rule: no phantom windows past the data,
+    * and the trailing window ramps up over the first nDays−1 days
+    * exactly as the real metric does). Plan: one distinct shuffle, the
+    * explode, one partial-aggregated distinct count per (key, window);
+    * the bounds frame is key-cardinality-sized and broadcast.
+    * Output: `keyCol, win_day, n_distinct`. */
+  def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, nDays: Int): DataFrame = {
+    require(nDays >= 1 && nDays <= 370,
+      s"nDays must be in [1, 370], got $nDays")
+    import org.apache.spark.sql.functions.broadcast
+    val day = to_date(col(tsCol))
+    val dd = events
+      .where(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol), day.as("__day"), col(idCol).as("__id"))
+      .distinct()
+    val bounds = dd.groupBy(col(keyCol))
+      .agg(min("__day").as("__d0"), max("__day").as("__d1"))
+    dd.select(col(keyCol), col("__id"),
+        explode(sequence(col("__day"), date_add(col("__day"), nDays - 1)))
+          .as("win_day"))
+      .join(broadcast(bounds), Seq(keyCol))
+      .where(col("win_day") >= col("__d0") && col("win_day") <= col("__d1"))
+      .groupBy(col(keyCol), col("win_day"))
+      .agg(countDistinct(col("__id")).as("n_distinct"))
+  }
+
   /** Per-key OLS TREND: the least-squares slope of daily value (cents)
     * against the calendar day, fit over the gap-filled spine (a silent
     * day IS zero revenue — fitting observed days only would bias every

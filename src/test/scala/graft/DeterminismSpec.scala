@@ -82,7 +82,9 @@ class DeterminismSpec extends AnyFunSuite {
     // distinct-x running-max recurrence + survivor semi join
     "rel_skyline",
     // one-pass multi-rule conditional sums; dup-key rollup
-    "pipeline_expectations", "pipeline_unique_audit")
+    "pipeline_expectations", "pipeline_unique_audit",
+    // contribution-explode distinct count + broadcast bounds trim
+    "events_rolling_actives")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -136,6 +136,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("ts")))
   }
 
+  test("rollingDistinct: exact trailing actives, ramp-up, no phantom windows, chatty ids once") {
+    val ev = Seq(
+      // key "a": user 1 on days 1,2 (twice on day 1 — counted once);
+      // user 2 on day 3; span 1..3
+      (1L, ts(1), "a"), (1L, ts(1, 23), "a"), (1L, ts(2), "a"),
+      (2L, ts(3), "a"),
+      // key "b": one user, one day — exactly one window row
+      (9L, ts(5), "b")
+    ).toDF("user_id", "ts", "k")
+    val got = TimeSeries.rollingDistinct(ev, "k", "ts", "user_id", nDays = 2)
+      .orderBy("k", "win_day")
+      .as[(String, Date, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", Date.valueOf("2024-03-01"), 1L), // ramp-up: window [d0-1, d1] trimmed
+      ("a", Date.valueOf("2024-03-02"), 1L), // user 1 both days — once
+      ("a", Date.valueOf("2024-03-03"), 2L), // day2 user1 + day3 user2
+      ("b", Date.valueOf("2024-03-05"), 1L)  // no phantom day-6 window
+    ), s"$got")
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingDistinct(ev, "k", "ts", "user_id", 0))
+  }
+
   test("trend: exact OLS slope over the spine, gaps fit as zeros, 1-day keys drop") {
     val ev = Seq(
       // key 1: 1.00, 2.00, 3.00, 4.00 on consecutive days → +100 cents/day
