@@ -1646,6 +1646,17 @@ object SparkEntry {
       pipeline.TimeSeries.forwardFill(s.table("events"), "user_id", "ts", "value")
         .orderBy("user_id", "day")
     },
+    "events_rolling_median" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // trailing-7d exact median of daily spend per user — the robust
+      // rolling baseline a spike-owned mean can't give; contribution
+      // explode, per-window percentile over ≤7 values
+      pipeline.TimeSeries.rollingPercentileDaily(s.table("events"),
+          "user_id", "ts", "value", nDays = 7)
+        .select(col("user_id"), col("win_day"),
+          floor(col("p_value") * 100 + 0.5).cast("long").as("med_c"))
+        .orderBy("user_id", "win_day")
+    },
     "events_rolling_actives" -> { (s, dir) =>
       prep(s, dir, "events")
       // exact trailing-7d distinct users per event type (the WAU family)
@@ -3995,6 +4006,24 @@ object SparkEntry {
                 CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
          FROM spine s LEFT JOIN b USING (user_id, day)
          ORDER BY user_id, day""",
+    "events_rolling_median" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day, CAST(coalesce(b.cents, 0) AS BIGINT) AS cents
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              c AS (SELECT f.user_id AS user_id, f.cents,
+                      CAST(unnest(generate_series(f.day, f.day + INTERVAL 6 DAY,
+                        INTERVAL 1 DAY)) AS DATE) AS win_day
+                    FROM f)
+         SELECT c.user_id, c.win_day,
+                CAST(floor(quantile_cont(c.cents, 0.5) * 100 + 0.5) AS BIGINT) AS med_c
+         FROM c JOIN r ON r.user_id = c.user_id AND c.win_day <= r.d1
+         GROUP BY 1, 2 ORDER BY c.user_id, c.win_day""",
     "events_rolling_actives" ->
       """WITH dd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
                      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),

@@ -143,6 +143,39 @@ object TimeSeries {
       .drop("__sumsq", "__bsum")
   }
 
+  /** Rolling PERCENTILE over the gap-filled daily spine, EXACT (R-7):
+    * the trailing `nDays`-window median/p-quantile of daily cents for
+    * every day of each key's span — the robust rolling baseline a
+    * rolling MEAN can't give (one spike day owns a mean; the median
+    * shrugs). Holistic stats don't decompose over frames either, so
+    * the same CONTRIBUTION EXPLODE as [[rollingDistinct]] applies:
+    * each spine day feeds its ≤ `nDays` windows and the exact
+    * percentile runs per (key, window) over ≤ `nDays` values — bounded
+    * state however long the series, never a per-window rescan. Windows
+    * trim to the key's span; the ramp-up windows hold fewer values,
+    * exactly as the real metric does. Silent days contribute their
+    * explicit ZEROS (the spine contract — a quiet day genuinely drags
+    * the median). Output: `keyCol, win_day, p_value` (DOUBLE — R-7
+    * interpolates; quantize at the call site for hashing). */
+  def rollingPercentileDaily(events: DataFrame, keyCol: String,
+                             tsCol: String, valueCol: String, nDays: Int,
+                             p: Double = 0.5): DataFrame = {
+    require(nDays >= 1 && nDays <= 370,
+      s"nDays must be in [1, 370], got $nDays")
+    require(p >= 0 && p <= 1, s"p must be in [0, 1], got $p")
+    import org.apache.spark.sql.functions.broadcast
+    val spine = resampleGapFill(events, keyCol, tsCol, valueCol)
+    val bounds = spine.groupBy(col(keyCol))
+      .agg(max("day").as("__d1"))
+    spine.select(col(keyCol), col("value_cents"),
+        explode(sequence(col("day"), date_add(col("day"), nDays - 1)))
+          .as("win_day"))
+      .join(broadcast(bounds), Seq(keyCol))
+      .where(col("win_day") <= col("__d1"))
+      .groupBy(col(keyCol), col("win_day"))
+      .agg(expr(s"percentile(value_cents, $p)").as("p_value"))
+  }
+
   /** Rolling DISTINCT actives (the WAU/DAU family), EXACT: for every
     * calendar day in each key's span, the count of distinct `idCol`
     * values seen in the trailing `nDays`-day window ending that day. A

@@ -136,6 +136,23 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("ts")))
   }
 
+  test("rollingPercentileDaily: hand medians incl. gap zeros and ramp-up") {
+    // key 7: days 1..4 cents = 100, 0 (gap), 300, 500
+    val ev = Seq((7L, ts(1), 1.0), (7L, ts(3), 3.0), (7L, ts(4), 5.0))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.rollingPercentileDaily(ev, "user_id", "ts", "value", 3)
+      .orderBy("win_day")
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(2)).toSeq
+    assert(got == Seq(
+      "2024-03-01" -> 100.0, // ramp-up: window of 1
+      "2024-03-02" -> 50.0,  // {100, 0} → R-7 median 50
+      "2024-03-03" -> 100.0, // {100, 0, 300}
+      "2024-03-04" -> 300.0  // {0, 300, 500} — the gap ZERO drags it
+    ), s"$got")
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingPercentileDaily(ev, "user_id", "ts", "value", 3, p = 1.5))
+  }
+
   test("rollingDistinct: exact trailing actives, ramp-up, no phantom windows, chatty ids once") {
     val ev = Seq(
       // key "a": user 1 on days 1,2 (twice on day 1 — counted once);
