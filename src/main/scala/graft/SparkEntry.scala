@@ -2080,6 +2080,14 @@ object SparkEntry {
       pipeline.Search.rboPrefix(byPrice, byDate, "c_mktsegment", d = 10)
         .orderBy("c_mktsegment")
     },
+    "emb_triplets" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // metric-learning triplet export: nearest same-label positive +
+      // hardest different-label negative per anchor, exact cosine
+      pipeline.Similarity.tripletMining(s.table("embeddings"), "vec_id",
+          "embedding", "label")
+        .orderBy("anchor_id")
+    },
     "emb_drift" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // snapshot-drift monitor: even vs odd vec_ids as the two corpus
@@ -2541,6 +2549,28 @@ object SparkEntry {
                 > (CAST(2401 AS HUGEINT) * (c1 + c2)
                    * ((n1 + n2) - (c1 + c2)) * n1 * n2) AS significant
          FROM t""",
+    "emb_triplets" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings),
+              scored AS (
+                SELECT qq.vec_id AS a, qq.label AS al, cc.vec_id AS b, cc.label AS bl,
+                       CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(qq.qv, cc.qv), p -> p[1] * p[2])) AS DOUBLE)
+                         / (sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(cc.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cs
+                FROM q qq JOIN q cc ON cc.vec_id <> qq.vec_id),
+              pos AS (SELECT a, b, cs FROM (
+                SELECT a, b, cs, row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rn
+                FROM scored WHERE al = bl) WHERE rn = 1),
+              neg AS (SELECT a, b, cs FROM (
+                SELECT a, b, cs, row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rn
+                FROM scored WHERE al <> bl) WHERE rn = 1)
+         SELECT p.a AS anchor_id,
+                CAST((SELECT label FROM q WHERE q.vec_id = p.a) AS BIGINT) AS label,
+                p.b AS pos_id, p.cs AS pos_cos,
+                n.b AS neg_id, n.cs AS neg_cos
+         FROM pos p JOIN neg n ON n.a = p.a
+         ORDER BY anchor_id""",
     "emb_drift" ->
       """WITH q AS (SELECT vec_id, vec_id % 2 AS side,
                       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv

@@ -676,6 +676,44 @@ object Similarity {
         (col("predicted").isNotNull && col("predicted") === col("label")).as("correct"))
   }
 
+  /** TRIPLET export for metric-learning finetunes: per anchor, the
+    * nearest SAME-label vector (the positive) and the nearest
+    * DIFFERENT-label vector (the hard negative — the non-match the
+    * margin loss learns most from) by exact quantized cosine, ties to
+    * the smaller id. One scored pass, TWO conditional argmax aggregates
+    * (`max(when(same, struct))` — partial-aggregated, one struct per
+    * anchor per task crosses the shuffle, no window sort). Anchors
+    * lacking either side (singleton labels, a one-label corpus) DROP —
+    * a triplet with a missing leg is not training data. Labels must be
+    * integral (loud). Exact all-pairs BY DESIGN, like
+    * [[knnLabelAccuracy]]: the labeled set is bounded by labeling cost;
+    * past brute-force range, block first (IVF/LSH) and pass the
+    * candidate slice. Output: `anchor_id, label, pos_id, pos_cos,
+    * neg_id, neg_cos` (cos in the 1e9-scaled key space). */
+  def tripletMining(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    Search.requireIntegralId(emb, idCol, "tripletMining")
+    Search.requireIntegralId(emb, labelCol, "tripletMining", role = "label")
+    val a = emb.select(col(idCol).cast("long").as("anchor_id"),
+      col(labelCol).cast("long").as("label"), Dedup.quantize(col(vecCol)).as("__qa"))
+    val c = emb.select(col(idCol).cast("long").as("cand_id"),
+      col(labelCol).cast("long").as("__cl"), Dedup.quantize(col(vecCol)).as("__qc"))
+    a.join(broadcast(c), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("label"), col("cand_id"),
+        (col("__cl") === col("label")).as("__same"),
+        cosScaled(col("__qa"), col("__qc")).as("__cos"))
+      .groupBy("anchor_id", "label")
+      .agg(
+        max(when(col("__same"),
+          struct(col("__cos"), (-col("cand_id")).as("nid")))).as("__p"),
+        max(when(!col("__same"),
+          struct(col("__cos"), (-col("cand_id")).as("nid")))).as("__n"))
+      .where(col("__p").isNotNull && col("__n").isNotNull)
+      .select(col("anchor_id"), col("label"),
+        (-col("__p.nid")).as("pos_id"), col("__p.__cos").as("pos_cos"),
+        (-col("__n.nid")).as("neg_id"), col("__n.__cos").as("neg_cos"))
+  }
+
   /** EMBEDDING DRIFT monitor between two corpus snapshots (yesterday's
     * batch vs today's, model v1 re-embeds vs v2): per deterministic
     * sign-bucket (the first `signDims` dimensions' sign pattern — a

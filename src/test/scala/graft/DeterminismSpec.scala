@@ -84,7 +84,9 @@ class DeterminismSpec extends AnyFunSuite {
     // one-pass multi-rule conditional sums; dup-key rollup
     "pipeline_expectations", "pipeline_unique_audit",
     // contribution-explode distinct count + broadcast bounds trim
-    "events_rolling_actives", "events_rolling_median")
+    "events_rolling_actives", "events_rolling_median",
+    // dual conditional argmax over the broadcast-scored pairs
+    "emb_triplets")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1527,6 +1527,27 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.centroidDrift(a, b, "embedding", signDims = 0))
   }
 
+  test("tripletMining: positive is nearest same-label, negative the hardest non-match") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.00f), 0),  // anchor
+      (2L, Array(1.0f, 0.05f), 0),  // near same-label → positive of 1
+      (3L, Array(0.0f, 1.00f), 0),  // far same-label
+      (4L, Array(1.0f, 0.30f), 1),  // nearest diff-label → hard negative of 1
+      (5L, Array(-1.0f, 0.0f), 1)   // far diff-label
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.tripletMining(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 4L)), s"anchor 1: ${got(1L)}")
+    assert(got(4L)._1 == 5L, s"anchor 4 positive: ${got(4L)}") // only other label-1
+    // a one-label corpus has no negatives: NO triplets, not half-triplets
+    val mono = emb.where($"label" === 0)
+    assert(Similarity.tripletMining(mono, "vec_id", "embedding", "label").count() == 0)
+    // string labels loud
+    intercept[IllegalArgumentException](Similarity.tripletMining(
+      Seq((1L, Array(1.0f), "en")).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label"))
+  }
+
   test("knnLabelAccuracy: clustered labels verify, the planted mislabel is caught") {
     // two tight clusters; vec 7 sits in cluster 0 but carries label 1 —
     // its neighbors outvote the label, so it (and only it) is incorrect
