@@ -2015,6 +2015,15 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "text_vocab_growth" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Heaps'-law saturation: per id-ordered tenth of the corpus, how
+      // many tokens appear for the first time + the cumulative vocab —
+      // "is more data still buying new language?"
+      pipeline.TextAnalysis.vocabGrowth(s.table("documents"), "doc_id",
+          "text", nBuckets = 10)
+        .orderBy("bucket")
+    },
     "pipeline_expectations" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // data-contract gate over a deliberately corrupted view (negated
@@ -2486,6 +2495,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "search_rbo" -> rboOracleSql,
+    "text_vocab_growth" ->
+      """WITH m AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+              p AS (SELECT lo, (hi - lo + 1) // 10 +
+                      CASE WHEN (hi - lo + 1) % 10 = 0 THEN 0 ELSE 1 END AS w FROM m),
+              tok AS (SELECT CAST(least(9, (doc_id - (SELECT lo FROM p))
+                               // (SELECT w FROM p)) AS INT) AS b,
+                             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> len(x) > 0)) AS t
+                      FROM documents),
+              fs AS (SELECT t, min(b) AS bucket FROM tok GROUP BY 1),
+              nb AS (SELECT bucket, count(*) AS new_tokens FROM fs GROUP BY 1),
+              sp AS (SELECT CAST(unnest(range(10)) AS INT) AS bucket),
+              j AS (SELECT sp.bucket, CAST(coalesce(nb.new_tokens, 0) AS BIGINT) AS new_tokens
+                    FROM sp LEFT JOIN nb ON nb.bucket = sp.bucket)
+         SELECT bucket, new_tokens,
+                CAST(sum(new_tokens) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         FROM j ORDER BY bucket""",
     "pipeline_expectations" ->
       """WITH c AS (SELECT
              CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS qty,

@@ -220,6 +220,47 @@ object TextAnalysis {
     * as TakeOrderedAndProject — per-partition top-N merged on the driver,
     * no full sort ever materializes. The explode fan-out is the unavoidable
     * cost; everything after it moves only (token, count) pairs. */
+  /** VOCABULARY GROWTH curve (the Heaps'-law saturation readout): split
+    * the corpus into `nBuckets` id-ordered slices and report, per
+    * slice, how many distinct tokens appear there for the FIRST time
+    * plus the cumulative vocabulary — "is more data still buying new
+    * language, or just repetition?", the question behind every
+    * scale-more-vs-curate-more decision. EXACT and one-pass: cumulative
+    * distinct doesn't decompose over prefixes, but each token's first
+    * appearance is just `min(bucket)` — one partial-aggregated groupBy
+    * per distinct token, a bucket-sized rollup, and a running sum over
+    * the `nBuckets`-row frame (the only window, trivially sized).
+    * Bucketing is by `idCol DIV ceil(span/nBuckets)` over the observed
+    * id range — deterministic, no sampling. Output:
+    * `bucket, new_tokens, cum_vocab`. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10000,
+      s"nBuckets must be in [2, 10000], got $nBuckets")
+    graft.pipeline.Search.requireIntegralId(df, idCol, "vocabGrowth")
+    val row = df.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head
+    require(!row.isNullAt(0), "vocabGrowth needs a non-empty corpus")
+    val lo = row.getLong(0)
+    val hi = row.getLong(1)
+    val span = hi - lo + 1
+    val width = span / nBuckets + (if (span % nBuckets == 0) 0 else 1)
+    val bucket = least(lit(nBuckets - 1L),
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${width}L")).cast("int")
+    val firstSeen = df.select(bucket.as("__b"), explode(words(col(textCol))).as("__t"))
+      .groupBy("__t").agg(min("__b").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+    // every bucket reports, even fully-saturated ones — a growth curve
+    // with silent gaps hides exactly the flatness it exists to show
+    val spine = df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("cum_vocab", sum("new_tokens").over(w))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, topN: Int = 100): DataFrame =
     df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))

@@ -86,7 +86,9 @@ class DeterminismSpec extends AnyFunSuite {
     // contribution-explode distinct count + broadcast bounds trim
     "events_rolling_actives", "events_rolling_median",
     // dual conditional argmax over the broadcast-scored pairs
-    "emb_triplets")
+    "emb_triplets",
+    // min-bucket first-appearance rollup + spine running sum
+    "text_vocab_growth")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

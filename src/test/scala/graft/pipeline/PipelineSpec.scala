@@ -1741,6 +1741,25 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Option[Int], Long)].collect().toSet
     assert(got == Set(("b", Some(2), 2L), ("c", None, 1L), ("d", Some(9), 1L)), s"$got")
   }
+  test("vocabGrowth: first appearances per id slice, exact cumulative vocabulary") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"),        // bucket 0: first-seen a, b, c
+      (2L, "c d"), (3L, "d a e")       // bucket 1: first-seen d, e only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3L, 3L), (1, 2L, 5L)), s"$got")
+    // a saturated corpus: later buckets add nothing and must report as such
+    val sat = Seq((0L, "x y"), (1L, "x"), (2L, "y x")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.vocabGrowth(sat, "doc_id", "text", nBuckets = 3)
+      .orderBy("bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(g2 == Seq((0, 2L, 2L), (1, 0L, 2L), (2, 0L, 2L)), s"$g2") // flat tail REPORTED
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabGrowth(docs, "doc_id", "text", 1))
+    intercept[IllegalArgumentException](TextAnalysis.vocabGrowth(
+      Seq(("x", "t")).toDF("doc_id", "text"), "doc_id", "text"))
+  }
+
   test("expectations: per-rule counts in one pass, NULL predicate = violation") {
     val df = Seq(
       (Some(5.0), "ok"), (Some(-1.0), "ok"),   // -1 violates the range
