@@ -2015,6 +2015,24 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "src_jsonl_roundtrip" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // file-level JSONL ingest parity: documents → gzip JSONL part
+      // files → read back under an explicit schema → per-lang rollup;
+      // DuckDB reads the SAME files, so writer, reader, and both
+      // parsers must agree byte-for-byte
+      val out = "/tmp/graft_jsonl_gate"
+      sources.Jsonl.write(
+        s.table("documents").select("doc_id", "lang", "n_chars"), out, 4)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT")
+      sources.Jsonl.read(s, out, schema)
+        .where(col("_corrupt").isNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    },
     "text_vocab_growth" -> { (s, dir) =>
       prep(s, dir, "documents")
       // Heaps'-law saturation: per id-ordered tenth of the corpus, how
@@ -2495,6 +2513,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "search_rbo" -> rboOracleSql,
+    "src_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM read_json('/tmp/graft_jsonl_gate/*.json.gz',
+                        format = 'newline_delimited',
+                        columns = {doc_id: 'BIGINT', lang: 'VARCHAR', n_chars: 'BIGINT'})
+         GROUP BY lang ORDER BY lang""",
     "text_vocab_growth" ->
       """WITH m AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
               p AS (SELECT lo, (hi - lo + 1) // 10 +

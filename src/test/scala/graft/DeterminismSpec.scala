@@ -88,7 +88,9 @@ class DeterminismSpec extends AnyFunSuite {
     // dual conditional argmax over the broadcast-scored pairs
     "emb_triplets",
     // min-bucket first-appearance rollup + spine running sum
-    "text_vocab_growth")
+    "text_vocab_growth",
+    // write→read JSONL round-trip must not depend on partitioning
+    "src_jsonl_roundtrip")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
