@@ -47,6 +47,21 @@ object Jsonl {
       .json(path)
   }
 
+  /** Streaming twin of [[read]]: tail a landing directory of JSONL files
+    * as a Structured Streaming source under the same explicit-schema +
+    * corrupt-retention contract — each newly landed file becomes a
+    * micro-batch, rejects ride the same `_corrupt` column into
+    * foreachBatch accounting. */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "the schema must not itself define _corrupt")
+    spark.readStream
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+  }
+
   /** One-pass ingest audit: (good, corrupt) line counts. Deliberately
     * also references a data column — Spark's JSON scan refuses a plan
     * whose pruned schema is the corrupt column alone. */

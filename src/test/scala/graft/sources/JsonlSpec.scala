@@ -44,6 +44,28 @@ class JsonlSpec extends AnyFunSuite {
       .collect().toSet == Set(1L, 2L))
   }
 
+  test("readStream tails landed JSONL files; rejects are accounted per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s").toString
+    var good = 0L; var bad = 0L
+    val q = Jsonl.readStream(spark, dir, schema).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (g, b) = Jsonl.corruptStats(batch)
+        good += g; bad += b; ()
+      }.start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "a.jsonl"),
+        "{\"id\": 1, \"txt\": \"x\"}\nbroken\n")
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "b.jsonl"),
+        "{\"id\": 2, \"txt\": \"y\"}\n")
+      q.processAllAvailable()
+      assert((good, bad) == ((2L, 1L)), s"($good, $bad)")
+    } finally q.stop()
+  }
+
   test("a schema that claims _corrupt, and an empty corpus, are handled") {
     intercept[IllegalArgumentException](Jsonl.read(spark, "/tmp/x",
       StructType.fromDDL("_corrupt STRING, id BIGINT")))
