@@ -2015,6 +2015,25 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "src_csv_roundtrip" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // CSV parity incl. the quoting dimension: lang values wrapped in
+      // crafted comma/quote text exercise the RFC escaping both parsers
+      // must agree on
+      val out = "/tmp/graft_csv_gate"
+      val df = s.table("documents").select(col("doc_id"),
+        concat(lit("x,\""), col("lang"), lit("\"y")).as("tricky"),
+        col("n_chars"))
+      sources.Csv.write(df, out, 4)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, tricky STRING, n_chars BIGINT")
+      sources.Csv.read(s, out, schema)
+        .where(col("_corrupt").isNull)
+        .groupBy("tricky")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("tricky")
+    },
     "src_jsonl_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // file-level JSONL ingest parity: documents → gzip JSONL part
@@ -2513,6 +2532,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "search_rbo" -> rboOracleSql,
+    "src_csv_roundtrip" ->
+      """SELECT tricky, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM read_csv('/tmp/graft_csv_gate/*.csv.gz', header = true,
+                       columns = {doc_id: 'BIGINT', tricky: 'VARCHAR', n_chars: 'BIGINT'})
+         GROUP BY tricky ORDER BY tricky""",
     "src_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -89,8 +89,8 @@ class DeterminismSpec extends AnyFunSuite {
     "emb_triplets",
     // min-bucket first-appearance rollup + spine running sum
     "text_vocab_growth",
-    // write→read JSONL round-trip must not depend on partitioning
-    "src_jsonl_roundtrip")
+    // write→read JSONL/CSV round-trips must not depend on partitioning
+    "src_jsonl_roundtrip", "src_csv_roundtrip")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
