@@ -366,7 +366,11 @@ object Relational {
     * every larger x's ymax); pass 3 semi-joins survivors back. Both
     * columns must be integral (loud — a silent cast would corrupt the
     * dominance order exactly like the graph ops' id casts); NULL in
-    * either column = no position in the dominance order, excluded. */
+    * either column = no position in the dominance order, excluded.
+    * The distinct-x window is the scale bound: for a NEAR-UNIQUE x
+    * (raw cents on a huge corpus) the collapsed frame approaches the
+    * corpus — coarsen x to the resolution the dominance decision
+    * actually needs (e.g. whole currency units) before calling. */
   def skylineMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     requireIntegralTime(df, xCol, "skylineMax", what = "dominance")
     requireIntegralTime(df, yCol, "skylineMax", what = "dominance")

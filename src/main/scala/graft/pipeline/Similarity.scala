@@ -702,6 +702,10 @@ object Similarity {
       .select(col("anchor_id"), col("label"), col("cand_id"),
         (col("__cl") === col("label")).as("__same"),
         cosScaled(col("__qa"), col("__qc")).as("__cos"))
+      // NULL cosines (NULL / dimension-mismatched vectors) must not reach
+      // the argmax — the mutualNearest rule: a wrong-model-version join
+      // yields FEWER triplets, never id-order noise dressed as labels
+      .where(col("__cos").isNotNull)
       .groupBy("anchor_id", "label")
       .agg(
         max(when(col("__same"),
