@@ -1881,6 +1881,19 @@ object SparkEntry {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       pipeline.Graph.clusteringCoefficient(e, "src", "dst").orderBy("node")
     },
+    "rel_hierarchy_rollup" -> { (s, dir) =>
+      prep(s, dir, "part")
+      // BOM-style subtree rollup over the decimal part tree (parent =
+      // (id−1) DIV 10): the recursive-CTE class Spark lacks natively,
+      // as frontier-chase rounds + one ancestor aggregate
+      val parts = s.table("part")
+      val edges = parts.where(col("p_partkey") >= 1)
+        .select(col("p_partkey").as("child"),
+          expr("(p_partkey - 1) DIV 10").as("parent"))
+      pipeline.Graph.hierarchyRollup(parts, "p_partkey", "p_retailprice",
+          edges, "child", "parent", maxDepth = 10)
+        .orderBy("node")
+    },
     "graph_modularity" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // modularity of the label-propagation communities — turns "we ran
@@ -2689,6 +2702,22 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY a, b""",
     "graph_kcore" -> kCoreOracleSql(3, 8),
     "graph_modularity" -> modularityOracleSql(4),
+    "rel_hierarchy_rollup" ->
+      """WITH RECURSIVE anc AS (
+           SELECT p_partkey AS child, CAST((p_partkey - 1) // 10 AS BIGINT) AS anc
+           FROM part WHERE p_partkey >= 1
+           UNION ALL
+           SELECT a.child, CAST((a.anc - 1) // 10 AS BIGINT)
+           FROM anc a WHERE a.anc >= 1),
+         pairs AS (SELECT child, anc FROM anc
+                   UNION ALL SELECT p_partkey, p_partkey FROM part),
+         v AS (SELECT p_partkey AS child,
+                      CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM part)
+         SELECT p.anc AS node, CAST(count(*) AS BIGINT) AS n_subtree,
+                CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+         FROM pairs p JOIN v ON v.child = p.child
+         GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_shortest_paths" -> shortestPathsOracleSql(4, weighted = true),
     "events_scd2" ->

@@ -469,6 +469,65 @@ object Graph {
         expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"))
   }
 
+  /** ANCESTOR CLOSURE of a parent-pointer hierarchy — the recursive-CTE
+    * class Spark has no native operator for (org charts, bill-of-
+    * materials, category trees): every (node, ancestor) pair, any
+    * depth. Synchronous parent-chase rounds over a once-materialized
+    * edge frame; each round joins only the still-advancing FRONTIER
+    * (round cost ∝ pairs discovered that round, not the closure),
+    * fixpoint by one `isEmpty` scalar per round, per-round
+    * `Materialize.cut` (the shortestPaths discipline). DAG diamonds
+    * dedup per round; a frontier still alive after `maxDepth` rounds
+    * fails LOUDLY — a "hierarchy" with a cycle would otherwise loop
+    * forever, and depth > maxDepth is corrupt data, not a deeper tree.
+    * Self-loops and NULL endpoints are excluded. Output: `child, anc`. */
+  def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
+                      maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 200,
+      s"maxDepth must be in [1, 200], got $maxDepth")
+    Search.requireIntegralId(edges, childCol, "ancestorClosure", role = "child id")
+    Search.requireIntegralId(edges, parentCol, "ancestorClosure", role = "parent id")
+    val e = Materialize.cut(edges
+      .select(col(childCol).cast("long").as("child"),
+        col(parentCol).cast("long").as("parent"))
+      .where(col("child").isNotNull && col("parent").isNotNull &&
+        col("child") =!= col("parent"))
+      .distinct())
+    val up = e.select(col("child").as("anc"), col("parent").as("next"))
+    var frontier = e.select(col("child"), col("parent").as("anc"))
+    val rounds = scala.collection.mutable.ArrayBuffer(frontier)
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      frontier = Materialize.cut(frontier.join(up, Seq("anc"))
+        .select(col("child"), col("next").as("anc")).distinct())
+      rounds += frontier
+      depth += 1
+    }
+    require(frontier.isEmpty,
+      s"ancestorClosure: a chase is still advancing after $maxDepth rounds — " +
+        "cycle in the hierarchy, or raise maxDepth")
+    rounds.reduce(_ union _).distinct()
+  }
+
+  /** Hierarchical (subtree) ROLLUP over [[ancestorClosure]] — the
+    * BOM-explosion / org-rollup aggregate: per node, the count and
+    * cents-exact value sum of its ENTIRE subtree (self included).
+    * Closure pairs join the node values once, one partial-aggregated
+    * groupBy on the ancestor. Output: `node, n_subtree, subtree_cents`. */
+  def hierarchyRollup(nodes: DataFrame, idCol: String, valueCol: String,
+                      edges: DataFrame, childCol: String, parentCol: String,
+                      maxDepth: Int = 32): DataFrame = {
+    Search.requireIntegralId(nodes, idCol, "hierarchyRollup")
+    val self = nodes.select(col(idCol).cast("long").as("child"))
+      .withColumn("anc", col("child"))
+    val pairs = ancestorClosure(edges, childCol, parentCol, maxDepth).union(self)
+    val vals = nodes.select(col(idCol).cast("long").as("child"),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("__cents"))
+    pairs.join(vals, Seq("child"))
+      .groupBy(col("anc").as("node"))
+      .agg(count(lit(1)).as("n_subtree"), sum("__cents").as("subtree_cents"))
+  }
+
   /** MODULARITY of a community assignment, per community, integer-exact:
     * the Newman Q decomposed as contribution_c = (4m·e_c − d_c²)·10⁶ DIV
     * 4m² (e_c = intra-community edges, d_c = community degree sum, m =

@@ -90,7 +90,9 @@ class DeterminismSpec extends AnyFunSuite {
     // min-bucket first-appearance rollup + spine running sum
     "text_vocab_growth",
     // write→read JSONL/CSV round-trips must not depend on partitioning
-    "src_jsonl_roundtrip", "src_csv_roundtrip")
+    "src_jsonl_roundtrip", "src_csv_roundtrip",
+    // frontier-chase closure rounds + ancestor rollup
+    "rel_hierarchy_rollup")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -282,6 +282,34 @@ class GraphSpec extends AnyFunSuite {
       Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", Seq(1L).toDF("node"), 0))
   }
 
+  test("ancestorClosure + hierarchyRollup: hand tree, DAG diamond, loud cycle") {
+    // tree: 1←2,3; 2←4; values id·1.00
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("c", "p")
+    val closure = Graph.ancestorClosure(edges, "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(closure == Set((2L, 1L), (3L, 1L), (4L, 2L), (4L, 1L)), s"$closure")
+    val nodes = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    val roll = Graph.hierarchyRollup(nodes, "id", "v", edges, "c", "p")
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(roll == Seq((1L, 4L, 1000L), (2L, 2L, 600L),
+      (3L, 1L, 300L), (4L, 1L, 400L)), s"$roll")
+    // DAG diamond: 4 reaches 1 via both 2 and 3 — the pair appears ONCE
+    val dag = Seq((2L, 1L), (3L, 1L), (4L, 2L), (4L, 3L)).toDF("c", "p")
+    val dc = Graph.ancestorClosure(dag, "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dc.count(_ == ((4L, 1L))) <= 1 && dc.contains((4L, 1L)))
+    // and the rollup counts node 4 once under node 1, not twice
+    val dr = Graph.hierarchyRollup(nodes, "id", "v", dag, "c", "p")
+      .where($"node" === 1L).head
+    assert((dr.getLong(1), dr.getLong(2)) == ((4L, 1000L)), s"$dr")
+    // a cycle must fail loudly, not loop
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")
+    val e = intercept[IllegalArgumentException](
+      Graph.ancestorClosure(cyc, "c", "p", maxDepth = 5))
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("modularity: two bridged triangles score the textbook 0.357, loud on unlabeled") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
       (3L, 4L)).toDF("src", "dst")
