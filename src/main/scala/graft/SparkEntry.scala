@@ -2099,6 +2099,22 @@ object SparkEntry {
       // row count a key-dedup pass would touch, not just distinct keys)
       pipeline.Maintenance.expectUnique(s.table("orders"), Seq("o_custkey"))
     },
+    "rel_asof_tolerance" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // freshness-bounded as-of: each purchase matched to the user's
+      // latest view ONLY if within 30 minutes — staler context is no
+      // context (the pandas merge_asof tolerance semantics)
+      val events = s.table("events")
+      pipeline.Relational.asofJoin(
+          events.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          events.where(col("event_type") === "view"),
+          Seq("user_id"), "ts", "ts", "event_id",
+          rightCols = Seq("event_id"),
+          tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .select(col("event_id"), col("user_id"), col("event_id_asof"))
+        .orderBy("event_id")
+    },
     "rel_skyline" -> { (s, dir) =>
       prep(s, dir, "orders")
       // Pareto front over (order value, recency): no single ORDER BY
@@ -2607,6 +2623,14 @@ object SparkEntry {
          SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS dup_rows,
                 CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS dup_keys,
                 CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM g""",
+    "rel_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+                (SELECT v.event_id FROM events v
+                 WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                   AND v.ts <= e.ts AND v.ts >= e.ts - INTERVAL 30 MINUTE
+                 ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS event_id_asof
+         FROM events e WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
     "rel_skyline" ->
       """WITH v AS (SELECT o_orderkey,
                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,

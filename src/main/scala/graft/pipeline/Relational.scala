@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,14 +162,25 @@ object Relational {
                leftTimeCol: String, rightTimeCol: String,
                rightIdCol: String, rightCols: Seq[String],
                suffix: String = "_asof",
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    // tolerance (the pandas merge_asof knob): a match older (backward) /
+    // later (forward) than `tolerance` away is NO match — "the latest
+    // sensor reading, but only if fresher than 10 minutes". Pass an
+    // INTERVAL Column for timestamp time columns, a numeric for numeric
+    // ones; the check is `matchT >= leftT − tol` (backward) on the
+    // matched row's own time, carried in the packed struct. Stale
+    // matches null out exactly like no-predecessor rows.
+    require(!rightCols.contains("__mt"),
+      "asofJoin: right column name '__mt' is reserved")
     val leftCols = left.columns.toSeq
     val rPacked = right
       .where(col(rightTimeCol).isNotNull)
       .withColumn("__t", col(rightTimeCol))
       .withColumn("__side", lit(0))
       .withColumn("__rtb", col(rightIdCol).cast("long"))
-      .withColumn("__r", struct(rightCols.map(col): _*))
+      .withColumn("__r", struct((rightCols.map(col) :+
+        col(rightTimeCol).as("__mt")): _*))
       .select((keyCols ++ Seq("__t", "__side", "__rtb", "__r")).map(col): _*)
     val lTagged = left
       .withColumn("__t", col(leftTimeCol))
@@ -195,6 +206,15 @@ object Relational {
     val joined = unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      .withColumn("__match", tolerance match {
+        case None => col("__match")
+        case Some(tol) =>
+          val fresh = direction match {
+            case "backward" => col("__match.__mt") >= col(leftTimeCol) - tol
+            case _          => col("__match.__mt") <= col(leftTimeCol) + tol
+          }
+          when(fresh, col("__match")) // stale or no match → NULL struct
+      })
     rightCols.foldLeft(joined)((df, c) => df.withColumn(c + suffix, col(s"__match.$c")))
       .select((leftCols ++ rightCols.map(_ + suffix)).map(col): _*)
   }

@@ -604,6 +604,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1), "t=25 has no following right")
   }
 
+  test("asofJoin tolerance: stale matches null out, fresh ones survive, both directions") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L)).toDF("lid", "user", "t")
+    val right = Seq((10L, 1L, 95L), (11L, 1L, 120L)).toDF("rid", "user", "rt")
+    // backward, tolerance 10: t=100 matches rt=95 (5 away); t=200's
+    // latest right is rt=120 — 80 away, STALE → null, not the next-older
+    val back = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid"), tolerance = Some(lit(10L)))
+      .orderBy("lid").select("lid", "rid_asof").collect()
+    assert(back(0).getLong(1) == 10L && back(1).isNullAt(1), s"${back.toSeq}")
+    // forward, tolerance 10: t=100's next right is rt=120 — too far
+    val fwd = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid"), direction = "forward", tolerance = Some(lit(10L)))
+      .orderBy("lid").select("lid", "rid_asof").collect()
+    assert(fwd(0).isNullAt(1) && fwd(1).isNullAt(1), s"${fwd.toSeq}")
+    // no tolerance: bit-identical to the original op (the None default)
+    val plain = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid")).orderBy("lid").select("lid", "rid_asof").collect()
+    assert(plain(0).getLong(1) == 10L && plain(1).getLong(1) == 11L)
+    intercept[IllegalArgumentException](Relational.asofJoin(left, right,
+      Seq("user"), "t", "rt", "rid", Seq("__mt")))
+  }
+
   test("asofJoin never matches NULL-time rows, either side, either direction") {
     // right rows with NULL rt would otherwise sort nulls-first and become
     // the running-last match for left rows with no true predecessor
