@@ -2099,6 +2099,21 @@ object SparkEntry {
       // row count a key-dedup pass would touch, not just distinct keys)
       pipeline.Maintenance.expectUnique(s.table("orders"), Seq("o_custkey"))
     },
+    "rel_asof_nearest" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // nearest-in-time match, either direction, within 2 hours — the
+      // third merge_asof direction; exact-gap ties go backward
+      val events = s.table("events")
+      pipeline.Relational.asofJoin(
+          events.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          events.where(col("event_type") === "view"),
+          Seq("user_id"), "ts", "ts", "event_id",
+          rightCols = Seq("event_id"), direction = "nearest",
+          tolerance = Some(expr("INTERVAL 2 HOURS")))
+        .select(col("event_id"), col("user_id"), col("event_id_asof"))
+        .orderBy("event_id")
+    },
     "rel_asof_tolerance" -> { (s, dir) =>
       prep(s, dir, "events")
       // freshness-bounded as-of: each purchase matched to the user's
@@ -2623,6 +2638,27 @@ object SparkEntry {
          SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS dup_rows,
                 CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS dup_keys,
                 CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM g""",
+    "rel_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id,
+                CASE
+                  WHEN fb.event_id IS NULL THEN ff.event_id
+                  WHEN ff.event_id IS NULL THEN fb.event_id
+                  WHEN (ff.ts - p.ts) < (p.ts - fb.ts) THEN ff.event_id
+                  ELSE fb.event_id
+                END AS event_id_asof
+         FROM p
+         LEFT JOIN LATERAL (
+           SELECT v.event_id, v.ts FROM events v
+           WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+           ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) fb ON TRUE
+         LEFT JOIN LATERAL (
+           SELECT v.event_id, v.ts FROM events v
+           WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             AND v.ts > p.ts AND v.ts <= p.ts + INTERVAL 2 HOUR
+           ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) ff ON TRUE
+         ORDER BY p.event_id""",
     "rel_asof_tolerance" ->
       """SELECT e.event_id, e.user_id,
                 (SELECT v.event_id FROM events v

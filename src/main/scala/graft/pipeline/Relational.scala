@@ -194,27 +194,44 @@ object Relational {
     // null-time LEFT rows must sort before every right row in either
     // direction (asc default is nulls-first; desc needs the explicit form)
     // so their running last() sees no right struct and yields no match
-    val ord = direction match {
-      case "backward" => Seq(col("__t").asc_nulls_first, col("__side").asc, col("__rtb").asc)
-      case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc, col("__rtb").desc)
+    val ordBack = Seq(col("__t").asc_nulls_first, col("__side").asc, col("__rtb").asc)
+    val ordFwd = Seq(col("__t").desc_nulls_first, col("__side").asc, col("__rtb").desc)
+    def running(ord: Seq[Column]) = last(col("__r"), ignoreNulls = true).over(
+      Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def freshB(m: Column) = tolerance.map(tol =>
+      m.getField("__mt") >= col(leftTimeCol) - tol).getOrElse(lit(true))
+    def freshF(m: Column) = tolerance.map(tol =>
+      m.getField("__mt") <= col(leftTimeCol) + tol).getOrElse(lit(true))
+    val joined = direction match {
+      case "backward" =>
+        unioned.withColumn("__match", running(ordBack))
+          .where(col("__side") === 1)
+          .withColumn("__match",
+            when(freshB(col("__match")), col("__match"))) // stale → NULL struct
+      case "forward" =>
+        unioned.withColumn("__match", running(ordFwd))
+          .where(col("__side") === 1)
+          .withColumn("__match", when(freshF(col("__match")), col("__match")))
+      case "nearest" =>
+        // pandas merge_asof nearest: both runnings over ONE exchange (two
+        // sorts of the same partitioning), choose the smaller gap; an
+        // exact-gap tie and an equal-time match both go to the BACKWARD
+        // side. Gap comparison is generic: timestamp − timestamp is a
+        // comparable day-time interval, numerics compare as numerics.
+        val b0 = unioned.withColumn("__mb", running(ordBack))
+          .withColumn("__mf", running(ordFwd))
+          .where(col("__side") === 1)
+        val b = when(col("__mb").isNotNull && freshB(col("__mb")), col("__mb"))
+        val f = when(col("__mf").isNotNull && freshF(col("__mf")), col("__mf"))
+        val gapB = col(leftTimeCol) - col("__mb").getField("__mt")
+        val gapF = col("__mf").getField("__mt") - col(leftTimeCol)
+        b0.withColumn("__match",
+          when(b.isNull, f).when(f.isNull, b)
+            .when(gapF < gapB, f).otherwise(b))
       case other => throw new IllegalArgumentException(
-        s"asofJoin direction must be backward | forward, got '$other'")
+        s"asofJoin direction must be backward | forward | nearest, got '$other'")
     }
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = unioned
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-      .withColumn("__match", tolerance match {
-        case None => col("__match")
-        case Some(tol) =>
-          val fresh = direction match {
-            case "backward" => col("__match.__mt") >= col(leftTimeCol) - tol
-            case _          => col("__match.__mt") <= col(leftTimeCol) + tol
-          }
-          when(fresh, col("__match")) // stale or no match → NULL struct
-      })
     rightCols.foldLeft(joined)((df, c) => df.withColumn(c + suffix, col(s"__match.$c")))
       .select((leftCols ++ rightCols.map(_ + suffix)).map(col): _*)
   }

@@ -626,6 +626,29 @@ class PipelineSpec extends AnyFunSuite {
       Seq("user"), "t", "rt", "rid", Seq("__mt")))
   }
 
+  test("asofJoin nearest: smaller gap wins, exact ties go backward, tolerance per side") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 109L), (3L, 1L, 200L))
+      .toDF("lid", "user", "t")
+    val right = Seq((10L, 1L, 95L), (11L, 1L, 120L)).toDF("rid", "user", "rt")
+    val out = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid"), direction = "nearest")
+      .orderBy("lid").select("lid", "rid_asof").collect()
+    assert(out(0).getLong(1) == 10L, "t=100: 5 back beats 20 fwd")
+    assert(out(1).getLong(1) == 11L, "t=109: 11 fwd beats 14 back")
+    assert(out(2).getLong(1) == 11L, "t=200: only a backward side exists")
+    // exact-gap tie: t=110 is 15 from both 95 and... craft 105/115
+    val tie = Seq((1L, 1L, 110L)).toDF("lid", "user", "t")
+    val r2 = Seq((20L, 1L, 105L), (21L, 1L, 115L)).toDF("rid", "user", "rt")
+    assert(Relational.asofJoin(tie, r2, Seq("user"), "t", "rt", "rid",
+      Seq("rid"), direction = "nearest").head.getLong(3) == 20L,
+      "equal gaps resolve to the backward match")
+    // tolerance rejects each side independently
+    val tol = Relational.asofJoin(left, right, Seq("user"), "t", "rt", "rid",
+        Seq("rid"), direction = "nearest", tolerance = Some(lit(10L)))
+      .orderBy("lid").select("lid", "rid_asof").collect()
+    assert(tol(0).getLong(1) == 10L && tol(2).isNullAt(1), s"${tol.toSeq}")
+  }
+
   test("asofJoin never matches NULL-time rows, either side, either direction") {
     // right rows with NULL rt would otherwise sort nulls-first and become
     // the running-last match for left rows with no true predecessor
