@@ -758,6 +758,20 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).cast("long").as("o_cents"))
         .orderBy("l_returnflag")
     },
+    "rel_unpivot" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // melt/unpivot (pivot's inverse): the per-flag wide metrics frame
+      // goes long as (flag, metric, amount) — Spark's native unpivot,
+      // which stays a pure map over the aggregated frame (no explode join)
+      val wide = s.table("lineitem").groupBy(col("l_returnflag"))
+        .agg(sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).as("qty_cents"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("price_cents"),
+          sum(expr("CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)")).as("disc_ppm"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents"), col("disc_ppm")),
+          "metric", "amount")
+        .orderBy("l_returnflag", "metric")
+    },
     "rel_topk_agg" -> { (s, dir) =>
       prep(s, dir, "customer", "orders")
       // grouped top-k via the bounded two-phase TopKPairs aggregate — same
@@ -1664,6 +1678,56 @@ object SparkEntry {
       pipeline.TimeSeries.rollingDistinct(s.table("events"), "event_type",
           "ts", "user_id", nDays = 7)
         .orderBy("event_type", "win_day")
+    },
+    "ts_ewma" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // per-user integer EWMA (α=1/4) of daily spend over the gap-filled
+      // spine — the floor recurrence replays bit-for-bit in the DuckDB
+      // recursive-CTE oracle; silent days smooth toward zero
+      pipeline.TimeSeries.ewma(s.table("events"), "user_id", "ts", "value",
+          alphaNum = 1, alphaDen = 4)
+        .orderBy("user_id", "day")
+    },
+    "ts_islands" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // gaps-and-islands coverage: weekly per-(user, type) activity spans
+      // merged into maximal contiguous islands per user — overlap counted
+      // once, touching spans contiguous; one exchange for both windows
+      val iv = s.table("events")
+        .groupBy(col("user_id"), col("event_type"), date_trunc("week", col("ts")).as("wk"))
+        .agg(unix_timestamp(min(col("ts"))).as("s"),
+          (unix_timestamp(max(col("ts"))) + 1).as("e"))
+      pipeline.TimeSeries.intervalIslands(iv, "user_id", "s", "e")
+        .orderBy("user_id", "island_start")
+    },
+    "events_dow_profile" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // day-of-week seasonality per event type: ISO weekday share in
+      // integer ppm — the weekly-rhythm readout that separates "traffic
+      // dropped" from "it's Sunday"
+      pipeline.TimeSeries.dowProfile(s.table("events"), "event_type", "ts", "value")
+        .orderBy("event_type", "dow")
+    },
+    "events_attribution" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // last-touch conversion attribution: each purchase credits the
+      // user's most recent view within 7 days, campaign jq-extracted from
+      // the view's JSON payload — the asof join IS the attribution rule
+      // (backward + tolerance; equal-time ties to the highest event_id),
+      // and unattributed purchases stay visible as the NULL bucket
+      val views = s.sql("""
+        SELECT user_id, ts, event_id, CAST(x.k % 5 AS BIGINT) AS campaign
+        FROM events LATERAL VIEW jq(props, '{k}', 'k:int') x
+        WHERE event_type = 'view'""")
+      val purchases = s.sql("""
+        SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'""")
+      pipeline.Relational.asofJoin(purchases, views, Seq("user_id"),
+          "ts", "ts", "event_id", Seq("campaign"),
+          tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .groupBy(col("campaign_asof").as("campaign"))
+        .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("attributed_cents"))
+        .orderBy(col("campaign").asc_nulls_first)
     },
     "events_trend" -> { (s, dir) =>
       prep(s, dir, "events")
@@ -3325,6 +3389,19 @@ object SparkEntry {
                 CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
                   THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS o_cents
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+                      CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+                      CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS disc_ppm
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, amount FROM (
+           SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS amount FROM w
+           UNION ALL
+           SELECT l_returnflag, 'price_cents', price_cents FROM w
+           UNION ALL
+           SELECT l_returnflag, 'disc_ppm', disc_ppm FROM w) t
+         ORDER BY l_returnflag, metric""",
     "rel_topk_agg" ->
       """SELECT c_mktsegment, rank, o_orderkey, price_cents FROM (
            SELECT c.c_mktsegment,
@@ -4236,6 +4313,69 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "ts_ewma" ->
+      """WITH RECURSIVE b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day, CAST(coalesce(b.cents, 0) AS BIGINT) AS cents,
+                      CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.day) AS BIGINT) AS rn
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              ew AS (
+                SELECT user_id, rn, day, cents, cents AS e FROM f WHERE rn = 1
+                UNION ALL
+                SELECT f.user_id, f.rn, f.day, f.cents,
+                       (1 * f.cents + 3 * ew.e) // 4
+                FROM f JOIN ew ON f.user_id = ew.user_id AND f.rn = ew.rn + 1)
+         SELECT user_id, day, cents AS value_cents, CAST(e AS BIGINT) AS ewma_cents
+         FROM ew ORDER BY user_id, day""",
+    "ts_islands" ->
+      """WITH iv AS (SELECT user_id, event_type, date_trunc('week', ts) AS wk,
+                      CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+                      CAST(floor(epoch(max(ts))) AS BIGINT) + 1 AS e
+                    FROM events GROUP BY 1, 2, 3),
+              m AS (SELECT user_id, s, e,
+                      max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                    FROM iv),
+              o AS (SELECT user_id, s, e,
+                      CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS op FROM m),
+              i AS (SELECT user_id, s, e,
+                      sum(op) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                    FROM o)
+         SELECT user_id, CAST(min(s) AS BIGINT) AS island_start,
+                CAST(max(e) AS BIGINT) AS island_end,
+                CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(max(e) - min(s) AS BIGINT) AS covered
+         FROM i GROUP BY user_id, isl ORDER BY user_id, island_start""",
+    "events_dow_profile" ->
+      """WITH b AS (SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, dow, n_events, value_cents,
+                CAST((n_events * 1000000) // (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT) AS share_ppm
+         FROM b ORDER BY event_type, dow""",
+    "events_attribution" ->
+      """WITH v AS (SELECT user_id, ts, event_id,
+                      CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS campaign
+                    FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+              m AS (SELECT p.cents, (
+                      SELECT v.campaign FROM v
+                      WHERE v.user_id = p.user_id AND v.ts <= p.ts
+                        AND v.ts >= p.ts - INTERVAL 7 DAY
+                      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS campaign
+                    FROM p)
+         SELECT campaign, CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(cents) AS BIGINT) AS attributed_cents
+         FROM m GROUP BY campaign ORDER BY campaign NULLS FIRST""",
     "events_trend" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

@@ -318,6 +318,150 @@ object TimeSeries {
     * filter between them preserves both; no self-join, per-key bounded
     * state. At 100 TB the change log shuffles once on the dimension
     * key, exactly like the as-of join. */
+  /** Per-key integer EWMA (exponential smoothing) over the gap-filled
+    * daily spine: `e_1 = y_1; e_t = (num·y_t + (den−num)·e_{t−1}) DIV den`
+    * with α = num/den — the trend-following baseline that discounts old
+    * days geometrically where [[rollingDaily]] weights a hard window
+    * uniformly. The recurrence runs in INTEGER floor-division so every
+    * step replays bit-for-bit in any engine (a float EWMA drifts a ulp
+    * per day and can never be hash-gated); silent days smooth toward
+    * ZERO (the spine contract — a quiet day is real signal, not a gap
+    * to interpolate over).
+    *
+    * A floor recurrence is inherently SEQUENTIAL per key (no closed
+    * form survives the per-step floor), so the series is packed per key
+    * (one `collect_list` groupBy — per-key state is the whole spine)
+    * and the recurrence runs as a single `aggregate` lambda — a pure
+    * map, no driver loop, no window chain. The packing bounds: span is
+    * capped by `maxSpanDays` (default ~10 years ⇒ ≤ 3 700 longs/key and
+    * ~7M array-copy elements in the append loop — CALENDAR-bounded,
+    * unlike a doc-length-bounded lambda, so no heavy-tail straggler
+    * exists), and the guard fails LOUDLY on a corrupt timestamp.
+    * Negative daily totals fail loudly too: floor-division semantics
+    * diverge across engines below zero (`DIV` truncates, DuckDB `//`
+    * floors), so the portability contract is non-negative cents only.
+    * Magnitude: num·cents ≤ 1e6 · 9e12 fits BIGINT to ~$90B/key/day.
+    *
+    * Output: `keyCol, day, value_cents, ewma_cents` — one row per spine
+    * day. Plan: the spine's two shuffles + ONE groupBy(key), then pure
+    * map + explode. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String, alphaNum: Long = 1L, alphaDen: Long = 4L,
+           maxSpanDays: Int = 3700): DataFrame = {
+    require(alphaDen >= 2 && alphaDen <= 1000000L,
+      s"alphaDen must be in [2, 1e6], got $alphaDen")
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"alphaNum must be in [1, alphaDen), got $alphaNum/$alphaDen")
+    val guarded = when(col("value_cents") >= 0, col("value_cents"))
+      .otherwise(raise_error(concat(
+        lit("ewma: negative daily cents for key "), col(keyCol).cast("string"),
+        lit(" — floor-division EWMA is only engine-portable for non-negative values"))))
+    val packed = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+      .select(col(keyCol), struct(col("day"), guarded.as("value_cents")).as("__x"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__x"))).as("__s"))
+    val keep = alphaDen - alphaNum
+    val ewmas = expr(
+      s"""aggregate(__s, CAST(array() AS ARRAY<BIGINT>),
+            (acc, x) -> CASE WHEN size(acc) = 0 THEN array(x.value_cents)
+              ELSE array_append(acc,
+                ($alphaNum * x.value_cents + $keep * element_at(acc, -1)) DIV $alphaDen)
+            END)""")
+    packed
+      .withColumn("__e", ewmas)
+      .select(col(keyCol),
+        explode(expr(
+          "zip_with(__s, __e, (s, e) -> struct(s.day AS day, s.value_cents AS value_cents, e AS ewma_cents))"))
+          .as("__r"))
+      .select(col(keyCol), col("__r.day").as("day"),
+        col("__r.value_cents").as("value_cents"),
+        col("__r.ewma_cents").as("ewma_cents"))
+  }
+
+  /** Gaps-and-islands interval UNION per key: merge a key's possibly-
+    * overlapping half-open intervals `[start, end)` into maximal
+    * contiguous ISLANDS — the coverage question every uptime / activity-
+    * span / SLA computation reduces to ("how long was the user actually
+    * active, counting overlap once?"). Touching intervals
+    * (`end == next start`) MERGE: half-open adjacency is contiguous
+    * coverage. Distinct from gap-based sessionization (points + idle
+    * gap); inputs here are genuine intervals, and overlap — not
+    * proximity — is the merge rule.
+    *
+    * The classic one-pass recipe: order each key's intervals by
+    * (start, end); an interval OPENS a new island iff its start exceeds
+    * the running max of all previous ends; the running count of opens is
+    * the island id. Both windows share one (key)-partitioned exchange
+    * (same partitioning AND sort); the island rollup then aggregates
+    * partial-map-side. Per-key state is bounded by the window frame —
+    * no self-join, no interval explosion.
+    *
+    * Contracts: start/end must be integral (seconds/millis — the
+    * rangeJoin convention); `end < start` fails LOUDLY inside the
+    * consumed column (a negative-length interval is corrupt data, and
+    * silently clamping it would undercount coverage); NULL start/end
+    * rows carry no position and are EXCLUDED (the asofJoin NULL-time
+    * contract).
+    *
+    * Output: `keyCol, island_start, island_end, n_intervals,
+    * covered` (= island_end − island_start, in the input's time unit). */
+  def intervalIslands(iv: DataFrame, keyCol: String, startCol: String,
+                      endCol: String): DataFrame = {
+    Seq(startCol -> "start", endCol -> "end").foreach { case (c, role) =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = iv.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+        s"intervalIslands: $role column '$c' must be integral " +
+          s"(epoch seconds/millis), got ${t.simpleString}")
+    }
+    val s = col(startCol).cast("long")
+    val e0 = col(endCol).cast("long")
+    val e = when(e0 >= s, e0).otherwise(raise_error(concat(
+      lit("intervalIslands: end < start for key "), col(keyCol).cast("string"),
+      lit(" ("), s.cast("string"), lit(" .. "), e0.cast("string"), lit(")"))))
+    val wPrev = Window.partitionBy(keyCol).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCol).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.where(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(keyCol), s.as("__s"), e.as("__e"))
+      .withColumn("__open",
+        when(col("__s") > coalesce(max(col("__e")).over(wPrev), lit(Long.MinValue)),
+          1L).otherwise(0L))
+      // first row per key: NULL running-max coalesces to MinValue, but a
+      // MinValue start would compare false — force the first row open
+      .withColumn("__open",
+        when(max(col("__e")).over(wPrev).isNull, lit(1L)).otherwise(col("__open")))
+      .withColumn("__isl", sum(col("__open")).over(wRun))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(min(col("__s")).as("island_start"), max(col("__e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(keyCol), col("island_start"), col("island_end"),
+        col("n_intervals"),
+        (col("island_end") - col("island_start")).as("covered"))
+  }
+
+  /** Day-of-week seasonality profile: per (key, ISO weekday 1=Mon..7=Sun)
+    * event count, cents total, and the day's SHARE of the key's events in
+    * integer ppm (`n·10⁶ DIV total` — exact, replayable) — the weekly
+    * rhythm readout that separates "traffic dropped" from "it's Sunday".
+    * One partial-aggregated groupBy; the share denominators ride a
+    * key-partitioned window over the already-collapsed ≤7-rows-per-key
+    * frame (never the raw events). Output: `keyCol, dow, n_events,
+    * value_cents, share_ppm`. */
+  def dowProfile(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val byDow = events.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), (expr(s"weekday($tsCol)") + 1).as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("value_cents"))
+    byDow
+      .withColumn("__tot", sum(col("n_events")).over(Window.partitionBy(keyCol)))
+      .withColumn("share_ppm", expr("CAST((n_events * 1000000) DIV __tot AS BIGINT)"))
+      .select(col(keyCol), col("dow"), col("n_events"), col("value_cents"),
+        col("share_ppm"))
+  }
+
   def scd2(log: DataFrame, keyCol: String, tsCol: String, tieCol: String,
            valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "scd2: valueCols must be non-empty")

@@ -92,7 +92,12 @@ class DeterminismSpec extends AnyFunSuite {
     // write→read JSONL/CSV round-trips must not depend on partitioning
     "src_jsonl_roundtrip", "src_csv_roundtrip",
     // frontier-chase closure rounds + ancestor rollup
-    "rel_hierarchy_rollup")
+    "rel_hierarchy_rollup",
+    // collect_list pack + sequential floor recurrence (array_sort is the
+    // only thing standing between partitioning and the EWMA order)
+    "ts_ewma",
+    // running-max island opens + island rollup; asof-attributed rollup
+    "ts_islands", "events_attribution")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

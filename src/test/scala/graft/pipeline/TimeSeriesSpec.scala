@@ -239,4 +239,81 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, Date.valueOf("2024-03-03"), 5L, 48L),
       (2L, Date.valueOf("2024-03-01"), 3L, 0L)), s"$got")
   }
+
+  test("ewma: hand-computed floor recurrence over the spine, gaps smooth toward zero") {
+    // user 7 spine cents [400, 0, 0, 1000], α = 1/4:
+    // e1=400; e2=(0+3·400)/4=300; e3=(0+900)/4=225; e4=(1000+675)/4=418.75→418
+    val got = TimeSeries.ewma(events, "user_id", "ts", "value", 1, 4)
+      .orderBy("user_id", "day")
+      .as[(Long, Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, Date.valueOf("2024-03-01"), 400L, 400L),
+      (7L, Date.valueOf("2024-03-02"), 0L, 300L),
+      (7L, Date.valueOf("2024-03-03"), 0L, 225L),
+      (7L, Date.valueOf("2024-03-04"), 1000L, 418L),
+      (8L, Date.valueOf("2024-03-02"), 556L, 556L)), s"$got")
+  }
+
+  test("ewma: negative daily cents fail loudly (floor-div portability contract)") {
+    val neg = Seq((1L, ts(1), -5.0)).toDF("user_id", "ts", "value")
+    val e = intercept[Exception] {
+      TimeSeries.ewma(neg, "user_id", "ts", "value").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("ewma: alpha bounds rejected") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(events, "user_id", "ts", "value", 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(events, "user_id", "ts", "value", 4, 4)
+    }
+  }
+
+  test("intervalIslands: overlap merges, touching merges, nesting collapses, gaps split") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap → one island
+      (1L, 15L, 20L),                 // touches (half-open adjacency) → same island
+      (1L, 25L, 30L),                 // gap → new island
+      (1L, 40L, 60L), (1L, 45L, 50L), // nested → one island, end stays 60
+      (2L, 7L, 7L)                    // zero-length interval is its own island
+    ).toDF("user_id", "s", "e")
+    val got = TimeSeries.intervalIslands(iv, "user_id", "s", "e")
+      .orderBy("user_id", "island_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 20L, 3L, 20L),
+      (1L, 25L, 30L, 1L, 5L),
+      (1L, 40L, 60L, 2L, 20L),
+      (2L, 7L, 7L, 1L, 0L)), s"$got")
+  }
+
+  test("intervalIslands: end < start fails loudly; NULL bounds are excluded") {
+    val bad = Seq((1L, 10L, 5L)).toDF("user_id", "s", "e")
+    val e = intercept[Exception] {
+      TimeSeries.intervalIslands(bad, "user_id", "s", "e").collect()
+    }
+    assert(e.getMessage != null)
+    val withNull = Seq((1L, Some(0L), Some(10L)), (1L, None, Some(99L)))
+      .toDF("user_id", "s", "e")
+    val got = TimeSeries.intervalIslands(withNull, "user_id", "s", "e").count()
+    assert(got == 1L)
+  }
+
+  test("dowProfile: ISO weekday shares in integer ppm") {
+    // 2024-03-01 = Friday (isodow 5), 2024-03-02 = Saturday (6)
+    val ev = Seq(
+      ("a", ts(1), 1.0), ("a", ts(1), 2.0), ("a", ts(1, 23), 3.0),
+      ("a", ts(2), 4.0),
+      ("b", ts(2), 10.0)
+    ).toDF("event_type", "ts", "value")
+    val got = TimeSeries.dowProfile(ev, "event_type", "ts", "value")
+      .orderBy("event_type", "dow")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 5, 3L, 600L, 750000L),
+      ("a", 6, 1L, 400L, 250000L),
+      ("b", 6, 1L, 1000L, 1000000L)), s"$got")
+  }
 }
