@@ -1891,6 +1891,30 @@ object SparkEntry {
       // release metric next to the dataset card
       pipeline.TextAnalysis.diversityCard(s.table("documents"), "text")
     },
+    "graph_hits" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // integer HITS over the DIRECTED customer→supplier trade graph:
+      // customers are the hubs (they point), suppliers the authorities
+      // (they are pointed at) — 3 rounds, sum-normalized fixed point,
+      // bit-replayable by the unrolled-CTE oracle
+      val e = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      pipeline.Graph.hits(e, "src", "dst", iterations = 3).orderBy("node")
+    },
+    "graph_links" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // link prediction on the co-purchase graph: top-50 non-adjacent
+      // part pairs by neighborhood Jaccard — the "probably related"
+      // candidate generator; hub centers excluded (bounded loss)
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.linkPrediction(e, "src", "dst", k = 50, maxDegree = 500)
+    },
     "graph_pagerank" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // integer fixed-point PageRank over the bidirected customer↔supplier
@@ -2436,6 +2460,38 @@ object SparkEntry {
     * recursive term, and unrolling keeps every engine on the plain-join
     * path). Must mirror the Spark edge build in `graph_pagerank` exactly:
     * bidirected customer↔supplier edges, suppliers offset by 1e6. */
+  /** DuckDB replay of [[pipeline.Graph.hits]], rounds unrolled: each
+    * half-round is raw sums + a sum-normalization scalar, all HUGEINT
+    * floor arithmetic — Graph.scala hits (decimal DIV ≡ `//` on
+    * non-negative HUGEINT). */
+  private def hitsOracleSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, sum(h.h) AS r
+         |  FROM e0 e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |sa$i AS (SELECT sum(r) AS t FROM ar$i),
+         |a$i AS (SELECT n.node,
+         |  (coalesce(ar.r, CAST(0 AS HUGEINT)) * nn.n * 1000000) // sa.t AS a
+         |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node
+         |  CROSS JOIN sa$i sa CROSS JOIN nn),
+         |hr$i AS (SELECT e.src AS node, sum(a.a) AS r
+         |  FROM e0 e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |sh$i AS (SELECT sum(r) AS t FROM hr$i),
+         |h$i AS (SELECT n.node,
+         |  (coalesce(hr.r, CAST(0 AS HUGEINT)) * nn.n * 1000000) // sh.t AS h
+         |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node
+         |  CROSS JOIN sh$i sh CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+       |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h.node, CAST(h.h AS BIGINT) AS hub_ppm, CAST(a.a AS BIGINT) AS auth_ppm
+       |FROM h$iterations h JOIN a$iterations a ON a.node = h.node
+       |ORDER BY h.node""".stripMargin
+  }
+
   private def pageRankOracleSql(iterations: Int,
                                 weighted: Boolean = false,
                                 seeded: Boolean = false): String = {
@@ -2887,6 +2943,29 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr" -> pageRankOracleSql(5, seeded = true),
     "graph_pagerank_weighted" -> pageRankOracleSql(5, weighted = true),
+    "graph_hits" -> hitsOracleSql(3),
+    "graph_links" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+              und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                      FROM li x JOIN li y
+                        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                        SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                      GROUP BY n),
+              adj AS (SELECT a AS n, b AS nbr FROM und
+                      UNION ALL SELECT b, a FROM und),
+              kept AS (SELECT adj.n, adj.nbr FROM adj
+                       JOIN deg ON deg.n = adj.n AND deg.d <= 500),
+              cand AS (SELECT x.nbr AS a, y.nbr AS b, CAST(count(*) AS BIGINT) AS common
+                       FROM kept x JOIN kept y ON x.n = y.n AND x.nbr < y.nbr
+                       GROUP BY 1, 2),
+              nonadj AS (SELECT c.* FROM cand c
+                         WHERE NOT EXISTS (SELECT 1 FROM und
+                           WHERE und.a = c.a AND und.b = c.b))
+         SELECT n.a, n.b, n.common, da.d AS deg_a, db.d AS deg_b,
+                CAST((n.common * 1000000) // (da.d + db.d - n.common) AS BIGINT) AS jaccard_ppm
+         FROM nonadj n JOIN deg da ON da.n = n.a JOIN deg db ON db.n = n.b
+         ORDER BY jaccard_ppm DESC, common DESC, a, b LIMIT 50""",
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
               p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -601,6 +601,130 @@ object Graph {
   /** Shared core of [[triangleCounts]] / [[clusteringCoefficient]]:
     * (canonical undirected edges, degree frame, per-node triangle
     * counts). */
+  /** HITS hubs & authorities (Kleinberg '99) in INTEGER fixed-point:
+    * per round, authority(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v}
+    * authority(v) — each half-round rescaled to total mass N·10⁶ by
+    * `raw·N·10⁶ DIV Σraw` (sum normalization replaces the classic L2
+    * norm: no sqrt, every step floor-exact, a fixed horizon is a pure
+    * function of the input and bit-replayable by the unrolled-CTE
+    * oracle). The data-pipeline read: in a crawl/citation graph hubs
+    * are the index/directory pages and authorities the canonical
+    * sources — a quality prior orthogonal to PageRank's single score.
+    * Duplicate edges collapse (one vote per distinct edge).
+    *
+    * Plan shape: the edge set is materialized TWICE up front — once
+    * partitioned by src (the authority half-round's join key) and once
+    * by dst (the hub half-round's) — and every round reuses those two
+    * exchanges (the pageRank O(1)-edge-passes discipline, doubled
+    * because HITS alternates join sides). The raw per-half-round sums
+    * are `Materialize.cut` BEFORE normalization: the normalizer
+    * references its input twice (the scalar Σ and the per-node
+    * division), which would double the logical plan per half-round —
+    * the kCore diamond hazard, cut the same way. Normalization scalars
+    * ride one-row frames broadcast-crossed in (the modularity pattern);
+    * score frames are |V|-sized and join shuffle_hash, never a
+    * per-round driver collect. Magnitude: raw ≤ N·10⁶, so
+    * raw·N·10⁶ ≤ 10³⁰ at a billion nodes — DECIMAL(38,0)-exact.
+    *
+    * Output: `node, hub_ppm, auth_ppm` — a node with no out-edges has
+    * hub 0, no in-edges authority 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    Search.requireIntegralId(edges, srcCol, "hits", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "hits", role = "dst id")
+    val dec = "decimal(38,0)"
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val eBySrc = Materialize.cut(e0.repartition(col("src")))
+    val eByDst = Materialize.cut(e0.repartition(col("dst")))
+    val nodes = Materialize.cut(
+      e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
+        .distinct().repartition(col("node")))
+    val nTotal = nodes.agg(count(lit(1)).cast(dec).as("__nn"))
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("__r")).as("__t"))
+      nodes.join(raw.hint("shuffle_hash"), Seq("node"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(nTotal))
+        .select(col("node"),
+          expr(s"CAST((coalesce(__r, CAST(0 AS $dec)) * __nn * 1000000) DIV __t AS $dec)")
+            .as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).cast(dec).as("h"))
+    var auth: DataFrame = hub.select(col("node"), col("h").as("a"))
+    for (_ <- 1 to iterations) {
+      val araw = Materialize.cut(
+        eBySrc.join(hub.hint("shuffle_hash"), eBySrc("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__r")))
+      auth = normalized(araw, "a")
+      val hraw = Materialize.cut(
+        eByDst.join(auth.hint("shuffle_hash"), eByDst("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("__r")))
+      hub = normalized(hraw, "h")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").cast("long").as("hub_ppm"),
+        col("a").cast("long").as("auth_ppm"))
+  }
+
+  /** Link prediction by neighborhood overlap: for every NON-adjacent
+    * pair at distance 2, the common-neighbor count and the neighborhood
+    * Jaccard `|N(a)∩N(b)|·10⁶ DIV (d(a)+d(b)−|∩|)` in integer ppm —
+    * the classic "you may also like / these entities are probably the
+    * same" candidate generator (Liben-Nowell & Kleinberg '03), top-k by
+    * (jaccard, then common count, ties to smallest pair).
+    *
+    * Plan: wedge join through the shared neighbor — adjacency (both
+    * directions of each undirected edge) is hub-filtered and
+    * materialized ONCE partitioned on the center key, so the self-join
+    * reuses a single exchange on both sides (the bipartiteProjection
+    * discipline); existing edges leave via one anti join on the
+    * canonical (a < b) pair; degrees join back from the one degree
+    * frame; top-k is a `TakeOrdered`, never a global sort
+    * materialization. Centers of degree > `maxDegree` are EXCLUDED
+    * before the self-join (a degree-d center emits d(d−1)/2 candidate
+    * pairs carrying the least signal — the LSH maxBucket convention:
+    * bounded deliberate loss over an unbounded shuffle; pairs whose
+    * ONLY shared neighbors are such hubs go unscored, and common
+    * counts never include hub centers). Jaccard denominators use FULL
+    * degrees. Self-loops dropped, duplicate/reversed edges collapse.
+    *
+    * Output: `a, b, common, deg_a, deg_b, jaccard_ppm` (k rows). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxDegree: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    Search.requireIntegralId(edges, srcCol, "linkPrediction", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "linkPrediction", role = "dst id")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = Materialize.cut(
+      e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val adj = und.select(col("a").as("n"), col("b").as("nbr"))
+      .union(und.select(col("b").as("n"), col("a").as("nbr")))
+    val kept = Materialize(
+      adj.join(deg.where(col("d") <= maxDegree), Seq("n"), "left_semi")
+        .repartition(col("n")))
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.n") === col("y.n") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "deg_a"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "deg_b"), "b")
+      .withColumn("jaccard_ppm",
+        expr("(common * 1000000) DIV (deg_a + deg_b - common)"))
+      .select("a", "b", "common", "deg_a", "deg_b", "jaccard_ppm")
+      .orderBy(col("jaccard_ppm").desc, col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   private def triangleCore(edges: DataFrame, srcCol: String, dstCol: String,
                            op: String): (DataFrame, DataFrame, DataFrame) = {
     Search.requireIntegralId(edges, srcCol, op, role = "src id")

@@ -97,7 +97,9 @@ class DeterminismSpec extends AnyFunSuite {
     // only thing standing between partitioning and the EWMA order)
     "ts_ewma",
     // running-max island opens + island rollup; asof-attributed rollup
-    "ts_islands", "events_attribution")
+    "ts_islands", "events_attribution",
+    // alternating-side normalized fixed point; wedge-join candidate top-k
+    "graph_hits", "graph_links")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -346,4 +346,55 @@ class GraphSpec extends AnyFunSuite {
       // 4, 6, 7: degree 1 — excluded, not reported as 0
     ), s"got $got")
   }
+
+  test("hits: one hand-computed round on a tiny bipartite graph") {
+    // 1→3, 2→3, 2→4; N = 4, h0 = 1e6 everywhere
+    // araw: 3 ← 2e6, 4 ← 1e6; Σ = 3e6
+    //   a = raw·4·1e6 DIV 3e6 → a(3) = 2666666, a(4) = 1333333
+    // hraw: 1 ← a(3) = 2666666, 2 ← a(3)+a(4) = 3999999; Σ = 6666665
+    //   h = raw·4·1e6 DIV 6666665 → h(1) = 1600000, h(2) = 2400000 (exact)
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iterations = 1)
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 1600000L, 0L),
+      (2L, 2400000L, 0L),
+      (3L, 0L, 2666666L),
+      (4L, 0L, 1333333L)), s"got $got")
+  }
+
+  test("hits: duplicate and reversed edges count once each direction") {
+    // duplicate 1→3 collapses; 3→1 is a distinct directed edge
+    val e = Seq((1L, 3L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val clean = Seq((1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graph.hits(e, "src", "dst", 2).orderBy("node").collect().toSeq
+    val b = Graph.hits(clean, "src", "dst", 2).orderBy("node").collect().toSeq
+    assert(a == b, s"$a vs $b")
+  }
+
+  test("linkPrediction: path scores the endpoints, triangle is excluded, square ties") {
+    // path 1-2-3: (1,3) common 1, deg 1+1, jaccard 1e6
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gotP = Graph.linkPrediction(path, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(gotP == Seq((1L, 3L, 1L, 1L, 1L, 1000000L)), s"got $gotP")
+    // triangle: every distance-2 pair is already an edge — nothing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPrediction(tri, "src", "dst", k = 10).count() == 0)
+    // square 1-2-3-4-1: (1,3) and (2,4) via two shared centers each
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val gotS = Graph.linkPrediction(sq, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5))).toSeq
+    assert(gotS == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)), s"got $gotS")
+  }
+
+  test("linkPrediction: hub centers beyond maxDegree generate no candidates") {
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.linkPrediction(star, "src", "dst", k = 10, maxDegree = 3).count() == 0)
+    // at maxDegree 5 the center is kept: C(5,2) = 10 leaf pairs
+    assert(Graph.linkPrediction(star, "src", "dst", k = 100, maxDegree = 5).count() == 10)
+  }
 }
