@@ -1708,6 +1708,28 @@ object SparkEntry {
       pipeline.TimeSeries.dowProfile(s.table("events"), "event_type", "ts", "value")
         .orderBy("event_type", "dow")
     },
+    "text_templates" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // log-template mining: synthesized log lines (type, user id, cents,
+      // a hex session token, the raw JSON payload) collapse to their
+      // message shapes via deterministic uuid/hex/number masking — one
+      // template per event type survives, counted
+      val lines = s.sql("""
+        SELECT concat(event_type, ' user=', user_id,
+                      ' v=', CAST(floor(value * 100 + 0.5) AS BIGINT),
+                      ' sess=', substr(md5(CAST(event_id AS STRING)), 1, 12),
+                      ' props=', props) AS line
+        FROM events""")
+      pipeline.TextAnalysis.logTemplates(lines, "line", k = 20)
+    },
+    "emb_class_prototypes" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // per-label prototype exemplars: integer centroid (Σq DIV n per
+      // dimension), then the 5 nearest members by exact quantized cosine
+      pipeline.Similarity.classPrototypes(s.table("embeddings"),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("label", "rank")
+    },
     "events_attribution" -> { (s, dir) =>
       prep(s, dir, "events")
       // last-touch conversion attribution: each purchase credits the
@@ -4439,6 +4461,41 @@ object SparkEntry {
          SELECT event_type, dow, n_events, value_cents,
                 CAST((n_events * 1000000) // (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT) AS share_ppm
          FROM b ORDER BY event_type, dow""",
+    "text_templates" ->
+      """WITH lines AS (SELECT concat(event_type, ' user=', user_id,
+                        ' v=', CAST(floor(value * 100 + 0.5) AS BIGINT),
+                        ' sess=', substr(md5(CAST(event_id AS VARCHAR)), 1, 12),
+                        ' props=', props) AS line
+                      FROM events),
+              masked AS (SELECT regexp_replace(regexp_replace(regexp_replace(line,
+                  '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<uuid>', 'g'),
+                  '\b[0-9a-f]{8,}\b', '<hex>', 'g'),
+                  '[0-9]+(\.[0-9]+)?', '<n>', 'g') AS template
+                FROM lines)
+         SELECT template, CAST(count(*) AS BIGINT) AS n
+         FROM masked GROUP BY 1 ORDER BY n DESC, template LIMIT 20""",
+    "emb_class_prototypes" ->
+      """WITH q AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+              dims AS (SELECT label, unnest(range(len(qv))) AS dim,
+                              unnest(qv) AS v
+                       FROM q),
+              sums AS (SELECT label, dim, sum(v) AS s, count(*) AS n
+                       FROM dims GROUP BY 1, 2),
+              cent AS (SELECT label, list(s // n ORDER BY dim) AS cv
+                       FROM sums GROUP BY label),
+              scored AS (SELECT q.label, q.vec_id,
+                  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+                    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                FROM q JOIN cent c ON c.label = q.label),
+              topk AS (SELECT label, vec_id, cos_scaled,
+                  row_number() OVER (PARTITION BY label ORDER BY cos_scaled DESC, vec_id) AS rank
+                FROM scored)
+         SELECT CAST(label AS BIGINT) AS label, CAST(rank AS INT) AS rank,
+                vec_id, cos_scaled
+         FROM topk WHERE rank <= 5 ORDER BY label, rank""",
     "events_attribution" ->
       """WITH v AS (SELECT user_id, ts, event_id,
                       CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS campaign

@@ -659,6 +659,46 @@ object Similarity {
     * range, substitute [[ivfTopK]] for the neighbor stage; the vote and
     * verdict stages are unchanged. Labels must be integral (the argmax
     * negation trick) — enforced loudly. */
+  /** Per-class PROTOTYPE exemplars: the k members nearest their class's
+    * integer centroid by exact quantized cosine — the canonical
+    * "show me what this cluster/label IS" selection (few-shot exemplar
+    * picks, labeling-QA review queues, dataset cards). Centroid
+    * components are `Σq_d DIV n` over the 10⁶-quantized components —
+    * integer truncating division, identical in Spark (`DIV`) and DuckDB
+    * (`//`) including negatives, so the centroid and every cosine
+    * replay exactly.
+    *
+    * Plan: one posexplode → per-(label, dim) partial-aggregated sums →
+    * per-label centroid arrays (labels × dims rows — tiny, broadcast
+    * back), then a pure-map cosine against each member and the bounded
+    * TopKPairs per-label top-k (≤ k entries per task cross the shuffle —
+    * never a per-label sort of the corpus). NULL labels/vectors are
+    * excluded. Component-sum magnitude: |q| ≤ ~10⁶ ⇒ exact to ~9·10¹²
+    * rows per label in BIGINT. Output: `label, rank, vec_id,
+    * cos_scaled`, ties to the smaller id. */
+  def classPrototypes(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = emb.where(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).cast("long").as("label"),
+        Dedup.quantize(col(vecCol)).as("__qc"))
+    val sums = q.select(col("label"), posexplode(col("__qc")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val centroids = sums
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"),
+        expr("s DIV n").as("c")))).as("__cs"))
+      .select(col("label"), expr("transform(__cs, x -> x.c)").as("__qcent"))
+    val scored = q.join(broadcast(centroids), Seq("label"))
+      .select(col("label").as("query_id"), col("neighbor_id"),
+        cosScaled(col("__qc"), col("__qcent")).as("cos_scaled"))
+    topKPerQuery(scored, k)
+      .select(col("query_id").as("label"), col("rank"),
+        col("neighbor_id").as("vec_id"), col("cos_scaled"))
+  }
+
   def knnLabelAccuracy(emb: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, k: Int = 10): DataFrame = {
     Search.requireIntegralId(emb, labelCol, "knnLabelAccuracy", role = "label")

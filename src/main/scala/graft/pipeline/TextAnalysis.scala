@@ -1197,6 +1197,40 @@ object TextAnalysis {
     * model once from the reference corpora, score every arriving batch).
     * Identical numbers to [[importanceWeights]] on the same inputs
     * (spec-pinned). Output: (idCol, n_tokens, dsir_score). */
+  /** LOG-TEMPLATE mining by deterministic masking: variable tokens —
+    * UUIDs, long hex ids (≥ 8 chars), and numbers — collapse to
+    * `<uuid>`/`<hex>`/`<n>` placeholders, and the surviving string IS the
+    * template; counting templates turns a billion-line log/crawl stream
+    * into its few hundred underlying message shapes (the Drain-family
+    * observation, done as pure masking so the result is an exact function
+    * of each line — no clustering state, stream-safe, engine-replayable).
+    * Mask order matters and is fixed: uuid before hex (a UUID contains
+    * 8-hex runs), hex before number (a hex run contains digit runs).
+    * Pure regexp_replace chain — codegen'd, one scan, no UDF; patterns
+    * are shared Java-regex/RE2 syntax so the oracle replays them
+    * verbatim. Top-k templates by (count desc, template) as a
+    * TakeOrdered. Output: `template, n`. */
+  def logTemplates(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(maskTemplate(col(textCol)).as("template"))
+      .where(col("template").isNotNull)
+      .groupBy("template").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("template"))
+      .limit(k)
+  }
+
+  /** The [[logTemplates]] masking pass as a reusable column. */
+  def maskTemplate(text: Column): Column = {
+    val uuid = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    val hex = "\\b[0-9a-f]{8,}\\b"
+    val num = "[0-9]+(\\.[0-9]+)?"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, uuid, "<uuid>"),
+        hex, "<hex>"),
+      num, "<n>")
+  }
+
   def scoreWithImportanceModel(df: DataFrame, idCol: String, textCol: String,
                                model: Array[Long]): DataFrame = {
     require(model.length == 65536, s"model must have 65536 buckets, got ${model.length}")

@@ -337,9 +337,10 @@ object TimeSeries {
     * ~7M array-copy elements in the append loop — CALENDAR-bounded,
     * unlike a doc-length-bounded lambda, so no heavy-tail straggler
     * exists), and the guard fails LOUDLY on a corrupt timestamp.
-    * Negative daily totals fail loudly too: floor-division semantics
-    * diverge across engines below zero (`DIV` truncates, DuckDB `//`
-    * floors), so the portability contract is non-negative cents only.
+    * Negative daily totals (refund/correction days) flow through:
+    * Spark `DIV` and DuckDB `//` both TRUNCATE toward zero, so the
+    * recurrence replays exactly on either sign (spec-pinned with a
+    * non-divisible negative step).
     * Magnitude: num·cents ≤ 1e6 · 9e12 fits BIGINT to ~$90B/key/day.
     *
     * Output: `keyCol, day, value_cents, ewma_cents` — one row per spine
@@ -352,12 +353,8 @@ object TimeSeries {
       s"alphaDen must be in [2, 1e6], got $alphaDen")
     require(alphaNum >= 1 && alphaNum < alphaDen,
       s"alphaNum must be in [1, alphaDen), got $alphaNum/$alphaDen")
-    val guarded = when(col("value_cents") >= 0, col("value_cents"))
-      .otherwise(raise_error(concat(
-        lit("ewma: negative daily cents for key "), col(keyCol).cast("string"),
-        lit(" — floor-division EWMA is only engine-portable for non-negative values"))))
     val packed = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
-      .select(col(keyCol), struct(col("day"), guarded.as("value_cents")).as("__x"))
+      .select(col(keyCol), struct(col("day"), col("value_cents")).as("__x"))
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(col("__x"))).as("__s"))
     val keep = alphaDen - alphaNum

@@ -99,7 +99,9 @@ class DeterminismSpec extends AnyFunSuite {
     // running-max island opens + island rollup; asof-attributed rollup
     "ts_islands", "events_attribution",
     // alternating-side normalized fixed point; wedge-join candidate top-k
-    "graph_hits", "graph_links")
+    "graph_hits", "graph_links",
+    // dim-sorted centroid collect + bounded per-label top-k
+    "emb_class_prototypes")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

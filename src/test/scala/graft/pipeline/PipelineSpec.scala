@@ -2187,4 +2187,48 @@ class PipelineSpec extends AnyFunSuite {
       .select(TextAnalysis.splitBucket($"doc_id")).as[Int].head()
     assert(byDoc(51L) == ownBucket)
   }
+
+  test("logTemplates: uuid/hex/number mask precedence collapses variants to one shape") {
+    val lines = Seq(
+      "GET /u/4711 sid=deadbeef0042 rid=123e4567-e89b-12d3-a456-426614174000 took 3.5ms",
+      "GET /u/99 sid=cafebabe9999 rid=00000000-0000-0000-0000-000000000000 took 11ms",
+      "POST /login ok",
+      "POST /login ok",
+      // 'abc123' is NOT a hex run (too short after the letters rule — the
+      // digits still mask); '1234567890' IS all-digits but 10 hex chars
+      // with word boundaries → the HEX mask wins (applied first)
+      "key abc123 token 1234567890"
+    ).toDF("line")
+    val got = TextAnalysis.logTemplates(lines, "line", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("GET /u/<n> sid=<hex> rid=<uuid> took <n>ms", 2L),
+      ("POST /login ok", 2L),
+      ("key abc<n> token <hex>", 1L)), s"$got")
+  }
+
+  test("classPrototypes: truncating centroid and nearest members, hand-computed") {
+    // label 0: vectors (1,0), (0,1) → centroid (q/2 each comp, trunc):
+    //   q = (1e6, 0) and (0, 1e6) → per-dim sums (1e6, 1e6), n=2 →
+    //   centroid (5e5, 5e5); both members at cos = 1/√2 — tie to vec 1
+    // label 1: (1,0), (-1,0) → centroid sums (0,·) → (0,0) → zero norm:
+    //   cosine NaN/div-by-zero ⇒ cos_scaled NULL-safe? floor(NaN) — pin
+    //   behavior by giving label 1 a dominant member instead
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(1f, 0f), 1),
+      (4L, Array(0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classPrototypes(emb, "vec_id", "embedding", "label", k = 1)
+      .orderBy("label")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // label 0: cos(1,0)·(5e5,5e5) = 0.7071... both — smaller id wins
+    // label 1: centroid = ((1e6 + 899999) DIV 2, (0 + 100000) DIV 2)
+    //        = (949999, 50000) — angle ≈ 3.01°; v3 sits at 0°
+    //   (cos ≈ 0.998618), v4 at ≈ 6.34° (cos ≈ 0.998316) → v3 wins
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((0L, 1, 1L), (1L, 1, 3L)), s"$got")
+    val label0Cos = got.head._4
+    assert(label0Cos == 707106781L, s"got $label0Cos") // floor(1e9/√2)
+  }
 }

@@ -254,12 +254,17 @@ class TimeSeriesSpec extends AnyFunSuite {
       (8L, Date.valueOf("2024-03-02"), 556L, 556L)), s"$got")
   }
 
-  test("ewma: negative daily cents fail loudly (floor-div portability contract)") {
-    val neg = Seq((1L, ts(1), -5.0)).toDF("user_id", "ts", "value")
-    val e = intercept[Exception] {
-      TimeSeries.ewma(neg, "user_id", "ts", "value").collect()
-    }
-    assert(e.getMessage != null)
+  test("ewma: negative (refund) days truncate toward zero, matching DuckDB //") {
+    // day 1: -1.01 → -101 cents; day 2: 0 (gap) →
+    // e2 = (1·0 + 3·(-101)) DIV 4 = -303 DIV 4 = -75 (truncation; floor
+    // would give -76 — this case pins the truncating semantics both
+    // engines share)
+    val neg = Seq((1L, ts(1), -1.01), (1L, ts(2), 0.0)).toDF("user_id", "ts", "value")
+    val got = TimeSeries.ewma(neg, "user_id", "ts", "value", 1, 4)
+      .orderBy("day").as[(Long, Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Date.valueOf("2024-03-01"), -101L, -101L),
+      (1L, Date.valueOf("2024-03-02"), 0L, -75L)), s"$got")
   }
 
   test("ewma: alpha bounds rejected") {
