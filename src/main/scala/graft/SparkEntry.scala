@@ -1708,6 +1708,31 @@ object SparkEntry {
       pipeline.TimeSeries.dowProfile(s.table("events"), "event_type", "ts", "value")
         .orderBy("event_type", "dow")
     },
+    "rel_ks_test" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // two-sample KS drift gate: view-vs-purchase spend distributions,
+      // integer cross-multiplied max-CDF-gap — no float before the verdict
+      val ev = s.table("events").select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Relational.ksTest(ev, "cents", "event_type", "view", "purchase")
+    },
+    "events_conversion_lag" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // time-to-convert distribution: days from first signup to first
+      // post-signup purchase per user — two min-aggregates, no event-log
+      // self-join beyond the bounded per-user staging (the funnel rule)
+      s.sql("""
+        WITH su AS (SELECT user_id, min(ts) AS t0
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN su ON su.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > su.t0
+              GROUP BY e.user_id)
+        SELECT CAST(datediff(CAST(p.t1 AS DATE), CAST(su.t0 AS DATE)) AS INT) AS lag_days,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM p JOIN su ON su.user_id = p.user_id
+        GROUP BY 1 ORDER BY 1""")
+    },
     "text_templates" -> { (s, dir) =>
       prep(s, dir, "events")
       // log-template mining: synthesized log lines (type, user id, cents,
@@ -4461,6 +4486,35 @@ object SparkEntry {
          SELECT event_type, dow, n_events, value_cents,
                 CAST((n_events * 1000000) // (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT) AS share_ppm
          FROM b ORDER BY event_type, dow""",
+    "rel_ks_test" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                    FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+                    GROUP BY 1),
+              t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c2) AS HUGEINT) AS n2 FROM c),
+              s AS (SELECT v,
+                      CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS f1,
+                      CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS f2
+                    FROM c),
+              d AS (SELECT s.v, abs(t.n2 * s.f1 - t.n1 * s.f2) AS dd FROM s CROSS JOIN t),
+              best AS (SELECT v, dd FROM d ORDER BY dd DESC, v LIMIT 1)
+         SELECT CAST(t.n1 AS BIGINT) AS n_a, CAST(t.n2 AS BIGINT) AS n_b,
+                CAST(b.dd AS BIGINT) AS d_scaled,
+                CAST((b.dd * 1000000) // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
+                b.v AS at_value
+         FROM best b CROSS JOIN t""",
+    "events_conversion_lag" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t0
+                     FROM events WHERE event_type = 'signup' GROUP BY user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t1
+                    FROM events e JOIN su ON su.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > su.t0
+                    GROUP BY e.user_id)
+         SELECT CAST(date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE)) AS INT) AS lag_days,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM p JOIN su ON su.user_id = p.user_id
+         GROUP BY 1 ORDER BY 1""",
     "text_templates" ->
       """WITH lines AS (SELECT concat(event_type, ' user=', user_id,
                         ' v=', CAST(floor(value * 100 + 0.5) AS BIGINT),

@@ -423,6 +423,61 @@ object Relational {
       col(yCol).cast("long") === col("__ymax"), "left_semi")
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV distance, integer-exact: the
+    * distribution-drift gate ("did today's spend/doc-length/score
+    * distribution shift vs yesterday's?") as the max CDF gap
+    * `D = max_x |F_a(x) − F_b(x)|`, cross-multiplied so no division
+    * appears before the verdict:
+    *
+    *   D_scaled = max_x |n_b·cum_a(x) − n_a·cum_b(x)|,  D = D_scaled/(n_a·n_b)
+    *
+    * — every step integer (DECIMAL(38,0)-exact to ~10¹⁸ rows/side), the
+    * argmax value replays exactly in any engine; `d_ppm` is the floor'd
+    * ppm of D for a single-number readout. Ties on D break to the
+    * SMALLEST value (first time the evidence peaks, the changepoint
+    * rule). Values must be integral (cents/ppm — quantize upstream; the
+    * exactness contract is what makes this hash-gateable); NULL values
+    * and rows of neither side are excluded.
+    *
+    * Plan: ONE partial-aggregated groupBy collapses the corpus to
+    * per-distinct-value side counts, then a single-partition running-sum
+    * window over the DISTINCT-value frame — the [[skylineMax]] bound:
+    * cost is distinct values, not rows; a near-unique value column
+    * (raw micros on a huge corpus) approaches the corpus, so coarsen to
+    * the resolution the drift decision needs before calling. Totals ride
+    * a broadcast one-row frame; the final argmax is one aggregate.
+    * Output (one row): `n_a, n_b, d_scaled, d_ppm, at_value`. */
+  def ksTest(df: DataFrame, valueCol: String, sideCol: String,
+             sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, s"ksTest: sides must differ, got '$sideA' twice")
+    requireIntegralTime(df, valueCol, "ksTest", what = "sample value")
+    val dec = "decimal(38,0)"
+    val counts = df
+      .where(col(valueCol).isNotNull && col(sideCol).isin(sideA, sideB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).cast(dec).as("__n1"),
+      sum(col("c2")).cast(dec).as("__n2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = counts
+      .withColumn("__f1", sum(col("c1")).over(w).cast(dec))
+      .withColumn("__f2", sum(col("c2")).over(w).cast(dec))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d", abs(col("__n2") * col("__f1") - col("__n1") * col("__f2")))
+    scored
+      .groupBy()
+      .agg(min(struct((-col("__d")).as("negd"), col("v").as("v"))).as("__best"),
+        first(col("__n1")).as("__n1"), first(col("__n2")).as("__n2"))
+      .select(
+        col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        (-col("__best.negd")).cast("long").as("d_scaled"),
+        expr("CAST((-__best.negd) * 1000000 DIV (__n1 * __n2) AS BIGINT)").as("d_ppm"),
+        col("__best.v").as("at_value"))
+  }
+
   /** Two-proportion A/B TEST, integer-exact (the [[TimeSeries.anomalies]]
     * discipline): per-unit conversion (a unit converts if ANY of its rows
     * has `successCol` true — row-level counting would let chatty users

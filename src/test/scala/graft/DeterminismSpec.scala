@@ -101,7 +101,9 @@ class DeterminismSpec extends AnyFunSuite {
     // alternating-side normalized fixed point; wedge-join candidate top-k
     "graph_hits", "graph_links",
     // dim-sorted centroid collect + bounded per-label top-k
-    "emb_class_prototypes")
+    "emb_class_prototypes",
+    // distinct-value running-sum window + one-row argmax
+    "rel_ks_test")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2188,6 +2188,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(51L) == ownBucket)
   }
 
+  test("ksTest: hand-computed max CDF gap, ties to smallest value, disjoint = 1e6 ppm") {
+    import org.apache.spark.sql.functions.col
+    // A = {1,2}, B = {2,3}: |2·F1 − 2·F2| over v = 1,2,3 is [2,2,0] —
+    // the tie between v=1 and v=2 breaks to the SMALLEST value
+    val ab = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("side", "v")
+    val got = Relational.ksTest(ab, "v", "side", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((2L, 2L, 2L, 500000L, 1L)), s"$got")
+    // identical samples: D = 0, argmax at the smallest value
+    val same = Seq(("a", 5L), ("b", 5L), ("a", 9L), ("b", 9L)).toDF("side", "v")
+    val g2 = Relational.ksTest(same, "v", "side", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g2 == ((2L, 2L, 0L, 0L, 5L)), s"$g2")
+    // disjoint supports: D = 1 → exactly 1e6 ppm
+    val dis = Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 6L)).toDF("side", "v")
+    val g3 = Relational.ksTest(dis, "v", "side", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g3 == ((2L, 2L, 4L, 1000000L, 2L)), s"$g3")
+    // rows of neither side and NULL values are excluded
+    val noisy = Seq(("a", Some(1L)), ("b", Some(1L)), ("c", Some(7L)),
+      ("a", None)).toDF("side", "v")
+    val g4 = Relational.ksTest(noisy, "v", "side", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g4 == ((1L, 1L, 0L, 0L, 1L)), s"$g4")
+    // non-integral values rejected (quantize upstream)
+    intercept[IllegalArgumentException] {
+      Relational.ksTest(Seq(("a", 1.5)).toDF("side", "v"), "v", "side", "a", "b")
+    }
+  }
+
   test("logTemplates: uuid/hex/number mask precedence collapses variants to one shape") {
     val lines = Seq(
       "GET /u/4711 sid=deadbeef0042 rid=123e4567-e89b-12d3-a456-426614174000 took 3.5ms",
