@@ -400,6 +400,49 @@ object ScaleProbe {
       s"${drift.map(_.getLong(3)).max} (same distribution — expect only " +
       "sampling noise, ~dim·sigma/sqrt(n) ≈ 4e5 of a 6.4e7 full-scale)")
 
+    // ---- r7 session-8: islands / KS / EWMA span cap / templates ----
+    // 10M intervals over 100k keys: both island windows ride ONE
+    // key-partitioned exchange; wall time must track the shuffle, not
+    // an interval explosion
+    val ivp = spark.range(10000000).selectExpr(
+        "CAST(pmod(xxhash64(id), 100000) AS BIGINT) AS k",
+        "CAST(pmod(xxhash64(id, 3), 1000000) AS BIGINT) AS s")
+      .selectExpr("k", "s",
+        "s + 1 + CAST(pmod(xxhash64(k, s), 50) AS BIGINT) AS e")
+    val nIsl = timed("intervalIslands (10M intervals, 100k keys)")(
+      pipeline.TimeSeries.intervalIslands(ivp, "k", "s", "e").count())
+    println(s"[scale]   islands: $nIsl of 10M intervals")
+    // KS at 10M rows collapsed to ~50k distinct cents: the single-
+    // partition window sees ONLY the distinct-value frame (the skyline
+    // bound); side b planted +500 — the argmax must land inside the
+    // shifted overlap zone
+    val ksp = spark.range(10000000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS side",
+      "CAST(pmod(xxhash64(id, 11), 50000) + CASE WHEN id % 2 = 0 THEN 0 ELSE 500 END AS BIGINT) AS v")
+    val ksRow = timed("ksTest (10M rows, ~50k distinct values)")(
+      pipeline.Relational.ksTest(ksp, "v", "side", "a", "b").collect().head)
+    println(s"[scale]   KS d_ppm=${ksRow.getLong(3)} at v=${ksRow.getLong(4)} " +
+      "(uniform +500 shift ⇒ expect ≈ 500/50000 = 10000 ppm)")
+    // EWMA at the documented span cap: 1000 keys × ~10-year spans — the
+    // array-append recurrence is CALENDAR-bounded; this is its worst case
+    val ewp = spark.range(1000).selectExpr("id AS k")
+      .selectExpr("k", "explode(sequence(0, 3649)) AS d")
+      .where("pmod(xxhash64(k, d), 4) != 0") // 25% silent days → real gaps
+      .selectExpr("k",
+        "CAST(date_add(DATE '2014-01-01', CAST(d AS INT)) AS TIMESTAMP) AS ts",
+        "CAST(pmod(xxhash64(d, k), 10000) AS DOUBLE) / 100 AS v")
+    val nEw = timed("ewma (1000 keys × 10-year spans — the span-cap worst case)")(
+      pipeline.TimeSeries.ewma(ewp, "k", "ts", "v").count())
+    println(s"[scale]   ewma spine rows: $nEw (≈ 3.65M)")
+    // template mining at 2M lines: pure masking map + one agg
+    val logsP = spark.range(2000000).selectExpr(
+      """concat('svc', pmod(id, 7), ' GET /u/', pmod(xxhash64(id), 100000),
+         ' sid=', substr(md5(CAST(id AS STRING)), 1, 12),
+         ' took ', pmod(xxhash64(id, 5), 900), 'ms') AS line""")
+    val nTpl = timed("logTemplates (2M lines)")(
+      pipeline.TextAnalysis.logTemplates(logsP, "line", 10).count())
+    println(s"[scale]   templates: $nTpl (expect 7 — one per service)")
+
     spark.stop()
   }
 }

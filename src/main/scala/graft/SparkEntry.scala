@@ -1708,6 +1708,15 @@ object SparkEntry {
       pipeline.TimeSeries.dowProfile(s.table("events"), "event_type", "ts", "value")
         .orderBy("event_type", "dow")
     },
+    "pipeline_benford" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // Benford first-digit audit over price cents: integer shares vs the
+      // ppm-rounded log10(1+1/d) constants — the fabricated-data /
+      // unit-mixup smell test, exclusions accounted on every row
+      val v = s.table("lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Maintenance.benfordAudit(v, "cents").orderBy("digit")
+    },
     "rel_ks_test" -> { (s, dir) =>
       prep(s, dir, "events")
       // two-sample KS drift gate: view-vs-purchase spend distributions,
@@ -4486,6 +4495,24 @@ object SparkEntry {
          SELECT event_type, dow, n_events, value_cents,
                 CAST((n_events * 1000000) // (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT) AS share_ppm
          FROM b ORDER BY event_type, dow""",
+    "pipeline_benford" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem),
+              d AS (SELECT CASE WHEN c > 0 THEN CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) END AS digit FROM v),
+              cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+              t AS (SELECT CAST(coalesce(sum(CASE WHEN digit IS NOT NULL THEN n END), 0) AS BIGINT) AS tot,
+                           CAST(coalesce(sum(CASE WHEN digit IS NULL THEN n END), 0) AS BIGINT) AS exc
+                    FROM cnt),
+              b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                      (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+                      (8, 51153), (9, 45757)) x(digit, benford_ppm))
+         SELECT CAST(b.digit AS INT) AS digit,
+                CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+                CAST(CASE WHEN t.tot > 0 THEN (coalesce(cnt.n, 0) * 1000000) // t.tot ELSE 0 END AS BIGINT) AS obs_ppm,
+                CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+                CAST(abs(CASE WHEN t.tot > 0 THEN (coalesce(cnt.n, 0) * 1000000) // t.tot ELSE 0 END - b.benford_ppm) AS BIGINT) AS dev_ppm,
+                t.exc AS n_excluded
+         FROM b LEFT JOIN cnt ON cnt.digit = b.digit CROSS JOIN t
+         ORDER BY digit""",
     "rel_ks_test" ->
       """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,

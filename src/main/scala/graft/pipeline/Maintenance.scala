@@ -87,6 +87,58 @@ object Maintenance {
       .where(col("n") < k)
   }
 
+  /** BENFORD first-digit audit: the distribution of leading significant
+    * digits of a positive integral column against Benford's law — the
+    * classic fabricated-data / unit-mixup / truncated-export smell test
+    * for financial and count columns (organically-grown magnitudes
+    * follow log₁₀(1+1/d); hand-typed, clipped, or unit-mangled ones
+    * don't). All arithmetic integer: the leading digit comes from the
+    * value's decimal string (engine-identical for positive BIGINTs —
+    * no log10/pow float path), observed shares are `n·10⁶ DIV total`,
+    * and the reference shares are the ppm-rounded Benford constants
+    * (they sum to exactly 10⁶). Zero, negative, and NULL values are
+    * EXCLUDED and reported via `n_excluded` on every row — Benford
+    * applies to positive magnitudes, and silently dropping rows without
+    * accounting is how an audit op lies.
+    *
+    * One partial-aggregated groupBy over 9 possible groups + a 9-row
+    * literal frame join — scan-priced at any scale. Output: one row per
+    * digit 1–9 (zero-count digits INCLUDED): `digit, n, obs_ppm,
+    * benford_ppm, dev_ppm, n_excluded`. */
+  def benfordAudit(df: org.apache.spark.sql.DataFrame,
+                   valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(t),
+      s"benfordAudit: '$valueCol' must be integral (quantize to cents " +
+        s"upstream — the exactness contract), got ${t.simpleString}")
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L).toDF("digit", "benford_ppm")
+    val counted = df
+      .select(col(valueCol).cast("long").as("__v"))
+      .select(when(col("__v") > 0,
+        substring(col("__v").cast("string"), 1, 1).cast("int")).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n")) // NULL group = excluded
+    val tot = counted.agg(
+      sum(when(col("digit").isNotNull, col("n")).otherwise(0L)).as("__tot"),
+      sum(when(col("digit").isNull, col("n")).otherwise(0L)).as("__exc"))
+    broadcast(benford).join(counted, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("CAST(CASE WHEN __tot > 0 THEN (coalesce(n, 0) * 1000000) DIV __tot ELSE 0 END AS BIGINT)")
+          .as("obs_ppm"),
+        col("benford_ppm"),
+        expr("CAST(abs(CASE WHEN __tot > 0 THEN (coalesce(n, 0) * 1000000) DIV __tot ELSE 0 END - benford_ppm) AS BIGINT)")
+          .as("dev_ppm"),
+        col("__exc").as("n_excluded"))
+  }
+
   /** DATA-CONTRACT audit: evaluate named row-level EXPECTATIONS (each a
     * pass-predicate Column) in ONE aggregate pass over the table and
     * report per-rule violation counts — the ingest gate that catches a

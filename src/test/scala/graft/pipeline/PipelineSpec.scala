@@ -2188,6 +2188,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(51L) == ownBucket)
   }
 
+  test("benfordAudit: digit shares exact, exclusions accounted, constants sum to 1e6") {
+    // digits: 1 (from 1), 1 (19), 2 (2000); excluded: -5, 0, NULL
+    val v = Seq(Some(1L), Some(19L), Some(2000L), Some(-5L), Some(0L), None)
+      .toDF("cents")
+    val got = Maintenance.benfordAudit(v, "cents").orderBy("digit")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 9, s"$got") // zero-count digits included
+    assert(got.head == ((1, 2L, 666666L, 301030L, 365636L, 3L)), s"${got.head}")
+    assert(got(1) == ((2, 1L, 333333L, 176091L, 157242L, 3L)), s"${got(1)}")
+    assert(got(2) == ((3, 0L, 0L, 124939L, 124939L, 3L)), s"${got(2)}")
+    // the ppm-rounded Benford reference is a true distribution
+    assert(got.map(_._4).sum == 1000000L)
+    // all-excluded input: 9 rows, zero shares, exclusions counted
+    val none = Seq(0L, -3L).toDF("cents")
+    val g2 = Maintenance.benfordAudit(none, "cents").orderBy("digit")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2.size == 9 && g2.forall(r => r._2 == 0 && r._3 == 0 && r._6 == 2L), s"$g2")
+    intercept[IllegalArgumentException] {
+      Maintenance.benfordAudit(Seq(1.5).toDF("cents"), "cents")
+    }
+  }
+
   test("ksTest: hand-computed max CDF gap, ties to smallest value, disjoint = 1e6 ppm") {
     import org.apache.spark.sql.functions.col
     // A = {1,2}, B = {2,3}: |2·F1 − 2·F2| over v = 1,2,3 is [2,2,0] —
