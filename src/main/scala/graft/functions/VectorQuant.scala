@@ -177,6 +177,45 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
   override def prettyName: String = "pq_adc"
 }
 
+/** quantized_dot(a, b) → bigint: Σ a_i·b_i over two bigint-quantized
+  * vectors as ONE tight primitive loop. Semantically identical to
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0, +)` — same index order,
+  * same long overflow wraparound — but without the per-pair intermediate
+  * array, boxing, and three interpreted HOF trees that made the
+  * all-pairs embedding ops (triplet mining, kNN accuracy, mutual-NN)
+  * pay ~7 µs/pair: the dot IS the inner loop of every cosine, and a
+  * cosine costs three of them. NULL if either side is NULL or lengths
+  * differ (the dimension-mismatch rule: a wrong-model-version join must
+  * surface as missing scores, never as garbage). */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      // NULL element ⇒ NULL dot, exactly like the HOF fold it replaces
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      acc += la.getLong(i) * ra.getLong(i); i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QuantizedDot = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "quantized_dot"
+}
+
 private[functions] object PqSupport {
   /** float ArrayData → unit-normalized double array (zero vector kept). */
   def unitVec(vec: ArrayData, dim: Int): Array[Double] = {

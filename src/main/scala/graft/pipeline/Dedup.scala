@@ -1083,11 +1083,17 @@ object Dedup {
     transform(vec, x => floor(x.cast("double") * 1000000L).cast("long"))
 
   /** cosine over pre-quantized bigint vectors — integer dot/norms are exact,
-    * so the resulting double is bit-identical in any engine. */
+    * so the resulting double is bit-identical in any engine. The three
+    * inner products run as [[graft.functions.QuantizedDot]] tight loops
+    * (value-identical to the HOF fold they replaced — same index order,
+    * same NULL propagation — but ~10× cheaper per pair: the all-pairs
+    * ops evaluate this once per PAIR, and the HOF tree's intermediate
+    * array + boxing dominated their bench time). */
   def quantizedCosine(qa: Column, qb: Column): Column = {
-    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    val na = aggregate(qa, lit(0L), (acc, v) => acc + v * v)
-    val nb = aggregate(qb, lit(0L), (acc, v) => acc + v * v)
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    def qdot(a: Column, b: Column): Column =
+      E.column(graft.functions.QuantizedDot(E.expression(a), E.expression(b)))
+    qdot(qa, qb).cast("double") /
+      (sqrt(qdot(qa, qa).cast("double")) * sqrt(qdot(qb, qb).cast("double")))
   }
 }

@@ -24,15 +24,34 @@ object Similarity {
   def cosScaled(qa: Column, qb: Column): Column =
     floor(lit(1e9) * Dedup.quantizedCosine(qa, qb)).cast("long")
 
+  private def qdot(a: Column, b: Column): Column =
+    E.column(graft.functions.QuantizedDot(E.expression(a), E.expression(b)))
+
+  /** √(q·q) as a per-ROW column: the norm factors of the cosine depend
+    * on one side only, so the all-pairs ops hoist them out of the join —
+    * one norm loop per row instead of two per PAIR (the dot stays per
+    * pair; it is the irreducible work). Value-identical to computing the
+    * norm inside [[cosScaled]]: same long self-dot, same sqrt double. */
+  private def qnorm(q: Column): Column = sqrt(qdot(q, q).cast("double"))
+
+  /** [[cosScaled]] with the per-row norms precomputed — bit-identical
+    * (`dot/(na·nb)` over the same doubles), one loop per pair. */
+  private def cosScaledPre(qa: Column, qb: Column, na: Column,
+                           nb: Column): Column =
+    floor(lit(1e9) * (qdot(qa, qb).cast("double") / (na * nb))).cast("long")
+
   /** Brute-force top-k neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, cos_scaled). Deterministic:
     * quantized cosine + id tie-break. Queries are broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), Dedup.quantize(col(vecCol)).as("__qc"))
+      .withColumn("__nc", qnorm(col("__qc")))
     val q = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
+      .withColumn("__nq", qnorm(col("__qq")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+      .withColumn("cos_scaled",
+        cosScaledPre(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
     topKPerQuery(scored, k)
   }
 
@@ -106,8 +125,10 @@ object Similarity {
     Search.requireIntegralId(right, idCol, "mutualNearest", role = "right id")
     val a = left.select(col(idCol).cast("long").as("id_a"),
       Dedup.quantize(col(vecCol)).as("__qa"))
+      .withColumn("__na", qnorm(col("__qa")))
     val b = right.select(col(idCol).cast("long").as("id_b"),
       Dedup.quantize(col(vecCol)).as("__qb"))
+      .withColumn("__nb", qnorm(col("__qb")))
     // NULL cosines (a NULL vector, or the wrong-model-version join where
     // dimensions mismatch and zip_with NULL-pads the dot) must not reach
     // the argmax: max(struct(NULL, -id)) degenerates to min-id selection
@@ -117,7 +138,8 @@ object Similarity {
     val scored = Materialize(
       b.join(broadcast(a), lit(true))
         .select(col("id_a"), col("id_b"),
-          cosScaled(col("__qa"), col("__qb")).as("cos_scaled"))
+          cosScaledPre(col("__qa"), col("__qb"), col("__na"), col("__nb"))
+            .as("cos_scaled"))
         .where(col("cos_scaled").isNotNull))
     val bestRight = scored.groupBy("id_a")
       .agg(max(struct(col("cos_scaled"), (-col("id_b")).as("__n"))).as("__m"))
@@ -736,12 +758,14 @@ object Similarity {
     Search.requireIntegralId(emb, labelCol, "tripletMining", role = "label")
     val a = emb.select(col(idCol).cast("long").as("anchor_id"),
       col(labelCol).cast("long").as("label"), Dedup.quantize(col(vecCol)).as("__qa"))
+      .withColumn("__na", qnorm(col("__qa")))
     val c = emb.select(col(idCol).cast("long").as("cand_id"),
       col(labelCol).cast("long").as("__cl"), Dedup.quantize(col(vecCol)).as("__qc"))
+      .withColumn("__nc", qnorm(col("__qc")))
     a.join(broadcast(c), col("anchor_id") =!= col("cand_id"))
       .select(col("anchor_id"), col("label"), col("cand_id"),
         (col("__cl") === col("label")).as("__same"),
-        cosScaled(col("__qa"), col("__qc")).as("__cos"))
+        cosScaledPre(col("__qa"), col("__qc"), col("__na"), col("__nc")).as("__cos"))
       // NULL cosines (NULL / dimension-mismatched vectors) must not reach
       // the argmax — the mutualNearest rule: a wrong-model-version join
       // yields FEWER triplets, never id-order noise dressed as labels
