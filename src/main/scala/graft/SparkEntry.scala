@@ -1688,6 +1688,15 @@ object SparkEntry {
           alphaNum = 1, alphaDen = 4)
         .orderBy("user_id", "day")
     },
+    "ts_holt" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // Holt level+trend (α=1/4, β=1/2) per user over the spine, 7-day
+      // forecast — the what's-next baseline an EWMA's lag can't give;
+      // DuckDB recursive-CTE replay of both recurrences
+      pipeline.TimeSeries.holt(s.table("events"), "user_id", "ts", "value",
+          1, 4, 1, 2, horizon = 7)
+        .orderBy("user_id")
+    },
     "ts_islands" -> { (s, dir) =>
       prep(s, dir, "events")
       // gaps-and-islands coverage: weekly per-(user, type) activity spans
@@ -4467,6 +4476,32 @@ object SparkEntry {
                 FROM f JOIN ew ON f.user_id = ew.user_id AND f.rn = ew.rn + 1)
          SELECT user_id, day, cents AS value_cents, CAST(e AS BIGINT) AS ewma_cents
          FROM ew ORDER BY user_id, day""",
+    "ts_holt" ->
+      """WITH RECURSIVE base AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM base GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, CAST(coalesce(base.cents, 0) AS BIGINT) AS cents,
+                      CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.day) AS BIGINT) AS rn
+                    FROM spine s LEFT JOIN base USING (user_id, day)),
+              hw AS (
+                SELECT user_id, rn, cents AS l, CAST(0 AS BIGINT) AS tr FROM f WHERE rn = 1
+                UNION ALL
+                SELECT f.user_id, f.rn,
+                       (1 * f.cents + 3 * (hw.l + hw.tr)) // 4 AS l,
+                       (1 * (((1 * f.cents + 3 * (hw.l + hw.tr)) // 4) - hw.l)
+                        + 1 * hw.tr) // 2 AS tr
+                FROM f JOIN hw ON f.user_id = hw.user_id AND f.rn = hw.rn + 1),
+              lastn AS (SELECT user_id, max(rn) AS n FROM hw GROUP BY 1)
+         SELECT h.user_id, CAST(l.n AS BIGINT) AS n_days,
+                CAST(h.l AS BIGINT) AS level_cents,
+                CAST(h.tr AS BIGINT) AS trend_cents,
+                CAST(h.l + 7 * h.tr AS BIGINT) AS forecast_cents
+         FROM hw h JOIN lastn l ON l.user_id = h.user_id AND h.rn = l.n
+         ORDER BY h.user_id""",
     "ts_islands" ->
       """WITH iv AS (SELECT user_id, event_type, date_trunc('week', ts) AS wk,
                       CAST(floor(epoch(min(ts))) AS BIGINT) AS s,

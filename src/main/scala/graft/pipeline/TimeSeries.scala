@@ -375,6 +375,62 @@ object TimeSeries {
         col("__r.ewma_cents").as("ewma_cents"))
   }
 
+  /** HOLT LINEAR TREND (double exponential smoothing) + h-step
+    * forecast, integer fixed-point: per key over the gap-filled spine,
+    *
+    *   l_1 = y_1,  b_1 = 0
+    *   l_t = (αn·y_t + (αd−αn)·(l_{t−1} + b_{t−1})) DIV αd
+    *   b_t = (βn·(l_t − l_{t−1}) + (βd−βn)·b_{t−1}) DIV βd
+    *   forecast(h) = l_n + h·b_n
+    *
+    * — the level/trend decomposition a plain [[ewma]] can't give (an
+    * EWMA of a steadily growing series lags forever; Holt's trend term
+    * closes the gap), and the standard cheap what's-next baseline for
+    * capacity planning and anomaly thresholds. Same contracts as
+    * [[ewma]]: truncating division replays exactly in any engine
+    * (including negative refund days — DIV ≡ DuckDB `//`), silent days
+    * are real zeros, the recurrence is inherently sequential per key so
+    * the series packs per key (array_sort shields partitioning) and
+    * runs as ONE aggregate lambda over a struct-of-arrays accumulator;
+    * span is CALENDAR-capped. Output: one row per key —
+    * `keyCol, n_days, level_cents, trend_cents, forecast_cents`
+    * (forecast at `horizon` days past the key's last spine day). */
+  def holt(events: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String, alphaNum: Long = 1L, alphaDen: Long = 4L,
+           betaNum: Long = 1L, betaDen: Long = 8L, horizon: Int = 7,
+           maxSpanDays: Int = 3700): DataFrame = {
+    Seq(("alpha", alphaNum, alphaDen), ("beta", betaNum, betaDen)).foreach {
+      case (nm, n, d) =>
+        require(d >= 2 && d <= 1000000L, s"${nm}Den must be in [2, 1e6], got $d")
+        require(n >= 1 && n < d, s"${nm}Num must be in [1, ${nm}Den), got $n/$d")
+    }
+    require(horizon >= 0 && horizon <= 3700,
+      s"horizon must be in [0, 3700], got $horizon")
+    val packed = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+      .select(col(keyCol), struct(col("day"), col("value_cents")).as("__x"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__x"))).as("__s"))
+    val aKeep = alphaDen - alphaNum
+    val bKeep = betaDen - betaNum
+    // accumulator: (l, b, n) — scalars only, O(1) per step
+    val state = expr(
+      s"""aggregate(__s,
+            CAST(NULL AS STRUCT<l: BIGINT, b: BIGINT, n: BIGINT>),
+            (acc, x) -> CASE WHEN acc IS NULL
+              THEN struct(x.value_cents AS l, CAST(0 AS BIGINT) AS b,
+                          CAST(1 AS BIGINT) AS n)
+              ELSE named_struct(
+                'l', ($alphaNum * x.value_cents + $aKeep * (acc.l + acc.b)) DIV $alphaDen,
+                'b', ($betaNum * ((($alphaNum * x.value_cents + $aKeep * (acc.l + acc.b)) DIV $alphaDen) - acc.l)
+                      + $bKeep * acc.b) DIV $betaDen,
+                'n', acc.n + 1)
+            END)""")
+    packed.withColumn("__st", state)
+      .select(col(keyCol), col("__st.n").as("n_days"),
+        col("__st.l").as("level_cents"), col("__st.b").as("trend_cents"),
+        (col("__st.l") + lit(horizon.toLong) * col("__st.b")).as("forecast_cents"))
+  }
+
   /** Gaps-and-islands interval UNION per key: merge a key's possibly-
     * overlapping half-open intervals `[start, end)` into maximal
     * contiguous ISLANDS — the coverage question every uptime / activity-

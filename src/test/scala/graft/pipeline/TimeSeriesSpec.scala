@@ -276,6 +276,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: hand-computed level/trend recurrence, forecast = l + h·b") {
+    // user 7 spine cents [400, 0, 0, 1000], α=1/4, β=1/2:
+    // t1: l=400 b=0
+    // t2: l=(0+3·400)/4=300;      b=(300−400+0)/2   = −50
+    // t3: l=(0+3·250)/4=187;      b=(187−300−50)/2  = −81 (trunc −81.5)
+    // t4: l=(1000+3·106)/4=329;   b=((329−187)−81)/2 = 30 (trunc 30.5)
+    val got = TimeSeries.holt(events, "user_id", "ts", "value",
+        1, 4, 1, 2, horizon = 7)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 4L, 329L, 30L, 539L),
+      (8L, 1L, 556L, 0L, 556L)), s"$got")
+  }
+
+  test("holt: parameter bounds rejected") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.holt(events, "user_id", "ts", "value", 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.holt(events, "user_id", "ts", "value", 1, 4, 0, 8)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.holt(events, "user_id", "ts", "value", horizon = -1)
+    }
+  }
+
   test("intervalIslands: overlap merges, touching merges, nesting collapses, gaps split") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 15L),   // overlap → one island

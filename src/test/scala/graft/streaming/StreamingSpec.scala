@@ -476,6 +476,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming template mining: masked counts in complete mode equal the batch run") {
+    // maskTemplate is a stateless pure map, so template counting on a
+    // stream is mask → groupBy count in complete mode — the running
+    // template census of a live log stream, no custom state
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 60L).map(i =>
+      // service name must be non-numeric — a digit would itself mask to <n>
+      s"svc${('a' + (i % 3)).toChar} GET /u/${i * 37} sid=${"%012x".format(i * 1048573L)} took ${i}ms")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    src.addData(rows: _*)
+    val masked = graft.pipeline.TextAnalysis.maskTemplate(
+      org.apache.spark.sql.functions.col("value"))
+    val q = src.toDF().select(masked.as("template"))
+      .groupBy("template").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tpl_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tpl_stream_out").as[(String, Long)].collect().toSet
+      val batch = graft.pipeline.TextAnalysis.logTemplates(
+          rows.toDF("line"), "line", k = 10)
+        .as[(String, Long)].collect().toSet
+      assert(streamed == batch && batch.size == 3, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming rollup maintenance: per-batch states fold into the stored rollup") {
     // the production shape of Maintenance.mergeRollups: each micro-batch
     // reduces to its keys-sized rollup state inside foreachBatch and
