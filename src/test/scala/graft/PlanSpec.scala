@@ -333,4 +333,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"rbo joined non-equi:\n$plan")
   }
+
+  test("rel_ks_test plan: the single-partition window input is the distinct-value aggregate") {
+    val plan = SparkEntry.queries("rel_ks_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the skyline rule: the global running-sum window must see per-value
+    // side counts, never corpus rows — if the collapse aggregate
+    // vanished, the op re-became a single-reducer corpus sort
+    val lines = plan.linesIterator.toSeq
+    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(spIdx >= 0, s"no single-partition window input:\n$plan")
+    assert(lines.drop(spIdx).exists(l => l.contains("HashAggregate") || l.contains("SortAggregate")),
+      s"KS window input is not the distinct-value aggregate:\n$plan")
+  }
+
+  test("ts_islands plan: both island windows share one key-partitioned exchange") {
+    val plan = SparkEntry.queries("ts_islands")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // running-max and running-open-count sort identically — a second
+    // hashpartitioning(user_id) exchange between the two Window nodes
+    // would mean the sort/partitioning reuse contract broke
+    val hashEx = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    // one exchange feeds the windows; the island rollup groupBy(key, isl)
+    // legitimately re-exchanges, and the interval build aggregates before
+    // it — bound the total rather than pin internals: 3 hash exchanges
+    // (interval rollup, window input, island rollup)
+    assert(hashEx <= 3, s"expected ≤ 3 hash exchanges, got $hashEx:\n$plan")
+    assert(plan.contains("Window"), s"no window in islands plan:\n$plan")
+  }
+
+  test("pipeline_benford plan: no shuffle wider than the 9-digit rollup; literal table broadcasts") {
+    val plan = SparkEntry.queries("pipeline_benford")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"benford reference table should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"benford must never sort-merge (9-row side):\n$plan")
+  }
+
+  test("graph_links plan: wedge join and anti join stay equi — no quadratic fallback") {
+    val plan = SparkEntry.queries("graph_links")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"linkPrediction fell back to a non-equi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$plan")
+  }
 }
