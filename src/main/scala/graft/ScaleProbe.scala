@@ -435,8 +435,10 @@ object ScaleProbe {
       pipeline.TimeSeries.ewma(ewp, "k", "ts", "v").count())
     println(s"[scale]   ewma spine rows: $nEw (≈ 3.65M)")
     // template mining at 2M lines: pure masking map + one agg
+    // service names must be non-numeric — a digit service id would itself
+    // mask to <n> and collapse all services into one template
     val logsP = spark.range(2000000).selectExpr(
-      """concat('svc', pmod(id, 7), ' GET /u/', pmod(xxhash64(id), 100000),
+      """concat('svc', char(97 + pmod(id, 7)), ' GET /u/', pmod(xxhash64(id), 100000),
          ' sid=', substr(md5(CAST(id AS STRING)), 1, 12),
          ' took ', pmod(xxhash64(id, 5), 900), 'ms') AS line""")
     val nTpl = timed("logTemplates (2M lines)")(
