@@ -470,6 +470,10 @@ object Relational {
       .groupBy()
       .agg(min(struct((-col("__d")).as("negd"), col("v").as("v"))).as("__best"),
         first(col("__n1")).as("__n1"), first(col("__n2")).as("__n2"))
+      // empty input: the global aggregate still emits one all-NULL row —
+      // drop it so "no data" reads as zero rows in ANY engine (a DuckDB
+      // LIMIT-1-over-empty replay produces none)
+      .where(col("__best").isNotNull)
       .select(
         col("__n1").cast("long").as("n_a"),
         col("__n2").cast("long").as("n_b"),

@@ -505,7 +505,7 @@ object TimeSeries {
   def dowProfile(events: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String): DataFrame = {
     val byDow = events.where(col(tsCol).isNotNull)
-      .groupBy(col(keyCol), (expr(s"weekday($tsCol)") + 1).as("dow"))
+      .groupBy(col(keyCol), (weekday(col(tsCol)) + 1).as("dow"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("value_cents"))
     byDow

@@ -2238,6 +2238,10 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Relational.ksTest(Seq(("a", 1.5)).toDF("side", "v"), "v", "side", "a", "b")
     }
+    // no matching rows at all → ZERO rows, not one all-NULL row (the
+    // shape any SQL replay of the argmax produces on empty input)
+    val empty = Seq(("z", 1L)).toDF("side", "v")
+    assert(Relational.ksTest(empty, "v", "side", "a", "b").count() == 0L)
   }
 
   test("logTemplates: uuid/hex/number mask precedence collapses variants to one shape") {
