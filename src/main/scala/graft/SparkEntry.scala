@@ -2050,12 +2050,14 @@ object SparkEntry {
     "graph_modularity" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // modularity of the label-propagation communities — turns "we ran
-      // community detection" into a measured claim (Q ≈ 0 on noise)
+      // community detection" into a measured claim (Q ≈ 0 on noise).
+      // The co-purchase edge build (a lineitem self-join) feeds BOTH the
+      // LP rounds and the Q computation — materialize it once
       val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
-      val e = li.as("x").join(li.as("y"),
+      val e = pipeline.Materialize.cut(li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst")))
       val labels = pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
       pipeline.Graph.modularity(e, labels, "src", "dst", "node", "label")
         .orderBy("community")

@@ -560,9 +560,15 @@ object Graph {
     val und = Materialize.cut(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
-    val lab = labels.select(col(nodeCol).cast("long").as("__n"),
-        col(labelCol).cast("long").as("__l"))
-      .groupBy("__n").agg(min("__l").as("__l"))
+    // materialized: the label frame is read THREE times (both endpoint
+    // joins + the community-size rollup), and `labels` is typically the
+    // LAZY multi-round labelPropagation plan — without the cut the whole
+    // iteration chain re-evaluates per reference (measured: the
+    // modularity bench query paid ~2.5× the LP cost). Node-sized.
+    val lab = Materialize.cut(
+      labels.select(col(nodeCol).cast("long").as("__n"),
+          col(labelCol).cast("long").as("__l"))
+        .groupBy("__n").agg(min("__l").as("__l")))
     def labelOf(side: String) = lab
       .withColumnRenamed("__n", side).withColumnRenamed("__l", s"__l$side")
     // materialized: total/intra/degree-sum all read this frame — without
