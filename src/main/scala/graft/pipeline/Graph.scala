@@ -77,8 +77,15 @@ object Graph {
         .otherwise(raise_error(lit(
           s"pageRank: weight column '$c' must be a positive integer")))
     }.getOrElse(lit(1L))
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), w.as("__w"))
+    // e0 is materialized unconditionally: it feeds THREE different
+    // exchange keys (the node set's repartition(node), the out-degree
+    // rollup, the per-round repartition(src)) — ReuseExchange dedups
+    // identical exchanges, not the shared subtree UNDER different ones,
+    // so a caller-side edge JOIN (orders⋈lineitem in the bench graph)
+    // would re-derive once per key. One edge-sized pass instead.
+    val e0 = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("__w")))
     // Short horizons (no mid-run cut) run as ONE lazy job: every round
     // references the same repartition subtrees, and Spark's ReuseExchange
     // computes each ONCE per job — eager materialization would just add
@@ -373,8 +380,11 @@ object Graph {
         .otherwise(raise_error(lit(
           s"shortestPaths: weight column '$c' must be a positive integer")))
     }.getOrElse(lit(1L))
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), w.as("__w"))
+    // materialized first — feeds the node-set union (×2) and the
+    // per-round edge frame under different exchanges (the pageRank rule)
+    val e0 = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("__w")))
     val sCol = seeds.columns match {
       case Array(c) => c
       case cs => sys.error(
@@ -641,8 +651,12 @@ object Graph {
     Search.requireIntegralId(edges, srcCol, "hits", role = "src id")
     Search.requireIntegralId(edges, dstCol, "hits", role = "dst id")
     val dec = "decimal(38,0)"
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    // materialized FIRST: e0 feeds both partitioned edge frames and the
+    // node set (twice) — four references, each its own cut action, and
+    // the caller's edge frame is typically a join (the pageRank rule)
+    val e0 = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
     val eBySrc = Materialize.cut(e0.repartition(col("src")))
     val eByDst = Materialize.cut(e0.repartition(col("dst")))
     val nodes = Materialize.cut(
