@@ -1726,6 +1726,33 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Maintenance.benfordAudit(v, "cents").orderBy("digit")
     },
+    "rel_chi_square" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // is the event mix independent of the weekday? — chi-square over
+      // the full event_type × isodow contingency grid, zero cells
+      // included, per-cell integer terms
+      val ev = s.table("events").select(col("event_type"),
+        (expr("weekday(ts)") + 1).cast("string").as("dow"))
+      pipeline.Relational.chiSquareTest(ev, "event_type", "dow")
+    },
+    "graph_assortativity" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // degree assortativity of the co-purchase graph: one-number
+      // topology fingerprint (hubs-to-hubs vs hubs-to-leaves)
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.assortativity(e, "src", "dst")
+    },
+    "text_source_overlap" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // pairwise source vocabulary Jaccard — the data-card overlap
+      // matrix; vocab-sized equi join, fan-out bounded by sources²
+      pipeline.TextAnalysis.sourceOverlap(s.table("documents"), "source", "text")
+        .orderBy("s1", "s2")
+    },
     "rel_ks_test" -> { (s, dir) =>
       prep(s, dir, "events")
       // two-sample KS drift gate: view-vs-purchase spend distributions,
@@ -4550,6 +4577,64 @@ object SparkEntry {
                 t.exc AS n_excluded
          FROM b LEFT JOIN cnt ON cnt.digit = b.digit CROSS JOIN t
          ORDER BY digit""",
+    "rel_chi_square" ->
+      """WITH obs AS (SELECT event_type AS r,
+                        CAST(isodow(CAST(ts AS DATE)) AS VARCHAR) AS c,
+                        CAST(count(*) AS HUGEINT) AS o
+                      FROM events
+                      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      GROUP BY 1, 2),
+              rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY 1),
+              ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY 1),
+              nn AS (SELECT sum(o) AS n FROM obs),
+              grid AS (SELECT rt.r, ct.c, coalesce(obs.o, 0) AS o, rt.rt, ct.ct
+                       FROM rt CROSS JOIN ct
+                       LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+              terms AS (SELECT g.r, g.c,
+                          ((nn.n * g.o - g.rt * g.ct) * (nn.n * g.o - g.rt * g.ct) * 1000000)
+                            // (nn.n * g.rt * g.ct) AS t
+                        FROM grid g CROSS JOIN nn)
+         SELECT CAST(nn.n AS BIGINT) AS n,
+                CAST((SELECT count(*) FROM rt) AS BIGINT) AS r_card,
+                CAST((SELECT count(*) FROM ct) AS BIGINT) AS c_card,
+                CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+                CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_scaled
+         FROM nn""",
+    "graph_assortativity" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+              und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                      FROM li x JOIN li y
+                        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              deg AS (SELECT n, CAST(count(*) AS HUGEINT) AS d FROM (
+                        SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                      GROUP BY n),
+              pairs AS (SELECT da.d AS x, db.d AS y
+                        FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+                        UNION ALL
+                        SELECT db.d, da.d
+                        FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+              m AS (SELECT CAST(count(*) AS HUGEINT) AS nn, sum(x) AS sx,
+                           sum(x * y) AS sxy, sum(x * x) AS sxx
+                    FROM pairs)
+         SELECT CAST(nn / 2 AS BIGINT) AS m_edges,
+                CASE WHEN nn * sxx - sx * sx = 0 THEN NULL
+                     ELSE CAST(floor(CAST(nn * sxy - sx * sx AS DOUBLE)
+                       / CAST(nn * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                END AS r_ppm
+         FROM m WHERE nn > 0""",
+    "text_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS s,
+                      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        t -> len(t) > 0)) AS t
+                    FROM documents WHERE source IS NOT NULL),
+              sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+              inter AS (SELECT x.s AS s1, y.s AS s2, CAST(count(*) AS BIGINT) AS intersection
+                        FROM st x JOIN st y ON x.t = y.t AND x.s < y.s
+                        GROUP BY 1, 2)
+         SELECT i.s1, i.s2, a.n AS n_s1, b.n AS n_s2, i.intersection,
+                CAST((i.intersection * 1000000) // (a.n + b.n - i.intersection) AS BIGINT) AS jaccard_ppm
+         FROM inter i JOIN sizes a ON a.s = i.s1 JOIN sizes b ON b.s = i.s2
+         ORDER BY s1, s2""",
     "rel_ks_test" ->
       """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,

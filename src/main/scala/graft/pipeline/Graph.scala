@@ -688,6 +688,59 @@ object Graph {
         col("a").cast("long").as("auth_ppm"))
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge set — do hubs link to
+    * hubs (assortative, r > 0: social/collab graphs) or to leaves
+    * (disassortative, r < 0: web/spam/star topologies)? A one-number
+    * topology fingerprint that separates "organic link structure" from
+    * "farm" long before community detection runs.
+    *
+    * Each undirected edge contributes BOTH orientations (the standard
+    * symmetrization), so x and y are identically distributed and the
+    * correlation reduces to `r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)` —
+    * fully integral moments in DECIMAL(38,0), IEEE double at ONE pinned
+    * final division (the trend/correlation rule), half-up ppm. A
+    * degree-regular graph has zero variance → r undefined → NULL
+    * (never a fake 0 — "no preference" and "no signal" differ).
+    * Self-loops dropped, duplicate/reversed edges collapse.
+    *
+    * Plan: canonical dedup (cut — read by the degree rollup and the
+    * pair build), one degree join per side, one moment aggregate.
+    * Output (one row): `m_edges, r_ppm`. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    Search.requireIntegralId(edges, srcCol, "assortativity", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "assortativity", role = "dst id")
+    val dec = "decimal(38,0)"
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = Materialize.cut(
+      e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "__da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "__db"), "b")
+      .select(explode(array(
+        struct(col("__da").as("x"), col("__db").as("y")),
+        struct(col("__db").as("x"), col("__da").as("y")))).as("__p"))
+      .select(col("__p.x").cast(dec).as("__x"), col("__p.y").cast(dec).as("__y"))
+    pairs.agg(count(lit(1)).cast(dec).as("__nn"),
+        sum(col("__x")).as("__sx"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .where(col("__nn").isNotNull && col("__nn") > 0)
+      .select((col("__nn") / 2).cast("long").as("m_edges"),
+        when(col("__nn") * col("__sxx") - col("__sx") * col("__sx") === 0,
+          lit(null).cast("long"))
+          .otherwise(floor(
+            (col("__nn") * col("__sxy") - col("__sx") * col("__sx")).cast("double")
+              / (col("__nn") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+              * 1e6 + 0.5).cast("long"))
+          .as("r_ppm"))
+  }
+
   /** Link prediction by neighborhood overlap: for every NON-adjacent
     * pair at distance 2, the common-neighbor count and the neighborhood
     * Jaccard `|N(a)∩N(b)|·10⁶ DIV (d(a)+d(b)−|∩|)` in integer ppm —

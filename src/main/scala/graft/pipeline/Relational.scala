@@ -482,6 +482,63 @@ object Relational {
         col("__best.v").as("at_value"))
   }
 
+  /** CHI-SQUARE independence test over two CATEGORICAL columns — the
+    * drift/association gate where [[ksTest]] needs an ordered axis
+    * ("is event mix independent of weekday?", "did the source×language
+    * composition shift?"). The statistic is computed cell-exactly with
+    * the classic algebraic identity `(O−E)²/E = (N·o − r·c)²/(N·r·c)`
+    * so every term is an integer ratio, floored per cell at ×10⁶ —
+    * `chi2_scaled ≈ χ²·10⁶` with ≤1 floor-ulp error per cell, an exact
+    * DEFINED metric any engine replays bit-for-bit. ZERO cells of the
+    * full contingency grid contribute (their term is `r·c·10⁶ DIV N` —
+    * omitting them understates the statistic exactly where a category
+    * pair never co-occurs, the strongest dependence signal there is).
+    * NULL categories are excluded.
+    *
+    * Plan: one partial-aggregated groupBy collapses the corpus to
+    * observed cells (materialized — read by the row rollup, the column
+    * rollup, and the grid join); the full grid is rowTotals ×
+    * colTotals — a CONTINGENCY TABLE, so the category cardinality
+    * product must be modest (that is what "categorical" means; guard
+    * cardinality upstream for id-like columns). One cross join of two
+    * category-sized frames + one broadcast scalar; corpus shuffles
+    * once. Magnitude: the per-cell cross-term peaks at ~N⁴·10⁶, so
+    * DECIMAL(38,0) is exact to roughly 10⁸ rows — past that, run the
+    * test on a deterministic sample (the abTest rule: at such N any
+    * real dependence is significant long before the sample hurts).
+    *
+    * Output (one row; empty input → zero rows): `n, r_card, c_card,
+    * dof, chi2_scaled`. */
+  def chiSquareTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = Materialize(
+      df.where(col(rowCol).isNotNull && col(colCol).isNotNull)
+        .groupBy(col(rowCol).cast("string").as("__r"),
+          col(colCol).cast("string").as("__c"))
+        .agg(count(lit(1)).as("__o")))
+    val rt = obs.groupBy("__r").agg(sum(col("__o")).cast(dec).as("__rt"))
+    val ct = obs.groupBy("__c").agg(sum(col("__o")).cast(dec).as("__ct"))
+    val tot = obs.agg(sum(col("__o")).cast(dec).as("__n"))
+    rt.crossJoin(ct)
+      .join(obs, Seq("__r", "__c"), "left")
+      .select(col("__r"), col("__c"), coalesce(col("__o"), lit(0L)).as("__o"),
+        col("__rt"), col("__ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("__r"), col("__c"), col("__n"),
+        expr("CAST(((__n * CAST(__o AS DECIMAL(38,0)) - __rt * __ct) * (__n * CAST(__o AS DECIMAL(38,0)) - __rt * __ct) * 1000000) DIV (__n * __rt * __ct) AS DECIMAL(38,0))")
+          .as("__t"))
+      .groupBy()
+      .agg(first(col("__n")).as("__n"),
+        countDistinct(col("__r")).as("r_card"),
+        countDistinct(col("__c")).as("c_card"),
+        sum(col("__t")).as("__chi"))
+      .where(col("__n").isNotNull)
+      .select(col("__n").cast("long").as("n"),
+        col("r_card"), col("c_card"),
+        ((col("r_card") - 1) * (col("c_card") - 1)).as("dof"),
+        col("__chi").cast("long").as("chi2_scaled"))
+  }
+
   /** Two-proportion A/B TEST, integer-exact (the [[TimeSeries.anomalies]]
     * discipline): per-unit conversion (a unit converts if ANY of its rows
     * has `successCol` true — row-level counting would let chatty users

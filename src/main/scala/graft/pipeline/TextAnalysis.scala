@@ -1197,6 +1197,43 @@ object TextAnalysis {
     * model once from the reference corpora, score every arriving batch).
     * Identical numbers to [[importanceWeights]] on the same inputs
     * (spec-pinned). Output: (idCol, n_tokens, dsir_score). */
+  /** SOURCE VOCABULARY-OVERLAP matrix: for every pair of sources, the
+    * Jaccard of their DISTINCT token sets in integer ppm — the
+    * data-card answer to "how much does crawl source A actually differ
+    * from B?" (near-identical vocabularies flag mirrored/duplicated
+    * feeds; near-disjoint ones flag language/domain splits worth their
+    * own mixing weights).
+    *
+    * Plan: one distinct collapse to (source, token) — the frame every
+    * downstream step reads (materialized), vocabulary-sized, NOT
+    * corpus-sized; per-source set sizes are a rollup of it; the
+    * intersection join is an EQUI self-join on token, and a token
+    * appears in ≤ S sources, so join fan-out is bounded by S² per
+    * token — `vocab × sources²` total, independent of corpus row
+    * count. Pairs with an EMPTY intersection are absent (their Jaccard
+    * is 0; completing the matrix is a sources² cross join the caller
+    * can do — emitting it here would smuggle one into every call).
+    * Output: `s1, s2, n_s1, n_s2, intersection, jaccard_ppm`
+    * (s1 < s2, each unordered pair once). */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val st = Materialize(
+      df.where(col(sourceCol).isNotNull)
+        .select(col(sourceCol).cast("string").as("__s"),
+          explode(words(col(textCol))).as("__t"))
+        .distinct())
+    val sizes = st.groupBy("__s").agg(count(lit(1)).as("__n"))
+    st.as("x").join(st.as("y"),
+        col("x.__t") === col("y.__t") && col("x.__s") < col("y.__s"))
+      .groupBy(col("x.__s").as("s1"), col("y.__s").as("s2"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(sizes.select(col("__s").as("s1"), col("__n").as("n_s1")), "s1")
+      .join(sizes.select(col("__s").as("s2"), col("__n").as("n_s2")), "s2")
+      .select(col("s1"), col("s2"), col("n_s1"), col("n_s2"), col("intersection"),
+        expr("CAST((intersection * 1000000) DIV (n_s1 + n_s2 - intersection) AS BIGINT)")
+          .as("jaccard_ppm"))
+  }
+
   /** LOG-TEMPLATE mining by deterministic masking: variable tokens —
     * UUIDs, long hex ids (≥ 8 chars), and numbers — collapse to
     * `<uuid>`/`<hex>`/`<n>` placeholders, and the surviving string IS the

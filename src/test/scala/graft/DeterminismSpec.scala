@@ -103,7 +103,10 @@ class DeterminismSpec extends AnyFunSuite {
     // dim-sorted centroid collect + bounded per-label top-k
     "emb_class_prototypes",
     // distinct-value running-sum window + one-row argmax
-    "rel_ks_test")
+    "rel_ks_test",
+    // full-grid cross join + decimal cell terms; symmetrized moment agg;
+    // vocab equi self-join
+    "rel_chi_square", "graph_assortativity", "text_source_overlap")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -391,6 +391,20 @@ class GraphSpec extends AnyFunSuite {
     assert(gotS == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)), s"got $gotS")
   }
 
+  test("assortativity: star = -1e6 exactly, regular graph = NULL (no fake zero)") {
+    // star 0-{1,2,3}: every edge pairs degree 3 with degree 1 → r = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val g1 = Graph.assortativity(star, "src", "dst").collect().head
+    assert(g1.getLong(0) == 3L && g1.getLong(1) == -1000000L, s"$g1")
+    // 4-cycle: degree-regular → zero variance → undefined, NULL not 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val g2 = Graph.assortativity(cyc, "src", "dst").collect().head
+    assert(g2.getLong(0) == 4L && g2.isNullAt(1), s"$g2")
+    // empty edges → zero rows
+    assert(Graph.assortativity(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").count() == 0L)
+  }
+
   test("linkPrediction: hub centers beyond maxDegree generate no candidates") {
     val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
     assert(Graph.linkPrediction(star, "src", "dst", k = 10, maxDegree = 3).count() == 0)

@@ -2188,6 +2188,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(51L) == ownBucket)
   }
 
+  test("chiSquareTest: independence = 0, perfect association = N·dof·1e6, zero cells count") {
+    // independent 2×2: every observed cell equals its expectation
+    val ind = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "y")).toDF("r", "c")
+    val g1 = Relational.chiSquareTest(ind, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g1 == ((6L, 2L, 2L, 1L, 0L)), s"$g1")
+    // perfect diagonal association: χ² = N·dof = 6 → 6e6 scaled; the
+    // two ZERO cells contribute 1.5e6 each — omitting them would halve it
+    val dep = Seq(("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "y"), ("b", "y"), ("b", "y")).toDF("r", "c")
+    val g2 = Relational.chiSquareTest(dep, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g2 == ((6L, 2L, 2L, 1L, 6000000L)), s"$g2")
+    // NULL categories excluded; empty input → zero rows
+    val withNull = Seq((Some("a"), Some("x")), (None, Some("x"))).toDF("r", "c")
+    assert(Relational.chiSquareTest(withNull, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].head()._1 == 1L)
+    assert(Relational.chiSquareTest(
+      Seq.empty[(String, String)].toDF("r", "c"), "r", "c").count() == 0L)
+  }
+
+  test("sourceOverlap: pairwise distinct-token Jaccard, empty intersections absent") {
+    val docs = Seq(
+      ("A", "x y"), ("A", "y"),   // A = {x, y}
+      ("B", "y z"),               // B = {y, z}
+      ("C", "p")                  // C = {p} — overlaps nothing
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(docs, "source", "text")
+      .orderBy("s1", "s2")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 2L, 1L, 333333L)), s"$got")
+  }
+
   test("benfordAudit: digit shares exact, exclusions accounted, constants sum to 1e6") {
     // digits: 1 (from 1), 1 (19), 2 (2000); excluded: -5, 0, NULL
     val v = Seq(Some(1L), Some(19L), Some(2000L), Some(-5L), Some(0L), None)
