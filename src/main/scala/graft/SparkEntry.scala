@@ -1726,6 +1726,31 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Maintenance.benfordAudit(v, "cents").orderBy("digit")
     },
+    "rel_basket_rules" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // market-basket association rules over order baskets: top-25 by
+      // lift — confidence plus the base-rate correction separating a
+      // real rule from two popular items
+      val li = s.table("lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      pipeline.Relational.basketRules(li, "basket", "item",
+        minSupport = 3, k = 25)
+    },
+    "pipeline_freshness" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // per-type feed freshness vs a FIXED asOf anchor (replayable —
+      // a wall-clock anchor could never be hash-gated)
+      pipeline.Maintenance.freshnessAudit(s.table("events"), "event_type",
+          "ts", to_timestamp(lit("2024-02-01 00:00:00")))
+        .orderBy("event_type")
+    },
+    "ts_dow_adjusted" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // weekday-adjusted residuals per user — deseasonalization so
+      // Sundays stop tripping flat-baseline anomaly rules
+      pipeline.TimeSeries.dowAdjusted(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id", "day")
+    },
     "rel_chi_square" -> { (s, dir) =>
       prep(s, dir, "events")
       // is the event mix independent of the weekday? — chi-square over
@@ -4577,6 +4602,58 @@ object SparkEntry {
                 t.exc AS n_excluded
          FROM b LEFT JOIN cnt ON cnt.digit = b.digit CROSS JOIN t
          ORDER BY digit""",
+    "rel_basket_rules" ->
+      """WITH bi0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                      FROM lineitem),
+              kept AS (SELECT b FROM bi0 GROUP BY b HAVING count(*) <= 1000),
+              bi AS (SELECT bi0.* FROM bi0 JOIN kept USING (b)),
+              nb AS (SELECT CAST(count(DISTINCT b) AS HUGEINT) AS n FROM bi),
+              isup AS (SELECT i, CAST(count(*) AS BIGINT) AS sup FROM bi GROUP BY i),
+              psup AS (SELECT x.i AS a, y.i AS c, CAST(count(*) AS BIGINT) AS support
+                       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+                       GROUP BY 1, 2 HAVING count(*) >= 3),
+              rules AS (SELECT a, c, support FROM psup
+                        UNION ALL SELECT c, a, support FROM psup)
+         SELECT r.a AS antecedent, r.c AS consequent, r.support,
+                CAST((CAST(r.support AS HUGEINT) * 1000000) // sa.sup AS BIGINT) AS conf_ppm,
+                CAST((CAST(r.support AS HUGEINT) * nb.n * 1000000)
+                  // (CAST(sa.sup AS HUGEINT) * sc.sup) AS BIGINT) AS lift_ppm
+         FROM rules r JOIN isup sa ON sa.i = r.a JOIN isup sc ON sc.i = r.c
+         CROSS JOIN nb
+         ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+         LIMIT 25""",
+    "pipeline_freshness" ->
+      """WITH a AS (SELECT TIMESTAMP '2024-02-01 00:00:00' AS asof)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts,
+                max(ts) AS last_ts,
+                CAST(date_diff('day', CAST(max(ts) AS DATE), CAST(a.asof AS DATE)) AS INT) AS days_stale,
+                CAST(sum(CASE WHEN ts >= a.asof - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+                CAST(sum(CASE WHEN ts >= a.asof - INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+                CAST((sum(CASE WHEN ts >= a.asof - INTERVAL 30 DAY THEN 1 ELSE 0 END) * 1000000)
+                  // count(*) AS BIGINT) AS share_30d_ppm
+         FROM events CROSS JOIN a
+         GROUP BY event_type, a.asof ORDER BY event_type""",
+    "ts_dow_adjusted" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day,
+                      CAST(isodow(s.day) AS INT) AS dow,
+                      CAST(coalesce(b.cents, 0) AS BIGINT) AS value_cents
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              m AS (SELECT user_id, dow,
+                      CAST(sum(value_cents) // count(*) AS BIGINT) AS dow_mean_cents
+                    FROM f GROUP BY 1, 2)
+         SELECT f.user_id, f.day, f.dow, f.value_cents, m.dow_mean_cents,
+                CAST(f.value_cents - m.dow_mean_cents AS BIGINT) AS residual_cents
+         FROM f JOIN m ON m.user_id = f.user_id AND m.dow = f.dow
+         ORDER BY f.user_id, f.day""",
     "rel_chi_square" ->
       """WITH obs AS (SELECT event_type AS r,
                         CAST(isodow(CAST(ts AS DATE)) AS VARCHAR) AS c,

@@ -87,6 +87,35 @@ object Maintenance {
       .where(col("n") < k)
   }
 
+  /** FRESHNESS audit: per group (source, feed, partition key), row
+    * count, the most recent timestamp, staleness in days against a
+    * caller-supplied `asOf` anchor (an explicit Column — a wall-clock
+    * default would make the audit non-replayable and non-gateable),
+    * and the recent-activity split (rows in the trailing 7 / 30 days,
+    * 30-day share in ppm) — the ops dashboard row that catches a dead
+    * feed before a week of missing data poisons a training snapshot.
+    * NULL timestamps are counted apart (`n_null_ts`), not dropped — a
+    * feed going all-NULL on its timestamp IS a freshness failure.
+    * One partial-aggregated groupBy; scan-priced at any scale.
+    * Output: `groupCol, n_rows, n_null_ts, last_ts, days_stale,
+    * n_7d, n_30d, share_30d_ppm`. */
+  def freshnessAudit(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     tsCol: String,
+                     asOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ts = col(tsCol)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(ts.isNull, 1L).otherwise(0L)).as("n_null_ts"),
+        max(ts).as("last_ts"),
+        sum(when(ts >= asOf - expr("INTERVAL 7 DAYS"), 1L).otherwise(0L)).as("n_7d"),
+        sum(when(ts >= asOf - expr("INTERVAL 30 DAYS"), 1L).otherwise(0L)).as("n_30d"))
+      .select(col(groupCol), col("n_rows"), col("n_null_ts"), col("last_ts"),
+        datediff(asOf.cast("date"), col("last_ts").cast("date")).as("days_stale"),
+        col("n_7d"), col("n_30d"),
+        expr("CAST((n_30d * 1000000) DIV n_rows AS BIGINT)").as("share_30d_ppm"))
+  }
+
   /** BENFORD first-digit audit: the distribution of leading significant
     * digits of a positive integral column against Benford's law — the
     * classic fabricated-data / unit-mixup / truncated-export smell test

@@ -482,6 +482,65 @@ object Relational {
         col("__best.v").as("at_value"))
   }
 
+  /** ASSOCIATION RULES over (basket, item) facts — classic
+    * market-basket mining at the pair level: for every ordered rule
+    * `a → b` with pair support ≥ `minSupport`,
+    *
+    *   confidence = sup(ab)·10⁶ DIV sup(a)
+    *   lift       = sup(ab)·N·10⁶ DIV (sup(a)·sup(b))
+    *
+    * in integer ppm (N = retained baskets) — "customers who bought a
+    * also bought b" with the base-rate correction that separates a real
+    * rule from two popular items. Top-k by (lift, confidence,
+    * antecedent, consequent) as a TakeOrdered.
+    *
+    * Plan: distinct (basket, item) collapse (materialized — read by the
+    * basket guard, item supports, and the pair build); baskets larger
+    * than `maxBasket` items are EXCLUDED before the pair self-join (a
+    * d-item basket emits d(d−1)/2 pairs — the LSH maxBucket convention:
+    * a megabasket is a crawler/bot artifact, not signal; N counts
+    * retained baskets so supports stay consistent); the pair join is
+    * EQUI on the basket key (the bipartiteProjection shape). Pair
+    * magnitude: sup·N·10⁶ ≤ N²·10⁶ — BIGINT-exact to ~3·10⁶ baskets,
+    * DECIMAL past that (used unconditionally).
+    * Output: `antecedent, consequent, support, conf_ppm, lift_ppm`. */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long, k: Int,
+                  maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val dec = "decimal(38,0)"
+    val bi0 = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val sizes = bi0.groupBy("__b").agg(count(lit(1)).as("__sz"))
+    val bi = Materialize(
+      bi0.join(sizes.where(col("__sz") <= maxBasket), Seq("__b"), "left_semi")
+        .repartition(col("__b")))
+    val nB = bi.agg(countDistinct(col("__b")).cast(dec).as("__nb"))
+    val itemSup = bi.groupBy(col("__i")).agg(count(lit(1)).as("__sup"))
+    val pairSup = bi.as("x").join(bi.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("__a"), col("y.__i").as("__c"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    val rules = pairSup.select(col("__a"), col("__c"), col("support"))
+      .union(pairSup.select(col("__c"), col("__a"), col("support")))
+    rules
+      .join(itemSup.select(col("__i").as("__a"), col("__sup").as("__sa")), "__a")
+      .join(itemSup.select(col("__i").as("__c"), col("__sup").as("__sc")), "__c")
+      .crossJoin(broadcast(nB))
+      .select(col("__a").as("antecedent"), col("__c").as("consequent"),
+        col("support"),
+        expr(s"CAST((CAST(support AS $dec) * 1000000) DIV __sa AS BIGINT)")
+          .as("conf_ppm"),
+        expr(s"CAST((CAST(support AS $dec) * __nb * 1000000) DIV (CAST(__sa AS $dec) * __sc) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
   /** CHI-SQUARE independence test over two CATEGORICAL columns — the
     * drift/association gate where [[ksTest]] needs an ordered axis
     * ("is event mix independent of weekday?", "did the source×language

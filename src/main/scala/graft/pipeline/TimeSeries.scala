@@ -494,6 +494,31 @@ object TimeSeries {
         (col("island_end") - col("island_start")).as("covered"))
   }
 
+  /** WEEKDAY-ADJUSTED residuals: each spine day's cents minus the key's
+    * own same-weekday integer mean (`Σ DIV n` over the key's spine days
+    * sharing that ISO weekday) — the deseasonalization step that stops
+    * every Sunday from tripping a flat-baseline anomaly rule and every
+    * Black-Friday-class weekday spike from hiding inside a weekly
+    * rhythm. Silent days are real zeros in both the mean and the
+    * residual (the spine contract). The mean is truncating-integral
+    * (engine-portable per the ewma rule), computed as windowed sums
+    * over a (key, dow) partition — ONE exchange, no self-join, and the
+    * window frame is the key's ≤ span/7 same-weekday days.
+    * Output: `keyCol, day, dow, value_cents, dow_mean_cents,
+    * residual_cents`. */
+  def dowAdjusted(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("dow"))
+    resampleGapFill(events, keyCol, tsCol, valueCol)
+      .withColumn("dow", weekday(col("day")) + 1)
+      .withColumn("__dsum", sum(col("value_cents")).over(w))
+      .withColumn("__dcnt", count(lit(1)).over(w))
+      .withColumn("dow_mean_cents", expr("__dsum DIV __dcnt"))
+      .select(col(keyCol), col("day"), col("dow"), col("value_cents"),
+        col("dow_mean_cents"),
+        (col("value_cents") - col("dow_mean_cents")).as("residual_cents"))
+  }
+
   /** Day-of-week seasonality profile: per (key, ISO weekday 1=Mon..7=Sun)
     * event count, cents total, and the day's SHARE of the key's events in
     * integer ppm (`n·10⁶ DIV total` — exact, replayable) — the weekly

@@ -106,7 +106,9 @@ class DeterminismSpec extends AnyFunSuite {
     "rel_ks_test",
     // full-grid cross join + decimal cell terms; symmetrized moment agg;
     // vocab equi self-join
-    "rel_chi_square", "graph_assortativity", "text_source_overlap")
+    "rel_chi_square", "graph_assortativity", "text_source_overlap",
+    // guarded basket self-join + lift top-k; (key,dow) window means
+    "rel_basket_rules", "ts_dow_adjusted")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2188,6 +2188,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(51L) == ownBucket)
   }
 
+  test("basketRules: hand-computed confidence and lift, megabasket excluded") {
+    import org.apache.spark.sql.functions.col
+    val facts = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "w")
+    ).toDF("basket", "item")
+    // sup: x=3 y=2 z=1 w=1; pair (x,y)=2; N=4
+    // y→x: conf 1e6, lift 2·4e6/(2·3) = 1333333; x→y: conf 666666, same lift
+    val got = Relational.basketRules(facts, "basket", "item", minSupport = 2, k = 10)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("y", "x", 2L, 1000000L, 1333333L),
+      ("x", "y", 2L, 666666L, 1333333L)), s"$got")
+    // a basket over maxBasket is excluded AND leaves N (its pairs would
+    // dominate; N counts retained baskets so supports stay consistent)
+    val withMega = facts.union(
+      Seq((9L, "x"), (9L, "y"), (9L, "q")).toDF("basket", "item"))
+    val g2 = Relational.basketRules(withMega, "basket", "item",
+        minSupport = 2, k = 10, maxBasket = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(g2 == got, s"$g2")
+  }
+
+  test("freshnessAudit: staleness vs the fixed anchor, NULL timestamps accounted") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val rows = Seq(
+      ("a", Some("2024-01-30 12:00:00")), ("a", Some("2024-01-02 00:00:00")),
+      ("a", None),
+      ("b", Some("2023-12-01 00:00:00"))
+    ).toDF("src", "tss")
+      .selectExpr("src", "CAST(tss AS TIMESTAMP) AS ts")
+    val got = Maintenance.freshnessAudit(rows, "src", "ts",
+        to_timestamp(lit("2024-02-01 00:00:00")))
+      .orderBy("src")
+      .as[(String, Long, Long, java.sql.Timestamp, Int, Long, Long, Long)]
+      .collect().toSeq
+    // a: 3 rows (1 null ts), last 01-30 → 2 days stale; 1 row in 7d,
+    //    2 rows in 30d (01-02 is exactly asof-30d) → 666666 ppm of 3
+    assert(got.head == (("a", 3L, 1L,
+      java.sql.Timestamp.valueOf("2024-01-30 12:00:00"), 2, 1L, 2L, 666666L)),
+      s"${got.head}")
+    // b: 62 days stale, nothing recent
+    assert(got(1) == (("b", 1L, 0L,
+      java.sql.Timestamp.valueOf("2023-12-01 00:00:00"), 62, 0L, 0L, 0L)),
+      s"${got(1)}")
+  }
+
   test("chiSquareTest: independence = 0, perfect association = N·dof·1e6, zero cells count") {
     // independent 2×2: every observed cell equals its expectation
     val ind = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),

@@ -333,6 +333,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("dowAdjusted: same-weekday integer mean, residuals cancel, silent days count") {
+    // 2024-03-01 and 2024-03-08 are both Fridays; the 6 days between
+    // are silent zeros — Friday mean = (400+100) DIV 2 = 250
+    val ev = Seq((1L, ts(1), 4.0), (1L, ts(8), 1.0)).toDF("user_id", "ts", "value")
+    val got = TimeSeries.dowAdjusted(ev, "user_id", "ts", "value")
+      .orderBy("day")
+      .as[(Long, Date, Int, Long, Long, Long)].collect().toSeq
+    assert(got.size == 8)
+    assert(got.head == ((1L, Date.valueOf("2024-03-01"), 5, 400L, 250L, 150L)), s"${got.head}")
+    assert(got.last == ((1L, Date.valueOf("2024-03-08"), 5, 100L, 250L, -150L)), s"${got.last}")
+    // the six silent days each are their weekday's only sample: mean 0, residual 0
+    assert(got.slice(1, 7).forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0L), s"$got")
+  }
+
   test("dowProfile: ISO weekday shares in integer ppm") {
     // 2024-03-01 = Friday (isodow 5), 2024-03-02 = Saturday (6)
     val ev = Seq(
