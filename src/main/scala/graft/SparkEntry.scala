@@ -1744,6 +1744,14 @@ object SparkEntry {
           "ts", to_timestamp(lit("2024-02-01 00:00:00")))
         .orderBy("event_type")
     },
+    "ts_autocorrelation" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // per-type daily-revenue ACF at lags 1..7 — the periodicity
+      // detector; decimal moments, double only at the pinned final cast
+      pipeline.TimeSeries.autocorrelation(s.table("events"), "event_type",
+          "ts", "value", maxLag = 7)
+        .orderBy("event_type", "lag")
+    },
     "ts_dow_adjusted" -> { (s, dir) =>
       prep(s, dir, "events")
       // weekday-adjusted residuals per user — deseasonalization so
@@ -4635,6 +4643,39 @@ object SparkEntry {
                   // count(*) AS BIGINT) AS share_30d_ppm
          FROM events CROSS JOIN a
          GROUP BY event_type, a.asof ORDER BY event_type""",
+    "ts_autocorrelation" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT event_type,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.event_type, s.day, CAST(coalesce(b.cents, 0) AS BIGINT) AS cents
+                    FROM spine s LEFT JOIN b USING (event_type, day)),
+              pairs AS (SELECT a.event_type, t.lag,
+                          x.cents AS x, a.cents AS y
+                        FROM f a
+                        CROSS JOIN range(1, 8) t(lag)
+                        JOIN f x ON x.event_type = a.event_type
+                               AND x.day = a.day - CAST(t.lag AS INT)),
+              m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                      CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                      CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+                      CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                      CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+                    FROM pairs GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+                CASE WHEN n_pairs < 3
+                       OR n_pairs * sxx - sx * sx = 0
+                       OR n_pairs * syy - sy * sy = 0 THEN NULL
+                     ELSE CAST(floor(1e6 *
+                       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) + 0.5) AS BIGINT)
+                END AS r_ppm
+         FROM m ORDER BY event_type, lag""",
     "ts_dow_adjusted" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

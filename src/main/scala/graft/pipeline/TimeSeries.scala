@@ -494,6 +494,57 @@ object TimeSeries {
         (col("island_end") - col("island_start")).as("covered"))
   }
 
+  /** AUTOCORRELATION function (ACF) over the gap-filled daily spine:
+    * per (key, lag ∈ 1..maxLag), the Pearson correlation of
+    * (value_t, value_{t−lag}) — the periodicity detector ("is this
+    * series weekly?" reads as a peak at lag 7, and the lag-1
+    * coefficient is the stickiness/burstiness readout). Silent days
+    * are real zeros (the spine contract — an observed-days-only ACF
+    * invents correlations across gaps). Moments accumulate EXACTLY in
+    * DECIMAL(38,0) with IEEE double only in the final expression at
+    * pinned cast points (the rel_correlation rule — a float running
+    * corr drifts with merge order and can never be hash-gated);
+    * degenerate pairs (either side variance 0, or fewer than 3 pairs)
+    * yield NULL, never a fake coefficient.
+    *
+    * Plan: the spine materialized once (both join sides read it), the
+    * lag explode (`spine × maxLag` skinny rows), ONE equi join on
+    * (key, day − lag), one partial-aggregated moment groupBy — no
+    * window, no per-lag pass. Output: `keyCol, lag, n_pairs, r_ppm`. */
+  def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 370,
+      s"maxLag must be in [1, 370], got $maxLag")
+    val dec = "decimal(38,0)"
+    val spine = Materialize(
+      resampleGapFill(events, keyCol, tsCol, valueCol)
+        .select(col(keyCol), col("day"), col("value_cents")))
+    val a = spine
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .select(col(keyCol), col("lag"),
+        date_sub(col("day"), col("lag")).as("__md"),
+        col("value_cents").as("__y"))
+    val b = spine.select(col(keyCol), col("day").as("__md"),
+      col("value_cents").as("__x"))
+    a.join(b, Seq(keyCol, "__md"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec)).as("sx"),
+        sum(col("__y").cast(dec)).as("sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).as("syy"))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        expr("""CASE WHEN n_pairs < 3
+                  OR n_pairs * sxx - sx * sx = 0
+                  OR n_pairs * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(floor(1e6 *
+                  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) + 0.5) AS BIGINT)
+                END""").as("r_ppm"))
+  }
+
   /** WEEKDAY-ADJUSTED residuals: each spine day's cents minus the key's
     * own same-weekday integer mean (`Σ DIV n` over the key's spine days
     * sharing that ISO weekday) — the deseasonalization step that stops

@@ -108,7 +108,9 @@ class DeterminismSpec extends AnyFunSuite {
     // vocab equi self-join
     "rel_chi_square", "graph_assortativity", "text_source_overlap",
     // guarded basket self-join + lift top-k; (key,dow) window means
-    "rel_basket_rules", "ts_dow_adjusted")
+    "rel_basket_rules", "ts_dow_adjusted",
+    // lag-explode equi join + decimal ACF moments
+    "ts_autocorrelation")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -333,6 +333,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("autocorrelation: alternating series reads ±1e6 by lag parity, tiny lags NULL") {
+    // period-2 series 0,100,0,100,0,100: odd lags perfectly anti-
+    // correlated (−1e6), even lags perfectly correlated (+1e6);
+    // lags with < 3 pairs are NULL, never a fake coefficient
+    val ev = (1 to 6).map(d =>
+      (1L, ts(d), if (d % 2 == 0) 1.0 else 0.0)).toDF("user_id", "ts", "value")
+    val got = TimeSeries.autocorrelation(ev, "user_id", "ts", "value", maxLag = 5)
+      .orderBy("lag")
+      .collect().map(r => (r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == Seq(
+      (1, 5L, Some(-1000000L)),
+      (2, 4L, Some(1000000L)),
+      (3, 3L, Some(-1000000L)),
+      (4, 2L, None),
+      (5, 1L, None)), s"$got")
+  }
+
   test("dowAdjusted: same-weekday integer mean, residuals cancel, silent days count") {
     // 2024-03-01 and 2024-03-08 are both Fridays; the 6 days between
     // are silent zeros — Friday mean = (400+100) DIV 2 = 250
