@@ -502,6 +502,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming freshness audit: complete-mode aggregate equals the batch audit") {
+    // freshnessAudit is one partial-aggregated pass of sums/max — it runs
+    // natively as a complete-mode streaming aggregate: the live feed
+    // dashboard needs no custom state
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("a", "2024-01-30 12:00:00"), ("a", "2024-01-02 00:00:00"),
+      ("b", "2023-12-01 00:00:00"), ("b", "2024-01-31 23:00:00"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    src.addData(rows: _*)
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Maintenance.freshnessAudit(
+        df.selectExpr("_1 AS src", "CAST(_2 AS TIMESTAMP) AS ts"), "src", "ts",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-02-01 00:00:00")))
+    val q = audit(src.toDF()).writeStream.outputMode("complete")
+      .format("memory").queryName("fresh_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fresh_stream_out").collect().map(_.toSeq).toSet
+      val batch = audit(rows.toDF("_1", "_2")).collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.size == 2, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming rollup maintenance: per-batch states fold into the stored rollup") {
     // the production shape of Maintenance.mergeRollups: each micro-batch
     // reduces to its keys-sized rollup state inside foreachBatch and
