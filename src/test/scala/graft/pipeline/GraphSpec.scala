@@ -391,6 +391,32 @@ class GraphSpec extends AnyFunSuite {
     assert(gotS == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)), s"got $gotS")
   }
 
+  test("linkPrediction agrees with brute-force neighborhood overlap on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Graph.linkPrediction(edges.toDF("src", "dst"), "src", "dst",
+        k = 1000, maxDegree = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // brute force: adjacency sets, all non-adjacent pairs sharing >= 1 nbr
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val expect = (for {
+      a <- nodes; b <- nodes if a < b && !und.contains((a, b))
+      cn = (adj(a) & adj(b)).size if cn > 0
+    } yield {
+      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+      (a, b) -> (cn.toLong, da, db, cn.toLong * 1000000L / (da + db - cn))
+    }).toMap
+    assert(got == expect,
+      s"only-got=${got.keySet -- expect.keySet} only-exp=${expect.keySet -- got.keySet}")
+  }
+
   test("assortativity: star = -1e6 exactly, regular graph = NULL (no fake zero)") {
     // star 0-{1,2,3}: every edge pairs degree 3 with degree 1 → r = −1
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")

@@ -365,6 +365,50 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.slice(1, 7).forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0L), s"$got")
   }
 
+  test("intervalIslands agrees with an in-memory sweep on 300 random intervals") {
+    val rnd = new scala.util.Random(42)
+    val iv = (1 to 300).map { _ =>
+      val k = rnd.nextInt(5).toLong
+      val s = rnd.nextInt(200).toLong
+      (k, s, s + rnd.nextInt(30).toLong)
+    }
+    val got = TimeSeries.intervalIslands(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // reference: literal sweep merge per key (touch merges, half-open)
+    val expect = iv.groupBy(_._1).flatMap { case (k, xs) =>
+      val sorted = xs.map(t => (t._2, t._3)).sorted
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for ((s, e) <- sorted) {
+        if (islands.nonEmpty && s <= islands.last._2) {
+          val (is, ie, n) = islands.last
+          islands(islands.size - 1) = (is, math.max(ie, e), n + 1)
+        } else islands += ((s, e, 1L))
+      }
+      islands.map { case (is, ie, n) => (k, is, ie, n) }
+    }.toSet
+    assert(got == expect, s"${(got -- expect, expect -- got)}")
+  }
+
+  test("ksTest agrees with a literal max-CDF-gap scan on random samples") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ => (if (rnd.nextBoolean()) "a" else "b",
+      rnd.nextInt(40).toLong))
+    val got = graft.pipeline.Relational.ksTest(rows.toDF("side", "v"),
+        "v", "side", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val as = rows.filter(_._1 == "a").map(_._2)
+    val bs = rows.filter(_._1 == "b").map(_._2)
+    val vals = (as ++ bs).distinct.sorted
+    val scan = vals.map { t =>
+      (math.abs(bs.size.toLong * as.count(_ <= t) - as.size.toLong * bs.count(_ <= t)), t)
+    }
+    val best = scan.maxBy { case (d, t) => (d, -t) }
+    assert(got._1 == as.size && got._2 == bs.size, s"$got")
+    assert(got._3 == best._1 && got._5 == best._2, s"$got vs $best")
+    assert(got._4 == best._1 * 1000000L / (as.size.toLong * bs.size), s"$got")
+  }
+
   test("dowProfile: ISO weekday shares in integer ppm") {
     // 2024-03-01 = Friday (isodow 5), 2024-03-02 = Saturday (6)
     val ev = Seq(
