@@ -1794,6 +1794,52 @@ object SparkEntry {
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Relational.ksTest(ev, "cents", "event_type", "view", "purchase")
     },
+    "events_cohort_ltv" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // cohort LTV triangle: cumulative purchase cents per (cohort,
+      // day offset) — retention's revenue twin; running sum over the
+      // per-cohort collapsed frame, never the event log
+      s.sql("""
+        WITH first_seen AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                            FROM events GROUP BY user_id),
+        rev AS (SELECT f.cohort_day,
+                  CAST(datediff(CAST(e.ts AS DATE), f.cohort_day) AS INT) AS day_offset,
+                  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM events e JOIN first_seen f ON f.user_id = e.user_id
+                WHERE e.event_type = 'purchase'
+                  AND datediff(CAST(e.ts AS DATE), f.cohort_day) <= 7
+                GROUP BY 1, 2)
+        SELECT cohort_day, day_offset, cents,
+               CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
+        FROM rev ORDER BY cohort_day, day_offset""")
+    },
+    "events_funnel_windowed" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // conversion-window funnel: each stage must land within 7 days of
+      // the previous one — the unbounded funnel overcounts users who
+      // "converted" a month later for unrelated reasons
+      s.sql("""
+        WITH stage AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+               FROM events GROUP BY user_id),
+        v AS (SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN stage st ON st.user_id = e.user_id
+              WHERE e.event_type = 'view' AND e.ts > st.t0
+                AND e.ts <= st.t0 + INTERVAL 7 DAY
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > v.t1
+                AND e.ts <= v.t1 + INTERVAL 7 DAY
+              GROUP BY e.user_id)
+        SELECT CAST(count(DISTINCT stage.user_id) AS BIGINT) AS n_signup,
+               CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_viewed_7d,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_purchased_7d
+        FROM stage
+        LEFT JOIN v ON v.user_id = stage.user_id
+        LEFT JOIN p ON p.user_id = stage.user_id
+        WHERE stage.t0 IS NOT NULL""")
+    },
     "events_conversion_lag" -> { (s, dir) =>
       prep(s, dir, "events")
       // time-to-convert distribution: days from first signup to first
@@ -4771,6 +4817,40 @@ object SparkEntry {
                 CAST((b.dd * 1000000) // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
                 b.v AS at_value
          FROM best b CROSS JOIN t""",
+    "events_cohort_ltv" ->
+      """WITH first_seen AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                            FROM events GROUP BY user_id),
+              rev AS (SELECT f.cohort_day,
+                        CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+                        CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+                      WHERE e.event_type = 'purchase'
+                        AND date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+                      GROUP BY 1, 2)
+         SELECT cohort_day, day_offset, cents,
+                CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
+         FROM rev ORDER BY cohort_day, day_offset""",
+    "events_funnel_windowed" ->
+      """WITH stage AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+               FROM events GROUP BY user_id),
+              v AS (SELECT e.user_id, min(e.ts) AS t1
+                    FROM events e JOIN stage st ON st.user_id = e.user_id
+                    WHERE e.event_type = 'view' AND e.ts > st.t0
+                      AND e.ts <= st.t0 + INTERVAL 7 DAY
+                    GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t2
+                    FROM events e JOIN v ON v.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > v.t1
+                      AND e.ts <= v.t1 + INTERVAL 7 DAY
+                    GROUP BY e.user_id)
+         SELECT CAST(count(DISTINCT stage.user_id) AS BIGINT) AS n_signup,
+                CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_viewed_7d,
+                CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_purchased_7d
+         FROM stage
+         LEFT JOIN v ON v.user_id = stage.user_id
+         LEFT JOIN p ON p.user_id = stage.user_id
+         WHERE stage.t0 IS NOT NULL""",
     "events_conversion_lag" ->
       """WITH su AS (SELECT user_id, min(ts) AS t0
                      FROM events WHERE event_type = 'signup' GROUP BY user_id),
