@@ -1768,6 +1768,18 @@ object SparkEntry {
         (expr("weekday(ts)") + 1).cast("string").as("dow"))
       pipeline.Relational.chiSquareTest(ev, "event_type", "dow")
     },
+    "graph_ktruss" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // 5-truss of the co-purchase graph: every surviving edge sits in
+      // ≥ 3 triangles of the surviving subgraph — the "genuinely
+      // bundled" edge set, peeled synchronously to a checked fixpoint
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.kTruss(e, "src", "dst", k = 5).orderBy("a", "b")
+    },
     "graph_assortativity" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // degree assortativity of the co-purchase graph: one-number
@@ -2665,6 +2677,45 @@ object SparkEntry {
        |ORDER BY h.node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Graph.kTruss]], peel rounds unrolled as
+    * MATERIALIZED CTEs. Triangles enumerate as the canonical x<y<z
+    * three-edge join — the same triangle SET the operator's
+    * degree-ordered orientation finds, each exactly once. Unrolled past
+    * the measured fixpoint: peeling only removes, so extra rounds are
+    * no-ops on both sides. */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val minSup = k - 2
+    val rs = (1 to rounds).map { i =>
+      s"""tr$i AS MATERIALIZED (
+         |  SELECT xy.a AS x, xy.b AS y, yz.b AS z
+         |  FROM e${i - 1} xy JOIN e${i - 1} yz ON xy.b = yz.a
+         |       JOIN e${i - 1} xz ON xz.a = xy.a AND xz.b = yz.b),
+         |sup$i AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS s FROM (
+         |    SELECT x AS a, y AS b FROM tr$i
+         |    UNION ALL SELECT x, z FROM tr$i
+         |    UNION ALL SELECT y, z FROM tr$i) GROUP BY a, b),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e JOIN sup$i s
+         |    ON s.a = e.a AND s.b = e.b AND s.s >= $minSup)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |      FROM li x JOIN li y
+       |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$rs,
+       |fin AS MATERIALIZED (SELECT a, b FROM e$rounds),
+       |ftr AS MATERIALIZED (SELECT xy.a AS x, xy.b AS y, yz.b AS z
+       |        FROM fin xy JOIN fin yz ON xy.b = yz.a
+       |             JOIN fin xz ON xz.a = xy.a AND xz.b = yz.b),
+       |fsup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+       |    SELECT x AS a, y AS b FROM ftr UNION ALL SELECT x, z FROM ftr
+       |    UNION ALL SELECT y, z FROM ftr) GROUP BY a, b)
+       |SELECT f.a, f.b, CAST(coalesce(fsup.support, 0) AS BIGINT) AS support
+       |FROM fin f LEFT JOIN fsup ON fsup.a = f.a AND fsup.b = f.b
+       |ORDER BY f.a, f.b""".stripMargin
+  }
+
   private def pageRankOracleSql(iterations: Int,
                                 weighted: Boolean = false,
                                 seeded: Boolean = false): String = {
@@ -3117,6 +3168,7 @@ object SparkEntry {
     "graph_ppr" -> pageRankOracleSql(5, seeded = true),
     "graph_pagerank_weighted" -> pageRankOracleSql(5, weighted = true),
     "graph_hits" -> hitsOracleSql(3),
+    "graph_ktruss" -> kTrussOracleSql(5, 8),
     "graph_links" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
               und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -688,6 +688,91 @@ object Graph {
         col("a").cast("long").as("auth_ppm"))
   }
 
+  /** k-TRUSS decomposition (Cohen 2008) by synchronous edge peeling:
+    * every round SIMULTANEOUSLY removes each edge supported by fewer
+    * than k−2 triangles in the surviving subgraph, to a checked
+    * fixpoint — the EDGE-cohesion refinement of [[kCore]]: a k-core
+    * can be a loose star-of-stars, a k-truss edge sits in k−2 actual
+    * triangles, so the surviving subgraph is the "everybody mutually
+    * co-occurs" structure (spam/template farms, genuinely bundled
+    * products) with far higher precision than degree alone.
+    * Simultaneous removal is deterministic (no peel order), so the
+    * fixpoint is a pure function of the input and replayable by an
+    * unrolled-CTE oracle (peeling only removes — extra unrolled rounds
+    * past the fixpoint are no-ops on both sides).
+    *
+    * Per round: triangles enumerate via the degree-ordered orientation
+    * (the [[triangleCounts]] machinery — wedge volume O(m^1.5)
+    * regardless of hub skew), each triangle credits its THREE edges,
+    * edges below support k−2 leave, survivors `Materialize.cut` (each
+    * round reads the previous frame several times — the kCore diamond
+    * discipline) with one scalar count per round for the fixpoint
+    * test. A graph still peeling after `rounds` rounds fails LOUDLY
+    * (truncated trusses are corrupt output, the CC rule). Output: the
+    * surviving edges `a, b, support` (support measured in the FINAL
+    * subgraph, ≥ k−2 by construction). */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             rounds: Int = 32): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangle support), got $k")
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "kTruss", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "kTruss", role = "dst id")
+    val minSup = (k - 2).toLong
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    var e = Materialize.cut(
+      e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    def supports(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("a").as("n")).union(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented =
+        cur.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+          .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+          .select(
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+              struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+              .otherwise(
+                struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+              .as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.u") === col("y.u") &&
+            (col("x.dv") < col("y.dv") ||
+              (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+        .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("tv"), col("v").as("tw")), Seq("tv", "tw"),
+        "left_semi")
+      tri.select(explode(array(
+          struct(least(col("tu"), col("tv")).as("a"), greatest(col("tu"), col("tv")).as("b")),
+          struct(least(col("tu"), col("tw")).as("a"), greatest(col("tu"), col("tw")).as("b")),
+          struct(least(col("tv"), col("tw")).as("a"), greatest(col("tv"), col("tw")).as("b"))))
+          .as("__e"))
+        .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var prev = e.count()
+    var stable = prev == 0L
+    var r = 0
+    while (r < rounds && !stable) {
+      r += 1
+      e = Materialize.cut(
+        e.join(supports(e).where(col("support") >= minSup),
+          Seq("a", "b"), "left_semi"))
+      val cnt = e.count()
+      stable = cnt == prev || cnt == 0L
+      prev = cnt
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"kTruss: still peeling after $rounds rounds — raise rounds")
+    e.join(supports(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
     * endpoint degrees over the undirected edge set — do hubs link to
     * hubs (assortative, r > 0: social/collab graphs) or to leaves

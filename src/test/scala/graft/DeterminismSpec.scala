@@ -110,7 +110,9 @@ class DeterminismSpec extends AnyFunSuite {
     // guarded basket self-join + lift top-k; (key,dow) window means
     "rel_basket_rules", "ts_dow_adjusted",
     // lag-explode equi join + decimal ACF moments
-    "ts_autocorrelation")
+    "ts_autocorrelation",
+    // synchronous edge-peel rounds to fixpoint
+    "graph_ktruss")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

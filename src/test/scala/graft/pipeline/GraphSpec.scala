@@ -391,6 +391,29 @@ class GraphSpec extends AnyFunSuite {
     assert(gotS == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)), s"got $gotS")
   }
 
+  test("kTruss: K4 survives 4-truss whole, bowtie cascades to empty, pendant peels") {
+    // K4: every edge in exactly 2 triangles → 4-truss keeps all 6 edges
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("src", "dst")
+    val g1 = Graph.kTruss(k4, "src", "dst", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(g1.size == 6 && g1.forall(_._3 == 2L), s"$g1")
+    // ...and 5-truss of K4 is empty (support 2 < 3)
+    assert(Graph.kTruss(k4, "src", "dst", k = 5).count() == 0L)
+    // bowtie (two triangles sharing edge 2-3): 4-truss CASCADES — round 1
+    // leaves only (2,3) with support 2, round 2 removes it (support 0)
+    val bow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.kTruss(bow, "src", "dst", k = 4).count() == 0L)
+    // 3-truss: pendant edge (support 0) peels, the triangle stays
+    val triPend = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("src", "dst")
+    val g3 = Graph.kTruss(triPend, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(g3 == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)), s"$g3")
+    // exhausted rounds fail loudly rather than returning a truncated truss
+    intercept[IllegalStateException] {
+      Graph.kTruss(bow, "src", "dst", k = 4, rounds = 1)
+    }
+  }
+
   test("linkPrediction agrees with brute-force neighborhood overlap on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 150).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
