@@ -1770,10 +1770,11 @@ object SparkEntry {
     },
     "graph_ktruss" -> { (s, dir) =>
       prep(s, dir, "lineitem")
-      // 5-truss of the co-purchase graph: every surviving edge sits in
-      // ≥ 3 triangles of the surviving subgraph — the "genuinely
-      // bundled" edge set, peeled synchronously to a checked fixpoint
-      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      // 5-truss of the co-purchase graph (tenth-of-orders sample — the
+      // dense quarter graph makes this the one bench query over 10 s):
+      // every surviving edge sits in ≥ 3 triangles of the surviving
+      // subgraph, peeled synchronously to a checked fixpoint
+      val li = s.table("lineitem").where(col("l_orderkey") % 10 === 0)
       val e = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
@@ -2699,7 +2700,7 @@ object SparkEntry {
          |  SELECT e.a, e.b FROM e${i - 1} e JOIN sup$i s
          |    ON s.a = e.a AND s.b = e.b AND s.s >= $minSup)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
        |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
        |      FROM li x JOIN li y
        |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
@@ -2849,7 +2850,7 @@ object SparkEntry {
          |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
          |        WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
        |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
        |       FROM li x JOIN li y
        |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),

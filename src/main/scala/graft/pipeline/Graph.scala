@@ -756,21 +756,30 @@ object Graph {
     }
     var prev = e.count()
     var stable = prev == 0L
+    var finalSup: Option[DataFrame] = None
     var r = 0
     while (r < rounds && !stable) {
       r += 1
-      e = Materialize.cut(
-        e.join(supports(e).where(col("support") >= minSup),
-          Seq("a", "b"), "left_semi"))
-      val cnt = e.count()
-      stable = cnt == prev || cnt == 0L
+      // the round's qualified supports are cut ONCE and read twice (the
+      // peel semi-join and, on the stable round, the output) — the
+      // stable round's pre-filter frame IS supports(final subgraph)
+      // because nothing changed, so no closing triangle pass is needed
+      val sup = Materialize.cut(
+        supports(e).where(col("support") >= minSup))
+      val next = Materialize.cut(e.join(sup, Seq("a", "b"), "left_semi"))
+      val cnt = next.count()
+      if (cnt == prev || cnt == 0L) { stable = true; finalSup = Some(sup) }
+      e = next
       prev = cnt
     }
     if (!stable)
       throw new IllegalStateException(
         s"kTruss: still peeling after $rounds rounds — raise rounds")
-    e.join(supports(e), Seq("a", "b"), "left")
-      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+    finalSup match {
+      case Some(sup) => e.join(sup, Seq("a", "b"))
+        .select(col("a"), col("b"), col("support"))
+      case None => e.select(col("a"), col("b"), lit(0L).as("support")) // empty input
+    }
   }
 
   /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
