@@ -1726,6 +1726,34 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Maintenance.benfordAudit(v, "cents").orderBy("digit")
     },
+    "events_wilson_ranking" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // campaigns ranked by the Wilson LOWER bound of their engaged-view
+      // rate — 2-for-2 never outranks 80-for-100; jq extracts the
+      // campaign from the JSON payload
+      val per = s.sql("""
+        SELECT CAST(x.k % 5 AS BIGINT) AS campaign,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM events LATERAL VIEW jq(props, '{k}', 'k:int') x
+        WHERE event_type = 'view'
+        GROUP BY x.k % 5""")
+      per.withColumn("wilson_ppm",
+          pipeline.Relational.wilsonLowerPpm(col("pos"), col("n")))
+        .orderBy(col("wilson_ppm").desc, col("campaign"))
+    },
+    "events_rate_limit" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // quota audit: (user, hour) buckets over the limit — the abuse /
+      // runaway-client sweep as one tumbling-window rollup
+      s.sql("""
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+        HAVING count(*) > 1
+        ORDER BY user_id, hour""")
+    },
     "rel_basket_rules" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // market-basket association rules over order baskets: top-25 by
@@ -4709,6 +4737,26 @@ object SparkEntry {
                 t.exc AS n_excluded
          FROM b LEFT JOIN cnt ON cnt.digit = b.digit CROSS JOIN t
          ORDER BY digit""",
+    "events_wilson_ranking" ->
+      """WITH per AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS campaign,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                      FROM events WHERE event_type = 'view'
+                      GROUP BY 1)
+         SELECT campaign, n, pos,
+                CAST(floor(1e6 *
+                  ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                    - 1.96 * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)))) AS BIGINT) AS wilson_ppm
+         FROM per ORDER BY wilson_ppm DESC, campaign""",
+    "events_rate_limit" ->
+      """SELECT user_id, date_trunc('hour', ts) AS hour,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events
+         GROUP BY user_id, date_trunc('hour', ts)
+         HAVING count(*) > 1
+         ORDER BY user_id, hour""",
     "rel_basket_rules" ->
       """WITH bi0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                       FROM lineitem),

@@ -482,6 +482,27 @@ object Relational {
         col("__best.v").as("at_value"))
   }
 
+  /** WILSON score lower bound in ppm — "rank by rating, fairly": the
+    * lower end of the binomial confidence interval for `pos/n`, so an
+    * item with 2/2 positives ranks BELOW one with 80/100 (a raw rate
+    * can't say that, and additive smoothing needs a magic prior). The
+    * sort key for any conversion/CTR/rating leaderboard where group
+    * sizes differ by orders of magnitude. All inputs are integers cast
+    * to double at pinned points and the expression tree is mirrored
+    * TEXTUALLY by the oracle — every IEEE op is correctly rounded, so
+    * the result is bit-identical cross-engine (the rel_correlation
+    * rule, sqrt included). NULL/zero n → NULL. */
+  def wilsonLowerPpm(pos: Column, n: Column, z: Double = 1.96): Column = {
+    val nn = n.cast("double")
+    val p = pos.cast("double") / nn
+    val z2 = lit(z) * lit(z)
+    when(n.isNull || n <= 0, lit(null).cast("long"))
+      .otherwise(floor(lit(1e6) *
+        ((p + z2 / (lit(2.0) * nn)
+          - lit(z) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nn)) / nn))
+          / (lit(1.0) + z2 / nn))).cast("long"))
+  }
+
   /** ASSOCIATION RULES over (basket, item) facts — classic
     * market-basket mining at the pair level: for every ordered rule
     * `a → b` with pair support ≥ `minSupport`,
