@@ -2878,7 +2878,7 @@ object SparkEntry {
          |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
          |        WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
        |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
        |       FROM li x JOIN li y
        |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
