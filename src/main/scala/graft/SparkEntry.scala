@@ -934,11 +934,13 @@ object SparkEntry {
     },
     "multimodal_phash_pairs" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // image near-dup: stub decode → REAL dHash → the same Manku radius
-      // join the text simhash path uses; planted groups-of-8 re-encodes
-      // surface at hamming <= 3
-      val media = pipeline.Multimodal.synthesizePayloads(
-        s.table("documents"), "doc_id", "text")
+      // image near-dup, pixels REAL end-to-end: the builder writes actual
+      // gray PNGs (JDK encoder) carrying a planted 9×8 grid ×4-replicated,
+      // grayDHash decodes them with javax.imageio + box-downsamples back
+      // to the grid, then the same Manku radius join the text simhash path
+      // uses; planted groups-of-8 re-encodes surface at hamming <= 3
+      val media = pipeline.Multimodal.synthesizeGridPayloads(
+        s.table("documents"), "doc_id")
       val fps = pipeline.Multimodal.grayDHash(s, media)
       pipeline.Dedup.hamming64Pairs(fps, "doc_id", "dhash", maxHamming = 3)
         .orderBy("a", "b")
@@ -1550,20 +1552,49 @@ object SparkEntry {
     },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
-      val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
-      val meta = pipeline.Multimodal.decodeMeta(s, media)
-      pipeline.Multimodal.resize(s, meta, maxW = 320, maxH = 240)
+      // REAL decode end-to-end: the builder writes actual PNGs (even ids)
+      // and animated GIFs (odd ids, 1+id%4 frames) via the JDK encoders;
+      // decodeMeta reads format/dims/frame-count off javax.imageio. The
+      // oracle replays the builder's id arithmetic — builder and decoder
+      // must agree exactly. n_bytes is excluded (a real encoder's output
+      // size is not SQL-replayable).
+      val media = pipeline.Multimodal.synthesizeImagePayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.decodeMeta(s, media)
         .toDF()
-        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+        .select("doc_id", "media_type", "width", "height", "n_frames")
         .orderBy("doc_id")
     },
 
     "multimodal_frames" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // frame-sampling stage: one output row per sampled frame (every 2nd)
-      val media = pipeline.Multimodal.synthesizePayloads(s.table("documents"), "doc_id", "text")
-      pipeline.Multimodal.sampleFrames(s, pipeline.Multimodal.decodeMeta(s, media), everyNth = 2)
+      // REAL frame sampling: every 2nd image descriptor of the container,
+      // with the frame's own decoded dimensions (GIF animations; PNG =
+      // single frame 0)
+      val media = pipeline.Multimodal.synthesizeImagePayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.sampleFrames(s, media, everyNth = 2)
         .orderBy("doc_id", "frame")
+    },
+    "multimodal_resize" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL resize: decode → nearest-neighbor downscale to fit 40×32 →
+      // re-encode PNG → decode AGAIN (proves the re-encoded payload
+      // parses); target dims are pure integer arithmetic, replayed by the
+      // oracle
+      val media = pipeline.Multimodal.synthesizeImagePayloads(s.table("documents"), "doc_id")
+      val resized = pipeline.Multimodal.resizePixels(s, media, maxW = 40, maxH = 32)
+      pipeline.Multimodal.decodeMeta(s, resized.select("doc_id", "payload"))
+        .toDF()
+        .select("doc_id", "media_type", "width", "height")
+        .orderBy("doc_id")
+    },
+    "multimodal_pcm_stats" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL 16-bit PCM statistics off the WAV data chunk (chunk walk +
+      // sample loop, integer arithmetic only); the builder packs planted
+      // id-derived samples, the oracle replays them — byte-exact
+      val media = pipeline.Multimodal.synthesizeWavPcmPayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.pcmStats(s, media)
+        .orderBy("doc_id", "channel")
     },
     "events_funnel" -> { (s, dir) =>
       prep(s, dir, "events")
@@ -3780,9 +3811,9 @@ object SparkEntry {
       """WITH h AS (
            SELECT doc_id,
                   CAST(coalesce(sum(CASE WHEN
-                      (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8) + 1) * 131) % 251
+                      (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8) + 1) * 131) % 248
                        + CASE WHEN (b // 8) * 9 + (b % 8) + 1 = doc_id % 72 THEN doc_id % 8 ELSE 0 END)
-                    > (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8)) * 131) % 251
+                    > (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8)) * 131) % 248
                        + CASE WHEN (b // 8) * 9 + (b % 8) = doc_id % 72 THEN doc_id % 8 ELSE 0 END)
                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS BIGINT) AS dh
            FROM documents, generate_series(0, 62) AS t(b)
@@ -4537,21 +4568,42 @@ object SparkEntry {
                 CASE WHEN doc_id % 3 = 2 THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS n_samples
          FROM documents ORDER BY doc_id""",
     "multimodal_meta" ->
-      """WITH m AS (SELECT doc_id, strlen(text) AS n, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type FROM documents),
-              d AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
-                           16 + n % 640 AS w0, 16 + (n * 7) % 480 AS h0,
-                           CAST(1 + n % 5 AS INT) AS n_frames FROM m)
-         SELECT doc_id, media_type, n_bytes,
-                CAST(greatest(1, floor(w0 * least(1.0, least(320.0 / w0, 240.0 / h0)))) AS INT) AS width,
-                CAST(greatest(1, floor(h0 * least(1.0, least(320.0 / w0, 240.0 / h0)))) AS INT) AS height,
-                n_frames
-         FROM d ORDER BY doc_id""",
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS media_type,
+                CAST(16 + doc_id % 64 AS INT) AS width,
+                CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
-              d AS (SELECT doc_id, CAST(16 + n % 640 AS INT) w, CAST(16 + (n * 7) % 480 AS INT) h,
-                           CAST(1 + n % 5 AS INT) nf FROM m)
+      """WITH d AS (SELECT doc_id, CAST(16 + doc_id % 64 AS INT) w,
+                           CAST(16 + (doc_id * 7) % 48 AS INT) h,
+                           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS INT) nf
+                    FROM documents)
          SELECT doc_id, CAST(unnest(range(0, nf, 2)) AS INT) AS frame, w AS width, h AS height
          FROM d ORDER BY doc_id, frame""",
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS w0, 16 + (doc_id * 7) % 48 AS h0 FROM documents)
+         SELECT doc_id, 'image/png' AS media_type,
+                CAST(CASE WHEN w0 <= 40 AND h0 <= 32 THEN w0
+                          WHEN 40 * h0 <= 32 * w0 THEN 40
+                          ELSE greatest(1, (w0 * 32) // h0) END AS INT) AS width,
+                CAST(CASE WHEN w0 <= 40 AND h0 <= 32 THEN h0
+                          WHEN 40 * h0 <= 32 * w0 THEN greatest(1, (h0 * 40) // w0)
+                          ELSE 32 END AS INT) AS height
+         FROM d ORDER BY doc_id""",
+    "multimodal_pcm_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS c,
+                           CAST(64 + doc_id % 129 AS BIGINT) AS n FROM documents),
+              ex AS (SELECT doc_id, c, n, unnest(range(0, c)) AS ch FROM d),
+              sm AS (SELECT e.doc_id, e.ch, e.n,
+                       CASE WHEN t.i % 37 = 0 THEN 32767
+                            ELSE ((e.doc_id * 2663 + e.ch * 7919 + t.i * 104729) % 65536) - 32768 END AS s
+                     FROM ex e CROSS JOIN range(0, 192) t(i) WHERE t.i < e.n)
+         SELECT doc_id, CAST(ch AS INT) AS channel, n AS n_samples,
+                CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+                CAST(sum(s * s) AS BIGINT) AS sum_sq,
+                CAST((sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) * 1000000) // n AS BIGINT) AS clip_ppm
+         FROM sm GROUP BY doc_id, ch, n ORDER BY doc_id, channel""",
     "events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
               stage AS (
@@ -4801,17 +4853,18 @@ object SparkEntry {
               f AS (SELECT s.event_type, s.day, CAST(coalesce(b.cents, 0) AS BIGINT) AS cents
                     FROM spine s LEFT JOIN b USING (event_type, day)),
               pairs AS (SELECT a.event_type, t.lag,
-                          x.cents AS x, a.cents AS y
+                          CAST(x.cents AS HUGEINT) AS x,
+                          CAST(a.cents AS HUGEINT) AS y
                         FROM f a
                         CROSS JOIN range(1, 8) t(lag)
                         JOIN f x ON x.event_type = a.event_type
                                AND x.day = a.day - CAST(t.lag AS INT)),
               m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
-                      CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-                      CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-                      CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-                      CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-                      CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+                      sum(x) AS sx,
+                      sum(y) AS sy,
+                      sum(x * y) AS sxy,
+                      sum(x * x) AS sxx,
+                      sum(y * y) AS syy
                     FROM pairs GROUP BY 1, 2)
          SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
                 CASE WHEN n_pairs < 3
@@ -4971,7 +5024,7 @@ object SparkEntry {
                       FROM events),
               masked AS (SELECT regexp_replace(regexp_replace(regexp_replace(line,
                   '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<uuid>', 'g'),
-                  '\b[0-9a-f]{8,}\b', '<hex>', 'g'),
+                  '\b[0-9a-fA-F]{8,}\b', '<hex>', 'g'),
                   '[0-9]+(\.[0-9]+)?', '<n>', 'g') AS template
                 FROM lines)
          SELECT template, CAST(count(*) AS BIGINT) AS n
@@ -4988,13 +5041,14 @@ object SparkEntry {
               cent AS (SELECT label, list(s // n ORDER BY dim) AS cv
                        FROM sums GROUP BY label),
               scored AS (SELECT q.label, q.vec_id,
-                  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+                  CASE WHEN list_sum(list_transform(c.cv, x -> x * x)) = 0 THEN NULL
+                       ELSE CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
                     / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
-                     * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                     * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))))) AS BIGINT) END AS cos_scaled
                 FROM q JOIN cent c ON c.label = q.label),
               topk AS (SELECT label, vec_id, cos_scaled,
                   row_number() OVER (PARTITION BY label ORDER BY cos_scaled DESC, vec_id) AS rank
-                FROM scored)
+                FROM scored WHERE cos_scaled IS NOT NULL)
          SELECT CAST(label AS BIGINT) AS label, CAST(rank AS INT) AS rank,
                 vec_id, cos_scaled
          FROM topk WHERE rank <= 5 ORDER BY label, rank""",

@@ -5,66 +5,259 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
-  * The Spark-side architecture is real — binary columns, typed Datasets,
-  * partition-batched decode, metadata schemas, partition sizing — while the
-  * actual media decode is a clearly-marked DETERMINISTIC FAKE (this
-  * container has no image/audio codecs). Swapping `fakeDecode` for a real
-  * decoder (e.g. a JNI/FFI call) changes nothing upstream or downstream.
+  * The decode path is REAL: payloads are actual PNG/GIF containers built
+  * by the JDK's own encoders, and every decode goes through
+  * `javax.imageio` (PNG/JPEG/GIF/BMP/TIFF readers ship with this JVM) —
+  * pixels, frame counts, and dimensions all come off the real decoder.
+  * Determinism for the hash-gated oracles comes from the BUILDERS: the
+  * synthesized images carry id-derived geometry and pixel content, and
+  * lossless containers (gray PNG) round-trip those pixels exactly, so a
+  * SQL oracle replays the arithmetic the builder used while the query
+  * under test runs the full encode → decode → measure pipeline.
   *
-  * Scale notes: decode runs via mapPartitions so codec state is reused
+  * Scale notes: decode runs via mapPartitions so decoder state is reused
   * per-partition (not per-row); payloads stay off the driver; metadata-only
   * downstream stages never touch the binary column again (column pruning).
+  * ImageIO's disk cache is disabled (`setUseCache(false)`) — blob decode
+  * must never page through executor-local tmp files.
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+  case class MediaBlob(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                        width: Int, height: Int, n_frames: Int)
 
-  /** Synthesize a binary payload column from text (stand-in for real blob
-    * ingestion; deterministic: UTF-8 bytes). */
-  def synthesizePayloads(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      concat(lit("image/fake-"), (col(idCol) % 3).cast("string")).as("media_type"))
+  javax.imageio.ImageIO.setUseCache(false)
 
-  /** ======= STUB: deterministic fake decoder =======
-    * A real implementation would parse the container format; the fake
-    * derives metadata purely from payload bytes so tests + oracles are
-    * exact. Batch shape (Iterator → Iterator) is the real contract. */
-  private def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaMeta] =
-    rows.map { r =>
-      val n = r.payload.length.toLong
-      MediaMeta(r.doc_id, r.media_type, n,
-        width = (16 + n % 640).toInt,
-        height = (16 + (n * 7) % 480).toInt,
-        n_frames = (1 + n % 5).toInt)
-    }
+  // ======= REAL image builders (JDK encoders; id-derived content) =======
 
-  /** Decode payloads to typed metadata via partition-batched processing. */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions(fakeDecode)
+  /** Per-doc REAL image payloads with id-derived geometry: even ids → a
+    * grayscale PNG (1 frame), odd ids → an animated GIF with `1 + id % 4`
+    * frames — both written by the JDK's own `ImageWriter`s, so the decode
+    * side exercises genuine container parsing. Geometry is pure id
+    * arithmetic (w = 16 + id%64, h = 16 + (id·7)%48), which is what makes
+    * the decoded metadata oracle-replayable. */
+  def synthesizeImagePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + id % 64).toInt
+        val h = (16 + (id * 7) % 48).toInt
+        val payload =
+          if (id % 2 == 0) encodePng(grayImage(w, h, (id % 251).toInt))
+          else encodeGif((0 until (1 + id % 4).toInt)
+            .map(f => grayImage(w, h, ((id + f * 17) % 251).toInt)))
+        (id, payload)
+      }
+    }.toDF("doc_id", "payload")
   }
 
-  /** ======= STUB decode + REAL perceptual hash =======
-    * Difference hash (dHash) per image: decode to a 9×8 grayscale grid,
-    * then bit (r,c) = 1 iff grid(r,c+1) > grid(r,c) — near-identical
-    * images flip only the bits whose local gradient changed, so visual
-    * near-dups sit at small hamming distance. The GRID is the stub (a
-    * deterministic arithmetic fake — no codecs in this container; a real
-    * decoder swaps into `fakeGray` and nothing downstream changes); the
-    * hash math, the batch shape, and the [[Dedup.hamming64Pairs]] radius
-    * join downstream are the real pipeline. Bit 63 is reserved ZERO (63
+  /** Per-doc REAL grayscale PNGs whose pixels carry the deterministic
+    * 9×8 grid `gridCell(id, k)` replicated ×4 (36×32 px) — docs in the
+    * same group of 8 share a base image and each doc perturbs ONE cell,
+    * planting near-dups at small hamming distance, exactly what a
+    * thumbnail/re-encode pass produces. Gray PNG is lossless, so
+    * [[grayDHash]]'s real decode + box downsample recovers the grid
+    * EXACTLY and the dHash oracle replays the grid arithmetic in SQL. */
+  def synthesizeGridPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 36) {
+            raster.setSample(x, y, 0, gridCell(id, (y / 4) * 9 + (x / 4)))
+            x += 1
+          }
+          y += 1
+        }
+        (id, encodePng(img))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** The planted 9×8 grid value at cell k (row-major over 72 cells):
+    * base mod 248 keeps `base + perturbation ≤ 254`, inside 8-bit gray.
+    * Mirrored verbatim by the `multimodal_phash_pairs` oracle. */
+  private[pipeline] def gridCell(docId: Long, k: Int): Int = {
+    val base = (((docId / 8) * 31 + k * 131) % 248).toInt
+    if (k == (docId % 72).toInt) base + (docId % 8).toInt else base
+  }
+
+  private def grayImage(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  private[pipeline] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Animated GIF via the JDK writer's sequence API — one image
+    * descriptor per frame, which is what `getNumImages(true)` counts. */
+  private def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  // ======= REAL decoders (javax.imageio; mapPartitions decode seam) =====
+
+  /** Open a reader positioned on the payload. Caller must `dispose()`.
+    * Returns null when no installed reader claims the bytes. */
+  private def openReader(payload: Array[Byte]): javax.imageio.ImageReader = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return null }
+    val r = readers.next()
+    r.setInput(iis, false, false)
+    r
+  }
+
+  /** REAL header-level decode: format name, dimensions, and frame count
+    * straight from the JDK reader (`getNumImages(true)` walks every GIF
+    * image descriptor; pixels are NOT decoded — this is the cheap
+    * metadata pass). Undecodable payloads fail LOUDLY: a curation
+    * pipeline routes unknown blobs through [[probeMeta]]'s sniffing
+    * instead of silently inventing metadata for them. */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        val reader = openReader(r.payload)
+        require(reader != null, s"doc ${r.doc_id}: no installed ImageIO reader claims payload")
+        try {
+          val fmt = reader.getFormatName.toLowerCase
+          MediaMeta(r.doc_id, s"image/$fmt", r.payload.length.toLong,
+            reader.getWidth(0), reader.getHeight(0),
+            reader.getNumImages(true))
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** REAL per-frame sampling: every `everyNth` image descriptor of the
+    * container (GIF animation frames; PNG = the single frame 0), with
+    * the frame's own decoded dimensions. One output row per kept frame. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val reader = openReader(r.payload)
+        require(reader != null, s"doc ${r.doc_id}: no installed ImageIO reader claims payload")
+        try {
+          val n = reader.getNumImages(true)
+          (0 until n by everyNth).map { f =>
+            (r.doc_id, f, reader.getWidth(f), reader.getHeight(f))
+          }
+        } finally reader.dispose()
+      }
+    }.toDF("doc_id", "frame", "width", "height")
+  }
+
+  /** Decode a payload to an 8-bit luma (grayscale) pixel matrix.
+    * Gray rasters read their sample directly; color pixels reduce by the
+    * integer Rec-601-style luma `(77R + 150G + 29B) >> 8` — the weights
+    * sum to 256, so an R=G=B gray encoded as RGB recovers its gray value
+    * EXACTLY (pinned by spec). */
+  private[pipeline] def decodeLuma(payload: Array[Byte]): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = Array.ofDim[Int](h, w)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y)(x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y)(x) = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
+            + 29 * (rgb & 0xff)) >> 8
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Integer box-average downsample of a luma matrix to a `gw×gh` grid:
+    * cell (r,c) averages pixels x ∈ [c·W/9, (c+1)·W/9), y likewise
+    * (floor-division boundaries; an empty range clamps to one pixel so
+    * tiny images — the 1×1 tracking pixel — still produce a grid).
+    * `floor(sum/area)` is EXACT on uniform blocks, which is how the
+    * ×4-replicated grid payloads recover their grid bit-for-bit. */
+  private[pipeline] def boxGrid(luma: Array[Array[Int]], gw: Int, gh: Int): Array[Int] = {
+    val h = luma.length
+    val w = luma(0).length
+    Array.tabulate(gh * gw) { k =>
+      val (r, c) = (k / gw, k % gw)
+      // x0 < w and x1 <= w hold for any w >= 1 (and likewise for y), so
+      // the empty-range clamp to one pixel needs no further bounds checks
+      val x0 = c * w / gw
+      val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+      val y0 = r * h / gh
+      val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+      var sum = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { sum += luma(y)(x); x += 1 }
+        y += 1
+      }
+      (sum / ((y1 - y0) * (x1 - x0))).toInt
+    }
+  }
+
+  /** REAL difference hash (dHash): decode pixels with `javax.imageio`,
+    * integer-box-downsample to a 9×8 luma grid, then bit (r,c) = 1 iff
+    * grid(r,c+1) > grid(r,c) — near-identical images flip only the bits
+    * whose local gradient changed, so visual near-dups sit at small
+    * hamming distance, feeding the same [[Dedup.hamming64Pairs]] Manku
+    * radius join the text simhash path uses. Bit 63 is reserved ZERO (63
     * comparison bits) so the fingerprint stays non-negative in engines
-    * without unsigned 64-bit — the blocking is indifferent. Output:
-    * `doc_id, dhash`. */
+    * without unsigned 64-bit. Output: `doc_id, dhash`. */
   def grayDHash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
       rows.map { r =>
-        val g = fakeGray(r.doc_id)
+        val g = boxGrid(decodeLuma(r.payload), gw = 9, gh = 8)
         var dh = 0L
         var b = 0
         while (b < 63) {
@@ -77,38 +270,154 @@ object Multimodal {
     }.toDF("doc_id", "dhash")
   }
 
-  /** The fake 9×8 grayscale decode: docs in the same group of 8 share a
-    * base image; each doc perturbs ONE cell by its in-group index —
-    * planted near-dups at hamming ≤ 2 per perturbed neighbor, exactly
-    * what a thumbnail/re-encode pass produces. Replayable in SQL (the
-    * oracle recomputes this arithmetic), which a real pixel decode would
-    * not be — that is the point of the stub. */
-  private def fakeGray(docId: Long): Array[Int] =
-    Array.tabulate(72) { k =>
-      val base = (((docId / 8) * 31 + k * 131) % 251).toInt
-      if (k == (docId % 72).toInt) base + (docId % 8).toInt else base
-    }
-
-  /** ======= STUB: resize =======
-    * Real impl: scaled pixel buffer. Fake: metadata-only transform with the
-    * same signature/flow. */
-  def resize(spark: SparkSession, meta: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[MediaMeta] = {
+  /** REAL bounded-box resize: decode → nearest-neighbor downscale to fit
+    * `maxW×maxH` (never upscales) → re-encode as gray PNG. Target
+    * dimensions are PURE INTEGER arithmetic — when the width binds
+    * (`maxW·h0 ≥ maxH·w0` decides which side is tight), `tw = maxW,
+    * th = h0·maxW DIV w0`, and symmetrically — so a SQL oracle replays
+    * them exactly; nearest-neighbor samples `in(x·w0 DIV tw, y·h0 DIV
+    * th)`, which recovers replicated-grid content exactly (spec).
+    * Output: `doc_id, payload (new PNG), width, height`. */
+  def resizePixels(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"bounds must be >= 1, got ${maxW}x$maxH")
     import spark.implicits._
-    meta.map { m =>
-      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
-      m.copy(width = math.max(1, math.floor(m.width * scale).toInt),
-             height = math.max(1, math.floor(m.height * scale).toInt))
-    }
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        val luma = decodeLuma(r.payload)
+        val h0 = luma.length
+        val w0 = luma(0).length
+        val (tw, th) =
+          if (w0 <= maxW && h0 <= maxH) (w0, h0)
+          else if (maxW.toLong * h0 <= maxH.toLong * w0)
+            (maxW, math.max(1, (h0.toLong * maxW / w0).toInt))
+          else
+            (math.max(1, (w0.toLong * maxH / h0).toInt), maxH)
+        val img = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            raster.setSample(x, y, 0, luma(y * h0 / th)(x * w0 / tw))
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, encodePng(img), tw, th)
+      }
+    }.toDF("doc_id", "payload", "width", "height")
   }
 
-  /** ======= STUB: frame sampling ======= one row per sampled frame. */
-  def sampleFrames(spark: SparkSession, meta: Dataset[MediaMeta], everyNth: Int): DataFrame = {
-    import spark.implicits._
-    meta.flatMap(m => (0 until m.n_frames by everyNth).map(f => (m.doc_id, f, m.width, m.height)))
-      .toDF("doc_id", "frame", "width", "height")
+  // ======= REAL PCM audio stats (WAV data chunk; no codec needed) =======
+
+  /** Per-doc REAL WAV files (RIFF header + interleaved 16-bit LE PCM
+    * frames) with id-derived geometry AND samples: channels `1 + id%2`,
+    * rate `8000 + (id%8)·4000`, `64 + id%129` frames; sample
+    * `s(ch, i) = ((id·2663 + ch·7919 + i·104729) % 65536) − 32768`,
+    * forced to 32767 every 37th frame so the clipping counter always has
+    * real work. Pure id arithmetic → the stats oracle replays it. */
+  def synthesizeWavPcmPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 8) * 4000).toInt
+        val nFrames = (64 + id % 129).toInt
+        val dataBytes = nFrames * channels * 2
+        val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataBytes)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1.toShort)
+        bb.putShort(channels.toShort)
+        bb.putInt(rate)
+        bb.putInt(rate * channels * 2)
+        bb.putShort((channels * 2).toShort)
+        bb.putShort(16.toShort)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(dataBytes)
+        var i = 0
+        while (i < nFrames) {
+          var ch = 0
+          while (ch < channels) {
+            bb.putShort(pcmSample(id, ch, i).toShort)
+            ch += 1
+          }
+          i += 1
+        }
+        (id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
   }
 
-  // ======= REAL container probing (not a stub) ==========================
+  /** The planted sample value — mirrored verbatim by the
+    * `multimodal_pcm_stats` oracle. */
+  private[pipeline] def pcmSample(id: Long, ch: Int, i: Int): Int =
+    if (i % 37 == 0) 32767
+    else (((id * 2663 + ch * 7919L + i * 104729L) % 65536) - 32768).toInt
+
+  /** REAL per-channel PCM statistics off the WAV data chunk — the
+    * pre-transcode audio filter pass (silence, clipping, hot masters)
+    * that needs NO codec, just the container walk [[graft.functions.MediaProbe]]
+    * already does plus the sample bytes. Integer arithmetic throughout:
+    * `peak_abs = max|s|`, `sum_sq = Σs²` (exact in BIGINT to ~2·10¹²
+    * frames), `clip_ppm = 10⁶·#{s ∈ {−32768, 32767}} DIV n` — RMS is
+    * `sqrt(sum_sq/n)` for anyone who wants the float, but the GATE stays
+    * integer. 16-bit PCM only (the overwhelming interchange format);
+    * anything else fails loudly. Output: `doc_id, channel, n_samples,
+    * peak_abs, sum_sq, clip_ppm`. */
+  def pcmStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.payload
+        require(b.length >= 44 &&
+          new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(b, 8, 4, "US-ASCII") == "WAVE",
+          s"doc ${r.doc_id}: not a RIFF/WAVE payload")
+        // real chunk walk: fmt → geometry, data → samples
+        var channels = 0; var bits = 0
+        var dataOff = -1; var dataLen = 0
+        var off = 12
+        def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+        while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+          val cid = new String(b, off, 4, "US-ASCII")
+          val len = le32(off + 4)
+          if (cid == "fmt ") {
+            channels = le16(off + 10)
+            bits = le16(off + 22)
+          } else if (cid == "data") {
+            dataOff = off + 8
+            dataLen = math.min(len, b.length - dataOff)
+          }
+          off += 8 + len + (len & 1)
+        }
+        require(channels > 0 && dataOff >= 0,
+          s"doc ${r.doc_id}: missing fmt/data chunk")
+        require(bits == 16, s"doc ${r.doc_id}: only 16-bit PCM supported, got $bits")
+        val nFrames = dataLen / (channels * 2)
+        (0 until channels).map { ch =>
+          var i = 0
+          var peak = 0L; var sumSq = 0L; var nClip = 0L
+          while (i < nFrames) {
+            val p = dataOff + (i * channels + ch) * 2
+            val s = (((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)).toShort).toInt
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            sumSq += s.toLong * s
+            if (s == 32767 || s == -32768) nClip += 1
+            i += 1
+          }
+          (r.doc_id, ch, nFrames.toLong, peak, sumSq,
+            if (nFrames == 0) 0L else nClip * 1000000L / nFrames)
+        }
+      }
+    }.toDF("doc_id", "channel", "n_samples", "peak_abs", "sum_sq", "clip_ppm")
+  }
+
+  // ======= REAL container probing (header-only; no pixel decode) ========
   // graft.functions.MediaProbe parses actual PNG/JPEG/GIF/BMP/WAV headers
   // byte-for-byte per the container specs — no codec involved, which is
   // exactly the point: the 100 TB metadata/filter pass reads headers only.

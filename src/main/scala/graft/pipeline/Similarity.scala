@@ -713,9 +713,15 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"),
         expr("s DIV n").as("c")))).as("__cs"))
       .select(col("label"), expr("transform(__cs, x -> x.c)").as("__qcent"))
+    // zero-norm centroid guard: a label whose truncated integer centroid is
+    // the all-zero vector (possible with opposite-sign members) would give
+    // cosScaled a 0/0 = NaN, which Spark's cast folds to 0 while a SQL
+    // replay errors casting NaN — emit NULL instead, so TopKPairs drops the
+    // label's rows identically in both engines (pinned by spec)
     val scored = q.join(broadcast(centroids), Seq("label"))
       .select(col("label").as("query_id"), col("neighbor_id"),
-        cosScaled(col("__qc"), col("__qcent")).as("cos_scaled"))
+        when(qdot(col("__qcent"), col("__qcent")) === 0, lit(null).cast("long"))
+          .otherwise(cosScaled(col("__qc"), col("__qcent"))).as("cos_scaled"))
     topKPerQuery(scored, k)
       .select(col("query_id").as("label"), col("rank"),
         col("neighbor_id").as("vec_id"), col("cos_scaled"))

@@ -1259,7 +1259,9 @@ object TextAnalysis {
   /** The [[logTemplates]] masking pass as a reusable column. */
   def maskTemplate(text: Column): Column = {
     val uuid = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-    val hex = "\\b[0-9a-f]{8,}\\b"
+    // case-insensitive like the uuid class: DEADBEEF0042 and deadbeef0042
+    // are one message shape, not two case-dependent templates
+    val hex = "\\b[0-9a-fA-F]{8,}\\b"
     val num = "[0-9]+(\\.[0-9]+)?"
     regexp_replace(
       regexp_replace(

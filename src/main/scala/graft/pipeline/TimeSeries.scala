@@ -523,17 +523,19 @@ object TimeSeries {
       .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
       .select(col(keyCol), col("lag"),
         date_sub(col("day"), col("lag")).as("__md"),
-        col("value_cents").as("__y"))
+        col("value_cents").cast(dec).as("__y"))
     val b = spine.select(col(keyCol), col("day").as("__md"),
-      col("value_cents").as("__x"))
+      col("value_cents").cast(dec).as("__x"))
+    // moments multiply in DECIMAL(38,0) (the assortativity pattern) — a
+    // LongType product would wrap silently past |value_cents| ~3e9
     a.join(b, Seq(keyCol, "__md"))
       .groupBy(col(keyCol), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("__x").cast(dec)).as("sx"),
-        sum(col("__y").cast(dec)).as("sy"),
-        sum((col("__x") * col("__y")).cast(dec)).as("sxy"),
-        sum((col("__x") * col("__x")).cast(dec)).as("sxx"),
-        sum((col("__y") * col("__y")).cast(dec)).as("syy"))
+        sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
       .select(col(keyCol), col("lag"), col("n_pairs"),
         expr("""CASE WHEN n_pairs < 3
                   OR n_pairs * sxx - sx * sx = 0

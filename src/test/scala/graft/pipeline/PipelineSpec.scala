@@ -501,17 +501,113 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores.sorted.reverse.toSeq == scores.toSeq) // descending
   }
 
-  test("multimodal: synthesized payloads → decode stub → resize → frames") {
-    val docs = Seq((1L, "abcdefgh" * 50), (2L, "xy")).toDF("doc_id", "text")
-    val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
+  test("multimodal: real PNG/GIF payloads → real ImageIO decode of dims and frames") {
+    // even id → PNG (1 frame); odd → animated GIF with 1 + id%4 frames
+    val docs = Seq(2L, 3L, 5L).toDF("doc_id")
+    val media = Multimodal.synthesizeImagePayloads(docs, "doc_id")
     assert(media.schema("payload").dataType.typeName == "binary")
     val meta = Multimodal.decodeMeta(spark, media).collect().map(m => m.doc_id -> m).toMap
-    assert(meta(1L).n_bytes == 400 && meta(2L).n_bytes == 2)
-    val resized = Multimodal.resize(spark, Multimodal.decodeMeta(spark, media), 64, 64)
-      .collect().map(m => m.doc_id -> m).toMap
-    assert(resized(1L).width <= 64 && resized(1L).height <= 64)
-    val frames = Multimodal.sampleFrames(spark, Multimodal.decodeMeta(spark, media), 2)
-    assert(frames.count() > 0)
+    assert(meta(2L).media_type == "image/png" && meta(2L).n_frames == 1)
+    assert(meta(3L).media_type == "image/gif" && meta(3L).n_frames == 4)
+    assert(meta(5L).media_type == "image/gif" && meta(5L).n_frames == 2)
+    assert(meta(3L).width == 19 && meta(3L).height == 37) // 16+3%64, 16+21%48
+    assert(meta(2L).n_bytes > 0) // real encoder output, size not arithmetic
+    val frames = Multimodal.sampleFrames(spark, media, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((2L, 0), (3L, 0), (3L, 2), (5L, 0)), s"$frames")
+  }
+
+  test("grayDHash pins: horizontal-gradient PNG = all 63 bits; 1×1 tracking pixel = 0") {
+    // gradient: every right neighbor strictly brighter → every comparison
+    // bit fires → dhash = 2^63 − 1 (bit 63 reserved zero). The 1×1 pixel:
+    // every grid cell clamps to the same pixel → no gradient → dhash = 0.
+    import java.awt.image.BufferedImage
+    val grad = new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 9) grad.getRaster.setSample(x, y, 0, x * 28)
+    val px = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+    px.setRGB(0, 0, 0x123456)
+    val media = Seq((1L, Multimodal.encodePng(grad)), (2L, Multimodal.encodePng(px)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.grayDHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == Long.MaxValue, s"gradient dhash = ${got(1L)}")
+    assert(got(2L) == 0L, s"tracking-pixel dhash = ${got(2L)}")
+  }
+
+  test("decodeLuma: R=G=B gray encoded as RGB recovers the gray value EXACTLY") {
+    // the integer luma weights sum to 256: (77v + 150v + 29v) >> 8 = v
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(3, 1, BufferedImage.TYPE_INT_RGB)
+    Seq(0, 127, 254).zipWithIndex.foreach { case (v, x) =>
+      img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+    }
+    val luma = Multimodal.decodeLuma(Multimodal.encodePng(img))
+    assert(luma(0).toSeq == Seq(0, 127, 254), luma(0).toSeq.toString)
+  }
+
+  test("synthesizeGridPayloads → real decode → box downsample recovers the grid exactly") {
+    val media = Multimodal.synthesizeGridPayloads(Seq(13L).toDF("doc_id"), "doc_id")
+    val payload = media.collect()(0).getAs[Array[Byte]]("payload")
+    val grid = Multimodal.boxGrid(Multimodal.decodeLuma(payload), gw = 9, gh = 8)
+    assert(grid.toSeq == (0 until 72).map(Multimodal.gridCell(13L, _)), grid.toSeq.toString)
+  }
+
+  test("resizePixels: nearest-neighbor halving recovers replicated content; bounds + roundtrip") {
+    // 18×16 = a 9×8 value grid replicated ×2; fitting into 9×8 samples the
+    // even indices → recovers the grid bit-for-bit after PNG re-encode
+    import java.awt.image.BufferedImage
+    val src = new BufferedImage(18, 16, BufferedImage.TYPE_BYTE_GRAY)
+    def cell(r: Int, c: Int): Int = (r * 9 + c * 131) % 256
+    for (y <- 0 until 16; x <- 0 until 18)
+      src.getRaster.setSample(x, y, 0, cell(y / 2, x / 2))
+    val media = Seq((7L, Multimodal.encodePng(src))).toDF("doc_id", "payload")
+    val out = Multimodal.resizePixels(spark, media, maxW = 9, maxH = 8).collect()(0)
+    assert(out.getInt(2) == 9 && out.getInt(3) == 8, s"${out.getInt(2)}x${out.getInt(3)}")
+    val luma = Multimodal.decodeLuma(out.getAs[Array[Byte]]("payload"))
+    for (r <- 0 until 8; c <- 0 until 9)
+      assert(luma(r)(c) == cell(r, c), s"cell ($r,$c): ${luma(r)(c)} != ${cell(r, c)}")
+    // never upscales
+    val same = Multimodal.resizePixels(spark, media, maxW = 100, maxH = 100).collect()(0)
+    assert(same.getInt(2) == 18 && same.getInt(3) == 16)
+  }
+
+  test("pcmStats: hand-packed 16-bit PCM with an extra LIST chunk — per-channel stats") {
+    // 2 channels, 3 frames: ch0 = [100, -32768, 32767], ch1 = [0, 5, -5];
+    // a 3-byte LIST chunk (odd length → pad byte) sits between fmt and
+    // data to exercise the real chunk walk
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + 4 + 8 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(4 + 24 + 12 + 20)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(8000); bb.putInt(32000)
+    bb.putShort(4); bb.putShort(16)
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(3)
+    bb.put(Array[Byte](1, 2, 3, 0)) // 3 payload bytes + odd-length pad
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(12)
+    Seq(100, 0, -32768, 5, 32767, -5).foreach(s => bb.putShort(s.toShort))
+    val media = Seq((42L, bb.array())).toDF("doc_id", "payload")
+    val got = Multimodal.pcmStats(spark, media).orderBy("channel").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val sq0 = 100L * 100 + 32768L * 32768 + 32767L * 32767
+    assert(got.toSeq == Seq(
+      (0, 3L, 32768L, sq0, 2L * 1000000 / 3),
+      (1, 3L, 5L, 50L, 0L)), got.toSeq.toString)
+  }
+
+  test("pcmStats: builder-parser agreement with the planted sample arithmetic") {
+    val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.pcmStats(spark, media).orderBy("doc_id", "channel").collect()
+    got.foreach { r =>
+      val (id, ch, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(n == 64 + id % 129, s"doc $id")
+      val samples = (0 until n.toInt).map(i => Multimodal.pcmSample(id, ch, i).toLong)
+      assert(r.getLong(3) == samples.map(math.abs).max, s"peak doc $id ch $ch")
+      assert(r.getLong(4) == samples.map(s => s * s).sum, s"sum_sq doc $id ch $ch")
+      val clip = samples.count(s => s == 32767 || s == -32768).toLong
+      assert(r.getLong(5) == clip * 1000000 / n, s"clip doc $id ch $ch")
+    }
+    assert(got.length == 1 + 2) // doc 9 → 1+9%2 = 2 channels? (9%2=1 → 2ch); doc 10 → 1ch
   }
 
   test("connected components labels chains, stars, and singletons correctly") {
@@ -1205,11 +1301,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map((1L, 2L) -> 3, (2L, 3L) -> 1, (1L, 4L) -> 1), s"got $got")
   }
 
-  test("grayDHash: planted group-of-8 re-encodes sit within hamming 4, strangers far") {
-    val media = Seq.tabulate(16)(i =>
-      (i.toLong, s"doc $i payload")).toDF("doc_id", "text")
-    val fps = Multimodal.grayDHash(spark,
-      Multimodal.synthesizePayloads(media, "doc_id", "text"))
+  test("grayDHash: REAL PNG round-trip — planted group-of-8 near, strangers far") {
+    val media = Multimodal.synthesizeGridPayloads(
+      Seq.tabulate(16)(_.toLong).toDF("doc_id"), "doc_id")
+    val fps = Multimodal.grayDHash(spark, media)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (a <- 0 until 8; b <- (a + 1) until 8) {
       val h = java.lang.Long.bitCount(fps(a.toLong) ^ fps(b.toLong))
@@ -1217,12 +1312,11 @@ class PipelineSpec extends AnyFunSuite {
     }
     val cross = java.lang.Long.bitCount(fps(0L) ^ fps(8L))
     assert(cross > 4, s"cross-group pair at hamming $cross — planted structure lost")
-    // independent reimplementation of the stub grid + hash for one doc
-    def grid(d: Long)(k: Int): Int =
-      (((d / 8) * 31 + k * 131) % 251).toInt + (if (k == (d % 72).toInt) (d % 8).toInt else 0)
+    // independent replay of the planted-grid arithmetic for one doc: the
+    // encode → javax.imageio decode → downsample chain must be lossless
     val expect5 = (0 until 63).foldLeft(0L) { (acc, b) =>
       val k = (b / 8) * 9 + (b % 8)
-      if (grid(5L)(k + 1) > grid(5L)(k)) acc | (1L << b) else acc
+      if (Multimodal.gridCell(5L, k + 1) > Multimodal.gridCell(5L, k)) acc | (1L << b) else acc
     }
     assert(fps(5L) == expect5, s"dhash(5) = ${fps(5L)}, expected $expect5")
   }
@@ -2336,13 +2430,18 @@ class PipelineSpec extends AnyFunSuite {
       // 'abc123' is NOT a hex run (too short after the letters rule — the
       // digits still mask); '1234567890' IS all-digits but 10 hex chars
       // with word boundaries → the HEX mask wins (applied first)
-      "key abc123 token 1234567890"
+      "key abc123 token 1234567890",
+      // hex is case-insensitive like the uuid class: the upper- and
+      // lower-case spellings of one id collapse to ONE template
+      "err code DEADBEEF0042 retry",
+      "err code deadbeef0042 retry"
     ).toDF("line")
     val got = TextAnalysis.logTemplates(lines, "line", k = 10)
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(
       ("GET /u/<n> sid=<hex> rid=<uuid> took <n>ms", 2L),
       ("POST /login ok", 2L),
+      ("err code <hex> retry", 2L),
       ("key abc<n> token <hex>", 1L)), s"$got")
   }
 
@@ -2369,5 +2468,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2, t._3)) == Seq((0L, 1, 1L), (1L, 1, 3L)), s"$got")
     val label0Cos = got.head._4
     assert(label0Cos == 707106781L, s"got $label0Cos") // floor(1e9/√2)
+  }
+
+  test("classPrototypes: zero-norm centroid drops the label, never NaN-as-0") {
+    // label 9: (1,0) and (-1,0) → per-dim sums (0, 0) → truncated integer
+    // centroid is the all-zero vector → cosine is 0/0. The contract: the
+    // label emits NO rows (NULL cos_scaled, dropped by TopKPairs) — NOT
+    // rows ranked at cos_scaled = 0, which is what Spark's NaN→long cast
+    // would silently produce while a SQL replay errors casting NaN.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(1f, 0f), 9),
+      (4L, Array(-1f, 0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classPrototypes(emb, "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(0L), s"label 9 must vanish: $got")
+    assert(got.size == 2, s"$got")
   }
 }
