@@ -445,6 +445,27 @@ object ScaleProbe {
       pipeline.TextAnalysis.logTemplates(logsP, "line", 10).count())
     println(s"[scale]   templates: $nTpl (expect 7 — one per service)")
 
+    // ---- r8: blocked mutual pairs at 200k × 200k --------------------------
+    // the corpus×corpus regime the exact op's broadcast contract excludes:
+    // brute force would score 4·10¹⁰ pairs; the IVF blocking visits
+    // ~nProbe/nLists of them, nothing broadcasts, and planted-twin recall
+    // is measured directly. 4096 concept clusters + per-id jitter; right is
+    // the left corpus re-jittered by ~1e-5 per dim (a re-embedding), so
+    // pair (i, i) is the true reciprocal match.
+    def mnSide(seed: Int): DataFrame = spark.range(200000).selectExpr("id AS vec_id",
+      s"""transform(sequence(0, 63), i -> CAST(
+            (pmod(xxhash64(pmod(id, 4096), i), 2001) - 1000) / 1000.0
+          + (pmod(xxhash64(id, i), 81) - 40) / 1000.0
+          + (pmod(xxhash64(id, i + $seed), 3) - 1) / 100000.0 AS FLOAT))
+          AS embedding""")
+    val mnRecall = timed("mutualNearestIvf (200k × 200k, 64-dim, nLists=1024, nProbe=1)")(
+      pipeline.Similarity.mutualNearestIvf(
+          mnSide(100001), mnSide(200002), "vec_id", "embedding",
+          nLists = 1024, nProbe = 1, sampleSize = 10000, iters = 3)
+        .where("id_a = id_b").count())
+    println(s"[scale]   planted-twin recall: $mnRecall / 200000 " +
+      "(exact all-pairs cannot run this shape)")
+
     spark.stop()
   }
 }

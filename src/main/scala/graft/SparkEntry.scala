@@ -2047,6 +2047,21 @@ object SparkEntry {
           "vec_id", "embedding")
         .orderBy("id_a")
     },
+    "emb_mutual_pairs_blocked" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // the corpus×corpus scale path of emb_mutual_pairs: IVF-blocked
+      // candidates (union of both directions' probes, shuffle list join —
+      // nothing broadcasts a corpus) + exact rerank + mutuality over the
+      // slice. Rows-only (IVF training is data-defined); blocked ≡ exact
+      // agreement pinned by spec on clustered corpora, recall at scale in
+      // SCALE_PROBE.md.
+      val emb = s.table("embeddings")
+      pipeline.Similarity.mutualNearestIvf(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", nLists = 16, nProbe = 4)
+        .orderBy("id_a")
+    },
     "search_bm25" -> { (s, dir) =>
       prep(s, dir, "documents")
       // BM25 retrieval, integer fixed point end-to-end (bit-length idf;

@@ -73,10 +73,16 @@ object Similarity {
     * candidate slice as `corpus`.
     *
     * Output: (query_id, rank, neighbor_id, cos_scaled), deterministic via
-    * the quantized-cosine + smaller-id tie-break. */
+    * the quantized-cosine + smaller-id tie-break.
+    *
+    * `blocking`: optional candidate (`query_id`, `neighbor_id`) pairs
+    * (e.g. [[ivfCandidates]] over the corpus with the query cohort as
+    * queries) — scores only those pairs instead of query × corpus, the
+    * path once the corpus outgrows the exhaustive scan; positives are
+    * still excluded and the rerank is exact over the slice. */
   def hardNegatives(corpus: DataFrame, positives: DataFrame, idCol: String,
                     vecCol: String, queryCol: String, posCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, blocking: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     Search.requireIntegralId(corpus, idCol, "hardNegatives")
     Search.requireIntegralId(positives, queryCol, "hardNegatives", role = "query id")
@@ -88,9 +94,31 @@ object Similarity {
       .select(col(idCol).cast("long").as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       Dedup.quantize(col(vecCol)).as("__qc"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
-      .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+    val scored = blocking match {
+      case None =>
+        c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+          .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+      case Some(cands) if cands.columns.contains("cos_scaled") =>
+        // pre-scored ([[ivfScoredPairs]] with the query cohort as queries):
+        // restrict to the cohort (a self-probe candidate frame carries
+        // every id as a query), exclude positives, rank — no per-pair
+        // vector join
+        cands.select(col("query_id").cast("long"),
+            col("neighbor_id").cast("long"), col("cos_scaled").cast("long"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .distinct()
+          .join(broadcast(pos.select("query_id").distinct()), Seq("query_id"), "left_semi")
+          .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+      case Some(cands) =>
+        cands.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .distinct()
+          .join(broadcast(q), "query_id") // the labeled cohort stays bounded
+          .join(c, "neighbor_id")
+          .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+          .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
+    }
     topKPerQuery(scored, k)
   }
 
@@ -118,9 +146,18 @@ object Similarity {
     * run this op per block — mined pairs are labels, so the final pairing
     * stays exact within blocks.
     *
-    * Output: (id_a, id_b, cos_scaled), one row per mutual pair. */
+    * Output: (id_a, id_b, cos_scaled), one row per mutual pair.
+    *
+    * `blocking`: an optional candidate-pair frame (`id_a`, `id_b`) — e.g.
+    * [[ivfCrossCandidates]] in each direction, which is what
+    * [[mutualNearestIvf]] wires up — that replaces the broadcast
+    * all-pairs score with shuffle equi-joins over ONLY those pairs, the
+    * corpus×corpus scale path. Argmaxes then run over the candidate
+    * slice: exact whenever the blocking contains each side's true
+    * nearest pair (planted-twin spec), recall-bounded otherwise. */
   def mutualNearest(left: DataFrame, right: DataFrame, idCol: String,
-                    vecCol: String): DataFrame = {
+                    vecCol: String,
+                    blocking: Option[DataFrame] = None): DataFrame = {
     Search.requireIntegralId(left, idCol, "mutualNearest", role = "left id")
     Search.requireIntegralId(right, idCol, "mutualNearest", role = "right id")
     val a = left.select(col(idCol).cast("long").as("id_a"),
@@ -135,12 +172,31 @@ object Similarity {
     // and would emit garbage "pairs". Dropping them means a full
     // dimension mismatch yields an EMPTY result, and a corrupt vector
     // simply cannot pair — never id-order noise dressed as labels.
-    val scored = Materialize(
-      b.join(broadcast(a), lit(true))
-        .select(col("id_a"), col("id_b"),
-          cosScaledPre(col("__qa"), col("__qb"), col("__na"), col("__nb"))
-            .as("cos_scaled"))
-        .where(col("cos_scaled").isNotNull))
+    val scored0 = blocking match {
+      case None =>
+        b.join(broadcast(a), lit(true))
+          .select(col("id_a"), col("id_b"),
+            cosScaledPre(col("__qa"), col("__qb"), col("__na"), col("__nb"))
+              .as("cos_scaled"))
+          .where(col("cos_scaled").isNotNull)
+      case Some(cands) if cands.columns.contains("cos_scaled") =>
+        // pre-scored candidates ([[ivfScoredPairs]]): pairs arrive 24
+        // bytes wide and vectors never join per pair — the scale path
+        cands.select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("cos_scaled").cast("long")).distinct()
+      case Some(cands) =>
+        // unscored pair frame: score by joining the vectors back — fine
+        // for modest candidate sets; at corpus scale pass SCORED pairs
+        // (per-pair vector joins sort ~0.5 KB rows per candidate)
+        cands.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .distinct()
+          .join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            cosScaledPre(col("__qa"), col("__qb"), col("__na"), col("__nb"))
+              .as("cos_scaled"))
+          .where(col("cos_scaled").isNotNull)
+    }
+    val scored = Materialize(scored0)
     val bestRight = scored.groupBy("id_a")
       .agg(max(struct(col("cos_scaled"), (-col("id_b")).as("__n"))).as("__m"))
       .select(col("id_a"), (-col("__m.__n")).as("id_b"),
@@ -150,6 +206,33 @@ object Similarity {
       .select((-col("__m.__n")).as("id_a"), col("id_b"))
     bestRight.join(bestLeft, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("cos_scaled"))
+  }
+
+  /** [[mutualNearest]] at corpus×corpus scale: IVF-blocked candidates
+    * scored at the list join ([[ivfScoredPairs]]), mutuality over the
+    * blocked slice. Candidates are the UNION of both directions' scored
+    * probes — each side's argmax domain is covered by its OWN quantizer
+    * (trained on the opposite corpus), so a pair survives exactly when
+    * both probes find it; with tight clusters and nProbe lists covering
+    * them this is ≡ exact (spec), and in general recall is the IVF probe
+    * recall, not a mutuality artifact. Nothing broadcasts a corpus and no
+    * vector is shipped per pair — the plan a 1000-executor pair-mining
+    * job needs. */
+  def mutualNearestIvf(left: DataFrame, right: DataFrame, idCol: String,
+                       vecCol: String, nLists: Int = 64, nProbe: Int = 8,
+                       sampleSize: Int = 10000, iters: Int = 10): DataFrame = {
+    val fwd = ivfScoredPairs(right, left, idCol, vecCol, nLists, nProbe,
+        sampleSize, iters, excludeSelf = false)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos_scaled"))
+    val rev = ivfScoredPairs(left, right, idCol, vecCol, nLists, nProbe,
+        sampleSize, iters, excludeSelf = false)
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+        col("cos_scaled"))
+    // the two directions score identical bits for a shared pair (dot of
+    // longs + commuting norm product), so the union dedupes on the row
+    mutualNearest(left, right, idCol, vecCol,
+      blocking = Some(fwd.union(rev)))
   }
 
   /** Per-query top-k as a TWO-PHASE aggregation (TopKPairs under
@@ -246,11 +329,16 @@ object Similarity {
     * vectors back (queries broadcast), score with the deterministic
     * quantized cosine, two-phase top-k. Shared tail of every ANN variant. */
   private def rerank(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val qv = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
+                     idCol: String, vecCol: String, k: Int,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    val qv0 = queries.select(col(idCol).as("query_id"), Dedup.quantize(col(vecCol)).as("__qq"))
+    // broadcast only when the query cohort is bounded (the ANN top-k path);
+    // blocked self-corpus ops rerank with queries = the WHOLE corpus, where
+    // a broadcast would ship the corpus to every task — shuffle equi-join
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
     val cv = corpus.select(col(idCol).as("neighbor_id"), Dedup.quantize(col(vecCol)).as("__qc"))
     val scored = cands
-      .join(broadcast(qv), "query_id")
+      .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .withColumn("cos_scaled", cosScaled(col("__qq"), col("__qc")))
     topKPerQuery(scored, k)
@@ -343,19 +431,25 @@ object Similarity {
     * sign-LSH the pruning ratio is explicit and corpus-size-independent. */
   def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, nLists: Int = 64, nProbe: Int = 8,
-                    sampleSize: Int = 10000, iters: Int = 10): DataFrame =
+                    sampleSize: Int = 10000, iters: Int = 10,
+                    broadcastQueries: Boolean = true): DataFrame =
     // Training sample must be a SPREAD of the corpus, not its head: on real
     // corpora ingestion order correlates with content (crawl batches, source
     // shards), so `orderBy(id).limit(n)` would train centroids on one slice
     // of the distribution and recall would collapse (see spreadSample).
+    // broadcastQueries=false = the self-probe blocking path, where the
+    // "query" side is the whole corpus and the list join must shuffle.
     ivfCandidatesFrom(spreadSample(corpus, idCol, vecCol, sampleSize),
-      corpus, queries, idCol, vecCol, nLists, nProbe, iters)
+      corpus, queries, idCol, vecCol, nLists, nProbe, iters,
+      broadcastQueries = broadcastQueries)
 
   /** [[ivfCandidates]] over a PRE-COLLECTED training sample — lets
     * compositions (IVF-PQ) train both quantizers from one corpus pass. */
   private def ivfCandidatesFrom(sample: Array[Array[Float]], corpus: DataFrame,
                                 queries: DataFrame, idCol: String, vecCol: String,
-                                nLists: Int, nProbe: Int, iters: Int): DataFrame = {
+                                nLists: Int, nProbe: Int, iters: Int,
+                                excludeSelf: Boolean = true,
+                                broadcastQueries: Boolean = true): DataFrame = {
     val cents = trainCentroids(sample, nLists, iters)
     def assign(df: DataFrame, side: String, probes: Int): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
@@ -363,10 +457,74 @@ object Similarity {
             E.expression(col(vecCol)), cents, probes)).as("__ls"))
         .select(col(s"${side}_id"), explode(col("__ls")).as("list"))
     val c = assign(corpus, "neighbor", 1)
-    val q = assign(queries, "query", nProbe)
-    c.join(broadcast(q), c("list") === q("list") && col("query_id") =!= col("neighbor_id"))
+    val q0 = assign(queries, "query", nProbe)
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val cond =
+      if (excludeSelf) c("list") === q0("list") && col("query_id") =!= col("neighbor_id")
+      else c("list") === q0("list")
+    c.join(q, cond)
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
+  }
+
+  /** CROSS-corpus IVF candidate pairs — the blocking stage for the exact
+    * embedding ops ([[mutualNearest]], [[hardNegatives]],
+    * [[tripletMining]], [[knnLabelAccuracy]]) past their broadcast-cohort
+    * contract. Differences from [[ivfCandidates]], both load-bearing:
+    * equal ids are KEPT (in a cross-corpus pair (5, 5) names two distinct
+    * objects — dropping it would silently unlink every id-aligned twin),
+    * and the list join SHUFFLES instead of broadcasting the query side
+    * (both sides are full corpora). Candidate fraction ≈ nProbe/nLists
+    * per direction; raise nLists with corpus size so per-list candidate
+    * blocks stay executor-bounded. */
+  def ivfCrossCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, nLists: Int = 64, nProbe: Int = 8,
+                         sampleSize: Int = 10000, iters: Int = 10): DataFrame =
+    ivfCandidatesFrom(spreadSample(corpus, idCol, vecCol, sampleSize),
+      corpus, queries, idCol, vecCol, nLists, nProbe, iters,
+      excludeSelf = false, broadcastQueries = false)
+
+  /** EXACT-SCORED IVF candidates — the blocking stage and the exact rerank
+    * FUSED at the list join, which is the only plan shape that survives
+    * corpus×corpus scale: each vector crosses the shuffle ONCE (corpus
+    * rows keyed by their 1 list, query rows by their nProbe lists), both
+    * vectors of a pair are co-located when the pair is born, the quantized
+    * cosine is computed right there, and pairs leave the join as 24-byte
+    * (ids, cos) rows. The naive alternative — emit unscored pairs, then
+    * join vectors back per pair — ships a ~0.5 KB quantized vector through
+    * a sort per CANDIDATE instead of per ROW and dies in external sort at
+    * the first real corpus (measured: 40+ GB of sort spill at 200k×200k).
+    *
+    * Scoring is the same [[cosScaledPre]] bits as the exact ops (dot of
+    * quantized longs is order-exact; norm product commutes bit-identically)
+    * so a pair scored from either probing direction dedupes on the full
+    * (ids, cos) row. NULL cosines drop here, preserving the mutualNearest
+    * NULL contract. Output: `query_id, neighbor_id, cos_scaled`. */
+  def ivfScoredPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, nLists: Int = 64, nProbe: Int = 8,
+                     sampleSize: Int = 10000, iters: Int = 10,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val cents = trainCentroids(spreadSample(corpus, idCol, vecCol, sampleSize),
+      nLists, iters)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("__qc"),
+        E.column(graft.functions.NearestCentroids(
+          E.expression(col(vecCol)), cents, 1)).getItem(0).as("list"))
+      .withColumn("__nc", qnorm(col("__qc")))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        Dedup.quantize(col(vecCol)).as("__qq"),
+        explode(E.column(graft.functions.NearestCentroids(
+          E.expression(col(vecCol)), cents, nProbe))).as("list"))
+      .withColumn("__nq", qnorm(col("__qq")))
+    // shuffle-hash on the list key: no sort of vector-carrying rows, and
+    // the wide join output is projected to 24-byte rows inside the stage
+    val joined = c.hint("shuffle_hash").join(q, Seq("list"))
+    val paired = if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+                 else joined
+    paired.select(col("query_id"), col("neighbor_id"),
+        cosScaledPre(col("__qq"), col("__qc"), col("__nq"), col("__nc")).as("cos_scaled"))
+      .where(col("cos_scaled").isNotNull)
+      .distinct() // a pair probed via several lists carries identical bits
   }
 
   /** IVF ANN: coarse-quantizer blocking + exact rerank. Output schema
@@ -727,13 +885,34 @@ object Similarity {
         col("neighbor_id").as("vec_id"), col("cos_scaled"))
   }
 
+  /** `blocking`: optional candidate (`query_id`, `neighbor_id`) pairs
+    * ([[ivfCandidates]] with the corpus as its own query set) — the
+    * leave-one-out scan then reranks only the candidate slice, with the
+    * query side shuffle-joined (the whole corpus is the query cohort —
+    * nothing broadcasts). */
   def knnLabelAccuracy(emb: DataFrame, idCol: String, vecCol: String,
-                       labelCol: String, k: Int = 10): DataFrame = {
+                       labelCol: String, k: Int = 10,
+                       blocking: Option[DataFrame] = None): DataFrame = {
     Search.requireIntegralId(emb, labelCol, "knnLabelAccuracy", role = "label")
-    val topk = bruteForceTopK(emb, emb, idCol, vecCol, k)
-    val nbrLabels = emb.select(col(idCol).as("neighbor_id"),
+    val topk = blocking match {
+      case None => bruteForceTopK(emb, emb, idCol, vecCol, k)
+      case Some(cands) if cands.columns.contains("cos_scaled") =>
+        // pre-scored ([[ivfScoredPairs]] self-probe): straight to the
+        // bounded per-query top-k — no per-pair vector join at all
+        topKPerQuery(
+          cands.select(col("query_id").cast("long"),
+              col("neighbor_id").cast("long"), col("cos_scaled").cast("long"))
+            .where(col("query_id") =!= col("neighbor_id")).distinct(), k)
+      case Some(cands) => rerank(
+        cands.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+          .where(col("query_id") =!= col("neighbor_id")).distinct(),
+        emb, emb, idCol, vecCol, k, broadcastQueries = false)
+    }
+    val nbrLabels0 = emb.select(col(idCol).as("neighbor_id"),
       col(labelCol).cast("long").as("__nl"))
-    val votes = topk.join(broadcast(nbrLabels), Seq("neighbor_id"))
+    // blocked mode = the corpus outgrew broadcasting; its label frame has too
+    val nbrLabels = if (blocking.isDefined) nbrLabels0 else broadcast(nbrLabels0)
+    val votes = topk.join(nbrLabels, Seq("neighbor_id"))
       .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
     val pred = votes.groupBy("query_id")
       .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
@@ -759,7 +938,14 @@ object Similarity {
     * candidate slice. Output: `anchor_id, label, pos_id, pos_cos,
     * neg_id, neg_cos` (cos in the 1e9-scaled key space). */
   def tripletMining(emb: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String): DataFrame = {
+                    labelCol: String,
+                    blocking: Option[DataFrame] = None): DataFrame = {
+    // `blocking`: optional candidate (query_id, neighbor_id) pairs
+    // ([[ivfCandidates]] self-probe) — conditional argmaxes then run over
+    // the candidate slice via shuffle equi-joins (nothing broadcasts).
+    // Anchors whose slice lacks a same- or different-label candidate DROP,
+    // same as the exact op's missing-leg rule; probe wide enough (nProbe)
+    // that the true positive leg is in the slice (recall spec).
     Search.requireIntegralId(emb, idCol, "tripletMining")
     Search.requireIntegralId(emb, labelCol, "tripletMining", role = "label")
     val a = emb.select(col(idCol).cast("long").as("anchor_id"),
@@ -768,10 +954,37 @@ object Similarity {
     val c = emb.select(col(idCol).cast("long").as("cand_id"),
       col(labelCol).cast("long").as("__cl"), Dedup.quantize(col(vecCol)).as("__qc"))
       .withColumn("__nc", qnorm(col("__qc")))
-    a.join(broadcast(c), col("anchor_id") =!= col("cand_id"))
-      .select(col("anchor_id"), col("label"), col("cand_id"),
-        (col("__cl") === col("label")).as("__same"),
-        cosScaledPre(col("__qa"), col("__qc"), col("__na"), col("__nc")).as("__cos"))
+    val scoredPairs = blocking match {
+      case None =>
+        a.join(broadcast(c), col("anchor_id") =!= col("cand_id"))
+          .select(col("anchor_id"), col("label"), col("cand_id"),
+            (col("__cl") === col("label")).as("__same"),
+            cosScaledPre(col("__qa"), col("__qc"), col("__na"), col("__nc")).as("__cos"))
+      case Some(cands) if cands.columns.contains("cos_scaled") =>
+        // pre-scored ([[ivfScoredPairs]] self-probe): only the 16-byte
+        // label frames join back, never the vectors
+        cands.select(col("query_id").cast("long").as("anchor_id"),
+            col("neighbor_id").cast("long").as("cand_id"),
+            col("cos_scaled").cast("long").as("__cos"))
+          .where(col("anchor_id") =!= col("cand_id"))
+          .distinct()
+          .join(emb.select(col(idCol).cast("long").as("anchor_id"),
+            col(labelCol).cast("long").as("label")), "anchor_id")
+          .join(emb.select(col(idCol).cast("long").as("cand_id"),
+            col(labelCol).cast("long").as("__cl")), "cand_id")
+          .select(col("anchor_id"), col("label"), col("cand_id"),
+            (col("__cl") === col("label")).as("__same"), col("__cos"))
+      case Some(cands) =>
+        cands.select(col("query_id").cast("long").as("anchor_id"),
+            col("neighbor_id").cast("long").as("cand_id"))
+          .where(col("anchor_id") =!= col("cand_id"))
+          .distinct()
+          .join(a, "anchor_id").join(c, "cand_id")
+          .select(col("anchor_id"), col("label"), col("cand_id"),
+            (col("__cl") === col("label")).as("__same"),
+            cosScaledPre(col("__qa"), col("__qc"), col("__na"), col("__nc")).as("__cos"))
+    }
+    scoredPairs
       // NULL cosines (NULL / dimension-mismatched vectors) must not reach
       // the argmax — the mutualNearest rule: a wrong-model-version join
       // yields FEWER triplets, never id-order noise dressed as labels

@@ -2258,6 +2258,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((0L, 11L)), s"got: $got")
   }
 
+  test("blocked embedding ops ≡ exact on clustered corpora (IVF candidates + exact rerank)") {
+    // 4 tight clusters (10 members each) at distinct angles in the (0,1)
+    // plane, per-id jitter in dim 2 — every vector's true neighbors are its
+    // own cluster, and each cluster has a UNIQUE nearest other cluster, so
+    // probing 2 of 4 lists covers every exact op's argmax domain. The
+    // planted-twin corpora a ≡ b make every (i, i) pair reciprocal.
+    val angles = Seq(0.0, 25.0, 80.0, 140.0).map(_ * math.Pi / 180)
+    def vec(i: Int): Array[Float] = {
+      val th = angles(i / 10)
+      Array(math.cos(th).toFloat, math.sin(th).toFloat, 0.001f * (i + 1),
+        0f, 0f, 0f, 0f, 0f)
+    }
+    val a = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val b = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+    // mutual pairs, corpus×corpus path
+    val exactMutual = Similarity.mutualNearest(a, b, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSet
+    val blockedMutual = Similarity.mutualNearestIvf(a, b, "vec_id", "embedding",
+        nLists = 4, nProbe = 2, sampleSize = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exactMutual.map(p => (p._1, p._2)) == (0 until 40).map(i => (i.toLong, i.toLong)).toSet,
+      s"planted twins not reciprocal: $exactMutual")
+    assert(blockedMutual == exactMutual,
+      s"blocked ≠ exact: only-blocked=${blockedMutual -- exactMutual} only-exact=${exactMutual -- blockedMutual}")
+
+    // self-corpus candidates shared by the three single-corpus ops — both
+    // blocking forms: SCORED at the list join (ivfScoredPairs, the scale
+    // path) and unscored pairs (vectors joined back per pair)
+    val labeled = (0 until 40).map(i => (i.toLong, vec(i), (i / 10).toLong))
+      .toDF("vec_id", "embedding", "label")
+    val candsScored = Similarity.ivfScoredPairs(labeled, labeled, "vec_id", "embedding",
+      nLists = 4, nProbe = 2, sampleSize = 100)
+    val candsUnscored = Similarity.ivfCandidates(labeled, labeled, "vec_id", "embedding",
+      nLists = 4, nProbe = 2, sampleSize = 100, broadcastQueries = false)
+
+    val exactKnn = Similarity.knnLabelAccuracy(labeled, "vec_id", "embedding", "label", k = 3)
+      .collect().map(_.toSeq).toSet
+    for ((cands, form) <- Seq(candsScored -> "scored", candsUnscored -> "unscored")) {
+      val blockedKnn = Similarity.knnLabelAccuracy(labeled, "vec_id", "embedding", "label", k = 3,
+        blocking = Some(cands)).collect().map(_.toSeq).toSet
+      assert(blockedKnn == exactKnn, s"knn blocked($form) ≠ exact")
+    }
+
+    val exactTrip = Similarity.tripletMining(labeled, "vec_id", "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    for ((cands, form) <- Seq(candsScored -> "scored", candsUnscored -> "unscored")) {
+      val blockedTrip = Similarity.tripletMining(labeled, "vec_id", "embedding", "label",
+        blocking = Some(cands)).collect().map(_.toSeq).toSet
+      assert(blockedTrip == exactTrip,
+        s"triplets blocked($form) ≠ exact: only-blocked=${blockedTrip -- exactTrip} only-exact=${exactTrip -- blockedTrip}")
+    }
+
+    val pos = (0 until 40).filter(_ % 10 < 9).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("q", "p")
+    val exactNeg = Similarity.hardNegatives(labeled, pos, "vec_id", "embedding", "q", "p", k = 2)
+      .collect().map(_.toSeq).toSet
+    for ((cands, form) <- Seq(candsScored -> "scored", candsUnscored -> "unscored")) {
+      val blockedNeg = Similarity.hardNegatives(labeled, pos, "vec_id", "embedding", "q", "p", k = 2,
+        blocking = Some(cands)).collect().map(_.toSeq).toSet
+      assert(blockedNeg == exactNeg, s"hardNegatives blocked($form) ≠ exact")
+    }
+  }
+
   test("groupAwareSplitBucket: a group's members share one fold; singletons fall back") {
     // docs 1,2,3 form one near-dup group (rep 1); docs 50, 51 are
     // singletons — 51 deliberately absent from the groups frame
