@@ -2626,9 +2626,10 @@ object SparkEntry {
     },
     "search_hybrid" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // phrase-boosted BM25: bag-of-words score + 1e6 ppm per exact
-      // "batch scan" adjacency — both components integer, composed score
-      // hash-gated end-to-end
+      // phrase-boosted BM25: bag-of-words score + 64e6 ppm per exact
+      // "batch scan" adjacency (64x the old bonus — the idf64 grade is
+      // 64x the bit grade, keeping the boost's relative weight) — both
+      // components integer, composed score hash-gated end-to-end
       pipeline.Search.bm25PhraseBoostTopK(s.table("documents"), "doc_id", "text",
         Seq("batch", "scan"), k = 15)
     },
@@ -5258,13 +5259,17 @@ object SparkEntry {
               p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
                     WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
               d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              i AS (SELECT term, (SELECT n FROM st) // df AS q FROM d),
+              idf AS (SELECT term, 64 * length(printf('%b', q))
+                        + (q * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', q)) - 1))
+                        - 64 AS idf64 FROM i),
               sc AS (SELECT p.doc_id,
-                       CAST(sum(length(printf('%b', (SELECT n FROM st) // d.df)) *
+                       CAST(sum(idf.idf64 *
                          ((p.tf * 2200000000000) //
                           (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
                             ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))) AS BIGINT)
                          AS score_ppm
-                     FROM p JOIN d USING (term) GROUP BY 1)
+                     FROM p JOIN idf USING (term) GROUP BY 1)
          SELECT CAST(rank AS INT) AS rank, doc_id, score_ppm FROM (
            SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank, doc_id, score_ppm
            FROM sc) t
@@ -5427,13 +5432,17 @@ object SparkEntry {
               p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
                     WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
               d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              i AS (SELECT term, (SELECT n FROM st) // df AS q FROM d),
+              idf AS (SELECT term, 64 * length(printf('%b', q))
+                        + (q * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', q)) - 1))
+                        - 64 AS idf64 FROM i),
               sc AS (SELECT p.doc_id,
-                       CAST(sum(length(printf('%b', (SELECT n FROM st) // d.df)) *
+                       CAST(sum(idf.idf64 *
                          ((p.tf * 2200000000000) //
                           (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
                             ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))) AS BIGINT)
                          AS score_ppm
-                     FROM p JOIN d USING (term) GROUP BY 1),
+                     FROM p JOIN idf USING (term) GROUP BY 1),
               bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank FROM sc),
               lpr AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM documents),
               u AS (SELECT doc_id, rank FROM bmr WHERE rank <= 100
@@ -5450,19 +5459,23 @@ object SparkEntry {
               p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
                     WHERE term IN ('batch', 'scan') GROUP BY 1, 2, 3),
               d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              i AS (SELECT term, (SELECT n FROM st) // df AS q FROM d),
+              idf AS (SELECT term, 64 * length(printf('%b', q))
+                        + (q * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', q)) - 1))
+                        - 64 AS idf64 FROM i),
               bm AS (SELECT p.doc_id,
-                       CAST(sum(length(printf('%b', (SELECT n FROM st) // d.df)) *
+                       CAST(sum(idf.idf64 *
                          ((p.tf * 2200000000000) //
                           (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
                             ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))) AS BIGINT)
                          AS bmv
-                     FROM p JOIN d USING (term) GROUP BY 1),
+                     FROM p JOIN idf USING (term) GROUP BY 1),
               pos AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term FROM w),
               ph AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS np
                      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
                      WHERE a.term = 'batch' AND b.term = 'scan' GROUP BY 1),
               sc AS (SELECT bm.doc_id,
-                       CAST(bm.bmv + 1000000 * coalesce(ph.np, 0) AS BIGINT) AS score_ppm
+                       CAST(bm.bmv + 64000000 * coalesce(ph.np, 0) AS BIGINT) AS score_ppm
                      FROM bm LEFT JOIN ph USING (doc_id))
          SELECT CAST(rank AS INT) AS rank, doc_id, score_ppm FROM (
            SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank, doc_id, score_ppm

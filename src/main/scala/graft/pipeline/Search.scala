@@ -57,33 +57,45 @@ object Search {
     *
     * Classic BM25 (k1 = 1.2, b = 0.75) needs `ln` for idf — transcendental,
     * so two engines' libm disagreement could flip a floor() and break a
-    * hash gate. This engine instead uses the BIT-LENGTH idf:
+    * hash gate. This engine instead uses a FIXED-POINT BASE-2 idf with a
+    * 6-bit mantissa (r8 — the bit-length grade plus the six bits after
+    * the leading 1, i.e. 1/64-of-a-doubling resolution):
     *
-    *   idf_bits(t) = bitlength(N DIV df(t))  (= floor(log2(N/df)) + 1 ≥ 1)
+    *   q        = N DIV df(t)                   (≥ 1)
+    *   bl       = bitlength(q)                  (= floor(log2 q) + 1)
+    *   idf64(t) = 64·bl + ((q·64) DIV 2^(bl−1)) − 64
     *
-    * — integer-exact in any engine (Spark `length(bin(x))`, DuckDB
-    * `length(printf('%b', x))`), monotone decreasing in df, and within a
-    * constant factor (log2 vs ln) of the classic idf. The tf saturation
-    * term is classic BM25 in ppm fixed point:
+    * — integer-exact in any engine (Spark `length(bin(x))` +
+    * `shiftleft`, DuckDB `length(printf('%b', x))` + `<<`), strictly
+    * monotone in q down to ~1.1% df ratios (where the pure bit-length
+    * grade tied everything inside one power of two), and an affine
+    * approximation of 64·(log2 q + 1) — so ranking agrees with ln-idf
+    * whenever q differs in its top 7 bits (parity spec in SearchSpec).
+    * The tf saturation term is classic BM25 in ppm fixed point:
     *
     *   B_ppm      = 250000 + (750000 · dl · 1000) DIV avgdl_milli
     *   denom_µ    = tf·1e6 + (12 · B_ppm) DIV 10          (k1 = 12/10)
     *   tfcomp_ppm = (tf · 2.2e12) DIV denom_µ             (k1+1 = 22/10)
-    *   score_ppm  = Σ_t idf_bits(t) · tfcomp_ppm(t, d)
+    *   score_ppm  = Σ_t idf64(t) · tfcomp_ppm(t, d)
     *
     * Every division is integer floor — both engines evaluate the SAME
     * integer expression, so equality is exact, not within-epsilon.
-    * Documented divergence from textbook BM25 (SURVEY §5): idf is graded
-    * in powers of two rather than nats — ranking-equivalent for terms
-    * whose df differ by ≥ 2×, coarser below that. */
+    * Residual divergence from textbook BM25 (SURVEY §5): idf is a
+    * 7-significant-bit log2 grade rather than nats — ties remain only
+    * below ~2^(1/64) ≈ 1.1% df ratios, and q = N DIV df floors before
+    * grading. */
   private def bm25ContribPpm(n: Long, avgdlMilli: Long): Column = {
     // one expression string: every division must be DIV (integer floor) —
     // the Column `/` operator is DOUBLE division and would break exactness
-    val idfBits = s"CAST(length(bin(${n}L DIV df)) AS BIGINT)"
+    val q = s"(${n}L DIV df)"
+    val bl = s"CAST(length(bin($q)) AS BIGINT)"
+    // ((q·64) DIV 2^(bl−1)) ∈ [64, 127]: the leading 1 plus the next six
+    // bits of q, right-padded — subtracting 64 leaves the 6-bit mantissa
+    val idf64 = s"(64L * $bl + ($q * 64L) DIV shiftleft(1L, CAST($bl AS INT) - 1) - 64L)"
     val bPpm = s"(250000L + (750000L * dl * 1000L) DIV ${avgdlMilli}L)"
     val denomMicro = s"(tf * 1000000L + (12L * $bPpm) DIV 10L)"
     val tfcompPpm = s"((tf * 2200000000000L) DIV $denomMicro)"
-    expr(s"$idfBits * $tfcompPpm").as("__contrib")
+    expr(s"$idf64 * $tfcompPpm").as("__contrib")
   }
 
   /** BM25 top-k: the `k` documents scoring highest for `queryTerms`
@@ -326,7 +338,10 @@ object Search {
     * pays). Output: `rank, doc_id, score_ppm`. */
   def bm25PhraseBoostTopK(df: DataFrame, idCol: String, textCol: String,
                           phrase: Seq[String], k: Int,
-                          phraseBonusPpm: Long = 1000000L): DataFrame = {
+                          phraseBonusPpm: Long = 64000000L): DataFrame = {
+    // default bonus is 64e6, not 1e6: the r8 idf64 grade is 64× the old
+    // bit-length grade, so this keeps the phrase boost's RELATIVE weight
+    // against the bag-of-words score unchanged
     require(phrase.length >= 2, s"a phrase needs >= 2 terms, got $phrase")
     requireIntegralId(df, idCol, "bm25PhraseBoostTopK")
     val (n, tot) = corpusStats(df, textCol)

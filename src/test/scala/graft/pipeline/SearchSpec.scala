@@ -31,11 +31,13 @@ class SearchSpec extends AnyFunSuite {
 
   test("bm25TopK matches the fixed-point formula computed by hand") {
     // N = 4 docs, tot = 4+5+2+4 = 15 tokens, avgdl_milli = 15000/4 = 3750
-    // query {spark, join}: df(spark)=2, df(join)=2 → idf_bits = bits(4/2) = 2
+    // query {spark, join}: df(spark)=2, df(join)=2 → q = 4/2 = 2 →
+    // idf64 = 64·bitlen(2) + (2·64 DIV 2) − 64 = 128 + 64 − 64 = 128
+    // (an exact power of two has mantissa 0: 64× the old bit grade)
     def contrib(tf: Long, dl: Long): Long = {
       val bPpm = 250000L + (750000L * dl * 1000L) / 3750L
       val denom = tf * 1000000L + (12L * bPpm) / 10L
-      2L * (tf * 2200000000000L / denom)
+      128L * (tf * 2200000000000L / denom)
     }
     val expected = Map(
       1L -> (contrib(1, 4) + contrib(2, 4)), // spark tf=1, join tf=2
@@ -96,6 +98,47 @@ class SearchSpec extends AnyFunSuite {
       assert(plan.contains("ObjectHashAggregate"),
         s"bounded two-phase aggregate expected:\n$plan")
     }
+  }
+
+  test("idf64 parity vs ln-idf on df ratios inside one power of two") {
+    // the r7 bit-length grade tied every q inside one doubling; the 6-bit
+    // mantissa must (a) strictly order qs whose top-7 bits differ, in the
+    // same order ln gives, and (b) surface through the PUBLIC ranking:
+    // a rarer term must outrank a commoner one at df ratio 5/4 < 2.
+    def idf64(q: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(q)
+      64L * bl + ((q * 64) >> (bl - 1)) - 64
+    }
+    val N = 1L << 20
+    val dfs = Seq(1000L, 950L, 900L, 850L, 800L, 750L, 700L, 650L, 600L, 550L)
+    val qs = dfs.map(N / _)
+    assert(qs.map(q => 64 - java.lang.Long.numberOfLeadingZeros(q)).distinct.size == 1,
+      "crafted dfs must share one bit-length (the regime the old grade tied)")
+    val grades = qs.map(idf64)
+    assert(grades == grades.sorted && grades.distinct.size == grades.size,
+      s"idf64 must strictly increase across these qs: ${qs.zip(grades)}")
+    // pairwise order agreement with ln(N/df)
+    for (Seq((d1, g1), (d2, g2)) <- dfs.zip(grades).combinations(2).map(_.toSeq)) {
+      val lnOrder = math.signum(math.log(N.toDouble / d1) - math.log(N.toDouble / d2))
+      assert(math.signum((g1 - g2).toDouble) == lnOrder, s"df $d1 vs $d2")
+    }
+    // public-API ranking: 12 docs; 'rare' in 4, 'common' in 5 → q = 3 vs 2,
+    // SAME bit-length 2, old grade tied them (doc-id decided); idf64 gives
+    // 160 vs 128 and the rare-only doc must win even with the LARGER id
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "rare pad" + i)) ++
+      (4 to 7).map(i => (i.toLong, "common pad" + i)) ++
+      Seq((8L, "filler a"), (9L, "filler b"), (10L, "common filler"),
+        (11L, "filler c"), (12L, "rare only"))
+    ).toDF("doc_id", "text")
+    // doc 12 (rare, tf 1, dl 2) vs doc 10 (common, tf 1, dl 2): identical
+    // tf component, higher idf64 → 12 first despite the larger id
+    val top = Search.bm25TopK(docs, "doc_id", "text", Seq("rare", "common"), 12)
+      .as[(Int, Long, Long)].collect()
+    val score12 = top.find(_._2 == 12L).get._3
+    val score10 = top.find(_._2 == 10L).get._3
+    assert(score12 > score10,
+      s"rare-term doc must outrank common-term doc at df ratio 5/4: $score12 vs $score10")
   }
 
   test("empty corpus and empty query are loud errors, not empty results") {
