@@ -331,12 +331,15 @@ object TimeSeries {
     * A floor recurrence is inherently SEQUENTIAL per key (no closed
     * form survives the per-step floor), so the series is packed per key
     * (one `collect_list` groupBy — per-key state is the whole spine)
-    * and the recurrence runs as a single `aggregate` lambda — a pure
-    * map, no driver loop, no window chain. The packing bounds: span is
-    * capped by `maxSpanDays` (default ~10 years ⇒ ≤ 3 700 longs/key and
-    * ~7M array-copy elements in the append loop — CALENDAR-bounded,
-    * unlike a doc-length-bounded lambda, so no heavy-tail straggler
-    * exists), and the guard fails LOUDLY on a corrupt timestamp.
+    * and the recurrence runs inside [[graft.functions.EwmaSeries]], a
+    * single O(n) pass per key — a pure map, no driver loop, no window
+    * chain. (r8: this replaced an `aggregate`+`array_append` lambda
+    * whose accumulator copied the whole array per step — O(n²) element
+    * copies, 23.6 s at the 10-year SCALE_PROBE worst case; value-
+    * identical since JVM Long division truncates toward zero exactly
+    * like `DIV`.) Span is capped by `maxSpanDays` (default ~10 years ⇒
+    * ≤ 3 700 longs/key — CALENDAR-bounded), and the guard fails LOUDLY
+    * on a corrupt timestamp.
     * Negative daily totals (refund/correction days) flow through:
     * Spark `DIV` and DuckDB `//` both TRUNCATE toward zero, so the
     * recurrence replays exactly on either sign (spec-pinned with a
@@ -357,13 +360,12 @@ object TimeSeries {
       .select(col(keyCol), struct(col("day"), col("value_cents")).as("__x"))
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(col("__x"))).as("__s"))
-    val keep = alphaDen - alphaNum
-    val ewmas = expr(
-      s"""aggregate(__s, CAST(array() AS ARRAY<BIGINT>),
-            (acc, x) -> CASE WHEN size(acc) = 0 THEN array(x.value_cents)
-              ELSE array_append(acc,
-                ($alphaNum * x.value_cents + $keep * element_at(acc, -1)) DIV $alphaDen)
-            END)""")
+    val ewmas = {
+      import org.apache.spark.sql.graftshim.{GraftShim => E}
+      E.column(graft.functions.EwmaSeries(
+        E.expression(expr("transform(__s, x -> x.value_cents)")),
+        alphaNum, alphaDen))
+    }
     packed
       .withColumn("__e", ewmas)
       .select(col(keyCol),
