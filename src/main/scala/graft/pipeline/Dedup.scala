@@ -775,6 +775,118 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
+  /** INCREMENTAL near-dup group maintenance: fold an appended batch's
+    * verified pairs into a stored `(id, group_id)` table WITHOUT re-running
+    * [[connectedComponents]] over the history.
+    *
+    * The stored table already encodes the old corpus's connectivity as
+    * stars (every member points at its component's min id), so the new
+    * connectivity is CC over { stars ∪ newPairs } — but only components an
+    * incoming pair TOUCHES can change. Each touched component is
+    * CONTRACTED to its representative (sound because group_id IS the
+    * component's min member: the contracted minimum equals the true
+    * minimum over all members), the batch's pairs are rewritten onto
+    * representatives, and the CC fixpoint runs on that contracted graph
+    * alone — batch-plus-touched-components sized, NOT history-sized.
+    * Untouched rows pass through byte-identical.
+    *
+    * Cost: ONE column-pruned pass over the stored table (routing touched
+    * vs untouched and emitting the new snapshot — any implementation must
+    * write the union) and zero iterative passes over it; the path-doubling
+    * rounds see only the contracted graph. This is the [[Maintenance]]
+    * `rollupState` discipline applied to graph state.
+    *
+    * Contracts, all loud: batch ids must be disjoint from stored ids (a
+    * re-crawled id is an upsert, not an append — resolve upstream);
+    * every pair endpoint must be a stored id or a batch id (an unknown id
+    * means the caller verified pairs against a different corpus version).
+    * `newPairs` are the batch's VERIFIED pairs — batch×batch and
+    * batch×stored (e.g. [[queryNearDupGate]] candidates → [[verifyJaccard]]).
+    * Output: the new `(id, group_id)` table over stored ∪ batch.
+    *
+    * Spec: append(batch) ≡ full recompute over a∪b on chains that thread
+    * batches together, including merges of two previously-separate stored
+    * components through a batch doc. */
+  def appendGroups(storedGroups: DataFrame, newIds: DataFrame,
+                   newPairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    val a = storedGroups.select(col("id").cast("long").as("id"),
+      col("group_id").cast("long").as("group_id"))
+    val b = newIds.select(col("id").cast("long").as("id")).distinct()
+    val p = newPairs.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    // loud overlap check: batch ids must be new (one semi join, batch-sized)
+    val nOverlap = a.join(b, Seq("id"), "left_semi").count()
+    require(nOverlap == 0,
+      s"appendGroups: $nOverlap batch id(s) already exist in the stored table — " +
+        "an append must carry new ids only (re-crawls are upserts, resolve upstream)")
+    // resolve each pair endpoint to its contracted node: stored id → its
+    // group rep, batch id → itself, unknown → loud per-row error
+    val bFlag = b.withColumn("__inb", lit(true))
+    def side(c: String): DataFrame => DataFrame = df => df
+      .join(a.select(col("id").as(c), col("group_id").as(s"__r$c")), Seq(c), "left")
+      .join(bFlag.select(col("id").as(c), col("__inb").as(s"__b$c")), Seq(c), "left")
+    val resolved = side("b")(side("a")(p))
+      .select(
+        coalesce(col("__ra"), when(col("__ba"), col("a")),
+          expr("raise_error(concat('appendGroups: pair endpoint ', " +
+            "CAST(a AS STRING), ' is neither a stored nor a batch id'))")
+            .cast("long")).as("ca"),
+        coalesce(col("__rb"), when(col("__bb"), col("b")),
+          expr("raise_error(concat('appendGroups: pair endpoint ', " +
+            "CAST(b AS STRING), ' is neither a stored nor a batch id'))")
+            .cast("long")).as("cb"))
+    val cEdges = Materialize(resolved
+      .select(col("ca").as("a"), col("cb").as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val nodes = b.select(col("id"))
+      .union(cEdges.select(col("a").as("id")))
+      .union(cEdges.select(col("b").as("id")))
+      .distinct()
+    // the contracted fixpoint: batch + touched-representative sized
+    val comp = connectedComponents(nodes, cEdges.select("a", "b"), maxIters)
+    Materialize.release(cEdges)
+    val remap = comp.select(col("id").as("__rep"), col("group_id").as("__newgid"))
+    // batch rows: every batch id is a contracted node (reps are stored ids,
+    // disjoint from the batch by the check above)
+    val bRows = remap.join(b, remap("__rep") === b("id"), "left_semi")
+      .select(col("__rep").as("id"), col("__newgid").as("group_id"))
+    // stored rows: touched components remap through their rep; untouched
+    // pass through unchanged — the one history pass, no iteration
+    val touchedA = a.join(remap.where(col("__rep") =!= col("__newgid")),
+        a("group_id") === col("__rep"))
+      .select(a("id"), col("__newgid").as("group_id"))
+    val untouchedA = a.join(
+        remap.where(col("__rep") =!= col("__newgid"))
+          .select(col("__rep").as("group_id")),
+        Seq("group_id"), "left_anti")
+      .select(col("id"), col("group_id"))
+    untouchedA.unionByName(touchedA).unionByName(bRows)
+  }
+
+  /** The persisted lifecycle of [[appendGroups]] — the [[buildNearDupGate]]
+    * pattern applied to group state: `writeGroupTable` seeds `dir` with a
+    * full [[connectedComponents]] run; `appendGroupTable` folds a batch in
+    * and writes the next snapshot under a caller-named version subdir
+    * (write-audit-publish style: never in place, the old snapshot stays
+    * readable until the caller flips its pointer). Returns the new
+    * snapshot path. */
+  def writeGroupTable(ids: DataFrame, pairs: DataFrame, dir: String,
+                      version: String = "v0"): String = {
+    val path = s"$dir/$version"
+    connectedComponents(ids, pairs).write.mode("errorifexists").parquet(path)
+    path
+  }
+
+  def appendGroupTable(spark: org.apache.spark.sql.SparkSession,
+                       currentPath: String, newIds: DataFrame,
+                       newPairs: DataFrame, dir: String,
+                       version: String): String = {
+    val path = s"$dir/$version"
+    appendGroups(spark.read.parquet(currentPath), newIds, newPairs)
+      .write.mode("errorifexists").parquet(path)
+    path
+  }
+
   /** Typo-tolerant fuzzy matching: every id pair whose strings are within
     * Levenshtein distance 1, WITHOUT the quadratic all-pairs comparison.
     * Blocking is the deletion neighborhood (the SymSpell scheme): each

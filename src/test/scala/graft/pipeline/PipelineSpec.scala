@@ -623,6 +623,67 @@ class PipelineSpec extends AnyFunSuite {
     Seq(5L, 9L, 19L).foreach(i => assert(groups(i) == i, s"singleton $i"))
   }
 
+  test("appendGroups: fold a batch into stored groups ≡ full recompute, incl. merges") {
+    // stored corpus: ids 0..19; components {0,1,2}, {5,6}, rest singletons
+    val aIds = spark.range(0, 20).toDF("id")
+    val aPairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val stored = Dedup.connectedComponents(aIds, aPairs)
+    // batch: 100..105. 100-101 a B×B pair; 102 joins stored group 0;
+    // 104 BRIDGES stored groups 0 and 5 (the two-components merge case);
+    // 103 joins group 5; 105 a singleton
+    val bIds = Seq(100L, 101L, 102L, 103L, 104L, 105L).toDF("id")
+    val bPairs = Seq((100L, 101L), (102L, 2L), (103L, 5L),
+      (104L, 1L), (104L, 6L)).toDF("a", "b")
+    val got = Dedup.appendGroups(stored, bIds, bPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        aIds.union(bIds), aPairs.union(bPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"append ≠ recompute:\n  append=$got\n  full=$full")
+    // the merge actually happened: 0,1,2,5,6,102,103,104 all in group 0
+    Seq(0L, 1L, 2L, 5L, 6L, 102L, 103L, 104L).foreach(i =>
+      assert(got(i) == 0L, s"member $i of the merged component"))
+    assert(got(105L) == 105L && got(100L) == 100L && got(101L) == 100L)
+    // untouched singletons pass through unchanged
+    Seq(3L, 10L, 19L).foreach(i => assert(got(i) == i))
+  }
+
+  test("appendGroups: overlapping batch ids and unknown pair endpoints are loud") {
+    val stored = Seq((1L, 1L), (2L, 1L)).toDF("id", "group_id")
+    intercept[IllegalArgumentException] {
+      Dedup.appendGroups(stored, Seq(2L, 50L).toDF("id"),
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+    }
+    val e = intercept[Exception] {
+      Dedup.appendGroups(stored, Seq(50L).toDF("id"),
+        Seq((50L, 999L)).toDF("a", "b")).collect()
+    }
+    assert(e.getMessage.contains("999") ||
+      Option(e.getCause).exists(_.getMessage.contains("999")), s"$e")
+  }
+
+  test("group table lifecycle: seed + two appends ≡ full recompute (snapshots versioned)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_groups").toString
+    val ids0 = spark.range(0, 10).toDF("id")
+    val pairs0 = Seq((0L, 1L), (4L, 5L)).toDF("a", "b")
+    val p0 = Dedup.writeGroupTable(ids0, pairs0, dir)
+    val ids1 = Seq(20L, 21L).toDF("id")
+    val pairs1 = Seq((20L, 1L)).toDF("a", "b")
+    val p1 = Dedup.appendGroupTable(spark, p0, ids1, pairs1, dir, "v1")
+    val ids2 = Seq(30L).toDF("id")
+    val pairs2 = Seq((30L, 21L), (30L, 4L)).toDF("a", "b")
+    val p2 = Dedup.appendGroupTable(spark, p1, ids2, pairs2, dir, "v2")
+    val got = spark.read.parquet(p2).as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        ids0.union(ids1).union(ids2),
+        pairs0.union(pairs1).union(pairs2))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"lifecycle ≠ recompute:\n  got=$got\n  full=$full")
+    // write-audit-publish: every snapshot still readable
+    assert(spark.read.parquet(p0).count() == 10)
+    assert(spark.read.parquet(p1).count() == 12)
+  }
+
   test("connected components converges on a planted chain of diameter 120") {
     // the at-scale hazard VERDICT r2 flagged: a duplicate *chain* far longer
     // than any fixed round count covers. Path doubling needs ~log2(120)+1
