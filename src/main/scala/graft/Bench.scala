@@ -63,6 +63,10 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
+      // bench runs under the cartesian guardrail too (r8) — same standing
+      // plan regression net as the Verify gate session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.failOnCartesian", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,6 +18,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the gate runs with the engine's own cartesian guardrail ON (r8):
+      // every registry query must plan without an unconditioned,
+      // unhinted product — a standing plan regression net, not just a
+      // user-facing opt-in
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.failOnCartesian", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

