@@ -1596,6 +1596,36 @@ object SparkEntry {
       pipeline.Multimodal.pcmStats(s, media)
         .orderBy("doc_id", "channel")
     },
+    "multimodal_pcm_silence" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL silence analysis (trim points + longest dead-air run) over
+      // planted leading/trailing/mid silence — the quiet mid-run is
+      // small-but-NONZERO so the |s| < threshold semantics are exercised,
+      // not just zero detection
+      val media = pipeline.Multimodal.synthesizeWavSilencePayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.pcmSilence(s, media, threshold = 256)
+        .orderBy("doc_id", "channel")
+    },
+    "multimodal_image_stats" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL pixel statistics (min/max/mean luma — the near-black /
+      // flat-image curation filters) off the fully decoded raster; on the
+      // replicated-grid PNGs the stats equal the planted grid's, so the
+      // oracle replays the builder arithmetic
+      val media = pipeline.Multimodal.synthesizeGridPayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.imageStats(s, media)
+        .orderBy("doc_id")
+    },
+    "multimodal_frame_phash" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // video-style frame near-dup: REAL per-frame decode of animated
+      // GIFs (indexed gray palette = lossless) → dHash per frame; the
+      // planted grids advance one perturbed cell per frame, so
+      // consecutive frames sit within 4 bits
+      val media = pipeline.Multimodal.synthesizeGridGifPayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.frameDHash(s, media)
+        .orderBy("doc_id", "frame")
+    },
     "events_funnel" -> { (s, dir) =>
       prep(s, dir, "events")
       // classic funnel: users who signed up, then viewed AFTER signup, then
@@ -4607,6 +4637,58 @@ object SparkEntry {
                           WHEN 40 * h0 <= 32 * w0 THEN greatest(1, (h0 * 40) // w0)
                           ELSE 32 END AS INT) AS height
          FROM d ORDER BY doc_id""",
+    "multimodal_pcm_silence" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS c,
+                           CAST(80 + doc_id % 100 AS BIGINT) AS n FROM documents),
+              ex AS (SELECT doc_id, c, n, unnest(range(0, c)) AS ch FROM d),
+              sm AS (SELECT e.doc_id, e.ch, e.n, t.i,
+                       CASE WHEN t.i < e.doc_id % 7 OR t.i >= e.n - e.doc_id % 5 THEN 0
+                            WHEN t.i >= 40 AND t.i < 40 + e.doc_id % 9 THEN (e.doc_id + e.ch) % 200 - 100
+                            ELSE ((e.doc_id * 2663 + e.ch * 7919 + t.i * 104729) % 65536) - 32768 END AS s
+                     FROM ex e CROSS JOIN range(0, 180) t(i) WHERE t.i < e.n),
+              fl AS (SELECT doc_id, ch, n, i, (abs(s) < 256) AS silent FROM sm),
+              runs AS (SELECT doc_id, ch, silent, i,
+                         i - row_number() OVER (PARTITION BY doc_id, ch, silent ORDER BY i) AS grp
+                       FROM fl),
+              mx AS (SELECT doc_id, ch, max(cnt) AS max_run FROM (
+                       SELECT doc_id, ch, grp, count(*) AS cnt
+                       FROM runs WHERE silent GROUP BY doc_id, ch, grp)
+                     GROUP BY doc_id, ch),
+              agg AS (SELECT doc_id, ch, n,
+                        sum(CASE WHEN silent THEN 1 ELSE 0 END) AS n_silent,
+                        min(CASE WHEN NOT silent THEN i END) AS first_loud,
+                        max(CASE WHEN NOT silent THEN i END) AS last_loud
+                      FROM fl GROUP BY doc_id, ch, n)
+         SELECT a.doc_id, CAST(a.ch AS INT) AS channel, a.n AS n_samples,
+                CAST(a.n_silent AS BIGINT) AS n_silent,
+                CAST(coalesce(a.first_loud, a.n) AS BIGINT) AS lead_silent,
+                CAST(CASE WHEN a.last_loud IS NULL THEN a.n
+                          ELSE a.n - 1 - a.last_loud END AS BIGINT) AS tail_silent,
+                CAST(coalesce(m.max_run, 0) AS BIGINT) AS max_run
+         FROM agg a LEFT JOIN mx m ON m.doc_id = a.doc_id AND m.ch = a.ch
+         ORDER BY a.doc_id, channel""",
+    "multimodal_image_stats" ->
+      """WITH g AS (SELECT doc_id, k,
+                      ((doc_id // 8) * 31 + k * 131) % 248
+                      + CASE WHEN k = doc_id % 72 THEN doc_id % 8 ELSE 0 END AS v
+                    FROM documents, generate_series(0, 71) t(k))
+         SELECT doc_id, CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+                CAST(min(v) AS INT) AS luma_min, CAST(max(v) AS INT) AS luma_max,
+                CAST(sum(v) // 72 AS BIGINT) AS luma_mean
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_frame_phash" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS frame FROM documents),
+              h AS (SELECT doc_id, frame,
+                      CAST(coalesce(sum(CASE WHEN
+                          (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8) + 1) * 131) % 248
+                           + CASE WHEN (b // 8) * 9 + (b % 8) + 1 = (doc_id + frame) % 72 THEN doc_id % 8 ELSE 0 END)
+                        > (((doc_id // 8) * 31 + ((b // 8) * 9 + (b % 8)) * 131) % 248
+                           + CASE WHEN (b // 8) * 9 + (b % 8) = (doc_id + frame) % 72 THEN doc_id % 8 ELSE 0 END)
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS BIGINT) AS dhash
+                    FROM f, generate_series(0, 62) t(b)
+                    GROUP BY doc_id, frame)
+         SELECT doc_id, CAST(frame AS INT) AS frame, dhash
+         FROM h ORDER BY doc_id, frame""",
     "multimodal_pcm_stats" ->
       """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS c,
                            CAST(64 + doc_id % 129 AS BIGINT) AS n FROM documents),

@@ -83,9 +83,49 @@ object Multimodal {
   /** The planted 9×8 grid value at cell k (row-major over 72 cells):
     * base mod 248 keeps `base + perturbation ≤ 254`, inside 8-bit gray.
     * Mirrored verbatim by the `multimodal_phash_pairs` oracle. */
-  private[pipeline] def gridCell(docId: Long, k: Int): Int = {
+  private[pipeline] def gridCell(docId: Long, k: Int): Int = gridCellAt(docId, 0, k)
+
+  /** Frame-f variant: the perturbed cell ADVANCES with the frame index —
+    * consecutive frames of one doc are near-identical (≤ 4 dHash bits),
+    * the video re-encode shape. Frame 0 ≡ [[gridCell]]. Mirrored by the
+    * `multimodal_frame_phash` oracle. */
+  private[pipeline] def gridCellAt(docId: Long, f: Int, k: Int): Int = {
     val base = (((docId / 8) * 31 + k * 131) % 248).toInt
-    if (k == (docId % 72).toInt) base + (docId % 8).toInt else base
+    if (k == ((docId + f) % 72).toInt) base + (docId % 8).toInt else base
+  }
+
+  /** Animated-GIF twin of [[synthesizeGridPayloads]]: `1 + id % 3` frames,
+    * frame f carrying `gridCellAt(id, f, ·)` ×4-replicated. Frames use an
+    * EXPLICIT 256-gray indexed palette — a GIF stores palette indices
+    * verbatim (lossless for indexed images), and the JDK writer preserves
+    * a pre-indexed image's palette, so per-frame decode recovers each
+    * grid exactly (spec-pinned); letting the writer quantize a
+    * ComponentColorModel gray image instead would put palette choice —
+    * and thus bit-exactness — outside the builder's control. */
+  def synthesizeGridGifPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val grays = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      ids.map { id =>
+        val frames = (0 until (1 + id % 3).toInt).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            36, 32, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 36) {
+              raster.setSample(x, y, 0, gridCellAt(id, f, (y / 4) * 9 + (x / 4)))
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        (id, encodeGif(frames))
+      }
+    }.toDF("doc_id", "payload")
   }
 
   private def grayImage(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
@@ -191,6 +231,10 @@ object Multimodal {
   private[pipeline] def decodeLuma(payload: Array[Byte]): Array[Array[Int]] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
+    lumaOf(img)
+  }
+
+  private def lumaOf(img: java.awt.image.BufferedImage): Array[Array[Int]] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val out = Array.ofDim[Int](h, w)
     if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
@@ -257,17 +301,78 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
       rows.map { r =>
-        val g = boxGrid(decodeLuma(r.payload), gw = 9, gh = 8)
-        var dh = 0L
-        var b = 0
-        while (b < 63) {
-          val (row, c) = (b / 8, b % 8)
-          if (g(row * 9 + c + 1) > g(row * 9 + c)) dh |= (1L << b)
-          b += 1
-        }
-        (r.doc_id, dh)
+        (r.doc_id, dhashOf(boxGrid(decodeLuma(r.payload), gw = 9, gh = 8)))
       }
     }.toDF("doc_id", "dhash")
+  }
+
+  /** REAL per-image luma statistics off the full decoded pixel raster —
+    * the classic pre-training image-curation filter pass ("drop
+    * near-black frames", "drop flat/solid images", "drop blown-out
+    * scans") computed from actual pixels in pure integer arithmetic:
+    * `luma_min/max` (range 0 = solid color), `luma_mean` (floor of the
+    * pixel sum over w·h). Output: `doc_id, width, height, luma_min,
+    * luma_max, luma_mean`. On the ×4-replicated grid payloads the stats
+    * equal the planted grid's (uniform blocks), so the oracle replays
+    * the builder arithmetic while the query decodes real pixels. */
+  def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        val luma = decodeLuma(r.payload)
+        val h = luma.length
+        val w = luma(0).length
+        var mn = 255; var mx = 0; var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = luma(y)(x)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, w, h, mn, mx, sum / (w.toLong * h))
+      }
+    }.toDF("doc_id", "width", "height", "luma_min", "luma_max", "luma_mean")
+  }
+
+  /** REAL per-frame dHash over animated containers — the video-style
+    * frame-level near-dup pass: every image descriptor decodes through
+    * the same luma → 9×8 box grid → dHash chain as [[grayDHash]], one
+    * row per frame, ready for [[Dedup.hamming64Pairs]] over
+    * `(doc_id·1000 + frame)` keys or cross-video frame matching.
+    * Output: `doc_id, frame, dhash`. */
+  def frameDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val reader = openReader(r.payload)
+        require(reader != null, s"doc ${r.doc_id}: no installed ImageIO reader claims payload")
+        try {
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            val luma = lumaOf(img)
+            (r.doc_id, f, dhashOf(boxGrid(luma, gw = 9, gh = 8)))
+          }
+        } finally reader.dispose()
+      }
+    }.toDF("doc_id", "frame", "dhash")
+  }
+
+  private def dhashOf(g: Array[Int]): Long = {
+    var dh = 0L
+    var b = 0
+    while (b < 63) {
+      val (row, c) = (b / 8, b % 8)
+      if (g(row * 9 + c + 1) > g(row * 9 + c)) dh |= (1L << b)
+      b += 1
+    }
+    dh
   }
 
   /** REAL bounded-box resize: decode → nearest-neighbor downscale to fit
@@ -357,6 +462,53 @@ object Multimodal {
     if (i % 37 == 0) 32767
     else (((id * 2663 + ch * 7919L + i * 104729L) % 65536) - 32768).toInt
 
+  /** WAV builder with PLANTED silence structure: `id%7` leading zero
+    * frames, `id%5` trailing zeros, and a mid-stream quiet run of
+    * `id%9` frames at offset 40 whose samples are small-but-NONZERO
+    * (`(id+ch)%200 − 100`, inside any sane threshold) — so
+    * [[pcmSilence]]'s threshold semantics, not just zero-detection, are
+    * exercised; everything else is the loud [[pcmSilenceSample]]
+    * formula. Pure id arithmetic, replayed by the oracle. */
+  def synthesizeWavSilencePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val channels = (1 + id % 2).toInt
+        val nFrames = (80 + id % 100).toInt
+        val dataBytes = nFrames * channels * 2
+        val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataBytes)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1.toShort)
+        bb.putShort(channels.toShort)
+        bb.putInt(16000)
+        bb.putInt(16000 * channels * 2)
+        bb.putShort((channels * 2).toShort)
+        bb.putShort(16.toShort)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(dataBytes)
+        var i = 0
+        while (i < nFrames) {
+          var ch = 0
+          while (ch < channels) {
+            bb.putShort(pcmSilenceSample(id, ch, i, nFrames).toShort)
+            ch += 1
+          }
+          i += 1
+        }
+        (id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Planted-silence sample — mirrored verbatim by the
+    * `multimodal_pcm_silence` oracle. */
+  private[pipeline] def pcmSilenceSample(id: Long, ch: Int, i: Int, n: Int): Int =
+    if (i < id % 7 || i >= n - id % 5) 0
+    else if (i >= 40 && i < 40 + id % 9) ((id + ch) % 200 - 100).toInt
+    else (((id * 2663 + ch * 7919L + i * 104729L) % 65536) - 32768).toInt
+
   /** REAL per-channel PCM statistics off the WAV data chunk — the
     * pre-transcode audio filter pass (silence, clipping, hot masters)
     * that needs NO codec, just the container walk [[graft.functions.MediaProbe]]
@@ -367,54 +519,106 @@ object Multimodal {
     * integer. 16-bit PCM only (the overwhelming interchange format);
     * anything else fails loudly. Output: `doc_id, channel, n_samples,
     * peak_abs, sum_sq, clip_ppm`. */
+  /** Real RIFF chunk walk shared by the PCM passes: fmt → geometry,
+    * data → sample window; 16-bit PCM only (loud otherwise); extra
+    * chunks and odd-length padding handled per the RIFF spec. */
+  private case class WavPcm(channels: Int, dataOff: Int, nFrames: Int)
+  private def walkWav(docId: Long, b: Array[Byte]): WavPcm = {
+    require(b.length >= 44 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $docId: not a RIFF/WAVE payload")
+    var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    var off = 12
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val len = le32(off + 4)
+      if (cid == "fmt ") {
+        channels = le16(off + 10)
+        bits = le16(off + 22)
+      } else if (cid == "data") {
+        dataOff = off + 8
+        dataLen = math.min(len, b.length - dataOff)
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(channels > 0 && dataOff >= 0, s"doc $docId: missing fmt/data chunk")
+    require(bits == 16, s"doc $docId: only 16-bit PCM supported, got $bits")
+    WavPcm(channels, dataOff, dataLen / (channels * 2))
+  }
+
+  private def sampleAt(b: Array[Byte], w: WavPcm, frame: Int, ch: Int): Int = {
+    val p = w.dataOff + (frame * w.channels + ch) * 2
+    (((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)).toShort).toInt
+  }
+
   def pcmStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
       rows.flatMap { r =>
-        val b = r.payload
-        require(b.length >= 44 &&
-          new String(b, 0, 4, "US-ASCII") == "RIFF" &&
-          new String(b, 8, 4, "US-ASCII") == "WAVE",
-          s"doc ${r.doc_id}: not a RIFF/WAVE payload")
-        // real chunk walk: fmt → geometry, data → samples
-        var channels = 0; var bits = 0
-        var dataOff = -1; var dataLen = 0
-        var off = 12
-        def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-        def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
-        while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
-          val cid = new String(b, off, 4, "US-ASCII")
-          val len = le32(off + 4)
-          if (cid == "fmt ") {
-            channels = le16(off + 10)
-            bits = le16(off + 22)
-          } else if (cid == "data") {
-            dataOff = off + 8
-            dataLen = math.min(len, b.length - dataOff)
-          }
-          off += 8 + len + (len & 1)
-        }
-        require(channels > 0 && dataOff >= 0,
-          s"doc ${r.doc_id}: missing fmt/data chunk")
-        require(bits == 16, s"doc ${r.doc_id}: only 16-bit PCM supported, got $bits")
-        val nFrames = dataLen / (channels * 2)
-        (0 until channels).map { ch =>
+        val w = walkWav(r.doc_id, r.payload)
+        (0 until w.channels).map { ch =>
           var i = 0
           var peak = 0L; var sumSq = 0L; var nClip = 0L
-          while (i < nFrames) {
-            val p = dataOff + (i * channels + ch) * 2
-            val s = (((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)).toShort).toInt
+          while (i < w.nFrames) {
+            val s = sampleAt(r.payload, w, i, ch)
             val a = math.abs(s.toLong)
             if (a > peak) peak = a
             sumSq += s.toLong * s
             if (s == 32767 || s == -32768) nClip += 1
             i += 1
           }
-          (r.doc_id, ch, nFrames.toLong, peak, sumSq,
-            if (nFrames == 0) 0L else nClip * 1000000L / nFrames)
+          (r.doc_id, ch, w.nFrames.toLong, peak, sumSq,
+            if (w.nFrames == 0) 0L else nClip * 1000000L / w.nFrames)
         }
       }
     }.toDF("doc_id", "channel", "n_samples", "peak_abs", "sum_sq", "clip_ppm")
+  }
+
+  /** REAL per-channel silence analysis — the trim/VAD-prep pass a speech
+    * corpus runs before any transcoder: a frame is silent when
+    * `|s| < threshold`; per channel the pass reports total silent frames,
+    * the LEADING and TRAILING silent runs (the trim points), and the
+    * longest interior run (a dead-air splice detector). One linear scan
+    * over the data chunk, integer arithmetic only. Output: `doc_id,
+    * channel, n_samples, n_silent, lead_silent, tail_silent, max_run`. */
+  def pcmSilence(spark: SparkSession, media: DataFrame,
+                 threshold: Int = 256): DataFrame = {
+    require(threshold >= 1 && threshold <= 32768,
+      s"threshold must be in [1, 32768], got $threshold")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val w = walkWav(r.doc_id, r.payload)
+        (0 until w.channels).map { ch =>
+          var i = 0
+          var nSilent = 0L; var run = 0L; var maxRun = 0L
+          var lead = -1L; var lastLoud = -1L
+          while (i < w.nFrames) {
+            val silent = math.abs(sampleAt(r.payload, w, i, ch)) < threshold
+            if (silent) {
+              nSilent += 1
+              run += 1
+              if (run > maxRun) maxRun = run
+            } else {
+              run = 0
+              if (lead < 0) lead = i.toLong
+              lastLoud = i.toLong
+            }
+            i += 1
+          }
+          val n = w.nFrames.toLong
+          (r.doc_id, ch, n, nSilent,
+            if (lead < 0) n else lead,
+            if (lastLoud < 0) n else n - 1 - lastLoud,
+            maxRun)
+        }
+      }
+    }.toDF("doc_id", "channel", "n_samples", "n_silent",
+      "lead_silent", "tail_silent", "max_run")
   }
 
   // ======= REAL container probing (header-only; no pixel decode) ========

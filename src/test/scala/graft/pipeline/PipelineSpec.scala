@@ -595,6 +595,76 @@ class PipelineSpec extends AnyFunSuite {
       (1, 3L, 5L, 50L, 0L)), got.toSeq.toString)
   }
 
+  test("frameDHash: indexed-palette GIF frames decode losslessly; per-frame grids recovered") {
+    // doc 14 → 1 + 14%3 = 3 frames; each frame's dHash must equal the
+    // Scala replay of gridCellAt — proving the GIF round-trip is exact
+    // through palette, LZW, and the per-frame reader
+    val media = Multimodal.synthesizeGridGifPayloads(Seq(14L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.frameDHash(spark, media).orderBy("frame")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(0, 1, 2), s"$got")
+    val expect = (0 until 3).map { f =>
+      (0 until 63).foldLeft(0L) { (acc, b) =>
+        val k = (b / 8) * 9 + (b % 8)
+        if (Multimodal.gridCellAt(14L, f, k + 1) > Multimodal.gridCellAt(14L, f, k))
+          acc | (1L << b) else acc
+      }
+    }
+    assert(got.map(_._3) == expect, s"got ${got.map(_._3)}, expected $expect")
+    // consecutive frames: one advanced perturbed cell → within 4 bits
+    got.map(_._3).sliding(2).foreach { case Seq(x, y) =>
+      assert(java.lang.Long.bitCount(x ^ y) <= 4)
+    }
+  }
+
+  test("imageStats: min/max/mean luma off real decoded pixels, hand-computed") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Seq(10, 200, 30, 40, 50, 60, 70, 255)
+    for ((v, idx) <- vals.zipWithIndex)
+      img.getRaster.setSample(idx % 4, idx / 4, 0, v)
+    val media = Seq((3L, Multimodal.encodePng(img))).toDF("doc_id", "payload")
+    val r = Multimodal.imageStats(spark, media).collect()(0)
+    assert((r.getInt(1), r.getInt(2)) == (4, 2))
+    assert((r.getInt(3), r.getInt(4)) == (10, 255))
+    assert(r.getLong(5) == vals.map(_.toLong).sum / 8, s"${r.getLong(5)}")
+  }
+
+  test("pcmSilence: planted lead/mid/tail runs + the all-silent channel edge") {
+    // builder-parser agreement on planted structure: id 13 → lead 6,
+    // tail 3, quiet mid run of 4 nonzero-but-small samples
+    val media = Multimodal.synthesizeWavSilencePayloads(Seq(13L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.pcmSilence(spark, media, threshold = 256)
+      .orderBy("channel").collect()
+    val n = 80 + 13 % 100
+    got.foreach { r =>
+      val ch = r.getInt(1)
+      val samples = (0 until n).map(i => Multimodal.pcmSilenceSample(13L, ch, i, n))
+      val silent = samples.map(s => math.abs(s) < 256)
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == silent.count(identity), s"n_silent ch $ch")
+      assert(r.getLong(4) == silent.indexOf(false), s"lead ch $ch")
+      assert(r.getLong(5) == silent.reverse.indexOf(false), s"tail ch $ch")
+      val maxRun = silent.foldLeft((0, 0)) { case ((best, cur), s) =>
+        if (s) (math.max(best, cur + 1), cur + 1) else (best, 0)
+      }._1
+      assert(r.getLong(6) == maxRun, s"max_run ch $ch")
+      assert(r.getLong(4) >= 6 && r.getLong(6) >= 6, "planted lead present")
+    }
+    // all-silent payload: 4 zero frames, mono → lead = tail = max_run = n
+    val bb = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 8)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(8)
+    val quiet = Seq((9L, bb.array())).toDF("doc_id", "payload")
+    val q = Multimodal.pcmSilence(spark, quiet).collect()(0)
+    assert((q.getLong(2), q.getLong(3), q.getLong(4), q.getLong(5), q.getLong(6))
+      == (4L, 4L, 4L, 4L, 4L), s"$q")
+  }
+
   test("pcmStats: builder-parser agreement with the planted sample arithmetic") {
     val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
     val got = Multimodal.pcmStats(spark, media).orderBy("doc_id", "channel").collect()
