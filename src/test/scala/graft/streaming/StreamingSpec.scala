@@ -595,4 +595,70 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-maintained $got != batch $full")
     } finally q.stop()
   }
+
+  test("streaming group maintenance: crawl batches fold into stored near-dup groups") {
+    // the appendGroups lifecycle under Structured Streaming: each
+    // micro-batch carries (new doc id, matched partner or -1); foreachBatch
+    // folds the batch into the STORED (id, group_id) table — history is
+    // never re-iterated, and after any number of batches the state equals
+    // the full connectedComponents recompute over everything
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val seedIds = spark.range(0, 10).toDF("id")
+    val seedPairs = Seq((0L, 1L), (4L, 5L)).toDF("a", "b")
+    var state = spark.createDataFrame(
+      java.util.Arrays.asList(Dedup.connectedComponents(seedIds, seedPairs).collect(): _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", false).add("group_id", "long", false))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("id", "partner").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val ids = batch.select(col("id")).distinct()
+        val pairs = batch.where(col("partner") >= 0)
+          .select(col("id").as("a"), col("partner").as("b"))
+        val next = Dedup.appendGroups(state, ids, pairs)
+        state = spark.createDataFrame(
+          java.util.Arrays.asList(next.collect(): _*), state.schema)
+        ()
+      }.start()
+    try {
+      // batch 1: 20 joins group 0 (via 1); 21 a singleton
+      src.addData((20L, 1L), (21L, -1L)); q.processAllAvailable()
+      // batch 2: 30 bridges 21 and stored group 4 — a cross-batch merge
+      src.addData((30L, 21L), (30L, 4L)); q.processAllAvailable()
+      val got = state.as[(Long, Long)].collect().toMap
+      val full = Dedup.connectedComponents(
+          seedIds.union(Seq(20L, 21L, 30L).toDF("id")),
+          seedPairs.union(Seq((20L, 1L), (30L, 21L), (30L, 4L)).toDF("a", "b")))
+        .as[(Long, Long)].collect().toMap
+      assert(got == full, s"stream-maintained $got != recompute $full")
+      assert(got(30L) == 4L && got(21L) == 4L, s"cross-batch merge missing: $got")
+    } finally q.stop()
+  }
+
+  test("streaming multimodal decode: real ImageIO metadata pass runs unchanged on a stream") {
+    // blob ingestion shape: payload batches arrive as a stream; decodeMeta
+    // is a stateless mapPartitions decode, so stream output == batch
+    // decode of the same payloads
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    val payloads = Multimodal.synthesizeImagePayloads(
+        Seq(2L, 3L, 5L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.decodeMeta(spark, src.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("mm_decode").outputMode("append")
+      .start()
+    try {
+      src.addData(payloads.take(2): _*); q.processAllAvailable()
+      src.addData(payloads.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("mm_decode").orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      val full = Multimodal.decodeMeta(spark,
+          Multimodal.synthesizeImagePayloads(Seq(2L, 3L, 5L).toDF("doc_id"), "doc_id"))
+        .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(got == full && got.size == 3, s"stream $got != batch $full")
+    } finally q.stop()
+  }
 }
