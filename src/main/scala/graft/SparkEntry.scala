@@ -2077,6 +2077,44 @@ object SparkEntry {
           "vec_id", "embedding")
         .orderBy("id_a")
     },
+    "emb_decontam" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // SEMANTIC decontamination — the embedding-space complement of the
+      // n-gram benchmark gate: every 25th vector plays the eval suite;
+      // corpus vectors embedding next to any benchmark item get flagged
+      // (threshold 0.4 sits at this corpus's p99, so both branches carry
+      // real rows).
+      // Exact by design (a decontam miss ships eval data into training);
+      // the benchmark side is bounded by construction and broadcasts.
+      val emb = s.table("embeddings")
+      pipeline.Similarity.semanticDecontam(
+          emb.where(col("vec_id") % 25 =!= 0),
+          emb.where(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", thresholdScaled = 400000000L)
+        .orderBy("vec_id")
+    },
+    "multimodal_sidecar_filter" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // jq × multimodal composition: a JSON license sidecar gates probed
+      // binary metadata — keep CC-licensed images ≥ 64px wide; the jq
+      // engine extracts the sidecar fields, MediaProbe reads the real
+      // container headers (audio rows carry NULL width and drop)
+      val docs = s.table("documents")
+      val media = pipeline.Multimodal.synthesizeContainerPayloads(docs, "doc_id")
+      val probed = pipeline.Multimodal.probeMeta(media, "payload")
+      val sidecar = docs.select(col("doc_id"),
+        concat(lit("{\"license\":\""),
+          element_at(array(lit("cc"), lit("by"), lit("nc"), lit("arr")),
+            (col("doc_id") % 4).cast("int") + 1),
+          lit("\",\"origin\":"), (col("doc_id") % 7).cast("string"),
+          lit("}")).as("meta"))
+      probed.join(sidecar, "doc_id")
+        .where(Graft.jqString(col("meta"), ".license") === "cc" &&
+          col("width") >= 64)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          Graft.jqString(col("meta"), ".origin").as("origin"))
+        .orderBy("doc_id")
+    },
     "emb_mutual_pairs_blocked" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // the corpus×corpus scale path of emb_mutual_pairs: IVF-blocked
@@ -4637,6 +4675,29 @@ object SparkEntry {
                           WHEN 40 * h0 <= 32 * w0 THEN greatest(1, (h0 * 40) // w0)
                           ELSE 32 END AS INT) AS height
          FROM d ORDER BY doc_id""",
+    "emb_decontam" ->
+      """WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings),
+              scored AS (SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+                  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(c.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+                    / (sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+                FROM q c JOIN q b ON c.vec_id % 25 <> 0 AND b.vec_id % 25 = 0),
+              best AS (SELECT vec_id, bench_id, cos_scaled,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_scaled DESC, bench_id) AS r
+                       FROM scored)
+         SELECT vec_id, bench_id, cos_scaled,
+                cos_scaled >= 400000000 AS contaminated
+         FROM best WHERE r = 1 ORDER BY vec_id""",
+    "multimodal_sidecar_filter" ->
+      """SELECT doc_id, 'png' AS format,
+                CAST(16 + doc_id % 640 AS INT) AS width,
+                CAST(16 + (doc_id * 7) % 480 AS INT) AS height,
+                CAST(doc_id % 7 AS VARCHAR) AS origin
+         FROM documents
+         WHERE doc_id % 4 = 0 AND doc_id % 3 <> 2 AND 16 + doc_id % 640 >= 64
+         ORDER BY doc_id""",
     "multimodal_pcm_silence" ->
       """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS c,
                            CAST(80 + doc_id % 100 AS BIGINT) AS n FROM documents),

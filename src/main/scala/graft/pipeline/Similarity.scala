@@ -235,6 +235,41 @@ object Similarity {
       blocking = Some(fwd.union(rev)))
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram benchmark gate ([[TextAnalysis]] decontamination): flag every
+    * corpus vector whose nearest BENCHMARK embedding clears a cosine
+    * threshold — paraphrased/reformatted eval items that share no 8-gram
+    * but embed next to their source. Exact by design (a decontamination
+    * miss ships an eval item into training data): the benchmark side is
+    * bounded by construction (an eval suite, thousands not billions) and
+    * broadcasts; the corpus is read once, never shuffled except the
+    * per-vector argmax (partial-aggregated — one struct per vector per
+    * task). Same quantized-cosine bits as the whole embedding family, so
+    * the verdict hash-gates; NULL cosines drop (the mutualNearest rule),
+    * so a corpus vector of the wrong model version simply cannot match.
+    * Output: `vec_id, bench_id (nearest, ties smaller id), cos_scaled,
+    * contaminated`. */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                       vecCol: String, thresholdScaled: Long): DataFrame = {
+    Search.requireIntegralId(corpus, idCol, "semanticDecontam")
+    Search.requireIntegralId(benchmark, idCol, "semanticDecontam", role = "benchmark id")
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+      Dedup.quantize(col(vecCol)).as("__qc"))
+      .withColumn("__nc", qnorm(col("__qc")))
+    val b = benchmark.select(col(idCol).cast("long").as("bench_id"),
+      Dedup.quantize(col(vecCol)).as("__qb"))
+      .withColumn("__nb", qnorm(col("__qb")))
+    c.join(broadcast(b), lit(true))
+      .select(col("vec_id"), col("bench_id"),
+        cosScaledPre(col("__qc"), col("__qb"), col("__nc"), col("__nb")).as("__cos"))
+      .where(col("__cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(max(struct(col("__cos"), (-col("bench_id")).as("__n"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.__n")).as("bench_id"),
+        col("__m.__cos").as("cos_scaled"),
+        (col("__m.__cos") >= thresholdScaled).as("contaminated"))
+  }
+
   /** Per-query top-k as a TWO-PHASE aggregation (TopKPairs under
     * ObjectHashAggregate): each task partial-aggregates its slice of a
     * query's scored rows down to ≤ k entries map-side, so only k-sized

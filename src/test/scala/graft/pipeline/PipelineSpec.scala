@@ -2389,6 +2389,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((0L, 11L)), s"got: $got")
   }
 
+  test("semanticDecontam: paraphrase-near vectors flagged, far ones pass, ties to smaller id") {
+    // benchmark: two orthogonal eval items. corpus: 10 is a near-copy of
+    // bench 100 (paraphrase shape — no shared n-gram needed), 11 sits
+    // between (below threshold), 12 is orthogonal, 13 is a NULL vector
+    // (wrong model version — must drop, not match)
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.999f, 0.02f, 0f)),
+      (11L, Array(0.7f, 0.7f, 0f)),
+      (12L, Array(0f, 0f, 1f)),
+      (13L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontam(corpus, bench, "vec_id", "embedding",
+        thresholdScaled = 950000000L)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L, 11L, 12L), s"NULL vector must drop: $got")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 == 100L && byId(10L)._4, s"near-copy flagged: $got")
+    assert(!byId(11L)._4 && !byId(12L)._4, s"below-threshold pass: $got")
+    // equidistant from both benches → ties to the SMALLER bench id
+    val tie = Seq((20L, Array(1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val t = Similarity.semanticDecontam(tie, bench, "vec_id", "embedding", 999000000L)
+      .as[(Long, Long, Long, Boolean)].collect()(0)
+    assert(t._2 == 100L, s"tie must pick bench 100: $t")
+  }
+
   test("blocked embedding ops ≡ exact on clustered corpora (IVF candidates + exact rerank)") {
     // 4 tight clusters (10 members each) at distinct angles in the (0,1)
     // plane, per-id jitter in dim 2 — every vector's true neighbors are its
