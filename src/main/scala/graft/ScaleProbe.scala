@@ -458,6 +458,28 @@ object ScaleProbe {
           + (pmod(xxhash64(id, i), 81) - 40) / 1000.0
           + (pmod(xxhash64(id, i + $seed), 3) - 1) / 100000.0 AS FLOAT))
           AS embedding""")
+    // ---- r8: incremental group maintenance at volume ----------------------
+    // stored corpus of 1M docs (10k two-doc components + singletons); a 10k
+    // crawl batch each pairing into the stored corpus. The incremental fold
+    // must track the BATCH, not the history — the full recompute is the
+    // contrast, and the two must agree exactly.
+    val agIds = spark.range(1000000).toDF("id")
+    val agPairs = spark.range(0, 1000000, 100).selectExpr("id AS a", "id + 1 AS b")
+      .union(spark.range(500000, 502000).selectExpr("id AS a", "id + 1 AS b")) // diameter-2000 chain
+    val agStored = timed("seed connectedComponents (1M nodes, 10k pairs)")(
+      pipeline.Dedup.connectedComponents(agIds, agPairs).localCheckpoint(true))
+    val agBatchIds = spark.range(2000000, 2010000).toDF("id")
+    val agBatchPairs = spark.range(2000000, 2010000)
+      .selectExpr("id AS a", "pmod(xxhash64(id), 1000000) AS b")
+    val agInc = timed("appendGroups (10k batch onto 1M stored)")(
+      pipeline.Dedup.appendGroups(agStored, agBatchIds, agBatchPairs)
+        .localCheckpoint(true))
+    val agFull = timed("full recompute (1M + 10k, for contrast)")(
+      pipeline.Dedup.connectedComponents(
+        agIds.union(agBatchIds), agPairs.union(agBatchPairs)).localCheckpoint(true))
+    val agDiff = agInc.unionByName(agFull).distinct().count() - agFull.count()
+    println(s"[scale]   append rows: ${agInc.count()}, disagreements vs recompute: $agDiff (must be 0)")
+
     val mnRecall = timed("mutualNearestIvf (200k × 200k, 64-dim, nLists=1024, nProbe=1)")(
       pipeline.Similarity.mutualNearestIvf(
           mnSide(100001), mnSide(200002), "vec_id", "embedding",

@@ -262,6 +262,54 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("ObjectHashAggregate"), s"argmax aggregate missing:\n$plan")
   }
 
+  test("emb_mutual_pairs_blocked plan: list-key shuffle joins, no product, no window") {
+    // the full query's final plan starts at the Materialize cut (Scan
+    // ExistingRDD), so the candidate stage is asserted on ivfScoredPairs
+    // DIRECTLY: the join must be the hinted shuffle-hash on the list key
+    // (no sort of vector-carrying rows) and never a product/BNLJ — a
+    // fallback means the op silently became the all-pairs it replaces
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cand = graft.pipeline.Similarity.ivfScoredPairs(
+      emb, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nLists = 8, nProbe = 2, sampleSize = 200)
+    val cplan = cand.queryExecution.executedPlan.toString
+    assert(cplan.contains("ShuffledHashJoin"),
+      s"list join should be the hinted shuffle-hash join:\n$cplan")
+    assert(!cplan.contains("CartesianProduct") && !cplan.contains("BroadcastNestedLoop"),
+      s"scored candidates must never form a product:\n$cplan")
+    assert(!cplan.contains("SortMergeJoin"),
+      s"vector-carrying rows must not be sorted for the list join:\n$cplan")
+    // the composed query's argmax tail: aggregates, never a window
+    val plan = SparkEntry.queries("emb_mutual_pairs_blocked")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no per-query window sort:\n$plan")
+  }
+
+  test("emb_decontam plan: benchmark broadcast product + argmax aggregate, no window") {
+    val plan = SparkEntry.queries("emb_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the benchmark side is bounded by construction and must BROADCAST
+    // (the corpus never shuffles for scoring); the per-vector nearest is
+    // an argmax aggregate, never a window
+    assert(plan.contains("BroadcastNestedLoop"),
+      s"benchmark must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no per-vector window sort:\n$plan")
+  }
+
+  test("multimodal pcm/image stats plans: decode maps — no join, no hash shuffle") {
+    for (q <- Seq("multimodal_pcm_stats", "multimodal_pcm_silence",
+        "multimodal_image_stats", "multimodal_frame_phash")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // builder → decode → stats is a pure per-partition pipeline: the
+      // only exchange is the output orderBy's range partitioning
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 0, s"$q must not hash-shuffle, got $hashEx:\n$plan")
+    }
+  }
+
   test("text_strip_markup / text_script_profile plans: pure maps — no join, no hash shuffle") {
     for (q <- Seq("text_strip_markup", "text_script_profile")) {
       val plan = SparkEntry.queries(q)(spark, sf)
