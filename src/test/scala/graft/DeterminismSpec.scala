@@ -112,7 +112,12 @@ class DeterminismSpec extends AnyFunSuite {
     // lag-explode equi join + decimal ACF moments
     "ts_autocorrelation",
     // synchronous edge-peel rounds to fixpoint
-    "graph_ktruss")
+    "graph_ktruss",
+    // r8: real-decode pipelines (encode→decode must be partition-blind),
+    // list-join scored candidates + dual argmax, benchmark-broadcast
+    // nearest argmax, PCM chunk-walk scans, contracted-graph group fold
+    "multimodal_meta", "multimodal_frame_phash", "multimodal_pcm_silence",
+    "emb_mutual_pairs_blocked", "emb_decontam", "multimodal_image_stats")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
