@@ -2077,6 +2077,15 @@ object SparkEntry {
           "vec_id", "embedding")
         .orderBy("id_a")
     },
+    "text_readability" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Flesch reading-ease in milli-points, pure integer (vowel-group
+      // syllable proxy, [.!?]+ sentence runs floored at 1) — the
+      // readability-stratification axis of a pretraining mix
+      pipeline.TextAnalysis.readability(s.table("documents"), "text")
+        .select("doc_id", "n_sentences", "n_words", "n_syllables", "flesch_milli")
+        .orderBy("doc_id")
+    },
     "emb_decontam" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // SEMANTIC decontamination — the embedding-space complement of the
@@ -4675,6 +4684,19 @@ object SparkEntry {
                           WHEN 40 * h0 <= 32 * w0 THEN greatest(1, (h0 * 40) // w0)
                           ELSE 32 END AS INT) AS height
          FROM d ORDER BY doc_id""",
+    "text_readability" ->
+      """WITH r AS (SELECT doc_id,
+                      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                      len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS n_words,
+                      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+                    FROM documents)
+         SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_syllables AS BIGINT) AS n_syllables,
+                CAST(CASE WHEN n_words > 0
+                     THEN 206835 - (1015 * n_words) // n_sentences
+                                 - (84600 * n_syllables) // n_words END AS BIGINT) AS flesch_milli
+         FROM r ORDER BY doc_id""",
     "emb_decontam" ->
       """WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv

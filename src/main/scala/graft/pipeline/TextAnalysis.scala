@@ -55,6 +55,37 @@ object TextAnalysis {
       .withColumn("n_distinct_words", size(array_distinct(words(t))).cast("long"))
   }
 
+  /** READABILITY scoring, integer-exact — the Flesch reading-ease family
+    * as a curation signal (too-hard and too-trivial documents both skew
+    * a pretraining mix; readability stratification is a standard recipe
+    * axis). Syllables are the standard regex proxy — maximal
+    * `[aeiouy]+` vowel groups per lowercased word ("readable" → 3 —
+    * a dictionary-true syllabifier is model territory, the proxy is the
+    * published heuristic); sentences are maximal `[.!?]+` runs, floored
+    * at 1 so headline-like fragments score rather than divide by zero.
+    * The Flesch formula's constants scale to milli-points and every
+    * division is integer floor:
+    *
+    *   flesch_milli = 206835 − (1015·words) DIV sentences
+    *                         − (84600·syllables) DIV words
+    *
+    * — bit-replayable in any engine ([aeiouy]+ and [.!?]+ mean the same
+    * thing to Java regex and RE2). Empty/whitespace docs yield NULL
+    * (no words → no readability, never a fake score). Output appends:
+    * `n_sentences, n_words, n_syllables, flesch_milli`. */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_sentences",
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1)).cast("long"))
+      .withColumn("n_words", size(words(t)).cast("long"))
+      .withColumn("n_syllables",
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0,
+          lit(206835L) - expr("(1015 * n_words) DIV n_sentences")
+            - expr("(84600 * n_syllables) DIV n_words")))
+  }
+
   /** Scalar quality score in [0, 1000]: length sweet-spot + stopword
     * density + lexical diversity, floor-scaled to an exact integer. */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {

@@ -2389,6 +2389,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((0L, 11L)), s"got: $got")
   }
 
+  test("readability: hand-computed Flesch milli-points; empty doc yields NULL") {
+    // "the cat sat. it ran!" → 2 sentence runs, 5 whitespace tokens,
+    // 5 vowel groups → 206835 − 1015·5 DIV 2 − 84600·5 DIV 5 = 119698
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "   "), (3L, "no stops here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "text")
+      .select("doc_id", "n_sentences", "n_words", "n_syllables", "flesch_milli")
+      .orderBy("doc_id")
+      .collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3), got(0).getLong(4))
+      == (2L, 5L, 5L, 119698L), s"${got(0)}")
+    assert(got(1).isNullAt(4), s"whitespace-only doc must score NULL: ${got(1)}")
+    // fragment with no terminator: sentence floor of 1, still scored
+    assert(got(2).getLong(1) == 1L && !got(2).isNullAt(4), s"${got(2)}")
+  }
+
   test("semanticDecontam: paraphrase-near vectors flagged, far ones pass, ties to smaller id") {
     // benchmark: two orthogonal eval items. corpus: 10 is a near-copy of
     // bench 100 (paraphrase shape — no shared n-gram needed), 11 sits
