@@ -2643,6 +2643,19 @@ object SparkEntry {
           Seq("user_bucket", "day"), "event_type", l = 3L)
         .orderBy("user_bucket", "day")
     },
+    "pipeline_t_closeness" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // distribution-skew audit (the third rung after k-anon/l-div):
+      // user buckets whose spend-bucket distribution sits > 8000 ppm of
+      // ordered-EMD from the table-wide one — a cohort can be large and
+      // diverse yet still leak "this cohort skews high-spend"
+      val ev = s.table("events")
+        .select((col("user_id") % 25).as("user_bucket"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 2000").as("spend_bucket"))
+      pipeline.Maintenance.tClosenessViolations(ev,
+          Seq("user_bucket"), "spend_bucket", tPpm = 8000L)
+        .orderBy("user_bucket")
+    },
     "pipeline_k_anonymity" -> { (s, dir) =>
       prep(s, dir, "events")
       // release-audit: (user bucket, event_type, day) combinations shared
@@ -3249,6 +3262,33 @@ object SparkEntry {
                   count(DISTINCT event_type) AS n_distinct
            FROM events GROUP BY 1, 2)
          WHERE n_distinct < 3 ORDER BY user_bucket, day""",
+    "pipeline_t_closeness" ->
+      """WITH cells AS (SELECT user_id % 25 AS user_bucket,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) // 2000 AS v,
+                      count(*) AS g
+                    FROM events GROUP BY 1, 2),
+              gvals AS (SELECT v, sum(g) AS a FROM cells WHERE v IS NOT NULL GROUP BY 1),
+              tot AS (SELECT sum(a) AS nt, count(*) AS m FROM gvals),
+              grp AS (SELECT user_bucket,
+                        sum(CASE WHEN v IS NOT NULL THEN g ELSE 0 END) AS n,
+                        sum(CASE WHEN v IS NULL THEN g ELSE 0 END) AS n_null
+                      FROM cells GROUP BY 1
+                      HAVING sum(CASE WHEN v IS NOT NULL THEN g ELSE 0 END) > 0),
+              dense AS (SELECT grp.user_bucket, grp.n, grp.n_null, gv.v, gv.a, t.nt, t.m,
+                          coalesce(c.g, 0) AS gd
+                        FROM grp CROSS JOIN gvals gv CROSS JOIN tot t
+                        LEFT JOIN (SELECT * FROM cells WHERE v IS NOT NULL) c
+                          ON c.user_bucket = grp.user_bucket AND c.v = gv.v),
+              st AS (SELECT user_bucket, n, n_null, nt, m,
+                       abs(CAST(sum(gd) OVER w AS HUGEINT) * nt
+                           - CAST(sum(a) OVER w AS HUGEINT) * n) AS d
+                     FROM dense WINDOW w AS (PARTITION BY user_bucket ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_bucket, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+                CAST((sum(d) * 1000000) // (CAST(n AS HUGEINT) * nt * (m - 1)) AS BIGINT) AS emd_ppm
+         FROM st GROUP BY user_bucket, n, n_null, nt, m
+         HAVING CAST((sum(d) * 1000000) // (CAST(n AS HUGEINT) * nt * (m - 1)) AS BIGINT) > 8000
+         ORDER BY user_bucket""",
     "graph_copurchase" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
                     FROM lineitem WHERE l_orderkey % 4 = 0),

@@ -244,6 +244,105 @@ object Maintenance {
       .where(col("n_distinct") < l)
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third rung of the release-audit ladder: k-anonymity bounds cohort
+    * SIZE, l-diversity bounds sensitive-value VARIETY, t-closeness
+    * bounds how far a cohort's sensitive-value DISTRIBUTION sits from
+    * the table-wide one (a cohort can be large and 3-diverse yet still
+    * leak — "this ZIP code is 95% top-income-bracket"). Distance is the
+    * ordered-attribute Earth Mover's Distance of the paper:
+    * `EMD = (1/(m−1)) · Σ_i |Σ_{j≤i}(p_j − q_j)|` over the m sensitive
+    * values present GLOBALLY (a value absent from the cohort contributes
+    * p_j = 0 — the grid is densified, not skipped).
+    *
+    * All arithmetic integer-exact and engine-replayable: the prefix
+    * difference is kept as the cross-multiplied
+    * `|cumG_i·N − cumA_i·n_g|` (DECIMAL(38,0) products — counts at
+    * 100 TB overflow a BIGINT product) and
+    * `emd_ppm = 10⁶·Σ DIV (n_g·N·(m−1))` — no float division anywhere,
+    * so the audit is hash-gateable bit-for-bit.
+    *
+    * Contract: `sensitiveCol` must be integral — EMD's ground distance
+    * needs an ORDER, and the caller owns the bucketing of raw values
+    * into ordinal codes (the Benford/quantile-bucket convention). NULL
+    * sensitive values carry no position: they are EXCLUDED from the
+    * distribution but ACCOUNTED per cohort (`n_null`) — silently
+    * dropping rows is how an audit op lies. Degenerate global
+    * distributions (m < 2) fail loudly: EMD over one value is 0 by
+    * construction and auditing it would vacuously pass everything.
+    *
+    * Plan shape at scale: one partial-aggregated groupBy to
+    * (cohort, value) cells, per-value global rollup broadcast back as
+    * the dense m-row grid (m is bounded by the bucketing contract —
+    * 10–100s, never corpus-sized), both cumulative sums from ONE
+    * cohort-partitioned window over m-row frames, one final groupBy.
+    * The corpus is scanned once; nothing cohort-count-sized ever sits
+    * on the driver. Output: quasi cols, `n` (non-NULL cohort size),
+    * `n_null`, `emd_ppm`, filtered to `emd_ppm > tPpm`. */
+  def tClosenessViolations(df: org.apache.spark.sql.DataFrame,
+                           quasiIdCols: Seq[String], sensitiveCol: String,
+                           tPpm: Long): org.apache.spark.sql.DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiIdCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(tPpm >= 0 && tPpm < 1000000L,
+      s"tPpm must be in [0, 1e6) (ppm of total mass), got $tPpm")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = df.schema(sensitiveCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"sensitiveCol must be integral (ordinal codes — the caller owns the bucketing), got ${df.schema(sensitiveCol).dataType}")
+    val qi = quasiIdCols.map(col)
+    // (cohort, value) cells; NULL sensitive rows counted apart per cohort
+    val cells = df
+      .groupBy(qi :+ col(sensitiveCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__g"))
+    val present = cells.where(col("__v").isNotNull)
+    // global per-value mass + (N, m) — one bounded m-row frame, broadcast
+    val gvals = present.groupBy(col("__v")).agg(sum("__g").as("__a"))
+    val tot = gvals.agg(sum("__a").as("__N"), count(lit(1)).as("__m"))
+    val grid = broadcast(gvals.join(broadcast(tot), lit(true)))
+    // cohort sizes + the NULL accounting in ONE rollup over the cells
+    val groups = cells.groupBy(qi: _*)
+      .agg(sum(when(col("__v").isNotNull, col("__g")).otherwise(0L)).as("n"),
+        sum(when(col("__v").isNull, col("__g")).otherwise(0L)).as("n_null"))
+      .where(col("n") > 0)
+    val cellsR = present.select(
+      (quasiIdCols.map(n => col(n).as(s"__q_$n")) :+
+        col("__v").as("__pv") :+ col("__g")): _*)
+    // densify: every cohort × every global value (absent cell ⇒ g = 0)
+    val dense = groups.join(grid, lit(true))
+      .join(cellsR,
+        quasiIdCols.map(n => col(n) <=> col(s"__q_$n")).reduce(_ && _) &&
+          col("__v") === col("__pv"), "left")
+      .select((qi :+ col("n") :+ col("n_null") :+ col("__v") :+ col("__a") :+
+        col("__N") :+ col("__m") :+ coalesce(col("__g"), lit(0L)).as("__gd")): _*)
+    val w = Window.partitionBy(qi: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = dense
+      .withColumn("__cumG", sum(col("__gd")).over(w).cast("decimal(38,0)"))
+      .withColumn("__cumA", sum(col("__a")).over(w).cast("decimal(38,0)"))
+      .withColumn("__d", abs(col("__cumG") * col("__N").cast("decimal(38,0)") -
+        col("__cumA") * col("n").cast("decimal(38,0)")))
+    stepped.groupBy((qi :+ col("n") :+ col("n_null")): _*)
+      .agg(first(col("__N")).as("__N"), first(col("__m")).as("__m"),
+        sum(col("__d")).as("__sum"))
+      .withColumn("__m_ok",
+        when(col("__m") >= 2, col("__m"))
+          .otherwise(raise_error(lit(
+            "tCloseness: fewer than 2 distinct global sensitive values — EMD is vacuous"))))
+      .withColumn("emd_ppm", expr(
+        """CAST((__sum * CAST(1000000 AS DECIMAL(38,0))) DIV
+                (CAST(n AS DECIMAL(38,0)) * __N *
+                 CAST(__m_ok - 1 AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select((qi :+ col("n") :+ col("n_null") :+ col("emd_ppm")): _*)
+      .where(col("emd_ppm") > tPpm)
+  }
+
   /** Deletion sweep — the takedown/right-to-be-forgotten pass: rewrite
     * the parquet table at `src` into `dst` WITHOUT the rows whose id
     * appears in `tombstones`. The tombstone set rides a BROADCAST anti

@@ -2081,6 +2081,43 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Maintenance.lDiversityViolations(df, Seq("cohort"), "diag", 1L))
   }
+  test("tClosenessViolations: hand-computed ordered EMD, NULL accounting, vacuous-m guard") {
+    // global dist over v∈{1,2} is (1/2, 1/2); cohort a = (3/4, 1/4):
+    // EMD = |3/4 − 1/2| / (m−1 = 1) = 0.25 → 250000 ppm. Cohort c
+    // matches the global exactly → 0 ppm, NOT flagged. The NULL row in
+    // cohort a is excluded from the distribution but ACCOUNTED.
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)),
+      ("a", None),
+      ("b", Some(1L)), ("b", Some(2L)), ("b", Some(2L)), ("b", Some(2L)),
+      ("c", Some(1L)), ("c", Some(1L)), ("c", Some(2L)), ("c", Some(2L))
+    ).toDF("cohort", "v")
+    val got = Maintenance.tClosenessViolations(df, Seq("cohort"), "v", tPpm = 100000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 4L, 1L, 250000L), ("b", 4L, 0L, 250000L)), s"$got")
+    // a value absent from a cohort densifies to zero mass, not a skipped
+    // grid row: cohort d never sees v∈{2,3} ⇒ p=(1,0,0) vs q=(5/9,3/9,1/9)
+    // over m=3 ⇒ cum diffs (4/9, 1/9, 0) ⇒ EMD = (5/9)/2 = 5/18 →
+    // 15·10⁶ DIV 54 = 277777 ppm (cohorts e and f sit at 222222 / 83333)
+    val df3 = Seq(
+      ("d", 1L), ("d", 1L), ("d", 1L),
+      ("e", 1L), ("e", 2L), ("e", 2L), ("e", 3L),
+      ("f", 1L), ("f", 2L)).toDF("cohort", "v")
+    val g3 = Maintenance.tClosenessViolations(df3, Seq("cohort"), "v", 250000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(g3 == Set(("d", 3L, 0L, 277777L)), s"$g3")
+    // one global value: EMD is vacuously 0 for every cohort — loud, not a pass
+    val mono = Seq(("a", 7L), ("b", 7L)).toDF("cohort", "v")
+    val e = intercept[Exception](
+      Maintenance.tClosenessViolations(mono, Seq("cohort"), "v", 0L).collect())
+    assert(e.getMessage != null && e.getMessage.contains("vacuous"), s"${e.getMessage}")
+    intercept[IllegalArgumentException](
+      Maintenance.tClosenessViolations(df, Seq("cohort"), "cohort", 1000L))
+    intercept[IllegalArgumentException](
+      Maintenance.tClosenessViolations(df, Seq("cohort"), "v", 1000000L))
+    intercept[IllegalArgumentException](Maintenance.tClosenessViolations(
+      Seq(("a", "x")).toDF("cohort", "v"), Seq("cohort"), "v", 1000L))
+  }
   test("datasetCard: one-row manifest with exact integer dup rate") {
     val docs = Seq(
       (1L, "same text", "web", "en"),
