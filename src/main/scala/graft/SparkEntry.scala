@@ -1758,6 +1758,17 @@ object SparkEntry {
           1, 4, 1, 2, horizon = 7)
         .orderBy("user_id")
     },
+    "ts_holt_winters" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // Holt-Winters additive weekly seasonality (α=1/4, β=1/8, γ=1/4,
+      // period 7) per user, 7-day-ahead forecast — the cycle-aware
+      // completion of the EWMA→Holt ladder; the DuckDB oracle replays
+      // all three recurrences (seasonal slots as 7 rotated columns) in
+      // a recursive CTE
+      pipeline.TimeSeries.holtWinters(s.table("events"), "user_id", "ts",
+          "value", 1, 4, 1, 8, 1, 4, period = 7, horizon = 7)
+        .orderBy("user_id")
+    },
     "ts_islands" -> { (s, dir) =>
       prep(s, dir, "events")
       // gaps-and-islands coverage: weekly per-(user, type) activity spans
@@ -3023,6 +3034,52 @@ object SparkEntry {
        |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
        |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
        |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.TimeSeries.holtWinters]] for
+    * `ts_holt_winters`: the same gap-filled spine as the ts_holt oracle,
+    * then a recursive CTE carrying the level, trend, and the PERIOD
+    * seasonal slots as explicitly rotated columns (s0..s{p−1} — DuckDB
+    * recursive CTEs can't index-update a list, so the slot written at
+    * step t, pos = (t−1) mod p, is selected by CASE). Every recurrence
+    * uses `//` which truncates toward zero exactly like Spark's DIV. */
+  private def holtWintersOracleSql(aN: Long, aD: Long, bN: Long, bD: Long,
+                                   gN: Long, gD: Long, p: Int, h: Int): String = {
+    val (aK, bK, gK) = (aD - aN, bD - bN, gD - gN)
+    val sPrev = (0 until p).map(i => s"WHEN $i THEN hw.s$i")
+      .mkString(s"(CASE hw.rn % $p ", " ", " END)")
+    val l2 = s"(($aN * (f.cents - $sPrev) + $aK * (hw.l + hw.tr)) // $aD)"
+    val b2 = s"(($bN * ($l2 - hw.l) + $bK * hw.tr) // $bD)"
+    val sNew = s"(($gN * (f.cents - $l2) + $gK * $sPrev) // $gD)"
+    val sInit = (0 until p).map(i => s"CAST(0 AS BIGINT) AS s$i").mkString(", ")
+    val sUpd = (0 until p).map(i =>
+      s"CASE WHEN hw.rn % $p = $i THEN $sNew ELSE hw.s$i END AS s$i").mkString(", ")
+    val season = (0 until p).map(i => s"WHEN $i THEN w.s$i")
+      .mkString(s"(CASE (l.n + $h - 1) % $p ", " ", " END)")
+    s"""WITH RECURSIVE base AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM base GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, CAST(coalesce(base.cents, 0) AS BIGINT) AS cents,
+                      CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.day) AS BIGINT) AS rn
+                    FROM spine s LEFT JOIN base USING (user_id, day)),
+              hw AS (
+                SELECT user_id, rn, cents AS l, CAST(0 AS BIGINT) AS tr, $sInit
+                FROM f WHERE rn = 1
+                UNION ALL
+                SELECT f.user_id, f.rn, $l2 AS l, $b2 AS tr, $sUpd
+                FROM f JOIN hw ON f.user_id = hw.user_id AND f.rn = hw.rn + 1),
+              lastn AS (SELECT user_id, max(rn) AS n FROM hw GROUP BY 1)
+         SELECT w.user_id, CAST(l.n AS BIGINT) AS n_days,
+                CAST(w.l AS BIGINT) AS level_cents,
+                CAST(w.tr AS BIGINT) AS trend_cents,
+                CAST($season AS BIGINT) AS season_cents,
+                CAST(w.l + $h * w.tr + $season AS BIGINT) AS forecast_cents
+         FROM hw w JOIN lastn l ON l.user_id = w.user_id AND w.rn = l.n
+         ORDER BY w.user_id"""
   }
 
   /** DuckDB replay of [[pipeline.Layout.zValue]] for `rel_zorder_key`:
@@ -4964,6 +5021,7 @@ object SparkEntry {
                 CAST(h.l + 7 * h.tr AS BIGINT) AS forecast_cents
          FROM hw h JOIN lastn l ON l.user_id = h.user_id AND h.rn = l.n
          ORDER BY h.user_id""",
+    "ts_holt_winters" -> holtWintersOracleSql(1, 4, 1, 8, 1, 4, 7, 7),
     "ts_islands" ->
       """WITH iv AS (SELECT user_id, event_type, date_trunc('week', ts) AS wk,
                       CAST(floor(epoch(min(ts))) AS BIGINT) AS s,

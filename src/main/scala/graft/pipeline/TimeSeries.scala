@@ -433,6 +433,83 @@ object TimeSeries {
         (col("__st.l") + lit(horizon.toLong) * col("__st.b")).as("forecast_cents"))
   }
 
+  /** HOLT-WINTERS additive seasonal smoothing (triple exponential) +
+    * h-step forecast, integer fixed-point — the seasonal completion of
+    * the [[ewma]] → [[holt]] ladder: [[holt]]'s forecast of a weekly-
+    * rhythmed series splits the difference between weekday and weekend;
+    * the seasonal term carries each cycle position's own offset. Per
+    * key over the gap-filled spine, with cycle position
+    * `pos(t) = (t−1) mod period` and all-zero initial seasonals:
+    *
+    *   l_1 = y_1,  b_1 = 0,  s = [0,…,0]
+    *   l_t = (αn·(y_t − s[pos]) + (αd−αn)·(l_{t−1} + b_{t−1})) DIV αd
+    *   b_t = (βn·(l_t − l_{t−1}) + (βd−βn)·b_{t−1}) DIV βd
+    *   s[pos] ← (γn·(y_t − l_t) + (γd−γn)·s[pos]) DIV γd
+    *   forecast(h) = l_n + h·b_n + s[(n+h−1) mod period]
+    *
+    * The zero-seasonal init (rather than a first-cycle average) keeps
+    * the recurrence uniform from t = 2 — one branch, engine-replayable;
+    * the seasonal terms absorb the cycle shape over the first few
+    * periods exactly as the level absorbs y under [[ewma]]'s own cold
+    * start. Same contracts as [[holt]]: truncating DIV replays exactly
+    * in any engine (negative refund days included), silent days are
+    * real zeros, the recurrence is inherently sequential per key so the
+    * series packs per key (array_sort shields partitioning) and runs as
+    * ONE aggregate lambda; the accumulator is (l, b, n, s[period]) —
+    * the per-step `transform` copies only the PERIOD-sized seasonal
+    * array (bounded by the 366 cap, NOT by the series length — the
+    * EWMA O(n²) lesson does not recur here). Span is CALENDAR-capped.
+    *
+    * Output: one row per key — `keyCol, n_days, level_cents,
+    * trend_cents, season_cents (the seasonal applied at the horizon),
+    * forecast_cents`. */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, alphaNum: Long = 1L, alphaDen: Long = 4L,
+                  betaNum: Long = 1L, betaDen: Long = 8L,
+                  gammaNum: Long = 1L, gammaDen: Long = 4L,
+                  period: Int = 7, horizon: Int = 7,
+                  maxSpanDays: Int = 3700): DataFrame = {
+    Seq(("alpha", alphaNum, alphaDen), ("beta", betaNum, betaDen),
+      ("gamma", gammaNum, gammaDen)).foreach { case (nm, n, d) =>
+      require(d >= 2 && d <= 1000000L, s"${nm}Den must be in [2, 1e6], got $d")
+      require(n >= 1 && n < d, s"${nm}Num must be in [1, ${nm}Den), got $n/$d")
+    }
+    require(period >= 2 && period <= 366,
+      s"period must be in [2, 366] (a 1-cycle is just holt), got $period")
+    require(horizon >= 0 && horizon <= 3700,
+      s"horizon must be in [0, 3700], got $horizon")
+    val packed = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+      .select(col(keyCol), struct(col("day"), col("value_cents")).as("__x"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__x"))).as("__s"))
+    val (aK, bK, gK) = (alphaDen - alphaNum, betaDen - betaNum, gammaDen - gammaNum)
+    val p = period
+    val sPrev = s"element_at(acc.s, CAST(acc.n % $p AS INT) + 1)"
+    val l2 = s"(($alphaNum * (x.value_cents - $sPrev) + $aK * (acc.l + acc.b)) DIV $alphaDen)"
+    val b2 = s"(($betaNum * ($l2 - acc.l) + $bK * acc.b) DIV $betaDen)"
+    val sNew = s"(($gammaNum * (x.value_cents - $l2) + $gK * $sPrev) DIV $gammaDen)"
+    val state = expr(
+      s"""aggregate(__s,
+            CAST(NULL AS STRUCT<l: BIGINT, b: BIGINT, n: BIGINT, s: ARRAY<BIGINT>>),
+            (acc, x) -> CASE WHEN acc IS NULL
+              THEN named_struct('l', x.value_cents, 'b', CAST(0 AS BIGINT),
+                                'n', CAST(1 AS BIGINT),
+                                's', array_repeat(CAST(0 AS BIGINT), $p))
+              ELSE named_struct(
+                'l', $l2, 'b', $b2, 'n', acc.n + 1,
+                's', transform(acc.s,
+                       (v, i) -> IF(i = CAST(acc.n % $p AS INT), $sNew, v)))
+            END)""")
+    packed.withColumn("__st", state)
+      .withColumn("__season", expr(
+        s"element_at(__st.s, CAST((__st.n + ${horizon.toLong} - 1) % $p AS INT) + 1)"))
+      .select(col(keyCol), col("__st.n").as("n_days"),
+        col("__st.l").as("level_cents"), col("__st.b").as("trend_cents"),
+        col("__season").as("season_cents"),
+        (col("__st.l") + lit(horizon.toLong) * col("__st.b") + col("__season"))
+          .as("forecast_cents"))
+  }
+
   /** Gaps-and-islands interval UNION per key: merge a key's possibly-
     * overlapping half-open intervals `[start, end)` into maximal
     * contiguous ISLANDS — the coverage question every uptime / activity-

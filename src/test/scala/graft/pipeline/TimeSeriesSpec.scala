@@ -303,6 +303,46 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holtWinters: hand-computed level/trend/seasonal rotation, forecast picks the horizon slot") {
+    // user 7 spine cents [400, 0, 0, 1000], α=β=γ=1/2, period 2:
+    // t1: l=400 b=0 s=[0,0]
+    // t2 (pos 1): l=(0−0+400)/2=200; b=(200−400)/2=−100; s1=(0−200)/2=−100
+    // t3 (pos 0): l=(0−0+100)/2=50;  b=((50−200)−100)/2=−125; s0=(0−50)/2=−25
+    // t4 (pos 1): l=((1000+100)+(50−125))/2=512 (trunc 512.5);
+    //             b=((512−50)−125)/2=168 (trunc 168.5);
+    //             s1=((1000−512)−100)/2=194
+    // horizon 2 ⇒ slot (4+2−1)%2 = 1 ⇒ season 194; forecast 512+2·168+194
+    val got = TimeSeries.holtWinters(events, "user_id", "ts", "value",
+        1, 2, 1, 2, 1, 2, period = 2, horizon = 2)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 4L, 512L, 168L, 194L, 1042L),
+      (8L, 1L, 556L, 0L, 0L, 556L)), s"$got")
+    // a pure period-2 alternation is absorbed by the seasonal slots: the
+    // level converges to the mean and the two slots to ± the amplitude
+    // direction (signs opposite) — the shape holt's single trend cannot hold
+    val alt = (1 to 14).map(d => (9L, ts(d), if (d % 2 == 0) 2.0 else 0.0))
+      .toDF("user_id", "ts", "value")
+    // horizon 1 from day 14 forecasts day 15 — an odd (low) day, slot 0,
+    // whose learned seasonal must be NEGATIVE; horizon 2 forecasts day 16
+    // — even (high), slot 1, positive. Level ≈ the 100-cent mean.
+    val hw1 = TimeSeries.holtWinters(alt, "user_id", "ts", "value",
+        1, 2, 1, 8, 1, 2, period = 2, horizon = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(hw1._5 < 0L, s"odd-day slot must be negative: $hw1")
+    val hw2 = TimeSeries.holtWinters(alt, "user_id", "ts", "value",
+        1, 2, 1, 8, 1, 2, period = 2, horizon = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(hw2._5 > 0L, s"even-day slot must be positive: $hw2")
+    assert(hw1._3 == hw2._3 && math.abs(hw1._3 - 100L) <= 20L,
+      s"level near the mean: $hw1")
+    intercept[IllegalArgumentException](
+      TimeSeries.holtWinters(events, "user_id", "ts", "value", period = 1))
+    intercept[IllegalArgumentException](
+      TimeSeries.holtWinters(events, "user_id", "ts", "value", gammaNum = 0))
+  }
+
   test("intervalIslands: overlap merges, touching merges, nesting collapses, gaps split") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 15L),   // overlap → one island
