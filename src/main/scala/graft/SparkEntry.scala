@@ -1510,6 +1510,28 @@ object SparkEntry {
           ev.where(col("user_id") <= 50), "user_id", d = 4, w = 1024)
         .orderBy("probe")
     },
+    "sketch_kmv_distinct" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // bottom-k distinct synopsis: per-type active (user, day) audience
+      // size from a 64-long sketch — the estimator branch is live (every
+      // type has ~1600 > k distinct pairs); bit-replayable md5 hashes
+      val ev = s.table("events")
+        .select(col("event_type"),
+          (col("user_id") * 1000 + dayofyear(col("ts"))).as("aud"))
+      pipeline.Sketches.kmvDistinct(ev, Seq("event_type"), "aud", k = 64)
+        .orderBy("event_type")
+    },
+    "sketch_kmv_overlap" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // audience overlap WITHOUT joining the corpora: pairwise Jaccard +
+      // union-size estimates between event types purely from their
+      // 64-long KMV sketches (true pairwise Jaccard here ≈ 0.22)
+      val ev = s.table("events")
+        .select(col("event_type"),
+          (col("user_id") * 1000 + dayofyear(col("ts"))).as("aud"))
+      pipeline.Sketches.kmvOverlap(ev, "event_type", "aud", k = 64)
+        .orderBy("group_a", "group_b")
+    },
     "pipeline_profile" -> { (s, dir) =>
       prep(s, dir, "documents")
       // per-column drift monitoring: one aggregate pass, rows unpivoted
@@ -4701,6 +4723,44 @@ object SparkEntry {
          SELECT probe, CAST(n_est AS BIGINT) AS n_est,
                 CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
          FROM e LEFT JOIN x USING (probe) ORDER BY probe""",
+    "sketch_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                      CAST('0x' || substr(md5('kmv:' || CAST(user_id * 1000 + dayofyear(ts) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              r AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                    FROM h),
+              s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kmv,
+                      max(CASE WHEN rn = 64 THEN hv END) AS kth_min
+                    FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type, n_kmv, kth_min,
+                CASE WHEN n_kmv < 64 THEN n_kmv
+                     ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // kth_min AS BIGINT) END AS n_distinct_est
+         FROM s ORDER BY event_type""",
+    "sketch_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                      CAST('0x' || substr(md5('kmv:' || CAST(user_id * 1000 + dayofyear(ts) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              r AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                    FROM h),
+              sk AS (SELECT event_type, list(hv ORDER BY hv) AS kmv
+                     FROM r WHERE rn <= 64 GROUP BY 1),
+              p AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+                      a.kmv AS ka, b.kmv AS kb,
+                      list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS lu
+                    FROM sk a JOIN sk b ON a.event_type < b.event_type),
+              m AS (SELECT group_a, group_b,
+                      CAST(len(ka) AS BIGINT) AS n_kmv_a,
+                      CAST(len(kb) AS BIGINT) AS n_kmv_b,
+                      CAST(len(list_filter(lu, x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT) AS inter_k,
+                      CAST(len(lu) AS BIGINT) AS ku, lu
+                    FROM p)
+         SELECT group_a, group_b, n_kmv_a, n_kmv_b, inter_k,
+                inter_k * 1000000 // ku AS jaccard_ppm,
+                CASE WHEN ku < 64 THEN ku
+                     ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // lu[64] AS BIGINT) END AS union_est
+         FROM m ORDER BY group_a, group_b""",
     "pipeline_profile" ->
       """SELECT col_name, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
                 n_nulls, n_distinct, min_value, max_value

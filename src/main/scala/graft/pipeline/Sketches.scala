@@ -153,4 +153,86 @@ object Sketches {
     est.join(exact, Seq("probe"), "left")
       .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
   }
+
+  /** KMV / bottom-k distinct-value synopsis per group (Bar-Yossef et
+    * al. RANDOM'02; Beyer, Haas, Reinwald, Sismanis & Gemulla,
+    * SIGMOD'07): the k smallest distinct `h60` hashes, ascending —
+    * where [[hllDistinct]] answers only "how many distinct", the KMV
+    * sketch is a uniform SAMPLE of the distinct-value space, so
+    * sketches COMPOSE across groups (the k smallest of a union are
+    * among the two sketches' values) and set overlap becomes a pure
+    * k-sized array computation ([[kmvOverlap]]). The aggregation state
+    * is a ≤ k TreeSet inside [[graft.functions.KmvSketch]]
+    * (ObjectHashAggregate ⇒ map-side partial: ≤ k longs per task cross
+    * the shuffle), mergeable and therefore streaming-native. Every
+    * value is integer and hash-derived — the sketch replays
+    * bit-for-bit in any engine with md5. */
+  def kmvSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    val agg = E.column(graft.functions.KmvSketch(
+      E.expression(h60(col(valueCol), "kmv")), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("kmv"))
+  }
+
+  /** Per-group distinct-count estimate off the KMV sketch: exact when
+    * the group has fewer than k distinct values (the sketch IS the
+    * distinct set), else the unbiased bottom-k estimator
+    * `(k−1)·2⁶⁰ DIV h_(k)` (Beyer et al. SIGMOD'07 §2.1 — the k-th
+    * smallest of n uniform draws on [0, 2⁶⁰) sits near k·2⁶⁰/n).
+    * DECIMAL(38,0) numerator: (k−1)·2⁶⁰ overflows a BIGINT at k ≥ 9.
+    * Output: groupCols…, `n_kmv`, `kth_min` (NULL in the exact
+    * regime), `n_distinct_est`. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 128): DataFrame = {
+    kmvSketches(df, groupCols, valueCol, k)
+      .withColumn("n_kmv", size(col("kmv")).cast("long"))
+      .withColumn("kth_min",
+        when(col("n_kmv") === k, element_at(col("kmv"), k)))
+      .withColumn("n_distinct_est", expr(
+        s"""CASE WHEN n_kmv < $k THEN n_kmv
+                 ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
+                           DIV CAST(kth_min AS DECIMAL(38,0)) AS BIGINT) END"""))
+      .select((groupCols.map(col) :+ col("n_kmv") :+ col("kth_min") :+
+        col("n_distinct_est")): _*)
+  }
+
+  /** Pairwise set-overlap estimation between groups from their KMV
+    * sketches alone — the corpus/audience-overlap question ("how much
+    * does source A's content overlap source B's?") WITHOUT ever joining
+    * the underlying data: the k smallest of A∪B are computable from the
+    * two sketches (union, dedup, retake bottom-k), they are a uniform
+    * sample of A∪B, and the fraction of them present in BOTH sketches
+    * estimates Jaccard (Beyer et al. SIGMOD'07 §5). Everything after
+    * the per-group aggregate is arithmetic over ≤ k-sized arrays on a
+    * groups²-row frame — group counts are bounded (sources, event
+    * types), the corpora never shuffle. The pair join is an explicitly
+    * broadcast-hinted inequality product of two sketch frames.
+    *
+    * Output per (group_a < group_b): `n_kmv_a, n_kmv_b, inter_k` (both-
+    * members among the union's bottom-k), `jaccard_ppm = 10⁶·inter_k
+    * DIV ku`, `union_est` (bottom-k estimator on the union sketch —
+    * exact when ku < k). All integer, hash-gateable. */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int = 128): DataFrame = {
+    val sk = kmvSketches(df, Seq(groupCol), valueCol, k)
+    val a = sk.select(col(groupCol).as("group_a"), col("kmv").as("__ka"))
+    val b = sk.select(col(groupCol).as("group_b"), col("kmv").as("__kb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .withColumn("__u",
+        expr(s"slice(array_sort(array_distinct(concat(__ka, __kb))), 1, $k)"))
+      .withColumn("ku", size(col("__u")).cast("long"))
+      .withColumn("inter_k", expr(
+        "CAST(size(filter(__u, h -> array_contains(__ka, h) AND array_contains(__kb, h))) AS BIGINT)"))
+      .select(col("group_a"), col("group_b"),
+        size(col("__ka")).cast("long").as("n_kmv_a"),
+        size(col("__kb")).cast("long").as("n_kmv_b"),
+        col("inter_k"),
+        expr("CAST((inter_k * 1000000) DIV ku AS BIGINT)").as("jaccard_ppm"),
+        expr(s"""CASE WHEN ku < $k THEN ku
+                      ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
+                                DIV CAST(element_at(__u, $k) AS DECIMAL(38,0)) AS BIGINT) END""")
+          .as("union_est"))
+  }
 }
