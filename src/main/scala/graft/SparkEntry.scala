@@ -1025,6 +1025,23 @@ object SparkEntry {
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     },
+    "emb_kmeans" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // distributed integer Lloyd k-means: deterministic md5 seeding,
+      // exact integer squared-Euclidean metric, 3 update rounds — the
+      // corpus-scale unsupervised twin of classPrototypes
+      pipeline.Clustering.kmeansAssign(s.table("embeddings"),
+          "vec_id", "embedding", k = 8, rounds = 3)
+        .orderBy("vec_id")
+    },
+    "emb_kmeans_summary" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // per-cluster size + mean inertia off the same clustering — the
+      // "did the clustering find structure" readout
+      pipeline.Clustering.kmeansSummary(s.table("embeddings"),
+          "vec_id", "embedding", k = 8, rounds = 3)
+        .orderBy("cluster")
+    },
     "dedup_semantic" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // SemDeDup: k-means-blocked embedding near-dup flags — rows-only
@@ -3128,6 +3145,61 @@ object SparkEntry {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Clustering.kmeansAssign]]/[[pipeline.Clustering.kmeansSummary]]:
+    * Lloyd rounds unrolled as chained CTEs. Seeds = bottom-k by
+    * (md5-h60, id) via row_number; assignment = per-vector (d², c)
+    * argmin over the centroid cross product; update = per-(cluster, dim)
+    * `Σqv[dim] // n` (HUGEINT sum — the DECIMAL(38,0) mirror), empty
+    * clusters keep the previous centroid via the LEFT JOIN coalesce.
+    * `dims` is pinned to the testdata's embedding width (the Spark op is
+    * width-agnostic; the replay needs the explicit range). */
+  private def kmeansOracleSql(k: Int, rounds: Int, dims: Int,
+                              summary: Boolean): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""a$i AS (SELECT vec_id, qv, c, d2 FROM (
+         |  SELECT vec_id, qv, c, d2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |  FROM (SELECT q.vec_id, q.qv, cc.c,
+         |          list_sum(list_transform(list_zip(q.qv, cc.cv),
+         |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         |        FROM q CROSS JOIN c${i - 1} cc)) WHERE rn = 1),
+         |c$i AS (SELECT p.c, coalesce(u.cv, p.cv) AS cv
+         |        FROM c${i - 1} p LEFT JOIN (
+         |          SELECT c, list(comp ORDER BY dim) AS cv FROM (
+         |            SELECT c, t.dim,
+         |              CAST(sum(CAST(qv[t.dim] AS HUGEINT)) // count(*) AS BIGINT) AS comp
+         |            FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim)
+         |            GROUP BY c, t.dim) GROUP BY c) u ON u.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""af AS (SELECT vec_id, c, d2 FROM (
+         |  SELECT vec_id, c, d2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |  FROM (SELECT q.vec_id, cc.c,
+         |          list_sum(list_transform(list_zip(q.qv, cc.cv),
+         |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         |        FROM q CROSS JOIN c$rounds cc)) WHERE rn = 1)""".stripMargin
+    val select =
+      if (summary)
+        """SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+          |       CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS mean_dist2
+          |FROM af GROUP BY c ORDER BY cluster""".stripMargin
+      else
+        "SELECT vec_id, c AS cluster, d2 AS dist2 FROM af ORDER BY vec_id"
+    s"""WITH q AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT qv,
+       |            row_number() OVER (ORDER BY
+       |              CAST('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |              vec_id) - 1 AS c
+       |          FROM q),
+       |c0 AS (SELECT c, qv AS cv FROM seeds WHERE c < $k),
+       |$roundCtes,
+       |$fin
+       |$select""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.Search.rboPrefix]] for `search_rbo`:
     * the same integer weight table W(m) = Σ_{k=m..d} (lcm/k)·2^(d−k),
     * generated by the same arithmetic. */
@@ -3164,6 +3236,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
+    "emb_kmeans" -> kmeansOracleSql(8, 3, 64, summary = false),
+    "emb_kmeans_summary" -> kmeansOracleSql(8, 3, 64, summary = true),
     "search_rbo" -> rboOracleSql,
     "src_csv_roundtrip" ->
       """SELECT tricky, count(*) AS n,

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over integer-quantized embeddings —
+  * deterministic and bit-replayable, the unsupervised twin of
+  * [[Similarity.classPrototypes]] (which needs labels).
+  *
+  * Where the IVF coarse quantizer ([[Similarity.trainCentroids]]) runs
+  * k-means on a bounded DRIVER sample to build an index, this is the
+  * corpus-scale clustering op itself: every assignment pass and every
+  * moment aggregation is a distributed Spark job over the full corpus;
+  * only the k×d centroid table (KB-scale by definition, independent of
+  * corpus size — the MLlib KMeans architecture and the repo's bounded
+  * driver-artifact convention) crosses the driver between rounds.
+  *
+  * Determinism/replayability (the whole family's contract):
+  *  - vectors quantize to `floor(x·10⁶)` longs ([[Dedup.quantize]]);
+  *  - the k seeds are the vectors with the k SMALLEST md5-derived
+  *    `h60("km:" ∥ id)` hashes (ties → smaller id) — a uniform random
+  *    draw both engines can replay with `row_number`; cluster id =
+  *    position in that hash order (0-based);
+  *  - distance is EXACT integer squared Euclidean via the dot-product
+  *    identity `d² = x·x − 2·x·c + c·c` (three [[graft.functions.QuantizedDot]]
+  *    tight loops; |q| ≤ ~2·10⁶ ⇒ per-dim ≤ 4·10¹², ×4096 dims still
+  *    < 2⁶³ — no floats anywhere in the metric);
+  *  - argmin ties break to the smaller cluster id
+  *    (`min(struct(d², c))` — an AGGREGATE, never a per-vector sort);
+  *  - centroid update is `Σq_d DIV n` per (cluster, dim) with the sum
+  *    in DECIMAL(38,0) (overflow-safe to any corpus size), truncating
+  *    integral division identical in Spark and DuckDB; a cluster that
+  *    captured no vectors keeps its previous centroid (replayable —
+  *    no re-seeding randomness).
+  *
+  * Fixed `rounds` update cycles (the pageRank fixed-horizon discipline:
+  * a data-dependent convergence test would make the output depend on
+  * float drift; k-means converges monotonically so a short horizon is
+  * the standard production cut), then one final assignment against the
+  * final centroids. The corpus frame is materialized ONCE and reused by
+  * every round (rounds × 2 passes over it, O(1) shuffles each — never a
+  * growing lineage).
+  */
+object Clustering {
+
+  import org.apache.spark.sql.graftshim.{GraftShim => E}
+
+  private def qdot(a: Column, b: Column): Column =
+    E.column(graft.functions.QuantizedDot(E.expression(a), E.expression(b)))
+
+  private def h60(v: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), v.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Per-vector assignment under the final centroids:
+    * `(vec_id, cluster, dist2)`. `rounds` = Lloyd update cycles run
+    * before the output pass. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    val (q, cents) = kmeansCentroids(emb, idCol, vecCol, k, rounds)
+    assign(q, centFrame(q.sparkSession, cents))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** Per-cluster rollup under the final centroids: `(cluster, n_members,
+    * mean_dist2)` — mean inertia per member (`Σd² DIV n` in
+    * DECIMAL(38,0), so the rollup is exact at any corpus size while the
+    * output stays a BIGINT bounded by max d², not by n·d²). */
+  def kmeansSummary(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, rounds: Int): DataFrame = {
+    kmeansAssign(emb, idCol, vecCol, k, rounds)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        expr("CAST(sum(CAST(dist2 AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_dist2"))
+  }
+
+  /** The quantized corpus (materialized, with hoisted `__nx2 = x·x`) and
+    * the final centroid table `(cluster, components)` after `rounds`
+    * Lloyd updates. Exposed for reuse (e.g. scoring a NEW batch against
+    * a trained clustering). */
+  private[pipeline] def kmeansCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): (DataFrame, Seq[(Long, Array[Long])]) = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    require(rounds >= 0 && rounds <= 64,
+      s"rounds must be in [0, 64], got $rounds")
+    val q = Materialize(
+      emb.where(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("vec_id"),
+          Dedup.quantize(col(vecCol)).as("__qv"))
+        .withColumn("__nx2", qdot(col("__qv"), col("__qv"))))
+    // seeds: bottom-k by (h60, id) — a TakeOrdered, never a full sort
+    val seedRows = q
+      .select(col("vec_id"), col("__qv"), h60(col("vec_id"), "km").as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .select(col("__qv")).collect()
+    var cents: Seq[(Long, Array[Long])] = seedRows.zipWithIndex.map {
+      case (r, i) =>
+        (i.toLong, r.getSeq[Long](0).toArray)
+    }.toSeq
+    val spark = q.sparkSession
+    (0 until rounds).foreach { _ =>
+      val upd = assign(q, centFrame(spark, cents))
+        .select(col("cluster"), posexplode(col("__qv")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(expr("CAST(sum(CAST(v AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          (c, rows.sortBy(_.getInt(1)).map(_.getLong(2)))
+        }
+      cents = cents.map { case (c, old) => (c, upd.getOrElse(c, old)) }
+    }
+    (q, cents)
+  }
+
+  private def centFrame(spark: org.apache.spark.sql.SparkSession,
+                        cents: Seq[(Long, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (c, v) => (c, v.toSeq, v.map(x => x * x).sum) }
+      .toDF("cluster", "__qc", "__nc2")
+  }
+
+  /** Nearest-centroid assignment: broadcast-hinted product with the
+    * k-row centroid table, `d² = __nx2 − 2·dot + __nc2`, per-vector
+    * argmin as `min(struct(d², cluster, __qv))` — cluster is unique so
+    * the trailing vector never participates in the ordering; it rides
+    * along to spare the update pass a second join back to the corpus. */
+  private def assign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("__d2",
+        col("__nx2") - lit(2L) * qdot(col("__qv"), col("__qc")) + col("__nc2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__d2"), col("cluster"), col("__qv"))).as("__b"))
+      .select(col("vec_id"), col("__b.__d2").as("dist2"),
+        col("__b.cluster").as("cluster"), col("__b.__qv").as("__qv"))
+}

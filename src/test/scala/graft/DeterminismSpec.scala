@@ -117,7 +117,10 @@ class DeterminismSpec extends AnyFunSuite {
     // list-join scored candidates + dual argmax, benchmark-broadcast
     // nearest argmax, PCM chunk-walk scans, contracted-graph group fold
     "multimodal_meta", "multimodal_frame_phash", "multimodal_pcm_silence",
-    "emb_mutual_pairs_blocked", "emb_decontam", "multimodal_image_stats")
+    "emb_mutual_pairs_blocked", "emb_decontam", "multimodal_image_stats",
+    // r8 continued: TreeSet bottom-k sketch merges + sketch-pair overlap
+    // arithmetic; per-round Lloyd argmin + centroid floor-div collect
+    "sketch_kmv_distinct", "sketch_kmv_overlap", "emb_kmeans")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

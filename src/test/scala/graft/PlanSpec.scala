@@ -428,4 +428,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a TakeOrdered, not a global sort:\n$plan")
   }
+
+  test("emb_kmeans plan: centroid table broadcasts, argmin is an aggregate, no window/SMJ") {
+    val plan = SparkEntry.queries("emb_kmeans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the k-row centroid frame must BROADCAST against the corpus (the
+    // corpus never shuffles for assignment) and the per-vector nearest
+    // centroid is a min(struct) AGGREGATE — a per-vector window sort or
+    // a sort-merge join of vector rows is the 100 TB killer here
+    assert(plan.contains("BroadcastNestedLoop"),
+      s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no per-vector window sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no SMJ of vector rows in assignment:\n$plan")
+  }
 }
