@@ -1238,6 +1238,14 @@ object SparkEntry {
         .withColumn("n", col("n").cast("long"))
         .orderBy(col("n").desc, col("token"))
     },
+    "text_word_entropy" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-doc word-distribution Shannon entropy in 64ths of a bit
+      // (the idf64 fixed-point log2 grade) — the repetition/diversity
+      // screen, transcendental-free hence hash-gateable
+      pipeline.TextAnalysis.wordEntropy(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "text_decontam" -> { (s, dir) =>
       prep(s, dir, "documents")
       // benchmark decontamination with planted leakage: the "benchmark" is a
@@ -1548,6 +1556,13 @@ object SparkEntry {
           (col("user_id") * 1000 + dayofyear(col("ts"))).as("aud"))
       pipeline.Sketches.kmvOverlap(ev, "event_type", "aud", k = 64)
         .orderBy("group_a", "group_b")
+    },
+    "pipeline_skew_audit" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // "will user_id explode a shuffle": heaviest-key bound, top-10
+      // share, Gini of the per-key count distribution — all integer,
+      // computed exactly on the collapsed count-of-counts frame
+      pipeline.Maintenance.skewAudit(s.table("events"), "user_id", topK = 10)
     },
     "pipeline_profile" -> { (s, dir) =>
       prep(s, dir, "documents")
@@ -4408,6 +4423,45 @@ object SparkEntry {
              FROM documents) u
            GROUP BY token) g
          ORDER BY n DESC, token LIMIT 100""",
+    "text_word_entropy" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS wd
+                    FROM documents),
+              c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1, 2),
+              a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nw,
+                      sum(n * (64 * length(printf('%b', n))
+                               + (n * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', n)) - 1))
+                               - 64)) AS s
+                    FROM c GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+                CAST((nw * (64 * length(printf('%b', nw))
+                            + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
+                            - 64) - s) // nw AS BIGINT) AS entropy64
+         FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_skew_audit" ->
+      """WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                     FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              coc AS (SELECT n, CAST(count(*) AS BIGINT) AS m FROM pk GROUP BY 1),
+              w AS (SELECT n, m,
+                      coalesce(sum(m) OVER (ORDER BY n
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+                      coalesce(sum(m) OVER (ORDER BY n DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+                    FROM coc),
+              a AS (SELECT sum(m) AS kk, sum(n * m) AS s,
+                      sum(CAST(n AS HUGEINT) *
+                          (CAST(m AS HUGEINT) * p + CAST(m AS HUGEINT) * (m + 1) // 2)) AS ranksum,
+                      max(n) AS mx,
+                      sum(n * greatest(0, least(m, 10 - cp))) AS st
+                    FROM w)
+         SELECT CAST(kk AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS n_rows,
+                CAST(mx AS BIGINT) AS max_n,
+                CAST((CAST(st AS HUGEINT) * 1000000) // s AS BIGINT) AS top_share_ppm,
+                CAST((2 * ranksum * 1000000 - (CAST(kk AS HUGEINT) + 1) * s * 1000000)
+                     // (CAST(kk AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+         FROM a WHERE kk IS NOT NULL""",
     "text_decontam" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

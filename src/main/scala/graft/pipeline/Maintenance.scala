@@ -116,6 +116,69 @@ object Maintenance {
         expr("CAST((n_30d * 1000000) DIV n_rows AS BIGINT)").as("share_30d_ppm"))
   }
 
+  /** Partition/join-KEY skew audit: the "will this key explode a
+    * shuffle" pre-flight for the 1000-executor cluster, as one integer
+    * summary row — `n_keys, n_rows, max_n` (the heaviest key's row
+    * count: the straggler-task bound), `top_share_ppm` (the `topK`
+    * heaviest keys' share of all rows: how much salting would help),
+    * and `gini_ppm` (the Gini coefficient of the per-key count
+    * distribution: 0 = perfectly uniform, →10⁶ = one key owns
+    * everything).
+    *
+    * Scale shape: per-key counts (one partial-aggregated shuffle) fold
+    * immediately into the COUNT-OF-COUNTS frame — distinct count
+    * VALUES, which repeat heavily at scale, so the frame is bounded the
+    * way ksTest's distinct-value frame is — and BOTH the Gini rank sum
+    * and the top-K share are computed exactly on that collapsed frame:
+    * a run of `m` keys all with count `n` starting at cumulative
+    * 1-based rank `p+1` contributes `n·(m·p + m(m+1)/2)` to Σ rankᵢ·xᵢ,
+    * and `n·min(m, topK − cum_above)` to the top-K total. The two
+    * single-partition windows run over that collapsed frame ONLY (the
+    * ksTest/skyline discipline, plan-asserted there), never over keys.
+    * All moments in DECIMAL(38,0) (`m·p` alone overflows BIGINT at
+    * ~10⁹ keys); Gini via the rank identity
+    * `G = (2·Σ rankᵢ·xᵢ − (K+1)·S) / (K·S)` with truncating DIV.
+    * NULL keys are excluded (a NULL join key doesn't collide — it
+    * drops). Empty input → zero rows, never a NULL row. */
+  def skewAudit(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val coc = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .groupBy("__n").agg(count(lit(1)).as("__m"))
+    val before = Window.orderBy("__n")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = Window.orderBy(col("__n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    coc
+      .withColumn("__p", coalesce(sum("__m").over(before), lit(0L)))
+      .withColumn("__cp", coalesce(sum("__m").over(above), lit(0L)))
+      .agg(
+        sum("__m").as("__kk"),
+        sum(expr("__n * __m")).as("__s"),
+        sum(expr(
+          """CAST(__n AS DECIMAL(38,0)) *
+             (CAST(__m AS DECIMAL(38,0)) * __p +
+              CAST(__m AS DECIMAL(38,0)) * (__m + 1) DIV 2)"""))
+          .as("__ranksum"),
+        max("__n").as("__mx"),
+        sum(expr(s"__n * greatest(0L, least(__m, ${topK}L - __cp))"))
+          .as("__st"))
+      .where(col("__kk").isNotNull)
+      .select(
+        col("__kk").as("n_keys"), col("__s").as("n_rows"),
+        col("__mx").as("max_n"),
+        expr("CAST((CAST(__st AS DECIMAL(38,0)) * 1000000) DIV __s AS BIGINT)")
+          .as("top_share_ppm"),
+        expr(
+          """CAST((2 * __ranksum * 1000000 -
+                   (CAST(__kk AS DECIMAL(38,0)) + 1) * __s * 1000000)
+                  DIV (CAST(__kk AS DECIMAL(38,0)) * __s) AS BIGINT)""")
+          .as("gini_ppm"))
+  }
+
   /** BENFORD first-digit audit: the distribution of leading significant
     * digits of a positive integral column against Benford's law — the
     * classic fabricated-data / unit-mixup / truncated-export smell test

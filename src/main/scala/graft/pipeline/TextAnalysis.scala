@@ -292,6 +292,40 @@ object TextAnalysis {
       .withColumn("cum_vocab", sum("new_tokens").over(w))
   }
 
+  /** Per-doc Shannon entropy of the WORD distribution, in 64ths of a bit
+    * — the repetition/diversity screen (keyword-stuffed, templated, or
+    * looping text scores low even when char-level stats look normal;
+    * natural prose lands near log₂ of its effective vocabulary).
+    *
+    * Transcendental-free: uses the r8 BM25 fixed-point base-2 grade
+    * (`Search` idf64 — `lg64(x) = 64·bitlen(x) + (x·64) DIV 2^(bitlen−1)
+    * − 64` ≈ 64·(log₂x + 1)), and the entropy identity
+    * `Σ nᵢ·(lg N − lg nᵢ) = N·lg64(N) − Σ nᵢ·lg64(nᵢ)` (the +64 offsets
+    * cancel), so the whole signal is one integer per doc, hash-replayable
+    * in any engine with a binary-representation builtin. Resolution
+    * 1/64 bit; `entropy64 = 64·H_bits ± the grade's affine error`.
+    *
+    * Plan: one explode → (doc, word) counts → one per-doc aggregate —
+    * both groupBys partial-aggregate map-side, no window, stream-safe.
+    * Magnitudes: `n·lg64(n)` ≤ N·lg64(N) — per-DOC bounded (docs are
+    * MB-scale by nature), long-safe. Docs with no words: `n_words = 0`,
+    * `entropy64` NULL (the left-join convention). */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def lg64(x: String) =
+      s"(64L * CAST(length(bin($x)) AS BIGINT) + ($x * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
+    val ent = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__nw"),
+        sum(expr(s"__n * ${lg64("__n")}")).as("__s"))
+      .select(col(idCol), col("__nw"),
+        expr(s"(__nw * ${lg64("__nw")} - __s) DIV __nw").as("entropy64"))
+    df.select(col(idCol)).join(ent, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nw"), lit(0L)).as("n_words"),
+        col("entropy64"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, topN: Int = 100): DataFrame =
     df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))

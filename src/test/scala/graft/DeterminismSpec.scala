@@ -120,7 +120,10 @@ class DeterminismSpec extends AnyFunSuite {
     "emb_mutual_pairs_blocked", "emb_decontam", "multimodal_image_stats",
     // r8 continued: TreeSet bottom-k sketch merges + sketch-pair overlap
     // arithmetic; per-round Lloyd argmin + centroid floor-div collect
-    "sketch_kmv_distinct", "sketch_kmv_overlap", "emb_kmeans")
+    "sketch_kmv_distinct", "sketch_kmv_overlap", "emb_kmeans",
+    // two-level collapse + dual single-partition cumulative windows;
+    // per-(doc,word) counts folding through the integer log grade
+    "pipeline_skew_audit", "text_word_entropy")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

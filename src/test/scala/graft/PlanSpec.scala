@@ -429,6 +429,21 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be a TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("pipeline_skew_audit plan: windows run over the count-of-counts collapse, never keys") {
+    val plan = SparkEntry.queries("pipeline_skew_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the ksTest rule: each single-partition cumulative window must sit
+    // above the two-level aggregate (per-key counts → count-of-counts);
+    // if either collapse vanished, Gini re-became a single-reducer sort
+    // of the per-key frame
+    val lines = plan.linesIterator.toSeq
+    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(spIdx >= 0, s"no single-partition window input:\n$plan")
+    assert(lines.drop(spIdx).count(l => l.contains("HashAggregate")) >= 2,
+      s"window input is not the count-of-counts collapse:\n$plan")
+    assert(!plan.contains("Join"), s"scalar combine must not join:\n$plan")
+  }
+
   test("emb_kmeans plan: centroid table broadcasts, argmin is an aggregate, no window/SMJ") {
     val plan = SparkEntry.queries("emb_kmeans")(spark, sf)
       .queryExecution.executedPlan.toString

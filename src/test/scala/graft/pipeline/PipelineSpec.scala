@@ -2765,4 +2765,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == Set(0L), s"label 9 must vanish: $got")
     assert(got.size == 2, s"$got")
   }
+
+  test("wordEntropy: exact 64ths-of-a-bit at power-of-two vocab, 0 when repetitive, NULL when empty") {
+    // lg64 is EXACT at powers of two: k distinct words once each →
+    // entropy64 = 64·log2(k); one word repeated → 0; no words → NULL
+    val docs = Seq(
+      (1L, "aa bb cc dd"),           // 4 distinct → 64·2 = 128
+      (2L, "aa aa aa aa aa"),        // 1 distinct → 0
+      (3L, "aa bb aa bb aa bb aa bb"), // 2 distinct, uniform → 64
+      (4L, "   "),                   // no words
+      (5L, "a b c d e f g h")        // 8 distinct → 64·3 = 192
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, Some(128L)), (2L, 5L, Some(0L)), (3L, 8L, Some(64L)),
+      (4L, 0L, None), (5L, 8L, Some(192L))))
+  }
+
+  test("wordEntropy ranks diverse text above templated text") {
+    val docs = Seq(
+      (1L, "click here to win click here to win click here to win"),
+      (2L, "the quarterly report shows revenue growth across several regional markets")
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(e(2L) > e(1L), s"templated doc must score lower: $e")
+  }
+
+  test("skewAudit: hand-computed Gini, top-share, straggler bound; NULLs excluded") {
+    // counts {a:4, b:1, c:1}: K=3, S=6, sorted ranksum = 1·1+1·2+4·3 = 15
+    // G = (2·15 − 4·6)/(3·6) = 1/3 → 333333 ppm (truncating DIV)
+    val df = (Seq.fill(4)("a") ++ Seq("b", "c") ++ Seq(null.asInstanceOf[String]))
+      .toDF("k")
+    val got = Maintenance.skewAudit(df, "k", topK = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 6L, 4L, 1000000L, 333333L)), s"$got")
+    val top1 = Maintenance.skewAudit(df, "k", topK = 1)
+      .select("top_share_ppm").as[Long].collect().head
+    assert(top1 == 666666L, "top-1 share = 4/6")
+  }
+
+  test("skewAudit: uniform keys → Gini 0; ties inside the count-of-counts block stay exact") {
+    val df = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val got = Maintenance.skewAudit(df, "k", topK = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // top-2 of 3 uniform keys = 4/6 → 666666 ppm
+    assert(got == Seq((3L, 6L, 2L, 666666L, 0L)), s"$got")
+  }
+
+  test("skewAudit: empty input emits ZERO rows, never a NULL row") {
+    val df = Seq.empty[String].toDF("k")
+    assert(Maintenance.skewAudit(df, "k").collect().isEmpty)
+  }
+
+  test("skewAudit agrees with a literal per-key replay on random skewed data") {
+    val keys = (1 to 2000).map(i =>
+      (graft.functions.Mix.splitmix64(0x5ca1eL + i) % 100 match {
+        case m if m < 0 => -m; case m => m
+      }) match { case m => (m * m / 100).toString }) // quadratic skew
+    val df = keys.toDF("k").repartition(7)
+    val got = Maintenance.skewAudit(df, "k", topK = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // literal replay
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    val sorted = counts.sorted
+    val kk = counts.size.toLong
+    val s = counts.sum
+    val ranksum = sorted.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+    val gini = ((2 * ranksum * 1000000 - BigInt(kk + 1) * s * 1000000) /
+      (BigInt(kk) * s)).toLong
+    val topShare = sorted.reverse.take(5).sum * 1000000L / s
+    assert(got == ((kk, s, sorted.max, topShare, gini)), s"$got")
+  }
 }
