@@ -360,6 +360,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV sketch folds incrementally on a stream: audience overlap without storing members") {
+    // the r8 bottom-k synopsis is a TypedImperativeAggregate too — a live
+    // per-source distinct-audience sketch costs <= k longs of state per
+    // group, and after every micro-batch equals the batch sketch of all
+    // rows so far (exact merge, no approximation in the state fold)
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    src.addData(("a", 1L), ("a", 2L), ("b", 2L))
+    val df = src.toDF().toDF("g", "v")
+    val q = graft.pipeline.Sketches.kmvSketches(df, Seq("g"), "v", k = 8)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream_out").start()
+    try {
+      q.processAllAvailable()
+      src.addData(("a", 2L), ("a", 3L), ("b", 9L))
+      q.processAllAvailable()
+      val got = spark.table("kmv_stream_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val batch = graft.pipeline.Sketches.kmvSketches(
+          Seq(("a", 1L), ("a", 2L), ("b", 2L), ("a", 2L), ("a", 3L), ("b", 9L))
+            .toDF("g", "v"), Seq("g"), "v", k = 8)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == batch,
+        s"streaming KMV state must equal the batch sketch: $got vs $batch")
+      assert(got("a").size == 3 && got("b").size == 2, "dedup inside the state")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attributed to views within 20 minutes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
