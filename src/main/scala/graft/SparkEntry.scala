@@ -1557,6 +1557,14 @@ object SparkEntry {
       pipeline.Sketches.kmvOverlap(ev, "event_type", "aud", k = 64)
         .orderBy("group_a", "group_b")
     },
+    "pipeline_shuffle_shards" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // deterministic global training shuffle: md5-keyed permutation →
+      // shard + within-shard position; epoch-keyed, restart-resumable
+      pipeline.Layout.shuffleShards(s.table("documents"), "doc_id",
+          nShards = 16, epoch = 1)
+        .orderBy("shard", "pos")
+    },
     "pipeline_skew_audit" -> { (s, dir) =>
       prep(s, dir, "events")
       // "will user_id explode a shuffle": heaviest-key bound, top-10
@@ -1668,6 +1676,15 @@ object SparkEntry {
       // oracle replays the builder arithmetic
       val media = pipeline.Multimodal.synthesizeGridPayloads(s.table("documents"), "doc_id")
       pipeline.Multimodal.imageStats(s, media)
+        .orderBy("doc_id")
+    },
+    "multimodal_sharpness" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL Sobel gradient energy off the decoded raster — the blur /
+      // flat screen; oracle replays the planted grid at pixel level
+      // while the query runs encode→decode→convolve on actual PNGs
+      val media = pipeline.Multimodal.synthesizeGridPayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.sobelEnergy(s, media)
         .orderBy("doc_id")
     },
     "multimodal_frame_phash" -> { (s, dir) =>
@@ -3160,6 +3177,29 @@ object SparkEntry {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Multimodal.sobelEnergy]] over the
+    * planted-grid payloads: pixel (x, y) of the ×4-replicated 36×32
+    * raster carries `gridCell(doc_id, (y DIV 4)·9 + (x DIV 4))`, so the
+    * 3×3 Sobel unrolls to eight inline evaluations of the cell formula
+    * per interior pixel — the oracle convolves the ARITHMETIC the
+    * builder planted while the Spark query convolves really-decoded
+    * PNG pixels. */
+  private def sobelOracleSql: String = {
+    def v(dx: Int, dy: Int) = {
+      val k = s"(((y + ${dy}) // 4) * 9 + ((x + ${dx}) // 4))"
+      s"(((doc_id // 8) * 31 + $k * 131) % 248 + CASE WHEN $k = doc_id % 72 THEN doc_id % 8 ELSE 0 END)"
+    }
+    val gx = s"((${v(1, -1)} + 2*${v(1, 0)} + ${v(1, 1)}) - (${v(-1, -1)} + 2*${v(-1, 0)} + ${v(-1, 1)}))"
+    val gy = s"((${v(-1, 1)} + 2*${v(0, 1)} + ${v(1, 1)}) - (${v(-1, -1)} + 2*${v(0, -1)} + ${v(1, -1)}))"
+    s"""WITH px AS (SELECT doc_id, xs.x AS x, ys.y AS y FROM documents,
+       |             generate_series(1, 34) xs(x), generate_series(1, 30) ys(y)),
+       |     g AS (SELECT doc_id, abs($gx) + abs($gy) AS e FROM px)
+       |SELECT doc_id, CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+       |       CAST(sum(e) AS BIGINT) AS edge_energy,
+       |       CAST(sum(e) // 1020 AS BIGINT) AS mean_grad
+       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.Clustering.kmeansAssign]]/[[pipeline.Clustering.kmeansSummary]]:
     * Lloyd rounds unrolled as chained CTEs. Seeds = bottom-k by
     * (md5-h60, id) via row_number; assignment = per-vector (d², c)
@@ -3251,6 +3291,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
+    "multimodal_sharpness" -> sobelOracleSql,
     "emb_kmeans" -> kmeansOracleSql(8, 3, 64, summary = false),
     "emb_kmeans_summary" -> kmeansOracleSql(8, 3, 64, summary = true),
     "search_rbo" -> rboOracleSql,
@@ -4440,6 +4481,13 @@ object SparkEntry {
                             + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
                             - 64) - s) // nw AS BIGINT) AS entropy64
          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+                      CAST('0x' || substr(md5('shuf:1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                    FROM documents)
+         SELECT doc_id, hv % 16 AS shard,
+                CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY shard, pos""",
     "pipeline_skew_audit" ->
       """WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
                      FROM events WHERE user_id IS NOT NULL GROUP BY 1),

@@ -84,6 +84,38 @@ object Layout {
     * effectiveness is measurable (and spec-assertable) instead of guessed:
     * a file prunes for predicate `c BETWEEN a AND b` iff its [min,max]
     * misses [a,b]. */
+  /** Deterministic GLOBAL training shuffle, materialized as shard +
+    * within-shard position — the "shuffle the corpus before the trainer
+    * streams it" op. Epoch-over-epoch identical, resumable, and
+    * replayable in any engine: order is the md5-derived
+    * `h60("shuf:" ∥ epoch ∥ ":" ∥ id)` hash (a uniform pseudo-random
+    * permutation keyed by `epoch` — a new epoch is a NEW independent
+    * shuffle, no state), `shard = h mod nShards`, `pos` = rank within
+    * the shard by `(h, id)`.
+    *
+    * Scale shape: this is sort-by-hash sharding, not a global sort —
+    * one exchange on `shard` and a per-shard window sort, parallel
+    * across shards; pick `nShards` ≥ the writer parallelism so each
+    * shard is one task's worth (the trainer reads shards concurrently
+    * and walks `pos` within each, which is exactly the layout
+    * `partitionBy(shard) + sortWithinPartitions(pos)` writes). No
+    * random() anywhere — re-running any slice of the pipeline yields
+    * the identical order, so a mid-epoch restart resumes instead of
+    * reshuffling. Output: idCol, `shard`, `pos`. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    epoch: Int = 0): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(
+      concat(lit(s"shuf:$epoch:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy("__h", idCol)
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def fileStats(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(dir)

@@ -340,6 +340,46 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "luma_min", "luma_max", "luma_mean")
   }
 
+  /** REAL Sobel gradient energy off the full decoded raster — the
+    * blur/flat screen of the image-curation battery (a sharp image has
+    * high local gradient; a defocused or solid frame collapses toward
+    * zero — the standard cheap "drop blurry scans before the GPU sees
+    * them" pass). Classic 3×3 Sobel over interior pixels, energy =
+    * Σ(|Gx| + |Gy|), all integer (|G| ≤ 8·255·2 per pixel — long-safe to
+    * gigapixel rasters); `mean_grad = energy DIV interior` normalizes
+    * across sizes. Images too small for an interior (the 1×1 tracking
+    * pixel) read 0/0, not an error. Output: `doc_id, width, height,
+    * edge_energy, mean_grad`. On the replicated-grid payloads the
+    * decoded raster IS the planted grid ×4, so the oracle replays the
+    * builder arithmetic at pixel level while the query runs the real
+    * encode→decode→convolve pipeline. */
+  def sobelEnergy(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        val luma = decodeLuma(r.payload)
+        val h = luma.length
+        val w = luma(0).length
+        var sum = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = (luma(y - 1)(x + 1) + 2 * luma(y)(x + 1) + luma(y + 1)(x + 1)) -
+              (luma(y - 1)(x - 1) + 2 * luma(y)(x - 1) + luma(y + 1)(x - 1))
+            val gy = (luma(y + 1)(x - 1) + 2 * luma(y + 1)(x) + luma(y + 1)(x + 1)) -
+              (luma(y - 1)(x - 1) + 2 * luma(y - 1)(x) + luma(y - 1)(x + 1))
+            sum += math.abs(gx) + math.abs(gy)
+            x += 1
+          }
+          y += 1
+        }
+        val interior = (w - 2).toLong * (h - 2)
+        (r.doc_id, w, h, sum, if (interior > 0) sum / interior else 0L)
+      }
+    }.toDF("doc_id", "width", "height", "edge_energy", "mean_grad")
+  }
+
   /** REAL per-frame dHash over animated containers — the video-style
     * frame-level near-dup pass: every image descriptor decodes through
     * the same luma → 9×8 box grid → dHash chain as [[grayDHash]], one

@@ -123,7 +123,10 @@ class DeterminismSpec extends AnyFunSuite {
     "sketch_kmv_distinct", "sketch_kmv_overlap", "emb_kmeans",
     // two-level collapse + dual single-partition cumulative windows;
     // per-(doc,word) counts folding through the integer log grade
-    "pipeline_skew_audit", "text_word_entropy")
+    "pipeline_skew_audit", "text_word_entropy",
+    // real decode → integer convolution; md5-keyed permutation + per-shard
+    // window rank
+    "multimodal_sharpness", "pipeline_shuffle_shards")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -63,4 +63,42 @@ class LayoutSpec extends AnyFunSuite {
     Layout.zorderWrite(df, Seq("a", "b"), dir, numFiles = 2, bits = 4)
     assert(spark.read.parquet(dir).count() == 3, "rows with NULL z-cols must survive")
   }
+
+  test("shuffleShards: a complete permutation — contiguous positions, balanced shards, md5 order") {
+    val ids = (1L to 2000L)
+    val got = Layout.shuffleShards(ids.toDF("doc_id").repartition(9), "doc_id",
+        nShards = 16, epoch = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1).sorted == ids.toSeq, "every id exactly once")
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet == (0L until 16L).toSet, "all shards populated")
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq,
+        s"shard $s positions must be contiguous from 1")
+      // 2000/16 = 125 expected; 4σ of binomial(2000, 1/16) ≈ 44
+      assert(math.abs(rows.size - 125) <= 50, s"shard $s holds ${rows.size}")
+    }
+    // order parity with a literal md5 replay
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuf:0:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val expect = ids.map(i => (i, h(i))).groupBy(_._2 % 16).flatMap {
+      case (s, members) =>
+        members.sortBy { case (id, hv) => (hv, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, s, i + 1L) }
+    }.toSet
+    assert(got.toSet == expect, "md5-order parity with the literal replay")
+  }
+
+  test("shuffleShards: a new epoch is an independent permutation; same epoch is identical") {
+    val ids = (1L to 400L).toDF("doc_id")
+    def run(e: Int) = Layout.shuffleShards(ids, "doc_id", nShards = 4, epoch = e)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val e0a = run(0); val e0b = run(0); val e1 = run(1)
+    assert(e0a == e0b, "same epoch replays identically — restart resumes, never reshuffles")
+    assert(e0a != e1, "a new epoch must re-permute")
+    assert(e0a.map(r => (r._2, r._3)).toSet != e1.map(r => (r._2, r._3)).toSet ||
+      e0a.map(_._1) == e1.map(_._1), "different slot assignment across epochs")
+  }
 }

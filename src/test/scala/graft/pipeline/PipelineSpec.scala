@@ -534,6 +534,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == 0L, s"tracking-pixel dhash = ${got(2L)}")
   }
 
+  test("sobelEnergy pins: flat = 0, hand-computed step edge, 1×1 pixel reads 0/0") {
+    import java.awt.image.BufferedImage
+    val flat = new BufferedImage(5, 5, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 5; x <- 0 until 5) flat.getRaster.setSample(x, y, 0, 77)
+    // 4×3 vertical step 0|0|255|255: both interior pixels see Gx = 4·255,
+    // Gy = 0 → energy = 2040, mean = 2040 / 2 = 1020
+    val step = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4)
+      step.getRaster.setSample(x, y, 0, if (x >= 2) 255 else 0)
+    val px = new BufferedImage(1, 1, BufferedImage.TYPE_BYTE_GRAY)
+    val media = Seq((1L, Multimodal.encodePng(flat)), (2L, Multimodal.encodePng(step)),
+      (3L, Multimodal.encodePng(px))).toDF("doc_id", "payload")
+    val got = Multimodal.sobelEnergy(spark, media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((5, 5, 0L, 0L)), s"flat image: ${got(1L)}")
+    assert(got(2L) == ((4, 3, 2040L, 1020L)), s"step edge: ${got(2L)}")
+    assert(got(3L) == ((1, 1, 0L, 0L)), s"tracking pixel: ${got(3L)}")
+  }
+
   test("decodeLuma: R=G=B gray encoded as RGB recovers the gray value EXACTLY") {
     // the integer luma weights sum to 256: (77v + 150v + 29v) >> 8 = v
     import java.awt.image.BufferedImage
