@@ -1535,6 +1535,14 @@ object SparkEntry {
           ev.where(col("user_id") <= 50), "user_id", d = 4, w = 1024)
         .orderBy("probe")
     },
+    "sketch_hll_rolling" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // trailing-7-day distinct users per day by HLL register merge —
+      // the bounded-state WAU at any corpus size (union = per-bucket max)
+      pipeline.Sketches.hllRolling(s.table("events"), "ts", "user_id",
+          p = 8, windowDays = 7)
+        .orderBy("day")
+    },
     "sketch_kmv_distinct" -> { (s, dir) =>
       prep(s, dir, "events")
       // bottom-k distinct synopsis: per-type active (user, day) audience
@@ -4899,6 +4907,30 @@ object SparkEntry {
          SELECT probe, CAST(n_est AS BIGINT) AS n_est,
                 CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
          FROM e LEFT JOIN x USING (probe) ORDER BY probe""",
+    "sketch_hll_rolling" -> (
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              r AS (SELECT day, hv // 4503599627370496 AS b,
+                      CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                           ELSE 53 - length(bin(hv % 4503599627370496)) END AS rk
+                    FROM h),
+              regs AS (SELECT day, b, max(rk) AS reg FROM r GROUP BY 1, 2),
+              grid AS (SELECT d.day, t.b
+                       FROM (SELECT DISTINCT day FROM regs) d CROSS JOIN range(0, 256) t(b)),
+              roll AS (SELECT g.day, g.b,
+                         max(regs.reg) OVER (PARTITION BY g.b
+                           ORDER BY g.day - DATE '1970-01-01'
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rreg
+                       FROM grid g LEFT JOIN regs ON g.day = regs.day AND g.b = regs.b)
+         SELECT day,
+                CAST(sum(CASE WHEN rreg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+                CAST(sum(coalesce(rreg, 0)) AS BIGINT) AS reg_sum,
+                CAST(CAST('""" + pipeline.Sketches.hllNumConstant(8).toString + """' AS HUGEINT)
+                     // ((sum(CASE WHEN rreg IS NULL THEN CAST(9007199254740992 AS HUGEINT)
+                               ELSE CAST(1 AS HUGEINT) << (53 - rreg) END)) * 1000000)
+                     AS BIGINT) AS n_distinct_est
+         FROM roll GROUP BY day ORDER BY day"""),
     "sketch_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
                       CAST('0x' || substr(md5('kmv:' || CAST(user_id * 1000 + dayofyear(ts) AS VARCHAR)), 1, 15) AS BIGINT) AS hv

@@ -102,6 +102,64 @@ object Sketches {
       .select((gs :+ col("v_empty") :+ col("reg_sum") :+ col("n_distinct_est")): _*)
   }
 
+  /** ROLLING-window distinct estimate by HLL register merge — the scale
+    * path for trailing-K-day active counts (WAU/MAU) when the exact
+    * contribution-explode of `TimeSeries.rollingDistinct` is too big:
+    * HLL union = per-bucket `max`, so a trailing window of daily
+    * REGISTER tables replaces any window over raw identities.
+    *
+    * Shape: per-(day, bucket) registers (one partial-aggregated shuffle
+    * — the only pass over the corpus), densified to the days × m grid
+    * (m = 2^p fixed; days = calendar — BOUNDED state, independent of
+    * corpus size), trailing `windowDays` max per bucket as a RANGE
+    * window on epoch-day (gap days inside the window count correctly;
+    * output rows = observed days, gap-fill is [[TimeSeries]]' job), then
+    * the same all-integer estimator as [[hllDistinct]]. Every step
+    * replays bit-for-bit. Output: `day, v_empty, reg_sum` (rolling
+    * registers, empties as 0), `n_distinct_est` (raw estimator — the
+    * [[hllDistinct]] linear-counting caveat applies below n ≈ 3m). */
+  def hllRolling(df: DataFrame, dayCol: String, valueCol: String,
+                 p: Int = 8, windowDays: Int = 7): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val m = 1 << p
+    val w = 60 - p
+    val maxRank = w + 1
+    val day = col(dayCol).cast("date")
+    val hashed = df.where(col(valueCol).isNotNull && day.isNotNull)
+      .select(day.as("day"), h60(col(valueCol), "hll").as("__h"))
+    val rem = col("__h") % (1L << w)
+    // regs is read TWICE (the day spine + the grid join) — cut it once
+    // so the corpus scan behind it runs once, not per consumer (the
+    // kCore diamond discipline; the frame is days × m, KB-scale)
+    val regs = Materialize(hashed
+      .select(col("day"), expr(s"__h DIV ${1L << w}").as("__bucket"),
+        when(rem === 0L, maxRank)
+          .otherwise(lit(maxRank) - length(bin(rem))).as("__rank"))
+      .groupBy("day", "__bucket").agg(max(col("__rank")).as("__reg")))
+    val grid = regs.select("day").distinct()
+      .select(col("day"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("__bucket"))
+    val win = Window.partitionBy("__bucket")
+      .orderBy("__dn").rangeBetween(-(windowDays - 1).toLong, 0L)
+    val num = hllNumConstant(p)
+    grid.join(regs, Seq("day", "__bucket"), "left")
+      .withColumn("__dn", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("__rreg", max(col("__reg")).over(win))
+      .groupBy("day")
+      .agg(
+        sum(when(col("__rreg").isNull, 1L).otherwise(0L)).as("v_empty"),
+        sum(coalesce(col("__rreg"), lit(0L))).as("reg_sum"),
+        sum(when(col("__rreg").isNull, lit(1L << maxRank))
+          .otherwise(expr(s"shiftleft(1L, $maxRank - __rreg)"))).as("__s"))
+      .withColumn("n_distinct_est",
+        expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) DIV " +
+          "(CAST(__s AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+      .select(col("day"), col("v_empty"), col("reg_sum"),
+        col("n_distinct_est"))
+  }
+
   /** Count-Min frequency sketch (Cormode & Muthukrishnan, J. Algorithms
     * 2005): d independent hash rows × w counters; an item's estimate is
     * the MIN of its d counters — always ≥ the true count, over by at most

@@ -126,7 +126,9 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_skew_audit", "text_word_entropy",
     // real decode → integer convolution; md5-keyed permutation + per-shard
     // window rank
-    "multimodal_sharpness", "pipeline_shuffle_shards")
+    "multimodal_sharpness", "pipeline_shuffle_shards",
+    // register-table cut + dense-grid range window + estimator fold
+    "sketch_hll_rolling")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
