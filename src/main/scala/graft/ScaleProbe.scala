@@ -488,6 +488,50 @@ object ScaleProbe {
     println(s"[scale]   planted-twin recall: $mnRecall / 200000 " +
       "(exact all-pairs cannot run this shape)")
 
+    // ---- r8 session 2: sketch / audit / layout / clustering probes --------
+    // skewAudit at 10M rows under brutal skew (one key owns ~10%, Zipf-ish
+    // tail): the per-key frame never sorts — Gini + top-share come off the
+    // count-of-counts collapse
+    val skewed = spark.range(10000000).selectExpr(
+      """CASE WHEN id % 10 = 0 THEN 0
+              ELSE pmod(xxhash64(id), 1 + pmod(id, 100000)) END AS k""")
+    val sk = timed("skewAudit (10M rows, planted 10%-share key)")(
+      pipeline.Maintenance.skewAudit(skewed, "k", topK = 10).collect().head)
+    println(s"[scale]   $sk (max_n ≈ 1M, top_share + gini off the collapse)")
+    // hllRolling at 10M events over a full year: the corpus pass is the
+    // only unbounded stage; the window runs over 365 × 256 register rows
+    val evP = spark.range(10000000).selectExpr(
+      "CAST(date_add(DATE '2024-01-01', CAST(pmod(xxhash64(id, 1), 365) AS INT)) AS TIMESTAMP) AS ts",
+      "pmod(xxhash64(id, 2), 3000000) AS user_id")
+    val hr = timed("hllRolling (10M events × 365 days, trailing 7d)")(
+      pipeline.Sketches.hllRolling(evP, "ts", "user_id", p = 8, windowDays = 7)
+        .count())
+    println(s"[scale]   rolling rows: $hr (= observed days)")
+    // shuffleShards at 10M ids × 1024 shards: sort-by-hash sharding —
+    // one exchange + per-shard window, no global sort
+    val ss = timed("shuffleShards (10M ids, 1024 shards)")(
+      pipeline.Layout.shuffleShards(
+          spark.range(10000000).toDF("doc_id"), "doc_id", nShards = 1024)
+        .selectExpr("max(pos)").collect().head.getLong(0))
+    println(s"[scale]   max shard depth: $ss (≈ 10M/1024 ≈ 9.8k)")
+    // distributed k-means at 200k × 64-dim, k=64: per round one broadcast
+    // assignment pass + one moment aggregate; centroids cross the driver
+    val km = timed("kmeansAssign (200k × 64-dim, k=64, 3 rounds)")(
+      pipeline.Clustering.kmeansAssign(emb, "vec_id", "embedding",
+          k = 64, rounds = 3).groupBy("cluster").count().count())
+    println(s"[scale]   non-empty clusters: $km / 64")
+    // wordEntropy over the 100k-doc corpus: two partial-aggregated passes
+    val we = timed("wordEntropy (100k docs × 150 words)")(
+      pipeline.TextAnalysis.wordEntropy(docs, "doc_id", "text").count())
+    println(s"[scale]   entropy rows: $we")
+    // KMV overlap across 8 sources × 10M values from sketches alone
+    val kv = timed("kmvOverlap (8 groups × 10M values, k=256)")(
+      pipeline.Sketches.kmvOverlap(
+          spark.range(10000000).selectExpr("pmod(id, 8) AS g",
+            "pmod(xxhash64(id), 2000000) AS v"), "g", "v", k = 256)
+        .count())
+    println(s"[scale]   pairs: $kv (= 28)")
+
     spark.stop()
   }
 }

@@ -75,6 +75,40 @@ object Clustering {
           .as("mean_dist2"))
   }
 
+  /** Train on `train`, score `batch` — the train-once / score-forever
+    * lifecycle: centroids fit on the (bounded, curated) training corpus,
+    * then every future batch assigns against the FROZEN table as a PURE
+    * MAP — the k×d centroids become an array LITERAL and the argmin is
+    * a fold over it, so scoring needs no join and no shuffle at all
+    * (stream-safe: the same call works on a readStream frame). Values
+    * are bit-identical to [[kmeansAssign]]'s assignment under the same
+    * centroids: same `d² = x·x − 2·x·c + c·c` integers, same
+    * strict-< fold = same smallest-cluster tie-break (the literal is
+    * ordered by cluster id; spec-pinned). Output: `(vec_id, cluster,
+    * dist2)`. */
+  def kmeansScore(train: DataFrame, batch: DataFrame, idCol: String,
+                  vecCol: String, k: Int, rounds: Int): DataFrame = {
+    val (_, cents) = kmeansCentroids(train, idCol, vecCol, k, rounds)
+    val centArr = array(cents.sortBy(_._1).map { case (c, v) =>
+      struct(lit(c).as("c"), typedLit(v.toSeq).as("cv"),
+        lit(v.map(x => x * x).sum).as("nc2"))
+    }: _*)
+    val d2 = "(__nx2 - 2 * aggregate(zip_with(__qv, s.cv, (a, b) -> a * b), 0L, (x, y) -> x + y) + s.nc2)"
+    batch.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        Dedup.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__nx2", qdot(col("__qv"), col("__qv")))
+      .withColumn("__cents", centArr)
+      .withColumn("__best", expr(
+        s"""aggregate(__cents,
+              named_struct('d2', CAST(9223372036854775807 AS BIGINT), 'c', CAST(-1 AS BIGINT)),
+              (acc, s) -> CASE WHEN $d2 < acc.d2
+                          THEN named_struct('d2', $d2, 'c', s.c)
+                          ELSE acc END)"""))
+      .select(col("vec_id"), col("__best.c").as("cluster"),
+        col("__best.d2").as("dist2"))
+  }
+
   /** The quantized corpus (materialized, with hoisted `__nx2 = x·x`) and
     * the final centroid table `(cluster, components)` after `rounds`
     * Lloyd updates. Exposed for reuse (e.g. scoring a NEW batch against

@@ -108,6 +108,23 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kmeansScore pure-map fold == kmeansAssign shuffle argmin, bit for bit") {
+    val vecs: Seq[(Long, Seq[Float])] = (1L to 80L).map { i =>
+      val r = graft.functions.Mix.splitmix64(0xf00dL + i)
+      (i, (0 until 5).map { d =>
+        (((graft.functions.Mix.splitmix64(r + d) >>> 40).toFloat / (1 << 24)) - 0.5f)
+      })
+    }
+    val assigned = Clustering.kmeansAssign(df(vecs), "vec_id", "embedding",
+        k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val scored = Clustering.kmeansScore(df(vecs), df(vecs), "vec_id", "embedding",
+        k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(scored == assigned,
+      "scoring the training corpus must reproduce the assignment exactly")
+  }
+
   test("summary rolls up sizes and truncating mean inertia") {
     val vecs = Seq[(Long, Seq[Float])](
       (1L, Seq(0.9f, 0.9f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.1f, 1.1f)),

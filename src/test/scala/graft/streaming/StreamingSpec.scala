@@ -360,6 +360,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kmeansScore is a pure map: a stream scores against frozen centroids, stream == batch") {
+    // train once on a static corpus; the scorer is an array-literal fold
+    // (no join, no shuffle), so it runs unchanged on a readStream frame —
+    // the nearest-cluster router for arriving embeddings
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.9f, 1.1f)),
+      (3L, Seq(-1.0f, -1.0f)), (4L, Seq(-1.1f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val batchRows = Seq((10L, Seq(0.95f, 0.95f)), (11L, Seq(-0.95f, -1.05f)))
+    src.addData(batchRows: _*)
+    val q = graft.pipeline.Clustering.kmeansScore(
+        train, src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 2, rounds = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmeans_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kmeans_stream_out")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.pipeline.Clustering.kmeansScore(
+          train, batchRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 2, rounds = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream must equal batch: $streamed vs $batch")
+      // the two probes must land in DIFFERENT clusters (they sit on the
+      // two training blobs)
+      assert(streamed.map(_._2).size == 2, s"blob routing: $streamed")
+    } finally q.stop()
+  }
+
   test("KMV sketch folds incrementally on a stream: audience overlap without storing members") {
     // the r8 bottom-k synopsis is a TypedImperativeAggregate too — a live
     // per-source distinct-audience sketch costs <= k longs of state per
