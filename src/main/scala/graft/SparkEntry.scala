@@ -1565,6 +1565,14 @@ object SparkEntry {
       pipeline.Sketches.kmvOverlap(ev, "event_type", "aud", k = 64)
         .orderBy("group_a", "group_b")
     },
+    "rel_topn_other" -> { (s, dir) =>
+      prep(s, dir, "orders")
+      // top-5 customers by order count + an exact OTHER bucket — totals
+      // reconcile (every order lands in exactly one bucket); top-N is a
+      // TakeOrdered + broadcast tag, never a key-frame window
+      pipeline.Relational.topNOther(s.table("orders"), "o_custkey", topN = 5)
+        .orderBy(col("n").desc, col("bucket"))
+    },
     "pipeline_shuffle_shards" -> { (s, dir) =>
       prep(s, dir, "documents")
       // deterministic global training shuffle: md5-keyed permutation →
@@ -2004,6 +2012,36 @@ object SparkEntry {
         SELECT cohort_day, day_offset, cents,
                CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
         FROM rev ORDER BY cohort_day, day_offset""")
+    },
+    "events_funnel_exclusion" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // clean-conversion funnel: signup → first purchase, minus
+      // conversions with an error event strictly between the two — the
+      // "did they convert DESPITE a failure" split. Min-staging + ONE
+      // bounded user-keyed join back to the log, never an event×event
+      // self-join
+      s.sql("""
+        WITH st AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+                    FROM events GROUP BY user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN st ON st.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > st.t0
+              GROUP BY e.user_id),
+        x AS (SELECT p.user_id,
+                sum(CASE WHEN e.event_type = 'error' AND e.ts > st.t0 AND e.ts < p.t2
+                         THEN 1 ELSE 0 END) AS n_err
+              FROM p JOIN st ON st.user_id = p.user_id
+              JOIN events e ON e.user_id = p.user_id
+              GROUP BY p.user_id)
+        SELECT CAST(sum(CASE WHEN st.t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(count(p.user_id) AS BIGINT) AS n_converted,
+               CAST(sum(CASE WHEN x.n_err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+               CAST(CASE WHEN count(p.user_id) > 0
+                    THEN (sum(CASE WHEN x.n_err = 0 THEN 1 ELSE 0 END) * 1000000) DIV count(p.user_id)
+                    END AS BIGINT) AS clean_rate_ppm
+        FROM st LEFT JOIN p ON p.user_id = st.user_id
+                LEFT JOIN x ON x.user_id = st.user_id""")
     },
     "events_funnel_windowed" -> { (s, dir) =>
       prep(s, dir, "events")
@@ -4489,6 +4527,18 @@ object SparkEntry {
                             + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
                             - 64) - s) // nw AS BIGINT) AS entropy64
          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "rel_topn_other" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1),
+              top AS (SELECT k FROM c WHERE k IS NOT NULL ORDER BY n DESC, k LIMIT 5),
+              t AS (SELECT CASE WHEN top.k IS NOT NULL THEN c.k ELSE 'OTHER' END AS bucket, c.n
+                    FROM c LEFT JOIN top ON c.k = top.k),
+              a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(n) AS BIGINT) AS n FROM t GROUP BY 1),
+              tot AS (SELECT sum(n) AS tt FROM c)
+         SELECT bucket, n_keys, n,
+                CAST((CAST(n AS HUGEINT) * 1000000) // tt AS BIGINT) AS share_ppm
+         FROM a, tot ORDER BY n DESC, bucket""",
     "pipeline_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,
                       CAST('0x' || substr(md5('shuf:1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
@@ -5531,6 +5581,28 @@ object SparkEntry {
          SELECT cohort_day, day_offset, cents,
                 CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
          FROM rev ORDER BY cohort_day, day_offset""",
+    "events_funnel_exclusion" ->
+      """WITH st AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+               FROM events GROUP BY user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t2
+                    FROM events e JOIN st ON st.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > st.t0
+                    GROUP BY e.user_id),
+              x AS (SELECT p.user_id,
+                      sum(CASE WHEN e.event_type = 'error' AND e.ts > st.t0 AND e.ts < p.t2
+                               THEN 1 ELSE 0 END) AS n_err
+                    FROM p JOIN st ON st.user_id = p.user_id
+                    JOIN events e ON e.user_id = p.user_id
+                    GROUP BY p.user_id)
+         SELECT CAST(sum(CASE WHEN st.t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(count(p.user_id) AS BIGINT) AS n_converted,
+                CAST(sum(CASE WHEN x.n_err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                CAST(CASE WHEN count(p.user_id) > 0
+                     THEN (sum(CASE WHEN x.n_err = 0 THEN 1 ELSE 0 END) * 1000000) // count(p.user_id)
+                     END AS BIGINT) AS clean_rate_ppm
+         FROM st LEFT JOIN p ON p.user_id = st.user_id
+                 LEFT JOIN x ON x.user_id = st.user_id""",
     "events_funnel_windowed" ->
       """WITH stage AS (SELECT user_id,
                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0

@@ -324,6 +324,42 @@ object Relational {
     * top edge clamped). NULL values are excluded (they have no position on
     * the axis; count them separately with a `count(*) - count(v)` audit).
     * Output: `bin, lo_cents, hi_cents, n` — `hi_cents` exclusive. */
+  /** Top-N categories + an exact OTHER bucket — the reporting rollup
+    * ("top 10 domains and everything else") with totals that RECONCILE:
+    * every row lands in exactly one bucket, so Σn = corpus rows and
+    * Σshare_ppm ≈ 10⁶ by construction, unlike a bare top-N whose
+    * remainder silently vanishes.
+    *
+    * Scale shape: per-key counts (one partial-aggregated shuffle,
+    * Materialize-cut once — read by the top-N pass and the tag pass),
+    * top-N as a TakeOrdered by (n DESC, key) — NEVER a single-partition
+    * window over the key frame, which is unbounded for domain-like
+    * keys — then a broadcast IN-set tag and a (N+1)-group re-aggregate;
+    * the grand total rides in as a broadcast one-row cross (the
+    * modularity pattern). NULL keys land in OTHER (documented; a NULL
+    * category is "everything else" by definition). Output per bucket:
+    * `bucket, n_keys, n, share_ppm`, top buckets first by n. */
+  def topNOther(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = Materialize(
+      df.groupBy(col(keyCol).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__n")))
+    val top = counts.where(col("__k").isNotNull)
+      .orderBy(col("__n").desc, col("__k")).limit(topN)
+      .select(col("__k").as("__topk"))
+    val total = counts.agg(sum(col("__n")).as("__tot"))
+    counts
+      .join(broadcast(top), col("__k") === col("__topk"), "left")
+      .withColumn("bucket",
+        when(col("__topk").isNotNull, col("__k")).otherwise(lit("OTHER")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum(col("__n")).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_keys"), col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV __tot AS BIGINT)")
+          .as("share_ppm"))
+  }
+
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1 && nBins <= 100000,
       s"nBins must be in [1, 100000], got $nBins")

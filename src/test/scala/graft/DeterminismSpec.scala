@@ -128,7 +128,10 @@ class DeterminismSpec extends AnyFunSuite {
     // window rank
     "multimodal_sharpness", "pipeline_shuffle_shards",
     // register-table cut + dense-grid range window + estimator fold
-    "sketch_hll_rolling")
+    "sketch_hll_rolling",
+    // TakeOrdered + broadcast tag re-aggregate; staged min + bounded
+    // user-keyed exclusion join
+    "rel_topn_other", "events_funnel_exclusion")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2785,6 +2785,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("topNOther: exact OTHER bucket, totals reconcile, NULLs land in OTHER, string ties") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e") ++ Seq(null.asInstanceOf[String])).toDF("k")
+    val got = Relational.topNOther(df, "k", topN = 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // top-2 by (n desc, key asc): a(5), b(3) — the b/c tie breaks to 'b';
+    // OTHER = c(3) + d + e + null = 4 keys / 6 rows of 14 total
+    assert(got("a") == ((1L, 5L, 357142L)), s"$got")
+    assert(got("b") == ((1L, 3L, 214285L)), s"$got")
+    assert(got("OTHER") == ((4L, 6L, 428571L)), s"$got")
+    assert(got.values.map(_._2).sum == 14L, "every row in exactly one bucket")
+  }
+
+  test("topNOther: all keys inside top-N → no OTHER row") {
+    val df = Seq("x", "x", "y").toDF("k")
+    val got = Relational.topNOther(df, "k", topN = 5)
+      .as[(String, Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set("x", "y"), s"$got")
+  }
+
   test("wordEntropy: exact 64ths-of-a-bit at power-of-two vocab, 0 when repetitive, NULL when empty") {
     // lg64 is EXACT at powers of two: k distinct words once each →
     // entropy64 = 64·log2(k); one word repeated → 0; no words → NULL
