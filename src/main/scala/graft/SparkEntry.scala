@@ -1565,6 +1565,16 @@ object SparkEntry {
       pipeline.Sketches.kmvOverlap(ev, "event_type", "aud", k = 64)
         .orderBy("group_a", "group_b")
     },
+    "pipeline_fd_audit" -> { (s, dir) =>
+      prep(s, dir, "orders")
+      // key discovery / denormalization check: which columns determine
+      // which — exact per-pair countDistinct passes, no sampling
+      pipeline.Maintenance.fdAudit(s.table("orders"), Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderkey", "o_orderstatus")))
+        .orderBy("determinant", "dependent")
+    },
     "rel_topn_other" -> { (s, dir) =>
       prep(s, dir, "orders")
       // top-5 customers by order count + an exact OTHER bucket — totals
@@ -4527,6 +4537,16 @@ object SparkEntry {
                             + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
                             - 64) - s) // nw AS BIGINT) AS entropy64
          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_fd_audit" -> (Seq(
+      ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+      ("o_orderkey", "o_orderstatus")).map { case (det, dep) =>
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         |       CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS violation_ppm,
+         |       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM orders GROUP BY 1)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")),
     "rel_topn_other" ->
       """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
                     FROM orders GROUP BY 1),

@@ -116,6 +116,35 @@ object Maintenance {
         expr("CAST((n_30d * 1000000) DIV n_rows AS BIGINT)").as("share_30d_ppm"))
   }
 
+  /** Functional-dependency audit — "does column A determine column B":
+    * the key-discovery / denormalization-check pass of data profiling
+    * (an FD that HOLDS means B can live in a dimension keyed by A; an FD
+    * that almost-holds pinpoints the corrupt keys). Exact, not sampled:
+    * per candidate `(determinant, dependent)` pair, one
+    * `groupBy(det).agg(countDistinct(dep))` pass — partial-aggregated,
+    * scan-priced — then the violation rollup. NULL determinants form a
+    * real group (a NULL key determining two values IS a violation worth
+    * seeing); NULL dependents are ignored inside countDistinct (SQL
+    * convention, mirrored by the oracle). Output one row per pair:
+    * `determinant, dependent, n_keys, n_violating_keys, violation_ppm,
+    * holds` (1/0). */
+  def fdAudit(df: org.apache.spark.sql.DataFrame,
+              pairs: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det).as("__k"))
+        .agg(countDistinct(col(dep)).as("__nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating_keys"),
+          expr("CAST((n_violating_keys * 1000000) DIV n_keys AS BIGINT)")
+            .as("violation_ppm"),
+          when(col("n_violating_keys") === 0, 1L).otherwise(0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Partition/join-KEY skew audit: the "will this key explode a
     * shuffle" pre-flight for the 1000-executor cluster, as one integer
     * summary row — `n_keys, n_rows, max_n` (the heaviest key's row

@@ -131,7 +131,9 @@ class DeterminismSpec extends AnyFunSuite {
     "sketch_hll_rolling",
     // TakeOrdered + broadcast tag re-aggregate; staged min + bounded
     // user-keyed exclusion join
-    "rel_topn_other", "events_funnel_exclusion")
+    "rel_topn_other", "events_funnel_exclusion",
+    // per-pair two-level distinct rollup union
+    "pipeline_fd_audit")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2785,6 +2785,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("fdAudit: holds / violated counts, NULL det is a real group, NULL dep ignored") {
+    val df = Seq(
+      (1, "a", Some("x")), (1, "a", Some("x")),   // key 1: consistent
+      (2, "b", Some("x")), (2, "c", Some("y")),   // key 2: violates k→v
+      (3, "d", None)                              // NULL dep → nd = 0, no violation
+    ).toDF("k", "v", "w")
+      .union(Seq((0, "e", Some("x")), (0, "f", Some("x"))).toDF("k", "v", "w")
+        .withColumn("k", lit(null.asInstanceOf[Integer])))   // NULL det, 2 values
+    val got = Maintenance.fdAudit(df, Seq(("k", "v"), ("k", "w")))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._6))).toMap
+    // k→v: 4 det groups (1, 2, 3, NULL); key 2 and the NULL group violate
+    assert(got(("k", "v")) == ((4L, 2L, 0L)), s"$got")
+    // k→w: key 2 violates (x≠y); NULL-dep row is not a violation; the
+    // NULL det group agrees on 'x'
+    assert(got(("k", "w")) == ((4L, 1L, 0L)), s"$got")
+  }
+
   test("topNOther: exact OTHER bucket, totals reconcile, NULLs land in OTHER, string ties") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
       Seq("d", "e") ++ Seq(null.asInstanceOf[String])).toDF("k")
