@@ -2519,6 +2519,26 @@ object SparkEntry {
       pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
         .orderBy("node")
     },
+    "graph_temporal_reach" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // time-respecting earliest-arrival closure over the DATED trade
+      // graph: influence may only flow along edges that fire AT OR AFTER
+      // the source was reached — the contagion/provenance question a
+      // static reachability pass gets wrong
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("t"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("sp").as("dst"), col("t"))
+        .union(e0.select(col("sp").as("src"), col("c").as("dst"), col("t")))
+      val seeds = e0.select(col("c").as("node"))
+        .where(col("node") % 97 === 0).distinct()
+        .withColumn("t0", lit(0L))
+      pipeline.Graph.temporalReachability(edges, "src", "dst", "t", seeds,
+          rounds = 3)
+        .orderBy("node")
+    },
     "graph_bfs" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // hop distance from a trusted customer cohort over the bidirected
@@ -3087,6 +3107,36 @@ object SparkEntry {
        |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Graph.temporalReachability]] —
+    * relaxation rounds unrolled as MATERIALIZED CTEs (the
+    * [[shortestPathsOracleSql]] structure with the time-respecting
+    * qualifier `f.ea <= e.t` on the relaxation join and edge TIME as the
+    * candidate value). Mirrors the Spark dated-trade-graph build in
+    * `graph_temporal_reach` exactly. */
+  private def temporalReachOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, min(e.t) AS nd
+         |  FROM edges e JOIN f${i - 1} f ON f.node = e.src AND f.ea <= e.t GROUP BY e.dst),
+         |i$i AS MATERIALIZED (SELECT c.node, c.nd AS ea FROM c$i c
+         |  LEFT JOIN d${i - 1} d ON d.node = c.node
+         |  WHERE d.node IS NULL OR c.nd < d.ea),
+         |d$i AS MATERIALIZED (SELECT node, min(ea) AS ea FROM
+         |  (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM i$i) GROUP BY node),
+         |f$i AS (SELECT node, ea FROM i$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sp,
+       |              CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS t
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT c AS src, sp AS dst, t FROM e0
+       |       UNION ALL SELECT sp AS src, c AS dst, t FROM e0),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS ea FROM (
+       |  SELECT DISTINCT c AS node FROM e0 WHERE c % 97 = 0)
+       |  WHERE node IN (SELECT src FROM edges UNION SELECT dst FROM edges)),
+       |f0 AS (SELECT node, ea FROM d0),
+       |$roundCtes
+       |SELECT node, ea AS earliest_t FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.Graph.labelPropagation]], rounds unrolled
     * as chained CTEs (same reason as [[pageRankOracleSql]]). Mirrors the
     * Spark edge build in `graph_communities`: co-purchase part pairs from
@@ -3581,6 +3631,7 @@ object SparkEntry {
          FROM pairs p JOIN v ON v.child = p.child
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
+    "graph_temporal_reach" -> temporalReachOracleSql(3),
     "graph_shortest_paths" -> shortestPathsOracleSql(4, weighted = true),
     "events_scd2" ->
       """WITH s AS (

@@ -435,6 +435,85 @@ object Graph {
     dists
   }
 
+  /** TIME-RESPECTING earliest-arrival reachability (Holme & Saramäki,
+    * Phys. Rep. 519, 2012 — temporal networks): each edge `(src, dst, t)`
+    * is usable only if `src` was already reached at or before `t`, and a
+    * node's value is the EARLIEST time any time-respecting path delivers
+    * it. Static reachability over a temporal graph lies — it happily
+    * routes influence backwards through edges that fired before the
+    * source was reached; this is the contagion/influence/provenance
+    * closure that doesn't ("which accounts could have seen the leak,
+    * and when, given who-contacted-whom-WHEN").
+    *
+    * Semantics: `ea(seed) = t0` (its seed time); relaxation
+    * `ea(dst) ≤ min{t : edge (src, dst, t), ea(src) ≤ t}`; equal-time
+    * hops chain (propagation within one tick is instantaneous —
+    * documented; shift edge times if a strict ordering is needed). The
+    * fixpoint is monotone non-increasing integer times, so fixed rounds
+    * + early exit are deterministic — bit-replayable like the
+    * [[shortestPaths]] family, whose exact plan discipline this reuses:
+    * edges materialized partitioned by src ONCE, frontier-proportional
+    * rounds, one full-outer merge + `Materialize.cut` per round, one
+    * scalar `isEmpty` fixpoint probe, shuffle_hash hints throughout.
+    * `rounds` bounds HOPS (≤ r-hop earliest arrival; the early exit
+    * makes it exact once a round improves nothing).
+    *
+    * Seeds: two-column frame `(node, t0)` — duplicate seed rows take the
+    * min t0; seeds absent from the edge set are ignored (the pageRank
+    * seed contract). Output: `node, earliest_t` — reached nodes only. */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+                           timeCol: String, seeds: DataFrame,
+                           rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 100,
+      s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "temporalReachability", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "temporalReachability", role = "dst id")
+    Search.requireIntegralId(edges, timeCol, "temporalReachability", role = "edge time")
+    val e0 = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(timeCol).cast("long").as("__t")))
+    val (sNode, sT) = seeds.columns match {
+      case Array(n, t) => (n, t)
+      case cs => sys.error(
+        s"seeds must have exactly (node, t0) columns, got ${cs.mkString(",")}")
+    }
+    Search.requireIntegralId(seeds, sNode, "temporalReachability", role = "seed id")
+    Search.requireIntegralId(seeds, sT, "temporalReachability", role = "seed time")
+    val nodeSet = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val ej = Materialize.cut(e0.repartition(col("src")))
+    var ea = Materialize.cut(
+      seeds.select(col(sNode).cast("long").as("node"),
+          col(sT).cast("long").as("ea"))
+        .groupBy("node").agg(min(col("ea")).as("ea"))
+        .join(nodeSet, Seq("node"), "left_semi"))
+    var frontier = ea
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      // relax only time-respecting edges out of the frontier
+      val cand = ej.join(frontier.hint("shuffle_hash"),
+          ej("src") === frontier("node") && col("ea") <= ej("__t"))
+        .select(col("dst"), col("__t").as("__nd"))
+        .groupBy("dst").agg(min(col("__nd")).as("__nd"))
+      val improved = col("__old").isNull ||
+        (col("__nd").isNotNull && col("__nd") < col("__old"))
+      val merged = Materialize.cut(
+        ea.withColumnRenamed("ea", "__old")
+          .join(cand.hint("shuffle_hash"), col("node") === col("dst"), "full")
+          .select(
+            coalesce(col("node"), col("dst")).as("node"),
+            when(improved, col("__nd")).otherwise(col("__old")).as("ea"),
+            improved.as("__imp")))
+      frontier = merged.where(col("__imp")).select("node", "ea")
+      if (frontier.isEmpty) done = true
+      ea = merged.select("node", "ea")
+    }
+    ea.select(col("node"), col("ea").as("earliest_t"))
+  }
+
   /** Per-node triangle counts over an undirected edge set (self-loops
     * dropped, duplicate/reversed edges collapsed): `node, n_triangles` —
     * the local clustering signal (spam-farm rings, copy networks,

@@ -133,7 +133,9 @@ class DeterminismSpec extends AnyFunSuite {
     // user-keyed exclusion join
     "rel_topn_other", "events_funnel_exclusion",
     // per-pair two-level distinct rollup union
-    "pipeline_fd_audit")
+    "pipeline_fd_audit",
+    // time-qualified frontier relaxation rounds
+    "graph_temporal_reach")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -233,6 +233,41 @@ class GraphSpec extends AnyFunSuite {
       seeds.toDF("node"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def tr(edges: Seq[(Long, Long, Long)], seeds: Seq[(Long, Long)],
+                 rounds: Int): Map[Long, Long] =
+    Graph.temporalReachability(edges.toDF("src", "dst", "t"), "src", "dst", "t",
+      seeds.toDF("node", "t0"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("temporalReachability: influence never flows backwards in time") {
+    // a→b fires at 5; the early b→c edge at 3 fired BEFORE b was reached
+    // and must not carry; the later one at 7 does
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 7L))
+    assert(tr(e, Seq((1L, 0L)), 5) == Map(1L -> 0L, 2L -> 5L, 3L -> 7L))
+    // static reachability would claim c at "distance 2" regardless —
+    // drop the late edge and c becomes unreachable entirely
+    assert(tr(e.take(2), Seq((1L, 0L)), 5) == Map(1L -> 0L, 2L -> 5L))
+  }
+
+  test("temporalReachability: equal-time hops chain; seed time gates the first hop") {
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 5L))
+    assert(tr(e, Seq((1L, 0L)), 5) == Map(1L -> 0L, 2L -> 5L, 3L -> 5L),
+      "same-tick propagation is instantaneous by contract")
+    // a seed that starts AFTER the only outgoing edge fired reaches nothing
+    assert(tr(e, Seq((1L, 6L)), 5) == Map(1L -> 6L))
+  }
+
+  test("temporalReachability: earliest arrival wins across paths; duplicate seeds take min t0") {
+    // two routes to 4: via 2 arriving at 9, via 3 arriving at 6
+    val e = Seq((1L, 2L, 2L), (2L, 4L, 9L), (1L, 3L, 4L), (3L, 4L, 6L))
+    assert(tr(e, Seq((1L, 0L)), 5) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+    // duplicate seed rows: min t0 wins; ghost seed 99 (not in the graph)
+    // is ignored
+    assert(tr(e, Seq((1L, 8L), (1L, 0L), (99L, 0L)), 5) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+  }
+
   test("shortestPaths: BFS hop distances on a chain, horizon-bounded reach") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     assert(sp(chain, Seq(1L), 10) ==
