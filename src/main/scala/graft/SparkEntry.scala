@@ -1025,6 +1025,28 @@ object SparkEntry {
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     },
+    "emb_dim_audit" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // dead/collapsed-dimension detector: exact per-dim moments over the
+      // quantized components — DECIMAL sums, variance bounded by max q²
+      pipeline.Similarity.dimAudit(s.table("embeddings"), "embedding")
+        .orderBy("dim")
+    },
+    "text_mojibake" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // encoding-damage audit: replacement chars, C1 controls, classic
+      // UTF-8-as-Latin-1 digraphs — pure codegen'd regex counts. The
+      // corpus is clean, so damage is PLANTED on 2-in-5 docs (the
+      // script-profile convention): a "Ã©"+U+FFFD doc and a C1+"â€"
+      // doc; the rest must read clean
+      val planted = s.table("documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" caf\u00C3\u00A9 \uFFFD"))
+            .when(col("doc_id") % 5 === 1, lit(" \u0085x\u00E2\u20AC"))
+            .otherwise(lit(""))))
+      pipeline.TextAnalysis.mojibakeAudit(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "emb_kmeans" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // distributed integer Lloyd k-means: deterministic md5 seeding,
@@ -3398,6 +3420,32 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "multimodal_sharpness" -> sobelOracleSql,
+    "emb_dim_audit" ->
+      """WITH q AS (SELECT list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                    FROM embeddings WHERE embedding IS NOT NULL),
+              e AS (SELECT t.i - 1 AS dim, qv[t.i] AS v
+                    FROM q CROSS JOIN range(1, 65) t(i))
+         SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+                min(v) AS q_min, max(v) AS q_max,
+                CAST(sum(CAST(v AS HUGEINT)) // count(*) AS BIGINT) AS q_mean,
+                CAST((count(*) * sum(CAST(v AS HUGEINT) * v) - sum(CAST(v AS HUGEINT)) * sum(CAST(v AS HUGEINT)))
+                     // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT) AS q_var,
+                CAST(CASE WHEN min(v) = max(v) THEN 1 ELSE 0 END AS BIGINT) AS dead
+         FROM e GROUP BY dim ORDER BY dim""",
+    "text_mojibake" ->
+      ("""WITH t AS (SELECT doc_id, coalesce(text, '') ||
+                      CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© �'
+                           WHEN doc_id % 5 = 1 THEN ' xâ€'
+                           ELSE '' END AS tx FROM documents)
+         SELECT doc_id,
+                CAST(length(tx) - length(regexp_replace(tx, '[\x{FFFD}]', '', 'g')) AS BIGINT) AS n_replacement,
+                CAST(length(tx) - length(regexp_replace(tx, '[\x{0080}-\x{009F}]', '', 'g')) AS BIGINT) AS n_c1,
+                CAST((length(tx) - length(regexp_replace(tx, '""" + "[\\x{00C2}\\x{00C3}\\x{00E2}][\\x{0080}-\\x{00BF}\\x{20AC}\\x{2122}\\x{201A}\\x{2019}\\x{2018}\\x{201C}\\x{201D}]" + """', '', 'g'))) // 2 AS BIGINT) AS n_mojibake_pairs,
+                CAST(CASE WHEN (length(tx) - length(regexp_replace(tx, '[\x{FFFD}\x{0080}-\x{009F}]', '', 'g'))) > 0
+                            OR (length(tx) - length(regexp_replace(tx, '""" + "[\\x{00C2}\\x{00C3}\\x{00E2}][\\x{0080}-\\x{00BF}\\x{20AC}\\x{2122}\\x{201A}\\x{2019}\\x{2018}\\x{201C}\\x{201D}]" + """', '', 'g'))) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS damaged
+         FROM t ORDER BY doc_id"""),
     "emb_kmeans" -> kmeansOracleSql(8, 3, 64, summary = false),
     "emb_kmeans_summary" -> kmeansOracleSql(8, 3, 64, summary = true),
     "search_rbo" -> rboOracleSql,

@@ -1054,6 +1054,31 @@ object Similarity {
     * vectors shorter than `signDims` fail loudly in the consumed
     * column (prune-safe). Output: `bucket, n_a, n_b, drift_q` —
     * drift in quantized units (10⁻⁶ of cosine space per dim). */
+  /** Per-DIMENSION embedding health audit — the dead/collapsed-dimension
+    * detector: a dimension whose values barely vary carries no signal
+    * (dead ReLU paths, truncated exports, a projection that collapsed),
+    * and downstream cosine ops silently pay its bandwidth. One
+    * posexplode + one partial-aggregated groupBy over the 10⁶-quantized
+    * components; all moments in DECIMAL(38,0) so the audit is exact at
+    * any corpus size, and the variance `((n·Σq² − (Σq)²) DIV n²`) comes
+    * out a BIGINT bounded by max q² regardless of n. Output per dim:
+    * `dim, n, q_min, q_max, q_mean, q_var, dead` (1 = constant). */
+  def dimAudit(emb: DataFrame, vecCol: String): DataFrame = {
+    emb.where(col(vecCol).isNotNull)
+      .select(posexplode(Dedup.quantize(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("q_min"), max(col("v")).as("q_max"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("__s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("__s2"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        col("q_min"), col("q_max"),
+        expr("CAST(__s DIV n AS BIGINT)").as("q_mean"),
+        expr("CAST((n * __s2 - __s * __s) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("q_var"),
+        when(col("q_min") === col("q_max"), 1L).otherwise(0L).as("dead"))
+  }
+
   def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
                     signDims: Int = 3): DataFrame =
     driftFromStates(signBucketState(a, vecCol, signDims),

@@ -184,6 +184,32 @@ object TextAnalysis {
         .otherwise("none"))
   }
 
+  /** Encoding-damage (mojibake) audit — the "this text was decoded with
+    * the wrong charset somewhere upstream" screen a crawl corpus needs
+    * before training: counts per doc of (a) U+FFFD replacement chars
+    * (decoder already gave up), (b) C1 control chars U+0080–U+009F
+    * (legal Unicode but virtually always CP1252-bytes-read-as-Latin-1),
+    * and (c) the classic UTF-8-read-as-Latin-1 digraphs (`Ã`/`Â`/`â`
+    * followed by a continuation-range char — how “é” becomes “Ã©”).
+    * Pure codegen'd regex counts (RE2-safe, the piiPatterns rule) + one
+    * verdict column; NULL text → zero counts, clean verdict. Output:
+    * idCol, `n_replacement, n_c1, n_mojibake_pairs, damaged` (1/0). */
+  def mojibakeAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(cls: String): Column =
+      ((length(t) - length(regexp_replace(t, cls, "")))).cast("long")
+    // each digraph is 2 chars; count via occurrences not char deltas
+    val pairs = "[\\x{00C2}\\x{00C3}\\x{00E2}][\\x{0080}-\\x{00BF}\\x{20AC}\\x{2122}\\x{201A}\\x{2019}\\x{2018}\\x{201C}\\x{201D}]"
+    df.select(col(idCol),
+        cnt("[\\x{FFFD}]").as("n_replacement"),
+        cnt("[\\x{0080}-\\x{009F}]").as("n_c1"),
+        ((length(t) - length(regexp_replace(t, pairs, ""))) / 2)
+          .cast("long").as("n_mojibake_pairs"))
+      .withColumn("damaged",
+        when(col("n_replacement") + col("n_c1") + col("n_mojibake_pairs") > 0, 1L)
+          .otherwise(0L))
+  }
+
   /** PII redaction patterns: emails, IPv4, simple phone shapes. RE2-safe
     * (no lookaround/backrefs) so DuckDB oracles run the identical regex.
     * Order matters: IPs before phones (an IP would otherwise match the

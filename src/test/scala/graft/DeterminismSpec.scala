@@ -135,7 +135,9 @@ class DeterminismSpec extends AnyFunSuite {
     // per-pair two-level distinct rollup union
     "pipeline_fd_audit",
     // time-qualified frontier relaxation rounds
-    "graph_temporal_reach")
+    "graph_temporal_reach",
+    // regex-count maps; per-dim decimal moment rollup
+    "text_mojibake", "emb_dim_audit")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2785,6 +2785,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("mojibakeAudit: planted damage counted exactly; clean and NULL text read clean") {
+    val docs = Seq(
+      (1L, "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quotes\u00E2\u20AC"),
+      (2L, "clean ascii text"),
+      (3L, "bad byte \uFFFD here \uFFFD"),
+      (4L, "nel\u0085line"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mojibakeAudit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: \u00C3+\u00A9 is a pair; \u00E2+\u20AC twice more (the
+    // \u0153 after the first is not a pair member) -> 3 pairs, no C1,
+    // no replacement char
+    assert(got(1L) == ((0L, 0L, 3L, 1L)), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((2L, 0L, 0L, 1L)))
+    assert(got(4L) == ((0L, 1L, 0L, 1L)), "NEL is C1 damage")
+    assert(got(5L) == ((0L, 0L, 0L, 0L)), "NULL text reads clean")
+  }
+
+  test("dimAudit: dead dimension flagged, exact integer variance") {
+    val emb = Seq(
+      (1L, Seq(0.5f, 1.0f, 0.0f)),
+      (2L, Seq(0.5f, 3.0f, 0.0f)),
+      (3L, Seq(0.5f, 2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimAudit(emb, "embedding")
+      .orderBy("dim")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // dim 0: constant 500000 → var 0, dead; dim 1: q = (1e6, 3e6, 2e6) →
+    // mean 2e6, var = ((3*14e12) − (6e6)²)/9 = 6e12/9 = 666666666666
+    assert(got == Seq(
+      (0L, 3L, 500000L, 500000L, 500000L, 0L, 1L),
+      (1L, 3L, 1000000L, 3000000L, 2000000L, 666666666666L, 0L),
+      (2L, 3L, 0L, 0L, 0L, 0L, 1L)), s"$got")
+  }
+
   test("fdAudit: holds / violated counts, NULL det is a real group, NULL dep ignored") {
     val df = Seq(
       (1, "a", Some("x")), (1, "a", Some("x")),   // key 1: consistent
