@@ -1587,6 +1587,20 @@ object SparkEntry {
       pipeline.Sketches.kmvOverlap(ev, "event_type", "aud", k = 64)
         .orderBy("group_a", "group_b")
     },
+    "pipeline_join_delta" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // incremental view maintenance for a join: the APPEND delta when
+      // both sides receive a batch — stored sides semi-filtered to the
+      // deltas' touched keys, never re-joined in full
+      val a = s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      val b = s.table("lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"))
+      pipeline.Maintenance.joinDelta(
+          a.where(col("k") % 7 =!= 0), b.where(col("k") % 5 =!= 0),
+          a.where(col("k") % 7 === 0), b.where(col("k") % 5 === 0), "k")
+        .orderBy("k", "l_linenumber")
+    },
     "pipeline_fd_audit" -> { (s, dir) =>
       prep(s, dir, "orders")
       // key discovery / denormalization check: which columns determine
@@ -4636,6 +4650,15 @@ object SparkEntry {
                             + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
                             - 64) - s) // nw AS BIGINT) AS entropy64
          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_join_delta" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_custkey FROM orders),
+              b AS (SELECT l_orderkey AS k, l_linenumber FROM lineitem)
+         SELECT k, o_custkey, l_linenumber FROM a JOIN b USING (k)
+         EXCEPT ALL
+         SELECT k, o_custkey, l_linenumber
+         FROM (SELECT * FROM a WHERE k % 7 <> 0) ao
+         JOIN (SELECT * FROM b WHERE k % 5 <> 0) bo USING (k)
+         ORDER BY k, l_linenumber""",
     "pipeline_fd_audit" -> (Seq(
       ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
       ("o_orderkey", "o_orderstatus")).map { case (det, dep) =>

@@ -520,6 +520,38 @@ object Maintenance {
       max(col("max_cents")).as("max_cents"))
   }
 
+  /** Incremental equi-JOIN maintenance — the classic view-maintenance
+    * delta rule (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, folded here as
+    * ΔA⋈(B∪ΔB) ∪ A⋈ΔB): the rows to APPEND to a stored join output
+    * when batch deltas arrive, without re-running the full join — the
+    * join twin of [[rollupState]]/[[mergeRollups]] (which maintain
+    * aggregates the same way).
+    *
+    * SCALE: the stored sides are never scanned in full — each is
+    * LEFT-SEMI filtered to the (broadcast) key set of the OTHER side's
+    * delta before joining, so the incremental cost is proportional to
+    * the delta's touched keys, not to |A|, |B|, or |A⋈B|. With stored
+    * sides bucketed on the key, even the semi probe prunes to touched
+    * buckets. Append-only-ledger semantics (the [[mergeRollups]]
+    * contract): deltas must be new rows, not updates — retractions need
+    * the CDC path ([[cdcLatest]]). `key` must be the join column's name
+    * on BOTH sides (USING semantics — deduped in the output); non-key
+    * column names must not collide. */
+  def joinDelta(aOld: org.apache.spark.sql.DataFrame,
+                bOld: org.apache.spark.sql.DataFrame,
+                aDelta: org.apache.spark.sql.DataFrame,
+                bDelta: org.apache.spark.sql.DataFrame,
+                key: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bTouched = bOld
+      .join(broadcast(aDelta.select(col(key)).distinct()), Seq(key), "left_semi")
+      .unionByName(bDelta)
+    val aTouched = aOld
+      .join(broadcast(bDelta.select(col(key)).distinct()), Seq(key), "left_semi")
+    aDelta.join(bTouched, Seq(key))
+      .unionByName(aTouched.join(bDelta, Seq(key)))
+  }
+
   /** Referential-integrity audit: one row counting child rows whose
     * foreign key has NO parent — the data-quality gate after any ingest,
     * backfill, or partial-restore (a lost parent partition shows up here

@@ -137,7 +137,9 @@ class DeterminismSpec extends AnyFunSuite {
     // time-qualified frontier relaxation rounds
     "graph_temporal_reach",
     // regex-count maps; per-dim decimal moment rollup
-    "text_mojibake", "emb_dim_audit")
+    "text_mojibake", "emb_dim_audit",
+    // semi-filtered delta joins + union
+    "pipeline_join_delta")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2785,6 +2785,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("joinDelta: stored-join append equals the full recompute, multiset-exactly") {
+    def rows(seed: Long, n: Int, keyMod: Int) = (1 to n).map { i =>
+      val h = graft.functions.Mix.splitmix64(seed + i)
+      ((h % keyMod + keyMod) % keyMod, i.toLong)
+    }
+    val aAll = rows(0xaaL, 300, 40).toDF("k", "av")
+    val bAll = rows(0xbbL, 300, 40).toDF("k", "bv")
+    val (ao, ad) = (aAll.where($"av" % 3 =!= 0), aAll.where($"av" % 3 === 0))
+    val (bo, bd) = (bAll.where($"bv" % 4 =!= 0), bAll.where($"bv" % 4 === 0))
+    val delta = Maintenance.joinDelta(ao, bo, ad, bd, "k")
+      .select("k", "av", "bv").collect().map(_.toString).sorted.toSeq
+    val full = aAll.join(bAll, "k").select("k", "av", "bv")
+      .collect().map(_.toString).sorted.toSeq
+    val old = ao.join(bo, "k").select("k", "av", "bv")
+      .collect().map(_.toString).sorted.toSeq
+    assert((old ++ delta).sorted == full,
+      "old-join plus delta must be the full join, duplicates included")
+  }
+
+  test("joinDelta: empty deltas append nothing; one-sided delta still joins both ways") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "av")
+    val b = Seq((1L, "p"), (2L, "q")).toDF("k", "bv")
+    val none = Seq.empty[(Long, String)].toDF("k", "av")
+    val noneB = Seq.empty[(Long, String)].toDF("k", "bv")
+    assert(Maintenance.joinDelta(a, b, none, noneB, "k").isEmpty)
+    // only B grows: the new b-row must pair with the STORED a-row
+    val got = Maintenance.joinDelta(a, b, none, Seq((2L, "r")).toDF("k", "bv"), "k")
+      .select("k", "av", "bv").as[(Long, String, String)].collect().toSet
+    assert(got == Set((2L, "y", "r")))
+  }
+
   test("mojibakeAudit: planted damage counted exactly; clean and NULL text read clean") {
     val docs = Seq(
       (1L, "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quotes\u00E2\u20AC"),
