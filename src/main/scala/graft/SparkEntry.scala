@@ -1882,6 +1882,14 @@ object SparkEntry {
           alphaNum = 1, alphaDen = 4)
         .orderBy("user_id", "day")
     },
+    "ts_backtest" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // rolling-origin backtest: one-step EWMA error vs persistence per
+      // user — the "does the smoother actually forecast" gate
+      pipeline.TimeSeries.forecastBacktest(s.table("events"), "user_id",
+          "ts", "value", alphaNum = 1, alphaDen = 4)
+        .orderBy("user_id")
+    },
     "ts_holt" -> { (s, dir) =>
       prep(s, dir, "events")
       // Holt level+trend (α=1/4, β=1/2) per user over the spine, 7-day
@@ -5455,6 +5463,33 @@ object SparkEntry {
                 FROM f JOIN ew ON f.user_id = ew.user_id AND f.rn = ew.rn + 1)
          SELECT user_id, day, cents AS value_cents, CAST(e AS BIGINT) AS ewma_cents
          FROM ew ORDER BY user_id, day""",
+    "ts_backtest" ->
+      """WITH RECURSIVE b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day, CAST(coalesce(b.cents, 0) AS BIGINT) AS cents,
+                      CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.day) AS BIGINT) AS rn
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              ew AS (
+                SELECT user_id, rn, day, cents, cents AS e FROM f WHERE rn = 1
+                UNION ALL
+                SELECT f.user_id, f.rn, f.day, f.cents,
+                       (1 * f.cents + 3 * ew.e) // 4
+                FROM f JOIN ew ON f.user_id = ew.user_id AND f.rn = ew.rn + 1),
+              l AS (SELECT user_id, cents,
+                      lag(e) OVER (PARTITION BY user_id ORDER BY day) AS pe,
+                      lag(cents) OVER (PARTITION BY user_id ORDER BY day) AS pn
+                    FROM ew)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
+                CAST(sum(abs(cents - pe)) AS BIGINT) AS err_ewma_cents,
+                CAST(sum(abs(cents - pn)) AS BIGINT) AS err_naive_cents,
+                CAST(CASE WHEN sum(abs(cents - pe)) < sum(abs(cents - pn))
+                     THEN 1 ELSE 0 END AS BIGINT) AS beats_naive
+         FROM l WHERE pe IS NOT NULL GROUP BY user_id ORDER BY user_id""",
     "ts_holt" ->
       """WITH RECURSIVE base AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

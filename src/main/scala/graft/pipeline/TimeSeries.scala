@@ -377,6 +377,35 @@ object TimeSeries {
         col("__r.ewma_cents").as("ewma_cents"))
   }
 
+  /** ROLLING-ORIGIN forecast backtest: does the EWMA actually beat
+    * persistence? Every spine day t ≥ 2 is an evaluation point — the
+    * one-step-ahead EWMA forecast is yesterday's level `e_{t−1}`, the
+    * naive forecast is yesterday's value `v_{t−1}`, and both absolute
+    * errors accumulate per key. The honest-forecasting gate every
+    * "we smooth it" dashboard skips: a series whose smoother loses to
+    * persistence (`beats_naive = 0`) is telling you the smoothing adds
+    * lag, not signal. All integer cents, same floor recurrence as
+    * [[ewma]] (bit-replayable); sums are per-key and calendar-capped
+    * like the spine itself. One lag window over the already
+    * key-partitioned EWMA frame + one rollup. Output:
+    * `keyCol, n_evals, err_ewma_cents, err_naive_cents, beats_naive`. */
+  def forecastBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, alphaNum: Long = 1L,
+                       alphaDen: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    ewma(events, keyCol, tsCol, valueCol, alphaNum, alphaDen)
+      .withColumn("__pe", lag(col("ewma_cents"), 1).over(w))
+      .withColumn("__pn", lag(col("value_cents"), 1).over(w))
+      .where(col("__pe").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(abs(col("value_cents") - col("__pe"))).as("err_ewma_cents"),
+        sum(abs(col("value_cents") - col("__pn"))).as("err_naive_cents"))
+      .withColumn("beats_naive",
+        when(col("err_ewma_cents") < col("err_naive_cents"), 1L).otherwise(0L))
+  }
+
   /** HOLT LINEAR TREND (double exponential smoothing) + h-step
     * forecast, integer fixed-point: per key over the gap-filled spine,
     *

@@ -139,7 +139,9 @@ class DeterminismSpec extends AnyFunSuite {
     // regex-count maps; per-dim decimal moment rollup
     "text_mojibake", "emb_dim_audit",
     // semi-filtered delta joins + union
-    "pipeline_join_delta")
+    "pipeline_join_delta",
+    // ewma recurrence + lag window + error rollup
+    "ts_backtest")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -254,6 +254,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       (8L, Date.valueOf("2024-03-02"), 556L, 556L)), s"$got")
   }
 
+  test("forecastBacktest: hand-checked one-step errors; smoothing beats naive on noise, loses on a walk") {
+    // user 7 spine cents [400, 0, 0, 1000] → ewma [400, 300, 225, 418];
+    // eval days 2..4: |0−400|+|0−300|+|1000−225| = 1475 ewma error,
+    // naive |0−400|+|0−0|+|1000−0| = 1400; user 8 has one day → no row
+    val got = TimeSeries.forecastBacktest(events, "user_id", "ts", "value", 1, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 3L, 1475L, 1400L, 0L)), s"$got")
+    // alternating noise around a level: the smoother's memory wins
+    val ts0 = Date.valueOf("2024-01-01").toLocalDate
+    val noisy = (0 until 30).map { i =>
+      (1L, java.sql.Timestamp.valueOf(ts0.plusDays(i).atStartOfDay),
+        if (i % 2 == 0) 12.0 else 8.0)
+    }.toDF("user_id", "ts", "value")
+    val n = TimeSeries.forecastBacktest(noisy, "user_id", "ts", "value", 1, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(n._5 == 1L, s"smoother must beat persistence on alternating noise: $n")
+  }
+
   test("ewma: negative (refund) days truncate toward zero, matching DuckDB //") {
     // day 1: -1.01 → -101 cents; day 2: 0 (gap) →
     // e2 = (1·0 + 3·(-101)) DIV 4 = -303 DIV 4 = -75 (truncation; floor
