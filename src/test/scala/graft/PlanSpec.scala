@@ -444,6 +444,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"scalar combine must not join:\n$plan")
   }
 
+  test("pipeline_join_delta plan: stored sides are semi-filtered via broadcast, never scanned wide") {
+    val plan = SparkEntry.queries("pipeline_join_delta")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the delta keys are tiny by definition and must BROADCAST into the
+    // stored-side semi filters; a shuffle of a stored side keyed by the
+    // delta would re-pay the full-join cost the op exists to avoid
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"stored sides must be broadcast-semi filtered:\n$plan")
+  }
+
+  test("sketch_hll_rolling plan: the range window runs over the CUT register grid, never raw events") {
+    val plan = SparkEntry.queries("sketch_hll_rolling")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, s"no window in:\n$plan")
+    assert(lines(winIdx).contains("RangeFrame"),
+      s"trailing-day frame must be a RANGE frame (gap days):\n$plan")
+    // below the window: only the materialized register table (ExistingRDD
+    // — the Materialize cut) feeds the grid join; a parquet scan of the
+    // raw events here would mean the per-(day, bucket) collapse vanished
+    // and the window slides over identity rows
+    assert(!lines.drop(winIdx).exists(_.contains("FileScan")),
+      s"raw corpus scan below the rolling window:\n$plan")
+    assert(lines.drop(winIdx).exists(_.contains("ExistingRDD")),
+      s"window input is not the cut register grid:\n$plan")
+  }
+
   test("emb_kmeans plan: centroid table broadcasts, argmin is an aggregate, no window/SMJ") {
     val plan = SparkEntry.queries("emb_kmeans")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -360,6 +360,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming join maintenance: per-batch deltas fold into the stored join output") {
+    // the joinDelta lifecycle under Structured Streaming: each micro-batch
+    // carries new rows for ONE side; foreachBatch appends
+    // joinDelta(storedA, storedB, batch, empty) to the stored join output
+    // and the batch to its side — after any number of batches the output
+    // equals the full join recompute, and no batch ever re-joined history
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Maintenance
+    import org.apache.spark.sql.functions.col
+    var a = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
+    val b = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "bv")
+    var out = a.join(b, "k").select("k", "av", "bv")
+    val emptyB = Seq.empty[(Long, Long)].toDF("k", "bv")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("k", "av").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = Maintenance.joinDelta(a, b, batch, emptyB, "k")
+          .select("k", "av", "bv")
+        out = out.unionByName(delta).localCheckpoint(true)
+        a = a.unionByName(batch).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      src.addData((3L, 30L)); q.processAllAvailable()
+      src.addData((1L, 11L), (9L, 90L)); q.processAllAvailable()
+      val got = out.collect().map(_.toString).sorted.toSeq
+      val full = a.join(b, "k").select("k", "av", "bv")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == full, s"stream-maintained join != recompute:\n$got\nvs\n$full")
+    } finally q.stop()
+  }
+
   test("kmeansScore is a pure map: a stream scores against frozen centroids, stream == batch") {
     // train once on a static corpus; the scorer is an array-literal fold
     // (no join, no shuffle), so it runs unchanged on a readStream frame —
