@@ -2067,6 +2067,35 @@ object SparkEntry {
                CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
         FROM rev ORDER BY cohort_day, day_offset""")
     },
+    "events_rfm" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // RFM segmentation: recency/frequency/monetary quintiles per
+      // purchasing user — the classic lifecycle-marketing feature table,
+      // composed from the exact-percentile discretizer (boundary pass +
+      // pure-map assignment, no window over users)
+      val p = s.table("events").where(col("event_type") === "purchase")
+      val maxDay = p.agg(max(col("ts").cast("date")).as("d1"))
+      val u = p.groupBy("user_id")
+        .agg(max(col("ts").cast("date")).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("monetary_cents"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("recency_days", datediff(col("d1"), col("__last")).cast("long"))
+        .drop("__last", "d1")
+      val b = pipeline.Relational.quantileBuckets(
+        pipeline.Relational.quantileBuckets(
+          pipeline.Relational.quantileBuckets(u, "recency_days", 5, "rb"),
+          "frequency", 5, "fb"),
+        "monetary_cents", 5, "mb")
+      b.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          (lit(5) - col("rb")).cast("long").as("r_score"),
+          (col("fb") + 1).cast("long").as("f_score"),
+          (col("mb") + 1).cast("long").as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("user_id")
+    },
     "events_funnel_exclusion" -> { (s, dir) =>
       prep(s, dir, "events")
       // clean-conversion funnel: signup → first purchase, minus
@@ -5758,6 +5787,32 @@ object SparkEntry {
          SELECT cohort_day, day_offset, cents,
                 CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
          FROM rev ORDER BY cohort_day, day_offset""",
+    "events_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+              mx AS (SELECT max(day) AS d1 FROM p),
+              u AS (SELECT user_id,
+                      CAST(date_diff('day', max(day), (SELECT d1 FROM mx)) AS BIGINT) AS recency_days,
+                      CAST(count(*) AS BIGINT) AS frequency,
+                      CAST(sum(cents) AS BIGINT) AS monetary_cents
+                    FROM p GROUP BY user_id),
+              rb AS (SELECT CAST(floor(q * 100 + 0.5) AS BIGINT) AS c
+                     FROM (SELECT unnest(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8])) AS q FROM u)),
+              fb AS (SELECT CAST(floor(q * 100 + 0.5) AS BIGINT) AS c
+                     FROM (SELECT unnest(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8])) AS q FROM u)),
+              mb AS (SELECT CAST(floor(q * 100 + 0.5) AS BIGINT) AS c
+                     FROM (SELECT unnest(quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8])) AS q FROM u)),
+              x AS (SELECT u.*,
+                      5 - (SELECT count(*) FROM rb WHERE u.recency_days * 100 > rb.c) AS r_score,
+                      1 + (SELECT count(*) FROM fb WHERE u.frequency * 100 > fb.c) AS f_score,
+                      1 + (SELECT count(*) FROM mb WHERE u.monetary_cents * 100 > mb.c) AS m_score
+                    FROM u)
+         SELECT user_id, recency_days, frequency, monetary_cents,
+                CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+                CAST(m_score AS BIGINT) AS m_score,
+                CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+         FROM x ORDER BY user_id""",
     "events_funnel_exclusion" ->
       """WITH st AS (SELECT user_id,
                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0

@@ -141,7 +141,9 @@ class DeterminismSpec extends AnyFunSuite {
     // semi-filtered delta joins + union
     "pipeline_join_delta",
     // ewma recurrence + lag window + error rollup
-    "ts_backtest")
+    "ts_backtest",
+    // three chained exact-percentile discretizers over the user frame
+    "events_rfm")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2785,6 +2785,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("RFM composition: best customer scores 555, worst 111, scores stay in 1..5") {
+    val ts0 = java.time.LocalDate.parse("2024-06-01")
+    def ev(u: Long, daysAgo: Int, v: Double) =
+      (u, java.sql.Timestamp.valueOf(ts0.minusDays(daysAgo).atStartOfDay),
+        "purchase", v)
+    // user 1: recent, frequent, big; user 5: stale, one tiny purchase
+    val rows = (1 to 10).map(i => ev(1L, 0, 50.0)) ++
+      (1 to 7).map(i => ev(2L, 5, 20.0)) ++
+      (1 to 5).map(i => ev(3L, 10, 10.0)) ++
+      (1 to 3).map(i => ev(4L, 20, 5.0)) ++
+      Seq(ev(5L, 40, 1.0))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    // the events_rfm composition inline (the query itself is hash-gated)
+    val p = df.where(col("event_type") === "purchase")
+    val maxDay = p.agg(max(col("ts").cast("date")).as("d1"))
+    val u = p.groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("d1"), col("__last")).cast("long"))
+      .drop("__last", "d1")
+    val b = Relational.quantileBuckets(
+      Relational.quantileBuckets(
+        Relational.quantileBuckets(u, "recency_days", 5, "rb"),
+        "frequency", 5, "fb"),
+      "monetary_cents", 5, "mb")
+    val got = b.select(col("user_id"),
+        ((lit(5) - col("rb")) * 100 + (col("fb") + 1) * 10 + col("mb") + 1)
+          .cast("long").as("rfm"))
+      .as[(Long, Long)].collect().toSeq
+    val byUser = got.toMap
+    assert(byUser(1L) == 555L, s"$byUser")
+    assert(byUser(5L) == 111L, s"$byUser")
+    assert(got.forall { case (_, rfm) =>
+      val (r, f, m) = (rfm / 100, rfm / 10 % 10, rfm % 10)
+      Seq(r, f, m).forall(s => s >= 1 && s <= 5)
+    }, s"$got")
+  }
+
   test("joinDelta: stored-join append equals the full recompute, multiset-exactly") {
     def rows(seed: Long, n: Int, keyMod: Int) = (1 to n).map { i =>
       val h = graft.functions.Mix.splitmix64(seed + i)
