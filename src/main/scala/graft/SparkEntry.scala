@@ -964,6 +964,16 @@ object SparkEntry {
           shingle = 5, maxHamming = 3)
         .orderBy("a", "b")
     },
+    "dedup_golden_records" -> { (s, dir) =>
+      prep(s, dir, "customer")
+      // field-level survivorship after entity resolution: entities
+      // simulated as custkey % 500 groups; majority-then-recency-then-
+      // largest per field, each rule deterministic
+      pipeline.Dedup.goldenRecords(
+          s.table("customer").withColumn("grp", col("c_custkey") % 500),
+          "grp", Seq("c_mktsegment", "c_nationkey"), "c_custkey")
+        .orderBy("grp")
+    },
     "dedup_groups" -> { (s, dir) =>
       prep(s, dir, "documents")
       // pairs → GROUPS: connected components over deterministic jaccard
@@ -5787,6 +5797,22 @@ object SparkEntry {
          SELECT cohort_day, day_offset, cents,
                 CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
          FROM rev ORDER BY cohort_day, day_offset""",
+    "dedup_golden_records" ->
+      """WITH c AS (SELECT c_custkey % 500 AS grp, c_mktsegment, c_nationkey, c_custkey FROM customer),
+              m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_members FROM c GROUP BY 1),
+              s1 AS (SELECT grp, c_mktsegment AS v, count(*) AS n, max(c_custkey) AS t
+                     FROM c WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+              g1 AS (SELECT grp, v AS golden_c_mktsegment FROM (
+                       SELECT grp, v, row_number() OVER (PARTITION BY grp
+                         ORDER BY n DESC, t DESC, v DESC) AS rn FROM s1) WHERE rn = 1),
+              s2 AS (SELECT grp, c_nationkey AS v, count(*) AS n, max(c_custkey) AS t
+                     FROM c WHERE c_nationkey IS NOT NULL GROUP BY 1, 2),
+              g2 AS (SELECT grp, v AS golden_c_nationkey FROM (
+                       SELECT grp, v, row_number() OVER (PARTITION BY grp
+                         ORDER BY n DESC, t DESC, v DESC) AS rn FROM s2) WHERE rn = 1)
+         SELECT m.grp, m.n_members, g1.golden_c_mktsegment, g2.golden_c_nationkey
+         FROM m LEFT JOIN g1 USING (grp) LEFT JOIN g2 USING (grp)
+         ORDER BY m.grp""",
     "events_rfm" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -1188,6 +1188,37 @@ object Dedup {
         lit(true).as("is_semantic_duplicate")))
   }
 
+  /** GOLDEN-RECORD survivorship — the field-level fusion step after
+    * entity resolution (pairs → groups → ONE canonical row per entity):
+    * for each group and each field, the surviving value is the most
+    * FREQUENT non-null value among the group's records, ties broken by
+    * the latest `tieCol` carrying it, then by the largest value — all
+    * three rules deterministic, so the golden table is replayable
+    * (classic MDM survivorship: "majority, then recency"; per-field, so
+    * one record's typo in one column doesn't poison its other columns).
+    *
+    * Plan: per field one (group, value) partial-aggregated count+max-tie
+    * pass folded by a `max(struct(n, tie, value))` ARGMAX aggregate
+    * (never a per-group window sort), then the k field frames equi-join
+    * back on the group id — k small by definition (a schema's worth of
+    * columns). All-NULL fields survive as NULL. Output: groupCol,
+    * `n_members`, one `golden_<field>` per requested field. */
+  def goldenRecords(df: DataFrame, groupCol: String, fields: Seq[String],
+                    tieCol: String): DataFrame = {
+    require(fields.nonEmpty, "goldenRecords needs at least one field")
+    val members = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"))
+    fields.foldLeft(members) { (acc, f) =>
+      val best = df.where(col(f).isNotNull)
+        .groupBy(col(groupCol), col(f))
+        .agg(count(lit(1)).as("__n"), max(col(tieCol)).as("__t"))
+        .groupBy(col(groupCol))
+        .agg(max(struct(col("__n"), col("__t"), col(f))).as("__b"))
+        .select(col(groupCol), col(s"__b.$f").as(s"golden_$f"))
+      acc.join(best, Seq(groupCol), "left")
+    }
+  }
+
   /** float vector → scaled bigint vector. The float→double widening is
     * exact and double×1e6 is IEEE-identical in any engine; without the
     * explicit cast Spark multiplies in float while DuckDB promotes. */

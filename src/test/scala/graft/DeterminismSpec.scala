@@ -143,7 +143,9 @@ class DeterminismSpec extends AnyFunSuite {
     // ewma recurrence + lag window + error rollup
     "ts_backtest",
     // three chained exact-percentile discretizers over the user frame
-    "events_rfm")
+    "events_rfm",
+    // per-field argmax-struct survivorship + field-frame joins
+    "dedup_golden_records")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2785,6 +2785,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("goldenRecords: majority wins, recency breaks ties, NULLs never survive a non-null") {
+    val df = Seq(
+      // group 1: 'a' twice vs 'b' once → majority 'a'; city NULL on the
+      // majority rows but 'x' on one row → 'x' survives (per-field!)
+      (1L, "a", null.asInstanceOf[String], 10L),
+      (1L, "a", null.asInstanceOf[String], 11L),
+      (1L, "b", "x", 12L),
+      // group 2: 1-1 tie on name → latest tieCol wins ('new')
+      (2L, "old", "y", 20L),
+      (2L, "new", "y", 21L),
+      // group 3: all fields NULL → golden NULLs, membership still counted
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], 30L)
+    ).toDF("grp", "name", "city", "ts")
+    val got = Dedup.goldenRecords(df, "grp", Seq("name", "city"), "ts")
+      .orderBy("grp")
+      .as[(Long, Long, Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some("a"), Some("x")),
+      (2L, 2L, Some("new"), Some("y")),
+      (3L, 1L, None, None)), s"$got")
+  }
+
   test("RFM composition: best customer scores 555, worst 111, scores stay in 1..5") {
     val ts0 = java.time.LocalDate.parse("2024-06-01")
     def ev(u: Long, daysAgo: Int, v: Double) =
