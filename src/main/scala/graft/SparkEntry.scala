@@ -1270,6 +1270,15 @@ object SparkEntry {
         .withColumn("n", col("n").cast("long"))
         .orderBy(col("n").desc, col("token"))
     },
+    "text_nb_classify" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // integer multinomial Naive Bayes: lang as the class — trained and
+      // scored in one bit-replayable pipeline (resubstitution accuracy;
+      // the oracle replays training AND scoring)
+      pipeline.TextAnalysis.naiveBayesClassify(
+          s.table("documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
     "text_word_entropy" -> { (s, dir) =>
       prep(s, dir, "documents")
       // per-doc word-distribution Shannon entropy in 64ths of a bit
@@ -3366,6 +3375,43 @@ object SparkEntry {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.TextAnalysis.naiveBayesClassify]] —
+    * training AND scoring: token counts, class-token table, add-one
+    * smoothed lg64 fixed-point log-probs, argmax with the
+    * (score DESC, class DESC) order mirroring `max(struct(score, cls))`. */
+  private def nbOracleSql: String = {
+    def lg(x: String) =
+      s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+    s"""WITH toks AS (SELECT doc_id, lang AS actual, wd AS w, CAST(count(*) AS BIGINT) AS tf
+       |              FROM (SELECT doc_id, lang,
+       |                      unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             x -> len(x) > 0)) AS wd
+       |                    FROM documents WHERE lang IS NOT NULL)
+       |              GROUP BY 1, 2, 3),
+       |ct AS (SELECT actual AS cls, w, CAST(sum(tf) AS BIGINT) AS ncw FROM toks GROUP BY 1, 2),
+       |cls AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS docs
+       |        FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+       |ncs AS (SELECT cls, CAST(sum(ncw) AS BIGINT) AS nc FROM ct GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ct),
+       |cand AS (SELECT t.doc_id, t.actual, t.tf, c.cls,
+       |           CAST(coalesce(ct.ncw, 0) AS BIGINT) AS ncw, ncs.nc,
+       |           (SELECT v FROM vv) AS v
+       |         FROM toks t CROSS JOIN (SELECT cls FROM cls) c
+       |         LEFT JOIN ct ON ct.cls = c.cls AND ct.w = t.w
+       |         JOIN ncs ON ncs.cls = c.cls),
+       |sc AS (SELECT doc_id, actual, cls,
+       |         CAST(sum(tf * (${lg("ncw + 1")} - ${lg("nc + v")})) AS BIGINT) AS s
+       |       FROM cand GROUP BY 1, 2, 3),
+       |fin AS (SELECT sc.doc_id, sc.actual, sc.cls, sc.s + ${lg("cls.docs")} AS score
+       |        FROM sc JOIN cls ON cls.cls = sc.cls),
+       |best AS (SELECT doc_id, actual, cls,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+       |         FROM fin)
+       |SELECT doc_id, actual, cls AS predicted,
+       |       CAST(CASE WHEN actual = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.Multimodal.sobelEnergy]] over the
     * planted-grid payloads: pixel (x, y) of the ×4-replicated 36×32
     * raster carries `gridCell(doc_id, (y DIV 4)·9 + (x DIV 4))`, so the
@@ -3481,6 +3527,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_zorder_key" -> zOrderOracleSql,
     "multimodal_sharpness" -> sobelOracleSql,
+    "text_nb_classify" -> nbOracleSql,
     "emb_dim_audit" ->
       """WITH q AS (SELECT list_transform(embedding,
                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv

@@ -318,6 +318,66 @@ object TextAnalysis {
       .withColumn("cum_vocab", sum("new_tokens").over(w))
   }
 
+  /** Multinomial NAIVE BAYES document classifier — trained and scored in
+    * ONE integer pipeline, so unlike a float-gradient model the whole
+    * thing is bit-replayable and oracle-gateable (add-one smoothing;
+    * McCallum & Nigam, AAAI'98 workshop).
+    *
+    * Log-probabilities use the r8 fixed-point base-2 grade (`lg64(x) ≈
+    * 64·(log₂x + 1)`): per class c and token w,
+    * `score_c(d) = lg64(docs_c) + Σ_w tf_w·(lg64(n_cw + 1) − lg64(n_c + V))`
+    * — the constant `−lg64(docs)` prior denominator is dropped (same for
+    * every class; documented). Prediction = argmax with ties to the
+    * LARGEST class label (`max(struct(score, class))` — mirrored by the
+    * oracle's ORDER BY). The grade's ≤1/64-bit step can flip an argmax
+    * only when true log-scores are within ~1.6% of a doubling — the
+    * deliberate determinism/fidelity trade the BM25 idf64 made.
+    *
+    * Plan: token counts (one shuffle), class-token table (collapsed,
+    * vocab×classes), scoring = token frame × |classes| broadcast
+    * explode + one left join on (token, class) + two aggregates — the
+    * class count is bounded by definition (sources, languages), so the
+    * explode is a small constant factor on the map side. V (vocab size)
+    * is one bounded driver scalar (the zorder min/max convention).
+    * Train = score corpus here (resubstitution accuracy — the
+    * embedding-eval convention); leakage-safe splits via
+    * [[groupAwareSplit]] compose on top. Output: idCol, `actual,
+    * predicted, correct` (1/0). */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+                         labelCol: String): DataFrame = {
+    def lg(x: String) =
+      s"(64L * CAST(length(bin($x)) AS BIGINT) + (($x) * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
+    val toks = df.where(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("__actual"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__actual"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val classTok = toks.groupBy(col("__actual").as("__cls"), col("__w"))
+      .agg(sum(col("__tf")).as("__ncw"))
+    val classes = df.where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("__cls"))
+      .agg(count(lit(1)).as("__docs"))
+    val nC = classTok.groupBy("__cls").agg(sum(col("__ncw")).as("__nc"))
+    val v = classTok.select("__w").distinct().count()
+    val scored = toks
+      .crossJoin(broadcast(classes.select(col("__cls"))))
+      .join(classTok, Seq("__cls", "__w"), "left")
+      .na.fill(0L, Seq("__ncw"))
+      .join(broadcast(nC), Seq("__cls"))
+      .withColumn("__term",
+        expr(s"__tf * (${lg("__ncw + 1")} - ${lg(s"__nc + ${v}L")})"))
+      .groupBy(col(idCol), col("__actual"), col("__cls"))
+      .agg(sum(col("__term")).as("__s"))
+      .join(broadcast(classes), Seq("__cls"))
+      .withColumn("__score", col("__s") + expr(lg("__docs")))
+    scored.groupBy(col(idCol), col("__actual").as("actual"))
+      .agg(max(struct(col("__score"), col("__cls"))).as("__b"))
+      .select(col(idCol), col("actual"),
+        col("__b.__cls").as("predicted"),
+        when(col("actual") === col("__b.__cls"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
   /** Per-doc Shannon entropy of the WORD distribution, in 64ths of a bit
     * — the repetition/diversity screen (keyword-stuffed, templated, or
     * looping text scores low even when char-level stats look normal;

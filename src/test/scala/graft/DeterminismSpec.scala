@@ -145,7 +145,9 @@ class DeterminismSpec extends AnyFunSuite {
     // three chained exact-percentile discretizers over the user frame
     "events_rfm",
     // per-field argmax-struct survivorship + field-frame joins
-    "dedup_golden_records")
+    "dedup_golden_records",
+    // class-explode scoring + argmax over integer log-probs
+    "text_nb_classify")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

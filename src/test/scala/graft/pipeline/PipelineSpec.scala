@@ -2785,6 +2785,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("naiveBayesClassify: separable vocabularies classify perfectly; unseen words smooth") {
+    val docs = Seq(
+      (1L, "apfel birne kirsche apfel", "de"),
+      (2L, "birne apfel apfel kirsche", "de"),
+      (3L, "apple pear cherry apple", "en"),
+      (4L, "pear apple cherry cherry", "en"),
+      // doc 5 mixes one UNSEEN word into an otherwise English doc:
+      // add-one smoothing must absorb it, not zero the class out
+      (5L, "apple pear zzzunseen cherry", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.naiveBayesClassify(docs, "doc_id", "text", "lang")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got.values.forall(_._2 == 1L), s"separable corpus must resubstitute perfectly: $got")
+    assert(got(5L) == (("en", 1L)), s"smoothing failed: ${got(5L)}")
+  }
+
   test("goldenRecords: majority wins, recency breaks ties, NULLs never survive a non-null") {
     val df = Seq(
       // group 1: 'a' twice vs 'b' once → majority 'a'; city NULL on the
