@@ -2086,6 +2086,25 @@ object SparkEntry {
                CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) AS cum_cents
         FROM rev ORDER BY cohort_day, day_offset""")
     },
+    "events_survival" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // Kaplan-Meier churn curve with right-censoring: duration = first
+      // to last active day; users still active at corpus end are
+      // CENSORED, not counted as churned — the honest retention curve
+      // hour-granularity lifetimes (the 30-day corpus has only ~3
+      // distinct day-level durations); censoring cut = within 24h of
+      // the corpus's last observed activity
+      val subj = s.sql("""
+        WITH m AS (SELECT max(ts) AS d1 FROM events),
+        u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        SELECT (unix_timestamp(l) - unix_timestamp(f)) DIV 3600 AS duration,
+               CASE WHEN l < (SELECT d1 FROM m) - INTERVAL 24 HOURS
+                    THEN 1 ELSE 0 END AS churned
+        FROM u""")
+      pipeline.TimeSeries.kaplanMeier(subj, "duration", "churned")
+        .orderBy("t")
+    },
     "events_rfm" -> { (s, dir) =>
       prep(s, dir, "events")
       // RFM segmentation: recency/frequency/monetary quintiles per
@@ -3375,6 +3394,38 @@ object SparkEntry {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.TimeSeries.kaplanMeier]] over the
+    * user-lifetime subjects: per-duration collapse, cumulative risk-set
+    * window, lg64 log-survival sum, NULL once the risk set dies out. */
+  private def kaplanMeierOracleSql: String = {
+    def lg(x: String) =
+      s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+    s"""WITH m AS (SELECT max(ts) AS d1 FROM events),
+       |u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+       |      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |subj AS (SELECT CAST(date_diff('second', f, l) // 3600 AS BIGINT) AS t,
+       |           CASE WHEN l < (SELECT d1 FROM m) - INTERVAL 24 HOURS
+       |                THEN 1 ELSE 0 END AS ev FROM u),
+       |c AS (SELECT t, CAST(sum(ev) AS BIGINT) AS n_events,
+       |        CAST(sum(1 - ev) AS BIGINT) AS n_censored FROM subj GROUP BY t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM subj),
+       |w AS (SELECT t, n_events, n_censored,
+       |        CAST((SELECT tt FROM tot) - coalesce(sum(n_events + n_censored)
+       |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+       |      FROM c),
+       |w2 AS (SELECT *,
+       |         CASE WHEN n_events = 0 THEN 0
+       |              ELSE ${lg("n_at_risk")} - ${lg("n_at_risk - n_events")} END AS term,
+       |         max(CASE WHEN n_at_risk = n_events THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gone
+       |       FROM w)
+       |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events, n_censored,
+       |       CAST(CASE WHEN gone = 1 THEN NULL
+       |            ELSE sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            END AS BIGINT) AS neg_log64_surv
+       |FROM w2 ORDER BY t""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.TextAnalysis.naiveBayesClassify]] —
     * training AND scoring: token counts, class-token table, add-one
     * smoothed lg64 fixed-point log-probs, argmax with the
@@ -3528,6 +3579,7 @@ object SparkEntry {
     "rel_zorder_key" -> zOrderOracleSql,
     "multimodal_sharpness" -> sobelOracleSql,
     "text_nb_classify" -> nbOracleSql,
+    "events_survival" -> kaplanMeierOracleSql,
     "emb_dim_audit" ->
       """WITH q AS (SELECT list_transform(embedding,
                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv

@@ -377,6 +377,58 @@ object TimeSeries {
         col("__r.ewma_cents").as("ewma_cents"))
   }
 
+  /** KAPLAN-MEIER survival curve (Kaplan & Meier, JASA 1958) with
+    * right-censoring, in INTEGER log-space — retention/churn's
+    * statistically honest form: naive "x% still active after t days"
+    * curves silently treat still-active users as churned-at-end; KM
+    * removes censored subjects from the risk set without counting them
+    * as events.
+    *
+    * Instead of the float product Π(1 − dᵢ/nᵢ) (whose engine-order
+    * float error would break hash gates), the curve is carried as the
+    * NEGATIVE LOG survival in the lg64 fixed-point grade:
+    * `neg_log64_surv(t) = Σ_{s≤t, d_s>0} (lg64(n_s) − lg64(n_s−d_s))`
+    * — integer, monotone, bit-replayable; `S(t) ≈ 2^(−neg/64)`. Once
+    * the risk set dies out entirely (n = d), survival is exactly 0 and
+    * the column reads NULL from that point on (log of zero; pinned by
+    * spec).
+    *
+    * Input: one row per SUBJECT — `durationCol` (integral time units),
+    * `eventCol` (1 = event/churn observed, 0 = right-censored at that
+    * duration). Plan: subjects collapse to per-duration
+    * (events, censored) counts — the distinct-duration frame, bounded
+    * the ksTest way (durations are calendar-bounded) — then two
+    * cumulative windows over that collapse; the subject total rides in
+    * as a broadcast one-row cross. Output per distinct duration:
+    * `t, n_at_risk, n_events, n_censored, neg_log64_surv`. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lg(x: String) =
+      s"(64L * CAST(length(bin($x)) AS BIGINT) + (($x) * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
+    val s = subjects.where(col(durationCol).isNotNull)
+    val c = s.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+    val tot = s.agg(count(lit(1)).as("__tot"))
+    val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    c.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        col("__tot") - coalesce(
+          sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+      .withColumn("__term", when(col("n_events") === 0, 0L).otherwise(
+        expr(s"${lg("n_at_risk")} - ${lg("n_at_risk - n_events")}")))
+      .withColumn("__gone",
+        max(when(col("n_at_risk") === col("n_events"), 1L).otherwise(0L))
+          .over(upto))
+      .withColumn("neg_log64_surv",
+        when(col("__gone") === 1L, lit(null).cast("long"))
+          .otherwise(sum(col("__term")).over(upto)))
+      .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
+        col("neg_log64_surv"))
+  }
+
   /** ROLLING-ORIGIN forecast backtest: does the EWMA actually beat
     * persistence? Every spine day t ≥ 2 is an evaluation point — the
     * one-step-ahead EWMA forecast is yesterday's level `e_{t−1}`, the

@@ -147,7 +147,9 @@ class DeterminismSpec extends AnyFunSuite {
     // per-field argmax-struct survivorship + field-frame joins
     "dedup_golden_records",
     // class-explode scoring + argmax over integer log-probs
-    "text_nb_classify")
+    "text_nb_classify",
+    // duration-collapse + dual cumulative windows + lg64 log-survival
+    "events_survival")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -254,6 +254,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       (8L, Date.valueOf("2024-03-02"), 556L, 556L)), s"$got")
   }
 
+  test("kaplanMeier: hand-computed censored curve; NULL once the risk set dies out") {
+    // durations/events: (1,1) (2,0) (3,1) (3,1) (4,0) (5,1)
+    // risk sets [6,5,4,2,1]; lg64 terms: t=1 → lg64(6)−lg64(5) = 224−208
+    // = 16; t=3 → lg64(4)−lg64(2) = 192−128 = 64; t=5 n=d → survival 0
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0), (5L, 1))
+      .toDF("duration", "churned")
+    val got = TimeSeries.kaplanMeier(subj, "duration", "churned")
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 1L, 0L, Some(16L)),
+      (2L, 5L, 0L, 1L, Some(16L)),
+      (3L, 4L, 2L, 0L, Some(80L)),
+      (4L, 2L, 0L, 1L, Some(80L)),
+      (5L, 1L, 1L, 0L, None)), s"$got")
+  }
+
+  test("kaplanMeier: an all-censored cohort never loses survival mass") {
+    val subj = Seq((2L, 0), (5L, 0), (9L, 0)).toDF("duration", "churned")
+    val got = TimeSeries.kaplanMeier(subj, "duration", "churned")
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got.forall(_._5 == Some(0L)),
+      s"censoring must not count as churn: $got")
+    assert(got.map(_._2) == Seq(3L, 2L, 1L), "risk set still shrinks")
+  }
+
   test("forecastBacktest: hand-checked one-step errors; smoothing beats naive on noise, loses on a walk") {
     // user 7 spine cents [400, 0, 0, 1000] → ewma [400, 300, 225, 418];
     // eval days 2..4: |0−400|+|0−300|+|1000−225| = 1475 ewma error,
