@@ -1066,6 +1066,27 @@ object SparkEntry {
           "vec_id", "embedding", k = 8, rounds = 3)
         .orderBy("vec_id")
     },
+    "emb_kmeans_purity" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // did the unsupervised clustering find the LABEL structure?
+      // per-cluster majority-label purity ppm (ties → smallest label,
+      // the labelPropagation argmax convention)
+      val assign = pipeline.Clustering.kmeansAssign(s.table("embeddings"),
+        "vec_id", "embedding", k = 8, rounds = 3)
+      val lab = s.table("embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      assign.join(lab, "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("__n"))
+        .groupBy("cluster")
+        .agg(sum(col("__n")).as("n_members"),
+          max(struct(col("__n").as("n"), (-col("label")).as("nl"))).as("__b"))
+        .select(col("cluster"), col("n_members"),
+          (-col("__b.nl")).as("majority_label"),
+          col("__b.n").as("n_majority"),
+          expr("CAST((__b.n * 1000000) DIV n_members AS BIGINT)")
+            .as("purity_ppm"))
+        .orderBy("cluster")
+    },
     "emb_kmeans_summary" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // per-cluster size + mean inertia off the same clustering — the
@@ -1277,6 +1298,13 @@ object SparkEntry {
       // the oracle replays training AND scoring)
       pipeline.TextAnalysis.naiveBayesClassify(
           s.table("documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+    "text_simpson" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Simpson repeat probability: exact-integer repetition measure
+      // (probability two random word tokens match) — no logarithm at all
+      pipeline.TextAnalysis.simpsonRepeat(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
     "text_word_entropy" -> { (s, dir) =>
@@ -3607,6 +3635,18 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS BIGINT) AS damaged
          FROM t ORDER BY doc_id"""),
     "emb_kmeans" -> kmeansOracleSql(8, 3, 64, summary = false),
+    "emb_kmeans_purity" -> (
+      s"""WITH asg AS (${kmeansOracleSql(8, 3, 64, summary = false)}),
+         |l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cl AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS n
+         |       FROM asg JOIN l USING (vec_id) GROUP BY 1, 2),
+         |best AS (SELECT cluster, label, n,
+         |           row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn,
+         |           CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS nm
+         |         FROM cl)
+         |SELECT cluster, nm AS n_members, label AS majority_label, n AS n_majority,
+         |       CAST((n * 1000000) // nm AS BIGINT) AS purity_ppm
+         |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin),
     "emb_kmeans_summary" -> kmeansOracleSql(8, 3, 64, summary = true),
     "search_rbo" -> rboOracleSql,
     "src_csv_roundtrip" ->
@@ -4779,6 +4819,19 @@ object SparkEntry {
              FROM documents) u
            GROUP BY token) g
          ORDER BY n DESC, token LIMIT 100""",
+    "text_simpson" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS wd
+                    FROM documents),
+              c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1, 2),
+              a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nw,
+                      CAST(sum(n * (n - 1)) AS BIGINT) AS rep
+                    FROM c GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+                CASE WHEN nw >= 2 THEN (rep * 1000000) // (nw * (nw - 1)) END AS simpson_ppm
+         FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
     "text_word_entropy" ->
       """WITH w AS (SELECT doc_id,
                       unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

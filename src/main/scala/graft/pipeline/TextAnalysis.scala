@@ -412,6 +412,30 @@ object TextAnalysis {
         col("entropy64"))
   }
 
+  /** SIMPSON repeat probability per doc — the EXACT-integer companion to
+    * [[wordEntropy]]'s log-grade: `10⁶·Σ nᵢ(nᵢ−1) DIV (N(N−1))` is the
+    * probability two randomly drawn word tokens are the SAME word
+    * (Simpson 1949), needing no logarithm at all — 0 = all distinct,
+    * 10⁶ = one word repeated; high values flag keyword stuffing and
+    * template loops with zero transcendental machinery. Docs with < 2
+    * words have no pair to draw: `simpson_ppm` NULL. Same two
+    * partial-aggregated passes as wordEntropy. Output: idCol,
+    * `n_words, simpson_ppm`. */
+  def simpsonRepeat(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val agg = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__nw"),
+        sum(expr("__n * (__n - 1)")).as("__rep"))
+      .select(col(idCol), col("__nw"),
+        when(col("__nw") >= 2,
+          expr("(__rep * 1000000) DIV (__nw * (__nw - 1))")).as("simpson_ppm"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nw"), lit(0L)).as("n_words"),
+        col("simpson_ppm"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, topN: Int = 100): DataFrame =
     df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))

@@ -149,7 +149,9 @@ class DeterminismSpec extends AnyFunSuite {
     // class-explode scoring + argmax over integer log-probs
     "text_nb_classify",
     // duration-collapse + dual cumulative windows + lg64 log-survival
-    "events_survival")
+    "events_survival",
+    // exact-integer pair probability; cluster-label argmax rollup
+    "text_simpson", "emb_kmeans_purity")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

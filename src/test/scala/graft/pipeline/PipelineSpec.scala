@@ -2785,6 +2785,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2, s"$got")
   }
 
+  test("simpsonRepeat: exact repeat probabilities; degenerate docs read NULL") {
+    val docs = Seq(
+      (1L, "a a a a"),        // all same → 1e6
+      (2L, "a b c d"),        // all distinct → 0
+      (3L, "a a b b"),        // rep = 2+2 = 4, pairs = 12 → 333333
+      (4L, "single"),         // one word → no pair → NULL
+      (5L, "   ")             // no words → 0 words, NULL
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.simpsonRepeat(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, Some(1000000L)), (2L, 4L, Some(0L)), (3L, 4L, Some(333333L)),
+      (4L, 1L, None), (5L, 0L, None)), s"$got")
+  }
+
   test("naiveBayesClassify: separable vocabularies classify perfectly; unseen words smooth") {
     val docs = Seq(
       (1L, "apfel birne kirsche apfel", "de"),
