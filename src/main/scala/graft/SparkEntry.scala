@@ -2133,6 +2133,23 @@ object SparkEntry {
       pipeline.TimeSeries.kaplanMeier(subj, "duration", "churned")
         .orderBy("t")
     },
+    "events_survival_ab" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // log-rank O-vs-E: do the two cohorts churn at the same rate,
+      // censoring-aware — the comparison raw churn percentages get
+      // wrong when censoring differs between arms
+      val subj = s.sql("""
+        WITH m AS (SELECT max(ts) AS d1 FROM events),
+        u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        SELECT user_id % 2 AS cohort,
+               (unix_timestamp(l) - unix_timestamp(f)) DIV 3600 AS duration,
+               CASE WHEN l < (SELECT d1 FROM m) - INTERVAL 24 HOURS
+                    THEN 1 ELSE 0 END AS churned
+        FROM u""")
+      pipeline.TimeSeries.logRank(subj, "duration", "churned", "cohort")
+        .orderBy("cohort")
+    },
     "events_rfm" -> { (s, dir) =>
       prep(s, dir, "events")
       // RFM segmentation: recency/frequency/monetary quintiles per
@@ -3608,6 +3625,40 @@ object SparkEntry {
     "multimodal_sharpness" -> sobelOracleSql,
     "text_nb_classify" -> nbOracleSql,
     "events_survival" -> kaplanMeierOracleSql,
+    "events_survival_ab" ->
+      """WITH m AS (SELECT max(ts) AS d1 FROM events),
+              u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+                    FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+              subj AS (SELECT user_id % 2 AS g,
+                         CAST(date_diff('second', f, l) // 3600 AS BIGINT) AS t,
+                         CASE WHEN l < (SELECT d1 FROM m) - INTERVAL 24 HOURS
+                              THEN 1 ELSE 0 END AS ev FROM u),
+              c AS (SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+                      CAST(sum(1 - ev) AS BIGINT) AS cns FROM subj GROUP BY 1, 2),
+              grid AS (SELECT tt.t, gg.g, coalesce(c.d, 0) AS d, coalesce(c.cns, 0) AS cns
+                       FROM (SELECT DISTINCT t FROM c) tt
+                       CROSS JOIN (SELECT DISTINCT g FROM c) gg
+                       LEFT JOIN c ON c.t = tt.t AND c.g = gg.g),
+              totg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM subj GROUP BY 1),
+              ar AS (SELECT grid.g, grid.t, grid.d, grid.cns, totg.ng,
+                       CAST(totg.ng - coalesce(sum(grid.d + grid.cns) OVER (
+                         PARTITION BY grid.g ORDER BY grid.t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nat
+                     FROM grid JOIN totg ON totg.g = grid.g),
+              pooled AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt,
+                           CAST(sum(nat) AS BIGINT) AS nt FROM ar GROUP BY 1),
+              term AS (SELECT ar.g, ar.ng, ar.d,
+                         CASE WHEN p.nt > 0 AND p.dt > 0
+                              THEN (CAST(p.dt AS HUGEINT) * ar.nat * 1000000) // p.nt
+                              ELSE 0 END AS e
+                       FROM ar JOIN pooled p ON p.t = ar.t),
+              agg AS (SELECT g AS cohort, max(ng) AS n_subjects,
+                        CAST(sum(d) AS BIGINT) AS o_events,
+                        CAST(sum(e) AS BIGINT) AS e_events_ppm
+                      FROM term GROUP BY 1)
+         SELECT cohort, n_subjects, o_events, e_events_ppm,
+                o_events * 1000000 - e_events_ppm AS o_minus_e_ppm
+         FROM agg ORDER BY cohort""",
     "emb_dim_audit" ->
       """WITH q AS (SELECT list_transform(embedding,
                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv

@@ -429,6 +429,58 @@ object TimeSeries {
         col("neg_log64_surv"))
   }
 
+  /** LOG-RANK observed-vs-expected churn comparison (Mantel 1966) — the
+    * A/B companion to [[kaplanMeier]]: at every pooled event time, each
+    * cohort's EXPECTED events under "no difference" is the pooled event
+    * count split by at-risk share, `e_g(t) = d(t)·n_g(t) DIV n(t)` in
+    * ppm; a cohort whose observed events run persistently above its
+    * expectation churns faster — the comparison naive "cohort A churned
+    * x%, B y%" gets wrong whenever censoring differs between arms.
+    * Integer throughout (the expectation is the standard log-rank
+    * numerator term, scaled 10⁶ and floor-divided — the variance/p-value
+    * denominator needs floats and is deliberately NOT emitted; the O−E
+    * DIRECTION and magnitude are the replayable readout). Output per
+    * group: `groupCol, n_subjects, o_events, e_events_ppm,
+    * o_minus_e_ppm` (o·10⁶ − e_ppm).
+    *
+    * Plan: per-(group, duration) collapse, densified to the pooled
+    * distinct-duration × group grid (groups bounded by definition —
+    * arms of an experiment), one per-group cumulative window for the
+    * at-risk counts, pooled totals re-aggregated from the same grid —
+    * the kaplanMeier scale discipline with a tiny group factor. */
+  def logRank(subjects: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = subjects.where(col(durationCol).isNotNull && col(groupCol).isNotNull)
+    val c = s.groupBy(col(groupCol).as("__g"),
+        col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("__d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("__c"))
+    val grid = c.select(col("t")).distinct()
+      .crossJoin(broadcast(c.select(col("__g")).distinct()))
+      .join(c, Seq("t", "__g"), "left")
+      .na.fill(0L, Seq("__d", "__c"))
+    val totg = s.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__ng"))
+    val before = Window.partitionBy("__g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = Materialize(grid.join(broadcast(totg), Seq("__g"))
+      .withColumn("__nat",
+        col("__ng") - coalesce(sum(col("__d") + col("__c")).over(before), lit(0L))))
+    val pooled = atRisk.groupBy("t")
+      .agg(sum(col("__d")).as("__dt"), sum(col("__nat")).as("__nt"))
+    atRisk.join(pooled, Seq("t"))
+      .withColumn("__e", when(col("__nt") > 0 && col("__dt") > 0,
+        expr("""CAST((CAST(__dt AS DECIMAL(38,0)) * __nat * 1000000)
+                DIV __nt AS BIGINT)""")).otherwise(0L))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__ng")).as("n_subjects"),
+        sum(col("__d")).as("o_events"),
+        sum(col("__e")).as("e_events_ppm"))
+      .withColumn("o_minus_e_ppm",
+        col("o_events") * 1000000L - col("e_events_ppm"))
+  }
+
   /** ROLLING-ORIGIN forecast backtest: does the EWMA actually beat
     * persistence? Every spine day t ≥ 2 is an evaluation point — the
     * one-step-ahead EWMA forecast is yesterday's level `e_{t−1}`, the

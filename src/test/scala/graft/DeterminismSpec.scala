@@ -151,7 +151,9 @@ class DeterminismSpec extends AnyFunSuite {
     // duration-collapse + dual cumulative windows + lg64 log-survival
     "events_survival",
     // exact-integer pair probability; cluster-label argmax rollup
-    "text_simpson", "emb_kmeans_purity")
+    "text_simpson", "emb_kmeans_purity",
+    // pooled-grid at-risk windows + O/E rollup
+    "events_survival_ab")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -271,6 +271,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       (5L, 1L, 1L, 0L, None)), s"$got")
   }
 
+  test("logRank: symmetric cohorts read O == E; the early-churning arm reads O > E") {
+    // identical arms: expectation must match observation exactly (every
+    // pooled split is even, so the ppm floor loses nothing)
+    val same = Seq((0, 1L, 1), (0, 2L, 1), (0, 3L, 0),
+      (1, 1L, 1), (1, 2L, 1), (1, 3L, 0))
+      .toDF("cohort", "duration", "churned")
+    val s1 = TimeSeries.logRank(same, "duration", "churned", "cohort")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    s1.foreach { r =>
+      assert(r._5 == 0L, s"identical cohorts must read O = E: $r")
+    }
+    // arm 0 churns at t=1..2, arm 1 survives to censoring: O > E for 0
+    val skew = Seq((0, 1L, 1), (0, 2L, 1), (0, 2L, 1),
+      (1, 5L, 0), (1, 5L, 0), (1, 5L, 0))
+      .toDF("cohort", "duration", "churned")
+    val s2 = TimeSeries.logRank(skew, "duration", "churned", "cohort")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(s2(0)._5 > 0L && s2(1)._5 < 0L,
+      s"early-churn arm must exceed its expectation: $s2")
+    // the pooled identity: sum of expectations == sum of observations
+    // up to per-time floor loss (< 1 ppm per (time, group) cell)
+    val oSum = s2.map(_._3 * 1000000L).sum
+    val eSum = s2.map(_._4).sum
+    assert(math.abs(oSum - eSum) <= s2.size * 6L,
+      s"log-rank identity broken: O=$oSum E=$eSum")
+  }
+
   test("kaplanMeier: an all-censored cohort never loses survival mass") {
     val subj = Seq((2L, 0), (5L, 0), (9L, 0)).toDF("duration", "churned")
     val got = TimeSeries.kaplanMeier(subj, "duration", "churned")
