@@ -3108,6 +3108,32 @@ object SparkEntry {
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_id")
     },
+    "events_session_stats" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // the engagement rollup over sessionized events: bounce rate,
+      // mean depth/duration, plus exact p50/p90 duration via the
+      // percentile pass — the product-analytics daily readout
+      val sess = streaming.EventStreams.sessionizeBatch(
+          s.table("events"), gapMinutes = 30)
+        .select(col("n_events"),
+          (unix_timestamp(col("session_end")) -
+            unix_timestamp(col("session_start"))).as("dur_s"))
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("n_events_total"),
+        sum(col("dur_s")).as("dur_s_total"),
+        expr("CAST(floor(percentile(dur_s, 0.5) * 100 + 0.5) AS BIGINT)")
+          .as("p50_dur_cs"),
+        expr("CAST(floor(percentile(dur_s, 0.9) * 100 + 0.5) AS BIGINT)")
+          .as("p90_dur_cs"))
+        .select(col("n_sessions"), col("n_bounces"),
+          expr("CAST((n_bounces * 1000000) DIV n_sessions AS BIGINT)")
+            .as("bounce_ppm"),
+          expr("n_events_total DIV n_sessions").as("mean_depth"),
+          expr("dur_s_total DIV n_sessions").as("mean_dur_s"),
+          col("p50_dur_cs"), col("p90_dur_cs"))
+    },
     "stream_window_agg" -> { (s, dir) =>
       prep(s, dir, "events")
       // batch-equivalent of the streaming tumbling-window aggregation
@@ -6570,6 +6596,33 @@ object SparkEntry {
                 count(*) AS n_events
          FROM sid GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "events_session_stats" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+                    FROM events),
+              m AS (SELECT user_id, ts, event_id,
+                      CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END is_new
+                    FROM g),
+              sid AS (SELECT user_id, ts,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id
+                      FROM m),
+              sess AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS dur_s
+                       FROM sid GROUP BY user_id, session_id),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                      CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+                      CAST(sum(n_events) AS BIGINT) AS n_events_total,
+                      CAST(sum(dur_s) AS BIGINT) AS dur_s_total,
+                      CAST(floor(quantile_cont(dur_s, 0.5) * 100 + 0.5) AS BIGINT) AS p50_dur_cs,
+                      CAST(floor(quantile_cont(dur_s, 0.9) * 100 + 0.5) AS BIGINT) AS p90_dur_cs
+                    FROM sess)
+         SELECT n_sessions, n_bounces,
+                CAST((n_bounces * 1000000) // n_sessions AS BIGINT) AS bounce_ppm,
+                n_events_total // n_sessions AS mean_depth,
+                dur_s_total // n_sessions AS mean_dur_s,
+                p50_dur_cs, p90_dur_cs
+         FROM a""",
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

@@ -153,7 +153,9 @@ class DeterminismSpec extends AnyFunSuite {
     // exact-integer pair probability; cluster-label argmax rollup
     "text_simpson", "emb_kmeans_purity",
     // pooled-grid at-risk windows + O/E rollup
-    "events_survival_ab")
+    "events_survival_ab",
+    // session gaps-and-islands + holistic percentile rollup
+    "events_session_stats")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
