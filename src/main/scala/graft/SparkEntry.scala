@@ -1912,6 +1912,22 @@ object SparkEntry {
           floor(col("p_value") * 100 + 0.5).cast("long").as("med_c"))
         .orderBy("user_id", "win_day")
     },
+    "events_stickiness" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // DAU/WAU stickiness ppm per day — the habit metric: both sides
+      // EXACT (the nDays=1 run IS the DAU), joined on the day spine
+      val ev = s.table("events").withColumn("__all", lit("all"))
+      val dau = pipeline.TimeSeries.rollingDistinct(ev, "__all", "ts",
+          "user_id", nDays = 1)
+        .select(col("win_day"), col("n_distinct").as("dau"))
+      val wau = pipeline.TimeSeries.rollingDistinct(ev, "__all", "ts",
+          "user_id", nDays = 7)
+        .select(col("win_day"), col("n_distinct").as("wau"))
+      dau.join(wau, Seq("win_day"))
+        .select(col("win_day"), col("dau"), col("wau"),
+          expr("CAST((dau * 1000000) DIV wau AS BIGINT)").as("stickiness_ppm"))
+        .orderBy("win_day")
+    },
     "events_rolling_actives" -> { (s, dir) =>
       prep(s, dir, "events")
       // exact trailing-7d distinct users per event type (the WAU family)
@@ -5698,6 +5714,22 @@ object SparkEntry {
                 CAST(floor(quantile_cont(c.cents, 0.5) * 100 + 0.5) AS BIGINT) AS med_c
          FROM c JOIN r ON r.user_id = c.user_id AND c.win_day <= r.d1
          GROUP BY 1, 2 ORDER BY c.user_id, c.win_day""",
+    "events_stickiness" ->
+      """WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+              b AS (SELECT min(day) AS d0, max(day) AS d1 FROM dd),
+              dau AS (SELECT day AS win_day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                      FROM dd GROUP BY 1),
+              c AS (SELECT user_id,
+                      CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                        INTERVAL 1 DAY)) AS DATE) AS win_day
+                    FROM dd),
+              wau AS (SELECT c.win_day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+                      FROM c, b WHERE c.win_day BETWEEN b.d0 AND b.d1
+                      GROUP BY 1)
+         SELECT win_day, dau, wau,
+                CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+         FROM dau JOIN wau USING (win_day) ORDER BY win_day""",
     "events_rolling_actives" ->
       """WITH dd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
                      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),

@@ -155,7 +155,9 @@ class DeterminismSpec extends AnyFunSuite {
     // pooled-grid at-risk windows + O/E rollup
     "events_survival_ab",
     // session gaps-and-islands + holistic percentile rollup
-    "events_session_stats")
+    "events_session_stats",
+    // dual exact rolling-distinct passes joined on the spine
+    "events_stickiness")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
