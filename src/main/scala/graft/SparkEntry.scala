@@ -2691,6 +2691,21 @@ object SparkEntry {
       pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
         .orderBy("node")
     },
+    "graph_reciprocity" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // relationship symmetry over a genuinely DIRECTED trade graph:
+      // cust→supp for kept line items, supp→cust for returns — the
+      // two-way-relationship share
+      val e = s.sql("""
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag <> 'R'
+        UNION
+        SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'""")
+      pipeline.Graph.reciprocity(e, "src", "dst")
+    },
     "graph_temporal_reach" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // time-respecting earliest-arrival closure over the DATED trade
@@ -3973,6 +3988,24 @@ object SparkEntry {
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_temporal_reach" -> temporalReachOracleSql(3),
+    "graph_reciprocity" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_returnflag <> 'R'
+             UNION
+             SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_returnflag = 'R')
+           WHERE src <> dst),
+           r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+                 FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                                      WHERE e2.src = e.dst AND e2.dst = e.src)),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT n_edges, n_reciprocal,
+                CAST((n_reciprocal * 1000000) // n_edges AS BIGINT) AS reciprocity_ppm
+         FROM n, r WHERE n_edges > 0""",
     "graph_shortest_paths" -> shortestPathsOracleSql(4, weighted = true),
     "events_scd2" ->
       """WITH s AS (

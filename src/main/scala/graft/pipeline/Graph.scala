@@ -435,6 +435,33 @@ object Graph {
     dists
   }
 
+  /** Directed-edge RECIPROCITY (Garlaschelli & Loffredo, PRL 2004): the
+    * share of directed edges whose REVERSE also exists — the
+    * relationship-symmetry readout (mutual follows vs broadcast accounts,
+    * two-way trade vs one-way supply, reply-vs-ignore in messaging).
+    * Distinct directed edges, self-loops dropped (trivially reciprocal —
+    * counting them inflates the score); the reverse check is ONE
+    * left-semi self-join on the swapped key, counts partial-aggregated.
+    * Output one row: `n_edges, n_reciprocal, reciprocity_ppm`. Empty
+    * edge set → zero rows (the ksTest convention). */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    Search.requireIntegralId(edges, srcCol, "reciprocity", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "reciprocity", role = "dst id")
+    val e = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+    val rec = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+      .where(col("n_edges") > 0)
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("CAST((n_reciprocal * 1000000) DIV n_edges AS BIGINT)")
+          .as("reciprocity_ppm"))
+  }
+
   /** TIME-RESPECTING earliest-arrival reachability (Holme & Saramäki,
     * Phys. Rep. 519, 2012 — temporal networks): each edge `(src, dst, t)`
     * is usable only if `src` was already reached at or before `t`, and a

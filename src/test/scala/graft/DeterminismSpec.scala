@@ -157,7 +157,9 @@ class DeterminismSpec extends AnyFunSuite {
     // session gaps-and-islands + holistic percentile rollup
     "events_session_stats",
     // dual exact rolling-distinct passes joined on the spine
-    "events_stickiness")
+    "events_stickiness",
+    // reversed-key semi self-join counts
+    "graph_reciprocity")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -233,6 +233,18 @@ class GraphSpec extends AnyFunSuite {
       seeds.toDF("node"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("reciprocity: mutual pairs counted both ways, self-loops dropped, empty → no rows") {
+    // a↔b mutual (2 reciprocal edges), a→c one-way, d→d self-loop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.reciprocity(e, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, 666666L)), s"$got")
+    assert(Graph.reciprocity(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      .collect().isEmpty, "empty edge set emits zero rows")
+  }
+
   private def tr(edges: Seq[(Long, Long, Long)], seeds: Seq[(Long, Long)],
                  rounds: Int): Map[Long, Long] =
     Graph.temporalReachability(edges.toDF("src", "dst", "t"), "src", "dst", "t",
