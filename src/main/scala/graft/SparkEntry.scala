@@ -2691,6 +2691,17 @@ object SparkEntry {
       pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
         .orderBy("node")
     },
+    "graph_degree_dist" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // mega-hub pre-flight: log2-bucketed degree distribution of the
+      // trade graph — the readout that decides which ops need skew guards
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      pipeline.Graph.degreeProfile(e0, "src", "dst")
+        .orderBy("bucket")
+    },
     "graph_reciprocity" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // relationship symmetry over a genuinely DIRECTED trade graph:
@@ -3988,6 +3999,20 @@ object SparkEntry {
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_temporal_reach" -> temporalReachOracleSql(3),
+    "graph_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM (
+                      SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+                      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+                    WHERE src <> dst),
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                      GROUP BY node),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)
+         SELECT CAST(length(printf('%b', d)) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST((count(*) * 1000000) // (SELECT n FROM tot) AS BIGINT) AS share_ppm,
+                min(d) AS min_degree, max(d) AS max_degree
+         FROM deg GROUP BY 1 ORDER BY bucket""",
     "graph_reciprocity" ->
       """WITH e AS (
            SELECT DISTINCT src, dst FROM (

@@ -435,6 +435,38 @@ object Graph {
     dists
   }
 
+  /** DEGREE-DISTRIBUTION profile in log₂ buckets — the "does this graph
+    * have mega-hubs" pre-flight that decides which graph ops need their
+    * skew guards (a heavy power-law tail is where naive wedge joins and
+    * per-node broadcasts die): per bucket `b = bitlen(degree)` (degrees
+    * 2^(b−1)..2^b−1), the node count, share ppm, and the bucket's
+    * exact min/max degree. Undirected degrees over distinct edges
+    * (self-loops dropped, duplicates/reversals collapsed — the
+    * triangleCounts hygiene). Two partial-aggregated collapses: per-node
+    * degrees, then ≤ 64 buckets. Output: `bucket, n_nodes, share_ppm,
+    * min_degree, max_degree`. */
+  def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    Search.requireIntegralId(edges, srcCol, "degreeProfile", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "degreeProfile", role = "dst id")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val tot = deg.agg(count(lit(1)).as("__n"))
+    deg.groupBy(expr("CAST(length(bin(__d)) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("__d")).as("min_degree"), max(col("__d")).as("max_degree"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"),
+        expr("CAST((n_nodes * 1000000) DIV __n AS BIGINT)").as("share_ppm"),
+        col("min_degree"), col("max_degree"))
+  }
+
   /** Directed-edge RECIPROCITY (Garlaschelli & Loffredo, PRL 2004): the
     * share of directed edges whose REVERSE also exists — the
     * relationship-symmetry readout (mutual follows vs broadcast accounts,

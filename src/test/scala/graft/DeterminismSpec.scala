@@ -159,7 +159,9 @@ class DeterminismSpec extends AnyFunSuite {
     // dual exact rolling-distinct passes joined on the spine
     "events_stickiness",
     // reversed-key semi self-join counts
-    "graph_reciprocity")
+    "graph_reciprocity",
+    // canonical-edge collapse + bitlen bucket rollup
+    "graph_degree_dist")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -233,6 +233,20 @@ class GraphSpec extends AnyFunSuite {
       seeds.toDF("node"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("degreeProfile: log2 buckets with hygiene — dup/reversed edges collapse, self-loops drop") {
+    // star center 1 with leaves 2..5 (degree 4 → bucket 3), leaves
+    // degree 1 → bucket 1; messy input: duplicates, reversal, self-loop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (1L, 5L), (3L, 3L)).toDF("src", "dst")
+    val got = Graph.degreeProfile(e, "src", "dst")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 800000L, 1L, 1L),   // four leaves at degree 1
+      (3L, 1L, 200000L, 4L, 4L)),  // the hub at degree 4
+      s"$got")
+  }
+
   test("reciprocity: mutual pairs counted both ways, self-loops dropped, empty → no rows") {
     // a↔b mutual (2 reciprocal edges), a→c one-way, d→d self-loop
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L), (1L, 2L))
