@@ -3639,7 +3639,13 @@ object SparkEntry {
           |       CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS mean_dist2
           |FROM af GROUP BY c ORDER BY cluster""".stripMargin
       else
-        "SELECT vec_id, c AS cluster, d2 AS dist2 FROM af ORDER BY vec_id"
+        // r9: explicit BIGINT cast — `list_sum` over a BIGINT list changed
+        // return type across DuckDB versions (HUGEINT vs DOUBLE); an uncast
+        // d2 hashes differently driver-side while every comparison (and so
+        // the assignment, summary and purity) stays exact. This was the ONE
+        // construct unique to emb_kmeans's output among the 239 oracles —
+        // the r8 driver gate's single red cell (CORRECTNESS_r08.json).
+        "SELECT vec_id, c AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM af ORDER BY vec_id"
     s"""WITH q AS (SELECT vec_id,
        |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |           FROM embeddings WHERE embedding IS NOT NULL),

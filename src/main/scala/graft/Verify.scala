@@ -30,6 +30,15 @@ object Verify {
     // Alphabetical order (Map iteration order is arbitrary): if the driver's
     // wall-clock budget cuts the run short, WHICH queries got verified is at
     // least deterministic round-over-round instead of hash-order roulette.
+    // r9 (VERDICT Next #1): per-query canonical row digests, written as a
+    // sidecar next to oracle_sql.json. A driver-side hash mismatch that no
+    // local rerun reproduces (r8's emb_kmeans) is undebuggable without a
+    // canonical form both sides can recompute; this one is: columns SORTED
+    // BY NAME, every value CAST to Spark's string form (null -> \u0000),
+    // columns joined with \u0001, rows SORTED, digest = 64-bit FNV-1a folded
+    // over the sorted stream. `head` carries the first rows of the sorted
+    // canonical stream so a mismatch names actual content, not just a hash.
+    val digests = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -37,6 +46,26 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        try {
+          import org.apache.spark.sql.functions._
+          val back = spark.read.parquet(s"$outDir/$name")
+          val cols = back.columns.sorted.map(c =>
+            coalesce(col("`" + c + "`").cast("string"), lit("\u0000")))
+          val rows = back.select(concat_ws("\u0001", cols: _*).as("r"))
+            .collect().map(_.getString(0)).sorted
+          val digest = rows.foldLeft(0L) { (acc, r) =>
+            // order-sensitive fold over the SORTED stream: 64-bit FNV-1a of
+            // (acc, row) — both engines can replay it from the parquet
+            var h = acc ^ 0xcbf29ce484222325L
+            r.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+            h
+          }
+          val head = rows.take(2).map(_.take(120)).mkString(" | ")
+          digests(name) =
+            f"n=${rows.length} d=$digest%016x head=$head"
+        } catch { case e: Throwable =>
+          digests(name) = s"digest_error=${e.getClass.getSimpleName}"
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -57,6 +86,9 @@ object Verify {
       .filter(o => only.forall(_.contains(o._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val digestJson = digests
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/row_digests.json"), digestJson)
     spark.stop()
   }
 }
