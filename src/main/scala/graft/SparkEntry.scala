@@ -2439,14 +2439,15 @@ object SparkEntry {
       // the corpus×corpus scale path of emb_mutual_pairs: IVF-blocked
       // candidates (union of both directions' probes, shuffle list join —
       // nothing broadcasts a corpus) + exact rerank + mutuality over the
-      // slice. Rows-only (IVF training is data-defined); blocked ≡ exact
-      // agreement pinned by spec on clustered corpora, recall at scale in
-      // SCALE_PROBE.md.
+      // slice. r9: the INTEGER-EXACT quantizer (md5-spread sample, pure-
+      // long Lloyd, d² probing) makes the whole pipeline DuckDB-
+      // replayable, so this hash-gates (was rows-only); blocked ≡ exact
+      // agreement stays pinned by spec, recall at scale in SCALE_PROBE.md.
       val emb = s.table("embeddings")
-      pipeline.Similarity.mutualNearestIvf(
+      pipeline.Similarity.mutualNearestIvfExact(
           emb.where(col("vec_id") % 2 === 0),
           emb.where(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", nLists = 16, nProbe = 4)
+          "vec_id", "embedding", nLists = 16, nProbe = 4, iters = 3)
         .orderBy("id_a")
     },
     "search_bm25" -> { (s, dir) =>
@@ -3568,12 +3569,14 @@ object SparkEntry {
        |       FROM cand GROUP BY 1, 2, 3),
        |fin AS (SELECT sc.doc_id, sc.actual, sc.cls, sc.s + ${lg("cls.docs")} AS score
        |        FROM sc JOIN cls ON cls.cls = sc.cls),
-       |best AS (SELECT doc_id, actual, cls,
+       |best AS (SELECT doc_id, cls,
        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
-       |         FROM fin)
-       |SELECT doc_id, actual, cls AS predicted,
-       |       CAST(CASE WHEN actual = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
-       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+       |         FROM fin),
+       |lab AS (SELECT doc_id, lang AS actual FROM documents WHERE lang IS NOT NULL)
+       |SELECT lab.doc_id, lab.actual, b.cls AS predicted,
+       |       CAST(CASE WHEN lab.actual = b.cls THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM lab LEFT JOIN (SELECT doc_id, cls FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB replay of [[pipeline.Multimodal.sobelEnergy]] over the
@@ -3658,6 +3661,87 @@ object SparkEntry {
        |$roundCtes,
        |$fin
        |$select""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Similarity.mutualNearestIvfExact]] for
+    * `emb_mutual_pairs_blocked` — the WHOLE blocked pipeline unrolled,
+    * per probing direction: unit-quantize (`(qv_i·10⁶) // floor(√Σqv²)`,
+    * zero-norm rows dropped) → md5-h60("ivq:"∥id) spread sample → seeds =
+    * first `nLists` of the sample order → `iters` pure-integer Lloyd
+    * rounds (d² argmin ties to the smaller cluster id, per-dim `Σ // n`
+    * means re-unit-quantized, empty clusters keep the old centroid) →
+    * corpus keyed by its 1 nearest list, queries probing `nProbe` →
+    * full-precision quantized cosine at the list join → DISTINCT union of
+    * both directions → mutual argmax. Every step is the truncating-DIV /
+    * IEEE-sqrt arithmetic the other green oracles already pin. */
+  private def ivfMutualOracleSql(nLists: Int, nProbe: Int, sampleSize: Int,
+                                 iters: Int, dims: Int): String = {
+    val h60 = "CAST('0x' || substr(md5('ivq:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    // one direction: corpus side = parity cp (trains the quantizer), query
+    // side = the other parity; d tags the CTE names
+    def direction(d: String, cp: Int): String = {
+      val qp = 1 - cp
+      val rounds = (1 to iters).map { i =>
+        s"""a$d$i AS (SELECT rk, uq, c FROM (
+           |  SELECT rk, uq, c, row_number() OVER (PARTITION BY rk ORDER BY dd, c) AS rn
+           |  FROM (SELECT s.rk, s.uq, cc.c, ${d2("s.uq", "cc.cv")} AS dd
+           |        FROM (SELECT * FROM s$d WHERE rk < $sampleSize) s
+           |        CROSS JOIN c$d${i - 1} cc)) WHERE rn = 1),
+           |m$d$i AS (SELECT c, list(comp ORDER BY dim) AS mv FROM (
+           |  SELECT c, t.dim,
+           |    CAST(sum(CAST(uq[t.dim] AS HUGEINT)) // count(*) AS BIGINT) AS comp
+           |  FROM a$d$i CROSS JOIN range(1, ${dims + 1}) t(dim)
+           |  GROUP BY c, t.dim) GROUP BY c),
+           |c$d$i AS (SELECT p.c,
+           |  coalesce(CASE WHEN u.ms > 0
+           |                THEN list_transform(u.mv, x -> (x * 1000000) // u.ms)
+           |                ELSE u.mv END, p.cv) AS cv
+           |  FROM c$d${i - 1} p LEFT JOIN (
+           |    SELECT c, mv, CAST(floor(sqrt(CAST(list_sum(list_transform(mv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS ms
+           |    FROM m$d$i) u ON u.c = p.c)""".stripMargin
+      }.mkString(",\n")
+      s"""s$d AS (SELECT uq, row_number() OVER (ORDER BY $h60, vec_id) - 1 AS rk
+         |        FROM uv WHERE vec_id % 2 = $cp),
+         |c${d}0 AS (SELECT rk AS c, uq AS cv FROM s$d WHERE rk < $nLists),
+         |$rounds,
+         |co$d AS (SELECT vec_id AS neighbor_id, qv, lst FROM (
+         |  SELECT vec_id, qv, lst, row_number() OVER (PARTITION BY vec_id ORDER BY dd, lst) AS rn
+         |  FROM (SELECT v.vec_id, v.qv, cc.c AS lst, ${d2("v.uq", "cc.cv")} AS dd
+         |        FROM (SELECT * FROM uv WHERE vec_id % 2 = $cp) v
+         |        CROSS JOIN c$d$iters cc)) WHERE rn = 1),
+         |qr$d AS (SELECT vec_id AS query_id, qv, lst FROM (
+         |  SELECT vec_id, qv, lst, row_number() OVER (PARTITION BY vec_id ORDER BY dd, lst) AS rn
+         |  FROM (SELECT v.vec_id, v.qv, cc.c AS lst, ${d2("v.uq", "cc.cv")} AS dd
+         |        FROM (SELECT * FROM uv WHERE vec_id % 2 = $qp) v
+         |        CROSS JOIN c$d$iters cc)) WHERE rn <= $nProbe),
+         |p$d AS (SELECT q.query_id, c.neighbor_id,
+         |  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)
+         |    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+         |     * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+         |  FROM qr$d q JOIN co$d c USING (lst))""".stripMargin
+    }
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |uv AS (SELECT vec_id, qv, list_transform(qv, x -> (x * 1000000) // s) AS uq
+       |       FROM (SELECT vec_id, qv,
+       |               CAST(floor(sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS s
+       |             FROM base) WHERE s > 0),
+       |${direction("f", 1)},
+       |${direction("r", 0)},
+       |u AS (SELECT DISTINCT ia, ib, cos_scaled FROM (
+       |  SELECT query_id AS ia, neighbor_id AS ib, cos_scaled FROM pf
+       |  UNION ALL
+       |  SELECT neighbor_id AS ia, query_id AS ib, cos_scaled FROM pr)),
+       |ab AS (SELECT ia, ib, cos_scaled,
+       |         row_number() OVER (PARTITION BY ia ORDER BY cos_scaled DESC, ib) AS r FROM u),
+       |ba AS (SELECT ia, ib,
+       |         row_number() OVER (PARTITION BY ib ORDER BY cos_scaled DESC, ia) AS r FROM u)
+       |SELECT ab.ia AS id_a, ab.ib AS id_b, ab.cos_scaled
+       |FROM ab JOIN ba ON ab.ia = ba.ia AND ab.ib = ba.ib AND ab.r = 1 AND ba.r = 1
+       |ORDER BY id_a""".stripMargin
   }
 
   /** DuckDB replay of [[pipeline.Search.rboPrefix]] for `search_rbo`:
@@ -3773,6 +3857,7 @@ object SparkEntry {
          |       CAST((n * 1000000) // nm AS BIGINT) AS purity_ppm
          |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin),
     "emb_kmeans_summary" -> kmeansOracleSql(8, 3, 64, summary = true),
+    "emb_mutual_pairs_blocked" -> ivfMutualOracleSql(16, 4, 10000, 3, 64),
     "search_rbo" -> rboOracleSql,
     "src_csv_roundtrip" ->
       """SELECT tricky, count(*) AS n,

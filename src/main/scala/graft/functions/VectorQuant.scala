@@ -216,6 +216,93 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def prettyName: String = "quantized_dot"
 }
 
+/** nearest_int_centroids(uq) → array<int>: ids of the `nProbe` centroids
+  * with the smallest INTEGER squared Euclidean distance to the
+  * bigint-quantized vector, nearest first (ties → smaller id).
+  *
+  * The integer twin of [[NearestCentroids]]: both are plan-constant
+  * map-side probes, but this one's metric is exact long arithmetic over
+  * integer centroids, so a DuckDB oracle can replay assignment (and the
+  * Lloyd training that produced `centroids` — see
+  * `Similarity.trainCentroidsExact`) bit-for-bit. That replayability is
+  * what graduates the blocked embedding ops from rows-only to
+  * hash-gated. Magnitudes: unit-quantized components ≤ 10⁶, so per-dim
+  * diff² ≤ 4·10¹² and a 4096-dim d² < 2⁶³ — no overflow. NULL input →
+  * NULL (the dimension-mismatch rule). */
+case class NearestIntCentroids(child: Expression, centroids: Seq[Seq[Long]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.length)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    // dimension mismatch ⇒ NULL list, the QuantizedDot rule: a
+    // wrong-model-version vector must drop, never probe garbage lists
+    if (dim != cents(0).length) return null
+    val d2 = new Array[Long](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0L
+      var d = 0
+      while (d < dim) {
+        if (vec.isNullAt(d)) return null
+        val t = vec.getLong(d) - cent(d); acc += t * t; d += 1
+      }
+      d2(c) = acc
+      c += 1
+    }
+    val top = (0 until cents.length).sortBy(i => (d2(i), i)).take(nProbe)
+    new GenericArrayData(top.map(Int.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestIntCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_int_centroids"
+}
+
+/** unit_quantize(qv) → array<bigint>: `uq_i = qv_i·10⁶ DIV s` with
+  * `s = floor(√(Σ qv_i²))` — the exact-replayable unit normalization
+  * over a bigint-quantized vector. The only float op is one
+  * correctly-rounded IEEE sqrt of an exact long (< 2⁵³ at any sane
+  * dim×magnitude), and the division truncates toward zero exactly like
+  * Spark's `DIV` and DuckDB's `//`, so a SQL oracle replays it
+  * bit-for-bit: `list_transform(qv, x -> (x*1000000) // s)`.
+  * NULL for the zero vector (nothing to normalize — the row drops, the
+  * NULL-cosine contract) and for NULL elements. */
+case class UnitQuantize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    var ss = 0L
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      val x = vec.getLong(i); ss += x * x; i += 1
+    }
+    val s = math.floor(math.sqrt(ss.toDouble)).toLong
+    if (s <= 0L) return null
+    val out = new Array[Any](dim)
+    i = 0
+    while (i < dim) { out(i) = vec.getLong(i) * 1000000L / s; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnitQuantize =
+    copy(child = newChild)
+  override def prettyName: String = "unit_quantize"
+}
+
 private[functions] object PqSupport {
   /** float ArrayData → unit-normalized double array (zero vector kept). */
   def unitVec(vec: ArrayData, dim: Int): Array[Double] = {

@@ -1199,10 +1199,14 @@ object Dedup {
     *
     * Plan: per field one (group, value) partial-aggregated count+max-tie
     * pass folded by a `max(struct(n, tie, value))` ARGMAX aggregate
-    * (never a per-group window sort), then the k field frames equi-join
-    * back on the group id — k small by definition (a schema's worth of
-    * columns). All-NULL fields survive as NULL. Output: groupCol,
-    * `n_members`, one `golden_<field>` per requested field. */
+    * (never a per-group window sort), then the k field frames join back
+    * on the group id with NULL-SAFE equality (`<=>`): `groupBy` keeps a
+    * NULL group id as a real group, so its golden values must survive
+    * the join too — a plain equi-join would return that group's row
+    * with every golden_* NULL even when it has values. k small by
+    * definition (a schema's worth of columns). All-NULL fields survive
+    * as NULL. Output: groupCol, `n_members`, one `golden_<field>` per
+    * requested field. */
   def goldenRecords(df: DataFrame, groupCol: String, fields: Seq[String],
                     tieCol: String): DataFrame = {
     require(fields.nonEmpty, "goldenRecords needs at least one field")
@@ -1214,8 +1218,8 @@ object Dedup {
         .agg(count(lit(1)).as("__n"), max(col(tieCol)).as("__t"))
         .groupBy(col(groupCol))
         .agg(max(struct(col("__n"), col("__t"), col(f))).as("__b"))
-        .select(col(groupCol), col(s"__b.$f").as(s"golden_$f"))
-      acc.join(best, Seq(groupCol), "left")
+        .select(col(groupCol).as("__g"), col(s"__b.$f").as(s"golden_$f"))
+      acc.join(best, col(groupCol) <=> col("__g"), "left").drop("__g")
     }
   }
 

@@ -337,7 +337,11 @@ object Relational {
     * keys — then a broadcast IN-set tag and a (N+1)-group re-aggregate;
     * the grand total rides in as a broadcast one-row cross (the
     * modularity pattern). NULL keys land in OTHER (documented; a NULL
-    * category is "everything else" by definition). Output per bucket:
+    * category is "everything else" by definition). A REAL key whose
+    * string form is exactly "OTHER" fails loudly (raise_error in the
+    * bucket column, the abTest/pageRank guard style): silently merging
+    * it with the remainder would conflate both buckets' n_keys/n/share
+    * with no signal — rename such a domain upstream. Output per bucket:
     * `bucket, n_keys, n, share_ppm`, top buckets first by n. */
   def topNOther(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
@@ -351,7 +355,12 @@ object Relational {
     counts
       .join(broadcast(top), col("__k") === col("__topk"), "left")
       .withColumn("bucket",
-        when(col("__topk").isNotNull, col("__k")).otherwise(lit("OTHER")))
+        when(col("__k") === "OTHER", raise_error(lit(
+          "topNOther: a real key stringifies to the reserved bucket " +
+            "label 'OTHER'; it would silently merge with the remainder " +
+            "bucket - rename or pre-map that key")))
+          .when(col("__topk").isNotNull, col("__k"))
+          .otherwise(lit("OTHER")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_keys"), sum(col("__n")).as("n"))
       .crossJoin(broadcast(total))

@@ -559,7 +559,161 @@ object Similarity {
     paired.select(col("query_id"), col("neighbor_id"),
         cosScaledPre(col("__qq"), col("__qc"), col("__nq"), col("__nc")).as("cos_scaled"))
       .where(col("cos_scaled").isNotNull)
-      .distinct() // a pair probed via several lists carries identical bits
+    // no dedup pass needed (r9): the pair stream is duplicate-free BY
+    // CONSTRUCTION — each corpus row is keyed by exactly ONE list and a
+    // query probes nProbe DISTINCT lists (NearestCentroids returns a
+    // top-nProbe over distinct centroid ids), so a (query, neighbor)
+    // pair can form at at most one list. The r8 `.distinct()` here was a
+    // full extra pair-stream shuffle buying nothing.
+  }
+
+  /** [[ivfScoredPairs]] with the INTEGER-EXACT coarse quantizer — the
+    * oracle-replayable twin. Same fused plan shape (vectors cross the
+    * shuffle once per row, 24-byte pair rows leave the list join); the
+    * difference is the quantizer: vectors are unit-quantized to integer
+    * longs (`uq_i = qv_i·10⁶ DIV floor(√(qv·qv))` — one deterministic
+    * sqrt of an exact integer, then truncating division, both
+    * bit-identical across engines), the training sample is the
+    * `sampleSize` rows with the smallest md5-h60("ivq:"∥id), and Lloyd
+    * runs in pure long arithmetic (order-independent sums, `Σ DIV n`
+    * updates, d² argmin with smaller-id ties) — so a DuckDB oracle can
+    * replay sample → seeds → every Lloyd round → final assignment →
+    * probing → cosine, and the blocked op hash-gates instead of
+    * rows-only. Scoring is unchanged: the exact quantized cosine on the
+    * FULL-precision qv (unit-quantization is only the blocking
+    * geometry). */
+  def ivfScoredPairsExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, nLists: Int = 64, nProbe: Int = 8,
+                          sampleSize: Int = 10000, iters: Int = 10,
+                          excludeSelf: Boolean = true): DataFrame = {
+    val cents = trainCentroidsExact(
+      spreadSampleUq(corpus, idCol, vecCol, sampleSize), nLists, iters)
+    def side(df: DataFrame, idAs: String, vecAs: String,
+             normAs: String, probes: Int): DataFrame =
+      df.select(col(idCol).cast("long").as(idAs),
+          Dedup.quantize(col(vecCol)).as(vecAs))
+        .withColumn("__uq", unitQuantizeFrom(col(vecAs)))
+        .where(col("__uq").isNotNull)
+        .withColumn(normAs, qnorm(col(vecAs)))
+        .withColumn("__ls", E.column(graft.functions.NearestIntCentroids(
+          E.expression(col("__uq")), cents, probes)))
+    val c = side(corpus, "neighbor_id", "__qc", "__nc", 1)
+      .select(col("neighbor_id"), col("__qc"), col("__nc"),
+        col("__ls").getItem(0).as("list"))
+    val q = side(queries, "query_id", "__qq", "__nq", nProbe)
+      .select(col("query_id"), col("__qq"), col("__nq"),
+        explode(col("__ls")).as("list"))
+    val joined = c.hint("shuffle_hash").join(q, Seq("list"))
+    val paired = if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+                 else joined
+    paired.select(col("query_id"), col("neighbor_id"),
+        cosScaledPre(col("__qq"), col("__qc"), col("__nq"), col("__nc")).as("cos_scaled"))
+      .where(col("cos_scaled").isNotNull)
+    // duplicate-free by construction, same argument as [[ivfScoredPairs]]
+  }
+
+  /** `uq_i = qv_i·10⁶ DIV floor(√(qv·qv))` over a bigint-quantized
+    * vector; NULL for the zero vector (nothing to normalize — the row
+    * drops, the NULL-cosine contract). Exact-replayable: the only float
+    * op is one correctly-rounded IEEE sqrt of an exact integer < 2⁵³. */
+  private def unitQuantizeFrom(qv: Column): Column =
+    E.column(graft.functions.UnitQuantize(E.expression(qv)))
+
+  /** md5-derived 60-bit spread hash — the [[Clustering]] `h60` seeded
+    * with the IVF salt: both engines replay the ordering with
+    * `md5('ivq:' ∥ id)`, unlike `xxhash64` (Spark-only). */
+  private def h60ivq(id: Column): Column =
+    conv(substring(md5(concat(lit("ivq:"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** [[spreadSample]]'s oracle-replayable twin: the `n` rows with the
+    * smallest (md5-h60("ivq:"∥id), id), vectors returned UNIT-QUANTIZED
+    * (zero-norm rows dropped BEFORE the cut, mirrored in SQL). Same
+    * one-TakeOrdered shape — never a full sort, never a count job. */
+  private def spreadSampleUq(corpus: DataFrame, idCol: String, vecCol: String,
+                             n: Int): Array[Array[Long]] =
+    corpus.where(col(vecCol).isNotNull)
+      .select(unitQuantizeFrom(Dedup.quantize(col(vecCol))).as("__uq"),
+        h60ivq(col(idCol)).as("__h"), col(idCol))
+      .where(col("__uq").isNotNull)
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .collect().map(_.getSeq[Long](0).toArray)
+
+  /** Driver-side Lloyd over UNIT-QUANTIZED long vectors in pure integer
+    * arithmetic — [[trainCentroids]]'s oracle-replayable twin:
+    *  - seeds = the first `nLists` sample vectors (the sample arrives in
+    *    (h60, id) order, so seeds are the globally-smallest hashes and
+    *    cluster id = hash rank, the [[Clustering]] convention);
+    *  - assignment = exact long d² argmin, ties → smaller cluster id;
+    *  - update = per-dim `Σ DIV n` (truncating, |Σ| ≤ n·10⁶ — long-safe
+    *    to 10¹² sample rows), then RE-unit-quantized so d² argmin stays
+    *    ≡ cosine argmax on the sphere (the spherical-k-means invariant
+    *    [[trainCentroids]] keeps with float renormalization); empty
+    *    clusters keep the previous centroid.
+    * Every step is replayable in DuckDB (`//` and Spark `DIV` both
+    * truncate toward zero; the sqrt is the one IEEE op). */
+  private[pipeline] def trainCentroidsExact(sample: Array[Array[Long]],
+                                            nLists: Int, iters: Int): Seq[Seq[Long]] = {
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    val n = sample.length
+    def unitQ(v: Array[Long]): Array[Long] = {
+      var ss = 0L; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      val s = math.floor(math.sqrt(ss.toDouble)).toLong
+      if (s <= 0L) v else v.map(x => x * 1000000L / s)
+    }
+    var cents: Array[Array[Long]] = sample.take(nLists).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length, dim)(0L)
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d2 = 0L; var j = 0
+          while (j < dim) { val t = v(j) - cent(j); d2 += t * t; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c } // strict < = smaller-id ties
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else unitQ(sums(c).map(_ / counts(c)))
+      }
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** [[mutualNearestIvf]] on the INTEGER-EXACT quantizer
+    * ([[ivfScoredPairsExact]]) — identical plan shape and recall
+    * structure, but every stage from the training sample to the final
+    * cosine is replayable integer arithmetic, so the query it backs
+    * (`emb_mutual_pairs_blocked`) hash-gates against a DuckDB unroll
+    * instead of rows-only. */
+  def mutualNearestIvfExact(left: DataFrame, right: DataFrame, idCol: String,
+                            vecCol: String, nLists: Int = 64, nProbe: Int = 8,
+                            sampleSize: Int = 10000, iters: Int = 10): DataFrame = {
+    val fwd = ivfScoredPairsExact(right, left, idCol, vecCol, nLists, nProbe,
+        sampleSize, iters, excludeSelf = false)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos_scaled"))
+    val rev = ivfScoredPairsExact(left, right, idCol, vecCol, nLists, nProbe,
+        sampleSize, iters, excludeSelf = false)
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+        col("cos_scaled"))
+    mutualNearest(left, right, idCol, vecCol,
+      blocking = Some(fwd.union(rev)))
   }
 
   /** IVF ANN: coarse-quantizer blocking + exact rerank. Output schema

@@ -244,6 +244,10 @@ object Sketches {
     * regime), `n_distinct_est`. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 128): DataFrame = {
+    // k = 1 degenerates the Beyer estimator to (k−1)·2⁶⁰ = 0 — a
+    // deterministic wrong answer, not an estimate (the raw KmvSketch
+    // keeps k ≥ 1 for pure bottom-k use; the ESTIMATORS need k ≥ 2)
+    require(k >= 2, s"kmvDistinct needs k >= 2 (estimator is (k-1)-based), got $k")
     kmvSketches(df, groupCols, valueCol, k)
       .withColumn("n_kmv", size(col("kmv")).cast("long"))
       .withColumn("kth_min",
@@ -274,6 +278,8 @@ object Sketches {
     * exact when ku < k). All integer, hash-gateable. */
   def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
                  k: Int = 128): DataFrame = {
+    // same (k−1)-based estimator as kmvDistinct: k = 1 is deterministic 0
+    require(k >= 2, s"kmvOverlap needs k >= 2 (estimator is (k-1)-based), got $k")
     val sk = kmvSketches(df, Seq(groupCol), valueCol, k)
     val a = sk.select(col(groupCol).as("group_a"), col("kmv").as("__ka"))
     val b = sk.select(col(groupCol).as("group_b"), col("kmv").as("__kb"))

@@ -342,7 +342,11 @@ object TextAnalysis {
     * Train = score corpus here (resubstitution accuracy — the
     * embedding-eval convention); leakage-safe splits via
     * [[groupAwareSplit]] compose on top. Output: idCol, `actual,
-    * predicted, correct` (1/0). */
+    * predicted, correct` (1/0) — EVERY labeled doc reports (the
+    * wordEntropy left-join convention): a doc with NULL text or zero
+    * tokens comes back `predicted` NULL, `correct` 0, so an
+    * `avg(correct)` accuracy keeps the full denominator instead of
+    * silently shrinking it. */
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String): DataFrame = {
     def lg(x: String) =
@@ -370,11 +374,14 @@ object TextAnalysis {
       .agg(sum(col("__term")).as("__s"))
       .join(broadcast(classes), Seq("__cls"))
       .withColumn("__score", col("__s") + expr(lg("__docs")))
-    scored.groupBy(col(idCol), col("__actual").as("actual"))
+    val preds = scored.groupBy(col(idCol))
       .agg(max(struct(col("__score"), col("__cls"))).as("__b"))
-      .select(col(idCol), col("actual"),
-        col("__b.__cls").as("predicted"),
-        when(col("actual") === col("__b.__cls"), 1L).otherwise(0L)
+      .select(col(idCol), col("__b.__cls").as("predicted"))
+    df.where(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("actual"))
+      .join(preds, Seq(idCol), "left")
+      .select(col(idCol), col("actual"), col("predicted"),
+        when(col("actual") === col("predicted"), 1L).otherwise(0L)
           .as("correct"))
   }
 

@@ -377,6 +377,19 @@ object TimeSeries {
         col("__r.ewma_cents").as("ewma_cents"))
   }
 
+  /** The survival family's event indicator, VALIDATED in the consumed
+    * column (the pageRank weight-guard style): values must be exactly
+    * 0/1 (booleans cast; so do 0L/1L of any integral width) — any other
+    * encoding (2, -1, NULL) raise_errors instead of silently counting
+    * as censored, which would skew the curve with no signal. */
+  private def eventFlag(eventCol: String, op: String): org.apache.spark.sql.Column = {
+    val ev = col(eventCol).cast("long")
+    when(ev === 1L, 1L).when(ev === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit(s"$op: eventCol must be 0 (censored) or 1 (event), got "),
+        coalesce(col(eventCol).cast("string"), lit("NULL")))))
+  }
+
   /** KAPLAN-MEIER survival curve (Kaplan & Meier, JASA 1958) with
     * right-censoring, in INTEGER log-space — retention/churn's
     * statistically honest form: naive "x% still active after t days"
@@ -407,9 +420,10 @@ object TimeSeries {
     def lg(x: String) =
       s"(64L * CAST(length(bin($x)) AS BIGINT) + (($x) * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
     val s = subjects.where(col(durationCol).isNotNull)
+      .withColumn("__ev", eventFlag(eventCol, "kaplanMeier"))
     val c = s.groupBy(col(durationCol).cast("long").as("t"))
-      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_events"),
-        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+      .agg(sum(col("__ev")).as("n_events"),
+        sum(lit(1L) - col("__ev")).as("n_censored"))
     val tot = s.agg(count(lit(1)).as("__tot"))
     val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     val upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
@@ -452,10 +466,11 @@ object TimeSeries {
               groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = subjects.where(col(durationCol).isNotNull && col(groupCol).isNotNull)
+      .withColumn("__ev", eventFlag(eventCol, "logRank"))
     val c = s.groupBy(col(groupCol).as("__g"),
         col(durationCol).cast("long").as("t"))
-      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("__d"),
-        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("__c"))
+      .agg(sum(col("__ev")).as("__d"),
+        sum(lit(1L) - col("__ev")).as("__c"))
     val grid = c.select(col("t")).distinct()
       .crossJoin(broadcast(c.select(col("__g")).distinct()))
       .join(c, Seq("t", "__g"), "left")

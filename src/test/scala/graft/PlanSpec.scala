@@ -280,6 +280,13 @@ class PlanSpec extends AnyFunSuite {
       s"scored candidates must never form a product:\n$cplan")
     assert(!cplan.contains("SortMergeJoin"),
       s"vector-carrying rows must not be sorted for the list join:\n$cplan")
+    // r9: the pair stream is duplicate-free BY CONSTRUCTION (corpus rows
+    // carry 1 list, a query probes nProbe DISTINCT lists), so there must
+    // be no dedup exchange after the list join — exactly the two list-key
+    // exchanges feed the join and nothing re-shuffles the pair stream
+    val exchanges = cplan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"scored candidates must shuffle exactly twice (list keys), got $exchanges:\n$cplan")
     // the composed query's argmax tail: aggregates, never a window
     val plan = SparkEntry.queries("emb_mutual_pairs_blocked")(spark, sf)
       .queryExecution.executedPlan.toString

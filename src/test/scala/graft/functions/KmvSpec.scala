@@ -81,6 +81,19 @@ class KmvSpec extends AnyFunSuite {
     assert(row == Seq(("a", "b", 60L, 60L, 20L, 200000L, 100L)))
   }
 
+  test("estimators reject k = 1 (the (k-1)-based estimate degenerates to 0)") {
+    val df = Seq(1L, 2L).toDF("v").withColumn("g", lit("x"))
+    intercept[IllegalArgumentException] {
+      Sketches.kmvDistinct(df, Seq("g"), "v", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(df, "g", "v", k = 1)
+    }
+    // the raw sketch itself still accepts k = 1 (pure bottom-k use)
+    assert(Sketches.kmvSketches(df, Seq("g"), "v", 1)
+      .select(col("kmv")).as[Seq[Long]].collect().head.length == 1)
+  }
+
   test("null values are ignored, not hashed") {
     val df = Seq(Some(1L), None, Some(2L), None).toDF("v")
       .withColumn("g", lit("x"))

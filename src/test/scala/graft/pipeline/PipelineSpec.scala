@@ -2516,6 +2516,14 @@ class PipelineSpec extends AnyFunSuite {
       s"planted twins not reciprocal: $exactMutual")
     assert(blockedMutual == exactMutual,
       s"blocked ≠ exact: only-blocked=${blockedMutual -- exactMutual} only-exact=${exactMutual -- blockedMutual}")
+    // the INTEGER-EXACT quantizer (the oracle-replayable twin behind
+    // emb_mutual_pairs_blocked) must agree with exact too — different
+    // blocking geometry, same probe-covers-argmax property here
+    val blockedExactQ = Similarity.mutualNearestIvfExact(a, b, "vec_id", "embedding",
+        nLists = 4, nProbe = 2, sampleSize = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blockedExactQ == exactMutual,
+      s"int-quantizer blocked ≠ exact: only-blocked=${blockedExactQ -- exactMutual} only-exact=${exactMutual -- blockedExactQ}")
 
     // self-corpus candidates shared by the three single-corpus ops — both
     // blocking forms: SCORED at the list join (ivfScoredPairs, the scale
@@ -2840,6 +2848,22 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 1L, None, None)), s"$got")
   }
 
+  test("goldenRecords: a NULL group id keeps its golden values (null-safe join)") {
+    // groupBy keeps NULL as a real group; the field frames must join
+    // back with <=> or the NULL group's golden_* come back NULL
+    val df = Seq(
+      (Option(1L), "a", 10L), (Option(1L), "a", 11L),
+      (Option.empty[Long], "z", 20L), (Option.empty[Long], "z", 21L),
+      (Option.empty[Long], "q", 22L))
+      .toDF("grp", "name", "ts")
+    val got = Dedup.goldenRecords(df, "grp", Seq("name"), "ts")
+      .as[(Option[Long], Long, Option[String])].collect().toSeq
+      .sortBy(_._1.getOrElse(Long.MinValue))
+    assert(got == Seq(
+      (None, 3L, Some("z")),
+      (Some(1L), 2L, Some("a"))), s"$got")
+  }
+
   test("RFM composition: best customer scores 555, worst 111, scores stay in 1..5") {
     val ts0 = java.time.LocalDate.parse("2024-06-01")
     def ev(u: Long, daysAgo: Int, v: Double) =
@@ -2986,6 +3010,34 @@ class PipelineSpec extends AnyFunSuite {
     val got = Relational.topNOther(df, "k", topN = 5)
       .as[(String, Long, Long, Long)].collect().map(_._1).toSet
     assert(got == Set("x", "y"), s"$got")
+  }
+
+  test("topNOther: a real key named 'OTHER' fails loudly instead of merging with the remainder") {
+    val df = Seq("x", "x", "OTHER", "y").toDF("k")
+    val e = intercept[Exception] {
+      Relational.topNOther(df, "k", topN = 1).collect()
+    }
+    assert(e.getMessage.contains("OTHER") || e.getCause != null,
+      s"expected the reserved-sentinel guard, got: ${e.getMessage}")
+  }
+
+  test("naiveBayesClassify: token-less labeled docs report with NULL prediction, correct = 0") {
+    // the avg(correct) denominator must include EVERY labeled doc — a
+    // silently absent empty doc shrinks it (the wordEntropy convention)
+    val docs = Seq(
+      (1L, "apfel birne apfel", "de"),
+      (2L, "apple pear apple", "en"),
+      (3L, "   ", "en"),                      // zero tokens
+      (4L, null.asInstanceOf[String], "de"))  // NULL text
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.naiveBayesClassify(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L),
+      s"every labeled doc must report: $got")
+    assert(got(2)._3.isEmpty && got(2)._4 == 0L, s"empty doc contract: $got")
+    assert(got(3)._3.isEmpty && got(3)._4 == 0L, s"NULL-text contract: $got")
+    assert(got(0)._4 == 1L && got(1)._4 == 1L, s"scored docs unaffected: $got")
   }
 
   test("wordEntropy: exact 64ths-of-a-bit at power-of-two vocab, 0 when repetitive, NULL when empty") {

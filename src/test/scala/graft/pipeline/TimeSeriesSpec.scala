@@ -298,6 +298,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"log-rank identity broken: O=$oSum E=$eSum")
   }
 
+  test("kaplanMeier/logRank: a non-0/1 event encoding fails loudly instead of counting as censored") {
+    // eventCol = 2 (or NULL) used to silently read as censored, skewing
+    // the curve with no signal; booleans cast cleanly and stay accepted
+    val bad = Seq((1L, 2), (2L, 1)).toDF("duration", "churned")
+    val e1 = intercept[Exception] {
+      TimeSeries.kaplanMeier(bad, "duration", "churned").collect()
+    }
+    assert(e1.getMessage.contains("eventCol") || e1.getCause != null, s"$e1")
+    val badG = Seq((0, 1L, 2), (1, 2L, 1)).toDF("cohort", "duration", "churned")
+    val e2 = intercept[Exception] {
+      TimeSeries.logRank(badG, "duration", "churned", "cohort").collect()
+    }
+    assert(e2.getMessage.contains("eventCol") || e2.getCause != null, s"$e2")
+    // boolean events: cast is explicit and exact
+    val bool = Seq((1L, true), (2L, false), (3L, true)).toDF("duration", "churned")
+    val got = TimeSeries.kaplanMeier(bool, "duration", "churned")
+      .orderBy("t").as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq((1L, 1L, 0L), (2L, 0L, 1L), (3L, 1L, 0L)),
+      s"boolean events must cast to 1/0: $got")
+  }
+
   test("kaplanMeier: an all-censored cohort never loses survival mass") {
     val subj = Seq((2L, 0), (5L, 0), (9L, 0)).toDF("duration", "churned")
     val got = TimeSeries.kaplanMeier(subj, "duration", "churned")
