@@ -1787,6 +1787,43 @@ object SparkEntry {
       pipeline.Multimodal.imageStats(s, media)
         .orderBy("doc_id")
     },
+    "multimodal_decode_tolerant" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // crawl-scale decode contract: planted corruption (doc_id%37==0 →
+      // 0x11-prefixed md5 garbage no ImageIO reader claims; %37==5 → PNG
+      // truncated to 64 bytes — IHDR intact, IDAT missing, so the reader
+      // CLAIMS it then chokes mid-decode) flows through the tolerant
+      // stats pass as accounted reject rows instead of killing the job;
+      // survivors replay the planted grid arithmetic exactly
+      val media = pipeline.Multimodal.synthesizeGridPayloads(s.table("documents"), "doc_id")
+      val planted = media.withColumn("payload",
+        when(col("doc_id") % 37 === 0,
+          concat(lit(Array[Byte](0x11)), unhex(md5(col("doc_id").cast("string")))))
+        .when(col("doc_id") % 37 === 5, expr("substring(payload, 1, 64)"))
+        .otherwise(col("payload")))
+      pipeline.Multimodal.imageStatsTolerant(s, planted)
+        .orderBy("doc_id")
+    },
+    "multimodal_jpeg_meta" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL JPEG decode, metadata pass: dims/format/frame-count survive
+      // the lossy codec exactly (id-derived geometry replays in SQL);
+      // n_bytes dropped — encoder output length is not SQL-replayable
+      val media = pipeline.Multimodal.synthesizeJpegPayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.decodeMeta(s, media)
+        .select("doc_id", "media_type", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+    "multimodal_jpeg_stats" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // REAL JPEG pixel statistics — rows-only BY DESIGN: JPEG is lossy,
+      // so decoded pixels are deterministic (same encoder + input) but
+      // not SQL-replayable; tolerance bounds (mean luma within ±2 of the
+      // planted gradient's, dims exact) are spec-pinned in PipelineSpec
+      val media = pipeline.Multimodal.synthesizeJpegPayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.imageStats(s, media)
+        .orderBy("doc_id")
+    },
     "multimodal_sharpness" -> { (s, dir) =>
       prep(s, dir, "documents")
       // REAL Sobel gradient energy off the decoded raster — the blur /
@@ -5757,6 +5794,31 @@ object SparkEntry {
                 CAST(min(v) AS INT) AS luma_min, CAST(max(v) AS INT) AS luma_max,
                 CAST(sum(v) // 72 AS BIGINT) AS luma_mean
          FROM g GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_decode_tolerant" ->
+      """WITH live AS (SELECT doc_id FROM documents
+                       WHERE doc_id % 37 != 0 AND doc_id % 37 != 5),
+              g AS (SELECT doc_id, k,
+                      ((doc_id // 8) * 31 + k * 131) % 248
+                      + CASE WHEN k = doc_id % 72 THEN doc_id % 8 ELSE 0 END AS v
+                    FROM live, generate_series(0, 71) t(k)),
+              ok AS (SELECT doc_id, CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+                       CAST(min(v) AS INT) AS luma_min, CAST(max(v) AS INT) AS luma_max,
+                       CAST(sum(v) // 72 AS BIGINT) AS luma_mean,
+                       CAST(NULL AS VARCHAR) AS _corrupt
+                     FROM g GROUP BY doc_id),
+              bad AS (SELECT doc_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                        CAST(NULL AS INT) AS luma_min, CAST(NULL AS INT) AS luma_max,
+                        CAST(NULL AS BIGINT) AS luma_mean,
+                        CASE WHEN doc_id % 37 = 0 THEN 'no_reader'
+                             ELSE 'IIOException' END AS _corrupt
+                      FROM documents WHERE doc_id % 37 = 0 OR doc_id % 37 = 5)
+         SELECT * FROM ok UNION ALL SELECT * FROM bad ORDER BY doc_id""",
+    "multimodal_jpeg_meta" ->
+      """SELECT doc_id, 'image/jpeg' AS media_type,
+                CAST(16 + doc_id % 64 AS INT) AS width,
+                CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+                CAST(1 AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
     "multimodal_frame_phash" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS frame FROM documents),
               h AS (SELECT doc_id, frame,

@@ -52,6 +52,43 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Per-doc REAL JPEGs — the dominant crawl format. Same id-derived
+    * geometry as [[synthesizeImagePayloads]] (w = 16 + id%64,
+    * h = 16 + (id·7)%48, 1 frame), content a smooth diagonal gradient
+    * `luma(x,y) = (x·3 + y·5 + id·11) % 240` (JPEG-friendly — no hard
+    * edges to ring on), written by the JDK's own JPEG encoder at its
+    * default quality. JPEG is LOSSY: pixel metrics off these payloads
+    * are deterministic (same encoder, same input, same bytes) but NOT
+    * SQL-replayable — pixel queries over them declare rows-only with
+    * tolerance SPECS (dHash within a hamming band of the planted
+    * gradient's, mean luma within a band), while header metadata
+    * (dims/format/frame count) survives the codec exactly and
+    * hash-gates. */
+  def synthesizeJpegPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + id % 64).toInt
+        val h = (16 + (id * 7) % 48).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((x * 3 + y * 5 + id * 11) % 240).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** Per-doc REAL grayscale PNGs whose pixels carry the deterministic
     * 9×8 grid `gridCell(id, k)` replicated ×4 (36×32 px) — docs in the
     * same group of 8 share a base image and each doc perturbs ONE cell,
@@ -190,17 +227,19 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
-      rows.map { r =>
-        val reader = openReader(r.payload)
-        require(reader != null, s"doc ${r.doc_id}: no installed ImageIO reader claims payload")
-        try {
-          val fmt = reader.getFormatName.toLowerCase
-          MediaMeta(r.doc_id, s"image/$fmt", r.payload.length.toLong,
-            reader.getWidth(0), reader.getHeight(0),
-            reader.getNumImages(true))
-        } finally reader.dispose()
-      }
+      rows.map(r => metaOf(r.doc_id, r.payload))
     }
+  }
+
+  private def metaOf(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val reader = openReader(payload)
+    require(reader != null, s"doc $docId: no installed ImageIO reader claims payload")
+    try {
+      val fmt = reader.getFormatName.toLowerCase
+      MediaMeta(docId, s"image/$fmt", payload.length.toLong,
+        reader.getWidth(0), reader.getHeight(0),
+        reader.getNumImages(true))
+    } finally reader.dispose()
   }
 
   /** REAL per-frame sampling: every `everyNth` image descriptor of the
@@ -318,26 +357,27 @@ object Multimodal {
   def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
-      rows.map { r =>
-        val luma = decodeLuma(r.payload)
-        val h = luma.length
-        val w = luma(0).length
-        var mn = 255; var mx = 0; var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = luma(y)(x)
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            sum += v
-            x += 1
-          }
-          y += 1
-        }
-        (r.doc_id, w, h, mn, mx, sum / (w.toLong * h))
-      }
+      rows.map { r => val s = statsOf(decodeLuma(r.payload)); (r.doc_id, s._1, s._2, s._3, s._4, s._5) }
     }.toDF("doc_id", "width", "height", "luma_min", "luma_max", "luma_mean")
+  }
+
+  private def statsOf(luma: Array[Array[Int]]): (Int, Int, Int, Int, Long) = {
+    val h = luma.length
+    val w = luma(0).length
+    var mn = 255; var mx = 0; var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = luma(y)(x)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, mn, mx, sum / (w.toLong * h))
   }
 
   /** REAL Sobel gradient energy off the full decoded raster — the
@@ -659,6 +699,130 @@ object Multimodal {
       }
     }.toDF("doc_id", "channel", "n_samples", "n_silent",
       "lead_silent", "tail_silent", "max_run")
+  }
+
+  // ======= corrupt-tolerant decode twins (crawl-scale contract) =========
+  // The loud decoders above are the curated-fixture contract: a payload
+  // that SHOULD decode and doesn't is a pipeline bug and must stop the
+  // job. At crawl scale the opposite holds — ONE truncated image in a
+  // 100 TB batch must not kill the run — so each decode pass has a
+  // tolerant twin mirroring the JSONL/CSV sources' corrupt-retention
+  // convention: one output row per input, survivors carrying their
+  // metric columns with `_corrupt` NULL, rejects carrying NULL metrics
+  // with `_corrupt` = a deterministic error class, so the reject stream
+  // is ACCOUNTED and groupable (count by class, quarantine by id)
+  // instead of silently dropped or fatally thrown. Error classes:
+  //   "no_reader" — no installed decoder claims the bytes (for WAV:
+  //                 "bad_wav" — RIFF structure/PCM-format violations);
+  //   otherwise   — the decoder exception's class name (a truncated
+  //                 PNG IDAT reads "IIOException" from the JDK reader,
+  //                 spec-pinned), deterministic for a given JVM family.
+  // `n_bytes` stays populated on rejects (payload length needs no
+  // decode, and reject SIZE is part of the accounting).
+
+  /** Error class for a failed image decode: the loud cores signal
+    * "no reader claims these bytes" via `require` (ImageIO returns
+    * null exactly then), any other throw is the claimed reader choking
+    * mid-decode. */
+  private def imageErrorClass(e: Throwable): String = e match {
+    case _: IllegalArgumentException => "no_reader"
+    case other => other.getClass.getSimpleName
+  }
+
+  /** Tolerant twin of [[decodeMeta]]. Output: `doc_id, media_type,
+    * n_bytes, width, height, n_frames, _corrupt`. Note a payload can
+    * pass THIS pass and still reject in a pixel pass: a PNG truncated
+    * after its IHDR carries valid header metadata over missing image
+    * data — run the stats/dHash tolerant twins to quarantine those. */
+  def decodeMetaTolerant(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val m = metaOf(r.doc_id, r.payload)
+          (r.doc_id, Option(m.media_type), m.n_bytes, Option(m.width),
+            Option(m.height), Option(m.n_frames), Option.empty[String])
+        } catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, Option.empty[String], r.payload.length.toLong,
+            Option.empty[Int], Option.empty[Int], Option.empty[Int],
+            Option(imageErrorClass(e)))
+        }
+      }
+    }.toDF("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "_corrupt")
+  }
+
+  /** Tolerant twin of [[imageStats]]. Output: `doc_id, width, height,
+    * luma_min, luma_max, luma_mean, _corrupt`. */
+  def imageStatsTolerant(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val s = statsOf(decodeLuma(r.payload))
+          (r.doc_id, Option(s._1), Option(s._2), Option(s._3), Option(s._4),
+            Option(s._5), Option.empty[String])
+        } catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, Option.empty[Int], Option.empty[Int], Option.empty[Int],
+            Option.empty[Int], Option.empty[Long], Option(imageErrorClass(e)))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "luma_min", "luma_max", "luma_mean", "_corrupt")
+  }
+
+  /** Tolerant twin of [[grayDHash]]. Output: `doc_id, dhash, _corrupt`. */
+  def grayDHashTolerant(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        try (r.doc_id,
+          Option(dhashOf(boxGrid(decodeLuma(r.payload), gw = 9, gh = 8))),
+          Option.empty[String])
+        catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, Option.empty[Long], Option(imageErrorClass(e)))
+        }
+      }
+    }.toDF("doc_id", "dhash", "_corrupt")
+  }
+
+  /** Tolerant twin of [[pcmStats]]: survivors emit one row per channel
+    * as the loud pass does; a reject emits exactly ONE row with channel
+    * NULL (the channel count is itself decode output). RIFF-structure /
+    * format violations (the loud pass's `require`s) class as "bad_wav".
+    * Output: `doc_id, channel, n_samples, peak_abs, sum_sq, clip_ppm,
+    * _corrupt`. */
+  def pcmStatsTolerant(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val w = walkWav(r.doc_id, r.payload)
+          (0 until w.channels).map { ch =>
+            var i = 0
+            var peak = 0L; var sumSq = 0L; var nClip = 0L
+            while (i < w.nFrames) {
+              val s = sampleAt(r.payload, w, i, ch)
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              sumSq += s.toLong * s
+              if (s == 32767 || s == -32768) nClip += 1
+              i += 1
+            }
+            (r.doc_id, Option(ch), Option(w.nFrames.toLong), Option(peak),
+              Option(sumSq),
+              Option(if (w.nFrames == 0) 0L else nClip * 1000000L / w.nFrames),
+              Option.empty[String])
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          val cls = e match {
+            case _: IllegalArgumentException => "bad_wav"
+            case other => other.getClass.getSimpleName
+          }
+          Seq((r.doc_id, Option.empty[Int], Option.empty[Long],
+            Option.empty[Long], Option.empty[Long], Option.empty[Long],
+            Option(cls)))
+        }
+      }
+    }.toDF("doc_id", "channel", "n_samples", "peak_abs", "sum_sq", "clip_ppm", "_corrupt")
   }
 
   // ======= REAL container probing (header-only; no pixel decode) ========

@@ -684,6 +684,101 @@ class PipelineSpec extends AnyFunSuite {
       == (4L, 4L, 4L, 4L, 4L), s"$q")
   }
 
+  test("tolerant decode twins: planted garbage + truncated PNG reject with pinned classes; survivors identical to the loud pass") {
+    val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val media = Multimodal.synthesizeGridPayloads(docs, "doc_id")
+    val rows = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    assert(rows.forall(_._2.length > 64), "grid PNGs must outsize the truncation point")
+    val planted = rows.map {
+      case (1L, _) => (1L, Array[Byte](0x11) ++ Array.fill[Byte](16)(0x5a)) // no magic
+      case (2L, p) => (2L, p.take(64)) // IHDR intact, IDAT missing
+      case x => x
+    }.toSeq.toDF("doc_id", "payload")
+
+    // pixel pass: both plants reject with their deterministic classes
+    val st = Multimodal.imageStatsTolerant(spark, planted).orderBy("doc_id").collect()
+    assert(st.length == 4) // one row per input, nothing dropped
+    val byId = st.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(6) == "no_reader" && byId(1L).isNullAt(1))
+    assert(byId(2L).getString(6) == "IIOException" && byId(2L).isNullAt(5))
+    // survivors bit-identical to the loud pass over the clean subset
+    val clean = rows.filter(r => r._1 == 0L || r._1 == 3L).toSeq.toDF("doc_id", "payload")
+    val loud = Multimodal.imageStats(spark, clean).orderBy("doc_id").collect()
+    for ((l, id) <- loud.zip(Seq(0L, 3L))) {
+      val t = byId(id)
+      assert(t.isNullAt(6), s"doc $id must survive")
+      assert((1 to 5).forall(i => l.get(i) == t.get(i)), s"doc $id: $l vs $t")
+    }
+
+    // metadata pass: the truncated PNG SURVIVES (header-only decode) —
+    // the exact crawl behavior: meta green, pixels quarantined
+    val mt = Multimodal.decodeMetaTolerant(spark, planted).orderBy("doc_id").collect()
+    val mById = mt.map(r => r.getLong(0) -> r).toMap
+    assert(mById(1L).getString(6) == "no_reader")
+    assert(mById(1L).getLong(2) == 17L) // n_bytes accounted on rejects
+    assert(mById(2L).isNullAt(6) && mById(2L).getInt(3) == 36 && mById(2L).getInt(4) == 32)
+    assert(mById(0L).getString(1) == "image/png" && mById(0L).getInt(5) == 1)
+
+    // dhash pass mirrors the stats contract
+    val dh = Multimodal.grayDHashTolerant(spark, planted).orderBy("doc_id").collect()
+    val dById = dh.map(r => r.getLong(0) -> r).toMap
+    assert(dById(1L).getString(2) == "no_reader" && dById(1L).isNullAt(1))
+    assert(dById(2L).getString(2) == "IIOException")
+    val loudDh = Multimodal.grayDHash(spark, clean).orderBy("doc_id").collect()
+    assert(dById(0L).getLong(1) == loudDh(0).getLong(1))
+    assert(dById(3L).getLong(1) == loudDh(1).getLong(1))
+  }
+
+  test("pcmStatsTolerant: non-RIFF payload rejects as ONE bad_wav row; survivors match the loud pass per channel") {
+    val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
+    val rows = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val planted = rows.map {
+      case (10L, _) => (10L, "this is not audio at all".getBytes("US-ASCII"))
+      case x => x
+    }.toSeq.toDF("doc_id", "payload")
+    val got = Multimodal.pcmStatsTolerant(spark, planted).orderBy("doc_id", "channel").collect()
+    val (bad, ok) = got.partition(_.getLong(0) == 10L)
+    assert(bad.length == 1 && bad(0).getString(6) == "bad_wav" && bad(0).isNullAt(1))
+    val loud = Multimodal.pcmStats(spark,
+      rows.filter(_._1 == 9L).toSeq.toDF("doc_id", "payload")).orderBy("channel").collect()
+    assert(ok.length == loud.length) // doc 9: 2 channels
+    for ((t, l) <- ok.zip(loud)) {
+      assert(t.isNullAt(6))
+      assert((1 to 5).forall(i => t.get(i) == l.get(i)), s"$t vs $l")
+    }
+  }
+
+  test("JPEG battery: meta exact through the lossy codec; pixel metrics within tolerance bands") {
+    // dims/format/frames survive JPEG exactly (hash-gateable); pixels are
+    // deterministic but lossy — tolerance bands, not equality
+    val docs = Seq(0L, 1L, 123L).toDF("doc_id")
+    val media = Multimodal.synthesizeJpegPayloads(docs, "doc_id")
+    val meta = Multimodal.decodeMeta(spark, media).collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 1L, 123L)) {
+      assert(meta(id).media_type == "image/jpeg" && meta(id).n_frames == 1)
+      assert(meta(id).width == (16 + id % 64).toInt, s"doc $id width")
+      assert(meta(id).height == (16 + id * 7 % 48).toInt, s"doc $id height")
+    }
+    // mean luma within ±2 of the planted gradient's exact mean
+    val st = Multimodal.imageStats(spark, media).collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 123L)) {
+      val (w, h) = ((16 + id % 64).toInt, (16 + id * 7 % 48).toInt)
+      assert(st(id).getInt(1) == w && st(id).getInt(2) == h)
+      val exact = (for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 3 + y * 5 + id * 11) % 240).toLong).sum / (w * h)
+      assert(math.abs(st(id).getLong(5) - exact) <= 2, s"doc $id mean ${st(id).getLong(5)} vs $exact")
+    }
+    // a horizontal gradient dHash survives the JPEG roundtrip within 8 bits
+    import java.awt.image.BufferedImage
+    val grad = new BufferedImage(36, 32, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 36) grad.getRaster.setSample(x, y, 0, x * 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad, "jpg", bos)
+    val jm = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val dh = Multimodal.grayDHash(spark, jm).collect()(0).getLong(1)
+    assert(java.lang.Long.bitCount(dh ^ (Long.MaxValue)) <= 8, s"dhash $dh drifted")
+  }
+
   test("pcmStats: builder-parser agreement with the planted sample arithmetic") {
     val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
     val got = Multimodal.pcmStats(spark, media).orderBy("doc_id", "channel").collect()
