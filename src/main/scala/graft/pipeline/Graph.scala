@@ -848,11 +848,26 @@ object Graph {
     * test. A graph still peeling after `rounds` rounds fails LOUDLY
     * (truncated trusses are corrupt output, the CC rule). Output: the
     * surviving edges `a, b, support` (support measured in the FINAL
-    * subgraph, ≥ k−2 by construction). */
+    * subgraph, ≥ k−2 by construction).
+    *
+    * Per-round cost tracks the TRIANGLE volume, not the edge count
+    * (SCALE_PROBE: a dense 290k-edge co-purchase projection peels 2×
+    * slower than a 10×-smaller thinned one), so the op PRE-FLIGHTS the
+    * oriented wedge volume before peeling: with degree-ordered
+    * orientation, out-degree is ≤ min(d_v, ⌊√(2m)⌋) (a vertex of degree
+    * > √(2m) points only at vertices of degree ≥ its own, of which
+    * there are < √(2m)), so `Σ_v C(min(d_v, ⌊√(2m)⌋), 2)` bounds the
+    * round's wedge join from the degree profile alone — one cheap
+    * aggregate, no wedges materialized. A bound above `maxWedgeBound`
+    * fails LOUDLY (the CC round-cap style) naming the bound: the fix
+    * is the knob every truss user already owns — thin the projection
+    * first (minimum co-occurrence weight, the bipartiteProjection hub
+    * guard); k-truss is the PRECISION pass, not the reducer. */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-             rounds: Int = 32): DataFrame = {
+             rounds: Int = 32, maxWedgeBound: Long = 2000000000L): DataFrame = {
     require(k >= 3, s"k must be >= 3 (k-2 triangle support), got $k")
     require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    require(maxWedgeBound >= 1, s"maxWedgeBound must be >= 1, got $maxWedgeBound")
     Search.requireIntegralId(edges, srcCol, "kTruss", role = "src id")
     Search.requireIntegralId(edges, dstCol, "kTruss", role = "dst id")
     val minSup = (k - 2).toLong
@@ -862,6 +877,26 @@ object Graph {
     var e = Materialize.cut(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
+    // wedge-volume pre-flight off the (already materialized) input edges:
+    // one degree collapse + one scalar — decimal sums (a power-law tail's
+    // Σ d(d−1) overflows BIGINT long before the wedge join would die)
+    val m = e.count()
+    if (m > 0) {
+      val cap = math.max(1L, math.sqrt(2.0 * m).toLong)
+      val bound = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("__d"))
+        .agg(sum(expr(
+          s"CAST(least(__d, ${cap}L) * (least(__d, ${cap}L) - 1) AS DECIMAL(38,0))"))
+          .as("__w"))
+        .collect()(0).getDecimal(0)
+      val wedgeBound = bound.toBigInteger.shiftRight(1) // Σ C(·,2) = Σ d(d−1) / 2
+      if (wedgeBound.compareTo(java.math.BigInteger.valueOf(maxWedgeBound)) > 0)
+        throw new IllegalStateException(
+          s"kTruss: oriented wedge bound $wedgeBound exceeds maxWedgeBound " +
+            s"$maxWedgeBound on $m edges — the projection is too dense to " +
+            "peel as-is; thin it first (minimum co-occurrence weight, " +
+            "bipartiteProjection's hub guard) or raise maxWedgeBound")
+    }
     def supports(cur: DataFrame): DataFrame = {
       val deg = cur.select(col("a").as("n")).union(cur.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -892,7 +927,7 @@ object Graph {
         .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
         .agg(count(lit(1)).as("support"))
     }
-    var prev = e.count()
+    var prev = m
     var stable = prev == 0L
     var finalSup: Option[DataFrame] = None
     var r = 0

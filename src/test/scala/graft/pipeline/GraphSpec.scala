@@ -475,6 +475,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kTruss wedge-budget pre-flight: dense projection trips the guard; weight-thinned run completes") {
+    // 60 baskets × 12 items drawn from 30 → a dense co-occurrence
+    // projection (~C(30,2) edges); pairs co-occurring once dominate the
+    // wedge volume but carry no truss signal — the thin-first shape
+    val rnd = new scala.util.Random(7)
+    val baskets = (1 to 60).flatMap(b =>
+      rnd.shuffle((1 to 30).toList).take(12).map(i => (b.toLong, i.toLong)))
+      .toDF("basket", "item")
+    val proj = Graph.bipartiteProjection(baskets, "basket", "item").cache()
+    // K30-ish: every vertex degree ~29, m ~ 435, cap = isqrt(870) = 29 →
+    // bound ~ 30·C(29,2) = 12 180 wedges. A budget below that trips…
+    val e = intercept[IllegalStateException] {
+      Graph.kTruss(proj, "a", "b", k = 5, maxWedgeBound = 1000L)
+    }
+    assert(e.getMessage.contains("wedge bound") &&
+      e.getMessage.contains("thin"), e.getMessage)
+    // …and the thinned projection (min co-occurrence weight — the knob
+    // the guard names) fits the SAME budget and peels to completion
+    val thinned = proj.where($"weight" >= 13) // keep only strong co-occurrence
+    val out = Graph.kTruss(thinned, "a", "b", k = 3, maxWedgeBound = 1000L)
+    assert(out.collect().forall(_.getLong(2) >= 1L)) // supports ≥ k−2
+    // the default budget admits the dense run (sf-scale graphs pass)
+    assert(Graph.kTruss(proj, "a", "b", k = 5).count() >= 0L)
+  }
+
   test("linkPrediction agrees with brute-force neighborhood overlap on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 150).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
