@@ -88,10 +88,10 @@ object Search {
     // one expression string: every division must be DIV (integer floor) —
     // the Column `/` operator is DOUBLE division and would break exactness
     val q = s"(${n}L DIV df)"
-    val bl = s"CAST(length(bin($q)) AS BIGINT)"
-    // ((q·64) DIV 2^(bl−1)) ∈ [64, 127]: the leading 1 plus the next six
-    // bits of q, right-padded — subtracting 64 leaves the 6-bit mantissa
-    val idf64 = s"(64L * $bl + ($q * 64L) DIV shiftleft(1L, CAST($bl AS INT) - 1) - 64L)"
+    // idf64(t) = lg64(q): ((q·64) DIV 2^(bl−1)) ∈ [64, 127] is the leading
+    // 1 plus the next six bits of q — the shared house grade
+    // (graft.functions.Lg64, contract spec-pinned once in Lg64Spec)
+    val idf64 = graft.functions.Lg64.sql(q)
     val bPpm = s"(250000L + (750000L * dl * 1000L) DIV ${avgdlMilli}L)"
     val denomMicro = s"(tf * 1000000L + (12L * $bPpm) DIV 10L)"
     val tfcompPpm = s"((tf * 2200000000000L) DIV $denomMicro)"

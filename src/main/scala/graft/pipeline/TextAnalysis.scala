@@ -349,8 +349,7 @@ object TextAnalysis {
     * silently shrinking it. */
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String): DataFrame = {
-    def lg(x: String) =
-      s"(64L * CAST(length(bin($x)) AS BIGINT) + (($x) * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
+    def lg(x: String) = graft.functions.Lg64.sql(x)
     val toks = df.where(col(labelCol).isNotNull)
       .select(col(idCol), col(labelCol).as("__actual"),
         explode(words(col(textCol))).as("__w"))
@@ -404,8 +403,7 @@ object TextAnalysis {
     * MB-scale by nature), long-safe. Docs with no words: `n_words = 0`,
     * `entropy64` NULL (the left-join convention). */
   def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def lg64(x: String) =
-      s"(64L * CAST(length(bin($x)) AS BIGINT) + ($x * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
+    def lg64(x: String) = graft.functions.Lg64.sql(x)
     val ent = df
       .select(col(idCol), explode(words(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))

@@ -417,8 +417,7 @@ object TimeSeries {
   def kaplanMeier(subjects: DataFrame, durationCol: String,
                   eventCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def lg(x: String) =
-      s"(64L * CAST(length(bin($x)) AS BIGINT) + (($x) * 64L) DIV shiftleft(1L, CAST(length(bin($x)) AS INT) - 1) - 64L)"
+    def lg(x: String) = graft.functions.Lg64.sql(x)
     val s = subjects.where(col(durationCol).isNotNull)
       .withColumn("__ev", eventFlag(eventCol, "kaplanMeier"))
     val c = s.groupBy(col(durationCol).cast("long").as("t"))
