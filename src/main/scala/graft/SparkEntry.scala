@@ -1315,6 +1315,45 @@ object SparkEntry {
       pipeline.TextAnalysis.wordEntropy(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "text_keywords" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-doc tf·idf64 keyword extraction (top-3): corpus-ubiquitous
+      // terms zero out via the −64 grade shift — stopwords drop with no
+      // language-specific list
+      pipeline.TextAnalysis.keywords(s.table("documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    "text_pmi" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // collocation mining: adjacent-pair PMI in the shared lg64 grade
+      // (sum-of-grades form), count-5 noise floor, top-50 — the
+      // multi-word-expression candidate pass
+      pipeline.TextAnalysis.pmiCollocations(s.table("documents"), "text",
+        minCount = 5, k = 50)
+    },
+    "pipeline_luhn_audit" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // PAN exposure audit: a planted 16-digit arithmetic run (+ a
+      // 12-digit decoy the length gate excludes) per doc — validity
+      // falls where the mod-10 checksum says, BOTH engines replaying
+      // extraction and checksum over the same text
+      val planted = s.table("documents").withColumn("__t2",
+        concat_ws(" ", col("text"), lit("ref 123456789012 card"),
+          expr("concat_ws('', transform(sequence(1, 16), " +
+            "i -> CAST((doc_id * (2*i + 3)) % 10 AS STRING)))")))
+      pipeline.TextAnalysis.luhnAudit(planted, "doc_id", "__t2")
+        .orderBy("doc_id")
+    },
+    "text_novelty" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // snapshot-refresh novelty: odd docs' distinct word 3-grams probed
+      // against the even-doc reference — novelty ~0 flags a re-crawl
+      val docs = s.table("documents")
+      pipeline.TextAnalysis.ngramNovelty(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.where(col("doc_id") % 2 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    },
     "text_decontam" -> { (s, dir) =>
       prep(s, dir, "documents")
       // benchmark decontamination with planted leakage: the "benchmark" is a
@@ -2009,6 +2048,15 @@ object SparkEntry {
       pipeline.TimeSeries.holtWinters(s.table("events"), "user_id", "ts",
           "value", 1, 4, 1, 8, 1, 4, period = 7, horizon = 7)
         .orderBy("user_id")
+    },
+    "ts_seasonal" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // classical additive decomposition of per-type daily spend
+      // (period 7): value = trend + seasonal + residual, integer cents,
+      // NULL components on the MA edges — never a fabricated cycle
+      pipeline.TimeSeries.seasonalDecompose(s.table("events"),
+          "event_type", "ts", "value", period = 7)
+        .orderBy("event_type", "day")
     },
     "ts_islands" -> { (s, dir) =>
       prep(s, dir, "events")
@@ -5128,6 +5176,91 @@ object SparkEntry {
                             + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
                             - 64) - s) // nw AS BIGINT) AS entropy64
          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "text_keywords" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH w AS (SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> len(x) > 0)) AS term
+                     FROM documents),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM w GROUP BY 1, 2),
+              df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+              sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                       CAST(tf.tf * (${lg("nd // df.df")} - 64) AS BIGINT) AS score64
+                     FROM tf JOIN df USING (term) CROSS JOIN n),
+              r AS (SELECT doc_id, term, tf, score64,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score64 DESC, term) AS rank
+                    FROM sc)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score64
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
+    },
+    "text_pmi" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0) AS ws FROM documents),
+              g AS (SELECT unnest([ws[i] FOR i IN range(1, len(ws))]) AS w1,
+                      unnest([ws[i + 1] FOR i IN range(1, len(ws))]) AS w2
+                    FROM w),
+              f AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM g GROUP BY 1, 2),
+              l AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS na FROM f GROUP BY 1),
+              r AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS nb FROM f GROUP BY 1),
+              t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nn FROM f)
+         SELECT f.w1, f.w2, f.n_ab,
+                CAST(${lg("f.n_ab")} + ${lg("t.nn")} - ${lg("l.na")} - ${lg("r.nb")} AS BIGINT) AS pmi64
+         FROM f JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+         WHERE f.n_ab >= 5
+         ORDER BY pmi64 DESC, f.n_ab DESC, f.w1, f.w2 LIMIT 50"""
+    },
+    "pipeline_luhn_audit" ->
+      """WITH p AS (SELECT doc_id,
+                      concat_ws(' ', text, 'ref 123456789012 card',
+                        list_aggregate(list_transform(range(1, 17),
+                          i -> CAST((doc_id * (2*i + 3)) % 10 AS VARCHAR)),
+                          'string_agg', '')) AS t
+                    FROM documents),
+              c AS (SELECT doc_id,
+                      list_filter(regexp_extract_all(t, '[0-9]+'),
+                        r -> length(r) >= 13 AND length(r) <= 19) AS runs
+                    FROM p)
+         SELECT doc_id,
+                CAST(len(runs) AS BIGINT) AS n_candidates,
+                CAST(len(list_filter(runs, r ->
+                  list_sum(list_transform(range(1, length(r) + 1), j ->
+                    CASE WHEN j % 2 = 0
+                      THEN CASE WHEN CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) * 2 > 9
+                                THEN CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) * 2 - 9
+                                ELSE CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) * 2 END
+                      ELSE CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) END))
+                  % 10 = 0)) AS BIGINT) AS n_luhn_valid
+         FROM c ORDER BY doc_id""",
+    "text_novelty" ->
+      """WITH pw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> len(x) > 0) AS ws
+                     FROM documents WHERE doc_id % 2 = 1),
+              pg AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                             FOR i IN range(1, greatest(len(ws) - 1, 1))])) AS g
+                     FROM pw),
+              rw AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> len(x) > 0) AS ws
+                     FROM documents WHERE doc_id % 2 = 0),
+              rg AS (SELECT DISTINCT unnest([array_to_string(ws[i:i+2], ' ')
+                                             FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS g
+                     FROM rw),
+              c AS (SELECT pg.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_grams,
+                      CAST(sum(CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+                    FROM pg LEFT JOIN rg ON pg.g = rg.g GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(c.n_unseen, 0) AS BIGINT) AS n_unseen,
+                CAST(c.n_unseen * 1000000 // c.n_grams AS BIGINT) AS novelty_ppm
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""",
     "pipeline_join_delta" ->
       """WITH a AS (SELECT o_orderkey AS k, o_custkey FROM orders),
               b AS (SELECT l_orderkey AS k, l_linenumber FROM lineitem)
@@ -5907,6 +6040,37 @@ object SparkEntry {
                 CAST(coalesce(b.value_cents, 0) AS BIGINT) AS value_cents
          FROM spine s LEFT JOIN b USING (user_id, day)
          ORDER BY user_id, day""",
+    "ts_seasonal" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT event_type,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.event_type, s.day,
+                      CAST(coalesce(b.cents, 0) AS BIGINT) AS cents,
+                      CAST((s.day - DATE '1970-01-01') % 7 AS BIGINT) AS ph
+                    FROM spine s LEFT JOIN b USING (event_type, day)),
+              tr AS (SELECT event_type, day, cents, ph,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN CAST(sum(cents) OVER w // 7 AS BIGINT) END AS trend
+                     FROM f
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              pm AS (SELECT event_type, ph,
+                       CAST(sum(cents - trend) // count(*) AS BIGINT) AS raw
+                     FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+              gm AS (SELECT event_type, CAST(sum(raw) // 7 AS BIGINT) AS g
+                     FROM pm GROUP BY 1),
+              se AS (SELECT pm.event_type, pm.ph, CAST(pm.raw - gm.g AS BIGINT) AS season
+                     FROM pm JOIN gm USING (event_type))
+         SELECT tr.event_type, tr.day, tr.cents AS value_cents,
+                tr.trend AS trend_cents,
+                CASE WHEN tr.trend IS NOT NULL THEN se.season END AS seasonal_cents,
+                CAST(tr.cents - tr.trend - se.season AS BIGINT) AS residual_cents
+         FROM tr LEFT JOIN se ON se.event_type = tr.event_type AND se.ph = tr.ph
+         ORDER BY tr.event_type, tr.day""",
     "events_rolling_median" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

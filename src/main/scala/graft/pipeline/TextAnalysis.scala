@@ -1452,6 +1452,149 @@ object TextAnalysis {
       num, "<n>")
   }
 
+  /** Per-doc KEYWORD extraction: top-`k` terms by tf·idf in the shared
+    * lg64 grade ([[graft.functions.Lg64]]) — the "what is this document
+    * about" pass (index hints, cluster labeling, dataset-card topic
+    * lines) done transcendental-free so it hash-gates:
+    *
+    *   score64(t, d) = tf(t, d) · (lg64(N DIV df(t)) − 64)
+    *
+    * The −64 zeroes the grade for corpus-ubiquitous terms (df = N ⇒
+    * q = 1 ⇒ lg64 = 64), which is what silently drops stopwords — no
+    * language-specific list needed. Ties break (score desc, term asc) —
+    * deterministic. Docs with no tokens emit no rows (a keyword list is
+    * a per-term frame, not an audit — callers wanting accounting join
+    * back on ids).
+    *
+    * Plan shape at scale: one tokenize + per-(doc, term) partial-agg
+    * pass; df(t) is a vocab-sized rollup joined back on term (co-keyed
+    * shuffle); N broadcasts as a one-row cross; the top-k is ONE
+    * doc-partitioned window over the scored frame. */
+  def keywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("__N"))
+    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = toks.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score64",
+        expr(s"tf * (${graft.functions.Lg64.sql("(__N DIV __df)")} - 64L)"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score64").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("score64"))
+  }
+
+  /** Corpus COLLOCATION mining: adjacent word pairs ranked by pointwise
+    * mutual information in the shared lg64 grade — the multi-word-
+    * expression / named-entity candidate pass ("new york", "machine
+    * learning") a tokenizer-building pipeline runs over the corpus:
+    *
+    *   pmi64(a, b) = lg64(n_ab) + lg64(N) − lg64(n_a·) − lg64(n_·b)
+    *
+    * — the SUM-OF-GRADES form, not lg64 of the products: each operand
+    * stays a bounded count (the Lg64 2^57 domain holds at any corpus
+    * size), every engine replays it, and monotonicity per operand is
+    * exactly the lg64 contract. Margins `n_a·`/`n_·b` count the word as
+    * LEFT/RIGHT of any bigram and come from the SAME counted frame (no
+    * second corpus pass); `minCount` floors the rare-pair noise PMI is
+    * notorious for, and the floor applies AFTER the margins so filtered
+    * pairs don't bias them. Top-k by (pmi64 desc, n_ab desc, pair) —
+    * deterministic, a TakeOrdered not a global sort.
+    *
+    * Plan shape at scale: one WordGrams slide + ONE (w1, w2) partial-agg
+    * collapse of the corpus; margins and N are rollups of that collapsed
+    * (vocab²-bounded, zipf-small in practice) frame. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    def lg(x: String) = graft.functions.Lg64.sql(x)
+    val grams = df
+      .select(explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
+      .select(substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
+    val full = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")))
+    val left = full.groupBy("w1").agg(sum("n_ab").as("__na"))
+    val right = full.groupBy("w2").agg(sum("n_ab").as("__nb"))
+    val tot = full.agg(sum("n_ab").as("__N"))
+    full.where(col("n_ab") >= minCount)
+      .join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+      .withColumn("pmi64",
+        expr(s"${lg("n_ab")} + ${lg("__N")} - ${lg("__na")} - ${lg("__nb")}"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi64"))
+      .orderBy(col("pmi64").desc, col("n_ab").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Credit-card (PAN) exposure audit — the Luhn mod-10 checksum over
+    * maximal digit runs of PAN length (13–19): the PII screen where a
+    * plain digit-run regex drowns in false positives (timestamps, ids,
+    * phone numbers) — a Luhn-valid run is evidence-grade. Per doc:
+    * `n_candidates` (length-gated runs) and `n_luhn_valid`. Runs are
+    * MAXIMAL by regex greediness (no lookaround — RE2-safe, so the
+    * oracle replays the same extraction), digits-only (a real pipeline
+    * normalizes separators first — compose with a regexp_replace).
+    * Pure per-row map (one nested higher-order expression, codegen'd,
+    * stream-safe); every doc reports, NULL text reads (0, 0).
+    * Checksum: from the RIGHT, double every second digit, subtract 9
+    * when the double exceeds 9, valid ⇔ sum ≡ 0 (mod 10). Masking
+    * composes: `filter` the runs by the same predicate and fold
+    * `replace` over them. */
+  def luhnAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val luhnValid =
+      """aggregate(sequence(1, length(r)), 0,
+         (acc, j) -> acc + (CASE WHEN j % 2 = 0
+            THEN IF(CAST(substring(r, length(r) - j + 1, 1) AS INT) * 2 > 9,
+                    CAST(substring(r, length(r) - j + 1, 1) AS INT) * 2 - 9,
+                    CAST(substring(r, length(r) - j + 1, 1) AS INT) * 2)
+            ELSE CAST(substring(r, length(r) - j + 1, 1) AS INT) END)) % 10 = 0"""
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__runs", expr(
+        "filter(regexp_extract_all(coalesce(__t, ''), '[0-9]+', 0), " +
+          "r -> length(r) >= 13 AND length(r) <= 19)"))
+      .select(col(idCol),
+        size(col("__runs")).cast("long").as("n_candidates"),
+        expr(s"CAST(size(filter(__runs, r -> $luhnValid)) AS BIGINT)")
+          .as("n_luhn_valid"))
+  }
+
+  /** Per-doc n-gram NOVELTY against a reference corpus: the share of a
+    * document's DISTINCT word n-grams absent from the reference — the
+    * memorization-risk / "is this actually new data" readout a crawl
+    * refresh runs against the previous snapshot (novelty ~0 ⇒ re-crawl;
+    * the decontamination overlap check inverted into a per-doc score).
+    * Grams key on the replayable md5-h60 hash (8-byte shuffle keys, the
+    * repo's oracle-stable hash — collisions UNDERCOUNT novelty at
+    * ~2⁻⁶⁰, ignorable), reference grams dedup before the join. Output
+    * per input doc (every doc reports): `n_grams` (distinct), `n_unseen`,
+    * `novelty_ppm` (NULL for gram-less docs — too short to judge, the
+    * wordEntropy NULL convention). At snapshot scale the exact ref join
+    * swaps for the Bloom gate ([[Dedup.bloomGate]]) at a false-seen
+    * cost. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   reference: DataFrame, refTextCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    def h60(c: String) = s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
+    val dg = df.select(col(idCol),
+        explode(array_distinct(E.column(WordGrams(E.expression(col(textCol)), n)))).as("__g"))
+      .select(col(idCol), expr(h60("__g")).as("__h"))
+    val ref = reference
+      .select(explode(E.column(WordGrams(E.expression(col(refTextCol)), n))).as("__g"))
+      .select(expr(h60("__g")).as("__h")).distinct()
+    val counted = dg.join(ref.withColumn("__seen", lit(1)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+    df.select(col(idCol)).join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        expr("CAST(n_unseen * 1000000L DIV n_grams AS BIGINT)").as("novelty_ppm"))
+  }
+
   def scoreWithImportanceModel(df: DataFrame, idCol: String, textCol: String,
                                model: Array[Long]): DataFrame = {
     require(model.length == 65536, s"model must have 65536 buckets, got ${model.length}")

@@ -845,4 +845,70 @@ object TimeSeries {
         col(tsCol).as("valid_from") :+
         lead(col(tsCol), 1).over(w).as("valid_to") :+ col(tieCol)): _*)
   }
+
+  /** CLASSICAL additive seasonal decomposition (the moving-average
+    * decomposition behind every "decompose()" call; Kendall & Stuart's
+    * ratio-to-moving-average, additive form) over the gap-filled daily
+    * spine: `value = trend + seasonal + residual`, all integer cents —
+    * the "is Monday really bigger, net of growth" readout that completes
+    * the smoothing ladder (EWMA → Holt → Holt-Winters track/forecast;
+    * this one EXPLAINS):
+    *
+    *   trend_t    = centered `period`-day moving average (integer DIV;
+    *                defined only where the window is FULL — the first
+    *                and last period/2 days read NULL, never a fake)
+    *   seasonal_p = Σ detrended over phase p  DIV  n_p, then grand-mean
+    *                centered (Σ over the period's indices DIV period
+    *                subtracted) so seasonals sum ≈ 0 per key
+    *   residual_t = value − trend − seasonal  (interior days only)
+    *
+    * `period` must be ODD (7 = the weekly cycle this exists for): the
+    * classic even-period 2×MA end-weighting doubles the window
+    * arithmetic for no pipeline payoff. Phase = epoch-day mod period —
+    * anchored to the calendar, not to each key's first day, so two keys'
+    * Mondays share a phase. Silent days are REAL ZEROS in all three
+    * components (the resampleGapFill contract — observed-only
+    * decomposition inflates the seasonal of sparse keys).
+    *
+    * Plan shape at scale: the spine's one exchange feeds the key-
+    * partitioned MA window; phase means are one partial-aggregated
+    * groupBy of the interior frame joined back on (key, phase) —
+    * key×period rows, bounded. Keys shorter than one full period get
+    * NULL trend everywhere ⇒ no interior ⇒ no seasonal rows ⇒ NULL
+    * seasonal/residual after the left join — too short to decompose,
+    * never a fabricated cycle. */
+  def seasonalDecompose(events: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, period: Int = 7,
+                        maxSpanDays: Int = 3700): DataFrame = {
+    require(period >= 3 && period <= 365 && period % 2 == 1,
+      s"period must be odd in [3, 365] (classic even-period 2xMA not supported), got $period")
+    import org.apache.spark.sql.expressions.Window
+    val h = period / 2
+    val spine = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+      .withColumn("__phase", expr(s"datediff(day, DATE '1970-01-01') % $period"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-h, h)
+    val withTrend = spine
+      .withColumn("trend_cents",
+        when(count(lit(1)).over(w) === period,
+          expr(s"(sum(value_cents) OVER (PARTITION BY $keyCol ORDER BY day " +
+            s"ROWS BETWEEN $h PRECEDING AND $h FOLLOWING)) DIV $period")))
+    val interior = withTrend.where(col("trend_cents").isNotNull)
+      .select(col(keyCol), col("__phase"),
+        (col("value_cents") - col("trend_cents")).as("__det"))
+    val phaseMeans = interior.groupBy(col(keyCol), col("__phase"))
+      .agg(sum(col("__det")).as("__s"), count(lit(1)).as("__n"))
+      .select(col(keyCol), col("__phase"), expr("__s DIV __n").as("__raw"))
+    val grand = phaseMeans.groupBy(col(keyCol))
+      .agg(expr(s"sum(__raw) DIV $period").as("__g"))
+    val seasonal = phaseMeans.join(grand, Seq(keyCol))
+      .select(col(keyCol), col("__phase"),
+        (col("__raw") - col("__g")).as("seasonal_cents"))
+    withTrend.join(seasonal, Seq(keyCol, "__phase"), "left")
+      .select(col(keyCol), col("day"), col("value_cents"), col("trend_cents"),
+        when(col("trend_cents").isNotNull, col("seasonal_cents"))
+          .as("seasonal_cents"),
+        (col("value_cents") - col("trend_cents") - col("seasonal_cents"))
+          .as("residual_cents"))
+  }
 }

@@ -483,7 +483,8 @@ class GraphSpec extends AnyFunSuite {
     val baskets = (1 to 60).flatMap(b =>
       rnd.shuffle((1 to 30).toList).take(12).map(i => (b.toLong, i.toLong)))
       .toDF("basket", "item")
-    val proj = Graph.bipartiteProjection(baskets, "basket", "item").cache()
+    // no .cache(): the shared session's cache-hygiene spec asserts empty
+    val proj = Graph.bipartiteProjection(baskets, "basket", "item")
     // K30-ish: every vertex degree ~29, m ~ 435, cap = isqrt(870) = 29 →
     // bound ~ 30·C(29,2) = 12 180 wedges. A budget below that trips…
     val e = intercept[IllegalStateException] {

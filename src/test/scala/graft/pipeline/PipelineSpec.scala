@@ -779,6 +779,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(dh ^ (Long.MaxValue)) <= 8, s"dhash $dh drifted")
   }
 
+  test("keywords: tf·idf64 top-k — ubiquitous terms zero out, rare terms win, ties break by term") {
+    val docs = Seq(
+      (1L, "zebra zebra common common common"),
+      (2L, "apple common common"),
+      (3L, "banana cherry common")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // 'common' is in all 3 docs → N DIV df = 1 → grade 64 − 64 = 0
+    assert(got.filter(_._3 == "common").forall(_._5 == 0L), got.mkString(","))
+    // doc 1: zebra df=1 → lg64(3)=160, score = 2·96 = 192; rank 1
+    assert(got.filter(_._1 == 1L).head == ((1L, 1L, "zebra", 2L, 192L)), got.mkString(","))
+    // doc 3: banana/cherry tie at 96 → term order breaks it
+    val d3 = got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq
+    assert(d3 == Seq((1L, "banana"), (2L, "cherry")), d3.toString)
+  }
+
+  test("pmiCollocations: hand-computed pmi64 incl. the negative over-expected case; minCount + tie order") {
+    // controlled bigram corpus: N = 20; margins alpha·=15, delta·=5,
+    // ·beta=15, ·gamma=5. (alpha, beta) co-occurs 10× yet reads NEGATIVE
+    // pmi — independence expects 15·15/20 = 11.25 > 10 (the classic PMI
+    // property a raw-count ranking misses)
+    val docs = ((1 to 10).map(i => (i.toLong, "alpha beta")) ++
+      (11 to 15).map(i => (i.toLong, "alpha gamma")) ++
+      (16 to 20).map(i => (i.toLong, "delta beta"))).toDF("doc_id", "text")
+    // lg64: lg(5)=208, lg(10)=272, lg(15)=312, lg(20)=336
+    // pmi(alpha,gamma) = 208+336−312−208 = 24 = pmi(delta,beta)
+    // pmi(alpha,beta)  = 272+336−312−312 = −16
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 5, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("alpha", "gamma", 5L, 24L), ("delta", "beta", 5L, 24L),
+      ("alpha", "beta", 10L, -16L)), got.toString)
+    // the floor prunes pairs, not margins: raising it to 6 keeps only
+    // (alpha, beta) with UNCHANGED margins hence the same −16
+    val floored = TextAnalysis.pmiCollocations(docs, "text", minCount = 6, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(floored == Seq(("alpha", "beta", 10L, -16L)), floored.toString)
+  }
+
+  test("luhnAudit: classic valid PAN counts, off-by-one fails, length gate excludes 12/20-digit runs") {
+    val docs = Seq(
+      (1L, "paid with 4111111111111111 today"),          // Luhn-valid 16
+      (2L, "paid with 4111111111111112 today"),          // one digit off
+      (3L, "ref 123456789012 and 12345678901234567890"), // 12 + 20 digits: gated out
+      (4L, "card 4111111111111111 then 79927398713 then 4111111111111112"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.luhnAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1L, 1L, 1L)), got.mkString(","))
+    assert(got(1) == ((2L, 1L, 0L)), got.mkString(","))
+    assert(got(2) == ((3L, 0L, 0L)), got.mkString(","))
+    // doc 4: 79927398713 is Luhn-valid but 11 digits — length-gated out
+    assert(got(3) == ((4L, 2L, 1L)), got.mkString(","))
+    assert(got(4) == ((5L, 0L, 0L)), got.mkString(","))
+  }
+
+  test("ngramNovelty: all-new doc reads 1e6 ppm, re-crawl reads 0, mixed in between; short docs NULL") {
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim re-crawl
+      (2L, "completely novel words nowhere in reference"),
+      (3L, "the quick brown fox went somewhere else entirely"), // shared prefix
+      (4L, "too short")).toDF("doc_id", "text") // 2 words < 3-gram
+    val got = TextAnalysis.ngramNovelty(probe, "doc_id", "text", ref, "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(3) == 0L, s"${got(0)}")
+    assert(got(1).getLong(3) == 1000000L, s"${got(1)}")
+    val mixed = got(2)
+    assert(mixed.getLong(1) > 0 && mixed.getLong(2) > 0 &&
+      mixed.getLong(2) < mixed.getLong(1), s"$mixed")
+    assert(got(3).getLong(1) == 0L && got(3).isNullAt(3), s"${got(3)}")
+  }
+
   test("pcmStats: builder-parser agreement with the planted sample arithmetic") {
     val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
     val got = Multimodal.pcmStats(spark, media).orderBy("doc_id", "channel").collect()

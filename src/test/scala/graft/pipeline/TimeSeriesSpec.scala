@@ -557,4 +557,46 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("a", 6, 1L, 400L, 250000L),
       ("b", 6, 1L, 1000L, 1000000L)), s"$got")
   }
+
+  test("seasonalDecompose: linear+cycle series recovers trend exactly, seasonal sums to zero, residual 0") {
+    // cents = 10·d + 30·[phase(day) == bumped phase], period 3: the
+    // centered 3-MA of the bump is a flat +10, so trend = 10·d + 10 on
+    // interior days, detrended = {+20, −10, −10} by phase, grand mean 0,
+    // residual identically 0 — every value exact, no anchor arithmetic
+    import java.time.LocalDate
+    val bump = (LocalDate.of(2024, 3, 1).toEpochDay % 3).toInt // day 1's phase
+    def phase(d: Int) = (LocalDate.of(2024, 3, d).toEpochDay % 3).toInt
+    val rows = (1 to 9).map { d =>
+      val cents = 10 * d + (if (phase(d) == bump) 30 else 0)
+      ("u", ts(d), cents / 100.0)
+    } :+ (("short", ts(1), 1.0)) :+ (("short", ts(2), 2.0))
+    val df = rows.toDF("k", "t", "v")
+    val got = TimeSeries.seasonalDecompose(df, "k", "t", "v", period = 3)
+      .orderBy("k", "day").collect()
+    val u = got.filter(_.getString(0) == "u")
+    assert(u.length == 9)
+    for (r <- u) {
+      val d = r.getDate(1).toLocalDate.getDayOfMonth
+      if (d == 1 || d == 9) {
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), s"edge $r")
+      } else {
+        assert(r.getLong(3) == 10L * d + 10, s"trend $r")
+        val expSeason = if (phase(d) == bump) 20L else -10L
+        assert(r.getLong(4) == expSeason, s"seasonal $r")
+        assert(r.getLong(5) == 0L, s"residual $r")
+      }
+    }
+    // grand-mean centering: the three PHASE INDICES sum to zero (not the
+    // interior days — phases carry unequal day counts)
+    val byPhase = u.filter(!_.isNullAt(4))
+      .map(r => phase(r.getDate(1).toLocalDate.getDayOfMonth) -> r.getLong(4))
+      .toMap // consistent per phase by construction
+    assert(byPhase.size == 3 && byPhase.values.sum == 0L, byPhase.toString)
+    // a key shorter than one period: spine rows survive, all components NULL
+    val s = got.filter(_.getString(0) == "short")
+    assert(s.length == 2 && s.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)), s.mkString(","))
+    // even periods are refused (classic 2xMA out of scope)
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalDecompose(df, "k", "t", "v", period = 4))
+  }
 }
