@@ -873,7 +873,9 @@ object TextAnalysis {
     * (the "pack to 4096 tokens" step before tokenized training). Documents
     * are sharded (`idCol % shards` — mirrorable arithmetic), and within a
     * shard a running token prefix-sum assigns each doc the pack its FIRST
-    * token lands in, plus its offset inside that pack.
+    * token lands in, plus its offset inside that pack. Docs stay WHOLE —
+    * packs overflow/underfill around doc boundaries; [[packChop]] is the
+    * splitting complement (exact-capacity bins, docs split at boundaries).
     *
     * Scale shape: one shuffle (the per-shard window); shards bound the
     * window's partition size, so no reducer sees more than corpus/shards
@@ -1487,10 +1489,15 @@ object TextAnalysis {
         col("tf"), col("score64"))
   }
 
-  /** Corpus COLLOCATION mining: adjacent word pairs ranked by pointwise
-    * mutual information in the shared lg64 grade — the multi-word-
-    * expression / named-entity candidate pass ("new york", "machine
-    * learning") a tokenizer-building pipeline runs over the corpus:
+  /** Adjacent-pair POINTWISE MUTUAL INFORMATION — the log-domain twin
+    * of [[collocations]] (which ranks the same bigram frame by linear
+    * lift_ppm): pmi64 ≈ 64·log₂(lift), so the two RANK near-identically
+    * on positive associations; reach for THIS form when the readout
+    * must (a) expose BELOW-independence pairs as properly negative
+    * grades (lift compresses them into 0..10⁶ ppm), or (b) stay
+    * magnitude-bounded — a grade is ≤ a few thousand at any corpus
+    * size, where a lift ratio on a rare-margin pair grows without
+    * bound:
     *
     *   pmi64(a, b) = lg64(n_ab) + lg64(N) − lg64(n_a·) − lg64(n_·b)
     *
@@ -1506,7 +1513,8 @@ object TextAnalysis {
     *
     * Plan shape at scale: one WordGrams slide + ONE (w1, w2) partial-agg
     * collapse of the corpus; margins and N are rollups of that collapsed
-    * (vocab²-bounded, zipf-small in practice) frame. */
+    * (vocab²-bounded, zipf-small in practice) frame — the same shape as
+    * [[collocations]], sharing its cost profile. */
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
                       k: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
@@ -1593,6 +1601,61 @@ object TextAnalysis {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         expr("CAST(n_unseen * 1000000L DIV n_grams AS BIGINT)").as("novelty_ppm"))
+  }
+
+  /** Concat-and-chop SEQUENCE PACKING — the GPT-style pretraining pack
+    * and the SPLITTING complement of [[packSequences]]: that op keeps
+    * documents WHOLE (a doc belongs to the pack its first token lands
+    * in, so packs overflow/underfill around doc boundaries); this one
+    * concatenates the corpus into one virtual token stream and chops at
+    * exact capacity boundaries — zero padding anywhere, docs straddling
+    * a boundary SPLIT into pieces (the trade every pretraining stack
+    * picks one side of). Each doc takes a deterministic stream position
+    * — order (md5-h60 of id, id), reproducible shuffling, the
+    * stratified-sampling key discipline — and emits one PIECE row per
+    * capacity bin it crosses. The global exclusive prefix sum is
+    * TWO-LEVEL so no corpus-sized frame crosses one partition: 2¹⁰ md5
+    * strata roll up to a 1024-row offsets frame (the only
+    * single-partition window, bounded by construction), each stratum's
+    * interior prefix runs under a stratum-partitioned window,
+    * global_start = stratum_offset + interior_prefix. Output one row
+    * per (doc, bin) intersection: `bin, idCol, doc_offset` (token
+    * offset inside the doc where this piece starts), `bin_offset`,
+    * `piece_len`. Bins are perfectly full by construction (Σ piece_len
+    * per bin = capacity except the last). Token-less docs are excluded
+    * (no payload to pack). */
+  def packChop(df: DataFrame, idCol: String, tokensCol: String,
+               capacity: Long): DataFrame = {
+    require(capacity >= 1 && capacity <= 10000000L,
+      s"capacity must be in [1, 1e7], got $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+        col(tokensCol).cast("long").as("__n"),
+        expr(s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("__r"))
+      .where(col("__n") > 0)
+      .withColumn("__stratum", expr("__r % 1024"))
+    val wIn = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__r"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val interior = base.withColumn("__pre",
+      coalesce(sum(col("__n")).over(wIn), lit(0L)))
+    val stratumTotals = base.groupBy("__stratum").agg(sum("__n").as("__t"))
+    val wStr = Window.orderBy(col("__stratum"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stratumTotals.withColumn("__off",
+      coalesce(sum(col("__t")).over(wStr), lit(0L))).select("__stratum", "__off")
+    interior.join(offsets.hint("broadcast"), Seq("__stratum"))
+      .withColumn("__gs", col("__off") + col("__pre"))
+      .select(col(idCol), col("__n"), col("__gs"),
+        posexplode(expr(
+          s"sequence(__gs DIV ${capacity}L, (__gs + __n - 1) DIV ${capacity}L)"))
+          .as(Seq("__i", "bin")))
+      .select(col("bin"), col(idCol),
+        (greatest(col("bin") * capacity, col("__gs")) - col("__gs")).as("doc_offset"),
+        (greatest(col("bin") * capacity, col("__gs")) - col("bin") * capacity).as("bin_offset"),
+        (least((col("bin") + 1) * capacity, col("__gs") + col("__n"))
+          - greatest(col("bin") * capacity, col("__gs"))).as("piece_len"))
   }
 
   def scoreWithImportanceModel(df: DataFrame, idCol: String, textCol: String,

@@ -853,6 +853,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3).getLong(1) == 0L && got(3).isNullAt(3), s"${got(3)}")
   }
 
+  test("packChop: pieces tile every bin to exact capacity, cover every doc, and are partition-invariant") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 200L).map(id => (id, 1L + rnd.nextInt(40).toLong)).toDF("id", "n_toks")
+    val out = TextAnalysis.packChop(docs, "id", "n_toks", capacity = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val inputByDoc = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc's pieces are contiguous from offset 0 and sum to its n
+    for ((id, n) <- inputByDoc) {
+      val pieces = out.filter(_._2 == id).sortBy(_._3)
+      assert(pieces.map(_._5).sum == n, s"doc $id")
+      assert(pieces.head._3 == 0L, s"doc $id starts at 0")
+      assert(pieces.sliding(2).forall {
+        case Array(a, b) => a._3 + a._5 == b._3 && b._1 == a._1 + 1
+        case _ => true
+      }, s"doc $id pieces contiguous across consecutive bins")
+    }
+    // every bin except the last tiles to exact capacity with no gaps
+    val lastBin = out.map(_._1).max
+    for ((bin, pieces) <- out.groupBy(_._1)) {
+      val sorted = pieces.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"bin $bin starts at 0")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 + a._5 == b._4
+        case _ => true
+      }, s"bin $bin contiguous")
+      if (bin != lastBin)
+        assert(sorted.map(_._5).sum == 64L, s"bin $bin full")
+    }
+    assert(out.map(_._5).sum == inputByDoc.values.sum)
+    // partition-invariance: 3-way vs 17-way repartition, identical rows
+    val a = TextAnalysis.packChop(docs.repartition(3), "id", "n_toks", 64L)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.packChop(docs.repartition(17), "id", "n_toks", 64L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // token-less docs are excluded
+    val withZero = (docs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq :+ (999L, 0L))
+      .toDF("id", "n_toks")
+    assert(!TextAnalysis.packChop(withZero, "id", "n_toks", 64L)
+      .collect().exists(_.getLong(1) == 999L))
+  }
+
   test("pcmStats: builder-parser agreement with the planted sample arithmetic") {
     val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
     val got = Multimodal.pcmStats(spark, media).orderBy("doc_id", "channel").collect()
