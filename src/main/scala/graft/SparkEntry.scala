@@ -1277,6 +1277,75 @@ object SparkEntry {
           pipeline.TextAnalysis.stripMarkup(col("h")).as("clean"))
         .orderBy("doc_id")
     },
+    "text_chunks" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // context-window prep: one row per 16-word window, stable key
+      pipeline.TextAnalysis.wordChunks(s.table("documents"), "doc_id", "text", chunkWords = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+    "text_vocab" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // corpus vocabulary: top-100 tokens by frequency (TakeOrdered plan —
+      // per-partition top-N, no global sort materializes)
+      pipeline.TextAnalysis.vocabulary(s.table("documents"), "text", topN = 100)
+        .withColumn("n", col("n").cast("long"))
+        .orderBy(col("n").desc, col("token"))
+    },
+    "text_nb_classify" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // integer multinomial Naive Bayes: lang as the class — trained and
+      // scored in one bit-replayable pipeline (resubstitution accuracy;
+      // the oracle replays training AND scoring)
+      pipeline.TextAnalysis.naiveBayesClassify(
+          s.table("documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+    "text_simpson" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // Simpson repeat probability: exact-integer repetition measure
+      // (probability two random word tokens match) — no logarithm at all
+      pipeline.TextAnalysis.simpsonRepeat(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "text_word_entropy" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-doc word-distribution Shannon entropy in 64ths of a bit
+      // (the idf64 fixed-point log2 grade) — the repetition/diversity
+      // screen, transcendental-free hence hash-gateable
+      pipeline.TextAnalysis.wordEntropy(s.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "text_pmi" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // collocation mining: adjacent-pair PMI in the shared lg64 grade
+      // (sum-of-grades form), count-5 noise floor, top-50 — the
+      // multi-word-expression candidate pass
+      pipeline.TextAnalysis.pmiCollocations(s.table("documents"), "text",
+        minCount = 5, k = 50)
+    },
+    "pipeline_luhn_audit" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // PAN exposure audit: a planted 16-digit arithmetic run (+ a
+      // 12-digit decoy the length gate excludes) per doc — validity
+      // falls where the mod-10 checksum says, BOTH engines replaying
+      // extraction and checksum over the same text
+      val planted = s.table("documents").withColumn("__t2",
+        concat_ws(" ", col("text"), lit("ref 123456789012 card"),
+          expr("concat_ws('', transform(sequence(1, 16), " +
+            "i -> CAST((doc_id * (2*i + 3)) % 10 AS STRING)))")))
+      pipeline.TextAnalysis.luhnAudit(planted, "doc_id", "__t2")
+        .orderBy("doc_id")
+    },
+    "text_novelty" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // snapshot-refresh novelty: odd docs' distinct word 3-grams probed
+      // against the even-doc reference — novelty ~0 flags a re-crawl
+      val docs = s.table("documents")
+      pipeline.TextAnalysis.ngramNovelty(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.where(col("doc_id") % 2 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    },
     "pipeline_pack_chop" -> { (s, dir) =>
       prep(s, dir, "documents")
       // GPT-style concat-and-chop packing at context 256: docs take a
@@ -5068,6 +5137,129 @@ object SparkEntry {
                     '&nbsp;', ' '), '&amp;', '&'),
                   '[ \t\n\r\f]+', ' ', 'g')) AS clean
          FROM h ORDER BY doc_id""",
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+              c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 16.0) AS INT), 1) AS n, arr FROM w),
+              u AS (SELECT doc_id, CAST(unnest(range(n)) AS INT) AS chunk_id,
+                           unnest(list_transform(range(n),
+                             i -> array_to_string(arr[i*16+1 : i*16+16], ' '))) AS chunk
+                    FROM c)
+         SELECT doc_id, chunk_id, chunk, CAST(len(chunk) AS BIGINT) AS n_chars
+         FROM u ORDER BY doc_id, chunk_id""",
+    "text_chunks_overlap" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+              c AS (SELECT doc_id,
+                      CASE WHEN len(arr) <= 16 THEN 1
+                           ELSE CAST(ceil((len(arr) - 16) / 8.0) AS INT) + 1 END AS n, arr
+                    FROM w),
+              u AS (SELECT doc_id, CAST(unnest(range(n)) AS INT) AS chunk_id,
+                           unnest(list_transform(range(n),
+                             i -> array_to_string(arr[i*8+1 : i*8+16], ' '))) AS chunk
+                    FROM c)
+         SELECT doc_id, chunk_id, chunk, CAST(len(chunk) AS BIGINT) AS n_chars
+         FROM u ORDER BY doc_id, chunk_id""",
+    "text_vocab" ->
+      """SELECT token, CAST(n AS BIGINT) AS n FROM (
+           SELECT token, count(*) AS n FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> len(x) > 0)) AS token
+             FROM documents) u
+           GROUP BY token) g
+         ORDER BY n DESC, token LIMIT 100""",
+    "text_simpson" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS wd
+                    FROM documents),
+              c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1, 2),
+              a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nw,
+                      CAST(sum(n * (n - 1)) AS BIGINT) AS rep
+                    FROM c GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+                CASE WHEN nw >= 2 THEN (rep * 1000000) // (nw * (nw - 1)) END AS simpson_ppm
+         FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "text_word_entropy" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS wd
+                    FROM documents),
+              c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1, 2),
+              a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nw,
+                      sum(n * (64 * length(printf('%b', n))
+                               + (n * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', n)) - 1))
+                               - 64)) AS s
+                    FROM c GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+                CAST((nw * (64 * length(printf('%b', nw))
+                            + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
+                            - 64) - s) // nw AS BIGINT) AS entropy64
+         FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "text_pmi" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0) AS ws FROM documents),
+              g AS (SELECT unnest([ws[i] FOR i IN range(1, len(ws))]) AS w1,
+                      unnest([ws[i + 1] FOR i IN range(1, len(ws))]) AS w2
+                    FROM w),
+              f AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM g GROUP BY 1, 2),
+              l AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS na FROM f GROUP BY 1),
+              r AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS nb FROM f GROUP BY 1),
+              t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nn FROM f)
+         SELECT f.w1, f.w2, f.n_ab,
+                CAST(${lg("f.n_ab")} + ${lg("t.nn")} - ${lg("l.na")} - ${lg("r.nb")} AS BIGINT) AS pmi64
+         FROM f JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+         WHERE f.n_ab >= 5
+         ORDER BY pmi64 DESC, f.n_ab DESC, f.w1, f.w2 LIMIT 50"""
+    },
+    "pipeline_luhn_audit" ->
+      """WITH p AS (SELECT doc_id,
+                      concat_ws(' ', text, 'ref 123456789012 card',
+                        list_aggregate(list_transform(range(1, 17),
+                          i -> CAST((doc_id * (2*i + 3)) % 10 AS VARCHAR)),
+                          'string_agg', '')) AS t
+                    FROM documents),
+              c AS (SELECT doc_id,
+                      list_filter(regexp_extract_all(t, '[0-9]+'),
+                        r -> length(r) >= 13 AND length(r) <= 19) AS runs
+                    FROM p)
+         SELECT doc_id,
+                CAST(len(runs) AS BIGINT) AS n_candidates,
+                CAST(len(list_filter(runs, r ->
+                  list_sum(list_transform(range(1, length(r) + 1), j ->
+                    CASE WHEN j % 2 = 0
+                      THEN CASE WHEN CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) * 2 > 9
+                                THEN CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) * 2 - 9
+                                ELSE CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) * 2 END
+                      ELSE CAST(substr(r, CAST(length(r) - j + 1 AS INT), 1) AS INT) END))
+                  % 10 = 0)) AS BIGINT) AS n_luhn_valid
+         FROM c ORDER BY doc_id""",
+    "text_novelty" ->
+      """WITH pw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> len(x) > 0) AS ws
+                     FROM documents WHERE doc_id % 2 = 1),
+              pg AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                             FOR i IN range(1, greatest(len(ws) - 1, 1))])) AS g
+                     FROM pw),
+              rw AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> len(x) > 0) AS ws
+                     FROM documents WHERE doc_id % 2 = 0),
+              rg AS (SELECT DISTINCT unnest([array_to_string(ws[i:i+2], ' ')
+                                             FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS g
+                     FROM rw),
+              c AS (SELECT pg.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_grams,
+                      CAST(sum(CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+                    FROM pg LEFT JOIN rg ON pg.g = rg.g GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(c.n_unseen, 0) AS BIGINT) AS n_unseen,
+                CAST(c.n_unseen * 1000000 // c.n_grams AS BIGINT) AS novelty_ppm
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""",
     "pipeline_pack_chop" ->
       """WITH t AS (SELECT doc_id,
                       CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

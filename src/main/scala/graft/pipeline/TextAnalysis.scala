@@ -1454,41 +1454,6 @@ object TextAnalysis {
       num, "<n>")
   }
 
-  /** Per-doc KEYWORD extraction: top-`k` terms by tf·idf in the shared
-    * lg64 grade ([[graft.functions.Lg64]]) — the "what is this document
-    * about" pass (index hints, cluster labeling, dataset-card topic
-    * lines) done transcendental-free so it hash-gates:
-    *
-    *   score64(t, d) = tf(t, d) · (lg64(N DIV df(t)) − 64)
-    *
-    * The −64 zeroes the grade for corpus-ubiquitous terms (df = N ⇒
-    * q = 1 ⇒ lg64 = 64), which is what silently drops stopwords — no
-    * language-specific list needed. Ties break (score desc, term asc) —
-    * deterministic. Docs with no tokens emit no rows (a keyword list is
-    * a per-term frame, not an audit — callers wanting accounting join
-    * back on ids).
-    *
-    * Plan shape at scale: one tokenize + per-(doc, term) partial-agg
-    * pass; df(t) is a vocab-sized rollup joined back on term (co-keyed
-    * shuffle); N broadcasts as a one-row cross; the top-k is ONE
-    * doc-partitioned window over the scored frame. */
-  def keywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val nDocs = df.agg(count(lit(1)).as("__N"))
-    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("__df"))
-    val scored = toks.join(dfreq, "term").crossJoin(broadcast(nDocs))
-      .withColumn("score64",
-        expr(s"tf * (${graft.functions.Lg64.sql("(__N DIV __df)")} - 64L)"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score64").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
-        col("tf"), col("score64"))
-  }
-
   /** Adjacent-pair POINTWISE MUTUAL INFORMATION — the log-domain twin
     * of [[collocations]] (which ranks the same bigram frame by linear
     * lift_ppm): pmi64 ≈ 64·log₂(lift), so the two RANK near-identically

@@ -779,23 +779,6 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(dh ^ (Long.MaxValue)) <= 8, s"dhash $dh drifted")
   }
 
-  test("keywords: tf·idf64 top-k — ubiquitous terms zero out, rare terms win, ties break by term") {
-    val docs = Seq(
-      (1L, "zebra zebra common common common"),
-      (2L, "apple common common"),
-      (3L, "banana cherry common")).toDF("doc_id", "text")
-    val got = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
-      .orderBy("doc_id", "rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
-    // 'common' is in all 3 docs → N DIV df = 1 → grade 64 − 64 = 0
-    assert(got.filter(_._3 == "common").forall(_._5 == 0L), got.mkString(","))
-    // doc 1: zebra df=1 → lg64(3)=160, score = 2·96 = 192; rank 1
-    assert(got.filter(_._1 == 1L).head == ((1L, 1L, "zebra", 2L, 192L)), got.mkString(","))
-    // doc 3: banana/cherry tie at 96 → term order breaks it
-    val d3 = got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq
-    assert(d3 == Seq((1L, "banana"), (2L, "cherry")), d3.toString)
-  }
-
   test("pmiCollocations: hand-computed pmi64 incl. the negative over-expected case; minCount + tie order") {
     // controlled bigram corpus: N = 20; margins alpha·=15, delta·=5,
     // ·beta=15, ·gamma=5. (alpha, beta) co-occurs 10× yet reads NEGATIVE

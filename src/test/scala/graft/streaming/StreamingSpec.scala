@@ -729,6 +729,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII audit: the Luhn gate is a pure map, stream == batch") {
+    // luhnAudit is one nested higher-order expression per row — no state,
+    // no watermark: the SAME operator code audits a stream in append mode
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "paid with 4111111111111111 today"),
+      (2L, "paid with 4111111111111112 today"),
+      (3L, "nothing numeric here"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val audited = graft.pipeline.TextAnalysis.luhnAudit(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = audited.writeStream.outputMode("append")
+      .format("memory").queryName("luhn_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("luhn_stream_out")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.pipeline.TextAnalysis.luhnAudit(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed == Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 0L)),
+        streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming multimodal decode: real ImageIO metadata pass runs unchanged on a stream") {
     // blob ingestion shape: payload batches arrive as a stream; decodeMeta
     // is a stateless mapPartitions decode, so stream output == batch
