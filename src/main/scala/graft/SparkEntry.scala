@@ -2254,6 +2254,26 @@ object SparkEntry {
       pipeline.TimeSeries.kaplanMeier(subj, "duration", "churned")
         .orderBy("t")
     },
+    "rel_welch_t" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // A/B on MEANS: do returned line items carry different prices —
+      // Welch t² on extended-price cents, returnflag A vs R; exact
+      // decimal moments, pinned-double statistic mirrored by the oracle
+      val li = s.table("lineitem").select(col("l_returnflag").as("side"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      pipeline.Relational.welchT(li, "cents", "side", "A", "R")
+    },
+    "events_ab_conversion" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // conversion A/B: per-user purchase conversion across two id
+      // cohorts — z² against χ²(1), fully determined by four counts
+      val users = s.table("events").where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("cohort", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+      pipeline.Relational.twoProportionZ(users, "converted", "cohort", "a", "b")
+    },
     "events_survival_ab" -> { (s, dir) =>
       prep(s, dir, "events")
       // log-rank O-vs-E: do the two cohorts churn at the same rate,
@@ -3613,6 +3633,37 @@ object SparkEntry {
        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Relational.welchT]] over lineitem
+    * extended-price cents, A vs R: HUGEINT moments (exact, including
+    * the integral mean-diff division — DuckDB `//` on DECIMAL returns
+    * double, so the oracle stays on HUGEINT), then the pinned-double
+    * t²/df tail mirrored TEXTUALLY from the operator. */
+  private def welchTOracleSql: String = {
+    val va = "((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)))"
+    val vb = "((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))"
+    val sea = s"($va / CAST(na AS DOUBLE))"
+    val seb = s"($vb / CAST(nb AS DOUBLE))"
+    val md = "((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) - (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    s"""WITH c AS (SELECT l_returnflag AS s,
+       |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+       |           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       |     m AS (SELECT
+       |             CAST(sum(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+       |             CAST(sum(CASE WHEN s = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+       |             CAST(sum(CASE WHEN s = 'A' THEN v ELSE 0 END) AS HUGEINT) AS sa,
+       |             CAST(sum(CASE WHEN s = 'R' THEN v ELSE 0 END) AS HUGEINT) AS sb,
+       |             sum(CASE WHEN s = 'A' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+       |             sum(CASE WHEN s = 'R' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb
+       |           FROM c)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |       CASE WHEN na > 0 AND nb > 0 THEN CAST((sa * nb - sb * na) * 1000000 // (na * nb) AS BIGINT) END AS mean_diff_ppm,
+       |       CASE WHEN na >= 2 AND nb >= 2 AND ($sea + $seb) > 0.0
+       |            THEN CAST(floor($md * $md / ($sea + $seb) * 1000000.0) AS BIGINT) END AS t2_ppm,
+       |       CASE WHEN na >= 2 AND nb >= 2 AND ($sea + $seb) > 0.0
+       |            THEN CAST(floor(($sea + $seb) * ($sea + $seb) / ($sea * $sea / (CAST(na AS DOUBLE) - 1.0) + $seb * $seb / (CAST(nb AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT) END AS df_milli
+       |FROM m WHERE na > 0 OR nb > 0""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.TimeSeries.kaplanMeier]] over the
     * user-lifetime subjects: per-duration collapse, cumulative risk-set
     * window, lg64 log-survival sum, NULL once the risk set dies out. */
@@ -3888,6 +3939,29 @@ object SparkEntry {
     "multimodal_sharpness" -> sobelOracleSql,
     "text_nb_classify" -> nbOracleSql,
     "events_survival" -> kaplanMeierOracleSql,
+    "rel_welch_t" -> welchTOracleSql,
+    "events_ab_conversion" ->
+      """WITH u AS (SELECT user_id,
+                      CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+                      CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort
+                    FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+              m AS (SELECT
+                      CAST(sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                      CAST(sum(CASE WHEN cohort = 'a' THEN converted ELSE 0 END) AS BIGINT) AS xa,
+                      CAST(sum(CASE WHEN cohort = 'b' THEN converted ELSE 0 END) AS BIGINT) AS xb
+                    FROM u)
+         SELECT na AS n_a, xa AS x_a, nb AS n_b, xb AS x_b,
+                CASE WHEN na > 0 THEN CAST(CAST(xa AS HUGEINT) * 1000000 // na AS BIGINT) END AS rate_a_ppm,
+                CASE WHEN nb > 0 THEN CAST(CAST(xb AS HUGEINT) * 1000000 // nb AS BIGINT) END AS rate_b_ppm,
+                CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0 AND (na + nb - xa - xb) > 0
+                     THEN CAST(floor(
+                       (CAST(xa AS DOUBLE) * CAST(nb AS DOUBLE) - CAST(xb AS DOUBLE) * CAST(na AS DOUBLE))
+                       * (CAST(xa AS DOUBLE) * CAST(nb AS DOUBLE) - CAST(xb AS DOUBLE) * CAST(na AS DOUBLE))
+                       * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                       / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE)) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)))
+                       * 1000000.0) AS BIGINT) END AS z2_ppm
+         FROM m WHERE na > 0 OR nb > 0""",
     "events_survival_ab" ->
       """WITH m AS (SELECT max(ts) AS d1 FROM events),
               u AS (SELECT user_id, min(ts) AS f, max(ts) AS l

@@ -764,4 +764,104 @@ object Relational {
       .orderBy(col("est_pairs").desc, col("key"))
       .limit(k)
   }
+
+  /** WELCH's unequal-variance two-sample test on MEANS — the A/B readout
+    * for a continuous metric (revenue per user, latency) where [[ksTest]]
+    * asks about whole distributions and [[chiSquareTest]] about
+    * categories. Reported as t² (one squared statistic avoids the
+    * transcendental sqrt — compare against F(1, df) = t² critical
+    * values) plus the Welch–Satterthwaite df:
+    *
+    *   t² = (m_a − m_b)² / (s²_a/n_a + s²_b/n_b)
+    *   df = (s²_a/n_a + s²_b/n_b)² /
+    *        ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+    *
+    * Moments (n, Σv, Σv²) are EXACT in DECIMAL(38,0) from one
+    * partial-aggregated pass; the final t²/df expressions evaluate in
+    * IEEE double at pinned casts with the tree mirrored TEXTUALLY by
+    * the oracle (the wilson/rel_correlation rule — every op correctly
+    * rounded, bit-identical cross-engine). `mean_diff_ppm` stays fully
+    * integral. Degenerate inputs (a side under 2 samples, or both
+    * variances zero) read NULL t²/df — never a fake statistic; empty
+    * input emits zero rows (the ksTest convention). */
+  def welchT(df: DataFrame, valueCol: String, sideCol: String,
+             sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, s"welchT: sides must differ, got '$sideA' twice")
+    requireIntegralTime(df, valueCol, "welchT", what = "sample value")
+    val dec = "decimal(38,0)"
+    val m = df
+      .where(col(valueCol).isNotNull && col(sideCol).isin(sideA, sideB))
+      .select(col(sideCol).as("__s"), col(valueCol).cast("long").cast(dec).as("__v"))
+      .groupBy()
+      .agg(
+        sum(when(col("__s") === sideA, 1L).otherwise(0L)).cast(dec).as("na"),
+        sum(when(col("__s") === sideB, 1L).otherwise(0L)).cast(dec).as("nb"),
+        sum(when(col("__s") === sideA, col("__v")).otherwise(lit(0).cast(dec))).as("sa"),
+        sum(when(col("__s") === sideB, col("__v")).otherwise(lit(0).cast(dec))).as("sb"),
+        sum(when(col("__s") === sideA, col("__v") * col("__v"))
+          .otherwise(lit(0).cast(dec))).as("qa"),
+        sum(when(col("__s") === sideB, col("__v") * col("__v"))
+          .otherwise(lit(0).cast(dec))).as("qb"))
+      .where(col("na") > 0 || col("nb") > 0)
+    // pinned-double tail, mirrored textually by the oracle: variances
+    // from exact decimal sums, one double cast point per operand
+    val va = "((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)))"
+    val vb = "((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))"
+    val sea = s"($va / CAST(na AS DOUBLE))"
+    val seb = s"($vb / CAST(nb AS DOUBLE))"
+    val md = "((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) - (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    m.selectExpr(
+      "CAST(na AS BIGINT) AS n_a",
+      "CAST(nb AS BIGINT) AS n_b",
+      "CASE WHEN na > 0 AND nb > 0 THEN CAST((sa * nb - sb * na) * 1000000 DIV (na * nb) AS BIGINT) END AS mean_diff_ppm",
+      s"CASE WHEN na >= 2 AND nb >= 2 AND ($sea + $seb) > 0.0 THEN CAST(floor($md * $md / ($sea + $seb) * 1000000.0) AS BIGINT) END AS t2_ppm",
+      s"CASE WHEN na >= 2 AND nb >= 2 AND ($sea + $seb) > 0.0 THEN CAST(floor(($sea + $seb) * ($sea + $seb) / ($sea * $sea / (CAST(na AS DOUBLE) - 1.0) + $seb * $seb / (CAST(nb AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT) END AS df_milli")
+  }
+
+  /** TWO-PROPORTION z-test — the conversion A/B readout (did cohort A
+    * convert more than cohort B), reported as z² (≡ the 2×2 Pearson
+    * chi-square with the pooled-variance denominator; compare against
+    * χ²(1) critical values — no sqrt needed). Fully determined by four
+    * counts, z² collapses to one exact rational:
+    *
+    *   z² = (x_a·n_b − x_b·n_a)² · (n_a + n_b)
+    *        ─────────────────────────────────────────
+    *        n_a · n_b · (x_a + x_b) · (n_a + n_b − x_a − x_b)
+    *
+    * evaluated at pinned double casts over the exact counts (numerator
+    * 4th-order in counts — decimal would overflow at ~10⁹ per side; the
+    * wilson rule keeps it bit-identical cross-engine at any scale).
+    * `successCol` must be exactly 0/1 (booleans cast; anything else
+    * fails loudly in the consumed column — a 2 silently counted as one
+    * success is how a conversion test lies). Degenerate pooled rates
+    * (all success / all failure) read NULL z²; empty input emits zero
+    * rows. Output: n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm, z2_ppm. */
+  def twoProportionZ(df: DataFrame, successCol: String, sideCol: String,
+                     sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, s"twoProportionZ: sides must differ, got '$sideA' twice")
+    val s01 = df.schema(successCol).dataType match {
+      case org.apache.spark.sql.types.BooleanType =>
+        col(successCol).cast("long")
+      case _ => when(col(successCol).isin(0, 1), col(successCol).cast("long"))
+        .otherwise(expr(
+          s"raise_error(concat('twoProportionZ: $successCol must be 0/1, got ', CAST($successCol AS STRING)))"))
+    }
+    val m = df
+      .where(col(successCol).isNotNull && col(sideCol).isin(sideA, sideB))
+      .select(col(sideCol).as("__s"), s01.as("__x"))
+      .groupBy()
+      .agg(
+        sum(when(col("__s") === sideA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__s") === sideB, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("__s") === sideA, col("__x")).otherwise(0L)).as("xa"),
+        sum(when(col("__s") === sideB, col("__x")).otherwise(0L)).as("xb"))
+      .where(col("na") > 0 || col("nb") > 0)
+    val num = "(CAST(xa AS DOUBLE) * CAST(nb AS DOUBLE) - CAST(xb AS DOUBLE) * CAST(na AS DOUBLE))"
+    val den = "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE)) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)))"
+    m.selectExpr(
+      "na AS n_a", "xa AS x_a", "nb AS n_b", "xb AS x_b",
+      "CASE WHEN na > 0 THEN CAST(xa * 1000000L DIV na AS BIGINT) END AS rate_a_ppm",
+      "CASE WHEN nb > 0 THEN CAST(xb * 1000000L DIV nb AS BIGINT) END AS rate_b_ppm",
+      s"CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0 AND (na + nb - xa - xb) > 0 THEN CAST(floor($num * $num * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / $den * 1000000.0) AS BIGINT) END AS z2_ppm")
+  }
 }

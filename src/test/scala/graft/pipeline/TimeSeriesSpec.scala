@@ -523,6 +523,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expect, s"${(got -- expect, expect -- got)}")
   }
 
+  test("welchT: hand-computed t2/df incl. the one-sided-variance case; degenerate NULLs; empty emits nothing") {
+    // A = {10, 20, 30} cents (mean 20, s2 = 100), B = {40, 40, 40} (s2 = 0):
+    // t2 = (20-40)^2 / (100/3) = 12; Welch df collapses to n_a - 1 = 2
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 40L), ("b", 40L), ("b", 40L)).toDF("side", "v")
+    val r = Relational.welchT(df, "v", "side", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)), r.toString)
+    assert(r.getLong(2) == -20000000L, s"mean_diff ${r.getLong(2)}")
+    assert(r.getLong(3) == 12000000L, s"t2 ${r.getLong(3)}")
+    assert(r.getLong(4) == 2000L, s"df ${r.getLong(4)}")
+    // both variances zero -> NULL statistic, row still reports counts
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("side", "v")
+    val f = Relational.welchT(flat, "v", "side", "a", "b").collect()(0)
+    assert(f.isNullAt(3) && f.isNullAt(4), f.toString)
+    assert(f.getLong(2) == -2000000L) // exact integral mean diff survives
+    // a 1-sample side -> NULL statistic (variance undefined)
+    val one = Seq(("a", 5L), ("b", 7L), ("b", 9L)).toDF("side", "v")
+    assert(Relational.welchT(one, "v", "side", "a", "b").collect()(0).isNullAt(3))
+    // empty input -> zero rows (the ksTest convention)
+    assert(Relational.welchT(df.where($"v" > 999), "v", "side", "a", "b").count() == 0L)
+    intercept[IllegalArgumentException](Relational.welchT(df, "v", "side", "a", "a"))
+  }
+
+  test("twoProportionZ: hand z2, degenerate pooled rates NULL, 0/1 validation loud, booleans accepted") {
+    // a: 6/10, b: 2/10 -> z2 = (60-20)^2 * 20 / (100 * 8 * 12) = 10/3
+    val rows = (1 to 10).map(i => ("a", if (i <= 6) 1L else 0L)) ++
+      (1 to 10).map(i => ("b", if (i <= 2) 1L else 0L))
+    val r = Relational.twoProportionZ(rows.toDF("side", "ok"), "ok", "side", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 6L, 10L, 2L)), r.toString)
+    assert((r.getLong(4), r.getLong(5)) == ((600000L, 200000L)))
+    assert(r.getLong(6) == 3333333L, s"z2 ${r.getLong(6)}")
+    // all-success pooled rate -> NULL z2 (zero pooled variance)
+    val all = Seq(("a", 1L), ("b", 1L)).toDF("side", "ok")
+    assert(Relational.twoProportionZ(all, "ok", "side", "a", "b").collect()(0).isNullAt(6))
+    // boolean success column casts
+    val b = Seq(("a", true), ("a", false), ("b", false), ("b", false)).toDF("side", "ok")
+    val rb = Relational.twoProportionZ(b, "ok", "side", "a", "b").collect()(0)
+    assert((rb.getLong(1), rb.getLong(3)) == ((1L, 0L)))
+    // a 2 is not a success count -- loud, not silently truthy
+    val bad = Seq(("a", 2L), ("b", 0L)).toDF("side", "ok")
+    val e = intercept[Exception](
+      Relational.twoProportionZ(bad, "ok", "side", "a", "b").collect())
+    assert(e.getMessage != null && e.getMessage.contains("must be 0/1"), e.getMessage)
+    // empty -> zero rows
+    assert(Relational.twoProportionZ(
+      b.where($"side" === "zz"), "ok", "side", "a", "b").count() == 0L)
+  }
+
   test("ksTest agrees with a literal max-CDF-gap scan on random samples") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 500).map(_ => (if (rnd.nextBoolean()) "a" else "b",
