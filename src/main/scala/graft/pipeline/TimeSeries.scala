@@ -888,17 +888,21 @@ object TimeSeries {
       .withColumn("__phase", expr(s"datediff(day, DATE '1970-01-01') % $period"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(-h, h)
-    val withTrend = spine
+    // the trended spine is read THREE times (phase means, grand mean,
+    // final join) — cut it once or Catalyst re-expands the whole
+    // gap-fill + MA window per reader (the CC self-join discipline)
+    val withTrend = Materialize(spine
       .withColumn("trend_cents",
         when(count(lit(1)).over(w) === period,
           expr(s"(sum(value_cents) OVER (PARTITION BY $keyCol ORDER BY day " +
-            s"ROWS BETWEEN $h PRECEDING AND $h FOLLOWING)) DIV $period")))
+            s"ROWS BETWEEN $h PRECEDING AND $h FOLLOWING)) DIV $period"))))
     val interior = withTrend.where(col("trend_cents").isNotNull)
       .select(col(keyCol), col("__phase"),
         (col("value_cents") - col("trend_cents")).as("__det"))
-    val phaseMeans = interior.groupBy(col(keyCol), col("__phase"))
+    // key×period rows, read twice (seasonal + grand) — cut
+    val phaseMeans = Materialize(interior.groupBy(col(keyCol), col("__phase"))
       .agg(sum(col("__det")).as("__s"), count(lit(1)).as("__n"))
-      .select(col(keyCol), col("__phase"), expr("__s DIV __n").as("__raw"))
+      .select(col(keyCol), col("__phase"), expr("__s DIV __n").as("__raw")))
     val grand = phaseMeans.groupBy(col(keyCol))
       .agg(expr(s"sum(__raw) DIV $period").as("__g"))
     val seasonal = phaseMeans.join(grand, Seq(keyCol))
