@@ -161,7 +161,15 @@ class DeterminismSpec extends AnyFunSuite {
     // reversed-key semi self-join counts
     "graph_reciprocity",
     // canonical-edge collapse + bitlen bucket rollup
-    "graph_degree_dist")
+    "graph_degree_dist",
+    // r9: tolerant-decode reject accounting, JPEG meta through the lossy
+    // codec, two-level prefix-sum piece layout, spine MA + phase means,
+    // margin rollups + grade arithmetic, hash-keyed gram anti counts,
+    // higher-order checksum map, global moment folds, ORC round-trip
+    "multimodal_decode_tolerant", "multimodal_jpeg_meta",
+    "pipeline_pack_chop", "ts_seasonal", "text_pmi", "text_novelty",
+    "pipeline_luhn_audit", "rel_welch_t", "events_ab_conversion",
+    "src_orc_roundtrip")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

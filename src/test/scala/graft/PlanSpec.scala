@@ -492,4 +492,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no SMJ of vector rows in assignment:\n$plan")
   }
+
+  test("pipeline_pack_chop plan: the only single-partition window rides the 1024-row stratum offsets") {
+    val plan = SparkEntry.queries("pipeline_pack_chop")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lines = plan.split('\n')
+    // corpus prefix sums run under stratum-partitioned windows; exactly
+    // ONE SinglePartition exchange is allowed — the bounded 1024-row
+    // stratum-offset frame (a corpus-sized global window is the killer)
+    assert(lines.count(_.contains("Exchange SinglePartition")) == 1,
+      s"exactly one bounded single-partition exchange:\n$plan")
+    assert(plan.contains("windowspecdefinition(__stratum"),
+      s"interior prefix must partition by stratum:\n$plan")
+    // offsets come back as a broadcast, never a shuffle of the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ:\n$plan")
+  }
+
+  test("ts_seasonal plan: ONE trended-spine computation (materialized), phase means broadcast back") {
+    val plan = SparkEntry.queries("ts_seasonal")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the trended spine is cut once: below the final join only the
+    // materialized frame (ExistingRDD) appears — a FileScan of events
+    // there means Catalyst re-expanded the gap-fill + MA window per reader
+    assert(plan.split("FileScan").length - 1 == 0,
+      s"post-materialize plan must not rescan the corpus:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"spine must be the cut frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phase means must broadcast back:\n$plan")
+  }
+
+  test("pipeline_luhn_audit plan: pure map — no exchange except the output ordering") {
+    val plan = SparkEntry.queries("pipeline_luhn_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split('\n').filter(_.contains("Exchange"))
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"the audit itself must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"no join in a per-row checksum:\n$plan")
+  }
+
+  test("rel_welch_t / events_ab_conversion plans: one partial-aggregated pass to a 1-row frame") {
+    for (q <- Seq("rel_welch_t", "events_ab_conversion")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the global statistic collapses via map-side partials into ONE
+      // SinglePartition exchange; a sort or join would mean the moments
+      // stopped folding
+      assert(plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$q must stay join-free:\n$plan")
+      assert(plan.contains("partial"), s"$q moments must partial-aggregate:\n$plan")
+    }
+  }
 }
