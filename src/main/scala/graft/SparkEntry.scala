@@ -2078,6 +2078,44 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")
     },
+    "ts_seasonal_anomaly" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // COMPOSED seasonality-aware alerting: seasonalDecompose's residual
+      // (growth and weekday rhythm already explained away) screened by
+      // the per-key robust MAD rule — |resid − med| > 3·max(mad, 1);
+      // residuals are integers and R-7 medians of integers land on .0/.5,
+      // so the verdict is exact and the med/mad pins go out ×2 integral
+      val dec = pipeline.TimeSeries.seasonalDecompose(s.table("events"),
+        "event_type", "ts", "value", period = 7)
+      val resid = dec.where(col("residual_cents").isNotNull)
+      val m = pipeline.Relational.mad(resid, Seq("event_type"), "residual_cents")
+      resid.join(broadcast(m), "event_type")
+        .where(abs(col("residual_cents").cast("double") - col("med")) >
+          lit(3.0) * greatest(col("mad"), lit(1.0)))
+        .select(col("event_type"), col("day"), col("value_cents"),
+          col("residual_cents"),
+          expr("CAST(med * 2 AS BIGINT)").as("med_x2"),
+          expr("CAST(mad * 2 AS BIGINT)").as("mad_x2"))
+        .orderBy("event_type", "day")
+    },
+    "dedup_time_scoped" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // COMPOSED time-scoped dedup — the crawl policy "drop re-crawls,
+      // allow a refresh once the content has been quiet for the window":
+      // occurrences of one content key sessionize on a 7-day gap
+      // (sessionizeBatch unchanged — the content key rides its user_id
+      // seat) and each session IS one retained crawl epoch; first_seen
+      // is the kept row, n_events − 1 the dropped re-crawls
+      val occ = s.table("events").select(
+        concat_ws("|", col("user_id"), col("event_type")).as("user_id"),
+        col("ts"), col("event_id"))
+      streaming.EventStreams.sessionizeBatch(occ, gapMinutes = 7 * 24 * 60)
+        .select(col("user_id").as("content_key"),
+          col("session_id").as("crawl_epoch"),
+          col("session_start").as("first_seen"),
+          (col("n_events") - 1L).as("n_dropped"))
+        .orderBy("content_key", "crawl_epoch")
+    },
     "ts_islands" -> { (s, dir) =>
       prep(s, dir, "events")
       // gaps-and-islands coverage: weekly per-(user, type) activity spans
@@ -6168,6 +6206,62 @@ object SparkEntry {
                 CAST(tr.cents - tr.trend - se.season AS BIGINT) AS residual_cents
          FROM tr LEFT JOIN se ON se.event_type = tr.event_type AND se.ph = tr.ph
          ORDER BY tr.event_type, tr.day""",
+    "ts_seasonal_anomaly" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT event_type,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.event_type, s.day,
+                      CAST(coalesce(b.cents, 0) AS BIGINT) AS cents,
+                      CAST((s.day - DATE '1970-01-01') % 7 AS BIGINT) AS ph
+                    FROM spine s LEFT JOIN b USING (event_type, day)),
+              tr AS (SELECT event_type, day, cents, ph,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN CAST(sum(cents) OVER w // 7 AS BIGINT) END AS trend
+                     FROM f
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              pm AS (SELECT event_type, ph,
+                       CAST(sum(cents - trend) // count(*) AS BIGINT) AS raw
+                     FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+              gm AS (SELECT event_type, CAST(sum(raw) // 7 AS BIGINT) AS g
+                     FROM pm GROUP BY 1),
+              se AS (SELECT pm.event_type, pm.ph, CAST(pm.raw - gm.g AS BIGINT) AS season
+                     FROM pm JOIN gm USING (event_type)),
+              resid AS (SELECT tr.event_type, tr.day, tr.cents,
+                          CAST(tr.cents - tr.trend - se.season AS BIGINT) AS rc
+                        FROM tr JOIN se ON se.event_type = tr.event_type AND se.ph = tr.ph
+                        WHERE tr.trend IS NOT NULL),
+              med AS (SELECT event_type, quantile_cont(rc, 0.5) AS m FROM resid GROUP BY 1),
+              md AS (SELECT r2.event_type, any_value(med.m) AS m,
+                       quantile_cont(abs(r2.rc - med.m), 0.5) AS d
+                     FROM resid r2 JOIN med USING (event_type) GROUP BY r2.event_type)
+         SELECT resid.event_type, resid.day, resid.cents AS value_cents,
+                resid.rc AS residual_cents,
+                CAST(md.m * 2 AS BIGINT) AS med_x2,
+                CAST(md.d * 2 AS BIGINT) AS mad_x2
+         FROM resid JOIN md USING (event_type)
+         WHERE abs(CAST(resid.rc AS DOUBLE) - md.m) > 3.0 * greatest(md.d, 1.0)
+         ORDER BY resid.event_type, resid.day""",
+    "dedup_time_scoped" ->
+      """WITH occ AS (SELECT concat_ws('|', user_id, event_type) AS k, ts, event_id FROM events),
+              g AS (SELECT k, ts, event_id,
+                      lag(ts) OVER (PARTITION BY k ORDER BY ts, event_id) prev_ts
+                    FROM occ),
+              m AS (SELECT k, ts, event_id,
+                      CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 604800000 THEN 1 ELSE 0 END is_new
+                    FROM g),
+              sid AS (SELECT k, ts,
+                        CAST(sum(is_new) OVER (PARTITION BY k ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) epoch
+                      FROM m)
+         SELECT k AS content_key, epoch AS crawl_epoch, min(ts) AS first_seen,
+                CAST(count(*) - 1 AS BIGINT) AS n_dropped
+         FROM sid GROUP BY k, epoch
+         ORDER BY content_key, crawl_epoch""",
     "events_rolling_median" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

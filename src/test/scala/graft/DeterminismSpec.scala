@@ -169,7 +169,9 @@ class DeterminismSpec extends AnyFunSuite {
     "multimodal_decode_tolerant", "multimodal_jpeg_meta",
     "pipeline_pack_chop", "ts_seasonal", "text_pmi", "text_novelty",
     "pipeline_luhn_audit", "rel_welch_t", "events_ab_conversion",
-    "src_orc_roundtrip")
+    "src_orc_roundtrip",
+    // r9 composed: decompose→MAD verdict, content-key session epochs
+    "ts_seasonal_anomaly", "dedup_time_scoped")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
