@@ -168,12 +168,25 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
 
     val bySlow = results.sortBy { case (_, v, _) => -v }
+    // the stdout line caps CONTENDED too: a heavy co-tenant window can
+    // flag dozens of queries (~50 chars each), and the shrink loop only
+    // shrinks the queries map — an uncapped contJson would push even
+    // compact(1) past the 1800-char consumer cap and truncate the whole
+    // line (the r1-r6 failure mode the cap exists to prevent). The
+    // stdout line carries the 5 worst offenders + the total count;
+    // bench_full.json keeps the complete list.
+    val contCompact = {
+      val worst = contended.sortBy { case (_, t, t2) => -(t - math.min(t, t2)) }.take(5)
+        .map { case (n, t, t2) => s"""{"q":"$n","min2":${ms(t)},"retry":${ms(t2)}}""" }
+        .mkString("[", ",", "]")
+      s""""n_contended":${contended.length},"contended":$worst"""
+    }
     def compact(k: Int): String = {
       val qs = bySlow.take(k).map { case (n, v, _) => "\"" + n + "\":" + ms(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
         s""""n_queries":${results.length},"queries_full":"bench_full.json",""" +
-        s""""failed":$failed,"contended":$contJson,"scan_partitions":$parts,"sf":"$sfDir"}"""
+        s""""failed":$failed,$contCompact,"scan_partitions":$parts,"sf":"$sfDir"}"""
     }
     val line = (results.length to 1 by -1).iterator.map(compact)
       .find(_.length <= 1800).getOrElse(compact(1))

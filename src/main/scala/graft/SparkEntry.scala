@@ -1362,8 +1362,12 @@ object SparkEntry {
       // ORC round-trip: documents → zlib ORC part files → read back
       // under an explicit schema → per-lang rollup; the oracle computes
       // the same rollup straight from the parquet source, so any loss
-      // or drift in the ORC writer/reader breaks the hash
-      val out = "/tmp/graft_orc_gate"
+      // or drift in the ORC writer/reader breaks the hash. Unlike the
+      // CSV/JSONL gates (whose oracles read the SAME part files, so the
+      // driver must know the path), nothing external reads these files —
+      // a per-process suffix removes the concurrent-session overwrite
+      // race on the shared path
+      val out = s"/tmp/graft_orc_gate_${ProcessHandle.current().pid()}"
       sources.Orc.write(
         s.table("documents").select("doc_id", "lang", "n_chars"), out, 4)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(

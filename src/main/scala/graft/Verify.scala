@@ -49,15 +49,40 @@ object Verify {
         try {
           import org.apache.spark.sql.functions._
           val back = spark.read.parquet(s"$outDir/$name")
+          // sentinels are ESCAPED out of values first (a literal \u0000 or
+          // \u0001 inside a string value would alias the null marker /
+          // column separator), and rows sort in UTF-8 BYTE order — Java's
+          // default String order is UTF-16 code units, which disagrees
+          // with bytewise/code-point engines (DuckDB ORDER BY, sort(1))
+          // for supplementary-plane text, and this canonical form exists
+          // precisely so another engine can recompute it
           val cols = back.columns.sorted.map(c =>
-            coalesce(col("`" + c + "`").cast("string"), lit("\u0000")))
+            coalesce(
+              regexp_replace(regexp_replace(regexp_replace(
+                col("`" + c + "`").cast("string"),
+                "\u001b", "\u001be"), "\u0000", "\u001bz"), "\u0001", "\u001bo"),
+              lit("\u0000")))
+          val utf8Order = new Ordering[String] {
+            def compare(a: String, b: String): Int = {
+              val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+              var i = 0
+              val n = math.min(x.length, y.length)
+              while (i < n) {
+                val d = (x(i) & 0xff) - (y(i) & 0xff)
+                if (d != 0) return d
+                i += 1
+              }
+              x.length - y.length
+            }
+          }
           val rows = back.select(concat_ws("\u0001", cols: _*).as("r"))
-            .collect().map(_.getString(0)).sorted
+            .collect().map(_.getString(0)).sorted(utf8Order)
           val digest = rows.foldLeft(0L) { (acc, r) =>
-            // order-sensitive fold over the SORTED stream: 64-bit FNV-1a of
-            // (acc, row) — both engines can replay it from the parquet
+            // order-sensitive fold over the SORTED stream: 64-bit FNV-1a
+            // over the row's UTF-8 BYTES — both the ordering and the hash
+            // input are byte-defined, so any engine can replay it
             var h = acc ^ 0xcbf29ce484222325L
-            r.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+            r.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
             h
           }
           val head = rows.take(2).map(_.take(120)).mkString(" | ")

@@ -22,9 +22,11 @@ package graft.functions
   *    error; never above) — precise enough that rankings agree with a
   *    real log beyond ~1.1% ratios.
   *  - Monotonicity: non-decreasing everywhere on x ≥ 1; STRICTLY
-  *    increasing once the ratio x₂/x₁ reaches one mantissa step
-  *    (2^(1/64) ≈ 1.011) — equal grades can only happen inside a
-  *    plateau narrower than that.
+  *    increasing once the ratio x₂/x₁ reaches 1 + 1/64 ≈ 1.0156 — the
+  *    widest plateau sits at the BOTTOM of each octave, where one
+  *    mantissa unit spans x/64 of linear range (near the octave top
+  *    the step tightens toward 2^(1/64) ≈ 1.011; 1/64-of-an-octave is
+  *    the RESOLUTION, 1/64-of-x the worst-case tie width).
   *  - Differences `lg64(a) − lg64(b)` are therefore a monotone integer
   *    log-ratio grade — the form every call site actually consumes.
   *  - Domain: 1 ≤ x < 2^57 (the `x·64` product must fit a signed 64-bit

@@ -231,9 +231,18 @@ object Multimodal {
     }
   }
 
+  /** Thrown where NO installed decoder claims the bytes — a subclass of
+    * IllegalArgumentException so the loud paths keep their documented
+    * exception type, but distinguishable by the tolerant twins' error
+    * classifier (a claimed reader choking mid-decode with its own IAE
+    * must NOT class as "no_reader"). */
+  private final class NoReaderException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def metaOf(docId: Long, payload: Array[Byte]): MediaMeta = {
     val reader = openReader(payload)
-    require(reader != null, s"doc $docId: no installed ImageIO reader claims payload")
+    if (reader == null)
+      throw new NoReaderException(s"doc $docId: no installed ImageIO reader claims payload")
     try {
       val fmt = reader.getFormatName.toLowerCase
       MediaMeta(docId, s"image/$fmt", payload.length.toLong,
@@ -269,7 +278,9 @@ object Multimodal {
     * EXACTLY (pinned by spec). */
   private[pipeline] def decodeLuma(payload: Array[Byte]): Array[Array[Int]] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, "undecodable image payload")
+    // ImageIO.read returns null exactly when no installed reader claims
+    // the bytes (decode failures of a claimed reader THROW instead)
+    if (img == null) throw new NoReaderException("undecodable image payload")
     lumaOf(img)
   }
 
@@ -720,12 +731,14 @@ object Multimodal {
   // `n_bytes` stays populated on rejects (payload length needs no
   // decode, and reject SIZE is part of the accounting).
 
-  /** Error class for a failed image decode: the loud cores signal
-    * "no reader claims these bytes" via `require` (ImageIO returns
-    * null exactly then), any other throw is the claimed reader choking
-    * mid-decode. */
+  /** Error class for a failed image decode: only the dedicated
+    * [[NoReaderException]] (no installed reader claims the bytes) maps
+    * to "no_reader" — a CLAIMED reader choking mid-decode with its own
+    * IllegalArgumentException (the JDK JPEG reader does this on some
+    * malformed CMYK images) keeps its class name, so the reject
+    * accounting never attributes decode chokes to missing decoders. */
   private def imageErrorClass(e: Throwable): String = e match {
-    case _: IllegalArgumentException => "no_reader"
+    case _: NoReaderException => "no_reader"
     case other => other.getClass.getSimpleName
   }
 

@@ -383,8 +383,14 @@ object TimeSeries {
     * encoding (2, -1, NULL) raise_errors instead of silently counting
     * as censored, which would skew the curve with no signal. */
   private def eventFlag(eventCol: String, op: String): org.apache.spark.sql.Column = {
-    val ev = col(eventCol).cast("long")
-    when(ev === 1L, 1L).when(ev === 0L, 0L)
+    // validate through a VALUE-PRESERVING cast (double), not the long
+    // cast: a DOUBLE 0.9 (a churn probability mis-wired as the flag)
+    // truncates to 0 under cast("long") and would silently count as
+    // censored — exactly the failure this guard exists to make loud.
+    // Booleans cast to exactly 1.0/0.0; integral 0/1 of any width are
+    // exact in double far beyond any flag's range.
+    val ev = col(eventCol).cast("double")
+    when(ev === 1.0, 1L).when(ev === 0.0, 0L)
       .otherwise(raise_error(concat(
         lit(s"$op: eventCol must be 0 (censored) or 1 (event), got "),
         coalesce(col(eventCol).cast("string"), lit("NULL")))))

@@ -33,16 +33,21 @@ class Lg64Spec extends AnyFunSuite {
     }
   }
 
-  test("lg64: non-decreasing; strictly increasing across a mantissa step (~1.1% ratio)") {
+  test("lg64: non-decreasing; strictly increasing past the 1+1/64 worst-case plateau") {
     val xs = (1L to 4096L).toSeq
     val g = lg64(xs)
     for (x <- 1L until 4096L) assert(g(x) <= g(x + 1), s"decreasing at $x")
-    // one mantissa step = ratio 2^(1/64) ≈ 1.0109 — a 2% ratio must
+    // the worst-case tie plateau is 1 + 1/64 ≈ 1.56% wide (octave
+    // BOTTOM, where one mantissa unit spans x/64); a 2% ratio must
     // always strictly increase the grade (the BM25 ranking guarantee)
     val pairs = Seq((100L, 102L), (1000L, 1020L), (3000L, 3060L),
       (1L << 30, (1L << 30) + (1L << 30) / 50))
     val g2 = lg64(pairs.flatMap(p => Seq(p._1, p._2)))
     for ((a, b) <- pairs) assert(g2(a) < g2(b), s"$a vs $b")
+    // …and the bottom-of-octave plateau is REAL: a 1.1% step there ties
+    // (the bound the doc must not overclaim), pinned at 2^19
+    val bot = lg64(Seq(1L << 19, (1L << 19) + (1L << 19) / 90))
+    assert(bot(1L << 19) == bot((1L << 19) + (1L << 19) / 90), bot.toString)
   }
 
   test("lg64 differences are a monotone log-ratio grade (the Kaplan-Meier / NB consumption form)") {

@@ -317,6 +317,17 @@ class TimeSeriesSpec extends AnyFunSuite {
       .orderBy("t").as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
     assert(got.map(r => (r._1, r._3, r._4)) == Seq((1L, 1L, 0L), (2L, 0L, 1L), (3L, 1L, 0L)),
       s"boolean events must cast to 1/0: $got")
+    // a FRACTIONAL encoding (0.9 — a churn probability mis-wired as the
+    // flag) must be loud too: the guard validates through a
+    // value-preserving cast, never the truncating long cast
+    val frac = Seq((1L, 0.9), (2L, 1.0)).toDF("duration", "churned")
+    val e3 = intercept[Exception] {
+      TimeSeries.kaplanMeier(frac, "duration", "churned").collect()
+    }
+    assert(e3.getMessage.contains("eventCol") || e3.getCause != null, s"$e3")
+    // exact 1.0/0.0 doubles remain accepted (they ARE 1 and 0)
+    val exact = Seq((1L, 1.0), (2L, 0.0)).toDF("duration", "churned")
+    assert(TimeSeries.kaplanMeier(exact, "duration", "churned").count() == 2L)
   }
 
   test("kaplanMeier: an all-censored cohort never loses survival mass") {
