@@ -407,28 +407,29 @@ object Multimodal {
   def sobelEnergy(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
-      rows.map { r =>
-        val luma = decodeLuma(r.payload)
-        val h = luma.length
-        val w = luma(0).length
-        var sum = 0L
-        var y = 1
-        while (y < h - 1) {
-          var x = 1
-          while (x < w - 1) {
-            val gx = (luma(y - 1)(x + 1) + 2 * luma(y)(x + 1) + luma(y + 1)(x + 1)) -
-              (luma(y - 1)(x - 1) + 2 * luma(y)(x - 1) + luma(y + 1)(x - 1))
-            val gy = (luma(y + 1)(x - 1) + 2 * luma(y + 1)(x) + luma(y + 1)(x + 1)) -
-              (luma(y - 1)(x - 1) + 2 * luma(y - 1)(x) + luma(y - 1)(x + 1))
-            sum += math.abs(gx) + math.abs(gy)
-            x += 1
-          }
-          y += 1
-        }
-        val interior = (w - 2).toLong * (h - 2)
-        (r.doc_id, w, h, sum, if (interior > 0) sum / interior else 0L)
-      }
+      rows.map { r => val s = sobelOf(decodeLuma(r.payload)); (r.doc_id, s._1, s._2, s._3, s._4) }
     }.toDF("doc_id", "width", "height", "edge_energy", "mean_grad")
+  }
+
+  private def sobelOf(luma: Array[Array[Int]]): (Int, Int, Long, Long) = {
+    val h = luma.length
+    val w = luma(0).length
+    var sum = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = (luma(y - 1)(x + 1) + 2 * luma(y)(x + 1) + luma(y + 1)(x + 1)) -
+          (luma(y - 1)(x - 1) + 2 * luma(y)(x - 1) + luma(y + 1)(x - 1))
+        val gy = (luma(y + 1)(x - 1) + 2 * luma(y + 1)(x) + luma(y + 1)(x + 1)) -
+          (luma(y - 1)(x - 1) + 2 * luma(y - 1)(x) + luma(y - 1)(x + 1))
+        sum += math.abs(gx) + math.abs(gy)
+        x += 1
+      }
+      y += 1
+    }
+    val interior = (w - 2).toLong * (h - 2)
+    (w, h, sum, if (interior > 0) sum / interior else 0L)
   }
 
   /** REAL per-frame dHash over animated containers — the video-style
@@ -795,6 +796,73 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "dhash", "_corrupt")
+  }
+
+  /** Tolerant twin of [[sobelEnergy]]. Output: `doc_id, width, height,
+    * edge_energy, mean_grad, _corrupt`. */
+  def sobelEnergyTolerant(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val s = sobelOf(decodeLuma(r.payload))
+          (r.doc_id, Option(s._1), Option(s._2), Option(s._3), Option(s._4),
+            Option.empty[String])
+        } catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, Option.empty[Int], Option.empty[Int], Option.empty[Long],
+            Option.empty[Long], Option(imageErrorClass(e)))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "edge_energy", "mean_grad", "_corrupt")
+  }
+
+  /** Tolerant twin of [[pcmSilence]]: survivors emit one row per channel,
+    * a reject exactly ONE row with channel NULL (the pcmStats contract).
+    * Output: `doc_id, channel, n_samples, n_silent, lead_silent,
+    * tail_silent, max_run, _corrupt`. */
+  def pcmSilenceTolerant(spark: SparkSession, media: DataFrame,
+                         threshold: Int = 256): DataFrame = {
+    require(threshold >= 1 && threshold <= 32768,
+      s"threshold must be in [1, 32768], got $threshold")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val w = walkWav(r.doc_id, r.payload)
+          (0 until w.channels).map { ch =>
+            var i = 0
+            var nSilent = 0L; var run = 0L; var maxRun = 0L
+            var lead = -1L; var lastLoud = -1L
+            while (i < w.nFrames) {
+              val silent = math.abs(sampleAt(r.payload, w, i, ch)) < threshold
+              if (silent) {
+                nSilent += 1
+                run += 1
+                if (run > maxRun) maxRun = run
+              } else {
+                run = 0
+                if (lead < 0) lead = i.toLong
+                lastLoud = i.toLong
+              }
+              i += 1
+            }
+            val n = w.nFrames.toLong
+            (r.doc_id, Option(ch), Option(n), Option(nSilent),
+              Option(if (lead < 0) n else lead),
+              Option(if (lastLoud < 0) n else n - 1 - lastLoud),
+              Option(maxRun), Option.empty[String])
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          val cls = e match {
+            case _: IllegalArgumentException => "bad_wav"
+            case other => other.getClass.getSimpleName
+          }
+          Seq((r.doc_id, Option.empty[Int], Option.empty[Long], Option.empty[Long],
+            Option.empty[Long], Option.empty[Long], Option.empty[Long], Option(cls)))
+        }
+      }
+    }.toDF("doc_id", "channel", "n_samples", "n_silent",
+      "lead_silent", "tail_silent", "max_run", "_corrupt")
   }
 
   /** Tolerant twin of [[pcmStats]]: survivors emit one row per channel

@@ -729,6 +729,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(dById(3L).getLong(1) == loudDh(1).getLong(1))
   }
 
+  test("sobelEnergyTolerant / pcmSilenceTolerant: the remaining decode passes share the reject contract") {
+    // image side: garbage rejects as no_reader, survivors equal the loud pass
+    val media = Multimodal.synthesizeGridPayloads(Seq(0L, 1L).toDF("doc_id"), "doc_id")
+    val rows = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val planted = rows.map {
+      case (1L, _) => (1L, Array[Byte](0x11) ++ Array.fill[Byte](8)(0x2a))
+      case x => x
+    }.toSeq.toDF("doc_id", "payload")
+    val sb = Multimodal.sobelEnergyTolerant(spark, planted).orderBy("doc_id").collect()
+    assert(sb(1).getString(5) == "no_reader" && sb(1).isNullAt(3), sb.mkString(","))
+    val loud = Multimodal.sobelEnergy(spark,
+      rows.take(1).toSeq.toDF("doc_id", "payload")).collect()(0)
+    assert(sb(0).isNullAt(5) && (1 to 4).forall(i => sb(0).get(i) == loud.get(i)),
+      s"${sb(0)} vs $loud")
+    // audio side: one bad_wav row per reject, survivors match per channel
+    val wav = Multimodal.synthesizeWavSilencePayloads(Seq(13L).toDF("doc_id"), "doc_id")
+    val wrows = wav.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val wplanted = (wrows.toSeq :+ ((99L, "junk bytes".getBytes("US-ASCII"))))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.pcmSilenceTolerant(spark, wplanted, threshold = 256)
+      .orderBy("doc_id", "channel").collect()
+    val (bad, ok) = got.partition(_.getLong(0) == 99L)
+    assert(bad.length == 1 && bad(0).getString(7) == "bad_wav" && bad(0).isNullAt(1),
+      bad.mkString(","))
+    val loudW = Multimodal.pcmSilence(spark, wav, threshold = 256)
+      .orderBy("channel").collect()
+    assert(ok.length == loudW.length)
+    for ((t, l) <- ok.zip(loudW))
+      assert(t.isNullAt(7) && (1 to 6).forall(i => t.get(i) == l.get(i)), s"$t vs $l")
+  }
+
   test("pcmStatsTolerant: non-RIFF payload rejects as ONE bad_wav row; survivors match the loud pass per channel") {
     val media = Multimodal.synthesizeWavPcmPayloads(Seq(9L, 10L).toDF("doc_id"), "doc_id")
     val rows = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
