@@ -2082,6 +2082,24 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")
     },
+    "ts_cusum" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // one-sided CUSUM drift detector per user: 7-day baseline mean,
+      // $50/day slack, $500 alarm threshold — the prefix-sum closed form
+      // of Page's max-recurrence, scaled by the baseline length so the
+      // whole detector is integer-exact (no mean division)
+      pipeline.TimeSeries.cusum(s.table("events"), "user_id", "ts", "value",
+          baselineDays = 7, slackCents = 5000L, thresholdCents = 50000L)
+        .orderBy("user_id")
+    },
+    "ts_theil_sen" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // Theil-Sen robust daily-spend trend per user: lower median of all
+      // pairwise integer slopes over the gap-filled spine — the
+      // outlier-proof twin of events_trend's OLS
+      pipeline.TimeSeries.theilSen(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
     "ts_seasonal_anomaly" -> { (s, dir) =>
       prep(s, dir, "events")
       // COMPOSED seasonality-aware alerting: seasonalDecompose's residual
@@ -6822,6 +6840,66 @@ object SparkEntry {
          SELECT user_id, day AS change_day, CAST(n AS BIGINT) AS n_days,
                 CAST(dd AS BIGINT) AS score
          FROM d WHERE rn = 1 ORDER BY user_id""",
+    "ts_cusum" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day,
+                      CAST(coalesce(b.cents, 0) AS HUGEINT) AS y
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              o AS (SELECT user_id, day, y,
+                      row_number() OVER pk AS i,
+                      CAST(count(*) OVER (PARTITION BY user_id) AS HUGEINT) AS nd
+                    FROM f
+                    WINDOW pk AS (PARTITION BY user_id ORDER BY day)),
+              base AS (SELECT user_id, sum(y) AS b0 FROM o WHERE i <= 7 GROUP BY 1),
+              d AS (SELECT o.user_id, o.day, o.i, o.nd,
+                      CASE WHEN o.i > 7 THEN 7 * o.y - base.b0 - 7 * 5000
+                           ELSE CAST(0 AS HUGEINT) END AS dd
+                    FROM o JOIN base USING (user_id)),
+              p1 AS (SELECT user_id, day, i, nd,
+                       sum(dd) OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+                     FROM d),
+              p AS (SELECT user_id, day, i, nd, pp,
+                      min(pp) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+                    FROM p1),
+              s AS (SELECT user_id, day, i, nd, pp - mn AS ss FROM p
+                    WHERE nd > 7 AND i > 7)
+         SELECT user_id, CAST(nd AS BIGINT) AS n_days,
+                CAST(sum(CASE WHEN ss > 7 * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                min(CASE WHEN ss > 7 * 50000 THEN day END) AS first_alarm_day,
+                CAST(max(ss) // 7 AS BIGINT) AS max_cusum_cents
+         FROM s GROUP BY user_id, nd ORDER BY user_id""",
+    "ts_theil_sen" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id,
+                      CAST(date_diff('day', DATE '1970-01-01', s.day) AS HUGEINT) AS x,
+                      CAST(coalesce(b.cents, 0) AS HUGEINT) AS y
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd FROM f GROUP BY 1),
+              pr AS (SELECT a.user_id,
+                       ((bb.y - a.y) * 1000000) // (bb.x - a.x) AS slope
+                     FROM f a JOIN f bb ON bb.user_id = a.user_id AND bb.x > a.x),
+              m AS (SELECT user_id, slope,
+                      CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS m,
+                      row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn
+                    FROM pr)
+         SELECT m.user_id, n.nd AS n_days, m.m AS n_pairs,
+                CAST(slope AS BIGINT) AS slope_ppm_day
+         FROM m JOIN n USING (user_id)
+         WHERE rn = (m.m + 1) // 2 ORDER BY m.user_id""",
     "events_rolling_7d" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(count(*) AS BIGINT) AS n_events,

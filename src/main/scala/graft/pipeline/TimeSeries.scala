@@ -921,4 +921,129 @@ object TimeSeries {
         (col("value_cents") - col("trend_cents") - col("seasonal_cents"))
           .as("residual_cents"))
   }
+
+  /** Per-key one-sided CUSUM drift DETECTOR (Page, Biometrika '54): the
+    * monitoring twin of [[changepoint]] — where changepoint locates the
+    * single best retrospective split, CUSUM answers the control-chart
+    * question "on which day did sustained upward drift from the
+    * baseline first become undeniable, and how often since?".
+    *
+    * Over the gap-filled daily spine, the first `baselineDays` days of
+    * each key fix the reference level μ = baseline mean; the detector
+    * then tracks `S_t = max(0, S_{t−1} + (x_t − μ − slack))` and raises
+    * an alarm on every day with `S_t > threshold`. The max-recurrence
+    * has an exact PREFIX-SUM closed form — with `d_t = x_t − μ − slack`
+    * and `P_t = Σ_{j≤t} d_j`, `S_t = P_t − min_{0≤j≤t} P_j` — so the
+    * whole detector is two windows on one key-partitioned exchange, no
+    * sequential per-key pass, and replays exactly in any engine.
+    *
+    * EXACTNESS: μ is a rational (baseSum / baselineDays), so everything
+    * is scaled by `baselineDays` instead of divided: the detector runs
+    * on `d'_t = b·x_t − baseSum − b·slack` (integers end-to-end) and
+    * alarms on `S'_t > b·threshold` — identical decisions, zero
+    * rounding. The reported `max_cusum_cents` is `maxS' DIV b`
+    * (truncating division, the ts_ewma replay pattern). Windows run in
+    * DECIMAL(38,0) (the changepoint discipline) so intermediate sums
+    * cannot overflow; the bound lands on the output cast only.
+    *
+    * Keys whose spine is not LONGER than the baseline drop out (no
+    * post-baseline day to monitor) — same contract as changepoint's
+    * single-day keys. Baseline days themselves are never alarm days.
+    *
+    * Output: `keyCol, n_days, n_alarms, first_alarm_day (NULL = never),
+    * max_cusum_cents`.
+    *
+    * Plan shape: the spine's two shuffles, then THREE window passes on
+    * ONE (key → day) exchange (row_number + whole-partition baseline
+    * sum, running prefix, running min — Catalyst collapses the
+    * compatible frames), then the per-key argmax groupBy on the same
+    * key. Per-key state is bounded by `maxSpanDays`; no self-join. */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            valueCol: String, baselineDays: Int, slackCents: Long,
+            thresholdCents: Long, maxSpanDays: Int = 36500): DataFrame = {
+    require(baselineDays >= 1, s"baselineDays must be >= 1, got $baselineDays")
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(thresholdCents >= 0, s"thresholdCents must be >= 0, got $thresholdCents")
+    val dec = "decimal(38,0)"
+    val b = lit(baselineDays).cast(dec)
+    val wOrd = Window.partitionBy(keyCol).orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val scored = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__nd", count(lit(1)).over(wAll))
+      .withColumn("__b0",
+        sum(when(col("__i") <= baselineDays, col("value_cents"))
+          .otherwise(0L).cast(dec)).over(wAll))
+      // baseline rows contribute d = 0, which also plants the P_0 = 0
+      // floor the closed form needs (min over j includes the start)
+      .withColumn("__d",
+        when(col("__i") > baselineDays,
+          b * col("value_cents").cast(dec) - col("__b0")
+            - b * lit(slackCents).cast(dec))
+          .otherwise(lit(0).cast(dec)))
+      .withColumn("__p", sum(col("__d")).over(wRun))
+      .withColumn("__s", col("__p") - min(col("__p")).over(wRun))
+      .where(col("__nd") > baselineDays && col("__i") > baselineDays)
+      .withColumn("__alarm",
+        col("__s") > b * lit(thresholdCents).cast(dec))
+    scored.groupBy(col(keyCol))
+      .agg(first(col("__nd")).cast("long").as("n_days"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__alarm"), col("day"))).as("first_alarm_day"),
+        max(col("__s")).as("__maxs"))
+      .select(col(keyCol), col("n_days"), col("n_alarms"),
+        col("first_alarm_day"),
+        expr(s"CAST(__maxs DIV $baselineDays AS BIGINT)").as("max_cusum_cents"))
+  }
+
+  /** Per-key Theil–Sen ROBUST trend (Theil '50 / Sen JASA '68): the
+    * median of all pairwise slopes over the gap-filled daily spine —
+    * the outlier-proof twin of [[trend]]'s OLS (one wild day moves an
+    * OLS slope arbitrarily; it moves the pairwise-slope MEDIAN by at
+    * most one rank). Slopes are integer ppm-per-day,
+    * `((y_j − y_i)·10⁶) DIV (x_j − x_i)` (truncating division — Spark
+    * DIV and DuckDB `//` agree on both signs, the ts_ewma pattern), and
+    * the median is the LOWER median (rank `(m+1) DIV 2` of m pairs,
+    * ordered by slope value) — a value the data actually contains,
+    * deterministic without interpolating between two middles.
+    *
+    * COST: pairs are quadratic in span — a key spanning n days costs
+    * n·(n−1)/2 rows. That is the algorithm, not an accident, so the
+    * span cap DEFAULTS LOW (1100 days ≈ 3 years ⇒ ≤ ~604k pairs/key);
+    * raising `maxSpanDays` is an explicit opt-in to the quadratic.
+    *
+    * Output: `keyCol, n_days, n_pairs, slope_ppm_day`.
+    *
+    * Plan shape: the spine materializes once and self-joins on the KEY
+    * (both sides hash-partitioned on the same key — one exchange each,
+    * co-located pair generation, never a cartesian); the rank pick is
+    * one window + filter on the same key partitioning; per-key state
+    * bounded by the span cap. */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, maxSpanDays: Int = 1100): DataFrame = {
+    val spine = Materialize(
+      resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy(keyCol)))
+        .select(col(keyCol), col("__n"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long").as("__x"),
+          col("value_cents").as("__y")))
+    val a = spine.select(col(keyCol), col("__n"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val bb = spine.select(col(keyCol),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val pairs = a.join(bb, Seq(keyCol)).where(col("__xb") > col("__xa"))
+      .select(col(keyCol), col("__n"),
+        expr("((__yb - __ya) * 1000000L) DIV (__xb - __xa)").as("__slope"))
+    val wAll = Window.partitionBy(keyCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy(col("__slope"))
+    pairs
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .where(expr("__rn = (__m + 1) DIV 2"))
+      .select(col(keyCol), col("__n").cast("long").as("n_days"),
+        col("__m").as("n_pairs"), col("__slope").as("slope_ppm_day"))
+  }
 }

@@ -658,4 +658,50 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TimeSeries.seasonalDecompose(df, "k", "t", "v", period = 4))
   }
+
+  test("cusum: prefix-sum closed form equals the hand-run max-recurrence") {
+    // key 1: baseline days 1-2 (mean 200c), then 100, 500, 600, 100 —
+    // hand recurrence with slack 50c: S = 0, 250, 600, 450; alarms at
+    // S > 200c on days 4, 5, 6; max S = 600c
+    val df = Seq(
+      (1L, ts(1), 1.00), (1L, ts(2), 3.00), (1L, ts(3), 1.00),
+      (1L, ts(4), 5.00), (1L, ts(5), 6.00), (1L, ts(6), 1.00),
+      // key 2: spine (1 day) not longer than the baseline — drops out
+      (2L, ts(9), 9.99)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.cusum(df, "user_id", "ts", "value",
+        baselineDays = 2, slackCents = 50L, thresholdCents = 200L)
+      .as[(Long, Long, Long, Option[Date], Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 3L, Some(Date.valueOf("2024-03-04")), 600L)), s"$got")
+  }
+
+  test("cusum: a never-alarming key reports NULL first_alarm_day, 0 alarms") {
+    val df = Seq((1L, ts(1), 2.00), (1L, ts(2), 2.00), (1L, ts(3), 2.00))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.cusum(df, "user_id", "ts", "value",
+        baselineDays = 1, slackCents = 0L, thresholdCents = 100L)
+      .as[(Long, Long, Long, Option[Date], Long)].collect().toSeq
+    // d = x - 200 = 0 every day: S stays 0, never over the threshold
+    assert(got == Seq((1L, 3L, 0L, None, 0L)), s"$got")
+  }
+
+  test("theil-sen: lower median of all pairwise slopes, gap days as zeros") {
+    val df = Seq(
+      // key 1, days 1-4: 100, 200, 150, 400 cents — slopes (ppm/day)
+      // -50M, 25M, 100M, 100M, 100M, 250M; lower median (rank 3 of 6) = 100M
+      (1L, ts(1), 1.00), (1L, ts(2), 2.00), (1L, ts(3), 1.50), (1L, ts(4), 4.00),
+      // key 2, days 1 and 3 (day 2 is a GAP -> 0 cents): slopes
+      // -100M, -25M (truncating -50M/2), 50M; lower median (rank 2 of 3) = -25M
+      (2L, ts(1), 1.00), (2L, ts(3), 0.50)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.theilSen(df, "user_id", "ts", "value")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 6L, 100000000L), (2L, 3L, 3L, -25000000L)), s"$got")
+  }
+
+  test("theil-sen: single-day keys produce no pairs and drop out") {
+    val df = Seq((7L, ts(5), 1.00)).toDF("user_id", "ts", "value")
+    assert(TimeSeries.theilSen(df, "user_id", "ts", "value").count() == 0L)
+  }
 }
