@@ -896,6 +896,74 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy("from_type", "to_type")
     },
+    "events_top_paths" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // clickstream path census: per-user ordered event-type TRIGRAMS with
+      // both hops inside 30 minutes (a path is one sitting, not events a
+      // week apart) — the sequence-level census events_transitions' 1-step
+      // matrix cannot see; top-15 with deterministic path tie-break.
+      // Plan: two leads on ONE user-partitioned window exchange, then a
+      // partial-aggregated census over at most |types|^3 groups
+      s.sql("""
+        WITH o AS (
+          SELECT event_type, ts,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3,
+                 lead(ts, 1) OVER w AS ts2,
+                 lead(ts, 2) OVER w AS ts3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT concat(event_type, '>', t2, '>', t3) AS path, count(*) AS n
+        FROM o
+        WHERE t3 IS NOT NULL
+          AND ts2 <= ts + INTERVAL 30 MINUTES
+          AND ts3 <= ts2 + INTERVAL 30 MINUTES
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 15""")
+    },
+    "events_attribution_position" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // U-shaped (position-based) multi-touch attribution — the
+      // multi-touch completion of events_attribution's last-touch rule:
+      // each purchase spreads its cents over ALL views in its 7-day
+      // lookback, 40% to the first touch, 40% to the last, 20% split
+      // evenly across the middles. Shares are integer MICROS and the
+      // split remainder rides on the FIRST touch, so every attributed
+      // purchase allocates exactly 1e6 micros (1 touch = 100%, 2 =
+      // 50/50); viewless purchases stay visible as the NULL bucket.
+      // Plan: the purchase-view lookback join shuffles both sides once
+      // on user_id; position windows partition by purchase (bounded by
+      // the lookback); the anti-join NULL bucket reuses the same frames
+      s.sql("""
+        WITH v AS (SELECT user_id, ts, event_id,
+                     CAST(x.k % 5 AS BIGINT) AS campaign
+                   FROM events LATERAL VIEW jq(props, '{k}', 'k:int') x
+                   WHERE event_type = 'view'),
+             p AS (SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase'),
+             t AS (SELECT p.event_id AS pid, p.cents, v.campaign,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY v.ts, v.event_id) AS i,
+                     count(*) OVER (PARTITION BY p.event_id) AS m
+                   FROM p JOIN v ON v.user_id = p.user_id
+                     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 7 DAYS),
+             sh AS (SELECT pid, cents, campaign,
+                      CASE WHEN m = 1 THEN 1000000L
+                           WHEN m = 2 THEN 500000L
+                           WHEN i = 1 THEN 400000L + 200000L % (m - 2)
+                           WHEN i = m THEN 400000L
+                           ELSE 200000L DIV (m - 2) END AS share_ppm
+                    FROM t),
+             alloc AS (SELECT campaign, cents * share_ppm AS micros FROM sh
+                       UNION ALL
+                       SELECT CAST(NULL AS BIGINT) AS campaign,
+                              cents * 1000000L AS micros
+                       FROM p WHERE NOT EXISTS (
+                         SELECT 1 FROM t WHERE t.pid = p.event_id))
+        SELECT campaign, count(*) AS n_touches,
+               CAST(sum(micros) AS BIGINT) AS attributed_micros
+        FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""")
+    },
     "rel_correlation" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // Pearson correlation from INTEGER-exact moment sums: Σx Σy Σxy Σx²
@@ -5043,6 +5111,50 @@ object SparkEntry {
          SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
          FROM t WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "events_top_paths" ->
+      """WITH o AS (SELECT event_type, ts,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3,
+                lead(ts, 1) OVER w AS ts2,
+                lead(ts, 2) OVER w AS ts3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                CAST(count(*) AS BIGINT) AS n
+         FROM o
+         WHERE t3 IS NOT NULL
+           AND ts2 <= ts + INTERVAL 30 MINUTE
+           AND ts3 <= ts2 + INTERVAL 30 MINUTE
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 15""",
+    "events_attribution_position" ->
+      """WITH v AS (SELECT user_id, ts, event_id,
+                      CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS campaign
+                    FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+              t AS (SELECT p.event_id AS pid, p.cents, v.campaign,
+                      row_number() OVER (PARTITION BY p.event_id
+                                         ORDER BY v.ts, v.event_id) AS i,
+                      count(*) OVER (PARTITION BY p.event_id) AS m
+                    FROM p JOIN v ON v.user_id = p.user_id
+                      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 7 DAY),
+              sh AS (SELECT pid, cents, campaign,
+                       CASE WHEN m = 1 THEN 1000000
+                            WHEN m = 2 THEN 500000
+                            WHEN i = 1 THEN 400000 + 200000 % (m - 2)
+                            WHEN i = m THEN 400000
+                            ELSE 200000 // (m - 2) END AS share_ppm
+                     FROM t),
+              alloc AS (SELECT campaign, cents * share_ppm AS micros FROM sh
+                        UNION ALL
+                        SELECT CAST(NULL AS BIGINT) AS campaign,
+                               cents * 1000000 AS micros
+                        FROM p WHERE NOT EXISTS (
+                          SELECT 1 FROM t WHERE t.pid = p.event_id))
+         SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
+                CAST(sum(micros) AS BIGINT) AS attributed_micros
+         FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""",
     "rel_correlation" ->
       """WITH c AS (SELECT l_returnflag,
                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
