@@ -1425,6 +1425,23 @@ object SparkEntry {
           capacity = 256L)
         .orderBy("bin", "bin_offset")
     },
+    "text_zipf" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-source Zipf rank-frequency slope: OLS of lg64(count) on
+      // lg64(rank) over the top-50 tokens — natural language sits near
+      // -1000 milli; flat heads flag boilerplate, steep cliffs spam
+      pipeline.TextAnalysis.zipfSlope(s.table("documents"), "source",
+          "text", topN = 50)
+        .orderBy("source")
+    },
+    "text_source_kl" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-source unigram KL-style drift grade from the corpus
+      // distribution (millibits/token on the lg64 grade) — the
+      // composition readout that ranks sources for recipe rebalancing
+      pipeline.TextAnalysis.sourceKl(s.table("documents"), "source", "text")
+        .orderBy("source")
+    },
     "src_orc_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // ORC round-trip: documents → zlib ORC part files → read back
@@ -5459,6 +5476,51 @@ object SparkEntry {
          FROM f JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
          WHERE f.n_ab >= 5
          ORDER BY pmi64 DESC, f.n_ab DESC, f.w1, f.w2 LIMIT 50"""
+    },
+    "text_zipf" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH w AS (SELECT source, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS term FROM documents),
+              c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1, 2),
+              rk AS (SELECT source, n,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY n DESC, term) AS BIGINT) AS rank
+                     FROM c),
+              xy AS (SELECT source,
+                       CAST(${lg("rank")} AS HUGEINT) AS x,
+                       CAST(${lg("n")} AS HUGEINT) AS y
+                     FROM rk WHERE rank <= 50),
+              m AS (SELECT source, CAST(count(*) AS HUGEINT) AS m,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * y) AS sxy, sum(x * x) AS sxx
+                    FROM xy GROUP BY 1 HAVING count(*) >= 2)
+         SELECT source, CAST(m AS BIGINT) AS n_terms,
+                CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                           / CAST(m * sxx - sx * sx AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                  AS slope_milli
+         FROM m ORDER BY source"""
+    },
+    "text_source_kl" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH w AS (SELECT source, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS term FROM documents),
+              c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                    FROM w GROUP BY 1, 2),
+              cw AS (SELECT term, CAST(sum(c) AS BIGINT) AS cw FROM c GROUP BY 1),
+              tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+              g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(sum(c * (${lg("c.c")} - ${lg("cw.cw")})) AS BIGINT) AS s0
+                    FROM c JOIN cw USING (term) GROUP BY 1)
+         SELECT source, n_tokens, n_terms,
+                CAST(((s0 + n_tokens * (${lg("(SELECT t FROM tt)")} - ${lg("n_tokens")})) * 1000)
+                     // (64 * n_tokens) AS BIGINT) AS kl_millibits
+         FROM g ORDER BY source"""
     },
     "pipeline_luhn_audit" ->
       """WITH p AS (SELECT doc_id,

@@ -1623,6 +1623,95 @@ object TextAnalysis {
           - greatest(col("bin") * capacity, col("__gs"))).as("piece_len"))
   }
 
+  /** Per-source Zipf rank–frequency slope: OLS of `lg64(count)` on
+    * `lg64(rank)` over each source's `topN` most frequent tokens — the
+    * log-log line whose slope should sit near −1 for natural language
+    * (Zipf '49); a source whose slope is far shallower is template/
+    * boilerplate-heavy (flat head), far steeper is repetitive spam.
+    * Both axes ride the shared [[graft.functions.Lg64]] integer grade
+    * (64 units/octave), so the slope is DIMENSIONLESS (the 64s cancel)
+    * and every moment is integer-exact; only the final slope division
+    * drops to IEEE double, floored at 3 decimals — the events_trend
+    * convention, bit-stable across engines.
+    *
+    * Plan: one explode → (source, token) counts (both partial-aggregate
+    * map-side), then the BOUNDED TopKStrings aggregate per source — ≤
+    * topN states cross the shuffle, no window over the vocabulary — and
+    * a per-source moment aggregate over ≤ topN rows. Sources with fewer
+    * than 2 distinct tokens have no line and drop out.
+    *
+    * Output: `source, n_terms, slope_milli`. */
+  def zipfSlope(df: DataFrame, sourceCol: String, textCol: String,
+                topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    def lg(x: String) = graft.functions.Lg64.sql(x)
+    val counts = df
+      .select(col(sourceCol).as("source"), explode(words(col(textCol))).as("__w"))
+      .groupBy("source", "__w").agg(count(lit(1)).as("__n"))
+    val agg = E.column(graft.functions.TopKStrings(
+      E.expression(col("__n")), E.expression(col("__w")),
+      topN).toAggregateExpression())
+    val ranked = counts.groupBy("source").agg(agg.as("__top"))
+      .select(col("source"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("source"), (col("__pos") + 1).cast("long").as("__rank"),
+        col("__e.score").as("__cnt"))
+    val dec = "decimal(38,0)"
+    val xy = ranked.select(col("source"),
+      expr(lg("__rank")).cast(dec).as("__x"),
+      expr(lg("__cnt")).cast(dec).as("__y"))
+    val m = xy.groupBy("source")
+      .agg(count(lit(1)).cast(dec).as("__m"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .where(col("__m") >= 2)
+    val num = col("__m") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__m") * col("__sxx") - col("__sx") * col("__sx")
+    m.select(col("source"), col("__m").cast("long").as("n_terms"),
+      floor(num.cast("double") / den.cast("double") * 1000 + 0.5)
+        .cast("long").as("slope_milli"))
+  }
+
+  /** Per-source unigram COMPOSITION-DRIFT grade: how far each source's
+    * word distribution sits from the whole corpus's, as the KL-style
+    * sum `Σ_w c_sw·(lg p_s(w) − lg p(w)) / T_s` on the shared
+    * [[graft.functions.Lg64]] grade. Each log-probability is the
+    * DIFFERENCE of two raw-count grades (`lg p_s = lg c_sw − lg T_s`),
+    * so every lg64 argument is a plain token count — no product can
+    * overflow the grade's 2⁵⁷ domain even at 100 TB corpus totals. The
+    * per-term mantissa error (< 7 units either way after differencing)
+    * makes this a monotone-ish GRADE of D_KL(source‖corpus), not the
+    * transcendental itself — slightly-negative values for a source
+    * indistinguishable from the corpus are in-contract; ±1 unit =
+    * ±1/64 bit. Sources are ranked by drift; the heavy tail is where
+    * recipe rebalancing looks first.
+    *
+    * Output: `source, n_tokens, n_terms, kl_millibits` where
+    * `kl_millibits = (Σ_w c_sw·(lg64 c_sw − lg64 c_w) + T_s·(lg64 T −
+    * lg64 T_s)) · 1000 DIV (64·T_s)` — millibits per token.
+    *
+    * Plan: one explode → (source, token) counts → token totals join on
+    * the TOKEN key (both sides are the same counts frame, cut once) →
+    * per-source aggregate → a broadcast-hinted one-row corpus-total
+    * join. No window, no driver collection; per-term longs bounded by
+    * `c·lg64 ≤ T_s·~8200` (long-safe under ~10¹⁵ tokens/source). */
+  def sourceKl(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    def lg(x: String) = graft.functions.Lg64.sql(x)
+    val csw = Materialize.cut(df
+      .select(col(sourceCol).as("source"), explode(words(col(textCol))).as("__w"))
+      .groupBy("source", "__w").agg(count(lit(1)).as("__c")))
+    val cw = csw.groupBy("__w").agg(sum("__c").as("__cw"))
+    val t = csw.agg(sum("__c").as("__t"))
+    val g = csw.join(cw, "__w")
+      .groupBy(col("source"))
+      .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(expr(s"__c * (${lg("__c")} - ${lg("__cw")})")).as("__s0"))
+    g.crossJoin(broadcast(t))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        expr(s"((__s0 + n_tokens * (${lg("__t")} - ${lg("n_tokens")})) * 1000) " +
+          "DIV (64 * n_tokens)").as("kl_millibits"))
+  }
+
   def scoreWithImportanceModel(df: DataFrame, idCol: String, textCol: String,
                                model: Array[Long]): DataFrame = {
     require(model.length == 65536, s"model must have 65536 buckets, got ${model.length}")

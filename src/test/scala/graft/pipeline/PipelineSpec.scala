@@ -3294,6 +3294,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(e(2L) > e(1L), s"templated doc must score lower: $e")
   }
 
+  test("zipfSlope: hand-computed OLS on a power-of-two Zipf; ties rank by token") {
+    // counts 8,4,2,1 → every lg64 is exact: points (64,256) (128,192)
+    // (160,128) (192,64); OLS slope = -13312/8960 → floor(-1485.71 + .5)
+    val docs = Seq(
+      (1L, "s1", ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim),
+      // s2: x/y tie at count 2 → ranks x=1, y=2 (byte order), z=3;
+      // moments by hand: num = -8192, den = 14336 → -571
+      (2L, "s2", "x x y y z")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfSlope(docs, "source", "text")
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 4L, -1486L), ("s2", 3L, -571L)), s"$got")
+  }
+
+  test("zipfSlope: a source with one distinct token has no line and drops out") {
+    val docs = Seq((1L, "s1", "same same same")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.zipfSlope(docs, "source", "text").count() == 0L)
+  }
+
+  test("sourceKl: single source reads exactly 0; power-of-two split is exact") {
+    val one = Seq((1L, "only", "a a b c")).toDF("doc_id", "source", "text")
+    val g1 = TextAnalysis.sourceKl(one, "source", "text")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(g1 == Seq(("only", 4L, 3L, 0L)), s"$g1")
+    // s1 = "a a b" (3 of 4 tokens), s2 = "c": per-term diffs are 0
+    // (disjoint vocab), the totals term is exact at powers of two:
+    // s1 → 3·(lg64(4)−lg64(3))·1000 DIV (64·3) = 500 mb,
+    // s2 → (lg64(4)−lg64(1))·1000 DIV 64 = 2000 mb (= true log2 4)
+    val two = Seq((1L, "s1", "a a b"), (2L, "s2", "c"))
+      .toDF("doc_id", "source", "text")
+    val g2 = TextAnalysis.sourceKl(two, "source", "text")
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq(("s1", 3L, 2L, 500L), ("s2", 1L, 1L, 2000L)), s"$g2")
+  }
+
   test("skewAudit: hand-computed Gini, top-share, straggler bound; NULLs excluded") {
     // counts {a:4, b:1, c:1}: K=3, S=6, sorted ranksum = 1·1+1·2+4·3 = 15
     // G = (2·15 − 4·6)/(3·6) = 1/3 → 333333 ppm (truncating DIV)
