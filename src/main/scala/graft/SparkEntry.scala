@@ -3362,6 +3362,29 @@ object SparkEntry {
         docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 100)
       pipeline.Search.rrfFuse(Seq(bm, lenPrior), k = 10)
     },
+    "search_ndcg" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // ranking-quality eval of OUR BM25: three single-term runs (top-20)
+      // judged against graded truth rel = min(tf, 3) — nDCG@10 / MRR /
+      // AP@10, integer-exact on the lg64 discount, so the eval metrics
+      // themselves hash-gate. BM25's length normalization vs raw-tf truth
+      // keeps the scores meaningfully below a perfect 1e6
+      val docs = s.table("documents")
+      val terms = Seq("dup", "spark", "join")
+      val run = terms.map { t =>
+        pipeline.Search.bm25TopK(docs, "doc_id", "text", Seq(t), 20)
+          .withColumn("query", lit(t))
+      }.reduce(_ union _)
+      val truth = docs
+        .select(col("doc_id"),
+          explode(pipeline.TextAnalysis.words(col("text"))).as("query"))
+        .where(col("query").isin(terms: _*))
+        .groupBy("query", "doc_id")
+        .agg(least(count(lit(1)), lit(3L)).as("rel"))
+      pipeline.Search.rankingEval(run, truth, "query", "doc_id", "rank",
+          "rel", k = 10)
+        .orderBy("query")
+    },
     "search_snippets" -> { (s, dir) =>
       prep(s, dir, "documents")
       // search-result previews: ±3 tokens around the first hit of either
@@ -7218,6 +7241,65 @@ object SparkEntry {
            SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank, doc_id, score_ppm
            FROM sc) t
          WHERE rank <= 10 ORDER BY rank""",
+    "search_ndcg" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      def disc(x: String) = s"(${lg(x)} - 64)"
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0) AS ws FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot FROM w),
+              tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+              p AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+                    WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
+              d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+              i AS (SELECT term, (SELECT n FROM st) // df AS q FROM d),
+              idf AS (SELECT term, ${lg("q")} AS idf64 FROM i),
+              sc AS (SELECT p.term AS query, p.doc_id,
+                       CAST(idf.idf64 *
+                         ((p.tf * 2200000000000) //
+                          (p.tf * 1000000 + (12 * (250000 + (750000 * p.dl * 1000) //
+                            ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 10))
+                         AS BIGINT) AS score_ppm
+                     FROM p JOIN idf USING (term)),
+              runs AS (SELECT query, doc_id, rank FROM (
+                SELECT query, doc_id,
+                       row_number() OVER (PARTITION BY query
+                         ORDER BY score_ppm DESC, doc_id) AS rank
+                FROM sc) WHERE rank <= 20),
+              truth AS (SELECT term AS query, doc_id,
+                          CAST(least(count(*), 3) AS BIGINT) AS rel
+                        FROM tok WHERE term IN ('dup', 'spark', 'join')
+                        GROUP BY 1, 2),
+              ideal AS (SELECT query, rel,
+                          CAST(row_number() OVER (PARTITION BY query
+                            ORDER BY rel DESC, doc_id) AS BIGINT) AS i
+                        FROM truth),
+              ia AS (SELECT query, CAST(count(*) AS BIGINT) AS n_rel,
+                       CAST(sum(CASE WHEN i <= 10
+                         THEN (((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1) * 64000000)
+                              // ${disc("(i + 1)")}
+                         ELSE 0 END) AS BIGINT) AS idcg
+                     FROM ideal GROUP BY 1),
+              sr AS (SELECT r.query, r.rank, coalesce(t.rel, 0) AS g
+                     FROM runs r LEFT JOIN truth t USING (query, doc_id)
+                     WHERE r.rank <= 10),
+              h AS (SELECT query, rank, g,
+                      sum(CASE WHEN g >= 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY query ORDER BY rank) AS hits
+                    FROM sr),
+              agg AS (SELECT query,
+                        CAST(sum((((CAST(1 AS BIGINT) << CAST(g AS INT)) - 1) * 64000000)
+                          // ${disc("(rank + 1)")}) AS BIGINT) AS dcg,
+                        min(CASE WHEN g >= 1 THEN rank END) AS r1,
+                        CAST(sum(CASE WHEN g >= 1
+                          THEN (hits * 1000000) // rank ELSE 0 END) AS BIGINT) AS apsum
+                      FROM h GROUP BY 1)
+         SELECT ia.query, ia.n_rel,
+                CAST(coalesce((agg.dcg * 1000000) // ia.idcg, 0) AS BIGINT) AS ndcg_ppm,
+                CAST(coalesce(1000000 // agg.r1, 0) AS BIGINT) AS mrr_ppm,
+                CAST(coalesce(agg.apsum // least(ia.n_rel, 10), 0) AS BIGINT) AS ap_ppm
+         FROM ia LEFT JOIN agg USING (query) ORDER BY ia.query"""
+    },
     "search_keywords" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim => E}
 
@@ -429,6 +430,87 @@ object Search {
       .select(col("doc_id"), expr(s"1000000L DIV (${k0}L + rank)").as("__c"))
       .groupBy("doc_id").agg(sum(col("__c")).as("score_ppm"))
     rankTopK(scored, k)
+  }
+
+  /** Ranking-quality EVALUATION: nDCG@k, MRR@k and AP@k per query — the
+    * offline eval harness for every ranker in this module (BM25, hybrid,
+    * RRF, the ANN top-ks), integer-exact so the metrics themselves
+    * hash-gate across engines.
+    *
+    *  - `run`: the system output, one row per retrieved doc —
+    *    `(queryCol, docCol, rankCol)` with rank 1-based (the
+    *    [[bm25TopK]]/[[rankByScore]] shape plus a query tag).
+    *  - `truth`: graded relevance judgments `(queryCol, docCol, relCol)`
+    *    with integer grades ≥ 1 (binary truth = all 1s; grades cap at
+    *    `maxGrade` loudly — the 2^rel gain must stay long-safe).
+    *
+    * Formulas (all integer):
+    *  - gain = 2^rel − 1 (the "exponential gain" DCG of Burges et al.
+    *    '05); discount64(i) = lg64(i+1) − 64 = 64·log2(i+1) from below,
+    *    EXACT whenever i+1 is a power of two (so the heads of the
+    *    curve — ranks 1, 3, 7, 15 — carry no grade error at all);
+    *    dcg_micro = Σ_{i≤k} (gain·64·10⁶) DIV discount64(i).
+    *  - idcg_micro: the same sum over the query's judgments sorted by
+    *    (rel DESC, doc ASC), i = 1..min(k, n_rel) — the ideal ordering.
+    *  - ndcg_ppm = dcg_micro·10⁶ DIV idcg_micro.
+    *  - mrr_ppm = 10⁶ DIV (first relevant rank ≤ k), 0 if none.
+    *  - ap_ppm = (Σ_{relevant hits at rank i} hits_so_far·10⁶ DIV i)
+    *    DIV min(n_rel, k) — average precision with the standard @k
+    *    denominator.
+    *
+    * Queries with NO judgments have no ideal ordering and DROP OUT
+    * (an eval set row, not a corpus row — absence is the signal).
+    *
+    * Output: `queryCol, n_rel, ndcg_ppm, mrr_ppm, ap_ppm`.
+    *
+    * Plan shape: truth aggregates per query (ideal window over ≤ its
+    * own judgments, bounded by the eval set); the run joins judgments
+    * on (query, doc) — one shuffle each on the composite key — then one
+    * query-partitioned window over ≤ k rows and one groupBy(query).
+    * Eval sets are small by nature; nothing here touches a corpus. */
+  def rankingEval(run: DataFrame, truth: DataFrame, queryCol: String,
+                  docCol: String, rankCol: String, relCol: String,
+                  k: Int, maxGrade: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxGrade >= 1 && maxGrade <= 60,
+      s"maxGrade must be in [1, 60], got $maxGrade")
+    def disc(i: String) = s"(${graft.functions.Lg64.sql(i)} - 64)"
+    // loud grade validation INSIDE the consumed column: a 0/negative
+    // grade is a judgment-file bug (gain would read 0 — silently absent)
+    val rel = expr(
+      s"""CASE WHEN $relCol >= 1 AND $relCol <= $maxGrade THEN CAST($relCol AS BIGINT)
+         |ELSE raise_error(concat('rankingEval: relevance grade out of [1, $maxGrade]: ',
+         |  CAST($relCol AS STRING))) END""".stripMargin)
+    val judged = truth.select(col(queryCol), col(docCol), rel.as("__rel"))
+    // ideal DCG + n_rel: one window + one aggregate per query
+    val wIdeal = Window.partitionBy(queryCol)
+      .orderBy(col("__rel").desc, col(docCol).asc)
+    val ideal = judged
+      .withColumn("__i", row_number().over(wIdeal).cast("long"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__i") <= k,
+          expr(s"((shiftleft(1L, CAST(__rel AS INT)) - 1) * 64000000L) DIV ${disc("(__i + 1)")}"))
+          .otherwise(0L)).as("__idcg"))
+    // the run, graded: unjudged docs carry rel 0
+    val wRun = Window.partitionBy(queryCol).orderBy(col(rankCol))
+    val scored = run.where(col(rankCol) <= k)
+      .join(judged, Seq(queryCol, docCol), "left")
+      .withColumn("__g", coalesce(col("__rel"), lit(0L)))
+      .withColumn("__hits",
+        sum(when(col("__g") >= 1, 1L).otherwise(0L)).over(wRun))
+      .groupBy(col(queryCol))
+      .agg(
+        sum(expr(s"((shiftleft(1L, CAST(__g AS INT)) - 1) * 64000000L) DIV ${disc(s"($rankCol + 1)")}"))
+          .as("__dcg"),
+        min(when(col("__g") >= 1, col(rankCol))).as("__r1"),
+        sum(when(col("__g") >= 1,
+          expr(s"(__hits * 1000000L) DIV $rankCol")).otherwise(0L)).as("__apsum"))
+    ideal.join(scored, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        expr("coalesce((__dcg * 1000000L) DIV __idcg, 0L)").as("ndcg_ppm"),
+        expr("coalesce(1000000L DIV CAST(__r1 AS BIGINT), 0L)").as("mrr_ppm"),
+        expr(s"coalesce(__apsum DIV least(n_rel, ${k}L), 0L)").as("ap_ppm"))
   }
 
   /** Search-result snippets: the ±`window`-token context around the

@@ -283,4 +283,36 @@ class SearchSpec extends AnyFunSuite {
         s"$q: op ${got(q)} != direct ${direct * 1000000 / full}")
     }
   }
+
+  test("rankingEval: hand-computed nDCG/MRR/AP; unjudged queries drop, unrun queries zero") {
+    // q1 run: ranks 1,2,3 → docs 10, 11, 12; truth: 10→2, 12→1, 99→3.
+    // discounts at ranks 1..3: 64, 96, 128 (lg64(i+1)−64, exact at 2^k);
+    // idcg = 7·64e6/64 + 3·64e6/96 + 1·64e6/128 = 9_500_000;
+    // dcg = 3·64e6/64 + 0 + 1·64e6/128 = 3_500_000 → ndcg 368421;
+    // mrr = 1e6; ap = (1e6/1 + 2e6 DIV 3) DIV 3 = 555555.
+    val run = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q3", 5L, 1)) // q3 has no judgments → drops out
+      .toDF("query", "doc_id", "rank")
+    val truth = Seq(("q1", 10L, 2L), ("q1", 12L, 1L), ("q1", 99L, 3L),
+      ("q2", 5L, 1L)) // q2 judged but never run → all-zero metrics
+      .toDF("query", "doc_id", "rel")
+    val got = Search.rankingEval(run, truth, "query", "doc_id", "rank", "rel", k = 3)
+      .orderBy("query")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("q1", 3L, 368421L, 1000000L, 555555L),
+      ("q2", 1L, 0L, 0L, 0L)), s"$got")
+  }
+
+  test("rankingEval: perfect run scores exactly 1e6 everywhere; bad grades fail loudly") {
+    val run = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query", "doc_id", "rank")
+    val truth = Seq(("q", 1L, 3L), ("q", 2L, 1L)).toDF("query", "doc_id", "rel")
+    val got = Search.rankingEval(run, truth, "query", "doc_id", "rank", "rel", k = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("q", 2L, 1000000L, 1000000L, 1000000L)), s"$got")
+    val bad = Seq(("q", 1L, 0L)).toDF("query", "doc_id", "rel")
+    val e = intercept[Exception](
+      Search.rankingEval(run, bad, "query", "doc_id", "rank", "rel", k = 5).collect())
+    assert(e.getMessage.contains("relevance grade"), e.getMessage)
+  }
 }
