@@ -2962,6 +2962,21 @@ object SparkEntry {
       pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
         .orderBy("node")
     },
+    "graph_components" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // EXACT connected components over a sparse co-purchase slice
+      // (every-16th order keeps the graph from collapsing into one
+      // giant component): hook+jump to the CHECKED fixpoint, component
+      // = min reachable part id — the canonical reachability partition
+      val li = s.table("lineitem").where(col("l_orderkey") % 16 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      pipeline.Graph.connectedComponents(e, "src", "dst")
+        .orderBy("node")
+    },
     "graph_degree_dist" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // mega-hub pre-flight: log2-bucketed degree distribution of the
@@ -4510,6 +4525,20 @@ object SparkEntry {
          FROM r WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
     "graph_communities" -> labelPropagationOracleSql(4),
+    "graph_components" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                               WHERE l_orderkey % 16 = 0),
+              und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                      FROM li x JOIN li y
+                        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              nodes AS (SELECT a AS n FROM und UNION SELECT b FROM und),
+              adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+              reach(n, m) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.n, a.y FROM reach r JOIN adj a ON a.x = r.m)
+         SELECT n AS node, CAST(min(m) AS BIGINT) AS component
+         FROM reach GROUP BY 1 ORDER BY node""",
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr" -> pageRankOracleSql(5, seeded = true),
     "graph_pagerank_weighted" -> pageRankOracleSql(5, weighted = true),

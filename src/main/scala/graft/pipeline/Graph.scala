@@ -187,6 +187,36 @@ object Graph {
     * (each round references the previous labels once), so lineage is cut
     * only every `cutEvery` rounds. Output: `node, label` (label = the
     * smallest node id that won the node's final vote). */
+  /** EXACT connected components over an undirected edge list — the
+    * graph-surface face of [[Dedup.connectedComponents]]'s hook+jump
+    * fixpoint (path doubling, one edge exchange total, CHECKED
+    * convergence that throws rather than returning truncated
+    * components). Where [[labelPropagation]] runs a fixed number of
+    * frequency-vote rounds (communities — dense regions), this runs min-
+    * label to the true fixpoint: `component` = the smallest node id
+    * reachable from the node, the canonical partition every reachability
+    * question starts from.
+    *
+    * Edge direction is ignored; self-loops and multi-edges are harmless
+    * for correctness (min is idempotent) but cost shuffle volume —
+    * DISTINCT heavy edge builds upstream. Nodes are the edge endpoints;
+    * an isolated node appears only via a self-loop row.
+    *
+    * Output: `node, component`. Plan: see Dedup.connectedComponents —
+    * O(log diameter) rounds, edges shuffled once, per-round cost one
+    * groupBy + one label self-join. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 40): DataFrame = {
+    Search.requireIntegralId(edges, srcCol, "connectedComponents", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "connectedComponents", role = "dst id")
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val ids = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    Dedup.connectedComponents(ids, und, maxIters)
+      .select(col("id").as("node"), col("group_id").as("component"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int, cutEvery: Int = 8): DataFrame = {
     require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")

@@ -547,4 +547,15 @@ class GraphSpec extends AnyFunSuite {
     // at maxDegree 5 the center is kept: C(5,2) = 10 leaf pairs
     assert(Graph.linkPrediction(star, "src", "dst", k = 100, maxDegree = 5).count() == 10)
   }
+
+  test("connectedComponents: min-id partition over a forest; direction ignored; self-loop keeps an isolate") {
+    // a 9-node path written HIGH→LOW (direction must not matter), a
+    // 2-node edge, and a self-loop isolate
+    val path = (9L to 2L by -1L).map(i => (i, i - 1))
+    val edges = (path ++ Seq((20L, 21L), (30L, 30L))).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val exp = (1L to 9L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L, 30L -> 30L)
+    assert(got == exp, s"$got")
+  }
 }
