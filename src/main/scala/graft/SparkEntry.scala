@@ -1134,6 +1134,25 @@ object SparkEntry {
           "vec_id", "embedding", k = 8, rounds = 3)
         .orderBy("vec_id")
     },
+    "emb_quantize" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // int8 serving-export pre-flight: per-dimension symmetric scale +
+      // exact reconstruction-error profile of (q·127) DIV scale — the
+      // dimension whose max_err dwarfs the rest doesn't survive int8
+      pipeline.Similarity.int8QuantAudit(s.table("embeddings"),
+          "vec_id", "embedding")
+        .orderBy("dim")
+    },
+    "emb_coreset" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // k-center greedy coverage coreset (Gonzalez '85 farthest-point):
+      // the 8 vectors that COVER the space, with the non-increasing
+      // coverage-radius curve — diversity sampling where random picks
+      // oversample dense regions
+      pipeline.Similarity.kCenterCoreset(s.table("embeddings"),
+          "vec_id", "embedding", k = 8)
+        .orderBy("rank")
+    },
     "emb_kmeans_purity" -> { (s, dir) =>
       prep(s, dir, "embeddings")
       // did the unsupervised clustering find the LABEL structure?
@@ -3949,6 +3968,36 @@ object SparkEntry {
     * clusters keep the previous centroid via the LEFT JOIN coalesce.
     * `dims` is pinned to the testdata's embedding width (the Spark op is
     * width-agnostic; the replay needs the explicit range). */
+  /** DuckDB replay of [[pipeline.Similarity.kCenterCoreset]] for
+    * `emb_coreset`: the greedy farthest-point traversal unrolled — stage
+    * i picks argmax(min-d², tie min id) among points at d² > 0 from the
+    * chosen set, each stage a 1-row cross join updating the running min
+    * with the same integer d² as the Spark literal-center map. */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    val stages = new StringBuilder(
+      s"""c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT q.vec_id, q.qv, ${d2("q.qv", "c1.qv")} AS mind
+         |       FROM q CROSS JOIN c1)""".stripMargin)
+    for (i <- 2 to k) {
+      stages ++= s""",
+        |c$i AS (SELECT vec_id, qv, mind FROM m${i - 1}
+        |        WHERE mind > 0 ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      if (i < k) stages ++= s""",
+        |m$i AS (SELECT m.vec_id, m.qv, least(m.mind, ${d2("m.qv", s"c$i.qv")}) AS mind
+        |        FROM m${i - 1} m CROSS JOIN c$i)""".stripMargin
+    }
+    val sel = (s"SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS BIGINT) AS coverage_d2 FROM c1" +:
+      (2 to k).map(i =>
+        s"SELECT CAST($i AS INT), vec_id, CAST(mind AS BIGINT) FROM c$i")).mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |$stages
+       |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
   private def kmeansOracleSql(k: Int, rounds: Int, dims: Int,
                               summary: Boolean): String = {
     val roundCtes = (1 to rounds).map { i =>
@@ -4206,6 +4255,22 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS BIGINT) AS damaged
          FROM t ORDER BY doc_id"""),
     "emb_kmeans" -> kmeansOracleSql(8, 3, 64, summary = false),
+    "emb_quantize" ->
+      """WITH q AS (SELECT t.dim AS dim,
+                      CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1000000) AS BIGINT) AS q
+                    FROM embeddings CROSS JOIN range(1, 65) t(dim)
+                    WHERE embedding IS NOT NULL),
+              s AS (SELECT dim, max(abs(q)) AS scale FROM q GROUP BY 1),
+              e AS (SELECT q.dim, s.scale,
+                      CASE WHEN s.scale = 0 THEN 0
+                           ELSE abs((((q.q * 127) // s.scale) * s.scale) // 127 - q.q)
+                      END AS err
+                    FROM q JOIN s USING (dim))
+         SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+                CAST(scale AS BIGINT) AS scale, CAST(max(err) AS BIGINT) AS max_err,
+                CAST(sum(err) // count(*) AS BIGINT) AS mean_err
+         FROM e GROUP BY dim, scale ORDER BY dim""",
+    "emb_coreset" -> kCenterOracleSql(8),
     "emb_kmeans_purity" -> (
       s"""WITH asg AS (${kmeansOracleSql(8, 3, 64, summary = false)}),
          |l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),

@@ -1284,4 +1284,113 @@ object Similarity {
       .select(col("bucket").cast("int").as("bucket"),
         col("n_a"), col("n_b"), col("drift_q"))
   }
+
+  /** INT8 symmetric per-dimension quantization AUDIT — the pre-flight a
+    * serving export runs before shipping embeddings as int8: per
+    * dimension, the symmetric scale (max |value| on the house 10⁶
+    * lattice), and the exact reconstruction-error profile of
+    * `code = (q·127) DIV scale`, `recon = (code·scale) DIV 127`
+    * (truncating division both ways — the whole audit replays
+    * bit-for-bit in any engine). A dimension whose max_err dwarfs the
+    * others is the one that doesn't survive int8.
+    *
+    * Output: `dim (1-based), n, scale, max_err, mean_err` (errors in
+    * lattice units; a constant-zero dimension reads scale 0, errors 0).
+    *
+    * Plan: one posexplode → per-dim scale aggregate (|dims| rows,
+    * broadcast back) → per-dim error aggregate. Both groupBys
+    * partial-aggregate map-side to |dims| rows per task, so the
+    * |dims|-group key is never a hot spot; the corpus is scanned twice
+    * and never shuffled (only |dims|-sized partials move). */
+  def int8QuantAudit(corpus: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val q = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select((col("__d") + 1).cast("int").as("dim"),
+        expr("CAST(floor(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)").as("__q"))
+    val scales = q.groupBy("dim").agg(max(abs(col("__q"))).as("scale"))
+    q.join(broadcast(scales), "dim")
+      .withColumn("__err",
+        when(col("scale") === 0L, lit(0L))
+          .otherwise(expr("abs((((__q * 127) DIV scale) * scale) DIV 127 - __q)")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), first(col("scale")).as("scale"),
+        max(col("__err")).as("max_err"),
+        expr("sum(__err) DIV count(1)").as("mean_err"))
+      .select(col("dim"), col("n"), col("scale"), col("max_err"), col("mean_err"))
+  }
+
+  /** k-CENTER GREEDY CORESET (farthest-point traversal — the 2-approx
+    * of Gonzalez '85, the coverage-sampling half of Sener & Savarese
+    * '18's core-set selection): pick the point farthest from everything
+    * picked so far, k times — the k vectors that COVER the embedding
+    * space, where random sampling oversamples dense regions and misses
+    * the tails. Distances are exact integer d² on the house 10⁶
+    * lattice; ties break to the smaller id; the first center is the
+    * smallest id (the empty-set tie rule). Points at d² = 0 from the
+    * chosen set (exact duplicates) are never picked — a corpus with
+    * fewer than k distinct vectors returns fewer than k rows.
+    *
+    * Output: `rank (1-based), vec_id, coverage_d2` — coverage_d2 is the
+    * selected point's d² to the previously chosen set (NULL for rank 1);
+    * the sequence is non-increasing and IS the coverage-radius curve.
+    *
+    * Plan: the corpus quantizes and materializes ONCE; each of the k
+    * rounds is a pure-map `least(running_min, d²-to-literal-center)`
+    * update (the new center ships as a plan-time constant — the
+    * NearestCentroids convention) plus one bounded top-1 action. k
+    * passes over the corpus, zero shuffles after the first
+    * materialization; the result is a k-row driver artifact (bounded
+    * like the centroid/codebook artifacts). */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    Search.requireIntegralId(corpus, idCol, "kCenterCoreset")
+    val spark = corpus.sparkSession
+    def d2To(center: Seq[Long]) = expr(
+      s"aggregate(zip_with(qv, array(${center.mkString("L,")}L), " +
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val q0 = Materialize.cut(corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv")))
+    val firstRows = q0.orderBy("id").limit(1).select("id", "qv").collect()
+    if (firstRows.isEmpty) {
+      Materialize.release(q0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "rank INT, vec_id BIGINT, coverage_d2 BIGINT"))
+    }
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Long] =
+      r.getSeq[Long](r.fieldIndex("qv"))
+    var chosen = Vector[(Int, Long, Option[Long])](
+      (1, firstRows.head.getLong(0), None))
+    var cur = Materialize.cut(
+      q0.withColumn("__mind", d2To(vecOf(firstRows.head))))
+    var prev: Option[DataFrame] = None
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val cand = cur.where(col("__mind") > 0)
+        .orderBy(col("__mind").desc, col("id").asc)
+        .limit(1).select("id", "__mind", "qv").collect()
+      prev.foreach(Materialize.release)
+      prev = Some(cur)
+      if (cand.isEmpty) exhausted = true
+      else {
+        val c = cand.head
+        chosen :+= ((r, c.getLong(0), Some(c.getLong(1))))
+        if (r < k)
+          cur = Materialize.cut(cur.withColumn("__mind",
+            least(col("__mind"), d2To(vecOf(c)))))
+        r += 1
+      }
+    }
+    prev.foreach(Materialize.release)
+    if (prev.forall(_ ne cur)) Materialize.release(cur)
+    Materialize.release(q0)
+    import spark.implicits._
+    chosen.toDF("rank", "vec_id", "coverage_d2")
+  }
 }

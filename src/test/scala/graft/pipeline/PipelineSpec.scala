@@ -2652,6 +2652,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == out)
   }
 
+  test("int8QuantAudit: hand-computed scale and reconstruction error; zero dim reads clean") {
+    // dim 1 lattice values: 1_000_000, -500_000, 250_000 → scale 1e6;
+    // codes 127, -63, 31; recon 1_000_000, -496_062, 244_094;
+    // errs 0, 3_938, 5_906 → max 5906, mean 9844/3 = 3281.
+    // dim 2 is constant zero → scale 0, errors 0.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(-0.5f, 0.0f)),
+      (3L, Array(0.25f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantAudit(df, "vec_id", "embedding")
+      .orderBy("dim").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 3L, 1000000L, 5906L, 3281L),
+      (2, 3L, 0L, 0L, 0L)), s"$got")
+  }
+
+  test("kCenterCoreset: farthest-point order, non-increasing radii, duplicates never picked") {
+    // points on a line at 0, 1, 10, 11 (exact floats → lattice 0, 1e6,
+    // 1e7, 1.1e7) plus an exact duplicate of 0. Greedy: c1 = min id
+    // (point 0); c2 = farthest (11, d² = 121e12); c3: points 1 and 10
+    // tie at min-d² = 1e12 → smaller id wins (id 2); c4 = point 10,
+    // same radius. k=5 asks for a 5th center but only 4 distinct points
+    // exist → 4 rows, duplicate never picked.
+    val df = Seq(
+      (1L, Array(0.0f)), (2L, Array(1.0f)),
+      (3L, Array(10.0f)), (4L, Array(11.0f)),
+      (5L, Array(0.0f)) // duplicate of id 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(df, "vec_id", "embedding", k = 5)
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1, 1L, None), (2, 4L, Some(121000000000000L)),
+      (3, 2L, Some(1000000000000L)), (4, 3L, Some(1000000000000L))), s"$got")
+  }
+
   test("mutualNearest keeps only reciprocal top-1 pairs; hubs fail the reverse test") {
     // left 0 ↔ right 11 are each other's nearest (a true pair).
     // left 2's nearest is right 11 too — but 11 prefers 0, so 2 pairs with
