@@ -171,7 +171,15 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_luhn_audit", "rel_welch_t", "events_ab_conversion",
     "src_orc_roundtrip",
     // r9 composed: decompose→MAD verdict, content-key session epochs
-    "ts_seasonal_anomaly", "dedup_time_scoped")
+    "ts_seasonal_anomaly", "dedup_time_scoped",
+    // r10: prefix-sum CUSUM windows + alarm rollup, pairwise-slope median
+    // rank pick, dual-lead path census, lookback position shares + anti
+    // NULL bucket, bounded top-k Zipf moments, token-join KL fold,
+    // single-term BM25 runs + metric chain, hook+jump components, per-dim
+    // scale broadcast + error rollup, greedy literal-center rounds
+    "ts_cusum", "ts_theil_sen", "events_top_paths",
+    "events_attribution_position", "text_zipf", "text_source_kl",
+    "search_ndcg", "graph_components", "emb_quantize", "emb_coreset")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -544,4 +544,76 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("partial"), s"$q moments must partial-aggregate:\n$plan")
     }
   }
+
+  test("ts_cusum plan: all three detector windows + the rollup share ONE key-only exchange") {
+    val plan = SparkEntry.queries("ts_cusum")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the gap-fill join (spine ⟕ rollup) is the operator's own; the
+    // detector itself must not add a self-join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cusum fell back to a product:\n$plan")
+    // exactly one exchange partitions by the KEY ALONE — the baseline,
+    // running-prefix and running-min windows plus the final groupBy(key)
+    // all reuse it (the gap-fill's (key, day) exchanges are separate)
+    val keyOnly = "hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+      .findAllIn(plan).length
+    assert(keyOnly >= 1 && keyOnly <= 2,
+      s"expected 1-2 key-only partitionings (window + maybe span agg), got $keyOnly:\n$plan")
+    assert(plan.contains("Window"), s"no window in cusum plan:\n$plan")
+  }
+
+  test("ts_theil_sen plan: pair join stays equi on the key, spine materialized once") {
+    val plan = SparkEntry.queries("ts_theil_sen")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise slopes fell back to a product:\n$plan")
+    // the spine materializes (localCheckpoint → ExistingRDD) and feeds
+    // BOTH join sides — the gap-fill chain must not appear (and so not
+    // expand twice) in the pair plan
+    assert(plan.contains("ExistingRDD") || plan.contains("InMemoryTableScan"),
+      s"spine not materialized:\n$plan")
+    assert(!plan.contains("explode(sequence"),
+      s"gap-fill chain re-expanded into the pair join:\n$plan")
+  }
+
+  test("events_top_paths plan: both leads share one user exchange; census partial-aggregates") {
+    val plan = SparkEntry.queries("events_top_paths")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val userEx = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx == 1, s"expected 1 user exchange, got $userEx:\n$plan")
+    assert(!plan.contains("Join"), s"path census must not join:\n$plan")
+    assert(plan.contains("partial"), s"census must partial-aggregate:\n$plan")
+  }
+
+  test("text_zipf plan: bounded top-k aggregate, no window over the vocabulary") {
+    val plan = SparkEntry.queries("text_zipf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_strings"), s"TopKStrings aggregate missing:\n$plan")
+    assert(!plan.contains("Window"), s"vocabulary window crept in:\n$plan")
+  }
+
+  test("text_source_kl plan: token join only; the corpus total is a hinted 1-row product") {
+    val plan = SparkEntry.queries("text_source_kl")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"unhinted product in source-kl plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"1-row total not broadcast:\n$plan")
+  }
+
+  test("emb_quantize plan: per-dim scales broadcast back, no window, no merge join") {
+    val plan = SparkEntry.queries("emb_quantize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"scales not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"quant audit must stay broadcast+aggregate:\n$plan")
+  }
+
+  test("search_ndcg plan: judgments join stays equi, windows bounded by the eval set") {
+    val plan = SparkEntry.queries("search_ndcg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"eval fell back to a product:\n$plan")
+  }
 }
