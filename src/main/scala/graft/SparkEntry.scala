@@ -1721,6 +1721,49 @@ object SparkEntry {
           minDocs = 2, minLineChars = 10)
         .orderBy("doc_id")
     },
+    "text_c4_clean" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // C4 line-cleaning battery (Raffel '20 §2.2) over a
+      // deterministically dirtied multiline view: line 0 is too short,
+      // then (doc_id + i) % 5 plants terminal '.', '!' (both kept), no
+      // punctuation, a mid-line brace, and a javascript mention — every
+      // dropped line accounted to the FIRST rule it fails
+      val planted = multilineView(s).select(col("doc_id"),
+        expr("""array_join(transform(split(text, '\n'), (l, i) ->
+          CASE WHEN i = 0 THEN 'tiny line.'
+               WHEN (doc_id + i) % 5 = 0 THEN concat(l, '.')
+               WHEN (doc_id + i) % 5 = 1 THEN concat(l, '!')
+               WHEN (doc_id + i) % 5 = 2 THEN l
+               WHEN (doc_id + i) % 5 = 3 THEN concat(l, ' { x.')
+               ELSE concat(l, ' javascript on.') END), '\n')""").as("text"))
+      pipeline.TextAnalysis.c4LineClean(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "text_langid_kappa" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // does the stopword langid agree with the DECLARED lang column
+      // beyond chance? Cohen's kappa as one exact integer rational —
+      // raw agreement would reward always answering the majority class
+      val scored = s.table("documents").select(
+        pipeline.TextAnalysis.langId(col("text")).as("pred"), col("lang"))
+      pipeline.Relational.cohenKappa(scored, "pred", "lang")
+    },
+    "dedup_threshold_curve" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // dedup-threshold TUNING curve (composed — the composition is the
+      // point): exact-Jaccard pair/doc yield at every decile ≥ 50, off
+      // ONE prefix-filtered exact join at the loosest threshold; pick
+      // the production threshold from measured yield, not folklore
+      val pairs = pipeline.Dedup.similarityJoinWords(s.table("documents"),
+        "doc_id", "text", thresholdPct = 50, gramWords = 4)
+      val th = { import s.implicits._; (50 to 100 by 10).toDF("threshold_pct") }
+      pairs.join(broadcast(th), expr("n_int * 100 >= threshold_pct * n_union"))
+        .select(col("threshold_pct"), explode(array(col("a"), col("b"))).as("d"))
+        .groupBy("threshold_pct")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs"))
+        .orderBy("threshold_pct")
+    },
     "text_span_dedup" -> { (s, dir) =>
       prep(s, dir, "documents")
       // exact-substring span REMOVAL (Lee et al. 2022): cut every 8-word
@@ -6099,6 +6142,89 @@ object SparkEntry {
                 coalesce(r.clean_text, '') AS clean_text
          FROM documents d JOIN nw USING (doc_id) LEFT JOIN reb r ON r.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "text_c4_clean" -> {
+      def wc(l: String) =
+        s"len(list_filter(regexp_split_to_array($l, '\\s+'), x -> len(x) > 0))"
+      def term(l: String) = s"right($l, 1) IN ('.', '!', '?', '\"')"
+      def brace(l: String) = s"contains($l, '{')"
+      def js(l: String) = s"contains(lower($l), 'javascript')"
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+              c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 8.0) AS INT), 1) AS n, arr FROM w),
+              m AS (SELECT doc_id, array_to_string(list_transform(range(n),
+                      i -> array_to_string(arr[i*8+1 : i*8+8], ' ')), chr(10)) AS mtext FROM c),
+              ls0 AS (SELECT doc_id, string_split(mtext, chr(10)) AS lst FROM m),
+              pl AS (SELECT doc_id, [CASE WHEN i = 1 THEN 'tiny line.'
+                       WHEN (doc_id + i - 1) % 5 = 0 THEN lst[i] || '.'
+                       WHEN (doc_id + i - 1) % 5 = 1 THEN lst[i] || '!'
+                       WHEN (doc_id + i - 1) % 5 = 2 THEN lst[i]
+                       WHEN (doc_id + i - 1) % 5 = 3 THEN lst[i] || ' { x.'
+                       ELSE lst[i] || ' javascript on.' END
+                       FOR i IN range(1, len(lst) + 1)] AS plst FROM ls0),
+              ls AS (SELECT doc_id, list_filter(list_transform(plst, l -> trim(l)),
+                       l -> len(l) > 0) AS ls FROM pl),
+              r AS (SELECT doc_id,
+                      CAST(len(ls) AS BIGINT) AS n_lines,
+                      list_filter(ls, l -> ${wc("l")} >= 5 AND ${term("l")}
+                        AND NOT ${brace("l")} AND NOT ${js("l")}) AS kept,
+                      CAST(len(list_filter(ls, l -> ${wc("l")} < 5)) AS BIGINT) AS n_short,
+                      CAST(len(list_filter(ls, l -> ${wc("l")} >= 5 AND NOT ${term("l")})) AS BIGINT) AS n_punct,
+                      CAST(len(list_filter(ls, l -> ${wc("l")} >= 5 AND ${term("l")}
+                        AND ${brace("l")})) AS BIGINT) AS n_brace,
+                      CAST(len(list_filter(ls, l -> ${wc("l")} >= 5 AND ${term("l")}
+                        AND NOT ${brace("l")} AND ${js("l")})) AS BIGINT) AS n_js
+                    FROM ls)
+         SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+                n_short, n_punct, n_brace, n_js,
+                CASE WHEN len(kept) > 0 THEN array_to_string(kept, chr(10)) END AS clean_text
+         FROM r ORDER BY doc_id"""
+    },
+    "text_langid_kappa" ->
+      """WITH w AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) ws FROM documents),
+              c AS (SELECT doc_id,
+                      len(list_intersect(ws, ['the','and','of','to','a','in','is','that','it','for'])) en,
+                      len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                      len(list_intersect(ws, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                      len(list_intersect(ws, ['el','la','los','y','es','un','una','para','en','que'])) es
+                    FROM w),
+              p AS (SELECT doc_id,
+                      CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                           WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                           WHEN fr >= es AND fr > 0 THEN 'fr'
+                           WHEN es > 0 THEN 'es'
+                           ELSE 'und' END AS pred
+                    FROM c),
+              j AS (SELECT p.pred AS a, d.lang AS b FROM p JOIN documents d USING (doc_id)
+                    WHERE p.pred IS NOT NULL AND d.lang IS NOT NULL),
+              cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM j GROUP BY 1, 2),
+              ra AS (SELECT a, sum(n) AS ra FROM cells GROUP BY 1),
+              cb AS (SELECT b, sum(n) AS cb FROM cells GROUP BY 1),
+              pe AS (SELECT coalesce(sum(ra.ra * cb.cb), 0) AS pe
+                     FROM ra JOIN cb ON cb.b = ra.a),
+              t AS (SELECT sum(n) AS t,
+                      coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END), 0) AS agree
+                    FROM cells)
+         SELECT CAST(t AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+                CASE WHEN t * t - pe = 0 THEN NULL
+                     ELSE CAST(((t * agree - pe) * 1000000) // (t * t - pe) AS BIGINT)
+                END AS kappa_ppm
+         FROM t CROSS JOIN pe""",
+    "dedup_threshold_curve" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w),
+              p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_int,
+                      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+                    FROM s a JOIN s b ON b.doc_id > a.doc_id
+                    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                      AND len(list_intersect(a.sh, b.sh)) * 100 >=
+                          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 50),
+              th AS (SELECT unnest([50, 60, 70, 80, 90, 100]) AS threshold_pct),
+              h AS (SELECT th.threshold_pct, p.a, p.b FROM p JOIN th
+                    ON p.n_int * 100 >= th.threshold_pct * p.n_union),
+              e AS (SELECT threshold_pct, unnest([a, b]) AS d FROM h)
+         SELECT threshold_pct, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         FROM e GROUP BY 1 ORDER BY 1""",
     "pipeline_dsir_weights" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

@@ -864,4 +864,53 @@ object Relational {
       "CASE WHEN nb > 0 THEN CAST(xb * 1000000L DIV nb AS BIGINT) END AS rate_b_ppm",
       s"CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0 AND (na + nb - xa - xb) > 0 THEN CAST(floor($num * $num * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / $den * 1000000.0) AS BIGINT) END AS z2_ppm")
   }
+
+  /** Cohen's kappa (Cohen '60) — agreement between two categorical
+    * columns BEYOND CHANCE: raw agreement po alone rewards a rater that
+    * always answers the majority class; kappa subtracts the agreement
+    * two independent raters with these marginals would reach anyway.
+    * The inter-rater metric for classifier-vs-label audits, annotator
+    * QC, and heuristic-vs-heuristic comparisons (langid vs declared
+    * lang, rule battery vs model verdict).
+    *
+    * EXACT: with N rows, `agree` matching rows and
+    * `pe_num = Σ_c row_c·col_c` (matching-category marginal products),
+    * `kappa = (N·agree − pe_num) / (N² − pe_num)` — one integer
+    * rational, reported as ppm by truncating DIV (DECIMAL(38,0)
+    * arithmetic: N²·10⁶ leaves BIGINT past ~3M rows). Rows with a NULL
+    * on either side are EXCLUDED (no category to agree on — count them
+    * upstream if NULL-ness itself is the signal); `pe = 1` exactly
+    * (all mass in one matched cell) has no beyond-chance margin →
+    * kappa NULL, never a fake 0/0.
+    *
+    * Output: one row — `n, n_agree, kappa_ppm`.
+    *
+    * Plan: the corpus collapses to contingency CELLS in one
+    * partial-aggregated pass (materialized, read 3×: marginals + the
+    * diagonal); everything after runs on |categories|-sized frames. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Materialize.cut(
+      df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol).cast("string").as("__a"),
+          col(bCol).cast("string").as("__b"))
+        .agg(count(lit(1)).as("__n")))
+    val rowT = cells.groupBy("__a").agg(sum("__n").as("__ra"))
+    val colT = cells.groupBy("__b").agg(sum("__n").as("__cb"))
+    val peNum = rowT.join(colT, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra").cast(dec) * col("__cb").cast(dec)),
+        lit(0).cast(dec)).as("__pe"))
+    val tot = cells.agg(
+      coalesce(sum("__n"), lit(0L)).cast(dec).as("__t"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(0L)), lit(0L)).cast(dec).as("__agree"))
+    tot.crossJoin(broadcast(peNum))
+      .where(col("__t") > 0)
+      .select(col("__t").cast("long").as("n"),
+        col("__agree").cast("long").as("n_agree"),
+        when(expr("__t * __t - __pe") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(((__t * __agree - __pe) * 1000000) DIV (__t * __t - __pe) AS BIGINT)"))
+          .as("kappa_ppm"))
+  }
 }

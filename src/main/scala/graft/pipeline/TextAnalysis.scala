@@ -1712,6 +1712,55 @@ object TextAnalysis {
           "DIV (64 * n_tokens)").as("kl_millibits"))
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. '20 §2.2, the rules a
+    * crawl pipeline applies between markup stripping and dedup): keep a
+    * line only if it (1) has ≥ `minWordsPerLine` whitespace words,
+    * (2) ends in terminal punctuation (. ! ? "), (3) contains no '{'
+    * (leaked code/templating), (4) does not mention "javascript"
+    * (cookie/enable-JS boilerplate). Every dropped line is ACCOUNTED to
+    * the FIRST rule it fails (short → punctuation → brace → javascript
+    * — deterministic attribution, the tolerant-decode convention), so
+    * the clean corpus ships with its per-rule loss profile instead of a
+    * silent shrink.
+    *
+    * Output: `idCol, n_lines, n_kept, n_short, n_punct, n_brace, n_js,
+    * clean_text` (kept lines rejoined with \n; NULL when nothing
+    * survives — the all-components-NULL convention, a caller filters).
+    *
+    * Pure map (higher-order filters over the split lines — no explode,
+    * no shuffle, stream-safe); blank lines are not lines. */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+                  minWordsPerLine: Int = 5): DataFrame = {
+    require(minWordsPerLine >= 1,
+      s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    val m = minWordsPerLine
+    // per-line predicates, spliced so each filter is one codegen'd
+    // expression; wc = whitespace word count of the trimmed line
+    def wc(l: String) = s"size(filter(split($l, '\\\\s+'), w -> length(w) > 0))"
+    def term(l: String) = s"right($l, 1) IN ('.', '!', '?', '\"')"
+    def brace(l: String) = s"contains($l, '{')"
+    def js(l: String) = s"contains(lower($l), 'javascript')"
+    df.select(col(idCol),
+      expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> length(l) > 0)")
+        .as("__ls"))
+      .select(col(idCol),
+        expr("size(__ls)").cast("long").as("n_lines"),
+        expr(s"filter(__ls, l -> ${wc("l")} >= $m AND ${term("l")} " +
+          s"AND NOT ${brace("l")} AND NOT ${js("l")})").as("__kept"),
+        expr(s"size(filter(__ls, l -> ${wc("l")} < $m))").cast("long").as("n_short"),
+        expr(s"size(filter(__ls, l -> ${wc("l")} >= $m AND NOT ${term("l")}))")
+          .cast("long").as("n_punct"),
+        expr(s"size(filter(__ls, l -> ${wc("l")} >= $m AND ${term("l")} " +
+          s"AND ${brace("l")}))").cast("long").as("n_brace"),
+        expr(s"size(filter(__ls, l -> ${wc("l")} >= $m AND ${term("l")} " +
+          s"AND NOT ${brace("l")} AND ${js("l")}))").cast("long").as("n_js"))
+      .select(col(idCol), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col("n_short"), col("n_punct"), col("n_brace"), col("n_js"),
+        when(size(col("__kept")) > 0, array_join(col("__kept"), "\n"))
+          .as("clean_text"))
+  }
+
   def scoreWithImportanceModel(df: DataFrame, idCol: String, textCol: String,
                                model: Array[Long]): DataFrame = {
     require(model.length == 65536, s"model must have 65536 buckets, got ${model.length}")

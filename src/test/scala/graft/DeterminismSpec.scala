@@ -179,7 +179,10 @@ class DeterminismSpec extends AnyFunSuite {
     // scale broadcast + error rollup, greedy literal-center rounds
     "ts_cusum", "ts_theil_sen", "events_top_paths",
     "events_attribution_position", "text_zipf", "text_source_kl",
-    "search_ndcg", "graph_components", "emb_quantize", "emb_coreset")
+    "search_ndcg", "graph_components", "emb_quantize", "emb_coreset",
+    // r10 wave 2: pure-map line battery, contingency-cell kappa fold,
+    // prefix-filtered pairs against the broadcast threshold grid
+    "text_c4_clean", "text_langid_kappa", "dedup_threshold_curve")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -616,4 +616,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"eval fell back to a product:\n$plan")
   }
+
+  test("text_c4_clean plan: the whole battery is a pure map — no join, no hash shuffle") {
+    val plan = SparkEntry.queries("text_c4_clean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"line battery must not join:\n$plan")
+    val exchanges = plan.split('\n').filter(_.contains("Exchange"))
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"only the presentation sort may shuffle:\n$plan")
+  }
+
+  test("dedup_threshold_curve plan: thresholds broadcast against the pair stream, no product") {
+    val plan = SparkEntry.queries("dedup_threshold_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"unhinted product in the curve plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"threshold grid not broadcast:\n$plan")
+  }
 }

@@ -2652,6 +2652,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == out)
   }
 
+  test("c4LineClean: every drop attributed to its first failing rule; blank lines are not lines") {
+    val doc = Seq(
+      (1L, Seq(
+        "one two three four five.", // kept
+        "short one.",               // < 5 words → short (despite the '.')
+        "six seven eight nine ten", // no terminal punctuation
+        "a b c d { e.",             // brace (punctuation ok)
+        "alpha beta gamma delta javascript.", // js mention
+        ""                          // blank → not a line
+      ).mkString("\n")),
+      (2L, "just dropped")          // one line, short → clean_text NULL
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineClean(doc, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 1L, 1L, 1L, 1L, Some("one two three four five.")),
+      (2L, 1L, 0L, 1L, 0L, 0L, 0L, None)), s"$got")
+  }
+
+  test("cohenKappa: textbook 2x2 reads 0.4 exactly; NULLs excluded; pe = 1 reads NULL") {
+    // cells yes/yes 4, yes/no 1, no/yes 2, no/no 3: N=10, agree=7,
+    // pe_num = 5*6 + 5*4 = 50 → kappa = (70-50)/(100-50) = 0.4
+    val rows = Seq.fill(4)(("yes", "yes")) ++ Seq(("yes", "no")) ++
+      Seq.fill(2)(("no", "yes")) ++ Seq.fill(3)(("no", "no")) ++
+      Seq((null, "yes"), ("yes", null)) // excluded
+    val got = Relational.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((10L, 7L, Some(400000L))), s"$got")
+    // all mass in one matched cell: pe = 1, no beyond-chance margin
+    val degenerate = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val g2 = Relational.cohenKappa(degenerate, "a", "b")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(g2 == Seq((5L, 5L, None)), s"$g2")
+    // perfect agreement over 2+ categories = exactly 1e6
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    val g3 = Relational.cohenKappa(perfect, "a", "b")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(g3 == Seq((2L, 2L, Some(1000000L))), s"$g3")
+  }
+
   test("int8QuantAudit: hand-computed scale and reconstruction error; zero dim reads clean") {
     // dim 1 lattice values: 1_000_000, -500_000, 250_000 → scale 1e6;
     // codes 127, -63, 31; recon 1_000_000, -496_062, 244_094;
