@@ -964,6 +964,35 @@ object SparkEntry {
                CAST(sum(micros) AS BIGINT) AS attributed_micros
         FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""")
     },
+    "rel_bootstrap_ci" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // deterministic Poisson-bootstrap CI on mean extended price per
+      // return flag — the error bar the A/B family's point estimates
+      // lack; md5-derived Poisson(1) weights make the interval itself
+      // hash-gateable (b=64 → the order-statistic envelope)
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_extendedprice"))
+      pipeline.Relational.bootstrapMeanCi(li, Seq("l_returnflag"), "rid",
+          "l_extendedprice", b = 64)
+        .orderBy("l_returnflag")
+    },
+    "dedup_source_matrix" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // WHICH sources duplicate WHICH (composed): exact-Jaccard pairs
+      // at >= 60 rolled up to an unordered source-pair matrix — the
+      // recipe readout that says two feeds are mirrors BEFORE mixing
+      val docs = s.table("documents")
+      val pairs = pipeline.Dedup.similarityJoinWords(docs, "doc_id",
+        "text", thresholdPct = 60, gramWords = 4)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs.join(src.as("sa"), col("a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("b") === col("sb.doc_id"))
+        .groupBy(least(col("sa.source"), col("sb.source")).as("source_lo"),
+          greatest(col("sa.source"), col("sb.source")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    },
     "rel_correlation" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // Pearson correlation from INTEGER-exact moment sums: Σx Σy Σxy Σx²
@@ -5332,6 +5361,55 @@ object SparkEntry {
          SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
                 CAST(sum(micros) AS BIGINT) AS attributed_micros
          FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""",
+    "rel_bootstrap_ci" -> {
+      val ts = Seq(424136118829305344L, 848272237658610688L,
+        1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+        1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
+        1152920207336574720L)
+      val wCase = ts.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 9 END")
+      s"""WITH li AS (SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS rid,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+                      FROM lineitem),
+              e AS (SELECT l_returnflag, rid, x, t.rep FROM li CROSS JOIN range(0, 64) t(rep)),
+              u AS (SELECT l_returnflag, x, rep,
+                      CAST('0x' || substr(md5(CAST(rid AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 15) AS BIGINT) AS u
+                    FROM e),
+              w AS (SELECT l_returnflag, rep, x, $wCase AS w FROM u),
+              r AS (SELECT l_returnflag, rep,
+                      CAST(sum(CAST(w AS HUGEINT) * x) // sum(CAST(w AS HUGEINT)) AS BIGINT) AS mean
+                    FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+              rk AS (SELECT l_returnflag, mean,
+                       row_number() OVER (PARTITION BY l_returnflag ORDER BY mean) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS be
+                     FROM r),
+              ci AS (SELECT l_returnflag, CAST(max(be) AS BIGINT) AS b_eff,
+                       min(CASE WHEN rn = least(1, be) THEN mean END) AS ci_lo_cents,
+                       min(CASE WHEN rn = least(64, be) THEN mean END) AS ci_hi_cents
+                     FROM rk GROUP BY 1),
+              pt AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(x AS HUGEINT)) // count(*) AS BIGINT) AS mean_cents
+                     FROM li GROUP BY 1)
+         SELECT pt.l_returnflag, pt.n, pt.mean_cents, ci.b_eff,
+                CAST(ci.ci_lo_cents AS BIGINT) AS ci_lo_cents,
+                CAST(ci.ci_hi_cents AS BIGINT) AS ci_hi_cents
+         FROM pt JOIN ci USING (l_returnflag) ORDER BY pt.l_returnflag"""
+    },
+    "dedup_source_matrix" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w),
+              p AS (SELECT a.doc_id AS a, b.doc_id AS b
+                    FROM s a JOIN s b ON b.doc_id > a.doc_id
+                    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                      AND len(list_intersect(a.sh, b.sh)) * 100 >=
+                          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 60)
+         SELECT least(da.source, db.source) AS source_lo,
+                greatest(da.source, db.source) AS source_hi,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p JOIN documents da ON da.doc_id = p.a
+                JOIN documents db ON db.doc_id = p.b
+         GROUP BY 1, 2 ORDER BY source_lo, source_hi""",
     "rel_correlation" ->
       """WITH c AS (SELECT l_returnflag,
                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,

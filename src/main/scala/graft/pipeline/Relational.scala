@@ -865,6 +865,82 @@ object Relational {
       s"CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0 AND (na + nb - xa - xb) > 0 THEN CAST(floor($num * $num * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / $den * 1000000.0) AS BIGINT) END AS z2_ppm")
   }
 
+  /** Poisson-BOOTSTRAP confidence interval for per-group means (Efron
+    * '79 via the Poisson(1) approximation — the resampling scheme that
+    * needs no global row count and streams): the error bar every
+    * A/B/drift readout should carry, computed deterministically so the
+    * interval itself hash-gates.
+    *
+    * Each of `b` resamples weights every row by an md5-derived
+    * Poisson(1) draw — `u = h60(md5(id:rep))` against the FIXED
+    * cumulative thresholds `⌊CDF_Poisson(1)(k)·2⁶⁰⌋` spliced as
+    * literals into both engines (weights 0..9; P(≥9) < 2·10⁻⁶ — the
+    * truncation is part of the published contract, not drift). Resample
+    * mean = `Σ w·x DIV Σ w` in cents (truncating DIV); the interval is
+    * the 2.5%/97.5% ORDER STATISTICS of the b means (ranks
+    * `max(1, b DIV 40)` and `b + 1 − that` — values the resamples
+    * actually produced, no interpolation). Empty resamples (possible
+    * only on tiny groups) drop out and `b_eff` reports the survivors.
+    *
+    * Output: `groupCols…, n, mean_cents, b_eff, ci_lo_cents,
+    * ci_hi_cents`.
+    *
+    * Plan: ONE pass over the corpus exploded ×b (the bootstrap's
+    * intrinsic cost — b=64 reads like 64 map-side passes fused into
+    * one shuffle), partial-aggregated to group×b rows; the order
+    * statistics ride a window over ≤ b rows per group. `idCol` must be
+    * a stable row identity (the hash seed — resampling keys off it). */
+  def bootstrapMeanCi(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      valueCol: String, b: Int = 64): DataFrame = {
+    require(b >= 4 && b <= 4096, s"b must be in [4, 4096], got $b")
+    val dec = "decimal(38,0)"
+    // ⌊CDF_Poisson(1)(k) · 2^60⌋ for k = 0..8; u >= last → weight 9
+    val ts = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
+      1152920207336574720L)
+    val wCase = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN __u < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 9L END")
+    val gcols = groupCols.map(col)
+    val loRank = math.max(1, b / 40)
+    val hiRank = b + 1 - loRank
+    val base = df
+      .select(gcols :+ col(idCol).cast("string").as("__id")
+        :+ floor(col(valueCol) * 100 + 0.5).cast("long").as("__x"): _*)
+      .withColumn("__rep", explode(expr(s"sequence(0, ${b - 1})")))
+      .withColumn("__u",
+        conv(substring(md5(concat(col("__id"), lit(":"),
+          col("__rep").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("__w", expr(wCase))
+    val reps = base
+      .groupBy(gcols :+ col("__rep"): _*)
+      .agg(sum(col("__w").cast(dec)).as("__nw"),
+        sum((col("__w") * col("__x")).cast(dec)).as("__swx"))
+      .where(col("__nw") > 0)
+      .select(gcols :+ expr("CAST(__swx DIV __nw AS BIGINT)").as("__mean"): _*)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__mean"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ci = reps
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__be", count(lit(1)).over(wAll))
+      .groupBy(gcols: _*)
+      .agg(first(col("__be")).as("b_eff"),
+        min(when(col("__rn") === least(lit(loRank), col("__be")),
+          col("__mean"))).as("ci_lo_cents"),
+        min(when(col("__rn") === least(lit(hiRank), col("__be")),
+          col("__mean"))).as("ci_hi_cents"))
+    val point = df
+      .select(gcols :+ floor(col(valueCol) * 100 + 0.5).cast("long").as("__x"): _*)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(__x AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_cents"))
+    point.join(ci, groupCols)
+      .select(gcols ++ Seq(col("n"), col("mean_cents"), col("b_eff"),
+        col("ci_lo_cents"), col("ci_hi_cents")): _*)
+  }
+
   /** Cohen's kappa (Cohen '60) — agreement between two categorical
     * columns BEYOND CHANCE: raw agreement po alone rewards a rater that
     * always answers the majority class; kappa subtracts the agreement

@@ -182,7 +182,10 @@ class DeterminismSpec extends AnyFunSuite {
     "search_ndcg", "graph_components", "emb_quantize", "emb_coreset",
     // r10 wave 2: pure-map line battery, contingency-cell kappa fold,
     // prefix-filtered pairs against the broadcast threshold grid
-    "text_c4_clean", "text_langid_kappa", "dedup_threshold_curve")
+    "text_c4_clean", "text_langid_kappa", "dedup_threshold_curve",
+    // r10 wave 3: md5-weighted resample folds + order-statistic window,
+    // pair rollup through two source joins
+    "rel_bootstrap_ci", "dedup_source_matrix")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

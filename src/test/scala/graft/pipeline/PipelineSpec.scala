@@ -2673,6 +2673,27 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 1L, 0L, 1L, 0L, 0L, 0L, None)), s"$got")
   }
 
+  test("bootstrapMeanCi: constant groups collapse to a point; CI brackets the mean; tiny groups lose resamples") {
+    // constant values: every resample mean is the constant → lo = hi = mean
+    val const = (1L to 50L).map(i => ("c", i, 2.00)).toDF("g", "rid", "v")
+    val g1 = Relational.bootstrapMeanCi(const, Seq("g"), "rid", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g1 == Seq(("c", 50L, 200L, 64L, 200L, 200L)), s"$g1")
+    // a spread group: the order-statistic envelope brackets the mean
+    val spread = (1L to 200L).map(i => ("s", i, i.toDouble)).toDF("g", "rid", "v")
+    val g2 = Relational.bootstrapMeanCi(spread, Seq("g"), "rid", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(g2._2 == 200L && g2._4 == 64L, s"$g2")
+    assert(g2._5 < g2._3 && g2._3 < g2._6,
+      s"CI [${g2._5}, ${g2._6}] must bracket the mean ${g2._3}")
+    // a 1-row group: ~37% of resamples draw weight 0 and drop out
+    val tiny = Seq(("t", 1L, 5.0)).toDF("g", "rid", "v")
+    val g3 = Relational.bootstrapMeanCi(tiny, Seq("g"), "rid", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(g3._4 >= 1L && g3._4 < 64L, s"1-row group must lose resamples: $g3")
+    assert(g3._5 == 500L && g3._6 == 500L, s"surviving means are all 500: $g3")
+  }
+
   test("cohenKappa: textbook 2x2 reads 0.4 exactly; NULLs excluded; pe = 1 reads NULL") {
     // cells yes/yes 4, yes/no 1, no/yes 2, no/no 3: N=10, agree=7,
     // pe_num = 5*6 + 5*4 = 50 → kappa = (70-50)/(100-50) = 0.4

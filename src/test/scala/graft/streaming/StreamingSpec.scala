@@ -755,6 +755,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming C4 line cleaning: the rule battery is a pure map, per-batch accounting == batch") {
+    // c4LineClean is higher-order filters per row — no state: the SAME
+    // operator cleans a crawl stream in append mode, rejects accounted
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon.\nshort one.\nno punctuation here at all"),
+      (2L, "braces { in this line anyway.\nenable javascript to continue now."))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.pipeline.TextAnalysis.c4LineClean(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4_stream_out").start()
+    try {
+      src.addData(rows.head); q.processAllAvailable()
+      src.addData(rows(1)); q.processAllAvailable()
+      val streamed = spark.table("c4_stream_out")
+        .collect().map(_.toString).toSet
+      val batch = graft.pipeline.TextAnalysis.c4LineClean(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && streamed.size == 2, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming multimodal decode: real ImageIO metadata pass runs unchanged on a stream") {
     // blob ingestion shape: payload batches arrive as a stream; decodeMeta
     // is a stateless mapPartitions decode, so stream output == batch
