@@ -880,7 +880,9 @@ object Relational {
     * the 2.5%/97.5% ORDER STATISTICS of the b means (ranks
     * `max(1, b DIV 40)` and `b + 1 − that` — values the resamples
     * actually produced, no interpolation). Empty resamples (possible
-    * only on tiny groups) drop out and `b_eff` reports the survivors.
+    * only on tiny groups) drop out and `b_eff` reports the survivors;
+    * a group vanishes from the output only when EVERY resample is
+    * empty — probability (1/e)^b for a 1-row group, ~10⁻²⁸ at b=64.
     *
     * Output: `groupCols…, n, mean_cents, b_eff, ci_lo_cents,
     * ci_hi_cents`.

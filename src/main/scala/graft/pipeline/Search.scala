@@ -482,6 +482,19 @@ object Search {
          |ELSE raise_error(concat('rankingEval: relevance grade out of [1, $maxGrade]: ',
          |  CAST($relCol AS STRING))) END""".stripMargin)
     val judged = truth.select(col(queryCol), col(docCol), rel.as("__rel"))
+    // duplicate judgments for one (query, doc) would MULTIPLY run rows
+    // through the left join and silently inflate every metric; a
+    // duplicate doc within one query's run double-counts its gain. Eval
+    // sets are small by contract, so the two checks are driver-cheap
+    // insurance (the rrfFuse convention), not a corpus pass.
+    val dupJ = judged.groupBy(col(queryCol), col(docCol))
+      .agg(count(lit(1)).as("__c")).agg(max("__c")).head
+    require(dupJ.isNullAt(0) || dupJ.getLong(0) <= 1L,
+      "rankingEval: duplicate judgments for one (query, doc)")
+    val dupR = run.groupBy(col(queryCol), col(docCol))
+      .agg(count(lit(1)).as("__c")).agg(max("__c")).head
+    require(dupR.isNullAt(0) || dupR.getLong(0) <= 1L,
+      "rankingEval: a doc appears more than once in one query's run")
     // ideal DCG + n_rel: one window + one aggregate per query
     val wIdeal = Window.partitionBy(queryCol)
       .orderBy(col("__rel").desc, col(docCol).asc)

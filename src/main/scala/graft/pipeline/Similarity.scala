@@ -1301,7 +1301,9 @@ object Similarity {
     * broadcast back) → per-dim error aggregate. Both groupBys
     * partial-aggregate map-side to |dims| rows per task, so the
     * |dims|-group key is never a hot spot; the corpus is scanned twice
-    * and never shuffled (only |dims|-sized partials move). */
+    * and never shuffled (only |dims|-sized partials move). Magnitude:
+    * `q·127` needs |component| < 7·10¹⁶ lattice units (|x| < 7·10¹⁰ —
+    * any sane embedding; ANSI-loud past it). */
   def int8QuantAudit(corpus: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
     val q = corpus.where(col(vecCol).isNotNull)

@@ -1693,8 +1693,11 @@ object TextAnalysis {
     * Plan: one explode → (source, token) counts → token totals join on
     * the TOKEN key (both sides are the same counts frame, cut once) →
     * per-source aggregate → a broadcast-hinted one-row corpus-total
-    * join. No window, no driver collection; per-term longs bounded by
-    * `c·lg64 ≤ T_s·~8200` (long-safe under ~10¹⁵ tokens/source). */
+    * join. No window, no driver collection. Magnitudes: the grade sum
+    * is bounded by `T_s·~3700` (long-safe to ~2·10¹⁵ tokens/source)
+    * and the final `·1000` readout by `T_s·3.7·10⁶` — long-safe to
+    * ~2·10¹² tokens/source, ANSI-loud past that (drop the millibit
+    * scale for a larger domain). */
   def sourceKl(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     def lg(x: String) = graft.functions.Lg64.sql(x)
     val csw = Materialize.cut(df
