@@ -1416,6 +1416,47 @@ object SparkEntry {
           s.table("documents"), "doc_id", "text", "lang")
         .orderBy("doc_id")
     },
+    "text_nb_eval" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // per-class precision/recall/F1 of the NB classifier (composed):
+      // with per-class actual/predicted counts na/np and true positives
+      // tp, F1 reduces to the exact rational 2·tp·1e6 DIV (na + np) —
+      // the eval-harness completion of text_nb_classify's raw accuracy
+      val scored = pipeline.TextAnalysis.naiveBayesClassify(
+        s.table("documents"), "doc_id", "text", "lang")
+      val t1 = scored.groupBy(col("actual").as("cls"))
+        .agg(count(lit(1)).as("n_actual"),
+          sum(when(col("predicted") === col("actual"), 1L).otherwise(0L)).as("tp"))
+      val t2 = scored.where(col("predicted").isNotNull)
+        .groupBy(col("predicted").as("cls"))
+        .agg(count(lit(1)).as("__np"))
+      t1.join(t2, Seq("cls"), "left")
+        .select(col("cls"), col("n_actual"),
+          coalesce(col("__np"), lit(0L)).as("n_predicted"), col("tp"),
+          when(coalesce(col("__np"), lit(0L)) > 0,
+            expr("(tp * 1000000L) DIV __np")).as("precision_ppm"),
+          expr("(tp * 1000000L) DIV n_actual").as("recall_ppm"),
+          expr("(2 * tp * 1000000L) DIV (n_actual + coalesce(__np, 0L))").as("f1_ppm"))
+        .orderBy("cls")
+    },
+    "dedup_group_sizes" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // near-dup cluster-size census (composed): the dedup-yield shape —
+      // how much of the corpus sits in singletons vs pairs vs bigger,
+      // size-bucketed by bit-length (the degree-profile convention)
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), "b")
+      val edges = pipeline.Dedup.verifyJaccard(pairs, docs, "doc_id", "text", shingle = 3)
+        .where(col("n_int") * 100 >= col("n_union") * 55)
+        .select("a", "b")
+      pipeline.Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), edges)
+        .groupBy("group_id").agg(count(lit(1)).as("__sz"))
+        .groupBy(length(bin(col("__sz"))).cast("int").as("size_bucket"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("__sz")).as("n_docs"))
+        .orderBy("size_bucket")
+    },
     "text_simpson" -> { (s, dir) =>
       prep(s, dir, "documents")
       // Simpson repeat probability: exact-integer repetition measure
@@ -3477,10 +3518,11 @@ object SparkEntry {
       // keeps the scores meaningfully below a perfect 1e6
       val docs = s.table("documents")
       val terms = Seq("dup", "spark", "join")
-      val run = terms.map { t =>
-        pipeline.Search.bm25TopK(docs, "doc_id", "text", Seq(t), 20)
-          .withColumn("query", lit(t))
-      }.reduce(_ union _)
+      // r10 self-review: batch the three runs through ONE corpus pass
+      // (bm25TopKBatch) instead of three bm25TopK scans — identical
+      // arithmetic, per-term df is query-independent
+      val run = pipeline.Search.bm25TopKBatch(docs, "doc_id", "text",
+        terms.map(t => t -> Seq(t)), 20)
       val truth = docs
         .select(col("doc_id"),
           explode(pipeline.TextAnalysis.words(col("text"))).as("query"))
@@ -4242,6 +4284,38 @@ object SparkEntry {
     "rel_zorder_key" -> zOrderOracleSql,
     "multimodal_sharpness" -> sobelOracleSql,
     "text_nb_classify" -> nbOracleSql,
+    "text_nb_eval" ->
+      s"""WITH scored AS ($nbOracleSql),
+              t1 AS (SELECT actual AS cls, CAST(count(*) AS BIGINT) AS n_actual,
+                       CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT) AS tp
+                     FROM scored GROUP BY 1),
+              t2 AS (SELECT predicted AS cls, CAST(count(*) AS BIGINT) AS np
+                     FROM scored WHERE predicted IS NOT NULL GROUP BY 1)
+         SELECT t1.cls, t1.n_actual,
+                CAST(coalesce(t2.np, 0) AS BIGINT) AS n_predicted, t1.tp,
+                CASE WHEN coalesce(t2.np, 0) > 0
+                     THEN CAST((t1.tp * 1000000) // t2.np AS BIGINT) END AS precision_ppm,
+                CAST((t1.tp * 1000000) // t1.n_actual AS BIGINT) AS recall_ppm,
+                CAST((2 * t1.tp * 1000000) // (t1.n_actual + coalesce(t2.np, 0)) AS BIGINT) AS f1_ppm
+         FROM t1 LEFT JOIN t2 USING (cls) ORDER BY t1.cls""",
+    "dedup_group_sizes" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') t FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i:i+2])) sh FROM n),
+         e AS (SELECT a.doc_id a, b.doc_id b FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+               WHERE len(list_intersect(a.sh, b.sh)) * 100 >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 55),
+         ud AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, ud.b FROM reach JOIN ud ON ud.a = reach.r
+         ),
+         g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+         sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1)
+         SELECT CAST(length(printf('%b', sz)) AS INT) AS size_bucket,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM sz GROUP BY 1 ORDER BY size_bucket""",
     "events_survival" -> kaplanMeierOracleSql,
     "rel_welch_t" -> welchTOracleSql,
     "events_ab_conversion" ->

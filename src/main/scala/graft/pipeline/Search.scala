@@ -168,6 +168,52 @@ object Search {
       .groupBy("doc_id").agg(sum(col("__contrib")).as("score_ppm"))
   }
 
+  /** BATCH BM25: many queries against ONE corpus pass — the eval-set /
+    * decontamination-probe shape where calling [[bm25TopK]] per query
+    * would rescan the corpus (and re-run corpus stats) per query.
+    * Identical arithmetic to bm25TopK: one postings build filtered to
+    * the UNION of all query terms, per-term idf from the pooled
+    * postings (df per term is query-independent, so pooled ≡ per-query
+    * runs), contributions joined to the broadcast (query, term) map,
+    * summed per (query, doc), then one bounded [[graft.functions.TopKPairs]]
+    * aggregate PER QUERY — ≤ k states per query cross the shuffle, no
+    * window over candidates. Output: `query, rank, doc_id, score_ppm`
+    * with the bm25TopK tie order (score DESC, id ASC) per query. */
+  def bm25TopKBatch(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKBatch needs at least one query")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty, s"bm25TopKBatch: query '$q' has no terms") }
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopKBatch: duplicate query ids")
+    requireIntegralId(df, idCol, "bm25TopKBatch")
+    val (n, tot) = corpusStats(df, textCol)
+    require(n > 0 && tot > 0, s"bm25TopKBatch needs a non-empty corpus (n=$n, tokens=$tot)")
+    val avgdlMilli = tot * 1000L / n
+    require(avgdlMilli > 0,
+      s"bm25TopKBatch: avg doc length floors to 0 milli-tokens (n=$n, tokens=$tot)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) =>
+      ts.map(graft.functions.WordTok.lowerLikeSpark).distinct.map(q -> _)
+    }.toDF("query", "term")
+    val allTerms = queries.flatMap(_._2).map(graft.functions.WordTok.lowerLikeSpark).distinct
+    val p = Materialize.cut(postings(df, idCol, textCol)
+      .where(col("term").isin(allTerms: _*)))
+    val dfs = documentFrequency(p)
+    val contrib = p.join(broadcast(dfs), "term")
+      .select(col("term"), col("doc_id"), bm25ContribPpm(n, avgdlMilli))
+    val scored = contrib.join(broadcast(qt), "term")
+      .groupBy("query", "doc_id").agg(sum(col("__contrib")).as("score_ppm"))
+    val agg = E.column(graft.functions.TopKPairs(
+      E.expression(col("score_ppm")), E.expression(col("doc_id").cast("long")),
+      k).toAggregateExpression())
+    scored.groupBy("query").agg(agg.as("__top"))
+      .select(col("query"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score_ppm"))
+  }
+
   /** Global bounded top-k over `(doc_id, score_ppm)` rows via ONE
     * [[graft.functions.TopKPairs]] aggregate (k-sized states shuffle, no
     * window), exploded to `rank, doc_id, score_ppm`. Tie order: score

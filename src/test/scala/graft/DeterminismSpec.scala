@@ -185,7 +185,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_c4_clean", "text_langid_kappa", "dedup_threshold_curve",
     // r10 wave 3: md5-weighted resample folds + order-statistic window,
     // pair rollup through two source joins
-    "rel_bootstrap_ci", "dedup_source_matrix")
+    "rel_bootstrap_ci", "dedup_source_matrix",
+    // r10 wave 4: confusion-marginal P/R/F1 rollup, CC size census
+    "text_nb_eval", "dedup_group_sizes")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -284,6 +284,29 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopKBatch: one corpus pass ≡ per-query bm25TopK, multi-term queries included") {
+    val docs = Seq(
+      (1L, "spark joins tables fast"),
+      (2L, "spark spark spark"),
+      (3L, "tables of data and data"),
+      (4L, "joins of tables and tables and joins")
+    ).toDF("doc_id", "text")
+    val queries = Seq("q_spark" -> Seq("spark"), "q_join" -> Seq("joins", "tables"))
+    val batch = Search.bm25TopKBatch(docs, "doc_id", "text", queries, k = 3)
+      .orderBy("query", "rank")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val single = queries.flatMap { case (q, ts) =>
+      Search.bm25TopK(docs, "doc_id", "text", ts, k = 3)
+        .as[(Int, Long, Long)].collect().toSeq.map(r => (q, r._1, r._2, r._3))
+    }.sortBy(r => (r._1, r._2))
+    assert(batch == single, s"batch $batch != per-query $single")
+    assert(batch.count(_._1 == "q_spark") > 0 && batch.count(_._1 == "q_join") > 0)
+    // duplicate query ids are a silent score merge — refused loudly
+    intercept[IllegalArgumentException](
+      Search.bm25TopKBatch(docs, "doc_id", "text",
+        Seq("q" -> Seq("spark"), "q" -> Seq("tables")), k = 3))
+  }
+
   test("rankingEval: hand-computed nDCG/MRR/AP; unjudged queries drop, unrun queries zero") {
     // q1 run: ranks 1,2,3 → docs 10, 11, 12; truth: 10→2, 12→1, 99→3.
     // discounts at ranks 1..3: 64, 96, 128 (lg64(i+1)−64, exact at 2^k);
