@@ -1564,6 +1564,24 @@ object SparkEntry {
       pipeline.TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 8, minHits = 1)
         .orderBy("doc_id")
     },
+    "text_decontam_batch" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // MULTI-benchmark decontamination in one pass: two planted
+      // benchmarks (16-word excerpts of every 25th doc; words 5-20 of
+      // every 40th) screened together — the corpus is gram-hashed ONCE,
+      // per-(doc, benchmark) hits from one groupBy
+      val docs = s.table("documents")
+      val ws = pipeline.TextAnalysis.words(col("text"))
+      val benches = docs.where(col("doc_id") % 25 === 0)
+        .select(lit("benchA").as("bench"),
+          array_join(slice(ws, 1, 16), " ").as("text"))
+        .union(docs.where(col("doc_id") % 40 === 0)
+          .select(lit("benchB").as("bench"),
+            array_join(slice(ws, 5, 16), " ").as("text")))
+      pipeline.TextAnalysis.contaminationBatch(docs, benches, "doc_id",
+          "text", "bench", n = 8, minHits = 1)
+        .orderBy("doc_id", "benchmark")
+    },
     "pipeline_split" -> { (s, dir) =>
       prep(s, dir, "documents")
       // deterministic train/val/test split: md5-digit buckets 0-13/14/15,
@@ -5978,6 +5996,22 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          FROM tg JOIN bg USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
+    "text_decontam_batch" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              ba AS (SELECT 'benchA' AS benchmark, ws[1:16] AS ws FROM w WHERE doc_id % 25 = 0
+                     UNION ALL
+                     SELECT 'benchB', ws[5:20] FROM w WHERE doc_id % 40 = 0),
+              tg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 8
+                       THEN list_transform(range(len(ws) - 7), i -> array_to_string(ws[i+1:i+8], ' '))
+                       ELSE [] END)) AS gram FROM w),
+              bg AS (SELECT DISTINCT benchmark, gram FROM (
+                       SELECT benchmark, unnest(CASE WHEN len(ws) >= 8
+                         THEN list_transform(range(len(ws) - 7), i -> array_to_string(ws[i+1:i+8], ' '))
+                         ELSE [] END) AS gram FROM ba) x)
+         SELECT doc_id, benchmark, CAST(count(*) AS BIGINT) AS n_overlap
+         FROM tg JOIN bg USING (gram)
+         GROUP BY 1, 2 ORDER BY doc_id, benchmark""",
     "pipeline_split" ->
       """SELECT split, CAST(count(*) AS BIGINT) AS n, CAST(min(doc_id) AS BIGINT) AS min_id FROM (
            SELECT doc_id,

@@ -481,6 +481,34 @@ object TextAnalysis {
       .where(col("n_overlap") >= minHits)
   }
 
+  /** MULTI-benchmark decontamination in ONE corpus pass — the batch
+    * twin of [[contamination]] for the real eval-governance shape
+    * (MMLU + GSM8K + HumanEval + … screened together): per-benchmark
+    * runs would rescan the 100 TB train side once PER BENCHMARK; here
+    * every benchmark's distinct grams are TAGGED with `benchCol` and
+    * broadcast together, so the corpus is gram-hashed and scanned
+    * exactly once and the per-(doc, benchmark) hit counts fall out of
+    * one partial-aggregated groupBy. Identical per-benchmark semantics
+    * to [[contamination]] (distinct train grams per doc, a gram shared
+    * by two benchmarks counts toward each).
+    *
+    * Output: `idCol, benchmark, n_overlap` (≥ minHits only — absence
+    * means clean for that benchmark). */
+  def contaminationBatch(train: DataFrame, benches: DataFrame,
+                         idCol: String, textCol: String,
+                         benchCol: String, n: Int = 8,
+                         minHits: Int = 1): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(ngramHashes(col(textCol), n)).as("__g"))
+    val benchGrams = benches.select(col(benchCol).as("benchmark"),
+      explode(ngramHashes(col(textCol), n)).as("__g")).distinct()
+    trainGrams
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol), col("benchmark"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minHits)
+  }
+
   /** Deterministic train/val/test split on a 16-way md5 digit of the id —
     * content-independent, stable across runs and engines (md5 exists in
     * both Spark and DuckDB, unlike xxhash64), and a pure map: no shuffle,

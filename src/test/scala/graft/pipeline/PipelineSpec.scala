@@ -2652,6 +2652,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == out)
   }
 
+  test("contaminationBatch: per-benchmark hits == per-benchmark contamination runs; shared grams count toward each") {
+    val train = Seq(
+      (1L, "a b c d e f g h tail"),      // leaks into both benchmarks
+      (2L, "p q r s t u v w tail"),      // leaks into benchB only
+      (3L, "totally clean text with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val benches = Seq(
+      ("bA", "a b c d e f g h"),
+      ("bB", "a b c d e f g h and p q r s t u v w")
+    ).toDF("bench", "text")
+    val got = TextAnalysis.contaminationBatch(train, benches, "doc_id",
+        "text", "bench")
+      .orderBy("doc_id", "benchmark")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "bA", 1L), (1L, "bB", 1L), (2L, "bB", 1L)), s"$got")
+    // batch == the single-benchmark operator run per benchmark
+    for ((b, expRows) <- Seq("bA" -> Seq(1L), "bB" -> Seq(1L, 2L))) {
+      val single = TextAnalysis.contamination(train,
+          benches.where(col("bench") === b).select("text"), "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq.map(_._1)
+      assert(single == expRows, s"$b: $single")
+    }
+  }
+
   test("c4LineClean: every drop attributed to its first failing rule; blank lines are not lines") {
     val doc = Seq(
       (1L, Seq(
