@@ -2335,6 +2335,20 @@ object SparkEntry {
       pipeline.TimeSeries.theilSen(s.table("events"), "user_id", "ts", "value")
         .orderBy("user_id")
     },
+    "ts_cusum_deseasonal" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // COMPOSED drift detection net of the weekly rhythm: the CUSUM
+      // detector core over dow-adjusted residuals — the alerting shape
+      // where a raw-value CUSUM fires every strong Monday; cusumOnSpine
+      // runs unchanged on the derived series (the composition is the
+      // point)
+      val resid = pipeline.TimeSeries.dowAdjusted(s.table("events"),
+        "user_id", "ts", "value")
+      pipeline.TimeSeries.cusumOnSpine(resid, "user_id", "day",
+          "residual_cents", baselineDays = 7, slackCents = 1000L,
+          thresholdCents = 30000L)
+        .orderBy("user_id")
+    },
     "ts_seasonal_anomaly" -> { (s, dir) =>
       prep(s, dir, "events")
       // COMPOSED seasonality-aware alerting: seasonalDecompose's residual
@@ -7477,6 +7491,49 @@ object SparkEntry {
          SELECT user_id, CAST(nd AS BIGINT) AS n_days,
                 CAST(sum(CASE WHEN ss > 7 * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
                 min(CASE WHEN ss > 7 * 50000 THEN day END) AS first_alarm_day,
+                CAST(max(ss) // 7 AS BIGINT) AS max_cusum_cents
+         FROM s GROUP BY user_id, nd ORDER BY user_id""",
+    "ts_cusum_deseasonal" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day,
+                      CAST(isodow(s.day) AS INT) AS dow,
+                      CAST(coalesce(b.cents, 0) AS BIGINT) AS value_cents
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              m AS (SELECT user_id, dow,
+                      CAST(sum(value_cents) // count(*) AS BIGINT) AS dow_mean
+                    FROM f GROUP BY 1, 2),
+              rs AS (SELECT f.user_id, f.day,
+                       CAST(f.value_cents - m.dow_mean AS HUGEINT) AS y
+                     FROM f JOIN m ON m.user_id = f.user_id AND m.dow = f.dow),
+              o AS (SELECT user_id, day, y,
+                      row_number() OVER pk AS i,
+                      CAST(count(*) OVER (PARTITION BY user_id) AS HUGEINT) AS nd
+                    FROM rs
+                    WINDOW pk AS (PARTITION BY user_id ORDER BY day)),
+              base AS (SELECT user_id, sum(y) AS b0 FROM o WHERE i <= 7 GROUP BY 1),
+              d AS (SELECT o.user_id, o.day, o.i, o.nd,
+                      CASE WHEN o.i > 7 THEN 7 * o.y - base.b0 - 7 * 1000
+                           ELSE CAST(0 AS HUGEINT) END AS dd
+                    FROM o JOIN base USING (user_id)),
+              p1 AS (SELECT user_id, day, i, nd,
+                       sum(dd) OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+                     FROM d),
+              p AS (SELECT user_id, day, i, nd, pp,
+                      min(pp) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+                    FROM p1),
+              s AS (SELECT user_id, day, i, nd, pp - mn AS ss FROM p
+                    WHERE nd > 7 AND i > 7)
+         SELECT user_id, CAST(nd AS BIGINT) AS n_days,
+                CAST(sum(CASE WHEN ss > 7 * 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                min(CASE WHEN ss > 7 * 30000 THEN day END) AS first_alarm_day,
                 CAST(max(ss) // 7 AS BIGINT) AS max_cusum_cents
          FROM s GROUP BY user_id, nd ORDER BY user_id""",
     "ts_theil_sen" ->

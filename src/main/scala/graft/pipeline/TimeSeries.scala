@@ -960,16 +960,31 @@ object TimeSeries {
     * key. Per-key state is bounded by `maxSpanDays`; no self-join. */
   def cusum(events: DataFrame, keyCol: String, tsCol: String,
             valueCol: String, baselineDays: Int, slackCents: Long,
-            thresholdCents: Long, maxSpanDays: Int = 36500): DataFrame = {
+            thresholdCents: Long, maxSpanDays: Int = 36500): DataFrame =
+    cusumOnSpine(resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays),
+      keyCol, "day", "value_cents", baselineDays, slackCents, thresholdCents)
+
+  /** [[cusum]]'s detector core over a PRE-BUILT daily frame (one row per
+    * (key, day), integer values) — the seam that lets the detector run
+    * on DERIVED series: deseasonalized residuals ([[dowAdjusted]] /
+    * [[seasonalDecompose]]), rolling deltas, any spine-shaped signal —
+    * instead of only raw event rollups. Same closed form, same
+    * integer-exact scaling, same output contract as [[cusum]]. */
+  def cusumOnSpine(spineDf: DataFrame, keyCol: String, dayCol: String,
+                   valueCol: String, baselineDays: Int, slackCents: Long,
+                   thresholdCents: Long): DataFrame = {
     require(baselineDays >= 1, s"baselineDays must be >= 1, got $baselineDays")
     require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
     require(thresholdCents >= 0, s"thresholdCents must be >= 0, got $thresholdCents")
     val dec = "decimal(38,0)"
     val b = lit(baselineDays).cast(dec)
+    // windows resolve against the post-rename frame (dayCol → "day")
     val wOrd = Window.partitionBy(keyCol).orderBy("day")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(keyCol)
-    val scored = resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+    val scored = spineDf
+      .select(col(keyCol), col(dayCol).as("day"),
+        col(valueCol).cast("long").as("value_cents"))
       .withColumn("__i", row_number().over(wOrd))
       .withColumn("__nd", count(lit(1)).over(wAll))
       .withColumn("__b0",

@@ -188,8 +188,9 @@ class DeterminismSpec extends AnyFunSuite {
     "rel_bootstrap_ci", "dedup_source_matrix",
     // r10 wave 4: confusion-marginal P/R/F1 rollup, CC size census
     "text_nb_eval", "dedup_group_sizes",
-    // r10 wave 5: tagged-benchmark broadcast gram join
-    "text_decontam_batch")
+    // r10 wave 5: tagged-benchmark broadcast gram join; detector core
+    // over the dow-residual spine
+    "text_decontam_batch", "ts_cusum_deseasonal")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

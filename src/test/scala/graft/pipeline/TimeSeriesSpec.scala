@@ -675,6 +675,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Seq((1L, 6L, 3L, Some(Date.valueOf("2024-03-04")), 600L)), s"$got")
   }
 
+  test("cusumOnSpine: the detector core on a derived spine == cusum on the raw events") {
+    val df = Seq(
+      (1L, ts(1), 1.00), (1L, ts(2), 3.00), (1L, ts(3), 1.00),
+      (1L, ts(4), 5.00), (1L, ts(5), 6.00), (1L, ts(6), 1.00)
+    ).toDF("user_id", "ts", "value")
+    val viaEvents = TimeSeries.cusum(df, "user_id", "ts", "value", 2, 50L, 200L)
+      .collect().map(_.toString).toSeq
+    val viaSpine = TimeSeries.cusumOnSpine(
+        TimeSeries.resampleGapFill(df, "user_id", "ts", "value"),
+        "user_id", "day", "value_cents", 2, 50L, 200L)
+      .collect().map(_.toString).toSeq
+    assert(viaEvents == viaSpine, s"$viaEvents vs $viaSpine")
+  }
+
   test("cusum: a never-alarming key reports NULL first_alarm_day, 0 alarms") {
     val df = Seq((1L, ts(1), 2.00), (1L, ts(2), 2.00), (1L, ts(3), 2.00))
       .toDF("user_id", "ts", "value")
