@@ -938,9 +938,19 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         expr("CAST(sum(CAST(__x AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
           .as("mean_cents"))
-    point.join(ci, groupCols)
-      .select(gcols ++ Seq(col("n"), col("mean_cents"), col("b_eff"),
-        col("ci_lo_cents"), col("ci_hi_cents")): _*)
+    // null-safe group join (the goldenRecords rule): groupBy keeps a
+    // NULL group key as a real group, but a name-based equi-join would
+    // silently drop it from the output
+    val pa = point.alias("__bp")
+    val ca = ci.alias("__bc")
+    val cond = groupCols.map(c => col(s"__bp.$c") <=> col(s"__bc.$c"))
+      .reduce(_ && _)
+    pa.join(ca, cond)
+      .select(groupCols.map(c => col(s"__bp.$c").as(c)) ++
+        Seq(col("__bp.n").as("n"), col("__bp.mean_cents").as("mean_cents"),
+          col("__bc.b_eff").as("b_eff"),
+          col("__bc.ci_lo_cents").as("ci_lo_cents"),
+          col("__bc.ci_hi_cents").as("ci_hi_cents")): _*)
   }
 
   /** Cohen's kappa (Cohen '60) — agreement between two categorical

@@ -2716,6 +2716,12 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long)].collect().head
     assert(g3._4 >= 1L && g3._4 < 64L, s"1-row group must lose resamples: $g3")
     assert(g3._5 == 500L && g3._6 == 500L, s"surviving means are all 500: $g3")
+    // a NULL group key is a real group and must survive the join
+    val nullg = (1L to 30L).map(i => (null.asInstanceOf[String], i, 1.00))
+      .toDF("g", "rid", "v")
+    val g4 = Relational.bootstrapMeanCi(nullg, Seq("g"), "rid", "v")
+      .as[(Option[String], Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g4 == Seq((None, 30L, 100L, 64L, 100L, 100L)), s"$g4")
   }
 
   test("cohenKappa: textbook 2x2 reads 0.4 exactly; NULLs excluded; pe = 1 reads NULL") {
