@@ -1742,6 +1742,20 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    "pipeline_mix_plan" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // token-budget water-filling planner: a 40/30/20/10 recipe over
+      // four sources, 2-epoch cap, 9000-token budget — the high-weight
+      // source SATURATES and its shortfall flows to the rest
+      // proportionally; the whole plan is the cross-multiplied integer
+      // water-filling, hash-gated
+      val counted = pipeline.TextAnalysis.tokenCounts(s.table("documents"), "text")
+      pipeline.TextAnalysis.mixPlan(counted, "source", "n_ws_tokens",
+          Map("src0" -> 400000L, "src1" -> 300000L,
+            "src2" -> 200000L, "src3" -> 100000L),
+          budgetTokens = 9000L, maxEpochs = 2)
+        .orderBy("source")
+    },
     "pipeline_drift" -> { (s, dir) =>
       prep(s, dir, "documents")
       // snapshot drift monitor: doc-length histograms of two corpus
@@ -6010,6 +6024,42 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          FROM tg JOIN bg USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
+    "pipeline_mix_plan" ->
+      """WITH tok AS (SELECT source,
+                        CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          x -> len(x) > 0))) AS BIGINT) AS av
+                      FROM documents GROUP BY 1),
+              w AS (SELECT * FROM (VALUES ('src0', 400000), ('src1', 300000),
+                      ('src2', 200000), ('src3', 100000)) t(source, target_ppm)),
+              base AS (SELECT w.source, CAST(w.target_ppm AS BIGINT) AS target_ppm,
+                         CAST(coalesce(tok.av, 0) AS BIGINT) AS avail_tokens,
+                         CAST(coalesce(tok.av, 0) * 2 AS BIGINT) AS cap
+                       FROM w LEFT JOIN tok USING (source)),
+              st AS (SELECT *,
+                       coalesce(sum(CAST(cap AS HUGEINT)) OVER obefore, 0) AS pc,
+                       coalesce(sum(CAST(target_ppm AS HUGEINT)) OVER obefore, 0) AS pw
+                     FROM base
+                     WINDOW obefore AS (ORDER BY CAST(cap AS DOUBLE) / CAST(target_ppm AS DOUBLE), source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              fl AS (SELECT *, CAST(cap AS HUGEINT) * (1000000 - pw) <=
+                       (9000 - pc) * CAST(target_ppm AS HUGEINT) AS saturated
+                     FROM st),
+              agg AS (SELECT
+                        coalesce(sum(CASE WHEN saturated THEN CAST(cap AS HUGEINT) ELSE 0 END), 0) AS csat,
+                        coalesce(sum(CASE WHEN saturated THEN target_ppm ELSE 0 END), 0) AS wsat
+                      FROM fl),
+              al AS (SELECT fl.source, fl.avail_tokens, fl.target_ppm,
+                       fl.cap AS capacity_tokens, fl.saturated,
+                       CASE WHEN fl.saturated THEN CAST(fl.cap AS HUGEINT)
+                            ELSE (CAST(fl.target_ppm AS HUGEINT) * (9000 - agg.csat))
+                                 // (1000000 - agg.wsat) END AS alloc
+                     FROM fl CROSS JOIN agg)
+         SELECT source, avail_tokens, target_ppm, capacity_tokens, saturated,
+                CAST(alloc AS BIGINT) AS alloc_tokens,
+                CASE WHEN avail_tokens > 0
+                     THEN CAST((alloc * 1000) // avail_tokens AS BIGINT) END AS epochs_milli,
+                CAST((alloc * 1000000) // 9000 AS BIGINT) AS achieved_ppm
+         FROM al ORDER BY source""",
     "text_decontam_batch" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),

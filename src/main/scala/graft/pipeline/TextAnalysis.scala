@@ -481,6 +481,89 @@ object TextAnalysis {
       .where(col("n_overlap") >= minHits)
   }
 
+  /** Token-budget WATER-FILLING mix planner — the recipe question
+    * [[sourceMix]] answers backwards: sourceMix APPLIES a share recipe
+    * to a corpus; this PLANS one — given per-source available tokens,
+    * target shares (ppm, summing to 10⁶), an epoch cap, and a total
+    * token budget, how many tokens does each source contribute when a
+    * source can run out? The classic water-filling answer: sources
+    * saturate in increasing capacity/weight order; the rest share the
+    * remaining budget proportionally.
+    *
+    * EXACT: the saturation test at each source (sorted by cap/weight,
+    * tie on source) is the cross-multiplied integer inequality
+    * `cap_s·(10⁶ − prefixW) ≤ (B − prefixC)·w_s` in DECIMAL(38,0) —
+    * no division until the final allocation `w_s·R DIV W_unsat`
+    * (truncating; Σalloc ≤ B with the remainder documented). The SORT
+    * key is the IEEE double cap/weight — both engines evaluate the
+    * same expression, and a misordering of near-equal ratios cannot
+    * change allocations (the exact test decides saturation, and
+    * equal-ratio sources saturate together or not at all).
+    * `epochs_milli = alloc·1000 DIV avail` exposes the repeat rate the
+    * plan implies (NULL for empty sources); `achieved_ppm` the actual
+    * mix share.
+    *
+    * Recipe sources absent from the corpus plan at 0 avail (their
+    * budget flows to the others); corpus sources absent from the
+    * recipe are EXCLUDED (the sourceMix contract).
+    *
+    * Output: `source, avail_tokens, target_ppm, capacity_tokens,
+    * saturated, alloc_tokens, epochs_milli, achieved_ppm`.
+    *
+    * Plan: one partial-aggregated per-source token rollup, then
+    * windows + a 1-row rollup over the ≤|sources| collapsed frame
+    * (the single-partition-over-collapsed-frame pattern — bounded by
+    * the recipe size, never the corpus). */
+  def mixPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+              weights: Map[String, Long], budgetTokens: Long,
+              maxEpochs: Int = 1): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty with positive ppm shares")
+    require(weights.values.sum == 1000000L,
+      s"target shares must sum to 1e6 ppm, got ${weights.values.sum}")
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = weights.toSeq.toDF("source", "target_ppm")
+    val avail = df.groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(tokensCol).cast("long")).as("__av"))
+    val base = wf.join(avail, Seq("source"), "left")
+      .select(col("source"), col("target_ppm"),
+        coalesce(col("__av"), lit(0L)).as("avail_tokens"),
+        (coalesce(col("__av"), lit(0L)) * maxEpochs).as("__cap"))
+    val ratio = expr("CAST(__cap AS DOUBLE) / CAST(target_ppm AS DOUBLE)")
+    val before = org.apache.spark.sql.expressions.Window.orderBy(ratio, col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val staged = base
+      .withColumn("__pc", coalesce(sum(col("__cap").cast(dec)).over(before),
+        lit(0).cast(dec)))
+      .withColumn("__pw", coalesce(sum(col("target_ppm").cast(dec)).over(before),
+        lit(0).cast(dec)))
+      .withColumn("saturated",
+        col("__cap").cast(dec) * (lit(1000000L).cast(dec) - col("__pw")) <=
+          (lit(budgetTokens).cast(dec) - col("__pc")) * col("target_ppm").cast(dec))
+    val sat = staged.agg(
+      coalesce(sum(when(col("saturated"), col("__cap")).otherwise(0L).cast(dec)),
+        lit(0).cast(dec)).as("__csat"),
+      coalesce(sum(when(col("saturated"), col("target_ppm")).otherwise(0L)),
+        lit(0L)).as("__wsat"))
+    staged.crossJoin(broadcast(sat))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("__cap"))
+          .otherwise(expr(
+            s"CAST((CAST(target_ppm AS DECIMAL(38,0)) * " +
+              s"(CAST($budgetTokens AS DECIMAL(38,0)) - __csat)) " +
+              "DIV (1000000 - __wsat) AS DECIMAL(38,0))").cast("long")))
+      .select(col("source"), col("avail_tokens"), col("target_ppm"),
+        col("__cap").as("capacity_tokens"), col("saturated"),
+        col("alloc_tokens"),
+        when(col("avail_tokens") > 0,
+          expr("(alloc_tokens * 1000L) DIV avail_tokens")).as("epochs_milli"),
+        expr(s"(alloc_tokens * 1000000L) DIV ${budgetTokens}L").as("achieved_ppm"))
+  }
+
   /** MULTI-benchmark decontamination in ONE corpus pass — the batch
     * twin of [[contamination]] for the real eval-governance shape
     * (MMLU + GSM8K + HumanEval + … screened together): per-benchmark
@@ -1630,12 +1713,12 @@ object TextAnalysis {
       .withColumn("__stratum", expr("__r % 1024"))
     val wIn = Window.partitionBy(col("__stratum"))
       .orderBy(col("__r"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val interior = base.withColumn("__pre",
       coalesce(sum(col("__n")).over(wIn), lit(0L)))
     val stratumTotals = base.groupBy("__stratum").agg(sum("__n").as("__t"))
     val wStr = Window.orderBy(col("__stratum"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = stratumTotals.withColumn("__off",
       coalesce(sum(col("__t")).over(wStr), lit(0L))).select("__stratum", "__off")
     interior.join(offsets.hint("broadcast"), Seq("__stratum"))

@@ -190,7 +190,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_nb_eval", "dedup_group_sizes",
     // r10 wave 5: tagged-benchmark broadcast gram join; detector core
     // over the dow-residual spine
-    "text_decontam_batch", "ts_cusum_deseasonal")
+    "text_decontam_batch", "ts_cusum_deseasonal",
+    // r10 wave 6: water-filling over the collapsed per-source frame
+    "pipeline_mix_plan")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -2652,6 +2652,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == out)
   }
 
+  test("mixPlan: hand-run water-filling — empty and small sources saturate, the rest split the remainder") {
+    // recipe a/b/c at 40/40/20; corpus: a = 10 tokens, b = 100, c absent
+    // (cap 0), d not in the recipe (excluded). Budget 60, 1 epoch:
+    // c saturates at 0, a at 10; b gets 400000·50 DIV 400000 = 50.
+    val docs = Seq(
+      ("a", 10L), ("b", 60L), ("b", 40L), ("d", 99L)
+    ).toDF("source", "n_tok")
+    val got = TextAnalysis.mixPlan(docs, "source", "n_tok",
+        Map("a" -> 400000L, "b" -> 400000L, "c" -> 200000L),
+        budgetTokens = 60L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Boolean, Long, Option[Long], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, 400000L, 10L, true, 10L, Some(1000L), 166666L),
+      ("b", 100L, 400000L, 100L, false, 50L, Some(500L), 833333L),
+      ("c", 0L, 200000L, 0L, true, 0L, None, 0L)), s"$got")
+    // an epoch cap raises capacity: with maxEpochs = 8, a's cap (80)
+    // still saturates against the proportional 60·0.4 = 24? no — the
+    // test is cap·suffixW vs remaining·w: 80·1e6 > 60·400000 → a is
+    // UNSATURATED too and the split is purely proportional
+    val g2 = TextAnalysis.mixPlan(docs, "source", "n_tok",
+        Map("a" -> 400000L, "b" -> 400000L, "c" -> 200000L),
+        budgetTokens = 60L, maxEpochs = 8)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Boolean, Long, Option[Long], Long)]
+      .collect().toSeq
+    // c (cap 0) saturates; a and b split 60 at 400000/800000 each = 30
+    assert(g2.map(r => (r._1, r._5, r._6)) ==
+      Seq(("a", false, 30L), ("b", false, 30L), ("c", true, 0L)), s"$g2")
+    // shares that don't sum to 1e6 are refused loudly
+    intercept[IllegalArgumentException](
+      TextAnalysis.mixPlan(docs, "source", "n_tok", Map("a" -> 5L), 60L))
+  }
+
   test("contaminationBatch: per-benchmark hits == per-benchmark contamination runs; shared grams count toward each") {
     val train = Seq(
       (1L, "a b c d e f g h tail"),      // leaks into both benchmarks
