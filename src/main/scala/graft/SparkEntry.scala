@@ -2430,6 +2430,41 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Maintenance.benfordAudit(v, "cents").orderBy("digit")
     },
+    "events_decile_lift" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // decile lift / gains table (composed): does total spend predict
+      // being a big-ticket buyer (any purchase ≥ $300)? Spend deciles
+      // via the exact-percentile bucketer (boundary pass + pure map —
+      // NO global sort), per-decile response rate, lift vs overall, and
+      // the cumulative gain walking from the top-spend decile down —
+      // the model-eval readout completing calibration/kappa/P-R-F1
+      val users = s.sql("""
+        SELECT user_id,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS spend_cents,
+               max(CASE WHEN event_type = 'purchase' AND value >= 300.0
+                        THEN 1L ELSE 0L END) AS responder
+        FROM events GROUP BY user_id""")
+      val bucketed = pipeline.Relational.quantileBuckets(users,
+        "spend_cents", nBuckets = 10)
+      val agg = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("responder").as("n_resp"))
+      val tot = agg.agg(sum("n").as("__tn"), sum("n_resp").as("__tx"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      agg.withColumn("__cum", sum("n_resp").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"), col("n_resp"),
+          expr("(n_resp * 1000000L) DIV n").as("resp_ppm"),
+          expr("""CASE WHEN __tx > 0 THEN
+                 CAST((CAST(n_resp AS DECIMAL(38,0)) * __tn * 1000000)
+                      DIV (CAST(n AS DECIMAL(38,0)) * __tx) AS BIGINT) END""")
+            .as("lift_ppm"),
+          expr("CASE WHEN __tx > 0 THEN (__cum * 1000000L) DIV __tx END")
+            .as("cum_gain_ppm"))
+        .orderBy(col("bucket").desc)
+    },
     "events_wilson_ranking" -> { (s, dir) =>
       prep(s, dir, "events")
       // campaigns ranked by the Wilson LOWER bound of their engaged-view
@@ -7543,6 +7578,34 @@ object SparkEntry {
                 min(CASE WHEN ss > 7 * 50000 THEN day END) AS first_alarm_day,
                 CAST(max(ss) // 7 AS BIGINT) AS max_cusum_cents
          FROM s GROUP BY user_id, nd ORDER BY user_id""",
+    "events_decile_lift" ->
+      """WITH u AS (SELECT user_id,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend,
+                      CAST(max(CASE WHEN event_type = 'purchase' AND value >= 300.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS responder
+                    FROM events GROUP BY 1),
+              b AS (SELECT unnest(quantile_cont(spend,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q FROM u),
+              bc AS (SELECT CAST(floor(q * 100 + 0.5) AS BIGINT) AS c FROM b),
+              x AS (SELECT spend, responder,
+                      (SELECT count(*) FROM bc WHERE u2.spend * 100 > bc.c) AS bucket
+                    FROM u u2),
+              a AS (SELECT CAST(bucket AS INT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(responder) AS BIGINT) AS n_resp
+                    FROM x GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_resp) AS BIGINT) AS tx FROM a),
+              cm AS (SELECT a.*, sum(n_resp) OVER (ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                     FROM a)
+         SELECT cm.bucket, cm.n, cm.n_resp,
+                CAST((cm.n_resp * 1000000) // cm.n AS BIGINT) AS resp_ppm,
+                CASE WHEN t.tx > 0 THEN
+                  CAST((CAST(cm.n_resp AS HUGEINT) * t.tn * 1000000)
+                       // (CAST(cm.n AS HUGEINT) * t.tx) AS BIGINT) END AS lift_ppm,
+                CASE WHEN t.tx > 0 THEN
+                  CAST((cum * 1000000) // t.tx AS BIGINT) END AS cum_gain_ppm
+         FROM cm CROSS JOIN t ORDER BY cm.bucket DESC""",
     "ts_cusum_deseasonal" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

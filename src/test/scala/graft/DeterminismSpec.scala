@@ -191,8 +191,9 @@ class DeterminismSpec extends AnyFunSuite {
     // r10 wave 5: tagged-benchmark broadcast gram join; detector core
     // over the dow-residual spine
     "text_decontam_batch", "ts_cusum_deseasonal",
-    // r10 wave 6: water-filling over the collapsed per-source frame
-    "pipeline_mix_plan")
+    // r10 wave 6: water-filling over the collapsed per-source frame;
+    // percentile-boundary deciles + collapsed cumulative-gain window
+    "pipeline_mix_plan", "events_decile_lift")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
