@@ -755,6 +755,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming multi-benchmark gate: tagged broadcast grams screen a doc stream, stream == batch") {
+    // contaminationBatch's benchmark side is a broadcast constant; the
+    // per-(doc, bench) hit count is a streaming aggregation → COMPLETE
+    // mode (the template-census convention; docs are micro-batch-unique
+    // here, so complete == the batch run)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "a b c d e f g h tail"), (2L, "p q r s t u v w tail"),
+      (3L, "clean text with nothing shared against either benchmark"))
+    val benches = Seq(("bA", "a b c d e f g h"), ("bB", "p q r s t u v w"))
+      .toDF("bench", "text")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.pipeline.TextAnalysis.contaminationBatch(
+        src.toDF().toDF("doc_id", "text"), benches, "doc_id", "text", "bench")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decontam_batch_stream").start()
+    try {
+      src.addData(rows.take(2): _*); q.processAllAvailable()
+      src.addData(rows.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("decontam_batch_stream")
+        .collect().map(_.toString).toSet
+      val batch = graft.pipeline.TextAnalysis.contaminationBatch(
+          rows.toDF("doc_id", "text"), benches, "doc_id", "text", "bench")
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && streamed.size == 2, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming C4 line cleaning: the rule battery is a pure map, per-batch accounting == batch") {
     // c4LineClean is higher-order filters per row — no state: the SAME
     // operator cleans a crawl stream in append mode, rejects accounted
