@@ -34,6 +34,39 @@ import org.apache.spark.sql.SparkSession
   * so a failure can never masquerade as a fast success. */
 object Bench {
 
+  /** Parse the committed contention baseline (per-query honest minima).
+    * The baseline lives in `bench_baseline.json`, a COMMITTED artifact the
+    * bench only ever READS — r10 shipped the defense reading its baseline
+    * from `bench_full.json` while also WRITING that file, so back-to-back
+    * driver runs ratcheted the baseline up to the previous slow run and
+    * the 3× test silently disarmed (r10: `contended: []` while a dozen
+    * queries sat 8–27× over their honest minima). Splitting the files
+    * makes the baseline monotone under the only update path left: folding
+    * new honest minima in at certification time, by hand, in a commit.
+    * A baseline recorded at a DIFFERENT scale factor compares apples to
+    * oranges (a local sf0.001 run must not flag every sf0.1 query as
+    * contended) — the sf basename must match or the map is empty. */
+  def parseBaseline(txt: String, sfDir: String): Map[String, Double] = {
+    val start = txt.indexOf("\"queries\":")
+    val sameSf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .exists(m => new java.io.File(m.group(1)).getName ==
+        new java.io.File(sfDir).getName)
+    if (start < 0 || !sameSf) Map.empty
+    else {
+      val open = txt.indexOf("{", start)
+      val end = txt.indexOf("}", open)
+      """"([A-Za-z0-9_]+)":\s*(-?[0-9.eE+\-]+)""".r
+        .findAllMatchIn(txt.substring(open + 1, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The contention trigger: a min-of-2 exceeding 3× its committed
+    * baseline AND by > 0.5 s absolute (3× of a 50 ms query is timer
+    * noise) earns one end-of-suite retry. */
+  def suspectedContended(minOf2: Double, baseline: Double): Boolean =
+    baseline > 0 && minOf2 > 3 * baseline && minOf2 - baseline > 0.5
+
   /** Re-chunk every table of `srcDir` into multi-file parquet under
     * target/bench_staged/<sf-name>. events keeps its nanos-long `ts`
     * (written as plain BIGINT, which SparkEntry.prep handles identically).
@@ -110,34 +143,21 @@ object Bench {
     // r9 contention self-defense: min-of-2 cannot save BACK-TO-BACK passes
     // inside one co-tenant contention window (r5-r8: four rounds of driver
     // phantoms — 41 s for a query that runs 1.0 s solo — each costing a
-    // judge re-bench). The last committed bench_full.json rides along as
-    // the baseline; any query whose min-of-2 exceeds 3× its baseline (and
-    // by > 0.5 s absolute — 3× of a 50 ms query is timer noise) is re-run
-    // ONCE at the end of the suite, a later time window the original
-    // contention burst has usually left. Both numbers are reported
-    // machine-readably under "contended" so a residual outlier names
-    // itself instead of demanding a full judge re-run.
+    // judge re-bench). The COMMITTED bench_baseline.json (never written by
+    // this program — see parseBaseline for the r10 self-overwrite defect)
+    // supplies per-query honest minima; any query whose min-of-2 trips
+    // `suspectedContended` is re-run ONCE at the end of the suite, a later
+    // time window the original contention burst has usually left. Both
+    // numbers are reported machine-readably under "contended" so a
+    // residual outlier names itself instead of demanding a judge re-run.
     val baseline: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("bench_full.json"))
-      val start = txt.indexOf("\"queries\":{")
-      // a baseline recorded at a DIFFERENT scale factor compares apples to
-      // oranges (a local sf0.001 run must not flag every sf0.1 query as
-      // contended) — the sf basename must match
-      val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-        .exists(m => new java.io.File(m.group(1)).getName ==
-          new java.io.File(sfDir).getName)
-      if (start < 0 || !sameSf) Map.empty
-      else {
-        val end = txt.indexOf("}", start)
-        """"([A-Za-z0-9_]+)":(-?[0-9.eE+\-]+)""".r
-          .findAllMatchIn(txt.substring(start + 11, end))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      parseBaseline(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_baseline.json")), sfDir)
     } catch { case _: Throwable => Map.empty }
     val contended = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val results = firstPass.map { case r @ (name, t, ok) =>
       val base = baseline.getOrElse(name, -1.0)
-      if (ok && base > 0 && t > 3 * base && t - base > 0.5) {
+      if (ok && suspectedContended(t, base)) {
         val t2 = try onePass(SparkEntry.queries(name)) catch { case _: Throwable => t }
         System.err.println(f"[bench] $name suspected contended: min2=$t%.2fs baseline=$base%.2fs retry=$t2%.2fs")
         contended += ((name, t, t2))

@@ -6074,7 +6074,8 @@ object SparkEntry {
                        coalesce(sum(CAST(cap AS HUGEINT)) OVER obefore, 0) AS pc,
                        coalesce(sum(CAST(target_ppm AS HUGEINT)) OVER obefore, 0) AS pw
                      FROM base
-                     WINDOW obefore AS (ORDER BY CAST(cap AS DOUBLE) / CAST(target_ppm AS DOUBLE), source
+                     WINDOW obefore AS (ORDER BY cap // target_ppm,
+                       ((cap % target_ppm) * 1000000000000) // target_ppm, source
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
               fl AS (SELECT *, CAST(cap AS HUGEINT) * (1000000 - pw) <=
                        (9000 - pc) * CAST(target_ppm AS HUGEINT) AS saturated

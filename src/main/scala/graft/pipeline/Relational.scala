@@ -918,7 +918,11 @@ object Relational {
     val reps = base
       .groupBy(gcols :+ col("__rep"): _*)
       .agg(sum(col("__w").cast(dec)).as("__nw"),
-        sum((col("__w") * col("__x")).cast(dec)).as("__swx"))
+        // widen BEFORE the multiply (r10 advice): __w·__x in LONG first
+        // would overflow/ANSI-error at cent magnitudes past ~10¹⁸/9 where
+        // the DECIMAL oracle (HUGEINT in DuckDB) stays exact — the cast
+        // order must match the oracle's widening order
+        sum(col("__w").cast(dec) * col("__x").cast(dec)).as("__swx"))
       .where(col("__nw") > 0)
       .select(gcols :+ expr("CAST(__swx DIV __nw AS BIGINT)").as("__mean"): _*)
     val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__mean"))

@@ -541,6 +541,15 @@ object Search {
       .agg(count(lit(1)).as("__c")).agg(max("__c")).head
     require(dupR.isNullAt(0) || dupR.getLong(0) <= 1L,
       "rankingEval: a doc appears more than once in one query's run")
+    // TIED ranks are as corrupting as duplicate docs (r10 advice): the
+    // hits window orders by rankCol with the default RANGE frame, so two
+    // rows at the same rank count each other as peers and the same DCG
+    // discount applies twice — AP and nDCG silently inflate. A run is a
+    // ranking; ties mean the producer is broken, so fail loudly.
+    val dupK = run.groupBy(col(queryCol), col(rankCol))
+      .agg(count(lit(1)).as("__c")).agg(max("__c")).head
+    require(dupK.isNullAt(0) || dupK.getLong(0) <= 1L,
+      "rankingEval: tied ranks within one query's run")
     // ideal DCG + n_rel: one window + one aggregate per query
     val wIdeal = Window.partitionBy(queryCol)
       .orderBy(col("__rel").desc, col(docCol).asc)

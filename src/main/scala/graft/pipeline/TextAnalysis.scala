@@ -495,10 +495,10 @@ object TextAnalysis {
     * `cap_s·(10⁶ − prefixW) ≤ (B − prefixC)·w_s` in DECIMAL(38,0) —
     * no division until the final allocation `w_s·R DIV W_unsat`
     * (truncating; Σalloc ≤ B with the remainder documented). The SORT
-    * key is the IEEE double cap/weight — both engines evaluate the
-    * same expression, and a misordering of near-equal ratios cannot
-    * change allocations (the exact test decides saturation, and
-    * equal-ratio sources saturate together or not at all).
+    * key is integer-exact too: (cap DIV w, ((cap % w)·10¹²) DIV w,
+    * source) — the house cross-multiplied discipline, so near-equal
+    * ratios order identically on every engine (equal ratios saturate
+    * together or not at all; the tie-break is the source name).
     * `epochs_milli = alloc·1000 DIV avail` exposes the repeat rate the
     * plan implies (NULL for empty sources); `achieved_ppm` the actual
     * mix share.
@@ -533,8 +533,18 @@ object TextAnalysis {
       .select(col("source"), col("target_ppm"),
         coalesce(col("__av"), lit(0L)).as("avail_tokens"),
         (coalesce(col("__av"), lit(0L)) * maxEpochs).as("__cap"))
-    val ratio = expr("CAST(__cap AS DOUBLE) / CAST(target_ppm AS DOUBLE)")
-    val before = org.apache.spark.sql.expressions.Window.orderBy(ratio, col("source"))
+    // EXACT saturation order (r10 verdict nit): the water-filling rank on
+    // cap/weight is the integer pair (cap DIV w, ((cap % w)·10¹²) DIV w) —
+    // quotient plus a scaled-remainder refinement. Distinct rationals with
+    // denominators ≤ 10⁶ differ by ≥ 10⁻¹² = 1 after the 10¹² scaling, so
+    // the floored refinement never collides on genuinely different ratios
+    // (and the remainder < 10⁶ keeps the product < 10¹⁸, exact in LONG),
+    // while equal ratios share both keys and fall to the source tie-break.
+    // A DOUBLE ratio could order engine-dependently below double precision
+    // at 10¹⁸-token capacities while the saturation test stayed exact.
+    val ratioQ = expr("__cap DIV target_ppm")
+    val ratioR = expr("((__cap % target_ppm) * 1000000000000L) DIV target_ppm")
+    val before = org.apache.spark.sql.expressions.Window.orderBy(ratioQ, ratioR, col("source"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val staged = base
       .withColumn("__pc", coalesce(sum(col("__cap").cast(dec)).over(before),
@@ -1854,9 +1864,14 @@ object TextAnalysis {
     def term(l: String) = s"right($l, 1) IN ('.', '!', '?', '\"')"
     def brace(l: String) = s"contains($l, '{')"
     def js(l: String) = s"contains(lower($l), 'javascript')"
+    // NULL text coalesces to '' → 0 lines, all counters 0 (r10 advice):
+    // split(NULL) would propagate NULL into every counter and the row
+    // would vanish from the loss accounting — the one way a document
+    // could leave this stage unaccounted, against the "every drop
+    // accounted" contract (clean_text stays NULL via the n_kept=0 arm)
     df.select(col(idCol),
-      expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> length(l) > 0)")
-        .as("__ls"))
+      expr(s"filter(transform(split(coalesce($textCol, ''), '\\n'), l -> trim(l)), " +
+        "l -> length(l) > 0)").as("__ls"))
       .select(col(idCol),
         expr("size(__ls)").cast("long").as("n_lines"),
         expr(s"filter(__ls, l -> ${wc("l")} >= $m AND ${term("l")} " +

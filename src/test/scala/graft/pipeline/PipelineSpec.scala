@@ -2687,6 +2687,38 @@ class PipelineSpec extends AnyFunSuite {
       TextAnalysis.mixPlan(docs, "source", "n_tok", Map("a" -> 5L), 60L))
   }
 
+  test("mixPlan: near-tie capacity/weight ratios order integer-exactly (r10 verdict nit)") {
+    // Ratios that provably COLLIDE as doubles: z = 10¹⁶/250000 = 4·10¹⁰
+    // exactly; b = (2·10¹⁶+1)/500000 = 4·10¹⁰ + 2·10⁻⁶. 2·10¹⁶+1 > 2⁵³, so
+    // CAST(2·10¹⁶+1 AS DOUBLE) rounds to 2·10¹⁶ and the two double ratios
+    // are bit-equal — the r10 double key would fall to the source
+    // tie-break and rank b ("b" < "z") FIRST, i.e. wrong. The exact pair
+    // key (cap DIV w, ((cap % w)·10¹²) DIV w) ranks z first: z → (4e10, 0),
+    // b → (4e10, 10¹² DIV 500000 = 2·10⁶).
+    // Budget 4·10¹⁶, maxEpochs 1. In the CORRECT order (z, b, c):
+    //   z: 10¹⁶·10⁶ ≤ 4·10¹⁶·250000 (equality) → SATURATED;
+    //   b: (2·10¹⁶+1)·750000 = 1.5·10²² + 750000 > 3·10¹⁶·500000 → not;
+    //   c: far over → not.
+    // In the WRONG order (b, z, c): b's test fails first
+    // ((2·10¹⁶+1)·10⁶ > 4·10¹⁶·500000 by 10⁶), then z's test runs with
+    // b's cap in the prefix and fails too → NOTHING saturates. The
+    // saturated flags are therefore order-sensitive evidence.
+    val docs = Seq(
+      ("z", 10000000000000000L), ("b", 20000000000000001L),
+      ("c", 50000000000000000L)).toDF("source", "n_tok")
+    val got = TextAnalysis.mixPlan(docs, "source", "n_tok",
+        Map("z" -> 250000L, "b" -> 500000L, "c" -> 250000L),
+        budgetTokens = 40000000000000000L)
+      .orderBy("source")
+      .select("source", "saturated", "alloc_tokens")
+      .as[(String, Boolean, Long)].collect().toSeq
+    // allocations: R = 3·10¹⁶ over W = 750000 → b: 2·10¹⁶, c: 10¹⁶
+    assert(got == Seq(
+      ("b", false, 20000000000000000L),
+      ("c", false, 10000000000000000L),
+      ("z", true, 10000000000000000L)), s"$got")
+  }
+
   test("contaminationBatch: per-benchmark hits == per-benchmark contamination runs; shared grams count toward each") {
     val train = Seq(
       (1L, "a b c d e f g h tail"),      // leaks into both benchmarks
@@ -2730,6 +2762,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(
       (1L, 5L, 1L, 1L, 1L, 1L, 1L, Some("one two three four five.")),
       (2L, 1L, 0L, 1L, 0L, 0L, 0L, None)), s"$got")
+  }
+
+  test("c4LineClean: a NULL text is accounted as 0 lines, not dropped from the loss profile (r10 advice)") {
+    val doc = Seq((1L, null.asInstanceOf[String]), (2L, "one two three four five."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineClean(doc, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 0L, 0L, 0L, None),
+      (2L, 1L, 1L, 0L, 0L, 0L, 0L, Some("one two three four five."))), s"$got")
   }
 
   test("bootstrapMeanCi: constant groups collapse to a point; CI brackets the mean; tiny groups lose resamples") {

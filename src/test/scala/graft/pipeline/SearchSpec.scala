@@ -338,4 +338,19 @@ class SearchSpec extends AnyFunSuite {
       Search.rankingEval(run, bad, "query", "doc_id", "rank", "rel", k = 5).collect())
     assert(e.getMessage.contains("relevance grade"), e.getMessage)
   }
+
+  test("rankingEval: tied ranks within one query's run fail loudly (r10 advice)") {
+    // two docs at rank 1: the RANGE-framed hits window would count peers
+    // and double-apply the rank-1 discount, silently inflating AP/nDCG
+    val run = Seq(("q", 1L, 1), ("q", 2L, 1)).toDF("query", "doc_id", "rank")
+    val truth = Seq(("q", 1L, 1L), ("q", 2L, 1L)).toDF("query", "doc_id", "rel")
+    val e = intercept[IllegalArgumentException](
+      Search.rankingEval(run, truth, "query", "doc_id", "rank", "rel", k = 5))
+    assert(e.getMessage.contains("tied ranks"), e.getMessage)
+    // the same ranks on DIFFERENT queries are fine
+    val run2 = Seq(("q", 1L, 1), ("p", 1L, 1)).toDF("query", "doc_id", "rank")
+    val truth2 = Seq(("q", 1L, 1L), ("p", 1L, 1L)).toDF("query", "doc_id", "rel")
+    val ok = Search.rankingEval(run2, truth2, "query", "doc_id", "rank", "rel", k = 5)
+    assert(ok.count() == 2)
+  }
 }
