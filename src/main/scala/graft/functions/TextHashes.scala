@@ -22,6 +22,50 @@ object Mix {
     x ^ (x >>> 31)
   }
 
+  /** 2^61 − 1, the Mersenne prime the minhash permutations run modulo.
+    * Chosen because BOTH engines can replay the affine step exactly:
+    * Spark via [[mulAddMod61]]'s 128-bit fold, DuckDB via HUGEINT
+    * `(a::HUGEINT * h + b) % 2305843009213693951`. */
+  val Mersenne61: Long = (1L << 61) - 1
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The house oracle-replayable 60-bit hash: the first 15 hex chars of
+    * md5(UTF-8 bytes) as a long — DuckDB replays it as
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`, Spark SQL as
+    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)`. 15 hex
+    * chars = the first 7.5 bytes = (first 8 bytes big-endian) >>> 4. */
+  def h60(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** (a·h + b) mod (2^61 − 1), EXACT for 0 ≤ a, h, b < 2^61: the 128-bit
+    * product folds via 2^64 ≡ 8 and 2^61 ≡ 1 (mod M). Every intermediate
+    * fits signed 64-bit: hi < 2^58 so hi·8 < 2^61; the fold sum is
+    * < 2^63. */
+  @inline def mulAddMod61(a: Long, h: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var r = (hi << 3) + (lo & Mersenne61) + (lo >>> 61) + b
+    r = (r & Mersenne61) + (r >>> 61)
+    if (r >= Mersenne61) r - Mersenne61 else r
+  }
+
+  /** MinHash permutation constants, md5-derived so the oracle can inline
+    * them as literals computed by the SAME function (no second source of
+    * truth): a_i = h60("mh:a:i") | 1 (nonzero mod M), b_i = h60("mh:b:i"). */
+  def minhashA(i: Int): Long = h60(s"mh:a:$i") | 1L
+  def minhashB(i: Int): Long = h60(s"mh:b:$i")
+
   /** Rolling shingle hashes over the codepoints of `s` (window = k chars),
     * lowercased, whitespace collapsed. Calls `f` once per shingle. */
   def forEachShingle(s: String, k: Int)(f: Long => Unit): Unit = {
@@ -76,27 +120,43 @@ object Mix {
 }
 
 /** minhash_signature(text, numHashes, shingleSize) → array<bigint>.
-  * k permutations derived from splitmix64 streams; min per permutation. */
+  *
+  * ORACLE-REPLAYABLE family (r11 — the r10 splitmix64 family was private
+  * to the JVM and kept the whole LSH pipeline rows-only): the signature
+  * is built from the DISTINCT character shingles of [[ShingleSet]] (the
+  * `regexp_replace(lower(text), '\s+', ' ')` normalization DuckDB already
+  * mirrors in 5+ green oracles — duplicates never mattered to a min), each
+  * shingle hashed once with the house md5-h60, then run through numHashes
+  * affine permutations `(a_i·h + b_i) mod (2^61 − 1)` ([[Mix.mulAddMod61]],
+  * constants [[Mix.minhashA]]/[[Mix.minhashB]]). Every step is exact
+  * integer arithmetic a SQL engine replays verbatim:
+  * `min((a_i::HUGEINT * h + b_i) % 2305843009213693951)` per permutation.
+  * One md5 + numHashes mulmods per shingle — same single-pass, zero-shuffle
+  * cost shape as before. ShingleSet yields ≥ 1 shingle for any non-null
+  * text (len ≤ n → the whole string), so the signature is total. */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   require(numHashes > 0 && shingleSize > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  // permutation parameters fixed per expression instance
+  // permutation parameters fixed per expression instance (md5-derived —
+  // the oracle inlines the SAME values as literals via Mix.minhashA/B)
   @transient private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(i => Mix.splitmix64(0x5eed0000L + i) | 1L) // odd
+    Array.tabulate(numHashes)(Mix.minhashA)
   @transient private lazy val bs: Array[Long] =
-    Array.tabulate(numHashes)(i => Mix.splitmix64(0xb5eed00L + i))
+    Array.tabulate(numHashes)(Mix.minhashB)
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    Mix.forEachShingle(s, shingleSize) { h =>
+    val it = ShingleSet.distinctShingles(
+      v.asInstanceOf[UTF8String].toString, shingleSize).iterator()
+    while (it.hasNext) {
+      val h = Mix.h60(it.next())
       var i = 0
       while (i < numHashes) {
-        val p = as(i) * h + bs(i)
+        val p = Mix.mulAddMod61(as(i), h, bs(i))
         if (p < mins(i)) mins(i) = p
         i += 1
       }
@@ -109,26 +169,35 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
   override def prettyName: String = "minhash_signature"
 }
 
-/** simhash64(text, shingleSize) → bigint (64-bit SimHash over shingle hashes). */
+/** simhash64(text, shingleSize) → bigint — 60-bit SimHash over the md5-h60
+  * hashes of the DISTINCT [[ShingleSet]] shingles (bits 60–63 are always
+  * zero; the [[graft.pipeline.Dedup]] Manku blocking is width-agnostic).
+  * Same r11 oracle-replayable recipe as [[MinHashSignature]]: bit b of the
+  * fingerprint is set iff Σ_shingles (2·bit_b(h60(shingle)) − 1) > 0 — a
+  * 60-column conditional-sum aggregate in SQL. Distinct shingles (set
+  * semantics, like the minhash) rather than occurrence counts: the
+  * near-dup verdict is Jaccard-verified downstream either way. */
 case class SimHash64(child: Expression, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val counts = new Array[Int](64)
-    Mix.forEachShingle(s, shingleSize) { h =>
+    val counts = new Array[Int](60)
+    val it = ShingleSet.distinctShingles(
+      v.asInstanceOf[UTF8String].toString, shingleSize).iterator()
+    while (it.hasNext) {
+      val h = Mix.h60(it.next())
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     Long.box(out)
   }
 
@@ -163,17 +232,37 @@ case class ShingleSet(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
+  override def nullSafeEval(v: Any): Any = {
+    val out = ShingleSet.distinctShingles(v.asInstanceOf[UTF8String].toString, n)
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_set"
+}
+
+object ShingleSet {
   private def isWs(c: Char): Boolean = // regex \s = [ \t\n\x0B\f\r]
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(v: Any): Any = {
+  /** Distinct character n-grams of the normalized text, first-occurrence
+    * order — the shared shingle recipe of [[ShingleSet]],
+    * [[MinHashSignature]] and [[SimHash64]] (ONE normalization for the
+    * whole dedup family, so the LSH blocking and the exact-Jaccard verify
+    * can never disagree about what a shingle is). */
+  def distinctShingles(raw: String, n: Int): java.util.LinkedHashSet[String] = {
     // Full-string lowering first via the UTF8String.toLowerCase replica
     // (ASCII per-char — locale-independent — else String#toLowerCase), not a
     // bare per-char Character.toLowerCase loop: special-cased codepoints like
     // U+0130 lower to MULTIPLE chars, which a per-char loop gets wrong.
     // DuckDB (utf8proc) still differs on those rare codepoints; on ASCII the
     // three agree exactly.
-    val s = WordTok.lowerLikeSpark(v.asInstanceOf[UTF8String].toString)
+    val s = WordTok.lowerLikeSpark(raw)
     val norm = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -193,16 +282,8 @@ case class ShingleSet(child: Expression, n: Int)
       var j = 0
       while (j + n <= t.length) { out.add(t.substring(j, j + n)); j += 1 }
     }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(arr)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
-    copy(child = newChild)
-  override def prettyName: String = "shingle_set"
 }
 
 /** cosine_sim(array<float>, array<float>) → double. Sequential double

@@ -30,6 +30,15 @@ object Dedup {
 
   private def minhashCol(text: Column, numHashes: Int, shingle: Int): Column =
     E.column(MinHashSignature(E.expression(text), numHashes, shingle))
+
+  /** Per-band bucket keys off a `sig` column — md5-h60 of
+    * `"band:p_i,p_i+1,…"` (r11: replaced xxhash64, which DuckDB cannot
+    * replay; the whole banding now unrolls into a SQL oracle). */
+  private def bandBucketsExpr(bands: Int, r: Int): String =
+    s"transform(sequence(0, ${bands - 1}), b -> " +
+      "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', " +
+      s"array_join(transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING)), ','))), " +
+      "1, 15), 16, 10) AS BIGINT))"
   private def simhashCol(text: Column, shingle: Int): Column =
     E.column(SimHash64(E.expression(text), shingle))
 
@@ -197,10 +206,9 @@ object Dedup {
     val r = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
       minhashCol(col(textCol), numHashes, shingle).as("sig"))
-    // band → bucket key (hash of the band's signature slice + band index)
+    // band → bucket key (md5-h60 of the band's signature slice + band index)
     val buckets = sigs.select(col("id"), posexplode(
-      expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
-      .as(Seq("band", "bucket")))
+      expr(bandBucketsExpr(bands, r))).as(Seq("band", "bucket")))
     val kept = Materialize(buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("__n") <= maxBucket)
@@ -261,8 +269,7 @@ object Dedup {
     df.select(col(idCol).as(side),
         minhashCol(col(textCol), numHashes, shingle).as("sig"))
       .select(col(side), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
-        .as(Seq("band", "bucket")))
+        expr(bandBucketsExpr(bands, r))).as(Seq("band", "bucket")))
   }
 
   /** Reference-side band keys with the maxBucket skew guard applied (the

@@ -458,6 +458,31 @@ object Similarity {
       .select(col(idCol), col("__ls").getItem(0).as("cluster"))
   }
 
+  /** [[assignClusters]]'s INTEGER-EXACT twin (r11): the
+    * [[trainCentroidsExact]] quantizer exposed standalone — md5-h60
+    * ("ivq:"∥id) spread sample, pure-long Lloyd on unit-quantized
+    * vectors, [[graft.functions.NearestIntCentroids]] assignment with
+    * smaller-id ties — so any op that BLOCKS on it (semanticDedup) can
+    * hash-gate against a DuckDB unroll instead of rows-only. Rows whose
+    * vector cannot be unit-quantized (NULL / zero norm / NaN-poisoned
+    * quantization) take cluster −1: they cannot clear any cosine
+    * threshold downstream, but they must not vanish from the corpus.
+    * Output: (idCol, cluster). Same plan shape as [[assignClusters]]:
+    * one TakeOrdered sample pass, driver Lloyd on ≤ sampleSize rows,
+    * one map-side assignment — the corpus never shuffles. */
+  def assignClustersExact(corpus: DataFrame, idCol: String, vecCol: String,
+                          nClusters: Int = 64, sampleSize: Int = 10000,
+                          iters: Int = 10): DataFrame = {
+    val cents = trainCentroidsExact(
+      spreadSampleUq(corpus, idCol, vecCol, sampleSize), nClusters, iters)
+    corpus
+      .withColumn("__uq", unitQuantizeFrom(Dedup.quantize(col(vecCol))))
+      .withColumn("__ls", E.column(graft.functions.NearestIntCentroids(
+        E.expression(col("__uq")), cents, 1)))
+      .select(col(idCol),
+        coalesce(col("__ls").getItem(0), lit(-1)).as("cluster"))
+  }
+
   /** IVF candidate pairs: corpus assigned to its nearest centroid (one
     * map-side pass, `list` column), queries probe their `nProbe` nearest
     * lists. The centroid table is trained on `sampleSize` corpus rows

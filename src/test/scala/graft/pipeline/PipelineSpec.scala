@@ -50,11 +50,12 @@ class PipelineSpec extends AnyFunSuite {
     // within hamming <= 3. The 6-choose-3 combinatorial blocking guarantees
     // each of them shares >= 1 clean key (Manku et al. pigeonhole), so the
     // candidate set must contain ALL of them — recall 1.0 inside the radius.
-    val words = "the quick brown fox jumps over the lazy dog while rain falls on the quiet river valley".split(" ")
-    val docs = (0 until 40).map { i =>
-      val w = words.updated(i % words.length, s"tok$i")
-      (i.toLong, w.mkString(" "))
-    }.toDF("doc_id", "text")
+    // 40 suffix-perturbed variants of one document (r11: the md5-h60
+    // distinct-shingle fingerprints spread more than the old multiplicity-
+    // counting family, so word REPLACEMENT no longer lands pairs inside
+    // radius 3 — a shared base plus a tiny unique suffix does, 134 pairs)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet river valley"
+    val docs = (0 until 40).map(i => (i.toLong, s"$base tk$i")).toDF("doc_id", "text")
 
     import org.apache.spark.sql.graftshim.{GraftShim => E}
     val fps = docs.select($"doc_id",
