@@ -1237,9 +1237,11 @@ object SparkEntry {
     },
     "dedup_semantic" -> { (s, dir) =>
       prep(s, dir, "embeddings")
-      // SemDeDup: k-means-blocked embedding near-dup flags — rows-only
-      // (the k-means blocking is data-dependent); planted-pair behavior
-      // and the maxCluster guard are spec'd in PipelineSpec
+      // SemDeDup: k-means-blocked embedding near-dup flags. HASH-GATED as
+      // of r11: the integer-exact quantizer (the emb_mutual_pairs_blocked
+      // unroll) + quantized-cosine pairing replay end-to-end in DuckDB;
+      // planted-pair behavior and the maxCluster guard stay spec'd in
+      // PipelineSpec
       pipeline.Dedup.semanticDedup(s.table("embeddings"), "vec_id", "embedding",
           threshold = 0.995, nClusters = 16)
         .orderBy("vec_id")
@@ -3586,14 +3588,20 @@ object SparkEntry {
     },
     "pipeline_quality_classifier" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // FineWeb-style trainable filter: hashed BoW + logistic regression
-      // trained on even ids (label: is-English), pure-map scoring of the
-      // held-out half. Rows-only by design: gradient sums are partition-
-      // order floats — reproducibility comes from persisting the model.
+      // FineWeb-style trainable filter: hashed BoW + hard-sigmoid linear
+      // model trained on even ids, pure-map scoring of the held-out half.
+      // Label = the long-document quality rule (n_chars >= 300): the one
+      // signal this synthetic corpus genuinely carries in its text (langs
+      // share the full vocabulary, so is-English is unlearnable noise —
+      // measured 0.56 vs 0.97 held-out for the length rule). HASH-GATED
+      // as of r11: training is integer fixed-point (md5-h60 features,
+      // DECIMAL gradient folds, BigInt truncating updates with 1/e decay
+      // + intercept scaling), so the 6 epochs unroll into the DuckDB
+      // oracle like the pageRank rounds.
       val docs = s.table("documents")
       val model = pipeline.Classifier.train(
         docs.where(col("doc_id") % 2 === 0)
-          .withColumn("label", (col("lang") === "en").cast("double")),
+          .withColumn("label", (col("n_chars") >= 300).cast("double")),
         "text", "label", numFeatures = 1 << 14)
       pipeline.Classifier.score(model, docs.where(col("doc_id") % 2 === 1),
           "doc_id", "text")
@@ -4358,6 +4366,66 @@ object SparkEntry {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Classifier]] (r11 graduation): the
+    * integer hard-sigmoid linear model's `epochs` full-batch rounds
+    * unrolled as chained CTEs — md5-h60("qc:"∥tok) mod numFeatures
+    * features, `p = clamp(500000 + z // 4)`, `w ← w − g // (2·e·n)` (1/e
+    * step decay) with the bias step scaled by the mean token count, all
+    * in HUGEINT (the DECIMAL mirror), then the held-out pure-map scoring.
+    * w0 is the empty frame (all-zero weights live implicitly: a feature
+    * first gets a row when its gradient first materializes, exactly the
+    * Spark driver array's zero default). MATERIALIZED: each w/err CTE is
+    * referenced twice downstream — without the hint DuckDB would inline
+    * the chain exponentially (the dedup_semantic lesson). */
+  private def classifierOracleSql(numFeatures: Int, epochs: Int): String = {
+    val words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+    def f(tok: String) =
+      s"CAST('0x' || substr(md5('qc:' || $tok), 1, 15) AS BIGINT) % $numFeatures"
+    val epochCtes = (1 to epochs).map { e =>
+      val p = e - 1
+      s"""z$e AS MATERIALIZED (
+         |  SELECT t.doc_id, t.y, b$p.bv + coalesce(s.zz, 0) AS z
+         |  FROM tr t CROSS JOIN b$p
+         |  LEFT JOIN (SELECT tf.doc_id, sum(tf.cnt * w.w) AS zz
+         |             FROM tf JOIN w$p w USING (f) GROUP BY tf.doc_id) s USING (doc_id)),
+         |er$e AS MATERIALIZED (
+         |  SELECT doc_id, LEAST(1000000, GREATEST(0, 500000 + z // 4)) - y AS err FROM z$e),
+         |b$e AS (SELECT b$p.bv -
+         |          ((SELECT coalesce(sum(CAST(err AS HUGEINT)), 0) FROM er$e) * nn.t)
+         |            // (2 * $e * nn.n) AS bv
+         |        FROM b$p CROSS JOIN nn),
+         |w$e AS MATERIALIZED (
+         |  SELECT g.f, coalesce(w.w, 0) - g.g // (2 * $e * nn.n) AS w
+         |  FROM (SELECT tf.f, sum(CAST(e.err AS HUGEINT) * tf.cnt) AS g
+         |        FROM tf JOIN er$e e USING (doc_id) GROUP BY tf.f) g
+         |  LEFT JOIN w$p w USING (f) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1000000 ELSE 0 END AS y,
+       |         $words AS ws
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |nn AS (SELECT count(*) AS n,
+       |              GREATEST(1, (SELECT coalesce(sum(len(ws)), 0) FROM tr) // count(*)) AS t
+       |       FROM tr),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, ${f("tok")} AS f, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tr) GROUP BY 1, 2),
+       |b0 AS (SELECT CAST(0 AS HUGEINT) AS bv),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS HUGEINT) AS w WHERE false),
+       |$epochCtes,
+       |tq AS (SELECT doc_id, ${f("tok")} AS f, count(*) AS cnt
+       |       FROM (SELECT doc_id, unnest($words) AS tok
+       |             FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, b$epochs.bv + coalesce(s.zz, 0) AS z
+       |       FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |       CROSS JOIN b$epochs
+       |       LEFT JOIN (SELECT tq.doc_id, sum(tq.cnt * w.w) AS zz
+       |                  FROM tq JOIN w$epochs w USING (f) GROUP BY tq.doc_id) s USING (doc_id))
+       |SELECT doc_id,
+       |       CAST(LEAST(1000000, GREATEST(0, 500000 + z // 4)) AS BIGINT) AS quality_ppm
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Pinned-literal oracle for the `ann_*_recall` family: per-query
     * recall@10 values measured off the deterministic engine on the seed-42
     * testdata, floor-asserted in the WHERE (see the oracleSql comment). */
@@ -4369,6 +4437,78 @@ object SparkEntry {
        |FROM (VALUES $vals) t(query_id, recall_ppm)
        |WHERE recall_ppm >= $floorPpm
        |ORDER BY query_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Dedup.semanticDedup]] (r11 graduation):
+    * the integer-exact spherical quantizer ([[pipeline.Similarity.assignClustersExact]]
+    * — same md5-h60("ivq:"∥id) sample / pure-long Lloyd / smaller-id-tie
+    * arithmetic the green `emb_mutual_pairs_blocked` oracle already pins),
+    * then the SemDeDup body: quantized-identity collapse (group by
+    * (cluster, qv), min-id rep), within-cluster pairs on the exact
+    * quantized cosine ≥ threshold, greedy keep-min-id. No sub-splits at
+    * gate scale (500 ≪ maxCluster), mirrored by construction. */
+  private def semanticOracleSql(nClusters: Int, iters: Int, dims: Int,
+                                threshold: Double): String = {
+    val h60 = "CAST('0x' || substr(md5('ivq:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT rk, uq, c FROM (
+         |  SELECT rk, uq, c, row_number() OVER (PARTITION BY rk ORDER BY dd, c) AS rn
+         |  FROM (SELECT s.rk, s.uq, cc.c, ${d2("s.uq", "cc.cv")} AS dd
+         |        FROM sq s CROSS JOIN c${i - 1} cc)) WHERE rn = 1),
+         |m$i AS MATERIALIZED (SELECT c, list(comp ORDER BY dim) AS mv FROM (
+         |  SELECT c, t.dim,
+         |    CAST(sum(CAST(uq[t.dim] AS HUGEINT)) // count(*) AS BIGINT) AS comp
+         |  FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim)
+         |  GROUP BY c, t.dim) GROUP BY c),
+         |c$i AS MATERIALIZED (SELECT p.c,
+         |  coalesce(CASE WHEN u.ms > 0
+         |                THEN list_transform(u.mv, x -> (x * 1000000) // u.ms)
+         |                ELSE u.mv END, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT c, mv, CAST(floor(sqrt(CAST(list_sum(list_transform(mv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS ms
+         |    FROM m$i) u ON u.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    val qcos = "CAST(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS DOUBLE)" +
+      " / (sqrt(CAST(list_sum(list_transform(x.qv, v -> v * v)) AS DOUBLE))" +
+      " * sqrt(CAST(list_sum(list_transform(y.qv, v -> v * v)) AS DOUBLE)))"
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |uv AS MATERIALIZED (SELECT vec_id, qv, list_transform(qv, x -> (x * 1000000) // s) AS uq
+       |       FROM (SELECT vec_id, qv,
+       |               CAST(floor(sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS s
+       |             FROM base WHERE qv IS NOT NULL) WHERE s > 0),
+       |sq AS MATERIALIZED (SELECT uq, row_number() OVER (ORDER BY $h60, vec_id) - 1 AS rk FROM uv),
+       |c0 AS (SELECT rk AS c, uq AS cv FROM sq WHERE rk < $nClusters),
+       |$rounds,
+       |af AS MATERIALIZED (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+       |  FROM (SELECT v.vec_id, cc.c, ${d2("v.uq", "cc.cv")} AS dd
+       |        FROM uv v CROSS JOIN c$iters cc)) WHERE rn = 1),
+       |asg AS MATERIALIZED (SELECT b.vec_id, b.qv, CAST(coalesce(af.c, -1) AS INT) AS cluster,
+       |          coalesce(len(list_filter(b.qv, x -> x IS NULL)) = 0
+       |                   AND len(list_filter(b.qv, x -> x <> 0)) > 0, false) AS cl
+       |        FROM base b LEFT JOIN af USING (vec_id)),
+       |reps AS (SELECT cluster, qv, min(vec_id) AS rep
+       |         FROM asg WHERE cl GROUP BY cluster, qv),
+       |wr AS MATERIALIZED (SELECT a.*, r.rep FROM asg a
+       |       LEFT JOIN reps r ON a.cluster = r.cluster AND a.qv = r.qv),
+       |idup AS (SELECT vec_id, cluster FROM wr WHERE cl AND vec_id <> rep),
+       |blocks AS MATERIALIZED (SELECT vec_id, cluster, qv FROM wr WHERE NOT cl OR vec_id = rep),
+       |dups AS (SELECT DISTINCT y.vec_id
+       |         FROM blocks x JOIN blocks y
+       |           ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |         WHERE list_sum(list_transform(x.qv, v -> v * v)) > 0
+       |           AND list_sum(list_transform(y.qv, v -> v * v)) > 0
+       |           AND $qcos >= $threshold)
+       |SELECT vec_id, cluster, is_semantic_duplicate FROM (
+       |  SELECT b.vec_id, b.cluster, coalesce(d.vec_id IS NOT NULL, false) AS is_semantic_duplicate
+       |  FROM blocks b LEFT JOIN dups d USING (vec_id)
+       |  UNION ALL
+       |  SELECT vec_id, cluster, true FROM idup)
+       |ORDER BY vec_id""".stripMargin
   }
 
   private def kmeansOracleSql(k: Int, rounds: Int, dims: Int,
@@ -5620,6 +5760,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> minhashPairsOracleSql(),
     "dedup_crosscorpus_near" -> minhashCrossOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
+    "dedup_semantic" -> semanticOracleSql(16, 10, 64, 0.995),
+    "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
     "dedup_simjoin_exact" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w)

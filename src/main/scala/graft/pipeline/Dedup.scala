@@ -971,15 +971,22 @@ object Dedup {
     * paraphrases and templated rewrites that lexical dedup (minhash /
     * simhash over surface n-grams) cannot see.
     *
-    * Recipe: [[Similarity.assignClusters]] (deterministic spherical
-    * k-means, one map-side assignment pass) blocks the corpus into
-    * nClusters semantic regions; within each cluster, a co-partitioned
-    * self-join tests single-pass exact cosine ≥ `threshold`; a doc is a
-    * duplicate iff some SMALLER-id doc in its cluster clears the
-    * threshold (greedy keep-min-id — deterministic, and at most one
-    * survivor per mutually-similar set; slightly more aggressive than a
-    * connected-components grouping on borderline non-transitive chains,
-    * matching the paper's per-cluster pruning).
+    * Recipe: [[Similarity.assignClustersExact]] (r11 — the INTEGER-EXACT
+    * spherical quantizer: md5-h60 spread sample, pure-long Lloyd,
+    * smaller-id ties; one map-side assignment pass) blocks the corpus
+    * into nClusters semantic regions; within each cluster, a
+    * co-partitioned self-join tests the exact QUANTIZED cosine
+    * ([[quantizedCosine]] — integer dot/norms, bit-identical in any
+    * engine) ≥ `threshold`; a doc is a duplicate iff some SMALLER-id doc
+    * in its cluster clears the threshold (greedy keep-min-id —
+    * deterministic, and at most one survivor per mutually-similar set;
+    * slightly more aggressive than a connected-components grouping on
+    * borderline non-transitive chains, matching the paper's per-cluster
+    * pruning). Every stage — sample, Lloyd rounds, assignment, identity
+    * collapse, pairing — is replayable integer/IEEE arithmetic, so the
+    * op HASH-GATES against a DuckDB unroll (r11; rows-only before).
+    * Rows whose vector cannot be unit-quantized take cluster −1 (they
+    * can never clear a cosine threshold but must not vanish).
     *
     * Scale shape: clustering shuffles nothing (plan-constant centroids);
     * the only shuffle is the block-key self-join, quadratic within a
@@ -1014,53 +1021,50 @@ object Dedup {
                     maxCluster: Int = 10000, maxSplitDepth: Int = 4): DataFrame = {
     // trained + assigned ONCE; materialized because it feeds the per-level
     // size checks, the pairing join (twice, via self-join) and the final
-    // flag join. The pairing predicate is CosineSim — a single-pass
-    // expression with fixed accumulation order (deterministic), not the
-    // interpreted higher-order quantized form: this op is rows-only, no
-    // oracle to stay bit-equal to
+    // flag join. The pairing predicate is quantizedCosine over the
+    // pre-quantized __qv (r11): integer dot/norms the oracle replays
+    // bit-exactly — the same cosine dedup_embedding_cosine hash-gates.
+    // __v (raw floats) rides along only as the sub-split re-clustering
+    // input; __qv is quantized ONCE here, not per pair.
     // materialized: the corpus-wide centroid assignment + vector join is
     // the most expensive upstream pass and feeds the rep aggregate, the
     // identity-dup frame and the blocks frame below — without this cut it
     // would recompute per downstream action
     val assigned = Materialize.cut(Similarity
-      .assignClusters(emb, idCol, vecCol, nClusters, sampleSize, iters)
-      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol))
-    // EXACT-duplicate collapse before anything quadratic: bit-equal
-    // vectors have cosine exactly 1 ≥ any threshold, so each (cluster,
-    // vector) identity group keeps only its min id in the pairwise
+      .assignClustersExact(emb, idCol, vecCol, nClusters, sampleSize, iters)
+      .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol)
+      .withColumn("__qv", quantize(col("__v"))))
+    // EXACT-duplicate collapse before anything quadratic: QUANTIZED-equal
+    // vectors have quantizedCosine exactly 1 ≥ any threshold, so each
+    // (cluster, __qv) identity group keeps only its min id in the pairwise
     // pipeline and every other member is flagged directly — a map-side-
     // combining aggregate (identical vectors collapse within each task,
     // so a 10^9-row boilerplate family ships ~one row per task, not 10^9)
-    // + one co-partitioned join. This is EXACT, not an approximation:
-    // for a non-rep x, rep < x with cos 1; for a rep r, any smaller
-    // similar y implies y's rep < r with the same cosine. Zero-norm and
-    // NaN vectors are exempt (their self-cosine is not 1) and keep
-    // individual rows. Giant identical families — exactly the clusters
-    // that used to detonate the within-block self-join or ride the chunk
-    // fallback — now cost one aggregate. Grouping uses the vector VALUE
-    // (no hash-collision false dups); Spark normalizes -0.0 at group
-    // keys, whose cosine is unaffected.
-    // coalesce pins three-valued logic: a NULL vector (or one whose only
-    // non-null elements are zeros) makes `exists` NULL, and a bare NULL
-    // predicate would drop the row from BOTH the collapse and the keep
-    // branch — silent document loss. Whole-NULL vectors are never
-    // collapsible (they keep their row and can never flag — CosineSim is
-    // NULL against them). Vectors with SOME null elements collapse like
-    // any other when group-equal: the columnar accessor reads a null
-    // element as 0.0 in the pairwise CosineSim stage too, so collapse and
-    // pairwise agree on their verdicts.
+    // + one co-partitioned join. This is EXACT in the op's own (quantized-
+    // cosine) semantics, not an approximation: for a non-rep x, rep < x
+    // with cos 1; for a rep r, any smaller similar y implies y's rep < r
+    // with the same cosine. Grouping moved from __v to __qv in r11 so the
+    // collapse and the pairwise predicate share ONE notion of equality —
+    // and so the DuckDB oracle can group by the same integer lists.
+    // Exempt (not collapsible, keep individual rows, can never flag):
+    // vectors whose quantization carries a NULL element (NaN/±Inf floats
+    // quantize to NULL → quantizedCosine is NULL) or is all-zero
+    // (denominator 0 → NaN → predicate false). coalesce pins three-valued
+    // logic: a NULL vector makes `exists` NULL, and a bare NULL predicate
+    // would drop the row from BOTH the collapse and the keep branch —
+    // silent document loss.
     val collapsible = coalesce(
-      exists(col("__v"), x => x =!= lit(0.0f)) &&
-        !exists(col("__v"), x => isnan(x)), lit(false))
+      !exists(col("__qv"), x => x.isNull) &&
+        exists(col("__qv"), x => x =!= lit(0L)), lit(false))
     val reps = assigned.where(collapsible)
-      .groupBy(col("cluster"), col("__v")).agg(min(col(idCol)).as("__rep"))
-    val withRep = assigned.join(reps, Seq("cluster", "__v"), "left")
+      .groupBy(col("cluster"), col("__qv")).agg(min(col(idCol)).as("__rep"))
+    val withRep = assigned.join(reps, Seq("cluster", "__qv"), "left")
     val identityDups = Materialize(withRep
       .where(collapsible && col(idCol) =!= col("__rep"))
       .select(col(idCol), col("cluster")))
     var blocks = Materialize.cut(withRep
       .where(!collapsible || col(idCol) === col("__rep"))
-      .select(col(idCol), col("cluster"), col("__v"))
+      .select(col(idCol), col("cluster"), col("__v"), col("__qv"))
       .withColumn("__blk", col("cluster").cast("string")))
     // (a, b) rep-chain pairs, a < b — collected to the driver (≤ #children
     // per split: ≤ 64 for k-means splits, rows/maxCluster for chunk splits;
@@ -1117,7 +1121,7 @@ object Dedup {
             (over.map { case (b, n) =>
               val k = math.min(64, math.max(2, math.ceil(2.0 * n / maxCluster).toInt))
               val sub = prev.where(col("__blk") === b)
-              val asg = Similarity.assignClusters(
+              val asg = Similarity.assignClustersExact(
                   sub.select(col(idCol), col("__v").as(vecCol)), idCol, vecCol,
                   k, sampleSize, iters)
                 .select(col(idCol), col("cluster").as("__sub"))
@@ -1167,8 +1171,7 @@ object Dedup {
     val within = blocks.as("x").join(blocks.as("y"),
         col("x.__blk") === col("y.__blk") &&
           col("x." + idCol) < col("y." + idCol))
-      .where(E.column(CosineSim(
-        E.expression(col("x.__v")), E.expression(col("y.__v")))) >= threshold)
+      .where(quantizedCosine(col("x.__qv"), col("y.__qv")) >= threshold)
       .select(col("y." + idCol).as(idCol))
     val dups = (if (chainRows.isEmpty) within
     else {
@@ -1178,12 +1181,11 @@ object Dedup {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("a", idType),
           org.apache.spark.sql.types.StructField("b", idType))))
-      val vecs = blocks.select(col(idCol).as("__cid"), col("__v"))
+      val vecs = blocks.select(col(idCol).as("__cid"), col("__qv"))
       val chained = chain
-        .join(vecs.withColumnRenamed("__v", "__va"), col("a") === col("__cid")).drop("__cid")
-        .join(vecs.withColumnRenamed("__v", "__vb"), col("b") === col("__cid")).drop("__cid")
-        .where(E.column(CosineSim(
-          E.expression(col("__va")), E.expression(col("__vb")))) >= threshold)
+        .join(vecs.withColumnRenamed("__qv", "__qa"), col("a") === col("__cid")).drop("__cid")
+        .join(vecs.withColumnRenamed("__qv", "__qb"), col("b") === col("__cid")).drop("__cid")
+        .where(quantizedCosine(col("__qa"), col("__qb")) >= threshold)
         .select(col("b").as(idCol))
       within.union(chained)
     }).distinct()
@@ -1247,7 +1249,12 @@ object Dedup {
     import org.apache.spark.sql.graftshim.{GraftShim => E}
     def qdot(a: Column, b: Column): Column =
       E.column(graft.functions.QuantizedDot(E.expression(a), E.expression(b)))
-    qdot(qa, qb).cast("double") /
-      (sqrt(qdot(qa, qa).cast("double")) * sqrt(qdot(qb, qb).cast("double")))
+    // NULL on a zero-norm side (the CosineSim contract; r11): nothing to
+    // normalize — and under ANSI mode a 0.0 divisor would otherwise be a
+    // DIVIDE_BY_ZERO error instead of IEEE NaN. Values are unchanged for
+    // every nonzero pair (the guard only gates the division).
+    when(qdot(qa, qa) > 0L && qdot(qb, qb) > 0L,
+      qdot(qa, qb).cast("double") /
+        (sqrt(qdot(qa, qa).cast("double")) * sqrt(qdot(qb, qb).cast("double"))))
   }
 }

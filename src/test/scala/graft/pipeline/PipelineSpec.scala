@@ -414,9 +414,12 @@ class PipelineSpec extends AnyFunSuite {
     val zero = Seq.fill(dim)(0.0f)
     // a NULL-element vector makes the collapse predicate three-valued:
     // without the coalesce pin such rows would vanish from BOTH branches.
-    // Two group-equal null-element vectors DO dedup against each other
-    // (the columnar accessor reads null elements as 0.0 — in the pairwise
-    // cosine stage exactly as in the collapse), so 203 flags against 202.
+    // r11 contract (quantized space): a NULL element quantizes to NULL,
+    // the quantized cosine is NULL against ANYTHING, so null-element rows
+    // are never collapsible and never flag — unknown data is not a
+    // duplicate of anything (the pre-r11 float path read null elements as
+    // 0.0 and flagged 203 against 202; the quantized semantics are the
+    // ones the DuckDB oracle replays).
     val withNull = Seq.tabulate(dim)(d =>
       if (d == 0) null.asInstanceOf[java.lang.Float] else java.lang.Float.valueOf(0.5f))
     val emb = ((0L until 40L).map(i => (i, same.map(java.lang.Float.valueOf))) ++
@@ -429,8 +432,8 @@ class PipelineSpec extends AnyFunSuite {
       .select("vec_id", "is_semantic_duplicate").as[(Long, Boolean)].collect()
     assert(out.length == 44, s"every doc must survive, incl. zero and NULL-element vectors: ${out.length}")
     val flagged = out.filter(_._2).map(_._1).toSet
-    assert(flagged == (1L until 40L).toSet + 203L,
-      s"identical members except mins must flag; zero vectors never flag: $flagged")
+    assert(flagged == (1L until 40L).toSet,
+      s"identical members except the min must flag; zero and NULL-element vectors never flag: $flagged")
   }
 
   test("IVF recall survives a corpus whose head is one cluster (spread sample)") {
@@ -2182,7 +2185,7 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("floors to 0"), e.getMessage)
   }
-  test("quality classifier: separable planted data scores cleanly held-out") {
+  test("quality classifier: separable planted data scores cleanly held-out; training is partition-invariant") {
     // "spammy" docs carry promo tokens; "clean" docs carry prose tokens —
     // linearly separable, so a held-out split must score near-perfectly
     val rnd = new scala.util.Random(7)
@@ -2199,19 +2202,28 @@ class PipelineSpec extends AnyFunSuite {
     val held = df.where($"id" % 4 >= 2)
     val scored = Classifier.score(model, held, "id", "text")
       .join(held.select("id", "label"), "id")
-      .select($"label", $"quality_prob").as[(Double, Double)].collect()
-    val acc = scored.count { case (l, p) => (p >= 0.5) == (l == 1.0) }.toDouble / scored.length
+      .select($"label", $"quality_ppm").as[(Double, Long)].collect()
+    val acc = scored.count { case (l, p) => (p >= 500000L) == (l == 1.0) }.toDouble / scored.length
     assert(acc >= 0.98, s"separable data must score >= 0.98 held-out, got $acc")
     // filter stage keeps only above-threshold rows
-    val kept = Classifier.filterByQuality(model, held, "id", "text", 0.5)
+    val kept = Classifier.filterByQuality(model, held, "id", "text", 500000L)
     assert(kept.count() > 0 && kept.count() < held.count())
-    // persisted model round-trips and scores identically
-    val dir = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    // r11 determinism: integer fixed-point training is BIT-identical at
+    // any parallelism — the old MLlib float path drifted ulps with
+    // partition order, which is exactly what kept this op rows-only
+    val m3 = Classifier.train(df.where($"id" % 4 < 2).repartition(3),
+      "text", "label", numFeatures = 1 << 12)
+    val m32 = Classifier.train(df.where($"id" % 4 < 2).repartition(32),
+      "text", "label", numFeatures = 1 << 12)
+    assert(m3.bias == m32.bias && m3.weights.sameElements(m32.weights),
+      "trained weights must be bit-identical at 3 vs 32 partitions")
+    assert(m3.bias == model.bias && m3.weights.sameElements(model.weights))
+    // persisted model round-trips exactly (all integers)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
     Classifier.save(model, dir)
     val re = Classifier.load(dir)
-    val a = Classifier.score(model, held, "id", "text").orderBy("id").collect()
-    val b = Classifier.score(re, held, "id", "text").orderBy("id").collect()
-    assert(a.sameElements(b), "persisted model must score bit-identically")
+    assert(re.numFeatures == model.numFeatures && re.bias == model.bias &&
+      re.weights.sameElements(model.weights), "persisted model must round-trip exactly")
     // NULL text scores as an empty doc instead of NPE-ing the job
     val withNull = Seq((9999L, Option.empty[String])).toDF("id", "text")
     assert(Classifier.score(model, withNull, "id", "text").count() == 1L)
