@@ -1335,9 +1335,12 @@ object SparkEntry {
       prep(s, dir, "documents")
       // corpus-trained BPE: one distributed word-count pass, driver merge
       // learning over the (tiny) vocab table, broadcast-merges encode as a
-      // pure map. Rows-only: the segmentation itself is not SQL-
-      // expressible; round-trip exactness is hash-gated by
-      // text_bpe_roundtrip and the merge sequence is hand-verified in BpeSpec
+      // pure map. HASH-GATED as of r11: the 200 greedy merge steps unroll
+      // into the DuckDB oracle (bracketed-symbol string replace ==
+      // mergeAll), and encode-given-merges equals the training-final
+      // segmentation for corpus words; round-trip exactness stays gated
+      // by text_bpe_roundtrip and the merge sequence hand-verified in
+      // BpeSpec
       val docs = s.table("documents")
       val model = pipeline.Bpe.train(docs, "text", nMerges = 200)
       docs.select(col("doc_id"),
@@ -4426,6 +4429,56 @@ object SparkEntry {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Bpe]] train + encode for
+    * `text_bpe_encode` (r11 graduation): the `nMerges` greedy merge steps
+    * unrolled as chained CTEs. Each word's segmentation is a STRING of
+    * chr(30)∥symbol∥chr(31) brackets — `replace(seg, ⟨a⟩⟨b⟩, ⟨ab⟩)` is
+    * then EXACTLY the engine's left-to-right non-overlapping `mergeAll`
+    * (brackets stop mid-symbol false matches; a consumed bracket can
+    * never be the next occurrence's opening one, unlike a single-
+    * separator encoding). Step = pair counts (weighted by word counts) →
+    * argmax with (count DESC, pair ASC) ties — the trainFromCounts rule —
+    * applied only `WHERE cnt >= 2` (the early-stop: exhausted steps
+    * no-op idempotently). Encode-given-merges equals the training-final
+    * segmentation for corpus words (greedy min-rank replays merges in
+    * rank order — verified against the engine on the full corpus), so
+    * `n_bpe_tokens = Σ_word |final seg|`. Bracket chars (0x1E/0x1F) are
+    * non-whitespace controls that cannot appear in \s-split words of
+    * clean text — oracle-side representation only, the engine never sees
+    * them. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    val (o, c) = ("chr(30)", "chr(31)")
+    val words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+    val steps = (1 to nMerges).map { i =>
+      val p = i - 1
+      s"""px$i AS (SELECT n, sl, unnest(generate_series(1, len(sl)-1)) AS j
+         |  FROM (SELECT n, string_split(substr(seg, 2, length(seg)-2), $c||$o) AS sl FROM sg$p)),
+         |pc$i AS (SELECT sl[j] AS a, sl[j+1] AS b, sum(n) AS cnt FROM px$i GROUP BY 1, 2),
+         |bt$i AS (SELECT * FROM (SELECT a, b, cnt FROM pc$i UNION ALL SELECT '', '', 0)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |sg$i AS MATERIALIZED (SELECT w, n,
+         |  CASE WHEN bt.cnt >= 2
+         |       THEN replace(seg, $o||bt.a||$c||$o||bt.b||$c, $o||bt.a||bt.b||$c)
+         |       ELSE seg END AS seg
+         |  FROM sg$p CROSS JOIN bt$i bt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT tok AS w, count(*) AS n
+       |  FROM (SELECT unnest($words) AS tok FROM documents) GROUP BY 1),
+       |sg0 AS MATERIALIZED (
+       |  SELECT w, n,
+       |    array_to_string(list_transform([substr(w, i, 1) for i in generate_series(1, length(w))],
+       |      x -> $o||x||$c), '') || $o||' '||$c AS seg
+       |  FROM wc),
+       |$steps,
+       |wlen AS (SELECT w, len(string_split(substr(seg, 2, length(seg)-2), $c||$o)) AS k FROM sg$nMerges),
+       |dw AS (SELECT doc_id, unnest($words) AS w FROM documents)
+       |SELECT d.doc_id, CAST(coalesce(s.t, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN (SELECT dw.doc_id, sum(wlen.k) AS t FROM dw JOIN wlen USING (w) GROUP BY 1) s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Pinned-literal oracle for the `ann_*_recall` family: per-query
     * recall@10 values measured off the deterministic engine on the seed-42
     * testdata, floor-asserted in the WHERE (see the oracleSql comment). */
@@ -5762,6 +5815,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_semantic" -> semanticOracleSql(16, 10, 64, 0.995),
     "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
+    "text_bpe_encode" -> bpeEncodeOracleSql(200),
     "dedup_simjoin_exact" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w)
