@@ -535,3 +535,102 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** r11 probes (VERDICT Next #6): the eval-governance ops at battery
+  * scale — contaminationBatch's broadcast headroom, mixPlan at 10³
+  * sources, decile lift at 100M rows. A separate main so the full r1–r8
+  * battery need not re-run to measure these. */
+object ScaleProbe11 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- contaminationBatch: 8 benchmarks × ~11k grams over 10M docs ----
+    // every 1000th train doc carries benchmark (id % 8)'s first 8-gram;
+    // the broadcast is the TAGGED union of all benchmarks' distinct grams
+    // (hash + tag), so the battery's cost ceiling is Σ_b |grams_b| — the
+    // corpus side is gram-hashed and scanned ONCE for the whole battery.
+    val train10m = spark.range(10000000L).selectExpr(
+      "id AS doc_id",
+      """CASE WHEN id % 1000 = 1
+           THEN concat_ws(' ', transform(sequence(0, 7), j ->
+                  concat('b', pmod(id, 8), 'x', j)))
+           ELSE concat_ws(' ', transform(sequence(0, 29), w ->
+                  concat('w', pmod(xxhash64(id, w), 5000))))
+         END AS text""")
+    val benches8 = spark.range(8L * 1250).selectExpr(
+      "concat('bench', id % 8) AS benchmark",
+      """concat_ws(' ', transform(sequence(0, 15), j ->
+           concat('b', id % 8, 'x', (id DIV 8) * 16 + j))) AS text""")
+    val benchGrams = benches8.select(col("benchmark"),
+      explode(pipeline.TextAnalysis.ngramHashes(col("text"), 8)).as("__g")).distinct()
+    val nGrams = benchGrams.count()
+    println(s"[scale]   battery grams: $nGrams tagged rows " +
+      f"(broadcast ≈ ${nGrams * 56 / 1e6}%.1f MB at ~56 B/row; the" +
+      " practical battery ceiling is ~10^7 grams ≈ 500 MB before the" +
+      " broadcast should become a shuffle join)")
+    val hits = timed("contaminationBatch (10M docs × 8 benchmarks, n=8)")(
+      pipeline.TextAnalysis.contaminationBatch(train10m, benches8,
+        "doc_id", "text", "benchmark", n = 8).count())
+    println(s"[scale]   contaminated (doc, benchmark) rows: $hits (expect 10000 planted)")
+
+    // ---- mixPlan at 10^3 sources over 10M corpus rows --------------------
+    // the corpus rollup is the only unbounded stage; the water-filling
+    // windows run over the 1000-row collapsed frame
+    // capacities spread ~linearly across sources so a mid-budget run
+    // exercises BOTH branches: small sources saturate, large ones split
+    val mixDf = spark.range(10000000L).selectExpr(
+      "concat('s', lpad(CAST(pmod(id, 1000) AS STRING), 4, '0')) AS source",
+      "pmod(xxhash64(id), 2 * (1 + pmod(id, 1000))) + 1 AS n_tok")
+    val weights1k = (0 until 1000).map(i => f"s$i%04d" -> 1000L).toMap
+    val plan = timed("mixPlan (10M rows, 1000 sources, budget = ~60% of the ~5e9 capacity)")(
+      pipeline.TextAnalysis.mixPlan(mixDf, "source", "n_tok", weights1k,
+        budgetTokens = 3000000000L).collect())
+    val alloc = plan.map(_.getAs[Long]("alloc_tokens")).sum
+    val nSat = plan.count(_.getAs[Boolean]("saturated"))
+    println(s"[scale]   sources: ${plan.length}, saturated: $nSat, " +
+      s"alloc total: $alloc <= 3000000000: ${alloc <= 3000000000L}")
+
+    // ---- decile lift at 100M events / 10M users ---------------------------
+    // wealth-planted signal: high-multiplier users spend more AND respond
+    // more, so lift must rise toward the top decile
+    val ev100m = spark.range(100000000L).selectExpr(
+      "pmod(xxhash64(id), 10000000) AS user_id",
+      "CASE WHEN id % 4 = 0 THEN 'purchase' ELSE 'view' END AS event_type",
+      """CAST(pmod(xxhash64(id, 3), 400) * (1 + pmod(pmod(xxhash64(id), 10000000), 10))
+         AS DOUBLE) / 10 AS value""")
+    ev100m.createOrReplaceTempView("__lift_events")
+    val users = spark.sql("""
+      SELECT user_id,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS spend_cents,
+             max(CASE WHEN event_type = 'purchase' AND value >= 300.0
+                      THEN 1L ELSE 0L END) AS responder
+      FROM __lift_events GROUP BY user_id""")
+    val lift = timed("decile lift (100M events -> 10M users -> 10 deciles)") {
+      val bucketed = pipeline.Relational.quantileBuckets(users, "spend_cents", nBuckets = 10)
+      bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("responder").as("n_resp"))
+        .orderBy(col("bucket").desc).collect()
+    }
+    val top = lift.head
+    val topPpm = top.getAs[Long]("n_resp") * 1000000L / top.getAs[Long]("n")
+    val bot = lift.last
+    val botPpm = bot.getAs[Long]("n_resp") * 1000000L / math.max(1L, bot.getAs[Long]("n"))
+    println(s"[scale]   top-decile resp ${topPpm} ppm vs bottom ${botPpm} ppm " +
+      s"(wealth plant => top must dominate: ${topPpm > botPpm})")
+
+    spark.stop()
+  }
+}
