@@ -1248,10 +1248,14 @@ object SparkEntry {
     },
     "ann_ivf_topk" -> { (s, dir) =>
       prep(s, dir, "embeddings")
-      // IVF coarse-quantizer ANN — rows-only (k-means blocking is
-      // data-dependent); recall floor measured in PipelineSpec
+      // IVF coarse-quantizer ANN. HASH-GATED as of r11: the registered
+      // variant is ivfTopKExact (the integer-exact quantizer the
+      // emb_mutual_pairs_blocked unroll already pins), so sample → Lloyd
+      // rounds → probing → ranked cosine replay end-to-end in DuckDB.
+      // The double-precision ivfTopK stays as the float-quantizer option;
+      // recall floors for BOTH are measured in PipelineSpec
       val emb = s.table("embeddings")
-      pipeline.Similarity.ivfTopK(
+      pipeline.Similarity.ivfTopKExact(
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
           nLists = 16, nProbe = 10)
         .orderBy("query_id", "rank")
@@ -1289,7 +1293,7 @@ object SparkEntry {
     "ann_lsh_recall" -> ((s, dir) => annRecall(s, dir,
       (emb, q) => pipeline.Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 10))),
     "ann_ivf_recall" -> ((s, dir) => annRecall(s, dir,
-      (emb, q) => pipeline.Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 10,
+      (emb, q) => pipeline.Similarity.ivfTopKExact(emb, q, "vec_id", "embedding", k = 10,
         nLists = 16, nProbe = 10))),
     "ann_pq_recall" -> ((s, dir) => annRecall(s, dir,
       (emb, q) => pipeline.Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 10))),
@@ -2397,6 +2401,36 @@ object SparkEntry {
       // pairwise integer slopes over the gap-filled spine — the
       // outlier-proof twin of events_trend's OLS
       pipeline.TimeSeries.theilSen(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
+    "events_bot_screen" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // bot/automation screen: high-volume metronomic users by exact
+      // median inter-event gap (x2-integral, the rel_mad convention) —
+      // the behavioral complement of the content-quality battery — r11
+      pipeline.TimeSeries.botScreen(s.table("events"), "user_id", "ts",
+          minEvents = 60, maxMedianGapMs = 25000000L)
+        .orderBy("user_id")
+    },
+    "pipeline_temporal_split" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // leakage-safe TEMPORAL split: train on the past, evaluate on the
+      // future — exact-percentile cutoffs, max(train ts) <= min(test ts)
+      // structural. Summary per split (the assignment is a pure map) — r11
+      pipeline.Maintenance.temporalSplit(s.table("events"), "ts")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          min(unix_micros(col("ts").cast("timestamp"))).as("min_ts_micros"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_micros"))
+        .orderBy("split")
+    },
+    "ts_mann_kendall" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // Mann-Kendall trend TEST per user: the nonparametric significance
+      // companion of ts_theil_sen — exact integer S and tie-corrected
+      // 18·Var(S), continuity-corrected z in milli-units (one IEEE sqrt,
+      // the house allowance) — r11
+      pipeline.TimeSeries.mannKendall(s.table("events"), "user_id", "ts", "value")
         .orderBy("user_id")
     },
     "ts_cusum_deseasonal" -> { (s, dir) =>
@@ -4479,6 +4513,72 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Similarity.ivfTopKExact]] for
+    * `ann_ivf_topk` (r11 graduation — the single-direction sibling of
+    * [[ivfMutualOracleSql]]): unit-quantize → md5-h60("ivq:"∥id) spread
+    * sample (first `sampleSize` rows) → seeds → `iters` pure-integer
+    * Lloyd rounds (MATERIALIZED — 10 chained rounds would otherwise
+    * inline exponentially) → corpus keyed by its 1 nearest list, the
+    * `vec_id < 5` queries probing `nProbe` → full-precision quantized
+    * cosine at the list join (self pairs excluded) → top-k by
+    * (cos DESC, neighbor ASC). */
+  private def ivfTopKOracleSql(nLists: Int, nProbe: Int, sampleSize: Int,
+                               iters: Int, dims: Int, k: Int): String = {
+    val h60 = "CAST('0x' || substr(md5('ivq:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT rk, uq, c FROM (
+         |  SELECT rk, uq, c, row_number() OVER (PARTITION BY rk ORDER BY dd, c) AS rn
+         |  FROM (SELECT s.rk, s.uq, cc.c, ${d2("s.uq", "cc.cv")} AS dd
+         |        FROM (SELECT * FROM sq WHERE rk < $sampleSize) s
+         |        CROSS JOIN c${i - 1} cc)) WHERE rn = 1),
+         |m$i AS MATERIALIZED (SELECT c, list(comp ORDER BY dim) AS mv FROM (
+         |  SELECT c, t.dim,
+         |    CAST(sum(CAST(uq[t.dim] AS HUGEINT)) // count(*) AS BIGINT) AS comp
+         |  FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim)
+         |  GROUP BY c, t.dim) GROUP BY c),
+         |c$i AS MATERIALIZED (SELECT p.c,
+         |  coalesce(CASE WHEN u.ms > 0
+         |                THEN list_transform(u.mv, x -> (x * 1000000) // u.ms)
+         |                ELSE u.mv END, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT c, mv, CAST(floor(sqrt(CAST(list_sum(list_transform(mv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS ms
+         |    FROM m$i) u ON u.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |uv AS MATERIALIZED (SELECT vec_id, qv, list_transform(qv, x -> (x * 1000000) // s) AS uq
+       |       FROM (SELECT vec_id, qv,
+       |               CAST(floor(sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS s
+       |             FROM base) WHERE s > 0),
+       |sq AS MATERIALIZED (SELECT uq, row_number() OVER (ORDER BY $h60, vec_id) - 1 AS rk FROM uv),
+       |c0 AS (SELECT rk AS c, uq AS cv FROM sq WHERE rk < $nLists),
+       |$rounds,
+       |co AS MATERIALIZED (SELECT vec_id AS neighbor_id, qv, lst FROM (
+       |  SELECT vec_id, qv, lst, row_number() OVER (PARTITION BY vec_id ORDER BY dd, lst) AS rn
+       |  FROM (SELECT v.vec_id, v.qv, cc.c AS lst, ${d2("v.uq", "cc.cv")} AS dd
+       |        FROM uv v CROSS JOIN c$iters cc)) WHERE rn = 1),
+       |qr AS (SELECT vec_id AS query_id, qv, lst FROM (
+       |  SELECT vec_id, qv, lst, row_number() OVER (PARTITION BY vec_id ORDER BY dd, lst) AS rn
+       |  FROM (SELECT v.vec_id, v.qv, cc.c AS lst, ${d2("v.uq", "cc.cv")} AS dd
+       |        FROM (SELECT * FROM uv WHERE vec_id < 5) v
+       |        CROSS JOIN c$iters cc)) WHERE rn <= $nProbe),
+       |pf AS (SELECT q.query_id, c.neighbor_id,
+       |  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)
+       |    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+       |     * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+       |  FROM qr q JOIN co c USING (lst)
+       |  WHERE q.query_id <> c.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos_scaled FROM (
+       |  SELECT query_id, neighbor_id, cos_scaled,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS INT) AS rank
+       |  FROM pf) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Pinned-literal oracle for the `ann_*_recall` family: per-query
     * recall@10 values measured off the deterministic engine on the seed-42
     * testdata, floor-asserted in the WHERE (see the oracleSql comment). */
@@ -5816,6 +5916,7 @@ object SparkEntry {
     "dedup_semantic" -> semanticOracleSql(16, 10, 64, 0.995),
     "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
     "text_bpe_encode" -> bpeEncodeOracleSql(200),
+    "ann_ivf_topk" -> ivfTopKOracleSql(16, 10, 10000, 10, 64, 10),
     "dedup_simjoin_exact" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w)
@@ -6042,7 +6143,7 @@ object SparkEntry {
     "ann_lsh_recall" -> annRecallOracleSql(
       Seq(900000L, 800000L, 600000L, 600000L, 900000L), floorPpm = 600000L),
     "ann_ivf_recall" -> annRecallOracleSql(
-      Seq(900000L, 1000000L, 900000L, 900000L, 1000000L), floorPpm = 800000L),
+      Seq(800000L, 800000L, 1000000L, 800000L, 900000L), floorPpm = 800000L),
     "ann_pq_recall" -> annRecallOracleSql(
       Seq(1000000L, 900000L, 1000000L, 1000000L, 1000000L), floorPpm = 800000L),
     // pca's query 0 is the documented near-uniform worst case (r=16 keeps
@@ -8044,6 +8145,59 @@ object SparkEntry {
                 min(CASE WHEN ss > 7 * 30000 THEN day END) AS first_alarm_day,
                 CAST(max(ss) // 7 AS BIGINT) AS max_cusum_cents
          FROM s GROUP BY user_id, nd ORDER BY user_id""",
+    "events_bot_screen" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p
+                    FROM events),
+              g AS (SELECT user_id, (t - p) // 1000 AS gap FROM o),
+              agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                        CAST(floor(quantile_cont(gap, 0.5) * 2 + 0.5) AS BIGINT) AS median_gap_ms_x2
+                      FROM g GROUP BY 1)
+         SELECT user_id, n_events, median_gap_ms_x2,
+                coalesce(n_events >= 60 AND median_gap_ms_x2 < 50000000, false) AS is_bot
+         FROM agg ORDER BY user_id""",
+    "pipeline_temporal_split" ->
+      """WITH c AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.8)) AS BIGINT) AS c1,
+                      CAST(floor(quantile_cont(epoch_us(ts), 0.9)) AS BIGINT) AS c2
+                    FROM events),
+              a AS (SELECT CASE WHEN epoch_us(ts) <= c.c1 THEN 'train'
+                                WHEN epoch_us(ts) <= c.c2 THEN 'val'
+                                ELSE 'test' END AS split,
+                           epoch_us(ts) AS t
+                    FROM events CROSS JOIN c)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(min(t) AS BIGINT) AS min_ts_micros,
+                CAST(max(t) AS BIGINT) AS max_ts_micros
+         FROM a GROUP BY 1 ORDER BY split""",
+    "ts_mann_kendall" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id,
+                      CAST(date_diff('day', DATE '1970-01-01', s.day) AS BIGINT) AS x,
+                      CAST(coalesce(b.cents, 0) AS BIGINT) AS y
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              ss AS (SELECT a.user_id,
+                       sum(CASE WHEN bb.y > a.y THEN 1 WHEN bb.y < a.y THEN -1 ELSE 0 END) AS s
+                     FROM f a JOIN f bb ON bb.user_id = a.user_id AND bb.x > a.x
+                     GROUP BY 1),
+              ti AS (SELECT user_id,
+                       CAST(sum(t) AS BIGINT) AS n,
+                       CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+                     FROM (SELECT user_id, y, count(*) AS t FROM f GROUP BY 1, 2)
+                     GROUP BY 1),
+              v AS (SELECT ss.user_id, CAST(ss.s AS BIGINT) AS s_stat, ti.n,
+                      n * (n - 1) * (2 * n + 5) - ti.tsum AS var18
+                    FROM ss JOIN ti USING (user_id))
+         SELECT user_id, n AS n_days, s_stat, var18,
+                CASE WHEN var18 > 0
+                     THEN CAST(floor((s_stat - sign(s_stat)) * 1000.0
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END AS z_milli
+         FROM v ORDER BY user_id""",
     "ts_theil_sen" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

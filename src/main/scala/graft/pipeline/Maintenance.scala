@@ -806,4 +806,44 @@ object Maintenance {
           .when(col("__ho") =!= col("__hn"), lit("changed")).as("change"))
       .where(col("change").isNotNull)
   }
+
+  /** LEAKAGE-SAFE TEMPORAL split (r11 — the time axis the md5-bucket
+    * [[graft.pipeline.TextAnalysis.groupAwareSplitBucket]] family does
+    * not cover: "train on the past, evaluate on the future" is the only
+    * split that measures a model the way production will use it, and a
+    * random split of time-stamped data silently leaks future state into
+    * training). Cutoffs are the exact R-7 percentiles of the epoch-micro
+    * timestamps at `trainPct` and `trainPct + valPct` (the rel_percentiles
+    * parity both engines pin), floored to a long; rows split by
+    * `micros ≤ c_train → train, ≤ c_val → val, else test`, so
+    * max(train ts) ≤ min(test ts) BY CONSTRUCTION — the leakage guard is
+    * structural, not audited after the fact.
+    *
+    * Output: input rows + `split` column. NULL timestamps are refused
+    * loudly (a row that cannot be placed on the time axis must not
+    * silently land in any split).
+    *
+    * Plan shape: one holistic percentile aggregate (two cutoffs from one
+    * pass) broadcast as a 1-row frame, then a pure map — the corpus is
+    * read twice and shuffled never. */
+  def temporalSplit(df: org.apache.spark.sql.DataFrame, tsCol: String,
+                    trainPct: Int = 80, valPct: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 99,
+      s"need 1 <= trainPct, 0 <= valPct, trainPct + valPct <= 99; got $trainPct/$valPct")
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val mc = coalesce(micros, expr(
+      s"raise_error('temporalSplit: NULL $tsCol — rows must be placeable on the time axis')"))
+    val p1 = trainPct / 100.0
+    val p2 = (trainPct + valPct) / 100.0
+    val cuts = df.agg(
+      expr(s"CAST(floor(percentile(unix_micros(CAST($tsCol AS TIMESTAMP)), $p1)) AS BIGINT)").as("__c1"),
+      expr(s"CAST(floor(percentile(unix_micros(CAST($tsCol AS TIMESTAMP)), $p2)) AS BIGINT)").as("__c2"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("split",
+        when(mc <= col("__c1"), lit("train"))
+          .when(mc <= col("__c2"), lit("val"))
+          .otherwise(lit("test")))
+      .drop("__c1", "__c2")
+  }
 }

@@ -753,6 +753,21 @@ object Similarity {
     rerank(cands, corpus, queries, idCol, vecCol, k)
   }
 
+  /** [[ivfTopK]] on the INTEGER-EXACT coarse quantizer
+    * ([[ivfScoredPairsExact]] — the emb_mutual_pairs_blocked machinery):
+    * identical plan shape, recall structure and output schema, but every
+    * stage from the training sample to the final ranked cosine is
+    * replayable integer/IEEE arithmetic — so the backing query
+    * (`ann_ivf_topk`, r11) HASH-GATES against a full DuckDB unroll
+    * instead of rows-only. The scored pairs come out of the fused list
+    * join already cosine'd; the tail is the same bounded two-phase
+    * top-k as every ANN variant. */
+  def ivfTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nLists: Int = 64, nProbe: Int = 8,
+                   sampleSize: Int = 10000, iters: Int = 10): DataFrame =
+    topKPerQuery(ivfScoredPairsExact(corpus, queries, idCol, vecCol,
+      nLists, nProbe, sampleSize, iters, excludeSelf = true), k)
+
   // ---- PQ (product quantization) ANN -----------------------------------
 
   /** PQ codebooks: the sample vectors are unit-normalized, split into `m`

@@ -1061,4 +1061,100 @@ object TimeSeries {
       .select(col(keyCol), col("__n").cast("long").as("n_days"),
         col("__m").as("n_pairs"), col("__slope").as("slope_ppm_day"))
   }
+
+  /** Per-key MANN–KENDALL trend TEST (Mann '45 / Kendall '75 — the
+    * nonparametric SIGNIFICANCE companion of [[theilSen]]: Theil–Sen
+    * answers "how steep", this answers "is there a monotone trend at
+    * all", immune to the distributional assumptions [[trend]]'s OLS
+    * carries). Over the gap-filled daily spine:
+    *
+    *  - `S = Σ_{i<j} sgn(y_j − y_i)` — exact integer;
+    *  - `var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)` — 18·Var(S) with
+    *    the standard tie correction, exact integers (gap-filled zero
+    *    days form a tie group like any other value);
+    *  - `z_milli = ⌊(S − sgn(S))·1000 / √(var18/18)⌋` — the continuity-
+    *    corrected normal grade; the √ is the house single-IEEE-op
+    *    allowance, everything else integer. NULL when var18 = 0 (all
+    *    days tied — no evidence either way); |z_milli| ≥ 1960 is the
+    *    conventional 5% two-sided call, left to the reader.
+    *
+    * COST: the same deliberate quadratic as [[theilSen]] (S is a pairwise
+    * sum), so the span cap defaults LOW and raising `maxSpanDays` is the
+    * explicit opt-in. Output: `keyCol, n_days, s_stat, var18, z_milli`.
+    *
+    * Plan shape: spine materializes once; the sign sum rides the same
+    * key-co-partitioned self-join as theilSen (one exchange per side,
+    * partial-aggregated); the tie term is one (key, value) groupBy off
+    * the SAME spine materialization. No window over pairs at all. */
+  /** BOT / AUTOMATION screen over an event stream (r11 — the behavioral
+    * complement of the content-side quality battery: scraped-then-
+    * resubmitted or synthetic traffic poisons training data exactly like
+    * boilerplate text does): per user, event count and the EXACT median
+    * inter-event gap; the flag fires when a user is BOTH high-volume and
+    * metronomic (`n_events ≥ minEvents AND median gap < maxMedianGapMs`).
+    *
+    * Exactness: gaps are integer milliseconds off consecutive timestamps
+    * ordered by the timestamp alone — equal timestamps contribute the
+    * same gap multiset under any stable order, so no tie-break column is
+    * needed; the median is the exact R-7 percentile whose ×2 value is
+    * integral on integer gaps (the rel_mad convention —
+    * `median_gap_ms_x2` ships as the exact long).
+    *
+    * Output: `userCol, n_events, median_gap_ms_x2, is_bot` (users with a
+    * single event have no gaps → NULL median, never flagged).
+    *
+    * Plan shape: one user-partitioned lag window + one groupBy(user) —
+    * both ride the same key exchange; per-user state is that user's own
+    * gap list inside the percentile aggregate (holistic, but bounded by
+    * one user's events — the per-GROUP regime the quantile sketch exists
+    * to avoid is the global one). */
+  def botScreen(events: DataFrame, userCol: String, tsCol: String,
+                minEvents: Long, maxMedianGapMs: Long): DataFrame = {
+    require(minEvents >= 2, s"minEvents must be >= 2, got $minEvents")
+    // order by the derived micros (ts is projected away): same total
+    // order, and equal timestamps yield the same gap multiset anyway
+    val w = Window.partitionBy(userCol).orderBy(col("__t"))
+    events
+      .select(col(userCol), unix_micros(col(tsCol).cast("timestamp")).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .withColumn("__gap", expr("(__t - __prev) DIV 1000"))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(floor(percentile(__gap, 0.5) * 2 + 0.5) AS BIGINT)")
+          .as("median_gap_ms_x2"))
+      .withColumn("is_bot",
+        coalesce(col("n_events") >= minEvents &&
+          col("median_gap_ms_x2") < 2 * maxMedianGapMs, lit(false)))
+  }
+
+  def mannKendall(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, maxSpanDays: Int = 1100): DataFrame = {
+    val spine = Materialize(
+      resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
+        .select(col(keyCol),
+          datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long").as("__x"),
+          col("value_cents").as("__y")))
+    val a = spine.select(col(keyCol), col("__x").as("__xa"), col("__y").as("__ya"))
+    val bb = spine.select(col(keyCol), col("__x").as("__xb"), col("__y").as("__yb"))
+    val s = a.join(bb, Seq(keyCol)).where(col("__xb") > col("__xa"))
+      .groupBy(keyCol)
+      .agg(sum(when(col("__yb") > col("__ya"), 1L)
+        .when(col("__yb") < col("__ya"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = spine.groupBy(col(keyCol), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("__nvals"),
+        sum(col("__t")).as("__n"),
+        sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tsum"))
+    s.join(ties, Seq(keyCol))
+      .withColumn("var18",
+        expr("__n * (__n - 1) * (2 * __n + 5) - __tsum"))
+      .select(col(keyCol), col("__n").as("n_days"), col("s_stat"),
+        col("var18"),
+        when(col("var18") > 0,
+          floor((col("s_stat") - signum(col("s_stat")).cast("long")) * lit(1000.0) /
+            sqrt(col("var18").cast("double") / 18.0)).cast("long"))
+          .as("z_milli"))
+  }
 }

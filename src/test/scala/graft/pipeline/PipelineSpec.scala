@@ -157,6 +157,14 @@ class PipelineSpec extends AnyFunSuite {
     info(f"IVF recall@10 = $recall%.3f; candidates = $nCands of ${10 * (nCorpus - 1)}")
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
     assert(nCands < 10 * (nCorpus - 1) * 0.75, s"IVF candidate set $nCands too large")
+    // r11: the integer-exact quantizer variant (the oracle-replayable one
+    // ann_ivf_topk registers) must hold the same floor on the same corpus
+    val exactQ = Similarity.ivfTopKExact(emb, queries, "vec_id", "embedding", 10,
+      nLists = 16, nProbe = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallE = (exact & exactQ).size.toDouble / exact.size
+    info(f"ivfTopKExact recall@10 = $recallE%.3f")
+    assert(recallE >= 0.8, s"ivfTopKExact recall $recallE below 0.8")
   }
 
   test("ANN PQ-ADC recall@10 >= 0.8 on near-uniform vectors (ANN worst case)") {
@@ -2092,6 +2100,31 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.knnLabelAccuracy(
         emb.withColumn("label", col("label").cast("string")),
         "vec_id", "embedding", "label", 3))
+  }
+
+  test("temporalSplit: past trains, future tests, the boundary is structural; NULL ts refuses") {
+    def t(d: Int) = new java.sql.Timestamp(1700000000000L + d * 86400000L)
+    val df = (0 until 100).map(i => (i.toLong, t(i))).toDF("id", "ts")
+    val got = Maintenance.temporalSplit(df, "ts", trainPct = 80, valPct = 10)
+    val bySplit = got.groupBy("split")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // exact-percentile cutoffs on 100 evenly spaced days: ranks 80.2/90.1
+    // interpolate between days 79-80 / 89-90 → train ids 0..79 (80 rows),
+    // val 80..89, test 90..99
+    assert(bySplit("train") == ("train", 80L, 0L, 79L), s"$bySplit")
+    assert(bySplit("val") == ("val", 10L, 80L, 89L), s"$bySplit")
+    assert(bySplit("test") == ("test", 10L, 90L, 99L), s"$bySplit")
+    // the leakage guard is structural: max(train ts) < min(test ts)
+    val mx = got.where($"split" === "train").agg(max("ts")).head.getTimestamp(0)
+    val mn = got.where($"split" === "test").agg(min("ts")).head.getTimestamp(0)
+    assert(mx.before(mn))
+    // NULL timestamps are refused loudly, not silently binned
+    val withNull = df.unionByName(
+      Seq((999L, null.asInstanceOf[java.sql.Timestamp])).toDF("id", "ts"))
+    val e = intercept[Exception](
+      Maintenance.temporalSplit(withNull, "ts").collect())
+    assert(e.getMessage.contains("temporalSplit"), e.getMessage)
   }
 
   test("snapshotDiff reports exactly added/removed/changed, never unchanged") {

@@ -718,4 +718,48 @@ class TimeSeriesSpec extends AnyFunSuite {
     val df = Seq((7L, ts(5), 1.00)).toDF("user_id", "ts", "value")
     assert(TimeSeries.theilSen(df, "user_id", "ts", "value").count() == 0L)
   }
+
+  test("botScreen: metronomic high-volume user flags; slow or single-event users never do") {
+    val base = 1700000000000000L // epoch micros
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows =
+      // user 1: 10 events exactly 2 s apart — median gap 2000 ms
+      (0 until 10).map(i => (1L, t(base + i * 2000000L))) ++
+      // user 2: 10 events 60 s apart — median gap 60000 ms
+      (0 until 10).map(i => (2L, t(base + i * 60000000L))) ++
+      // user 3: one event — no gaps, NULL median, never a bot
+      Seq((3L, t(base)))
+    val df = rows.toDF("user_id", "ts")
+    val got = TimeSeries.botScreen(df, "user_id", "ts",
+        minEvents = 10, maxMedianGapMs = 5000L)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(4000L), true),   // 2000 ms ×2
+      (2L, 10L, Some(120000L), false),
+      (3L, 1L, None, false)), s"$got")
+  }
+
+  test("mann-kendall: hand-computed S/var/z on a monotone series; all-tied days read NULL z") {
+    val df = Seq(
+      // key 1, days 1-5 strictly increasing: S = C(5,2) = 10, no ties ->
+      // var18 = 5*4*15 = 300; z = (10-1)*1000/sqrt(300/18) = 2204 (floor)
+      (1L, ts(1), 1.00), (1L, ts(2), 2.00), (1L, ts(3), 3.00),
+      (1L, ts(4), 4.00), (1L, ts(5), 5.00),
+      // key 2, 3 identical days: S = 0, one tie group of 3 ->
+      // var18 = 3*2*11 - 3*2*11 = 0 -> z NULL (no evidence either way)
+      (2L, ts(1), 2.00), (2L, ts(2), 2.00), (2L, ts(3), 2.00),
+      // key 3, days 1 and 3 (day 2 is a GAP -> 0 cents, a tie with
+      // nothing): values 100, 0, 50 -> S = sgn(0-100)+sgn(50-100)+sgn(50-0)
+      // = -1; n=3 no ties -> var18 = 66; z = (-1+1)*1000/sqrt(...) = 0
+      (3L, ts(1), 1.00), (3L, ts(3), 0.50)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.mannKendall(df, "user_id", "ts", "value")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 10L, 300L, Some(2204L)),
+      (2L, 3L, 0L, 0L, None),
+      (3L, 3L, -1L, 66L, Some(0L))), s"$got")
+  }
 }
