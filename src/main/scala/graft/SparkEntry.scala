@@ -1150,9 +1150,15 @@ object SparkEntry {
     },
     "ann_lsh_topk" -> { (s, dir) =>
       prep(s, dir, "embeddings")
-      // approximate — rows-only check; recall measured in PipelineSpec
+      // multi-probe LSH ANN. HASH-GATED as of r11: the registered variant
+      // is lshTopKExact — md5-h60-derived INTEGER hyperplanes over the
+      // quantized vector, exact integer margins with plane-index ties —
+      // so planes → sign buckets → margin-ranked probes → bucket join →
+      // quantized-cosine rerank replay end-to-end in DuckDB. The
+      // double-hyperplane lshTopK stays as the float option; recall
+      // floors for BOTH variants are measured in PipelineSpec
       val emb = s.table("embeddings")
-      pipeline.Similarity.lshTopK(
+      pipeline.Similarity.lshTopKExact(
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     },
@@ -1273,10 +1279,14 @@ object SparkEntry {
     },
     "ann_pq_topk" -> { (s, dir) =>
       prep(s, dir, "embeddings")
-      // product-quantization ADC scan + exact rerank — rows-only (the
-      // quantizer is data-defined); recall floor measured in PipelineSpec
+      // product-quantization ADC scan + exact rerank. HASH-GATED as of
+      // r11: the registered variant is pqTopKExact — md5-h60 sample
+      // order, per-subspace pure-long Lloyd codebooks, integer
+      // codes/LUTs/ADC — so training, compression, the shortlist and
+      // the rerank all replay in DuckDB. The double-codebook pqTopK
+      // stays as the float option; recall floors for BOTH in PipelineSpec
       val emb = s.table("embeddings")
-      pipeline.Similarity.pqTopK(
+      pipeline.Similarity.pqTopKExact(
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     },
@@ -1291,12 +1301,12 @@ object SparkEntry {
     // Any engine change that shifts an ANN ranking now names itself as a
     // recall delta instead of hiding behind "rows-only".
     "ann_lsh_recall" -> ((s, dir) => annRecall(s, dir,
-      (emb, q) => pipeline.Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 10))),
+      (emb, q) => pipeline.Similarity.lshTopKExact(emb, q, "vec_id", "embedding", k = 10))),
     "ann_ivf_recall" -> ((s, dir) => annRecall(s, dir,
       (emb, q) => pipeline.Similarity.ivfTopKExact(emb, q, "vec_id", "embedding", k = 10,
         nLists = 16, nProbe = 10))),
     "ann_pq_recall" -> ((s, dir) => annRecall(s, dir,
-      (emb, q) => pipeline.Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 10))),
+      (emb, q) => pipeline.Similarity.pqTopKExact(emb, q, "vec_id", "embedding", k = 10))),
     "ann_pca_recall" -> ((s, dir) => annRecall(s, dir,
       (emb, q) => pipeline.Similarity.pcaTopK(emb, q, "vec_id", "embedding", k = 10, r = 16))),
     "text_langid" -> { (s, dir) =>
@@ -4579,6 +4589,140 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Similarity.lshTopKExact]] for
+    * `ann_lsh_topk` (r11 graduation): hyperplane components regenerated
+    * from md5-h60("lshx:t:p:d") % 2^21 − 2^20 over range() cross joins,
+    * integer dots of the quantized vectors, sign buckets, margin-ranked
+    * (|dot| asc, plane asc) probeBits planes per (query, table), probe
+    * set = own bucket ∪ every ≤radius-subset flip (UNION branches per
+    * subset size), bucket equi-join, full-precision quantized cosine,
+    * top-k by (cos DESC, neighbor ASC). */
+  private def lshTopKOracleSql(numTables: Int, numPlanes: Int, dims: Int,
+                               probeBits: Int, radius: Int, k: Int): String = {
+    require(radius >= 1 && radius <= 3, "oracle unrolls subset sizes 1..3")
+    val flips = Seq(
+      """SELECT s1.vec_id, s1.t, xor(q.bucket, 1 << s1.p) AS bucket
+        |  FROM sel s1 JOIN qb q ON q.vec_id = s1.vec_id AND q.t = s1.t""".stripMargin,
+      """SELECT s1.vec_id, s1.t, xor(q.bucket, (1 << s1.p) + (1 << s2.p)) AS bucket
+        |  FROM sel s1 JOIN sel s2 ON s2.vec_id = s1.vec_id AND s2.t = s1.t AND s1.p < s2.p
+        |  JOIN qb q ON q.vec_id = s1.vec_id AND q.t = s1.t""".stripMargin,
+      """SELECT s1.vec_id, s1.t, xor(q.bucket, (1 << s1.p) + (1 << s2.p) + (1 << s3.p)) AS bucket
+        |  FROM sel s1 JOIN sel s2 ON s2.vec_id = s1.vec_id AND s2.t = s1.t AND s1.p < s2.p
+        |  JOIN sel s3 ON s3.vec_id = s1.vec_id AND s3.t = s1.t AND s2.p < s3.p
+        |  JOIN qb q ON q.vec_id = s1.vec_id AND q.t = s1.t""".stripMargin
+    ).take(radius).mkString("\n  UNION\n  ")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |pl AS MATERIALIZED (SELECT t, p, list(comp ORDER BY d) AS cv FROM (
+       |  SELECT t.t, p.p, d.d,
+       |    CAST('0x' || substr(md5('lshx:' || t.t || ':' || p.p || ':' || d.d), 1, 15) AS BIGINT)
+       |      % 2097152 - 1048576 AS comp
+       |  FROM range($numTables) t(t) CROSS JOIN range($numPlanes) p(p)
+       |  CROSS JOIN range($dims) d(d)) GROUP BY t, p),
+       |dots AS MATERIALIZED (SELECT b.vec_id, pl.t, pl.p,
+       |    CAST(list_sum(list_transform(list_zip(b.qv, pl.cv), z -> z[1] * z[2])) AS BIGINT) AS dot
+       |  FROM base b CROSS JOIN pl),
+       |cb AS MATERIALIZED (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |qb AS (SELECT vec_id, t, bucket FROM cb WHERE vec_id < 5),
+       |sel AS (SELECT vec_id, t, p FROM (
+       |  SELECT vec_id, t, p, row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot), p) AS rn
+       |  FROM dots WHERE vec_id < 5) WHERE rn <= $probeBits),
+       |probes AS (SELECT vec_id, t, bucket FROM qb
+       |  UNION
+       |  $flips),
+       |cand AS (SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes pr JOIN cb c ON c.t = pr.t AND c.bucket = pr.bucket
+       |  WHERE c.vec_id <> pr.vec_id),
+       |pf AS (SELECT cd.query_id, cd.neighbor_id,
+       |  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE)
+       |    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+       |     * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+       |  FROM cand cd
+       |  JOIN base q ON q.vec_id = cd.query_id
+       |  JOIN base c ON c.vec_id = cd.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos_scaled FROM (
+       |  SELECT query_id, neighbor_id, cos_scaled,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS INT) AS rank
+       |  FROM pf) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Similarity.pqTopKExact]] for
+    * `ann_pq_topk` (r11 graduation): unit-quantize → md5-h60("ivq:"∥id)
+    * sample order → per-subspace integer Lloyd, ALL subspaces per round
+    * in ONE CTE chain (state keyed (subspace, code) — iters rounds, not
+    * m·iters) → corpus codes → query integer LUTs → exact long ADC →
+    * k·expand shortlist by (adc DESC, neighbor ASC) → full-precision
+    * quantized-cosine rerank → top-k by (cos DESC, neighbor ASC). */
+  private def pqTopKOracleSql(m: Int, ksub: Int, sampleSize: Int, iters: Int,
+                              dims: Int, k: Int, expand: Int): String = {
+    val dsub = dims / m
+    val h60 = "CAST('0x' || substr(md5('ivq:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT rk, s, sv, c FROM (
+         |  SELECT t.rk, t.s, t.sv, kb.c,
+         |         row_number() OVER (PARTITION BY t.rk, t.s ORDER BY ${d2("t.sv", "kb.cv")}, kb.c) AS rn
+         |  FROM sv t JOIN k${i - 1} kb ON kb.s = t.s) WHERE rn = 1),
+         |m$i AS MATERIALIZED (SELECT s, c, list(comp ORDER BY dim) AS mv FROM (
+         |  SELECT s, c, t.dim,
+         |    CAST(sum(CAST(sv[t.dim] AS HUGEINT)) // count(*) AS BIGINT) AS comp
+         |  FROM a$i CROSS JOIN range(1, ${dsub + 1}) t(dim)
+         |  GROUP BY s, c, t.dim) GROUP BY s, c),
+         |k$i AS MATERIALIZED (SELECT p.s, p.c, coalesce(u.mv, p.cv) AS cv
+         |  FROM k${i - 1} p LEFT JOIN m$i u ON u.s = p.s AND u.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |uv AS MATERIALIZED (SELECT vec_id, qv, list_transform(qv, x -> (x * 1000000) // s) AS uq
+       |       FROM (SELECT vec_id, qv,
+       |               CAST(floor(sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))) AS BIGINT) AS s
+       |             FROM base) WHERE s > 0),
+       |sq AS MATERIALIZED (SELECT uq, row_number() OVER (ORDER BY $h60, vec_id) - 1 AS rk
+       |  FROM uv QUALIFY rk < $sampleSize),
+       |sv AS MATERIALIZED (SELECT rk, t.s, uq[t.s * $dsub + 1 : (t.s + 1) * $dsub] AS sv
+       |  FROM sq CROSS JOIN range($m) t(s)),
+       |k0 AS (SELECT s, rk AS c, sv AS cv FROM sv WHERE rk < $ksub),
+       |$rounds,
+       |cs AS MATERIALIZED (SELECT vec_id, s, c AS code FROM (
+       |  SELECT v.vec_id, t.s, kb.c,
+       |         row_number() OVER (PARTITION BY v.vec_id, t.s
+       |           ORDER BY ${d2(s"v.uq[t.s * $dsub + 1 : (t.s + 1) * $dsub]", "kb.cv")}, kb.c) AS rn
+       |  FROM uv v CROSS JOIN range($m) t(s)
+       |  JOIN k$iters kb ON kb.s = t.s) WHERE rn = 1),
+       |ql AS (SELECT v.vec_id AS query_id, kb.s, kb.c,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(v.uq[kb.s * $dsub + 1 : (kb.s + 1) * $dsub], kb.cv),
+       |      p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM (SELECT * FROM uv WHERE vec_id < 5) v CROSS JOIN k$iters kb),
+       |adc AS (SELECT l.query_id, n.vec_id AS neighbor_id, CAST(sum(l.dot) AS BIGINT) AS adc
+       |  FROM cs n JOIN ql l ON l.s = n.s AND l.c = n.code
+       |  WHERE l.query_id <> n.vec_id GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+       |  FROM adc) WHERE rn <= ${k * expand}),
+       |pf AS (SELECT sl.query_id, sl.neighbor_id,
+       |  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE)
+       |    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+       |     * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+       |  FROM sl
+       |  JOIN base q ON q.vec_id = sl.query_id
+       |  JOIN base c ON c.vec_id = sl.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos_scaled FROM (
+       |  SELECT query_id, neighbor_id, cos_scaled,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS INT) AS rank
+       |  FROM pf) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Pinned-literal oracle for the `ann_*_recall` family: per-query
     * recall@10 values measured off the deterministic engine on the seed-42
     * testdata, floor-asserted in the WHERE (see the oracleSql comment). */
@@ -5917,6 +6061,8 @@ object SparkEntry {
     "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
     "text_bpe_encode" -> bpeEncodeOracleSql(200),
     "ann_ivf_topk" -> ivfTopKOracleSql(16, 10, 10000, 10, 64, 10),
+    "ann_lsh_topk" -> lshTopKOracleSql(8, 10, 64, 8, 3, 10),
+    "ann_pq_topk" -> pqTopKOracleSql(8, 64, 10000, 10, 64, 10, 8),
     "dedup_simjoin_exact" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ws FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) sh FROM w)
@@ -6140,12 +6286,16 @@ object SparkEntry {
     // oracle's row set and fail the gate at authoring time). A re-pin is
     // only ever needed if the driver regenerates testdata with a new seed
     // — which would name itself as exactly these four rows going red.
+    // r11: re-pinned to lshTopKExact (the registered, hash-gated variant;
+    // mean recall 0.84 vs the double family's 0.76 on the same geometry)
     "ann_lsh_recall" -> annRecallOracleSql(
-      Seq(900000L, 800000L, 600000L, 600000L, 900000L), floorPpm = 600000L),
+      Seq(800000L, 1000000L, 900000L, 700000L, 800000L), floorPpm = 700000L),
     "ann_ivf_recall" -> annRecallOracleSql(
       Seq(800000L, 800000L, 1000000L, 800000L, 900000L), floorPpm = 800000L),
+    // r11: re-pinned to pqTopKExact (the registered, hash-gated variant;
+    // mean recall 0.94, matching the float codebooks on the same geometry)
     "ann_pq_recall" -> annRecallOracleSql(
-      Seq(1000000L, 900000L, 1000000L, 1000000L, 1000000L), floorPpm = 800000L),
+      Seq(900000L, 900000L, 900000L, 1000000L, 1000000L), floorPpm = 800000L),
     // pca's query 0 is the documented near-uniform worst case (r=16 keeps
     // 0.83 MEAN recall; per-query dips are in-contract — PcaSpec floors)
     "ann_pca_recall" -> annRecallOracleSql(

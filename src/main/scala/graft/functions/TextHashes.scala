@@ -426,6 +426,123 @@ case class LshProbes(child: Expression, numTables: Int, numPlanes: Int,
   override def prettyName: String = "lsh_probe_buckets"
 }
 
+/** Shared component table for the ORACLE-REPLAYABLE LSH family (r11):
+  * integer hyperplane components derived from the house md5-h60 hash —
+  * `comp(t,p,d) = h60("lshx:t:p:d") % 2^21 − 2^20` ∈ [−2^20, 2^20) —
+  * so DuckDB regenerates the identical planes from `range()` cross
+  * joins and the whole bucketing pipeline unrolls into a CTE oracle.
+  * Dots run over the QUANTIZED (`Dedup.quantize`) long vector: every
+  * term |qv·comp| < 2^22·2^20 = 2^42, so a 64-dim dot stays < 2^48 —
+  * exact in long on both engines. */
+private[functions] object LshExactPlanes {
+  /** [table][plane][dim], built once per expression instance. */
+  def planes(numTables: Int, numPlanes: Int, dim: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(numTables, numPlanes, dim) { (t, p, d) =>
+      Mix.h60(s"lshx:$t:$p:$d") % 2097152L - 1048576L
+    }
+}
+
+/** lsh_buckets_exact(qvec) → array<int>: [[LshBuckets]]'s INTEGER-EXACT
+  * twin over the quantized long vector — sign buckets of md5-h60-derived
+  * integer hyperplanes, replayable in DuckDB (see [[LshExactPlanes]]). */
+case class LshBucketsExact(child: Expression, numTables: Int, numPlanes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPlanes <= 30)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val planes: Array[Array[Array[Long]]] =
+    LshExactPlanes.planes(numTables, numPlanes, dim)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val plane = planes(t)(p)
+        var dot = 0L
+        var d = 0
+        while (d < n) { dot += a.getLong(d) * plane(d); d += 1 }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExact =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_buckets_exact"
+}
+
+/** lsh_probe_buckets_exact(qvec) → array<array<int>>: [[LshProbes]]'s
+  * INTEGER-EXACT twin — margin-ranked multi-probe (Lv et al. VLDB'07)
+  * where the margin is the exact integer |dot| and ties break on the
+  * plane index, so the probe SET is deterministic and a DuckDB
+  * row_number() replay selects the same probeBits planes. */
+case class LshProbesExact(child: Expression, numTables: Int, numPlanes: Int,
+                          dim: Int, probeBits: Int, radius: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPlanes <= 30 && probeBits <= numPlanes && radius <= probeBits)
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val planes: Array[Array[Array[Long]]] =
+    LshExactPlanes.planes(numTables, numPlanes, dim)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      val dots = new Array[Long](numPlanes)
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val plane = planes(t)(p)
+        var dot = 0L
+        var d = 0
+        while (d < n) { dot += a.getLong(d) * plane(d); d += 1 }
+        dots(p) = dot
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      // (|dot| asc, plane asc): a total order — DuckDB replays it as
+      // row_number() OVER (ORDER BY abs(dot), p)
+      val ranked = (0 until numPlanes).sortBy(p => (math.abs(dots(p)), p))
+        .take(probeBits).toArray
+      val probes = scala.collection.mutable.ArrayBuffer[Any](Int.box(bucket))
+      def expand(start: Int, mask: Int, depth: Int): Unit = {
+        var i = start
+        while (i < ranked.length) {
+          val m = mask | (1 << ranked(i))
+          probes += Int.box(bucket ^ m)
+          if (depth + 1 < radius) expand(i + 1, m, depth + 1)
+          i += 1
+        }
+      }
+      if (radius > 0) expand(0, 0, 0)
+      out(t) = new GenericArrayData(probes.toArray)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbesExact =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_probe_buckets_exact"
+}
+
 /** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii.
   * Fully codegen'd (not CodegenFallback): it is evaluated inside the
   * candidate-pair join stage, and a fallback expression there would break

@@ -303,6 +303,131 @@ case class UnitQuantize(child: Expression)
   override def prettyName: String = "unit_quantize"
 }
 
+/** pq_codes_int(uq) → array<int>: [[PqCodes]]'s INTEGER-EXACT twin over
+  * the UNIT-QUANTIZED long vector — per subspace, the index of the
+  * nearest (exact long d², ties → smaller code) entry of that subspace's
+  * integer codebook (`Similarity.trainPqCodebooksExact`). Magnitudes:
+  * unit-quantized components ≤ 10⁶, codebook entries are truncated means
+  * of the same, so per-dim diff² ≤ 4·10¹² and a d² over any dsub ≤ 4096
+  * stays < 2⁶³. NULL input / NULL element / dim mismatch → NULL (the
+  * QuantizedDot rule). */
+case class PqCodesInt(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val books: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val dsub = books(0)(0).length
+    if (vec.numElements() != m * dsub) return null
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Long.MaxValue
+      var k = 0
+      while (k < book.length) {
+        val cent = book(k)
+        var d2 = 0L
+        var j = 0
+        while (j < dsub) {
+          if (vec.isNullAt(off + j)) return null
+          val t = vec.getLong(off + j) - cent(j); d2 += t * t; j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = k } // strict < = smaller-code ties
+        k += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodesInt =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes_int"
+}
+
+/** pq_lut_int(uq) → array<bigint> (m·ksub, flattened): [[PqLut]]'s
+  * INTEGER-EXACT twin — exact long dot of the query's unit-quantized
+  * subvector with every integer codebook entry. |dot| ≤ dsub·10¹² —
+  * long-safe to dsub ≈ 9·10⁶. */
+case class PqLutInt(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val books: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    if (vec.numElements() != m * dsub) return null
+    val lut = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var k = 0
+      while (k < ksub) {
+        val cent = book(k)
+        var dot = 0L
+        var j = 0
+        while (j < dsub) {
+          if (vec.isNullAt(off + j)) return null
+          dot += vec.getLong(off + j) * cent(j); j += 1
+        }
+        lut(s * ksub + k) = dot
+        k += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutInt =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut_int"
+}
+
+/** pq_adc_long(codes, lut) → bigint: [[PqAdc]]'s integer twin —
+  * Σₘ lut[m·ksub + codes[m]], exact long adds (m ≤ 64 terms of
+  * ≤ dsub·10¹² each — no overflow at any sane geometry). */
+case class PqAdcLong(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(ksub >= 1)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0L
+    var s = 0
+    while (s < m) { acc += lut.getLong(s * ksub + codes.getInt(s)); s += 1 }
+    Long.box(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcLong = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_long"
+}
+
 private[functions] object PqSupport {
   /** float ArrayData → unit-normalized double array (zero vector kept). */
   def unitVec(vec: ArrayData, dim: Int): Array[Double] = {

@@ -360,6 +360,49 @@ object Similarity {
     rerank(cands, corpus, queries, idCol, vecCol, k)
   }
 
+  /** [[lshCandidates]]'s INTEGER-EXACT twin (r11): buckets and margins
+    * computed over the QUANTIZED long vector against md5-h60-derived
+    * integer hyperplanes ([[graft.functions.LshExactPlanes]]), so the
+    * whole candidate generation — planes → dots → sign buckets →
+    * margin-ranked multi-probe → bucket equi-join — replays in DuckDB.
+    * Identical plan shape to the double variant: corpus bucketed in one
+    * pass, probe list broadcast, candidates deduped as bare id pairs. */
+  def lshCandidatesExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, numTables: Int, numPlanes: Int,
+                         dim: Int, probeBits: Int, probeRadius: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        E.column(graft.functions.LshBucketsExact(
+          E.expression(Dedup.quantize(col(vecCol))), numTables, numPlanes, dim)).as("__bs"))
+      .select(col("neighbor_id"), posexplode(col("__bs")).as(Seq("table", "bucket")))
+    val q = queries.select(col(idCol).as("query_id"),
+        E.column(graft.functions.LshProbesExact(
+          E.expression(Dedup.quantize(col(vecCol))), numTables, numPlanes, dim,
+          probeBits, probeRadius)).as("__ps"))
+      .select(col("query_id"), posexplode(col("__ps")).as(Seq("table", "__probes")))
+      .select(col("query_id"), col("table"), explode(col("__probes")).as("bucket"))
+    c.join(broadcast(q),
+        c("table") === q("table") && c("bucket") === q("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+  }
+
+  /** [[lshTopK]]'s INTEGER-EXACT twin (r11 graduation of `ann_lsh_topk`):
+    * exact-replayable bucketing ([[lshCandidatesExact]]) + the shared
+    * quantized-cosine rerank — every stage deterministic and DuckDB-
+    * replayable, so the ranked output hash-gates. Same recall mechanics
+    * as the double variant (the hyperplane FAMILY changes, not the
+    * geometry: components are uniform on [−2^20, 2^20) instead of
+    * [−1, 1)); floors for both variants are measured in PipelineSpec. */
+  def lshTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, numTables: Int = 8,
+                   numPlanes: Int = 10, dim: Int = 64,
+                   probeBits: Int = 8, probeRadius: Int = 3): DataFrame = {
+    val cands = lshCandidatesExact(corpus, queries, idCol, vecCol,
+      numTables, numPlanes, dim, probeBits, probeRadius)
+    rerank(cands, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Exact rerank of a (query_id, neighbor_id) candidate set: join the
     * vectors back (queries broadcast), score with the deterministic
     * quantized cosine, two-phase top-k. Shared tail of every ANN variant. */
@@ -824,6 +867,101 @@ object Similarity {
       }
       cents.map(_.toSeq).toSeq
     }
+  }
+
+  /** [[trainPqCodebooks]]'s INTEGER-EXACT twin (r11): sample arrives
+    * UNIT-QUANTIZED in (md5-h60, id) order ([[spreadSampleUq]]); per
+    * subspace — seeds = the first `ksub` sample subvectors (hash-rank
+    * convention, like [[trainCentroidsExact]]'s seeds), assignment =
+    * exact long d² argmin with smaller-code ties, update = per-dim
+    * `Σ DIV n` truncating division, empty codes keep their previous
+    * entry. Plain Euclidean Lloyd (no re-normalization — codebook
+    * entries are subvector means, exactly the float variant's
+    * objective), every step DuckDB-replayable. */
+  private[pipeline] def trainPqCodebooksExact(sample: Array[Array[Long]], m: Int,
+                                              ksub: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+    require(sample.nonEmpty && m >= 1)
+    val dim = sample.head.length
+    require(dim % m == 0, s"subspaces m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val n = sample.length
+    (0 until m).map { s =>
+      val sub = sample.map(_.slice(s * dsub, (s + 1) * dsub))
+      var cents: Array[Array[Long]] = sub.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, dsub)(0L)
+        val counts = new Array[Long](cents.length)
+        var i = 0
+        while (i < n) {
+          val v = sub(i)
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cent = cents(c)
+            var d2 = 0L; var j = 0
+            while (j < dsub) { val t = v(j) - cent(j); d2 += t * t; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = c } // strict < = smaller-code ties
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }.toSeq
+  }
+
+  /** [[pqScore]]'s INTEGER-EXACT twin: both sides unit-quantize
+    * ([[unitQuantizeFrom]] — zero-norm rows drop, the NULL-cosine
+    * contract), corpus compresses to integer codes
+    * ([[graft.functions.PqCodesInt]]), queries precompute integer LUTs
+    * ([[graft.functions.PqLutInt]]), and the ADC scan sums exact longs
+    * ([[graft.functions.PqAdcLong]]). Same plan shape as [[pqScore]]:
+    * one corpus map, broadcast LUTs, self pairs excluded. */
+  private def pqScoreExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                           vecCol: String, books: Seq[Seq[Seq[Long]]],
+                           ksub: Int): DataFrame = {
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        unitQuantizeFrom(Dedup.quantize(col(vecCol))).as("__uq"))
+      .where(col("__uq").isNotNull)
+      .select(col("neighbor_id"),
+        E.column(graft.functions.PqCodesInt(E.expression(col("__uq")), books)).as("__codes"))
+    val luts = queries
+      .select(col(idCol).as("query_id"),
+        unitQuantizeFrom(Dedup.quantize(col(vecCol))).as("__uq"))
+      .where(col("__uq").isNotNull)
+      .select(col("query_id"),
+        E.column(graft.functions.PqLutInt(E.expression(col("__uq")), books)).as("__lut"))
+    codes.join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_scaled", E.column(graft.functions.PqAdcLong(
+        E.expression(col("__codes")), E.expression(col("__lut")), ksub)))
+      .drop("__codes", "__lut")
+  }
+
+  /** [[pqTopK]]'s INTEGER-EXACT twin (r11 graduation of `ann_pq_topk`):
+    * md5-h60-ordered sample → per-subspace pure-long Lloyd codebooks →
+    * integer codes / LUTs / ADC shortlist (k·expand, (score DESC, id
+    * ASC) ties) → the shared exact quantized-cosine rerank. Every stage
+    * replays in DuckDB, so the ranked output hash-gates; recall floors
+    * for BOTH variants are measured in PipelineSpec. */
+  def pqTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, m: Int = 8, ksub: Int = 64,
+                  sampleSize: Int = 10000, iters: Int = 10,
+                  expand: Int = 8): DataFrame = {
+    val books = trainPqCodebooksExact(
+      spreadSampleUq(corpus, idCol, vecCol, sampleSize), m, ksub, iters)
+    val scored = pqScoreExact(corpus, queries, idCol, vecCol, books, ksub)
+    val shortlist = topKPerQuery(scored, k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
   /** PQ ANN: exhaustive ASYMMETRIC-DISTANCE scan over compressed codes +

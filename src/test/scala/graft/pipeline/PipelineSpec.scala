@@ -137,6 +137,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"multi-probe recall $recall below the 0.8 floor — not a usable ANN")
     assert(nCands < bruteForcePairs * 0.7,
       s"candidate set $nCands examined most of the corpus — blocking is not doing its job")
+
+    // r11: the integer-exact hyperplane variant (the oracle-replayable one
+    // ann_lsh_topk registers) holds the same floor with the same geometry
+    val exactApprox = Similarity.lshTopKExact(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactRecall = (exact & exactApprox).size.toDouble / exact.size
+    val nCandsExact = Similarity.lshCandidatesExact(emb, queries, "vec_id", "embedding",
+      numTables = 8, numPlanes = 10, dim = 64, probeBits = 8, probeRadius = 3).count()
+    info(f"LSH-exact recall@10 = $exactRecall%.3f; candidates = $nCandsExact")
+    assert(exactRecall >= 0.8, s"exact-hyperplane recall $exactRecall below the 0.8 floor")
+    assert(nCandsExact < bruteForcePairs * 0.7,
+      s"exact-variant candidate set $nCandsExact examined most of the corpus")
+  }
+
+  test("lshTopKExact is deterministic across partition counts") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    def run(parts: Int) =
+      Similarity.lshTopKExact(emb.repartition(parts), queries, "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(run(3) == run(32))
   }
 
   test("ANN IVF recall@10 >= 0.8 on near-uniform vectors (ANN worst case)") {
@@ -177,6 +199,24 @@ class PipelineSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"PQ recall@10 = $recall%.3f (m=8, ksub=64, expand=8)")
     assert(recall >= 0.8, s"PQ recall $recall below 0.8")
+
+    // r11: the integer-exact codebook variant (the oracle-replayable one
+    // ann_pq_topk registers) holds the same floor with the same geometry
+    val exactApprox = Similarity.pqTopKExact(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactRecall = (exact & exactApprox).size.toDouble / exact.size
+    info(f"PQ-exact recall@10 = $exactRecall%.3f")
+    assert(exactRecall >= 0.8, s"exact-codebook PQ recall $exactRecall below 0.8")
+  }
+
+  test("pqTopKExact is deterministic across partition counts") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    def run(parts: Int) =
+      Similarity.pqTopKExact(emb.repartition(parts), queries, "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(run(3) == run(32))
   }
 
   test("PQ scan is deterministic and rerank output is exact-cosine ranked") {
