@@ -2715,6 +2715,32 @@ object SparkEntry {
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
       pipeline.Relational.welchT(li, "cents", "side", "A", "R")
     },
+    "rel_mann_whitney" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r11: the NONPARAMETRIC A/B twin of rel_welch_t on the rel_ks_test
+      // frame — rank-sum on view-vs-purchase spend cents, tie-corrected,
+      // continuity-corrected z in milli (the mannKendall readout idiom)
+      val ev = s.table("events").select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Relational.mannWhitney(ev, "cents", "event_type", "view", "purchase")
+    },
+    "rel_kruskal" -> { (s, dir) =>
+      prep(s, dir, "orders")
+      // r11: k-sample location test — do the five order priorities carry
+      // different totalprice distributions; H against χ²(4)
+      val o = s.table("orders").select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      pipeline.Relational.kruskalWallis(o, "cents", "grp")
+    },
+    "rel_spearman" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r11: monotone association between quantity and extended price —
+      // Pearson over exact 2×average-ranks, rho in ppm
+      val li = s.table("lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      pipeline.Relational.spearman(li, "qty", "cents")
+    },
     "events_ab_conversion" -> { (s, dir) =>
       prep(s, dir, "events")
       // conversion A/B: per-user purchase conversion across two id
@@ -7981,6 +8007,79 @@ object SparkEntry {
                 CAST((b.dd * 1000000) // (t.n1 * t.n2) AS BIGINT) AS d_ppm,
                 b.v AS at_value
          FROM best b CROSS JOIN t""",
+    "rel_mann_whitney" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                    FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+                    GROUP BY 1),
+              r AS (SELECT v, c1, c2,
+                      coalesce(sum(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                    FROM c),
+              m AS (SELECT CAST(sum(c1) AS HUGEINT) AS na, CAST(sum(c2) AS HUGEINT) AS nb,
+                      CAST(sum(CAST(c1 AS HUGEINT) * (2 * cb + c1 + c2 + 1)) AS HUGEINT) AS w2a,
+                      CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS HUGEINT) AS tc
+                    FROM r)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(w2a - na * (na + 1) AS BIGINT) AS u2_a,
+                CAST(tc AS BIGINT) AS tie_cubes,
+                CASE WHEN na > 0 AND nb > 0
+                      AND (na * nb * (((na + nb) * (na + nb) * (na + nb) - (na + nb)) - tc)) > 0
+                  THEN CAST(floor((CAST(w2a - na * (na + 1) - na * nb AS DOUBLE)
+                         - CAST(sign(w2a - na * (na + 1) - na * nb) AS DOUBLE)) * 1000.0
+                       / (2.0 * sqrt(CAST(na * nb * (((na + nb) * (na + nb) * (na + nb) - (na + nb)) - tc) AS DOUBLE)
+                                   / CAST(12 * (na + nb) * (na + nb - 1) AS DOUBLE)))) AS BIGINT)
+                END AS z_milli
+         FROM m WHERE na > 0 OR nb > 0""",
+    "rel_kruskal" ->
+      """WITH s AS (SELECT o_orderpriority AS g, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                    FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+              c AS (SELECT cents AS v, g, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+              pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+              r AS (SELECT v, t,
+                      coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                    FROM pv),
+              pg AS (SELECT g, CAST(sum(c.c) AS HUGEINT) AS ng,
+                       CAST(sum(CAST(c.c AS HUGEINT) * (2 * r.cb + r.t + 1)) AS HUGEINT) AS r2g
+                     FROM c JOIN r USING (v) GROUP BY g),
+              tt AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tc FROM r),
+              m AS (SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum((r2g * r2g) // (4 * ng)) AS HUGEINT) AS s2
+                    FROM pg)
+         SELECT CAST(n AS BIGINT) AS n, k AS n_groups, CAST(tc AS BIGINT) AS tie_cubes,
+                CASE WHEN n >= 2 AND ((n * n * n - n) - tc) > 0
+                  THEN CAST(floor((12.0 * CAST(s2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                       - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                       * (CAST(n * n * n - n AS DOUBLE)
+                         / CAST((n * n * n - n) - tc AS DOUBLE)) * 1000.0) AS BIGINT)
+                END AS h_milli
+         FROM m CROSS JOIN tt WHERE n > 0""",
+    "rel_spearman" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                    FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+              rx AS (SELECT v, 2 * cb + t + 1 AS r2 FROM (
+                       SELECT v, t, coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                       FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1))),
+              ry AS (SELECT v, 2 * cb + t + 1 AS r2 FROM (
+                       SELECT v, t, coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                       FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1))),
+              j AS (SELECT rx.r2 AS ra, ry.r2 AS rb
+                    FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v),
+              m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(CAST(ra AS HUGEINT)) AS HUGEINT) AS sa,
+                      CAST(sum(CAST(rb AS HUGEINT)) AS HUGEINT) AS sb,
+                      CAST(sum(CAST(ra AS HUGEINT) * ra) AS HUGEINT) AS qa,
+                      CAST(sum(CAST(rb AS HUGEINT) * rb) AS HUGEINT) AS qb,
+                      CAST(sum(CAST(ra AS HUGEINT) * rb) AS HUGEINT) AS sab
+                    FROM j)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN n >= 2 AND (n * qa - sa * sa) > 0 AND (n * qb - sb * sb) > 0
+                  THEN CAST(floor(CAST(n * sab - sa * sb AS DOUBLE) * 1000000.0
+                       / (sqrt(CAST(n * qa - sa * sa AS DOUBLE)) * sqrt(CAST(n * qb - sb * sb AS DOUBLE)))) AS BIGINT)
+                END AS rho_ppm
+         FROM m WHERE n > 0""",
     "events_cohort_ltv" ->
       """WITH first_seen AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
                             FROM events GROUP BY user_id),

@@ -818,6 +818,180 @@ object Relational {
       s"CASE WHEN na >= 2 AND nb >= 2 AND ($sea + $seb) > 0.0 THEN CAST(floor(($sea + $seb) * ($sea + $seb) / ($sea * $sea / (CAST(na AS DOUBLE) - 1.0) + $seb * $seb / (CAST(nb AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT) END AS df_milli")
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC A/B on
+    * location: does side A stochastically dominate side B, robust to
+    * outliers and any monotone transform of the metric (the test to
+    * reach for when [[welchT]]'s mean is hostage to whales). Exact
+    * integer rank machinery on the [[ksTest]] frame:
+    *
+    *   - per distinct value: side counts (c1, c2) — ONE partial-agg
+    *     groupBy collapses the corpus;
+    *   - 2×average-rank of a tie block: `R2 = 2·(ranks before) + t + 1`
+    *     (integer — the ×2 trick keeps half-ranks exact);
+    *   - `2W_A = Σ c1·R2`, `2U_A = 2W_A − 2·n_a(n_a+1)/2` — shipped as
+    *     `u2_a` (U itself can be half-integral under cross-side ties);
+    *   - tie correction `Σ(t³−t)` off the same collapsed frame;
+    *   - Var(U) = n_a·n_b·[(n³−n) − Σ(t³−t)] / (12·n·(n−1)) held as an
+    *     exact DECIMAL numerator/denominator pair (overflow bound:
+    *     n_a·n_b·n³ < 10³⁸ — fine to ~4·10⁷ rows/side; beyond that
+    *     coarsen or sample, the documented [[ksTest]] contract);
+    *   - z_milli = floor((2U−n_a·n_b − sign)·1000 / (2·√(Var))) — the
+    *     [[graft.pipeline.TimeSeries.mannKendall]] continuity-corrected
+    *     readout: one IEEE sqrt, division pinned, oracle mirrors the
+    *     tree textually.
+    *
+    * Plan: groupBy(value) partial-aggregates map-side; the running-rank
+    * window rides the DISTINCT-value collapsed frame (the ksTest
+    * single-partition bound — cost is distinct values, not rows); the
+    * final verdict is one global aggregate. Output (one row):
+    * `n_a, n_b, u2_a, tie_cubes, z_milli`. */
+  def mannWhitney(df: DataFrame, valueCol: String, sideCol: String,
+                  sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, s"mannWhitney: sides must differ, got '$sideA' twice")
+    requireIntegralTime(df, valueCol, "mannWhitney", what = "sample value")
+    val dec = "decimal(38,0)"
+    val counts = df
+      .where(col(valueCol).isNotNull && col(sideCol).isin(sideA, sideB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("__cb", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+      .withColumn("__r2",
+        (lit(2L) * col("__cb") + col("c1") + col("c2") + lit(1L)).cast(dec))
+      .withColumn("__t", (col("c1") + col("c2")).cast(dec))
+    val m = ranked.groupBy()
+      .agg(sum(col("c1")).cast(dec).as("na"),
+        sum(col("c2")).cast(dec).as("nb"),
+        sum(col("c1").cast(dec) * col("__r2")).as("w2a"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tc"))
+      .where(col("na") > 0 || col("nb") > 0)
+    val u2c = "(w2a - na * (na + 1) - na * nb)" // 2U_A − n_a·n_b, the centered stat
+    val varNum = "(na * nb * (((na + nb) * (na + nb) * (na + nb) - (na + nb)) - tc))"
+    val varDen = "(12 * (na + nb) * (na + nb - 1))"
+    m.selectExpr(
+      "CAST(na AS BIGINT) AS n_a",
+      "CAST(nb AS BIGINT) AS n_b",
+      "CAST(w2a - na * (na + 1) AS BIGINT) AS u2_a",
+      "CAST(tc AS BIGINT) AS tie_cubes",
+      s"""CASE WHEN na > 0 AND nb > 0 AND $varNum > 0
+         | THEN CAST(floor((CAST($u2c AS DOUBLE) - CAST(sign($u2c) AS DOUBLE)) * 1000.0
+         |   / (2.0 * sqrt(CAST($varNum AS DOUBLE) / CAST($varDen AS DOUBLE)))) AS BIGINT)
+         | END AS z_milli""".stripMargin)
+  }
+
+  /** KRUSKAL–WALLIS H — [[mannWhitney]]'s k-sample extension: do ANY of
+    * the groups differ in location (compare `h_milli/1000` against
+    * χ²(k−1) critical values). Same collapsed distinct-value rank frame,
+    * but side counts pivot per GROUP:
+    *
+    *   - per (group): n_g and `R2_g = Σ c_g·R2(v)` — exact 2×rank sums;
+    *   - `S = Σ_g ⌊R2_g² / (4·n_g)⌋` — per-group mean-square rank mass
+    *     with the division floored EXACTLY in DECIMAL (numerator minus
+    *     its pmod, then the now-exact division — Spark's `DIV` returns
+    *     BIGINT and would overflow; DuckDB replays with HUGEINT `//`).
+    *     The ≤ 1-per-group floor is part of the published recipe (both
+    *     engines replay it; it shifts H by < 12k/n² — sub-milli beyond
+    *     a few hundred rows);
+    *   - H = 12·S/(n(n+1)) − 3(n+1), tie-corrected by
+    *     ×(n³−n)/((n³−n) − Σ(t³−t)), assembled in the pinned-double
+    *     mirrored tail (DECIMAL magnitude bound: R2_g² ≤ 4n⁴ — safe in
+    *     38 digits to ~10⁸ rows).
+    *
+    * Output (one row): `n, n_groups, tie_cubes, h_milli`. Groups are
+    * whatever distinct values `groupCol` holds; NULL group/value rows
+    * drop. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    requireIntegralTime(df, valueCol, "kruskalWallis", what = "sample value")
+    val dec = "decimal(38,0)"
+    val counts = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"), col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+    // per-value totals drive ranks; per-(value, group) counts weight them
+    val perV = counts.groupBy("v").agg(sum(col("c")).as("t"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("__cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("__r2", (lit(2L) * col("__cb") + col("t") + lit(1L)).cast(dec))
+    val perG = counts.join(ranked.select(col("v"), col("__r2")), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("c")).cast(dec).as("ng"),
+        sum(col("c").cast(dec) * col("__r2")).as("r2g"))
+    val ties = ranked.groupBy()
+      .agg(sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec)
+        - col("t").cast(dec)).as("tc"))
+    val m = perG.groupBy()
+      .agg(sum(col("ng")).as("n"),
+        count(lit(1)).cast("long").as("k"),
+        sum(expr(
+          "CAST((r2g * r2g - pmod(r2g * r2g, 4 * ng)) / (4 * ng) AS DECIMAL(38,0))"))
+          .as("s"))
+      .crossJoin(broadcast(ties))
+      .where(col("n") > 0)
+    m.selectExpr(
+      "CAST(n AS BIGINT) AS n",
+      "k AS n_groups",
+      "CAST(tc AS BIGINT) AS tie_cubes",
+      """CASE WHEN n >= 2 AND ((n * n * n - n) - tc) > 0
+        | THEN CAST(floor((12.0 * CAST(s AS DOUBLE)
+        |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |   - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |   * (CAST(n * n * n - n AS DOUBLE)
+        |     / CAST((n * n * n - n) - tc AS DOUBLE)) * 1000.0) AS BIGINT)
+        | END AS h_milli""".stripMargin)
+  }
+
+  /** SPEARMAN rank correlation — the monotone-association readout
+    * (Pearson is linear association; Spearman survives any monotone
+    * warp and outliers): Pearson over 2×average ranks, all-integer
+    * until the one mirrored sqrt. Ranks come from the same collapsed
+    * distinct-value frame as [[mannWhitney]], once per column; each
+    * row joins its two R2 ranks back ON THE VALUE (two value-keyed
+    * exchanges), then one global moment aggregate:
+    *
+    *   rho_ppm = floor( (n·Σab − Σa·Σb) · 10⁶
+    *                    / (√(n·Σa²−(Σa)²) · √(n·Σb²−(Σb)²)) )
+    *
+    * with a, b the integer R2 ranks — the `rel_correlation`
+    * moment recipe verbatim (DECIMAL sums exact; R2 ≤ 2n so n·Σa² ≤
+    * 4n⁴ — the 10⁷-row DECIMAL bound again). Output (one row):
+    * `n, rho_ppm`. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    requireIntegralTime(df, xCol, "spearman", what = "x value")
+    requireIntegralTime(df, yCol, "spearman", what = "y value")
+    val dec = "decimal(38,0)"
+    def r2Table(c: String) = {
+      val counts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy(col(c).cast("long").as("v")).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      counts.withColumn("__cb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .select(col("v"), (lit(2L) * col("__cb") + col("t") + lit(1L)).as("r2"))
+    }
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val withRanks = base
+      .join(r2Table(xCol).withColumnRenamed("r2", "__ra"), col("__x") === col("v"))
+      .drop("v")
+      .join(r2Table(yCol).withColumnRenamed("r2", "__rb"), col("__y") === col("v"))
+      .drop("v")
+    val m = withRanks.groupBy()
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("__ra").cast(dec)).as("sa"),
+        sum(col("__rb").cast(dec)).as("sb"),
+        sum(col("__ra").cast(dec) * col("__ra").cast(dec)).as("qa"),
+        sum(col("__rb").cast(dec) * col("__rb").cast(dec)).as("qb"),
+        sum(col("__ra").cast(dec) * col("__rb").cast(dec)).as("sab"))
+      .where(col("n") > 0)
+    m.selectExpr(
+      "CAST(n AS BIGINT) AS n",
+      """CASE WHEN n >= 2 AND (n * qa - sa * sa) > 0 AND (n * qb - sb * sb) > 0
+        | THEN CAST(floor(CAST(n * sab - sa * sb AS DOUBLE) * 1000000.0
+        |   / (sqrt(CAST(n * qa - sa * sa AS DOUBLE)) * sqrt(CAST(n * qb - sb * sb AS DOUBLE)))) AS BIGINT)
+        | END AS rho_ppm""".stripMargin)
+  }
+
   /** TWO-PROPORTION z-test — the conversion A/B readout (did cohort A
     * convert more than cohort B), reported as z² (≡ the 2×2 Pearson
     * chi-square with the pooled-variance denominator; compare against

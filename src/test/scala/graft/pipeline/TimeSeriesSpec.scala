@@ -557,6 +557,63 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.welchT(df, "v", "side", "a", "a"))
   }
 
+  test("mannWhitney: hand-computed rank sums, tie correction and z; empty emits nothing") {
+    // A = {1, 2, 4}, B = {2, 3, 5}: 2W_A = 2·(1 + 2.5 + 5) = 17,
+    // 2U_A = 17 − 3·4 = 5; ties: one block of 2 → Σ(t³−t) = 6;
+    // Var = 9·[(216−6) − 6]/360 = 5.1; z = (−4 − sign(−4))/(2√5.1)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 4L),
+      ("b", 2L), ("b", 3L), ("b", 5L)).toDF("side", "v")
+    val r = Relational.mannWhitney(df, "v", "side", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)), r.toString)
+    assert(r.getLong(2) == 5L, s"u2_a ${r.getLong(2)}")
+    assert(r.getLong(3) == 6L, s"tie_cubes ${r.getLong(3)}")
+    assert(r.getLong(4) == -665L, s"z_milli ${r.getLong(4)}") // floor(−664.208…)
+    // all values tied -> Var = 0 -> NULL z, counts still report
+    val flat = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("side", "v")
+    assert(Relational.mannWhitney(flat, "v", "side", "a", "b").collect()(0).isNullAt(4))
+    // empty input -> zero rows (the ksTest convention)
+    assert(Relational.mannWhitney(df.where($"v" > 99), "v", "side", "a", "b").count() == 0L)
+    intercept[IllegalArgumentException](Relational.mannWhitney(df, "v", "side", "a", "a"))
+  }
+
+  test("kruskalWallis: hand-computed H on separated groups; tie-corrected; value ties exercised") {
+    // g1 = {1,2,3}, g2 = {4,5,6}, g3 = {7,8,9}: R2_g = 12, 30, 48 and all
+    // R2_g²/(4n_g) divide exactly → S = 279; H = 12·279/90 − 30 = 7.2
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 4L), ("g2", 5L), ("g2", 6L),
+      ("g3", 7L), ("g3", 8L), ("g3", 9L)).toDF("g", "v")
+    val r = Relational.kruskalWallis(df, "v", "g").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L, r.toString)
+    assert(r.getLong(2) == 0L, s"tie_cubes ${r.getLong(2)}")
+    assert(r.getLong(3) == 7200L, s"h_milli ${r.getLong(3)}")
+    // identical groups with heavy ties -> H ~ 0 (at toy n the per-group
+    // floor shows up in milli — replayed by the oracle, not drift; here
+    // S = 24 vs the true 25 → H_corr = −0.75 exactly);
+    // all-equal values -> correction hits 0 -> NULL
+    val same = Seq(("g1", 5L), ("g1", 6L), ("g2", 5L), ("g2", 6L)).toDF("g", "v")
+    val h = Relational.kruskalWallis(same, "v", "g").collect()(0).getLong(3)
+    assert(h == -750L, s"identical groups at toy n read the recipe's −750, got $h")
+    val allEq = Seq(("g1", 5L), ("g2", 5L)).toDF("g", "v")
+    assert(Relational.kruskalWallis(allEq, "v", "g").collect()(0).isNullAt(3))
+  }
+
+  test("spearman: monotone = ±1e6, hand-computed tie case, constant side NULL") {
+    // perfect monotone: sqrt(80)·sqrt(80) lands one ulp ABOVE 80 in
+    // IEEE, so the floored ppm reads 999999 — deterministic on both
+    // engines (the mirrored-sqrt contract), not drift
+    val up = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L)).toDF("x", "y")
+    assert(Relational.spearman(up, "x", "y").collect()(0).getLong(1) == 999999L)
+    val down = Seq((1L, 16L), (2L, 9L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    assert(Relational.spearman(down, "x", "y").collect()(0).getLong(1) == -1000000L)
+    // x = {1,1,2}: R2a = {3,3,6}; y distinct: R2b = {2,4,6} →
+    // rho = 18/(√18·√24) = 0.866025…, floor ppm = 866025
+    val tied = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("x", "y")
+    assert(Relational.spearman(tied, "x", "y").collect()(0).getLong(1) == 866025L)
+    // constant x -> zero rank variance -> NULL rho
+    val const = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    assert(Relational.spearman(const, "x", "y").collect()(0).isNullAt(1))
+  }
+
   test("twoProportionZ: hand z2, degenerate pooled rates NULL, 0/1 validation loud, booleans accepted") {
     // a: 6/10, b: 2/10 -> z2 = (60-20)^2 * 20 / (100 * 8 * 12) = 10/3
     val rows = (1 to 10).map(i => ("a", if (i <= 6) 1L else 0L)) ++
