@@ -1074,6 +1074,19 @@ object SparkEntry {
         .select("a", "b", "jacc_scaled")
         .orderBy("a", "b")
     },
+    "dedup_minhash_pr" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: the banding's own eval harness — production band candidates
+      // vs EXACT prefix-filter ground truth at the same threshold/shingle
+      // family; precision = wasted verify work, recall = what LSH misses
+      pipeline.Dedup.bandingPrAudit(s.table("documents"), "doc_id", "text")
+    },
+    "pipeline_gini" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: Lorenz/Gini source-concentration — is the corpus a few
+      // mega-domains; exact discrete Gini over per-source token totals
+      pipeline.TextAnalysis.giniConcentration(s.table("documents"), "source", "text")
+    },
     "dedup_simhash" -> { (s, dir) =>
       prep(s, dir, "documents")
       // fingerprints + combinatorially-blocked candidate pairs. HASH-GATED
@@ -6081,6 +6094,41 @@ object SparkEntry {
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
          ORDER BY a""",
     "dedup_minhash_pairs" -> minhashPairsOracleSql(),
+    // r11: banding PR audit — candidates from the SAME band replay as
+    // dedup_minhash_pairs, ground truth = all pairs at exact
+    // cross-multiplied Jaccard >= 80 (the similarityJoin threshold form)
+    "dedup_minhash_pr" ->
+      s"""WITH ${minhashBandCtes(128, 16, 5)},
+         |gd AS (SELECT doc_id, band, bucket FROM (
+         |         SELECT bk.*, count(*) OVER (PARTITION BY band, bucket) AS nb FROM bk)
+         |       WHERE nb <= 200),
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM gd x JOIN gd y
+         |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |s5 AS (SELECT doc_id, ${shingleListSql(5)} AS sh FROM n),
+         |tr AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+         |       FROM s5 sa JOIN s5 sb ON sa.doc_id < sb.doc_id
+         |       WHERE len(sa.sh) > 0 AND len(sb.sh) > 0
+         |         AND len(list_intersect(sa.sh, sb.sh)) * 100 >=
+         |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 80),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pr),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true_candidates
+         |       FROM pr JOIN tr USING (a, b))
+         |SELECT n_candidates, n_truth, n_true_candidates,
+         |  CASE WHEN n_candidates > 0 THEN n_true_candidates * 1000000 // n_candidates END AS precision_ppm,
+         |  CASE WHEN n_truth > 0 THEN n_true_candidates * 1000000 // n_truth END AS recall_ppm
+         |FROM cn CROSS JOIN tn CROSS JOIN tp""".stripMargin,
+    "pipeline_gini" ->
+      """WITH per AS (SELECT source AS g,
+                        CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS w
+                      FROM documents WHERE source IS NOT NULL GROUP BY 1),
+              r AS (SELECT g, w, row_number() OVER (ORDER BY w, g) AS i FROM per),
+              m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS HUGEINT) AS t,
+                      CAST(sum(CAST(i AS HUGEINT) * w) AS HUGEINT) AS siw FROM r)
+         SELECT n AS n_groups, CAST(t AS BIGINT) AS total_tokens,
+                CASE WHEN t > 0 THEN CAST((2 * siw - (n + 1) * t) * 1000000 // (n * t) AS BIGINT) END AS gini_ppm
+         FROM m WHERE n > 0""",
     "dedup_crosscorpus_near" -> minhashCrossOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_semantic" -> semanticOracleSql(16, 10, 64, 0.995),

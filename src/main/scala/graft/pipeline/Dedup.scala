@@ -220,6 +220,45 @@ object Dedup {
       .distinct()
   }
 
+  /** BANDING precision/recall audit (r11) — the eval harness for the
+    * minhash blocking itself, the dedup analogue of the `ann_*_recall`
+    * family: candidates from the PRODUCTION banding
+    * ([[minhashCandidates]], same signature family / skew guard)
+    * measured against EXACT ground truth from the zero-recall-loss
+    * prefix-filter join ([[similarityJoin]], same shingle sets, same
+    * threshold). Precision says how much verify work the bands waste;
+    * recall says what the bands MISS — the number a "tune
+    * bands×rows-per-band" decision actually needs, and the one an
+    * unaudited LSH deployment silently gets wrong.
+    *
+    * Output (one row): `n_candidates, n_truth, n_true_candidates,
+    * precision_ppm, recall_ppm` (ppm NULL when the denominator is 0).
+    * Both inputs are deterministic, so the metric hash-gates.
+    *
+    * SCALE: the audit runs the exact join — affordable on a SAMPLE or a
+    * per-source slice (the threshold-curve convention); at full corpus
+    * scale the production path stays banded and this is the offline
+    * eval you run on the slice you can afford. */
+  def bandingPrAudit(docs: DataFrame, idCol: String, textCol: String,
+                     thresholdPct: Int = 80, numHashes: Int = 128,
+                     bands: Int = 16, shingle: Int = 5,
+                     maxBucket: Int = 200): DataFrame = {
+    val cands = Materialize(
+      minhashCandidates(docs, idCol, textCol, numHashes, bands, shingle, maxBucket)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    val truth = Materialize(
+      similarityJoin(docs, idCol, textCol, thresholdPct, shingle)
+        .select(col("a"), col("b")))
+    val tp = cands.join(truth, Seq("a", "b"), "left_semi")
+    cands.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_true_candidates"))))
+      .selectExpr(
+        "n_candidates", "n_truth", "n_true_candidates",
+        "CASE WHEN n_candidates > 0 THEN n_true_candidates * 1000000 DIV n_candidates END AS precision_ppm",
+        "CASE WHEN n_truth > 0 THEN n_true_candidates * 1000000 DIV n_truth END AS recall_ppm")
+  }
+
   /** NEAR-dup cross-corpus gate: MinHash band-bucket candidates between a
     * FRESH batch (or stream) and a static REFERENCE corpus — the
     * approximate sibling of [[crossCorpus]] (which catches only exact

@@ -1836,6 +1836,48 @@ object TextAnalysis {
           "DIV (64 * n_tokens)").as("kl_millibits"))
   }
 
+  /** GINI source-concentration audit (r11) — the one-number answer to
+    * "is this corpus a few mega-domains wearing a trench coat":
+    * per-group token totals, Lorenz-ordered ascending by
+    * (tokens, group) — the group tie-break makes the rank, hence the
+    * readout, deterministic — then the exact discrete Gini
+    *
+    *   gini_ppm = ⌊(2·Σ i·wᵢ − (n+1)·Σw) · 10⁶ / (n·Σw)⌋
+    *
+    * all-integer (DECIMAL sums; numerator ≥ 0 by the ascending order).
+    * 0 = perfectly even mix, → 1 = one source is the corpus — the
+    * mixture-health twin of [[diversityCard]] (which profiles tokens,
+    * not their OWNERSHIP) and the input a [[mixPlan]] rebalance decision
+    * starts from.
+    *
+    * Plan: ONE partial-aggregated groupBy collapses the corpus to
+    * per-group token totals; the Lorenz rank is a window over the
+    * collapsed ≤-#groups frame (the skylineMax bound — sources, not
+    * rows); the verdict is one aggregate. Output (one row):
+    * `n_groups, total_tokens, gini_ppm`. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        size(words(col(textCol))).cast("long").as("__c"))
+      .groupBy("g").agg(sum(col("__c")).as("w"))
+    val ranked = per.withColumn("__i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("w"), col("g"))).cast("long"))
+    ranked.groupBy()
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("w")).cast(dec).as("__t"),
+        sum(col("__i").cast(dec) * col("w").cast(dec)).as("__siw"))
+      .where(col("n_groups") > 0)
+      .selectExpr(
+        "n_groups",
+        "CAST(__t AS BIGINT) AS total_tokens",
+        """CASE WHEN __t > 0
+          | THEN CAST((2 * __siw - (n_groups + 1) * __t) * 1000000 DIV (n_groups * __t) AS BIGINT)
+          | END AS gini_ppm""".stripMargin)
+  }
+
   /** C4-style LINE-level cleaning (Raffel et al. '20 §2.2, the rules a
     * crawl pipeline applies between markup stripping and dedup): keep a
     * line only if it (1) has ≥ `minWordsPerLine` whitespace words,

@@ -151,6 +151,39 @@ class PipelineSpec extends AnyFunSuite {
       s"exact-variant candidate set $nCandsExact examined most of the corpus")
   }
 
+  test("bandingPrAudit: full-band recall 1.0 on planted dups; starved banding names its misses") {
+    // filler docs pairwise dissimilar (each its own vocabulary), one
+    // planted J≈0.9 pair — ground truth is exactly that pair
+    val docs = (0L until 40L).map(i => (i,
+        (0 until 10).map(j => s"tok${i}x$j").mkString(" "))) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (101L, "the quick brown fox jumps over the lazy dog again and again todaX"))
+    val df = docs.toDF("doc_id", "text")
+    val r = Dedup.bandingPrAudit(df, "doc_id", "text").collect()(0)
+    val (cand, truth, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(truth == 1L, s"planted pair must be the only ground truth, got $truth")
+    assert(r.getLong(4) == 1000000L, s"recall ${r.getLong(4)} — 16 bands must catch J≈0.9")
+    assert(tp <= cand)
+    // 1 band of 128 rows: a single 128-minhash full-signature match is
+    // (almost) an exact-dup test — the planted 0.9-Jaccard pair misses,
+    // and the audit SAYS so instead of the production path silently losing it
+    val starved = Dedup.bandingPrAudit(df, "doc_id", "text",
+      numHashes = 128, bands = 1).collect()(0)
+    assert(starved.getLong(2) == 0L && !starved.isNullAt(4) && starved.getLong(4) == 0L,
+      s"starved banding should read recall 0, got $starved")
+  }
+
+  test("giniConcentration: hand-computed even and skewed mixes") {
+    val even = Seq(("a", "w"), ("b", "w"), ("c", "w")).toDF("source", "text")
+    val e = TextAnalysis.giniConcentration(even, "source", "text").collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((3L, 3L, 0L)), e.toString)
+    // weights 1, 1, 8 → (2·27 − 4·10)/(3·10) = 14/30 → 466666 ppm
+    val skew = Seq(("a", "w"), ("b", "w"),
+      ("c", "one two three four five six seven eight")).toDF("source", "text")
+    val s = TextAnalysis.giniConcentration(skew, "source", "text").collect()(0)
+    assert(s.getLong(2) == 466666L, s.toString)
+  }
+
   test("lshTopKExact is deterministic across partition counts") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 5)
