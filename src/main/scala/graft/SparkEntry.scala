@@ -1328,6 +1328,21 @@ object SparkEntry {
         .select(col("doc_id"), pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
+    "text_rater_agreement" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: label-stability QA — three deterministic raters (language ID
+      // on the full text, its first half, its second half) vote per doc;
+      // Fleiss' kappa says whether the label survives seeing less of the
+      // document (the annotation-consistency check, Fleiss '71)
+      val d = s.table("documents")
+      val full = d.select(col("doc_id"),
+        pipeline.TextAnalysis.langId(col("text")).as("lang"))
+      val h1 = d.select(col("doc_id"), pipeline.TextAnalysis.langId(
+        expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")).as("lang"))
+      val h2 = d.select(col("doc_id"), pipeline.TextAnalysis.langId(
+        expr("substring(text, CAST(floor(length(text) / 2) AS INT) + 1)")).as("lang"))
+      pipeline.Relational.fleissKappa(full.union(h1).union(h2), "doc_id", "lang")
+    },
     "text_quality" -> { (s, dir) =>
       prep(s, dir, "documents")
       pipeline.TextAnalysis.qualityScore(s.table("documents"), "text")
@@ -2201,6 +2216,15 @@ object SparkEntry {
       val media = pipeline.Multimodal.synthesizeJpegPayloads(s.table("documents"), "doc_id")
       pipeline.Multimodal.decodeMeta(s, media)
         .select("doc_id", "media_type", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+    "multimodal_resolution_screen" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: the geometry gate (min-side + aspect ratio) off REAL
+      // PNG/GIF header decode; id-derived dims replay in SQL so the
+      // whole screen hash-gates, rule attribution included
+      val media = pipeline.Multimodal.synthesizeImagePayloads(s.table("documents"), "doc_id")
+      pipeline.Multimodal.resolutionScreen(s, media)
         .orderBy("doc_id")
     },
     "multimodal_jpeg_stats" -> { (s, dir) =>
@@ -4762,6 +4786,53 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Per-doc language vote with the text_langid stopword lists, text
+    * expression parameterized — shared by the `text_rater_agreement`
+    * oracle's three raters (full / first half / second half). */
+  private def langIdSelectSql(textExpr: String): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       |       WHEN fr >= es AND fr > 0 THEN 'fr'
+       |       WHEN es > 0 THEN 'es'
+       |       ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |        len(list_intersect(ws, ['the','and','of','to','a','in','is','that','it','for'])) en,
+       |        len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+       |        len(list_intersect(ws, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+       |        len(list_intersect(ws, ['el','la','los','y','es','un','una','para','en','que'])) es
+       |      FROM (SELECT doc_id,
+       |              list_distinct(list_filter(regexp_split_to_array(lower($textExpr), '\\s+'),
+       |                x -> len(x) > 0)) ws
+       |            FROM documents))""".stripMargin
+
+  /** DuckDB replay of `text_rater_agreement`: three langid raters
+    * unioned long-form, then the exact Fleiss rational. */
+  private def fleissOracleSql: String =
+    s"""WITH r AS (
+       |  ${langIdSelectSql("text")}
+       |  UNION ALL ${langIdSelectSql("substr(text, 1, CAST(floor(len(text) / 2) AS INT))")}
+       |  UNION ALL ${langIdSelectSql("substr(text, CAST(floor(len(text) / 2) AS INT) + 1)")}),
+       |cells AS (SELECT doc_id AS i, lang_pred AS c, CAST(count(*) AS BIGINT) AS n
+       |          FROM r GROUP BY 1, 2),
+       |pi AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni,
+       |         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2i
+       |       FROM cells GROUP BY 1),
+       |it AS (SELECT CAST(count(*) AS HUGEINT) AS N, min(ni) AS nmin, max(ni) AS nmax,
+       |         CAST(sum(s2i) AS HUGEINT) AS s2 FROM pi),
+       |ct AS (SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS cq,
+       |         CAST(count(*) AS BIGINT) AS k
+       |       FROM (SELECT c, CAST(sum(n) AS BIGINT) AS cj FROM cells GROUP BY 1))
+       |SELECT CAST(N AS BIGINT) AS n_items, CAST(nmin AS BIGINT) AS n_raters,
+       |       k AS n_categories,
+       |       CASE WHEN nmin = nmax AND nmin >= 2
+       |             AND (N * nmin * (nmin - 1)) * (N * nmin * (N * nmin) - cq) <> 0
+       |         THEN CAST(((s2 - N * nmin) * (N * nmin) * (N * nmin)
+       |               - (N * nmin * (nmin - 1)) * cq) * 1000000
+       |             // ((N * nmin * (nmin - 1)) * (N * nmin * (N * nmin) - cq)) AS BIGINT)
+       |       END AS kappa_ppm
+       |FROM it CROSS JOIN ct WHERE N > 0""".stripMargin
+
   /** Pinned-literal oracle for the `ann_*_recall` family: per-query
     * recall@10 values measured off the deterministic engine on the seed-42
     * testdata, floor-asserted in the WHERE (see the oracleSql comment). */
@@ -6119,6 +6190,7 @@ object SparkEntry {
          |  CASE WHEN n_candidates > 0 THEN n_true_candidates * 1000000 // n_candidates END AS precision_ppm,
          |  CASE WHEN n_truth > 0 THEN n_true_candidates * 1000000 // n_truth END AS recall_ppm
          |FROM cn CROSS JOIN tn CROSS JOIN tp""".stripMargin,
+    "text_rater_agreement" -> fleissOracleSql,
     "pipeline_gini" ->
       """WITH per AS (SELECT source AS g,
                         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS w
@@ -7531,6 +7603,21 @@ object SparkEntry {
                 CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
                 CAST(1 AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "multimodal_resolution_screen" ->
+      """WITH g AS (SELECT doc_id,
+                      CAST(16 + doc_id % 64 AS INT) AS width,
+                      CAST(16 + (doc_id * 7) % 48 AS INT) AS height
+                    FROM documents),
+              v AS (SELECT doc_id, width, height,
+                      least(width, height) AS min_side,
+                      CAST(greatest(width, height) * 100 // least(width, height) AS BIGINT) AS aspect_pct
+                    FROM g)
+         SELECT doc_id, width, height, min_side, aspect_pct,
+                CASE WHEN min_side < 24 THEN 'too_small'
+                     WHEN aspect_pct > 250 THEN 'extreme_aspect' END AS reject_reason,
+                (CASE WHEN min_side < 24 THEN 'too_small'
+                      WHEN aspect_pct > 250 THEN 'extreme_aspect' END IS NULL) AS keep
+         FROM v ORDER BY doc_id""",
     "multimodal_frame_phash" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS frame FROM documents),
               h AS (SELECT doc_id, frame,

@@ -231,6 +231,33 @@ object Multimodal {
     }
   }
 
+  /** RESOLUTION / ASPECT-RATIO screen (r11) — the geometry gate every
+    * image-training recipe applies before pixels are even touched
+    * (LAION-style: drop thumbnails below a minimum side, drop banner
+    * strips with extreme aspect ratios): REAL header decode
+    * ([[decodeMeta]]) → pure integer verdicts with first-failing-rule
+    * attribution (`too_small` → `extreme_aspect`, the tolerant-decode
+    * accounting convention — every drop names its rule).
+    *
+    * Output: `doc_id, width, height, min_side, aspect_pct
+    * (= max·100 DIV min), reject_reason (NULL = kept), keep`.
+    * Plan: the decoder seam is the one mapPartitions pass; the verdict
+    * is codegen'd column logic — stream-safe, no shuffle. */
+  def resolutionScreen(spark: SparkSession, media: DataFrame,
+                       minSide: Int = 24, maxAspectPct: Long = 250): DataFrame = {
+    require(minSide >= 1 && maxAspectPct >= 100,
+      s"need minSide >= 1 and maxAspectPct >= 100, got $minSide/$maxAspectPct")
+    decodeMeta(spark, media).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("min_side", least(col("width"), col("height")))
+      .withColumn("aspect_pct",
+        expr("CAST(greatest(width, height) * 100 DIV least(width, height) AS BIGINT)"))
+      .withColumn("reject_reason",
+        when(col("min_side") < minSide, lit("too_small"))
+          .when(col("aspect_pct") > maxAspectPct, lit("extreme_aspect")))
+      .withColumn("keep", col("reject_reason").isNull)
+  }
+
   /** Thrown where NO installed decoder claims the bytes — a subclass of
     * IllegalArgumentException so the loud paths keep their documented
     * exception type, but distinguishable by the tolerant twins' error

@@ -1179,4 +1179,65 @@ object Relational {
             "CAST(((__t * __agree - __pe) * 1000000) DIV (__t * __t - __pe) AS BIGINT)"))
           .as("kappa_ppm"))
   }
+
+  /** FLEISS' kappa (Fleiss '71) — [[cohenKappa]]'s n-rater extension:
+    * chance-corrected agreement when EVERY item carries the same number
+    * of categorical ratings (three annotators, three model votes, an
+    * ensemble). Input is the LONG form — one row per (item, rating);
+    * the rater identity is irrelevant to the statistic, only the
+    * per-item category counts n_ij matter. All-integer:
+    *
+    *   P̄  = (Σ n_ij² − N·n) / (N·n·(n−1))        (observed agreement)
+    *   P̄e = Σ_j c_j² / (N·n)²                     (chance agreement)
+    *   kappa = (P̄ − P̄e)/(1 − P̄e)
+    *         = [(S2 − T)·T² − D·Σc_j²] / [D·(T² − Σc_j²)]
+    *
+    * with T = N·n, D = N·n·(n−1) — one exact DECIMAL rational, reported
+    * as the truncating `kappa_ppm` (the cohenKappa convention; negative
+    * = worse than chance). A ragged panel (items with differing rating
+    * counts) FAILS LOUDLY — silently averaging over a ragged design is
+    * how agreement numbers lie; n = 1 (no pairs to agree) and the
+    * single-category degenerate (den = 0) read NULL.
+    *
+    * Plan: one (item, category) partial-agg groupBy — the corpus
+    * collapses to ≤ N·k cells; per-item and per-category rollups ride
+    * that collapsed frame; the verdict is one aggregate row:
+    * `n_items, n_raters, n_categories, kappa_ppm`. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Materialize.cut(
+      df.where(col(itemCol).isNotNull && col(catCol).isNotNull)
+        .groupBy(col(itemCol).cast("string").as("__i"),
+          col(catCol).cast("string").as("__c"))
+        .agg(count(lit(1)).as("__n")))
+    val perItem = cells.groupBy("__i")
+      .agg(sum("__n").as("__ni"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__s2i"))
+    val items = perItem.agg(count(lit(1)).as("__N"),
+      min("__ni").as("__nmin"), max("__ni").as("__nmax"),
+      sum(col("__s2i")).as("__s2"))
+    val cats = cells.groupBy("__c").agg(sum("__n").as("__cj"))
+      .agg(coalesce(sum(col("__cj").cast(dec) * col("__cj").cast(dec)),
+        lit(0).cast(dec)).as("__cq"),
+        count(lit(1)).cast("long").as("__k"))
+    items.crossJoin(broadcast(cats))
+      .where(col("__N") > 0)
+      .selectExpr(
+        "CAST(__N AS BIGINT) AS n_items",
+        s"""CASE WHEN __nmin = __nmax THEN CAST(__nmin AS BIGINT)
+           | ELSE raise_error(concat('fleissKappa: ragged panel — items carry ',
+           |   CAST(__nmin AS STRING), ' to ', CAST(__nmax AS STRING),
+           |   ' ratings; the statistic requires a constant rater count'))
+           | END AS n_raters""".stripMargin,
+        "__k AS n_categories",
+        s"""CASE WHEN __nmin = __nmax AND __nmin >= 2
+           |       AND (CAST(__N AS $dec) * __nmin * (__nmin - 1))
+           |         * (CAST(__N AS $dec) * __nmin * (CAST(__N AS $dec) * __nmin) - __cq) <> 0
+           | THEN CAST(((__s2 - CAST(__N AS $dec) * __nmin)
+           |         * (CAST(__N AS $dec) * __nmin) * (CAST(__N AS $dec) * __nmin)
+           |       - (CAST(__N AS $dec) * __nmin * (__nmin - 1)) * __cq) * 1000000
+           |     DIV ((CAST(__N AS $dec) * __nmin * (__nmin - 1))
+           |       * (CAST(__N AS $dec) * __nmin * (CAST(__N AS $dec) * __nmin) - __cq)) AS BIGINT)
+           | END AS kappa_ppm""".stripMargin)
+  }
 }

@@ -602,6 +602,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames == Set((2L, 0), (3L, 0), (3L, 2), (5L, 0)), s"$frames")
   }
 
+  test("resolutionScreen: real decode, first-failing-rule attribution per planted geometry") {
+    // id 0 → 16×16 (too_small); id 8 → 24×24 (keep, aspect 100);
+    // id 56 → 72×24 (aspect 300 → extreme_aspect, min_side passes)
+    val media = Multimodal.synthesizeImagePayloads(Seq(0L, 8L, 56L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.resolutionScreen(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(5) == "too_small" && !out(0L).getBoolean(6))
+    assert(out(8L).isNullAt(5) && out(8L).getBoolean(6))
+    assert(out(8L).getLong(4) == 100L)
+    assert(out(56L).getString(5) == "extreme_aspect" && out(56L).getLong(4) == 300L)
+  }
+
   test("grayDHash pins: horizontal-gradient PNG = all 63 bits; 1×1 tracking pixel = 0") {
     // gradient: every right neighbor strictly brighter → every comparison
     // bit fires → dhash = 2^63 − 1 (bit 63 reserved zero). The 1×1 pixel:

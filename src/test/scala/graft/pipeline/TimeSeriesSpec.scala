@@ -557,6 +557,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.welchT(df, "v", "side", "a", "a"))
   }
 
+  test("fleissKappa: hand-computed, perfect agreement, degenerate NULL, ragged panel loud") {
+    // 3 items × 2 raters: two unanimous + one split → S2 = 10, T = 6,
+    // P̄ = 2/3, P̄e = 1/2 → kappa = 1/3
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "b")).toDF("item", "cat")
+    val r = Relational.fleissKappa(df, "item", "cat").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)), r.toString)
+    assert(r.getLong(3) == 333333L, s"kappa ${r.getLong(3)}")
+    // perfect 2-category agreement → exactly 1e6
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("item", "cat")
+    assert(Relational.fleissKappa(perfect, "item", "cat").collect()(0).getLong(3) == 1000000L)
+    // every rating one category → P̄e = 1 → NULL (nothing to correct against)
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("item", "cat")
+    assert(Relational.fleissKappa(mono, "item", "cat").collect()(0).isNullAt(3))
+    // single rater → no pairs → NULL
+    val solo = Seq((1L, "a"), (2L, "b")).toDF("item", "cat")
+    assert(Relational.fleissKappa(solo, "item", "cat").collect()(0).isNullAt(3))
+    // ragged panel fails loudly
+    val ragged = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("item", "cat")
+    val e = intercept[Exception](Relational.fleissKappa(ragged, "item", "cat").collect())
+    assert(e.getMessage.contains("ragged") || e.getCause.getMessage.contains("ragged"))
+  }
+
   test("mannWhitney: hand-computed rank sums, tie correction and z; empty emits nothing") {
     // A = {1, 2, 4}, B = {2, 3, 5}: 2W_A = 2·(1 + 2.5 + 5) = 17,
     // 2U_A = 17 − 3·4 = 5; ties: one block of 2 → Σ(t³−t) = 6;
