@@ -792,6 +792,35 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** PSI — population stability index (r11), the industry-standard
+    * drift SCORE over a [[drift]] histogram, graduated from the
+    * float-spec note on [[drift]] to an EXACT integer readout via the
+    * house [[graft.functions.Lg64]] piecewise-linear log2 (the sourceKl
+    * machinery — both engines replay it bit-for-bit, unlike `ln`):
+    *
+    *   psi_millibits = Σ_bins (ppmA − ppmB) ·
+    *                   (lg64(max(1, ppmA)) − lg64(max(1, ppmB)))
+    *                   · 1000 DIV (64 · 10⁶)
+    *
+    * Zero bins clamp to 1 ppm (the documented ε — the standard PSI
+    * epsilon convention, replayed not approximated; the log base is 2,
+    * so score against base-2 rules of thumb or multiply by ln2 ≈ 0.693
+    * to compare with the ln-based 0.1/0.25 folklore thresholds). One
+    * row: `n_a, n_b, psi_millibits`. Same plan as [[drift]] plus one
+    * fold over the `bins`-row frame. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String, bins: Int,
+          lo: Long, hi: Long): DataFrame = {
+    def lg(x: String) = graft.functions.Lg64.sql(x)
+    drift(a, b, valueCol, bins, lo, hi)
+      .groupBy()
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+        sum(expr(
+          s"(ppm_a - ppm_b) * (${lg("greatest(1L, ppm_a)")} - ${lg("greatest(1L, ppm_b)")})"))
+          .as("__s"))
+      .selectExpr("n_a", "n_b",
+        "CAST(__s * 1000 DIV (64 * 1000000) AS BIGINT) AS psi_millibits")
+  }
+
   /** Deterministic per-group k-sample — the "pull k exemplar docs per
     * language/source" step (eval-set construction, manual QA batches,
     * per-stratum debugging) WITHOUT a per-group window sort: bottom-k by

@@ -1604,6 +1604,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(clamp.head._2 == 1 && clamp.last._2 == 1, "clamped to bins 0 and 9")
   }
 
+  test("psi: hand-computed Lg64 millibits; self-PSI zero") {
+    // a: all 4 rows in bin 0; b: 2 in bin 0, 2 in bin 9 (lo=0 hi=499):
+    // ppm_a = (1e6, 0), ppm_b = (5e5, 5e5);
+    // lg64(1e6)−lg64(5e5) = 64 exactly, lg64(1)−lg64(5e5) = 64−1274;
+    // Σ = 5e5·64 + 5e5·1210 = 637e6 → ·1000 DIV 64e6 = 9953
+    val a = Seq(5L, 6L, 7L, 8L).map(Tuple1(_)).toDF("v")
+    val b = Seq(5L, 6L, 460L, 461L).map(Tuple1(_)).toDF("v")
+    val r = TextAnalysis.psi(a, b, "v", bins = 10, lo = 0, hi = 499).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 9953L)), r.toString)
+    assert(TextAnalysis.psi(a, a, "v", 10, 0, 499).collect()(0).getLong(2) == 0L)
+  }
+
   test("sourceMix hits the recipe: binding source kept whole, others downsampled") {
     // src A: 1000 docs, src B: 1000 docs; recipe 75/25 → A binds:
     // T = min(1000/0.75, 1000/0.25) = 1333; keep_A = 999, keep_B = 333
