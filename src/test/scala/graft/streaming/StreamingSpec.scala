@@ -830,4 +830,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == full && got.size == 3, s"stream $got != batch $full")
     } finally q.stop()
   }
+
+  test("streaming resolution screen: the geometry gate runs unchanged on a payload stream") {
+    // resolutionScreen = the stateless decoder seam + codegen'd verdicts,
+    // so a crawl's blob stream gates append-mode with zero state:
+    // stream output == batch screen of the same payloads
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    val ids = Seq(0L, 8L, 56L)
+    val payloads = Multimodal.synthesizeImagePayloads(
+        ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.resolutionScreen(spark, src.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("mm_screen").outputMode("append")
+      .start()
+    try {
+      src.addData(payloads.take(1): _*); q.processAllAvailable()
+      src.addData(payloads.drop(1): _*); q.processAllAvailable()
+      val got = spark.table("mm_screen").orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      val full = Multimodal.resolutionScreen(spark,
+          Multimodal.synthesizeImagePayloads(ids.toDF("doc_id"), "doc_id"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(got == full && got.size == 3, s"stream $got != batch $full")
+    } finally q.stop()
+  }
 }
