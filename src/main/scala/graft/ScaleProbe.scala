@@ -540,6 +540,75 @@ object ScaleProbe {
   * scale — contaminationBatch's broadcast headroom, mixPlan at 10³
   * sources, decile lift at 100M rows. A separate main so the full r1–r8
   * battery need not re-run to measure these. */
+/** r11 session-2 probes: the nonparametric battery + governance metrics
+  * at 10M–100M-row shapes — each op's unbounded stage must stay ONE
+  * partial-aggregated corpus pass, with everything after on a collapsed
+  * (distinct-value / group / bin) frame. */
+object ScaleProbe11b {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- mannWhitney: 10M rows, ~50k distinct cents, planted +500 shift --
+    // the ksTest probe shape: the rank window sees only the ~50k-row
+    // distinct-value frame; side b's shift must read as a large negative z
+    val mw = spark.range(10000000L).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS side",
+      "pmod(xxhash64(id), 50000) + CASE WHEN id % 2 = 1 THEN 500 ELSE 0 END AS cents")
+    val mwRow = timed("mannWhitney (10M rows, ~50k distinct, b shifted +500)")(
+      pipeline.Relational.mannWhitney(mw, "cents", "side", "a", "b").collect()(0))
+    println(s"[scale]   z_milli = ${mwRow.getLong(4)} (expect strongly negative: " +
+      s"b dominates; shift/range = 1%)")
+
+    // ---- kruskalWallis: 10M rows, 5 groups, one shifted ------------------
+    val kw = spark.range(10000000L).selectExpr(
+      "concat('g', pmod(id, 5)) AS g",
+      "pmod(xxhash64(id), 50000) + CASE WHEN pmod(id, 5) = 4 THEN 2000 ELSE 0 END AS cents")
+    val kwRow = timed("kruskalWallis (10M rows, 5 groups, one +2000-shifted)")(
+      pipeline.Relational.kruskalWallis(kw, "cents", "g").collect()(0))
+    println(s"[scale]   h_milli = ${kwRow.getLong(3)} (χ²(4) 99.9% ≈ 18.5e3 — " +
+      s"the planted shift must dominate: ${kwRow.getLong(3) > 18500L})")
+
+    // ---- spearman: 10M rows, monotone signal + noise ---------------------
+    val sp = spark.range(10000000L).selectExpr(
+      "pmod(xxhash64(id), 100000) AS x",
+      "pmod(xxhash64(id), 100000) * 3 + pmod(xxhash64(id, 7), 30000) AS y")
+    val spRow = timed("spearman (10M rows, planted monotone + 10% noise)")(
+      pipeline.Relational.spearman(sp, "x", "y").collect()(0))
+    println(s"[scale]   rho_ppm = ${spRow.getLong(1)} (strong positive expected)")
+
+    // ---- psi: 10M rows per side, one side shifted ------------------------
+    val pa = spark.range(10000000L).selectExpr("pmod(xxhash64(id), 400) AS v")
+    val pb = spark.range(10000000L).selectExpr("pmod(xxhash64(id, 3), 400) + 60 AS v")
+    val psiRow = timed("psi (2 × 10M rows, 10 bins, side b shifted by 1.2 bins)")(
+      pipeline.TextAnalysis.psi(pa, pb, "v", bins = 10, lo = 0, hi = 499).collect()(0))
+    println(s"[scale]   psi_millibits = ${psiRow.getLong(2)} (shift must register ≫ 0)")
+
+    // ---- gini: 10M docs over 100k sources, Zipf-ish ownership ------------
+    val gd = spark.range(10000000L).selectExpr(
+      // source k owns ~1/(k+1) of the mass: heavy concentration
+      "concat('s', CAST(floor(sqrt(pmod(xxhash64(id), 10000000000L) / 1000)) AS BIGINT)) AS source",
+      "concat_ws(' ', transform(sequence(0, pmod(id, 9)), j -> concat('w', j))) AS text")
+    val gRow = timed("giniConcentration (10M docs, ~100k sources)")(
+      pipeline.TextAnalysis.giniConcentration(gd, "source", "text").collect()(0))
+    println(s"[scale]   sources = ${gRow.getLong(0)}, gini_ppm = ${gRow.getLong(2)}")
+
+    spark.stop()
+  }
+}
+
 object ScaleProbe11 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

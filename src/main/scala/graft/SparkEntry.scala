@@ -1078,8 +1078,14 @@ object SparkEntry {
       prep(s, dir, "documents")
       // r11: the banding's own eval harness — production band candidates
       // vs EXACT prefix-filter ground truth at the same threshold/shingle
-      // family; precision = wasted verify work, recall = what LSH misses
-      pipeline.Dedup.bandingPrAudit(s.table("documents"), "doc_id", "text")
+      // family; precision = wasted verify work, recall = what LSH misses.
+      // The exact side runs on a FIXED 500-doc slice (the documented
+      // audit contract: char-5 shingle prefixes saturate past a few
+      // thousand docs and the truth join degenerates toward all-pairs —
+      // the audit is the offline eval you run on the slice you can
+      // afford; sf0.01 = the whole corpus, sf0.1 = its first 10%)
+      pipeline.Dedup.bandingPrAudit(
+        s.table("documents").where(col("doc_id") < 500), "doc_id", "text")
     },
     "pipeline_gini" -> { (s, dir) =>
       prep(s, dir, "documents")
@@ -2676,6 +2682,15 @@ object SparkEntry {
       val ev = s.table("events").select(col("event_type"),
         (expr("weekday(ts)") + 1).cast("string").as("dow"))
       pipeline.Relational.chiSquareTest(ev, "event_type", "dow")
+    },
+    "rel_cramers_v" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r11: the effect-size companion — same grid, V = sqrt(chi2 /
+      // (n * min(r-1, c-1))): at 1e8 rows a huge chi2 can mean a
+      // practically irrelevant association; V in [0,1] does not grow with n
+      val ev = s.table("events").select(col("event_type"),
+        (expr("weekday(ts)") + 1).cast("string").as("dow"))
+      pipeline.Relational.cramersV(ev, "event_type", "dow")
     },
     "graph_ktruss" -> { (s, dir) =>
       prep(s, dir, "lineitem")
@@ -4388,7 +4403,8 @@ object SparkEntry {
 
   /** CTE text from `documents` to `(doc_id, band, bucket)` band keys:
     * n → sh (shingles) → hh (md5-h60) → sig (numHashes mins) → bk. */
-  private def minhashBandCtes(numHashes: Int, bands: Int, shingle: Int): String = {
+  private def minhashBandCtes(numHashes: Int, bands: Int, shingle: Int,
+                              where: String = ""): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val mins = (0 until numHashes).map { i =>
@@ -4400,7 +4416,7 @@ object SparkEntry {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, CAST('0x' || substr(md5('$b:' || $cc), 1, 15) AS BIGINT) AS bucket FROM sig"
     }.mkString("\n         UNION ALL ")
-    s"""n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
+    s"""n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents $where),
        |sh AS (SELECT doc_id, unnest(${shingleListSql(shingle)}) AS sg FROM n),
        |hh AS (SELECT doc_id, CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT) AS h FROM sh),
        |sig AS (SELECT doc_id,
@@ -6180,7 +6196,7 @@ object SparkEntry {
     // dedup_minhash_pairs, ground truth = all pairs at exact
     // cross-multiplied Jaccard >= 80 (the similarityJoin threshold form)
     "dedup_minhash_pr" ->
-      s"""WITH ${minhashBandCtes(128, 16, 5)},
+      s"""WITH ${minhashBandCtes(128, 16, 5, where = "WHERE doc_id < 500")},
          |gd AS (SELECT doc_id, band, bucket FROM (
          |         SELECT bk.*, count(*) OVER (PARTITION BY band, bucket) AS nb FROM bk)
          |       WHERE nb <= 200),
@@ -8125,6 +8141,35 @@ object SparkEntry {
                 CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
                 CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_scaled
          FROM nn""",
+    "rel_cramers_v" ->
+      """WITH obs AS (SELECT event_type AS r,
+                        CAST(isodow(CAST(ts AS DATE)) AS VARCHAR) AS c,
+                        CAST(count(*) AS HUGEINT) AS o
+                      FROM events
+                      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      GROUP BY 1, 2),
+              rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY 1),
+              ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY 1),
+              nn AS (SELECT sum(o) AS n FROM obs),
+              grid AS (SELECT rt.r, ct.c, coalesce(obs.o, 0) AS o, rt.rt, ct.ct
+                       FROM rt CROSS JOIN ct
+                       LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+              terms AS (SELECT g.r, g.c,
+                          ((nn.n * g.o - g.rt * g.ct) * (nn.n * g.o - g.rt * g.ct) * 1000000)
+                            // (nn.n * g.rt * g.ct) AS t
+                        FROM grid g CROSS JOIN nn),
+              base AS (SELECT CAST(nn.n AS BIGINT) AS n,
+                         CAST((SELECT count(*) FROM rt) AS BIGINT) AS r_card,
+                         CAST((SELECT count(*) FROM ct) AS BIGINT) AS c_card,
+                         CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_scaled
+                       FROM nn)
+         SELECT n, r_card, c_card, chi2_scaled,
+                CASE WHEN n > 0 AND least(r_card - 1, c_card - 1) > 0
+                  THEN CAST(floor(sqrt(CAST(chi2_scaled AS DOUBLE)
+                    / (1000000.0 * CAST(n AS DOUBLE)
+                      * CAST(least(r_card - 1, c_card - 1) AS DOUBLE))) * 1000000.0) AS BIGINT)
+                END AS v_ppm
+         FROM base""",
     "graph_assortativity" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
               und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

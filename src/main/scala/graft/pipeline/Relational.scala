@@ -668,6 +668,23 @@ object Relational {
         col("__chi").cast("long").as("chi2_scaled"))
   }
 
+  /** CRAMÉR's V (r11) — the EFFECT-SIZE companion [[chiSquareTest]]'s
+    * χ² statistic needs at corpus scale: with 10⁸ rows a χ² of
+    * thousands can mean a practically irrelevant association (χ² grows
+    * with n; V = √(χ²/(n·min(r−1, c−1))) ∈ [0, 1] does not). Same exact
+    * integer pipeline — the only new op is the one mirrored IEEE sqrt
+    * over the already-gated `chi2_scaled` (the wilson rule). Degenerate
+    * 1×k grids (min(r−1, c−1) = 0) read NULL. Output: `n, r_card,
+    * c_card, chi2_scaled, v_ppm`. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquareTest(df, rowCol, colCol).selectExpr(
+      "n", "r_card", "c_card", "chi2_scaled",
+      """CASE WHEN n > 0 AND least(r_card - 1, c_card - 1) > 0
+        | THEN CAST(floor(sqrt(CAST(chi2_scaled AS DOUBLE)
+        |   / (1000000.0 * CAST(n AS DOUBLE)
+        |     * CAST(least(r_card - 1, c_card - 1) AS DOUBLE))) * 1000000.0) AS BIGINT)
+        | END AS v_ppm""".stripMargin)
+
   /** Two-proportion A/B TEST, integer-exact (the [[TimeSeries.anomalies]]
     * discipline): per-unit conversion (a unit converts if ANY of its rows
     * has `successCol` true — row-level counting would let chatty users
@@ -1081,7 +1098,19 @@ object Relational {
     val gcols = groupCols.map(col)
     val loRank = math.max(1, b / 40)
     val hiRank = b + 1 - loRank
-    val base = df
+    // The ×b explode multiplies CPU (b md5 draws per row), so parallelism
+    // is capped by the SCAN's split count, not the data volume: a small
+    // table arriving as a handful of splits serializes b·n hash draws on
+    // a few cores (r11: the bench's 4-split lineitem ran the 38M-draw
+    // explode ~7× slower than the cores allow). Pre-spread the corpus to
+    // the session parallelism when — and only when — the scan gave fewer
+    // splits; at real scale the scan already yields ≫ cores splits and
+    // the spread is skipped (no 100 TB re-shuffle). Round-robin
+    // repartition is value-neutral here: every downstream sum is an
+    // exact DECIMAL fold keyed by (group, rep).
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val base = spread
       .select(gcols :+ col(idCol).cast("string").as("__id")
         :+ floor(col(valueCol) * 100 + 0.5).cast("long").as("__x"): _*)
       .withColumn("__rep", explode(expr(s"sequence(0, ${b - 1})")))

@@ -557,6 +557,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.welchT(df, "v", "side", "a", "a"))
   }
 
+  test("cramersV: perfect association = 1e6, independence ~ 0, 1×k degenerate NULL") {
+    // perfect diagonal 2×2: chi2 = n -> V = 1 exactly (sqrt(1.0) is exact)
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("r", "c")
+    val p = Relational.cramersV(perfect, "r", "c").collect()(0)
+    assert(p.getLong(4) == 1000000L, p.toString)
+    // perfectly balanced grid -> chi2 = 0 -> V = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("r", "c")
+    assert(Relational.cramersV(indep, "r", "c").collect()(0).getLong(4) == 0L)
+    // one row category: min(r-1, c-1) = 0 -> NULL (V undefined)
+    val flat = Seq(("a", "x"), ("a", "y")).toDF("r", "c")
+    assert(Relational.cramersV(flat, "r", "c").collect()(0).isNullAt(4))
+  }
+
   test("fleissKappa: hand-computed, perfect agreement, degenerate NULL, ragged panel loud") {
     // 3 items × 2 raters: two unanimous + one split → S2 = 10, T = 6,
     // P̄ = 2/3, P̄e = 1/2 → kappa = 1/3
