@@ -1875,6 +1875,17 @@ object SparkEntry {
         tok.where(col("doc_id") % 2 === 0), tok.where(col("doc_id") % 2 === 1),
         "n_ws_tokens", bins = 10, lo = 0, hi = 499)
     },
+    "pipeline_js_drift" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: the bounded, symmetric drift score — JS stays in [0,1] bit
+      // where PSI explodes on disjoint-support bins; same histogram,
+      // same Lg64 integer log2
+      val tok = pipeline.TextAnalysis.tokenCounts(s.table("documents"), "text")
+        .select(col("doc_id"), col("n_ws_tokens"))
+      pipeline.TextAnalysis.jsDivergence(
+        tok.where(col("doc_id") % 2 === 0), tok.where(col("doc_id") % 2 === 1),
+        "n_ws_tokens", bins = 10, lo = 0, hi = 499)
+    },
     "pipeline_sample_per_group" -> { (s, dir) =>
       prep(s, dir, "documents")
       // k exemplar docs per language by deterministic md5 bottom-k —
@@ -7087,6 +7098,34 @@ object SparkEntry {
                 CAST(coalesce(n_b, 0) * 1000000 // t.tb AS BIGINT) AS ppm_b
          FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin) CROSS JOIN t
          ORDER BY bin""",
+    "pipeline_js_drift" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH tok AS (SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       x -> len(x) > 0)) AS BIGINT) AS n
+                FROM documents),
+               bn AS (SELECT doc_id, CAST(least(9, greatest(0, n * 10 // 500)) AS INT) AS bin
+                      FROM tok WHERE n IS NOT NULL),
+               ha AS (SELECT bin, count(*) AS n_a FROM bn WHERE doc_id % 2 = 0 GROUP BY bin),
+               hb AS (SELECT bin, count(*) AS n_b FROM bn WHERE doc_id % 2 = 1 GROUP BY bin),
+               bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+               t AS (SELECT greatest(1, (SELECT count(*) FROM bn WHERE doc_id % 2 = 0)) AS ta,
+                            greatest(1, (SELECT count(*) FROM bn WHERE doc_id % 2 = 1)) AS tb),
+               d AS (SELECT bins.bin,
+                       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+                       CAST(coalesce(n_a, 0) * 1000000 // t.ta AS BIGINT) AS ppm_a,
+                       CAST(coalesce(n_b, 0) * 1000000 // t.tb AS BIGINT) AS ppm_b
+                     FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin) CROSS JOIN t),
+               e AS (SELECT n_a, n_b, ppm_a, ppm_b,
+                       greatest(1, ppm_a) AS pa, greatest(1, ppm_b) AS pb FROM d)
+          SELECT CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
+                 CAST(sum(ppm_a * (${lg("2 * pa")} - ${lg("pa + pb")})
+                        + ppm_b * (${lg("2 * pb")} - ${lg("pa + pb")}))
+                      * 1000 // (2 * 64 * 1000000) AS BIGINT) AS js_millibits
+          FROM e"""
+    },
     "pipeline_psi" -> {
       def lg(x: String) =
         s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"

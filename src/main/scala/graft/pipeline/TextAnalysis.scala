@@ -821,6 +821,37 @@ object TextAnalysis {
         "CAST(__s * 1000 DIV (64 * 1000000) AS BIGINT) AS psi_millibits")
   }
 
+  /** JENSEN–SHANNON divergence (r11) — [[psi]]'s bounded, symmetric
+    * sibling over the same [[drift]] histogram: where PSI explodes on
+    * bins one side lacks entirely, JS stays in [0, 1] bit — the score
+    * to alert on when snapshots can have genuinely disjoint support
+    * (a new source appears, a format vanishes). Exact via the same
+    * Lg64 integer log2, with the midpoint folded in integer ppm:
+    *
+    *   js_millibits = Σ_bins [ pa·(lg64(2·pa') − lg64(pa'+pb'))
+    *                         + pb·(lg64(2·pb') − lg64(pa'+pb')) ]
+    *                  · 1000 DIV (2 · 64 · 10⁶),   p' = max(1, p)
+    *
+    * (the 1-ppm clamp only guards lg64's domain; a genuinely-zero side
+    * contributes its full lg(2) ≈ 1-bit term through the OTHER side's
+    * mass, which is what keeps JS bounded). One row: `n_a, n_b,
+    * js_millibits`. Same plan as [[drift]] + one fold. */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String, bins: Int,
+                   lo: Long, hi: Long): DataFrame = {
+    def lg(x: String) = graft.functions.Lg64.sql(x)
+    drift(a, b, valueCol, bins, lo, hi)
+      .selectExpr("n_a", "n_b",
+        "greatest(1L, ppm_a) AS pa", "greatest(1L, ppm_b) AS pb",
+        "ppm_a", "ppm_b")
+      .groupBy()
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+        sum(expr(
+          s"ppm_a * (${lg("2 * pa")} - ${lg("pa + pb")}) + ppm_b * (${lg("2 * pb")} - ${lg("pa + pb")})"))
+          .as("__s"))
+      .selectExpr("n_a", "n_b",
+        "CAST(__s * 1000 DIV (2 * 64 * 1000000) AS BIGINT) AS js_millibits")
+  }
+
   /** Deterministic per-group k-sample — the "pull k exemplar docs per
     * language/source" step (eval-set construction, manual QA batches,
     * per-stratum debugging) WITHOUT a per-group window sort: bottom-k by

@@ -1604,6 +1604,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(clamp.head._2 == 1 && clamp.last._2 == 1, "clamped to bins 0 and 9")
   }
 
+  test("jsDivergence: hand-computed Lg64 millibits on disjoint support; self-JS zero; bounded") {
+    // a: all 4 rows in bin 0; b: 2 in bin 0, 2 in bin 9 —
+    // bin 0: 1e6·(lg64(2e6)−lg64(1.5e6)) + 5e5·(lg64(1e6)−lg64(1.5e6))
+    //      = 1e6·31 − 5e5·33 = 14.5e6
+    // bin 9 (a-side ZERO — the case PSI explodes on and JS bounds):
+    //        5e5·(lg64(1e6)−lg64(500001)) = 5e5·64 = 32e6
+    // Σ·1000 DIV 128e6 = 363
+    val a = Seq(5L, 6L, 7L, 8L).map(Tuple1(_)).toDF("v")
+    val b = Seq(5L, 6L, 460L, 461L).map(Tuple1(_)).toDF("v")
+    val r = TextAnalysis.jsDivergence(a, b, "v", bins = 10, lo = 0, hi = 499).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 363L)), r.toString)
+    assert(TextAnalysis.jsDivergence(a, a, "v", 10, 0, 499).collect()(0).getLong(2) == 0L)
+    // fully disjoint support: JS caps at ~1 bit (1000 milli), never explodes
+    val c = Seq(460L, 461L, 462L, 463L).map(Tuple1(_)).toDF("v")
+    val dj = TextAnalysis.jsDivergence(a, c, "v", 10, 0, 499).collect()(0).getLong(2)
+    assert(dj >= 950L && dj <= 1050L, s"disjoint JS should read ~1 bit, got $dj milli")
+  }
+
   test("psi: hand-computed Lg64 millibits; self-PSI zero") {
     // a: all 4 rows in bin 0; b: 2 in bin 0, 2 in bin 9 (lo=0 hi=499):
     // ppm_a = (1e6, 0), ppm_b = (5e5, 5e5);
