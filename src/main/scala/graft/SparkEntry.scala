@@ -1660,6 +1660,19 @@ object SparkEntry {
       pipeline.TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 8, minHits = 1)
         .orderBy("doc_id")
     },
+    "text_decontam_runs" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: contamination SEVERITY — longest contiguous matching-gram
+      // run per doc (Lee et al. '22's verbatim-copy vs phrase-noise
+      // distinction the binary flag erases); every 25th doc contains
+      // its own 16-word benchmark excerpt → a 9-gram run must surface
+      val docs = s.table("documents")
+      val bench = docs.where(col("doc_id") % 25 === 0)
+        .select(array_join(
+          slice(pipeline.TextAnalysis.words(col("text")), 1, 16), " ").as("text"))
+      pipeline.TextAnalysis.contaminationRuns(docs, bench, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
     "text_decontam_batch" -> { (s, dir) =>
       prep(s, dir, "documents")
       // MULTI-benchmark decontamination in one pass: two planted
@@ -6888,6 +6901,34 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          FROM tg JOIN bg USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
+    "text_decontam_runs" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0) AS ws FROM documents),
+              bw AS (SELECT ws[1:16] AS ws FROM w WHERE doc_id % 25 = 0),
+              tg AS (SELECT doc_id, u.s.pos AS pos, u.s.gram AS gram FROM (
+                       SELECT doc_id, unnest(list_transform(range(len(ws) - 7),
+                         i -> {'pos': i, 'gram': array_to_string(ws[i+1:i+8], ' ')})) AS s
+                       FROM w WHERE len(ws) >= 8) u),
+              bg AS (SELECT DISTINCT gram FROM (
+                       SELECT unnest(CASE WHEN len(ws) >= 8
+                         THEN list_transform(range(len(ws) - 7), i -> array_to_string(ws[i+1:i+8], ' '))
+                         ELSE [] END) AS gram FROM bw) x),
+              m AS (SELECT doc_id, pos FROM tg JOIN bg USING (gram)),
+              r AS (SELECT doc_id, pos,
+                      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM m),
+              runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run,
+                         CAST(min(pos) AS BIGINT) AS strt
+                       FROM r GROUP BY 1, 2),
+              agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+                        CAST(sum(run) AS BIGINT) AS n_matched
+                      FROM runs GROUP BY 1),
+              best AS (SELECT doc_id, run AS max_run, strt AS max_run_start FROM (
+                         SELECT doc_id, run, strt,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY run DESC, strt) AS rn
+                         FROM runs) WHERE rn = 1)
+         SELECT agg.doc_id, n_runs, n_matched, max_run, max_run_start
+         FROM agg JOIN best USING (doc_id) ORDER BY doc_id""",
     "pipeline_mix_plan" ->
       """WITH tok AS (SELECT source,
                         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

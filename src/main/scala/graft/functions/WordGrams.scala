@@ -254,6 +254,37 @@ case class WordGramHashes(child: Expression, n: Int)
   override def prettyName: String = "word_gram_hashes"
 }
 
+/** word_gram_hashes_pos(text, n) → array<bigint>: [[WordGramHashes]]
+  * WITHOUT the dedup — one hash per gram POSITION (index i = the gram
+  * starting at word i), so downstream ops can reason about WHERE matches
+  * sit (contiguous runs, coverage spans), which the distinct set erases.
+  * Same tokenizer, same xxhash64(seed 42) per joined gram. */
+case class WordGramHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = WordTok.tokens(v.asInstanceOf[UTF8String].toString)
+    if (w.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](w.length - n + 1)
+      var i = 0
+      while (i <= w.length - n) {
+        out(i) = XxHash64Function.hash(WordTok.joinGram(w, i, n), StringType, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashesPos =
+    copy(child = newChild)
+  override def prettyName: String = "word_gram_hashes_pos"
+}
+
 /** phrase_occurrences(text, phrase) → bigint: occurrences of `phrase` as
   * CONSECUTIVE [[WordTok.tokens]] tokens of the text (the tokenizer the
   * whole text family shares, so index terms, grams, and phrase matches

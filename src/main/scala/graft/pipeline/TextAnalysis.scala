@@ -481,6 +481,43 @@ object TextAnalysis {
       .where(col("n_overlap") >= minHits)
   }
 
+  /** Contamination RUN-LENGTH severity (r11) — the Lee et al. '22
+    * distinction [[contamination]]'s binary flag erases: 200 CONSECUTIVE
+    * matching grams is a verbatim benchmark copy; 5 scattered matches
+    * is phrase-level noise. Positional gram hashes
+    * ([[graft.functions.WordGramHashesPos]] — same tokenizer/hash as
+    * the distinct set) join the broadcast benchmark grams, matched
+    * positions collapse to maximal runs via the gaps-and-islands
+    * row_number trick (per-doc window — state bounded by one doc's
+    * matches), and each contaminated doc reports its worst span.
+    *
+    * Output (matched docs only, the [[contamination]] convention):
+    * `idCol, n_runs, n_matched, max_run, max_run_start` — run lengths
+    * in GRAMS (a run of r covers r+n−1 tokens); max-run ties break to
+    * the EARLIEST start. The train side is scanned once and never
+    * shuffled beyond the per-doc window exchange. */
+  def contaminationRuns(train: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int = 8): DataFrame = {
+    val tg = train.select(col(idCol),
+      posexplode(E.column(graft.functions.WordGramHashesPos(
+        E.expression(col(textCol)), n))).as(Seq("__pos", "__g")))
+    val bg = bench.select(explode(ngramHashes(col(textCol), n)).as("__g")).distinct()
+    val matched = tg.join(broadcast(bg), "__g").select(col(idCol), col("__pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    matched
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"), min("__pos").as("__start"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("__run")).as("n_matched"),
+        max(struct(col("__run"), (-col("__start")).as("__ns"))).as("__m"))
+      .select(col(idCol), col("n_runs"), col("n_matched").cast("long").as("n_matched"),
+        col("__m.__run").as("max_run"),
+        (-col("__m.__ns")).cast("long").as("max_run_start"))
+  }
+
   /** Token-budget WATER-FILLING mix planner — the recipe question
     * [[sourceMix]] answers backwards: sourceMix APPLIES a share recipe
     * to a corpus; this PLANS one — given per-source available tokens,

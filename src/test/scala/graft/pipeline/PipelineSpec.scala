@@ -1604,6 +1604,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(clamp.head._2 == 1 && clamp.last._2 == 1, "clamped to bins 0 and 9")
   }
 
+  test("contaminationRuns: verbatim copy reads one long run, scattered matches read unit runs") {
+    val bench = Seq(Tuple1((1 to 16).map(i => s"b$i").mkString(" "))).toDF("text")
+    val docs = Seq(
+      // verbatim benchmark copy → single run of all 9 grams at pos 0
+      (1L, (1 to 16).map(i => s"b$i").mkString(" ")),
+      // two disjoint 8-gram hits split by filler → 2 unit runs, max at pos 7
+      (2L, ((1 to 7).map(i => s"x$i") ++ (1 to 8).map(i => s"b$i") ++
+            (1 to 7).map(i => s"y$i") ++ (9 to 16).map(i => s"b$i")).mkString(" ")),
+      (3L, (1 to 30).map(i => s"clean$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationRuns(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((1L, 9L, 9L, 0L)), s"verbatim: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 2L, 1L, 7L)), s"scattered: ${out.get(2L)}")
+    assert(!out.contains(3L), "clean doc must not appear")
+  }
+
   test("jsDivergence: hand-computed Lg64 millibits on disjoint support; self-JS zero; bounded") {
     // a: all 4 rows in bin 0; b: 2 in bin 0, 2 in bin 9 —
     // bin 0: 1e6·(lg64(2e6)−lg64(1.5e6)) + 5e5·(lg64(1e6)−lg64(1.5e6))
