@@ -2828,6 +2828,16 @@ object SparkEntry {
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
       pipeline.Relational.spearman(li, "qty", "cents")
     },
+    "rel_kendall_tau" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r11: pair-concordance rank correlation — exact tau-b over the
+      // deterministic 2000-row md5 sample (the capped-quadratic contract)
+      val li = s.table("lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      pipeline.Relational.kendallTau(li, "rid", "qty", "cents")
+    },
     "events_ab_conversion" -> { (s, dir) =>
       prep(s, dir, "events")
       // conversion A/B: per-user purchase conversion across two id
@@ -8376,6 +8386,33 @@ object SparkEntry {
                        / (sqrt(CAST(n * qa - sa * sa AS DOUBLE)) * sqrt(CAST(n * qb - sb * sb AS DOUBLE)))) AS BIGINT)
                 END AS rho_ppm
          FROM m WHERE n > 0""",
+    "rel_kendall_tau" ->
+      """WITH sample AS (SELECT id, x, y FROM (
+                SELECT (l_orderkey * 10 + l_linenumber) AS id,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                       row_number() OVER (ORDER BY
+                         CAST('0x' || substr(md5('kt:' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15) AS BIGINT),
+                         l_orderkey * 10 + l_linenumber) AS rn
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+              WHERE rn <= 2000),
+              s AS (SELECT CAST(coalesce(sum(
+                      CASE WHEN (a.x > b.x AND a.y > b.y) OR (a.x < b.x AND a.y < b.y) THEN 1
+                           WHEN a.x <> b.x AND a.y <> b.y THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+                    FROM sample a JOIN sample b ON a.id < b.id),
+              tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS tie_x
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM sample GROUP BY x)),
+              ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS tie_y
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM sample GROUP BY y)),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sample)
+         SELECT n, s_stat, tie_x, tie_y,
+                CASE WHEN n >= 2 AND (n * (n - 1) // 2 - tie_x) > 0 AND (n * (n - 1) // 2 - tie_y) > 0
+                  THEN CAST(floor(CAST(s_stat AS DOUBLE) * 1000.0
+                       / (sqrt(CAST(n * (n - 1) // 2 - tie_x AS DOUBLE))
+                        * sqrt(CAST(n * (n - 1) // 2 - tie_y AS DOUBLE)))) AS BIGINT)
+                END AS tau_milli
+         FROM nn CROSS JOIN s CROSS JOIN tx CROSS JOIN ty WHERE n > 0""",
     "events_cohort_ltv" ->
       """WITH first_seen AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
                             FROM events GROUP BY user_id),

@@ -1009,6 +1009,68 @@ object Relational {
         | END AS rho_ppm""".stripMargin)
   }
 
+  /** KENDALL's tau-b (r11) — the pair-concordance rank correlation
+    * completing the family ([[spearman]] measures rank LINEARITY; tau
+    * is the probability-of-concordance readout analysts quote, with
+    * the cleaner interpretation under heavy ties). Pairwise, hence the
+    * deliberate quadratic — handled by the house [[TimeSeries.theilSen]]
+    * contract: EXACT tau over a DETERMINISTIC md5-rank sample of
+    * `maxRows` rows (the [[TextAnalysis.samplePerGroup]] bottom-k key —
+    * h60("kt:"∥id), ties on id — so the sample, hence the statistic,
+    * replays in any engine forever). Raising `maxRows` is the explicit
+    * opt-in; at n = 2000 the pair stage is 2M cheap comparisons.
+    *
+    *   S   = Σ_{i<j} sign((xᵢ−xⱼ)·(yᵢ−yⱼ))       (exact long)
+    *   n1  = Σ_x t(t−1)/2,  n2 = Σ_y t(t−1)/2     (tie pairs)
+    *   tau_milli = ⌊1000·S / (√(n0−n1)·√(n0−n2))⌋, n0 = n(n−1)/2
+    *
+    * — two mirrored IEEE sqrts (the wilson rule); all-tied sides read
+    * NULL. Output (one row): `n, s_stat, tie_x, tie_y, tau_milli`.
+    *
+    * Plan: the sample is one TakeOrdered (never a full sort); the pair
+    * stage is a broadcast self-join of the sample against itself; tie
+    * counts are two groupBys on the same sample frame. */
+  def kendallTau(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                 maxRows: Int = 2000): DataFrame = {
+    require(maxRows >= 2 && maxRows <= 20000,
+      s"maxRows must be in [2, 20000] (pairs are quadratic), got $maxRows")
+    requireIntegralTime(df, xCol, "kendallTau", what = "x value")
+    requireIntegralTime(df, yCol, "kendallTau", what = "y value")
+    val sample = Materialize(df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__h",
+        conv(substring(md5(concat(lit("kt:"), col("__id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(maxRows)
+      .drop("__h"))
+    val a = sample.select(col("__id").as("__ia"), col("__x").as("__xa"), col("__y").as("__ya"))
+    val bb = sample.select(col("__id").as("__ib"), col("__x").as("__xb"), col("__y").as("__yb"))
+    // concordance sign via comparisons, not the diff product (which
+    // could overflow long at extreme magnitudes)
+    val sgn = when((col("__xa") > col("__xb") && col("__ya") > col("__yb")) ||
+        (col("__xa") < col("__xb") && col("__ya") < col("__yb")), 1L)
+      .when(col("__xa") =!= col("__xb") && col("__ya") =!= col("__yb"), -1L)
+      .otherwise(0L)
+    val s = a.join(broadcast(bb), col("__ia") < col("__ib"))
+      .agg(coalesce(sum(sgn), lit(0L)).as("s_stat"))
+    def tiePairs(c: String) = sample.groupBy(col(c)).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(expr("__t * (__t - 1) DIV 2")), lit(0L)).as(s"tie$c"))
+    val n = sample.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(s))
+      .crossJoin(broadcast(tiePairs("__x").withColumnRenamed("tie__x", "tie_x")))
+      .crossJoin(broadcast(tiePairs("__y").withColumnRenamed("tie__y", "tie_y")))
+      .where(col("n") > 0)
+      .selectExpr("n", "s_stat", "tie_x", "tie_y",
+        """CASE WHEN n >= 2 AND (n * (n - 1) DIV 2 - tie_x) > 0 AND (n * (n - 1) DIV 2 - tie_y) > 0
+          | THEN CAST(floor(CAST(s_stat AS DOUBLE) * 1000.0
+          |   / (sqrt(CAST(n * (n - 1) DIV 2 - tie_x AS DOUBLE))
+          |    * sqrt(CAST(n * (n - 1) DIV 2 - tie_y AS DOUBLE)))) AS BIGINT)
+          | END AS tau_milli""".stripMargin)
+  }
+
   /** TWO-PROPORTION z-test — the conversion A/B readout (did cohort A
     * convert more than cohort B), reported as z² (≡ the 2×2 Pearson
     * chi-square with the pooled-variance denominator; compare against

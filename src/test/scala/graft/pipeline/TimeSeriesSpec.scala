@@ -557,6 +557,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.welchT(df, "v", "side", "a", "a"))
   }
 
+  test("kendallTau: hand-computed concordance, ties, deterministic sample cap") {
+    val up = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L)).toDF("id", "x", "y")
+    val u = Relational.kendallTau(up, "id", "x", "y").collect()(0)
+    assert((u.getLong(0), u.getLong(1)) == ((3L, 3L)), u.toString)
+    assert(u.getLong(4) == 1000L, s"perfect concordance ${u.getLong(4)}")
+    // reversed: sqrt(3)·sqrt(3) lands one ulp BELOW 3 → −3000/2.999…
+    // = −1000.0000000000002 → floor −1001 (deterministic, both engines)
+    val down = Seq((1L, 1L, 3L), (2L, 2L, 2L), (3L, 3L, 1L)).toDF("id", "x", "y")
+    assert(Relational.kendallTau(down, "id", "x", "y").collect()(0).getLong(4) == -1001L)
+    // x = {1,1,2}, y distinct: S = 2, tie_x = 1 → tau = 2/(√2·√3) = 0.816
+    val tied = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 3L)).toDF("id", "x", "y")
+    val t = Relational.kendallTau(tied, "id", "x", "y").collect()(0)
+    assert((t.getLong(2), t.getLong(3)) == ((1L, 0L)), t.toString)
+    assert(t.getLong(4) == 816L, s"tie-corrected tau ${t.getLong(4)}")
+    // all-tied x → denominator 0 → NULL
+    val flat = Seq((1L, 5L, 1L), (2L, 5L, 2L)).toDF("id", "x", "y")
+    assert(Relational.kendallTau(flat, "id", "x", "y").collect()(0).isNullAt(4))
+    // the md5 sample cap binds and is order-deterministic
+    val big = (1L to 100L).map(i => (i, i, i * 2)).toDF("id", "x", "y")
+    val s1 = Relational.kendallTau(big, "id", "x", "y", maxRows = 10).collect()(0)
+    val s2 = Relational.kendallTau(big.repartition(7), "id", "x", "y", maxRows = 10).collect()(0)
+    assert(s1.getLong(0) == 10L && s1.toString == s2.toString)
+  }
+
   test("cramersV: perfect association = 1e6, independence ~ 0, 1×k degenerate NULL") {
     // perfect diagonal 2×2: chi2 = n -> V = 1 exactly (sqrt(1.0) is exact)
     val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("r", "c")
