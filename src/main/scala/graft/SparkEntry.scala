@@ -1702,6 +1702,24 @@ object SparkEntry {
           min("doc_id").as("min_id"))
         .orderBy("split")
     },
+    "pipeline_url_gate" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: the crawl pipeline's FIRST filter — domain blocklist +
+      // path-token screen over canonicalized URLs, first-failing-rule
+      // attribution; same two synthesized URL shapes as
+      // pipeline_domain_stats so the oracle replays identical regexes
+      val urls = s.table("documents").withColumn("url",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com:8080/docs/"),
+            col("doc_id").cast("string"), lit("?ref=crawl#top")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".org/p/"),
+            col("doc_id").cast("string"))))
+      pipeline.TextAnalysis.urlGate(urls, "url",
+          blockedDomains = Seq("src3.example.com", "src7.org"),
+          bannedPathTokens = Seq("/docs/13", "ref=spam"))
+        .select("doc_id", "domain", "reject_reason", "keep")
+        .orderBy("doc_id")
+    },
     "pipeline_domain_stats" -> { (s, dir) =>
       prep(s, dir, "documents")
       // synthesize deterministic crawl URLs (two shapes: www host with
@@ -7000,6 +7018,29 @@ object SparkEntry {
                    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
                  FROM documents) t) u
          GROUP BY split ORDER BY split""",
+    "pipeline_url_gate" ->
+      """WITH u AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN 'https://www.' || source || '.example.com:8080/docs/' || CAST(doc_id AS VARCHAR) || '?ref=crawl#top'
+                  ELSE 'http://' || source || '.org/p/' || CAST(doc_id AS VARCHAR) END AS url
+              FROM documents),
+              p AS (SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '') AS host,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
+              FROM u),
+              d AS (SELECT doc_id, scheme, path, q,
+                regexp_replace(regexp_replace(lower(host), '^www\.', ''), ':[0-9]+$', '') AS domain
+              FROM p),
+              v AS (SELECT doc_id, domain,
+                CASE WHEN domain IN ('src3.example.com', 'src7.org') THEN 'blocked_domain'
+                     WHEN contains(lower(path || '?' || q), '/docs/13')
+                       OR contains(lower(path || '?' || q), 'ref=spam') THEN 'banned_path'
+                     WHEN scheme NOT IN ('http', 'https') THEN 'non_http' END AS reject_reason
+              FROM d)
+         SELECT doc_id, domain, reject_reason, (reject_reason IS NULL) AS keep
+         FROM v ORDER BY doc_id""",
     "pipeline_domain_stats" ->
       """WITH u AS (SELECT doc_id,
                 CASE WHEN doc_id % 3 = 0

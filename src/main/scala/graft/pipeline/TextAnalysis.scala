@@ -149,6 +149,37 @@ object TextAnalysis {
         regexp_replace(regexp_replace(lower(host), "^www\\.", ""), ":[0-9]+$", ""))
   }
 
+  /** URL GATE (r11) — the crawl pipeline's FIRST filter (C4/RefinedWeb
+    * run a domain blocklist + path-keyword screen before a single byte
+    * of content is fetched or tokenized): [[urlParts]] canonicalization
+    * → broadcast-list verdicts with first-failing-rule attribution
+    * (`blocked_domain` → `banned_path` → `non_http`, the
+    * tolerant-decode accounting convention — every drop names its
+    * rule). `bannedPathTokens` match case-insensitively as substrings
+    * of path∥query (the published heuristic — token lists, not regex,
+    * so the gate replays in any engine verbatim).
+    *
+    * Output: the input columns + `domain, reject_reason (NULL = kept),
+    * keep`. Pure map over the corpus (the blocklist is a literal
+    * when-chain — KBs for any real list); stream-safe, no shuffle. */
+  def urlGate(df: DataFrame, urlCol: String, blockedDomains: Seq[String],
+              bannedPathTokens: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty || bannedPathTokens.nonEmpty,
+      "urlGate with no rules gates nothing — pass at least one list")
+    val parts = urlParts(df, urlCol)
+    val pathq = lower(concat(col("path"), lit("?"), col("url_query")))
+    val bannedHit = bannedPathTokens.sorted
+      .map(t => pathq.contains(lit(t.toLowerCase)))
+      .foldLeft(lit(false))(_ || _)
+    parts
+      .withColumn("reject_reason",
+        when(col("domain").isin(blockedDomains.map(_.toLowerCase): _*), lit("blocked_domain"))
+          .when(bannedHit, lit("banned_path"))
+          .when(!col("scheme").isin("http", "https"), lit("non_http")))
+      .withColumn("keep", col("reject_reason").isNull)
+      .drop("scheme", "host", "path", "url_query", "fragment")
+  }
+
   /** Writing-system profile: per-document counts of Latin letters,
     * Cyrillic, CJK (unified ideographs + kana), Arabic and ASCII digits,
     * plus the dominant script (ties break latin > cyrillic > cjk >

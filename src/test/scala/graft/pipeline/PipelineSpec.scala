@@ -1604,6 +1604,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(clamp.head._2 == 1 && clamp.last._2 == 1, "clamped to bins 0 and 9")
   }
 
+  test("urlGate: rule attribution priority, scheme gate, case-insensitive tokens") {
+    val urls = Seq(
+      (1L, "https://www.bad.com/docs/1?ref=spam"), // blocked domain WINS over banned path
+      (2L, "https://ok.com/DOCS/13?x=1"),          // banned token, case-insensitive
+      (3L, "ftp://ok.com/file"),                   // non-http
+      (4L, "https://ok.com/fine?a=b")).toDF("doc_id", "url")
+    val out = TextAnalysis.urlGate(urls, "url",
+        blockedDomains = Seq("bad.com"), bannedPathTokens = Seq("/docs/13", "ref=spam"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("reject_reason")), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((Some("blocked_domain"), false)))
+    assert(out(2L) == ((Some("banned_path"), false)))
+    assert(out(3L) == ((Some("non_http"), false)))
+    assert(out(4L) == ((None, true)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.urlGate(urls, "url", Seq.empty, Seq.empty))
+  }
+
   test("contaminationRuns: verbatim copy reads one long run, scattered matches read unit runs") {
     val bench = Seq(Tuple1((1 to 16).map(i => s"b$i").mkString(" "))).toDF("text")
     val docs = Seq(
