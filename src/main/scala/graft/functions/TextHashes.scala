@@ -543,6 +543,44 @@ case class LshProbesExact(child: Expression, numTables: Int, numPlanes: Int,
   override def prettyName: String = "lsh_probe_buckets_exact"
 }
 
+/** poisson_weights(id) → array<bigint>: the b md5-derived Poisson(1)
+  * draws of one row's bootstrap resamples in ONE tight loop —
+  * value-identical to the per-(row, rep) SQL chain it replaces
+  * (`conv(substring(md5(concat(id, ':', rep)), 1, 15), 16, 10)` probed
+  * against the same cumulative thresholds: Mix.h60 computes the digest
+  * → long directly), but without b separate concat/hex-string/parse
+  * expression trees per row — that chain made the ×64 explode the
+  * whole operator's cost (r11: 12.9 s in-bench → the digest loop).
+  * `thresholds` are the ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ literals; u ≥ last →
+  * weight 9. */
+case class PoissonWeights(child: Expression, b: Int, thresholds: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  require(b >= 1 && thresholds.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val ts: Array[Long] = thresholds.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val id = v.asInstanceOf[UTF8String].toString
+    val out = new Array[Any](b)
+    var rep = 0
+    while (rep < b) {
+      val u = Mix.h60(id + ":" + rep)
+      var k = 0
+      while (k < ts.length && u >= ts(k)) k += 1
+      out(rep) = k.toLong
+      rep += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PoissonWeights =
+    copy(child = newChild)
+  override def prettyName: String = "poisson_weights"
+}
+
 /** hamming64(a, b) → int — popcount(a XOR b), for SimHash radii.
   * Fully codegen'd (not CodegenFallback): it is evaluated inside the
   * candidate-pair join stage, and a fallback expression there would break

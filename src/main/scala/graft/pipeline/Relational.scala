@@ -1154,9 +1154,6 @@ object Relational {
       1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
       1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
       1152920207336574720L)
-    val wCase = ts.zipWithIndex
-      .map { case (t, k) => s"WHEN __u < ${t}L THEN ${k}L" }
-      .mkString("CASE ", " ", " ELSE 9L END")
     val gcols = groupCols.map(col)
     val loRank = math.max(1, b / 40)
     val hiRank = b + 1 - loRank
@@ -1172,14 +1169,18 @@ object Relational {
     // exact DECIMAL fold keyed by (group, rep).
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     val spread = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // all b draws of a row in ONE digest loop (PoissonWeights) — value-
+    // identical to the per-(row, rep) md5/conv SQL chain (same bytes,
+    // same h60 fold, same thresholds) but without b expression trees
+    // per row, which dominated the operator's cost
     val base = spread
       .select(gcols :+ col(idCol).cast("string").as("__id")
         :+ floor(col(valueCol) * 100 + 0.5).cast("long").as("__x"): _*)
-      .withColumn("__rep", explode(expr(s"sequence(0, ${b - 1})")))
-      .withColumn("__u",
-        conv(substring(md5(concat(col("__id"), lit(":"),
-          col("__rep").cast("string"))), 1, 15), 16, 10).cast("long"))
-      .withColumn("__w", expr(wCase))
+      .select(gcols :+ col("__x") :+ posexplode(
+        org.apache.spark.sql.graftshim.GraftShim.column(
+          graft.functions.PoissonWeights(
+            org.apache.spark.sql.graftshim.GraftShim.expression(col("__id")), b, ts)))
+        .as(Seq("__rep", "__w")): _*)
     val reps = base
       .groupBy(gcols :+ col("__rep"): _*)
       .agg(sum(col("__w").cast(dec)).as("__nw"),
