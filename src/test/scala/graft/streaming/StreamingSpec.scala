@@ -831,6 +831,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming URL gate: the crawl's first filter runs unchanged on a URL stream") {
+    // urlGate = urlParts regexes + a literal when-chain: a pure map, so
+    // the frontier's URL stream gates append-mode before any fetch
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val gated = graft.pipeline.TextAnalysis.urlGate(src.toDF().toDF("doc_id", "url"),
+      "url", blockedDomains = Seq("bad.com"), bannedPathTokens = Seq("ref=spam"))
+    val q = gated.writeStream.format("memory").queryName("url_gate")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "https://www.bad.com/x"), (2L, "https://ok.com/fine"))
+      q.processAllAvailable()
+      src.addData((3L, "https://ok.com/p?ref=spam"))
+      q.processAllAvailable()
+      val got = spark.table("url_gate").orderBy("doc_id")
+        .select("doc_id", "reject_reason", "keep")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSeq
+      assert(got == Seq((1L, Some("blocked_domain"), false), (2L, None, true),
+        (3L, Some("banned_path"), false)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming resolution screen: the geometry gate runs unchanged on a payload stream") {
     // resolutionScreen = the stateless decoder seam + codegen'd verdicts,
     // so a crawl's blob stream gates append-mode with zero state:
