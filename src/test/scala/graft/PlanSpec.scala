@@ -634,4 +634,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"threshold grid not broadcast:\n$plan")
   }
+
+  test("rel_mann_whitney / rel_kruskal plans: corpus collapses before the rank window, no join on the corpus side") {
+    for (q <- Seq("rel_mann_whitney", "rel_kruskal")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the rank window must see the DISTINCT-VALUE frame, which means a
+      // partial-aggregated groupBy(value) sits below it
+      assert(plan.contains("partial"), s"$q: value counts must partial-aggregate:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"$q: the corpus must never join:\n$plan")
+    }
+  }
+
+  test("rel_spearman plan: two value-keyed rank joins, no global row sort") {
+    val plan = SparkEntry.queries("rel_spearman")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"product in spearman:\n$plan")
+    // no rangepartitioning over the raw rows — the only sorts allowed sit
+    // inside the collapsed distinct-value windows and join machinery
+    val globalSort = plan.split('\n')
+      .exists(l => l.contains("Exchange rangepartitioning") && !l.contains("ENSURE"))
+    assert(!globalSort, s"spearman must not globally sort the corpus:\n$plan")
+  }
+
+  test("pipeline_gini plan: Lorenz window rides the collapsed source frame behind one partial agg") {
+    val plan = SparkEntry.queries("pipeline_gini")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"per-source rollup must partial-aggregate:\n$plan")
+    assert(!plan.contains("Join"), s"gini must stay join-free:\n$plan")
+  }
 }
