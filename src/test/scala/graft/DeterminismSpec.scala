@@ -193,7 +193,22 @@ class DeterminismSpec extends AnyFunSuite {
     "text_decontam_batch", "ts_cusum_deseasonal",
     // r10 wave 6: water-filling over the collapsed per-source frame;
     // percentile-boundary deciles + collapsed cumulative-gain window
-    "pipeline_mix_plan", "events_decile_lift")
+    "pipeline_mix_plan", "events_decile_lift",
+    // r11 session 1: pairwise-sign spine join + tie fold, lag-gap
+    // holistic median, percentile-boundary temporal cut
+    "ts_mann_kendall", "events_bot_screen", "pipeline_temporal_split",
+    // r11 session 2: distinct-value rank windows + DECIMAL folds
+    // (mann-whitney/kruskal), dual value-keyed rank joins (spearman),
+    // md5-rank TakeOrdered sample + broadcast pair join (kendall — the
+    // orderBy/limit sample is the classic partition-order risk),
+    // band-vs-truth count joins, Lorenz row_number over the source
+    // frame, three-rater union into the Fleiss cell fold, positional
+    // gram islands, Lg64 histogram folds, effect-size tail, URL
+    // when-chain map, header-decode verdict map
+    "rel_mann_whitney", "rel_kruskal", "rel_spearman", "rel_kendall_tau",
+    "dedup_minhash_pr", "pipeline_gini", "text_rater_agreement",
+    "text_decontam_runs", "pipeline_psi", "pipeline_js_drift",
+    "rel_cramers_v", "pipeline_url_gate", "multimodal_resolution_screen")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
