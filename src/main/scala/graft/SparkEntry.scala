@@ -3471,6 +3471,21 @@ object SparkEntry {
           rounds = 3)
         .orderBy("node")
     },
+    "graph_harmonic" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // r11: harmonic centrality from 8 md5 landmarks over the same
+      // bidirected trade graph as graph_bfs — the distance-based
+      // centrality the family lacked (PageRank measures flow; exact
+      // closeness is all-pairs); exact integer Σ⌊1e6/d⌋ estimator
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      pipeline.Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
+        .orderBy("node")
+    },
     "graph_bfs" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // hop distance from a trusted customer cohort over the bidirected
@@ -4093,6 +4108,39 @@ object SparkEntry {
        |f0 AS (SELECT node, dist FROM d0),
        |$roundCtes
        |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Graph.harmonicCentrality]] —
+    * the [[shortestPathsOracleSql]] relaxation unroll with the state
+    * keyed (node, landmark), landmarks = bottom-nSeeds nodes by
+    * (md5-h60("hc:"∥node), node), and the Σ⌊10⁶/d⌋ rollup. */
+  private def harmonicOracleSql(nSeeds: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, f.seed, min(f.dist + 1) AS nd
+         |  FROM edges e JOIN f${i - 1} f ON f.node = e.src GROUP BY 1, 2),
+         |i$i AS MATERIALIZED (SELECT c.node, c.seed, c.nd AS dist FROM c$i c
+         |  LEFT JOIN d${i - 1} d ON d.node = c.node AND d.seed = c.seed
+         |  WHERE d.node IS NULL OR c.nd < d.dist),
+         |d$i AS MATERIALIZED (SELECT node, seed, min(dist) AS dist FROM
+         |  (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM i$i) GROUP BY node, seed),
+         |f$i AS (SELECT node, seed, dist FROM i$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT c AS src, sp + 1000000 AS dst FROM e0
+       |       UNION ALL SELECT sp + 1000000 AS src, c AS dst FROM e0),
+       |ns AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |sd AS (SELECT node AS seed FROM (
+       |  SELECT node, row_number() OVER (ORDER BY
+       |    CAST('0x' || substr(md5('hc:' || CAST(node AS VARCHAR)), 1, 15) AS BIGINT), node) AS rn
+       |  FROM ns) WHERE rn <= $nSeeds),
+       |d0 AS MATERIALIZED (SELECT seed AS node, seed, CAST(0 AS BIGINT) AS dist FROM sd),
+       |f0 AS (SELECT node, seed, dist FROM d0),
+       |$roundCtes
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+       |       CAST(sum(1000000 // dist) AS BIGINT) AS h_ppm
+       |FROM d$rounds WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
   }
 
   /** DuckDB replay of [[pipeline.Graph.temporalReachability]] —
@@ -5547,6 +5595,7 @@ object SparkEntry {
          FROM pairs p JOIN v ON v.child = p.child
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
+    "graph_harmonic" -> harmonicOracleSql(8, 4),
     "graph_temporal_reach" -> temporalReachOracleSql(3),
     "graph_degree_dist" ->
       """WITH e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM (

@@ -465,6 +465,76 @@ object Graph {
     dists
   }
 
+  /** HARMONIC centrality from md5 LANDMARKS (r11) — the Eppstein–Wang
+    * landmark estimator for the centrality family's missing
+    * closeness-style member (exact closeness is all-pairs; PageRank
+    * measures flow, not DISTANCE): `nSeeds` deterministic landmark
+    * nodes (bottom-k by h60("hc:"∥node), node — the samplePerGroup key,
+    * so the landmark SET replays in any engine), one multi-source BFS
+    * with state keyed (node, landmark), then per node
+    *
+    *   h_ppm = Σ_{landmarks at dist d > 0 within `rounds`} ⌊10⁶ / d⌋
+    *
+    * — exact integers, so the ESTIMATE hash-gates even though it is an
+    * estimate (the estimator contract: unbiased scaling to true
+    * harmonic is ·(N−1)/nSeeds, the caller's multiplication; `rounds`
+    * is the documented horizon like [[temporalReachability]]).
+    *
+    * Plan: the [[shortestPaths]] loop with a composite key — edges
+    * shuffle onto src ONCE, per-round state ≤ nodes×nSeeds rows, one
+    * full-outer merge per round, frontier-empty early exit. Output:
+    * `node, n_reached, h_ppm` (nodes reached by ≥1 other landmark). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         nSeeds: Int = 8, rounds: Int = 6): DataFrame = {
+    require(nSeeds >= 1 && nSeeds <= 1024, s"nSeeds must be in [1, 1024], got $nSeeds")
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "harmonicCentrality", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "harmonicCentrality", role = "dst id")
+    val e0 = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
+    val nodeSet = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val seeds = nodeSet
+      .withColumn("__h",
+        conv(substring(md5(concat(lit("hc:"), col("node").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("__h"), col("node"))
+      .limit(nSeeds)
+      .select(col("node").as("seed"))
+    val ej = Materialize.cut(e0.repartition(col("src")))
+    var dists = Materialize.cut(
+      seeds.select(col("seed").as("node"), col("seed"), lit(0L).as("dist")))
+    var frontier = dists
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val cand = ej.join(frontier.hint("shuffle_hash"),
+          ej("src") === frontier("node"))
+        .select(col("dst"), col("seed"), (col("dist") + 1L).as("__nd"))
+        .groupBy("dst", "seed").agg(min(col("__nd")).as("__nd"))
+      val improved = col("__old").isNull ||
+        (col("__nd").isNotNull && col("__nd") < col("__old"))
+      val merged = Materialize.cut(
+        dists.withColumnRenamed("dist", "__old")
+          .withColumnRenamed("seed", "__s")
+          .join(cand.hint("shuffle_hash"),
+            col("node") === col("dst") && col("__s") === col("seed"), "full")
+          .select(
+            coalesce(col("node"), col("dst")).as("node"),
+            coalesce(col("__s"), col("seed")).as("seed"),
+            when(improved, col("__nd")).otherwise(col("__old")).as("dist"),
+            improved.as("__imp")))
+      frontier = merged.where(col("__imp")).select("node", "seed", "dist")
+      if (frontier.isEmpty) done = true
+      dists = merged.select("node", "seed", "dist")
+    }
+    dists.where(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 DIV dist")).as("h_ppm"))
+  }
+
   /** DEGREE-DISTRIBUTION profile in log₂ buckets — the "does this graph
     * have mega-hubs" pre-flight that decides which graph ops need their
     * skew guards (a heavy power-law tail is where naive wedge joins and

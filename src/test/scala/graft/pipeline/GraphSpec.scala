@@ -294,6 +294,26 @@ class GraphSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
   }
 
+  test("harmonicCentrality: hand-computed path-graph sums, horizon bound, components isolate") {
+    import spark.implicits._
+    // bidirected path 1-2-3-4 plus the isolated pair 5-6; nSeeds covers
+    // every node so all distances are exact
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val h = Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 6, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // node 1: d = 1,2,3 → 1e6 + 5e5 + 333333; node 2: 1,1,2 → 25e5
+    assert(h(1L) == ((3L, 1833333L)), s"node1 ${h.get(1L)}")
+    assert(h(2L) == ((3L, 2500000L)), s"node2 ${h.get(2L)}")
+    // the isolated pair only sees each other — components never leak
+    assert(h(5L) == ((1L, 1000000L)) && h(6L) == ((1L, 1000000L)))
+    // horizon 1: endpoints reach exactly their neighbor
+    val h1 = Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 6, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h1(1L) == ((1L, 1000000L)), s"horizon-1 node1 ${h1.get(1L)}")
+    assert(h1(2L) == ((2L, 2000000L)), s"horizon-1 node2 ${h1.get(2L)}")
+  }
+
   test("shortestPaths: BFS hop distances on a chain, horizon-bounded reach") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     assert(sp(chain, Seq(1L), 10) ==
