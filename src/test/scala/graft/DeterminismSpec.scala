@@ -208,7 +208,9 @@ class DeterminismSpec extends AnyFunSuite {
     "rel_mann_whitney", "rel_kruskal", "rel_spearman", "rel_kendall_tau",
     "dedup_minhash_pr", "pipeline_gini", "text_rater_agreement",
     "text_decontam_runs", "pipeline_psi", "pipeline_js_drift",
-    "rel_cramers_v", "pipeline_url_gate", "multimodal_resolution_screen")
+    "rel_cramers_v", "pipeline_url_gate", "multimodal_resolution_screen",
+    // (node, landmark)-keyed relaxation rounds + the md5 landmark cut
+    "graph_harmonic")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
