@@ -552,7 +552,11 @@ case class LshProbesExact(child: Expression, numTables: Int, numPlanes: Int,
   * expression trees per row — that chain made the ×64 explode the
   * whole operator's cost (r11: 12.9 s in-bench → the digest loop).
   * `thresholds` are the ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ literals; u ≥ last →
-  * weight 9. */
+  * weight 9. NULL id → NULL array (the row drops from every
+  * resample): a row with no identity has no resample membership —
+  * the SQL chain this replaces accidentally gave NULL ids weight 9
+  * in every draw (CASE's ELSE arm on a NULL u), a bug this rewrite
+  * retires; bootstrapMeanCi requires a stable non-NULL id anyway. */
 case class PoissonWeights(child: Expression, b: Int, thresholds: Seq[Long])
     extends UnaryExpression with CodegenFallback {
   require(b >= 1 && thresholds.nonEmpty)
