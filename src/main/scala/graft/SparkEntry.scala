@@ -2001,6 +2001,24 @@ object SparkEntry {
         pipeline.TextAnalysis.langId(col("text")).as("pred"), col("lang"))
       pipeline.Relational.cohenKappa(scored, "pred", "lang")
     },
+    "text_langid_confusion" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r11: the DIAGNOSTIC behind the kappa's one number — the full
+      // (declared, predicted) confusion grid with per-declared-lang
+      // recall ppm: kappa says the rater disagrees, the matrix says
+      // WHERE (which languages the stopword profile confuses)
+      s.table("documents")
+        .where(col("lang").isNotNull)
+        .select(col("lang"), pipeline.TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .select(col("lang"), col("pred"), col("n"),
+          col("row_total").cast("long").as("row_total"),
+          expr("CAST(n * 1000000 DIV row_total AS BIGINT)").as("share_ppm"))
+        .orderBy("lang", "pred")
+    },
     "dedup_threshold_curve" -> { (s, dir) =>
       prep(s, dir, "documents")
       // dedup-threshold TUNING curve (composed — the composition is the
@@ -6319,6 +6337,16 @@ object SparkEntry {
          |  CASE WHEN n_truth > 0 THEN n_true_candidates * 1000000 // n_truth END AS recall_ppm
          |FROM cn CROSS JOIN tn CROSS JOIN tp""".stripMargin,
     "text_rater_agreement" -> fleissOracleSql,
+    "text_langid_confusion" ->
+      s"""WITH p AS (${langIdSelectSql("text")}),
+         |g AS (SELECT d.lang, p.lang_pred AS pred, CAST(count(*) AS BIGINT) AS n
+         |      FROM documents d JOIN p ON p.doc_id = d.doc_id
+         |      WHERE d.lang IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rt FROM g GROUP BY 1)
+         |SELECT g.lang, g.pred, g.n, CAST(g.rt2 AS BIGINT) AS row_total,
+         |       CAST(g.n * 1000000 // g.rt2 AS BIGINT) AS share_ppm
+         |FROM (SELECT g.*, t.rt AS rt2 FROM g JOIN t USING (lang)) g
+         |ORDER BY lang, pred""".stripMargin,
     "pipeline_gini" ->
       """WITH per AS (SELECT source AS g,
                         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS w

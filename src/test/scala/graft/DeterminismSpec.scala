@@ -210,7 +210,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_decontam_runs", "pipeline_psi", "pipeline_js_drift",
     "rel_cramers_v", "pipeline_url_gate", "multimodal_resolution_screen",
     // (node, landmark)-keyed relaxation rounds + the md5 landmark cut
-    "graph_harmonic")
+    "graph_harmonic",
+    // per-declared-lang row-total window + share floor
+    "text_langid_confusion")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
