@@ -544,6 +544,59 @@ object ScaleProbe {
   * at 10M–100M-row shapes — each op's unbounded stage must stay ONE
   * partial-aggregated corpus pass, with everything after on a collapsed
   * (distinct-value / group / bin) frame. */
+/** r12 probes: the RangeScan graduation — the rank-stat family at 10⁷+
+  * DISTINCT values, the regime the r11 verdict named as the one
+  * structural 100×-scale risk (a near-continuous column collapses to a
+  * distinct-value frame the old global window put on ONE reducer; the
+  * r12 RangeScan spreads it across `spark.sql.shuffle.partitions`
+  * order-contiguous buckets). */
+object ScaleProbe12 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- mannWhitney at NEAR-UNIQUE values: 2×10M rows, ~17.5M distinct
+    // micros — the exact shape the r11 audit flagged (raw micros, no
+    // upstream coarsening). The collapsed frame IS corpus-sized here; the
+    // probe's point is that it now range-partitions instead of landing on
+    // one reducer.
+    val mw = spark.range(20000000L).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS side",
+      "pmod(xxhash64(id), 30000000) + CASE WHEN id % 2 = 1 THEN 300000 ELSE 0 END AS micros")
+    val nd = timed("distinct-value census (20M rows)")(
+      mw.selectExpr("count(DISTINCT micros) AS d").collect()(0).getLong(0))
+    val mwRow = timed(s"mannWhitney (20M rows, $nd distinct micros — near-unique)")(
+      pipeline.Relational.mannWhitney(mw, "micros", "side", "a", "b").collect()(0))
+    println(s"[scale]   z_milli = ${mwRow.getLong(4)} (planted +1% shift: strongly negative)")
+
+    // ---- ksTest on the same near-unique frame ----------------------------
+    val ksRow = timed(s"ksTest (20M rows, $nd distinct micros)")(
+      pipeline.Relational.ksTest(mw, "micros", "side", "a", "b").collect()(0))
+    println(s"[scale]   d_ppm = ${ksRow.getLong(3)} at ${ksRow.getLong(4)}")
+
+    // ---- skylineMax over 10M distinct x ----------------------------------
+    val sky = spark.range(10000000L).selectExpr(
+      "id AS x", "pmod(xxhash64(id), 10000000) AS y")
+    val skyN = timed("skylineMax (10M rows, x fully distinct)")(
+      pipeline.Relational.skylineMax(sky, "x", "y").count())
+    println(s"[scale]   skyline size = $skyN")
+
+    spark.stop()
+  }
+}
+
 object ScaleProbe11b {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -599,7 +652,10 @@ object ScaleProbe11b {
     // ---- gini: 10M docs over 100k sources, Zipf-ish ownership ------------
     val gd = spark.range(10000000L).selectExpr(
       // source k owns ~1/(k+1) of the mass: heavy concentration
-      "concat('s', CAST(floor(sqrt(pmod(xxhash64(id), 10000000000L) / 1000)) AS BIGINT)) AS source",
+      // (sqrt of a uniform < 1e10 draw ranges over ~100k distinct
+      // sources — r11 advice: an earlier /1000 inside the sqrt cut the
+      // group cardinality to ~3.2k while the label still said 100k)
+      "concat('s', CAST(floor(sqrt(pmod(xxhash64(id), 10000000000L))) AS BIGINT)) AS source",
       "concat_ws(' ', transform(sequence(0, pmod(id, 9)), j -> concat('w', j))) AS text")
     val gRow = timed("giniConcentration (10M docs, ~100k sources)")(
       pipeline.TextAnalysis.giniConcentration(gd, "source", "text").collect()(0))

@@ -7290,8 +7290,8 @@ object SparkEntry {
                e AS (SELECT n_a, n_b, ppm_a, ppm_b,
                        greatest(1, ppm_a) AS pa, greatest(1, ppm_b) AS pb FROM d)
           SELECT CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
-                 CAST(sum(ppm_a * (${lg("2 * pa")} - ${lg("pa + pb")})
-                        + ppm_b * (${lg("2 * pb")} - ${lg("pa + pb")}))
+                 CAST(greatest(0, sum(ppm_a * (${lg("2 * pa")} - ${lg("pa + pb")})
+                        + ppm_b * (${lg("2 * pb")} - ${lg("pa + pb")})))
                       * 1000 // (2 * 64 * 1000000) AS BIGINT) AS js_millibits
           FROM e"""
     },
@@ -8511,7 +8511,9 @@ object SparkEntry {
                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
                        row_number() OVER (ORDER BY
                          CAST('0x' || substr(md5('kt:' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15) AS BIGINT),
-                         l_orderkey * 10 + l_linenumber) AS rn
+                         l_orderkey * 10 + l_linenumber,
+                         CAST(l_quantity AS BIGINT),
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rn
                 FROM lineitem
                 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
               WHERE rn <= 2000),

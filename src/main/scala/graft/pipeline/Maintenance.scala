@@ -162,8 +162,11 @@ object Maintenance {
     * a run of `m` keys all with count `n` starting at cumulative
     * 1-based rank `p+1` contributes `n·(m·p + m(m+1)/2)` to Σ rankᵢ·xᵢ,
     * and `n·min(m, topK − cum_above)` to the top-K total. The two
-    * single-partition windows run over that collapsed frame ONLY (the
-    * ksTest/skyline discipline, plan-asserted there), never over keys.
+    * cumulative sums ride ONE range-partitioned [[RangeScan]] over that
+    * collapsed frame (r12 — the frame is ≤ √(2N) rows, already tiny,
+    * but the discipline is uniform now: no unpartitioned window scans
+    * any data-sized frame anywhere in the engine); the descending
+    * cumulative is recovered as `total − ascending-inclusive`, exact.
     * All moments in DECIMAL(38,0) (`m·p` alone overflows BIGINT at
     * ~10⁹ keys); Gini via the rank identity
     * `G = (2·Σ rankᵢ·xᵢ − (K+1)·S) / (K·S)` with truncating DIV.
@@ -177,13 +180,16 @@ object Maintenance {
     val coc = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
       .groupBy("__n").agg(count(lit(1)).as("__m"))
-    val before = Window.orderBy("__n")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val above = Window.orderBy(col("__n").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    coc
-      .withColumn("__p", coalesce(sum("__m").over(before), lit(0L)))
-      .withColumn("__cp", coalesce(sum("__m").over(above), lit(0L)))
+    val scanned = RangeScan.runningAgg(coc, Seq(col("__n")), Seq(
+        RangeScan.Scan(col("__m"), "__pr"),
+        RangeScan.Scan(col("__m"), "__ic", includeCurrent = true)))
+    // total multiplicity from the MATERIALIZED scan frame, not the raw
+    // lineage — the corpus collapse runs once, in RangeScan's job
+    val totM = scanned.agg(sum("__m").as("__tm"))
+    scanned
+      .crossJoin(broadcast(totM))
+      .withColumn("__p", coalesce(col("__pr"), lit(0L)))
+      .withColumn("__cp", col("__tm") - col("__ic"))
       .agg(
         sum("__m").as("__kk"),
         sum(expr("__n * __m")).as("__s"),

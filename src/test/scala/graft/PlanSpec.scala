@@ -436,19 +436,18 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be a TakeOrdered, not a global sort:\n$plan")
   }
 
-  test("pipeline_skew_audit plan: windows run over the count-of-counts collapse, never keys") {
+  test("pipeline_skew_audit plan: cumulative sums ride the RangeScan buckets, totals broadcast") {
+    // r12: the two-level collapse (per-key counts → count-of-counts) runs
+    // inside RangeScan's materialize job (its exactness is pinned by
+    // RangeScanSpec + the value gate); the FINAL plan must show only
+    // bucket-disciplined windows and broadcast combines — a SortMergeJoin
+    // or a __rs_b-free window means the collapse/scan discipline broke
     val plan = SparkEntry.queries("pipeline_skew_audit")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the ksTest rule: each single-partition cumulative window must sit
-    // above the two-level aggregate (per-key counts → count-of-counts);
-    // if either collapse vanished, Gini re-became a single-reducer sort
-    // of the per-key frame
-    val lines = plan.linesIterator.toSeq
-    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
-    assert(spIdx >= 0, s"no single-partition window input:\n$plan")
-    assert(lines.drop(spIdx).count(l => l.contains("HashAggregate")) >= 2,
-      s"window input is not the count-of-counts collapse:\n$plan")
-    assert(!plan.contains("Join"), s"scalar combine must not join:\n$plan")
+    val badWin = plan.split('\n').filter(l =>
+      l.contains("Window [") && !l.contains("__rs_b"))
+    assert(badWin.isEmpty, s"window outside the bucket discipline:\n${badWin.mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"), s"offsets/totals must broadcast:\n$plan")
   }
 
   test("pipeline_join_delta plan: stored sides are semi-filtered via broadcast, never scanned wide") {
@@ -663,5 +662,25 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial"), s"per-source rollup must partial-aggregate:\n$plan")
     assert(!plan.contains("Join"), s"gini must stay join-free:\n$plan")
+  }
+
+  test("rank-stat family: every window rides the RangeScan bucket discipline (r11 verdict #1)") {
+    // The one structural 100×-scale risk r11 named: an unpartitioned
+    // Window over a distinct-VALUE frame puts 10⁷–10⁸ rows on ONE reducer
+    // when the column is near-continuous. After the RangeScan rewrite the
+    // ONLY windows these plans may contain are (a) the per-bucket local
+    // scan, partitioned by __rs_b, and (b) the bucket-offset scan, ordered
+    // by __rs_b over ≤ shuffle.partitions rows — so every Window node in
+    // the executed plan must reference __rs_b. A regression back to the
+    // global Window.orderBy(value) shows up as a __rs_b-free Window line.
+    for (q <- Seq("rel_ks_test", "rel_mann_whitney", "rel_kruskal",
+        "rel_spearman", "rel_skyline", "events_survival", "pipeline_skew_audit")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val bad = plan.split('\n').filter(l =>
+        l.contains("Window [") && !l.contains("__rs_b"))
+      assert(bad.isEmpty,
+        s"$q: window over a data-sized frame outside the RangeScan discipline:\n${bad.mkString("\n")}")
+    }
   }
 }
