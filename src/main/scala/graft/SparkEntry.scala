@@ -1287,13 +1287,19 @@ object SparkEntry {
     },
     "ann_pca_topk" -> { (s, dir) =>
       prep(s, dir, "embeddings")
-      // PCA-reduced ANN (covariance pass + driver eigensolve, reduced-
-      // space shortlist, exact rerank) — rows-only (the model is data-
-      // defined); recall floors measured in PcaSpec (1.0 low-rank
-      // regime, 0.83 near-uniform worst case at r=16)
+      // PCA-reduced ANN. HASH-GATED as of r12 (the last deterministic
+      // rows-only holdout): the registered variant is pcaTopKExact —
+      // integer scatter matrix, BigInt power iteration with
+      // truncating-DIV rescale, integer Rayleigh deflation, integer
+      // projected-dot shortlist, exact rerank — so the model, shortlist
+      // and ranking replay end-to-end in DuckDB. The float-Jacobi
+      // pcaTopK stays as the float option; recall floors for BOTH are
+      // spec-pinned (the integer variant's 0.94 mean BEATS the float
+      // family's 0.80 at the same r — the bigger expand does it)
       val emb = s.table("embeddings")
-      pipeline.Similarity.pcaTopK(
-          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10, r = 16)
+      pipeline.Similarity.pcaTopKExact(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          r = 16, iters = 24, expand = 24)
         .orderBy("query_id", "rank")
     },
     "ann_pq_topk" -> { (s, dir) =>
@@ -1327,7 +1333,8 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, dir) => annRecall(s, dir,
       (emb, q) => pipeline.Similarity.pqTopKExact(emb, q, "vec_id", "embedding", k = 10))),
     "ann_pca_recall" -> ((s, dir) => annRecall(s, dir,
-      (emb, q) => pipeline.Similarity.pcaTopK(emb, q, "vec_id", "embedding", k = 10, r = 16))),
+      (emb, q) => pipeline.Similarity.pcaTopKExact(emb, q, "vec_id", "embedding",
+        k = 10, r = 16, iters = 24, expand = 24))),
     "text_langid" -> { (s, dir) =>
       prep(s, dir, "documents")
       s.table("documents")
@@ -4797,6 +4804,96 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[pipeline.Similarity.pcaTopKExact]] for
+    * `ann_pca_topk` (r12 graduation — the last deterministic rows-only
+    * holdout): quantize `floor(x·1024 + 0.5)` → integer scatter matrix
+    * `S = n·Σqqᵀ − (Σq)(Σq)ᵀ` as a 4096-row (i, j, s) HUGEINT frame →
+    * per component k: `iters` power-iteration stages (`w = S·v`, then
+    * `v = w·2¹⁵ // (max|w| + 1)` — every stage MATERIALIZED: v and w are
+    * each referenced twice, so un-materialized CTEs would inline
+    * exponentially) → integer Rayleigh deflation
+    * `S ← S − lam·vvᵀ // greatest(1, dd²)` → projections
+    * `p_k = Σ v_kj·q_j // 2¹⁶` → shortlist by projected dot
+    * (dot DESC, neighbor ASC) → full-precision quantized-cosine rerank
+    * (the shared ANN tail). ~${2·r·iters} tiny CTE stages — the bpe
+    * 200-merge-unroll precedent, applied to an eigensolve. */
+  private def pcaTopKOracleSql(r: Int, iters: Int, dims: Int, k: Int,
+                               expand: Int): String = {
+    val comps = (1 to r).map { kk =>
+      val mat = s"s${kk - 1}"
+      val start = s"v${kk}_0 AS (SELECT j, CAST(1 AS HUGEINT) AS v FROM range($dims) t(j))"
+      val steps = (1 to iters).map { i =>
+        s"""w${kk}_$i AS MATERIALIZED (SELECT m.i AS j, sum(m.s * v.v) AS w
+           |  FROM $mat m JOIN v${kk}_${i - 1} v ON v.j = m.j GROUP BY m.i),
+           |v${kk}_$i AS MATERIALIZED (SELECT j,
+           |  (w * 32768) // ((SELECT max(abs(w)) FROM w${kk}_$i) + 1) AS v
+           |  FROM w${kk}_$i)""".stripMargin
+      }.mkString(",\n")
+      val defl = if (kk < r)
+        s""",
+           |dd$kk AS MATERIALIZED (SELECT sum(v * v) AS dd FROM v${kk}_$iters),
+           |lam$kk AS MATERIALIZED (SELECT sum(a.v * m.s * b.v) AS lam
+           |  FROM $mat m JOIN v${kk}_$iters a ON a.j = m.i
+           |  JOIN v${kk}_$iters b ON b.j = m.j),
+           |s$kk AS MATERIALIZED (SELECT m.i, m.j,
+           |  m.s - ((SELECT lam FROM lam$kk) * a.v * b.v)
+           |    // greatest(CAST(1 AS HUGEINT),
+           |         (SELECT dd FROM dd$kk) * (SELECT dd FROM dd$kk)) AS s
+           |  FROM $mat m JOIN v${kk}_$iters a ON a.j = m.i
+           |  JOIN v${kk}_$iters b ON b.j = m.j)""".stripMargin
+      else ""
+      s"$start,\n$steps$defl"
+    }.mkString(",\n")
+    val projs = (1 to r).map { kk =>
+      s"""pr$kk AS MATERIALIZED (SELECT b.vec_id,
+         |  CAST(sum(v.v * CAST(b.q[v.j + 1] AS HUGEINT)) // 65536 AS BIGINT) AS p
+         |  FROM base b CROSS JOIN v${kk}_$iters v GROUP BY b.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val pmat = (1 to r)
+      .map(kk => s"SELECT vec_id, $kk AS kk, p FROM pr$kk")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
+       |comp AS MATERIALIZED (SELECT vec_id, CAST(t.j AS INT) AS j,
+       |    CAST(q[t.j + 1] AS HUGEINT) AS x
+       |  FROM base CROSS JOIN range($dims) t(j)),
+       |sums AS MATERIALIZED (SELECT j, sum(x) AS s FROM comp GROUP BY j),
+       |s0 AS MATERIALIZED (SELECT p.i, p.j,
+       |    (SELECT n FROM tot) * p.p - sa.s * sb.s AS s
+       |  FROM (SELECT a.j AS i, b.j AS j, sum(a.x * b.x) AS p
+       |        FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+       |        GROUP BY a.j, b.j) p
+       |  JOIN sums sa ON sa.j = p.i JOIN sums sb ON sb.j = p.j),
+       |$comps,
+       |$projs,
+       |pmat AS MATERIALIZED ($pmat),
+       |sc AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    sum(qq.p * cc.p) AS dot
+       |  FROM pmat qq JOIN pmat cc ON cc.kk = qq.kk AND cc.vec_id <> qq.vec_id
+       |  WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+       |  FROM sc) WHERE rn <= ${k * expand}),
+       |qv6 AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |pf AS (SELECT s.query_id, s.neighbor_id,
+       |  CAST(floor(1e9 * (CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)
+       |    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+       |     * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))))) AS BIGINT) AS cos_scaled
+       |  FROM short s JOIN qv6 q ON q.vec_id = s.query_id
+       |  JOIN qv6 c ON c.vec_id = s.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos_scaled FROM (
+       |  SELECT query_id, neighbor_id, cos_scaled,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_scaled DESC, neighbor_id) AS INT) AS rank
+       |  FROM pf) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of [[pipeline.Similarity.lshTopKExact]] for
     * `ann_lsh_topk` (r11 graduation): hyperplane components regenerated
     * from md5-h60("lshx:t:p:d") % 2^21 − 2^20 over range() cross joins,
@@ -6363,6 +6460,8 @@ object SparkEntry {
     "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
     "text_bpe_encode" -> bpeEncodeOracleSql(200),
     "ann_ivf_topk" -> ivfTopKOracleSql(16, 10, 10000, 10, 64, 10),
+    "ann_pca_topk" -> pcaTopKOracleSql(r = 16, iters = 24, dims = 64,
+      k = 10, expand = 24),
     "ann_lsh_topk" -> lshTopKOracleSql(8, 10, 64, 8, 3, 10),
     "ann_pq_topk" -> pqTopKOracleSql(8, 64, 10000, 10, 64, 10, 8),
     "dedup_simjoin_exact" ->
@@ -6598,10 +6697,13 @@ object SparkEntry {
     // mean recall 0.94, matching the float codebooks on the same geometry)
     "ann_pq_recall" -> annRecallOracleSql(
       Seq(900000L, 900000L, 900000L, 1000000L, 1000000L), floorPpm = 800000L),
-    // pca's query 0 is the documented near-uniform worst case (r=16 keeps
-    // 0.83 MEAN recall; per-query dips are in-contract — PcaSpec floors)
+    // r12: re-pinned to pcaTopKExact (the registered, hash-gated variant;
+    // mean recall 0.94 — ABOVE the float family's 0.80: the integer
+    // eigenbasis is slightly noisier per-direction but the expand=24
+    // shortlist + exact rerank more than buys it back). Query 0 is still
+    // the documented near-uniform worst case, now 0.90 instead of 0.30.
     "ann_pca_recall" -> annRecallOracleSql(
-      Seq(300000L, 1000000L, 900000L, 1000000L, 800000L), floorPpm = 300000L),
+      Seq(900000L, 1000000L, 1000000L, 1000000L, 800000L), floorPpm = 800000L),
     "text_langid" ->
       """WITH w AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) ws FROM documents),
               c AS (SELECT doc_id,
