@@ -84,10 +84,20 @@ object Bench {
     * threshold. Normalizing by the run median makes the trigger
     * shift-invariant — a uniformly slow box flags nothing, a lone 5×
     * outlier still trips. Floored at 1.0 so a uniformly FAST box never
-    * tightens the trigger below the committed minima. */
+    * tightens the trigger below the committed minima.
+    *
+    * Small-sample guard (r12 advice): with only a handful of baselined
+    * queries a single genuinely-contended query DOMINATES the median and
+    * can never flag itself (its min-of-2 IS medRatio·baseline by
+    * construction). Below 5 ratios the normalizer disarms to 1.0 and the
+    * absolute 3× trigger applies unscaled. Documented trade-off of the
+    * normalization itself: a box-wide GENUINE 2–3× slowdown reads as box
+    * state and retries nothing — the `median_ratio` field in the output
+    * JSON is the disclosure (a reader seeing 2.2× knows every number on
+    * the line carries that factor). */
   def medianRatio(ratios: Seq[Double]): Double = {
     val rs = ratios.filter(r => r > 0 && !r.isNaN && !r.isInfinite).sorted
-    if (rs.isEmpty) 1.0
+    if (rs.size < 5) 1.0
     else math.max(1.0,
       if (rs.size % 2 == 1) rs(rs.size / 2)
       else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
@@ -167,7 +177,19 @@ object Bench {
       fn(spark, benchDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset run for local iteration (SPARK_GRAFT_BENCH_ONLY=a,b,c):
+    // measures only the named queries. A partial run is marked in the output
+    // ("partial":true) so it can never be mistaken for a certification run;
+    // the medianRatio small-sample guard disarms the normalizer under 5
+    // baselined queries, so tiny subsets fall back to the absolute trigger.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    val selected = if (only.isEmpty) SparkEntry.queries
+                   else SparkEntry.queries.view.filterKeys(only).toMap
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { val t = math.min(onePass(fn), onePass(fn)); (name, t, true) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -235,9 +257,12 @@ object Bench {
       s"""{"q":"$n","min2":${ms(t)},"retry":${ms(t2)}}"""
     }.mkString("[", ",", "]")
     val medStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(medRatio))
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"contended":$contJson,"median_ratio":$medStr,"baseline_error":$baselineError,"scan_partitions":$parts,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    val partial = if (only.isEmpty) "" else s""""partial":true,"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$fullQs,"failed":$failed,"contended":$contJson,"median_ratio":$medStr,"baseline_error":$baselineError,"scan_partitions":$parts,"sf":"$sfDir"}"""
+    // a partial run must never overwrite the certification record
+    val fullPath = if (only.isEmpty) "bench_full.json" else "bench_full_partial.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}") }
 
     val bySlow = results.sortBy { case (_, v, _) => -v }
     // the stdout line caps CONTENDED too: a heavy co-tenant window can
@@ -256,7 +281,7 @@ object Bench {
     def compact(k: Int): String = {
       val qs = bySlow.take(k).map { case (n, v, _) => "\"" + n + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"queries":$qs,""" +
         s""""n_queries":${results.length},"queries_full":"bench_full.json",""" +
         s""""failed":$failed,$contCompact,"scan_partitions":$parts,"sf":"$sfDir"}"""
     }

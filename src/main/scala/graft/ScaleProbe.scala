@@ -567,8 +567,10 @@ object ScaleProbe12 {
       r
     }
 
-    // ---- mannWhitney at NEAR-UNIQUE values: 2×10M rows, ~17.5M distinct
-    // micros — the exact shape the r11 audit flagged (raw micros, no
+    // ---- mannWhitney at NEAR-UNIQUE values: 2×10M rows, up to ~17.5M
+    // distinct micros possible from the generator (14.62M measured — the
+    // number SCALE_PROBE.md records) — the exact shape the r11 audit
+    // flagged (raw micros, no
     // upstream coarsening). The collapsed frame IS corpus-sized here; the
     // probe's point is that it now range-partitions instead of landing on
     // one reducer.

@@ -49,7 +49,15 @@ import org.apache.spark.sql.functions._
   *
   * Ties: buckets never split a key (range boundaries are values), and
   * every current caller scans a DISTINCT-key frame, so ROWS-frame tie
-  * arbitrariness cannot differ from the global window's. */
+  * arbitrariness cannot differ from the global window's.
+  *
+  * Fault tolerance: the load-bearing [[Materialize]] defaults to
+  * `localCheckpoint`, whose blocks are executor-local and NOT replicated
+  * — on a multi-executor cluster an executor loss fails the query loudly
+  * (never wrongly). Long jobs on real clusters should set
+  * `spark.graft.materialize=checkpoint` (with a checkpoint dir) or
+  * `persist` (lineage kept, lost blocks recomputed) — see [[Materialize]]
+  * for the full strategy trade-offs. */
 private[graft] object RangeScan {
 
   /** One running aggregate to compute: `out` = fn(`src`) over all rows
@@ -65,6 +73,12 @@ private[graft] object RangeScan {
     * ensure it is total over the frame (all current callers scan
     * distinct-key collapses). */
   def runningAgg(df: DataFrame, order: Seq[Column], scans: Seq[Scan]): DataFrame = {
+    // fail-loud: the scratch columns below would silently corrupt the
+    // combines if the input frame already carried same-named columns
+    // (e.g. a second scan composed without dropping the first's output)
+    require(df.columns.forall(!_.startsWith("__rs_")),
+      s"RangeScan.runningAgg: input frame carries reserved __rs_* columns: " +
+        df.columns.filter(_.startsWith("__rs_")).mkString(", "))
     val parts = math.max(1,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val bucketed = Materialize(

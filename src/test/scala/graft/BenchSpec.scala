@@ -55,7 +55,7 @@ class BenchSpec extends AnyFunSuite {
     // the r11 judge-run shape: EVERY query ~2.2x its committed minimum —
     // per-query absolute 3x can't distinguish that from contention, the
     // median-normalized trigger can
-    val med = Bench.medianRatio(Seq(2.2, 2.2, 2.2))
+    val med = Bench.medianRatio(Seq(2.2, 2.2, 2.2, 2.2, 2.2))
     assert(med === 2.2)
     for ((q, b) <- base)
       assert(!Bench.suspectedContended(2.2 * b, b, med), s"$q flagged under uniform shift")
@@ -64,18 +64,29 @@ class BenchSpec extends AnyFunSuite {
   test("a lone outlier still trips against a quiet-box median") {
     val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
     // most queries near 1x, one at 5x: median ~1, outlier > 3x — trips
-    val med = Bench.medianRatio(Seq(1.0, 1.1, 5.0))
+    val med = Bench.medianRatio(Seq(1.0, 1.0, 1.1, 1.1, 5.0))
     assert(med === 1.1)
     assert(Bench.suspectedContended(5.0 * base("q_mid"), base("q_mid"), med))
     // and the same outlier under a uniformly-5x box does NOT trip
     assert(!Bench.suspectedContended(5.0 * base("q_mid"), base("q_mid"),
-      Bench.medianRatio(Seq(5.0, 5.0, 5.0))))
+      Bench.medianRatio(Seq(5.0, 5.0, 5.0, 5.0, 5.0))))
   }
 
   test("medianRatio floors at 1.0 — a fast box never tightens the trigger") {
-    assert(Bench.medianRatio(Seq(0.4, 0.5, 0.6)) === 1.0)
+    assert(Bench.medianRatio(Seq(0.4, 0.5, 0.6, 0.7, 0.8)) === 1.0)
     assert(Bench.medianRatio(Seq.empty) === 1.0)
     assert(Bench.medianRatio(Seq(-1.0, Double.NaN)) === 1.0)
+  }
+
+  test("small ratio samples disarm the normalizer (r12 advice: a lone " +
+      "contended query must not BE the median)") {
+    // under 5 baselined queries the median is dominated by whatever is
+    // measured — a genuinely contended query would set medRatio to its own
+    // ratio and never flag itself; the guard keeps the absolute trigger
+    assert(Bench.medianRatio(Seq(4.0)) === 1.0)
+    assert(Bench.medianRatio(Seq(4.0, 4.1, 3.9, 4.0)) === 1.0)
+    // at exactly 5 the normalizer arms
+    assert(Bench.medianRatio(Seq(4.0, 4.1, 3.9, 4.0, 4.2)) === 4.0)
   }
 
   test("a fake slow timing against a committed baseline trips the retry") {

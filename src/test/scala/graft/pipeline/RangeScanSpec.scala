@@ -95,4 +95,14 @@ class RangeScanSpec extends AnyFunSuite {
       .select("s", "m", "a").collect()(0)
     assert(row.isNullAt(0) && row.getLong(1) == row.getLong(2))
   }
+
+  test("reserved __rs_* input columns fail loudly (r12 advice: a composed " +
+      "second scan must not silently corrupt the combines)") {
+    val tainted = frame(4).withColumn("__rs_b", col("v"))
+    val e = intercept[IllegalArgumentException] {
+      RangeScan.runningAgg(tainted, Seq(col("v")),
+        Seq(RangeScan.Scan(col("a"), "s")))
+    }
+    assert(e.getMessage.contains("__rs_b"))
+  }
 }
