@@ -2516,6 +2516,16 @@ object SparkEntry {
           "event_type", "ts", "value", period = 7)
         .orderBy("event_type", "day")
     },
+    "ts_seasonal_even" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // EVEN-period decomposition (r13): monthly-12 cycle via the classic
+      // centered 2×MA — (period+1)-row window with half-weighted endpoints,
+      // integer-exact as (2·Σ − first − last) DIV 24; edges NULL one row
+      // wider per side than the odd case
+      pipeline.TimeSeries.seasonalDecompose(s.table("events"),
+          "event_type", "ts", "value", period = 12)
+        .orderBy("event_type", "day")
+    },
     "ts_cusum" -> { (s, dir) =>
       prep(s, dir, "events")
       // one-sided CUSUM drift detector per user: 7-day baseline mean,
@@ -8090,6 +8100,40 @@ object SparkEntry {
                        CAST(sum(cents - trend) // count(*) AS BIGINT) AS raw
                      FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
               gm AS (SELECT event_type, CAST(sum(raw) // 7 AS BIGINT) AS g
+                     FROM pm GROUP BY 1),
+              se AS (SELECT pm.event_type, pm.ph, CAST(pm.raw - gm.g AS BIGINT) AS season
+                     FROM pm JOIN gm USING (event_type))
+         SELECT tr.event_type, tr.day, tr.cents AS value_cents,
+                tr.trend AS trend_cents,
+                CASE WHEN tr.trend IS NOT NULL THEN se.season END AS seasonal_cents,
+                CAST(tr.cents - tr.trend - se.season AS BIGINT) AS residual_cents
+         FROM tr LEFT JOIN se ON se.event_type = tr.event_type AND se.ph = tr.ph
+         ORDER BY tr.event_type, tr.day""",
+    "ts_seasonal_even" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT event_type,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.event_type, s.day,
+                      CAST(coalesce(b.cents, 0) AS BIGINT) AS cents,
+                      CAST((s.day - DATE '1970-01-01') % 12 AS BIGINT) AS ph
+                    FROM spine s LEFT JOIN b USING (event_type, day)),
+              tr AS (SELECT event_type, day, cents, ph,
+                       CASE WHEN count(*) OVER w = 13
+                            THEN CAST((2 * sum(cents) OVER w
+                                       - lag(cents, 6) OVER (PARTITION BY event_type ORDER BY day)
+                                       - lead(cents, 6) OVER (PARTITION BY event_type ORDER BY day)
+                                      ) // 24 AS BIGINT) END AS trend
+                     FROM f
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+              pm AS (SELECT event_type, ph,
+                       CAST(sum(cents - trend) // count(*) AS BIGINT) AS raw
+                     FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+              gm AS (SELECT event_type, CAST(sum(raw) // 12 AS BIGINT) AS g
                      FROM pm GROUP BY 1),
               se AS (SELECT pm.event_type, pm.ph, CAST(pm.raw - gm.g AS BIGINT) AS season
                      FROM pm JOIN gm USING (event_type))

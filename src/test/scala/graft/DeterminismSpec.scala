@@ -212,7 +212,9 @@ class DeterminismSpec extends AnyFunSuite {
     // (node, landmark)-keyed relaxation rounds + the md5 landmark cut
     "graph_harmonic",
     // per-declared-lang row-total window + share floor
-    "text_langid_confusion")
+    "text_langid_confusion",
+    // r13: even-period 2×MA trend (windowed sum + lag/lead combine)
+    "ts_seasonal_even")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

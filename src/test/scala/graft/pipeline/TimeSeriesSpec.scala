@@ -771,9 +771,48 @@ class TimeSeriesSpec extends AnyFunSuite {
     // a key shorter than one period: spine rows survive, all components NULL
     val s = got.filter(_.getString(0) == "short")
     assert(s.length == 2 && s.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)), s.mkString(","))
-    // even periods are refused (classic 2xMA out of scope)
+    // out-of-range periods are refused
     intercept[IllegalArgumentException](
-      TimeSeries.seasonalDecompose(df, "k", "t", "v", period = 4))
+      TimeSeries.seasonalDecompose(df, "k", "t", "v", period = 1))
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalDecompose(df, "k", "t", "v", period = 366))
+  }
+
+  test("seasonalDecompose EVEN period: 2xMA recovers the linear trend exactly, " +
+      "edges one row wider per side, seasonal sums to zero, residual 0") {
+    // cents = 10·d + 40·[phase(day) == bumped phase], period 4 (h = 2,
+    // 5-row window, endpoints half-weighted). Linear part: 2·Σ50d −
+    // 10(d−2) − 10(d+2) = 80d, DIV 8 = 10d exactly. Bump part: 5
+    // consecutive days hold each phase once except phase(d−2) =
+    // phase(d+2) twice — half-weighted endpoints make the bump's 2×MA a
+    // flat +10 either way. So trend = 10d + 10 on ALL interior days,
+    // detrended = {+30 bump phase, −10 others}, grand mean 0, residual 0.
+    import java.time.LocalDate
+    def phase(d: Int) = (LocalDate.of(2024, 3, d).toEpochDay % 4).toInt
+    val bump = phase(1)
+    val rows = (1 to 12).map { d =>
+      val cents = 10 * d + (if (phase(d) == bump) 40 else 0)
+      ("u", ts(d), cents / 100.0)
+    }
+    val got = TimeSeries.seasonalDecompose(rows.toDF("k", "t", "v"),
+        "k", "t", "v", period = 4)
+      .orderBy("day").collect()
+    assert(got.length == 12)
+    for (r <- got) {
+      val d = r.getDate(1).toLocalDate.getDayOfMonth
+      if (d <= 2 || d >= 11) { // h = 2 edge rows per side (odd h=1 would keep d=2/11)
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), s"edge $r")
+      } else {
+        assert(r.getLong(3) == 10L * d + 10, s"trend $r")
+        val expSeason = if (phase(d) == bump) 30L else -10L
+        assert(r.getLong(4) == expSeason, s"seasonal $r")
+        assert(r.getLong(5) == 0L, s"residual $r")
+      }
+    }
+    val byPhase = got.filter(!_.isNullAt(4))
+      .map(r => phase(r.getDate(1).toLocalDate.getDayOfMonth) -> r.getLong(4))
+      .toMap
+    assert(byPhase.size == 4 && byPhase.values.sum == 0L, byPhase.toString)
   }
 
   test("cusum: prefix-sum closed form equals the hand-run max-recurrence") {
