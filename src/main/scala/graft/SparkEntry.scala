@@ -3521,6 +3521,20 @@ object SparkEntry {
       pipeline.Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
         .orderBy("node")
     },
+    "graph_betweenness" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // r13: Brandes-sampled betweenness from 8 md5 landmarks over the
+      // bidirected trade graph — which nodes BROKER the flow; ppm
+      // fixed-point dependency accumulation so the estimate hash-gates
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      pipeline.Graph.betweennessCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
+        .orderBy("node")
+    },
     "graph_bfs" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // hop distance from a trusted customer cohort over the bidirected
@@ -4176,6 +4190,60 @@ object SparkEntry {
        |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
        |       CAST(sum(1000000 // dist) AS BIGINT) AS h_ppm
        |FROM d$rounds WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Graph.betweennessCentrality]] — both
+    * Brandes passes unrolled as MATERIALIZED CTEs in HUGEINT: forward
+    * level-synchronous BFS (per-level σ sums, anti-join against the
+    * visited set) then backward dependency accumulation with the same
+    * per-term floor division `(σ_v·(1e6+δ_w)) // σ_w`. Mirrors the Spark
+    * bidirected-trade-graph build in `graph_betweenness` exactly. */
+  private def betweennessOracleSql(nSeeds: Int, rounds: Int): String = {
+    val fwd = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT c.node, c.seed, c.sigma FROM (
+         |    SELECT e.dst AS node, f.seed, sum(f.sigma) AS sigma
+         |    FROM edges e JOIN l${i - 1} f ON f.node = e.src GROUP BY 1, 2) c
+         |  LEFT JOIN v${i - 1} v ON v.node = c.node AND v.seed = c.seed
+         |  WHERE v.node IS NULL),
+         |v$i AS MATERIALIZED (SELECT node, seed FROM v${i - 1}
+         |  UNION ALL SELECT node, seed FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    val bwdInit =
+      s"""d$rounds AS MATERIALIZED (SELECT node, seed, sigma,
+         |  CAST(0 AS HUGEINT) AS delta FROM l$rounds)""".stripMargin
+    val bwd = ((rounds - 1) to 1 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (
+         |  SELECT v.node, v.seed, v.sigma,
+         |         coalesce(t.d, CAST(0 AS HUGEINT)) AS delta
+         |  FROM l$l v LEFT JOIN (
+         |    SELECT vv.node, vv.seed,
+         |           sum((vv.sigma * (1000000 + w.delta)) // w.sigma) AS d
+         |    FROM edges e
+         |    JOIN d${l + 1} w ON e.dst = w.node
+         |    JOIN l$l vv ON e.src = vv.node AND vv.seed = w.seed
+         |    GROUP BY 1, 2) t ON t.node = v.node AND t.seed = v.seed)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 until rounds).map(l => s"SELECT * FROM d$l")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT c AS src, sp + 1000000 AS dst FROM e0
+       |       UNION ALL SELECT sp + 1000000 AS src, c AS dst FROM e0),
+       |ns AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |sd AS (SELECT node AS seed FROM (
+       |  SELECT node, row_number() OVER (ORDER BY
+       |    CAST('0x' || substr(md5('bc:' || CAST(node AS VARCHAR)), 1, 15) AS BIGINT), node) AS rn
+       |  FROM ns) WHERE rn <= $nSeeds),
+       |l0 AS MATERIALIZED (SELECT seed AS node, seed, CAST(1 AS HUGEINT) AS sigma FROM sd),
+       |v0 AS MATERIALIZED (SELECT node, seed FROM l0),
+       |$fwd,
+       |$bwdInit,
+       |$bwd
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_seed_paths,
+       |       CAST(sum(delta) AS BIGINT) AS bc_ppm
+       |FROM ($unionAll) WHERE delta > 0
+       |GROUP BY node ORDER BY node""".stripMargin
   }
 
   /** DuckDB replay of [[pipeline.Graph.temporalReachability]] —
@@ -5721,6 +5789,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_harmonic" -> harmonicOracleSql(8, 4),
+    "graph_betweenness" -> betweennessOracleSql(8, 4),
     "graph_temporal_reach" -> temporalReachOracleSql(3),
     "graph_degree_dist" ->
       """WITH e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM (

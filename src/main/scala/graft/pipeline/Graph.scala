@@ -535,6 +535,154 @@ object Graph {
         sum(expr("1000000 DIV dist")).as("h_ppm"))
   }
 
+  /** BETWEENNESS centrality, Brandes-sampled from md5 landmarks (Brandes
+    * JMS'01 §4; sampling per Brandes–Pich '07) — the "which node BROKERS
+    * flow" readout completing the centrality family (r12 verdict #5):
+    * PageRank measures stationary flow, harmonic measures distance,
+    * betweenness counts the shortest paths THROUGH a node. Exact Brandes
+    * is all-sources; this runs the two Brandes passes from `nSeeds`
+    * deterministic landmarks (bottom-k by h60("bc:"∥node) — the
+    * [[harmonicCentrality]] landmark contract, so the seed SET replays
+    * cross-engine), paths truncated at the `rounds` horizon (the
+    * documented estimator contract; unbiased scaling to all-sources
+    * betweenness is ·N/nSeeds, the caller's multiplication).
+    *
+    * Pass 1 (forward, level-synchronous BFS): per (node, seed), the BFS
+    * level and the shortest-path COUNT σ — new level-r nodes are the
+    * round's candidates anti-joined against the visited set, σ(v) =
+    * Σ σ(u) over level-(r−1) in-neighbors u, summed in DECIMAL(38,0).
+    *
+    * Pass 2 (backward, dependency accumulation): from the deepest level
+    * L down, δ(v) = Σ_{v→w, lvl(w)=lvl(v)+1} ⌊σ(v)·(10⁶ + δ(w)) / σ(w)⌋
+    * — Brandes' recursion in ppm FIXED POINT with per-term floor
+    * division, so every δ is an exact integer and the estimate
+    * HASH-GATES (the pageRank/harmonic discipline; float Brandes drifts
+    * a ulp per level per engine). bc_ppm(v) = Σ_seeds δ_seed(v).
+    *
+    * Exactness envelope, guarded LOUDLY in-column (the shortestPaths
+    * weight-guard pattern): σ ≤ 10¹⁸ and δ ≤ 10¹⁸ keep the DECIMAL(38,0)
+    * product σ·(10⁶+δ) < 10³⁷ and the DIV result in BIGINT; a graph
+    * whose path counts overflow the envelope fails with a named error,
+    * never wraps.
+    *
+    * Plan shape: edges dedup'd then materialized TWICE up front — src-
+    * and dst-partitioned (forward relaxes on src, backward joins
+    * successors on dst: the HITS two-sided discipline) — so the loops
+    * re-exchange nothing; per-round state ≤ nodes×nSeeds rows joins
+    * shuffle_hash; every level frame Materialize.cut (read by the next
+    * round AND the backward pass). Forward exits early on an empty
+    * frontier; backward is ≤ L−1 bounded joins. Output: `node,
+    * n_seed_paths (seeds with δ(node) > 0), bc_ppm`, interior nodes
+    * only (δ > 0) — endpoints broker nothing. */
+  def betweennessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                            nSeeds: Int = 8, rounds: Int = 6): DataFrame = {
+    require(nSeeds >= 1 && nSeeds <= 1024, s"nSeeds must be in [1, 1024], got $nSeeds")
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "betweennessCentrality", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "betweennessCentrality", role = "dst id")
+    // distinct: a duplicated edge would double-count σ (multi-edges are
+    // one adjacency for path counting); self-loops never lie on a
+    // shortest path
+    val e0 = Materialize.cut(
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+    val nodeSet = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val seeds = nodeSet
+      .withColumn("__h",
+        conv(substring(md5(concat(lit("bc:"), col("node").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("__h"), col("node"))
+      .limit(nSeeds)
+      .select(col("node").as("seed"))
+    val eSrc = Materialize.cut(e0.repartition(col("src")))
+    val eDst = Materialize.cut(e0.repartition(col("dst")))
+
+    // ---- forward: per (node, seed) BFS level + path count σ ------------
+    val lvl0 = Materialize.cut(seeds.select(col("seed").as("node"), col("seed"),
+      lit(1).cast("decimal(38,0)").as("sigma")))
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](lvl0)
+    var visited = lvl0.select(col("node").as("__vn"), col("seed").as("__vs"))
+    var frontier = lvl0
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val cand = eSrc.join(frontier.hint("shuffle_hash"),
+          eSrc("src") === frontier("node"))
+        .groupBy(col("dst"), col("seed"))
+        .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+      val fresh = Materialize.cut(
+        cand.join(visited.hint("shuffle_hash"),
+            cand("dst") === col("__vn") && cand("seed") === col("__vs"),
+            "left_anti")
+          .select(col("dst").as("node"), col("seed"), col("sigma")))
+      if (fresh.isEmpty) done = true
+      else {
+        levels += fresh
+        visited = Materialize.cut(visited.union(
+          fresh.select(col("node").as("__vn"), col("seed").as("__vs"))))
+        frontier = fresh
+      }
+    }
+
+    // ---- backward: Brandes dependency accumulation in ppm --------------
+    val big = "1000000000000000000" // 10^18 — the documented envelope
+    def guarded(c: org.apache.spark.sql.Column, what: String) =
+      when(c <= expr(s"CAST($big AS DECIMAL(38,0))"), c)
+        .otherwise(raise_error(lit(
+          s"betweennessCentrality: $what exceeds 10^18 — path counts " +
+            "overflow the integer envelope on this graph/horizon")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val emptyOut = Seq.empty[(Long, Long, Long)]
+      .toDF("node", "n_seed_paths", "bc_ppm")
+    val deepest = levels.size - 1
+    if (deepest < 2) emptyOut // no interior node inside the horizon
+    else {
+      var deltaNext = levels(deepest).select(col("node"), col("seed"),
+        col("sigma"), lit(0).cast("decimal(38,0)").as("delta"))
+      val acc = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (l <- (deepest - 1) to 1 by -1) {
+        val wSide = deltaNext.select(col("node").as("__wn"), col("seed").as("__ws"),
+          guarded(col("sigma"), "sigma").as("__wsig"),
+          guarded(col("delta"), "delta").as("__wd"))
+        val contrib = eDst.join(wSide.hint("shuffle_hash"), eDst("dst") === col("__wn"))
+          .select(col("src").as("__cn"), col("__ws").as("__cs"),
+            expr("CAST(__wsig AS DECIMAL(19,0))").as("__wsig"),
+            expr("CAST(1000000 AS DECIMAL(19,0)) + CAST(__wd AS DECIMAL(19,0))").as("__wval"))
+        val vSide = levels(l).select(col("node").as("__vn"), col("seed").as("__vs"),
+          col("sigma").as("__vsig"))
+        val terms = contrib.join(vSide.hint("shuffle_hash"),
+            col("__cn") === col("__vn") && col("__cs") === col("__vs"))
+          .select(col("__vn"), col("__vs"),
+            // per-term floor DIV (BIGINT), re-widened to DECIMAL before the
+            // sum — a LONG sum over many successors could wrap silently
+            expr("CAST((CAST(__vsig AS DECIMAL(19,0)) * __wval) DIV __wsig AS DECIMAL(28,0))").as("__t"))
+          .groupBy(col("__vn"), col("__vs"))
+          .agg(sum(col("__t")).cast("decimal(38,0)").as("__d"))
+        val deltaL = Materialize.cut(levels(l)
+          .join(terms.hint("shuffle_hash"),
+            col("node") === col("__vn") && col("seed") === col("__vs"), "left")
+          .select(col("node"), col("seed"), col("sigma"),
+            coalesce(col("__d"), lit(0).cast("decimal(38,0)")).as("delta")))
+        acc += deltaL
+        deltaNext = deltaL
+      }
+      acc.reduce(_ union _)
+        .where(col("delta") > 0)
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_seed_paths"),
+          sum(col("delta")).as("__bc"))
+        .select(col("node"), col("n_seed_paths"),
+          when(col("__bc") <= expr("CAST(9000000000000000000 AS DECIMAL(38,0))"),
+            col("__bc").cast("long"))
+            .otherwise(raise_error(lit(
+              "betweennessCentrality: accumulated bc_ppm exceeds BIGINT")))
+            .as("bc_ppm"))
+    }
+  }
+
   /** DEGREE-DISTRIBUTION profile in log₂ buckets — the "does this graph
     * have mega-hubs" pre-flight that decides which graph ops need their
     * skew guards (a heavy power-law tail is where naive wedge joins and

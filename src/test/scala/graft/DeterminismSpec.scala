@@ -213,8 +213,9 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_harmonic",
     // per-declared-lang row-total window + share floor
     "text_langid_confusion",
-    // r13: even-period 2×MA trend (windowed sum + lag/lead combine)
-    "ts_seasonal_even")
+    // r13: even-period 2×MA trend (windowed sum + lag/lead combine);
+    // two-pass Brandes (level anti-joins + per-term floor-DIV folds)
+    "ts_seasonal_even", "graph_betweenness")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -314,6 +314,48 @@ class GraphSpec extends AnyFunSuite {
     assert(h1(2L) == ((2L, 2000000L)), s"horizon-1 node2 ${h1.get(2L)}")
   }
 
+  test("betweennessCentrality: hand-computed pendant diamond — d brokers") {
+    import spark.implicits._
+    // undirected diamond a(1)-b(2), a-c(3), b-d(4), c-d + pendant d-e(5);
+    // nSeeds covers every node. Hand Brandes in ppm (per seed, then sum):
+    //   seed a: σ(d)=2, σ(e)=2 → δ(d) = 2·1e6 DIV 2 = 1e6;
+    //           δ(b) = δ(c) = 1·(1e6+1e6) DIV 2 = 1e6
+    //   seed b: δ(a) = 1e6 DIV 2 = 5e5; δ(d) = [c: 1e6 DIV 2] + [e: 1e6] = 15e5
+    //   seed c: symmetric to b
+    //   seed d: δ(b) = δ(c) = 1e6 DIV 2 = 5e5
+    //   seed e: δ(d) = 2·[σ(d)·(1e6+δ(b or c)) DIV σ(b or c)] = 2·15e5 = 3e6;
+    //           δ(b) = δ(c) = 1·1e6 DIV 2 = 5e5
+    // totals: a = 1e6 (2 seeds), b = c = 2e6 (3), d = 7e6 (4); e interior
+    // to nothing → absent
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val bc = Graph.betweennessCentrality(edges, "src", "dst", nSeeds = 5, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bc == Map(
+      1L -> ((2L, 1000000L)),
+      2L -> ((3L, 2000000L)),
+      3L -> ((3L, 2000000L)),
+      4L -> ((4L, 7000000L))), s"got $bc")
+  }
+
+  test("betweennessCentrality: direction respected; horizon truncates; no interior → empty") {
+    import spark.implicits._
+    // DIRECTED chain 1→2→3: only seed 1 sees an interior node
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bc = Graph.betweennessCentrality(chain, "src", "dst", nSeeds = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bc == Map(2L -> ((1L, 1000000L))), s"got $bc")
+    // horizon 1: no level-2 nodes anywhere → empty result, schema intact
+    val h1 = Graph.betweennessCentrality(chain, "src", "dst", nSeeds = 3, rounds = 1)
+    assert(h1.columns.toSeq == Seq("node", "n_seed_paths", "bc_ppm"))
+    assert(h1.count() == 0)
+    // duplicate + self-loop edges collapse before σ counting
+    val messy = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bcm = Graph.betweennessCentrality(messy, "src", "dst", nSeeds = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bcm == Map(2L -> ((1L, 1000000L))), s"got $bcm")
+  }
+
   test("shortestPaths: BFS hop distances on a chain, horizon-bounded reach") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     assert(sp(chain, Seq(1L), 10) ==
