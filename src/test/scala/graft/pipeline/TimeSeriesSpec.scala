@@ -136,6 +136,44 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.scd2(log, "user_id", "ts", "event_id", Seq("ts")))
   }
 
+  test("scd2Merge: batch folds equal the full-log recompute — interval " +
+      "closes across batches, same-value run collapses across batches") {
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "valid_from", "event_id")
+        .collect().map(_.toString).toSeq
+    val b1 = Seq(
+      (1L, 1L, ts(1), "a"),
+      (2L, 2L, ts(1), "x"),
+      (2L, 3L, ts(2), "y")
+    ).toDF("user_id", "event_id", "ts", "v")
+    val b2 = Seq(
+      (1L, 4L, ts(3), "b"),  // closes key 1's open interval ACROSS batches
+      (2L, 5L, ts(4), "y"),  // same value — collapses into the open run
+      (3L, 6L, ts(2), "z")   // brand-new key
+    ).toDF("user_id", "event_id", "ts", "v")
+    val b3 = Seq(
+      (1L, 7L, ts(5), "b")   // no-op across THREE batches
+    ).toDF("user_id", "event_id", "ts", "v")
+    var state = TimeSeries.scd2(b1, "user_id", "ts", "event_id", Seq("v"))
+    state = TimeSeries.scd2Merge(state, b2, "user_id", "ts", "event_id", Seq("v"))
+    assert(dump(state) == dump(TimeSeries.scd2(b1.unionByName(b2),
+      "user_id", "ts", "event_id", Seq("v"))), "after batch 2")
+    state = TimeSeries.scd2Merge(state, b3, "user_id", "ts", "event_id", Seq("v"))
+    assert(dump(state) == dump(TimeSeries.scd2(
+      b1.unionByName(b2).unionByName(b3),
+      "user_id", "ts", "event_id", Seq("v"))), "after batch 3")
+    // a key's open interval stays SINGLE (the scd2 invariant the merge relies on)
+    assert(state.where("valid_to IS NULL").groupBy("user_id").count()
+      .where("count > 1").count() == 0)
+    // late data (at or before the open valid_from) fails LOUDLY by key name
+    val late = Seq((1L, 8L, ts(3), "c")).toDF("user_id", "event_id", "ts", "v")
+    val e = intercept[Exception](
+      TimeSeries.scd2Merge(state, late, "user_id", "ts", "event_id", Seq("v"))
+        .collect())
+    assert(e.getMessage.contains("scd2Merge") || Option(e.getCause)
+      .exists(_.getMessage.contains("scd2Merge")), s"unexpected: $e")
+  }
+
   test("rollingPercentileDaily: hand medians incl. gap zeros and ramp-up") {
     // key 7: days 1..4 cents = 100, 0 (gap), 300, 500
     val ev = Seq((7L, ts(1), 1.0), (7L, ts(3), 3.0), (7L, ts(4), 5.0))

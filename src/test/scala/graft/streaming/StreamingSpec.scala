@@ -729,6 +729,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 maintenance: change batches fold into the stored " +
+      "dimension, state == full recompute incl. a cross-batch interval close") {
+    // the scd2Merge lifecycle under Structured Streaming (r13): each
+    // micro-batch of change-log rows folds into the STORED SCD2 table
+    // inside foreachBatch — history never rescanned beyond one key
+    // semi/anti join; after any number of batches the state equals
+    // TimeSeries.scd2 over every row so far
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TimeSeries
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 00:00:00")
+    val seed = Seq((1L, 1L, t(1), "a"), (2L, 2L, t(1), "x"))
+      .toDF("user_id", "event_id", "ts", "v")
+    var state = {
+      val s0 = TimeSeries.scd2(seed, "user_id", "ts", "event_id", Seq("v"))
+      spark.createDataFrame(java.util.Arrays.asList(s0.collect(): _*), s0.schema)
+    }
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Int, String)]
+    val q = src.toDF().toDF("user_id", "event_id", "d", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.expr
+        val changes = batch.withColumn("ts",
+          expr("timestamp(date_add(DATE '2024-02-29', d))"))
+        val next = TimeSeries.scd2Merge(state, changes,
+          "user_id", "ts", "event_id", Seq("v"))
+        state = spark.createDataFrame(
+          java.util.Arrays.asList(next.collect(): _*), state.schema)
+        ()
+      }.start()
+    val all = scala.collection.mutable.ArrayBuffer(
+      (1L, 1L, t(1), "a"), (2L, 2L, t(1), "x"))
+    try {
+      // batch 1: key 1 flips a→b (closes the SEED interval across the
+      // batch boundary); key 2 no-op collapse; key 3 appears
+      src.addData((1L, 3L, 2, "b"), (2L, 4L, 2, "x"), (3L, 5L, 2, "z"))
+      q.processAllAvailable()
+      all ++= Seq((1L, 3L, t(2), "b"), (2L, 4L, t(2), "x"), (3L, 5L, t(2), "z"))
+      // batch 2: key 3 flips (closing an interval OPENED BY A STREAM batch)
+      src.addData((3L, 6L, 3, "w"))
+      q.processAllAvailable()
+      all += ((3L, 6L, t(3), "w"))
+      val got = state.orderBy("user_id", "valid_from", "event_id")
+        .collect().map(_.toString).toSeq
+      val full = TimeSeries.scd2(
+          all.toSeq.toDF("user_id", "event_id", "ts", "v"),
+          "user_id", "ts", "event_id", Seq("v"))
+        .orderBy("user_id", "valid_from", "event_id")
+        .collect().map(_.toString).toSeq
+      assert(got == full && got.size == 5,
+        s"stream-maintained $got != recompute $full")
+    } finally q.stop()
+  }
+
   test("streaming PII audit: the Luhn gate is a pure map, stream == batch") {
     // luhnAudit is one nested higher-order expression per row — no state,
     // no watermark: the SAME operator code audits a stream in append mode
