@@ -2313,12 +2313,28 @@ object SparkEntry {
     },
     "multimodal_jpeg_stats" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // REAL JPEG pixel statistics — rows-only BY DESIGN: JPEG is lossy,
-      // so decoded pixels are deterministic (same encoder + input) but
-      // not SQL-replayable; tolerance bounds (mean luma within ±2 of the
-      // planted gradient's, dims exact) are spec-pinned in PipelineSpec
+      // r13 TOLERANCE GATE — graduated from rows-only: JPEG pixels are
+      // lossy-codec output (deterministic, not SQL-replayable), so the
+      // HASH-GATED contract is the tolerance VERDICT vs the planted
+      // gradient — dims exact through the codec, the gradient's expected
+      // mean replayed as pure id arithmetic on both sides, and the REAL
+      // decoded mean within the spec-pinned ±2 band. A decode drift past
+      // tolerance flips the boolean and breaks the hash. Raw decoded
+      // stats stay hash-gated EXACTLY on lossless PNG payloads in
+      // multimodal_image_stats (same imageStats operator).
       val media = pipeline.Multimodal.synthesizeJpegPayloads(s.table("documents"), "doc_id")
-      pipeline.Multimodal.imageStats(s, media)
+      val stats = pipeline.Multimodal.imageStats(s, media)
+      stats
+        .withColumn("__es", expr(
+          """aggregate(sequence(0, height - 1), CAST(0 AS BIGINT), (acc, y) ->
+               acc + aggregate(sequence(0, width - 1), CAST(0 AS BIGINT), (a, x) ->
+                 a + (x * 3 + y * 5 + doc_id * 11) % 240))"""))
+        .withColumn("expected_mean_luma",
+          expr("__es DIV (CAST(width AS BIGINT) * height)"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("expected_mean_luma"),
+          (abs(col("luma_mean") - col("expected_mean_luma")) <= 2)
+            .as("luma_within_2"))
         .orderBy("doc_id")
     },
     "multimodal_sharpness" -> { (s, dir) =>
@@ -8044,6 +8060,21 @@ object SparkEntry {
                 CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
                 CAST(1 AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "multimodal_jpeg_stats" ->
+      """WITH d AS (SELECT doc_id,
+                      CAST(16 + doc_id % 64 AS INT) AS w,
+                      CAST(16 + (doc_id * 7) % 48 AS INT) AS h
+                    FROM documents),
+              e AS (SELECT d.doc_id, d.w, d.h,
+                      SUM((x.x * 3 + y.y * 5 + d.doc_id * 11) % 240) AS s
+                    FROM d
+                    JOIN (SELECT unnest(generate_series(0, 79)) AS x) x ON x.x < d.w
+                    JOIN (SELECT unnest(generate_series(0, 63)) AS y) y ON y.y < d.h
+                    GROUP BY 1, 2, 3)
+         SELECT doc_id, w AS width, h AS height,
+                CAST(s // (w * h) AS BIGINT) AS expected_mean_luma,
+                TRUE AS luma_within_2
+         FROM e ORDER BY doc_id""",
     "multimodal_resolution_screen" ->
       """WITH g AS (SELECT doc_id,
                       CAST(16 + doc_id % 64 AS INT) AS width,

@@ -214,8 +214,9 @@ class DeterminismSpec extends AnyFunSuite {
     // per-declared-lang row-total window + share floor
     "text_langid_confusion",
     // r13: even-period 2×MA trend (windowed sum + lag/lead combine);
-    // two-pass Brandes (level anti-joins + per-term floor-DIV folds)
-    "ts_seasonal_even", "graph_betweenness")
+    // two-pass Brandes (level anti-joins + per-term floor-DIV folds);
+    // JPEG decode-vs-gradient tolerance verdict (real codec both runs)
+    "ts_seasonal_even", "graph_betweenness", "multimodal_jpeg_stats")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
