@@ -71,8 +71,20 @@ private[graft] object RangeScan {
   /** Appends each scan's running-aggregate column to `df`. `order` is
     * the total order (sort expressions, `.desc` allowed); callers must
     * ensure it is total over the frame (all current callers scan
-    * distinct-key collapses). */
-  def runningAgg(df: DataFrame, order: Seq[Column], scans: Seq[Scan]): DataFrame = {
+    * distinct-key collapses).
+    *
+    * KEYED scans via `partitionBy` (r13): the running aggregate restarts
+    * per key — the `Window.partitionBy(k).orderBy(v)` replacement for
+    * the FEW-KEYS × HUGE-FRAME shape (A/B arms over 10⁷ distinct
+    * durations in [[TimeSeries.logRank]]: two partitions is still two
+    * reducers for the whole frame). Range-partitioning on (keys ∷ order)
+    * keeps each key's buckets order-contiguous, the local window
+    * partitions by (keys, bucket), and the offset frame is ≤ P·(keys
+    * crossing a boundary) rows, broadcast back. NOT for high-cardinality
+    * keys — the offset broadcast is keys-proportional; a million-group
+    * scan belongs on a plain partitioned window (each group is small). */
+  def runningAgg(df: DataFrame, order: Seq[Column], scans: Seq[Scan],
+                 partitionBy: Seq[String] = Nil): DataFrame = {
     // fail-loud: the scratch columns below would silently corrupt the
     // combines if the input frame already carried same-named columns
     // (e.g. a second scan composed without dropping the first's output)
@@ -81,11 +93,12 @@ private[graft] object RangeScan {
         df.columns.filter(_.startsWith("__rs_")).mkString(", "))
     val parts = math.max(1,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val pCols = partitionBy.map(col)
     val bucketed = Materialize(
-      df.repartitionByRange(parts, order: _*)
+      df.repartitionByRange(parts, (pCols ++ order): _*)
         .withColumn("__rs_b", spark_partition_id()))
 
-    val wLocal = Window.partitionBy(col("__rs_b")).orderBy(order: _*)
+    val wLocal = Window.partitionBy(pCols :+ col("__rs_b"): _*).orderBy(order: _*)
     val withLocal = scans.foldLeft(bucketed) { (acc, s) =>
       val frame = wLocal.rowsBetween(Window.unboundedPreceding,
         if (s.includeCurrent) Window.currentRow else -1L)
@@ -93,22 +106,26 @@ private[graft] object RangeScan {
       acc.withColumn(s"__rs_l_${s.out}", fn.over(frame))
     }
 
-    // per-bucket totals: ≤ `parts` rows — the bounded frame the one
-    // remaining unpartitioned window below is allowed to scan
+    // per-(keys, bucket) totals: ≤ `parts` + boundary-crossing keys rows
+    // — the bounded frame the one remaining key-partitioned (unkeyed:
+    // unpartitioned) window below is allowed to scan
     val totalAggs = scans.map(s =>
       (if (s.isMax) max(s.src) else sum(s.src)).as(s"__rs_t_${s.out}"))
-    val totals = bucketed.groupBy(col("__rs_b"))
+    val totals = bucketed.groupBy(pCols :+ col("__rs_b"): _*)
       .agg(totalAggs.head, totalAggs.drop(1): _*)
-    val wOff = Window.orderBy(col("__rs_b"))
+    val wOff = (if (pCols.isEmpty) Window.orderBy(col("__rs_b"))
+                else Window.partitionBy(pCols: _*).orderBy(col("__rs_b")))
       .rowsBetween(Window.unboundedPreceding, -1L)
     val offsets = scans.foldLeft(totals) { (acc, s) =>
       val fn = if (s.isMax) max(col(s"__rs_t_${s.out}"))
                else sum(col(s"__rs_t_${s.out}"))
       acc.withColumn(s"__rs_o_${s.out}", fn.over(wOff))
-    }.select(col("__rs_b") +: scans.map(s => col(s"__rs_o_${s.out}")): _*)
+    }.select((partitionBy :+ "__rs_b").map(col) ++
+      scans.map(s => col(s"__rs_o_${s.out}")): _*)
 
     val combined = scans.foldLeft(
-      withLocal.join(broadcast(offsets), Seq("__rs_b"), "left")) { (acc, s) =>
+      withLocal.join(broadcast(offsets),
+        partitionBy :+ "__rs_b", "left")) { (acc, s) =>
       val loc = col(s"__rs_l_${s.out}")
       val off = col(s"__rs_o_${s.out}")
       val cum =

@@ -342,6 +342,9 @@ object TextAnalysis {
     // with silent gaps hides exactly the flatness it exists to show
     val spine = df.sparkSession.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
+    // BOUNDED unpartitioned window: the frame is the nBuckets-row spine
+    // (caller-fixed, ≤ a few hundred) — never data-proportional, so no
+    // RangeScan needed (r12 verdict #7)
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     spine.join(firstSeen, Seq("bucket"), "left")
@@ -612,6 +615,9 @@ object TextAnalysis {
     // at 10¹⁸-token capacities while the saturation test stayed exact.
     val ratioQ = expr("__cap DIV target_ppm")
     val ratioR = expr("((__cap % target_ppm) * 1000000000000L) DIV target_ppm")
+    // BOUNDED unpartitioned window: one row per SOURCE (the collapsed
+    // mix-plan frame — corpora have tens of sources, not millions), so
+    // no RangeScan needed (r12 verdict #7)
     val before = org.apache.spark.sql.expressions.Window.orderBy(ratioQ, ratioR, col("source"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val staged = base
@@ -1861,6 +1867,10 @@ object TextAnalysis {
     val interior = base.withColumn("__pre",
       coalesce(sum(col("__n")).over(wIn), lit(0L)))
     val stratumTotals = base.groupBy("__stratum").agg(sum("__n").as("__t"))
+    // BOUNDED unpartitioned window: ≤ 1024 stratum-total rows by
+    // construction (the two-level prefix sum's whole point — interior
+    // prefixes run stratum-PARTITIONED above), so no RangeScan needed
+    // (r12 verdict #7)
     val wStr = Window.orderBy(col("__stratum"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = stratumTotals.withColumn("__off",

@@ -485,11 +485,19 @@ object TimeSeries {
       .na.fill(0L, Seq("__d", "__c"))
     val totg = s.groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__ng"))
-    val before = Window.partitionBy("__g").orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val atRisk = Materialize(grid.join(broadcast(totg), Seq("__g"))
-      .withColumn("__nat",
-        col("__ng") - coalesce(sum(col("__d") + col("__c")).over(before), lit(0L))))
+    // keyed RangeScan (r13): a per-GROUP cumulative window over the
+    // pooled distinct-duration grid is still one reducer PER ARM — with
+    // 2 arms over 10⁷ raw durations that is the single-reducer regime
+    // the r12 rewrite removed from the unkeyed rank stats. Groups are
+    // bounded by definition (experiment arms), the exact shape the keyed
+    // scan's broadcast-offset contract wants.
+    val atRisk = Materialize(RangeScan.runningAgg(
+        grid.join(broadcast(totg), Seq("__g")),
+        Seq(col("t")),
+        Seq(RangeScan.Scan(col("__d") + col("__c"), "__pre")),
+        partitionBy = Seq("__g"))
+      .withColumn("__nat", col("__ng") - coalesce(col("__pre"), lit(0L)))
+      .drop("__pre"))
     val pooled = atRisk.groupBy("t")
       .agg(sum(col("__d")).as("__dt"), sum(col("__nat")).as("__nt"))
     atRisk.join(pooled, Seq("t"))

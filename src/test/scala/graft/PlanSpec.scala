@@ -674,7 +674,11 @@ class PlanSpec extends AnyFunSuite {
     // the executed plan must reference __rs_b. A regression back to the
     // global Window.orderBy(value) shows up as a __rs_b-free Window line.
     for (q <- Seq("rel_ks_test", "rel_mann_whitney", "rel_kruskal",
-        "rel_spearman", "rel_skyline", "events_survival", "pipeline_skew_audit")) {
+        "rel_spearman", "rel_skyline", "events_survival", "pipeline_skew_audit",
+        // r13: logRank's per-ARM cumulative window moved onto the keyed
+        // RangeScan (2 arms over the pooled duration grid is still the
+        // single-reducer regime)
+        "events_survival_ab")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       val bad = plan.split('\n').filter(l =>
@@ -682,5 +686,14 @@ class PlanSpec extends AnyFunSuite {
       assert(bad.isEmpty,
         s"$q: window over a data-sized frame outside the RangeScan discipline:\n${bad.mkString("\n")}")
     }
+    // NOTE (r12 verdict #7): the engine's three REMAINING unpartitioned
+    // windows are over frames BOUNDED BY CONSTRUCTION, not by data, and
+    // deliberately stay off RangeScan — TextAnalysis.vocabGrowth (the
+    // caller-fixed nBuckets spine), TextAnalysis.mixPlan (one row per
+    // source), TextAnalysis.packChop (≤ 1024 stratum totals; interior
+    // prefixes are stratum-partitioned). Each site carries a boundedness
+    // comment naming its bound; if any of those bounds ever becomes
+    // data-proportional, wire the site through RangeScan and extend the
+    // query list above.
   }
 }

@@ -96,6 +96,32 @@ class RangeScanSpec extends AnyFunSuite {
     assert(row.isNullAt(0) && row.getLong(1) == row.getLong(2))
   }
 
+  test("keyed scans restart per partition key and equal the partitioned window") {
+    // few-keys × huge-frame shape: the scan must equal
+    // Window.partitionBy(g).orderBy(v) bit-for-bit, including the
+    // NULL-prefix contract per key
+    val df = spark.range(4000).selectExpr(
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS g",
+      "id AS v", "id % 7 AS a")
+    val got = RangeScan.runningAgg(df, Seq(col("v")), Seq(
+        RangeScan.Scan(col("a"), "s"),
+        RangeScan.Scan(col("a"), "m", isMax = true, includeCurrent = true)),
+        partitionBy = Seq("g"))
+      .select("g", "v", "s", "m").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")
+    val want = df
+      .withColumn("s", sum("a").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("m", max("a").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("g", "v", "s", "m").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+    assert(got.length == 4000 && got.sameElements(want))
+  }
+
   test("reserved __rs_* input columns fail loudly (r12 advice: a composed " +
       "second scan must not silently corrupt the combines)") {
     val tainted = frame(4).withColumn("__rs_b", col("v"))
