@@ -983,6 +983,28 @@ object SparkEntry {
                CAST(sum(micros) AS BIGINT) AS attributed_micros
         FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""")
     },
+    "events_markov_attribution" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r13: Markov-chain removal-effect attribution — the data-driven
+      // member of the attribution trio (last-touch asof, U-shaped
+      // position, now Anderl et al. '16): first-order chain over per-user
+      // view-campaign journeys, conversion probability by exact ppm value
+      // iteration, each campaign credited by how much conversion drops
+      // when transitions into it are redirected to NULL. Journey build +
+      // transition counts are distributed; the <= 8-state solve is
+      // driver-bounded (the BPE-merge contract).
+      val touches = s.sql("""
+        SELECT user_id, ts, event_id, CAST(x.k % 5 AS BIGINT) AS campaign
+        FROM events LATERAL VIEW jq(props, '{k}', 'k:int') x
+        WHERE event_type = 'view'""")
+      val conv = s.sql("""
+        SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'""")
+      pipeline.Attribution.markovRemovalEffects(touches, "user_id", "ts",
+          "event_id", "campaign", conv, "cents", iters = 16)
+        .withColumnRenamed("channel", "campaign")
+        .orderBy("campaign")
+    },
     "rel_bootstrap_ci" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // deterministic Poisson-bootstrap CI on mean extended price per
@@ -1211,6 +1233,16 @@ object SparkEntry {
       pipeline.Clustering.kmeansAssign(s.table("embeddings"),
           "vec_id", "embedding", k = 8, rounds = 3)
         .orderBy("vec_id")
+    },
+    "emb_silhouette" -> { (s, dir) =>
+      prep(s, dir, "embeddings")
+      // r13: simplified silhouette per cluster — clustering-quality
+      // readout over the same k=8 / 3-round kmeans; a(i)/b(i) against
+      // centroids only, so the per-row work is a fold over the frozen
+      // centroid literal (no join, no shuffle — the kmeansScore shape)
+      pipeline.Clustering.kmeansSilhouette(s.table("embeddings"),
+          "vec_id", "embedding", k = 8, rounds = 3)
+        .orderBy("cluster")
     },
     "emb_quantize" -> { (s, dir) =>
       prep(s, dir, "embeddings")
@@ -3537,6 +3569,22 @@ object SparkEntry {
       pipeline.Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
         .orderBy("node")
     },
+    "graph_closeness" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // r13: landmark closeness over the same bidirected trade graph —
+      // the classic Bavelas reciprocal-mean-distance readout next to
+      // harmonic's reciprocal-sum (different ranking when distance
+      // spreads are wide); independent "cc:" landmark draw, exact
+      // integer n·10⁶ DIV Σd so the estimate hash-gates
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      pipeline.Graph.closenessCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
+        .orderBy("node")
+    },
     "graph_betweenness" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // r13: Brandes-sampled betweenness from 8 md5 landmarks over the
@@ -4179,7 +4227,104 @@ object SparkEntry {
     * the [[shortestPathsOracleSql]] relaxation unroll with the state
     * keyed (node, landmark), landmarks = bottom-nSeeds nodes by
     * (md5-h60("hc:"∥node), node), and the Σ⌊10⁶/d⌋ rollup. */
-  private def harmonicOracleSql(nSeeds: Int, rounds: Int): String = {
+  /** DuckDB replay of [[pipeline.Attribution.markovRemovalEffects]] over
+    * the events view-campaign journeys — the whole chain unrolled: journey
+    * windows → transition counts → removal variants (removed = -99 is
+    * "remove nothing"; transitions into a removed campaign redirect to
+    * NULL = -3) → `iters` ppm value-iteration sweeps with the same
+    * per-term floor `(n·p) // tot` in HUGEINT → removal effects and the
+    * proportional cents split. States: START = -1, CONV = -2, NULL = -3. */
+  private def markovAttributionOracleSql(iters: Int): String = {
+    val sweeps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT st.removed, st.s,
+         |    CASE WHEN st.s IN (-2, -3) OR u.v IS NULL THEN p.p ELSE u.v END AS p
+         |  FROM st
+         |  JOIN p${i - 1} p ON p.removed = st.removed AND p.s = st.s
+         |  LEFT JOIN (SELECT rt.removed, rt.src AS s,
+         |               sum((rt.n * pp.p) // tt.tot) AS v
+         |             FROM rt
+         |             JOIN p${i - 1} pp ON pp.removed = rt.removed AND pp.s = rt.dst
+         |             JOIN tot tt ON tt.removed = rt.removed AND tt.src = rt.src
+         |             GROUP BY 1, 2) u
+         |    ON u.removed = st.removed AND u.s = st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT user_id, ts, event_id,
+       |             CAST(json_extract(props, '$$.k') AS BIGINT) % 5 AS c
+       |           FROM events WHERE event_type = 'view'),
+       |cu AS (SELECT e.user_id, sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS cents
+       |       FROM events e
+       |       JOIN (SELECT DISTINCT user_id FROM v) t ON t.user_id = e.user_id
+       |       WHERE e.event_type = 'purchase' GROUP BY 1),
+       |pot AS (SELECT coalesce(sum(cents), 0) AS pot FROM cu),
+       |o AS (SELECT user_id, c,
+       |        lead(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |      FROM v),
+       |tr AS (SELECT src, dst, CAST(count(*) AS HUGEINT) AS n FROM (
+       |        SELECT o.c AS src,
+       |               coalesce(o.nxt,
+       |                 CASE WHEN cu.user_id IS NOT NULL THEN -2 ELSE -3 END) AS dst
+       |        FROM o LEFT JOIN cu ON cu.user_id = o.user_id
+       |        UNION ALL
+       |        SELECT -1 AS src, c AS dst FROM o WHERE rn = 1)
+       |       GROUP BY 1, 2),
+       |ch AS (SELECT DISTINCT s AS c FROM (
+       |        SELECT src AS s FROM tr UNION ALL SELECT dst FROM tr) WHERE s >= 0),
+       |rv AS (SELECT -99 AS removed UNION ALL SELECT c FROM ch),
+       |rt AS (SELECT rv.removed, tr.src,
+       |         CASE WHEN tr.dst = rv.removed THEN -3 ELSE tr.dst END AS dst,
+       |         sum(tr.n) AS n
+       |       FROM rv CROSS JOIN tr GROUP BY 1, 2, 3),
+       |tot AS (SELECT removed, src, sum(n) AS tot FROM rt GROUP BY 1, 2),
+       |st AS (SELECT rv.removed, q.s FROM rv CROSS JOIN (
+       |        SELECT c AS s FROM ch
+       |        UNION ALL SELECT -1 UNION ALL SELECT -2 UNION ALL SELECT -3) q),
+       |p0 AS (SELECT removed, s,
+       |         CAST(CASE WHEN s = -2 THEN 1000000 ELSE 0 END AS HUGEINT) AS p
+       |       FROM st),
+       |$sweeps,
+       |pf AS (SELECT p AS pfull FROM p$iters WHERE removed = -99 AND s = -1),
+       |rem AS (SELECT removed AS campaign, p,
+       |          (SELECT pfull FROM pf) - p AS r
+       |        FROM p$iters WHERE removed >= 0 AND s = -1),
+       |trm AS (SELECT sum(r) AS t FROM rem)
+       |SELECT CAST(-1 AS BIGINT) AS campaign,
+       |       CAST((SELECT pfull FROM pf) AS BIGINT) AS p_removed_ppm,
+       |       CAST(0 AS BIGINT) AS removal_ppm,
+       |       CAST(0 AS BIGINT) AS attributed_cents
+       |UNION ALL
+       |SELECT CAST(campaign AS BIGINT),
+       |       CAST(p AS BIGINT),
+       |       CAST(CASE WHEN (SELECT pfull FROM pf) > 0
+       |                 THEN (r * 1000000) // (SELECT pfull FROM pf)
+       |                 ELSE 0 END AS BIGINT),
+       |       CAST(CASE WHEN (SELECT t FROM trm) > 0
+       |                 THEN ((SELECT pot FROM pot) * r) // (SELECT t FROM trm)
+       |                 ELSE 0 END AS BIGINT)
+       |FROM rem
+       |ORDER BY campaign""".stripMargin
+  }
+
+  private def harmonicOracleSql(nSeeds: Int, rounds: Int): String =
+    landmarkBfsOracleSql(nSeeds, rounds, salt = "hc:",
+      finalSelect =
+        """SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+          |       CAST(sum(1000000 // dist) AS BIGINT) AS h_ppm""".stripMargin)
+
+  /** DuckDB replay of [[pipeline.Graph.closenessCentrality]] — the same
+    * unrolled landmark BFS as the harmonic oracle under the independent
+    * "cc:" landmark draw, final readout n·10⁶ // Σdist. */
+  private def closenessOracleSql(nSeeds: Int, rounds: Int): String =
+    landmarkBfsOracleSql(nSeeds, rounds, salt = "cc:",
+      finalSelect =
+        """SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+          |       CAST((count(*) * 1000000) // sum(dist) AS BIGINT) AS c_ppm""".stripMargin)
+
+  /** Shared unrolled (node, landmark)-keyed BFS over the bidirected
+    * trade graph — the harmonic/closeness oracle skeleton; `finalSelect`
+    * reads from the converged distance table (dist > 0 appended here). */
+  private def landmarkBfsOracleSql(nSeeds: Int, rounds: Int, salt: String,
+                                   finalSelect: String): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""c$i AS MATERIALIZED (SELECT e.dst AS node, f.seed, min(f.dist + 1) AS nd
          |  FROM edges e JOIN f${i - 1} f ON f.node = e.src GROUP BY 1, 2),
@@ -4198,13 +4343,12 @@ object SparkEntry {
        |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
        |sd AS (SELECT node AS seed FROM (
        |  SELECT node, row_number() OVER (ORDER BY
-       |    CAST('0x' || substr(md5('hc:' || CAST(node AS VARCHAR)), 1, 15) AS BIGINT), node) AS rn
+       |    CAST('0x' || substr(md5('$salt' || CAST(node AS VARCHAR)), 1, 15) AS BIGINT), node) AS rn
        |  FROM ns) WHERE rn <= $nSeeds),
        |d0 AS MATERIALIZED (SELECT seed AS node, seed, CAST(0 AS BIGINT) AS dist FROM sd),
        |f0 AS (SELECT node, seed, dist FROM d0),
        |$roundCtes
-       |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
-       |       CAST(sum(1000000 // dist) AS BIGINT) AS h_ppm
+       |$finalSelect
        |FROM d$rounds WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
   }
 
@@ -5254,8 +5398,10 @@ object SparkEntry {
        |ORDER BY vec_id""".stripMargin
   }
 
-  private def kmeansOracleSql(k: Int, rounds: Int, dims: Int,
-                              summary: Boolean): String = {
+  /** The shared kmeans-replay CTE prefix (quantize → md5 seed order →
+    * `rounds` Lloyd updates ending at centroid table c`rounds`) behind
+    * [[kmeansOracleSql]] and [[silhouetteOracleSql]]. */
+  private def kmeansOracleCtes(k: Int, rounds: Int, dims: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""a$i AS (SELECT vec_id, qv, c, d2 FROM (
          |  SELECT vec_id, qv, c, d2,
@@ -5272,6 +5418,48 @@ object SparkEntry {
          |            FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim)
          |            GROUP BY c, t.dim) GROUP BY c) u ON u.c = p.c)""".stripMargin
     }.mkString(",\n")
+    s"""q AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |      FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT qv,
+       |            row_number() OVER (ORDER BY
+       |              CAST('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |              vec_id) - 1 AS c
+       |          FROM q),
+       |c0 AS (SELECT c, qv AS cv FROM seeds WHERE c < $k),
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Clustering.kmeansSilhouette]] — the
+    * kmeans prefix, then per vector a² = nearest-centroid d² (rn = 1 by
+    * (d², c) — the fold's smaller-cluster tie), b² = min d² over the
+    * rest (rn ≥ 2), IEEE-sqrt floors, ppm silhouette, per-cluster mean. */
+  private def silhouetteOracleSql(k: Int, rounds: Int, dims: Int): String =
+    s"""WITH ${kmeansOracleCtes(k, rounds, dims)},
+       |d AS (SELECT q.vec_id, cc.c,
+       |        list_sum(list_transform(list_zip(q.qv, cc.cv),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |      FROM q CROSS JOIN c$rounds cc),
+       |r AS (SELECT vec_id, c, d2,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |      FROM d),
+       |ab AS (SELECT a.vec_id, a.c AS cluster,
+       |         CAST(floor(sqrt(CAST(a.d2 AS DOUBLE))) AS BIGINT) AS a,
+       |         CAST(floor(sqrt(CAST(b.b2 AS DOUBLE))) AS BIGINT) AS b
+       |       FROM (SELECT vec_id, c, d2 FROM r WHERE rn = 1) a
+       |       JOIN (SELECT vec_id, min(d2) AS b2 FROM r WHERE rn >= 2 GROUP BY 1) b
+       |         USING (vec_id)),
+       |sv AS (SELECT cluster,
+       |         CASE WHEN greatest(a, b) > 0
+       |              THEN ((b - a) * 1000000) // greatest(a, b)
+       |              ELSE 0 END AS s
+       |       FROM ab)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT) AS mean_s_ppm
+       |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  private def kmeansOracleSql(k: Int, rounds: Int, dims: Int,
+                              summary: Boolean): String = {
     val fin =
       s"""af AS (SELECT vec_id, c, d2 FROM (
          |  SELECT vec_id, c, d2,
@@ -5293,16 +5481,7 @@ object SparkEntry {
         // construct unique to emb_kmeans's output among the 239 oracles —
         // the r8 driver gate's single red cell (CORRECTNESS_r08.json).
         "SELECT vec_id, c AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM af ORDER BY vec_id"
-    s"""WITH q AS (SELECT vec_id,
-       |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-       |           FROM embeddings WHERE embedding IS NOT NULL),
-       |seeds AS (SELECT qv,
-       |            row_number() OVER (ORDER BY
-       |              CAST('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-       |              vec_id) - 1 AS c
-       |          FROM q),
-       |c0 AS (SELECT c, qv AS cv FROM seeds WHERE c < $k),
-       |$roundCtes,
+    s"""WITH ${kmeansOracleCtes(k, rounds, dims)},
        |$fin
        |$select""".stripMargin
   }
@@ -5543,6 +5722,7 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS BIGINT) AS damaged
          FROM t ORDER BY doc_id"""),
     "emb_kmeans" -> kmeansOracleSql(8, 3, 64, summary = false),
+    "emb_silhouette" -> silhouetteOracleSql(8, 3, 64),
     "emb_quantize" ->
       """WITH q AS (SELECT t.dim AS dim,
                       CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1000000) AS BIGINT) AS q
@@ -5805,6 +5985,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_harmonic" -> harmonicOracleSql(8, 4),
+    "graph_closeness" -> closenessOracleSql(8, 4),
     "graph_betweenness" -> betweennessOracleSql(8, 4),
     "graph_temporal_reach" -> temporalReachOracleSql(3),
     "graph_degree_dist" ->
@@ -6636,6 +6817,7 @@ object SparkEntry {
          SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
                 CAST(sum(micros) AS BIGINT) AS attributed_micros
          FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""",
+    "events_markov_attribution" -> markovAttributionOracleSql(16),
     "rel_bootstrap_ci" -> {
       val ts = Seq(424136118829305344L, 848272237658610688L,
         1060340297073263360L, 1131029650211480960L, 1148701988496035328L,

@@ -44,6 +44,16 @@ object Builtins {
     if (v.isArray) v
     else throw JqError.of(s"${Json.typeName(v)}${preview(v)} cannot be ${who}")
 
+  /** The C `isspace` set jq's trim/ltrim/rtrim strip (jq 1.7.1). */
+  private def trimWs(s: String, left: Boolean, right: Boolean): String = {
+    val ws = " \t\n\u000B\f\r"
+    var i = 0
+    var j = s.length
+    if (left) while (i < j && ws.indexOf(s.charAt(i)) >= 0) i += 1
+    if (right) while (j > i && ws.indexOf(s.charAt(j - 1)) >= 0) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
   private def toStringValue(v: JsonNode): String =
     if (v.isTextual) v.textValue() else serialize(v)
 
@@ -529,6 +539,27 @@ object Builtins {
           text(in.textValue().substring(0, in.textValue().length - p.textValue().length))
         else in)
     },
+    // jq 1.7 additions: abs / toarray / pick, and the 1.7.1 trim trio
+    // (ASCII isspace set, matching jq's C trim — NOT java.lang.String.trim's
+    // "all controls <= U+0020" rule)
+    v0("abs")(in => one(num(math.abs(requireNumber(in, "abs"))))),
+    v0("toarray")(in => one(if (in.isArray) in else arr(List(in)))),
+    ("pick", 1) -> { (args, in, env) =>
+      // def pick(pathexps): . as $top
+      //   | reduce path(pathexps) as $p (null; setpath($p; $top | getpath($p)));
+      one(Interp.evalPaths(args.head, in, env).foldLeft(NullN: JsonNode) {
+        (acc, p) => Interp.setPath(acc, p, Interp.getPath(in, p))
+      })
+    },
+    v0("trim")(in => one(text(trimWs(requireString(in, "trimmed"), left = true, right = true)))),
+    v0("ltrim")(in => one(text(trimWs(requireString(in, "trimmed"), left = true, right = false)))),
+    v0("rtrim")(in => one(text(trimWs(requireString(in, "trimmed"), left = false, right = true)))),
+    // number-representation capability probes (jq 1.7): this engine
+    // canonicalizes to long/double (Json.num), so neither literal nor
+    // decimal representations survive — both honestly false
+    ("have_literal_numbers", 0) -> { (_, _, _) => one(FalseN) },
+    ("have_decimal_numbers", 0) -> { (_, _, _) => one(FalseN) },
+
     v1("startswith")((in, p) =>
       one(bool(requireString(in, "checked").startsWith(requireString(p, "checked"))))),
     v1("endswith")((in, p) =>

@@ -75,6 +75,59 @@ object Clustering {
           .as("mean_dist2"))
   }
 
+  /** SIMPLIFIED SILHOUETTE per cluster (Hruschka, de Castro & Campello,
+    * HIS '04 — the centroid-based silhouette): classic silhouette needs
+    * the O(n²) mean pairwise distance; the simplified form replaces it
+    * with distances to CENTROIDS — a(i) = dist to own centroid, b(i) =
+    * min dist to any other centroid, s(i) = (b−a)/max(a,b) — which is
+    * the only silhouette that survives 100 TB (per-row work is a fold
+    * over the k-entry centroid literal: NO join, NO shuffle, exactly the
+    * [[kmeansScore]] map shape; one tiny groupBy ends the plan).
+    *
+    * Exact integers end to end: quantized d² from the same
+    * `x·x − 2·x·c + c·c` fold as assignment (ties to the smaller
+    * cluster id — the [[kmeansAssign]] contract), distances as
+    * IEEE-sqrt-floor (the ivf/pq convention), s in ppm with truncating
+    * DIV. Because assignment IS nearest-centroid, a ≤ b always and
+    * s_ppm ∈ [0, 10⁶] — no negative-division semantics to pin across
+    * engines. Output: `(cluster, n_members, mean_s_ppm)`; low
+    * mean_s_ppm flags the clusters whose members sit nearly as close
+    * to a rival centroid (merge candidates). */
+  def kmeansSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, rounds: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
+    val (q, cents) = kmeansCentroids(emb, idCol, vecCol, k, rounds)
+    val centArr = array(cents.sortBy(_._1).map { case (c, v) =>
+      struct(lit(c).as("c"), typedLit(v.toSeq).as("cv"),
+        lit(v.map(x => x * x).sum).as("nc2"))
+    }: _*)
+    val d2 = "(__nx2 - 2 * aggregate(zip_with(__qv, s.cv, (a, b) -> a * b), 0L, (x, y) -> x + y) + s.nc2)"
+    q.withColumn("__cents", centArr)
+      // one fold tracks the two smallest (d², c) in cluster order: d1 =
+      // own-centroid d² (strict < keeps the smaller c on ties), db =
+      // second-smallest = min over the OTHER k−1 centroids
+      .withColumn("__best", expr(
+        s"""aggregate(__cents,
+              named_struct('d1', CAST(9223372036854775807 AS BIGINT),
+                           'c1', CAST(-1 AS BIGINT),
+                           'db', CAST(9223372036854775807 AS BIGINT)),
+              (acc, s) -> CASE
+                WHEN $d2 < acc.d1
+                  THEN named_struct('d1', $d2, 'c1', s.c, 'db', acc.d1)
+                WHEN $d2 < acc.db
+                  THEN named_struct('d1', acc.d1, 'c1', acc.c1, 'db', $d2)
+                ELSE acc END)"""))
+      .select(col("vec_id"), col("__best.c1").as("cluster"),
+        expr("CAST(floor(sqrt(CAST(__best.d1 AS DOUBLE))) AS BIGINT)").as("__a"),
+        expr("CAST(floor(sqrt(CAST(__best.db AS DOUBLE))) AS BIGINT)").as("__b"))
+      .withColumn("__s", expr(
+        "CASE WHEN greatest(__a, __b) > 0 THEN ((__b - __a) * 1000000) DIV greatest(__a, __b) ELSE 0 END"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        expr("CAST(sum(CAST(__s AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_s_ppm"))
+  }
+
   /** Train on `train`, score `batch` — the train-once / score-forever
     * lifecycle: centroids fit on the (bounded, curated) training corpus,
     * then every future batch assigns against the FROZEN table as a PURE

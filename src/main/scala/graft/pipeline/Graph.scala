@@ -485,18 +485,64 @@ object Graph {
     * full-outer merge per round, frontier-empty early exit. Output:
     * `node, n_reached, h_ppm` (nodes reached by ≥1 other landmark). */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-                         nSeeds: Int = 8, rounds: Int = 6): DataFrame = {
+                         nSeeds: Int = 8, rounds: Int = 6): DataFrame =
+    landmarkDistances(edges, srcCol, dstCol, nSeeds, rounds,
+        saltPrefix = "hc:", opName = "harmonicCentrality")
+      .where(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 DIV dist")).as("h_ppm"))
+
+  /** CLOSENESS centrality from md5 landmarks (r13) — the Eppstein–Wang
+    * landmark estimator aimed at the CLASSIC closeness readout
+    * (Bavelas '50: reciprocal of the mean shortest-path distance) the
+    * way [[harmonicCentrality]] covers Marchiori–Latora harmonic.
+    * Harmonic sums reciprocals (robust to unreachable pairs but a
+    * DIFFERENT ranking when distance spreads are wide); closeness is
+    * what the social-network literature reports. Same deterministic
+    * landmark contract with its own salt ("cc:"∥node — an independent
+    * landmark draw, so the two estimators don't share sampling error),
+    * same (node, landmark)-keyed multi-source BFS, then per node
+    *
+    *   c_ppm = n_reached·10⁶ DIV Σ_{landmarks at dist d > 0} d
+    *
+    * — exact integers, so the estimate hash-gates. Unreached landmarks
+    * simply don't contribute (the Wasserman–Faust within-horizon
+    * normalization); `rounds` is the documented horizon. Unbiased
+    * scaling to true closeness is the caller's ·nSeeds/(N−1) on the
+    * denominator, as with harmonic. Output: `node, n_reached, c_ppm`. */
+  def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                          nSeeds: Int = 8, rounds: Int = 6): DataFrame =
+    landmarkDistances(edges, srcCol, dstCol, nSeeds, rounds,
+        saltPrefix = "cc:", opName = "closenessCentrality")
+      .where(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("__sd"))
+      // integer DIV end-to-end (never IEEE): n·10⁶ ≤ 1024·10⁶ per node,
+      // far inside BIGINT; DuckDB `//` replays the truncation exactly
+      .select(col("node"), col("n_reached"),
+        expr("n_reached * 1000000 DIV __sd").as("c_ppm"))
+
+  /** Shared landmark multi-source BFS behind [[harmonicCentrality]] /
+    * [[closenessCentrality]]: `nSeeds` deterministic landmarks (bottom-k
+    * by h60(saltPrefix∥node), node), state keyed (node, landmark), edges
+    * shuffled onto src ONCE, one full-outer merge per round,
+    * frontier-empty early exit. Returns `node, seed, dist` (dist 0 at
+    * the landmarks themselves — callers filter). */
+  private def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                                nSeeds: Int, rounds: Int, saltPrefix: String,
+                                opName: String): DataFrame = {
     require(nSeeds >= 1 && nSeeds <= 1024, s"nSeeds must be in [1, 1024], got $nSeeds")
     require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
-    Search.requireIntegralId(edges, srcCol, "harmonicCentrality", role = "src id")
-    Search.requireIntegralId(edges, dstCol, "harmonicCentrality", role = "dst id")
+    Search.requireIntegralId(edges, srcCol, opName, role = "src id")
+    Search.requireIntegralId(edges, dstCol, opName, role = "dst id")
     val e0 = Materialize.cut(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
     val nodeSet = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
     val seeds = nodeSet
       .withColumn("__h",
-        conv(substring(md5(concat(lit("hc:"), col("node").cast("string"))), 1, 15), 16, 10)
+        conv(substring(md5(concat(lit(saltPrefix), col("node").cast("string"))), 1, 15), 16, 10)
           .cast("long"))
       .orderBy(col("__h"), col("node"))
       .limit(nSeeds)
@@ -529,10 +575,7 @@ object Graph {
       if (frontier.isEmpty) done = true
       dists = merged.select("node", "seed", "dist")
     }
-    dists.where(col("dist") > 0)
-      .groupBy("node")
-      .agg(count(lit(1)).as("n_reached"),
-        sum(expr("1000000 DIV dist")).as("h_ppm"))
+    dists
   }
 
   /** BETWEENNESS centrality, Brandes-sampled from md5 landmarks (Brandes

@@ -216,7 +216,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r13: even-period 2×MA trend (windowed sum + lag/lead combine);
     // two-pass Brandes (level anti-joins + per-term floor-DIV folds);
     // JPEG decode-vs-gradient tolerance verdict (real codec both runs)
-    "ts_seasonal_even", "graph_betweenness", "multimodal_jpeg_stats")
+    "ts_seasonal_even", "graph_betweenness", "multimodal_jpeg_stats",
+    "graph_closeness", "events_markov_attribution", "emb_silhouette")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

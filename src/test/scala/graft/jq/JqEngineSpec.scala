@@ -573,6 +573,28 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("""test("[^^][[:alpha:]]")""", "\"bz\"") == "true")
   }
 
+  test("jq 1.7 additions: abs / toarray / pick / trim trio / capability probes") {
+    assert(run1("abs", "-5") == "5")
+    assert(run1("abs", "5") == "5")
+    assert(run1("abs", "-1.5") == "1.5")
+    assert(run1("abs", "0") == "0")
+    intercept[Exception](run1("abs", "\"x\"")) // numbers only
+    assert(run1("toarray", "1") == "[1]")
+    assert(run1("toarray", "[1,2]") == "[1,2]")
+    assert(run1("toarray", "null") == "[null]")
+    assert(run1("pick(.a, .c.d)", """{"a":1,"b":2,"c":{"d":3,"e":4}}""") ==
+      """{"a":1,"c":{"d":3}}""")
+    assert(run1("pick(.[1])", "[10,20,30]") == "[null,20]")
+    assert(run1("pick(.missing)", """{"a":1}""") == """{"missing":null}""")
+    assert(run1("trim", "\"  a b \\t\"") == "\"a b\"")
+    assert(run1("ltrim", "\" x \"") == "\"x \"")
+    assert(run1("rtrim", "\" x \"") == "\" x\"")
+    assert(run1("trim", "\"ab\"") == "\"ab\"")
+    intercept[Exception](run1("trim", "5")) // strings only
+    assert(run1("have_literal_numbers") == "false") // Json.num canonicalizes
+    assert(run1("have_decimal_numbers") == "false")
+  }
+
   test("builtins lists name/arity strings including itself") {
     assert(run1("""builtins | type""", "null") == "\"array\"")
     assert(run1("""[builtins[] | select(. == "length/0" or . == "map/1" or . == "builtins/0")] | length""",

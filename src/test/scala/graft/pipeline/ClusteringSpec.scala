@@ -60,6 +60,46 @@ class ClusteringSpec extends AnyFunSuite {
     assignAll().map { case (id, c, d, _) => id -> (c, d) }.toMap
   }
 
+  /** Driver-side replay of the simplified-silhouette readout on top of
+    * the same Lloyd recurrence: per vector the two smallest (d², c),
+    * IEEE-sqrt floors, ppm silhouette, per-cluster truncating mean. */
+  private def bruteSilhouette(vecs: Seq[(Long, Seq[Float])], k: Int,
+                              rounds: Int): Set[(Long, Long, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+    }
+    var cents: Seq[(Long, Array[Long])] =
+      q.sortBy { case (id, _) => (h60(id), id) }.take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i.toLong, v.clone) }
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    (0 until rounds).foreach { _ =>
+      val byC = q.map { case (id, v) =>
+        (cents.map { case (c, cv) => (c, d2(v, cv)) }.minBy { case (c, d) => (d, c) }._1, v)
+      }.groupBy(_._1)
+      cents = cents.map { case (c, old) =>
+        byC.get(c) match {
+          case Some(members) =>
+            (c, Array.tabulate(old.length) { d =>
+              (members.map(m => BigInt(m._2(d))).sum / members.size).toLong
+            })
+          case None => (c, old)
+        }
+      }
+    }
+    val perVec = q.map { case (_, v) =>
+      val ds = cents.map { case (c, cv) => (d2(v, cv), c) }.sorted
+      val (a2, c1) = ds.head
+      val b2 = ds(1)._1
+      val a = math.floor(math.sqrt(a2.toDouble)).toLong
+      val b = math.floor(math.sqrt(b2.toDouble)).toLong
+      (c1, if (math.max(a, b) > 0) (b - a) * 1000000L / math.max(a, b) else 0L)
+    }
+    perVec.groupBy(_._1).map { case (c, m) =>
+      (c, m.size.toLong, (m.map(v => BigInt(v._2)).sum / m.size).toLong)
+    }.toSet
+  }
+
   test("two obvious blobs separate, assignments and dist2 exact") {
     val vecs = Seq[(Long, Seq[Float])](
       (1L, Seq(0.9f, 0.9f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.1f, 1.1f)),
@@ -123,6 +163,36 @@ class ClusteringSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(scored == assigned,
       "scoring the training corpus must reproduce the assignment exactly")
+  }
+
+  test("silhouette: tight blobs score near 1e6, exact parity with the brute replay") {
+    val vecs = Seq[(Long, Seq[Float])](
+      (1L, Seq(0.9f, 0.9f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.1f, 1.1f)),
+      (4L, Seq(-0.9f, -0.9f)), (5L, Seq(-1.0f, -1.0f)), (6L, Seq(-1.1f, -1.1f)))
+    val got = Clustering.kmeansSilhouette(df(vecs), "vec_id", "embedding",
+        k = 2, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteSilhouette(vecs, 2, 3), s"got $got")
+    // two well-separated blobs: every mean silhouette above 0.8
+    assert(got.forall(_._3 > 800000L), s"separated blobs must score high: $got")
+  }
+
+  test("silhouette: randomized parity with the brute replay, any partitioning") {
+    val vecs: Seq[(Long, Seq[Float])] = (1L to 90L).map { i =>
+      val r = graft.functions.Mix.splitmix64(0x51L + i)
+      (i, (0 until 5).map { d =>
+        (((graft.functions.Mix.splitmix64(r + d) >>> 40).toFloat / (1 << 24)) - 0.5f)
+      })
+    }
+    val got = Clustering.kmeansSilhouette(
+        df(vecs).repartition(7), "vec_id", "embedding", k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteSilhouette(vecs, 4, 2))
+    // k = 1 is meaningless for silhouette — loud
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansSilhouette(df(vecs), "vec_id", "embedding", k = 1, rounds = 1)
+    }
+    assert(e.getMessage.contains("k >= 2"))
   }
 
   test("summary rolls up sizes and truncating mean inertia") {

@@ -314,6 +314,27 @@ class GraphSpec extends AnyFunSuite {
     assert(h1(2L) == ((2L, 2000000L)), s"horizon-1 node2 ${h1.get(2L)}")
   }
 
+  test("closenessCentrality: hand-computed path-graph means, horizon bound, components isolate") {
+    import spark.implicits._
+    // same fixture as the harmonic test: bidirected path 1-2-3-4 plus
+    // the isolated pair 5-6; nSeeds covers every node → exact distances
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val c = Graph.closenessCentrality(edges, "src", "dst", nSeeds = 6, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // node 1: d = 1,2,3 → 3·1e6 DIV 6 = 5e5; node 2: 1,1,2 → 3e6 DIV 4 = 75e4
+    assert(c(1L) == ((3L, 500000L)), s"node1 ${c.get(1L)}")
+    assert(c(2L) == ((3L, 750000L)), s"node2 ${c.get(2L)}")
+    // the isolated pair only sees each other — components never leak
+    assert(c(5L) == ((1L, 1000000L)) && c(6L) == ((1L, 1000000L)))
+    // horizon 1: endpoints reach exactly their neighbor at distance 1
+    val c1 = Graph.closenessCentrality(edges, "src", "dst", nSeeds = 6, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c1(1L) == ((1L, 1000000L)), s"horizon-1 node1 ${c1.get(1L)}")
+    // two neighbors at distance 1: mean distance 1 → c_ppm = 2e6 DIV 2
+    assert(c1(2L) == ((2L, 1000000L)), s"horizon-1 node2 ${c1.get(2L)}")
+  }
+
   test("betweennessCentrality: hand-computed pendant diamond — d brokers") {
     import spark.implicits._
     // undirected diamond a(1)-b(2), a-c(3), b-d(4), c-d + pendant d-e(5);
