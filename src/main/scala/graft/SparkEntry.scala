@@ -3493,6 +3493,20 @@ object SparkEntry {
       pipeline.Graph.labelPropagation(e, "src", "dst", iterations = 4)
         .orderBy("node")
     },
+    "graph_louvain" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r13: Louvain-style modularity-gain moves over the same
+      // co-purchase graph as graph_communities — degree-corrected
+      // community detection next to LP's plurality vote; 3 synchronous
+      // rounds, exact DECIMAL gain numerators so the labels hash-gate
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.louvainMoves(e, "src", "dst", rounds = 3)
+        .orderBy("node")
+    },
     "graph_components" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // EXACT connected components over a sparse co-purchase slice
@@ -4442,6 +4456,49 @@ object SparkEntry {
     * a quarter of the orders, undirected. The per-node argmax is a
     * row_number window here (count DESC, label ASC) — semantically the
     * max(struct(c, −label)) aggregate on the Spark side. */
+  /** DuckDB replay of [[pipeline.Graph.louvainMoves]] over the
+    * co-purchase graph — per round: neighbor-community counts k_{i,c},
+    * community degree totals, the exact HUGEINT gain numerator
+    * 2m·k_{i,c} − k_i·(tot_c − k_i·[own]), argmax with the
+    * score-then-stay-then-smaller-community tie order. */
+  private def louvainOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""kic$i AS (SELECT a.node, p.label AS c, CAST(count(*) AS HUGEINT) AS k
+         |  FROM adj a JOIN lv${i - 1} p ON p.node = a.nbr GROUP BY 1, 2),
+         |tot$i AS (SELECT p.label AS c, CAST(sum(d.k) AS HUGEINT) AS tot
+         |  FROM lv${i - 1} p JOIN deg d ON d.node = p.node GROUP BY 1),
+         |cand$i AS (SELECT node, c, max(k) AS k FROM (
+         |  SELECT node, c, k FROM kic$i
+         |  UNION ALL SELECT p.node, p.label AS c, CAST(0 AS HUGEINT) AS k
+         |  FROM lv${i - 1} p) GROUP BY 1, 2),
+         |sc$i AS (SELECT cd.node, cd.c,
+         |    mm.m2 * cd.k - d.k * (t.tot - CASE WHEN cd.c = p.label
+         |                                       THEN d.k ELSE CAST(0 AS HUGEINT) END) AS s,
+         |    CASE WHEN cd.c = p.label THEN 1 ELSE 0 END AS stay
+         |  FROM cand$i cd
+         |  JOIN lv${i - 1} p ON p.node = cd.node
+         |  JOIN deg d ON d.node = cd.node
+         |  JOIN tot$i t ON t.c = cd.c
+         |  CROSS JOIN mm),
+         |lv$i AS (SELECT node, c AS label FROM (
+         |  SELECT node, c, row_number() OVER (PARTITION BY node
+         |                                     ORDER BY s DESC, stay DESC, c) AS rn
+         |  FROM sc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |        FROM li x JOIN li y
+       |          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |adj AS (SELECT a AS node, b AS nbr FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM adj),
+       |lv0 AS (SELECT DISTINCT node, node AS label FROM adj),
+       |$roundCtes
+       |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+       |FROM lv$rounds ORDER BY node""".stripMargin
+  }
+
   private def labelPropagationOracleSql(iterations: Int): String = {
     val rounds = (1 to iterations).map { i =>
       s"""lp$i AS (SELECT node, label FROM (
@@ -6061,6 +6118,7 @@ object SparkEntry {
          FROM r WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
     "graph_communities" -> labelPropagationOracleSql(4),
+    "graph_louvain" -> louvainOracleSql(3),
     "graph_components" ->
       """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
                                WHERE l_orderkey % 16 = 0),

@@ -262,6 +262,101 @@ object Graph {
     labels
   }
 
+  /** LOUVAIN-style modularity-gain label moves (Blondel, Guillaume,
+    * Lambiotte & Lefebvre, J. Stat. Mech. '08 — the local-move phase,
+    * run SYNCHRONOUSLY for a fixed number of rounds): each round every
+    * node considers its neighbors' communities plus staying put and
+    * adopts the one maximizing the modularity gain
+    *
+    *   score(i → c) = 2m·k_{i,c} − k_i·(Σtot_c − k_i·[c = own])
+    *
+    * (the ΔQ numerator scaled by 4m² — argmax-equivalent, EXACT in
+    * DECIMAL(38,0), so the assignment hash-gates). Ties prefer higher
+    * score, then STAYING, then the smaller community id — all
+    * deterministic. Where [[labelPropagation]] votes by neighbor
+    * FREQUENCY, this optimizes Newman Q directly (degree-corrected: a
+    * hub's pull is discounted by its community's total degree), which
+    * is the standard answer when LP's plurality vote collapses unevenly
+    * sized communities. Synchronous updates can oscillate on symmetric
+    * structures (the LP caveat) — `rounds` is a documented budget, not
+    * a convergence guarantee; callers read [[modularity]] to compare
+    * partitions.
+    *
+    * Plan: canonical-undirected dedup, adjacency exchanged ONCE
+    * (partitioned by nbr — the per-round join key), degree frame
+    * materialized once; per round one shuffle_hash label join + two
+    * bounded rollups (k_{i,c} candidates, community degree totals) and
+    * one argmax aggregate — no windows, no cartesians; 2m crosses as a
+    * one-row broadcast (the modularity convention). Output: `node,
+    * community`. */
+  def louvainMoves(edges: DataFrame, srcCol: String, dstCol: String,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    Search.requireIntegralId(edges, srcCol, "louvainMoves", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "louvainMoves", role = "dst id")
+    val dec = "decimal(38,0)"
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val adj = Materialize.cut(
+      und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+        .repartition(col("nbr")))
+    val m2 = Materialize.cut(adj.agg(count(lit(1)).cast(dec).as("__m2")))
+    // the label STATE carries the (constant) degree — (node, community,
+    // __k) — so no round ever joins a separate degree frame: community
+    // totals are one groupBy on the state, and the candidate chain reads
+    // __k off the own-label join it needs anyway
+    var labels = Materialize.cut(
+      adj.groupBy("node").agg(count(lit(1)).as("__k"))
+        .select(col("node"), col("node").as("community"), col("__k")))
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    retired += labels // superseded by round 1's cut
+    for (i <- 1 to rounds) {
+      val tot = labels.groupBy(col("community").as("__c"))
+        .agg(sum(col("__k")).as("__tot"))
+      val kic = adj.as("__a")
+        .join(labels.as("__l").hint("shuffle_hash"),
+          col("__a.nbr") === col("__l.node"))
+        .select(col("__a.node").as("__n"), col("__l.community").as("__c"))
+        .groupBy("__n", "__c").agg(count(lit(1)).as("__kic"))
+      // candidates: neighbor communities ∪ own (zero-k row; max()
+      // collapses the duplicate when a neighbor shares own — the real
+      // count dominates); the union is shuffle-free, the groupBy reuses
+      // kic's (n, c) partitioning on one side
+      val cand = kic
+        .union(labels.select(col("node").as("__n"),
+          col("community").as("__c"), lit(0L).as("__kic")))
+        .groupBy("__n", "__c").agg(max(col("__kic")).as("__kic"))
+      val next = cand
+        .join(labels.select(col("node").as("__n"), col("community").as("__own"),
+          col("__k")), Seq("__n"))
+        .join(tot.hint("shuffle_hash"), Seq("__c"))
+        .crossJoin(broadcast(m2))
+        .select(col("__n"), col("__c"), col("__k"),
+          (col("__m2") * col("__kic").cast(dec)
+            - col("__k").cast(dec)
+              * (col("__tot").cast(dec)
+                 - when(col("__c") === col("__own"), col("__k").cast(dec))
+                   .otherwise(lit(0).cast(dec)))).as("__s"),
+          when(col("__c") === col("__own"), 1L).otherwise(0L).as("__stay"))
+        .groupBy("__n")
+        .agg(max(struct(col("__s"), col("__stay"), (-col("__c")).as("__neg"))).as("__b"),
+          min(col("__k")).as("__k")) // __k constant per node — min = the value
+        .select(col("__n").as("node"), (-col("__b.__neg")).as("community"),
+          col("__k"))
+      // cut EVERY round: the state is read three times per round (totals,
+      // k_ic join, own join) — left lazy the chain re-evaluates 3^r times
+      // (measured 14.6s vs 3.7s warm at sf0.01 for r = 3)
+      labels = Materialize.cut(next)
+      if (i < rounds) retired += labels
+    }
+    retired.foreach(Materialize.release)
+    labels.select("node", "community")
+  }
+
   /** Weighted one-mode projection of a bipartite edge set — the standard
     * co-occurrence graph build (orders×parts → parts bought together,
     * users×items → items sharing users): for right-side nodes a < b,

@@ -217,7 +217,8 @@ class DeterminismSpec extends AnyFunSuite {
     // two-pass Brandes (level anti-joins + per-term floor-DIV folds);
     // JPEG decode-vs-gradient tolerance verdict (real codec both runs)
     "ts_seasonal_even", "graph_betweenness", "multimodal_jpeg_stats",
-    "graph_closeness", "events_markov_attribution", "emb_silhouette")
+    "graph_closeness", "events_markov_attribution", "emb_silhouette",
+    "graph_louvain")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -335,6 +335,70 @@ class GraphSpec extends AnyFunSuite {
     assert(c1(2L) == ((2L, 1000000L)), s"horizon-1 node2 ${c1.get(2L)}")
   }
 
+  /** Independent reference for the Louvain local-move recurrence: the
+    * scaled gain 2m·k_ic − k_i·(tot_c − k_i·[own]) in BigInt, argmax by
+    * (score, stay, −community), synchronous rounds. */
+  private def bruteLouvain(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = adj.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    val m2 = adj.size.toLong
+    var lab: Map[Long, Long] = adj.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val tot = lab.toSeq.groupBy(_._2)
+        .map { case (c, xs) => c -> xs.map(x => deg(x._1)).sum }
+      lab = lab.keys.map { n =>
+        val kic = adj.filter(_._1 == n).groupBy(e => lab(e._2))
+          .map { case (c, xs) => c -> xs.size.toLong }
+        val best = (kic.keySet + lab(n)).toSeq.map { c =>
+          val own = c == lab(n)
+          val s = BigInt(m2) * BigInt(kic.getOrElse(c, 0L)) -
+            BigInt(deg(n)) * (tot(c) - (if (own) deg(n) else 0L))
+          (s, if (own) 1 else 0, -c)
+        }.max(Ordering.Tuple3(Ordering.BigInt, Ordering.Int, Ordering.Long))
+        n -> -best._3
+      }.toMap
+    }
+    lab
+  }
+
+  test("louvainMoves: disjoint triangles converge to one community each; brute parity") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val got = Graph.louvainMoves(tri.toDF("src", "dst"), "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteLouvain(tri, 2), s"got $got")
+    // hand-simulated: round 1 shuffles singleton labels, round 2 pulls
+    // each triangle onto one community — and it is STABLE (round 3 equal)
+    assert(got(1L) == got(2L) && got(2L) == got(3L), s"left triangle split: $got")
+    assert(got(4L) == got(5L) && got(5L) == got(6L), s"right triangle split: $got")
+    assert(got(1L) != got(4L), "disjoint triangles must not merge")
+    val r3 = Graph.louvainMoves(tri.toDF("src", "dst"), "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == got, "converged partition must be stable one round later")
+  }
+
+  test("louvainMoves: bridged triangles + randomized graph match the brute replay exactly") {
+    import spark.implicits._
+    // the bridge makes synchronous moves oscillate (documented caveat) —
+    // the contract is exact parity with the recurrence, not convergence
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    for (r <- 1 to 4) {
+      val got = Graph.louvainMoves(bridged.toDF("src", "dst"), "src", "dst", rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == bruteLouvain(bridged, r), s"round $r diverged")
+    }
+    val rand = (1 to 60).map { i =>
+      val h = graft.functions.Mix.splitmix64(0x107a1L + i)
+      ((h % 20).abs + 1, (graft.functions.Mix.splitmix64(h) % 20).abs + 1)
+    }.filter(e => e._1 != e._2)
+    val got = Graph.louvainMoves(rand.toDF("src", "dst").repartition(9),
+        "src", "dst", rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == bruteLouvain(rand, 3))
+  }
+
   test("betweennessCentrality: hand-computed pendant diamond — d brokers") {
     import spark.implicits._
     // undirected diamond a(1)-b(2), a-c(3), b-d(4), c-d + pendant d-e(5);
