@@ -810,3 +810,76 @@ object ScaleProbe13 {
     spark.stop()
   }
 }
+
+/** r13 session-2 probes: the round's graph/attribution ops at ~20-100×
+  * bench shape — Louvain moves and Brandes-sampled betweenness on a
+  * 1M-node planted-community graph, Markov removal-effect attribution
+  * over 50M touches (the distributed transition build is the scale
+  * surface; the ≤64-state solve is constant by construction). */
+object ScaleProbe13b {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // planted communities: 1M nodes in 100k groups of 10 — intra edges
+    // node->node+1 and node->node+2 inside the group (path + chord, ~1.7
+    // edges/node), plus one ring edge between consecutive groups
+    val intra = spark.range(1000000L).selectExpr(
+        "id AS src",
+        "CASE WHEN id % 10 < 9 THEN id + 1 ELSE id - 9 END AS dst")
+      .union(spark.range(1000000L).selectExpr(
+        "id AS src",
+        "CASE WHEN id % 10 < 8 THEN id + 2 ELSE id - 8 END AS dst"))
+    val ring = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "pmod(id + 1, 100000) * 10 AS dst")
+    val edges = intra.union(ring)
+
+    val lv = timed("louvainMoves (1M nodes, ~2.1M edges, 2 rounds)")(
+      pipeline.Graph.louvainMoves(edges, "src", "dst", rounds = 2))
+    val nComm = timed("  community census")(
+      lv.selectExpr("count(DISTINCT community) AS c").collect()(0).getLong(0))
+    // purity against the plant: a node's true group is id DIV 10 — count
+    // nodes whose label lands inside their own group
+    val pure = lv.selectExpr("CAST(node DIV 10 = community DIV 10 AS INT) AS ok")
+      .agg(sum("ok")).collect()(0).getLong(0)
+    println(s"[scale]   communities = $nComm, in-group labels = $pure / 1000000")
+
+    val bc = timed("betweennessCentrality (1M nodes, 8 landmarks, horizon 4)")(
+      pipeline.Graph.betweennessCentrality(edges, "src", "dst",
+        nSeeds = 8, rounds = 4).count())
+    println(s"[scale]   interior nodes scored = $bc")
+
+    val cc = timed("closenessCentrality (1M nodes, 8 landmarks, horizon 4)")(
+      pipeline.Graph.closenessCentrality(edges, "src", "dst",
+        nSeeds = 8, rounds = 4).count())
+    println(s"[scale]   nodes reached = $cc")
+
+    // 50M touches over 5M users × 8 channels; ~25% of users convert
+    val touches = spark.range(50000000L).selectExpr(
+      "pmod(xxhash64(id), 5000000) AS user_id",
+      "pmod(xxhash64(id, 3), 1000000) AS ts",
+      "id AS tie",
+      "pmod(xxhash64(id, 5), 8) AS channel")
+    val conv = spark.range(5000000L)
+      .where(expr("pmod(xxhash64(id, 9), 4) = 0"))
+      .selectExpr("id AS user_id", "pmod(xxhash64(id, 11), 10000) AS cents")
+    val mk = timed("markovRemovalEffects (50M touches, 5M users, 8 channels)")(
+      pipeline.Attribution.markovRemovalEffects(touches, "user_id", "ts",
+        "tie", "channel", conv, "cents", iters = 16).orderBy("channel").collect())
+    mk.foreach(r => println(s"[scale]   channel=${r.getLong(0)} " +
+      s"p_removed_ppm=${r.getLong(1)} removal_ppm=${r.getLong(2)} cents=${r.getLong(3)}"))
+    spark.stop()
+  }
+}

@@ -1005,6 +1005,15 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "events_burstiness" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r13: Goh–Barabási burstiness per user — periodic (bot-like,
+      // B→−1e6) vs bursty (human, B>0) inter-event signatures; micros
+      // gaps, exact moments, IEEE sqrt only at the pinned final cast
+      pipeline.TimeSeries.burstiness(s.table("events"), "user_id", "ts",
+          "event_id", minGaps = 4)
+        .orderBy("user_id")
+    },
     "rel_bootstrap_ci" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // deterministic Poisson-bootstrap CI on mean extended price per
@@ -6876,6 +6885,29 @@ object SparkEntry {
                 CAST(sum(micros) AS BIGINT) AS attributed_micros
          FROM alloc GROUP BY campaign ORDER BY campaign NULLS FIRST""",
     "events_markov_attribution" -> markovAttributionOracleSql(16),
+    "events_burstiness" ->
+      """WITH g AS (SELECT user_id,
+                      epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                    FROM events),
+              m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                      CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS sg,
+                      CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sgg
+                    FROM g WHERE gap IS NOT NULL GROUP BY 1
+                    HAVING count(*) >= 4)
+         SELECT user_id, n_gaps, CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+                CASE WHEN sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                       + CAST(sg AS DOUBLE) > 0
+                THEN CAST(floor(1000000 *
+                  (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                   - CAST(sg AS DOUBLE)) /
+                  (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                   + CAST(sg AS DOUBLE))) AS BIGINT)
+                ELSE NULL END AS b_ppm
+         FROM m ORDER BY user_id""",
     "rel_bootstrap_ci" -> {
       val ts = Seq(424136118829305344L, 848272237658610688L,
         1060340297073263360L, 1131029650211480960L, 1148701988496035328L,

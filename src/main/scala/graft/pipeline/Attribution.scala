@@ -46,9 +46,42 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Attribution {
 
-  private val START = -1L
-  private val CONV = -2L
-  private val ABSNULL = -3L
+  /** Chain-state sentinels, exposed for the streaming maintenance twin
+    * (channel ids must be ≥ 0 — guarded loudly below). */
+  val START = -1L
+  val CONV = -2L
+  val ABSNULL = -3L
+
+  /** The journey transition counts feeding [[markovRemovalEffects]]'s
+    * solve, exposed standalone: `(src, dst, n)` over states {START = −1}
+    * ∪ channels ∪ {CONV = −2, NULL = −3}. One user-partitioned window +
+    * one (src, dst) GROUP BY — the whole distributed surface of the
+    * attribution model. */
+  def journeyTransitions(touches: DataFrame, userCol: String, tsCol: String,
+                         tieCol: String, channelCol: String,
+                         conversions: DataFrame): DataFrame = {
+    val touchedUsers = touches.select(col(userCol).as("__u")).distinct()
+    val convUsers = conversions.select(col(userCol).as("__u")).distinct()
+      .join(touchedUsers, Seq("__u"), "left_semi")
+    val ordered = touches.select(
+        col(userCol).as("__u"),
+        col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"),
+        col(channelCol).cast("long").as("__c"))
+      .withColumn("__next",
+        expr("lead(__c, 1) OVER (PARTITION BY __u ORDER BY __ts, __tie)"))
+      .withColumn("__rn",
+        expr("row_number() OVER (PARTITION BY __u ORDER BY __ts, __tie)"))
+    val withEnd = ordered
+      .join(convUsers.select(col("__u"), lit(true).as("__conv")), Seq("__u"), "left")
+      .select(col("__u"), col("__c"), col("__rn"),
+        coalesce(col("__next"),
+          when(col("__conv"), lit(CONV)).otherwise(lit(ABSNULL))).as("__to"))
+    withEnd.select(col("__c").as("src"), col("__to").as("dst"))
+      .union(withEnd.where(col("__rn") === 1)
+        .select(lit(START).as("src"), col("__c").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+  }
 
   /** Removal-effect attribution over touch journeys.
     *
@@ -76,36 +109,16 @@ object Attribution {
       role = "channel id")
     val spark = touches.sparkSession
 
-    // converting users + the attributable pot (users with >= 1 touch),
-    // both distributed: a semi-join and two tiny aggregates
+    // the attributable pot (conversions of users with >= 1 touch):
+    // a semi-join and one tiny aggregate, fully distributed
     val touchedUsers = touches.select(col(userCol).as("__u")).distinct()
-    val convUsers = Materialize.cut(
-      conversions.groupBy(col(userCol).as("__u"))
-        .agg(sum(col(centsCol).cast("long")).as("__cents"))
-        .join(touchedUsers, Seq("__u"), "left_semi"))
-    val potCents: Long = convUsers.agg(coalesce(sum(col("__cents")), lit(0L)))
+    val potCents: Long = conversions
+      .join(touchedUsers, conversions(userCol) === col("__u"), "left_semi")
+      .agg(coalesce(sum(col(centsCol).cast("long")), lit(0L)))
       .head.getLong(0)
 
-    // per-user journey -> consecutive-pair transitions, one window
-    // exchange on the user key; endpoints via null-channel sentinels
-    val ordered = touches.select(
-        col(userCol).as("__u"),
-        col(tsCol).as("__ts"),
-        col(tieCol).as("__tie"),
-        col(channelCol).cast("long").as("__c"))
-      .withColumn("__next",
-        expr("lead(__c, 1) OVER (PARTITION BY __u ORDER BY __ts, __tie)"))
-      .withColumn("__rn",
-        expr("row_number() OVER (PARTITION BY __u ORDER BY __ts, __tie)"))
-    val withEnd = ordered
-      .join(convUsers.select(col("__u"), lit(true).as("__conv")), Seq("__u"), "left")
-      .select(col("__u"), col("__c"), col("__rn"),
-        coalesce(col("__next"),
-          when(col("__conv"), lit(CONV)).otherwise(lit(ABSNULL))).as("__to"))
-    val trans = withEnd.select(col("__c").as("src"), col("__to").as("dst"))
-      .union(withEnd.where(col("__rn") === 1)
-        .select(lit(START).as("src"), col("__c").as("dst")))
-      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val trans = journeyTransitions(touches, userCol, tsCol, tieCol,
+      channelCol, conversions)
 
     // bounded collect: the (k+3)^2-entry count matrix IS the model
     val rows = trans.collect()
@@ -168,5 +181,88 @@ object Attribution {
         StructField("p_removed_ppm", LongType, nullable = false),
         StructField("removal_ppm", LongType, nullable = false),
         StructField("attributed_cents", LongType, nullable = false))))
+  }
+
+  // ---- streaming maintenance (the foreachBatch lifecycle) -------------
+  //
+  // Journeys are OPEN-ENDED under a stream: a user's next touch may be in
+  // a later micro-batch, so the per-batch lead() window alone would break
+  // every cross-batch edge. The maintained state is therefore
+  //   counts — the START + interior transition monoid (src, dst, n)
+  //   last   — one boundary row per user (__u, __lc, __lts, __ltie):
+  //            the user's latest touch, linking it to the next batch's
+  //            first touch
+  // Terminal CONV/NULL edges are NEVER stored — a journey's ending isn't
+  // known until read time; [[withTerminals]] derives them from `last` and
+  // the current converter set. Micro-batches must be time-ordered per
+  // user (the scd2Merge/append-log contract — the source IS a log).
+
+  /** Empty maintenance state for [[mergeTouchBatch]]. */
+  def emptyTouchState(spark: org.apache.spark.sql.SparkSession): (DataFrame, DataFrame) = {
+    val counts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("src", LongType, nullable = false),
+        StructField("dst", LongType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+    val last = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("__u", LongType, nullable = false),
+        StructField("__lc", LongType, nullable = false))))
+    (counts, last)
+  }
+
+  /** Folds one micro-batch of touches into the maintained (counts, last)
+    * state: interior pairs from the batch's own windows, one BRIDGE edge
+    * per user continuing from a previous batch (stored last channel →
+    * batch first channel), START edges for users seen first here, and the
+    * boundary rows advanced to the batch's last touch. History is never
+    * rescanned — the batch pays one window + two user-keyed joins against
+    * the user-sized boundary frame; the counts monoid is ≤ (k+3)² rows. */
+  def mergeTouchBatch(counts: DataFrame, last: DataFrame, batch: DataFrame,
+                      userCol: String, tsCol: String, tieCol: String,
+                      channelCol: String): (DataFrame, DataFrame) = {
+    val ordered = batch.select(
+        col(userCol).cast("long").as("__u"),
+        col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"),
+        col(channelCol).cast("long").as("__c"))
+      .withColumn("__next",
+        expr("lead(__c, 1) OVER (PARTITION BY __u ORDER BY __ts, __tie)"))
+      .withColumn("__rn",
+        expr("row_number() OVER (PARTITION BY __u ORDER BY __ts, __tie)"))
+      .withColumn("__rnd",
+        expr("row_number() OVER (PARTITION BY __u ORDER BY __ts DESC, __tie DESC)"))
+    val interior = ordered.where(col("__next").isNotNull)
+      .select(col("__c").as("src"), col("__next").as("dst"))
+    val firsts = ordered.where(col("__rn") === 1)
+      .select(col("__u"), col("__c"))
+    // users continuing from a prior batch bridge last → first; fresh
+    // users open with START → first
+    val opener = firsts.join(last.withColumnRenamed("__lc", "__prevc"), Seq("__u"), "left")
+      .select(coalesce(col("__prevc"), lit(START)).as("src"), col("__c").as("dst"))
+    val batchCounts = interior.union(opener)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val newCounts = counts.union(batchCounts)
+      .groupBy("src", "dst").agg(sum(col("n")).as("n"))
+    val lasts = ordered.where(col("__rnd") === 1).select(col("__u"), col("__c").as("__lc"))
+    val newLast = last.join(lasts, Seq("__u"), "left_anti").union(lasts)
+    (newCounts, newLast)
+  }
+
+  /** Read-time completion of the maintained state: the terminal edge of
+    * every open journey (stored last channel → CONV if the user is in
+    * `conversions`, else → NULL) unioned onto the counts monoid. The
+    * result equals [[journeyTransitions]] over every touch folded so
+    * far — spec-pinned, including journeys split across batches. */
+  def withTerminals(counts: DataFrame, last: DataFrame,
+                    conversions: DataFrame, userCol: String): DataFrame = {
+    val convU = conversions.select(col(userCol).cast("long").as("__u")).distinct()
+    val terminals = last.join(convU.withColumn("__conv", lit(true)), Seq("__u"), "left")
+      .select(col("__lc").as("src"),
+        when(col("__conv"), lit(CONV)).otherwise(lit(ABSNULL)).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    counts.union(terminals).groupBy("src", "dst").agg(sum(col("n")).as("n"))
   }
 }

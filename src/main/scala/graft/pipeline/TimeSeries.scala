@@ -1195,6 +1195,62 @@ object TimeSeries {
     * gap list inside the percentile aggregate (holistic, but bounded by
     * one user's events — the per-GROUP regime the quantile sketch exists
     * to avoid is the global one). */
+  /** BURSTINESS of a key's inter-event times (Goh & Barabási, EPL '08):
+    * B = (σ − μ)/(σ + μ) over the gap distribution — the one-number
+    * temporal fingerprint between periodic (B = −1: a cron job, a bot
+    * heartbeat) and maximally bursty (B → 1: human sessions, cascades).
+    * Complements [[botScreen]]'s median-gap rule: a scraper with a
+    * jittered-but-periodic clock passes a median gate and reads B ≈ −1
+    * here.
+    *
+    * Exact end to end until the pinned cast: gaps in MICROS (never a
+    * per-side ms floor — a sub-ms phase offset would shift the two
+    * engines' gaps differently), moments n/Σg/Σg² in DECIMAL(38,0),
+    * then with s2 = n·Σg² − (Σg)² the n cancels:
+    *
+    *   B_ppm = ⌊10⁶ · (√s2 − Σg) / (√s2 + Σg)⌋
+    *
+    * IEEE sqrt/divide at the same points in every engine (the
+    * rel_correlation rule). Constant gaps read exactly −10⁶; an
+    * all-zero-gap key (every event the same instant) is degenerate →
+    * NULL. Keys with < `minGaps` gaps drop (too short to claim a
+    * temporal signature).
+    *
+    * Plan: one key-partitioned lag window + one groupBy riding the same
+    * exchange — per-key state is three numbers, skew-proof. Output:
+    * `key, n_gaps, mean_gap_us, b_ppm`. */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, minGaps: Long = 4): DataFrame = {
+    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__tie"))
+    events
+      .select(col(keyCol), unix_micros(col(tsCol).cast("timestamp")).as("__t"),
+        col(tieCol).as("__tie"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .where(col("__gap").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap").cast("decimal(38,0)")).as("__sg"),
+        // cast BEFORE squaring: a months-long micros gap squares past
+        // 2^63 (unlike the cents-sized rel_correlation inputs)
+        sum(col("__gap").cast("decimal(38,0)")
+          * col("__gap").cast("decimal(38,0)")).as("__sgg"))
+      .where(col("n_gaps") >= minGaps)
+      .select(col(keyCol), col("n_gaps"),
+        expr("CAST(__sg DIV n_gaps AS BIGINT)").as("mean_gap_us"),
+        expr("""CASE WHEN sqrt(CAST(n_gaps AS DOUBLE) * CAST(__sgg AS DOUBLE)
+                          - CAST(__sg AS DOUBLE) * CAST(__sg AS DOUBLE))
+                     + CAST(__sg AS DOUBLE) > 0
+                THEN CAST(floor(1000000 *
+                  (sqrt(CAST(n_gaps AS DOUBLE) * CAST(__sgg AS DOUBLE)
+                        - CAST(__sg AS DOUBLE) * CAST(__sg AS DOUBLE))
+                   - CAST(__sg AS DOUBLE)) /
+                  (sqrt(CAST(n_gaps AS DOUBLE) * CAST(__sgg AS DOUBLE)
+                        - CAST(__sg AS DOUBLE) * CAST(__sg AS DOUBLE))
+                   + CAST(__sg AS DOUBLE))) AS BIGINT)
+                ELSE NULL END""").as("b_ppm"))
+  }
+
   def botScreen(events: DataFrame, userCol: String, tsCol: String,
                 minEvents: Long, maxMedianGapMs: Long): DataFrame = {
     require(minEvents >= 2, s"minEvents must be >= 2, got $minEvents")

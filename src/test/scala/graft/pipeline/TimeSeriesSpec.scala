@@ -934,6 +934,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       (3L, 1L, None, false)), s"$got")
   }
 
+  test("burstiness: periodic reads exactly -1e6, bursty positive, degenerates drop or NULL") {
+    val base = 1700000000000000L // epoch micros
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows =
+      // user 1: metronomic 2s gaps — σ = 0 ⇒ B = −1 exactly
+      (0 until 6).map(i => (1L, t(base + i * 2000000L), i.toLong)) ++
+      // user 2: gaps [0, 0, 0, 1000000] — bursty
+      Seq((2L, t(base), 10L), (2L, t(base), 11L), (2L, t(base), 12L),
+        (2L, t(base), 13L), (2L, t(base + 1000000L), 14L)) ++
+      // user 3: all five events the same instant — all-zero gaps ⇒ NULL
+      (0 until 5).map(i => (3L, t(base), 20L + i)) ++
+      // user 4: only 3 gaps — below minGaps, dropped
+      (0 until 4).map(i => (4L, t(base + i * 1000000L), 30L + i))
+    val got = TimeSeries.burstiness(rows.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", minGaps = 4)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // user 2 by the same pinned arithmetic: sg = 1e6, sgg = 1e12, n = 4
+    // ⇒ s2 = 3e12; B = (√3e12 − 1e6)/(√3e12 + 1e6)
+    val s2 = math.sqrt(4.0 * 1e12 - 1e12)
+    val b2 = math.floor(1000000 * (s2 - 1e6) / (s2 + 1e6)).toLong
+    assert(got == Seq(
+      (1L, 5L, 2000000L, Some(-1000000L)),
+      (2L, 4L, 250000L, Some(b2)),
+      (3L, 4L, 0L, None)), s"got $got (expected b2 = $b2)")
+  }
+
   test("mann-kendall: hand-computed S/var/z on a monotone series; all-tied days read NULL z") {
     val df = Seq(
       // key 1, days 1-5 strictly increasing: S = C(5,2) = 10, no ties ->

@@ -782,6 +782,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Markov-attribution state: touch batches fold into the " +
+      "transition monoid, read-time terminals == batch journeyTransitions") {
+    // journeys are OPEN-ENDED on a stream: cross-batch edges ride the
+    // per-user boundary row, terminals are derived at read time — after
+    // any number of batches withTerminals(state) must equal
+    // journeyTransitions over every touch so far
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Attribution
+    var (counts, last) = Attribution.emptyTouchState(spark)
+    def hold(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) = {
+      // pin each state frame (the scd2Merge twin's collect-and-recreate
+      // discipline — foreachBatch frames don't outlive the batch)
+      (spark.createDataFrame(java.util.Arrays.asList(p._1.collect(): _*), p._1.schema),
+       spark.createDataFrame(java.util.Arrays.asList(p._2.collect(): _*), p._2.schema))
+    }
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long)]
+    val q = src.toDF().toDF("user_id", "ts", "event_id", "campaign")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = Attribution.mergeTouchBatch(counts, last, batch,
+          "user_id", "ts", "event_id", "campaign")
+        val held = hold(next); counts = held._1; last = held._2
+        ()
+      }.start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def addBatch(rows: (Long, Long, Long, Long)*): Unit = {
+      src.addData(rows); q.processAllAvailable(); all ++= rows
+    }
+    try {
+      // batch 1: user 1 touches c0,c1; user 2 touches c2
+      addBatch((1L, 1L, 1L, 0L), (1L, 2L, 2L, 1L), (2L, 1L, 3L, 2L))
+      // batch 2: user 1 CONTINUES (bridge c1→c0 crosses the batch
+      // boundary); user 3 appears with two touches
+      addBatch((1L, 3L, 4L, 0L), (3L, 1L, 5L, 1L), (3L, 2L, 6L, 1L))
+      // batch 3: user 2 continues; self-transition c1→c1 inside user 3
+      addBatch((2L, 2L, 7L, 0L), (3L, 3L, 8L, 1L))
+      val conv = Seq((1L, 10L), (3L, 5L)).toDF("user_id", "cents")
+      val got = Attribution.withTerminals(counts, last, conv, "user_id")
+        .orderBy("src", "dst").collect().map(_.toString).toSeq
+      val full = Attribution.journeyTransitions(
+          all.toSeq.toDF("user_id", "ts", "event_id", "campaign"),
+          "user_id", "ts", "event_id", "campaign", conv)
+        .orderBy("src", "dst").collect().map(_.toString).toSeq
+      assert(got == full, s"stream-maintained $got != batch $full")
+      // the boundary frame holds exactly one row per user
+      assert(last.count() == 3L)
+    } finally q.stop()
+  }
+
   test("streaming PII audit: the Luhn gate is a pure map, stream == batch") {
     // luhnAudit is one nested higher-order expression per row — no state,
     // no watermark: the SAME operator code audits a stream in append mode
