@@ -1005,6 +1005,19 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "rel_ols2" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r13: two-feature least squares per return flag — price on
+      // (quantity, discount) with exact DECIMAL moments and the Cramer
+      // solve at pinned IEEE points; the controlled-for completion of
+      // rel_correlation's marginal association
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty100"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc100"))
+      pipeline.Relational.ols2(li, Seq("l_returnflag"), "cents", "qty100", "disc100")
+        .orderBy("l_returnflag")
+    },
     "events_burstiness" -> { (s, dir) =>
       prep(s, dir, "events")
       // r13: Goh–Barabási burstiness per user — periodic (bot-like,
@@ -6957,6 +6970,47 @@ object SparkEntry {
          FROM p JOIN documents da ON da.doc_id = p.a
                 JOIN documents db ON db.doc_id = p.b
          GROUP BY 1, 2 ORDER BY source_lo, source_hi""",
+    "rel_ols2" -> {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${d("n")} * (${d("s11")} * ${d("s22")} - ${d("s12")} * ${d("s12")})" +
+        s" - ${d("s1")} * (${d("s1")} * ${d("s22")} - ${d("s12")} * ${d("s2")})" +
+        s" + ${d("s2")} * (${d("s1")} * ${d("s12")} - ${d("s11")} * ${d("s2")}))"
+      val det0 = s"(${d("sy")} * (${d("s11")} * ${d("s22")} - ${d("s12")} * ${d("s12")})" +
+        s" - ${d("s1")} * (${d("s1y")} * ${d("s22")} - ${d("s12")} * ${d("s2y")})" +
+        s" + ${d("s2")} * (${d("s1y")} * ${d("s12")} - ${d("s11")} * ${d("s2y")}))"
+      val det1 = s"(${d("n")} * (${d("s1y")} * ${d("s22")} - ${d("s12")} * ${d("s2y")})" +
+        s" - ${d("sy")} * (${d("s1")} * ${d("s22")} - ${d("s12")} * ${d("s2")})" +
+        s" + ${d("s2")} * (${d("s1")} * ${d("s2y")} - ${d("s1y")} * ${d("s2")}))"
+      val det2 = s"(${d("n")} * (${d("s11")} * ${d("s2y")} - ${d("s1y")} * ${d("s12")})" +
+        s" - ${d("s1")} * (${d("s1")} * ${d("s2y")} - ${d("s1y")} * ${d("s2")})" +
+        s" + ${d("sy")} * (${d("s1")} * ${d("s12")} - ${d("s11")} * ${d("s2")}))"
+      val sse = s"(${d("syy")} - ($det0 / $det) * ${d("sy")}" +
+        s" - ($det1 / $det) * ${d("s1y")} - ($det2 / $det) * ${d("s2y")})"
+      val sst = s"(${d("syy")} - ${d("sy")} * ${d("sy")} / ${d("n")})"
+      s"""WITH c AS (SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+         FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+           CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+           CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+           CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+           CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+           CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+           CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         FROM c GROUP BY 1)
+         SELECT l_returnflag, n,
+           CASE WHEN $det <> 0 THEN CAST(floor(1e6 * $det0 / $det) AS BIGINT) END AS b0_e6,
+           CASE WHEN $det <> 0 THEN CAST(floor(1e6 * $det1 / $det) AS BIGINT) END AS b1_e6,
+           CASE WHEN $det <> 0 THEN CAST(floor(1e6 * $det2 / $det) AS BIGINT) END AS b2_e6,
+           CASE WHEN $det <> 0 AND $sst > 0
+                THEN CAST(floor(1000000 * (1 - $sse / $sst)) AS BIGINT) END AS r2_ppm
+         FROM m ORDER BY l_returnflag"""
+    },
     "rel_correlation" ->
       """WITH c AS (SELECT l_returnflag,
                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,

@@ -1339,4 +1339,77 @@ object Relational {
            |       * (CAST(__N AS $dec) * __nmin * (CAST(__N AS $dec) * __nmin) - __cq)) AS BIGINT)
            | END AS kappa_ppm""".stripMargin)
   }
+
+  /** TWO-FEATURE least squares per group (the normal equations solved by
+    * Cramer's rule): ŷ = b0 + b1·x1 + b2·x2 — the multiple-regression
+    * step up from the single-slope fits the engine carries
+    * (TimeSeries.trend, theilSen): "is price driven by quantity once
+    * discount is controlled for" is not answerable with two marginal
+    * slopes when x1 and x2 correlate.
+    *
+    * The rel_correlation discipline end to end: the NINE moment sums
+    * (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, plus Σy² for R²)
+    * aggregate EXACTLY in DECIMAL(38,0) — merge-order-independent, one
+    * map-side-combined groupBy — and only the closed-form Cramer
+    * determinants drop to IEEE double at the same pinned points in
+    * every engine. Output per group: `n, b0_e6, b1_e6, b2_e6, r2_ppm`
+    * (coefficients in 1e6 fixed point, R² in ppm); a singular system
+    * (collinear features, constant columns) reads NULL coefficients —
+    * never NaN, never a fake zero.
+    *
+    * Inputs must be integral (caller quantizes — cents convention).
+    * Plan: one pass, one partial-aggregated exchange on the group keys;
+    * per-group state is ten numbers, skew-proof at any corpus size. */
+  def ols2(df: DataFrame, groupCols: Seq[String], yCol: String,
+           x1Col: String, x2Col: String): DataFrame = {
+    require(groupCols.nonEmpty, "ols2: at least one group column")
+    requireIntegralTime(df, yCol, "ols2", what = "response value")
+    requireIntegralTime(df, x1Col, "ols2", what = "feature value")
+    requireIntegralTime(df, x2Col, "ols2", what = "feature value")
+    val dec = "decimal(38,0)"
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    // Cramer solve on A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y]
+    val det = s"(${d("n")} * (${d("s11")} * ${d("s22")} - ${d("s12")} * ${d("s12")})" +
+      s" - ${d("s1")} * (${d("s1")} * ${d("s22")} - ${d("s12")} * ${d("s2")})" +
+      s" + ${d("s2")} * (${d("s1")} * ${d("s12")} - ${d("s11")} * ${d("s2")}))"
+    val det0 = s"(${d("sy")} * (${d("s11")} * ${d("s22")} - ${d("s12")} * ${d("s12")})" +
+      s" - ${d("s1")} * (${d("s1y")} * ${d("s22")} - ${d("s12")} * ${d("s2y")})" +
+      s" + ${d("s2")} * (${d("s1y")} * ${d("s12")} - ${d("s11")} * ${d("s2y")}))"
+    val det1 = s"(${d("n")} * (${d("s1y")} * ${d("s22")} - ${d("s12")} * ${d("s2y")})" +
+      s" - ${d("sy")} * (${d("s1")} * ${d("s22")} - ${d("s12")} * ${d("s2")})" +
+      s" + ${d("s2")} * (${d("s1")} * ${d("s2y")} - ${d("s1y")} * ${d("s2")}))"
+    val det2 = s"(${d("n")} * (${d("s11")} * ${d("s2y")} - ${d("s1y")} * ${d("s12")})" +
+      s" - ${d("s1")} * (${d("s1")} * ${d("s2y")} - ${d("s1y")} * ${d("s2")})" +
+      s" + ${d("sy")} * (${d("s1")} * ${d("s12")} - ${d("s11")} * ${d("s2")}))"
+    val sse = s"(${d("syy")} - ($det0 / $det) * ${d("sy")}" +
+      s" - ($det1 / $det) * ${d("s1y")} - ($det2 / $det) * ${d("s2y")})"
+    val sst = s"(${d("syy")} - ${d("sy")} * ${d("sy")} / ${d("n")})"
+    df.select(
+        (groupCols.map(col) ++ Seq(
+          col(yCol).cast("long").cast(dec).as("__y"),
+          col(x1Col).cast("long").cast(dec).as("__x1"),
+          col(x2Col).cast("long").cast(dec).as("__x2"))): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__x1")).as("s1"), sum(col("__x2")).as("s2"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x1") * col("__x1")).as("s11"),
+        sum(col("__x2") * col("__x2")).as("s22"),
+        sum(col("__x1") * col("__x2")).as("s12"),
+        sum(col("__x1") * col("__y")).as("s1y"),
+        sum(col("__x2") * col("__y")).as("s2y"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .select(
+        (groupCols.map(col) ++ Seq(
+          col("n"),
+          expr(s"CASE WHEN $det <> 0 THEN CAST(floor(1e6 * $det0 / $det) AS BIGINT) END")
+            .as("b0_e6"),
+          expr(s"CASE WHEN $det <> 0 THEN CAST(floor(1e6 * $det1 / $det) AS BIGINT) END")
+            .as("b1_e6"),
+          expr(s"CASE WHEN $det <> 0 THEN CAST(floor(1e6 * $det2 / $det) AS BIGINT) END")
+            .as("b2_e6"),
+          expr(s"CASE WHEN $det <> 0 AND $sst > 0 " +
+            s"THEN CAST(floor(1000000 * (1 - $sse / $sst)) AS BIGINT) END")
+            .as("r2_ppm"))): _*)
+  }
 }

@@ -696,4 +696,45 @@ class PlanSpec extends AnyFunSuite {
     // data-proportional, wire the site through RangeScan and extend the
     // query list above.
   }
+
+  test("emb_silhouette plan: pure map over the centroid literal — no join before the rollup") {
+    // a(i)/b(i) come from ONE fold over the frozen k-entry centroid
+    // array (the kmeansScore shape): the executed plan must carry no
+    // join at all, and the only exchanges are the final k-row rollup +
+    // its orderBy
+    val plan = SparkEntry.queries("emb_silhouette")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"silhouette must not join:\n$plan")
+    assert(!plan.contains("Window ["), s"silhouette must not window:\n$plan")
+    // the corpus arrives as the ONE materialized quantized frame
+    // (kmeansCentroids' cut → LogicalRDD) — exactly one scan of it
+    val scans = plan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(scans == 1, s"one quantized-corpus scan expected, got $scans:\n$plan")
+  }
+
+  test("graph_louvain / graph_betweenness / graph_closeness plans: no windows, no cartesians") {
+    // the r13 graph wave keeps the iterative-graph discipline: every
+    // per-round reduction is an AGGREGATE (argmax via max(struct), σ/δ
+    // via sums) — a Window or cartesian product in any of these plans is
+    // a single-reducer / blowup regression
+    for (q <- Seq("graph_louvain", "graph_betweenness", "graph_closeness")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window ["), s"$q: unexpected Window:\n$plan")
+      assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+        s"$q: unexpected product join:\n$plan")
+    }
+  }
+
+  test("events_markov_attribution plan: the one window is user-partitioned") {
+    // the journey build is the only window in the distributed surface —
+    // it must partition by the user key, never a global order
+    val plan = SparkEntry.queries("events_markov_attribution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val bad = plan.split('\n').filter(l =>
+      l.contains("Window [") && !l.contains("partitionBy") &&
+        !l.contains("__u"))
+    assert(bad.isEmpty,
+      s"markov journey window must be user-partitioned:\n${bad.mkString("\n")}")
+  }
 }

@@ -572,6 +572,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expect, s"${(got -- expect, expect -- got)}")
   }
 
+  test("ols2: exact plane recovered with R2 = 1e6; collinear features read NULL; residual fit hand-checked") {
+    // y = 2 + 3*x1 + 5*x2 exactly: coefficients and R² exact (floor of
+    // an exact double ratio)
+    val plane = Seq(
+      (1L, 0L, 0L, 2L), (1L, 1L, 0L, 5L), (1L, 0L, 1L, 7L),
+      (1L, 1L, 1L, 10L), (1L, 2L, 3L, 23L), (1L, 4L, 1L, 19L))
+      .toDF("g", "x1", "x2", "y")
+    val got = Relational.ols2(plane, Seq("g"), "y", "x1", "x2")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got == ((1L, 6L, Some(2000000L), Some(3000000L), Some(5000000L),
+      Some(1000000L))), s"got $got")
+    // collinear: x2 = 2*x1 — singular normal equations, NULL not NaN
+    val coll = Seq((1L, 1L, 2L, 3L), (1L, 2L, 4L, 5L), (1L, 3L, 6L, 8L))
+      .toDF("g", "x1", "x2", "y")
+    val c = Relational.ols2(coll, Seq("g"), "y", "x1", "x2").collect().head
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5), s"$c")
+    // noisy fit against a literal driver-side normal-equation solve
+    val rows = (1 to 40).map { i =>
+      val h = graft.functions.Mix.splitmix64(0x015L + i)
+      val x1 = (h % 50).abs; val x2 = (graft.functions.Mix.splitmix64(h) % 30).abs
+      (1L, x1, x2, 7 + 2 * x1 - 3 * x2 + (i % 5))
+    }
+    val r = Relational.ols2(rows.toDF("g", "x1", "x2", "y"), Seq("g"), "y", "x1", "x2")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    val (n, s1, s2, sy) = (rows.size.toDouble, rows.map(_._2).sum.toDouble,
+      rows.map(_._3).sum.toDouble, rows.map(_._4).sum.toDouble)
+    val s11 = rows.map(t => t._2 * t._2).sum.toDouble
+    val s22 = rows.map(t => t._3 * t._3).sum.toDouble
+    val s12 = rows.map(t => t._2 * t._3).sum.toDouble
+    val s1y = rows.map(t => t._2 * t._4).sum.toDouble
+    val s2y = rows.map(t => t._3 * t._4).sum.toDouble
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    assert(r._4.contains(math.floor(1e6 * b1).toLong), s"b1: $r vs $b1")
+    assert(r._6.exists(v => v > 900000L && v <= 1000000L), s"r2: $r")
+  }
+
   test("welchT: hand-computed t2/df incl. the one-sided-variance case; degenerate NULLs; empty emits nothing") {
     // A = {10, 20, 30} cents (mean 20, s2 = 100), B = {40, 40, 40} (s2 = 0):
     // t2 = (20-40)^2 / (100/3) = 12; Welch df collapses to n_a - 1 = 2
