@@ -1005,6 +1005,14 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "ts_croston" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r13: Croston intermittent-demand rate per user — separate EWMAs
+      // of nonzero demand sizes and inter-demand intervals; the
+      // forecasting rung EWMA/Holt miss on mostly-zero series
+      pipeline.TimeSeries.croston(s.table("events"), "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
     "rel_ols2" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // r13: two-feature least squares per return flag — price on
@@ -8673,6 +8681,38 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "ts_croston" ->
+      """WITH RECURSIVE b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT user_id, day, cents,
+                      CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS rn
+                    FROM b WHERE cents <> 0),
+              g AS (SELECT user_id, rn - 1 AS grn, gap FROM (
+                      SELECT user_id, rn,
+                             CAST(day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) * 1000 AS gap
+                      FROM d) WHERE rn >= 2),
+              ez AS (SELECT user_id, rn, cents AS e FROM d WHERE rn = 1
+                     UNION ALL
+                     SELECT d.user_id, d.rn, (1 * d.cents + 3 * ez.e) // 4
+                     FROM d JOIN ez ON d.user_id = ez.user_id AND d.rn = ez.rn + 1),
+              ep AS (SELECT user_id, grn, gap AS e FROM g WHERE grn = 1
+                     UNION ALL
+                     SELECT g.user_id, g.grn, (1 * g.gap + 3 * ep.e) // 4
+                     FROM g JOIN ep ON g.user_id = ep.user_id AND g.grn = ep.grn + 1),
+              nz AS (SELECT user_id, max(rn) AS n FROM d GROUP BY 1),
+              z AS (SELECT ez.user_id, ez.e AS z_hat FROM ez
+                    JOIN nz ON nz.user_id = ez.user_id AND ez.rn = nz.n),
+              pm AS (SELECT user_id, max(grn) AS m FROM g GROUP BY 1),
+              p AS (SELECT ep.user_id, ep.e AS p_hat FROM ep
+                    JOIN pm ON pm.user_id = ep.user_id AND ep.grn = pm.m)
+         SELECT nz.user_id, CAST(nz.n AS BIGINT) AS n_demands,
+                CAST(z.z_hat AS BIGINT) AS z_hat_cents,
+                CAST(p.p_hat AS BIGINT) AS p_hat_days_e3,
+                CASE WHEN p.p_hat > 0
+                     THEN CAST((z.z_hat * 1000000) // p.p_hat AS BIGINT) END AS rate_cents_day_e3
+         FROM nz JOIN z USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
     "ts_ewma" ->
       """WITH RECURSIVE b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

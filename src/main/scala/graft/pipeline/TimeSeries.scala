@@ -1195,6 +1195,61 @@ object TimeSeries {
     * gap list inside the percentile aggregate (holistic, but bounded by
     * one user's events — the per-GROUP regime the quantile sketch exists
     * to avoid is the global one). */
+  /** CROSTON's method for INTERMITTENT demand (Croston, Oper. Res. Q.
+    * '72): the forecasting ladder's missing rung for series that are
+    * mostly ZERO — spare parts, long-tail SKUs, rare event types — where
+    * EWMA/Holt over the raw series chase the zeros to a useless
+    * near-zero level and spike after every demand. Croston smooths the
+    * two processes separately: ẑ = EWMA of the NONZERO demand sizes,
+    * p̂ = EWMA of the inter-demand intervals, demand rate = ẑ/p̂ per
+    * period.
+    *
+    * Integer-exact: daily cents buckets (nonzero = a demand), both
+    * EWMAs ride the [[graft.functions.EwmaSeries]] recurrence (trunc
+    * division — replays in any engine), intervals scaled ×1000 before
+    * smoothing so single-day gaps keep precision, the rate in
+    * cents/day ×10³ via one trailing DIV. Keys with a single demand
+    * have no interval → p̂ and the rate read NULL (no evidence of a
+    * cadence), never a fake.
+    *
+    * Plan: one (key, day) rollup, one per-key pack (the ewma/holt
+    * collect_list convention — per-key state bounded by the demand
+    * count), a linear EwmaSeries pass per key. Output: `key, n_demands,
+    * z_hat_cents, p_hat_days_e3, rate_cents_day_e3`. */
+  def croston(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, alphaNum: Long = 1L, alphaDen: Long = 4L): DataFrame = {
+    require(alphaDen >= 2 && alphaDen <= 1000000L,
+      s"alphaDen must be in [2, 1e6], got $alphaDen")
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"alphaNum must be in [1, alphaDen), got $alphaNum/$alphaDen")
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    def ewmaOf(c: org.apache.spark.sql.Column) =
+      E.column(graft.functions.EwmaSeries(E.expression(c), alphaNum, alphaDen))
+    val daily = events.select(col(keyCol), to_date(col(tsCol)).as("__day"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("__c"))
+      .groupBy(col(keyCol), col("__day")).agg(sum(col("__c")).as("__cents"))
+      .where(col("__cents") =!= 0)
+    daily
+      .select(col(keyCol), struct(col("__day"), col("__cents")).as("__x"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__x"))).as("__s"))
+      .withColumn("__sizes", expr("transform(__s, x -> x.__cents)"))
+      .withColumn("__gaps", expr(
+        """CASE WHEN size(__s) >= 2
+           THEN transform(sequence(1, size(__s) - 1),
+                          k -> datediff(__s[k].__day, __s[k - 1].__day) * 1000L)
+           ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .withColumn("__ez", ewmaOf(col("__sizes")))
+      .withColumn("__ep", ewmaOf(col("__gaps")))
+      .select(col(keyCol),
+        size(col("__s")).cast("long").as("n_demands"),
+        expr("element_at(__ez, -1)").as("z_hat_cents"),
+        expr("CASE WHEN size(__gaps) > 0 THEN element_at(__ep, -1) END")
+          .as("p_hat_days_e3"))
+      .withColumn("rate_cents_day_e3", expr(
+        "CASE WHEN p_hat_days_e3 > 0 THEN z_hat_cents * 1000000 DIV p_hat_days_e3 END"))
+  }
+
   /** BURSTINESS of a key's inter-event times (Goh & Barabási, EPL '08):
     * B = (σ − μ)/(σ + μ) over the gap distribution — the one-number
     * temporal fingerprint between periodic (B = −1: a cron job, a bot

@@ -975,6 +975,34 @@ class TimeSeriesSpec extends AnyFunSuite {
       (3L, 1L, None, false)), s"$got")
   }
 
+  test("croston: hand-computed EWMA pair, constant cadence exact, single demand NULL rate") {
+    // user 1: demand 1.00 on days 1,3,5,7 — sizes constant 100 cents ⇒
+    // ẑ = 100; gaps constant 2000 (×10³) ⇒ p̂ = 2000; rate = 100·1e6 DIV
+    // 2000 = 50000 (50 cents/day ×10³). Zero-value day 4 is NOT a demand.
+    // user 2: one demand only — no interval, NULL p̂ and rate.
+    // user 3: sizes 100, 300 with gap 1000: ẑ = (300 + 3·100) DIV 4 = 150.
+    val rows = Seq(
+      (1L, ts(1), 1.00), (1L, ts(3), 1.00), (1L, ts(4), 0.00),
+      (1L, ts(5), 1.00), (1L, ts(7), 1.00),
+      (2L, ts(2), 5.00),
+      (3L, ts(1), 1.00), (3L, ts(2), 3.00))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.croston(rows, "user_id", "ts", "value")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 100L, Some(2000L), Some(50000L)),
+      (2L, 1L, 500L, None, None),
+      (3L, 2L, 150L, Some(1000L), Some(150000L))), s"got $got")
+    // two same-day demands collapse into one daily bucket (and a zero-sum
+    // day cancels out of the demand sequence entirely)
+    val collapse = Seq((1L, ts(1), 1.00), (1L, ts(1), 2.00),
+      (1L, ts(2), 1.00), (1L, ts(2), -1.00)).toDF("user_id", "ts", "value")
+    val c = TimeSeries.croston(collapse, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(c == Seq((1L, 1L, 300L, None, None)), s"got $c")
+  }
+
   test("burstiness: periodic reads exactly -1e6, bursty positive, degenerates drop or NULL") {
     val base = 1700000000000000L // epoch micros
     def t(us: Long) = new java.sql.Timestamp(us / 1000)
