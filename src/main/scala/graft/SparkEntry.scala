@@ -1005,6 +1005,21 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "events_cuped" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r13: CUPED variance-reduced A/B readout — per-user purchase cents
+      // adjusted by the view-count covariate (θ pooled across arms); the
+      // sensitivity upgrade over events_ab_test's raw proportions
+      val per = s.sql("""
+        SELECT user_id, user_id % 2 AS arm,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS cents
+        FROM events GROUP BY 1, 2""")
+      pipeline.Relational.cuped(per, "arm", "n_views", "cents")
+        .orderBy("arm")
+    },
     "ts_croston" -> { (s, dir) =>
       prep(s, dir, "events")
       // r13: Croston intermittent-demand rate per user — separate EWMAs
@@ -8681,6 +8696,42 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "events_cuped" -> {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val varX = s"(${d("gsxx")} - ${d("gsx")} * ${d("gsx")} / ${d("gn")})"
+      val varY = s"(${d("gsyy")} - ${d("gsy")} * ${d("gsy")} / ${d("gn")})"
+      val covXY = s"(${d("gsxy")} - ${d("gsx")} * ${d("gsy")} / ${d("gn")})"
+      val theta = s"($covXY / $varX)"
+      s"""WITH per AS (SELECT user_id, user_id % 2 AS arm,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         FROM per GROUP BY 1),
+         p AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+           CAST(sum(sx) AS HUGEINT) AS gsx, CAST(sum(sy) AS HUGEINT) AS gsy,
+           CAST(sum(sxx) AS HUGEINT) AS gsxx, CAST(sum(syy) AS HUGEINT) AS gsyy,
+           CAST(sum(sxy) AS HUGEINT) AS gsxy
+         FROM a)
+         SELECT arm, n,
+           CAST(floor(1e3 * ${d("sy")} / ${d("n")}) AS BIGINT) AS mean_post_e3,
+           CASE WHEN $varX > 0
+                THEN CAST(floor(1e3 * (${d("sy")} / ${d("n")}
+                  - $theta * (${d("sx")} / ${d("n")} - ${d("gsx")} / ${d("gn")}))) AS BIGINT)
+                ELSE CAST(floor(1e3 * ${d("sy")} / ${d("n")}) AS BIGINT) END AS mean_adj_e3,
+           CASE WHEN $varX > 0 THEN CAST(floor(1e6 * $theta) AS BIGINT) END AS theta_e6,
+           CASE WHEN $varX > 0 AND $varY > 0
+                THEN CAST(floor(1e6 * $covXY * $covXY / ($varX * $varY)) AS BIGINT) END
+             AS var_reduction_ppm
+         FROM a CROSS JOIN p ORDER BY arm"""
+    },
     "ts_croston" ->
       """WITH RECURSIVE b AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

@@ -1340,6 +1340,65 @@ object Relational {
            | END AS kappa_ppm""".stripMargin)
   }
 
+  /** CUPED variance reduction for A/B readouts (Deng, Xu, Kohavi & Walker,
+    * WSDM '13 — "Improving the sensitivity of online controlled
+    * experiments by utilizing pre-experiment data"): the industry-standard
+    * adjustment — regress the experiment metric y on a PRE-experiment
+    * covariate x (θ = Cov(x,y)/Var(x), pooled across arms so the
+    * adjustment is unbiased under randomization), report each arm's
+    * adjusted mean ȳ_a − θ·(x̄_a − x̄); the arm DELTA keeps its expectation
+    * while its variance shrinks by the factor 1 − ρ²(x,y) — the readout
+    * that turns a week of experiment into the sensitivity of a month.
+    *
+    * The rel_correlation discipline: per-arm exact moment sums in
+    * DECIMAL(38,0) on ONE partial-aggregated groupBy; the pooled moments
+    * are re-aggregated from the arm frame (arm-count-sized — no second
+    * data pass); θ, the adjusted means and ρ² drop to IEEE double at
+    * pinned points only. Output per arm: `arm, n, mean_post_e3 (raw),
+    * mean_adj_e3 (CUPED), theta_e6, var_reduction_ppm (= ⌊10⁶·ρ²⌋, the
+    * variance removed)`; a zero-variance covariate reads θ = NULL and
+    * mean_adj = the raw mean scaled (CUPED disarms, never divides by
+    * zero). */
+  def cuped(df: DataFrame, armCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    requireIntegralTime(df, preCol, "cuped", what = "pre-period covariate")
+    requireIntegralTime(df, postCol, "cuped", what = "experiment metric")
+    val dec = "decimal(38,0)"
+    val arms = df.select(col(armCol).as("arm"),
+        col(preCol).cast("long").cast(dec).as("__x"),
+        col(postCol).cast("long").cast(dec).as("__y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+    val pooled = arms.agg(
+      sum(col("n")).cast("long").as("__gn"),
+      sum(col("sx")).as("__gsx"), sum(col("sy")).as("__gsy"),
+      sum(col("sxx")).as("__gsxx"), sum(col("syy")).as("__gsyy"),
+      sum(col("sxy")).as("__gsxy"))
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val varX = s"(${d("__gsxx")} - ${d("__gsx")} * ${d("__gsx")} / ${d("__gn")})"
+    val varY = s"(${d("__gsyy")} - ${d("__gsy")} * ${d("__gsy")} / ${d("__gn")})"
+    val covXY = s"(${d("__gsxy")} - ${d("__gsx")} * ${d("__gsy")} / ${d("__gn")})"
+    val theta = s"($covXY / $varX)"
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n"),
+        expr(s"CAST(floor(1e3 * ${d("sy")} / ${d("n")}) AS BIGINT)")
+          .as("mean_post_e3"),
+        expr(s"""CASE WHEN $varX > 0
+              THEN CAST(floor(1e3 * (${d("sy")} / ${d("n")}
+                - $theta * (${d("sx")} / ${d("n")} - ${d("__gsx")} / ${d("__gn")}))) AS BIGINT)
+              ELSE CAST(floor(1e3 * ${d("sy")} / ${d("n")}) AS BIGINT) END""")
+          .as("mean_adj_e3"),
+        expr(s"CASE WHEN $varX > 0 THEN CAST(floor(1e6 * $theta) AS BIGINT) END")
+          .as("theta_e6"),
+        expr(s"""CASE WHEN $varX > 0 AND $varY > 0
+              THEN CAST(floor(1e6 * $covXY * $covXY / ($varX * $varY)) AS BIGINT) END""")
+          .as("var_reduction_ppm"))
+  }
+
   /** TWO-FEATURE least squares per group (the normal equations solved by
     * Cramer's rule): ŷ = b0 + b1·x1 + b2·x2 — the multiple-regression
     * step up from the single-slope fits the engine carries

@@ -218,7 +218,8 @@ class DeterminismSpec extends AnyFunSuite {
     // JPEG decode-vs-gradient tolerance verdict (real codec both runs)
     "ts_seasonal_even", "graph_betweenness", "multimodal_jpeg_stats",
     "graph_closeness", "events_markov_attribution", "emb_silhouette",
-    "graph_louvain", "events_burstiness", "rel_ols2", "ts_croston")
+    "graph_louvain", "events_burstiness", "rel_ols2", "ts_croston",
+    "events_cuped")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -572,6 +572,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expect, s"${(got -- expect, expect -- got)}")
   }
 
+  test("cuped: hand-computed theta/adjusted means; perfect covariate removes all variance; flat covariate disarms") {
+    // arms 0/1, covariate x, metric y = 10*x + arm-effect:
+    //   arm 0: (x,y) = (1,10), (3,30); arm 1: (2,24), (4,44)
+    // pooled: N=4, SX=10, SY=108, Var n·Sxx−Sx² form via doubles:
+    // x̄=2.5, ȳ=27; cov = Σxy−SxSy/N = (10+90+48+176) − 10·108/4 = 324−270 = 54
+    // varx = Σxx−Sx²/N = 30−25 = 5 ⇒ θ = 10.8
+    // arm0 adj = 20 − 10.8·(2−2.5) = 25.4 → 25400 e3
+    // arm1 adj = 34 − 10.8·(3−2.5) = 28.6 → 28600 e3 (wait: floor exact)
+    val df = Seq((0L, 1L, 10L), (0L, 3L, 30L), (1L, 2L, 24L), (1L, 4L, 44L))
+      .toDF("arm", "x", "y")
+    val got = Relational.cuped(df, "arm", "x", "y")
+      .orderBy("arm")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    // expectations via the SAME pinned double ops (θ = 10.8 is inexact in
+    // binary — the ppm floors must come from the formula, not the pencil)
+    val theta = 54.0 / 5.0
+    val vr = math.floor(1e6 * 54.0 * 54.0 / (5.0 * 596.0)).toLong
+    val adj0 = math.floor(1e3 * (20.0 - theta * (2.0 - 2.5))).toLong
+    val adj1 = math.floor(1e3 * (34.0 - theta * (3.0 - 2.5))).toLong
+    assert(got == Seq(
+      (0L, 2L, 20000L, adj0, Some(math.floor(1e6 * theta).toLong), Some(vr)),
+      (1L, 2L, 34000L, adj1, Some(math.floor(1e6 * theta).toLong), Some(vr))),
+      s"got $got (adj $adj0/$adj1, vr $vr)")
+    // the adjustment is mean-preserving across arms up to the floors:
+    // Σ n_a·adj_a ≈ Σ n_a·raw_a (θ is pooled)
+    assert(math.abs((got(0)._4 + got(1)._4) - (20000L + 34000L)) <= 1)
+    // flat covariate: varX = 0 — CUPED disarms to the raw means, theta NULL
+    val flat = Seq((0L, 7L, 10L), (0L, 7L, 30L), (1L, 7L, 24L)).toDF("arm", "x", "y")
+    val f = Relational.cuped(flat, "arm", "x", "y").orderBy("arm")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(f == Seq((0L, 2L, 20000L, 20000L, None, None),
+      (1L, 1L, 24000L, 24000L, None, None)), s"got $f")
+  }
+
   test("ols2: exact plane recovered with R2 = 1e6; collinear features read NULL; residual fit hand-checked") {
     // y = 2 + 3*x1 + 5*x2 exactly: coefficients and R² exact (floor of
     // an exact double ratio)
