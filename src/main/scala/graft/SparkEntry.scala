@@ -1652,6 +1652,14 @@ object SparkEntry {
       pipeline.TextAnalysis.wordEntropy(s.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "text_textrank" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r13: TextRank keywords — pageRank's integer fixed point over the
+      // pmi bigram co-occurrence graph (md5 word ids); the centrality
+      // answer to "which words matter" beside tf-idf's frequency
+      pipeline.TextAnalysis.textRank(s.table("documents"), "text",
+        iterations = 4, minCount = 2, k = 25)
+    },
     "text_pmi" -> { (s, dir) =>
       prep(s, dir, "documents")
       // collocation mining: adjacent-pair PMI in the shared lg64 grade
@@ -7345,6 +7353,40 @@ object SparkEntry {
                             + (nw * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', nw)) - 1))
                             - 64) - s) // nw AS BIGINT) AS entropy64
          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
+    "text_textrank" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""pr$i AS (SELECT n.node,
+           |  CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum((CAST(p.r AS HUGEINT) * e.w) // d.sw) AS s
+           |    FROM edges e JOIN deg d ON e.src = d.src
+           |                 JOIN pr${i - 1} p ON p.node = e.src
+           |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           x -> len(x) > 0) AS ws FROM documents),
+         g AS (SELECT unnest([ws[i] FOR i IN range(1, len(ws))]) AS w1,
+                 unnest([ws[i + 1] FOR i IN range(1, len(ws))]) AS w2
+               FROM w),
+         fe AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM g
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         vid AS (SELECT word, CAST('0x' || substr(md5('tr:' || word), 1, 15) AS BIGINT) AS id
+                 FROM (SELECT DISTINCT word FROM (
+                   SELECT w1 AS word FROM fe UNION SELECT w2 FROM fe))),
+         edges AS (SELECT a.id AS src, b.id AS dst, f.n AS w
+                   FROM fe f JOIN vid a ON a.word = f.w1 JOIN vid b ON b.word = f.w2
+                   UNION ALL
+                   SELECT b.id, a.id, f.n
+                   FROM fe f JOIN vid a ON a.word = f.w1 JOIN vid b ON b.word = f.w2),
+         nodes AS (SELECT DISTINCT src AS node FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         deg AS (SELECT src, sum(w) AS sw FROM edges GROUP BY src),
+         pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $rounds
+         SELECT v.word, pr4.r AS rank_ppm
+         FROM pr4 JOIN vid v ON v.id = pr4.node
+         ORDER BY rank_ppm DESC, word LIMIT 25"""
+    },
     "text_pmi" -> {
       def lg(x: String) =
         s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"

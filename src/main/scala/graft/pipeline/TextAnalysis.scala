@@ -1741,6 +1741,50 @@ object TextAnalysis {
     * collapse of the corpus; margins and N are rollups of that collapsed
     * (vocab²-bounded, zipf-small in practice) frame — the same shape as
     * [[collocations]], sharing its cost profile. */
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP '04): PageRank
+    * over the word co-occurrence graph — the graph-centrality answer to
+    * "which words matter" where tf-idf only sees frequency: a word
+    * scores high when it co-occurs with other high-scoring words.
+    * Composes two of the engine's own pieces end to end: the
+    * [[pmiCollocations]] bigram frame becomes the weighted undirected
+    * edge list (adjacent-token pairs, count = weight, `minCount` noise
+    * floor), words become integer nodes via the md5-h60("tr:"∥word)
+    * convention (a 60-bit id over a corpus vocabulary; a collision
+    * merges two words' neighborhoods identically in every engine — the
+    * estimate stays bit-replayable), and [[Graph.pageRank]] runs its
+    * integer ppm fixed point unchanged. Top-k by (rank, word).
+    *
+    * Plan: the bigram census (one exchange), a vocab-sized id map joined
+    * onto the edge ends, then pageRank's one-edge-exchange iteration;
+    * the top-k is a TakeOrdered, never a global sort. Output:
+    * `word, rank_ppm`. */
+  def textRank(df: DataFrame, textCol: String, iterations: Int = 4,
+               minCount: Long = 2, k: Int = 25): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val grams = df
+      .select(explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
+      .select(substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
+    val fe = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount))
+    def h60(c: Column) =
+      conv(substring(md5(concat(lit("tr:"), c)), 1, 15), 16, 10).cast("long")
+    val vid = Materialize(
+      fe.select(col("w1").as("word")).union(fe.select(col("w2"))).distinct()
+        .select(col("word"), h60(col("word")).as("__id")))
+    def side(a: String, b: String) = fe
+      .join(vid.select(col("word").as(a), col("__id").as("src")), Seq(a))
+      .join(vid.select(col("word").as(b), col("__id").as("dst")), Seq(b))
+      .select(col("src"), col("dst"), col("__n").as("w"))
+    val edges = side("w1", "w2").union(side("w2", "w1"))
+    Graph.pageRank(edges, "src", "dst", iterations, weightCol = Some("w"))
+      .join(vid, col("node") === col("__id"))
+      .select(col("word"), col("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("word"))
+      .limit(k)
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
                       k: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

@@ -907,6 +907,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(dh ^ (Long.MaxValue)) <= 8, s"dhash $dh drifted")
   }
 
+  test("textRank: the hub word outranks the leaves; composition equals a manual pageRank") {
+    // star corpus: "alpha" is the bigram hub — TextRank must put it first
+    val docs = ((1 to 3).map(i => (i.toLong, "alpha beta")) ++
+      (4 to 6).map(i => (i.toLong, "alpha gamma")) ++
+      (7 to 9).map(i => (i.toLong, "alpha delta"))).toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(docs, "text", iterations = 3, minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.head._1 == "alpha", s"hub must rank first: $got")
+    assert(got.map(_._1).toSet == Set("alpha", "beta", "gamma", "delta"))
+    assert(got == got.sortBy(t => (-t._2, t._1)), s"order contract: $got")
+    // composition: the same ranks as calling pageRank on the hand-built
+    // md5-id weighted graph (each bigram once per direction, count = 3)
+    def h60(w: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tr:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val ids = Seq("alpha", "beta", "gamma", "delta").map(w => w -> h60(w)).toMap
+    val fe = Seq(("alpha", "beta", 3L), ("alpha", "gamma", 3L), ("alpha", "delta", 3L))
+    val edges = (fe.map { case (a, b, n) => (ids(a), ids(b), n) } ++
+      fe.map { case (a, b, n) => (ids(b), ids(a), n) }).toDF("src", "dst", "w")
+    val manual = Graph.pageRank(edges, "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.toMap == got.map { case (w, r) => w -> manual(ids(w)) }.toMap,
+      s"textRank must equal pageRank over the hand graph: $got vs $manual")
+    // k truncates deterministically
+    assert(TextAnalysis.textRank(docs, "text", 3, 1, 2).count() == 2L)
+  }
+
   test("pmiCollocations: hand-computed pmi64 incl. the negative over-expected case; minCount + tie order") {
     // controlled bigram corpus: N = 20; margins alpha·=15, delta·=5,
     // ·beta=15, ·gamma=5. (alpha, beta) co-occurs 10× yet reads NEGATIVE
