@@ -1005,6 +1005,31 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "events_did" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r13: difference-in-differences — per-user purchase cents in the
+      // pre/post halves of the time axis (median-micros cutoff, the
+      // temporalSplit idiom), parity arms, both periods zero-filled per
+      // user so inactive periods count as real zeros
+      val ev = s.table("events")
+      val cuts = ev.agg(expr(
+        "CAST(floor(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)) AS BIGINT)")
+        .as("__cut"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .crossJoin(broadcast(cuts))
+        .select(col("user_id"),
+          when(unix_micros(col("ts").cast("timestamp")) <= col("__cut"), 0L)
+            .otherwise(1L).as("period"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("user_id", "period").agg(sum("cents").as("cents"))
+      val units = ev.select("user_id").distinct()
+        .select(col("user_id"), explode(array(lit(0L), lit(1L))).as("period"))
+      val cells = units.join(purch, Seq("user_id", "period"), "left")
+        .select((col("user_id") % 2).as("arm"), col("period"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+      pipeline.Relational.diffInDiff(cells, "arm", "period", "cents")
+        .orderBy("arm")
+    },
     "events_cuped" -> { (s, dir) =>
       prep(s, dir, "events")
       // r13: CUPED variance-reduced A/B readout — per-user purchase cents
@@ -8738,6 +8763,48 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "events_did" ->
+      """WITH c AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS cut
+                    FROM events),
+              p AS (SELECT user_id,
+                      CASE WHEN epoch_us(ts) <= (SELECT cut FROM c) THEN 0 ELSE 1 END AS period,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+              agg AS (SELECT user_id, period, CAST(sum(cents) AS BIGINT) AS cents
+                      FROM p GROUP BY 1, 2),
+              units AS (SELECT user_id, unnest([0, 1]) AS period
+                        FROM (SELECT DISTINCT user_id FROM events)),
+              cells AS (SELECT units.user_id % 2 AS arm, units.period,
+                          CAST(coalesce(agg.cents, 0) AS HUGEINT) AS v
+                        FROM units LEFT JOIN agg
+                          ON agg.user_id = units.user_id AND agg.period = units.period),
+              g AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+                    FROM cells GROUP BY 1, 2),
+              b AS (SELECT arm,
+                      CAST(sum(CASE WHEN period = 0 THEN n END) AS BIGINT) AS n_pre,
+                      CAST(sum(CASE WHEN period = 1 THEN n END) AS BIGINT) AS n_post,
+                      sum(CASE WHEN period = 0 THEN s END) AS spre,
+                      sum(CASE WHEN period = 1 THEN s END) AS spost
+                    FROM g GROUP BY 1),
+              w AS (SELECT arm, n_pre, n_post,
+                      CASE WHEN n_pre > 0
+                           THEN CAST(floor(1e3 * CAST(spre AS DOUBLE) / CAST(n_pre AS DOUBLE)) AS BIGINT) END AS mean_pre_e3,
+                      CASE WHEN n_post > 0
+                           THEN CAST(floor(1e3 * CAST(spost AS DOUBLE) / CAST(n_post AS DOUBLE)) AS BIGINT) END AS mean_post_e3,
+                      CASE WHEN n_pre > 0 AND n_post > 0
+                           THEN CAST(floor(1e3 * (CAST(spost AS DOUBLE) / CAST(n_post AS DOUBLE)
+                                                  - CAST(spre AS DOUBLE) / CAST(n_pre AS DOUBLE))) AS BIGINT) END AS delta_e3,
+                      CASE WHEN n_pre > 0 AND n_post > 0
+                           THEN CAST(spost AS DOUBLE) / CAST(n_post AS DOUBLE)
+                                - CAST(spre AS DOUBLE) / CAST(n_pre AS DOUBLE) END AS dd
+                    FROM b),
+              d AS (SELECT CASE WHEN count(*) = 2 AND count(dd) = 2
+                           THEN CAST(floor(1e3 * (max(CASE WHEN arm = 1 THEN dd END)
+                                                  - max(CASE WHEN arm = 0 THEN dd END))) AS BIGINT)
+                           END AS did_e3 FROM w)
+         SELECT w.arm, w.n_pre, w.n_post, w.mean_pre_e3, w.mean_post_e3,
+                w.delta_e3, d.did_e3
+         FROM w CROSS JOIN d ORDER BY arm""",
     "events_cuped" -> {
       def d(c: String) = s"CAST($c AS DOUBLE)"
       val varX = s"(${d("gsxx")} - ${d("gsx")} * ${d("gsx")} / ${d("gn")})"

@@ -1340,6 +1340,68 @@ object Relational {
            | END AS kappa_ppm""".stripMargin)
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES (Card & Krueger, AER '94 lineage — the
+    * workhorse quasi-experimental readout): when assignment is NOT
+    * randomized (a feature shipped to one segment, a policy hit one
+    * region), the naive post-period gap confounds the intervention with
+    * pre-existing level differences; DiD subtracts each arm's OWN
+    * pre-period baseline and reads the effect off the double delta
+    *
+    *   DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    *
+    * under the parallel-trends assumption (the caller's burden — pair
+    * with [[cuped]]/abTest for the randomized case).
+    *
+    * Input: one row per (unit, period) with `armCol` ∈ {0 = control,
+    * 1 = treated}, `periodCol` ∈ {0 = pre, 1 = post} (any other value
+    * fails loudly in-column) and an integral value. Exact DECIMAL(38,0)
+    * cell sums on ONE groupBy (four cells — skew-proof), means and the
+    * double delta at pinned IEEE points, e3 fixed point. Output one row
+    * per arm: `arm, n_pre, n_post, mean_pre_e3, mean_post_e3, delta_e3,
+    * did_e3` (the DiD repeated on both rows — the cuped θ convention);
+    * any empty cell reads NULL did, never a fake zero. */
+  def diffInDiff(df: DataFrame, armCol: String, periodCol: String,
+                 valueCol: String): DataFrame = {
+    requireIntegralTime(df, valueCol, "diffInDiff", what = "unit value")
+    val dec = "decimal(38,0)"
+    def flag(c: String, what: String) =
+      when(col(c).cast("long").isin(0L, 1L), col(c).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"diffInDiff: $what must be 0 or 1, got "),
+          coalesce(col(c).cast("string"), lit("NULL")))))
+    val cells = df.select(flag(armCol, "arm").as("arm"),
+        flag(periodCol, "period").as("__p"),
+        col(valueCol).cast("long").cast(dec).as("__v"))
+      .groupBy("arm", "__p")
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val byArm = cells.groupBy("arm").agg(
+      sum(when(col("__p") === 0, col("__n"))).as("n_pre"),
+      sum(when(col("__p") === 1, col("__n"))).as("n_post"),
+      sum(when(col("__p") === 0, col("__s"))).as("__spre"),
+      sum(when(col("__p") === 1, col("__s"))).as("__spost"))
+    def mean(s: String, n: String) = s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE))"
+    val withMeans = byArm.select(col("arm"), col("n_pre"), col("n_post"),
+      expr(s"CASE WHEN n_pre > 0 THEN CAST(floor(1e3 * ${mean("__spre", "n_pre")}) AS BIGINT) END")
+        .as("mean_pre_e3"),
+      expr(s"CASE WHEN n_post > 0 THEN CAST(floor(1e3 * ${mean("__spost", "n_post")}) AS BIGINT) END")
+        .as("mean_post_e3"),
+      expr(s"""CASE WHEN n_pre > 0 AND n_post > 0
+            THEN CAST(floor(1e3 * (${mean("__spost", "n_post")} - ${mean("__spre", "n_pre")})) AS BIGINT) END""")
+        .as("delta_e3"),
+      expr(s"""CASE WHEN n_pre > 0 AND n_post > 0
+            THEN ${mean("__spost", "n_post")} - ${mean("__spre", "n_pre")} END""")
+        .as("__d"))
+    // the four-cell double delta crosses back as a one-row broadcast
+    val did = withMeans.agg(
+      expr("""CASE WHEN count(*) = 2 AND count(__d) = 2
+           THEN CAST(floor(1e3 * (max(CASE WHEN arm = 1 THEN __d END)
+                                  - max(CASE WHEN arm = 0 THEN __d END))) AS BIGINT)
+           END""").as("did_e3"))
+    withMeans.crossJoin(broadcast(did))
+      .select(col("arm"), col("n_pre"), col("n_post"), col("mean_pre_e3"),
+        col("mean_post_e3"), col("delta_e3"), col("did_e3"))
+  }
+
   /** CUPED variance reduction for A/B readouts (Deng, Xu, Kohavi & Walker,
     * WSDM '13 — "Improving the sensitivity of online controlled
     * experiments by utilizing pre-experiment data"): the industry-standard

@@ -572,6 +572,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expect, s"${(got -- expect, expect -- got)}")
   }
 
+  test("diffInDiff: hand-computed double delta; empty cell reads NULL; bad flags fail loudly") {
+    // control drifts +2 (10→12), treated +7 (20→27) ⇒ DiD = +5
+    val raw = Seq(
+      (0L, 0L, 9L), (0L, 0L, 11L), (0L, 1L, 12L), (0L, 1L, 12L),
+      (1L, 0L, 19L), (1L, 0L, 21L), (1L, 1L, 26L), (1L, 1L, 28L))
+    val rows = raw.toDF("arm", "period", "v")
+    val got = Relational.diffInDiff(rows, "arm", "period", "v")
+      .orderBy("arm")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 10000L, 12000L, 2000L, Some(5000L)),
+      (1L, 2L, 2L, 20000L, 27000L, 7000L, Some(5000L))), s"got $got")
+    // a missing treated-post cell: that arm's delta and the DiD read NULL
+    val sparse = raw.filter(r => !(r._1 == 1L && r._2 == 1L))
+      .toDF("arm", "period", "v")
+    val sp = Relational.diffInDiff(sparse, "arm", "period", "v")
+      .orderBy("arm").collect()
+    assert(sp(1).isNullAt(5) && sp(0).isNullAt(6) && sp(1).isNullAt(6), s"${sp.toSeq}")
+    // arm = 2 is not a flag — loud
+    val bad = Seq((2L, 0L, 1L)).toDF("arm", "period", "v")
+    val e = intercept[Exception](
+      Relational.diffInDiff(bad, "arm", "period", "v").collect())
+    assert(e.getMessage.contains("must be 0 or 1"), e.getMessage)
+  }
+
   test("cuped: hand-computed theta/adjusted means; perfect covariate removes all variance; flat covariate disarms") {
     // arms 0/1, covariate x, metric y = 10*x + arm-effect:
     //   arm 0: (x,y) = (1,10), (3,30); arm 1: (2,24), (4,44)
