@@ -1005,6 +1005,18 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "rel_theil" -> { (s, dir) =>
+      prep(s, dir, "orders", "customer")
+      // r13: Theil-T inequality decomposition of order spend across
+      // market segments — between-vs-within in the lg64 grade; the
+      // additive split pipeline_gini's one number cannot give
+      val amounts = s.table("orders")
+        .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Relational.theilDecomposition(amounts, "c_mktsegment", "cents")
+        .orderBy("c_mktsegment")
+    },
     "events_did" -> { (s, dir) =>
       prep(s, dir, "events")
       // r13: difference-in-differences — per-user purchase cents in the
@@ -8763,6 +8775,27 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "rel_theil" -> {
+      def lg(x: String) =
+        s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+      s"""WITH a AS (SELECT c_mktsegment,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(sum(CAST(x AS HUGEINT) * ${lg("x")}) AS HUGEINT) AS sxlg
+         FROM a GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+           CAST(sum(sx) AS HUGEINT) AS gsx FROM g)
+         SELECT c_mktsegment, n,
+           CAST((sx * 1000000) // gsx AS BIGINT) AS cents_share_ppm,
+           CAST((sxlg + sx * (${lg("n")} - ${lg("CAST(sx AS BIGINT)")} - 64))
+             * 1000 // sx AS BIGINT) AS t_within_64e3,
+           CAST(sx * (${lg("CAST(sx AS BIGINT)")} + ${lg("gn")}
+             - ${lg("n")} - ${lg("CAST(gsx AS BIGINT)")})
+             * 1000 // gsx AS BIGINT) AS t_between_term_64e3
+         FROM g CROSS JOIN t ORDER BY c_mktsegment"""
+    },
     "events_did" ->
       """WITH c AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS cut
                     FROM events),

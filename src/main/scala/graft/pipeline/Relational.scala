@@ -1340,6 +1340,63 @@ object Relational {
            | END AS kappa_ppm""".stripMargin)
   }
 
+  /** THEIL-T inequality DECOMPOSITION (Theil '67; Shorrocks '80 for the
+    * decomposability) in the house lg64 grade: where the Gini
+    * (`TextAnalysis.giniConcentration`) gives ONE number, Theil's index
+    * splits additively — is the spend inequality BETWEEN segments
+    * (markets differ) or WITHIN them (whales everywhere)? — the question
+    * a mix-rebalancing decision actually needs answered.
+    *
+    *   T        = Σᵢ (xᵢ/X)·ln(xᵢ·N/X)          (grand index)
+    *   T_within = Σ_g (X_g/X)·T_g,  T_between = Σ_g (X_g/X)·ln((X_g/X)/(n_g/N))
+    *
+    * ln is replaced by the monotone integer lg64 grade in its ADDITIVE
+    * form (lg64(a·b) ≈ lg64(a) + lg64(b) − 64 is NOT used — each factor
+    * enters as its own grade term, identically in every engine, so the
+    * decomposition is bit-replayable; values are "grade-64 log units",
+    * the entropy64 convention, NOT nats). Values must be ≥ 1 (Theil is
+    * defined for positive quantities — zero/negative amounts raise
+    * in-column). Exact integer products summed in DECIMAL(38,0); one
+    * truncating DIV per readout.
+    *
+    * Plan: one per-group moment groupBy (n, Σx, Σx·lg64(x)), the grand
+    * totals re-aggregated from the group frame (group-count-sized) and
+    * crossed back as a one-row broadcast. Output per group: `group, n,
+    * cents_share_ppm, t_within_64e3, t_between_term_64e3` (both in
+    * grade-64 milli-units; Σ of the between terms ≈ T_between·10³). */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    requireIntegralTime(df, valueCol, "theilDecomposition", what = "amount")
+    val dec = "decimal(38,0)"
+    def lg(x: String) = graft.functions.Lg64.sql(x)
+    val guarded = when(col(valueCol).cast("long") >= 1L, col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("theilDecomposition: amounts must be >= 1 (Theil is defined for "),
+        lit("positive quantities), got "),
+        coalesce(col(valueCol).cast("string"), lit("NULL")))))
+    val groups = df.select(col(groupCol).as("grp"), guarded.as("__x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(expr(s"CAST(__x * ${lg("__x")} AS DECIMAL(38,0))")).as("__sxlg"))
+    val grand = groups.agg(
+      sum(col("n")).as("__gn"),
+      sum(col("__sx")).as("__gsx"))
+    groups.crossJoin(broadcast(grand))
+      .select(col("grp").as(groupCol), col("n"),
+        expr("CAST(__sx * 1000000 DIV __gsx AS BIGINT)").as("cents_share_ppm"),
+        // T_g (grade): [Σx·lg64(x) + Σx·(lg64(n_g) − lg64(Σx_g) − 64)] / Σx_g
+        // — the −64 removes the additive form's constant bias (lg64(a) +
+        // lg64(b) − lg64(ab) = 64 exactly at powers of two), so an
+        // equal-within group reads 0 (exact at power-of-two amounts)
+        expr(s"""CAST((__sxlg + __sx * (${lg("n")} - ${lg("CAST(__sx AS BIGINT)")} - 64))
+              * 1000 DIV __sx AS BIGINT)""").as("t_within_64e3"),
+        // share-weighted between term: (X_g/X)·[lg64(X_g) + lg64(N) − lg64(n_g) − lg64(X)]
+        expr(s"""CAST(__sx * (${lg("CAST(__sx AS BIGINT)")} + ${lg("__gn")}
+              - ${lg("n")} - ${lg("CAST(__gsx AS BIGINT)")})
+              * 1000 DIV __gsx AS BIGINT)""").as("t_between_term_64e3"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES (Card & Krueger, AER '94 lineage — the
     * workhorse quasi-experimental readout): when assignment is NOT
     * randomized (a feature shipped to one segment, a policy hit one

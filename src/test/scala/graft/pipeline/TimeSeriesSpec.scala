@@ -572,6 +572,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expect, s"${(got -- expect, expect -- got)}")
   }
 
+  test("theilDecomposition: equal-within groups read exactly 0; hand-computed between terms; loud on nonpositive") {
+    // power-of-two fixture (lg64 exact): A = 4×8 cents, B = 2×32 cents —
+    // no within inequality; between terms hand-computed in the grade:
+    //   lg64(6)=224, lg64(96)=480;
+    //   A: 32·(384+224−192−480)·1000 DIV 96 = −21333 (trunc toward zero)
+    //   B: 64·(448+224−128−480)·1000 DIV 96 =  42666
+    val df = (Seq.fill(4)(("A", 8L)) ++ Seq.fill(2)(("B", 32L))).toDF("seg", "cents")
+    val got = Relational.theilDecomposition(df, "seg", "cents")
+      .orderBy("seg")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 4L, 333333L, 0L, -21333L),
+      ("B", 2L, 666666L, 0L, 42666L)), s"got $got")
+    // unequal within: a 2×(1,64) group must read positive within
+    val skew = Seq(("A", 1L), ("A", 64L)).toDF("seg", "cents")
+    val s2 = Relational.theilDecomposition(skew, "seg", "cents").collect().head
+    assert(s2.getLong(3) > 0, s"skewed group must show within inequality: $s2")
+    // nonpositive amounts are undefined — loud
+    val bad = Seq(("A", 0L)).toDF("seg", "cents")
+    val e = intercept[Exception](
+      Relational.theilDecomposition(bad, "seg", "cents").collect())
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("diffInDiff: hand-computed double delta; empty cell reads NULL; bad flags fail loudly") {
     // control drifts +2 (10→12), treated +7 (20→27) ⇒ DiD = +5
     val raw = Seq(
