@@ -758,8 +758,12 @@ object Graph {
       if (fresh.isEmpty) done = true
       else {
         levels += fresh
-        visited = Materialize.cut(visited.union(
-          fresh.select(col("node").as("__vn"), col("seed").as("__vs"))))
+        // lazy union over frames that are ALREADY cut: re-materializing
+        // the growing visited set each round re-writes Σ|levels| rows
+        // per round (quadratic in the horizon) for no recompute savings —
+        // the anti-join scans the same materialized blocks either way
+        visited = visited.union(
+          fresh.select(col("node").as("__vn"), col("seed").as("__vs")))
         frontier = fresh
       }
     }
