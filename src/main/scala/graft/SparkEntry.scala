@@ -3235,6 +3235,27 @@ object SparkEntry {
           pipeline.Maintenance.mergeRollups(keys, hist, delta))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    "pipeline_moment_maintenance" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r13: incremental SECOND-ORDER-moment maintenance — the
+      // incremental_rollup idea extended to the bivariate moments every
+      // exact-stat readout composes from: fold a delta batch's state into
+      // the stored state, read correlation off the merged six numbers;
+      // the oracle recomputes from scratch — the merge must be
+      // indistinguishable
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        col("l_orderkey"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      val keys = Seq("l_returnflag")
+      val hist = pipeline.Maintenance.momentState(
+        li.where(col("l_orderkey") % 4 =!= 3), keys, "x", "y")
+      val delta = pipeline.Maintenance.momentState(
+        li.where(col("l_orderkey") % 4 === 3), keys, "x", "y")
+      pipeline.Maintenance.correlationFromState(
+          pipeline.Maintenance.mergeMomentStates(keys, hist, delta))
+        .orderBy("l_returnflag")
+    },
     "pipeline_integrity_audit" -> { (s, dir) =>
       prep(s, dir, "lineitem", "orders")
       // referential-integrity audit with a simulated lost parent
@@ -8775,6 +8796,27 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "pipeline_moment_maintenance" ->
+      """WITH c AS (SELECT l_returnflag,
+                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+              m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+              FROM c GROUP BY 1)
+         SELECT l_returnflag, n,
+                CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN CAST(floor(1e9 *
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+                END AS corr_e9
+         FROM m ORDER BY l_returnflag""",
     "rel_theil" -> {
       def lg(x: String) =
         s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"

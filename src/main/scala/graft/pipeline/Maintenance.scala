@@ -505,6 +505,59 @@ object Maintenance {
       max(cents).as("max_cents"))
   }
 
+  /** BIVARIATE-MOMENT state (r13) — the [[rollupState]] idea extended to
+    * the second-order moments every exact-stat readout in the engine is
+    * built from: per key `(n, sx, sy, sxx, syy, sxy)` in DECIMAL(38,0),
+    * a COMMUTATIVE MONOID under [[mergeMomentStates]] (plain sums), so a
+    * stored state plus per-batch deltas maintains CUPED, Pearson
+    * correlation and OLS slopes continuously — state cost is
+    * keys-cardinality, never history. Inputs are integral (the cents
+    * convention — callers quantize). Same disjoint-batches contract as
+    * rollupState. */
+  def momentState(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                  xCol: String, yCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "momentState needs at least one key column")
+    import org.apache.spark.sql.functions._
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+  }
+
+  /** Fold moment states from disjoint batches: union + component sums —
+    * every field of the state is additive, so the merge IS the monoid
+    * operation (no min/max split like the rollup). */
+  def mergeMomentStates(keyCols: Seq[String],
+                        states: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "mergeMomentStates needs at least one key column")
+    require(states.nonEmpty, "mergeMomentStates needs at least one state frame")
+    import org.apache.spark.sql.functions._
+    states.reduce(_.unionByName(_)).groupBy(keyCols.map(col): _*).agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"),
+      sum(col("sxy")).as("sxy"))
+  }
+
+  /** Read Pearson correlation off a maintained moment state — the
+    * rel_correlation formula (exact sums, IEEE only at the pinned final
+    * cast, 1e9 fixed point; degenerate variance reads NULL). A CUPED or
+    * OLS readout composes the same way off the same six numbers. */
+  def correlationFromState(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val varX = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    val varY = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+    state.select(col("*"), expr(
+      s"""CASE WHEN $varX > 0 AND $varY > 0
+         THEN CAST(floor(1e9 * (${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})
+                   / (sqrt($varX) * sqrt($varY))) AS BIGINT) END""").as("corr_e9"))
+      .drop("sx", "sy", "sxx", "syy", "sxy")
+  }
+
   /** Merge rollup states from disjoint batches into one: union + one
     * re-aggregate on the key columns (sum for n/sum, min/max for the
     * extrema). Each input is keys-cardinality-sized, so the merge cost is

@@ -219,7 +219,8 @@ class DeterminismSpec extends AnyFunSuite {
     "ts_seasonal_even", "graph_betweenness", "multimodal_jpeg_stats",
     "graph_closeness", "events_markov_attribution", "emb_silhouette",
     "graph_louvain", "events_burstiness", "rel_ols2", "ts_croston",
-    "events_cuped", "text_textrank", "events_did", "rel_theil")
+    "events_cuped", "text_textrank", "events_did", "rel_theil",
+    "pipeline_moment_maintenance")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -651,6 +651,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming moment maintenance: per-batch bivariate states fold, correlation == batch") {
+    // the second-order extension of the rollup twin: each micro-batch
+    // reduces to its six-number momentState per key, merges with the
+    // stored state (plain component sums — a commutative monoid), and
+    // the correlation readout equals the full recompute bit for bit
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Maintenance
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = src.toDF().toDF("k", "x", "y").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = Maintenance.momentState(batch, Seq("k"), "x", "y")
+        val merged = state.fold(s)(old => Maintenance.mergeMomentStates(Seq("k"), old, s))
+        state = Some(spark.createDataFrame(
+          java.util.Arrays.asList(merged.collect(): _*), merged.schema))
+        ()
+      }.start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def add(rows: (String, Long, Long)*): Unit = {
+      src.addData(rows); q.processAllAvailable(); all ++= rows
+    }
+    try {
+      add(("a", 1L, 10L), ("a", 2L, 19L), ("b", 5L, 5L))
+      add(("a", 3L, 31L), ("b", 6L, 4L), ("c", 1L, 1L))
+      add(("b", 7L, 3L)) // b is perfectly anti-correlated: corr_e9 = -1e9
+      val got = Maintenance.correlationFromState(state.get).orderBy("k")
+        .as[(String, Long, Option[Long])].collect().toSeq
+      val full = Maintenance.correlationFromState(Maintenance.momentState(
+          all.toSeq.toDF("k", "x", "y"), Seq("k"), "x", "y")).orderBy("k")
+        .as[(String, Long, Option[Long])].collect().toSeq
+      assert(got == full, s"stream-maintained $got != recompute $full")
+      // IEEE sqrt rounding can land the −1 correlation a floor-ulp below
+      assert(got.find(_._1 == "b").get._3.exists(v =>
+        v == -1000000000L || v == -1000000001L), s"$got")
+      assert(got.find(_._1 == "c").get._3.isEmpty, "single point has no variance")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-batch sign-bucket states fold, drift == batch") {
     // today's snapshot arrives as a stream; its signBucketState is a
     // monoid, so each micro-batch folds into a stored bucket×dim state
