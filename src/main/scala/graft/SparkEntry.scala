@@ -1005,6 +1005,15 @@ object SparkEntry {
         .withColumnRenamed("channel", "campaign")
         .orderBy("campaign")
     },
+    "rel_anova" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r13: one-way ANOVA F across return flags — the parametric
+      // companion of rel_kruskal on the same grouping, with the eta²
+      // effect size a bare test statistic hides
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Relational.anovaF(li, "l_returnflag", "cents")
+    },
     "rel_theil" -> { (s, dir) =>
       prep(s, dir, "orders", "customer")
       // r13: Theil-T inequality decomposition of order spend across
@@ -8796,6 +8805,39 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "rel_anova" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+              FROM lineitem),
+              m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS t,
+                CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+              FROM c GROUP BY 1),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                CAST(sum(n) AS BIGINT) AS n_total,
+                CAST(sum(t) AS HUGEINT) AS tt,
+                CAST(sum(ss) AS HUGEINT) AS sstot,
+                CAST(sum((t * t) // n) AS HUGEINT) AS bt
+              FROM m)
+         SELECT k_groups, n_total,
+                CASE WHEN k_groups >= 2 AND n_total > k_groups
+                      AND CAST(sstot AS DOUBLE) - CAST(bt AS DOUBLE) > 0
+                THEN CAST(floor(1000 *
+                  ((CAST(bt AS DOUBLE)
+                      - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     / CAST(k_groups - 1 AS DOUBLE))
+                  / ((CAST(sstot AS DOUBLE) - CAST(bt AS DOUBLE))
+                     / CAST(n_total - k_groups AS DOUBLE)))
+                  AS BIGINT) END AS f_milli,
+                CASE WHEN CAST(sstot AS DOUBLE)
+                       - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(n_total AS DOUBLE) > 0
+                THEN CAST(floor(1000000 *
+                  (CAST(bt AS DOUBLE)
+                     - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                  / (CAST(sstot AS DOUBLE)
+                     - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(n_total AS DOUBLE)))
+                  AS BIGINT) END AS eta2_ppm
+         FROM a""",
     "pipeline_moment_maintenance" ->
       """WITH c AS (SELECT l_returnflag,
                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,

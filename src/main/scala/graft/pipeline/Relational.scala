@@ -1340,6 +1340,59 @@ object Relational {
            | END AS kappa_ppm""".stripMargin)
   }
 
+  /** ONE-WAY ANOVA F (Fisher '25): the parametric k-group mean test
+    * beside the engine's nonparametric Kruskal–Wallis — when the metric
+    * is well-behaved the F test has the power; when it isn't, kruskal is
+    * the fallback (both read off the same GROUP BY shape). Also reports
+    * η² (SSB/SST ppm) — the effect size a bare p-value hides.
+    *
+    *   F = [SSB/(k−1)] / [SSW/(N−k)],  SSB = Σ_g T_g²/n_g − T²/N,
+    *   SSW = Σx² − Σ_g T_g²/n_g
+    *
+    * The rel_correlation discipline: per-group exact DECIMAL moments on
+    * ONE partial-aggregated groupBy, the k-sized group frame re-aggregated
+    * for the grand terms (Σ T_g²/n_g at pinned IEEE — T_g² overflows any
+    * integer envelope at corpus scale, and a ratio is the target anyway),
+    * F in milli-units. Degenerate designs (k < 2, N ≤ k, zero within-group
+    * variance) read NULL, never NaN. Output one row: `k_groups, n_total,
+    * f_milli, eta2_ppm`. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    requireIntegralTime(df, valueCol, "anovaF", what = "sample value")
+    val dec = "decimal(38,0)"
+    val groups = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").cast(dec).as("__x"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__t"),
+        sum(col("__x") * col("__x")).as("__ss"))
+    groups.agg(
+        count(lit(1)).cast("long").as("k_groups"),
+        sum(col("__n")).cast("long").as("n_total"),
+        sum(col("__t")).as("__T"),
+        sum(col("__ss")).as("__SS"),
+        // per-group T_g² DIV n_g as EXACT integers (truncation loses < 1
+        // cent² per group — invisible at any scale and replayed by
+        // DuckDB's //); a float sum here would be merge-order-dependent
+        sum(expr("(__t * __t) DIV __n")).as("__bt"))
+      .select(col("k_groups"), col("n_total"),
+        expr("""CASE WHEN k_groups >= 2 AND n_total > k_groups
+                 AND CAST(__SS AS DOUBLE) - CAST(__bt AS DOUBLE) > 0
+              THEN CAST(floor(1000 *
+                ((CAST(__bt AS DOUBLE)
+                    - CAST(__T AS DOUBLE) * CAST(__T AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   / CAST(k_groups - 1 AS DOUBLE))
+                / ((CAST(__SS AS DOUBLE) - CAST(__bt AS DOUBLE))
+                   / CAST(n_total - k_groups AS DOUBLE)))
+                AS BIGINT) END""").as("f_milli"),
+        expr("""CASE WHEN CAST(__SS AS DOUBLE)
+                   - CAST(__T AS DOUBLE) * CAST(__T AS DOUBLE) / CAST(n_total AS DOUBLE) > 0
+              THEN CAST(floor(1000000 *
+                (CAST(__bt AS DOUBLE)
+                   - CAST(__T AS DOUBLE) * CAST(__T AS DOUBLE) / CAST(n_total AS DOUBLE))
+                / (CAST(__SS AS DOUBLE)
+                   - CAST(__T AS DOUBLE) * CAST(__T AS DOUBLE) / CAST(n_total AS DOUBLE)))
+                AS BIGINT) END""").as("eta2_ppm"))
+  }
+
   /** THEIL-T inequality DECOMPOSITION (Theil '67; Shorrocks '80 for the
     * decomposability) in the house lg64 grade: where the Gini
     * (`TextAnalysis.giniConcentration`) gives ONE number, Theil's index

@@ -572,6 +572,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expect, s"${(got -- expect, expect -- got)}")
   }
 
+  test("anovaF: hand-computed F and eta2; identical groups NULL; single group NULL") {
+    // groups a = {1,2,3}, b = {4,5,6}: T_a=6, T_b=15, N=6, T=21
+    // bt = 36 DIV 3 + 225 DIV 3 = 12+75 = 87; SS = 14+77 = 91
+    // SSB = 87 − 441/6 = 13.5; SSW = 91 − 87 = 4; F = 13.5/1 / (4/4) = 13.5
+    // eta2 = 13.5 / 17.5 = 0.771428...
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .toDF("g", "v")
+    val got = Relational.anovaF(df, "g", "v")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().head
+    assert(got == ((2L, 6L, Some(13500L),
+      Some(math.floor(1e6 * 13.5 / 17.5).toLong))), s"got $got")
+    // zero within-group variance: F undefined (division by zero) — NULL
+    val flat = Seq(("a", 2L), ("a", 2L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val f = Relational.anovaF(flat, "g", "v").collect().head
+    assert(f.isNullAt(2), s"flat groups must read NULL F: $f")
+    // single group: no between variance to test — NULL
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val o = Relational.anovaF(one, "g", "v").collect().head
+    assert(o.getLong(0) == 1L && o.isNullAt(2), s"$o")
+  }
+
   test("theilDecomposition: equal-within groups read exactly 0; hand-computed between terms; loud on nonpositive") {
     // power-of-two fixture (lg64 exact): A = 4×8 cents, B = 2×32 cents —
     // no within inequality; between terms hand-computed in the grade:
