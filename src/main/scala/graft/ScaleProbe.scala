@@ -883,3 +883,34 @@ object ScaleProbe13b {
     spark.stop()
   }
 }
+
+/** r13 session-3: Borůvka MSF at 1M nodes — the contraction loop whose
+  * sf0.1 cost is orchestration, not data (the pinned-persist rewrite;
+  * see Graph.minimumSpanningForest's materialization note). */
+object ScaleProbe13c {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the ScaleProbe13b planted-community graph + deterministic costs
+    val intra = spark.range(1000000L).selectExpr(
+        "id AS src",
+        "CASE WHEN id % 10 < 9 THEN id + 1 ELSE id - 9 END AS dst")
+      .union(spark.range(1000000L).selectExpr(
+        "id AS src",
+        "CASE WHEN id % 10 < 8 THEN id + 2 ELSE id - 8 END AS dst"))
+    val ring = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "pmod(id + 1, 100000) * 10 AS dst")
+    val edges = intra.union(ring)
+      .selectExpr("src", "dst", "pmod(xxhash64(src, dst), 100000) + 1 AS w")
+    val t0 = System.nanoTime()
+    val n = pipeline.Graph.minimumSpanningForest(edges, "src", "dst", "w").count()
+    println(f"[scale] minimumSpanningForest (1M nodes, ~2.1M edges): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s, forest edges = $n (expect 999999 — one tree)")
+    spark.stop()
+  }
+}

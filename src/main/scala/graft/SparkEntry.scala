@@ -3589,6 +3589,17 @@ object SparkEntry {
       pipeline.Graph.bipartiteProjection(li, "l_orderkey", "l_partkey")
         .orderBy("a", "b")
     },
+    "graph_mst" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r13: Boruvka minimum spanning forest over the co-purchase
+      // projection with cost = 1e6 DIV co-count — the taxonomy backbone
+      // (strong ties cheap); unique forest via the (w, a, b) total key
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val proj = pipeline.Graph.bipartiteProjection(li, "l_orderkey", "l_partkey")
+        .select(col("a"), col("b"), expr("1000000 DIV weight").as("cost"))
+      pipeline.Graph.minimumSpanningForest(proj, "a", "b", "cost")
+        .orderBy("a", "b")
+    },
     "graph_kcore" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // 3-core of the co-purchase graph by synchronous peeling — the
@@ -4437,6 +4448,53 @@ object SparkEntry {
        |                 ELSE 0 END AS BIGINT)
        |FROM rem
        |ORDER BY campaign""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Graph.minimumSpanningForest]] — Borůvka
+    * rounds unrolled (idempotent once converged, so a fixed unroll count
+    * ≥ ⌈log₂ initial components⌉ is exact): per round the component-label
+    * joins, the (w, a, b)-ordered min incident pick per component, and
+    * the component merge as a RECURSIVE min-label reachability closure
+    * over the selected comp-graph (the dedup_groups pattern — DuckDB
+    * recursive CTEs run to fixpoint, matching the checked hook+jump CC). */
+  private def mstOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""ec$i AS MATERIALIZED (SELECT e.a, e.b, e.w, ca.comp AS ca, cb.comp AS cb
+         |  FROM e JOIN c${i - 1} ca ON ca.node = e.a
+         |         JOIN c${i - 1} cb ON cb.node = e.b
+         |  WHERE ca.comp <> cb.comp),
+         |inc$i AS (SELECT ca AS c, w, a, b, cb AS oc FROM ec$i
+         |          UNION ALL SELECT cb, w, a, b, ca FROM ec$i),
+         |sel$i AS MATERIALIZED (SELECT c, w, a, b, oc FROM (
+         |  SELECT c, w, a, b, oc,
+         |         row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+         |  FROM inc$i) WHERE rn = 1),
+         |cn$i AS (SELECT DISTINCT comp AS id FROM c${i - 1}),
+         |ug$i AS MATERIALIZED (SELECT c AS x, oc AS y FROM sel$i
+         |         UNION ALL SELECT oc, c FROM sel$i),
+         |reach$i(id, r) AS (
+         |  SELECT id, id FROM cn$i
+         |  UNION
+         |  SELECT reach$i.id, ug$i.y FROM reach$i JOIN ug$i ON ug$i.x = reach$i.r),
+         |m$i AS MATERIALIZED (SELECT id, min(r) AS g FROM reach$i GROUP BY id),
+         |c$i AS MATERIALIZED (SELECT c.node, m.g AS comp FROM c${i - 1} c JOIN m$i m ON m.id = c.comp)""".stripMargin
+    }.mkString(",\n")
+    val unionSel = (1 to rounds).map(i => s"SELECT a, b, w FROM sel$i")
+      .mkString("\n           UNION ALL ")
+    s"""WITH RECURSIVE le AS MATERIALIZED (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+       |            FROM lineitem WHERE l_orderkey % 4 = 0),
+       |deg AS MATERIALIZED (SELECT l, count(*) AS d FROM le GROUP BY 1),
+       |kept AS MATERIALIZED (SELECT le.l, le.r FROM le JOIN deg USING (l) WHERE d <= 1000),
+       |proj AS MATERIALIZED (SELECT x.r AS a, y.r AS b, CAST(count(*) AS BIGINT) AS weight
+       |         FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT a, b, CAST(1000000 // weight AS BIGINT) AS w FROM proj),
+       |c0 AS MATERIALIZED (SELECT node, node AS comp FROM (
+       |  SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e)),
+       |$roundCtes
+       |SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |       CAST(w AS BIGINT) AS w
+       |FROM ($unionSel)
+       |ORDER BY a, b""".stripMargin
   }
 
   private def harmonicOracleSql(nSeeds: Int, rounds: Int): String =
@@ -6143,6 +6201,7 @@ object SparkEntry {
          FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
          GROUP BY 1, 2 ORDER BY a, b""",
     "graph_kcore" -> kCoreOracleSql(3, 8),
+    "graph_mst" -> mstOracleSql(8),
     "graph_modularity" -> modularityOracleSql(4),
     "rel_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (

@@ -262,6 +262,144 @@ object Graph {
     labels
   }
 
+  /** MINIMUM SPANNING FOREST by Borůvka's method ('26 — the distributed
+    * MST algorithm: every component picks its cheapest incident cross
+    * edge in parallel, components merge, repeat — halving components per
+    * round, so O(log V) rounds of pure joins/aggregates where Kruskal's
+    * sort-and-union-find is inherently sequential). The co-purchase
+    * backbone / single-linkage dendrogram primitive the graph family
+    * lacked.
+    *
+    * Determinism: edges canonicalize to (a < b) keeping the CHEAPEST
+    * weight per pair, and selection orders by the DISTINCT total key
+    * (w, a, b) — with distinct keys the MSF edge SET is unique (the
+    * cut-property argument), so the output hash-gates no matter which
+    * side picked the edge. Merging runs the exact hook+jump
+    * [[connectedComponents]] fixpoint on the ≤#components selected-edge
+    * graph (checked convergence — loud, never truncated). A graph that
+    * still has cross edges after `maxRounds` fails loudly (components
+    * at least halve per round — 16 covers 65536 components; raise it
+    * for pathological inputs, never silently).
+    *
+    * Plan: edges deduped + materialized ONCE; per round two comp-label
+    * joins against the node-sized comp frame, one min-struct aggregate
+    * per incident side, and a comp-graph CC whose input shrinks
+    * geometrically. Output: the forest edges `a, b, w`. */
+  def minimumSpanningForest(edges: DataFrame, srcCol: String, dstCol: String,
+                            weightCol: String, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1, 64], got $maxRounds")
+    Search.requireIntegralId(edges, srcCol, "minimumSpanningForest", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "minimumSpanningForest", role = "dst id")
+    Search.requireIntegralId(edges, weightCol, "minimumSpanningForest", role = "weight")
+    // Materialization: this op PINS its intermediates with a managed
+    // persist (flat plan + MEMORY_AND_DISK + eager count) and releases
+    // them before returning, instead of the session Materialize strategy.
+    // The nested contraction loop issues ~6 materializations per round;
+    // under the default eager-localCheckpoint strategy each successive
+    // checkpoint call in a session re-pays the accumulated RDD graph
+    // (measured ~2.6x growth per call — 485 s at sf0.1 in checkpoint
+    // calls vs 5 s of actual compute), while plain lazy frames here
+    // re-evaluate 2^hops times through the pointer-doubling self-joins.
+    // Managed persist is the one shape that is both flat and cheap; the
+    // RETURNED frame is materialized under the session strategy and
+    // references nothing pinned.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val f = org.apache.spark.sql.graftshim.GraftShim.flattenPlan(df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      pinned += f
+      f
+    }
+    try {
+      val e0 = pin(
+        edges.select(
+            least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+            greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"),
+            col(weightCol).cast("long").as("w"))
+          .where(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(min(col("w")).as("w")))
+      var comp = pin(
+        e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+          .distinct()
+          .select(col("node"), col("node").as("comp")))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var done = false
+      var r = 0
+      while (r < maxRounds && !done) {
+        r += 1
+        val ec = e0
+          .join(comp.select(col("node").as("a"), col("comp").as("__ca")), Seq("a"))
+          .join(comp.select(col("node").as("b"), col("comp").as("__cb")), Seq("b"))
+          .where(col("__ca") =!= col("__cb"))
+        val inc = ec.select(col("__ca").as("__c"),
+            struct(col("w"), col("a"), col("b"), col("__cb").as("__oc")).as("__e"))
+          .union(ec.select(col("__cb").as("__c"),
+            struct(col("w"), col("a"), col("b"), col("__ca").as("__oc")).as("__e")))
+        val sel = pin(
+          inc.groupBy("__c").agg(min(col("__e")).as("__m"))
+            .select(col("__c"), col("__m.w").as("w"), col("__m.a").as("a"),
+              col("__m.b").as("b"), col("__m.__oc").as("__oc")))
+        if (sel.isEmpty) done = true
+        else {
+          picked += sel.select("a", "b", "w").distinct()
+          // star contraction on the PICK graph: each component points at
+          // the component its chosen edge reaches. Following picks, the
+          // (w, a, b) keys are non-increasing and distinct, so the only
+          // cycles are the MUTUAL-pick 2-cycles — trees hanging off root
+          // pairs. Resolve the pair to its min id, then pointer-double to
+          // the root (⌈log₂ depth⌉ self-joins; which representative ends
+          // up labeling a group is irrelevant — selection depends only on
+          // the PARTITION, so any canonical labeling replays). Loud cap.
+          val pick = sel.select(col("__c"), col("__oc"))
+          var ptr = pin(
+            pick.as("p").join(pick.as("q").hint("shuffle_hash"),
+                col("p.__oc") === col("q.__c"))
+              .select(col("p.__c").as("__c"),
+                when(col("q.__oc") === col("p.__c"),
+                  least(col("p.__c"), col("p.__oc")))
+                  .otherwise(col("p.__oc")).as("__p")))
+          var settled = false
+          var hops = 0
+          while (!settled && hops < 20) {
+            hops += 1
+            val next = pin(
+              ptr.as("x").join(ptr.as("y").hint("shuffle_hash"),
+                  col("x.__p") === col("y.__c"), "left")
+                .select(col("x.__c").as("__c"),
+                  coalesce(col("y.__p"), col("x.__p")).as("__p")))
+            if (next.as("n").join(ptr.as("o"), col("n.__c") === col("o.__c"))
+                  .where(col("n.__p") =!= col("o.__p")).isEmpty) settled = true
+            ptr = next
+          }
+          require(settled,
+            "minimumSpanningForest: pick-graph pointer doubling did not settle " +
+              "in 20 hops (depth > 2^20) — structurally impossible for a pick graph")
+          comp = pin(
+            comp.as("cm").join(ptr.as("pt").hint("shuffle_hash"),
+                col("cm.comp") === col("pt.__c"), "left")
+              .select(col("node"), coalesce(col("__p"), col("comp")).as("comp")))
+        }
+      }
+      if (!done) {
+        // loud cap: components halve per selecting round, so hitting the
+        // cap with cross edges left means the input defeated the budget
+        val left = e0
+          .join(comp.select(col("node").as("a"), col("comp").as("__ca")), Seq("a"))
+          .join(comp.select(col("node").as("b"), col("comp").as("__cb")), Seq("b"))
+          .where(col("__ca") =!= col("__cb")).limit(1).count()
+        require(left == 0,
+          s"minimumSpanningForest: cross edges remain after $maxRounds rounds — " +
+            "raise maxRounds for this input")
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      if (picked.isEmpty) Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+      else Materialize(picked.reduce(_ union _).distinct())
+    } finally pinned.foreach(_.unpersist())
+  }
+
   /** LOUVAIN-style modularity-gain label moves (Blondel, Guillaume,
     * Lambiotte & Lefebvre, J. Stat. Mech. '08 — the local-move phase,
     * run SYNCHRONOUSLY for a fixed number of rounds): each round every

@@ -220,7 +220,7 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_closeness", "events_markov_attribution", "emb_silhouette",
     "graph_louvain", "events_burstiness", "rel_ols2", "ts_croston",
     "events_cuped", "text_textrank", "events_did", "rel_theil",
-    "pipeline_moment_maintenance", "rel_anova")
+    "pipeline_moment_maintenance", "rel_anova", "graph_mst")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -363,6 +363,51 @@ class GraphSpec extends AnyFunSuite {
     lab
   }
 
+  /** Kruskal with union-find under the (w, a, b) total key — the
+    * independent MSF reference (unique forest under distinct keys). */
+  private def bruteMst(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val canon = edges.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+      .toSeq.sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    canon.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(math.max(ra, rb)) = math.min(ra, rb); Some((a, b, w)) }
+    }.toSet
+  }
+
+  test("minimumSpanningForest: hand square, disconnected forest, duplicate/self-loop hygiene, Kruskal parity") {
+    import spark.implicits._
+    def msf(edges: Seq[(Long, Long, Long)]) =
+      Graph.minimumSpanningForest(edges.toDF("src", "dst", "w"), "src", "dst", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // square 1-2-3-4 with one heavy diagonal: drop the heaviest cycle edge
+    val square = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 1L, 4L), (1L, 3L, 9L))
+    assert(msf(square) == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)), s"${msf(square)}")
+    // two components: a forest, one tree each
+    val forest = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 7L))
+    assert(msf(forest) == Set((2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 7L)))
+    // duplicates keep the cheapest; reversed duplicates canonicalize;
+    // self-loops vanish
+    val messy = Seq((1L, 2L, 9L), (2L, 1L, 4L), (2L, 2L, 1L), (2L, 3L, 5L))
+    assert(msf(messy) == Set((1L, 2L, 4L), (2L, 3L, 5L)))
+    // equal weights resolved by the (w, a, b) key — matches Kruskal on
+    // the same key, both on ties and at random
+    val ties = Seq((1L, 2L, 7L), (2L, 3L, 7L), (1L, 3L, 7L))
+    assert(msf(ties) == bruteMst(ties))
+    val rand = (1 to 80).map { i =>
+      val h = graft.functions.Mix.splitmix64(0x3157L + i)
+      ((h % 25).abs + 1, (graft.functions.Mix.splitmix64(h) % 25).abs + 1,
+        (graft.functions.Mix.splitmix64(h + 7) % 50).abs + 1)
+    }.filter(e => e._1 != e._2)
+    assert(msf(rand) == bruteMst(rand), "randomized Kruskal parity")
+  }
+
   test("louvainMoves: disjoint triangles converge to one community each; brute parity") {
     import spark.implicits._
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
