@@ -1565,11 +1565,32 @@ object SparkEntry {
     },
     "text_compress_ratio" -> { (s, dir) =>
       prep(s, dir, "documents")
-      // zlib redundancy signal — rows-only (deflate is not replayable in
-      // SQL); ordering/determinism contracts spec'd in NormalizeSpec
+      // r14 TOLERANCE GATE — graduated from rows-only (the jpeg_stats
+      // pattern): deflate bytes are not SQL-replayable, so the HASH-GATED
+      // contract is the redundancy signal's SEMANTIC verdict on planted
+      // id-derived payloads. Per doc two texts with known compressibility:
+      // an 8-char md5 pattern repeated k = 16 + id%32 times (deflate
+      // collapses the repeats — measured 35k-102k ppm, gated <= 200k) and
+      // 192 chars of distinct md5 hex (4-bit/char entropy — measured
+      // 599k-635k ppm, gated in [450k, 800k]); the raw length is pure id
+      // arithmetic, gated exactly. A Deflater drift past the (2x-headroom)
+      // bands flips a boolean and breaks the hash; exact ppm ordering/
+      // determinism contracts stay spec'd in NormalizeSpec.
+      val cr = (c: org.apache.spark.sql.Column) =>
+        pipeline.TextAnalysis.compressionRatio(c)
       s.table("documents")
         .select(col("doc_id"),
-          pipeline.TextAnalysis.compressionRatio(col("text")).as("compress_ppm"))
+          repeat(substring(md5(col("doc_id").cast("string")), 1, 8),
+            (lit(16) + col("doc_id") % 32).cast("int")).as("__rep"),
+          concat((0 to 5).map(i =>
+            md5(concat(col("doc_id").cast("string"), lit(s"-$i")))): _*)
+            .as("__junk"))
+        .select(col("doc_id"),
+          length(col("__rep")).cast("long").as("n_raw_rep"),
+          (cr(col("__rep")) <= 200000L).as("rep_low"),
+          (cr(col("__junk")) >= 450000L && cr(col("__junk")) <= 800000L)
+            .as("junk_band"),
+          (cr(col("__rep")) < cr(col("__junk"))).as("rep_below_junk"))
         .orderBy("doc_id")
     },
     "text_nfc_normalize" -> { (s, dir) =>
@@ -3597,7 +3618,8 @@ object SparkEntry {
       val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
       val proj = pipeline.Graph.bipartiteProjection(li, "l_orderkey", "l_partkey")
         .select(col("a"), col("b"), expr("1000000 DIV weight").as("cost"))
-      pipeline.Graph.minimumSpanningForest(proj, "a", "b", "cost")
+      pipeline.Graph.minimumSpanningForest(proj, "a", "b", "cost",
+          maxRounds = MstRoundBudget)
         .orderBy("a", "b")
     },
     "graph_kcore" -> { (s, dir) =>
@@ -4449,6 +4471,13 @@ object SparkEntry {
        |FROM rem
        |ORDER BY campaign""".stripMargin
   }
+
+  /** ONE round budget shared by the Spark MSF call and its oracle unroll:
+    * the Spark loop runs up to this many checked Borůvka rounds while the
+    * oracle unrolls exactly this many (idempotent after convergence) — a
+    * split budget would let a graph needing more rounds than the oracle
+    * unrolls red-flag a correct Spark forest. */
+  private val MstRoundBudget = 16
 
   /** DuckDB replay of [[pipeline.Graph.minimumSpanningForest]] — Borůvka
     * rounds unrolled (idempotent once converged, so a fixed unroll count
@@ -6201,7 +6230,7 @@ object SparkEntry {
          FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
          GROUP BY 1, 2 ORDER BY a, b""",
     "graph_kcore" -> kCoreOracleSql(3, 8),
-    "graph_mst" -> mstOracleSql(8),
+    "graph_mst" -> mstOracleSql(MstRoundBudget),
     "graph_modularity" -> modularityOracleSql(4),
     "rel_hierarchy_rollup" ->
       """WITH RECURSIVE anc AS (
@@ -7383,6 +7412,11 @@ object SparkEntry {
                                     [0.25, 0.5, 0.75, 0.9]) AS ps
                FROM documents GROUP BY lang)
          ORDER BY lang""",
+    "text_compress_ratio" ->
+      """SELECT doc_id,
+                CAST(8 * (16 + doc_id % 32) AS BIGINT) AS n_raw_rep,
+                TRUE AS rep_low, TRUE AS junk_band, TRUE AS rep_below_junk
+         FROM documents ORDER BY doc_id""",
     "text_nfc_normalize" ->
       """SELECT doc_id,
                 nfc_normalize(text || ' caf' || chr(101) || chr(769)) AS norm

@@ -60,6 +60,13 @@ object Attribution {
   def journeyTransitions(touches: DataFrame, userCol: String, tsCol: String,
                          tieCol: String, channelCol: String,
                          conversions: DataFrame): DataFrame = {
+    // Integral journey keys in the BATCH path too: the streaming twin's
+    // maintained state pins __u as LongType, so a string-keyed source
+    // that silently worked here would fail only in [[mergeTouchBatch]] —
+    // the documented "withTerminals equals journeyTransitions"
+    // equivalence must hold or fail identically in both paths.
+    Search.requireIntegralId(touches, userCol, "journeyTransitions",
+      role = "journey user id")
     val touchedUsers = touches.select(col(userCol).as("__u")).distinct()
     val convUsers = conversions.select(col(userCol).as("__u")).distinct()
       .join(touchedUsers, Seq("__u"), "left_semi")
@@ -223,6 +230,10 @@ object Attribution {
   def mergeTouchBatch(counts: DataFrame, last: DataFrame, batch: DataFrame,
                       userCol: String, tsCol: String, tieCol: String,
                       channelCol: String): (DataFrame, DataFrame) = {
+    // same contract as [[journeyTransitions]] — loud here, not an ANSI
+    // cast error three operators later
+    Search.requireIntegralId(batch, userCol, "mergeTouchBatch",
+      role = "journey user id")
     val ordered = batch.select(
         col(userCol).cast("long").as("__u"),
         col(tsCol).as("__ts"),
@@ -258,6 +269,8 @@ object Attribution {
     * far — spec-pinned, including journeys split across batches. */
   def withTerminals(counts: DataFrame, last: DataFrame,
                     conversions: DataFrame, userCol: String): DataFrame = {
+    Search.requireIntegralId(conversions, userCol, "withTerminals",
+      role = "journey user id")
     val convU = conversions.select(col(userCol).cast("long").as("__u")).distinct()
     val terminals = last.join(convU.withColumn("__conv", lit(true)), Seq("__u"), "left")
       .select(col("__lc").as("src"),

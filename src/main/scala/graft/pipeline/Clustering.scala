@@ -97,6 +97,14 @@ object Clustering {
                        k: Int, rounds: Int): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
     val (q, cents) = kmeansCentroids(emb, idCol, vecCol, k, rounds)
+    // A corpus smaller than k can train FEWER than 2 actual centroids;
+    // the fold below would then leave db at the Long.MaxValue sentinel
+    // and fabricate b ≈ 3·10⁹ "rival" distances (s_ppm ≈ 10⁶ rows) that
+    // no oracle replay emits — fail loudly instead, mirroring the k ≥ 2
+    // guard on the REQUESTED cluster count.
+    require(cents.size >= 2,
+      s"silhouette needs >= 2 trained centroids, got ${cents.size} " +
+        "(quantized corpus smaller than 2 distinct points?)")
     val centArr = array(cents.sortBy(_._1).map { case (c, v) =>
       struct(lit(c).as("c"), typedLit(v.toSeq).as("cv"),
         lit(v.map(x => x * x).sum).as("nc2"))

@@ -1371,12 +1371,16 @@ object Relational {
         sum(col("__ss")).as("__SS"),
         // per-group T_g² DIV n_g as EXACT integers (truncation loses < 1
         // cent² per group — invisible at any scale and replayed by
-        // DuckDB's //); a float sum here would be merge-order-dependent.
-        // Re-widened to DECIMAL before summing — the DIV lands near 4·10¹⁸
-        // per group at sf0.1 already, and a LONG sum of those wraps (the
-        // betweenness per-term convention; caught by the ANSI gate in the
-        // first full bench)
-        sum(expr("CAST((__t * __t) DIV __n AS DECIMAL(38,0))")).as("__bt"))
+        // DuckDB's //). DECIMAL end to end: Spark's IntegralDivide (DIV)
+        // always lands in BIGINT, and the per-group value is ~4·10¹⁸ at
+        // sf0.1 already — a few × more data and the BIGINT squeeze wraps
+        // under ANSI while DuckDB's HUGEINT // keeps going. Subtracting
+        // the exact remainder first makes the decimal division an exact
+        // integer, so the (38,6) quotient carries no rounding to floor
+        // away — bit-identical to the truncating // for non-negative T_g.
+        sum(expr(
+          "CAST((__t * __t - (__t * __t) % __n) / __n AS DECIMAL(38,0))"))
+          .as("__bt"))
       .select(col("k_groups"), col("n_total"),
         expr("""CASE WHEN k_groups >= 2 AND n_total > k_groups
                  AND CAST(__SS AS DOUBLE) - CAST(__bt AS DOUBLE) > 0
