@@ -2361,6 +2361,22 @@ object SparkEntry {
           "bits_per_sample", "n_samples")
         .orderBy("doc_id")
     },
+    "multimodal_video_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: MP4/ISO-BMFF box walk (ftyp/moov/mvhd/trak/tkhd/stsd) — the
+      // dominant crawled-video container's header-only pass: duration,
+      // track count, video dims (tkhd 16.16), codec fourcc, all without
+      // touching sample data. Corruption planted IN the gate: id%41==0
+      // md5 garbage → 'unknown', id%41==7 ftyp-only truncation → 'mp4'
+      // with every moov field null (the crawl-truncation contract);
+      // oracle recomputes the builder arithmetic
+      val media = pipeline.Multimodal.synthesizeMp4Payloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeVideoMeta(media, "payload")
+        .select("doc_id", "format", "duration_ms", "n_tracks",
+          "width", "height", "codec")
+        .orderBy("doc_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       // REAL decode end-to-end: the builder writes actual PNGs (even ids)
@@ -8486,6 +8502,21 @@ object SparkEntry {
                      ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS n_samples
+         FROM documents ORDER BY doc_id""",
+    "multimodal_video_probe" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 41 = 0 THEN 'unknown' ELSE 'mp4' END AS format,
+                CASE WHEN doc_id % 41 IN (0, 7) THEN NULL
+                     ELSE CAST(1000 + (doc_id * 13) % 60000 AS BIGINT) END AS duration_ms,
+                CASE WHEN doc_id % 41 IN (0, 7) THEN NULL
+                     ELSE CAST(1 + doc_id % 2 AS INT) END AS n_tracks,
+                CASE WHEN doc_id % 41 IN (0, 7) THEN NULL
+                     ELSE CAST(160 + (doc_id % 32) * 8 AS INT) END AS width,
+                CASE WHEN doc_id % 41 IN (0, 7) THEN NULL
+                     ELSE CAST(90 + ((doc_id * 3) % 40) * 4 AS INT) END AS height,
+                CASE WHEN doc_id % 41 IN (0, 7) THEN NULL
+                     ELSE CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                          ELSE 'vp09' END END AS codec
          FROM documents ORDER BY doc_id""",
     "multimodal_meta" ->
       """SELECT doc_id,

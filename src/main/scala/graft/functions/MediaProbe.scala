@@ -66,6 +66,14 @@ object MediaFormats {
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
     else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
       (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)) parseMp3(b)
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      // ISO-BMFF: the box walk owns the full readout (duration/tracks/
+      // codec via probeVideo); this generic probe surfaces the container
+      // identity + video dims so mixed-media corpora classify in one pass
+      val v = probeVideo(b)
+      if (v.format == "unknown") Probe("unknown")
+      else Probe("mp4", width = v.width, height = v.height)
+    }
     else Probe("unknown")
   }
 
@@ -181,6 +189,126 @@ object MediaFormats {
       nSamples = if (total == 0) null else total) // 0 = "unknown" per spec
   }
 
+  /** (format, durationMs, nTracks, width, height, codec) — the
+    * MP4/ISO-BMFF header readout; video fields null when no video track
+    * parses. `format = "mp4"` whenever the ftyp box identifies the
+    * container even if moov is missing/truncated (header-only blobs and
+    * crawl truncations are the NORM; the caller filters on null fields),
+    * "unknown" when the bytes are not ISO-BMFF at all. */
+  final case class VideoProbe(format: String,
+                              durationMs: java.lang.Long = null,
+                              nTracks: Integer = null,
+                              width: Integer = null, height: Integer = null,
+                              codec: String = null)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** ISO-BMFF (ISO/IEC 14496-12) box walk: ftyp → moov(mvhd, trak(tkhd,
+    * …/stbl/stsd)) — duration, track count, video dims (tkhd 16.16
+    * fixed), first video sample-entry fourcc. Header-only: no sample
+    * data is touched, exactly the pre-GPU-decode pass a crawled-video
+    * corpus runs first. Never throws; every size field is read unsigned
+    * into a Long and every step must advance, so hostile/truncated
+    * sizes terminate the walk instead of hanging it (the WAV-walk
+    * discipline). Boxes past a truncation are simply not seen — fields
+    * they would have filled stay null. */
+  def probeVideo(b: Array[Byte]): VideoProbe = {
+    if (b == null || b.length < 16) return VideoProbe("unknown")
+    // ftyp must lead (optional free/skip/wide padding tolerated)
+    var i = 0L
+    var sawFtyp = false
+    var durationMs: java.lang.Long = null
+    var nTracks = 0
+    var sawMoov = false
+    var vw: Integer = null; var vh: Integer = null; var vcodec: String = null
+
+    // child walk: find direct children of [start, end); cb returns the
+    // payload bounds for boxes it wants descended into
+    def walk(start: Long, end: Long, onBox: (String, Long, Long) => Unit): Unit = {
+      var p = start
+      var steps = 0
+      while (p + 8 <= end && steps < 4096) {
+        steps += 1
+        val size0 = be32(b, p.toInt)
+        var hdr = 8L
+        var size = size0
+        if (size0 == 1L) {
+          if (p + 16 > end) return
+          size = be64(b, p.toInt + 8); hdr = 16L
+        } else if (size0 == 0L) size = end - p // last box runs to the end
+        if (size < hdr) return // corrupt size: stop, keep what parsed
+        if (p + size > end) {
+          // a declared size past the buffer is the TRUNCATED-DOWNLOAD
+          // norm (moov commonly trails the file): clamp to what arrived,
+          // parse what's inside, and stop — inner boxes torn by the same
+          // cut clamp recursively, their unreadable fields staying null
+          onBox(fourcc(b, p.toInt + 4), p + hdr, end)
+          return
+        }
+        onBox(fourcc(b, p.toInt + 4), p + hdr, p + size)
+        p += size
+      }
+    }
+
+    def findChild(start: Long, end: Long, tp: String): Option[(Long, Long)] = {
+      var found: Option[(Long, Long)] = None
+      walk(start, end, (t, s, e) => if (found.isEmpty && t == tp) found = Some((s, e)))
+      found
+    }
+
+    // top level
+    walk(0L, b.length.toLong, { (tp, s, e) =>
+      tp match {
+        case "ftyp" => sawFtyp = true
+        case "moov" if sawFtyp =>
+          sawMoov = true
+          walk(s, e, { (ct, cs, ce) =>
+            ct match {
+              case "mvhd" if ce - cs >= 20 =>
+                val ver = u8(b, cs.toInt)
+                val (ts, dur) =
+                  if (ver == 1 && ce - cs >= 32)
+                    (be32(b, cs.toInt + 20), be64(b, cs.toInt + 24))
+                  else (be32(b, cs.toInt + 12), be32(b, cs.toInt + 16))
+                if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L)
+                  durationMs = java.lang.Long.valueOf(dur * 1000L / ts)
+              case "trak" =>
+                nTracks += 1
+                var tw = 0; var th = 0
+                findChild(cs, ce, "tkhd").foreach { case (ks, ke) =>
+                  val ver = u8(b, ks.toInt)
+                  val off = if (ver == 1) 88 else 76 // 16.16 width/height
+                  if (ke - ks >= off + 8) {
+                    tw = (be32(b, ks.toInt + off) >> 16).toInt
+                    th = (be32(b, ks.toInt + off + 4) >> 16).toInt
+                  }
+                }
+                if (tw > 0 && th > 0 && vw == null) {
+                  vw = tw; vh = th
+                  // trak/mdia/minf/stbl/stsd → first sample entry fourcc
+                  for {
+                    (ms, me) <- findChild(cs, ce, "mdia")
+                    (ns, ne) <- findChild(ms, me, "minf")
+                    (ss, se) <- findChild(ns, ne, "stbl")
+                    (ds, de) <- findChild(ss, se, "stsd")
+                    // fullbox(4) + entry_count(4) + entry size(4) + fourcc
+                    if de - ds >= 16
+                  } vcodec = fourcc(b, ds.toInt + 12)
+                }
+              case _ =>
+            }
+          })
+        case _ =>
+      }
+    })
+    if (!sawFtyp) VideoProbe("unknown")
+    else VideoProbe("mp4", durationMs,
+      if (sawMoov) Integer.valueOf(nTracks) else null, vw, vh, vcodec)
+  }
+
   private def parseMp3(b: Array[Byte]): Probe = {
     // optional ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag
     // (0x10) adds 10 more. Then the 4-byte frame header.
@@ -238,4 +366,37 @@ case class MediaProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): MediaProbe =
     copy(child = newChild)
   override def prettyName: String = "media_probe"
+}
+
+/** video_probe(binary) → struct<format, duration_ms, n_tracks, width,
+  * height, codec> — [[MediaFormats.probeVideo]] as a scalar expression:
+  * the MP4/ISO-BMFF twin of media_probe (pure map, header-only; no
+  * sample data read). */
+case class VideoProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val p = MediaFormats.probeVideo(input.asInstanceOf[Array[Byte]])
+    InternalRow(UTF8String.fromString(p.format),
+      if (p.durationMs == null) null else p.durationMs.longValue(),
+      p.nTracks, p.width, p.height,
+      if (p.codec == null) null else UTF8String.fromString(p.codec))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"video_probe expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("codec", StringType, nullable = true)))
+  override protected def withNewChildInternal(newChild: Expression): VideoProbe =
+    copy(child = newChild)
+  override def prettyName: String = "video_probe"
 }

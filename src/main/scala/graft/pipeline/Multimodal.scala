@@ -972,6 +972,119 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Spec-valid MP4/ISO-BMFF headers with id-derived geometry — the
+    * video twin of [[synthesizeContainerPayloads]]: ftyp + moov(mvhd +
+    * video trak(tkhd 16.16 dims + mdia/minf/stbl/stsd codec entry)
+    * [+ audio trak]). Pure id arithmetic throughout so an oracle
+    * recomputes every field: timescale 1000 with duration units
+    * 1000 + (id·13) % 60000 (= duration_ms exactly), dims
+    * (160 + id%32·8) × (90 + (id·3)%40·4), codec cycling
+    * avc1/hev1/vp09, a second (audio, mp4a, zero-dim) track on odd ids.
+    * Corruption plants for the tolerant contract: id%41 == 0 → md5
+    * garbage (not ISO-BMFF at all → "unknown"), id%41 == 7 → truncated
+    * after ftyp (container identified, every moov field null). */
+  def synthesizeMp4Payloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 41 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else if (id % 41 == 7) mp4Ftyp()
+        else {
+          val w = (160 + (id % 32) * 8).toInt
+          val h = (90 + ((id * 3) % 40) * 4).toInt
+          val durUnits = 1000 + (id * 13) % 60000
+          val codec = (id % 3) match {
+            case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09"
+          }
+          val vtrak = mp4Trak(trackId = 1, w = w, h = h, codec = codec)
+          val traks =
+            if (id % 2 == 1) vtrak ++ mp4Trak(trackId = 2, w = 0, h = 0, codec = "mp4a")
+            else vtrak
+          mp4Ftyp() ++ mp4Box("moov", mp4Mvhd(timescale = 1000, duration = durUnits) ++ traks)
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  private def mp4Box(tp: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length)
+    bb.put(tp.getBytes("US-ASCII"))
+    bb.put(body)
+    bb.array()
+  }
+
+  private def mp4Ftyp(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.put("isom".getBytes("US-ASCII")) // major brand
+    bb.putInt(512)                      // minor version
+    bb.put("isom".getBytes("US-ASCII")) // compatible brands
+    bb.put("mp42".getBytes("US-ASCII"))
+    mp4Box("ftyp", bb.array())
+  }
+
+  private def mp4Mvhd(timescale: Int, duration: Long): Array[Byte] = {
+    // version-0 mvhd: ver/flags(4) creation(4) modification(4)
+    // timescale(4) duration(4) rate(4) volume(2) reserved(10)
+    // matrix(36) predefined(24) next_track_id(4) = 100 bytes
+    val bb = java.nio.ByteBuffer.allocate(100)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(timescale); bb.putInt(duration.toInt)
+    bb.putInt(0x00010000) // rate 1.0
+    bb.putShort(0x0100.toShort) // volume 1.0
+    bb.put(new Array[Byte](10))
+    bb.put(mp4IdentityMatrix())
+    bb.put(new Array[Byte](24))
+    bb.putInt(3) // next track id
+    mp4Box("mvhd", bb.array())
+  }
+
+  private def mp4IdentityMatrix(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(36)
+    bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+    bb.array()
+  }
+
+  private def mp4Trak(trackId: Int, w: Int, h: Int, codec: String): Array[Byte] = {
+    // version-0 tkhd: ver/flags(4) creation(4) modification(4)
+    // track_id(4) reserved(4) duration(4) reserved(8) layer(2)
+    // alternate(2) volume(2) reserved(2) matrix(36) width(4, 16.16)
+    // height(4, 16.16) = 84 bytes
+    val tk = java.nio.ByteBuffer.allocate(84)
+    tk.putInt(7) // ver 0, flags: enabled | in movie | in preview
+    tk.putInt(0); tk.putInt(0)
+    tk.putInt(trackId); tk.putInt(0); tk.putInt(0)
+    tk.put(new Array[Byte](8))
+    tk.putShort(0); tk.putShort(0)
+    tk.putShort(if (w == 0) 0x0100.toShort else 0) // audio tracks carry volume
+    tk.putShort(0)
+    tk.put(mp4IdentityMatrix())
+    tk.putInt(w << 16); tk.putInt(h << 16)
+    // stsd: ver/flags(4) entry_count(4) + one 16-byte sample entry
+    // (size(4) fourcc(4) reserved(6) data_reference_index(2))
+    val sd = java.nio.ByteBuffer.allocate(8 + 16)
+    sd.putInt(0); sd.putInt(1)
+    sd.putInt(16); sd.put(codec.getBytes("US-ASCII"))
+    sd.put(new Array[Byte](6)); sd.putShort(1.toShort)
+    val stbl = mp4Box("stbl", mp4Box("stsd", sd.array()))
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", minf)
+    mp4Box("trak", mp4Box("tkhd", tk.array()) ++ mdia)
+  }
+
+  /** Expand [[graft.functions.VideoProbe]] over a payload column: the
+    * MP4 twin of [[probeMeta]] — one header-only pure-map pass. */
+  def probeVideoMeta(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__p",
+        E.column(graft.functions.VideoProbe(E.expression(col(payloadCol)))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__p.*"): _*)
+  }
+
   private def flacHeader(channels: Int, rate: Int, bits: Int,
                          totalSamples: Long): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34)

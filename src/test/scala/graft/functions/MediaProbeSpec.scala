@@ -180,4 +180,92 @@ class MediaProbeSpec extends AnyFunSuite {
     val overrun = tag.array().take(10) ++ new Array[Byte](5)
     assert(MediaFormats.probe(overrun).format == "unknown")
   }
+
+  // ---- MP4 / ISO-BMFF box walk ----------------------------------------
+
+  private def box(tp: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length); bb.put(tp.getBytes("US-ASCII")); bb.put(body)
+    bb.array()
+  }
+  private def ftyp(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+    box("ftyp", bb.array())
+  }
+  private def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(100)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(timescale); bb.putInt(duration)
+    box("mvhd", bb.array())
+  }
+  private def trak(w: Int, h: Int, codec: String, tkhdV1: Boolean = false): Array[Byte] = {
+    val tk = java.nio.ByteBuffer.allocate(if (tkhdV1) 96 else 84)
+    tk.putInt(if (tkhdV1) 0x01000007 else 7) // version byte leads
+    tk.position(if (tkhdV1) 88 else 76)
+    tk.putInt(w << 16); tk.putInt(h << 16)
+    val sd = java.nio.ByteBuffer.allocate(24)
+    sd.putInt(0); sd.putInt(1); sd.putInt(16)
+    sd.put(codec.getBytes("US-ASCII")); sd.put(new Array[Byte](8))
+    box("trak", box("tkhd", tk.array()) ++
+      box("mdia", box("minf", box("stbl", box("stsd", sd.array())))))
+  }
+
+  test("MP4: ftyp + moov(mvhd, trak) reads duration, tracks, dims, codec") {
+    val b = ftyp() ++ box("moov",
+      mvhdV0(timescale = 600, duration = 7200) ++
+        trak(1920, 1080, "avc1") ++ trak(0, 0, "mp4a"))
+    val p = MediaFormats.probeVideo(b)
+    assert(p.format == "mp4", s"$p")
+    assert(p.durationMs == 12000L, s"7200/600 s = 12000 ms: $p")
+    assert(p.nTracks == 2 && p.width == 1920 && p.height == 1080, s"$p")
+    assert(p.codec == "avc1", s"$p")
+    // the generic probe classifies the same bytes as mp4 with dims
+    val g = MediaFormats.probe(b)
+    assert(g.format == "mp4" && g.width == 1920 && g.height == 1080, s"$g")
+  }
+
+  test("MP4: version-1 boxes — 64-bit mvhd duration, tkhd dims at offset 88") {
+    val mv = java.nio.ByteBuffer.allocate(112)
+    mv.putInt(0x01000000)       // version 1
+    mv.position(20); mv.putInt(1000)   // timescale
+    mv.putLong(90000L)                 // 64-bit duration
+    val b = ftyp() ++ box("moov",
+      box("mvhd", mv.array()) ++ trak(640, 360, "hev1", tkhdV1 = true))
+    val p = MediaFormats.probeVideo(b)
+    assert(p.durationMs == 90000L && p.width == 640 && p.height == 360 &&
+      p.codec == "hev1", s"$p")
+  }
+
+  test("MP4: largesize (size = 1 + 64-bit) boxes walk correctly") {
+    val inner = mvhdV0(1000, 5000) ++ trak(320, 240, "vp09")
+    val bb = java.nio.ByteBuffer.allocate(16 + inner.length)
+    bb.putInt(1); bb.put("moov".getBytes("US-ASCII"))
+    bb.putLong(16L + inner.length)
+    bb.put(inner)
+    val p = MediaFormats.probeVideo(ftyp() ++ bb.array())
+    assert(p.durationMs == 5000L && p.width == 320 && p.codec == "vp09", s"$p")
+  }
+
+  test("MP4: truncation and corruption never throw — partial fields stay null") {
+    // ftyp alone: container identified, every moov field null
+    val p1 = MediaFormats.probeVideo(ftyp())
+    assert(p1.format == "mp4" && p1.durationMs == null && p1.nTracks == null &&
+      p1.width == null && p1.codec == null, s"$p1")
+    // moov truncated mid-trak: mvhd parses, the torn trak is dropped
+    val full = ftyp() ++ box("moov", mvhdV0(1000, 3000) ++ trak(100, 50, "avc1"))
+    val torn = full.take(full.length - 30)
+    val p2 = MediaFormats.probeVideo(torn)
+    assert(p2.format == "mp4" && p2.durationMs == 3000L, s"$p2")
+    // a hostile child size larger than its parent stops the walk cleanly
+    val bad = ftyp() ++ box("moov", Array.fill[Byte](12)(0x7f.toByte))
+    assert(MediaFormats.probeVideo(bad).format == "mp4")
+    // zero-timescale mvhd yields null duration, not a divide error
+    val zts = ftyp() ++ box("moov", mvhdV0(0, 3000))
+    assert(MediaFormats.probeVideo(zts).durationMs == null)
+    // not ISO-BMFF at all
+    assert(MediaFormats.probeVideo("plainly not a video".getBytes).format == "unknown")
+    assert(MediaFormats.probeVideo(null).format == "unknown")
+    assert(MediaFormats.probeVideo(Array[Byte](1, 2, 3)).format == "unknown")
+  }
 }
