@@ -3676,6 +3676,29 @@ object SparkEntry {
       pipeline.Graph.louvainMoves(e, "src", "dst", rounds = 3)
         .orderBy("node")
     },
+    "graph_scc" -> { (s, dir) =>
+      prep(s, dir, "lineitem", "orders")
+      // r14: DIRECTED strongly connected components over the order/return
+      // flow graph (cust → supplier on kept lines, supplier → cust on
+      // returns — the reciprocity construction, sliced to every 8th order
+      // so the oracle's transitive closure stays tractable): mutual
+      // order/return flows close cycles, and the SCC partition is the
+      // canonical "who is in a trading loop with whom" readout. Labels
+      // are canonical (min node id of the SCC), so a generic DuckDB
+      // mutual-reachability closure gates the answer with no
+      // round-structure replay.
+      val li = s.table("orders").join(s.table("lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderkey") % 8 === 0)
+      val fwd = li.where(col("l_returnflag") =!= "R")
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000).as("dst"))
+      val bwd = li.where(col("l_returnflag") === "R")
+        .select((col("l_suppkey") + 1000000).as("src"),
+          col("o_custkey").as("dst"))
+      pipeline.Graph.stronglyConnectedComponents(fwd.union(bwd), "src", "dst")
+        .orderBy("node")
+    },
     "graph_components" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // EXACT connected components over a sparse co-purchase slice
@@ -6343,6 +6366,27 @@ object SparkEntry {
          ORDER BY user_id""",
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_louvain" -> louvainOracleSql(3),
+    "graph_scc" ->
+      """WITH RECURSIVE base AS (
+           SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_returnflag AS rf
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey % 8 = 0),
+         e AS (SELECT DISTINCT src, dst FROM (
+                 SELECT c AS src, s AS dst FROM base WHERE rf <> 'R'
+                 UNION ALL
+                 SELECT s AS src, c AS dst FROM base WHERE rf = 'R')
+               WHERE src <> dst),
+         nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         reach(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         mutual AS (SELECT r1.a, r1.b FROM reach r1
+                    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+         SELECT CAST(n.v AS BIGINT) AS node,
+                CAST(least(n.v, coalesce(min(m.b), n.v)) AS BIGINT) AS scc
+         FROM nodes n LEFT JOIN mutual m ON m.a = n.v
+         GROUP BY n.v ORDER BY node""",
     "graph_components" ->
       """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
                                WHERE l_orderkey % 16 = 0),

@@ -750,4 +750,49 @@ class GraphSpec extends AnyFunSuite {
     val exp = (1L to 9L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L, 30L -> 30L)
     assert(got == exp, s"$got")
   }
+
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.stronglyConnectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc: cycle + tail — the cycle is one component, the tail is singletons") {
+    // 1→2→3→1 cycle with tail 3→4→5
+    val got = sccOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L), s"$got")
+  }
+
+  test("scc: two cycles bridged one-way stay separate components") {
+    // {1,2} cycle → bridge 2→10 → {10,11} cycle; no way back
+    val got = sccOf(Seq((1L, 2L), (2L, 1L), (2L, 10L), (10L, 11L), (11L, 10L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L), s"$got")
+    // closing the bridge merges everything into one SCC
+    val merged = sccOf(Seq((1L, 2L), (2L, 1L), (2L, 10L), (10L, 11L),
+      (11L, 10L), (11L, 1L)))
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L), s"$merged")
+  }
+
+  test("scc: a DAG is all singletons whichever way ids run") {
+    // ids DESCENDING along the edges — the peel must not conflate
+    // forward reach with the undirected component (which would be one)
+    val got = sccOf(Seq((5L, 4L), (4L, 3L), (5L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L), s"$got")
+  }
+
+  test("scc: peel budget failure is loud, direction-reversed duplicate edges collapse") {
+    // a 4-deep condensation chain in min-label order needs 4 peels
+    // (edges run HIGH→LOW, so every live SCC's forward-min is the
+    // not-yet-peeled smaller component): maxPeels = 1 must throw
+    // rather than truncate
+    val chain = Seq((7L, 8L), (8L, 7L), (8L, 5L), (5L, 6L), (6L, 5L),
+      (6L, 3L), (3L, 4L), (4L, 3L), (4L, 1L), (1L, 2L), (2L, 1L))
+    val e = chain.toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.stronglyConnectedComponents(e, "src", "dst", maxPeels = 1).count()
+    }
+    assert(ex.getMessage.contains("peel"), ex.getMessage)
+    val ok = Graph.stronglyConnectedComponents(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 7L), s"$ok")
+  }
 }
