@@ -3676,6 +3676,21 @@ object SparkEntry {
       pipeline.Graph.louvainMoves(e, "src", "dst", rounds = 3)
         .orderBy("node")
     },
+    "graph_louvain_full" -> { (s, dir) =>
+      prep(s, dir, "lineitem")
+      // r14: FULL multi-level Louvain on the graph_louvain graph — after
+      // 3 move rounds the communities contract to super-nodes (intra
+      // weight → self-loop, inter weight → weighted edge) and 3 weighted
+      // move rounds run on the contracted graph; the unfolded assignment
+      // hash-gates vs the per-level CTE replay
+      val li = s.table("lineitem").where(col("l_orderkey") % 4 === 0)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      pipeline.Graph.louvain(e, "src", "dst", roundsPerLevel = 3, levels = 2)
+        .orderBy("node")
+    },
     "graph_scc" -> { (s, dir) =>
       prep(s, dir, "lineitem", "orders")
       // r14: DIRECTED strongly connected components over the order/return
@@ -4743,6 +4758,91 @@ object SparkEntry {
        |$roundCtes
        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
        |FROM lv$rounds ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of [[pipeline.Graph.louvain]] at levels = 2: the
+    * louvainOracleSql level-0 round chain, the contraction (intra weight
+    * → self-loop, inter weight → weighted edge, prior degree k = Σw +
+    * 2·self), `rounds` WEIGHTED move rounds on the contracted graph
+    * (same score/tie template with weight sums; m2 is the level-
+    * invariant 2·Σw — the same mm CTE), then the unfold left-join
+    * (isolated super-nodes keep their level-0 label). */
+  private def louvainFullOracleSql(rounds: Int): String = {
+    val lvl0 = (1 to rounds).map { i =>
+      s"""kic$i AS (SELECT a.node, p.label AS c, CAST(count(*) AS HUGEINT) AS k
+         |  FROM adj a JOIN lv${i - 1} p ON p.node = a.nbr GROUP BY 1, 2),
+         |tot$i AS (SELECT p.label AS c, CAST(sum(d.k) AS HUGEINT) AS tot
+         |  FROM lv${i - 1} p JOIN deg d ON d.node = p.node GROUP BY 1),
+         |cand$i AS (SELECT node, c, max(k) AS k FROM (
+         |  SELECT node, c, k FROM kic$i
+         |  UNION ALL SELECT p.node, p.label AS c, CAST(0 AS HUGEINT) AS k
+         |  FROM lv${i - 1} p) GROUP BY 1, 2),
+         |sc$i AS (SELECT cd.node, cd.c,
+         |    mm.m2 * cd.k - d.k * (t.tot - CASE WHEN cd.c = p.label
+         |                                       THEN d.k ELSE CAST(0 AS HUGEINT) END) AS s,
+         |    CASE WHEN cd.c = p.label THEN 1 ELSE 0 END AS stay
+         |  FROM cand$i cd
+         |  JOIN lv${i - 1} p ON p.node = cd.node
+         |  JOIN deg d ON d.node = cd.node
+         |  JOIN tot$i t ON t.c = cd.c
+         |  CROSS JOIN mm),
+         |lv$i AS MATERIALIZED (SELECT node, c AS label FROM (
+         |  SELECT node, c, row_number() OVER (PARTITION BY node
+         |                                     ORDER BY s DESC, stay DESC, c) AS rn
+         |  FROM sc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val lvl1 = (1 to rounds).map { i =>
+      s"""wkic$i AS (SELECT a.node, p.label AS c, CAST(sum(a.w) AS HUGEINT) AS k
+         |  FROM adj1 a JOIN wl${i - 1} p ON p.node = a.nbr GROUP BY 1, 2),
+         |wtot$i AS (SELECT p.label AS c, CAST(sum(d.k) AS HUGEINT) AS tot
+         |  FROM wl${i - 1} p JOIN deg1 d ON d.node = p.node GROUP BY 1),
+         |wcand$i AS (SELECT node, c, max(k) AS k FROM (
+         |  SELECT node, c, k FROM wkic$i
+         |  UNION ALL SELECT p.node, p.label AS c, CAST(0 AS HUGEINT) AS k
+         |  FROM wl${i - 1} p) GROUP BY 1, 2),
+         |wsc$i AS (SELECT cd.node, cd.c,
+         |    mm.m2 * cd.k - d.k * (t.tot - CASE WHEN cd.c = p.label
+         |                                       THEN d.k ELSE CAST(0 AS HUGEINT) END) AS s,
+         |    CASE WHEN cd.c = p.label THEN 1 ELSE 0 END AS stay
+         |  FROM wcand$i cd
+         |  JOIN wl${i - 1} p ON p.node = cd.node
+         |  JOIN deg1 d ON d.node = cd.node
+         |  JOIN wtot$i t ON t.c = cd.c
+         |  CROSS JOIN mm),
+         |wl$i AS MATERIALIZED (SELECT node, c AS label FROM (
+         |  SELECT node, c, row_number() OVER (PARTITION BY node
+         |                                     ORDER BY s DESC, stay DESC, c) AS rn
+         |  FROM wsc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |und AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |        FROM li x JOIN li y
+       |          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |deg AS MATERIALIZED (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM adj GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM adj),
+       |lv0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
+       |$lvl0,
+       |ce AS MATERIALIZED (SELECT la.label AS ca, lb.label AS cb FROM und
+       |       JOIN lv$rounds la ON la.node = und.a
+       |       JOIN lv$rounds lb ON lb.node = und.b),
+       |self1 AS MATERIALIZED (SELECT ca AS node, CAST(count(*) AS HUGEINT) AS sw
+       |          FROM ce WHERE ca = cb GROUP BY 1),
+       |we1 AS MATERIALIZED (SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
+       |               CAST(count(*) AS HUGEINT) AS w
+       |        FROM ce WHERE ca <> cb GROUP BY 1, 2),
+       |adj1 AS MATERIALIZED (SELECT a AS node, b AS nbr, w FROM we1
+       |         UNION ALL SELECT b, a, w FROM we1),
+       |deg1 AS MATERIALIZED (SELECT t.node, CAST(t.kw + 2 * coalesce(s.sw, 0) AS HUGEINT) AS k
+       |         FROM (SELECT node, sum(w) AS kw FROM adj1 GROUP BY 1) t
+       |         LEFT JOIN self1 s ON s.node = t.node),
+       |wl0 AS MATERIALIZED (SELECT node, node AS label FROM deg1),
+       |$lvl1
+       |SELECT CAST(l0.node AS BIGINT) AS node,
+       |       CAST(coalesce(w.label, l0.label) AS BIGINT) AS community
+       |FROM lv$rounds l0 LEFT JOIN wl$rounds w ON w.node = l0.label
+       |ORDER BY node""".stripMargin
   }
 
   private def labelPropagationOracleSql(iterations: Int): String = {
@@ -6366,6 +6466,7 @@ object SparkEntry {
          ORDER BY user_id""",
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_louvain" -> louvainOracleSql(3),
+    "graph_louvain_full" -> louvainFullOracleSql(3),
     "graph_scc" ->
       """WITH RECURSIVE base AS (
            SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_returnflag AS rf

@@ -495,6 +495,142 @@ object Graph {
     labels.select("node", "community")
   }
 
+  /** FULL multi-level Louvain (r14) — [[louvainMoves]] plus the
+    * AGGREGATION phase the r13 operator documented as missing (Blondel
+    * et al. '08 §2: after local moves plateau, contract communities to
+    * super-nodes — intra-community weight becomes a self-loop, inter-
+    * community weight a weighted edge — and re-run moves on the
+    * contracted graph; community quality keeps improving where the
+    * single-level moves stall). `levels` bounds the level count,
+    * `roundsPerLevel` the synchronous move rounds per level (both fixed
+    * budgets — the louvainMoves determinism contract, bit-replayable by
+    * the unrolled oracle).
+    *
+    * Weighted-move semantics (exact integers): k_i = Σ_nbr w(i,·) +
+    * 2·self(i), k_{i,c} = Σ w to community c (self-loop excluded — it
+    * follows the node, cancelling in the argmax), 2m = the GRAPH
+    * invariant 2·Σw (total weight is conserved under contraction, so
+    * one broadcast constant serves every level). Ties prefer higher
+    * score, then staying, then the smaller community id. Super-nodes
+    * isolated by contraction (no cross edges) never move — the unfold
+    * keeps their assignment via a left-join coalesce.
+    *
+    * Plan: each level is the louvainMoves plan on a geometrically
+    * smaller graph (the contraction is two label joins + two bounded
+    * rollups); unfolding is one |V|-sized left join per level. Output:
+    * `node, community` (communities keyed by super-node label chains —
+    * final ids are level-top community labels). */
+  def louvain(edges: DataFrame, srcCol: String, dstCol: String,
+              roundsPerLevel: Int, levels: Int): DataFrame = {
+    require(roundsPerLevel >= 1 && roundsPerLevel <= 100,
+      s"roundsPerLevel must be in [1, 100], got $roundsPerLevel")
+    require(levels >= 1 && levels <= 8, s"levels must be in [1, 8], got $levels")
+    Search.requireIntegralId(edges, srcCol, "louvain", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "louvain", role = "dst id")
+    val dec = "decimal(38,0)"
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = Materialize.cut(
+      e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    // the level-invariant 2m: total weight is conserved by contraction
+    val m2 = Materialize.cut(
+      und.agg((count(lit(1)) * 2).cast(dec).as("__m2")))
+    var wEdges = Materialize.cut(und.select(col("a"), col("b"), lit(1L).as("w")))
+    var selfW = und.select(col("a").as("node"), lit(0L).as("sw")).limit(0)
+    var assign: DataFrame = null
+    for (lvl <- 1 to levels) {
+      val moves = Materialize.cut(
+        weightedLouvainMoves(wEdges, selfW, m2, roundsPerLevel))
+      assign =
+        if (lvl == 1) moves
+        else Materialize.cut(
+          assign.join(moves
+              .withColumnRenamed("node", "__sn")
+              .withColumnRenamed("community", "__nc"),
+            assign("community") === col("__sn"), "left")
+            .select(col("node"),
+              coalesce(col("__nc"), col("community")).as("community")))
+      if (lvl < levels) {
+        val la = moves.withColumnRenamed("node", "a")
+          .withColumnRenamed("community", "__ca")
+        val lb = moves.withColumnRenamed("node", "b")
+          .withColumnRenamed("community", "__cb")
+        val withC = Materialize.cut(
+          wEdges.join(la, Seq("a")).join(lb, Seq("b"))
+            .select(col("__ca"), col("__cb"), col("w")))
+        val intra = withC.where(col("__ca") === col("__cb"))
+          .select(col("__ca").as("node"), col("w").as("sw"))
+        // prior self-loops roll up into the new super-nodes
+        val rolled = selfW.join(moves, Seq("node"))
+          .select(col("community").as("node"), col("sw"))
+        selfW = Materialize.cut(
+          intra.union(rolled).groupBy("node").agg(sum(col("sw")).as("sw")))
+        wEdges = Materialize.cut(
+          withC.where(col("__ca") =!= col("__cb"))
+            .select(least(col("__ca"), col("__cb")).as("a"),
+              greatest(col("__ca"), col("__cb")).as("b"), col("w"))
+            .groupBy("a", "b").agg(sum(col("w")).as("w")))
+      }
+    }
+    assign
+  }
+
+  /** The [[louvainMoves]] round loop generalized to WEIGHTED graphs with
+    * self-loops — the contracted-level workhorse of [[louvain]]. Same
+    * score, ties, state discipline; counts become weight sums. */
+  private def weightedLouvainMoves(wEdges: DataFrame, selfW: DataFrame,
+                                   m2: DataFrame, rounds: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val adj = Materialize.cut(
+      wEdges.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+        .union(wEdges.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+        .repartition(col("nbr")))
+    var labels = Materialize.cut(
+      adj.groupBy("node").agg(sum(col("w")).as("__kw"))
+        .join(selfW, Seq("node"), "left")
+        .select(col("node"), col("node").as("community"),
+          (col("__kw") + lit(2L) * coalesce(col("sw"), lit(0L))).as("__k")))
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    retired += labels
+    for (i <- 1 to rounds) {
+      val tot = labels.groupBy(col("community").as("__c"))
+        .agg(sum(col("__k")).as("__tot"))
+      val kic = adj.as("__a")
+        .join(labels.as("__l").hint("shuffle_hash"),
+          col("__a.nbr") === col("__l.node"))
+        .select(col("__a.node").as("__n"), col("__l.community").as("__c"),
+          col("__a.w").as("__w"))
+        .groupBy("__n", "__c").agg(sum(col("__w")).as("__kic"))
+      val cand = kic
+        .union(labels.select(col("node").as("__n"),
+          col("community").as("__c"), lit(0L).as("__kic")))
+        .groupBy("__n", "__c").agg(max(col("__kic")).as("__kic"))
+      val next = cand
+        .join(labels.select(col("node").as("__n"), col("community").as("__own"),
+          col("__k")), Seq("__n"))
+        .join(tot.hint("shuffle_hash"), Seq("__c"))
+        .crossJoin(broadcast(m2))
+        .select(col("__n"), col("__c"), col("__k"),
+          (col("__m2") * col("__kic").cast(dec)
+            - col("__k").cast(dec)
+              * (col("__tot").cast(dec)
+                 - when(col("__c") === col("__own"), col("__k").cast(dec))
+                   .otherwise(lit(0).cast(dec)))).as("__s"),
+          when(col("__c") === col("__own"), 1L).otherwise(0L).as("__stay"))
+        .groupBy("__n")
+        .agg(max(struct(col("__s"), col("__stay"), (-col("__c")).as("__neg"))).as("__b"),
+          min(col("__k")).as("__k"))
+        .select(col("__n").as("node"), (-col("__b.__neg")).as("community"),
+          col("__k"))
+      labels = Materialize.cut(next)
+      if (i < rounds) retired += labels
+    }
+    retired.foreach(Materialize.release)
+    labels.select("node", "community")
+  }
+
   /** Weighted one-mode projection of a bipartite edge set — the standard
     * co-occurrence graph build (orders×parts → parts bought together,
     * users×items → items sharing users): for right-side nodes a < b,

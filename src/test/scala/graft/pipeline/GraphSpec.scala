@@ -751,6 +751,40 @@ class GraphSpec extends AnyFunSuite {
     assert(got == exp, s"$got")
   }
 
+  test("louvain: contraction level merges what single-level moves cannot, modularity non-decreasing") {
+    // a 6-clique chain: cliques {1..4},{11..14},{21..24},{31..34},... —
+    // single bridges between consecutive cliques. Level 0 finds the
+    // cliques; the contracted level may merge neighbors; modularity of
+    // the unfolded partition must be >= the single-level one.
+    def k4(base: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (base + i, base + j)
+    val cliques = Seq(1L, 11L, 21L, 31L, 41L, 51L).flatMap(k4)
+    val bridges = Seq((4L, 11L), (14L, 21L), (24L, 31L), (34L, 41L), (44L, 51L))
+    val e = (cliques ++ bridges).toDF("src", "dst")
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(e, labels, "src", "dst", "node", "community")
+        .agg(org.apache.spark.sql.functions.sum("q_ppm"))
+        .collect().head.getLong(0)
+    val single = Graph.louvainMoves(e, "src", "dst", rounds = 3)
+    val multi = Graph.louvain(e, "src", "dst", roundsPerLevel = 3, levels = 2)
+    val qs = q(single)
+    val qm = q(multi)
+    assert(qm >= qs, s"multi-level Q $qm < single-level Q $qs")
+    // level-2 output must still cover every node exactly once
+    assert(multi.count() == 24L && multi.select("node").distinct().count() == 24L)
+  }
+
+  test("louvain levels=1 equals louvainMoves exactly") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L)).toDF("src", "dst")
+    val a = Graph.louvain(e, "src", "dst", roundsPerLevel = 3, levels = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.louvainMoves(e, "src", "dst", rounds = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, s"$a vs $b")
+  }
+
   private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.stronglyConnectedComponents(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
