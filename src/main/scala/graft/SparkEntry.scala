@@ -1786,6 +1786,23 @@ object SparkEntry {
       pipeline.TextAnalysis.sourceKl(s.table("documents"), "source", "text")
         .orderBy("source")
     },
+    "src_avro_roundtrip" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: Avro round-trip — documents → deflate Avro part files →
+      // read back under an explicit schema → per-lang rollup; oracle
+      // computes the same rollup straight from parquet (the ORC gate's
+      // shape — any writer/reader loss or drift breaks the hash)
+      val out = s"/tmp/graft_avro_gate_${ProcessHandle.current().pid()}"
+      sources.Avro.write(
+        s.table("documents").select("doc_id", "lang", "n_chars"), out, 4)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT")
+      sources.Avro.read(s, out, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    },
     "src_orc_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // ORC round-trip: documents → zlib ORC part files → read back
@@ -7836,6 +7853,11 @@ object SparkEntry {
                 CAST(greatest(bin * 256, gs) - bin * 256 AS BIGINT) AS bin_offset,
                 CAST(least((bin + 1) * 256, gs + n) - greatest(bin * 256, gs) AS BIGINT) AS piece_len
          FROM p ORDER BY bin, bin_offset""",
+    "src_avro_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents GROUP BY lang ORDER BY lang""",
     "src_orc_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
