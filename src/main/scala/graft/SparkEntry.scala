@@ -1646,6 +1646,19 @@ object SparkEntry {
       pipeline.TextAnalysis.wordChunks(s.table("documents"), "doc_id", "text", chunkWords = 16)
         .orderBy("doc_id", "chunk_id")
     },
+    "text_chunks_sentence" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: sentence-boundary RAG chunking — the corpus text carries no
+      // punctuation, so deterministic boundaries are PLANTED first
+      // (replace() is literal left-to-right in both engines): frequent
+      // words become terminators, giving variable-length sentences; 3-
+      // sentence windows advance by 2 (1-sentence overlap)
+      val sent = s.table("documents").withColumn("t2", expr(
+        "replace(replace(replace(text, ' table ', '. '), ' value ', '! '), ' row ', '? ')"))
+      pipeline.TextAnalysis.sentenceChunks(sent, "doc_id", "t2",
+          maxSentences = 3, overlap = 1)
+        .orderBy("doc_id", "chunk_id")
+    },
     "text_vocab" -> { (s, dir) =>
       prep(s, dir, "documents")
       // corpus vocabulary: top-100 tokens by frequency (TakeOrdered plan —
@@ -7632,6 +7645,29 @@ object SparkEntry {
                     '&nbsp;', ' '), '&amp;', '&'),
                   '[ \t\n\r\f]+', ' ', 'g')) AS clean
          FROM h ORDER BY doc_id""",
+    "text_chunks_sentence" ->
+      """WITH sent AS (SELECT doc_id,
+                replace(replace(replace(text, ' table ', '. '), ' value ', '! '),
+                        ' row ', '? ') AS t2
+              FROM documents),
+            ls AS (SELECT doc_id,
+                list_filter(list_transform(
+                  regexp_extract_all(t2, '[^.!?]+[.!?]+|[^.!?]+'),
+                  x -> trim(x)), x -> len(x) > 0) AS l
+              FROM sent),
+            nn AS (SELECT doc_id, l, coalesce(len(l), 0) AS n FROM ls),
+            ck AS (SELECT doc_id, l, n,
+                     unnest(range(0, 1 + (greatest(n - 3, 0) + 1) // 2)) AS k
+                   FROM nn WHERE n > 0)
+         SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                array_to_string(l[k*2 + 1 : k*2 + 3], ' ') AS chunk,
+                CAST(least(3, n - k*2) AS BIGINT) AS n_sents,
+                CAST(len(array_to_string(l[k*2 + 1 : k*2 + 3], ' ')) AS BIGINT) AS n_chars
+         FROM ck
+         UNION ALL
+         SELECT doc_id, CAST(0 AS INT), NULL, CAST(0 AS BIGINT), NULL
+         FROM nn WHERE n = 0
+         ORDER BY doc_id, chunk_id""",
     "text_chunks" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
               c AS (SELECT doc_id, greatest(CAST(ceil(len(arr) / 16.0) AS INT), 1) AS n, arr FROM w),

@@ -1174,6 +1174,50 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 
+  /** SENTENCE-boundary chunking (r14) — the RAG-prep variant of
+    * [[wordChunks]]: windows of `maxSentences` sentences advancing by
+    * `maxSentences − overlap`, so a fact straddling a window edge is
+    * whole in the next one AND no window tears mid-sentence (the word
+    * windows' failure mode on prose). Sentences are the readability
+    * heuristic's: maximal `[.!?]+` runs terminate, a trailing
+    * unterminated fragment is its own sentence — extracted with the
+    * RE2-safe leftmost-first pattern `[^.!?]+[.!?]+|[^.!?]+` (no
+    * lookbehind — java.util.regex and RE2 agree), trimmed, empties
+    * dropped (a bare terminator run is a boundary, not a sentence).
+    *
+    * Trailing windows stop once a window reaches the last sentence:
+    * n ≤ maxSentences is ONE chunk, else 1 + ⌈(n − maxSentences)/stride⌉
+    * — never a redundant tail window wholly inside its predecessor.
+    * NULL text and sentence-free text keep the wordChunks contract: one
+    * (0, NULL) chunk row. Pure map (one regex pass + one in-row
+    * transform), stream-safe, no shuffle. Output: `idCol, chunk_id,
+    * chunk, n_sents, n_chars`. */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     maxSentences: Int, overlap: Int): DataFrame = {
+    require(maxSentences >= 1 && maxSentences <= 4096,
+      s"maxSentences must be in [1, 4096], got $maxSentences")
+    require(overlap >= 0 && overlap < maxSentences,
+      s"overlap must be in [0, maxSentences), got $overlap")
+    val stride = maxSentences - overlap
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__s", expr(
+        "filter(transform(regexp_extract_all(__t, '[^.!?]+[.!?]+|[^.!?]+', 0), " +
+          "x -> trim(x)), x -> length(x) > 0)"))
+      .withColumn("__n",
+        when(col("__s").isNotNull, size(col("__s"))).otherwise(lit(0)))
+      .withColumn("__cks", when(col("__n") > 0, expr(
+        s"""transform(
+              sequence(0, (greatest(__n - $maxSentences, 0) + ${stride - 1}) DIV $stride),
+              k -> named_struct(
+                'c', concat_ws(' ', slice(__s, k * $stride + 1, $maxSentences)),
+                'ns', least($maxSentences, __n - k * $stride)))"""))
+        .otherwise(expr("array(named_struct('c', CAST(NULL AS STRING), 'ns', 0))")))
+      .select(col(idCol), posexplode(col("__cks")).as(Seq("chunk_id", "__ck")))
+      .select(col(idCol), col("chunk_id"),
+        col("__ck.c").as("chunk"), col("__ck.ns").cast("long").as("n_sents"),
+        length(col("__ck.c")).cast("long").as("n_chars"))
+  }
+
   /** OVERLAPPING context windows — [[wordChunks]] with a stride: windows
     * of `windowWords` tokens starting every `strideWords` tokens, so
     * `windowWords - strideWords` tokens of context repeat between

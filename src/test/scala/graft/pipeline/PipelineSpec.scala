@@ -2104,6 +2104,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunks(0).split(" ").length == 16 && chunks(2).split(" ").length == 8)
   }
 
+  test("sentence chunking: boundaries, overlap, fragments, and the NULL contract") {
+    // 5 sentences incl. a "..." run and an unterminated trailing fragment
+    val text = "One two. Three! Four? Wait... tail fragment"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceChunks(df, "doc_id", "text",
+        maxSentences = 3, overlap = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk", "n_sents").as[(Int, String, Long)].collect().toSeq
+    // sentences: ["One two.", "Three!", "Four?", "Wait...", "tail fragment"]
+    assert(got == Seq(
+      (0, "One two. Three! Four?", 3L),
+      (1, "Four? Wait... tail fragment", 3L)), got.toString)
+    // exactly maxSentences sentences → ONE window, no redundant tail
+    val one = TextAnalysis.sentenceChunks(
+      Seq((1L, "A. B. C.")).toDF("doc_id", "text"), "doc_id", "text", 3, 1)
+      .collect()
+    assert(one.length == 1 && one.head.getString(2) == "A. B. C.")
+    // NULL text and terminator-only text each read one (0, NULL) row
+    val deg = TextAnalysis.sentenceChunks(
+      Seq((1L, null.asInstanceOf[String]), (2L, "?!...")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 1)
+      .orderBy("doc_id").select("doc_id", "chunk_id", "chunk", "n_sents")
+      .as[(Long, Int, Option[String], Long)].collect().toSeq
+    assert(deg == Seq((1L, 0, None, 0L), (2L, 0, None, 0L)), deg.toString)
+    // zero overlap tiles without repeats
+    val tiled = TextAnalysis.sentenceChunks(
+      Seq((1L, "A. B. C. D.")).toDF("doc_id", "text"), "doc_id", "text", 2, 0)
+      .orderBy("chunk_id").select("chunk").as[String].collect().toSeq
+    assert(tiled == Seq("A. B.", "C. D."), tiled.toString)
+  }
+
   test("repetition signals match hand-computed values") {
     // "a b a b a b": words 6, distinct 2 → dup_word = 1e6*4 DIV 6 = 666666
     // bigrams: "a b"×3 (3 chars → 9), "b a"×2 (6) → top2 = 9; chars = 11
