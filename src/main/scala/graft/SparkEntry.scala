@@ -1526,6 +1526,22 @@ object SparkEntry {
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
+    "text_unigram_tokens" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: unigram-LM (SentencePiece-style) tokenizer — seed substring
+      // inventory, 2 hard-EM (Viterbi) rounds on the lg64 cost grade,
+      // prune to 48 pieces, plan-constant Viterbi encode; the oracle
+      // replays seeding, both EM rounds, the prune, and the final
+      // segmentation on the same integer arithmetic
+      val docs = s.table("documents")
+      val model = pipeline.Unigram.train(docs, "text", nVocab = 48,
+        maxPieceLen = 4, seedSize = 64, iters = 2)
+      docs.select(col("doc_id"),
+          pipeline.Unigram.encode(model, col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_unigram_tokens"))
+        .orderBy("doc_id")
+    },
     "text_bpe_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // hash-gated round-trip: detokenizing the BPE stream must
@@ -5376,6 +5392,99 @@ object SparkEntry {
     * non-whitespace controls that cannot appear in \s-split words of
     * clean text — oracle-side representation only, the engine never sees
     * them. */
+  /** DuckDB replay of [[pipeline.Unigram]] — seeding, `iters` hard-EM
+    * (Viterbi) rounds, the prune, and the final encode segmentation, all
+    * on the SAME integer arithmetic: lg64 in its printf-%b mirror, the
+    * (cost, nPieces, path) Viterbi tie chain as a 3-key row_number, the
+    * (count DESC, piece) caps with singles pinned at ≥ 1. Every
+    * word-position DP unrolls to `maxWordLen` MATERIALIZED steps (words
+    * shorter than a step just produce no rows); DuckDB's substr/len are
+    * code-point-based, matching the Scala side's code-point positions. */
+  private def unigramOracleSql(nVocab: Int, maxPieceLen: Int, seedSize: Int,
+                               iters: Int, maxWordLen: Int): String = {
+    def lg(x: String) =
+      s"(64 * length(printf('%b', $x)) + (($x) * 64) // (CAST(1 AS BIGINT) << (length(printf('%b', $x)) - 1)) - 64)"
+    val words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+    val lens = (1 to maxPieceLen).mkString("[", ", ", "]")
+    // one Viterbi DP pass over all vocab words against cost table `c`;
+    // returns the final{t} CTE text (w, np, path)
+    def dpPass(t: String, costCte: String): String = {
+      val steps = (1 to maxWordLen).map { j =>
+        val members = (math.max(0, j - maxPieceLen) until j).map { i =>
+          s"""SELECT d.w, d.cost + c.cost AS cost, d.np + 1 AS np,
+             |  CASE WHEN d.path = '' THEN c.p
+             |       ELSE d.path || chr(31) || c.p END AS path
+             |FROM dp$t$i d JOIN $costCte c ON c.p = substr(d.w, ${i + 1}, ${j - i})
+             |WHERE len(d.w) >= $j""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""dp$t$j AS MATERIALIZED (SELECT w, cost, np, path FROM (
+           |  SELECT w, cost, np, path,
+           |         row_number() OVER (PARTITION BY w ORDER BY cost, np, path) AS rn
+           |  FROM ($members)) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val fin = (1 to maxWordLen)
+        .map(j => s"SELECT w, np, path FROM dp$t$j WHERE len(w) = $j")
+        .mkString("\nUNION ALL\n")
+      s"""dp${t}0 AS (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM wc),
+         |$steps,
+         |final$t AS MATERIALIZED ($fin)""".stripMargin
+    }
+    // one EM round: costs from cap{e-1}, DP pass, usage, cap{e}
+    val emRounds = (1 to iters).map { e =>
+      val p = e - 1
+      s"""tot$e AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cap$p),
+         |cost$e AS MATERIALIZED (SELECT p, ${lg("t")} - ${lg("cnt")} AS cost
+         |  FROM cap$p CROSS JOIN tot$e),
+         |${dpPass(s"e$e", s"cost$e")},
+         |usage$e AS MATERIALIZED (SELECT piece AS p, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT wc.n, unnest(string_split(f.path, chr(31))) AS piece
+         |  FROM finale$e f JOIN wc USING (w)) GROUP BY 1),
+         |kept$e AS MATERIALIZED (SELECT p, cnt FROM (
+         |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+         |  FROM usage$e) WHERE rn <= $seedSize),
+         |cap$e AS MATERIALIZED (SELECT p, cnt FROM kept$e
+         |  UNION ALL
+         |  SELECT s.p, greatest(coalesce(m.cnt, 1), 1) FROM singles s
+         |  LEFT JOIN usage$e m ON m.p = s.p
+         |  WHERE s.p NOT IN (SELECT p FROM kept$e))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT tok AS w, count(*) AS n
+       |  FROM (SELECT unnest($words) AS tok FROM documents) GROUP BY 1),
+       |st1 AS MATERIALIZED (SELECT w, n, unnest(range(1, len(w) + 1)) AS i FROM wc),
+       |st2 AS (SELECT w, n, i, unnest($lens) AS l FROM st1),
+       |seed AS MATERIALIZED (SELECT substr(w, i, l) AS p, CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM st2 WHERE i + l - 1 <= len(w) GROUP BY 1),
+       |singles AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS p FROM st1),
+       |kept0 AS MATERIALIZED (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+       |  FROM seed) WHERE rn <= $seedSize),
+       |cap0 AS MATERIALIZED (SELECT p, cnt FROM kept0
+       |  UNION ALL
+       |  SELECT s.p, greatest(coalesce(m.cnt, 1), 1) FROM singles s
+       |  LEFT JOIN seed m ON m.p = s.p
+       |  WHERE s.p NOT IN (SELECT p FROM kept0)),
+       |$emRounds,
+       |keptF AS MATERIALIZED (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+       |  FROM cap$iters) WHERE rn <= $nVocab),
+       |capF AS MATERIALIZED (SELECT p, cnt FROM keptF
+       |  UNION ALL
+       |  SELECT s.p, greatest(coalesce(m.cnt, 1), 1) FROM singles s
+       |  LEFT JOIN cap$iters m ON m.p = s.p
+       |  WHERE s.p NOT IN (SELECT p FROM keptF)),
+       |totF AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM capF),
+       |costF AS MATERIALIZED (SELECT p, ${lg("t")} - ${lg("cnt")} AS cost
+       |  FROM capF CROSS JOIN totF),
+       |${dpPass("f", "costF")},
+       |dw AS (SELECT doc_id, unnest($words) AS w FROM documents)
+       |SELECT d.doc_id, CAST(coalesce(s.t, 0) AS BIGINT) AS n_unigram_tokens
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN (SELECT dw.doc_id, sum(f.np) AS t
+       |           FROM dw JOIN finalf f USING (w) GROUP BY 1) s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeEncodeOracleSql(nMerges: Int): String = {
     val (o, c) = ("chr(30)", "chr(31)")
     val words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -7192,6 +7301,8 @@ object SparkEntry {
     "dedup_semantic" -> semanticOracleSql(16, 10, 64, 0.995),
     "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
     "text_bpe_encode" -> bpeEncodeOracleSql(200),
+    "text_unigram_tokens" -> unigramOracleSql(
+      nVocab = 48, maxPieceLen = 4, seedSize = 64, iters = 2, maxWordLen = 12),
     "ann_ivf_topk" -> ivfTopKOracleSql(16, 10, 10000, 10, 64, 10),
     "ann_pca_topk" -> pcaTopKOracleSql(r = 16, iters = 24, dims = 64,
       k = 10, expand = 24),
