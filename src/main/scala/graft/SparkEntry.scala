@@ -1014,6 +1014,23 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Relational.anovaF(li, "l_returnflag", "cents")
     },
+    "rel_fdr_bh" -> { (s, dir) =>
+      prep(s, dir, "nation")
+      // r14: Benjamini-Hochberg step-up FDR screen over a 25-hypothesis
+      // battery (one per nation) — planted p-values (md5-h60 uniform
+      // nulls + five strong effects + one disarmed NULL) exercise the
+      // step-up cutoff, the NULL exclusion, and the cross-multiplied
+      // integer thresholds; alpha = 10%
+      val h = expr("CAST(conv(substr(md5(concat('fdr:', " +
+        "CAST(n_nationkey AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      val hyp = s.table("nation").select(
+        col("n_nationkey").cast("long").as("seg"),
+        when(col("n_nationkey") === 7, lit(null).cast("long"))
+          .when(col("n_nationkey") % 5 === 0, h % 2000)
+          .otherwise(h % 1000001).as("p_ppm"))
+      pipeline.Relational.bhFdrScreen(hyp, "seg", "p_ppm", alphaPpm = 100000)
+        .orderBy("id")
+    },
     "rel_theil" -> { (s, dir) =>
       prep(s, dir, "orders", "customer")
       // r13: Theil-T inequality decomposition of order spend across
@@ -9243,6 +9260,29 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "rel_fdr_bh" ->
+      """WITH h AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+                CASE WHEN n_nationkey = 7 THEN NULL
+                     WHEN n_nationkey % 5 = 0 THEN
+                       CAST('0x' || substr(md5('fdr:' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT) % 2000
+                     ELSE
+                       CAST('0x' || substr(md5('fdr:' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT) % 1000001
+                END AS p_ppm
+              FROM nation),
+            live AS (SELECT id, p_ppm,
+                       CAST(row_number() OVER (ORDER BY p_ppm, id) AS BIGINT) AS p_rank,
+                       CAST(count(*) OVER () AS BIGINT) AS m
+                     FROM h WHERE p_ppm IS NOT NULL)
+         SELECT id, CAST(p_ppm AS BIGINT) AS p_ppm, p_rank, m AS m_tests,
+                CAST(p_rank * 100000 AS BIGINT) AS bh_threshold_x,
+                CAST(p_ppm * m AS BIGINT) AS p_x_m,
+                max(CASE WHEN p_ppm * m <= p_rank * 100000 THEN 1 ELSE 0 END)
+                  OVER (ORDER BY p_rank DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS reject
+         FROM live
+         UNION ALL
+         SELECT id, NULL, NULL, NULL, NULL, NULL, FALSE FROM h WHERE p_ppm IS NULL
+         ORDER BY id""",
     "rel_anova" ->
       """WITH c AS (SELECT l_returnflag AS g,
                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x

@@ -1651,4 +1651,67 @@ object Relational {
             s"THEN CAST(floor(1000000 * (1 - $sse / $sst)) AS BIGINT) END")
             .as("r2_ppm"))): _*)
   }
+
+  /** BENJAMINI–HOCHBERG step-up FDR screen (Benjamini & Hochberg,
+    * JRSS-B '95) — the multiple-testing governance the engine's whole
+    * test family (welch/mann-whitney/kruskal/ks/z/anova …) was missing:
+    * run one test per segment and a 5% per-test α silently inflates to
+    * ~40% family-wise false discoveries at 10 segments; BH caps the
+    * expected FALSE-DISCOVERY RATE at α while keeping far more power
+    * than Bonferroni. Step-up rule on the ascending p-values: find the
+    * LARGEST rank k with p_(k) ≤ k·α/m, reject ranks 1..k.
+    *
+    * EXACT integers end to end: p in ppm, the threshold comparison
+    * cross-multiplied (`p_ppm·m ≤ rank·alpha_ppm` — no division, no
+    * float α), the step-up cutoff as a running max over the descending
+    * ranks. Ties on p break by the id column so the rank (and therefore
+    * the SCREEN) is deterministic; rejection only depends on p via the
+    * rank rule, so tied p-values always decide together (both ≤ k or
+    * neither — the step-up k takes the largest qualifying rank).
+    * NULL p (a test that disarmed — zero variance, empty cell) is
+    * EXCLUDED from m and reported unrejected: a disarmed test is not
+    * evidence and must not eat α from the live ones.
+    *
+    * Plan: the hypothesis frame is the OUTPUT of a test operator — one
+    * row per segment, m rows total (tiny by construction: segments, not
+    * corpus rows) — so the two rank windows run on a frame the
+    * bounded-collect contract already covers; the corpus never sees
+    * this operator. Output: `id, p_ppm, p_rank, m_tests,
+    * bh_threshold_x, p_x_m, reject`. */
+  def bhFdrScreen(df: DataFrame, idCol: String, pPpmCol: String,
+                  alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm must be in [1, 1e6], got $alphaPpm")
+    requireIntegralTime(df, pPpmCol, "bhFdrScreen", what = "p-value (ppm)")
+    val guarded = when(col(pPpmCol).isNull, lit(null))
+      .when(col(pPpmCol) >= 0 && col(pPpmCol) <= 1000000, col(pPpmCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("bhFdrScreen: p_ppm out of [0, 1e6] on id "), col(idCol).cast("string"))))
+    val live = df.select(col(idCol).as("id"), guarded.as("p_ppm"))
+      .where(col("p_ppm").isNotNull)
+    val wRank = Window.orderBy(col("p_ppm"), col("id"))
+    val wAll = Window.partitionBy()
+    val wStep = Window.orderBy(col("p_rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val screened = live
+      .withColumn("p_rank", row_number().over(wRank).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("bh_threshold_x", col("p_rank") * alphaPpm)
+      .withColumn("p_x_m", col("p_ppm") * col("m_tests"))
+      // step-up: reject iff SOME rank >= mine qualifies — a running
+      // "any qualifying seen yet" max over the descending-rank scan
+      .withColumn("reject",
+        max(when(col("p_x_m") <= col("bh_threshold_x"), 1L).otherwise(0L))
+          .over(wStep) === 1L)
+    val disarmed = df.select(col(idCol).as("id"), guarded.as("p_ppm"))
+      .where(col("p_ppm").isNull)
+      .select(col("id"), col("p_ppm"),
+        lit(null).cast("long").as("p_rank"),
+        lit(null).cast("long").as("m_tests"),
+        lit(null).cast("long").as("bh_threshold_x"),
+        lit(null).cast("long").as("p_x_m"),
+        lit(false).as("reject"))
+    screened.select("id", "p_ppm", "p_rank", "m_tests", "bh_threshold_x",
+      "p_x_m", "reject").union(disarmed)
+  }
 }

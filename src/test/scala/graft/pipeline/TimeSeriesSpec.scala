@@ -593,6 +593,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(o.getLong(0) == 1L && o.isNullAt(2), s"$o")
   }
 
+  test("bhFdrScreen: textbook step-up, the collective-rescue case, NULL exclusion, loud range") {
+    // textbook: p = [.01, .04, .03, .005, .20], alpha = .05 → the largest
+    // qualifying rank is 4 (.04 <= 4·.05/5), so the first four reject
+    val tb = Seq((1L, 10000L), (2L, 40000L), (3L, 30000L), (4L, 5000L), (5L, 200000L))
+      .toDF("seg", "p")
+    val got = Relational.bhFdrScreen(tb, "seg", "p", alphaPpm = 50000)
+      .orderBy("id").select("id", "reject").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> false), got.toString)
+    // the step-up's whole point: every p fails its OWN threshold except
+    // the last, which rescues all smaller ranks collectively
+    val su = Seq((1L, 30000L), (2L, 35000L), (3L, 36000L)).toDF("seg", "p")
+    val all = Relational.bhFdrScreen(su, "seg", "p", 50000)
+      .select("reject").as[Boolean].collect()
+    assert(all.forall(identity), all.mkString(","))
+    // a disarmed (NULL-p) test is excluded from m and never rejected
+    val withNull = Seq((1L, Some(4000L)), (2L, None), (3L, Some(900000L)))
+      .toDF("seg", "p")
+    val n = Relational.bhFdrScreen(withNull, "seg", "p", 50000)
+      .orderBy("id")
+      .select("id", "m_tests", "reject").as[(Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(n == Seq((1L, Some(2L), true), (2L, None, false), (3L, Some(2L), false)), n.toString)
+    // out-of-range p fails loudly
+    val ex = intercept[Exception] {
+      Relational.bhFdrScreen(Seq((1L, 2000000L)).toDF("seg", "p"), "seg", "p", 50000)
+        .collect()
+    }
+    assert(ex.getMessage.contains("out of [0, 1e6]"), ex.getMessage)
+  }
+
   test("theilDecomposition: equal-within groups read exactly 0; hand-computed between terms; loud on nonpositive") {
     // power-of-two fixture (lg64 exact): A = 4×8 cents, B = 2×32 cents —
     // no within inequality; between terms hand-computed in the grade:
