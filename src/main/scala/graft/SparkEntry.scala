@@ -2424,6 +2424,21 @@ object SparkEntry {
           "bits_per_sample", "n_samples")
         .orderBy("doc_id")
     },
+    "multimodal_exif_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: EXIF/TIFF IFD walk off JPEG APP1 segments — orientation
+      // (the tag that silently rotates phone photos before any pixel
+      // pass), camera make/model (ASCII by-offset AND inline), ExifIFD
+      // pixel dims (LONG), BOTH byte orders (II even ids, MM odd).
+      // Corruption planted in the gate: id%43==0 md5 garbage, id%43==9
+      // a valid JPEG with no APP1 — both read has_exif=false with nulls
+      val media = pipeline.Multimodal.synthesizeExifJpegPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeExifMeta(media, "payload")
+        .select("doc_id", "has_exif", "byte_order", "orientation",
+          "make", "model", "pixel_x", "pixel_y")
+        .orderBy("doc_id")
+    },
     "multimodal_video_probe" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r14: MP4/ISO-BMFF box walk (ftyp/moov/mvhd/trak/tkhd/stsd) — the
@@ -8833,6 +8848,22 @@ object SparkEntry {
                      ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS n_samples
+         FROM documents ORDER BY doc_id""",
+    "multimodal_exif_probe" ->
+      """SELECT doc_id,
+                (doc_id % 43 NOT IN (0, 9)) AS has_exif,
+                CASE WHEN doc_id % 43 IN (0, 9) THEN NULL
+                     WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+                CASE WHEN doc_id % 43 IN (0, 9) THEN NULL
+                     ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+                CASE WHEN doc_id % 43 IN (0, 9) THEN NULL
+                     ELSE 'CAM' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+                CASE WHEN doc_id % 43 IN (0, 9) THEN NULL
+                     ELSE 'M' || CAST(doc_id % 3 AS VARCHAR) END AS model,
+                CASE WHEN doc_id % 43 IN (0, 9) THEN NULL
+                     ELSE CAST(320 + (doc_id % 17) * 16 AS INT) END AS pixel_x,
+                CASE WHEN doc_id % 43 IN (0, 9) THEN NULL
+                     ELSE CAST(200 + (doc_id * 5 % 23) * 8 AS INT) END AS pixel_y
          FROM documents ORDER BY doc_id""",
     "multimodal_video_probe" ->
       """SELECT doc_id,

@@ -1085,6 +1085,92 @@ object Multimodal {
       .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__p.*"): _*)
   }
 
+  /** Spec-valid JPEG+APP1(EXIF) payloads with id-derived tags — the
+    * EXIF twin of [[synthesizeMp4Payloads]]: TIFF block (II on even ids,
+    * MM on odd — BOTH byte orders exercised), IFD0 with Make (ASCII by
+    * offset), Model (ASCII inline), Orientation (SHORT 1 + id%8), and
+    * the ExifIFD sub-directory carrying LONG pixel dims. Corruption
+    * plants: id%43 == 0 → md5 garbage (not a JPEG), id%43 == 9 → a
+    * valid JFIF JPEG with NO APP1 (the has_exif = false path on real
+    * images). */
+  def synthesizeExifJpegPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 43 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else if (id % 43 == 9) {
+          val bb = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 16 + 2)
+          bb.put(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte))
+          bb.putShort(18.toShort)
+          bb.put("JFIF".getBytes("US-ASCII")); bb.put(new Array[Byte](12))
+          bb.put(Array(0xff, 0xd9).map(_.toByte))
+          bb.array()
+        } else exifJpeg(
+          little = id % 2 == 0,
+          orientation = (1 + id % 8).toInt,
+          make = s"CAM${id % 5}",
+          model = s"M${id % 3}",
+          px = (320 + (id % 17) * 16).toInt,
+          py = (200 + (id * 5 % 23) * 8).toInt)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  private def exifJpeg(little: Boolean, orientation: Int, make: String,
+                       model: String, px: Int, py: Int): Array[Byte] = {
+    // TIFF block: hdr(8) + IFD0(2 + 4*12 + 4 = 54 → ends 62) +
+    // make string (5 + 1 pad → subIFD at 68) + ExifIFD(2 + 2*12 + 4 = 30)
+    val tiff = java.nio.ByteBuffer.allocate(98)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    tiff.putShort(42.toShort)
+    tiff.putInt(8) // IFD0 offset
+    tiff.putShort(4.toShort) // entry count (tags ascending per spec)
+    // 0x010F Make: ASCII count 5 ("CAM?\0") by offset 62
+    tiff.putShort(0x010f.toShort); tiff.putShort(2.toShort)
+    tiff.putInt(5); tiff.putInt(62)
+    // 0x0110 Model: ASCII count 3 ("M?\0") inline (<= 4 bytes, no swap)
+    tiff.putShort(0x0110.toShort); tiff.putShort(2.toShort)
+    tiff.putInt(3)
+    tiff.put(model.getBytes("US-ASCII")) // 2 chars
+    tiff.put(0.toByte); tiff.put(0.toByte) // NUL terminator + field pad
+    // 0x0112 Orientation: SHORT inline (left-justified in the field)
+    tiff.putShort(0x0112.toShort); tiff.putShort(3.toShort)
+    tiff.putInt(1); tiff.putShort(orientation.toShort); tiff.putShort(0.toShort)
+    // 0x8769 ExifIFD pointer → 68
+    tiff.putShort(0x8769.toShort); tiff.putShort(4.toShort)
+    tiff.putInt(1); tiff.putInt(68)
+    tiff.putInt(0) // next-IFD terminator
+    tiff.put(make.getBytes("US-ASCII")) // 4 chars at 62
+    tiff.put(0.toByte); tiff.put(0.toByte) // NUL terminator + pad -> 68
+    tiff.putShort(2.toShort) // ExifIFD entry count
+    tiff.putShort(0xa002.toShort); tiff.putShort(4.toShort)
+    tiff.putInt(1); tiff.putInt(px)
+    tiff.putShort(0xa003.toShort); tiff.putShort(4.toShort)
+    tiff.putInt(1); tiff.putInt(py)
+    tiff.putInt(0) // next-IFD terminator
+    val exifPayload = "Exif".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ tiff.array()
+    val bb = java.nio.ByteBuffer.allocate(2 + 4 + exifPayload.length + 2)
+    bb.put(Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte))
+    bb.putShort((2 + exifPayload.length).toShort) // marker lengths stay BE
+    bb.put(exifPayload)
+    bb.put(Array(0xff, 0xd9).map(_.toByte))
+    bb.array()
+  }
+
+  /** Expand [[graft.functions.ExifProbe]] over a payload column: one
+    * header-only pure-map pass → typed EXIF columns. */
+  def probeExifMeta(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__p",
+        E.column(graft.functions.ExifProbe(E.expression(col(payloadCol)))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__p.*"): _*)
+  }
+
   private def flacHeader(channels: Int, rate: Int, bits: Int,
                          totalSamples: Long): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34)

@@ -211,6 +211,75 @@ class MediaProbeSpec extends AnyFunSuite {
       box("mdia", box("minf", box("stbl", box("stsd", sd.array())))))
   }
 
+  // ---- EXIF / TIFF IFD walk ---------------------------------------------
+
+  private def tiffBlock(little: Boolean, withSub: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(98)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42.toShort); bb.putInt(8)
+    bb.putShort(4.toShort)
+    bb.putShort(0x010f.toShort); bb.putShort(2.toShort); bb.putInt(5); bb.putInt(62)
+    bb.putShort(0x0110.toShort); bb.putShort(2.toShort); bb.putInt(3)
+    bb.put("M7".getBytes("US-ASCII")); bb.put(0.toByte); bb.put(0.toByte)
+    bb.putShort(0x0112.toShort); bb.putShort(3.toShort); bb.putInt(1)
+    bb.putShort(6.toShort); bb.putShort(0.toShort)
+    bb.putShort(0x8769.toShort); bb.putShort(4.toShort); bb.putInt(1)
+    bb.putInt(if (withSub) 68 else 90000) // hostile offset in the no-sub twin
+    bb.putInt(0)
+    bb.put("CAMX".getBytes("US-ASCII")); bb.put(0.toByte); bb.put(0.toByte)
+    bb.putShort(2.toShort)
+    bb.putShort(0xa002.toShort); bb.putShort(4.toShort); bb.putInt(1); bb.putInt(640)
+    bb.putShort(0xa003.toShort); bb.putShort(4.toShort); bb.putInt(1); bb.putInt(480)
+    bb.putInt(0)
+    bb.array()
+  }
+
+  private def exifJpeg(tiff: Array[Byte]): Array[Byte] = {
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val bb = java.nio.ByteBuffer.allocate(2 + 4 + payload.length + 2)
+    bb.put(Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte))
+    bb.putShort((2 + payload.length).toShort)
+    bb.put(payload)
+    bb.put(Array(0xff, 0xd9).map(_.toByte))
+    bb.array()
+  }
+
+  test("EXIF: both byte orders read orientation, make (offset), model (inline), dims") {
+    for (little <- Seq(true, false)) {
+      val p = ExifFormats.probe(exifJpeg(tiffBlock(little, withSub = true)))
+      assert(p.hasExif && p.byteOrder == (if (little) "II" else "MM"), s"$p")
+      assert(p.orientation == 6 && p.make == "CAMX" && p.model == "M7", s"$p")
+      assert(p.pixelX == 640 && p.pixelY == 480, s"$p")
+    }
+  }
+
+  test("EXIF: hostile sub-IFD offset, truncation, and absent APP1 never throw") {
+    // ExifIFD pointer past the segment: IFD0 fields survive, dims null
+    val hostile = ExifFormats.probe(exifJpeg(tiffBlock(little = true, withSub = false)))
+    assert(hostile.hasExif && hostile.orientation == 6 && hostile.pixelX == null, s"$hostile")
+    // APP1 torn mid-TIFF: never a throw
+    val full = exifJpeg(tiffBlock(little = true, withSub = true))
+    for (cut <- Seq(6, 14, 20, 40, 70))
+      ExifFormats.probe(full.take(cut)) // must not throw
+    // a JPEG without APP1 reads has_exif = false
+    val plain = java.nio.ByteBuffer.allocate(24)
+    plain.put(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte))
+    plain.putShort(18.toShort)
+    plain.put("JFIF".getBytes("US-ASCII")); plain.put(new Array[Byte](12))
+    plain.put(Array(0xff, 0xd9).map(_.toByte))
+    assert(!ExifFormats.probe(plain.array()).hasExif)
+    // not a JPEG at all / null / empty
+    assert(!ExifFormats.probe("GIF89a??????".getBytes).hasExif)
+    assert(!ExifFormats.probe(null).hasExif)
+    assert(!ExifFormats.probe(Array[Byte](1)).hasExif)
+    // bad TIFF magic
+    val badMagic = exifJpeg(tiffBlock(little = true, withSub = true))
+    badMagic(14) = 99 // corrupt the 42
+    assert(!ExifFormats.probe(badMagic).hasExif)
+  }
+
   test("MP4: ftyp + moov(mvhd, trak) reads duration, tracks, dims, codec") {
     val b = ftyp() ++ box("moov",
       mvhdV0(timescale = 600, duration = 7200) ++

@@ -12,17 +12,18 @@ class AttributionSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.session
   import spark.implicits._
 
-  // fixture: A views c0 then c1 and converts (10 cents); B views c1 and
+  // fixture (users are integral per the journeyTransitions contract —
+  // A=1, B=2, C=3): A views c0 then c1 and converts (10 cents); B views c1 and
   // doesn't; C views c1 then c0 and converts (20 cents).
   // counts: START->0:1, START->1:2; 0->1:1, 0->CONV:1; 1->CONV:1,
   // 1->NULL:1, 1->0:1. Exact fixpoint: p0 = 0.8, p1 = 0.6, pSTART = 2/3.
   private def fixture = {
     val touches = Seq(
-      ("A", 1L, 1L, 0L), ("A", 2L, 2L, 1L),
-      ("B", 1L, 3L, 1L),
-      ("C", 1L, 4L, 1L), ("C", 2L, 5L, 0L))
+      (1L, 1L, 1L, 0L), (1L, 2L, 2L, 1L),
+      (2L, 1L, 3L, 1L),
+      (3L, 1L, 4L, 1L), (3L, 2L, 5L, 0L))
       .toDF("user", "ts", "tie", "channel")
-    val conv = Seq(("A", 10L), ("C", 20L)).toDF("user", "cents")
+    val conv = Seq((1L, 10L), (3L, 20L)).toDF("user", "cents")
     (touches, conv)
   }
 
@@ -76,8 +77,8 @@ class AttributionSpec extends AnyFunSuite {
 
   test("touchless conversions don't enter the pot; all-NULL chain attributes zero") {
     // D converts but never touched a channel: excluded from the pot
-    val touches = Seq(("A", 1L, 1L, 0L)).toDF("user", "ts", "tie", "channel")
-    val conv = Seq(("D", 99L)).toDF("user", "cents")
+    val touches = Seq((1L, 1L, 1L, 0L)).toDF("user", "ts", "tie", "channel")
+    val conv = Seq((4L, 99L)).toDF("user", "cents")
     val out = Attribution.markovRemovalEffects(touches, "user", "ts", "tie",
         "channel", conv, "cents", iters = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -87,21 +88,21 @@ class AttributionSpec extends AnyFunSuite {
   }
 
   test("loud guards: negative channel, NULL channel, cardinality cap") {
-    val conv = Seq(("A", 1L)).toDF("user", "cents")
-    val neg = Seq(("A", 1L, 1L, -7L)).toDF("user", "ts", "tie", "channel")
+    val conv = Seq((1L, 1L)).toDF("user", "cents")
+    val neg = Seq((1L, 1L, 1L, -7L)).toDF("user", "ts", "tie", "channel")
     val e1 = intercept[IllegalArgumentException] {
       Attribution.markovRemovalEffects(neg, "user", "ts", "tie", "channel",
         conv, "cents")
     }
     assert(e1.getMessage.contains("negative channel"))
-    val nul = Seq(("A", 1L, 1L, Some(1L)), ("A", 2L, 2L, None))
+    val nul = Seq((1L, 1L, 1L, Some(1L)), (1L, 2L, 2L, None))
       .toDF("user", "ts", "tie", "channel")
     val e2 = intercept[IllegalArgumentException] {
       Attribution.markovRemovalEffects(nul, "user", "ts", "tie", "channel",
         conv, "cents")
     }
     assert(e2.getMessage.contains("NULL channel"))
-    val wide = (0L until 70L).map(c => ("A", c, c, c)).toDF("user", "ts", "tie", "channel")
+    val wide = (0L until 70L).map(c => (1L, c, c, c)).toDF("user", "ts", "tie", "channel")
     val e3 = intercept[IllegalArgumentException] {
       Attribution.markovRemovalEffects(wide, "user", "ts", "tie", "channel",
         conv, "cents")
