@@ -2749,6 +2749,17 @@ object SparkEntry {
           "ts", "value", alphaNum = 1, alphaDen = 4)
         .orderBy("user_id")
     },
+    "ts_conformal" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r14: split-conformal forecast band at 90% — the error bar the
+      // point-forecast family ships without: band half-width = the
+      // ceil((n+1)·0.9)-th smallest one-step EWMA |residual| per user
+      // (an order statistic, hash-exact); under-calibrated users read
+      // a NULL band, never a fake interval
+      pipeline.TimeSeries.conformalBand(s.table("events"), "user_id",
+          "ts", "value", alphaPpm = 100000)
+        .orderBy("user_id")
+    },
     "ts_holt" -> { (s, dir) =>
       prep(s, dir, "events")
       // Holt level+trend (α=1/4, β=1/2) per user over the spine, 7-day
@@ -9545,6 +9556,49 @@ object SparkEntry {
                 CAST(CASE WHEN sum(abs(cents - pe)) < sum(abs(cents - pn))
                      THEN 1 ELSE 0 END AS BIGINT) AS beats_naive
          FROM l WHERE pe IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "ts_conformal" ->
+      """WITH RECURSIVE b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+              spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                        FROM r),
+              f AS (SELECT s.user_id, s.day, CAST(coalesce(b.cents, 0) AS BIGINT) AS cents,
+                      CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.day) AS BIGINT) AS rn
+                    FROM spine s LEFT JOIN b USING (user_id, day)),
+              ew AS (
+                SELECT user_id, rn, day, cents, cents AS e FROM f WHERE rn = 1
+                UNION ALL
+                SELECT f.user_id, f.rn, f.day, f.cents,
+                       (1 * f.cents + 3 * ew.e) // 4
+                FROM f JOIN ew ON f.user_id = ew.user_id AND f.rn = ew.rn + 1),
+              l AS (SELECT user_id, day, cents, e,
+                      lag(e) OVER (PARTITION BY user_id ORDER BY day) AS pe,
+                      row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rnd
+                    FROM ew),
+              res AS (SELECT user_id, abs(cents - pe) AS rres, day
+                      FROM l WHERE pe IS NOT NULL),
+              rk AS (SELECT user_id, rres,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY rres, day) AS BIGINT) AS rnk
+                     FROM res),
+              c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_cal,
+                      CAST(((count(*) + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS q_rank
+                    FROM res GROUP BY 1),
+              q AS (SELECT c.user_id, CAST(rk.rres AS BIGINT) AS q_cents
+                    FROM c JOIN rk ON rk.user_id = c.user_id AND rk.rnk = c.q_rank),
+              lastv AS (SELECT user_id, CAST(e AS BIGINT) AS forecast_cents
+                        FROM l WHERE rnd = 1)
+         SELECT lastv.user_id, coalesce(c.n_cal, 0) AS n_cal, c.q_rank,
+                CASE WHEN c.q_rank <= c.n_cal THEN q.q_cents END AS q_cents,
+                lastv.forecast_cents,
+                CASE WHEN c.q_rank <= c.n_cal
+                     THEN lastv.forecast_cents - q.q_cents END AS lo_cents,
+                CASE WHEN c.q_rank <= c.n_cal
+                     THEN lastv.forecast_cents + q.q_cents END AS hi_cents
+         FROM lastv LEFT JOIN c USING (user_id) LEFT JOIN q USING (user_id)
+         ORDER BY user_id""",
     "ts_holt" ->
       """WITH RECURSIVE base AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents

@@ -541,6 +541,73 @@ object TimeSeries {
         when(col("err_ewma_cents") < col("err_naive_cents"), 1L).otherwise(0L))
   }
 
+  /** SPLIT-CONFORMAL forecast band (Vovk et al. '05; Lei et al. JASA'18
+    * lineage) over the [[forecastBacktest]] residuals — the error bar
+    * every point forecast in the family (ewma/holt/holtWinters/croston)
+    * ships without: the calibration set is the key's one-step-ahead
+    * EWMA absolute residuals |y_t − e_{t−1}|, and the band half-width
+    * is their CONFORMAL QUANTILE — the ⌈(n+1)(1−α)⌉-th smallest
+    * residual, an ORDER STATISTIC the data contains (the theilSen
+    * lower-median convention generalized to any rank; no two-middle
+    * interpolation, no float quantile — the band hash-gates). Keys
+    * whose calibration set is too small for the level (rank > n) read
+    * a NULL band, never a fake interval: at α = 10% you need ≥ 9
+    * residuals before any finite band is honest. Coverage ≥ 1−α holds
+    * under exchangeability of residuals — time series bend that
+    * assumption (the standard conformal-forecasting caveat, documented
+    * not hidden); the one-step EWMA residual stream is the closest
+    * exchangeable proxy the spine offers.
+    *
+    * Rank arithmetic exact: `q_rank = ((n+1)·(10⁶−alphaPpm) + 10⁶−1)
+    * DIV 10⁶` (integer ceiling, cross-multiplied — no float α).
+    *
+    * Plan: the EWMA spine frame is already key-partitioned; the residual
+    * rank window, the count rollup, and the last-level pick all reuse
+    * that one exchange. Output per key: `keyCol, n_cal, q_rank,
+    * q_cents, forecast_cents, lo_cents, hi_cents`. */
+  def conformalBand(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, alphaPpm: Long = 100000L,
+                    alphaNum: Long = 1L, alphaDen: Long = 4L): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 999999,
+      s"alphaPpm must be in [1, 999999], got $alphaPpm")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    val ew = Materialize.cut(
+      ewma(events, keyCol, tsCol, valueCol, alphaNum, alphaDen)
+        .withColumn("__pe", lag(col("ewma_cents"), 1).over(w))
+        .withColumn("__rnd",
+          row_number().over(Window.partitionBy(keyCol).orderBy(col("day").desc))))
+    val resid = ew.where(col("__pe").isNotNull)
+      .select(col(keyCol), abs(col("value_cents") - col("__pe")).as("__r"),
+        col("day"))
+    val ranked = resid.withColumn("__rank",
+      row_number().over(Window.partitionBy(keyCol).orderBy(col("__r"), col("day"))).cast("long"))
+    val counts = resid.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("q_rank",
+        expr(s"((n_cal + 1) * ${1000000L - alphaPpm} + 999999) DIV 1000000"))
+    // the conformal pick: exactly the rank-q residual (a key whose rank
+    // exceeds its calibration size simply has no row here — the NULL
+    // band falls out of the left join below)
+    val q = counts.join(ranked, Seq(keyCol))
+      .where(col("__rank") === col("q_rank"))
+      .select(col(keyCol), col("__r").as("q_cents"))
+    val last = ew.where(col("__rnd") === 1)
+      .select(col(keyCol), col("ewma_cents").as("forecast_cents"))
+    val joined = last.join(counts.select(col(keyCol), col("n_cal"), col("q_rank")),
+        Seq(keyCol), "left")
+      .join(q.select(col(keyCol), col("q_cents")), Seq(keyCol), "left")
+    joined.select(col(keyCol),
+      coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+      col("q_rank"),
+      when(col("q_rank") <= col("n_cal"), col("q_cents")).as("q_cents"),
+      col("forecast_cents"),
+      when(col("q_rank") <= col("n_cal"),
+        col("forecast_cents") - col("q_cents")).as("lo_cents"),
+      when(col("q_rank") <= col("n_cal"),
+        col("forecast_cents") + col("q_cents")).as("hi_cents"))
+  }
+
   /** HOLT LINEAR TREND (double exponential smoothing) + h-step
     * forecast, integer fixed-point: per key over the gap-filled spine,
     *

@@ -378,6 +378,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.map(_._2) == Seq(3L, 2L, 1L), "risk set still shrinks")
   }
 
+  test("conformalBand: hand-computed order-statistic band; under-calibrated keys read NULL") {
+    val ts0 = Date.valueOf("2024-03-01").toLocalDate
+    // cents [400, 800, 800, 800, 0] → ewma [400, 500, 575, 631, 473];
+    // residuals |y_t − e_{t−1}| = [400, 300, 225, 631], sorted
+    // [225, 300, 400, 631]
+    val ev = Seq(4.0, 8.0, 8.0, 8.0, 0.0).zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Timestamp.valueOf(ts0.plusDays(i).atStartOfDay), v)
+    } ++ Seq((2L, java.sql.Timestamp.valueOf(ts0.atStartOfDay), 5.0))
+    val df = ev.toDF("user_id", "ts", "value")
+    // alpha 25% → q_rank = ceil(5·0.75) = 4 → q = 631, band 473 ± 631
+    val got = TimeSeries.conformalBand(df, "user_id", "ts", "value",
+        alphaPpm = 250000)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long], Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got(0) == ((1L, 4L, Some(4L), Some(631L), 473L,
+      Some(473L - 631L), Some(473L + 631L))), got.toString)
+    // the single-day key: no residuals, NULL band, forecast still reads
+    assert(got(1) == ((2L, 0L, None, None, 500L, None, None)), got.toString)
+    // alpha 10% → q_rank = ceil(5·0.9) = 5 > n_cal = 4 → honest NULL
+    val strict = TimeSeries.conformalBand(df, "user_id", "ts", "value",
+        alphaPpm = 100000)
+      .where($"user_id" === 1L)
+      .as[(Long, Long, Option[Long], Option[Long], Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(strict._2 == 4L && strict._3 == Some(5L) && strict._4.isEmpty &&
+      strict._6.isEmpty, strict.toString)
+  }
+
   test("forecastBacktest: hand-checked one-step errors; smoothing beats naive on noise, loses on a walk") {
     // user 7 spine cents [400, 0, 0, 1000] → ewma [400, 300, 225, 418];
     // eval days 2..4: |0−400|+|0−300|+|1000−225| = 1475 ewma error,
