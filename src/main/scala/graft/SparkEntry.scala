@@ -3803,6 +3803,23 @@ object SparkEntry {
       pipeline.Graph.stronglyConnectedComponents(fwd.union(bwd), "src", "dst")
         .orderBy("node")
     },
+    "graph_condensation" -> { (s, dir) =>
+      prep(s, dir, "lineitem", "orders")
+      // r14: the SCC quotient DAG with longest-path levels over the
+      // graph_scc flow graph — how DEEP the order/return flow structure
+      // runs and which components source/sink it
+      val li = s.table("orders").join(s.table("lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderkey") % 8 === 0)
+      val fwd = li.where(col("l_returnflag") =!= "R")
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000).as("dst"))
+      val bwd = li.where(col("l_returnflag") === "R")
+        .select((col("l_suppkey") + 1000000).as("src"),
+          col("o_custkey").as("dst"))
+      pipeline.Graph.condensationLevels(fwd.union(bwd), "src", "dst")
+        .orderBy("scc")
+    },
     "graph_components" -> { (s, dir) =>
       prep(s, dir, "lineitem")
       // EXACT connected components over a sparse co-purchase slice
@@ -6649,6 +6666,38 @@ object SparkEntry {
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_louvain" -> louvainOracleSql(3),
     "graph_louvain_full" -> louvainFullOracleSql(3),
+    "graph_condensation" ->
+      """WITH RECURSIVE base AS (
+           SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_returnflag AS rf
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey % 8 = 0),
+         e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT c AS src, s AS dst FROM base WHERE rf <> 'R'
+                 UNION ALL
+                 SELECT s AS src, c AS dst FROM base WHERE rf = 'R')
+               WHERE src <> dst),
+         nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         reach(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         mutual AS (SELECT r1.a, r1.b FROM reach r1
+                    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+         sccmap AS MATERIALIZED (
+           SELECT n.v AS node, least(n.v, coalesce(min(m.b), n.v)) AS scc
+           FROM nodes n LEFT JOIN mutual m ON m.a = n.v GROUP BY n.v),
+         ce AS MATERIALIZED (SELECT DISTINCT sa.scc AS cs, sb.scc AS cd
+               FROM e JOIN sccmap sa ON sa.node = e.src
+                      JOIN sccmap sb ON sb.node = e.dst
+               WHERE sa.scc <> sb.scc),
+         lvl(c, l) AS (
+           SELECT DISTINCT scc, 0 FROM sccmap
+           UNION
+           SELECT ce.cd, lvl.l + 1 FROM lvl JOIN ce ON ce.cs = lvl.c)
+         SELECT CAST(s.scc AS BIGINT) AS scc,
+                CAST(count(*) AS BIGINT) AS n_members,
+                CAST((SELECT max(l) FROM lvl WHERE lvl.c = s.scc) AS BIGINT) AS level
+         FROM sccmap s GROUP BY s.scc ORDER BY scc""",
     "graph_scc" ->
       """WITH RECURSIVE base AS (
            SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_returnflag AS rf

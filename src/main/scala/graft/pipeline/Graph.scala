@@ -1904,4 +1904,64 @@ object Graph {
     }
     Materialize.cut(acc)
   }
+
+  /** CONDENSATION of the directed graph (r14) — the SCC quotient DAG
+    * with LONGEST-PATH levels: contract every strongly connected
+    * component of [[stronglyConnectedComponents]] to one node, keep the
+    * distinct cross-component edges, and assign each component its
+    * topological DEPTH (0 = no incoming cross edges; else 1 + the max
+    * level of its predecessors). The link-graph readout SCC alone
+    * doesn't give: how DEEP the flow structure runs (crawl frontier
+    * tiers, citation generations, dependency strata) and which
+    * components are the sources/sinks of it.
+    *
+    * Levels by iterative max-relaxation to a CHECKED fixpoint: the
+    * condensation is a DAG by construction, so the loop settles within
+    * its depth; `maxLevels` is the loud budget (exceeding it would mean
+    * a cycle survived the SCC pass — a correctness failure to surface,
+    * never to absorb). Per round one shuffle_hash join of the
+    * component-sized level frame against the condensed edges + one
+    * groupBy — both orders of magnitude smaller than the input graph.
+    * Output: one row per component — `scc, n_members, level`. */
+  def condensationLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxPeels: Int = 12, maxHops: Int = 40,
+                         maxLevels: Int = 64): DataFrame = {
+    require(maxLevels >= 1 && maxLevels <= 1024,
+      s"maxLevels must be in [1, 1024], got $maxLevels")
+    val scc = Materialize.cut(
+      stronglyConnectedComponents(edges, srcCol, dstCol, maxPeels, maxHops))
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val ce = Materialize.cut(
+      e0.join(scc.withColumnRenamed("node", "src").withColumnRenamed("scc", "__cs"), Seq("src"))
+        .join(scc.withColumnRenamed("node", "dst").withColumnRenamed("scc", "__cd"), Seq("dst"))
+        .where(col("__cs") =!= col("__cd"))
+        .select(col("__cs"), col("__cd")).distinct())
+    var lvl = Materialize.cut(
+      scc.select(col("scc")).distinct().withColumn("level", lit(0L)))
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      if (round > maxLevels) throw new IllegalStateException(
+        s"condensationLevels: levels still rising after $maxLevels rounds " +
+          "— a cycle survived the SCC pass (correctness failure) or the " +
+          "DAG is deeper than the budget; raise maxLevels")
+      val cand = ce.join(lvl.hint("shuffle_hash"), ce("__cs") === lvl("scc"))
+        .groupBy(col("__cd").as("scc"))
+        .agg((max(col("level")) + 1L).as("__nl"))
+      val merged = Materialize.cut(
+        lvl.join(cand.hint("shuffle_hash"), Seq("scc"), "left")
+          .select(col("scc"),
+            greatest(col("level"), coalesce(col("__nl"), col("level"))).as("level"),
+            (col("__nl").isNotNull && col("__nl") > col("level")).as("__imp")))
+      changed = merged.where(col("__imp")).count()
+      lvl = merged.select("scc", "level")
+    }
+    scc.groupBy("scc").agg(count(lit(1)).as("n_members"))
+      .join(lvl, Seq("scc"))
+      .select("scc", "n_members", "level")
+  }
 }

@@ -812,6 +812,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L), s"$got")
   }
 
+  test("condensation: levels are longest-path depth over the SCC quotient DAG") {
+    // {1,2} cycle → 3 → {4,5} cycle → 6, plus a shortcut 3 → 6: the
+    // longest path decides 6's level (3, not 2)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (5L, 6L), (3L, 6L)).toDF("src", "dst")
+    val got = Graph.condensationLevels(e, "src", "dst")
+      .orderBy("scc").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L), (3L, 1L, 1L), (4L, 2L, 2L), (6L, 1L, 3L)),
+      got.toString)
+    // an all-one-SCC graph condenses to a single level-0 node
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val one = Graph.condensationLevels(cyc, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 3L, 0L)), one.toString)
+  }
+
   test("scc: peel budget failure is loud, direction-reversed duplicate edges collapse") {
     // a 4-deep condensation chain in min-label order needs 4 peels
     // (edges run HIGH→LOW, so every live SCC's forward-min is the
