@@ -1475,6 +1475,20 @@ object SparkEntry {
     "ann_pca_recall" -> ((s, dir) => annRecall(s, dir,
       (emb, q) => pipeline.Similarity.pcaTopKExact(emb, q, "vec_id", "embedding",
         k = 10, r = 16, iters = 24, expand = 24))),
+    // r14: MATRYOSHKA truncation audit — recall@10 of plain PREFIX
+    // truncation to 16 of 64 dims (the MRL serving decision: ship the
+    // first quarter of every embedding and keep how much of the
+    // ranking?) vs the full-dim brute force. Unlike PCA's learned
+    // basis at the same r = 16, the untrained prefix keeps whatever
+    // the generator put in the leading dims — the two queries TOGETHER
+    // answer "is a learned projection worth it on this corpus"
+    "emb_matryoshka_recall" -> ((s, dir) => annRecall(s, dir,
+      (emb, q) => {
+        def trunc(df: DataFrame) =
+          df.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+        pipeline.Similarity.bruteForceTopK(trunc(emb), trunc(q),
+          "vec_id", "embedding", k = 10)
+      })),
     "text_langid" -> { (s, dir) =>
       prep(s, dir, "documents")
       s.table("documents")
@@ -7705,6 +7719,13 @@ object SparkEntry {
     // the documented near-uniform worst case, now 0.90 instead of 0.30.
     "ann_pca_recall" -> annRecallOracleSql(
       Seq(900000L, 1000000L, 1000000L, 1000000L, 800000L), floorPpm = 800000L),
+    // r14: the Matryoshka audit's pinned finding is the LOW side — an
+    // UNTRAINED embedding's 16-dim prefix keeps only 10-30% of the
+    // full ranking where PCA's learned r = 16 basis keeps 94%: prefix
+    // truncation is only a serving option for MRL-trained models, and
+    // this query is the measurement that says so for a given corpus
+    "emb_matryoshka_recall" -> annRecallOracleSql(
+      Seq(100000L, 200000L, 100000L, 300000L, 200000L), floorPpm = 100000L),
     "text_langid" ->
       """WITH w AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) ws FROM documents),
               c AS (SELECT doc_id,
