@@ -1693,6 +1693,21 @@ object SparkEntry {
       pipeline.TextAnalysis.wordChunks(s.table("documents"), "doc_id", "text", chunkWords = 16)
         .orderBy("doc_id", "chunk_id")
     },
+    "text_rouge" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: ROUGE-2 of a deterministic "extractive summary" (the first
+      // 20 words + a planted 'spark spark spark' repetition that the
+      // CLIPPED counts must cap at the reference multiplicity) against
+      // the full document — the summarization-eval readout in exact ppm
+      val withCand = s.table("documents").withColumn("cand",
+        concat_ws(" ", expr(
+          "concat(slice(filter(split(lower(text), '\\\\s+'), x -> length(x) > 0), 1, 20)," +
+            " array('spark', 'spark', 'spark'))")))
+      pipeline.TextAnalysis.rougeN(withCand, "text", "cand", n = 2)
+        .select("doc_id", "n_ref_grams", "n_cand_grams", "overlap_grams",
+          "rouge_recall_ppm", "rouge_precision_ppm", "rouge_f1_ppm")
+        .orderBy("doc_id")
+    },
     "text_chunks_sentence" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r14: sentence-boundary RAG chunking — the corpus text carries no
@@ -7869,6 +7884,34 @@ object SparkEntry {
                     '&nbsp;', ' '), '&amp;', '&'),
                   '[ \t\n\r\f]+', ' ', 'g')) AS clean
          FROM h ORDER BY doc_id""",
+    "text_rouge" ->
+      """WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0) AS wr
+              FROM documents),
+            c AS (SELECT doc_id, wr,
+                list_concat(wr[1:20], ['spark', 'spark', 'spark']) AS wc
+              FROM w),
+            g AS (SELECT doc_id,
+                CASE WHEN len(wr) >= 2
+                     THEN list_transform(range(1, len(wr)), i -> wr[i] || ' ' || wr[i+1])
+                     ELSE [] END AS gr,
+                CASE WHEN len(wc) >= 2
+                     THEN list_transform(range(1, len(wc)), i -> wc[i] || ' ' || wc[i+1])
+                     ELSE [] END AS gc
+              FROM c),
+            o AS (SELECT doc_id,
+                CAST(len(gr) AS BIGINT) AS nr, CAST(len(gc) AS BIGINT) AS nc,
+                CAST(coalesce(list_sum(list_transform(list_distinct(gc), g2 ->
+                  least(len(list_filter(gc, x -> x = g2)),
+                        len(list_filter(gr, x -> x = g2))))), 0) AS BIGINT) AS ov
+              FROM g)
+         SELECT doc_id, nr AS n_ref_grams, nc AS n_cand_grams,
+                CASE WHEN nr + nc > 0 THEN ov END AS overlap_grams,
+                CASE WHEN nr > 0 THEN CAST((ov * 1000000) // nr AS BIGINT) END AS rouge_recall_ppm,
+                CASE WHEN nc > 0 THEN CAST((ov * 1000000) // nc AS BIGINT) END AS rouge_precision_ppm,
+                CASE WHEN nr + nc > 0 THEN CAST((2 * ov * 1000000) // (nr + nc) AS BIGINT) END AS rouge_f1_ppm
+         FROM o ORDER BY doc_id""",
     "text_chunks_sentence" ->
       """WITH sent AS (SELECT doc_id,
                 replace(replace(replace(text, ' table ', '. '), ' value ', '! '),

@@ -1174,6 +1174,58 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
 
+  /** ROUGE-N overlap (Lin '04) between a reference and a candidate text
+    * column (r14) — the summarization/extraction EVAL the engine's
+    * n-gram machinery was never pointed at: per row, the CLIPPED n-gram
+    * overlap (each distinct candidate gram counts at most its reference
+    * multiplicity — the clipping is what stops "the the the" gaming
+    * precision) read out as exact integer ppm recall / precision / F1:
+    *
+    *   overlap = Σ_{g ∈ distinct(cand)} min(#cand(g), #ref(g))
+    *   recall = overlap/|ref grams|, precision = overlap/|cand grams|,
+    *   F1 = 2·overlap/(|ref| + |cand|)   (all ⌊·10⁶⌋, truncating DIV)
+    *
+    * PURE MAP: both texts live in the row, grams build with one in-row
+    * transform, the clipped sum is one fold over the distinct candidate
+    * grams — no explode, no shuffle, stream-safe; per-row cost
+    * O(distinct · (|cand| + |ref|)), fine at document scale and
+    * embarrassingly parallel at corpus scale. A side without enough
+    * words for one gram reads NULL metrics (0/0 is not a score).
+    * Output appends: `n_ref_grams, n_cand_grams, overlap_grams,
+    * rouge_recall_ppm, rouge_precision_ppm, rouge_f1_ppm`. */
+  def rougeN(df: DataFrame, refCol: String, candCol: String,
+             n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    def grams(c: String) =
+      s"""CASE WHEN size(__w$c) >= $n THEN
+            transform(sequence(0, size(__w$c) - $n), i ->
+              ${(0 until n).map(j => s"element_at(__w$c, i + ${j + 1})")
+                 .mkString("concat_ws(' ', ", ", ", ")")})
+          ELSE CAST(array() AS ARRAY<STRING>) END"""
+    df.withColumn("__wr", words(col(refCol)))
+      .withColumn("__wc", words(col(candCol)))
+      .withColumn("__gr", expr(grams("r")))
+      .withColumn("__gc", expr(grams("c")))
+      .withColumn("overlap_grams", expr(
+        """aggregate(array_distinct(__gc), 0L, (acc, g) ->
+             acc + least(size(filter(__gc, x -> x = g)),
+                         size(filter(__gr, x -> x = g))))"""))
+      .withColumn("n_ref_grams", size(col("__gr")).cast("long"))
+      .withColumn("n_cand_grams", size(col("__gc")).cast("long"))
+      .withColumn("rouge_recall_ppm",
+        when(col("n_ref_grams") > 0,
+          expr("(overlap_grams * 1000000) DIV n_ref_grams")))
+      .withColumn("rouge_precision_ppm",
+        when(col("n_cand_grams") > 0,
+          expr("(overlap_grams * 1000000) DIV n_cand_grams")))
+      .withColumn("rouge_f1_ppm",
+        when(col("n_ref_grams") + col("n_cand_grams") > 0,
+          expr("(2 * overlap_grams * 1000000) DIV (n_ref_grams + n_cand_grams)")))
+      .withColumn("overlap_grams",
+        when(col("n_ref_grams") + col("n_cand_grams") > 0, col("overlap_grams")))
+      .drop("__wr", "__wc", "__gr", "__gc")
+  }
+
   /** SENTENCE-boundary chunking (r14) — the RAG-prep variant of
     * [[wordChunks]]: windows of `maxSentences` sentences advancing by
     * `maxSentences − overlap`, so a fact straddling a window edge is

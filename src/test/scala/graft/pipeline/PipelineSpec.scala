@@ -2104,6 +2104,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunks(0).split(" ").length == 16 && chunks(2).split(" ").length == 8)
   }
 
+  test("rougeN: clipped bigram overlap, hand ppm, degenerate NULLs") {
+    // ref "a b a b c" grams [ab, ba, ab, bc]; cand "a b a a b" grams
+    // [ab, ba, aa, ab] → overlap ab:min(2,2)=2, ba:1, aa:0 → 3;
+    // recall = precision = f1 = 3/4
+    val df = Seq(
+      (1L, "a b a b c", "a b a a b"),
+      // clipping: cand repeats 'a b' 3x but ref carries only 2
+      (2L, "a b a b c", "a b a b a b"),
+      // candidate too short for one bigram
+      (3L, "a b c", "x")).toDF("id", "ref", "cand")
+    val got = TextAnalysis.rougeN(df, "ref", "cand", n = 2)
+      .orderBy("id")
+      .select("n_ref_grams", "n_cand_grams", "overlap_grams",
+        "rouge_recall_ppm", "rouge_precision_ppm", "rouge_f1_ppm")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got(0) == ((4L, 4L, Some(3L), Some(750000L), Some(750000L), Some(750000L))), got.toString)
+    // overlap = clip(ab→2) + clip(ba→1) = 3 of nc = 5 → precision 600000
+    assert(got(1) == ((4L, 5L, Some(3L), Some(750000L), Some(600000L),
+      Some(2L * 3 * 1000000 / 9))), got.toString)
+    assert(got(2) == ((2L, 0L, Some(0L), Some(0L), None, Some(0L))), got.toString)
+  }
+
   test("sentence chunking: boundaries, overlap, fragments, and the NULL contract") {
     // 5 sentences incl. a "..." run and an unterminated trailing fragment
     val text = "One two. Three! Four? Wait... tail fragment"
