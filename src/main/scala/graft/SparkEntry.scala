@@ -1693,6 +1693,22 @@ object SparkEntry {
       pipeline.TextAnalysis.wordChunks(s.table("documents"), "doc_id", "text", chunkWords = 16)
         .orderBy("doc_id", "chunk_id")
     },
+    "text_lang_spans" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: mixed-language line segmentation — planted bilingual
+      // structure (1-in-4 docs gain two consecutive German lines = ONE
+      // de span; another 1-in-4 gain fr/en/fr = THREE spans, the
+      // consecutiveness test) over the per-line langid + islands
+      // collapse; the router readout a per-doc language id can't give
+      val planted = s.table("documents").withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nder und die ist nicht ein mit\nder das und ist"))
+          .when(col("doc_id") % 4 === 1,
+            lit("\nle la les et est un\nthe and of to is\nle et la pour"))
+          .otherwise(lit(""))))
+      pipeline.TextAnalysis.langSpans(planted, "doc_id", "t2")
+        .orderBy("doc_id", "span_id")
+    },
     "text_rouge" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r14: ROUGE-2 of a deterministic "extractive summary" (the first
@@ -7884,6 +7900,51 @@ object SparkEntry {
                     '&nbsp;', ' '), '&amp;', '&'),
                   '[ \t\n\r\f]+', ' ', 'g')) AS clean
          FROM h ORDER BY doc_id""",
+    "text_lang_spans" ->
+      """WITH t AS (SELECT doc_id, text ||
+                CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || 'der und die ist nicht ein mit' ||
+                          chr(10) || 'der das und ist'
+                     WHEN doc_id % 4 = 1
+                     THEN chr(10) || 'le la les et est un' ||
+                          chr(10) || 'the and of to is' ||
+                          chr(10) || 'le et la pour'
+                     ELSE '' END AS t2
+              FROM documents),
+            l0 AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM t),
+            l1 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS i, ls FROM l0),
+            ln AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line FROM l1),
+            w AS (SELECT doc_id, line_no,
+                list_distinct(list_filter(regexp_split_to_array(lower(line), '\s+'),
+                                          x -> len(x) > 0)) AS ws
+              FROM ln),
+            c AS (SELECT doc_id, line_no,
+                len(list_intersect(ws, ['the','and','of','to','a','in','is','that','it','for'])) en,
+                len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                len(list_intersect(ws, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                len(list_intersect(ws, ['el','la','los','y','es','un','una','para','en','que'])) es
+              FROM w),
+            p AS (SELECT doc_id, line_no,
+                CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                     WHEN fr >= es AND fr > 0 THEN 'fr'
+                     WHEN es > 0 THEN 'es'
+                     ELSE 'und' END AS lang
+              FROM c),
+            isl AS (SELECT doc_id, line_no, lang,
+                line_no - row_number() OVER (PARTITION BY doc_id, lang
+                                             ORDER BY line_no) AS grp
+              FROM p),
+            sp AS (SELECT doc_id, lang, grp,
+                CAST(min(line_no) AS BIGINT) AS first_line,
+                CAST(max(line_no) AS BIGINT) AS last_line,
+                CAST(count(*) AS BIGINT) AS n_lines
+              FROM isl GROUP BY 1, 2, 3)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY first_line) AS BIGINT) AS span_id,
+                lang, first_line, last_line, n_lines
+         FROM sp ORDER BY doc_id, span_id""",
     "text_rouge" ->
       """WITH w AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -44,6 +44,39 @@ object TextAnalysis {
     }
   }
 
+  /** Mixed-language LINE SPANS (r14) — document-level language
+    * segmentation: a crawled page is routinely bilingual (nav chrome in
+    * one language, body in another; quote blocks; boilerplate), and a
+    * per-DOC language id forces a single wrong label on the mix. Lines
+    * get the [[langId]] verdict individually and CONSECUTIVE same-lang
+    * lines collapse to spans (the gaps-and-islands construction:
+    * island = line_no − per-lang rank, replayable in any engine), so
+    * the downstream router can keep the `en` body and drop the `de`
+    * chrome instead of choosing one label for both.
+    *
+    * Plan: one explode + two doc-partitioned windows on the line frame
+    * (the dup-lines shuffle shape); spans per doc ≤ lines per doc.
+    * Output: `idCol, span_id, lang, first_line, last_line, n_lines`
+    * (line numbers 0-based; span_id 1-based in first-line order). */
+  def langSpans(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__line")))
+      .withColumn("__lang", langId(col("__line")))
+    val wLang = Window.partitionBy(col(idCol), col("__lang")).orderBy(col("__ln"))
+    val islands = lines.withColumn("__isl",
+      col("__ln") - row_number().over(wLang))
+    val spans = islands.groupBy(col(idCol), col("__lang"), col("__isl"))
+      .agg(min(col("__ln")).cast("long").as("first_line"),
+        max(col("__ln")).cast("long").as("last_line"),
+        count(lit(1)).as("n_lines"))
+    spans.withColumn("span_id",
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("first_line")))
+          .cast("long"))
+      .select(col(idCol), col("span_id"), col("__lang").as("lang"),
+        col("first_line"), col("last_line"), col("n_lines"))
+  }
+
   /** Integer quality components — exact on both engines. */
   def qualityComponents(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

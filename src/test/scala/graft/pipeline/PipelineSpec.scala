@@ -2104,6 +2104,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunks(0).split(" ").length == 16 && chunks(2).split(" ").length == 8)
   }
 
+  test("langSpans: consecutive same-lang lines collapse, interleaving splits") {
+    val doc =
+      "the and of to is\n" +          // en
+      "the of in that it\n" +         // en (same span)
+      "der und die ist nicht\n" +     // de
+      "le la les et est\n" +          // fr
+      "der mit das ein auf\n" +       // de again — NEW span, not merged
+      "zzz qqq"                       // und
+    val got = TextAnalysis.langSpans(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("span_id")
+      .select("span_id", "lang", "first_line", "last_line", "n_lines")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "en", 0L, 1L, 2L),
+      (2L, "de", 2L, 2L, 1L),
+      (3L, "fr", 3L, 3L, 1L),
+      (4L, "de", 4L, 4L, 1L),
+      (5L, "und", 5L, 5L, 1L)), got.toString)
+  }
+
   test("rougeN: clipped bigram overlap, hand ppm, degenerate NULLs") {
     // ref "a b a b c" grams [ab, ba, ab, bc]; cand "a b a a b" grams
     // [ab, ba, aa, ab] → overlap ab:min(2,2)=2, ba:1, aa:0 → 3;
