@@ -2341,6 +2341,16 @@ object SparkEntry {
           Seq("event_type"), "user_id", p = 8)
         .orderBy("event_type")
     },
+    "sketch_hll_setops" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r14: HLL union/intersection per event-type pair — the register
+      // max-merge + inclusion-exclusion cross-source overlap planner;
+      // same all-integer estimator as sketch_hll_distinct, so every
+      // pair's three estimates hash-gate
+      pipeline.Sketches.hllSetOps(s.table("events"),
+          "event_type", "user_id", p = 8)
+        .orderBy("group_a", "group_b")
+    },
     "sketch_cms_freq" -> { (s, dir) =>
       prep(s, dir, "events")
       // Count-Min frequency estimates for a bounded probe cohort over the
@@ -8901,6 +8911,39 @@ object SparkEntry {
                           + CAST(256 - count(*) AS HUGEINT) * 9007199254740992) * 1000000)
                      AS BIGINT) AS n_distinct_est
          FROM regs GROUP BY event_type ORDER BY event_type"""),
+    "sketch_hll_setops" -> (
+      """WITH h AS (SELECT event_type AS g,
+                      CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                    FROM events WHERE user_id IS NOT NULL),
+              r AS (SELECT g, hv // 4503599627370496 AS b,
+                      CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                           ELSE 53 - length(bin(hv % 4503599627370496)) END AS rk
+                    FROM h),
+              regs AS MATERIALIZED (SELECT g, b, max(rk) AS reg FROM r GROUP BY 1, 2),
+              est1 AS (SELECT g,
+                  CAST(CAST('""" + pipeline.Sketches.hllNumConstant(8).toString + """' AS HUGEINT)
+                       // ((sum(CAST(1 AS HUGEINT) << (53 - reg))
+                            + CAST(256 - count(*) AS HUGEINT) * 9007199254740992) * 1000000)
+                       AS BIGINT) AS est
+                FROM regs GROUP BY g),
+              gg AS (SELECT DISTINCT g FROM regs),
+              pairs AS (SELECT x.g AS ga, y.g AS gb FROM gg x JOIN gg y ON x.g < y.g),
+              uregs AS (SELECT p.ga, p.gb, regs.b, max(regs.reg) AS reg
+                        FROM pairs p JOIN regs ON regs.g = p.ga OR regs.g = p.gb
+                        GROUP BY 1, 2, 3),
+              estu AS (SELECT ga, gb,
+                  CAST(CAST('""" + pipeline.Sketches.hllNumConstant(8).toString + """' AS HUGEINT)
+                       // ((sum(CAST(1 AS HUGEINT) << (53 - reg))
+                            + CAST(256 - count(*) AS HUGEINT) * 9007199254740992) * 1000000)
+                       AS BIGINT) AS est_union
+                FROM uregs GROUP BY 1, 2)
+         SELECT u.ga AS group_a, u.gb AS group_b,
+                a.est AS est_a, bb.est AS est_b, u.est_union,
+                greatest(a.est + bb.est - u.est_union, 0) AS est_intersect,
+                CAST((greatest(a.est + bb.est - u.est_union, 0) * 1000000)
+                     // u.est_union AS BIGINT) AS overlap_ppm
+         FROM estu u JOIN est1 a ON a.g = u.ga JOIN est1 bb ON bb.g = u.gb
+         ORDER BY group_a, group_b"""),
     "sketch_cms_freq" ->
       """WITH v AS (SELECT user_id AS vv FROM events WHERE user_id IS NOT NULL),
               c AS (SELECT t.r AS r,

@@ -299,4 +299,82 @@ object Sketches {
                                 DIV CAST(element_at(__u, $k) AS DECIMAL(38,0)) AS BIGINT) END""")
           .as("union_est"))
   }
+
+  /** HLL SET OPERATIONS over per-group register tables (r14) — the
+    * mergeability payoff [[hllDistinct]] documents, cashed in: HLL union
+    * is per-bucket register `max`, so every UNORDERED GROUP PAIR gets a
+    * union estimate from one register merge, and the intersection falls
+    * out by inclusion–exclusion (|A∩B| ≈ Ê_A + Ê_B − Ê_A∪B, clamped at
+    * 0 — the standard HLL intersection estimator, whose error grows as
+    * the true overlap shrinks relative to ±1.04/√m·|A∪B|; documented,
+    * not hidden). The cross-corpus planning readout ("how much would
+    * these two sources dedup against each other") at sketch cost —
+    * beside [[kmvOverlap]]'s bottom-k answer to the same question with
+    * a different error trade.
+    *
+    * Same all-integer estimator as [[hllDistinct]] (shared
+    * [[hllNumConstant]] — both engines divide by the identical BigInt),
+    * so singles, unions, and the inclusion–exclusion difference all
+    * hash-gate. Pairs enumerate from the DISTINCT group set under a
+    * LOUD cardinality cap (pairs are quadratic in groups — this is a
+    * per-source/per-type readout, never a per-key one); the pair frame
+    * broadcasts against the register table, registers shuffle once.
+    * Output per pair (a < b): `group_a, group_b, est_a, est_b,
+    * est_union, est_intersect, overlap_ppm` (∩/∪ in ppm). */
+  def hllSetOps(df: DataFrame, groupCol: String, valueCol: String,
+                p: Int = 8, maxGroups: Int = 64): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    require(maxGroups >= 2 && maxGroups <= 1024,
+      s"maxGroups must be in [2, 1024], got $maxGroups")
+    val m = 1 << p
+    val w = 60 - p
+    val maxRank = w + 1
+    val hashed = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), h60(col(valueCol), "hll").as("__h"))
+    val rem = col("__h") % (1L << w)
+    val regs = Materialize.cut(
+      hashed.select(col("__g"),
+          expr(s"__h DIV ${1L << w}").as("__bucket"),
+          when(rem === 0L, maxRank)
+            .otherwise(lit(maxRank) - length(bin(rem))).as("__reg"))
+        .groupBy("__g", "__bucket").agg(max(col("__reg")).as("__reg")))
+    val num = hllNumConstant(p)
+    def estimate(regFrame: DataFrame, keys: Seq[String], out: String): DataFrame =
+      regFrame.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__nb"),
+          sum(expr(s"shiftleft(1L, $maxRank - __reg)")).as("__sp"))
+        .withColumn("__s",
+          col("__sp") + (lit(m.toLong) - col("__nb")) * (1L << maxRank))
+        .withColumn(out, expr(
+          s"CAST(CAST('$num' AS DECIMAL(38,0)) DIV " +
+            s"(CAST(__s AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+        .select((keys.map(col) :+ col(out)): _*)
+    val groups = regs.select(col("__g")).distinct()
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"hllSetOps: $nGroups groups exceed maxGroups=$maxGroups — this is " +
+        "a per-source readout (pairs are quadratic); raise the cap only " +
+        "for genuinely bounded group sets")
+    val pairs = groups.as("x").join(groups.as("y"),
+        col("x.__g") < col("y.__g"))
+      .select(col("x.__g").as("group_a"), col("y.__g").as("group_b"))
+    val contrib = regs.join(broadcast(pairs),
+      regs("__g") === col("group_a") || regs("__g") === col("group_b"))
+    val unionEst = estimate(
+      contrib.groupBy("group_a", "group_b", "__bucket")
+        .agg(max(col("__reg")).as("__reg")),
+      Seq("group_a", "group_b"), "est_union")
+    val singles = estimate(regs, Seq("__g"), "__est")
+    unionEst
+      .join(singles.withColumnRenamed("__g", "group_a")
+        .withColumnRenamed("__est", "est_a"), Seq("group_a"))
+      .join(singles.withColumnRenamed("__g", "group_b")
+        .withColumnRenamed("__est", "est_b"), Seq("group_b"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("overlap_ppm",
+        expr("(est_intersect * 1000000) DIV est_union"))
+      .select("group_a", "group_b", "est_a", "est_b", "est_union",
+        "est_intersect", "overlap_ppm")
+  }
 }
