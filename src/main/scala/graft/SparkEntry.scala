@@ -3858,6 +3858,23 @@ object SparkEntry {
       pipeline.Graph.stronglyConnectedComponents(fwd.union(bwd), "src", "dst")
         .orderBy("node")
     },
+    "graph_walks" -> { (s, dir) =>
+      prep(s, dir, "lineitem", "orders")
+      // r14: deterministic DeepWalk corpus over the order/return flow
+      // graph — md5-derived uniform neighbor steps, 4 hops per start
+      // node; the embedding-trainer input whose every row hash-gates
+      val li = s.table("orders").join(s.table("lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderkey") % 8 === 0)
+      val fwd = li.where(col("l_returnflag") =!= "R")
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000).as("dst"))
+      val bwd = li.where(col("l_returnflag") === "R")
+        .select((col("l_suppkey") + 1000000).as("src"),
+          col("o_custkey").as("dst"))
+      pipeline.Graph.randomWalks(fwd.union(bwd), "src", "dst", walkLen = 4)
+        .orderBy("start", "step")
+    },
     "graph_condensation" -> { (s, dir) =>
       prep(s, dir, "lineitem", "orders")
       // r14: the SCC quotient DAG with longest-path levels over the
@@ -6721,6 +6738,38 @@ object SparkEntry {
     "graph_communities" -> labelPropagationOracleSql(4),
     "graph_louvain" -> louvainOracleSql(3),
     "graph_louvain_full" -> louvainFullOracleSql(3),
+    "graph_walks" -> {
+      val h60 = (t: Int) =>
+        s"CAST('0x' || substr(md5('rw:' || CAST(w.start AS VARCHAR) || ':$t:' || CAST(w.cur AS VARCHAR)), 1, 15) AS BIGINT)"
+      val steps = (1 to 4).map { t =>
+        s"""s$t AS MATERIALIZED (SELECT w.start, n.dst AS cur
+           |  FROM s${t - 1} w JOIN n ON n.src = w.cur
+           |   AND n.rnk = ${h60(t)} % n.deg + 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 4).map(t =>
+        s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_returnflag AS rf
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderkey % 8 = 0),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT c AS src, s AS dst FROM base WHERE rf <> 'R'
+         |    UNION ALL
+         |    SELECT s AS src, c AS dst FROM base WHERE rf = 'R')
+         |  WHERE src <> dst),
+         |n AS MATERIALIZED (SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM e),
+         |s0 AS (SELECT DISTINCT src AS start, src AS cur FROM e),
+         |$steps
+         |SELECT CAST(start AS BIGINT) AS start, step, CAST(node AS BIGINT) AS node FROM (
+         |  SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM s0
+         |  UNION ALL
+         |  $out)
+         |ORDER BY start, step""".stripMargin
+    },
     "graph_condensation" ->
       """WITH RECURSIVE base AS (
            SELECT o_custkey AS c, l_suppkey + 1000000 AS s, l_returnflag AS rf

@@ -1905,6 +1905,64 @@ object Graph {
     Materialize.cut(acc)
   }
 
+  /** DETERMINISTIC RANDOM WALKS (r14) — the DeepWalk/node2vec corpus
+    * export (Perozzi et al. KDD'14): one fixed-length walk from every
+    * node with out-edges, the sequences that graph-embedding trainers
+    * consume as sentences. Steps are md5-DERIVED, not sampled: at step
+    * t from node v on the walk started at s, the next hop is the
+    * neighbor with rank `1 + h60("rw:"∥s∥":"∥t∥":"∥v) mod outdeg(v)`
+    * (neighbors ranked by dst id) — a pure function of the input, so
+    * the whole walk corpus hash-gates AND re-runs byte-identically on
+    * resume (the samplePerGroup determinism argument applied to walk
+    * sampling; statistically it is hash-uniform neighbor choice, which
+    * is exactly what DeepWalk's uniform step wants). Walks reaching a
+    * sink (no out-edges) stop early — their rows simply end.
+    *
+    * Plan: the ranked adjacency (rank + outdeg on ONE src-partitioned
+    * window) materializes once; each step is one shuffle_hash join of
+    * the walk frontier against it. Output rows are walk positions
+    * `(start, step, node)` with step 0 = the start itself — output
+    * size = Σ walk lengths, the export's intrinsic cost. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walkLen: Int = 4, salt: String = "rw"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 64,
+      s"walkLen must be in [1, 64], got $walkLen")
+    Search.requireIntegralId(edges, srcCol, "randomWalks", role = "src id")
+    Search.requireIntegralId(edges, dstCol, "randomWalks", role = "dst id")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val w = Window.partitionBy("src").orderBy("dst")
+    val nbrs = Materialize.cut(
+      e0.withColumn("__rank", row_number().over(w).cast("long"))
+        .withColumn("__deg",
+          count(lit(1)).over(Window.partitionBy("src")).cast("long")))
+    def h60(start: org.apache.spark.sql.Column, t: Int,
+            cur: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(salt), lit(":"),
+        start.cast("string"), lit(":"), lit(t.toString), lit(":"),
+        cur.cast("string"))), 1, 15), 16, 10).cast("long")
+    var frontier = Materialize.cut(
+      nbrs.select(col("src").as("start")).distinct()
+        .withColumn("cur", col("start")))
+    var acc = frontier.select(col("start"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to walkLen) {
+      val nxt = Materialize.cut(
+        frontier.join(nbrs.hint("shuffle_hash"),
+            frontier("cur") === nbrs("src") &&
+              nbrs("__rank") === (h60(frontier("start"), t, frontier("cur"))
+                % nbrs("__deg")) + 1L)
+          .select(col("start"), col("dst").as("cur")))
+      acc = acc.union(nxt.select(col("start"), lit(t.toLong).as("step"),
+        col("cur").as("node")))
+      frontier = nxt
+    }
+    acc
+  }
+
   /** CONDENSATION of the directed graph (r14) — the SCC quotient DAG
     * with LONGEST-PATH levels: contract every strongly connected
     * component of [[stronglyConnectedComponents]] to one node, keep the
