@@ -1014,6 +1014,18 @@ object SparkEntry {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       pipeline.Relational.anovaF(li, "l_returnflag", "cents")
     },
+    "events_mde" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r14: minimum-detectable-effect readout per event type at the
+      // industry-default 5%/80% — what effect size could this traffic
+      // even see, BEFORE a test runs; parity arms, pinned-literal normal
+      // quantiles, exact DECIMAL moments
+      val ev = s.table("events").where(col("value").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2).as("arm"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Relational.mdeReadout(ev, "event_type", "arm", "cents")
+        .orderBy("event_type")
+    },
     "rel_fdr_bh" -> { (s, dir) =>
       prep(s, dir, "nation")
       // r14: Benjamini-Hochberg step-up FDR screen over a 25-hypothesis
@@ -9568,6 +9580,37 @@ object SparkEntry {
          FROM c JOIN b ON b.event_type = c.event_type
                       AND c.win_day BETWEEN b.d0 AND b.d1
          GROUP BY 1, 2 ORDER BY c.event_type, c.win_day""",
+    "events_mde" ->
+      """WITH a AS (SELECT event_type, user_id % 2 AS arm,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL),
+            m AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+                CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS ss
+              FROM a GROUP BY 1, 2),
+            g AS (SELECT event_type,
+                sum(CASE WHEN arm = 0 THEN n END) AS na,
+                sum(CASE WHEN arm = 1 THEN n END) AS nb,
+                sum(CASE WHEN arm = 0 THEN s END) AS sa,
+                sum(CASE WHEN arm = 1 THEN s END) AS sb,
+                sum(CASE WHEN arm = 0 THEN ss END) AS ssa,
+                sum(CASE WHEN arm = 1 THEN ss END) AS ssb
+              FROM m GROUP BY 1)
+         SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CASE WHEN na >= 2 AND nb >= 2
+                      AND (CAST(ssa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                        + (CAST(ssb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) > 0
+                THEN CAST(floor(1000 * CAST('2.8015852181129688' AS DOUBLE) *
+                  sqrt((((CAST(ssa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                        + (CAST(ssb AS DOUBLE)
+                          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                       / CAST(na + nb - 2 AS DOUBLE))
+                     * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))
+                  AS BIGINT) END AS mde_cents_milli
+         FROM g ORDER BY event_type""",
     "rel_fdr_bh" ->
       """WITH h AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
                 CASE WHEN n_nationkey = 7 THEN NULL

@@ -1652,6 +1652,61 @@ object Relational {
             .as("r2_ppm"))): _*)
   }
 
+  /** MINIMUM DETECTABLE EFFECT readout (the standard two-sample sizing
+    * identity; Cohen '88 lineage) — the experiment-DESIGN companion the
+    * A/B readout family (welch/z/cuped/did) was missing: before a test
+    * runs, what effect size could THIS traffic even see?
+    *
+    *   MDE = (z_{1−α/2} + z_{1−β}) · σ_pooled · √(1/n_a + 1/n_b)
+    *
+    * at the industry-default α = 5% two-sided / power 80%, whose normal
+    * quantiles are PINNED LITERAL doubles (2.8015852181129688 = z₀.₉₇₅
+    * + z₀.₈₀ — a compile-time constant spliced into both engines, so no
+    * Φ⁻¹ is ever evaluated). Moments follow the rel_correlation
+    * discipline: per-(group, arm) exact DECIMAL (n, Σx, Σx²) on ONE
+    * partial-aggregated groupBy, pooled variance and the square root at
+    * pinned IEEE points, the readout floored to milli-cents. Degenerate
+    * designs (an arm with < 2 rows, zero pooled variance, a missing
+    * arm) read NULL, never a fake zero. Arms must be 0/1 — guarded
+    * in-column (the diffInDiff convention). Output per group:
+    * `group, n_a, n_b, mde_cents_milli`. */
+  def mdeReadout(df: DataFrame, groupCol: String, armCol: String,
+                 valueCol: String): DataFrame = {
+    requireIntegralTime(df, valueCol, "mdeReadout", what = "metric value")
+    val dec = "decimal(38,0)"
+    val arm = when(col(armCol).isin(0, 1), col(armCol).cast("int"))
+      .otherwise(raise_error(concat(lit("mdeReadout: arm must be 0/1, got "),
+        col(armCol).cast("string"))))
+    val m = df.select(col(groupCol).as("__g"), arm.as("__a"),
+        col(valueCol).cast("long").cast(dec).as("__x"))
+      .groupBy("__g", "__a")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+    m.groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(when(col("__a") === 0, col("__n"))).as("n_a"),
+        sum(when(col("__a") === 1, col("__n"))).as("n_b"),
+        sum(when(col("__a") === 0, col("__s"))).as("__sa"),
+        sum(when(col("__a") === 1, col("__s"))).as("__sb"),
+        sum(when(col("__a") === 0, col("__ss"))).as("__ssa"),
+        sum(when(col("__a") === 1, col("__ss"))).as("__ssb"))
+      .select(col(groupCol), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("""CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND (CAST(__ssa AS DOUBLE)
+                      - CAST(__sa AS DOUBLE) * CAST(__sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   + (CAST(__ssb AS DOUBLE)
+                      - CAST(__sb AS DOUBLE) * CAST(__sb AS DOUBLE) / CAST(n_b AS DOUBLE)) > 0
+              THEN CAST(floor(1000 * CAST('2.8015852181129688' AS DOUBLE) *
+                sqrt((((CAST(__ssa AS DOUBLE)
+                        - CAST(__sa AS DOUBLE) * CAST(__sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      + (CAST(__ssb AS DOUBLE)
+                        - CAST(__sb AS DOUBLE) * CAST(__sb AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                     / CAST(n_a + n_b - 2 AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+                AS BIGINT) END""").as("mde_cents_milli"))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR screen (Benjamini & Hochberg,
     * JRSS-B '95) — the multiple-testing governance the engine's whole
     * test family (welch/mann-whitney/kruskal/ks/z/anova …) was missing:
