@@ -207,6 +207,26 @@ object Unigram {
     * map — safe on streams. */
   def encode(model: Model, text: Column): Column =
     E.column(UnigramEncode(E.expression(text), model.pieces, model.total))
+
+  /** Persist the pruned piece table (`piece, cnt` parquet) — the
+    * [[Bpe.saveModel]] lifecycle: train once, tokenize every later
+    * batch or stream (encode is stateless). `total` is NOT stored: it
+    * is the sum of the stored counts by construction, recomputed on
+    * load so the artifact cannot drift against itself. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                dir: String): Unit = {
+    import spark.implicits._
+    model.pieces.toDF("piece", "cnt")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val pieces = spark.read.parquet(dir)
+      .select("piece", "cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }.toIndexedSeq
+    Model(pieces, math.max(pieces.map(_._2).sum, 1L))
+  }
 }
 
 /** unigram_encode(text) with the plan-constant pruned piece table: per

@@ -99,6 +99,20 @@ class UnigramSpec extends AnyFunSuite {
     assert(unk == Seq("z", "q", "ab"), unk.toString)
   }
 
+  test("model save/load round-trips pieces, total, and every encode") {
+    val m = Unigram.trainFromCounts(
+      Seq(("abab", 10L), ("ab", 5L), ("cd", 3L)), nVocab = 8,
+      maxPieceLen = 2, seedSize = 100, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_unigram").toString
+    Unigram.saveModel(spark, m, dir)
+    val back = Unigram.loadModel(spark, dir)
+    assert(back.pieces == m.pieces && back.total == m.total,
+      s"${back.pieces} / ${back.total} vs ${m.pieces} / ${m.total}")
+    for (w <- Seq("abab", "cd", "abcd"))
+      assert(Unigram.segment(w, back.costs.get, back.unkCost, back.maxPieceLen).toSeq ==
+        Unigram.segment(w, m.costs.get, m.unkCost, m.maxPieceLen).toSeq, w)
+  }
+
   test("astral-plane words segment on code points, never inside a surrogate pair") {
     val w = "😀a😀" // 😀a😀 — 3 code points, 5 chars
     val m = Unigram.trainFromCounts(Seq((w, 5L)), nVocab = 8,

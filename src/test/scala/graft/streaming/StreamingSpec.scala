@@ -138,6 +138,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sentence chunking + ROUGE + video probe: the r14 pure maps run unchanged on a stream") {
+    // sentenceChunks, rougeN, and probeVideoMeta are all stateless maps
+    // (regex/fold/byte-walk per row) — the SAME operator code runs in
+    // append mode with no watermark or state store, byte-identical to
+    // the batch run
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 24L).map(i =>
+      (i, s"Alpha $i. Beta beta! Gamma? delta tail $i"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    val in = src.toDF().toDF("doc_id", "text")
+    val chunked = graft.pipeline.TextAnalysis.sentenceChunks(
+      in, "doc_id", "text", maxSentences = 2, overlap = 1)
+    val rouge = graft.pipeline.TextAnalysis.rougeN(
+      in.withColumn("cand", org.apache.spark.sql.functions.expr(
+        "concat('alpha ', CAST(doc_id AS STRING), ' beta beta')")),
+      "text", "cand", n = 2)
+      .select("doc_id", "overlap_grams", "rouge_f1_ppm")
+    val q1 = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("sent_stream_out").start()
+    val q2 = rouge.writeStream.outputMode("append")
+      .format("memory").queryName("rouge_stream_out").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val bChunk = graft.pipeline.TextAnalysis.sentenceChunks(
+        rows.toDF("doc_id", "text"), "doc_id", "text", 2, 1)
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+      val sChunk = spark.table("sent_stream_out")
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+      assert(sChunk == bChunk && bChunk.nonEmpty)
+      val bRouge = graft.pipeline.TextAnalysis.rougeN(
+        rows.toDF("doc_id", "text").withColumn("cand",
+          org.apache.spark.sql.functions.expr(
+            "concat('alpha ', CAST(doc_id AS STRING), ' beta beta')")),
+        "text", "cand", n = 2)
+        .select("doc_id", "overlap_grams", "rouge_f1_ppm")
+        .as[(Long, Long, Long)].collect().toSet
+      val sRouge = spark.table("rouge_stream_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sRouge == bRouge && bRouge.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+    // the MP4 probe on a binary stream: header-only pure map
+    val vsrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val ftypOnly = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(16); bb.put("ftyp".getBytes("US-ASCII"))
+      bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+      bb.array()
+    }
+    vsrc.addData((1L, ftypOnly), (2L, "not a video".getBytes))
+    val probed = graft.pipeline.Multimodal.probeVideoMeta(
+      vsrc.toDF().toDF("doc_id", "payload"), "payload")
+      .select("doc_id", "format")
+    val q3 = probed.writeStream.outputMode("append")
+      .format("memory").queryName("vprobe_stream_out").start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("vprobe_stream_out").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "mp4"), (2L, "unknown")), got.toString)
+    } finally q3.stop()
+  }
+
   test("streaming markup strip + script profile: stateless maps, stream == batch") {
     // stripMarkup and scriptProfile are pure codegen'd maps (plan-asserted
     // joinless/shuffleless in PlanSpec), so the crawl-normalization front
