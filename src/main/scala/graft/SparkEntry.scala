@@ -2080,6 +2080,34 @@ object SparkEntry {
           contextTokens = 256, shards = 8)
         .orderBy("doc_id")
     },
+    "pipeline_token_yield" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r14: the effective-training-token yield table — the FIRST
+      // question of a data recipe: how many tokens does each source
+      // actually contribute after exact dedup and the per-lang quality
+      // median gate? raw → unique → kept, all integer token counts,
+      // yield in ppm of raw
+      val base = pipeline.Materialize(
+        pipeline.TextAnalysis.qualityScore(
+          pipeline.Dedup.exact(s.table("documents"), "doc_id", "text"), "text")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("is_duplicate"), col("n_words"), col("quality_score")))
+      val med = base.groupBy("lang")
+        .agg(expr("percentile(quality_score, 0.5)").as("__p50"))
+      base.join(broadcast(med), Seq("lang"))
+        .withColumn("__kept",
+          !col("is_duplicate") && col("quality_score") >= col("__p50"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("raw_tokens"),
+          sum(when(!col("is_duplicate"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(!col("is_duplicate"), col("n_words")).otherwise(0L))
+            .as("unique_tokens"),
+          sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__kept"), col("n_words")).otherwise(0L)).as("kept_tokens"))
+        .withColumn("yield_ppm", expr("(kept_tokens * 1000000) DIV raw_tokens"))
+        .orderBy("source")
+    },
     "text_quality_filter" -> { (s, dir) =>
       prep(s, dir, "documents")
       // curation gate: keep docs at or above their language's median
@@ -8569,6 +8597,35 @@ object SparkEntry {
                 CAST(floor(s / 256.0) AS BIGINT) AS pack_id,
                 CAST(s % 256 AS BIGINT) AS offset_tokens
          FROM c ORDER BY doc_id""",
+    "pipeline_token_yield" ->
+      """WITH w AS (SELECT doc_id, source, lang,
+                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0) AS ws
+              FROM documents),
+            q AS (SELECT doc_id, source, lang, h,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is','that','it','for'])) AS BIGINT) AS n_stop,
+                CAST(len(list_distinct(ws)) AS BIGINT) AS n_dist
+              FROM w),
+            sc AS (SELECT doc_id, source, lang, h, n_words,
+                CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                          + least(n_stop / 5.0, 1.0) * 0.3
+                          + n_dist / greatest(CAST(n_words AS DOUBLE), 1.0) * 0.3) * 1000.0 + 0.5) AS BIGINT) AS score,
+                doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+              FROM q),
+            med AS (SELECT lang, quantile_cont(score, 0.5) AS p50 FROM sc GROUP BY lang),
+            k AS (SELECT sc.*, (NOT is_dup AND score >= med.p50) AS kept
+                  FROM sc JOIN med ON med.lang = sc.lang)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS raw_tokens,
+                CAST(sum(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN NOT is_dup THEN n_words ELSE 0 END) AS BIGINT) AS unique_tokens,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN kept THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CAST((sum(CASE WHEN kept THEN n_words ELSE 0 END) * 1000000)
+                     // sum(n_words) AS BIGINT) AS yield_ppm
+         FROM k GROUP BY source ORDER BY source""",
     "text_quality_filter" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> len(x) > 0) AS ws FROM documents),
