@@ -914,3 +914,73 @@ object ScaleProbe13c {
     spark.stop()
   }
 }
+
+/** r14 probes: the directed-graph family at ~1M nodes + HLL set ops at
+  * 50M rows. The planted digraph: 100k groups of 10 as directed CYCLES
+  * (each a 10-node SCC), inter-group ring (g → g+1) + doubling
+  * shortcuts (g → 2g mod 100k) welding every group into ONE giant SCC
+  * with logarithmic directed diameter (the web-graph shape: a massive
+  * core, shallow periphery), plus 100k sink tails (singleton SCCs).
+  * Measures: the FW-BW peel count and wall time, the condensation
+  * quotient, walk-corpus size, and the register-merge pair table. */
+object ScaleProbe14 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // intra-group directed 10-cycles (1M nodes)
+    val intra = spark.range(1000000L).selectExpr(
+      "id AS src",
+      "CASE WHEN id % 10 < 9 THEN id + 1 ELSE id - 9 END AS dst")
+    // inter-group ring + doubling shortcuts on the group heads
+    val ring = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "pmod(id + 1, 100000) * 10 AS dst")
+    val shortcut = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "pmod(id * 2, 100000) * 10 AS dst")
+    // 100k sink tails hanging off the group heads (singleton SCCs)
+    val tails = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "1000000 + id AS dst")
+    val edges = intra.union(ring).union(shortcut).union(tails)
+
+    val scc = timed("stronglyConnectedComponents (1.1M nodes, ~2.3M edges)")(
+      pipeline.Graph.stronglyConnectedComponents(edges, "src", "dst",
+        maxPeels = 12, maxHops = 80))
+    val census = scc.groupBy("scc").count()
+      .selectExpr("count(*) AS n_sccs", "max(count) AS biggest").collect()(0)
+    println(s"[scale]   SCCs = ${census.getLong(0)} (expect 100001), " +
+      s"giant = ${census.getLong(1)} (expect 1000000)")
+
+    val lv = timed("condensationLevels (same graph)")(
+      pipeline.Graph.condensationLevels(edges, "src", "dst",
+        maxPeels = 12, maxHops = 80).selectExpr(
+        "count(*) AS n", "max(level) AS max_level").collect()(0))
+    println(s"[scale]   quotient nodes = ${lv.getLong(0)}, " +
+      s"max level = ${lv.getLong(1)} (expect 1 — core then tails)")
+
+    val walks = timed("randomWalks (1.1M starts, 4 hops)")(
+      pipeline.Graph.randomWalks(edges, "src", "dst", walkLen = 4).count())
+    println(s"[scale]   walk rows = $walks")
+
+    // 50M (group, user) rows over 16 groups: the register-merge path —
+    // per-group state is 256 registers regardless of the 50M input
+    val ev = spark.range(50000000L).selectExpr(
+      "concat('g', pmod(xxhash64(id), 16)) AS grp",
+      "pmod(xxhash64(id, 3), 3000000) AS uid")
+    val pairs = timed("hllSetOps (50M rows, 16 groups, 120 pairs)")(
+      pipeline.Sketches.hllSetOps(ev, "grp", "uid", p = 8).count())
+    println(s"[scale]   pair rows = $pairs (expect 120)")
+    spark.stop()
+  }
+}
