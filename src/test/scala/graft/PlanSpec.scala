@@ -726,6 +726,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r14 pure-map claims: sentence chunks, ROUGE, and the probes never join or shuffle") {
+    // each of these is documented "pure map, stream-safe" — the plan must
+    // carry no join and no exchange besides the final orderBy's range
+    // partitioning (the pipeline_source_mix convention)
+    for (q <- Seq("text_chunks_sentence", "text_rouge",
+        "multimodal_video_probe", "multimodal_exif_probe")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+      assert(plan.linesIterator.count(_.contains("rangepartitioning")) >= exchanges - 1,
+        s"$q: unexpected non-sort exchange:\n$plan")
+    }
+  }
+
+  test("text_unigram_tokens plan: encode stage reads the corpus once, no shuffle") {
+    // the unigram twin of the bpe_encode assertion: two training scans
+    // (word count + substring count) are driver-side collects; the
+    // OUTPUT plan itself is one scan + the plan-constant encode
+    val plan = SparkEntry.queries("text_unigram_tokens")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"encode output must be one documents scan, got $scans:\n$plan")
+    assert(plan.contains("unigram_encode"), s"encode expression missing:\n$plan")
+  }
+
+  test("sketch_hll_setops plan: pair frame broadcasts, registers never sort-merge") {
+    val plan = SparkEntry.queries("sketch_hll_setops")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the pair frame must broadcast against the registers:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"register joins must stay hash-shaped (sketch-sized frames):\n$plan")
+  }
+
   test("events_markov_attribution plan: the one window is user-partitioned") {
     // the journey build is the only window in the distributed surface —
     // it must partition by the user key, never a global order
