@@ -220,7 +220,17 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_closeness", "events_markov_attribution", "emb_silhouette",
     "graph_louvain", "events_burstiness", "rel_ols2", "ts_croston",
     "events_cuped", "text_textrank", "events_did", "rel_theil",
-    "pipeline_moment_maintenance", "rel_anova", "graph_mst")
+    "pipeline_moment_maintenance", "rel_anova", "graph_mst",
+    // r14: FW-BW peel fixpoints (color min-join + reach growth must not
+    // see partitioning); contraction + weighted-move argmax + unfold;
+    // quotient max-relaxation levels; md5-indexed walk steps; EM-prune
+    // Viterbi training collects; register-table pair merges; rank-window
+    // step-up screen; order-statistic conformal pick; per-source yield
+    // rollup through the dedup window; islands over per-line langid
+    "graph_scc", "graph_louvain_full", "graph_condensation", "graph_walks",
+    "text_unigram_tokens", "sketch_hll_setops", "rel_fdr_bh",
+    "ts_conformal", "pipeline_token_yield", "text_lang_spans",
+    "events_mde", "text_compress_ratio")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
