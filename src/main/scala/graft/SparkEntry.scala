@@ -47,6 +47,40 @@ object SparkEntry {
     }
   }
 
+  /** The order/return flow graph (the graph_scc / graph_walks /
+    * graph_condensation input): cust → supplier on kept lines, supplier
+    * → cust on returns, sliced to every 8th order so the oracle's
+    * transitive closure stays tractable. */
+  private def orderFlowEdges(s: SparkSession): DataFrame = {
+    val li = s.table("orders").join(s.table("lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .where(col("o_orderkey") % 8 === 0)
+    val fwd = li.where(col("l_returnflag") =!= "R")
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000).as("dst"))
+    val bwd = li.where(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000).as("src"),
+        col("o_custkey").as("dst"))
+    fwd.union(bwd)
+  }
+
+  /** Session-scoped SCC memo over [[orderFlowEdges]]: `graph_scc` and
+    * `graph_condensation` partition the SAME graph, so the SCC fixpoint
+    * runs ONCE per (session, sf dir) and the quotient build reuses it
+    * via [[pipeline.Graph.condensationLevels]]'s `precomputedScc` — the
+    * r14 verdict's shared-pass lifecycle (the persisted-IVF-index idea
+    * held in-JVM: the memoized frame is a materialized node→scc table,
+    * ContextCleaner-owned under the default localCheckpoint strategy).
+    * Keyed by (session identity, dir) so a fresh session or a different
+    * scale factor never reads a stale frame; either query computes it
+    * on first demand, so results are order-independent. */
+  private val sccMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def orderFlowScc(s: SparkSession, dir: String): DataFrame =
+    sccMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$dir", _ =>
+      pipeline.Materialize(pipeline.Graph.stronglyConnectedComponents(
+        orderFlowEdges(s), "src", "dst")))
+
   /** recall@10 of an approximate top-k method against the in-registry
     * brute-force twin, per query vector (the 5 vec_id < 5 queries of the
     * ann_* family): `(query_id, recall_ppm)` — both sides deterministic,
@@ -2550,6 +2584,24 @@ object SparkEntry {
           "width", "height", "codec")
         .orderBy("doc_id")
     },
+    "multimodal_video_tracks" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r15: frame-accurate stts/stsz SAMPLE-TABLE walk (the r14
+      // verdict's queued item) — per track: id (tkhd), handler (hdlr),
+      // media timescale + duration (mdhd v0 AND v1), sample count +
+      // duration summed from the two-entry stts table, total payload
+      // bytes from stsz (explicit table on video, uniform-size on
+      // audio), bitrate = total*8*timescale DIV stts-units. Plants:
+      // id%41 in (0,7) parse to no tracks (garbage / ftyp-only) and
+      // id%41==13 drops the video stsz (total/bitrate null, stts live)
+      val media = pipeline.Multimodal.synthesizeMp4SampleTablePayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeVideoTracks(media, "payload")
+        .select("doc_id", "track_id", "handler", "timescale",
+          "mdhd_duration_ms", "n_samples", "stts_duration_ms",
+          "total_bytes", "bitrate_bps")
+        .orderBy("doc_id", "track_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       // REAL decode end-to-end: the builder writes actual PNGs (even ids)
@@ -3878,58 +3930,32 @@ object SparkEntry {
     "graph_scc" -> { (s, dir) =>
       prep(s, dir, "lineitem", "orders")
       // r14: DIRECTED strongly connected components over the order/return
-      // flow graph (cust → supplier on kept lines, supplier → cust on
-      // returns — the reciprocity construction, sliced to every 8th order
-      // so the oracle's transitive closure stays tractable): mutual
-      // order/return flows close cycles, and the SCC partition is the
-      // canonical "who is in a trading loop with whom" readout. Labels
-      // are canonical (min node id of the SCC), so a generic DuckDB
-      // mutual-reachability closure gates the answer with no
-      // round-structure replay.
-      val li = s.table("orders").join(s.table("lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .where(col("o_orderkey") % 8 === 0)
-      val fwd = li.where(col("l_returnflag") =!= "R")
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000).as("dst"))
-      val bwd = li.where(col("l_returnflag") === "R")
-        .select((col("l_suppkey") + 1000000).as("src"),
-          col("o_custkey").as("dst"))
-      pipeline.Graph.stronglyConnectedComponents(fwd.union(bwd), "src", "dst")
-        .orderBy("node")
+      // flow graph ([[orderFlowEdges]] — the reciprocity construction):
+      // mutual order/return flows close cycles, and the SCC partition is
+      // the canonical "who is in a trading loop with whom" readout.
+      // Labels are canonical (min node id of the SCC), so a generic
+      // DuckDB mutual-reachability closure gates the answer with no
+      // round-structure replay. r15: the fixpoint is session-memoized
+      // ([[orderFlowScc]]) and shared with graph_condensation.
+      orderFlowScc(s, dir).orderBy("node")
     },
     "graph_walks" -> { (s, dir) =>
       prep(s, dir, "lineitem", "orders")
       // r14: deterministic DeepWalk corpus over the order/return flow
       // graph — md5-derived uniform neighbor steps, 4 hops per start
       // node; the embedding-trainer input whose every row hash-gates
-      val li = s.table("orders").join(s.table("lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .where(col("o_orderkey") % 8 === 0)
-      val fwd = li.where(col("l_returnflag") =!= "R")
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000).as("dst"))
-      val bwd = li.where(col("l_returnflag") === "R")
-        .select((col("l_suppkey") + 1000000).as("src"),
-          col("o_custkey").as("dst"))
-      pipeline.Graph.randomWalks(fwd.union(bwd), "src", "dst", walkLen = 4)
+      pipeline.Graph.randomWalks(orderFlowEdges(s), "src", "dst", walkLen = 4)
         .orderBy("start", "step")
     },
     "graph_condensation" -> { (s, dir) =>
       prep(s, dir, "lineitem", "orders")
       // r14: the SCC quotient DAG with longest-path levels over the
       // graph_scc flow graph — how DEEP the order/return flow structure
-      // runs and which components source/sink it
-      val li = s.table("orders").join(s.table("lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .where(col("o_orderkey") % 8 === 0)
-      val fwd = li.where(col("l_returnflag") =!= "R")
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000).as("dst"))
-      val bwd = li.where(col("l_returnflag") === "R")
-        .select((col("l_suppkey") + 1000000).as("src"),
-          col("o_custkey").as("dst"))
-      pipeline.Graph.condensationLevels(fwd.union(bwd), "src", "dst")
+      // runs and which components source/sink it. r15: the SCC pass is
+      // shared with graph_scc via the session memo (precomputedScc) —
+      // one fixpoint per session/dir, not two
+      pipeline.Graph.condensationLevels(orderFlowEdges(s), "src", "dst",
+          precomputedScc = Some(orderFlowScc(s, dir)))
         .orderBy("scc")
     },
     "graph_components" -> { (s, dir) =>
@@ -5623,6 +5649,9 @@ object SparkEntry {
     s"""WITH wc AS MATERIALIZED (
        |  SELECT tok AS w, count(*) AS n
        |  FROM (SELECT unnest($words) AS tok FROM documents) GROUP BY 1),
+       |guard AS (SELECT CASE WHEN max(len(w)) > $maxWordLen
+       |  THEN error('unigram oracle: corpus word exceeds the unrolled maxWordLen=$maxWordLen — raise it')
+       |  ELSE 1 END AS ok FROM wc),
        |st1 AS MATERIALIZED (SELECT w, n, unnest(range(1, len(w) + 1)) AS i FROM wc),
        |st2 AS (SELECT w, n, i, unnest($lens) AS l FROM st1),
        |seed AS MATERIALIZED (SELECT substr(w, i, l) AS p, CAST(sum(n) AS BIGINT) AS cnt
@@ -5654,6 +5683,7 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN (SELECT dw.doc_id, sum(f.np) AS t
        |           FROM dw JOIN finalf f USING (w) GROUP BY 1) s USING (doc_id)
+       |WHERE (SELECT ok FROM guard) = 1
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -9226,6 +9256,34 @@ object SparkEntry {
                      ELSE CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
                           ELSE 'vp09' END END AS codec
          FROM documents ORDER BY doc_id""",
+    "multimodal_video_tracks" ->
+      """WITH v AS (SELECT doc_id, 1 AS track_id, 'vide' AS handler,
+                       600 + (doc_id % 4) * 200 AS ts,
+                       12 + doc_id % 24 AS n1, 40 + doc_id % 20 AS d1,
+                       8 + (doc_id * 3) % 16 AS n2
+                FROM documents WHERE doc_id % 41 NOT IN (0, 7)),
+              v2 AS (SELECT doc_id, track_id, handler, ts,
+                       n1 + n2 AS n_samples,
+                       n1 * d1 + n2 * (d1 + 10) AS units,
+                       CASE WHEN doc_id % 41 = 13 THEN NULL
+                            ELSE list_sum(list_transform(range(0, n1 + n2),
+                                   i -> 200 + ((doc_id + i * 7) % 100))) END AS total
+                FROM v),
+              a AS (SELECT doc_id, 2 AS track_id, 'soun' AS handler,
+                       8000 AS ts, 50 + doc_id % 40 AS n_samples,
+                       (50 + doc_id % 40) * 1024 AS units,
+                       (50 + doc_id % 40) * (128 + doc_id % 64) AS total
+                FROM documents
+                WHERE doc_id % 41 NOT IN (0, 7) AND doc_id % 2 = 1),
+              t AS (SELECT * FROM v2 UNION ALL SELECT * FROM a)
+         SELECT doc_id, CAST(track_id AS INT) AS track_id, handler,
+                CAST(ts AS BIGINT) AS timescale,
+                CAST(units * 1000 // ts AS BIGINT) AS mdhd_duration_ms,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST(units * 1000 // ts AS BIGINT) AS stts_duration_ms,
+                CAST(total AS BIGINT) AS total_bytes,
+                CAST(total * 8 * ts // units AS BIGINT) AS bitrate_bps
+         FROM t ORDER BY doc_id, track_id""",
     "multimodal_meta" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS media_type,

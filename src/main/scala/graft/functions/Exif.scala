@@ -90,7 +90,12 @@ object ExifFormats {
     var pixelY: Integer = null
 
     def readAscii(off: Int, count: Int): String = {
-      if (count <= 0 || off < 0 || off + count > end) return null
+      // overflow-free bounds: a hostile count of 0x7FFFFFFF makes
+      // off + count wrap negative and slip past an `off+count > end`
+      // form, so compare against the remaining span instead; 65535 is
+      // the APP1 segment ceiling, so any larger declared count is junk
+      if (count <= 0 || count > 65535 || off < 0 || off > end ||
+          count > end - off) return null
       val raw = new String(b, off, count, "US-ASCII")
       val nul = raw.indexOf('\u0000')
       if (nul >= 0) raw.substring(0, nul) else raw

@@ -225,39 +225,10 @@ object MediaFormats {
     var sawMoov = false
     var vw: Integer = null; var vh: Integer = null; var vcodec: String = null
 
-    // child walk: find direct children of [start, end); cb returns the
-    // payload bounds for boxes it wants descended into
-    def walk(start: Long, end: Long, onBox: (String, Long, Long) => Unit): Unit = {
-      var p = start
-      var steps = 0
-      while (p + 8 <= end && steps < 4096) {
-        steps += 1
-        val size0 = be32(b, p.toInt)
-        var hdr = 8L
-        var size = size0
-        if (size0 == 1L) {
-          if (p + 16 > end) return
-          size = be64(b, p.toInt + 8); hdr = 16L
-        } else if (size0 == 0L) size = end - p // last box runs to the end
-        if (size < hdr) return // corrupt size: stop, keep what parsed
-        if (p + size > end) {
-          // a declared size past the buffer is the TRUNCATED-DOWNLOAD
-          // norm (moov commonly trails the file): clamp to what arrived,
-          // parse what's inside, and stop — inner boxes torn by the same
-          // cut clamp recursively, their unreadable fields staying null
-          onBox(fourcc(b, p.toInt + 4), p + hdr, end)
-          return
-        }
-        onBox(fourcc(b, p.toInt + 4), p + hdr, p + size)
-        p += size
-      }
-    }
-
-    def findChild(start: Long, end: Long, tp: String): Option[(Long, Long)] = {
-      var found: Option[(Long, Long)] = None
-      walk(start, end, (t, s, e) => if (found.isEmpty && t == tp) found = Some((s, e)))
-      found
-    }
+    def walk(start: Long, end: Long, onBox: (String, Long, Long) => Unit): Unit =
+      boxWalk(b, start, end, onBox)
+    def findChild(start: Long, end: Long, tp: String): Option[(Long, Long)] =
+      findBox(b, start, end, tp)
 
     // top level
     walk(0L, b.length.toLong, { (tp, s, e) =>
@@ -307,6 +278,182 @@ object MediaFormats {
     if (!sawFtyp) VideoProbe("unknown")
     else VideoProbe("mp4", durationMs,
       if (sawMoov) Integer.valueOf(nTracks) else null, vw, vh, vcodec)
+  }
+
+  /** ISO-BMFF child walk over [start, end): calls onBox(fourcc,
+    * payloadStart, payloadEnd) per direct child. Size-0 (to-end) and
+    * size-1 (64-bit largesize) boxes handled; corrupt sizes terminate;
+    * a declared size past the buffer CLAMPS to what arrived (the
+    * truncated-download norm — moov commonly trails the file) and inner
+    * boxes torn by the same cut clamp recursively. */
+  private def boxWalk(b: Array[Byte], start: Long, end: Long,
+                      onBox: (String, Long, Long) => Unit): Unit = {
+    var p = start
+    var steps = 0
+    while (p + 8 <= end && steps < 4096) {
+      steps += 1
+      val size0 = be32(b, p.toInt)
+      var hdr = 8L
+      var size = size0
+      if (size0 == 1L) {
+        if (p + 16 > end) return
+        size = be64(b, p.toInt + 8); hdr = 16L
+      } else if (size0 == 0L) size = end - p // last box runs to the end
+      if (size < hdr) return // corrupt size: stop, keep what parsed
+      if (p + size > end) {
+        onBox(fourcc(b, p.toInt + 4), p + hdr, end)
+        return
+      }
+      onBox(fourcc(b, p.toInt + 4), p + hdr, p + size)
+      p += size
+    }
+  }
+
+  private def findBox(b: Array[Byte], start: Long, end: Long,
+                      tp: String): Option[(Long, Long)] = {
+    var found: Option[(Long, Long)] = None
+    boxWalk(b, start, end, (t, s, e) => if (found.isEmpty && t == tp) found = Some((s, e)))
+    found
+  }
+
+  /** One media track's SAMPLE-TABLE readout — the frame-accurate pass
+    * [[probeVideo]]'s header fields can't give (mvhd duration is the
+    * MOVIE's; per-track duration and bitrate live in mdhd + stbl). */
+  final case class TrackInfo(trackId: Integer, handler: String,
+                             timescale: java.lang.Long,
+                             mdhdDurationMs: java.lang.Long,
+                             nSamples: java.lang.Long,
+                             sttsDurationMs: java.lang.Long,
+                             totalBytes: java.lang.Long,
+                             bitrateBps: java.lang.Long)
+
+  /** MP4 per-track stts/stsz SAMPLE-TABLE walk (r15 — the r14 verdict's
+    * queued item): for each trak, the track id (tkhd), handler fourcc
+    * (hdlr: vide/soun/...), media timescale + duration (mdhd, both
+    * versions), the frame-accurate sample count and duration summed
+    * from the stts time-to-sample table, the total payload bytes from
+    * stsz (uniform-size field or the explicit per-sample table), and
+    * the bitrate estimate `total·8·timescale DIV Σ(count·delta)` —
+    * exact integer arithmetic end to end, so the readout hash-gates.
+    *
+    * Torn-download contract (the [[probeVideo]] discipline): never
+    * throws; a field whose box or table bytes did not arrive stays
+    * null — a PARTIALLY-readable stts/stsz table reports null, never a
+    * partial sum dressed as a total. Hostile entry counts are bounded
+    * by the bytes that actually arrived (the declared table must fit
+    * inside its box), so no input hangs the walk. Tracks outside a
+    * ftyp-led ISO-BMFF container: empty. */
+  def probeTracks(b: Array[Byte]): Seq[TrackInfo] = {
+    if (b == null || b.length < 16) return Seq.empty
+    var sawFtyp = false
+    val out = scala.collection.mutable.ArrayBuffer[TrackInfo]()
+    boxWalk(b, 0L, b.length.toLong, { (tp, s, e) =>
+      tp match {
+        case "ftyp" => sawFtyp = true
+        case "moov" if sawFtyp =>
+          boxWalk(b, s, e, { (ct, cs, ce) =>
+            if (ct == "trak") {
+              var tid: Integer = null
+              findBox(b, cs, ce, "tkhd").foreach { case (ks, ke) =>
+                val ver = if (ke - ks >= 1) u8(b, ks.toInt) else -1
+                val off = if (ver == 1) 20 else 12 // fullbox + 2 times
+                if (ver >= 0 && ke - ks >= off + 4) {
+                  val v = be32(b, ks.toInt + off)
+                  if (v <= Int.MaxValue) tid = Integer.valueOf(v.toInt)
+                }
+              }
+              var handler: String = null
+              var ts: java.lang.Long = null
+              var mdhdMs: java.lang.Long = null
+              var nSamp: java.lang.Long = null
+              var sttsUnits: java.lang.Long = null
+              var total: java.lang.Long = null
+              findBox(b, cs, ce, "mdia").foreach { case (ms, me) =>
+                findBox(b, ms, me, "mdhd").foreach { case (hs, he) =>
+                  val ver = if (he - hs >= 1) u8(b, hs.toInt) else -1
+                  if (ver == 1 && he - hs >= 32) {
+                    val t = be32(b, hs.toInt + 20)
+                    val d = be64(b, hs.toInt + 24)
+                    if (t > 0) {
+                      ts = java.lang.Long.valueOf(t)
+                      if (d >= 0 && d <= Long.MaxValue / 1000L)
+                        mdhdMs = java.lang.Long.valueOf(d * 1000L / t)
+                    }
+                  } else if (ver == 0 && he - hs >= 24) {
+                    val t = be32(b, hs.toInt + 12)
+                    val d = be32(b, hs.toInt + 16)
+                    if (t > 0) {
+                      ts = java.lang.Long.valueOf(t)
+                      mdhdMs = java.lang.Long.valueOf(d * 1000L / t)
+                    }
+                  }
+                }
+                findBox(b, ms, me, "hdlr").foreach { case (hs, he) =>
+                  if (he - hs >= 12) handler = fourcc(b, hs.toInt + 8)
+                }
+                for {
+                  (ns, ne) <- findBox(b, ms, me, "minf")
+                  (ss, se) <- findBox(b, ns, ne, "stbl")
+                } {
+                  findBox(b, ss, se, "stts").foreach { case (t0, t1) =>
+                    if (t1 - t0 >= 8) {
+                      val n = be32(b, t0.toInt + 4)
+                      // the declared table must FIT in what arrived
+                      if (n >= 0 && t0 + 8 + n * 8 <= t1) {
+                        var i = 0L; var cnt = 0L; var units = 0L; var ok = true
+                        while (i < n && ok) {
+                          val c = be32(b, (t0 + 8 + i * 8).toInt)
+                          val d = be32(b, (t0 + 12 + i * 8).toInt)
+                          cnt += c
+                          if (d > 0 && c > Long.MaxValue / d) ok = false
+                          else units += c * d
+                          if (cnt < 0 || units < 0) ok = false
+                          i += 1
+                        }
+                        if (ok) {
+                          nSamp = java.lang.Long.valueOf(cnt)
+                          sttsUnits = java.lang.Long.valueOf(units)
+                        }
+                      }
+                    }
+                  }
+                  findBox(b, ss, se, "stsz").foreach { case (z0, z1) =>
+                    if (z1 - z0 >= 12) {
+                      val fixed = be32(b, z0.toInt + 4)
+                      val n = be32(b, z0.toInt + 8)
+                      if (fixed > 0) {
+                        if (n >= 0 && (n == 0L || fixed <= Long.MaxValue / n))
+                          total = java.lang.Long.valueOf(fixed * n)
+                      } else if (n >= 0 && z0 + 12 + n * 4 <= z1) {
+                        var i = 0L; var t = 0L; var ok = true
+                        while (i < n && ok) {
+                          t += be32(b, (z0 + 12 + i * 4).toInt)
+                          if (t < 0) ok = false
+                          i += 1
+                        }
+                        if (ok) total = java.lang.Long.valueOf(t)
+                      }
+                    }
+                  }
+                }
+              }
+              val sttsMs: java.lang.Long =
+                if (sttsUnits == null || ts == null || ts <= 0 ||
+                    sttsUnits > Long.MaxValue / 1000L) null
+                else java.lang.Long.valueOf(sttsUnits * 1000L / ts)
+              val bitrate: java.lang.Long =
+                if (total == null || sttsUnits == null || sttsUnits <= 0 ||
+                    ts == null || ts <= 0 ||
+                    total > Long.MaxValue / 8L / ts) null
+                else java.lang.Long.valueOf(total * 8L * ts / sttsUnits)
+              out += TrackInfo(tid, handler, ts, mdhdMs, nSamp, sttsMs,
+                total, bitrate)
+            }
+          })
+        case _ =>
+      }
+    })
+    if (!sawFtyp) Seq.empty else out.toSeq
   }
 
   private def parseMp3(b: Array[Byte]): Probe = {
@@ -399,4 +546,44 @@ case class VideoProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VideoProbe =
     copy(child = newChild)
   override def prettyName: String = "video_probe"
+}
+
+/** video_tracks(binary) → array<struct<track_id, handler, timescale,
+  * mdhd_duration_ms, n_samples, stts_duration_ms, total_bytes,
+  * bitrate_bps>> — [[MediaFormats.probeTracks]] as a scalar expression
+  * (pure map; metadata-only reads, sample data never touched). Empty
+  * array on non-ISO-BMFF input; per-field nulls on torn boxes. */
+case class VideoTracksProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val tracks = MediaFormats.probeTracks(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tracks.map { t =>
+        InternalRow(t.trackId,
+          if (t.handler == null) null else UTF8String.fromString(t.handler),
+          t.timescale, t.mdhdDurationMs, t.nSamples, t.sttsDurationMs,
+          t.totalBytes, t.bitrateBps)
+      }.toArray[Any])
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"video_tracks expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("track_id", IntegerType, nullable = true),
+    StructField("handler", StringType, nullable = true),
+    StructField("timescale", LongType, nullable = true),
+    StructField("mdhd_duration_ms", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("stts_duration_ms", LongType, nullable = true),
+    StructField("total_bytes", LongType, nullable = true),
+    StructField("bitrate_bps", LongType, nullable = true))),
+    containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): VideoTracksProbe =
+    copy(child = newChild)
+  override def prettyName: String = "video_tracks"
 }

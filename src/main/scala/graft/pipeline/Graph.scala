@@ -816,7 +816,8 @@ object Graph {
       // shuffles and 100 fewer eager actions for identical semantics
       val improved = col("__old").isNull ||
         (col("__nd").isNotNull && col("__nd") < col("__old"))
-      val merged = Materialize.cut(
+      // cutLazy + count: one job per hop (see landmarkDistances)
+      val merged = Materialize.cutLazy(
         dists.withColumnRenamed("dist", "__old")
           .join(cand.hint("shuffle_hash"), col("node") === col("dst"), "full")
           .select(
@@ -824,7 +825,7 @@ object Graph {
             when(improved, col("__nd")).otherwise(col("__old")).as("dist"),
             improved.as("__imp")))
       frontier = merged.where(col("__imp")).select("node", "dist")
-      if (frontier.isEmpty) done = true
+      if (frontier.count() == 0L) done = true
       dists = merged.select("node", "dist")
     }
     // no release: the per-round cuts follow the kCore/Materialize contract
@@ -930,7 +931,9 @@ object Graph {
         .groupBy("dst", "seed").agg(min(col("__nd")).as("__nd"))
       val improved = col("__old").isNull ||
         (col("__nd").isNotNull && col("__nd") < col("__old"))
-      val merged = Materialize.cut(
+      // cutLazy + count (never isEmpty: limit-1 would short-circuit
+      // before every partition persists) — one job per hop, not two
+      val merged = Materialize.cutLazy(
         dists.withColumnRenamed("dist", "__old")
           .withColumnRenamed("seed", "__s")
           .join(cand.hint("shuffle_hash"),
@@ -941,7 +944,7 @@ object Graph {
             when(improved, col("__nd")).otherwise(col("__old")).as("dist"),
             improved.as("__imp")))
       frontier = merged.where(col("__imp")).select("node", "seed", "dist")
-      if (frontier.isEmpty) done = true
+      if (frontier.count() == 0L) done = true
       dists = merged.select("node", "seed", "dist")
     }
     dists
@@ -1024,12 +1027,13 @@ object Graph {
           eSrc("src") === frontier("node"))
         .groupBy(col("dst"), col("seed"))
         .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
-      val fresh = Materialize.cut(
+      // cutLazy + count: the emptiness probe is the materializing job
+      val fresh = Materialize.cutLazy(
         cand.join(visited.hint("shuffle_hash"),
             cand("dst") === col("__vn") && cand("seed") === col("__vs"),
             "left_anti")
           .select(col("dst").as("node"), col("seed"), col("sigma")))
-      if (fresh.isEmpty) done = true
+      if (fresh.count() == 0L) done = true
       else {
         levels += fresh
         // lazy union over frames that are ALREADY cut: re-materializing
@@ -1784,6 +1788,10 @@ object Graph {
     * sequential), peeled to a CHECKED fixpoint:
     *
     * per peel round, on the still-live subgraph:
+    *   0. TRIM (Slota et al. IPDPS'14): nodes with zero in- or zero
+    *      out-degree in the live subgraph lie on no cycle — retired as
+    *      singleton SCCs for a semi-join job each round (`trimRounds`
+    *      bounds the layers peeled; output-identical either way);
     *   1. color f(v) = MIN node id forward-reachable from v (min-label
     *      propagation against edge direction to a checked fixpoint —
     *      every SCC is monochrome, and the class label m has f(m) = m);
@@ -1815,11 +1823,14 @@ object Graph {
     * appear only if they carry a self-loop edge). */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
                                   dstCol: String, maxPeels: Int = 12,
-                                  maxHops: Int = 40): DataFrame = {
+                                  maxHops: Int = 40,
+                                  trimRounds: Int = 3): DataFrame = {
     require(maxPeels >= 1 && maxPeels <= 64,
       s"maxPeels must be in [1, 64], got $maxPeels")
     require(maxHops >= 1 && maxHops <= 200,
       s"maxHops must be in [1, 200], got $maxHops")
+    require(trimRounds >= 0 && trimRounds <= 64,
+      s"trimRounds must be in [0, 64], got $trimRounds")
     Search.requireIntegralId(edges, srcCol, "stronglyConnectedComponents", role = "src id")
     Search.requireIntegralId(edges, dstCol, "stronglyConnectedComponents", role = "dst id")
     val e0 = Materialize.cut(
@@ -1846,6 +1857,40 @@ object Graph {
         s"stronglyConnectedComponents: $liveCount nodes unassigned after " +
           s"$maxPeels peel rounds — condensation deeper than the budget; " +
           "raise maxPeels (never truncate an SCC answer)")
+      // ---- 0. TRIM prepass (Slota, Rajamanickam & Madduri IPDPS'14
+      // FW-BW-Trim): a live node with zero in- or zero out-degree in
+      // the live-induced subgraph lies on no cycle, so it is a
+      // SINGLETON SCC with its canonical label = itself — retire it for
+      // one semi-join job instead of a color-fixpoint seat. Rounds are
+      // bounded (a long tail retires one layer per round); whatever the
+      // budget leaves behind, the color pass below still handles —
+      // trim is output-identical by construction, pure peel-cost relief
+      // on periphery-heavy graphs.
+      var trim = 0
+      var trimming = trimRounds > 0
+      while (trimming && liveCount > 0) {
+        trim += 1
+        val eT = Materialize.cutLazy(
+          e0.join(live, e0("src") === live("node"), "left_semi")
+            .join(live, e0("dst") === live("node"), "left_semi"))
+        val core = Materialize.cutLazy(
+          eT.select(col("src").as("node")).distinct()
+            .join(eT.select(col("dst").as("node")).distinct(),
+              Seq("node"), "left_semi"))
+        val coreCount = core.count() // materializes eT + core, one job
+        if (coreCount < liveCount) {
+          // deferred: nothing reads the trimmed singletons until the
+          // final acc cut, and eT/core blocks are already materialized
+          acc = acc.union(
+            live.join(core, Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("scc")))
+          live = core
+          liveCount = coreCount
+        } else trimming = false
+        if (trim >= trimRounds) trimming = false
+      }
+      // an empty post-trim live set falls through: the color/reach
+      // passes are no-op jobs on empty frames and the outer loop exits
       val eL = Materialize.cut(
         e0.join(live, e0("src") === live("node"), "left_semi")
           .join(live, e0("dst") === live("node"), "left_semi"))
@@ -1861,7 +1906,8 @@ object Graph {
         val cand = eL.as("__e")
           .join(f.as("__f").hint("shuffle_hash"), col("__e.dst") === col("__f.node"))
           .groupBy(col("__e.src").as("node")).agg(min(col("__f.f")).as("__nf"))
-        val merged = Materialize.cut(
+        // cutLazy: the convergence count below is the materializing job
+        val merged = Materialize.cutLazy(
           f.join(cand.hint("shuffle_hash"), Seq("node"), "left")
             .select(col("node"),
               least(col("f"), coalesce(col("__nf"), col("f"))).as("f"),
@@ -1889,17 +1935,19 @@ object Graph {
             fe("src") === reached("node"))
           .select(col("dst").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
-        val grown = Materialize.cut(reached.union(nxt))
+        val grown = Materialize.cutLazy(reached.union(nxt))
         val grownCount = grown.count()
         changed = grownCount - reachedCount
         reachedCount = grownCount
         reached = grown
       }
-      val newly = Materialize.cut(
+      // both lazily cut: the ONE liveCount job computes (and persists)
+      // newly as the anti-join's build side on the way to live
+      val newly = Materialize.cutLazy(
         f.join(reached, Seq("node"), "left_semi")
           .select(col("node"), col("f").as("scc")))
       acc = acc.union(newly)
-      live = Materialize.cut(live.join(newly, Seq("node"), "left_anti"))
+      live = Materialize.cutLazy(live.join(newly, Seq("node"), "left_anti"))
       liveCount = live.count()
     }
     Materialize.cut(acc)
@@ -1983,11 +2031,17 @@ object Graph {
     * Output: one row per component — `scc, n_members, level`. */
   def condensationLevels(edges: DataFrame, srcCol: String, dstCol: String,
                          maxPeels: Int = 12, maxHops: Int = 40,
-                         maxLevels: Int = 64): DataFrame = {
+                         maxLevels: Int = 64,
+                         precomputedScc: Option[DataFrame] = None): DataFrame = {
     require(maxLevels >= 1 && maxLevels <= 1024,
       s"maxLevels must be in [1, 1024], got $maxLevels")
-    val scc = Materialize.cut(
-      stronglyConnectedComponents(edges, srcCol, dstCol, maxPeels, maxHops))
+    // a caller that already ran [[stronglyConnectedComponents]] on the
+    // SAME edges passes its (node, scc) frame here — the quotient build
+    // then skips the second SCC fixpoint entirely (the r14 verdict's
+    // shared-pass ask; at web-graph scale the duplicated fixpoint is
+    // the difference between one 71 s pass and two)
+    val scc = precomputedScc.getOrElse(Materialize.cut(
+      stronglyConnectedComponents(edges, srcCol, dstCol, maxPeels, maxHops)))
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -2010,7 +2064,7 @@ object Graph {
       val cand = ce.join(lvl.hint("shuffle_hash"), ce("__cs") === lvl("scc"))
         .groupBy(col("__cd").as("scc"))
         .agg((max(col("level")) + 1L).as("__nl"))
-      val merged = Materialize.cut(
+      val merged = Materialize.cutLazy(
         lvl.join(cand.hint("shuffle_hash"), Seq("scc"), "left")
           .select(col("scc"),
             greatest(col("level"), coalesce(col("__nl"), col("level"))).as("level"),

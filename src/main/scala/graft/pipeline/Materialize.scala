@@ -59,6 +59,27 @@ private[graft] object Materialize {
       case _ => apply(df)
     }
 
+  /** [[cut]] for iterative frames whose convergence check IMMEDIATELY
+    * follows: the materialization is marked but NOT eagerly forced, so
+    * the caller's `count()` (a full-scan action — never `isEmpty`,
+    * whose limit-1 would short-circuit before every partition persists)
+    * is the job that both materializes the blocks AND reads the
+    * convergence scalar — ONE driver action per round where cut +
+    * count paid two. At a 40-hop fixpoint horizon that is 40 fewer
+    * jobs per loop, the r14 verdict's "check convergence cheaper" ask.
+    * Contract: the caller MUST run a full-scan action on (a child of)
+    * the returned frame before the next round reads it twice. */
+  def cutLazy(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
+      case "checkpoint"      => df.checkpoint(eager = false)
+      case "persist" =>
+        org.apache.spark.sql.graftshim.GraftShim.flattenPlan(df)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case "localCheckpoint" => df.localCheckpoint(eager = false)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be localCheckpoint | checkpoint | persist, got '$other'")
+    }
+
   /** Releases an intermediate once superseded. Only the persist strategy
     * parks a CacheManager entry that needs explicit release; the checkpoint
     * strategies' blocks are RDD-owned / on reliable storage, so release is

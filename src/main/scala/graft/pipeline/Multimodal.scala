@@ -1076,6 +1076,126 @@ object Multimodal {
     mp4Box("trak", mp4Box("tkhd", tk.array()) ++ mdia)
   }
 
+  /** MP4 payloads with FULL per-track sample tables (r15 — the
+    * [[synthesizeMp4Payloads]] sibling for the stts/stsz walk): every
+    * non-corrupt id carries a video track (TWO-entry stts — the
+    * multi-entry sum is the point — plus an explicit per-sample stsz
+    * table), odd ids add an audio track (single-entry stts + the
+    * UNIFORM-size stsz path). mdhd alternates version 0/1 (id%5==0 →
+    * v1) — same values either way, both parse paths exercised. Plants:
+    * id%41==0 md5 garbage (no rows), id%41==7 ftyp-only truncation (no
+    * rows), id%41==13 video stsz ABSENT (the torn-table contract:
+    * total_bytes/bitrate null while the stts fields stay live). */
+  def synthesizeMp4SampleTablePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 41 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else if (id % 41 == 7) mp4Ftyp()
+        else {
+          val tsV = (600 + (id % 4) * 200).toInt
+          val n1 = (12 + id % 24).toInt
+          val d1 = (40 + id % 20).toInt
+          val n2 = (8 + (id * 3) % 16).toInt
+          val sizes = (0 until (n1 + n2)).map(i => (200 + ((id + i * 7) % 100)).toInt)
+          val mdhdV1 = id % 5 == 0
+          val vtrak = mp4TrakSampled(trackId = 1, handler = "vide",
+            timescale = tsV, stts = Seq((n1, d1), (n2, d1 + 10)),
+            stszFixed = 0, stszSizes = sizes, includeStsz = id % 41 != 13,
+            mdhdV1 = mdhdV1)
+          val traks =
+            if (id % 2 == 1) {
+              val nA = (50 + id % 40).toInt
+              vtrak ++ mp4TrakSampled(trackId = 2, handler = "soun",
+                timescale = 8000, stts = Seq((nA, 1024)),
+                stszFixed = (128 + id % 64).toInt, stszSizes = Seq.empty,
+                includeStsz = true, mdhdV1 = mdhdV1)
+            } else vtrak
+          mp4Ftyp() ++ mp4Box("moov",
+            mp4Mvhd(timescale = 1000, duration = 1000 + (id * 13) % 60000) ++ traks)
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** One trak with a full mdia: mdhd (v0 or v1), hdlr, and an stbl
+    * carrying stsd + stts + (optionally) stsz — the fixture builder for
+    * [[graft.functions.MediaFormats.probeTracks]]. */
+  private def mp4TrakSampled(trackId: Int, handler: String, timescale: Int,
+                             stts: Seq[(Int, Int)], stszFixed: Int,
+                             stszSizes: Seq[Int], includeStsz: Boolean,
+                             mdhdV1: Boolean): Array[Byte] = {
+    val tk = java.nio.ByteBuffer.allocate(84)
+    tk.putInt(7); tk.putInt(0); tk.putInt(0)
+    tk.putInt(trackId); tk.putInt(0); tk.putInt(0)
+    tk.put(new Array[Byte](8))
+    tk.putShort(0); tk.putShort(0); tk.putShort(0); tk.putShort(0)
+    tk.put(mp4IdentityMatrix())
+    tk.putInt(0); tk.putInt(0) // dims: the sample walk reads only track_id
+    val durUnits = stts.map { case (n, d) => n.toLong * d }.sum
+    val mdhd =
+      if (mdhdV1) {
+        // v1: ver/flags(4) creation(8) modification(8) timescale(4)
+        // duration(8) lang+predefined(4) = 36
+        val bb = java.nio.ByteBuffer.allocate(36)
+        bb.putInt(0x01000000)
+        bb.putLong(0L); bb.putLong(0L)
+        bb.putInt(timescale); bb.putLong(durUnits)
+        bb.putInt(0)
+        mp4Box("mdhd", bb.array())
+      } else {
+        // v0: ver/flags(4) creation(4) modification(4) timescale(4)
+        // duration(4) lang+predefined(4) = 24
+        val bb = java.nio.ByteBuffer.allocate(24)
+        bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        bb.putInt(timescale); bb.putInt(durUnits.toInt)
+        bb.putInt(0)
+        mp4Box("mdhd", bb.array())
+      }
+    // hdlr: ver/flags(4) pre_defined(4) handler(4) reserved(12) name(1)
+    val hd = java.nio.ByteBuffer.allocate(25)
+    hd.putInt(0); hd.putInt(0); hd.put(handler.getBytes("US-ASCII"))
+    hd.put(new Array[Byte](13))
+    val sttsBody = java.nio.ByteBuffer.allocate(8 + stts.length * 8)
+    sttsBody.putInt(0); sttsBody.putInt(stts.length)
+    stts.foreach { case (n, d) => sttsBody.putInt(n); sttsBody.putInt(d) }
+    val stszBody =
+      if (stszFixed > 0) {
+        val bb = java.nio.ByteBuffer.allocate(12)
+        bb.putInt(0); bb.putInt(stszFixed)
+        bb.putInt(stts.map(_._1).sum)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(12 + stszSizes.length * 4)
+        bb.putInt(0); bb.putInt(0); bb.putInt(stszSizes.length)
+        stszSizes.foreach(bb.putInt)
+        bb.array()
+      }
+    val sd = java.nio.ByteBuffer.allocate(8 + 16)
+    sd.putInt(0); sd.putInt(1); sd.putInt(16)
+    sd.put((if (handler == "vide") "avc1" else "mp4a").getBytes("US-ASCII"))
+    sd.put(new Array[Byte](6)); sd.putShort(1.toShort)
+    val stblChildren = mp4Box("stsd", sd.array()) ++
+      mp4Box("stts", sttsBody.array()) ++
+      (if (includeStsz) mp4Box("stsz", stszBody) else Array.empty[Byte])
+    val mdia = mp4Box("mdia",
+      mdhd ++ mp4Box("hdlr", hd.array()) ++ mp4Box("minf", mp4Box("stbl", stblChildren)))
+    mp4Box("trak", mp4Box("tkhd", tk.array()) ++ mdia)
+  }
+
+  /** Expand [[graft.functions.VideoTracksProbe]] over a payload column:
+    * one row per parsed track — docs whose payload carries no parseable
+    * tracks yield no rows (the corrupt/truncated contract). Pure map +
+    * explode; metadata-only reads. */
+  def probeVideoTracks(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__t",
+        explode(E.column(graft.functions.VideoTracksProbe(E.expression(col(payloadCol))))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__t.*"): _*)
+  }
+
   /** Expand [[graft.functions.VideoProbe]] over a payload column: the
     * MP4 twin of [[probeMeta]] — one header-only pure-map pass. */
   def probeVideoMeta(media: DataFrame, payloadCol: String): DataFrame = {

@@ -141,8 +141,11 @@ object Similarity {
     * Scale contract (the [[knnAccuracy]] convention): scoring is exact
     * all-pairs with the `left` cohort broadcast — right-sized for the
     * bounded cohorts mining jobs actually run (a language pair's candidate
-    * slice, a day's crawl against a catalog). At corpus×corpus scale,
-    * block first (IVF cells via [[assignClusters]], or LSH buckets) and
+    * slice, a day's crawl against a catalog) and GUARDED by
+    * `maxUnblockedLeft` — a left cohort past the bound fails LOUDLY
+    * before anything broadcasts (r15; a skipped `blocking` argument must
+    * never silently broadcast a corpus). At corpus×corpus scale, block
+    * first (IVF cells via [[assignClusters]], or LSH buckets) and
     * run this op per block — mined pairs are labels, so the final pairing
     * stays exact within blocks.
     *
@@ -157,7 +160,8 @@ object Similarity {
     * nearest pair (planted-twin spec), recall-bounded otherwise. */
   def mutualNearest(left: DataFrame, right: DataFrame, idCol: String,
                     vecCol: String,
-                    blocking: Option[DataFrame] = None): DataFrame = {
+                    blocking: Option[DataFrame] = None,
+                    maxUnblockedLeft: Int = 100000): DataFrame = {
     Search.requireIntegralId(left, idCol, "mutualNearest", role = "left id")
     Search.requireIntegralId(right, idCol, "mutualNearest", role = "right id")
     val a = left.select(col(idCol).cast("long").as("id_a"),
@@ -174,6 +178,19 @@ object Similarity {
     // simply cannot pair — never id-order noise dressed as labels.
     val scored0 = blocking match {
       case None =>
+        // LOUD size guard (r14 verdict: the unblocked default was the
+        // API's one scale-killer shape — a caller who skips `blocking`
+        // broadcasts an entire corpus). The probe is limit-bounded so
+        // checking costs one capped scan, never a full count; the
+        // failure names the scale paths (the maxChannels pattern).
+        val probed = left.limit(maxUnblockedLeft + 1).count()
+        require(probed <= maxUnblockedLeft,
+          s"mutualNearest: blocking=None scores exact all-pairs with the " +
+            s"left cohort BROADCAST, and the left side exceeds " +
+            s"$maxUnblockedLeft rows — at corpus x corpus scale pass " +
+            "`blocking` (ivfCrossCandidates / LSH buckets) or use " +
+            "mutualNearestIvf; for a genuinely bounded cohort raise " +
+            "maxUnblockedLeft explicitly")
         b.join(broadcast(a), lit(true))
           .select(col("id_a"), col("id_b"),
             cosScaledPre(col("__qa"), col("__qb"), col("__na"), col("__nb"))

@@ -50,8 +50,9 @@ object Unigram {
 
   /** Piece path separator for the tie-break comparison: ASCII 31 sorts
     * below every printable glyph, so "ab·c" < "a·bc" ordering is decided
-    * by the boundary position identically in UTF-16 (Scala), UTF-8
-    * bytes (DuckDB), and code points. */
+    * by the boundary position; ties on piece CONTENT (same boundaries)
+    * break on [[cpLess]] code-point order, which equals DuckDB's UTF-8
+    * byte collation for every input including astral code points. */
   val Sep = '\u001f'
 
   final case class Model(pieces: IndexedSeq[(String, Long)], total: Long) {
@@ -95,9 +96,34 @@ object Unigram {
     out
   }
 
+  /** Code-point lexicographic comparison — identical to UTF-8 BYTE
+    * order (DuckDB's collation), unlike Java's UTF-16 code-unit
+    * `compareTo` which ranks U+E000..U+FFFF above supplementary
+    * (astral) code points. Every piece/path tie in this trainer breaks
+    * on THIS order so both engines resolve ties identically for any
+    * input, not just BMP-below-U+E000 corpora. */
+  private[pipeline] def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length
+  }
+
+  /** [[cpLess]] as an Ordering, for the (count DESC, piece) prune. */
+  private[pipeline] val CpOrdering: Ordering[String] =
+    (a: String, b: String) =>
+      if (cpLess(a, b)) -1 else if (cpLess(b, a)) 1 else 0
+
   /** Viterbi segmentation under integer costs with the deterministic
-    * tie chain: min cost, then fewer pieces, then lexicographically
-    * smallest Sep-joined path. Positions are CODE POINTS. Exposed for
+    * tie chain: min cost, then fewer pieces, then code-point-smallest
+    * Sep-joined path ([[cpLess]] — the UTF-8 byte order the DuckDB
+    * oracle's ORDER BY uses). Positions are CODE POINTS. Exposed for
     * spec hand-verification. */
   private[pipeline] def segment(word: String, costOf: String => Option[Long],
                                 unkCost: Long, maxLen: Int): Array[String] = {
@@ -121,7 +147,7 @@ object Unigram {
             val cc = cost(i) + c
             val cn = np(i) + 1
             val cp = if (path(i).isEmpty) piece else path(i) + Sep + piece
-            if (cc < bc || (cc == bc && (cn < bn || (cn == bn && cp < bp)))) {
+            if (cc < bc || (cc == bc && (cn < bn || (cn == bn && cpLess(cp, bp))))) {
               bc = cc; bn = cn; bp = cp
             }
           }
@@ -165,7 +191,9 @@ object Unigram {
       }
     }
     def cap(m: collection.Map[String, Long], k: Int): Map[String, Long] = {
-      val kept = m.toSeq.sortBy { case (p, c) => (-c, p) }.take(k).toMap
+      val kept = m.toSeq
+        .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, CpOrdering))
+        .take(k).toMap
       // singles are pinned for coverage, floored at count 1
       singles.foldLeft(kept)((acc, s) =>
         if (acc.contains(s)) acc else acc + (s -> math.max(m.getOrElse(s, 1L), 1L)))
@@ -183,7 +211,9 @@ object Unigram {
       counts = cap(usage, seedSize)
     }
     val pruned = cap(counts, nVocab)
-    Model(pruned.toSeq.sortBy { case (p, c) => (-c, p) }.toIndexedSeq,
+    Model(pruned.toSeq
+        .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, CpOrdering))
+        .toIndexedSeq,
       math.max(pruned.valuesIterator.sum, 1L))
   }
 
@@ -224,7 +254,7 @@ object Unigram {
     val pieces = spark.read.parquet(dir)
       .select("piece", "cnt")
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (p, c) => (-c, p) }.toIndexedSeq
+      .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, CpOrdering)).toIndexedSeq
     Model(pieces, math.max(pieces.map(_._2).sum, 1L))
   }
 }

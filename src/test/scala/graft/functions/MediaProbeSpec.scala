@@ -280,6 +280,18 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(!ExifFormats.probe(badMagic).hasExif)
   }
 
+  test("EXIF: hostile ASCII count 0x7FFFFFFF never throws (off+count overflow)") {
+    // patch the Make tag's count (tiff offset 14..17, little-endian int)
+    // to Int.MaxValue: off + count wraps negative, which a naive
+    // `off + count > end` bounds check would wave through
+    val tiff = tiffBlock(little = true, withSub = true)
+    tiff(14) = 0xff.toByte; tiff(15) = 0xff.toByte
+    tiff(16) = 0xff.toByte; tiff(17) = 0x7f.toByte
+    val p = ExifFormats.probe(exifJpeg(tiff)) // must not throw
+    assert(p.hasExif && p.make == null, s"$p")
+    assert(p.model == "M7" && p.orientation == 6, s"$p") // other tags survive
+  }
+
   test("MP4: ftyp + moov(mvhd, trak) reads duration, tracks, dims, codec") {
     val b = ftyp() ++ box("moov",
       mvhdV0(timescale = 600, duration = 7200) ++
@@ -314,6 +326,109 @@ class MediaProbeSpec extends AnyFunSuite {
     bb.put(inner)
     val p = MediaFormats.probeVideo(ftyp() ++ bb.array())
     assert(p.durationMs == 5000L && p.width == 320 && p.codec == "vp09", s"$p")
+  }
+
+  // ---- stts/stsz sample-table walk (probeTracks) -----------------------
+
+  private def fullTrak(trackId: Int, handler: String, ts: Int,
+                       stts: Seq[(Int, Int)], stszFixed: Int,
+                       stszSizes: Seq[Int], includeStsz: Boolean = true,
+                       mdhdV1: Boolean = false): Array[Byte] = {
+    val tk = java.nio.ByteBuffer.allocate(84)
+    tk.putInt(7); tk.putInt(0); tk.putInt(0); tk.putInt(trackId)
+    val durUnits = stts.map { case (n, d) => n.toLong * d }.sum
+    val mdhd =
+      if (mdhdV1) {
+        val bb = java.nio.ByteBuffer.allocate(36)
+        bb.putInt(0x01000000); bb.putLong(0L); bb.putLong(0L)
+        bb.putInt(ts); bb.putLong(durUnits); bb.putInt(0)
+        box("mdhd", bb.array())
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(24)
+        bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        bb.putInt(ts); bb.putInt(durUnits.toInt); bb.putInt(0)
+        box("mdhd", bb.array())
+      }
+    val hd = java.nio.ByteBuffer.allocate(25)
+    hd.putInt(0); hd.putInt(0); hd.put(handler.getBytes("US-ASCII"))
+    hd.put(new Array[Byte](13))
+    val st = java.nio.ByteBuffer.allocate(8 + stts.length * 8)
+    st.putInt(0); st.putInt(stts.length)
+    stts.foreach { case (n, d) => st.putInt(n); st.putInt(d) }
+    val sz =
+      if (stszFixed > 0) {
+        val bb = java.nio.ByteBuffer.allocate(12)
+        bb.putInt(0); bb.putInt(stszFixed); bb.putInt(stts.map(_._1).sum)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(12 + stszSizes.length * 4)
+        bb.putInt(0); bb.putInt(0); bb.putInt(stszSizes.length)
+        stszSizes.foreach(bb.putInt)
+        bb.array()
+      }
+    val stbl = box("stbl", box("stts", st.array()) ++
+      (if (includeStsz) box("stsz", sz) else Array.empty[Byte]))
+    box("trak", box("tkhd", tk.array()) ++
+      box("mdia", mdhd ++ box("hdlr", hd.array()) ++ box("minf", stbl)))
+  }
+
+  test("MP4 tracks: stts multi-entry sums, explicit + uniform stsz, bitrate") {
+    // video: 10 samples @40 + 5 @50 = 650 units @ ts 1000 → 650 ms;
+    // sizes 100..114 → total 1605; bitrate = 1605*8*1000/650 = 19753
+    val sizes = (0 until 15).map(i => 100 + i)
+    val b = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes) ++
+      fullTrak(2, "soun", 8000, Seq((100, 1024)), 256, Seq.empty, mdhdV1 = true))
+    val t = MediaFormats.probeTracks(b)
+    assert(t.size == 2, s"$t")
+    val v = t.head
+    assert(v.trackId == 1 && v.handler == "vide" && v.timescale == 1000L, s"$v")
+    assert(v.nSamples == 15L && v.sttsDurationMs == 650L &&
+      v.mdhdDurationMs == 650L, s"$v")
+    assert(v.totalBytes == sizes.sum.toLong, s"$v")
+    assert(v.bitrateBps == sizes.sum.toLong * 8 * 1000 / 650, s"$v")
+    val a = t(1)
+    assert(a.trackId == 2 && a.handler == "soun" && a.timescale == 8000L, s"$a")
+    assert(a.nSamples == 100L && a.sttsDurationMs == 100L * 1024 * 1000 / 8000, s"$a")
+    assert(a.totalBytes == 25600L &&
+      a.bitrateBps == 25600L * 8 * 8000 / (100L * 1024), s"$a")
+  }
+
+  test("MP4 tracks: torn tables report null, never a partial sum; no throw") {
+    val sizes = (0 until 15).map(i => 100 + i)
+    val full = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes))
+    // every truncation point parses without throwing
+    for (cut <- 8 until full.length by 7) MediaFormats.probeTracks(full.take(cut))
+    // a cut INSIDE the stsz size table: stts fields live, total null
+    val cutInStsz = full.length - 20
+    val torn = MediaFormats.probeTracks(full.take(cutInStsz))
+    assert(torn.size == 1 && torn.head.nSamples == 15L &&
+      torn.head.totalBytes == null && torn.head.bitrateBps == null, s"$torn")
+    // absent stsz: same contract
+    val noSz = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes,
+        includeStsz = false))
+    val got = MediaFormats.probeTracks(noSz)
+    assert(got.size == 1 && got.head.totalBytes == null &&
+      got.head.sttsDurationMs == 650L, s"$got")
+    // hostile declared entry count (table past the box) → stts fields null
+    val hostile = full.clone()
+    // stts entry_count sits 4 bytes into the stts payload; find the box
+    val idx = {
+      var k = -1
+      for (i <- 0 until hostile.length - 4)
+        if (k < 0 && hostile(i) == 's' && hostile(i+1) == 't' &&
+            hostile(i+2) == 't' && hostile(i+3) == 's') k = i
+      k
+    }
+    hostile(idx + 8) = 0x7f.toByte // entry_count := huge
+    val h = MediaFormats.probeTracks(hostile)
+    assert(h.size == 1 && h.head.nSamples == null &&
+      h.head.sttsDurationMs == null && h.head.bitrateBps == null, s"$h")
+    // not ISO-BMFF at all / null / empty
+    assert(MediaFormats.probeTracks("not an mp4 at all...".getBytes).isEmpty)
+    assert(MediaFormats.probeTracks(null).isEmpty)
   }
 
   test("MP4: truncation and corruption never throw — partial fields stay null") {

@@ -812,6 +812,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L), s"$got")
   }
 
+  test("scc: TRIM prepass is output-identical at every trimRounds setting") {
+    // periphery-heavy shape: a 3-cycle core with an incoming tail
+    // (9→8→1), an outgoing tail (3→4→5→6), and an isolated 2-cycle —
+    // trim retires the tails layer by layer, the color pass gets the rest
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (9L, 8L), (8L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (20L, 21L), (21L, 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 8L -> 8L, 9L -> 9L, 20L -> 20L, 21L -> 20L)
+    for (tr <- Seq(0, 1, 3, 8)) {
+      val got = Graph.stronglyConnectedComponents(
+          edges.toDF("src", "dst"), "src", "dst", trimRounds = tr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trimRounds=$tr: $got")
+    }
+  }
+
+  test("condensation: precomputedScc skips the second fixpoint, same answer") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (5L, 6L), (3L, 6L)).toDF("src", "dst")
+    val scc = Materialize(Graph.stronglyConnectedComponents(e, "src", "dst"))
+    val shared = Graph.condensationLevels(e, "src", "dst",
+        precomputedScc = Some(scc))
+      .orderBy("scc").as[(Long, Long, Long)].collect().toSeq
+    val solo = Graph.condensationLevels(e, "src", "dst")
+      .orderBy("scc").as[(Long, Long, Long)].collect().toSeq
+    assert(shared == solo, s"$shared vs $solo")
+  }
+
   test("condensation: levels are longest-path depth over the SCC quotient DAG") {
     // {1,2} cycle → 3 → {4,5} cycle → 6, plus a shortcut 3 → 6: the
     // longest path decides 6's level (3, not 2)

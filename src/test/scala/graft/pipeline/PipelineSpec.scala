@@ -3175,6 +3175,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((0L, 11L)), s"got: $got")
   }
 
+  test("mutualNearest: an unblocked left cohort past maxUnblockedLeft fails LOUDLY") {
+    // blocking=None broadcasts the left side — a corpus-sized cohort must
+    // never slip into the all-pairs shape silently (r14 verdict #1)
+    val left = (0L to 4L).map(i => (i, Array(1.0f, i.toFloat))).toDF("vec_id", "embedding")
+    val right = Seq((10L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mutualNearest(left, right, "vec_id", "embedding",
+        maxUnblockedLeft = 3).collect()
+    }
+    assert(ex.getMessage.contains("blocking"), ex.getMessage)
+    // the same call under the bound (or blocked) still works
+    assert(Similarity.mutualNearest(left, right, "vec_id", "embedding",
+      maxUnblockedLeft = 5).count() == 1L)
+  }
+
   test("readability: hand-computed Flesch milli-points; empty doc yields NULL") {
     // "the cat sat. it ran!" → 2 sentence runs, 5 whitespace tokens,
     // 5 vowel groups → 206835 − 1015·5 DIV 2 − 84600·5 DIV 5 = 119698

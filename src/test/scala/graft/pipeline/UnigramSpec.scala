@@ -62,6 +62,21 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.segment("xyx", costs.get, 99L, 2).toSeq == Seq("x", "yx"))
   }
 
+  test("cpLess is code-point (UTF-8 byte) order, not UTF-16 code-unit order") {
+    val astral = new String(Character.toChars(0x1F600)) // 😀 U+1F600
+    val pua = ""                                   // BMP private-use
+    // UTF-16 ranks U+E000 ABOVE the surrogate pair (0xE000 > 0xD83D),
+    // but code-point / UTF-8 byte order puts U+E000 < U+1F600
+    assert(pua > astral, "precondition: Java order disagrees here")
+    assert(Unigram.cpLess(pua, astral) && !Unigram.cpLess(astral, pua))
+    // agreement with plain order on BMP-only strings, prefix rule
+    assert(Unigram.cpLess("ab", "ac") && !Unigram.cpLess("ac", "ab"))
+    assert(Unigram.cpLess("ab", "abc") && !Unigram.cpLess("abc", "ab"))
+    assert(!Unigram.cpLess("ab", "ab"))
+    assert(Unigram.CpOrdering.compare(pua, astral) == -1)
+    assert(Unigram.CpOrdering.compare(pua, pua) == 0)
+  }
+
   test("EM-prune invariants and the frequent-bigram fixture") {
     val wc = Seq(("abab", 10L), ("ab", 5L), ("cd", 3L), ("dddd", 1L))
     val m = Unigram.trainFromCounts(wc, nVocab = 8, maxPieceLen = 2,
