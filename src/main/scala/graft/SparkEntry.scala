@@ -1060,6 +1060,18 @@ object SparkEntry {
       pipeline.Relational.mdeReadout(ev, "event_type", "arm", "cents")
         .orderBy("event_type")
     },
+    "events_power_curve" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r15: inverse-MDE power curve (the events_mde composition) — per
+      // event type, the users-per-arm a test needs to SEE a 1/2/5/10%
+      // relative effect at 5%/80%, off the same exact DECIMAL moments
+      // as events_mde; one aggregation pass, effects as a literal grid
+      val ev = s.table("events").where(col("value").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2).as("arm"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      pipeline.Relational.powerCurve(ev, "event_type", "arm", "cents")
+        .orderBy("event_type", "effect_ppm")
+    },
     "rel_fdr_bh" -> { (s, dir) =>
       prep(s, dir, "nation")
       // r14: Benjamini-Hochberg step-up FDR screen over a 25-hypothesis
@@ -9726,6 +9738,39 @@ object SparkEntry {
                      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))
                   AS BIGINT) END AS mde_cents_milli
          FROM g ORDER BY event_type""",
+    "events_power_curve" ->
+      """WITH a AS (SELECT event_type, user_id % 2 AS arm,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL),
+            m AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+                CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS ss
+              FROM a GROUP BY 1, 2),
+            g AS (SELECT event_type,
+                sum(CASE WHEN arm = 0 THEN n END) AS na,
+                sum(CASE WHEN arm = 1 THEN n END) AS nb,
+                sum(CASE WHEN arm = 0 THEN s END) AS sa,
+                sum(CASE WHEN arm = 1 THEN s END) AS sb,
+                sum(CASE WHEN arm = 0 THEN ss END) AS ssa,
+                sum(CASE WHEN arm = 1 THEN ss END) AS ssb
+              FROM m GROUP BY 1),
+            e AS (SELECT unnest([10000, 20000, 50000, 100000]) AS effect_ppm),
+            x AS (SELECT g.*, e.effect_ppm,
+                (((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                  + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                 / CAST(na + nb - 2 AS DOUBLE)) AS s2,
+                ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / CAST(na + nb AS DOUBLE)) AS mn
+              FROM g CROSS JOIN e)
+         SELECT event_type, CAST(effect_ppm AS BIGINT) AS effect_ppm,
+                CASE WHEN na >= 2 AND nb >= 2 AND s2 > 0 AND mn > 0
+                  THEN CAST(floor(1000 * (mn * CAST(effect_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)
+                END AS target_cents_milli,
+                CASE WHEN na >= 2 AND nb >= 2 AND s2 > 0 AND mn > 0
+                  THEN CAST(ceil(2 * CAST('2.8015852181129688' AS DOUBLE) * CAST('2.8015852181129688' AS DOUBLE)
+                       * s2 / ((mn * CAST(effect_ppm AS DOUBLE) / 1000000.0)
+                             * (mn * CAST(effect_ppm AS DOUBLE) / 1000000.0))) AS BIGINT)
+                END AS n_per_arm
+         FROM x ORDER BY event_type, effect_ppm""",
     "rel_fdr_bh" ->
       """WITH h AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
                 CASE WHEN n_nationkey = 7 THEN NULL

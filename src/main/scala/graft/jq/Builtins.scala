@@ -570,6 +570,32 @@ object Builtins {
     v0("ascii_upcase")(in =>
       one(text(requireString(in, "upcased").map(c => if (c >= 'a' && c <= 'z') (c - 32).toChar else c)))),
 
+    // uriparse — the deterministic slice of the reference classpath's
+    // jackson-jq-extra module (reference pom.xml:77 ships it, so its
+    // functions are arguably reference surface): the URI decomposed per
+    // RFC 3986 generic syntax via java.net.URI; absent components read
+    // null (port -1 → null). The same module's uuid/random are §5
+    // NON-GOALS — a deterministic engine cannot ship entropy builtins.
+    v0("uriparse") { in =>
+      val s = requireString(in, "parsed as a URI")
+      val u =
+        try new java.net.URI(s)
+        catch {
+          case e: java.net.URISyntaxException =>
+            throw JqError.of(s"uriparse: invalid URI${preview(in)}: ${e.getReason}")
+        }
+      def t(v: String): JsonNode = if (v == null) NullN else text(v)
+      one(obj(List(
+        "scheme" -> t(u.getScheme),
+        "authority" -> t(u.getAuthority),
+        "userinfo" -> t(u.getUserInfo),
+        "host" -> t(u.getHost),
+        "port" -> (if (u.getPort < 0) NullN else num(u.getPort)),
+        "path" -> t(u.getPath),
+        "query" -> t(u.getQuery),
+        "fragment" -> t(u.getFragment))))
+    },
+
     v0("explode") { in =>
       one(arr(requireString(in, "exploded").codePoints().toArray.toSeq.map(cp => num(cp))))
     },

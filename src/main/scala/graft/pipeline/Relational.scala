@@ -1707,6 +1707,68 @@ object Relational {
                 AS BIGINT) END""").as("mde_cents_milli"))
   }
 
+  /** POWER CURVE / inverse-MDE readout (r15 — the [[mdeReadout]]
+    * composition the r14 verdict queued): where mdeReadout answers
+    * "what effect could THIS traffic see", the power curve answers the
+    * planning question "how many users per arm do I need to see a
+    * TARGET effect" — the two-sample sizing identity (Cohen '88
+    * lineage) solved for n at the same pinned 5%/80% quantile sum:
+    *
+    *   n_per_arm = ⌈2·(z_{α/2}+z_β)²·s² / δ²⌉,  δ = mean·effect_ppm/10⁶
+    *
+    * with s² the pooled two-arm sample variance off the SAME exact
+    * DECIMAL moments as mdeReadout (one aggregation pass serves every
+    * effect size — the grid is a broadcast-literal explode, not a
+    * re-scan). The pinned literal 2.8015852181129688 and the
+    * floor/ceil-at-the-end double arithmetic replay in DuckDB exactly
+    * (the mdeReadout convention). Degenerate cells (arm n < 2, zero
+    * variance, zero mean) read NULL. Output: group, `effect_ppm`,
+    * `target_cents_milli` (the absolute effect the relative target
+    * means on this traffic), `n_per_arm`. */
+  def powerCurve(df: DataFrame, groupCol: String, armCol: String,
+                 valueCol: String,
+                 effectPpms: Seq[Long] = Seq(10000L, 20000L, 50000L, 100000L)): DataFrame = {
+    require(effectPpms.nonEmpty && effectPpms.forall(e => e >= 1 && e <= 1000000),
+      s"effectPpms must be in [1, 1e6], got $effectPpms")
+    requireIntegralTime(df, valueCol, "powerCurve", what = "metric value")
+    val dec = "decimal(38,0)"
+    val arm = when(col(armCol).isin(0, 1), col(armCol).cast("int"))
+      .otherwise(raise_error(concat(lit("powerCurve: arm must be 0/1, got "),
+        col(armCol).cast("string"))))
+    val m = df.select(col(groupCol).as("__g"), arm.as("__a"),
+        col(valueCol).cast("long").cast(dec).as("__x"))
+      .groupBy("__g", "__a")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+    val g = m.groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(when(col("__a") === 0, col("__n"))).cast("long").as("__na"),
+        sum(when(col("__a") === 1, col("__n"))).cast("long").as("__nb"),
+        sum(when(col("__a") === 0, col("__s"))).as("__sa"),
+        sum(when(col("__a") === 1, col("__s"))).as("__sb"),
+        sum(when(col("__a") === 0, col("__ss"))).as("__ssa"),
+        sum(when(col("__a") === 1, col("__ss"))).as("__ssb"))
+    // the variance/mean doubles written ONCE as SQL text so the DuckDB
+    // oracle can carry the identical expression tree (IEEE parity)
+    val s2 = """(((CAST(__ssa AS DOUBLE)
+                   - CAST(__sa AS DOUBLE) * CAST(__sa AS DOUBLE) / CAST(__na AS DOUBLE))
+                 + (CAST(__ssb AS DOUBLE)
+                   - CAST(__sb AS DOUBLE) * CAST(__sb AS DOUBLE) / CAST(__nb AS DOUBLE)))
+                / CAST(__na + __nb - 2 AS DOUBLE))"""
+    val mean = "((CAST(__sa AS DOUBLE) + CAST(__sb AS DOUBLE)) / CAST(__na + __nb AS DOUBLE))"
+    val delta = s"($mean * CAST(effect_ppm AS DOUBLE) / 1000000.0)"
+    val live = s"""__na >= 2 AND __nb >= 2 AND $s2 > 0 AND $mean > 0"""
+    g.withColumn("effect_ppm", explode(array(effectPpms.map(lit): _*)))
+      .withColumn("effect_ppm", col("effect_ppm").cast("long"))
+      .select(col(groupCol), col("effect_ppm"),
+        expr(s"CASE WHEN $live THEN CAST(floor(1000 * $delta) AS BIGINT) END")
+          .as("target_cents_milli"),
+        expr(s"""CASE WHEN $live THEN CAST(ceil(
+            2 * CAST('2.8015852181129688' AS DOUBLE) * CAST('2.8015852181129688' AS DOUBLE)
+              * $s2 / ($delta * $delta)) AS BIGINT) END""")
+          .as("n_per_arm"))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR screen (Benjamini & Hochberg,
     * JRSS-B '95) — the multiple-testing governance the engine's whole
     * test family (welch/mann-whitney/kruskal/ks/z/anova …) was missing:

@@ -70,29 +70,65 @@ object Sketches {
   }
 
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  p: Int = 8): DataFrame = {
+                  p: Int = 8): DataFrame =
+    distinctFromState(hllState(df, groupCols, valueCol, p), groupCols, p)
+
+  /** HLL REGISTER state (r15) — the [[Maintenance.momentState]]
+    * maintenance shape for DISTINCT counts: per (key, bucket) the max
+    * rank, a COMMUTATIVE monoid under [[mergeHllStates]] (per-bucket
+    * max = HLL union), so a stored register table plus per-batch
+    * register deltas maintains a live distinct-actives estimate
+    * continuously — the foreachBatch ledger the batch set-ops
+    * ([[hllSetOps]]) had no streaming twin for. State cost is
+    * keys-cardinality × ≤ 2^p rows regardless of history, and unlike
+    * the ADDITIVE rollup/moment states the max-merge is IDEMPOTENT:
+    * re-delivered batches cannot inflate the estimate, so
+    * at-least-once streaming delivery is safe where a sum-maintained
+    * state would double-count. Output: keys..., `bucket`, `reg`. */
+  def hllState(df: DataFrame, keyCols: Seq[String], valueCol: String,
+               p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
-    val m = 1 << p
     val w = 60 - p // rem field width
     val maxRank = w + 1
-    val gs = groupCols.map(col)
+    val gs = keyCols.map(col)
     // bucket/rem via integral DIV/%, NOT Column./ (true double division —
     // fractional "buckets" would silently multiply the register space)
     val hashed = df.where(col(valueCol).isNotNull)
       .select((gs :+ h60(col(valueCol), "hll").as("__h")): _*)
     val rem = col("__h") % (1L << w)
-    val rows = hashed.select(
-      (gs :+ expr(s"__h DIV ${1L << w}").as("__bucket") :+
-        when(rem === 0L, maxRank)
-          .otherwise(lit(maxRank) - length(bin(rem))).as("__rank")): _*)
-    val regs = rows.groupBy((gs :+ col("__bucket")): _*)
-      .agg(max(col("__rank")).as("__reg"))
+    hashed.select(
+        (gs :+ expr(s"__h DIV ${1L << w}").as("bucket") :+
+          when(rem === 0L, maxRank)
+            .otherwise(lit(maxRank) - length(bin(rem))).as("__rank")): _*)
+      .groupBy((gs :+ col("bucket")): _*)
+      .agg(max(col("__rank")).as("reg"))
+  }
+
+  /** Fold register states from (possibly re-delivered) batches: union +
+    * per-(key, bucket) max — the HLL union, idempotent and commutative,
+    * so merge order and duplicate delivery cannot change the result. */
+  def mergeHllStates(keyCols: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeHllStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+  }
+
+  /** The [[hllDistinct]] estimator read off a maintained register state:
+    * `v_empty, reg_sum` (the replayable register digest) and the
+    * all-integer `n_distinct_est`. */
+  def distinctFromState(state: DataFrame, keyCols: Seq[String],
+                        p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val gs = keyCols.map(col)
     val num = hllNumConstant(p)
-    regs.groupBy(gs: _*)
+    state.groupBy(gs: _*)
       .agg(
         count(lit(1)).as("__nb"),
-        sum(expr(s"shiftleft(1L, $maxRank - __reg)")).as("__s_present"),
-        sum(col("__reg")).as("reg_sum"))
+        sum(expr(s"shiftleft(1L, $maxRank - reg)")).as("__s_present"),
+        sum(col("reg")).as("reg_sum"))
       .withColumn("v_empty", lit(m.toLong) - col("__nb"))
       .withColumn("__s",
         col("__s_present") + col("v_empty") * (1L << maxRank))

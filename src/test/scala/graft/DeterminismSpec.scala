@@ -230,7 +230,11 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_scc", "graph_louvain_full", "graph_condensation", "graph_walks",
     "text_unigram_tokens", "sketch_hll_setops", "rel_fdr_bh",
     "ts_conformal", "pipeline_token_yield", "text_lang_spans",
-    "events_mde", "text_compress_ratio")
+    "events_mde", "text_compress_ratio",
+    // r15: per-track box-walk map + explode (pure map, but the
+    // synthesizer rides a Dataset.map); exact-moment grid explode with
+    // double readouts pinned after the DECIMAL aggregation
+    "multimodal_video_tracks", "events_power_curve")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

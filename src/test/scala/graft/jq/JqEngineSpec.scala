@@ -602,6 +602,27 @@ class JqEngineSpec extends AnyFunSuite {
     assert(run1("""builtins | (. == sort)""", "null") == "true") // deterministic order
   }
 
+  test("uriparse decomposes a URI; absent parts null; invalid is a catchable error") {
+    assert(run1("""uriparse""",
+      "\"https://u:p@example.com:8443/a/b?x=1&y=2#frag\"") ==
+      """{"scheme":"https","authority":"u:p@example.com:8443","userinfo":"u:p",""" +
+        """"host":"example.com","port":8443,"path":"/a/b","query":"x=1&y=2","fragment":"frag"}""")
+    // no port / no query / no fragment read null; path-only URIs too
+    assert(run1("""uriparse | [.scheme, .host, .port, .query]""",
+      "\"http://example.org/just/path\"") ==
+      """["http","example.org",null,null]""")
+    assert(run1("""uriparse | [.scheme, .host, .path]""", "\"/relative/only\"") ==
+      """[null,null,"/relative/only"]""")
+    // invalid URI errors like any jq error — ? catches it
+    assert(run1("""try uriparse catch "bad"""", "\"ht tp://x y\"") == "\"bad\"")
+    assert(run1("""[.[] | (uriparse | .host)?]""",
+      """["https://a.io/x", "ht tp://broken"]""") == """["a.io"]""")
+    // non-string input is the standard type error
+    assert(run1("""try uriparse catch "type"""", "42") == "\"type\"")
+    // it self-reports in builtins
+    assert(run1("""[builtins[] | select(. == "uriparse/0")] | length""", "null") == "1")
+  }
+
   test("uppercase GROUP_BY / UNIQUE_BY / ANY / ALL") {
     // builtin.jq: GROUP_BY(f) == group_by(f), UNIQUE_BY(f) == unique_by(f)
     assert(run1("""GROUP_BY(.a)""", """[{"a":1,"b":2},{"a":2,"b":4},{"a":1,"b":3}]""") ==

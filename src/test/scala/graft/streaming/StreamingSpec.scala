@@ -751,6 +751,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL maintenance: register states max-merge, estimate == batch, re-delivery safe") {
+    // the distinct-count ledger the batch set-ops had no streaming twin
+    // for: each micro-batch reduces to its (key, bucket)→max-rank
+    // register table, max-merges into the stored state (HLL union —
+    // IDEMPOTENT, so at-least-once delivery cannot inflate the count),
+    // and the estimator readout equals the full recompute bit for bit
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Sketches
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = src.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = Sketches.hllState(batch, Seq("k"), "v", p = 6)
+        val merged = state.fold(s)(old => Sketches.mergeHllStates(Seq("k"), old, s))
+        state = Some(spark.createDataFrame(
+          java.util.Arrays.asList(merged.collect(): _*), merged.schema))
+        ()
+      }.start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def add(rows: (String, Long)*): Unit = {
+      src.addData(rows); q.processAllAvailable(); all ++= rows
+    }
+    try {
+      add((1L to 200L).map(i => ("a", i)): _*)
+      add((150L to 400L).map(i => ("a", i)): _*) // overlap: union semantics
+      add((1L to 90L).map(i => ("b", i * 7)): _*)
+      val got = Sketches.distinctFromState(state.get, Seq("k"), p = 6)
+        .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+      val full = Sketches.hllDistinct(all.toSeq.toDF("k", "v"), Seq("k"), "v", p = 6)
+        .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == full, s"stream-maintained $got != recompute $full")
+      // idempotence: re-merging the final state into itself is a no-op
+      // (the at-least-once safety the additive ledgers don't have)
+      val again = Sketches.distinctFromState(
+          Sketches.mergeHllStates(Seq("k"), state.get, state.get), Seq("k"), p = 6)
+        .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+      assert(again == got, s"re-delivery changed the state: $again vs $got")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-batch sign-bucket states fold, drift == batch") {
     // today's snapshot arrives as a stream; its signBucketState is a
     // monoid, so each micro-batch folds into a stored bucket×dim state
