@@ -984,3 +984,67 @@ object ScaleProbe14 {
     spark.stop()
   }
 }
+
+/** r15 probes: the r14 digraph re-measured after the round's SCC work —
+  * the TRIM prepass (the 100k sink tails are exactly the periphery TRIM
+  * retires before the color fixpoint pays a seat for them), lazy-cut
+  * convergence (one job per fixpoint hop instead of two), and the
+  * shared-SCC condensation (`precomputedScc` — the quotient build alone,
+  * no second fixpoint). Plus the landmark-centrality trio at the same
+  * ~20x bench shape, which rides the same halved-action loops. */
+object ScaleProbe15 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // the ScaleProbe14 digraph: 100k 10-cycles welded into one giant SCC
+    // by ring + doubling shortcuts, plus 100k sink tails
+    val intra = spark.range(1000000L).selectExpr(
+      "id AS src",
+      "CASE WHEN id % 10 < 9 THEN id + 1 ELSE id - 9 END AS dst")
+    val ring = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "pmod(id + 1, 100000) * 10 AS dst")
+    val shortcut = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "pmod(id * 2, 100000) * 10 AS dst")
+    val tails = spark.range(100000L).selectExpr(
+      "id * 10 AS src", "1000000 + id AS dst")
+    val edges = intra.union(ring).union(shortcut).union(tails)
+
+    val scc = timed("SCC with TRIM (1.1M nodes, ~2.3M edges; r14: 71 s)")(
+      pipeline.Materialize(pipeline.Graph.stronglyConnectedComponents(
+        edges, "src", "dst", maxPeels = 12, maxHops = 80)))
+    val census = scc.groupBy("scc").count()
+      .selectExpr("count(*) AS n_sccs", "max(count) AS biggest").collect()(0)
+    println(s"[scale]   SCCs = ${census.getLong(0)} (expect 100001), " +
+      s"giant = ${census.getLong(1)} (expect 1000000)")
+
+    val lv = timed("condensationLevels SHARED (quotient only; r14 full: 72 s)")(
+      pipeline.Graph.condensationLevels(edges, "src", "dst",
+        maxPeels = 12, maxHops = 80, precomputedScc = Some(scc)).selectExpr(
+        "count(*) AS n", "max(level) AS max_level").collect()(0))
+    println(s"[scale]   quotient nodes = ${lv.getLong(0)}, " +
+      s"max level = ${lv.getLong(1)} (expect 1)")
+
+    val bc = timed("betweennessCentrality (8 landmarks, 6 rounds)")(
+      pipeline.Graph.betweennessCentrality(edges, "src", "dst").count())
+    println(s"[scale]   interior nodes = $bc")
+    val hc = timed("harmonicCentrality (8 landmarks, 6 rounds)")(
+      pipeline.Graph.harmonicCentrality(edges, "src", "dst").count())
+    val cc = timed("closenessCentrality (8 landmarks, 6 rounds)")(
+      pipeline.Graph.closenessCentrality(edges, "src", "dst").count())
+    println(s"[scale]   harmonic rows = $hc, closeness rows = $cc")
+    spark.stop()
+  }
+}

@@ -1615,6 +1615,36 @@ object SparkEntry {
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
+    "text_token_fertility" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r15: tokenizer FERTILITY by language — tokens-per-word and
+      // bytes-per-token of the corpus-trained BPE per langid bucket,
+      // the multilingual-tokenizer health readout LLM pipelines report
+      // (fertility creeping up on a language = that language is
+      // under-represented in the learned vocab); integer milli ratios
+      // off one encode pass + one langid pass + one tiny groupBy
+      val docs = s.table("documents")
+      val model = pipeline.Bpe.train(docs, "text", nMerges = 200)
+      val ws = pipeline.TextAnalysis.words(col("text"))
+      docs.select(
+          pipeline.TextAnalysis.langId(col("text")).as("lang"),
+          size(ws).cast("long").as("__nw"),
+          aggregate(transform(ws, w => octet_length(w).cast("long")),
+            lit(0L), (a, x) => a + x).as("__nb"),
+          size(pipeline.Bpe.encode(model, col("text"))).cast("long").as("__nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nw")).as("n_words"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("__nb")).as("n_word_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_word_bytes"),
+          expr("CASE WHEN n_words > 0 THEN n_tokens * 1000 DIV n_words END")
+            .as("fertility_milli"),
+          expr("CASE WHEN n_tokens > 0 THEN n_word_bytes * 1000 DIV n_tokens END")
+            .as("bytes_per_token_milli"))
+        .orderBy("lang")
+    },
     "text_unigram_tokens" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r14: unigram-LM (SentencePiece-style) tokenizer — seed substring
@@ -4046,6 +4076,22 @@ object SparkEntry {
       pipeline.Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
         .orderBy("node")
     },
+    "graph_eccentricity" -> { (s, dir) =>
+      prep(s, dir, "orders", "lineitem")
+      // r15: per-landmark eccentricity + diameter lower bound over the
+      // same bidirected trade graph — the BFS-budget pre-flight: a seed
+      // whose eccentricity equals the horizon was CLIPPED (raise the
+      // budget), strictly below genuinely ends there
+      val e0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      pipeline.Graph.landmarkEccentricity(edges, "src", "dst",
+          nSeeds = 8, rounds = 4)
+        .orderBy("seed")
+    },
     "graph_closeness" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // r13: landmark closeness over the same bidirected trade graph —
@@ -4851,11 +4897,22 @@ object SparkEntry {
         """SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
           |       CAST((count(*) * 1000000) // sum(dist) AS BIGINT) AS c_ppm""".stripMargin)
 
+  /** DuckDB replay of [[pipeline.Graph.landmarkEccentricity]] — the
+    * same unrolled landmark BFS under the independent "ec:" draw, read
+    * per SEED: max distance reached (the diameter lower bound). */
+  private def eccentricityOracleSql(nSeeds: Int, rounds: Int): String =
+    landmarkBfsOracleSql(nSeeds, rounds, salt = "ec:",
+      finalSelect =
+        """SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+          |       CAST(max(dist) AS BIGINT) AS eccentricity""".stripMargin,
+      groupCol = "seed")
+
   /** Shared unrolled (node, landmark)-keyed BFS over the bidirected
     * trade graph — the harmonic/closeness oracle skeleton; `finalSelect`
     * reads from the converged distance table (dist > 0 appended here). */
   private def landmarkBfsOracleSql(nSeeds: Int, rounds: Int, salt: String,
-                                   finalSelect: String): String = {
+                                   finalSelect: String,
+                                   groupCol: String = "node"): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""c$i AS MATERIALIZED (SELECT e.dst AS node, f.seed, min(f.dist + 1) AS nd
          |  FROM edges e JOIN f${i - 1} f ON f.node = e.src GROUP BY 1, 2),
@@ -4880,7 +4937,7 @@ object SparkEntry {
        |f0 AS (SELECT node, seed, dist FROM d0),
        |$roundCtes
        |$finalSelect
-       |FROM d$rounds WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
+       |FROM d$rounds WHERE dist > 0 GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
   }
 
   /** DuckDB replay of [[pipeline.Graph.betweennessCentrality]] — both
@@ -5699,7 +5756,10 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def bpeEncodeOracleSql(nMerges: Int): String = {
+  /** The shared BPE train+encode CTE chain (wc → sg_i merge steps →
+    * per-word token counts `wlen`) behind [[bpeEncodeOracleSql]] and
+    * [[bpeFertilityOracleSql]]. */
+  private def bpeCtePrefix(nMerges: Int): String = {
     val (o, c) = ("chr(30)", "chr(31)")
     val words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
     val steps = (1 to nMerges).map { i =>
@@ -5715,7 +5775,7 @@ object SparkEntry {
          |       ELSE seg END AS seg
          |  FROM sg$p CROSS JOIN bt$i bt)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wc AS MATERIALIZED (
+    s"""wc AS MATERIALIZED (
        |  SELECT tok AS w, count(*) AS n
        |  FROM (SELECT unnest($words) AS tok FROM documents) GROUP BY 1),
        |sg0 AS MATERIALIZED (
@@ -5725,12 +5785,54 @@ object SparkEntry {
        |  FROM wc),
        |$steps,
        |wlen AS (SELECT w, len(string_split(substr(seg, 2, length(seg)-2), $c||$o)) AS k FROM sg$nMerges),
-       |dw AS (SELECT doc_id, unnest($words) AS w FROM documents)
+       |dw AS (SELECT doc_id, unnest($words) AS w FROM documents)""".stripMargin
+  }
+
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeCtePrefix(nMerges)}
        |SELECT d.doc_id, CAST(coalesce(s.t, 0) AS BIGINT) AS n_bpe_tokens
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN (SELECT dw.doc_id, sum(wlen.k) AS t FROM dw JOIN wlen USING (w) GROUP BY 1) s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** DuckDB replay of the r15 tokenizer-FERTILITY readout: the BPE
+    * encode chain above joined to the langid stopword heuristic, rolled
+    * up per language — tokens, words, UTF-8 word bytes, and the integer
+    * milli ratios. */
+  private def bpeFertilityOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeCtePrefix(nMerges)},
+       |toks AS (SELECT dw.doc_id, sum(wlen.k) AS t FROM dw JOIN wlen USING (w) GROUP BY 1),
+       |wl AS (SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |       FROM documents),
+       |st AS (SELECT doc_id, list_distinct(ws) AS du FROM wl),
+       |lg AS (SELECT st.doc_id,
+       |         len(list_intersect(du, ['the','and','of','to','a','in','is','that','it','for'])) en,
+       |         len(list_intersect(du, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+       |         len(list_intersect(du, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+       |         len(list_intersect(du, ['el','la','los','y','es','un','una','para','en','que'])) es
+       |       FROM st),
+       |lang AS (SELECT doc_id,
+       |         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       |              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       |              WHEN fr >= es AND fr > 0 THEN 'fr'
+       |              WHEN es > 0 THEN 'es'
+       |              ELSE 'und' END AS lang
+       |       FROM lg),
+       |per AS (SELECT wl.doc_id, lang.lang,
+       |         CAST(coalesce(len(wl.ws), 0) AS BIGINT) AS nw,
+       |         CAST(coalesce(list_sum(list_transform(wl.ws, x -> strlen(x))), 0) AS BIGINT) AS nb,
+       |         CAST(coalesce(toks.t, 0) AS BIGINT) AS nt
+       |       FROM wl JOIN lang USING (doc_id) LEFT JOIN toks USING (doc_id))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nw) AS BIGINT) AS n_words,
+       |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(nb) AS BIGINT) AS n_word_bytes,
+       |       CASE WHEN sum(nw) > 0
+       |            THEN CAST(sum(nt) * 1000 // sum(nw) AS BIGINT) END AS fertility_milli,
+       |       CASE WHEN sum(nt) > 0
+       |            THEN CAST(sum(nb) * 1000 // sum(nt) AS BIGINT) END AS bytes_per_token_milli
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
   /** DuckDB replay of [[pipeline.Similarity.ivfTopKExact]] for
     * `ann_ivf_topk` (r11 graduation — the single-direction sibling of
@@ -6742,6 +6844,8 @@ object SparkEntry {
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_harmonic" -> harmonicOracleSql(8, 4),
+    "graph_eccentricity" -> eccentricityOracleSql(8, 4),
+    "graph_eccentricity" -> eccentricityOracleSql(8, 4),
     "graph_closeness" -> closenessOracleSql(8, 4),
     "graph_betweenness" -> betweennessOracleSql(8, 4),
     "graph_temporal_reach" -> temporalReachOracleSql(3),
@@ -7579,6 +7683,7 @@ object SparkEntry {
     "dedup_semantic" -> semanticOracleSql(16, 10, 64, 0.995),
     "pipeline_quality_classifier" -> classifierOracleSql(1 << 14, 6),
     "text_bpe_encode" -> bpeEncodeOracleSql(200),
+    "text_token_fertility" -> bpeFertilityOracleSql(200),
     "text_unigram_tokens" -> unigramOracleSql(
       nVocab = 48, maxPieceLen = 4, seedSize = 64, iters = 2, maxWordLen = 12),
     "ann_ivf_topk" -> ivfTopKOracleSql(16, 10, 10000, 10, 64, 10),

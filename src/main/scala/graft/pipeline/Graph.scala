@@ -893,6 +893,26 @@ object Graph {
       .select(col("node"), col("n_reached"),
         expr("n_reached * 1000000 DIV __sd").as("c_ppm"))
 
+  /** Landmark ECCENTRICITY + diameter LOWER BOUND (r15) — the
+    * BFS-budget pre-flight the iterative family itself needs: every
+    * horizon parameter in this file (`rounds`, `maxHops`) is a guess
+    * about how far the graph extends, and this measures it — per
+    * deterministic landmark (the [[harmonicCentrality]] contract, its
+    * own "ec:" salt), eccentricity(seed) = max BFS distance reached
+    * within `rounds`; the max over seeds is the classic sampled
+    * diameter lower bound (the Magnien–Latapy–Habib BFS-bound
+    * lineage). A seed whose eccentricity EQUALS `rounds` says the
+    * horizon clipped it — raise the budget; strictly below says the
+    * component genuinely ends there. Exact integers, hash-gates.
+    * Output: `seed, n_reached, eccentricity`, one row per landmark. */
+  def landmarkEccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+                           nSeeds: Int = 8, rounds: Int = 6): DataFrame =
+    landmarkDistances(edges, srcCol, dstCol, nSeeds, rounds,
+        saltPrefix = "ec:", opName = "landmarkEccentricity")
+      .where(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("eccentricity"))
+
   /** Shared landmark multi-source BFS behind [[harmonicCentrality]] /
     * [[closenessCentrality]]: `nSeeds` deterministic landmarks (bottom-k
     * by h60(saltPrefix∥node), node), state keyed (node, landmark), edges
