@@ -2635,13 +2635,15 @@ object SparkEntry {
       // bytes from stsz (explicit table on video, uniform-size on
       // audio), bitrate = total*8*timescale DIV stts-units. Plants:
       // id%41 in (0,7) parse to no tracks (garbage / ftyp-only) and
-      // id%41==13 drops the video stsz (total/bitrate null, stts live)
+      // id%41==13 drops the video stsz (total/bitrate null, stts live);
+      // r15b: stss keyframe readout — video tracks carry a sync table
+      // (every 4+id%6 samples), audio none (ISO absent-stss = all-sync)
       val media = pipeline.Multimodal.synthesizeMp4SampleTablePayloads(
         s.table("documents"), "doc_id")
       pipeline.Multimodal.probeVideoTracks(media, "payload")
         .select("doc_id", "track_id", "handler", "timescale",
           "mdhd_duration_ms", "n_samples", "stts_duration_ms",
-          "total_bytes", "bitrate_bps")
+          "total_bytes", "bitrate_bps", "n_sync_samples", "max_sync_gap")
         .orderBy("doc_id", "track_id")
     },
     "multimodal_meta" -> { (s, dir) =>
@@ -9377,19 +9379,23 @@ object SparkEntry {
       """WITH v AS (SELECT doc_id, 1 AS track_id, 'vide' AS handler,
                        600 + (doc_id % 4) * 200 AS ts,
                        12 + doc_id % 24 AS n1, 40 + doc_id % 20 AS d1,
-                       8 + (doc_id * 3) % 16 AS n2
+                       8 + (doc_id * 3) % 16 AS n2,
+                       4 + doc_id % 6 AS kf
                 FROM documents WHERE doc_id % 41 NOT IN (0, 7)),
               v2 AS (SELECT doc_id, track_id, handler, ts,
                        n1 + n2 AS n_samples,
                        n1 * d1 + n2 * (d1 + 10) AS units,
                        CASE WHEN doc_id % 41 = 13 THEN NULL
                             ELSE list_sum(list_transform(range(0, n1 + n2),
-                                   i -> 200 + ((doc_id + i * 7) % 100))) END AS total
+                                   i -> 200 + ((doc_id + i * 7) % 100))) END AS total,
+                       1 + (n1 + n2 - 1) // kf AS n_sync,
+                       CASE WHEN 1 + (n1 + n2 - 1) // kf >= 2 THEN kf END AS sync_gap
                 FROM v),
               a AS (SELECT doc_id, 2 AS track_id, 'soun' AS handler,
                        8000 AS ts, 50 + doc_id % 40 AS n_samples,
                        (50 + doc_id % 40) * 1024 AS units,
-                       (50 + doc_id % 40) * (128 + doc_id % 64) AS total
+                       (50 + doc_id % 40) * (128 + doc_id % 64) AS total,
+                       50 + doc_id % 40 AS n_sync, 1 AS sync_gap
                 FROM documents
                 WHERE doc_id % 41 NOT IN (0, 7) AND doc_id % 2 = 1),
               t AS (SELECT * FROM v2 UNION ALL SELECT * FROM a)
@@ -9399,7 +9405,9 @@ object SparkEntry {
                 CAST(n_samples AS BIGINT) AS n_samples,
                 CAST(units * 1000 // ts AS BIGINT) AS stts_duration_ms,
                 CAST(total AS BIGINT) AS total_bytes,
-                CAST(total * 8 * ts // units AS BIGINT) AS bitrate_bps
+                CAST(total * 8 * ts // units AS BIGINT) AS bitrate_bps,
+                CAST(n_sync AS BIGINT) AS n_sync_samples,
+                CAST(sync_gap AS BIGINT) AS max_sync_gap
          FROM t ORDER BY doc_id, track_id""",
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -325,7 +325,9 @@ object MediaFormats {
                              nSamples: java.lang.Long,
                              sttsDurationMs: java.lang.Long,
                              totalBytes: java.lang.Long,
-                             bitrateBps: java.lang.Long)
+                             bitrateBps: java.lang.Long,
+                             nSyncSamples: java.lang.Long = null,
+                             maxSyncGap: java.lang.Long = null)
 
   /** MP4 per-track stts/stsz SAMPLE-TABLE walk (r15 — the r14 verdict's
     * queued item): for each trak, the track id (tkhd), handler fourcc
@@ -333,7 +335,12 @@ object MediaFormats {
     * versions), the frame-accurate sample count and duration summed
     * from the stts time-to-sample table, the total payload bytes from
     * stsz (uniform-size field or the explicit per-sample table), and
-    * the bitrate estimate `total·8·timescale DIV Σ(count·delta)` —
+    * the bitrate estimate `total·8·timescale DIV Σ(count·delta)`, and
+    * the stss SYNC-SAMPLE (keyframe) readout — sync count and the max
+    * gap between consecutive sync samples, the seek-granularity /
+    * transcode-cost signal; an ABSENT stss means every sample is a
+    * sync sample (ISO 14496-12 §8.6.2: n_sync = n_samples, gap 1),
+    * while a TORN stss reads null (unknown is never all-sync) —
     * exact integer arithmetic end to end, so the readout hash-gates.
     *
     * Torn-download contract (the [[probeVideo]] discipline): never
@@ -368,6 +375,8 @@ object MediaFormats {
               var nSamp: java.lang.Long = null
               var sttsUnits: java.lang.Long = null
               var total: java.lang.Long = null
+              var nSync: java.lang.Long = null
+              var syncGap: java.lang.Long = null
               findBox(b, cs, ce, "mdia").foreach { case (ms, me) =>
                 findBox(b, ms, me, "mdhd").foreach { case (hs, he) =>
                   val ver = if (he - hs >= 1) u8(b, hs.toInt) else -1
@@ -417,6 +426,37 @@ object MediaFormats {
                       }
                     }
                   }
+                  var sawStss = false
+                  findBox(b, ss, se, "stss").foreach { case (y0, y1) =>
+                    sawStss = true
+                    if (y1 - y0 >= 8) {
+                      val n = be32(b, y0.toInt + 4)
+                      if (n >= 0 && y0 + 8 + n * 4 <= y1) {
+                        var i = 0L
+                        var prev = -1L
+                        var maxGap = -1L
+                        var ok = true
+                        while (i < n && ok) {
+                          val v = be32(b, (y0 + 8 + i * 4).toInt)
+                          if (prev >= 0) {
+                            if (v <= prev) ok = false // must ascend
+                            else if (v - prev > maxGap) maxGap = v - prev
+                          }
+                          prev = v
+                          i += 1
+                        }
+                        if (ok) {
+                          nSync = java.lang.Long.valueOf(n)
+                          if (maxGap > 0) syncGap = java.lang.Long.valueOf(maxGap)
+                        }
+                      }
+                    }
+                  }
+                  if (!sawStss && nSamp != null) {
+                    // no stss box: every sample IS a sync sample
+                    nSync = nSamp
+                    if (nSamp >= 2) syncGap = java.lang.Long.valueOf(1L)
+                  }
                   findBox(b, ss, se, "stsz").foreach { case (z0, z1) =>
                     if (z1 - z0 >= 12) {
                       val fixed = be32(b, z0.toInt + 4)
@@ -447,7 +487,7 @@ object MediaFormats {
                     total > Long.MaxValue / 8L / ts) null
                 else java.lang.Long.valueOf(total * 8L * ts / sttsUnits)
               out += TrackInfo(tid, handler, ts, mdhdMs, nSamp, sttsMs,
-                total, bitrate)
+                total, bitrate, nSync, syncGap)
             }
           })
         case _ =>
@@ -563,7 +603,7 @@ case class VideoTracksProbe(child: Expression)
         InternalRow(t.trackId,
           if (t.handler == null) null else UTF8String.fromString(t.handler),
           t.timescale, t.mdhdDurationMs, t.nSamples, t.sttsDurationMs,
-          t.totalBytes, t.bitrateBps)
+          t.totalBytes, t.bitrateBps, t.nSyncSamples, t.maxSyncGap)
       }.toArray[Any])
   }
 
@@ -581,7 +621,9 @@ case class VideoTracksProbe(child: Expression)
     StructField("n_samples", LongType, nullable = true),
     StructField("stts_duration_ms", LongType, nullable = true),
     StructField("total_bytes", LongType, nullable = true),
-    StructField("bitrate_bps", LongType, nullable = true))),
+    StructField("bitrate_bps", LongType, nullable = true),
+    StructField("n_sync_samples", LongType, nullable = true),
+    StructField("max_sync_gap", LongType, nullable = true))),
     containsNull = false)
   override protected def withNewChildInternal(newChild: Expression): VideoTracksProbe =
     copy(child = newChild)

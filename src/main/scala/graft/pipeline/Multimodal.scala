@@ -1082,7 +1082,10 @@ object Multimodal {
     * multi-entry sum is the point — plus an explicit per-sample stsz
     * table), odd ids add an audio track (single-entry stts + the
     * UNIFORM-size stsz path). mdhd alternates version 0/1 (id%5==0 →
-    * v1) — same values either way, both parse paths exercised. Plants:
+    * v1) — same values either way, both parse paths exercised; the
+    * video track carries an stss keyframe table (sync every 4+id%6
+    * samples), the audio track NONE (the ISO absent-stss = all-sync
+    * default path). Plants:
     * id%41==0 md5 garbage (no rows), id%41==7 ftyp-only truncation (no
     * rows), id%41==13 video stsz ABSENT (the torn-table contract:
     * total_bytes/bitrate null while the stts fields stay live). */
@@ -1101,10 +1104,12 @@ object Multimodal {
           val n2 = (8 + (id * 3) % 16).toInt
           val sizes = (0 until (n1 + n2)).map(i => (200 + ((id + i * 7) % 100)).toInt)
           val mdhdV1 = id % 5 == 0
+          val kf = (4 + id % 6).toInt // keyframe every kf samples
+          val syncs = (1 to (n1 + n2) by kf).toSeq
           val vtrak = mp4TrakSampled(trackId = 1, handler = "vide",
             timescale = tsV, stts = Seq((n1, d1), (n2, d1 + 10)),
             stszFixed = 0, stszSizes = sizes, includeStsz = id % 41 != 13,
-            mdhdV1 = mdhdV1)
+            mdhdV1 = mdhdV1, stss = Some(syncs))
           val traks =
             if (id % 2 == 1) {
               val nA = (50 + id % 40).toInt
@@ -1126,7 +1131,8 @@ object Multimodal {
   private def mp4TrakSampled(trackId: Int, handler: String, timescale: Int,
                              stts: Seq[(Int, Int)], stszFixed: Int,
                              stszSizes: Seq[Int], includeStsz: Boolean,
-                             mdhdV1: Boolean): Array[Byte] = {
+                             mdhdV1: Boolean,
+                             stss: Option[Seq[Int]] = None): Array[Byte] = {
     val tk = java.nio.ByteBuffer.allocate(84)
     tk.putInt(7); tk.putInt(0); tk.putInt(0)
     tk.putInt(trackId); tk.putInt(0); tk.putInt(0)
@@ -1177,8 +1183,14 @@ object Multimodal {
     sd.putInt(0); sd.putInt(1); sd.putInt(16)
     sd.put((if (handler == "vide") "avc1" else "mp4a").getBytes("US-ASCII"))
     sd.put(new Array[Byte](6)); sd.putShort(1.toShort)
+    val stssBox = stss.map { syncs =>
+      val bb = java.nio.ByteBuffer.allocate(8 + syncs.length * 4)
+      bb.putInt(0); bb.putInt(syncs.length)
+      syncs.foreach(bb.putInt)
+      mp4Box("stss", bb.array())
+    }.getOrElse(Array.empty[Byte])
     val stblChildren = mp4Box("stsd", sd.array()) ++
-      mp4Box("stts", sttsBody.array()) ++
+      mp4Box("stts", sttsBody.array()) ++ stssBox ++
       (if (includeStsz) mp4Box("stsz", stszBody) else Array.empty[Byte])
     val mdia = mp4Box("mdia",
       mdhd ++ mp4Box("hdlr", hd.array()) ++ mp4Box("minf", mp4Box("stbl", stblChildren)))

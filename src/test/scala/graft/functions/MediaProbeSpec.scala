@@ -333,7 +333,8 @@ class MediaProbeSpec extends AnyFunSuite {
   private def fullTrak(trackId: Int, handler: String, ts: Int,
                        stts: Seq[(Int, Int)], stszFixed: Int,
                        stszSizes: Seq[Int], includeStsz: Boolean = true,
-                       mdhdV1: Boolean = false): Array[Byte] = {
+                       mdhdV1: Boolean = false,
+                       stss: Option[Seq[Int]] = None): Array[Byte] = {
     val tk = java.nio.ByteBuffer.allocate(84)
     tk.putInt(7); tk.putInt(0); tk.putInt(0); tk.putInt(trackId)
     val durUnits = stts.map { case (n, d) => n.toLong * d }.sum
@@ -366,7 +367,13 @@ class MediaProbeSpec extends AnyFunSuite {
         stszSizes.foreach(bb.putInt)
         bb.array()
       }
-    val stbl = box("stbl", box("stts", st.array()) ++
+    val stssBox = stss.map { syncs =>
+      val bb = java.nio.ByteBuffer.allocate(8 + syncs.length * 4)
+      bb.putInt(0); bb.putInt(syncs.length)
+      syncs.foreach(bb.putInt)
+      box("stss", bb.array())
+    }.getOrElse(Array.empty[Byte])
+    val stbl = box("stbl", box("stts", st.array()) ++ stssBox ++
       (if (includeStsz) box("stsz", sz) else Array.empty[Byte]))
     box("trak", box("tkhd", tk.array()) ++
       box("mdia", mdhd ++ box("hdlr", hd.array()) ++ box("minf", stbl)))
@@ -392,6 +399,38 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(a.nSamples == 100L && a.sttsDurationMs == 100L * 1024 * 1000 / 8000, s"$a")
     assert(a.totalBytes == 25600L &&
       a.bitrateBps == 25600L * 8 * 8000 / (100L * 1024), s"$a")
+  }
+
+  test("MP4 tracks: stss sync samples — explicit table, absent = all-sync, torn = null") {
+    val sizes = (0 until 15).map(i => 100 + i)
+    // explicit keyframes at 1, 5, 9, 13: n_sync 4, max gap 4
+    val withStss = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes,
+        stss = Some(Seq(1, 5, 9, 13))))
+    val v = MediaFormats.probeTracks(withStss).head
+    assert(v.nSyncSamples == 4L && v.maxSyncGap == 4L, s"$v")
+    // uneven gaps: the MAX wins
+    val uneven = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes,
+        stss = Some(Seq(1, 2, 9))))
+    assert(MediaFormats.probeTracks(uneven).head.maxSyncGap == 7L)
+    // ABSENT stss: every sample is a sync sample (ISO 14496-12 §8.6.2)
+    val noStss = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes))
+    val a = MediaFormats.probeTracks(noStss).head
+    assert(a.nSyncSamples == 15L && a.maxSyncGap == 1L, s"$a")
+    // non-ascending sync numbers are corrupt: null, not garbage
+    val bad = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes,
+        stss = Some(Seq(5, 5, 9))))
+    val bv = MediaFormats.probeTracks(bad).head
+    assert(bv.nSyncSamples == null && bv.maxSyncGap == null, s"$bv")
+    // single sync sample: count 1, gap null (no pair to measure)
+    val one = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      fullTrak(1, "vide", 1000, Seq((10, 40), (5, 50)), 0, sizes,
+        stss = Some(Seq(1))))
+    val ov = MediaFormats.probeTracks(one).head
+    assert(ov.nSyncSamples == 1L && ov.maxSyncGap == null, s"$ov")
   }
 
   test("MP4 tracks: torn tables report null, never a partial sum; no throw") {

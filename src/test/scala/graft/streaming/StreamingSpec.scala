@@ -138,6 +138,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sample-table walk + tokenizer encode: the r15 pure maps run unchanged on a stream") {
+    // probeVideoTracks (byte walk + explode) and a trained BPE encode
+    // (plan-constant piece table) are stateless maps — the same operator
+    // code runs in append mode, byte-identical to the batch run
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 30L).map(i =>
+      (i, s"alpha beta beta gamma$i delta alpha beta"))
+    val model = graft.pipeline.Bpe.trainFromCounts(
+      Seq(("alpha", 10L), ("beta", 14L), ("gamma1", 2L), ("delta", 5L)),
+      nMerges = 20)
+    val media = graft.pipeline.Multimodal.synthesizeMp4SampleTablePayloads(
+      docs.toDF("doc_id", "text"), "doc_id")
+    val msrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    msrc.addData(media.as[(Long, Array[Byte])].collect().toSeq: _*)
+    val tracks = graft.pipeline.Multimodal.probeVideoTracks(
+      msrc.toDF().toDF("doc_id", "payload"), "payload")
+    val tsrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    tsrc.addData(docs: _*)
+    val toks = tsrc.toDF().toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.pipeline.Bpe.encode(model,
+            org.apache.spark.sql.functions.col("text"))).as("n_tokens"))
+    val q1 = tracks.writeStream.outputMode("append")
+      .format("memory").queryName("tracks_stream_out").start()
+    val q2 = toks.writeStream.outputMode("append")
+      .format("memory").queryName("bpe_stream_out").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val bTracks = graft.pipeline.Multimodal.probeVideoTracks(media, "payload")
+        .collect().map(_.toString).toSet
+      val sTracks = spark.table("tracks_stream_out")
+        .collect().map(_.toString).toSet
+      assert(sTracks == bTracks && bTracks.nonEmpty)
+      val bToks = docs.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.size(
+            graft.pipeline.Bpe.encode(model,
+              org.apache.spark.sql.functions.col("text"))).as("n_tokens"))
+        .as[(Long, Int)].collect().toSet
+      val sToks = spark.table("bpe_stream_out").as[(Long, Int)].collect().toSet
+      assert(sToks == bToks && bToks.nonEmpty)
+      // no state store: stateless maps only
+      assert(q1.lastProgress == null ||
+        q1.lastProgress.stateOperators.isEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming sentence chunking + ROUGE + video probe: the r14 pure maps run unchanged on a stream") {
     // sentenceChunks, rougeN, and probeVideoMeta are all stateless maps
     // (regex/fold/byte-walk per row) — the SAME operator code runs in
