@@ -81,6 +81,33 @@ object SparkEntry {
       pipeline.Materialize(pipeline.Graph.stronglyConnectedComponents(
         orderFlowEdges(s), "src", "dst")))
 
+  /** The bidirected customer↔supplier trade graph (the graph_bfs /
+    * harmonic / closeness / eccentricity input). */
+  private def tradeGraphEdges(s: SparkSession): DataFrame = {
+    val e0 = s.table("orders")
+      .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+      .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+  }
+
+  /** Session-scoped SHARED landmark pass over [[tradeGraphEdges]] (r15,
+    * the [[orderFlowScc]] lifecycle applied to the centrality family):
+    * graph_harmonic, graph_closeness and graph_eccentricity each keep
+    * their own independent landmark draw (hc:/cc:/ec: salts — the
+    * estimator contract), but the three queries ride ONE multi-salt
+    * BFS ([[pipeline.Graph.landmarkDistanceTable]]); per-salt slices
+    * are identical to single-salt runs, so all three oracles gate
+    * unchanged while the trio pays one forward pass instead of three. */
+  private val landmarkMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def tradeLandmarks(s: SparkSession, dir: String): DataFrame =
+    landmarkMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$dir", _ =>
+      pipeline.Materialize(pipeline.Graph.landmarkDistanceTable(
+        tradeGraphEdges(s), "src", "dst", nSeeds = 8, rounds = 4,
+        saltPrefixes = Seq("hc:", "cc:", "ec:"))))
+
   /** recall@10 of an approximate top-k method against the in-registry
     * brute-force twin, per query vector (the 5 vec_id < 5 queries of the
     * ann_* family): `(query_id, recall_ppm)` — both sides deterministic,
@@ -4068,14 +4095,11 @@ object SparkEntry {
       // r11: harmonic centrality from 8 md5 landmarks over the same
       // bidirected trade graph as graph_bfs — the distance-based
       // centrality the family lacked (PageRank measures flow; exact
-      // closeness is all-pairs); exact integer Σ⌊1e6/d⌋ estimator
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
-      pipeline.Graph.harmonicCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
+      // closeness is all-pairs); exact integer Σ⌊1e6/d⌋ estimator.
+      // r15: reads its hc: slice of the SHARED multi-salt landmark
+      // pass ([[tradeLandmarks]]) — same result, one BFS for the trio
+      pipeline.Graph.harmonicFromDistances(
+          tradeLandmarks(s, dir).where(col("salt") === "hc:"))
         .orderBy("node")
     },
     "graph_eccentricity" -> { (s, dir) =>
@@ -4083,15 +4107,10 @@ object SparkEntry {
       // r15: per-landmark eccentricity + diameter lower bound over the
       // same bidirected trade graph — the BFS-budget pre-flight: a seed
       // whose eccentricity equals the horizon was CLIPPED (raise the
-      // budget), strictly below genuinely ends there
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
-      pipeline.Graph.landmarkEccentricity(edges, "src", "dst",
-          nSeeds = 8, rounds = 4)
+      // budget), strictly below genuinely ends there; ec: slice of the
+      // shared landmark pass
+      pipeline.Graph.eccentricityFromDistances(
+          tradeLandmarks(s, dir).where(col("salt") === "ec:"))
         .orderBy("seed")
     },
     "graph_closeness" -> { (s, dir) =>
@@ -4100,14 +4119,10 @@ object SparkEntry {
       // the classic Bavelas reciprocal-mean-distance readout next to
       // harmonic's reciprocal-sum (different ranking when distance
       // spreads are wide); independent "cc:" landmark draw, exact
-      // integer n·10⁶ DIV Σd so the estimate hash-gates
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
-      pipeline.Graph.closenessCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
+      // integer n·10⁶ DIV Σd so the estimate hash-gates. r15: cc:
+      // slice of the shared landmark pass
+      pipeline.Graph.closenessFromDistances(
+          tradeLandmarks(s, dir).where(col("salt") === "cc:"))
         .orderBy("node")
     },
     "graph_betweenness" -> { (s, dir) =>

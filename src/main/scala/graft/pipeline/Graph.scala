@@ -856,9 +856,15 @@ object Graph {
     * `node, n_reached, h_ppm` (nodes reached by ≥1 other landmark). */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          nSeeds: Int = 8, rounds: Int = 6): DataFrame =
-    landmarkDistances(edges, srcCol, dstCol, nSeeds, rounds,
-        saltPrefix = "hc:", opName = "harmonicCentrality")
-      .where(col("dist") > 0)
+    harmonicFromDistances(landmarkDistances(edges, srcCol, dstCol, nSeeds,
+      rounds, saltPrefix = "hc:", opName = "harmonicCentrality"))
+
+  /** The [[harmonicCentrality]] readout off a (node, seed, dist) frame —
+    * factored so a SHARED multi-salt landmark pass
+    * ([[landmarkDistanceTable]]) can feed it without recomputing the
+    * BFS (r15: the one-forward-pass centrality lifecycle). */
+  def harmonicFromDistances(dists: DataFrame): DataFrame =
+    dists.where(col("dist") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 DIV dist")).as("h_ppm"))
@@ -883,9 +889,13 @@ object Graph {
     * denominator, as with harmonic. Output: `node, n_reached, c_ppm`. */
   def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                           nSeeds: Int = 8, rounds: Int = 6): DataFrame =
-    landmarkDistances(edges, srcCol, dstCol, nSeeds, rounds,
-        saltPrefix = "cc:", opName = "closenessCentrality")
-      .where(col("dist") > 0)
+    closenessFromDistances(landmarkDistances(edges, srcCol, dstCol, nSeeds,
+      rounds, saltPrefix = "cc:", opName = "closenessCentrality"))
+
+  /** The [[closenessCentrality]] readout off a (node, seed, dist) frame
+    * (see [[harmonicFromDistances]]). */
+  def closenessFromDistances(dists: DataFrame): DataFrame =
+    dists.where(col("dist") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("__sd"))
       // integer DIV end-to-end (never IEEE): n·10⁶ ≤ 1024·10⁶ per node,
@@ -907,9 +917,13 @@ object Graph {
     * Output: `seed, n_reached, eccentricity`, one row per landmark. */
   def landmarkEccentricity(edges: DataFrame, srcCol: String, dstCol: String,
                            nSeeds: Int = 8, rounds: Int = 6): DataFrame =
-    landmarkDistances(edges, srcCol, dstCol, nSeeds, rounds,
-        saltPrefix = "ec:", opName = "landmarkEccentricity")
-      .where(col("dist") > 0)
+    eccentricityFromDistances(landmarkDistances(edges, srcCol, dstCol,
+      nSeeds, rounds, saltPrefix = "ec:", opName = "landmarkEccentricity"))
+
+  /** The [[landmarkEccentricity]] readout off a (node, seed, dist)
+    * frame (see [[harmonicFromDistances]]). */
+  def eccentricityFromDistances(dists: DataFrame): DataFrame =
+    dists.where(col("dist") > 0)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("eccentricity"))
 
@@ -921,25 +935,51 @@ object Graph {
     * the landmarks themselves — callers filter). */
   private def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
                                 nSeeds: Int, rounds: Int, saltPrefix: String,
-                                opName: String): DataFrame = {
+                                opName: String): DataFrame =
+    landmarkDistanceTable(edges, srcCol, dstCol, nSeeds, rounds,
+      Seq(saltPrefix), opName).drop("salt")
+
+  /** SHARED multi-salt landmark BFS (r15 — the r14 verdict's
+    * one-forward-pass centrality lifecycle): each salt draws its own
+    * independent landmark set (the per-estimator sampling-error
+    * isolation the single-salt ops contract), but ALL salts ride ONE
+    * (node, salt, seed)-keyed multi-source BFS — edges shuffle onto src
+    * once, one full-outer merge per hop, one driver action per hop
+    * ([[Materialize.cutLazy]]), frontier-empty early exit. Per-salt
+    * slices are IDENTICAL to the single-salt runs (states never
+    * interact across the salt key), so the harmonic/closeness/
+    * eccentricity readouts — [[harmonicFromDistances]] and siblings —
+    * hash-gate against their unchanged oracles while the three queries
+    * pay one BFS instead of three. Returns `salt, node, seed, dist`
+    * (dist 0 at the landmarks themselves — readouts filter). */
+  def landmarkDistanceTable(edges: DataFrame, srcCol: String, dstCol: String,
+                            nSeeds: Int, rounds: Int,
+                            saltPrefixes: Seq[String],
+                            opName: String = "landmarkDistanceTable"): DataFrame = {
     require(nSeeds >= 1 && nSeeds <= 1024, s"nSeeds must be in [1, 1024], got $nSeeds")
     require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    require(saltPrefixes.nonEmpty && saltPrefixes.distinct == saltPrefixes,
+      s"saltPrefixes must be nonempty and distinct, got $saltPrefixes")
     Search.requireIntegralId(edges, srcCol, opName, role = "src id")
     Search.requireIntegralId(edges, dstCol, opName, role = "dst id")
     val e0 = Materialize.cut(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
-    val nodeSet = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-    val seeds = nodeSet
-      .withColumn("__h",
-        conv(substring(md5(concat(lit(saltPrefix), col("node").cast("string"))), 1, 15), 16, 10)
-          .cast("long"))
-      .orderBy(col("__h"), col("node"))
-      .limit(nSeeds)
-      .select(col("node").as("seed"))
+    val nodeSet = Materialize.cut(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    val seeds = saltPrefixes.map { sp =>
+      nodeSet
+        .withColumn("__h",
+          conv(substring(md5(concat(lit(sp), col("node").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        .orderBy(col("__h"), col("node"))
+        .limit(nSeeds)
+        .select(lit(sp).as("salt"), col("node").as("seed"))
+    }.reduce(_ union _)
     val ej = Materialize.cut(e0.repartition(col("src")))
     var dists = Materialize.cut(
-      seeds.select(col("seed").as("node"), col("seed"), lit(0L).as("dist")))
+      seeds.select(col("salt"), col("seed").as("node"), col("seed"),
+        lit(0L).as("dist")))
     var frontier = dists
     var r = 0
     var done = false
@@ -947,8 +987,8 @@ object Graph {
       r += 1
       val cand = ej.join(frontier.hint("shuffle_hash"),
           ej("src") === frontier("node"))
-        .select(col("dst"), col("seed"), (col("dist") + 1L).as("__nd"))
-        .groupBy("dst", "seed").agg(min(col("__nd")).as("__nd"))
+        .select(col("dst"), col("salt"), col("seed"), (col("dist") + 1L).as("__nd"))
+        .groupBy("dst", "salt", "seed").agg(min(col("__nd")).as("__nd"))
       val improved = col("__old").isNull ||
         (col("__nd").isNotNull && col("__nd") < col("__old"))
       // cutLazy + count (never isEmpty: limit-1 would short-circuit
@@ -956,18 +996,21 @@ object Graph {
       val merged = Materialize.cutLazy(
         dists.withColumnRenamed("dist", "__old")
           .withColumnRenamed("seed", "__s")
+          .withColumnRenamed("salt", "__sa")
           .join(cand.hint("shuffle_hash"),
-            col("node") === col("dst") && col("__s") === col("seed"), "full")
+            col("node") === col("dst") && col("__s") === col("seed") &&
+              col("__sa") === col("salt"), "full")
           .select(
             coalesce(col("node"), col("dst")).as("node"),
+            coalesce(col("__sa"), col("salt")).as("salt"),
             coalesce(col("__s"), col("seed")).as("seed"),
             when(improved, col("__nd")).otherwise(col("__old")).as("dist"),
             improved.as("__imp")))
-      frontier = merged.where(col("__imp")).select("node", "seed", "dist")
+      frontier = merged.where(col("__imp")).select("salt", "node", "seed", "dist")
       if (frontier.count() == 0L) done = true
-      dists = merged.select("node", "seed", "dist")
+      dists = merged.select("salt", "node", "seed", "dist")
     }
-    dists
+    dists.select("salt", "node", "seed", "dist")
   }
 
   /** BETWEENNESS centrality, Brandes-sampled from md5 landmarks (Brandes

@@ -234,7 +234,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r15: per-track box-walk map + explode (pure map, but the
     // synthesizer rides a Dataset.map); exact-moment grid explode with
     // double readouts pinned after the DECIMAL aggregation
-    "multimodal_video_tracks", "events_power_curve")
+    "multimodal_video_tracks", "events_power_curve",
+    "text_token_fertility", "graph_eccentricity")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -741,6 +741,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r15 plan claims: track walk is a pure map; fertility and power curve aggregate once") {
+    // multimodal_video_tracks: byte walk + explode, no join, no exchange
+    // besides the final sort (the r14 pure-map convention)
+    val tracks = SparkEntry.queries("multimodal_video_tracks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!tracks.contains("Join"), s"track walk must not join:\n$tracks")
+    val tEx = tracks.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(tracks.linesIterator.count(_.contains("rangepartitioning")) >= tEx - 1,
+      s"track walk: unexpected non-sort exchange:\n$tracks")
+    // text_token_fertility: encode + langid are maps feeding ONE
+    // partial-aggregated groupBy — a single documents scan, no join
+    val fert = SparkEntry.queries("text_token_fertility")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!fert.contains("Join"), s"fertility must not join:\n$fert")
+    val fScans = fert.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(fScans == 1, s"fertility output must scan documents once, got $fScans:\n$fert")
+    assert(fert.contains("bpe_encode"), s"encode expression missing:\n$fert")
+    // events_power_curve: ONE aggregation pass serves the whole effect
+    // grid — the explode rides the aggregated (tiny) frame, so exactly
+    // one events scan and no join
+    val pc = SparkEntry.queries("events_power_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("Join"), s"power curve must not join:\n$pc")
+    val pScans = pc.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(pScans == 1, s"power curve must scan events once, got $pScans:\n$pc")
+  }
+
   test("text_unigram_tokens plan: encode stage reads the corpus once, no shuffle") {
     // the unigram twin of the bpe_encode assertion: two training scans
     // (word count + substring count) are driver-side collects; the

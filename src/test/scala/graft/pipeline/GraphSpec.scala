@@ -812,6 +812,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L), s"$got")
   }
 
+  test("landmarkDistanceTable: per-salt slices equal the single-salt runs") {
+    // the shared multi-salt BFS must be INVISIBLE in the results — each
+    // salt's slice identical to its standalone op (states keyed by salt
+    // never interact), so the three centrality oracles gate unchanged
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L),
+      (5L, 6L), (6L, 2L), (4L, 7L)).toDF("src", "dst")
+    val multi = Materialize(Graph.landmarkDistanceTable(
+      e, "src", "dst", nSeeds = 3, rounds = 5, Seq("hc:", "cc:", "ec:")))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(rows(Graph.harmonicFromDistances(multi.where($"salt" === "hc:"))) ==
+      rows(Graph.harmonicCentrality(e, "src", "dst", nSeeds = 3, rounds = 5)))
+    assert(rows(Graph.closenessFromDistances(multi.where($"salt" === "cc:"))) ==
+      rows(Graph.closenessCentrality(e, "src", "dst", nSeeds = 3, rounds = 5)))
+    assert(rows(Graph.eccentricityFromDistances(multi.where($"salt" === "ec:"))) ==
+      rows(Graph.landmarkEccentricity(e, "src", "dst", nSeeds = 3, rounds = 5)))
+    assert(multi.select("salt").distinct().count() == 3)
+  }
+
   test("scc: TRIM prepass is output-identical at every trimRounds setting") {
     // periphery-heavy shape: a 3-cycle core with an incoming tail
     // (9→8→1), an outgoing tail (3→4→5→6), and an isolated 2-cycle —
