@@ -4211,6 +4211,50 @@ object SparkEntry {
           deleteFilter = Some(col("event_type") === "error"))
         .orderBy("user_id")
     },
+    "pipeline_crawl_chain" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r15: the crawl-to-prose FIRST MILE end to end as one composed
+      // pure-map chain — WARC member → response record → HTTP split →
+      // status/content-type gate → markup strip → word-count gate +
+      // langid. Plants: 404s (id%29==0) fall to the status gate,
+      // application/pdf (id%29==3) to the content-type gate
+      val blobs = sources.Warc.synthesizeWarcHttpPayloads(
+        s.table("documents"), "doc_id", "text")
+      val recs = sources.Warc.records(blobs, "payload")
+        .where(col("warc_type") === "response")
+        // the record-level Content-Type is the WARC envelope's; the
+        // HTTP head inside the payload carries the one the gate reads
+        .drop("content_type")
+      val kept = sources.Warc.httpSplit(recs, "payload")
+        .where(col("status") === 200 &&
+          col("content_type").startsWith("text/html"))
+      kept
+        .select(col("doc_id"),
+          pipeline.TextAnalysis.stripMarkup(col("body").cast("string"))
+            .as("clean"))
+        .select(col("doc_id"), col("clean"),
+          size(pipeline.TextAnalysis.words(col("clean"))).cast("long")
+            .as("n_words"),
+          pipeline.TextAnalysis.langId(col("clean")).as("lang"))
+        .where(col("n_words") >= 3)
+        .orderBy("doc_id")
+    },
+    "src_warc_records" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r15: WARC (ISO 28500) crawl-archive records — the Common Crawl
+      // container, parsed by a pure byte-walk expression exploded per
+      // COMPLETE record (torn members keep the records that fully
+      // landed: the id%37==5 plant tears the member's tail, so even ids
+      // lose their only record while odd ids keep the intact response
+      // and lose only the torn metadata twin)
+      val blobs = sources.Warc.synthesizeWarcPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Warc.records(blobs, "payload")
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("content_type"), col("content_length"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("doc_id", "warc_type")
+    },
     "src_csv_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // CSV parity incl. the quoting dimension: lang values wrapped in
@@ -6636,6 +6680,63 @@ object SparkEntry {
          FROM read_csv('/tmp/graft_csv_gate/*.csv.gz', header = true,
                        columns = {doc_id: 'BIGINT', tricky: 'VARCHAR', n_chars: 'BIGINT'})
          GROUP BY tricky ORDER BY tricky""",
+    "pipeline_crawl_chain" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 29 NOT IN (0, 3)),
+            h AS (SELECT doc_id,
+                '<html><head><script>var v=' || CAST(doc_id AS VARCHAR)
+                  || ';</script></head><body><p>' || text
+                  || '</p>&nbsp;tail</body></html>' AS t
+              FROM base),
+            c AS (SELECT doc_id, trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                    '&nbsp;', ' '), '&amp;', '&'),
+                  '[ \t\n\r\f]+', ' ', 'g')) AS clean
+              FROM h),
+            w AS (SELECT doc_id, clean,
+                list_filter(regexp_split_to_array(lower(clean), '\s+'),
+                  x -> len(x) > 0) AS ws
+              FROM c),
+            lw AS (SELECT doc_id, clean, len(ws) AS n_words,
+                list_distinct(ws) AS du FROM w),
+            sc AS (SELECT doc_id, clean, n_words,
+                len(list_intersect(du, ['the','and','of','to','a','in','is','that','it','for'])) en,
+                len(list_intersect(du, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                len(list_intersect(du, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                len(list_intersect(du, ['el','la','los','y','es','un','una','para','en','que'])) es
+              FROM lw)
+         SELECT doc_id, clean, CAST(n_words AS BIGINT) AS n_words,
+                CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                     WHEN fr >= es AND fr > 0 THEN 'fr'
+                     WHEN es > 0 THEN 'es'
+                     ELSE 'und' END AS lang
+         FROM sc WHERE n_words >= 3 ORDER BY doc_id""",
+    "src_warc_records" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+            resp AS (SELECT doc_id, 'response' AS warc_type,
+                     'https://example.com/doc/' || doc_id AS target_uri,
+                     'text/plain' AS content_type,
+                     CAST(strlen(text) AS BIGINT) AS content_length,
+                     text AS payload_text
+                FROM base
+                WHERE doc_id % 37 <> 0
+                  AND NOT (doc_id % 37 = 5 AND doc_id % 2 = 0)),
+            meta AS (SELECT doc_id, 'metadata' AS warc_type,
+                     'https://example.com/doc/' || doc_id AS target_uri,
+                     'text/plain' AS content_type,
+                     CAST(strlen('fetch=' || doc_id) AS BIGINT) AS content_length,
+                     'fetch=' || doc_id AS payload_text
+                FROM base
+                WHERE doc_id % 2 = 1 AND doc_id % 37 NOT IN (0, 5))
+         SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM meta)
+         ORDER BY doc_id, warc_type""",
     "src_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS chars,

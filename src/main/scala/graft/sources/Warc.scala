@@ -1,0 +1,321 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{GraftShim => E}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500) crawl-archive records — the container Common Crawl
+  * and every self-hosted fetch fleet actually ship, and therefore the
+  * FIRST parse a crawl-to-corpus pipeline runs. The record grammar is
+  * byte-level and public: `WARC/1.x CRLF`, header lines `Name: value
+  * CRLF`, a blank line, exactly `Content-Length` payload bytes, then
+  * CRLF CRLF before the next record.
+  *
+  * Spark-first shape: a WARC member is a BYTE STREAM whose record
+  * boundaries are only discoverable by walking it, so the unit of
+  * parallelism is the FILE/blob (exactly how Common Crawl distributes —
+  * ~1 GB gzip members; one task per member is the ecosystem-standard
+  * split), and the per-blob walk is a pure scalar expression:
+  * `warc_records(binary)` → array of typed record structs, exploded by
+  * [[records]]. No mapPartitions, no driver parsing — the walk rides
+  * whole-stage-adjacent codegen like the media probes.
+  *
+  * Torn-download contract (the [[graft.functions.MediaFormats]]
+  * discipline): never throws; parsing stops cleanly at the first
+  * malformed or truncated record (a record is returned only when its
+  * ENTIRE declared payload and trailing CRLFs arrived — a partial
+  * payload is never dressed as a complete fetch), so a torn blob yields
+  * the records that fully landed. Hostile Content-Length values are
+  * Long-checked against the buffer, header/record counts are bounded by
+  * byte consumption — no input hangs the walk. */
+object Warc {
+
+  final case class Record(warcType: String, targetUri: String,
+                          contentType: String, contentLength: Long,
+                          payload: Array[Byte])
+
+  private val MaxHeaderLine = 8192
+
+  /** The byte walk: complete records parsed from one WARC member. */
+  def parse(b: Array[Byte]): Seq[Record] = {
+    if (b == null || b.length < 12) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Record]()
+    var p = 0L
+    val n = b.length.toLong
+    def lineEnd(from: Long): Long = {
+      // index of the CR of the next CRLF, or -1 (bounded per line)
+      var i = from
+      val cap = math.min(n - 1, from + MaxHeaderLine)
+      while (i < cap) {
+        if (b(i.toInt) == '\r' && b(i.toInt + 1) == '\n') return i
+        i += 1
+      }
+      -1L
+    }
+    var more = true
+    while (more) {
+      more = false
+      // version line
+      val ve = lineEnd(p)
+      if (ve >= 0) {
+        val ver = new String(b, p.toInt, (ve - p).toInt, "US-ASCII")
+        if (ver == "WARC/1.0" || ver == "WARC/1.1") {
+          var q = ve + 2
+          var warcType: String = null
+          var uri: String = null
+          var ctype: String = null
+          var clen = -1L
+          var headersOk = true
+          var inHeaders = true
+          var lines = 0
+          while (inHeaders && headersOk && lines < 256) {
+            lines += 1
+            val he = lineEnd(q)
+            if (he < 0) headersOk = false
+            else if (he == q) { inHeaders = false; q = he + 2 } // blank line
+            else {
+              val line = new String(b, q.toInt, (he - q).toInt, "UTF-8")
+              val colon = line.indexOf(':')
+              if (colon <= 0) headersOk = false
+              else {
+                val name = line.substring(0, colon).trim.toLowerCase
+                val value = line.substring(colon + 1).trim
+                name match {
+                  case "warc-type" => warcType = value
+                  case "warc-target-uri" => uri = value
+                  case "content-type" => ctype = value
+                  case "content-length" =>
+                    clen = try value.toLong catch { case _: Exception => -1L }
+                  case _ =>
+                }
+                q = he + 2
+              }
+            }
+          }
+          // a record COMPLETES only if the declared payload and the
+          // trailing CRLF CRLF fully arrived
+          if (headersOk && !inHeaders && clen >= 0 && clen <= n - q - 4 &&
+              b((q + clen).toInt) == '\r' && b((q + clen).toInt + 1) == '\n' &&
+              b((q + clen).toInt + 2) == '\r' && b((q + clen).toInt + 3) == '\n') {
+            val payload = java.util.Arrays.copyOfRange(b, q.toInt, (q + clen).toInt)
+            out += Record(warcType, uri, ctype, clen, payload)
+            p = q + clen + 4
+            more = p + 12 <= n
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Explode [[WarcRecords]] over a payload column: one row per COMPLETE
+    * record — blobs with no parseable records yield no rows (the
+    * torn/garbage contract). Pure map + explode; stream-safe. */
+  def records(blobs: DataFrame, payloadCol: String): DataFrame =
+    blobs.withColumn("__r",
+        explode(E.column(WarcRecords(E.expression(col(payloadCol))))))
+      .select(blobs.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__r.*"): _*)
+
+  /** Read a directory of WARC members (one blob per file via Spark's
+    * binaryFile source — the one-task-per-member split Common Crawl's
+    * ~1 GB gzip members distribute as) and explode records. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    records(spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content").as("payload")), "payload")
+
+  /** Serialize rows into spec-exact WARC bytes — the builder half of the
+    * round-trip gate (and a real exporter: corpus → WARC interchange).
+    * One member per input row group is the caller's repartition choice;
+    * this builds ONE member from (type, uri, payload) rows. */
+  def buildMember(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { case (tp, uri, payload) =>
+      val hdr = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $tp\r\n")
+        .append(s"WARC-Target-URI: $uri\r\n")
+        .append("Content-Type: text/plain\r\n")
+        .append(s"Content-Length: ${payload.length}\r\n")
+        .append("\r\n")
+      bos.write(hdr.toString.getBytes("US-ASCII"))
+      bos.write(payload)
+      bos.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    bos.toByteArray
+  }
+
+  /** Split [[HttpResponse]] over a payload column (typically the
+    * `payload` of a `response` record): status, content_type, body —
+    * non-HTTP payloads yield null fields (the caller filters). */
+  def httpSplit(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("__h", E.column(HttpResponse(E.expression(col(payloadCol)))))
+      .select(df.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__h.*"): _*)
+
+  /** WARC members whose response payloads are full HTTP responses over
+    * id-derived HTML — the crawl-chain fixture: status 200 text/html
+    * with a script-wrapped body for most ids, a 404 on id%29==0, an
+    * application/pdf (junk bytes) on id%29==3. All members complete
+    * (torn/garbage plants live in [[synthesizeWarcPayloads]]). */
+  def synthesizeWarcHttpPayloads(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, text) =>
+        val uri = s"https://example.com/page/$id"
+        val (status, ctype, body) =
+          if (id % 29 == 0) (404, "text/html", "not found".getBytes("UTF-8"))
+          else if (id % 29 == 3)
+            (200, "application/pdf",
+              ("%PDF-1.4 " + id.toString).getBytes("UTF-8"))
+          else
+            (200, "text/html; charset=utf-8",
+              (s"<html><head><script>var v=$id;</script></head><body><p>" +
+                text + "</p>&nbsp;tail</body></html>").getBytes("UTF-8"))
+        val http = (s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+        (id, buildMember(Seq(("response", uri, http))))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Spec-valid WARC members with id-derived records — the
+    * [[graft.pipeline.Multimodal.synthesizeMp4SampleTablePayloads]]
+    * convention for the crawl container: every non-corrupt id carries a
+    * `response` record whose payload is the document text (UTF-8), odd
+    * ids add a `metadata` record (`fetch=<id>`). Plants: id%37==0 md5
+    * garbage (no records), id%37==5 the response TORN mid-payload
+    * (declared length past the bytes that arrived — no complete record,
+    * the torn-download contract). */
+  def synthesizeWarcPayloads(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, text) =>
+        val payload =
+          if (id % 37 == 0)
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+          else {
+            val uri = s"https://example.com/doc/$id"
+            val resp = Seq(("response", uri, text.getBytes("UTF-8")))
+            val meta =
+              if (id % 2 == 1) Seq(("metadata", uri, s"fetch=$id".getBytes("UTF-8")))
+              else Seq.empty
+            val full = buildMember(resp ++ meta)
+            if (id % 37 == 5) full.take(full.length - math.min(full.length, 24))
+            else full
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
+}
+
+/** http_response(binary) → struct<status, content_type, body> — the
+  * layer INSIDE a WARC response record: `HTTP/1.x NNN reason CRLF`,
+  * header lines, blank line, body (the WARC record already delimits
+  * the response, so the body is simply the remaining bytes). Null on
+  * anything that is not an HTTP response head — the caller's filter.
+  * Together with [[WarcRecords]] and
+  * [[graft.pipeline.TextAnalysis.stripMarkup]] this completes the
+  * crawl-to-prose chain: member → record → HTTP body → clean text. */
+case class HttpResponse(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b == null || b.length < 14) return null
+    val head = new String(b, 0, math.min(b.length, 7), "US-ASCII")
+    if (head != "HTTP/1.") return null
+    // status line: HTTP/1.x SP NNN ...
+    var i = 7
+    while (i < b.length && b(i) != ' ' && b(i) != '\r') i += 1
+    if (i + 4 > b.length || b(i) != ' ') return null
+    val st = new String(b, i + 1, 3, "US-ASCII")
+    if (!st.forall(_.isDigit)) return null
+    val status = st.toInt
+    // headers until CRLF CRLF (bounded by byte consumption)
+    var ctype: String = null
+    var p = {
+      var j = i
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      j + 2
+    }
+    var inHeaders = true
+    var ok = true
+    var lines = 0
+    while (inHeaders && ok && lines < 256) {
+      lines += 1
+      var j = p
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= b.length) ok = false
+      else if (j == p) { inHeaders = false; p = j + 2 } // blank line
+      else {
+        val line = new String(b, p, j - p, "UTF-8")
+        val colon = line.indexOf(':')
+        if (colon > 0 &&
+            line.substring(0, colon).trim.equalsIgnoreCase("content-type"))
+          ctype = line.substring(colon + 1).trim
+        p = j + 2
+      }
+    }
+    if (!ok || inHeaders) return null
+    InternalRow(status,
+      if (ctype == null) null else UTF8String.fromString(ctype),
+      java.util.Arrays.copyOfRange(b, p, b.length))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"http_response expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false)))
+  override protected def withNewChildInternal(newChild: Expression): HttpResponse =
+    copy(child = newChild)
+  override def prettyName: String = "http_response"
+}
+
+/** warc_records(binary) → array<struct<warc_type, target_uri,
+  * content_type, content_length, payload>> — [[Warc.parse]] as a scalar
+  * expression (pure map; complete records only, torn blobs stop clean). */
+case class WarcRecords(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val recs = Warc.parse(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(recs.map { r =>
+      InternalRow(
+        if (r.warcType == null) null else UTF8String.fromString(r.warcType),
+        if (r.targetUri == null) null else UTF8String.fromString(r.targetUri),
+        if (r.contentType == null) null else UTF8String.fromString(r.contentType),
+        r.contentLength, r.payload)
+    }.toArray[Any])
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"warc_records expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false))),
+    containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+  override def prettyName: String = "warc_records"
+}

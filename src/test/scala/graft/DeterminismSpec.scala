@@ -235,7 +235,10 @@ class DeterminismSpec extends AnyFunSuite {
     // synthesizer rides a Dataset.map); exact-moment grid explode with
     // double readouts pinned after the DECIMAL aggregation
     "multimodal_video_tracks", "events_power_curve",
-    "text_token_fertility", "graph_eccentricity")
+    "text_token_fertility", "graph_eccentricity",
+    // r15 wave 2: byte-walk explodes + the composed strip/langid chain
+    // (Dataset.map synthesizers must not see partitioning)
+    "src_warc_records", "pipeline_crawl_chain")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

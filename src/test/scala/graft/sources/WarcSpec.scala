@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC record-walk against hand-assembled bytes per ISO 28500: the
+  * complete-records-only contract, torn members, hostile lengths, both
+  * WARC versions, and the Spark explode + binaryFile read path. Byte
+  * tests need no Spark session; the read path uses the shared one. */
+class WarcSpec extends AnyFunSuite {
+
+  private def member(recs: (String, String, String)*): Array[Byte] =
+    Warc.buildMember(recs.map { case (t, u, p) => (t, u, p.getBytes("UTF-8")) })
+
+  test("complete members parse every record with typed fields") {
+    val b = member(
+      ("response", "https://a.io/x", "hello world"),
+      ("metadata", "https://a.io/x", "fetch=1"))
+    val got = Warc.parse(b)
+    assert(got.size == 2, s"$got")
+    assert(got(0).warcType == "response" && got(0).targetUri == "https://a.io/x")
+    assert(got(0).contentLength == 11L &&
+      new String(got(0).payload, "UTF-8") == "hello world")
+    assert(got(1).warcType == "metadata" && got(1).contentLength == 7L)
+  }
+
+  test("WARC/1.1 parses; unknown versions stop the walk") {
+    val v11 = member(("response", "u", "abc"))
+    val patched = ("WARC/1.1" + new String(v11, "US-ASCII").substring(8)).getBytes("US-ASCII")
+    assert(Warc.parse(patched).size == 1)
+    val v09 = ("WARC/0.9" + new String(v11, "US-ASCII").substring(8)).getBytes("US-ASCII")
+    assert(Warc.parse(v09).isEmpty)
+  }
+
+  test("torn members keep exactly the records that fully arrived") {
+    val b = member(("response", "u1", "payload one"), ("metadata", "u1", "tail"))
+    // every truncation point parses without throwing; count is monotone
+    var prev = 0
+    for (cut <- 0 to b.length) {
+      val k = Warc.parse(b.take(cut)).size
+      assert(k >= prev && k <= 2, s"cut=$cut k=$k")
+      prev = math.max(prev, k)
+    }
+    // a cut inside record 2's payload keeps record 1 only
+    val torn = Warc.parse(b.take(b.length - 5))
+    assert(torn.size == 1 && torn.head.targetUri == "u1", s"$torn")
+    // the full member reads both
+    assert(Warc.parse(b).size == 2)
+  }
+
+  test("hostile inputs never throw and never hang") {
+    // declared length far past the buffer
+    val big = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999999999999\r\n\r\nxx").getBytes("US-ASCII")
+    assert(Warc.parse(big).isEmpty)
+    // negative / non-numeric lengths
+    val neg = ("WARC/1.0\r\nContent-Length: -7\r\n\r\n\r\n\r\n").getBytes("US-ASCII")
+    assert(Warc.parse(neg).isEmpty)
+    val nan = ("WARC/1.0\r\nContent-Length: lots\r\n\r\n\r\n\r\n").getBytes("US-ASCII")
+    assert(Warc.parse(nan).isEmpty)
+    // header line without a colon stops cleanly
+    val bad = ("WARC/1.0\r\nnocolonhere\r\n\r\n").getBytes("US-ASCII")
+    assert(Warc.parse(bad).isEmpty)
+    // missing trailing CRLF CRLF = incomplete, not a record
+    val m = member(("response", "u", "abc"))
+    assert(Warc.parse(m.dropRight(1)).isEmpty)
+    // garbage / null / empty
+    assert(Warc.parse("not a warc at all...".getBytes).isEmpty)
+    assert(Warc.parse(null).isEmpty)
+    assert(Warc.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("HTTP split: status, content-type, body; non-HTTP payloads read null") {
+    val spark = graft.operators.SharedSpark.session
+    import spark.implicits._
+    val ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Content-Length: 5\r\n\r\n<p>x<").getBytes("US-ASCII")
+    val notFound = "HTTP/1.0 404 X\r\n\r\nmissing".getBytes("US-ASCII")
+    val junk = "%PDF-1.4 not http".getBytes("US-ASCII")
+    val torn = "HTTP/1.1 200 OK\r\nContent-Type: text".getBytes("US-ASCII")
+    val rows = Seq((1L, ok), (2L, notFound), (3L, junk), (4L, torn))
+      .toDF("id", "payload")
+    val got = Warc.httpSplit(rows, "payload")
+      .select($"id", $"status", $"content_type",
+        $"body".cast("string").as("b"))
+      .as[(Long, Option[Int], Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(200), Some("text/html; charset=utf-8"), Some("<p>x<")),
+      (2L, Some(404), None, Some("missing")),
+      (3L, None, None, None),
+      (4L, None, None, None)), s"$got")
+  }
+
+  test("explode + binaryFile read round-trip the builder's records") {
+    val spark = graft.operators.SharedSpark.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      val b1 = member(("response", "https://a.io/1", "doc one"),
+        ("metadata", "https://a.io/1", "fetch=1"))
+      val b2 = member(("response", "https://a.io/2", "doc two"))
+      java.nio.file.Files.write(new java.io.File(dir, "m1.warc").toPath, b1)
+      java.nio.file.Files.write(new java.io.File(dir, "m2.warc").toPath, b2)
+      val got = Warc.read(spark, dir.getAbsolutePath)
+        .select($"warc_type", $"target_uri",
+          $"payload".cast("string").as("t"))
+        .as[(String, String, String)].collect().toSet
+      assert(got == Set(
+        ("response", "https://a.io/1", "doc one"),
+        ("metadata", "https://a.io/1", "fetch=1"),
+        ("response", "https://a.io/2", "doc two")), s"$got")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}

@@ -161,6 +161,17 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.size(
           graft.pipeline.Bpe.encode(model,
             org.apache.spark.sql.functions.col("text"))).as("n_tokens"))
+    // the crawl chain's WARC walk is the same pure-map shape
+    val wsrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val warcBlobs = graft.sources.Warc.synthesizeWarcPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    wsrc.addData(warcBlobs.as[(Long, Array[Byte])].collect().toSeq: _*)
+    val warcRecs = graft.sources.Warc.records(
+        wsrc.toDF().toDF("doc_id", "payload"), "payload")
+      .withColumn("payload",
+        org.apache.spark.sql.functions.col("payload").cast("string"))
+    val q3 = warcRecs.writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream_out").start()
     val q1 = tracks.writeStream.outputMode("append")
       .format("memory").queryName("tracks_stream_out").start()
     val q2 = toks.writeStream.outputMode("append")
@@ -180,10 +191,18 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Int)].collect().toSet
       val sToks = spark.table("bpe_stream_out").as[(Long, Int)].collect().toSet
       assert(sToks == bToks && bToks.nonEmpty)
+      q3.processAllAvailable()
+      val bWarc = graft.sources.Warc.records(warcBlobs, "payload")
+        .withColumn("payload",
+          org.apache.spark.sql.functions.col("payload").cast("string"))
+        .collect().map(_.toString).toSet
+      val sWarc = spark.table("warc_stream_out")
+        .collect().map(_.toString).toSet
+      assert(sWarc == bWarc && bWarc.nonEmpty)
       // no state store: stateless maps only
       assert(q1.lastProgress == null ||
         q1.lastProgress.stateOperators.isEmpty)
-    } finally { q1.stop(); q2.stop() }
+    } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
   test("streaming sentence chunking + ROUGE + video probe: the r14 pure maps run unchanged on a stream") {
