@@ -43,8 +43,39 @@ object Warc {
 
   private val MaxHeaderLine = 8192
 
-  /** The byte walk: complete records parsed from one WARC member. */
-  def parse(b: Array[Byte]): Seq[Record] = {
+  /** Decompression-bomb ceiling for gzip members (128 MB of inflated
+    * records per blob — far above any sane member, far below heap). */
+  private val MaxInflated = 128L << 20
+
+  /** Inflate a (possibly multi-member) gzip stream, capped at
+    * [[MaxInflated]]; null when the bytes are not valid gzip or the
+    * cap trips (the torn/hostile contract: unknown is never partial). */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](65536)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0 && total <= MaxInflated) {
+        out.write(buf, 0, n)
+        total += n
+        n = in.read(buf)
+      }
+      if (total > MaxInflated) null else out.toByteArray
+    } catch { case _: java.io.IOException => null }
+
+  /** The byte walk: complete records parsed from one WARC member.
+    * Gzip members inflate first (1f 8b magic — a `.warc.gz` is a
+    * CONCATENATION of per-record gzip members, which is exactly how
+    * Common Crawl ships; multi-member streams inflate end to end). */
+  def parse(raw: Array[Byte]): Seq[Record] = {
+    val b =
+      if (raw != null && raw.length >= 2 &&
+          (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        gunzipAll(raw)
+      else raw
     if (b == null || b.length < 12) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Record]()
     var p = 0L
@@ -147,6 +178,19 @@ object Warc {
       bos.write(hdr.toString.getBytes("US-ASCII"))
       bos.write(payload)
       bos.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    bos.toByteArray
+  }
+
+  /** [[buildMember]] as per-record gzip members concatenated — the
+    * `.warc.gz` layout Common Crawl ships (each record its own gzip
+    * member, so record-level random access survives compression). */
+  def buildMemberGz(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(buildMember(Seq(r)))
+      gz.finish()
     }
     bos.toByteArray
   }

@@ -768,6 +768,14 @@ class PlanSpec extends AnyFunSuite {
     val pScans = pc.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("events"))
     assert(pScans == 1, s"power curve must scan events once, got $pScans:\n$pc")
+    // pipeline_crawl_chain: the whole first mile is maps + filters —
+    // no join, no exchange besides the final sort
+    val cc = SparkEntry.queries("pipeline_crawl_chain")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!cc.contains("Join"), s"crawl chain must not join:\n$cc")
+    val cEx = cc.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(cc.linesIterator.count(_.contains("rangepartitioning")) >= cEx - 1,
+      s"crawl chain: unexpected non-sort exchange:\n$cc")
   }
 
   test("text_unigram_tokens plan: encode stage reads the corpus once, no shuffle") {

@@ -69,6 +69,27 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("gzip members: per-record .warc.gz concatenation inflates and parses") {
+    val recs = Seq(
+      ("response", "https://a.io/g1", "gz doc one".getBytes("UTF-8")),
+      ("metadata", "https://a.io/g1", "fetch=g".getBytes("UTF-8")))
+    val gz = Warc.buildMemberGz(recs)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val got = Warc.parse(gz)
+    assert(got.size == 2 && got(0).warcType == "response" &&
+      new String(got(0).payload, "UTF-8") == "gz doc one" &&
+      got(1).warcType == "metadata", s"$got")
+    // plain and gzip forms of the same records parse identically
+    val plain = Warc.parse(Warc.buildMember(recs))
+    assert(got.map(r => (r.warcType, r.targetUri, r.contentLength)) ==
+      plain.map(r => (r.warcType, r.targetUri, r.contentLength)))
+    // torn gzip (cut mid-member) never throws; unknown is never partial
+    for (cut <- 1 until gz.length by 13) Warc.parse(gz.take(cut))
+    // gzip magic but corrupt body → no records
+    val corrupt = gz.clone(); corrupt(10) = 0x55
+    Warc.parse(corrupt) // must not throw
+  }
+
   test("HTTP split: status, content-type, body; non-HTTP payloads read null") {
     val spark = graft.operators.SharedSpark.session
     import spark.implicits._
