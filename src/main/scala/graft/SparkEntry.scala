@@ -1087,6 +1087,22 @@ object SparkEntry {
       pipeline.Relational.mdeReadout(ev, "event_type", "arm", "cents")
         .orderBy("event_type")
     },
+    "events_sprt" -> { (s, dir) =>
+      prep(s, dir, "events")
+      // r15: Wald SPRT — the SEQUENTIAL conversion test (evaluate after
+      // every batch; peeking stays valid) over a literal conversion
+      // rule (value >= 5.00), H0 p=0.25 vs H1 p=0.30 at 5%/20%; the
+      // log constants are pinned driver-side literals spliced into
+      // both engines, so the double arithmetic is identical
+      val ev = s.table("events")
+        .select(col("event_type"),
+          when(col("value").isNotNull &&
+            floor(col("value") * 100 + 0.5) >= 500L, 1L).otherwise(0L)
+            .as("converted"))
+      pipeline.Relational.sprt(ev, "event_type", "converted",
+          p0 = 0.25, p1 = 0.30)
+        .orderBy("event_type")
+    },
     "events_power_curve" -> { (s, dir) =>
       prep(s, dir, "events")
       // r15: inverse-MDE power curve (the events_mde composition) — per
@@ -5820,6 +5836,30 @@ object SparkEntry {
   /** The shared BPE train+encode CTE chain (wc → sg_i merge steps →
     * per-word token counts `wlen`) behind [[bpeEncodeOracleSql]] and
     * [[bpeFertilityOracleSql]]. */
+  /** DuckDB replay of [[pipeline.Relational.sprt]] over the
+    * events_sprt conversion rule — the SAME pinned log literals
+    * ([[pipeline.Relational.sprtConstants]]) spliced in, so both
+    * engines run one multiply + one add on identical doubles. */
+  private def sprtOracleSql(p0: Double, p1: Double, alpha: Double,
+                            beta: Double): String = {
+    val (c1, c2, up, lo) = pipeline.Relational.sprtConstants(p0, p1, alpha, beta)
+    val llr = s"""(CAST(s AS DOUBLE) * CAST('$c1' AS DOUBLE)
+       + CAST(n - s AS DOUBLE) * CAST('$c2' AS DOUBLE))"""
+    s"""WITH a AS (SELECT event_type,
+       |    CASE WHEN value IS NOT NULL AND floor(value * 100 + 0.5) >= 500
+       |         THEN 1 ELSE 0 END AS conv
+       |  FROM events),
+       |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(conv) AS BIGINT) AS s
+       |  FROM a GROUP BY 1)
+       |SELECT event_type, n AS n_trials, s AS n_success,
+       |       CAST(floor(1000 * $llr) AS BIGINT) AS llr_milli,
+       |       CASE WHEN $llr >= CAST('$up' AS DOUBLE) THEN 'accept_h1'
+       |            WHEN $llr <= CAST('$lo' AS DOUBLE) THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   private def bpeCtePrefix(nMerges: Int): String = {
     val (o, c) = ("chr(30)", "chr(31)")
     val words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -9967,6 +10007,8 @@ object SparkEntry {
                      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))
                   AS BIGINT) END AS mde_cents_milli
          FROM g ORDER BY event_type""",
+    "events_sprt" -> sprtOracleSql(p0 = 0.25, p1 = 0.30,
+      alpha = 0.05, beta = 0.2),
     "events_power_curve" ->
       """WITH a AS (SELECT event_type, user_id % 2 AS arm,
                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS x

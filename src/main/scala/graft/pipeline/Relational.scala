@@ -1707,6 +1707,60 @@ object Relational {
                 AS BIGINT) END""").as("mde_cents_milli"))
   }
 
+  /** Wald SPRT for Bernoulli conversions (Wald, AMS 1945) — the
+    * SEQUENTIAL test the fixed-horizon A/B family (z-test, Welch, MDE,
+    * power curve) deliberately is not: evaluated after EVERY batch of
+    * traffic, it says stop-and-accept, stop-and-reject, or keep
+    * collecting, with the α/β guarantees holding under continuous
+    * monitoring (peeking at a fixed-horizon test inflates α; the SPRT
+    * is the classical always-valid answer).
+    *
+    * Exactly cross-engine by CONSTRUCTION: with H0: p = p0 vs
+    * H1: p = p1, the log-likelihood ratio after s successes in n
+    * trials is `s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0))` — the two logs
+    * and Wald's boundaries `ln((1−β)/α)`, `ln(β/(1−α))` are computed
+    * ONCE driver-side and spliced into both engines as shortest
+    * round-trip double literals, so each engine evaluates one multiply
+    * and one add per group on identical doubles (no libm in either
+    * plan — the mdeReadout pinned-quantile discipline taken all the
+    * way). Output: group, n_trials, n_success, llr_milli (floored),
+    * decision ('accept_h1' past the upper bound, 'accept_h0' below the
+    * lower, else 'continue'). Non-0/1 successes raise in-column. */
+  def sprt(df: DataFrame, groupCol: String, successCol: String,
+           p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p1 > p0 && p1 < 1, s"need 0 < p0 < p1 < 1, got $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha, $beta")
+    val c1 = java.lang.Double.toString(math.log(p1 / p0))
+    val c2 = java.lang.Double.toString(math.log((1 - p1) / (1 - p0)))
+    val up = java.lang.Double.toString(math.log((1 - beta) / alpha))
+    val lo = java.lang.Double.toString(math.log(beta / (1 - alpha)))
+    val succ = when(col(successCol).isin(0, 1), col(successCol).cast("long"))
+      .otherwise(raise_error(concat(lit("sprt: success must be 0/1, got "),
+        col(successCol).cast("string"))))
+    val llr = s"""(CAST(n_success AS DOUBLE) * CAST('$c1' AS DOUBLE)
+       + CAST(n_trials - n_success AS DOUBLE) * CAST('$c2' AS DOUBLE))"""
+    df.select(col(groupCol), succ.as("__s"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n_trials"),
+        sum(col("__s")).cast("long").as("n_success"))
+      .select(col(groupCol), col("n_trials"), col("n_success"),
+        expr(s"CAST(floor(1000 * $llr) AS BIGINT)").as("llr_milli"),
+        expr(s"""CASE WHEN $llr >= CAST('$up' AS DOUBLE) THEN 'accept_h1'
+                      WHEN $llr <= CAST('$lo' AS DOUBLE) THEN 'accept_h0'
+                      ELSE 'continue' END""").as("decision"))
+  }
+
+  /** The [[sprt]] constants for an oracle builder: (c1, c2, up, lo) as
+    * shortest round-trip literals — the oracle splices the SAME strings. */
+  private[graft] def sprtConstants(p0: Double, p1: Double, alpha: Double,
+                                   beta: Double): (String, String, String, String) =
+    (java.lang.Double.toString(math.log(p1 / p0)),
+      java.lang.Double.toString(math.log((1 - p1) / (1 - p0))),
+      java.lang.Double.toString(math.log((1 - beta) / alpha)),
+      java.lang.Double.toString(math.log(beta / (1 - alpha))))
+
   /** POWER CURVE / inverse-MDE readout (r15 — the [[mdeReadout]]
     * composition the r14 verdict queued): where mdeReadout answers
     * "what effect could THIS traffic see", the power curve answers the

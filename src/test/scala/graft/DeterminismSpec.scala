@@ -238,7 +238,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_token_fertility", "graph_eccentricity",
     // r15 wave 2: byte-walk explodes + the composed strip/langid chain
     // (Dataset.map synthesizers must not see partitioning)
-    "src_warc_records", "pipeline_crawl_chain")
+    "src_warc_records", "pipeline_crawl_chain", "events_sprt")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

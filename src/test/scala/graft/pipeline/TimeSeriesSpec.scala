@@ -676,6 +676,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positive"), e.getMessage)
   }
 
+  test("sprt: decisions at both Wald boundaries; hand-checked LLR; loud on bad flags") {
+    // p0=0.5, p1=0.8: C1=ln(1.6)≈0.470, C2=ln(0.4)≈−0.916;
+    // bounds at 5%/20%: up=ln(16)≈2.773, lo=ln(0.2/0.95)≈−1.558
+    // group A: 8/8 successes → llr=8·C1≈3.76 ≥ up → accept_h1
+    // group B: 0/3 → llr=3·C2≈−2.75 ≤ lo → accept_h0
+    // group C: 3/4 → llr≈0.494 → continue
+    val rows = (Seq.fill(8)(("A", 1L)) ++ Seq.fill(3)(("B", 0L)) ++
+      Seq(("C", 1L), ("C", 1L), ("C", 1L), ("C", 0L))).toDF("g", "s")
+    val got = Relational.sprt(rows, "g", "s", p0 = 0.5, p1 = 0.8)
+      .orderBy("g").as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._5)) == Seq(
+      ("A", 8L, 8L, "accept_h1"), ("B", 3L, 0L, "accept_h0"),
+      ("C", 4L, 3L, "continue")), s"$got")
+    val llrA = got.head._4
+    assert(llrA == math.floor(1000 * 8 * math.log(1.6)).toLong, s"$llrA")
+    // non-0/1 success flags raise in-column
+    val bad = Seq(("A", 2L)).toDF("g", "s")
+    val ex = intercept[Exception](
+      Relational.sprt(bad, "g", "s", 0.5, 0.8).collect())
+    assert(ex.getMessage.contains("0/1"), ex.getMessage)
+    // parameter guards
+    intercept[IllegalArgumentException](Relational.sprt(rows, "g", "s", 0.8, 0.5))
+  }
+
   test("diffInDiff: hand-computed double delta; empty cell reads NULL; bad flags fail loudly") {
     // control drifts +2 (10→12), treated +7 (20→27) ⇒ DiD = +5
     val raw = Seq(
