@@ -2016,6 +2016,23 @@ object Graph {
     Materialize.cut(acc)
   }
 
+  /** Persist an SCC partition as a (node, scc) parquet — the
+    * [[Unigram.saveModel]] lifecycle applied to the fixpoint (r15,
+    * closing the queued item): the in-session memo covers one JVM;
+    * this covers CROSS-SESSION reuse — compute the SCC once per graph
+    * snapshot, then every later condensation / quotient-join job loads
+    * it via [[condensationLevels]]'s `precomputedScc` instead of
+    * re-running the peel. The artifact is self-contained (two long
+    * columns); staleness is the caller's contract, as with any
+    * persisted index in this engine (the IVF/posting lifecycles). */
+  def saveScc(scc: DataFrame, dir: String): Unit =
+    scc.select(col("node").cast("long").as("node"),
+        col("scc").cast("long").as("scc"))
+      .write.mode("overwrite").parquet(dir)
+
+  def loadScc(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("node"), col("scc"))
+
   /** DETERMINISTIC RANDOM WALKS (r14) — the DeepWalk/node2vec corpus
     * export (Perozzi et al. KDD'14): one fixed-length walk from every
     * node with out-edges, the sequences that graph-embedding trainers

@@ -857,6 +857,18 @@ class GraphSpec extends AnyFunSuite {
     val solo = Graph.condensationLevels(e, "src", "dst")
       .orderBy("scc").as[(Long, Long, Long)].collect().toSeq
     assert(shared == solo, s"$shared vs $solo")
+    // persisted lifecycle: save → load → same quotient, cross-session
+    val dir = java.nio.file.Files.createTempDirectory("sccspec").toFile
+    try {
+      Graph.saveScc(scc, dir.getAbsolutePath)
+      val loaded = Graph.loadScc(spark, dir.getAbsolutePath)
+      val viaDisk = Graph.condensationLevels(e, "src", "dst",
+          precomputedScc = Some(loaded))
+        .orderBy("scc").as[(Long, Long, Long)].collect().toSeq
+      assert(viaDisk == solo, s"$viaDisk vs $solo")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
   }
 
   test("condensation: levels are longest-path depth over the SCC quotient DAG") {
