@@ -71,13 +71,21 @@ object SparkEntry {
     * r14 verdict's shared-pass lifecycle (the persisted-IVF-index idea
     * held in-JVM: the memoized frame is a materialized node→scc table,
     * ContextCleaner-owned under the default localCheckpoint strategy).
-    * Keyed by (session identity, dir) so a fresh session or a different
-    * scale factor never reads a stale frame; either query computes it
-    * on first demand, so results are order-independent. */
+    * Keyed by the session OBJECT (weakly — entries die with the session,
+    * so a collision with a new session after GC is impossible and the
+    * map cannot grow across session lifetimes) × dir, so a fresh session
+    * or a different scale factor never reads a stale frame; either query
+    * computes it on first demand, so results are order-independent. */
   private val sccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def memoized(memo: java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]],
+                       s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    memo.synchronized {
+      memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, build)
+    }
   private def orderFlowScc(s: SparkSession, dir: String): DataFrame =
-    sccMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$dir", _ =>
+    memoized(sccMemo, s, dir)(
       pipeline.Materialize(pipeline.Graph.stronglyConnectedComponents(
         orderFlowEdges(s), "src", "dst")))
 
@@ -101,9 +109,9 @@ object SparkEntry {
     * are identical to single-salt runs, so all three oracles gate
     * unchanged while the trio pays one forward pass instead of three. */
   private val landmarkMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def tradeLandmarks(s: SparkSession, dir: String): DataFrame =
-    landmarkMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$dir", _ =>
+    memoized(landmarkMemo, s, dir)(
       pipeline.Materialize(pipeline.Graph.landmarkDistanceTable(
         tradeGraphEdges(s), "src", "dst", nSeeds = 8, rounds = 4,
         saltPrefixes = Seq("hc:", "cc:", "ec:"))))
@@ -4271,6 +4279,21 @@ object SparkEntry {
           col("payload").cast("string").as("payload_text"))
         .orderBy("doc_id", "warc_type")
     },
+    "src_warc_scan" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the per-record inflate cap's LOUD accounting — warc_scan
+      // counts complete records AND declared-oversize skips per blob
+      // (cap 512 here so the fixture's longest texts actually trip it;
+      // the default 128 MB cap is the production bomb guard). Same walk
+      // as src_warc_records, so torn/garbage plants read identically:
+      // id%37==0 garbage → all zero, torn evens lose their one record
+      // UNCOUNTED (nothing declared complete), torn odds keep/drop the
+      // response and never see the torn metadata twin
+      val blobs = sources.Warc.synthesizeWarcPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Warc.scanStats(blobs, "payload", maxRecordBytes = 512L)
+        .orderBy("doc_id")
+    },
     "src_csv_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // CSV parity incl. the quoting dimension: lang values wrapped in
@@ -6777,6 +6800,24 @@ object SparkEntry {
                 WHERE doc_id % 2 = 1 AND doc_id % 37 NOT IN (0, 5))
          SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM meta)
          ORDER BY doc_id, warc_type""",
+    "src_warc_scan" ->
+      """WITH base AS (SELECT doc_id, strlen(text) AS t,
+                       strlen('fetch=' || doc_id) AS m
+                FROM documents),
+            f AS (SELECT doc_id, t, m,
+                    CASE WHEN doc_id % 37 <> 0 AND t <= 512
+                              AND NOT (doc_id % 37 = 5 AND doc_id % 2 = 0)
+                         THEN 1 ELSE 0 END AS resp_ok,
+                    CASE WHEN doc_id % 2 = 1 AND doc_id % 37 NOT IN (0, 5)
+                         THEN 1 ELSE 0 END AS meta_ok,
+                    CASE WHEN doc_id % 37 <> 0 AND t > 512
+                         THEN 1 ELSE 0 END AS dropped
+                FROM base)
+         SELECT doc_id,
+                CAST(resp_ok + meta_ok AS BIGINT) AS n_records,
+                CAST(dropped AS BIGINT) AS n_dropped,
+                CAST(resp_ok * t + meta_ok * m AS BIGINT) AS payload_bytes
+         FROM f ORDER BY doc_id""",
     "src_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -7002,7 +7043,6 @@ object SparkEntry {
          GROUP BY 1 ORDER BY node""",
     "graph_bfs" -> shortestPathsOracleSql(4, weighted = false),
     "graph_harmonic" -> harmonicOracleSql(8, 4),
-    "graph_eccentricity" -> eccentricityOracleSql(8, 4),
     "graph_eccentricity" -> eccentricityOracleSql(8, 4),
     "graph_closeness" -> closenessOracleSql(8, 4),
     "graph_betweenness" -> betweennessOracleSql(8, 4),

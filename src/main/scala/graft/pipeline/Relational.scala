@@ -1736,9 +1736,11 @@ object Relational {
     val c2 = java.lang.Double.toString(math.log((1 - p1) / (1 - p0)))
     val up = java.lang.Double.toString(math.log((1 - beta) / alpha))
     val lo = java.lang.Double.toString(math.log(beta / (1 - alpha)))
+    // coalesce keeps the diagnostic readable when the bad value is NULL
+    // (concat with a NULL cast would null the whole raised message)
     val succ = when(col(successCol).isin(0, 1), col(successCol).cast("long"))
       .otherwise(raise_error(concat(lit("sprt: success must be 0/1, got "),
-        col(successCol).cast("string"))))
+        coalesce(col(successCol).cast("string"), lit("NULL")))))
     val llr = s"""(CAST(n_success AS DOUBLE) * CAST('$c1' AS DOUBLE)
        + CAST(n_trials - n_success AS DOUBLE) * CAST('$c2' AS DOUBLE))"""
     df.select(col(groupCol), succ.as("__s"))

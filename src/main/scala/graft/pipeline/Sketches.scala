@@ -116,7 +116,10 @@ object Sketches {
 
   /** The [[hllDistinct]] estimator read off a maintained register state:
     * `v_empty, reg_sum` (the replayable register digest) and the
-    * all-integer `n_distinct_est`. */
+    * all-integer `n_distinct_est`. The state is VALIDATED against `p`
+    * in-column (bucket < 2^p, 1 ≤ reg ≤ 60-p+1, bucket count ≤ 2^p per
+    * key): a state built at a different precision silently skews
+    * v_empty/maxRank otherwise — loudly wrong beats silently skewed. */
   def distinctFromState(state: DataFrame, keyCols: Seq[String],
                         p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
@@ -124,12 +127,25 @@ object Sketches {
     val maxRank = 60 - p + 1
     val gs = keyCols.map(col)
     val num = hllNumConstant(p)
-    state.groupBy(gs: _*)
+    val checked = state.withColumn("reg",
+      when(col("bucket") >= 0 && col("bucket") < m &&
+          col("reg") >= 1 && col("reg") <= maxRank, col("reg"))
+        .otherwise(raise_error(concat(
+          lit(s"distinctFromState: register state inconsistent with p=$p " +
+            s"(need bucket in [0, ${m - 1}], reg in [1, $maxRank]), got bucket="),
+          coalesce(col("bucket").cast("string"), lit("NULL")), lit(" reg="),
+          coalesce(col("reg").cast("string"), lit("NULL"))))))
+    checked.groupBy(gs: _*)
       .agg(
         count(lit(1)).as("__nb"),
         sum(expr(s"shiftleft(1L, $maxRank - reg)")).as("__s_present"),
         sum(col("reg")).as("reg_sum"))
-      .withColumn("v_empty", lit(m.toLong) - col("__nb"))
+      .withColumn("v_empty",
+        when(col("__nb") <= m.toLong, lit(m.toLong) - col("__nb"))
+          .otherwise(raise_error(concat(
+            lit(s"distinctFromState: more than $m register rows in one " +
+              "group — state not max-merged or built at a larger p; got "),
+            col("__nb").cast("string")))))
       .withColumn("__s",
         col("__s_present") + col("v_empty") * (1L << maxRank))
       .withColumn("n_distinct_est",

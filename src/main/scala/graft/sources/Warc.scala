@@ -43,62 +43,116 @@ object Warc {
 
   private val MaxHeaderLine = 8192
 
-  /** Decompression-bomb ceiling for gzip members (128 MB of inflated
-    * records per blob — far above any sane member, far below heap). */
-  private val MaxInflated = 128L << 20
+  /** Decompression-bomb ceiling PER RECORD (128 MB of inflated payload —
+    * far above any sane record, far below heap). The cap is deliberately
+    * per-record, NOT per-member: real Common Crawl members are ~1 GB gzip
+    * inflating to several GB of small records, so a whole-member cap
+    * would silently drop the source's flagship input (the r15 finding).
+    * A record whose DECLARED length exceeds the cap is skipped and
+    * COUNTED (never thrown — the torn/hostile contract), visible through
+    * [[WarcScan]]'s `n_dropped`. */
+  private[sources] val MaxRecordInflated = 128L << 20
 
-  /** Inflate a (possibly multi-member) gzip stream, capped at
-    * [[MaxInflated]]; null when the bytes are not valid gzip or the
-    * cap trips (the torn/hostile contract: unknown is never partial). */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] =
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
-      val buf = new Array[Byte](65536)
-      var total = 0L
-      var n = in.read(buf)
-      while (n >= 0 && total <= MaxInflated) {
-        out.write(buf, 0, n)
-        total += n
-        n = in.read(buf)
-      }
-      if (total > MaxInflated) null else out.toByteArray
-    } catch { case _: java.io.IOException => null }
+  /** The byte walk: complete records parsed from one WARC member —
+    * [[parseWithStats]] without the drop accounting. */
+  def parse(raw: Array[Byte]): Seq[Record] = parseWithStats(raw)._1
 
-  /** The byte walk: complete records parsed from one WARC member.
-    * Gzip members inflate first (1f 8b magic — a `.warc.gz` is a
-    * CONCATENATION of per-record gzip members, which is exactly how
-    * Common Crawl ships; multi-member streams inflate end to end). */
-  def parse(raw: Array[Byte]): Seq[Record] = {
-    val b =
-      if (raw != null && raw.length >= 2 &&
-          (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        gunzipAll(raw)
-      else raw
-    if (b == null || b.length < 12) return Seq.empty
+  /** STREAMING record walk over one WARC member: gzip members (1f 8b
+    * magic — a `.warc.gz` is a CONCATENATION of per-record gzip members,
+    * exactly how Common Crawl ships) inflate INCREMENTALLY through a
+    * rolling buffer, so peak memory is one record (≤ `maxRecordBytes` +
+    * header slack), never the whole inflated member — a 1 GB member of
+    * small records walks in bounded space no matter what it inflates to.
+    *
+    * Returns (complete records, n_dropped) where `n_dropped` counts
+    * records whose declared Content-Length exceeded `maxRecordBytes`
+    * (skipped in O(1) memory, the walk continues behind them). Torn
+    * members still stop cleanly at the first incomplete record — torn is
+    * NOT counted as dropped (nothing was declared complete); a mid-skip
+    * tear IS counted (the oversize record was declared). Gzip tail
+    * corruption keeps the records that fully inflated. */
+  def parseWithStats(raw: Array[Byte],
+                     maxRecordBytes: Long = MaxRecordInflated): (Seq[Record], Long) = {
+    if (raw == null || raw.length < 12) return (Seq.empty, 0L)
+    val in: java.io.InputStream =
+      if ((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        try new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw), 65536)
+        catch { case _: java.io.IOException => return (Seq.empty, 0L) }
+      else new java.io.ByteArrayInputStream(raw)
+    walk(in, maxRecordBytes)
+  }
+
+  /** The incremental walk over an inflating stream. Rolling buffer:
+    * `buf[start, end)` holds unconsumed bytes; `fillOnce` compacts and
+    * grows on demand (growth is bounded by the per-record cap because
+    * oversize records are SKIPPED, never buffered). */
+  private def walk(in: java.io.InputStream,
+                   maxRecordBytes: Long): (Seq[Record], Long) = {
     val out = scala.collection.mutable.ArrayBuffer[Record]()
-    var p = 0L
-    val n = b.length.toLong
-    def lineEnd(from: Long): Long = {
-      // index of the CR of the next CRLF, or -1 (bounded per line)
-      var i = from
-      val cap = math.min(n - 1, from + MaxHeaderLine)
-      while (i < cap) {
-        if (b(i.toInt) == '\r' && b(i.toInt + 1) == '\n') return i
+    var dropped = 0L
+    var buf = new Array[Byte](65536)
+    var start = 0
+    var end = 0
+    var eof = false
+
+    def avail: Int = end - start
+    def fillOnce(): Unit = {
+      if (start > 0 && (end == buf.length || start == end)) {
+        System.arraycopy(buf, start, buf, 0, end - start)
+        end -= start; start = 0
+      }
+      if (end == buf.length)
+        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      // a hostile/torn gzip tail mid-stream ends the walk but KEEPS the
+      // records that fully inflated (the old whole-blob inflate was
+      // all-or-nothing; streaming is exactly what makes partial keep safe)
+      val r = try in.read(buf, end, buf.length - end)
+              catch { case _: java.io.IOException => -1 }
+      if (r < 0) eof = true else end += r
+    }
+    def ensure(n: Long): Boolean = {
+      while (avail < n && !eof) fillOnce()
+      avail >= n
+    }
+    // relative index of the CR of the next CRLF within MaxHeaderLine, or -1
+    def lineEnd(): Int = {
+      var i = 0
+      while (i <= MaxHeaderLine) {
+        if (!ensure(i + 2L)) return -1
+        if (buf(start + i) == '\r' && buf(start + i + 1) == '\n') return i
         i += 1
       }
-      -1L
+      -1
     }
-    var more = true
-    while (more) {
-      more = false
-      // version line
-      val ve = lineEnd(p)
-      if (ve >= 0) {
-        val ver = new String(b, p.toInt, (ve - p).toInt, "US-ASCII")
-        if (ver == "WARC/1.0" || ver == "WARC/1.1") {
-          var q = ve + 2
+    // one CRLF-terminated line consumed off the front, or null
+    def readLine(): String = {
+      val e = lineEnd()
+      if (e < 0) null
+      else { val s = new String(buf, start, e, "UTF-8"); start += e + 2; s }
+    }
+    // advance past n bytes (buffered first, then read-and-discard — an
+    // oversize skip inflates but never RETAINS); false if the stream
+    // ended short (the skipped record was itself torn)
+    def consume(n: Long): Boolean = {
+      var left = n
+      val b = math.min(left, avail.toLong).toInt
+      start += b; left -= b
+      while (left > 0 && !eof) {
+        start = 0; end = 0
+        val r = try in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+                catch { case _: java.io.IOException => -1 }
+        if (r < 0) eof = true else left -= r
+      }
+      left == 0
+    }
+
+    var go = true
+    while (go) {
+      go = false
+      if (ensure(12)) {
+        val ver = readLine()
+        if (ver != null && (ver == "WARC/1.0" || ver == "WARC/1.1")) {
           var warcType: String = null
           var uri: String = null
           var ctype: String = null
@@ -108,11 +162,10 @@ object Warc {
           var lines = 0
           while (inHeaders && headersOk && lines < 256) {
             lines += 1
-            val he = lineEnd(q)
-            if (he < 0) headersOk = false
-            else if (he == q) { inHeaders = false; q = he + 2 } // blank line
+            val line = readLine()
+            if (line == null) headersOk = false
+            else if (line.isEmpty) inHeaders = false
             else {
-              val line = new String(b, q.toInt, (he - q).toInt, "UTF-8")
               val colon = line.indexOf(':')
               if (colon <= 0) headersOk = false
               else {
@@ -126,24 +179,31 @@ object Warc {
                     clen = try value.toLong catch { case _: Exception => -1L }
                   case _ =>
                 }
-                q = he + 2
               }
             }
           }
-          // a record COMPLETES only if the declared payload and the
-          // trailing CRLF CRLF fully arrived
-          if (headersOk && !inHeaders && clen >= 0 && clen <= n - q - 4 &&
-              b((q + clen).toInt) == '\r' && b((q + clen).toInt + 1) == '\n' &&
-              b((q + clen).toInt + 2) == '\r' && b((q + clen).toInt + 3) == '\n') {
-            val payload = java.util.Arrays.copyOfRange(b, q.toInt, (q + clen).toInt)
-            out += Record(warcType, uri, ctype, clen, payload)
-            p = q + clen + 4
-            more = p + 12 <= n
+          if (headersOk && !inHeaders && clen >= 0 && clen <= Long.MaxValue - 4) {
+            if (clen > maxRecordBytes) {
+              // declared oversize: skip + COUNT, keep walking behind it
+              dropped += 1
+              go = consume(clen + 4)
+            } else if (ensure(clen + 4) &&
+                buf(start + clen.toInt) == '\r' &&
+                buf(start + clen.toInt + 1) == '\n' &&
+                buf(start + clen.toInt + 2) == '\r' &&
+                buf(start + clen.toInt + 3) == '\n') {
+              // a record COMPLETES only if the declared payload and the
+              // trailing CRLF CRLF fully arrived
+              out += Record(warcType, uri, ctype, clen,
+                java.util.Arrays.copyOfRange(buf, start, start + clen.toInt))
+              start += clen.toInt + 4
+              go = true
+            }
           }
         }
       }
     }
-    out.toSeq
+    (out.toSeq, dropped)
   }
 
   /** Explode [[WarcRecords]] over a payload column: one row per COMPLETE
@@ -194,6 +254,18 @@ object Warc {
     }
     bos.toByteArray
   }
+
+  /** Per-blob scan accounting over a payload column: one row per blob
+    * with `n_records` (complete), `n_dropped` (declared-oversize skips)
+    * and `payload_bytes` (sum of complete Content-Lengths) — the LOUD
+    * half of the per-record cap: a pipeline that gates `n_dropped > 0`
+    * (or just sums it next to its row counts) can never mistake a
+    * cap-tripped crawl for an empty one. Pure map; stream-safe. */
+  def scanStats(blobs: DataFrame, payloadCol: String,
+                maxRecordBytes: Long = MaxRecordInflated): DataFrame =
+    blobs.withColumn("__s",
+        E.column(WarcScan(E.expression(col(payloadCol)), maxRecordBytes)))
+      .select(blobs.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__s.*"): _*)
 
   /** Split [[HttpResponse]] over a payload column (typically the
     * `payload` of a `response` record): status, content_type, body —
@@ -330,13 +402,16 @@ case class HttpResponse(child: Expression)
 }
 
 /** warc_records(binary) → array<struct<warc_type, target_uri,
-  * content_type, content_length, payload>> — [[Warc.parse]] as a scalar
-  * expression (pure map; complete records only, torn blobs stop clean). */
-case class WarcRecords(child: Expression)
+  * content_type, content_length, payload>> — [[Warc.parseWithStats]] as
+  * a scalar expression (pure map; complete records only, torn blobs stop
+  * clean, declared-oversize records skipped — [[WarcScan]] carries the
+  * drop count for callers that must account for them). */
+case class WarcRecords(child: Expression,
+                       maxRecordBytes: Long = Warc.MaxRecordInflated)
     extends UnaryExpression with CodegenFallback {
 
   override def nullSafeEval(input: Any): Any = {
-    val recs = Warc.parse(input.asInstanceOf[Array[Byte]])
+    val recs = Warc.parseWithStats(input.asInstanceOf[Array[Byte]], maxRecordBytes)._1
     new GenericArrayData(recs.map { r =>
       InternalRow(
         if (r.warcType == null) null else UTF8String.fromString(r.warcType),
@@ -362,4 +437,35 @@ case class WarcRecords(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): WarcRecords =
     copy(child = newChild)
   override def prettyName: String = "warc_records"
+}
+
+/** warc_scan(binary) → struct<n_records, n_dropped, payload_bytes> —
+  * the [[Warc.parseWithStats]] accounting as a scalar expression: how
+  * many records completed, how many DECLARED-OVERSIZE records the
+  * per-record cap skipped (the loud trail the r15 whole-member cap
+  * lacked), and the completed payload volume. Same walk as
+  * [[WarcRecords]], so the two columns always agree. */
+case class WarcScan(child: Expression,
+                    maxRecordBytes: Long = Warc.MaxRecordInflated)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val (recs, dropped) =
+      Warc.parseWithStats(input.asInstanceOf[Array[Byte]], maxRecordBytes)
+    InternalRow(recs.size.toLong, dropped, recs.map(_.contentLength).sum)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"warc_scan expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_records", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("payload_bytes", LongType, nullable = false)))
+  override protected def withNewChildInternal(newChild: Expression): WarcScan =
+    copy(child = newChild)
+  override def prettyName: String = "warc_scan"
 }

@@ -91,19 +91,27 @@ class BenchSpec extends AnyFunSuite {
 
   test("a fake slow timing against a committed baseline trips the retry") {
     val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
-    // q_mid at 1.5 s baseline measured at 9 s: > 3x and > 0.5 s absolute
+    // q_mid at 1.5 s baseline measured at 9 s: > 2x and > 0.5 s absolute
     assert(Bench.suspectedContended(9.0, base("q_mid")))
   }
 
-  test("3x of a timer-noise query does not trip (absolute floor)") {
+  test("a 2-3x band reading trips — the trigger sits AT the grading bar") {
+    // r15: five co-tenant-contaminated readings in the 2-3x band slipped
+    // the old 3x trigger unretried and were adjudicated as phantom
+    // regressions; the trigger now matches the 2x bar the judge grades at
+    val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
+    assert(Bench.suspectedContended(25.0, base("q_slow"))) // 2.5x, +15 s
+  }
+
+  test("multiples of a timer-noise query do not trip (absolute floor)") {
     val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
     // q_fast 0.05 s baseline at 0.2 s is 4x but only +0.15 s — noise
     assert(!Bench.suspectedContended(0.2, base("q_fast")))
   }
 
-  test("within-3x runs never trip, and a missing baseline disarms") {
+  test("within-2x runs never trip, and a missing baseline disarms") {
     val base = Bench.parseBaseline(baselineTxt, "/root/testdata/sf0.1")
-    assert(!Bench.suspectedContended(25.0, base("q_slow"))) // 2.5x
+    assert(!Bench.suspectedContended(19.0, base("q_slow"))) // 1.9x
     assert(!Bench.suspectedContended(99.0, base.getOrElse("q_new", -1.0)))
   }
 }

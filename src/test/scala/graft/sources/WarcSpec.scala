@@ -90,6 +90,77 @@ class WarcSpec extends AnyFunSuite {
     Warc.parse(corrupt) // must not throw
   }
 
+  test("STREAMING walk: total inflated size far past the per-record cap parses everything") {
+    // the r15 finding: the whole-member inflate cap silently dropped
+    // valid members whose TOTAL inflated size crossed it (real Common
+    // Crawl members are ~1 GB gzip → several GB inflated). The walk now
+    // streams gzip members and applies the cap per RECORD: 40 records
+    // × 2000 bytes = 80 kB inflated against a 4 kB cap — every record
+    // parses, zero drops.
+    val recs = (1 to 40).map(i =>
+      ("response", s"https://a.io/s$i", ("x" * 2000).getBytes("UTF-8")))
+    val gz = Warc.buildMemberGz(recs)
+    val (got, dropped) = Warc.parseWithStats(gz, maxRecordBytes = 4096)
+    assert(got.size == 40 && dropped == 0L, s"n=${got.size} dropped=$dropped")
+    assert(got.map(_.targetUri) == (1 to 40).map(i => s"https://a.io/s$i"))
+    assert(got.forall(_.contentLength == 2000L))
+  }
+
+  test("a declared-oversize record is skipped AND counted; the walk continues behind it") {
+    val recs = Seq(
+      ("response", "keep1", ("a" * 100).getBytes("UTF-8")),
+      ("response", "big", ("b" * 5000).getBytes("UTF-8")),
+      ("response", "keep2", ("c" * 100).getBytes("UTF-8")))
+    for (bytes <- Seq(Warc.buildMember(recs), Warc.buildMemberGz(recs))) {
+      val (got, dropped) = Warc.parseWithStats(bytes, maxRecordBytes = 1024)
+      assert(got.map(_.targetUri) == Seq("keep1", "keep2"), s"$got")
+      assert(dropped == 1L, s"dropped=$dropped")
+    }
+    // a tear INSIDE the skipped span still counts the declared record
+    // (it was declared complete — mid-skip loss is never silent)
+    val two = Warc.buildMember(recs.take(2))
+    val torn = two.take(two.length - 50)
+    val (kept, droppedTorn) = Warc.parseWithStats(torn, maxRecordBytes = 1024)
+    assert(kept.map(_.targetUri) == Seq("keep1") && droppedTorn == 1L,
+      s"$kept $droppedTorn")
+  }
+
+  test("gzip tail loss keeps the records that fully inflated (no all-or-nothing)") {
+    val recs = Seq(
+      ("response", "u1", "one".getBytes("UTF-8")),
+      ("response", "u2", "two".getBytes("UTF-8")))
+    val gz = Warc.buildMemberGz(recs)
+    // trailing garbage after the valid members: both records kept
+    val trailing = gz ++ "garbage tail, not gzip".getBytes("US-ASCII")
+    assert(Warc.parseWithStats(trailing)._1.map(_.targetUri) == Seq("u1", "u2"))
+    // tear inside the SECOND gzip member: the first member's record
+    // survives (the old whole-blob inflate dropped everything here)
+    val m2 = {
+      var i = 2
+      while (!((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b &&
+        (gz(i + 2) & 0xff) == 0x08)) i += 1
+      i
+    }
+    for (cut <- Seq(m2 + 8, m2 + 14)) {
+      val (got, dropped) = Warc.parseWithStats(gz.take(cut))
+      assert(got.map(_.targetUri) == Seq("u1") && dropped == 0L,
+        s"cut=$cut $got $dropped")
+    }
+  }
+
+  test("warc_scan accounting agrees with the record walk (Spark path)") {
+    val spark = graft.operators.SharedSpark.session
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, member(("response", "u1", "ok"), ("metadata", "u1", "m"))),
+      (2L, Warc.buildMember(Seq(("response", "u2", ("z" * 2000).getBytes("UTF-8"))))),
+      (3L, "not a warc".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = Warc.scanStats(blobs, "payload", maxRecordBytes = 1024)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 3L), (2L, 0L, 1L, 0L), (3L, 0L, 0L, 0L)), s"$got")
+  }
+
   test("HTTP split: status, content-type, body; non-HTTP payloads read null") {
     val spark = graft.operators.SharedSpark.session
     import spark.implicits._
