@@ -2697,6 +2697,25 @@ object SparkEntry {
           "total_bytes", "bitrate_bps", "n_sync_samples", "max_sync_gap")
         .orderBy("doc_id", "track_id")
     },
+    "multimodal_video_chunks" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: stsc + stco/co64 CHUNK-OFFSET walk — the byte-range
+      // fetch-planning readout the stts/stsz walk left out: per track,
+      // chunk count, first/last absolute offsets (stco 32-bit on even
+      // ids, co64 64-bit on odd — both widths parsed), total samples
+      // from the stsc run-length expansion (== n_samples: the fetch
+      // planner's consistency audit) and the largest single-chunk byte
+      // span (stsc × stsz — the max contiguous range one fetch pulls).
+      // Plants: id%41 in (0,7) no tracks; id%41==13 stsz absent →
+      // max_chunk_bytes null, offsets live; id%41==19 chunk tables
+      // absent on video → all chunk fields null, audio unaffected
+      val media = pipeline.Multimodal.synthesizeMp4SampleTablePayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeVideoChunks(media, "payload")
+        .select("doc_id", "track_id", "handler", "n_chunks",
+          "first_offset", "last_offset", "chunk_samples", "max_chunk_bytes")
+        .orderBy("doc_id", "track_id")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       // REAL decode end-to-end: the builder writes actual PNGs (even ids)
@@ -9604,6 +9623,45 @@ object SparkEntry {
                 CAST(total * 8 * ts // units AS BIGINT) AS bitrate_bps,
                 CAST(n_sync AS BIGINT) AS n_sync_samples,
                 CAST(sync_gap AS BIGINT) AS max_sync_gap
+         FROM t ORDER BY doc_id, track_id""",
+    "multimodal_video_chunks" ->
+      """WITH v AS (SELECT doc_id,
+                       12 + doc_id % 24 + 8 + (doc_id * 3) % 16 AS n,
+                       4 + doc_id % 3 AS spc,
+                       4096 + doc_id % 512 AS base
+                FROM documents WHERE doc_id % 41 NOT IN (0, 7)),
+              v2 AS (SELECT doc_id, n, base,
+                       (n + spc - 1) // spc AS nc,
+                       list_transform(range(0, (n + spc - 1) // spc),
+                         k -> list_sum(list_transform(
+                                range(k * spc, least(n, (k + 1) * spc)),
+                                i -> 200 + ((doc_id + i * 7) % 100)))) AS cb
+                FROM v),
+              vr AS (SELECT doc_id, 1 AS track_id, 'vide' AS handler,
+                       CASE WHEN doc_id % 41 = 19 THEN NULL ELSE nc END AS n_chunks,
+                       CASE WHEN doc_id % 41 = 19 THEN NULL ELSE base END AS first_offset,
+                       CASE WHEN doc_id % 41 = 19 THEN NULL
+                            ELSE base + list_sum(cb) - cb[nc] END AS last_offset,
+                       CASE WHEN doc_id % 41 = 19 THEN NULL ELSE n END AS chunk_samples,
+                       CASE WHEN doc_id % 41 IN (13, 19) THEN NULL
+                            ELSE list_max(cb) END AS max_chunk_bytes
+                FROM v2),
+              ar AS (SELECT doc_id, 2 AS track_id, 'soun' AS handler,
+                       (50 + doc_id % 40 + 7) // 8 AS n_chunks,
+                       1048576 AS first_offset,
+                       1048576 + ((50 + doc_id % 40 + 7) // 8 - 1) * 8
+                         * (128 + doc_id % 64) AS last_offset,
+                       50 + doc_id % 40 AS chunk_samples,
+                       8 * (128 + doc_id % 64) AS max_chunk_bytes
+                FROM documents
+                WHERE doc_id % 41 NOT IN (0, 7) AND doc_id % 2 = 1),
+              t AS (SELECT * FROM vr UNION ALL SELECT * FROM ar)
+         SELECT doc_id, CAST(track_id AS INT) AS track_id, handler,
+                CAST(n_chunks AS BIGINT) AS n_chunks,
+                CAST(first_offset AS BIGINT) AS first_offset,
+                CAST(last_offset AS BIGINT) AS last_offset,
+                CAST(chunk_samples AS BIGINT) AS chunk_samples,
+                CAST(max_chunk_bytes AS BIGINT) AS max_chunk_bytes
          FROM t ORDER BY doc_id, track_id""",
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -496,6 +496,188 @@ object MediaFormats {
     if (!sawFtyp) Seq.empty else out.toSeq
   }
 
+  /** One media track's CHUNK-TABLE readout — the byte-range fetch
+    * planning pass: where each track's sample data actually lives. */
+  final case class ChunkInfo(trackId: Integer, handler: String,
+                             nChunks: java.lang.Long,
+                             firstOffset: java.lang.Long,
+                             lastOffset: java.lang.Long,
+                             chunkSamples: java.lang.Long,
+                             maxChunkBytes: java.lang.Long)
+
+  /** MP4 per-track stsc + stco/co64 CHUNK-OFFSET walk (r16 — the last
+    * sample-table pieces [[probeTracks]] left out): for each trak, the
+    * chunk count and first/last absolute file offsets (stco 32-bit or
+    * co64 64-bit — both widths parsed), the TOTAL samples mapped by
+    * expanding the stsc sample-to-chunk run-length table across the
+    * chunk list (ISO 14496-12 §8.7.4: entry j covers chunks
+    * first_chunk_j .. first_chunk_{j+1}-1, the last entry through the
+    * end — matching this against stsz's sample count is the
+    * consistency audit a fetch planner runs first), and the LARGEST
+    * single-chunk byte span (stsc expansion × stsz sizes — the maximum
+    * contiguous range one frame-accurate fetch must pull).
+    *
+    * Torn-table contract (the [[probeTracks]] discipline): never
+    * throws; a missing/torn stco/co64 nulls the chunk fields, a
+    * missing/torn stsc nulls the mapping fields, a missing stsz or a
+    * CONTRADICTORY pair (stsc maps more samples than stsz declares)
+    * nulls max_chunk_bytes — partial tables are never dressed as
+    * complete plans. All counts are bounded by the bytes that actually
+    * arrived (declared tables must fit their boxes), so no input hangs
+    * the walk. Non-ISO-BMFF input: empty. */
+  def probeChunks(b: Array[Byte]): Seq[ChunkInfo] = {
+    if (b == null || b.length < 16) return Seq.empty
+    var sawFtyp = false
+    val out = scala.collection.mutable.ArrayBuffer[ChunkInfo]()
+    boxWalk(b, 0L, b.length.toLong, { (tp, s, e) =>
+      tp match {
+        case "ftyp" => sawFtyp = true
+        case "moov" if sawFtyp =>
+          boxWalk(b, s, e, { (ct, cs, ce) =>
+            if (ct == "trak") {
+              var tid: Integer = null
+              findBox(b, cs, ce, "tkhd").foreach { case (ks, ke) =>
+                val ver = if (ke - ks >= 1) u8(b, ks.toInt) else -1
+                val off = if (ver == 1) 20 else 12
+                if (ver >= 0 && ke - ks >= off + 4) {
+                  val v = be32(b, ks.toInt + off)
+                  if (v <= Int.MaxValue) tid = Integer.valueOf(v.toInt)
+                }
+              }
+              var handler: String = null
+              var offsets: Array[Long] = null   // absolute chunk offsets
+              var stscRuns: Array[(Long, Long)] = null // (first_chunk, spc)
+              var stszFixed = -1L
+              var stszSizes: Array[Long] = null
+              findBox(b, cs, ce, "mdia").foreach { case (ms, me) =>
+                findBox(b, ms, me, "hdlr").foreach { case (hs, he) =>
+                  if (he - hs >= 12) handler = fourcc(b, hs.toInt + 8)
+                }
+                for {
+                  (ns, ne) <- findBox(b, ms, me, "minf")
+                  (ss, se) <- findBox(b, ns, ne, "stbl")
+                } {
+                  findBox(b, ss, se, "stco").foreach { case (c0, c1) =>
+                    if (c1 - c0 >= 8) {
+                      val n = be32(b, c0.toInt + 4)
+                      if (n >= 0 && c0 + 8 + n * 4 <= c1)
+                        offsets = Array.tabulate(n.toInt)(i =>
+                          be32(b, (c0 + 8 + i * 4L).toInt))
+                    }
+                  }
+                  if (offsets == null)
+                    findBox(b, ss, se, "co64").foreach { case (c0, c1) =>
+                      if (c1 - c0 >= 8) {
+                        val n = be32(b, c0.toInt + 4)
+                        if (n >= 0 && c0 + 8 + n * 8 <= c1) {
+                          val a = Array.tabulate(n.toInt)(i =>
+                            be64(b, (c0 + 8 + i * 8L).toInt))
+                          // a negative 64-bit offset is hostile, not a file
+                          if (a.forall(_ >= 0)) offsets = a
+                        }
+                      }
+                    }
+                  findBox(b, ss, se, "stsc").foreach { case (t0, t1) =>
+                    if (t1 - t0 >= 8) {
+                      val n = be32(b, t0.toInt + 4)
+                      if (n >= 0 && t0 + 8 + n * 12 <= t1) {
+                        val runs = Array.tabulate(n.toInt) { j =>
+                          (be32(b, (t0 + 8 + j * 12L).toInt),
+                            be32(b, (t0 + 12 + j * 12L).toInt))
+                        }
+                        // ISO: first entry starts at chunk 1, strictly
+                        // ascending first_chunk — anything else is torn
+                        val ok = runs.nonEmpty && runs.head._1 == 1L &&
+                          runs.iterator.zip(runs.iterator.drop(1))
+                            .forall { case (a2, b2) => a2._1 < b2._1 } &&
+                          runs.forall(_._2 >= 0)
+                        if (ok) stscRuns = runs
+                      }
+                    }
+                  }
+                  findBox(b, ss, se, "stsz").foreach { case (z0, z1) =>
+                    if (z1 - z0 >= 12) {
+                      val fixed = be32(b, z0.toInt + 4)
+                      val n = be32(b, z0.toInt + 8)
+                      if (fixed > 0) stszFixed = fixed
+                      else if (n >= 0 && z0 + 12 + n * 4 <= z1)
+                        stszSizes = Array.tabulate(n.toInt)(i =>
+                          be32(b, (z0 + 12 + i * 4L).toInt))
+                    }
+                  }
+                }
+              }
+              var nChunks: java.lang.Long = null
+              var firstOff: java.lang.Long = null
+              var lastOff: java.lang.Long = null
+              var chunkSamples: java.lang.Long = null
+              var maxChunkBytes: java.lang.Long = null
+              if (offsets != null) {
+                nChunks = java.lang.Long.valueOf(offsets.length.toLong)
+                if (offsets.nonEmpty) {
+                  firstOff = java.lang.Long.valueOf(offsets.head)
+                  lastOff = java.lang.Long.valueOf(offsets.last)
+                }
+                if (stscRuns != null && stscRuns.forall(_._1 <= offsets.length)) {
+                  // expand runs across the chunk list: per-chunk sample
+                  // counts (bounded by n_chunks — no declared run can
+                  // reach past the offsets that actually arrived)
+                  val nc = offsets.length
+                  val perChunk = new Array[Long](nc)
+                  var j = 0
+                  var ok = true
+                  var total = 0L
+                  while (j < stscRuns.length && ok) {
+                    val from = stscRuns(j)._1
+                    val until = if (j + 1 < stscRuns.length) stscRuns(j + 1)._1
+                                else nc + 1L
+                    val spc = stscRuns(j)._2
+                    var c = from
+                    while (c < until && ok) {
+                      perChunk((c - 1).toInt) = spc
+                      total += spc
+                      if (total < 0) ok = false
+                      c += 1
+                    }
+                    j += 1
+                  }
+                  if (ok) {
+                    chunkSamples = java.lang.Long.valueOf(total)
+                    // largest single-chunk byte span from stsz
+                    if (stszFixed > 0) {
+                      val m = if (perChunk.isEmpty) 0L else perChunk.max
+                      if (m <= Long.MaxValue / stszFixed)
+                        maxChunkBytes = java.lang.Long.valueOf(m * stszFixed)
+                    } else if (stszSizes != null && total <= stszSizes.length) {
+                      var s2 = 0
+                      var mx = 0L
+                      var c = 0
+                      var ok2 = true
+                      while (c < nc && ok2) {
+                        var k = 0L
+                        var bytes = 0L
+                        while (k < perChunk(c) && ok2) {
+                          bytes += stszSizes(s2); s2 += 1; k += 1
+                          if (bytes < 0) ok2 = false
+                        }
+                        if (bytes > mx) mx = bytes
+                        c += 1
+                      }
+                      if (ok2) maxChunkBytes = java.lang.Long.valueOf(mx)
+                    }
+                  }
+                }
+              }
+              out += ChunkInfo(tid, handler, nChunks, firstOff, lastOff,
+                chunkSamples, maxChunkBytes)
+            }
+          })
+        case _ =>
+      }
+    })
+    if (!sawFtyp) Seq.empty else out.toSeq
+  }
+
   private def parseMp3(b: Array[Byte]): Probe = {
     // optional ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag
     // (0x10) adds 10 more. Then the 4-byte frame header.
@@ -628,4 +810,44 @@ case class VideoTracksProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VideoTracksProbe =
     copy(child = newChild)
   override def prettyName: String = "video_tracks"
+}
+
+/** video_chunks(binary) → array<struct<track_id, handler, n_chunks,
+  * first_offset, last_offset, chunk_samples, max_chunk_bytes>> —
+  * [[MediaFormats.probeChunks]] as a scalar expression: the stsc +
+  * stco/co64 byte-range fetch-planning readout (pure map; metadata-only
+  * reads, sample data never touched). Empty array on non-ISO-BMFF
+  * input; per-field nulls on missing/torn/contradictory tables. */
+case class VideoChunksProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val chunks = MediaFormats.probeChunks(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chunks.map { c =>
+        InternalRow(c.trackId,
+          if (c.handler == null) null else UTF8String.fromString(c.handler),
+          c.nChunks, c.firstOffset, c.lastOffset, c.chunkSamples,
+          c.maxChunkBytes)
+      }.toArray[Any])
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"video_chunks expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("track_id", IntegerType, nullable = true),
+    StructField("handler", StringType, nullable = true),
+    StructField("n_chunks", LongType, nullable = true),
+    StructField("first_offset", LongType, nullable = true),
+    StructField("last_offset", LongType, nullable = true),
+    StructField("chunk_samples", LongType, nullable = true),
+    StructField("max_chunk_bytes", LongType, nullable = true))),
+    containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): VideoChunksProbe =
+    copy(child = newChild)
+  override def prettyName: String = "video_chunks"
 }

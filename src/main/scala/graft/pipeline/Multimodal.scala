@@ -1085,10 +1085,17 @@ object Multimodal {
     * v1) — same values either way, both parse paths exercised; the
     * video track carries an stss keyframe table (sync every 4+id%6
     * samples), the audio track NONE (the ISO absent-stss = all-sync
-    * default path). Plants:
+    * default path). r16: both tracks also carry the stsc/stco/co64
+    * CHUNK tables for [[graft.functions.MediaFormats.probeChunks]] —
+    * video chunks of 4+id%3 samples laid out contiguously from offset
+    * 4096+id%512 (stco on even ids, co64 on odd — both widths
+    * exercised), audio chunks of 8 from offset 1<<20. Plants:
     * id%41==0 md5 garbage (no rows), id%41==7 ftyp-only truncation (no
     * rows), id%41==13 video stsz ABSENT (the torn-table contract:
-    * total_bytes/bitrate null while the stts fields stay live). */
+    * total_bytes/bitrate null while the stts fields stay live — and
+    * max_chunk_bytes null while the chunk offsets stay live),
+    * id%41==19 video CHUNK TABLES absent (all chunk fields null while
+    * the stts/stsz readout stays live — per-table independence). */
   def synthesizeMp4SampleTablePayloads(docs: DataFrame, idCol: String): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].map { id =>
@@ -1109,14 +1116,17 @@ object Multimodal {
           val vtrak = mp4TrakSampled(trackId = 1, handler = "vide",
             timescale = tsV, stts = Seq((n1, d1), (n2, d1 + 10)),
             stszFixed = 0, stszSizes = sizes, includeStsz = id % 41 != 13,
-            mdhdV1 = mdhdV1, stss = Some(syncs))
+            mdhdV1 = mdhdV1, stss = Some(syncs),
+            chunks = if (id % 41 == 19) None
+                     else Some(((4 + id % 3).toInt, 4096L + id % 512, id % 2 == 1)))
           val traks =
             if (id % 2 == 1) {
               val nA = (50 + id % 40).toInt
               vtrak ++ mp4TrakSampled(trackId = 2, handler = "soun",
                 timescale = 8000, stts = Seq((nA, 1024)),
                 stszFixed = (128 + id % 64).toInt, stszSizes = Seq.empty,
-                includeStsz = true, mdhdV1 = mdhdV1)
+                includeStsz = true, mdhdV1 = mdhdV1,
+                chunks = Some((8, 1L << 20, false)))
             } else vtrak
           mp4Ftyp() ++ mp4Box("moov",
             mp4Mvhd(timescale = 1000, duration = 1000 + (id * 13) % 60000) ++ traks)
@@ -1126,13 +1136,22 @@ object Multimodal {
   }
 
   /** One trak with a full mdia: mdhd (v0 or v1), hdlr, and an stbl
-    * carrying stsd + stts + (optionally) stsz — the fixture builder for
-    * [[graft.functions.MediaFormats.probeTracks]]. */
+    * carrying stsd + stts + (optionally) stsz + (optionally, r16) the
+    * stsc/stco/co64 chunk tables — the fixture builder for
+    * [[graft.functions.MediaFormats.probeTracks]] and
+    * [[graft.functions.MediaFormats.probeChunks]]. `chunks` is
+    * (samples_per_chunk, base_offset, use_co64): offsets are laid out
+    * CONTIGUOUSLY from the base (each chunk starts where the previous
+    * one's sample bytes end — the single-mdat layout real muxers
+    * write), chunk byte sizes from `stszSizes`/`stszFixed` regardless
+    * of whether the stsz box itself ships (the absent-stsz plant still
+    * needs real offsets). */
   private def mp4TrakSampled(trackId: Int, handler: String, timescale: Int,
                              stts: Seq[(Int, Int)], stszFixed: Int,
                              stszSizes: Seq[Int], includeStsz: Boolean,
                              mdhdV1: Boolean,
-                             stss: Option[Seq[Int]] = None): Array[Byte] = {
+                             stss: Option[Seq[Int]] = None,
+                             chunks: Option[(Int, Long, Boolean)] = None): Array[Byte] = {
     val tk = java.nio.ByteBuffer.allocate(84)
     tk.putInt(7); tk.putInt(0); tk.putInt(0)
     tk.putInt(trackId); tk.putInt(0); tk.putInt(0)
@@ -1189,8 +1208,41 @@ object Multimodal {
       syncs.foreach(bb.putInt)
       mp4Box("stss", bb.array())
     }.getOrElse(Array.empty[Byte])
+    val chunkBoxes = chunks.map { case (spc, base, useCo64) =>
+      val n = stts.map(_._1).sum
+      val nc = (n + spc - 1) / spc
+      val rem = n % spc
+      // stsc: one uniform run, plus a shorter trailing run when the
+      // last chunk is partial (first entry MUST start at chunk 1)
+      val entries =
+        if (nc <= 1) Seq((1, n))
+        else if (rem == 0) Seq((1, spc))
+        else Seq((1, spc), (nc, rem))
+      val sc = java.nio.ByteBuffer.allocate(8 + entries.length * 12)
+      sc.putInt(0); sc.putInt(entries.length)
+      entries.foreach { case (fc, s2) => sc.putInt(fc); sc.putInt(s2); sc.putInt(1) }
+      def sampleSize(i: Int): Long =
+        if (stszFixed > 0) stszFixed.toLong else stszSizes(i).toLong
+      val chunkBytes = (0 until nc).map { k =>
+        (k * spc until math.min(n, (k + 1) * spc)).map(sampleSize).sum
+      }
+      val offs = chunkBytes.scanLeft(base)(_ + _).take(nc)
+      val co =
+        if (useCo64) {
+          val bb = java.nio.ByteBuffer.allocate(8 + nc * 8)
+          bb.putInt(0); bb.putInt(nc)
+          offs.foreach(bb.putLong)
+          mp4Box("co64", bb.array())
+        } else {
+          val bb = java.nio.ByteBuffer.allocate(8 + nc * 4)
+          bb.putInt(0); bb.putInt(nc)
+          offs.foreach(o => bb.putInt(o.toInt))
+          mp4Box("stco", bb.array())
+        }
+      mp4Box("stsc", sc.array()) ++ co
+    }.getOrElse(Array.empty[Byte])
     val stblChildren = mp4Box("stsd", sd.array()) ++
-      mp4Box("stts", sttsBody.array()) ++ stssBox ++
+      mp4Box("stts", sttsBody.array()) ++ stssBox ++ chunkBoxes ++
       (if (includeStsz) mp4Box("stsz", stszBody) else Array.empty[Byte])
     val mdia = mp4Box("mdia",
       mdhd ++ mp4Box("hdlr", hd.array()) ++ mp4Box("minf", mp4Box("stbl", stblChildren)))
@@ -1206,6 +1258,17 @@ object Multimodal {
     media.withColumn("__t",
         explode(E.column(graft.functions.VideoTracksProbe(E.expression(col(payloadCol))))))
       .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__t.*"): _*)
+  }
+
+  /** Expand [[graft.functions.VideoChunksProbe]] over a payload column:
+    * one row per parsed track's chunk-table readout — the byte-range
+    * fetch-planning twin of [[probeVideoTracks]]. Pure map + explode;
+    * metadata-only reads. */
+  def probeVideoChunks(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__c",
+        explode(E.column(graft.functions.VideoChunksProbe(E.expression(col(payloadCol))))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__c.*"): _*)
   }
 
   /** Expand [[graft.functions.VideoProbe]] over a payload column: the

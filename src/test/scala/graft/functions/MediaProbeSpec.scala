@@ -470,6 +470,136 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(MediaFormats.probeTracks(null).isEmpty)
   }
 
+  // ---- stsc/stco/co64 chunk-offset walk (probeChunks) -------------------
+
+  /** A trak whose stbl carries stts + optional stsz/stsc/stco/co64 —
+    * hand-assembled independently of the production fixture builder. */
+  private def chunkTrak(trackId: Int, handler: String, nSamples: Int,
+                        stszFixed: Int, stszSizes: Seq[Int],
+                        stscRuns: Seq[(Int, Int)],
+                        offsets: Seq[Long], useCo64: Boolean = false,
+                        includeStsz: Boolean = true,
+                        includeStsc: Boolean = true,
+                        includeStco: Boolean = true): Array[Byte] = {
+    val tk = java.nio.ByteBuffer.allocate(84)
+    tk.putInt(7); tk.putInt(0); tk.putInt(0); tk.putInt(trackId)
+    val md = java.nio.ByteBuffer.allocate(24)
+    md.putInt(0); md.putInt(0); md.putInt(0); md.putInt(1000)
+    md.putInt(nSamples * 40); md.putInt(0)
+    val hd = java.nio.ByteBuffer.allocate(25)
+    hd.putInt(0); hd.putInt(0); hd.put(handler.getBytes("US-ASCII"))
+    hd.put(new Array[Byte](13))
+    val st = java.nio.ByteBuffer.allocate(16)
+    st.putInt(0); st.putInt(1); st.putInt(nSamples); st.putInt(40)
+    val sz =
+      if (stszFixed > 0) {
+        val bb = java.nio.ByteBuffer.allocate(12)
+        bb.putInt(0); bb.putInt(stszFixed); bb.putInt(nSamples)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(12 + stszSizes.length * 4)
+        bb.putInt(0); bb.putInt(0); bb.putInt(stszSizes.length)
+        stszSizes.foreach(bb.putInt)
+        bb.array()
+      }
+    val sc = java.nio.ByteBuffer.allocate(8 + stscRuns.length * 12)
+    sc.putInt(0); sc.putInt(stscRuns.length)
+    stscRuns.foreach { case (fc, spc) => sc.putInt(fc); sc.putInt(spc); sc.putInt(1) }
+    val co =
+      if (useCo64) {
+        val bb = java.nio.ByteBuffer.allocate(8 + offsets.length * 8)
+        bb.putInt(0); bb.putInt(offsets.length)
+        offsets.foreach(bb.putLong)
+        box("co64", bb.array())
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(8 + offsets.length * 4)
+        bb.putInt(0); bb.putInt(offsets.length)
+        offsets.foreach(o => bb.putInt(o.toInt))
+        box("stco", bb.array())
+      }
+    val stbl = box("stbl", box("stts", st.array()) ++
+      (if (includeStsc) box("stsc", sc.array()) else Array.emptyByteArray) ++
+      (if (includeStco) co else Array.emptyByteArray) ++
+      (if (includeStsz) box("stsz", sz) else Array.emptyByteArray))
+    box("trak", box("tkhd", tk.array()) ++
+      box("mdia", box("mdhd", md.array()) ++ box("hdlr", hd.array()) ++
+        box("minf", stbl)))
+  }
+
+  test("MP4 chunks: stsc expansion × stsz sizes → offsets, samples, max span") {
+    // 15 samples, runs (1,4)(4,3): chunks of 4,4,4,3; sizes 100..114 →
+    // chunk bytes 406,422,438,339; contiguous offsets from 5000
+    val sizes = (0 until 15).map(i => 100 + i)
+    val offs = Seq(5000L, 5406L, 5828L, 6266L)
+    val b = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 15, 0, sizes, Seq((1, 4), (4, 3)), offs))
+    val c = MediaFormats.probeChunks(b)
+    assert(c.size == 1, s"$c")
+    val v = c.head
+    assert(v.trackId == 1 && v.handler == "vide", s"$v")
+    assert(v.nChunks == 4L && v.firstOffset == 5000L && v.lastOffset == 6266L, s"$v")
+    assert(v.chunkSamples == 15L && v.maxChunkBytes == 438L, s"$v")
+    // multi-run with VARYING samples-per-chunk: (1,2)(3,5) over 4 chunks
+    // = 2,2,5,5 samples = 14 total; uniform 10-byte samples → max 50
+    val b2 = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 14, 10, Seq.empty, Seq((1, 2), (3, 5)),
+        Seq(100L, 120L, 140L, 190L)))
+    val v2 = MediaFormats.probeChunks(b2).head
+    assert(v2.nChunks == 4L && v2.chunkSamples == 14L &&
+      v2.maxChunkBytes == 50L && v2.lastOffset == 190L, s"$v2")
+  }
+
+  test("MP4 chunks: co64 64-bit offsets parse (incl. past 2^32)") {
+    val big = 0x1_2345_6789L // > Int.MaxValue: needs the 64-bit width
+    val b = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 8, 100, Seq.empty, Seq((1, 4)),
+        Seq(big, big + 400L), useCo64 = true))
+    val v = MediaFormats.probeChunks(b).head
+    assert(v.nChunks == 2L && v.firstOffset == big &&
+      v.lastOffset == big + 400L, s"$v")
+    assert(v.chunkSamples == 8L && v.maxChunkBytes == 400L, s"$v")
+  }
+
+  test("MP4 chunks: missing/torn/contradictory tables null their fields, never throw") {
+    val sizes = (0 until 15).map(i => 100 + i)
+    val offs = Seq(5000L, 5406L, 5832L, 6278L)
+    def build(stsz: Boolean = true, stsc: Boolean = true, stco: Boolean = true,
+              runs: Seq[(Int, Int)] = Seq((1, 4), (4, 3))) =
+      ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+        chunkTrak(1, "vide", 15, 0, sizes, runs, offs,
+          includeStsz = stsz, includeStsc = stsc, includeStco = stco))
+    // absent stco: ALL chunk fields null (offsets are the spine)
+    val noCo = MediaFormats.probeChunks(build(stco = false)).head
+    assert(noCo.nChunks == null && noCo.firstOffset == null &&
+      noCo.chunkSamples == null && noCo.maxChunkBytes == null, s"$noCo")
+    // absent stsc: offsets live, mapping fields null
+    val noSc = MediaFormats.probeChunks(build(stsc = false)).head
+    assert(noSc.nChunks == 4L && noSc.firstOffset == 5000L &&
+      noSc.chunkSamples == null && noSc.maxChunkBytes == null, s"$noSc")
+    // absent stsz: mapping lives, byte span null
+    val noSz = MediaFormats.probeChunks(build(stsz = false)).head
+    assert(noSz.chunkSamples == 15L && noSz.maxChunkBytes == null, s"$noSz")
+    // CONTRADICTORY: stsc maps 4*4=16 samples, stsz declares 15 — the
+    // mapping readout stands (that IS the audit) but no byte span is
+    // fabricated from a size table it overruns
+    val contra = MediaFormats.probeChunks(build(runs = Seq((1, 4)))).head
+    assert(contra.chunkSamples == 16L && contra.maxChunkBytes == null, s"$contra")
+    // hostile stsc: first entry not chunk 1 / non-ascending → null mapping
+    for (bad <- Seq(Seq((2, 4)), Seq((1, 4), (4, 3), (3, 2)))) {
+      val h = MediaFormats.probeChunks(build(runs = bad)).head
+      assert(h.chunkSamples == null && h.maxChunkBytes == null && h.nChunks == 4L, s"$h")
+    }
+    // a run pointing past the chunks that arrived → null mapping
+    val far = MediaFormats.probeChunks(build(runs = Seq((1, 4), (9, 1)))).head
+    assert(far.chunkSamples == null && far.nChunks == 4L, s"$far")
+    // truncation sweep: no throw at any cut
+    val full = build()
+    for (cut <- 8 until full.length by 5) MediaFormats.probeChunks(full.take(cut))
+    // non-BMFF / null / empty
+    assert(MediaFormats.probeChunks("plain text".getBytes).isEmpty)
+    assert(MediaFormats.probeChunks(null).isEmpty)
+  }
+
   test("MP4: truncation and corruption never throw — partial fields stay null") {
     // ftyp alone: container identified, every moov field null
     val p1 = MediaFormats.probeVideo(ftyp())
