@@ -2634,6 +2634,20 @@ object SparkEntry {
           "sample_rate", "n_samples")
         .orderBy("doc_id")
     },
+    "multimodal_webp_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: WebP (RIFF) — the dominant crawl image format after JPEG,
+      // all three container flavors: VP8 lossy (start-code gate, 14-bit
+      // LE dims), VP8L lossless (packed 14+14-bit dims, version-0
+      // gate), VP8X extended (24-bit canvas — dims past the 14-bit
+      // range prove the width). Plants: id%31==0 md5 garbage,
+      // id%31==11 torn mid-header — both 'unknown' with null dims
+      val media = pipeline.Multimodal.synthesizeWebpPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeMeta(media, "payload")
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    },
     "multimodal_audio_probe" -> { (s, dir) =>
       prep(s, dir, "documents")
       // FLAC STREAMINFO bit-unpacking + MP3 frame-header tables (with the
@@ -2644,6 +2658,22 @@ object SparkEntry {
       pipeline.Multimodal.probeMeta(media, "payload")
         .select("doc_id", "format", "channels", "sample_rate",
           "bits_per_sample", "n_samples")
+        .orderBy("doc_id")
+    },
+    "multimodal_mp3_frames" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: Layer III FRAME-WALK duration estimate — hop frame to
+      // frame by each frame's own header-declared length, count
+      // COMPLETE frames × 1152 samples, duration = n_samples·1000 DIV
+      // rate. Plants: id%29==0 md5 garbage ('unknown'), id%29==4 torn
+      // mid-last-frame (the walk keeps the complete frames — the
+      // WARC-walk discipline); ID3v2 skip exercised on every odd id
+      val media = pipeline.Multimodal.synthesizeMp3FramePayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeMeta(media, "payload")
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("n_samples"),
+          expr("n_samples * 1000 DIV sample_rate").as("duration_ms"))
         .orderBy("doc_id")
     },
     "multimodal_exif_probe" -> { (s, dir) =>
@@ -9559,6 +9589,36 @@ object SparkEntry {
                 CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS n_samples
          FROM documents ORDER BY doc_id""",
+    "multimodal_webp_probe" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 31 IN (0, 11) THEN 'unknown'
+                     ELSE 'webp' END AS format,
+                CASE WHEN doc_id % 31 IN (0, 11) THEN NULL
+                     WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + doc_id % 300 AS INT)
+                     ELSE CAST(1000 + doc_id % 5000 AS INT) END AS width,
+                CASE WHEN doc_id % 31 IN (0, 11) THEN NULL
+                     WHEN doc_id % 3 IN (0, 1) THEN CAST(16 + (doc_id * 7) % 200 AS INT)
+                     ELSE CAST(800 + (doc_id * 3) % 4000 AS INT) END AS height
+         FROM documents ORDER BY doc_id""",
+    "multimodal_mp3_frames" ->
+      """WITH d AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS rate,
+                      CASE WHEN doc_id % 29 = 4 THEN (3 + doc_id % 7 - 1) * 1152
+                           ELSE (3 + doc_id % 7) * 1152 END AS ns
+                FROM documents)
+         SELECT doc_id,
+                CASE WHEN doc_id % 29 = 0 THEN 'unknown' ELSE 'mp3' END AS format,
+                CASE WHEN doc_id % 29 = 0 THEN NULL
+                     ELSE CAST(rate AS INT) END AS sample_rate,
+                CASE WHEN doc_id % 29 = 0 THEN NULL
+                     WHEN doc_id % 4 = 1 THEN CAST(1 AS INT)
+                     ELSE CAST(2 AS INT) END AS channels,
+                CASE WHEN doc_id % 29 = 0 THEN NULL
+                     ELSE CAST(ns AS BIGINT) END AS n_samples,
+                CASE WHEN doc_id % 29 = 0 THEN NULL
+                     ELSE CAST(ns * 1000 // rate AS BIGINT) END AS duration_ms
+         FROM d ORDER BY doc_id""",
     "multimodal_exif_probe" ->
       """SELECT doc_id,
                 (doc_id % 43 NOT IN (0, 9)) AS has_exif,

@@ -31,6 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    skipped, then the first frame header → MPEG version × samplerate
   *    index table, channel mode (bits/sample and duration are not
   *    header-level concepts in MPEG audio → null)
+  *  - WebP: RIFF/WEBP, all three flavors — VP8 lossy (start code,
+  *    14-bit LE dims), VP8L lossless (packed 14+14-bit dims), VP8X
+  *    extended (24-bit LE canvas dims)
   * Unknown / truncated / corrupt payloads yield format "unknown" with
   * null fields — never an exception (a curation pass must survive
   * arbitrary crawled bytes).
@@ -63,6 +66,8 @@ object MediaFormats {
     else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') parseWav(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') parseWebp(b)
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
     else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
       (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)) parseMp3(b)
@@ -125,6 +130,46 @@ object MediaFormats {
       val w = le16(b, 6); val h = le16(b, 8)
       if (w == 0 || h == 0) Probe("unknown") else Probe("gif", width = w, height = h)
     }
+
+  /** WebP (RIFF/WEBP) — the dominant web-crawl image format after JPEG,
+    * in all three container flavors per the published bitstream specs:
+    * VP8 (lossy — key-frame start code 9d 01 2a, 14-bit LE dims), VP8L
+    * (lossless — 0x2f signature, 14+14-bit packed dims, version bits
+    * must be 0), VP8X (extended — 24-bit LE canvas dims, the
+    * animation/alpha wrapper). Corrupt/torn headers: unknown. */
+  private def parseWebp(b: Array[Byte]): Probe = {
+    if (b.length < 25) return Probe("unknown")
+    val cc = fourcc(b, 12)
+    cc match {
+      case "VP8 " =>
+        // chunk payload at 20: frame tag(3), start code 9d 01 2a,
+        // width(le16 & 0x3fff), height(le16 & 0x3fff)
+        if (b.length < 30 || u8(b, 23) != 0x9d || u8(b, 24) != 0x01 ||
+            u8(b, 25) != 0x2a) return Probe("unknown")
+        val w = le16(b, 26) & 0x3fff
+        val h = le16(b, 28) & 0x3fff
+        if (w == 0 || h == 0) Probe("unknown")
+        else Probe("webp", width = w, height = h)
+      case "VP8L" =>
+        // payload at 20: 0x2f signature, then width-1 (14 bits) and
+        // height-1 (14 bits) LSB-first; version bits (3) must be 0
+        if (u8(b, 20) != 0x2f) return Probe("unknown")
+        val b1 = u8(b, 21); val b2 = u8(b, 22)
+        val b3 = u8(b, 23); val b4 = u8(b, 24)
+        if (((b4 >> 4) & 7) != 0) return Probe("unknown")
+        Probe("webp",
+          width = 1 + (((b2 & 0x3f) << 8) | b1),
+          height = 1 + (((b4 & 0x0f) << 10) | (b3 << 2) | ((b2 & 0xc0) >> 6)))
+      case "VP8X" =>
+        // payload at 20: flags(1) reserved(3) canvas w-1 (24-bit LE)
+        // h-1 (24-bit LE)
+        if (b.length < 30) return Probe("unknown")
+        Probe("webp",
+          width = 1 + (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)),
+          height = 1 + (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)))
+      case _ => Probe("unknown")
+    }
+  }
 
   private def parseBmp(b: Array[Byte]): Probe = {
     if (b.length < 26) return Probe("unknown")
@@ -701,7 +746,56 @@ object MediaFormats {
       case _ => Array(11025, 12000, 8000)(srIdx)
     }
     val mode = (u8(b, i + 3) >> 6) & 3 // 3 = mono
-    Probe("mp3", channels = if (mode == 3) 1 else 2, sampleRate = sr)
+    Probe("mp3", channels = if (mode == 3) 1 else 2, sampleRate = sr,
+      nSamples = mp3SampleCount(b, i))
+  }
+
+  /** CBR/VBR-correct Layer III FRAME WALK (r16 — the duration estimate
+    * the single-header read can't give): hop frame to frame by each
+    * frame's OWN header-declared length (144000·kbps/rate + padding for
+    * MPEG1; 72000·kbps/rate for MPEG2/2.5), counting COMPLETE frames ×
+    * samples-per-frame (1152 MPEG1 / 576 MPEG2/2.5). A torn tail keeps
+    * the frames that fully arrived (the WARC-walk discipline); a free-
+    * bitrate or malformed header stops the hop — zero complete frames
+    * reads null, never a fabricated duration. Duration follows as
+    * n_samples·1000/sample_rate on the caller's side. */
+  private def mp3SampleCount(b: Array[Byte], start: Int): java.lang.Long = {
+    var p = start
+    var frames = 0L
+    var samples = 0L
+    var ok = true
+    while (ok && p + 4 <= b.length) {
+      if (u8(b, p) != 0xff || (u8(b, p + 1) & 0xe0) != 0xe0) ok = false
+      else {
+        val ver = (u8(b, p + 1) >> 3) & 3
+        val layer = (u8(b, p + 1) >> 1) & 3
+        val bIdx = (u8(b, p + 2) >> 4) & 0xf
+        val sIdx = (u8(b, p + 2) >> 2) & 3
+        if (ver == 1 || layer != 1 || bIdx == 0 || bIdx == 15 || sIdx == 3)
+          ok = false // reserved / non-LayerIII / free or bad bitrate: no hop
+        else {
+          val rate = ver match {
+            case 3 => Array(44100, 48000, 32000)(sIdx)
+            case 2 => Array(22050, 24000, 16000)(sIdx)
+            case _ => Array(11025, 12000, 8000)(sIdx)
+          }
+          val kbps =
+            if (ver == 3)
+              Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(bIdx)
+            else
+              Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(bIdx)
+          val pad = (u8(b, p + 2) >> 1) & 1
+          val flen = (if (ver == 3) 144000L else 72000L) * kbps / rate + pad
+          if (flen <= 4 || p + flen > b.length) ok = false // torn tail: stop
+          else {
+            frames += 1
+            samples += (if (ver == 3) 1152L else 576L)
+            p += flen.toInt
+          }
+        }
+      }
+    }
+    if (frames == 0) null else java.lang.Long.valueOf(samples)
   }
 }
 

@@ -953,6 +953,73 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Spec-valid WebP payloads in all three container flavors derived
+    * from the id (r16 — web crawls are heavily WebP, and the crawl
+    * chain meets it right after the WARC walk): VP8 lossy on id%3==0
+    * (key-frame start code + 14-bit LE dims), VP8L lossless on id%3==1
+    * (0x2f signature + packed 14+14-bit dims), VP8X extended on
+    * id%3==2 (24-bit LE canvas dims — values past the 14-bit range
+    * prove the width). Plants: id%31==0 md5 garbage (not RIFF),
+    * id%31==11 TORN at 23 bytes (RIFF/WEBP magic intact, dimension
+    * bytes missing) — both read "unknown" with null dims. */
+  def synthesizeWebpPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 31 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else {
+          val full = (id % 3) match {
+            case 0 => webpVp8((16 + id % 300).toInt, (16 + (id * 7) % 200).toInt)
+            case 1 => webpVp8l((16 + id % 300).toInt, (16 + (id * 7) % 200).toInt)
+            case _ => webpVp8x((1000 + id % 5000).toInt, (800 + (id * 3) % 4000).toInt)
+          }
+          if (id % 31 == 11) full.take(23) else full
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** RIFF/WEBP wrapper: "RIFF" riff_size(le32) "WEBP" fourcc
+    * chunk_size(le32) chunk bytes. */
+  private def webpRiff(cc: String, chunk: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20 + chunk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(4 + 8 + chunk.length)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put(cc.getBytes("US-ASCII")); bb.putInt(chunk.length); bb.put(chunk)
+    bb.array()
+  }
+
+  /** VP8 lossy: 3-byte frame tag, 9d 01 2a start code, 14-bit LE dims
+    * (scale bits 0). */
+  private def webpVp8(w: Int, h: Int): Array[Byte] = {
+    val c = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    c.put(0x30.toByte); c.put(0.toByte); c.put(0.toByte)
+    c.put(0x9d.toByte); c.put(0x01.toByte); c.put(0x2a.toByte)
+    c.putShort(w.toShort); c.putShort(h.toShort)
+    webpRiff("VP8 ", c.array())
+  }
+
+  /** VP8L lossless: 0x2f signature, then width-1/height-1 as 14+14
+    * bits LSB-first (alpha + version bits 0). */
+  private def webpVp8l(w: Int, h: Int): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14)
+    webpRiff("VP8L", Array[Byte](0x2f.toByte,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte))
+  }
+
+  /** VP8X extended: flags(1) reserved(3) canvas w-1/h-1 as 24-bit LE. */
+  private def webpVp8x(w: Int, h: Int): Array[Byte] = {
+    val wm = w - 1; val hm = h - 1
+    webpRiff("VP8X", Array[Byte](0x10.toByte, 0, 0, 0,
+      (wm & 0xff).toByte, ((wm >> 8) & 0xff).toByte, ((wm >> 16) & 0xff).toByte,
+      (hm & 0xff).toByte, ((hm >> 8) & 0xff).toByte, ((hm >> 16) & 0xff).toByte))
+  }
+
   /** Spec-valid FLAC / MP3 headers derived from the id — the audio twin
     * of [[synthesizeContainerPayloads]] (even ids FLAC, odd ids MP3;
     * every 6th MP3 carries an ID3v2 tag so the skip path is exercised).
@@ -1379,6 +1446,50 @@ object Multimodal {
       ((bits - 1).toLong << 36) | (totalSamples & 0xfffffffffL))
     bb.put(new Array[Byte](16))                           // md5 of raw audio (zeroed)
     bb.array() // 42 bytes exactly: 4 magic + 4 block header + 34 STREAMINFO
+  }
+
+  /** ID3v2-prefixed MULTI-FRAME MP3 payloads (r16 — the fixture for the
+    * Layer III frame-walk duration estimate): MPEG1 Layer III, sample
+    * rate by id%3, bitrate index 1+id%14 (32..320 kbps), 3+id%7
+    * identical complete frames (each a real header + zero audio bytes
+    * at its header-declared length 144000·kbps/rate), mono on id%4==1,
+    * an ID3v2 tag with id%50 pad bytes on odd ids (the skip path).
+    * Plants: id%29==0 md5 garbage ('unknown'), id%29==4 TORN 10 bytes
+    * into the last frame — the walk keeps the complete frames. */
+  def synthesizeMp3FramePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 29 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else {
+          val srIdx = (id % 3).toInt
+          val rate = Array(44100, 48000, 32000)(srIdx)
+          val bIdx = (1 + id % 14).toInt
+          val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)(bIdx)
+          val flen = (144000L * kbps / rate).toInt // padding bit 0
+          val nf = (3 + id % 7).toInt
+          val hdr = Array(0xff.toByte, 0xfb.toByte,
+            ((bIdx << 4) | (srIdx << 2)).toByte,
+            (if (id % 4 == 1) 0xc0 else 0x40).toByte)
+          val frame = hdr ++ new Array[Byte](flen - 4)
+          val tag =
+            if (id % 2 == 1) {
+              val pad = (id % 50).toInt
+              val t = java.nio.ByteBuffer.allocate(10 + pad)
+              t.put("ID3".getBytes("US-ASCII"))
+              t.put(3.toByte); t.put(0.toByte); t.put(0.toByte)
+              t.put(((pad >> 21) & 0x7f).toByte); t.put(((pad >> 14) & 0x7f).toByte)
+              t.put(((pad >> 7) & 0x7f).toByte); t.put((pad & 0x7f).toByte)
+              t.array()
+            } else Array.empty[Byte]
+          val full = tag ++ Array.fill(nf)(frame).flatten
+          if (id % 29 == 4) full.take(full.length - 10) else full
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
   }
 
   private def mp3Header(srIdx: Int, mono: Boolean, id3Pad: Int): Array[Byte] = {

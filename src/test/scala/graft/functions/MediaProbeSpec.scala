@@ -136,6 +136,88 @@ class MediaProbeSpec extends AnyFunSuite {
       assert(p.format == "unknown", s"expected unknown, got $p")
     }
   }
+  test("MP3 frame walk: complete frames × spf, torn tails keep whole frames") {
+    // MPEG1 L3 128 kbps @ 44100: frame length 144000*128/44100 = 417
+    val f = Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | (0 << 2)).toByte,
+      0x40.toByte) ++ new Array[Byte](413)
+    val b = f ++ f ++ f
+    assert(MediaFormats.probe(b).nSamples == 3 * 1152L, s"${MediaFormats.probe(b)}")
+    // torn 10 bytes into the last frame: two complete frames count
+    assert(MediaFormats.probe(b.take(b.length - 10)).nSamples == 2 * 1152L)
+    // a bare header (no complete frame) estimates nothing
+    assert(MediaFormats.probe(f.take(4) ++ new Array[Byte](16)).nSamples == null)
+    // free bitrate (index 0): the hop length is unknowable → null
+    val free = Array(0xff.toByte, 0xfb.toByte, 0x00.toByte, 0x40.toByte) ++
+      new Array[Byte](400)
+    assert(MediaFormats.probe(free).nSamples == null)
+    // MPEG2 (576 samples/frame): 8 kbps @ 22050 → frame length 26
+    val m2 = Array(0xff.toByte, 0xf3.toByte, 0x10.toByte, 0x40.toByte) ++
+      new Array[Byte](22)
+    val p2 = MediaFormats.probe(m2 ++ m2)
+    assert(p2.sampleRate == 22050 && p2.nSamples == 2 * 576L, s"$p2")
+    // ID3v2-prefixed: tag skipped, walk intact
+    val tag = {
+      val t = java.nio.ByteBuffer.allocate(10 + 30)
+      t.put("ID3".getBytes("US-ASCII")); t.put(3.toByte); t.put(0.toByte)
+      t.put(0.toByte); t.put(0.toByte); t.put(0.toByte); t.put(0.toByte)
+      t.put(30.toByte)
+      t.array()
+    }
+    assert(MediaFormats.probe(tag ++ b).nSamples == 3 * 1152L)
+    // garbage between frames stops the walk at the last whole frame
+    val glued = f ++ "junk".getBytes("US-ASCII") ++ f
+    assert(MediaFormats.probe(glued).nSamples == 1152L)
+  }
+
+  test("WebP: VP8 / VP8L / VP8X dims; hostile and torn headers are unknown") {
+    def riff(cc: String, chunk: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20 + chunk.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(4 + 8 + chunk.length)
+      bb.put("WEBP".getBytes("US-ASCII"))
+      bb.put(cc.getBytes("US-ASCII")); bb.putInt(chunk.length); bb.put(chunk)
+      bb.array()
+    }
+    // VP8 lossy 320x240: frame tag, start code 9d 01 2a, LE dims
+    val vp8 = {
+      val c = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      c.put(0x30.toByte); c.put(0.toByte); c.put(0.toByte)
+      c.put(0x9d.toByte); c.put(0x01.toByte); c.put(0x2a.toByte)
+      c.putShort(320.toShort); c.putShort(240.toShort)
+      riff("VP8 ", c.array())
+    }
+    val p1 = MediaFormats.probe(vp8)
+    assert(p1.format == "webp" && p1.width == 320 && p1.height == 240, s"$p1")
+    // scale bits (the top 2 of each 16) are NOT part of the dimension
+    val scaled = vp8.clone()
+    scaled(27) = (scaled(27) | 0x40).toByte // width |= 1<<14
+    val p1s = MediaFormats.probe(scaled)
+    assert(p1s.width == 320, s"$p1s")
+    // VP8L lossless 640x480: hand-packed 14+14 bits after 0x2f
+    // (w-1=639, h-1=479 → bits 0x77C27F → 7F C2 77 00)
+    val vp8l = riff("VP8L", Array[Byte](0x2f, 0x7f, 0xc2.toByte, 0x77, 0x00))
+    val p2 = MediaFormats.probe(vp8l)
+    assert(p2.format == "webp" && p2.width == 640 && p2.height == 480, s"$p2")
+    // nonzero version bits are spec-invalid → unknown
+    val badVer = vp8l.clone(); badVer(24) = 0x10.toByte
+    assert(MediaFormats.probe(badVer).format == "unknown")
+    // VP8X extended 100000x65536 (past the 14-bit range): 24-bit LE
+    val vp8x = riff("VP8X", Array[Byte](0x10, 0, 0, 0,
+      0x9f.toByte, 0x86.toByte, 0x01, 0xff.toByte, 0xff.toByte, 0x00))
+    val p3 = MediaFormats.probe(vp8x)
+    assert(p3.format == "webp" && p3.width == 100000 && p3.height == 65536, s"$p3")
+    // missing VP8 start code / unknown fourcc → unknown
+    val noCode = vp8.clone(); noCode(23) = 0
+    assert(MediaFormats.probe(noCode).format == "unknown")
+    assert(MediaFormats.probe(riff("VP9 ", new Array[Byte](10))).format == "unknown")
+    // truncation sweep: every cut parses without throwing, torn = unknown
+    for (cut <- 0 to vp8x.length) {
+      val p = MediaFormats.probe(vp8x.take(cut))
+      assert(cut == vp8x.length || p.format == "unknown", s"cut=$cut $p")
+    }
+  }
+
   test("FLAC: STREAMINFO bit unpacking — hand-packed 44.1k stereo 24-bit") {
     val bb = java.nio.ByteBuffer.allocate(42)
     bb.put("fLaC".getBytes("US-ASCII"))
