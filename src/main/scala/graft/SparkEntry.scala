@@ -100,6 +100,20 @@ object SparkEntry {
       .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
   }
 
+  /** Session-scoped SHARED trade-edge frame (r16 — the [[orderFlowScc]]
+    * lifecycle applied one level down): SEVEN queries walk the same
+    * bidirected customer↔supplier graph (pagerank, ppr, betweenness,
+    * bfs, shortest_paths, and the landmark trio through
+    * [[tradeLandmarks]]); each used to re-derive the orders⋈lineitem
+    * distinct-pair build from parquet. One materialized node→node edge
+    * table per (session, sf dir) now feeds them all — results are
+    * bit-identical (the frame IS the same expression), only the
+    * repeated derivation goes. */
+  private val tradeEdgesMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(tradeEdgesMemo, s, dir)(pipeline.Materialize(tradeGraphEdges(s)))
+
   /** Session-scoped SHARED landmark pass over [[tradeGraphEdges]] (r15,
     * the [[orderFlowScc]] lifecycle applied to the centrality family):
     * graph_harmonic, graph_closeness and graph_eccentricity each keep
@@ -113,7 +127,7 @@ object SparkEntry {
   private def tradeLandmarks(s: SparkSession, dir: String): DataFrame =
     memoized(landmarkMemo, s, dir)(
       pipeline.Materialize(pipeline.Graph.landmarkDistanceTable(
-        tradeGraphEdges(s), "src", "dst", nSeeds = 8, rounds = 4,
+        tradeEdges(s, dir), "src", "dst", nSeeds = 8, rounds = 4,
         saltPrefixes = Seq("hc:", "cc:", "ec:"))))
 
   /** recall@10 of an approximate top-k method against the in-registry
@@ -3903,14 +3917,9 @@ object SparkEntry {
       prep(s, dir, "orders", "lineitem")
       // integer fixed-point PageRank over the bidirected customer↔supplier
       // trade graph (distinct order pairs; suppliers offset by 1e6 into
-      // the shared node id space) — 5 iterations, bit-replayable
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
-      pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5)
+      // the shared node id space) — 5 iterations, bit-replayable;
+      // edges from the session-shared frame ([[tradeEdges]], r16)
+      pipeline.Graph.pageRank(tradeEdges(s, dir), "src", "dst", iterations = 5)
         .orderBy("node")
     },
     "graph_pagerank_weighted" -> { (s, dir) =>
@@ -3985,16 +3994,11 @@ object SparkEntry {
       prep(s, dir, "orders", "lineitem")
       // personalized PageRank: restart mass pinned to a 1-in-97 customer
       // seed cohort — "suppliers relevant to THESE customers", the
-      // random-walk-with-restart retrieval form of graph_pagerank
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      // random-walk-with-restart retrieval form of graph_pagerank;
+      // edges from the session-shared frame ([[tradeEdges]], r16)
       val seeds = s.table("orders").select(col("o_custkey").as("node"))
         .where(col("node") % 97 === 0).distinct()
-      pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5,
+      pipeline.Graph.pageRank(tradeEdges(s, dir), "src", "dst", iterations = 5,
           seeds = Some(seeds))
         .orderBy("node")
     },
@@ -4202,30 +4206,22 @@ object SparkEntry {
       prep(s, dir, "orders", "lineitem")
       // r13: Brandes-sampled betweenness from 8 md5 landmarks over the
       // bidirected trade graph — which nodes BROKER the flow; ppm
-      // fixed-point dependency accumulation so the estimate hash-gates
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
-      pipeline.Graph.betweennessCentrality(edges, "src", "dst", nSeeds = 8, rounds = 4)
+      // fixed-point dependency accumulation so the estimate hash-gates;
+      // edges from the session-shared frame ([[tradeEdges]], r16)
+      pipeline.Graph.betweennessCentrality(tradeEdges(s, dir), "src", "dst",
+          nSeeds = 8, rounds = 4)
         .orderBy("node")
     },
     "graph_bfs" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // hop distance from a trusted customer cohort over the bidirected
       // trade graph — the TrustRank-style link-distance quality prior;
-      // unit weights = plain BFS (the w=1 case of shortestPaths)
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      // unit weights = plain BFS (the w=1 case of shortestPaths);
+      // edges from the session-shared frame ([[tradeEdges]], r16)
       val seeds = s.table("orders").select(col("o_custkey").as("node"))
         .where(col("node") % 97 === 0).distinct()
-      pipeline.Graph.shortestPaths(edges, "src", "dst", seeds, rounds = 4)
+      pipeline.Graph.shortestPaths(tradeEdges(s, dir), "src", "dst", seeds,
+          rounds = 4)
         .orderBy("node")
     },
     "graph_shortest_paths" -> { (s, dir) =>
@@ -4233,13 +4229,9 @@ object SparkEntry {
       // weighted min-cost variant over the same graph: integer edge cost
       // derived from the endpoints (deterministic, oracle-replayable), so
       // a cheap 2-hop route can beat an expensive direct edge — the case
-      // that distinguishes Bellman-Ford relaxation from plain BFS
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(e0.select((col("sp") + 1000000L).as("src"), col("c").as("dst")))
+      // that distinguishes Bellman-Ford relaxation from plain BFS;
+      // edges from the session-shared frame ([[tradeEdges]], r16)
+      val edges = tradeEdges(s, dir)
         .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
       val seeds = s.table("orders").select(col("o_custkey").as("node"))
         .where(col("node") % 97 === 0).distinct()
