@@ -4335,6 +4335,23 @@ object SparkEntry {
       sources.Warc.scanStats(blobs, "payload", maxRecordBytes = 512L)
         .orderBy("doc_id")
     },
+    "src_zip_roundtrip" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: ZIP archive source — EOCD scan + central-directory walk
+      // (header-only) then VERIFIED extraction: STORED slices on even
+      // ids, raw-DEFLATE inflation (a REAL decode through the JDK
+      // Inflater) on odd, both length- and CRC32-gated against the
+      // directory's declaration. Plants: id%37==0 md5 garbage (no
+      // EOCD), id%37==5 torn tail (the EOCD lives at the END — a torn
+      // download correctly reads as index lost, zero rows)
+      val blobs = sources.Zip.synthesizeZipPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Zip.read(blobs, "payload")
+        .select(col("doc_id"), col("name"), col("method"),
+          col("uncompressed_size"),
+          col("content").cast("string").as("content_text"))
+        .orderBy("doc_id", "name")
+    },
     "src_csv_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // CSV parity incl. the quoting dimension: lang values wrapped in
@@ -6859,6 +6876,23 @@ object SparkEntry {
                 CAST(dropped AS BIGINT) AS n_dropped,
                 CAST(resp_ok * t + meta_ok * m AS BIGINT) AS payload_bytes
          FROM f ORDER BY doc_id""",
+    "src_zip_roundtrip" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 37 NOT IN (0, 5)),
+            d AS (SELECT doc_id, 'doc_' || doc_id || '.txt' AS name,
+                    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 END AS method,
+                    CAST(strlen(text) AS BIGINT) AS uncompressed_size,
+                    text AS content_text
+                FROM base),
+            m AS (SELECT doc_id, 'meta_' || doc_id || '.txt' AS name,
+                    0 AS method,
+                    CAST(strlen('id=' || doc_id) AS BIGINT) AS uncompressed_size,
+                    'id=' || doc_id AS content_text
+                FROM base)
+         SELECT doc_id, name, CAST(method AS INT) AS method,
+                uncompressed_size, content_text
+         FROM (SELECT * FROM d UNION ALL SELECT * FROM m)
+         ORDER BY doc_id, name""",
     "src_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
