@@ -4335,6 +4335,20 @@ object SparkEntry {
       sources.Warc.scanStats(blobs, "payload", maxRecordBytes = 512L)
         .orderBy("doc_id")
     },
+    "src_tar_roundtrip" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: ustar walk — 512-byte headers with the checksum
+      // self-check, octal sizes, block-padded content, two-zero-block
+      // end marker; odd ids ship `.tar.gz` (streamed gunzip). Plants:
+      // id%37==0 garbage (checksum fails — no entries), id%37==5 torn
+      // 100 bytes into the SECOND header (doc survives, meta gone)
+      val blobs = sources.Tar.synthesizeTarPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Tar.read(blobs, "payload")
+        .select(col("doc_id"), col("name"), col("size"),
+          col("content").cast("string").as("content_text"))
+        .orderBy("doc_id", "name")
+    },
     "src_zip_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: ZIP archive source — EOCD scan + central-directory walk
@@ -6876,6 +6890,20 @@ object SparkEntry {
                 CAST(dropped AS BIGINT) AS n_dropped,
                 CAST(resp_ok * t + meta_ok * m AS BIGINT) AS payload_bytes
          FROM f ORDER BY doc_id""",
+    "src_tar_roundtrip" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 37 <> 0),
+            d AS (SELECT doc_id, 'doc_' || doc_id || '.txt' AS name,
+                    CAST(strlen(text) AS BIGINT) AS size,
+                    text AS content_text
+                FROM base),
+            m AS (SELECT doc_id, 'meta_' || doc_id || '.txt' AS name,
+                    CAST(strlen('id=' || doc_id) AS BIGINT) AS size,
+                    'id=' || doc_id AS content_text
+                FROM base WHERE doc_id % 37 <> 5)
+         SELECT doc_id, name, size, content_text
+         FROM (SELECT * FROM d UNION ALL SELECT * FROM m)
+         ORDER BY doc_id, name""",
     "src_zip_roundtrip" ->
       """WITH base AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 37 NOT IN (0, 5)),
