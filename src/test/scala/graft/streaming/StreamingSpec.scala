@@ -205,6 +205,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
+  test("streaming zip/tar/warc-scan/chunk walks: the r16 pure maps run unchanged on a stream") {
+    // Zip.read (CD walk + verified inflate), Tar.read (ustar walk),
+    // Warc.scanStats (drop accounting) and probeVideoChunks (stsc/stco
+    // walk) are all stateless per-row byte walks — the same operator
+    // code runs in append mode, byte-identical to the batch run
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i => (i, s"zip tar stream doc $i body"))
+    val zipBlobs = graft.sources.Zip.synthesizeZipPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val tarBlobs = graft.sources.Tar.synthesizeTarPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val warcBlobs = graft.sources.Warc.synthesizeWarcPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val mp4Blobs = graft.pipeline.Multimodal.synthesizeMp4SampleTablePayloads(
+      docs.toDF("doc_id", "text"), "doc_id")
+    def stream(name: String, blobs: org.apache.spark.sql.DataFrame,
+               f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+      src.addData(blobs.as[(Long, Array[Byte])].collect().toSeq: _*)
+      val q = f(src.toDF().toDF("doc_id", "payload")).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.toString).toSet
+      val want = f(blobs).collect().map(_.toString).toSet
+      assert(got == want && want.nonEmpty, s"$name: stream != batch")
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty,
+        s"$name must be stateless")
+      q.stop()
+    }
+    stream("zip_stream_out", zipBlobs,
+      df => graft.sources.Zip.read(df, "payload")
+        .withColumn("content", col("content").cast("string")))
+    stream("tar_stream_out", tarBlobs,
+      df => graft.sources.Tar.read(df, "payload")
+        .withColumn("content", col("content").cast("string")))
+    stream("warcscan_stream_out", warcBlobs,
+      df => graft.sources.Warc.scanStats(df, "payload", maxRecordBytes = 512L))
+    stream("chunks_stream_out", mp4Blobs,
+      df => graft.pipeline.Multimodal.probeVideoChunks(df, "payload"))
+  }
+
   test("streaming sentence chunking + ROUGE + video probe: the r14 pure maps run unchanged on a stream") {
     // sentenceChunks, rougeN, and probeVideoMeta are all stateless maps
     // (regex/fold/byte-walk per row) — the SAME operator code runs in
