@@ -4335,6 +4335,22 @@ object SparkEntry {
       sources.Warc.scanStats(blobs, "payload", maxRecordBytes = 512L)
         .orderBy("doc_id")
     },
+    "text_blocklist_hits" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: Aho-Corasick multi-pattern screen — N blocklist terms
+      // compiled into ONE goto/fail automaton, the corpus scanned ONCE
+      // (vs one LIKE-scan per term); n counts every start position
+      // incl. overlaps and nested patterns (tab/table/able all fire on
+      // 'table'), replayed exactly by the oracle's position scan
+      import org.apache.spark.sql.graftshim.{GraftShim => E}
+      val pats = Seq("a", "able", "fast", "scan scan", "st", "tab",
+        "table", "value")
+      s.table("documents").select(col("doc_id"),
+          explode(E.column(functions.MultiMatch(
+            E.expression(col("text")), pats))).as("__h"))
+        .select(col("doc_id"), col("__h.pattern"), col("__h.n"))
+        .orderBy("doc_id", "pattern")
+    },
     "src_tar_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: ustar walk — 512-byte headers with the checksum
@@ -6890,6 +6906,18 @@ object SparkEntry {
                 CAST(dropped AS BIGINT) AS n_dropped,
                 CAST(resp_ok * t + meta_ok * m AS BIGINT) AS payload_bytes
          FROM f ORDER BY doc_id""",
+    "text_blocklist_hits" ->
+      """WITH pats AS (SELECT unnest(['a','able','fast','scan scan','st',
+                                      'tab','table','value']) AS pattern),
+            hit AS (SELECT d.doc_id, p.pattern,
+                      len(list_filter(
+                        range(1, strlen(d.text) - strlen(p.pattern) + 2),
+                        i -> substr(d.text, CAST(i AS INT),
+                                    strlen(p.pattern)) = p.pattern)) AS n
+                FROM documents d CROSS JOIN pats p
+                WHERE strlen(d.text) >= strlen(p.pattern))
+         SELECT doc_id, pattern, CAST(n AS BIGINT) AS n
+         FROM hit WHERE n > 0 ORDER BY doc_id, pattern""",
     "src_tar_roundtrip" ->
       """WITH base AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 37 <> 0),
