@@ -2760,6 +2760,21 @@ object SparkEntry {
           "first_offset", "last_offset", "chunk_samples", "max_chunk_bytes")
         .orderBy("doc_id", "track_id")
     },
+    "multimodal_video_ranges" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the chunk tables EXPLODED per chunk — the concrete
+      // byte-range fetch plan a frame-accurate reader issues: one row
+      // per (track, chunk) with absolute offset, samples inside, and
+      // the contiguous byte span (null on the stsz-absent plant).
+      // Tracks without offsets or mapping contribute no rows
+      val media = pipeline.Multimodal.synthesizeMp4SampleTablePayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeVideoChunkRanges(media, "payload")
+        .select(col("doc_id"), col("track_id"), col("handler"),
+          col("chunk"), col("offset").as("chunk_offset"),
+          col("n_samples"), col("chunk_bytes"))
+        .orderBy("doc_id", "track_id", "chunk")
+    },
     "multimodal_meta" -> { (s, dir) =>
       prep(s, dir, "documents")
       // REAL decode end-to-end: the builder writes actual PNGs (even ids)
@@ -9805,6 +9820,53 @@ object SparkEntry {
                 CAST(chunk_samples AS BIGINT) AS chunk_samples,
                 CAST(max_chunk_bytes AS BIGINT) AS max_chunk_bytes
          FROM t ORDER BY doc_id, track_id""",
+    "multimodal_video_ranges" ->
+      """WITH v AS (SELECT doc_id,
+                       12 + doc_id % 24 + 8 + (doc_id * 3) % 16 AS n,
+                       4 + doc_id % 3 AS spc,
+                       4096 + doc_id % 512 AS base
+                FROM documents WHERE doc_id % 41 NOT IN (0, 7, 19)),
+              v2 AS (SELECT doc_id, n, spc, base,
+                       (n + spc - 1) // spc AS nc,
+                       list_transform(range(0, (n + spc - 1) // spc),
+                         k -> list_sum(list_transform(
+                                range(k * spc, least(n, (k + 1) * spc)),
+                                i -> 200 + ((doc_id + i * 7) % 100)))) AS cb
+                FROM v),
+              v3 AS (SELECT doc_id, n, spc, base, nc, cb,
+                       CAST(unnest(range(0, nc)) AS INT) AS k
+                FROM v2),
+              vr AS (SELECT doc_id, 1 AS track_id, 'vide' AS handler,
+                       k + 1 AS chunk,
+                       base + coalesce(list_sum(cb[1:k]), 0) AS chunk_offset,
+                       CASE WHEN k < nc - 1 OR n % spc = 0 THEN spc
+                            ELSE n % spc END AS n_samples,
+                       CASE WHEN doc_id % 41 = 13 THEN NULL
+                            ELSE cb[k + 1] END AS chunk_bytes
+                FROM v3),
+              a AS (SELECT doc_id, 50 + doc_id % 40 AS na,
+                       128 + doc_id % 64 AS sz,
+                       (50 + doc_id % 40 + 7) // 8 AS nc
+                FROM documents
+                WHERE doc_id % 41 NOT IN (0, 7) AND doc_id % 2 = 1),
+              a3 AS (SELECT doc_id, na, sz, nc,
+                       CAST(unnest(range(0, nc)) AS INT) AS k
+                FROM a),
+              ar AS (SELECT doc_id, 2 AS track_id, 'soun' AS handler,
+                       k + 1 AS chunk,
+                       1048576 + k * 8 * sz AS chunk_offset,
+                       CASE WHEN k < nc - 1 OR na % 8 = 0 THEN 8
+                            ELSE na % 8 END AS n_samples,
+                       (CASE WHEN k < nc - 1 OR na % 8 = 0 THEN 8
+                             ELSE na % 8 END) * sz AS chunk_bytes
+                FROM a3),
+              t AS (SELECT * FROM vr UNION ALL SELECT * FROM ar)
+         SELECT doc_id, CAST(track_id AS INT) AS track_id, handler,
+                CAST(chunk AS INT) AS chunk,
+                CAST(chunk_offset AS BIGINT) AS chunk_offset,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST(chunk_bytes AS BIGINT) AS chunk_bytes
+         FROM t ORDER BY doc_id, track_id, chunk""",
     "multimodal_meta" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS media_type,

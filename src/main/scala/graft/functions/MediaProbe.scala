@@ -570,10 +570,56 @@ object MediaFormats {
     * complete plans. All counts are bounded by the bytes that actually
     * arrived (declared tables must fit their boxes), so no input hangs
     * the walk. Non-ISO-BMFF input: empty. */
-  def probeChunks(b: Array[Byte]): Seq[ChunkInfo] = {
+  def probeChunks(b: Array[Byte]): Seq[ChunkInfo] =
+    chunkTables(b).map { t =>
+      ChunkInfo(t.tid, t.handler,
+        if (t.offsets == null) null
+        else java.lang.Long.valueOf(t.offsets.length.toLong),
+        if (t.offsets == null || t.offsets.isEmpty) null
+        else java.lang.Long.valueOf(t.offsets.head),
+        if (t.offsets == null || t.offsets.isEmpty) null
+        else java.lang.Long.valueOf(t.offsets.last),
+        t.chunkSamples,
+        if (t.chunkBytes == null) null
+        else java.lang.Long.valueOf(if (t.chunkBytes.isEmpty) 0L
+                                    else t.chunkBytes.max))
+    }
+
+  /** One chunk's byte range — the row a fetch planner actually issues:
+    * chunk ordinal (1-based, the stsc convention), absolute offset,
+    * samples inside, and the contiguous byte span (null when stsz is
+    * missing/contradictory). */
+  final case class ChunkRange(trackId: Integer, handler: String,
+                              chunk: Int, offset: Long, nSamples: Long,
+                              chunkBytes: java.lang.Long)
+
+  /** The [[probeChunks]] tables EXPLODED per chunk — the concrete
+    * byte-range fetch plan. Tracks whose stco/co64 or stsc is
+    * missing/torn contribute no rows (no offsets or no mapping = no
+    * plan — the torn contract at row granularity). */
+  def probeChunkRanges(b: Array[Byte]): Seq[ChunkRange] =
+    chunkTables(b).flatMap { t =>
+      if (t.offsets == null || t.perChunk == null) Seq.empty
+      else t.offsets.indices.map { k =>
+        ChunkRange(t.tid, t.handler, k + 1, t.offsets(k), t.perChunk(k),
+          if (t.chunkBytes == null) null
+          else java.lang.Long.valueOf(t.chunkBytes(k)))
+      }
+    }
+
+  /** Raw per-trak chunk tables: `perChunk`/`chunkSamples` null when
+    * stsc is missing/torn/out-of-range, `chunkBytes` null when stsz is
+    * missing or contradicts the stsc expansion. */
+  private final case class ChunkTables(tid: Integer, handler: String,
+                                       offsets: Array[Long],
+                                       perChunk: Array[Long],
+                                       chunkBytes: Array[Long],
+                                       chunkSamples: java.lang.Long)
+
+  private def chunkTables(b: Array[Byte]): Seq[ChunkTables] = {
     if (b == null || b.length < 16) return Seq.empty
     var sawFtyp = false
-    val out = scala.collection.mutable.ArrayBuffer[ChunkInfo]()
+    val out = scala.collection.mutable.ArrayBuffer[ChunkTables]()
     boxWalk(b, 0L, b.length.toLong, { (tp, s, e) =>
       tp match {
         case "ftyp" => sawFtyp = true
@@ -652,69 +698,61 @@ object MediaFormats {
                   }
                 }
               }
-              var nChunks: java.lang.Long = null
-              var firstOff: java.lang.Long = null
-              var lastOff: java.lang.Long = null
+              var perChunk: Array[Long] = null
+              var chunkBytes: Array[Long] = null
               var chunkSamples: java.lang.Long = null
-              var maxChunkBytes: java.lang.Long = null
-              if (offsets != null) {
-                nChunks = java.lang.Long.valueOf(offsets.length.toLong)
-                if (offsets.nonEmpty) {
-                  firstOff = java.lang.Long.valueOf(offsets.head)
-                  lastOff = java.lang.Long.valueOf(offsets.last)
+              if (offsets != null && stscRuns != null &&
+                  stscRuns.forall(_._1 <= offsets.length)) {
+                // expand runs across the chunk list: per-chunk sample
+                // counts (bounded by n_chunks — no declared run can
+                // reach past the offsets that actually arrived)
+                val nc = offsets.length
+                val pc = new Array[Long](nc)
+                var j = 0
+                var ok = true
+                var total = 0L
+                while (j < stscRuns.length && ok) {
+                  val from = stscRuns(j)._1
+                  val until = if (j + 1 < stscRuns.length) stscRuns(j + 1)._1
+                              else nc + 1L
+                  val spc = stscRuns(j)._2
+                  var c = from
+                  while (c < until && ok) {
+                    pc((c - 1).toInt) = spc
+                    total += spc
+                    if (total < 0) ok = false
+                    c += 1
+                  }
+                  j += 1
                 }
-                if (stscRuns != null && stscRuns.forall(_._1 <= offsets.length)) {
-                  // expand runs across the chunk list: per-chunk sample
-                  // counts (bounded by n_chunks — no declared run can
-                  // reach past the offsets that actually arrived)
-                  val nc = offsets.length
-                  val perChunk = new Array[Long](nc)
-                  var j = 0
-                  var ok = true
-                  var total = 0L
-                  while (j < stscRuns.length && ok) {
-                    val from = stscRuns(j)._1
-                    val until = if (j + 1 < stscRuns.length) stscRuns(j + 1)._1
-                                else nc + 1L
-                    val spc = stscRuns(j)._2
-                    var c = from
-                    while (c < until && ok) {
-                      perChunk((c - 1).toInt) = spc
-                      total += spc
-                      if (total < 0) ok = false
+                if (ok) {
+                  perChunk = pc
+                  chunkSamples = java.lang.Long.valueOf(total)
+                  // per-chunk byte spans from stsz
+                  if (stszFixed > 0) {
+                    if (pc.forall(_ <= Long.MaxValue / stszFixed))
+                      chunkBytes = pc.map(_ * stszFixed)
+                  } else if (stszSizes != null && total <= stszSizes.length) {
+                    val cb = new Array[Long](nc)
+                    var s2 = 0
+                    var c = 0
+                    var ok2 = true
+                    while (c < nc && ok2) {
+                      var k = 0L
+                      var bytes = 0L
+                      while (k < pc(c) && ok2) {
+                        bytes += stszSizes(s2); s2 += 1; k += 1
+                        if (bytes < 0) ok2 = false
+                      }
+                      cb(c) = bytes
                       c += 1
                     }
-                    j += 1
-                  }
-                  if (ok) {
-                    chunkSamples = java.lang.Long.valueOf(total)
-                    // largest single-chunk byte span from stsz
-                    if (stszFixed > 0) {
-                      val m = if (perChunk.isEmpty) 0L else perChunk.max
-                      if (m <= Long.MaxValue / stszFixed)
-                        maxChunkBytes = java.lang.Long.valueOf(m * stszFixed)
-                    } else if (stszSizes != null && total <= stszSizes.length) {
-                      var s2 = 0
-                      var mx = 0L
-                      var c = 0
-                      var ok2 = true
-                      while (c < nc && ok2) {
-                        var k = 0L
-                        var bytes = 0L
-                        while (k < perChunk(c) && ok2) {
-                          bytes += stszSizes(s2); s2 += 1; k += 1
-                          if (bytes < 0) ok2 = false
-                        }
-                        if (bytes > mx) mx = bytes
-                        c += 1
-                      }
-                      if (ok2) maxChunkBytes = java.lang.Long.valueOf(mx)
-                    }
+                    if (ok2) chunkBytes = cb
                   }
                 }
               }
-              out += ChunkInfo(tid, handler, nChunks, firstOff, lastOff,
-                chunkSamples, maxChunkBytes)
+              out += ChunkTables(tid, handler, offsets, perChunk,
+                chunkBytes, chunkSamples)
             }
           })
         case _ =>
@@ -944,4 +982,42 @@ case class VideoChunksProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VideoChunksProbe =
     copy(child = newChild)
   override def prettyName: String = "video_chunks"
+}
+
+/** video_chunk_ranges(binary) → array<struct<track_id, handler, chunk,
+  * offset, n_samples, chunk_bytes>> — [[MediaFormats.probeChunkRanges]]
+  * as a scalar expression: the per-chunk byte-range FETCH PLAN (pure
+  * map; metadata-only reads). Tracks without offsets or mapping
+  * contribute no rows; chunk_bytes null when stsz is
+  * missing/contradictory. */
+case class VideoChunkRangesProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val rs = MediaFormats.probeChunkRanges(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rs.map { r =>
+        InternalRow(r.trackId,
+          if (r.handler == null) null else UTF8String.fromString(r.handler),
+          r.chunk, r.offset, r.nSamples, r.chunkBytes)
+      }.toArray[Any])
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"video_chunk_ranges expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("track_id", IntegerType, nullable = true),
+    StructField("handler", StringType, nullable = true),
+    StructField("chunk", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("chunk_bytes", LongType, nullable = true))),
+    containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): VideoChunkRangesProbe =
+    copy(child = newChild)
+  override def prettyName: String = "video_chunk_ranges"
 }

@@ -1338,6 +1338,16 @@ object Multimodal {
       .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__c.*"): _*)
   }
 
+  /** Expand [[graft.functions.VideoChunkRangesProbe]] over a payload
+    * column: one row per (track, chunk) — the concrete byte-range fetch
+    * plan. Pure map + explode; metadata-only reads. */
+  def probeVideoChunkRanges(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__r",
+        explode(E.column(graft.functions.VideoChunkRangesProbe(E.expression(col(payloadCol))))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__r.*"): _*)
+  }
+
   /** Expand [[graft.functions.VideoProbe]] over a payload column: the
     * MP4 twin of [[probeMeta]] — one header-only pure-map pass. */
   def probeVideoMeta(media: DataFrame, payloadCol: String): DataFrame = {

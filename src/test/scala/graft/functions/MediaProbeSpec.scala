@@ -642,6 +642,37 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(v.chunkSamples == 8L && v.maxChunkBytes == 400L, s"$v")
   }
 
+  test("MP4 chunk RANGES: per-chunk rows agree with the summary walk") {
+    val sizes = (0 until 15).map(i => 100 + i)
+    val offs = Seq(5000L, 5406L, 5828L, 6266L)
+    val b = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 15, 0, sizes, Seq((1, 4), (4, 3)), offs))
+    val rs = MediaFormats.probeChunkRanges(b)
+    assert(rs.map(_.chunk) == Seq(1, 2, 3, 4), s"$rs")
+    assert(rs.map(_.offset) == offs, s"$rs")
+    assert(rs.map(_.nSamples) == Seq(4L, 4L, 4L, 3L), s"$rs")
+    assert(rs.map(_.chunkBytes.longValue()) == Seq(406L, 422L, 438L, 339L), s"$rs")
+    // the summary is derivable from the rows (one walk, two views)
+    val sum = MediaFormats.probeChunks(b).head
+    assert(sum.chunkSamples == rs.map(_.nSamples).sum &&
+      sum.maxChunkBytes == rs.map(_.chunkBytes.longValue()).max)
+    // no offsets / no mapping → no rows (a plan needs both)
+    val noCo = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 15, 0, sizes, Seq((1, 4), (4, 3)), offs,
+        includeStco = false))
+    assert(MediaFormats.probeChunkRanges(noCo).isEmpty)
+    val noSc = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 15, 0, sizes, Seq((1, 4), (4, 3)), offs,
+        includeStsc = false))
+    assert(MediaFormats.probeChunkRanges(noSc).isEmpty)
+    // absent stsz: rows live, byte spans null
+    val noSz = ftyp() ++ box("moov", mvhdV0(1000, 650) ++
+      chunkTrak(1, "vide", 15, 0, sizes, Seq((1, 4), (4, 3)), offs,
+        includeStsz = false))
+    val rn = MediaFormats.probeChunkRanges(noSz)
+    assert(rn.size == 4 && rn.forall(_.chunkBytes == null), s"$rn")
+  }
+
   test("MP4 chunks: missing/torn/contradictory tables null their fields, never throw") {
     val sizes = (0 until 15).map(i => 100 + i)
     val offs = Seq(5000L, 5406L, 5832L, 6278L)
