@@ -2122,6 +2122,42 @@ object SparkEntry {
           min("doc_id").as("min_id"))
         .orderBy("split")
     },
+    "pipeline_robots_gate" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the crawl POLITENESS gate (RFC 9309) — per-domain robots
+      // bodies parse on the small side, broadcast, and every URL
+      // evaluates longest-match in a pure map (one broadcast join,
+      // zero corpus shuffles). The .org domains carry a graftbot group
+      // (Disallow /p/<k>, Allow /p/<k>7 — longest-match flips the
+      // verdict) over a Disallow-/ catch-all; the .example.com domains
+      // exercise group selection past a decoy otherbot group, the $
+      // end anchor (Allow /docs/12$) and a never-matching * wildcard
+      // rule riding along (full wildcard semantics are spec-gated)
+      val urls = s.table("documents").withColumn("url",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com:8080/docs/"),
+            col("doc_id").cast("string"), lit("?ref=crawl#top")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".org/p/"),
+            col("doc_id").cast("string"))))
+      val parts = pipeline.TextAnalysis.urlParts(urls, "url")
+        .select(col("doc_id"), col("domain"), col("path"))
+      val srcs = s.table("documents").select(col("source")).distinct()
+      val orgBots = srcs.select(
+        concat(col("source"), lit(".org")).as("rdomain"),
+        concat(lit("# per-domain rules\nUser-agent: graftbot\nDisallow: /p/"),
+          expr("substring(source, 4)"), lit("\nAllow: /p/"),
+          expr("substring(source, 4)"),
+          lit("7\n\nUser-agent: *\nDisallow: /\n")).as("robots_txt"))
+      val comBots = srcs.select(
+        concat(col("source"), lit(".example.com")).as("rdomain"),
+        lit("User-agent: otherbot\nDisallow: /\n\nUser-agent: *\n" +
+          "Disallow: /docs/1\nAllow: /docs/12$\nDisallow: /*.tmp$\n")
+          .as("robots_txt"))
+      pipeline.Robots.gate(parts, "domain", "path",
+          orgBots.union(comBots), "rdomain", "robots_txt", "graftbot")
+        .select("doc_id", "domain", "path", "allowed", "rule")
+        .orderBy("doc_id")
+    },
     "pipeline_url_gate" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r11: the crawl pipeline's FIRST filter — domain blocklist +
@@ -8980,6 +9016,36 @@ object SparkEntry {
                    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
                  FROM documents) t) u
          GROUP BY split ORDER BY split""",
+    "pipeline_robots_gate" ->
+      """WITH u AS (SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN source || '.example.com'
+                            ELSE source || '.org' END AS domain,
+                       CASE WHEN doc_id % 3 = 0 THEN '/docs/' || doc_id
+                            ELSE '/p/' || doc_id END AS path,
+                       substr(source, 4) AS k
+                FROM documents),
+            v AS (SELECT doc_id, domain, path,
+                    CASE WHEN doc_id % 3 <> 0 THEN
+                      CASE WHEN starts_with(path, '/p/' || k || '7')
+                             THEN '/p/' || k || '7'
+                           WHEN starts_with(path, '/p/' || k)
+                             THEN '/p/' || k END
+                    ELSE
+                      CASE WHEN path = '/docs/12' THEN '/docs/12$'
+                           WHEN starts_with(path, '/docs/1') THEN '/docs/1' END
+                    END AS rule,
+                    CASE WHEN doc_id % 3 <> 0 THEN
+                      CASE WHEN starts_with(path, '/p/' || k || '7') THEN true
+                           WHEN starts_with(path, '/p/' || k) THEN false
+                           ELSE true END
+                    ELSE
+                      CASE WHEN path = '/docs/12' THEN true
+                           WHEN starts_with(path, '/docs/1') THEN false
+                           ELSE true END
+                    END AS allowed
+                FROM u)
+         SELECT doc_id, domain, path, allowed, rule
+         FROM v ORDER BY doc_id""",
     "pipeline_url_gate" ->
       """WITH u AS (SELECT doc_id,
                 CASE WHEN doc_id % 3 = 0
