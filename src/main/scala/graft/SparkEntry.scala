@@ -2726,6 +2726,21 @@ object SparkEntry {
           expr("n_samples * 1000 DIV sample_rate").as("duration_ms"))
         .orderBy("doc_id")
     },
+    "multimodal_id3_tags" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: ID3v2 TEXT-FRAME walk — the audio-metadata twin of the
+      // EXIF walk: v2.3 plain frame sizes (even ids) vs v2.4 SYNCSAFE
+      // (odd — the TIT2 body is >127 bytes so the encodings actually
+      // diverge), ISO-8859-1 and UTF-8 text encodings, complete-frames
+      // torn contract. Plants: id%31==0 garbage (has_id3 false),
+      // id%31==11 torn into TALB (title/artist keep, album null)
+      val media = pipeline.Multimodal.synthesizeId3Payloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeId3Meta(media, "payload")
+        .select("doc_id", "has_id3", "version", "title", "artist",
+          "album", "n_frames")
+        .orderBy("doc_id")
+    },
     "multimodal_exif_probe" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r14: EXIF/TIFF IFD walk off JPEG APP1 segments — orientation
@@ -9782,6 +9797,22 @@ object SparkEntry {
                 CASE WHEN doc_id % 29 = 0 THEN NULL
                      ELSE CAST(ns * 1000 // rate AS BIGINT) END AS duration_ms
          FROM d ORDER BY doc_id""",
+    "multimodal_id3_tags" ->
+      """SELECT doc_id,
+                doc_id % 31 <> 0 AS has_id3,
+                CASE WHEN doc_id % 31 = 0 THEN NULL
+                     WHEN doc_id % 2 = 0 THEN CAST(3 AS INT)
+                     ELSE CAST(4 AS INT) END AS version,
+                CASE WHEN doc_id % 31 = 0 THEN NULL
+                     ELSE 'Title ' || doc_id || repeat('!', 140) END AS title,
+                CASE WHEN doc_id % 31 = 0 THEN NULL
+                     ELSE 'Artist ' || (doc_id % 7) END AS artist,
+                CASE WHEN doc_id % 31 IN (0, 11) THEN NULL
+                     ELSE 'Album ' || (doc_id % 5) END AS album,
+                CASE WHEN doc_id % 31 = 0 THEN NULL
+                     WHEN doc_id % 31 = 11 THEN CAST(2 AS BIGINT)
+                     ELSE CAST(4 AS BIGINT) END AS n_frames
+         FROM documents ORDER BY doc_id""",
     "multimodal_exif_probe" ->
       """SELECT doc_id,
                 (doc_id % 43 NOT IN (0, 9)) AS has_exif,

@@ -761,6 +761,89 @@ object MediaFormats {
     if (!sawFtyp) Seq.empty else out.toSeq
   }
 
+  /** ID3v2 tag readout: the big-3 text frames + frame census. */
+  final case class Id3Info(hasId3: Boolean, version: Integer,
+                           title: String, artist: String, album: String,
+                           nFrames: java.lang.Long)
+
+  /** ID3v2.3/2.4 TEXT-FRAME walk (r16 — the audio metadata pass next
+    * to the EXIF walk): frames of `id(4) size(4) flags(2) body`, size
+    * big-endian plain in v2.3 and SYNCSAFE in v2.4 (the two diverge
+    * past 127 bytes — both paths carry real traffic), text frames
+    * decoded per their encoding byte (0 ISO-8859-1, 1 UTF-16 w/BOM,
+    * 2 UTF-16BE, 3 UTF-8), trailing NULs stripped. TIT2/TPE1/TALB
+    * surface as title/artist/album (first occurrence wins); `n_frames`
+    * counts every COMPLETE frame.
+    *
+    * Torn contract (the [[Warc.parse]] discipline for list walks):
+    * never throws; the walk stops at the first frame whose declared
+    * size runs past the bytes that arrived — complete frames keep
+    * their fields, the torn frame contributes nothing. Padding (a NUL
+    * where a frame id should be) ends the walk; v2.2 (3-byte ids) is
+    * identified by version but not walked. Non-ID3 input:
+    * `hasId3 = false`, all fields null. */
+  def probeId3(b: Array[Byte]): Id3Info = {
+    if (b == null || b.length < 10 ||
+        !(b(0) == 'I' && b(1) == 'D' && b(2) == '3'))
+      return Id3Info(hasId3 = false, null, null, null, null, null)
+    val ver = u8(b, 3)
+    val tagSize = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+      ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+    val end = math.min(b.length.toLong, 10L + tagSize)
+    if (ver < 3 || ver > 4)
+      return Id3Info(hasId3 = true, Integer.valueOf(ver), null, null, null, null)
+    var p = 10L
+    var frames = 0L
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var ok = true
+    while (ok && p + 10 <= end) {
+      val id = new String(b, p.toInt, 4, "US-ASCII")
+      if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        ok = false // padding or rot: the walk ends
+      else {
+        val fsize: Long =
+          if (ver == 4)
+            ((u8(b, p.toInt + 4) & 0x7f).toLong << 21) |
+              ((u8(b, p.toInt + 5) & 0x7f) << 14) |
+              ((u8(b, p.toInt + 6) & 0x7f) << 7) | (u8(b, p.toInt + 7) & 0x7f)
+          else be32(b, p.toInt + 4)
+        if (fsize < 0 || p + 10 + fsize > end) ok = false // torn: stop
+        else {
+          frames += 1
+          if (id.charAt(0) == 'T' && fsize >= 1 &&
+              (title == null || artist == null || album == null)) {
+            val enc = u8(b, p.toInt + 10)
+            val off = p.toInt + 11
+            val len = (fsize - 1).toInt
+            val cs = enc match {
+              case 0 => "ISO-8859-1"
+              case 1 => "UTF-16"   // BOM-led
+              case 2 => "UTF-16BE"
+              case 3 => "UTF-8"
+              case _ => null
+            }
+            if (cs != null) {
+              var t = new String(b, off, len, cs)
+              while (t.nonEmpty && t.charAt(t.length - 1) == '\u0000')
+                t = t.substring(0, t.length - 1)
+              id match {
+                case "TIT2" => if (title == null) title = t
+                case "TPE1" => if (artist == null) artist = t
+                case "TALB" => if (album == null) album = t
+                case _ =>
+              }
+            }
+          }
+          p += 10 + fsize
+        }
+      }
+    }
+    Id3Info(hasId3 = true, Integer.valueOf(ver), title, artist, album,
+      java.lang.Long.valueOf(frames))
+  }
+
   private def parseMp3(b: Array[Byte]): Probe = {
     // optional ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag
     // (0x10) adds 10 more. Then the 4-byte frame header.
@@ -835,6 +918,39 @@ object MediaFormats {
     }
     if (frames == 0) null else java.lang.Long.valueOf(samples)
   }
+}
+
+/** id3_tags(binary) → struct<has_id3, version, title, artist, album,
+  * n_frames> — [[MediaFormats.probeId3]] as a scalar expression (pure
+  * map; tag-only reads, audio frames never touched). */
+case class Id3Probe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = MediaFormats.probeId3(input.asInstanceOf[Array[Byte]])
+    InternalRow(t.hasId3, t.version,
+      if (t.title == null) null else UTF8String.fromString(t.title),
+      if (t.artist == null) null else UTF8String.fromString(t.artist),
+      if (t.album == null) null else UTF8String.fromString(t.album),
+      t.nFrames)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"id3_tags expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("has_id3", BooleanType, nullable = false),
+    StructField("version", IntegerType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("artist", StringType, nullable = true),
+    StructField("album", StringType, nullable = true),
+    StructField("n_frames", LongType, nullable = true)))
+  override protected def withNewChildInternal(newChild: Expression): Id3Probe =
+    copy(child = newChild)
+  override def prettyName: String = "id3_tags"
 }
 
 /** media_probe(binary) → struct<format, width, height, channels,

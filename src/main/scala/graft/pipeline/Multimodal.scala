@@ -1502,6 +1502,66 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** ID3v2-TAGGED MP3 payloads (r16 — the text-frame walk fixture):
+    * v2.3 plain-size frames on even ids, v2.4 SYNCSAFE sizes on odd
+    * (the TIT2 body is padded past 127 bytes so the two size encodings
+    * actually diverge), TIT2/TPE1/TALB/TCON frames with id-derived
+    * strings, encoding byte 0 (ISO-8859-1) on even ids and 3 (UTF-8)
+    * on odd. Plants: id%31==0 md5 garbage (has_id3 false), id%31==11
+    * TORN 5 bytes into the TALB frame (title/artist keep, album null,
+    * n_frames = 2 — complete frames only). */
+  def synthesizeId3Payloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 31 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else {
+          val v4 = id % 2 == 1
+          val enc = if (v4) 3 else 0
+          def frame(fid: String, text: String): Array[Byte] = {
+            val body = Array(enc.toByte) ++ text.getBytes("UTF-8")
+            val h = java.nio.ByteBuffer.allocate(10)
+            h.put(fid.getBytes("US-ASCII"))
+            val n = body.length
+            if (v4) { // syncsafe
+              h.put(((n >> 21) & 0x7f).toByte); h.put(((n >> 14) & 0x7f).toByte)
+              h.put(((n >> 7) & 0x7f).toByte); h.put((n & 0x7f).toByte)
+            } else h.putInt(n)
+            h.putShort(0)
+            h.array() ++ body
+          }
+          val f1 = frame("TIT2", s"Title $id" + "!" * 140)
+          val f2 = frame("TPE1", s"Artist ${id % 7}")
+          val f3 = frame("TALB", s"Album ${id % 5}")
+          val f4 = frame("TCON", s"Genre ${id % 3}")
+          val frames = f1 ++ f2 ++ f3 ++ f4
+          val hdr = java.nio.ByteBuffer.allocate(10)
+          hdr.put("ID3".getBytes("US-ASCII"))
+          hdr.put((if (v4) 4 else 3).toByte); hdr.put(0.toByte)
+          hdr.put(0.toByte)
+          val n = frames.length
+          hdr.put(((n >> 21) & 0x7f).toByte); hdr.put(((n >> 14) & 0x7f).toByte)
+          hdr.put(((n >> 7) & 0x7f).toByte); hdr.put((n & 0x7f).toByte)
+          val full = hdr.array() ++ frames
+          if (id % 31 == 11)
+            full.take(10 + f1.length + f2.length + 5)
+          else full
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Expand [[graft.functions.Id3Probe]] over a payload column: the
+    * audio-metadata twin of [[probeExifMeta]] — one pure-map pass. */
+  def probeId3Meta(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__i",
+        E.column(graft.functions.Id3Probe(E.expression(col(payloadCol)))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__i.*"): _*)
+  }
+
   private def mp3Header(srIdx: Int, mono: Boolean, id3Pad: Int): Array[Byte] = {
     val tag = if (id3Pad < 0) Array.empty[Byte] else {
       val t = java.nio.ByteBuffer.allocate(10 + id3Pad)

