@@ -4370,6 +4370,44 @@ object SparkEntry {
         .where(col("n_words") >= 3)
         .orderBy("doc_id")
     },
+    "pipeline_crawl_chain2" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the crawl first mile WITH the politeness gate — WARC
+      // member → response record → robots.txt verdict on the record's
+      // own target URI (RFC 9309 longest-match; ids starting '4' are
+      // disallowed except the '44' prefix the Allow rule wins back) →
+      // HTTP split → status/content-type gates → markup strip →
+      // word-count gate + langid. Every step a pure map or broadcast
+      // join — the container/politeness/protocol/content layers as ONE
+      // shuffle-free chain
+      val blobs = sources.Warc.synthesizeWarcHttpPayloads(
+        s.table("documents"), "doc_id", "text")
+      val recs = sources.Warc.records(blobs, "payload")
+        .where(col("warc_type") === "response")
+        .drop("content_type")
+      val parts = pipeline.TextAnalysis.urlParts(recs, "target_uri")
+      val robots = s.createDataFrame(Seq(
+        ("example.com",
+          "User-agent: *\nDisallow: /page/4\nAllow: /page/44\n")))
+        .toDF("rdomain", "robots_txt")
+      val gated = pipeline.Robots.gate(parts, "domain", "path",
+          robots, "rdomain", "robots_txt", "graftbot")
+        .where(col("allowed"))
+      val kept = sources.Warc.httpSplit(
+          gated.select("doc_id", "payload"), "payload")
+        .where(col("status") === 200 &&
+          col("content_type").startsWith("text/html"))
+      kept
+        .select(col("doc_id"),
+          pipeline.TextAnalysis.stripMarkup(col("body").cast("string"))
+            .as("clean"))
+        .select(col("doc_id"), col("clean"),
+          size(pipeline.TextAnalysis.words(col("clean"))).cast("long")
+            .as("n_words"),
+          pipeline.TextAnalysis.langId(col("clean")).as("lang"))
+        .where(col("n_words") >= 3)
+        .orderBy("doc_id")
+    },
     "src_warc_records" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r15: WARC (ISO 28500) crawl-archive records — the Common Crawl
@@ -6897,6 +6935,46 @@ object SparkEntry {
          FROM read_csv('/tmp/graft_csv_gate/*.csv.gz', header = true,
                        columns = {doc_id: 'BIGINT', tricky: 'VARCHAR', n_chars: 'BIGINT'})
          GROUP BY tricky ORDER BY tricky""",
+    "pipeline_crawl_chain2" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 29 NOT IN (0, 3)
+                  AND NOT (starts_with(CAST(doc_id AS VARCHAR), '4')
+                           AND NOT starts_with(CAST(doc_id AS VARCHAR), '44'))),
+            h AS (SELECT doc_id,
+                '<html><head><script>var v=' || CAST(doc_id AS VARCHAR)
+                  || ';</script></head><body><p>' || text
+                  || '</p>&nbsp;tail</body></html>' AS t
+              FROM base),
+            c AS (SELECT doc_id, trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                    '&nbsp;', ' '), '&amp;', '&'),
+                  '[ \t\n\r\f]+', ' ', 'g')) AS clean
+              FROM h),
+            w AS (SELECT doc_id, clean,
+                list_filter(regexp_split_to_array(lower(clean), '\s+'),
+                  x -> len(x) > 0) AS ws
+              FROM c),
+            lw AS (SELECT doc_id, clean, len(ws) AS n_words,
+                list_distinct(ws) AS du FROM w),
+            sc AS (SELECT doc_id, clean, n_words,
+                len(list_intersect(du, ['the','and','of','to','a','in','is','that','it','for'])) en,
+                len(list_intersect(du, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                len(list_intersect(du, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                len(list_intersect(du, ['el','la','los','y','es','un','una','para','en','que'])) es
+              FROM lw)
+         SELECT doc_id, clean, CAST(n_words AS BIGINT) AS n_words,
+                CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                     WHEN fr >= es AND fr > 0 THEN 'fr'
+                     WHEN es > 0 THEN 'es'
+                     ELSE 'und' END AS lang
+         FROM sc WHERE n_words >= 3 ORDER BY doc_id""",
     "pipeline_crawl_chain" ->
       """WITH base AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 29 NOT IN (0, 3)),
