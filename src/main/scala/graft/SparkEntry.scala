@@ -2726,6 +2726,21 @@ object SparkEntry {
           expr("n_samples * 1000 DIV sample_rate").as("duration_ms"))
         .orderBy("doc_id")
     },
+    "multimodal_mp3_xing" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: Xing/Info VBR header — the O(1) exact frame count: the
+      // first frame's side-info region declares the total (1000..9999
+      // frames) while only 3 physical frames exist; the declared count
+      // wins without walking. Plants: id%29==0 garbage; id%29==4 Xing
+      // with the frames flag CLEAR — the declaration must be ignored
+      // and the walk counts the 3 physical frames
+      val media = pipeline.Multimodal.synthesizeMp3XingPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeMeta(media, "payload")
+        .select(col("doc_id"), col("format"), col("n_samples"),
+          expr("n_samples * 1000 DIV sample_rate").as("duration_ms"))
+        .orderBy("doc_id")
+    },
     "multimodal_id3_tags" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: ID3v2 TEXT-FRAME walk — the audio-metadata twin of the
@@ -9870,6 +9885,20 @@ object SparkEntry {
                 CASE WHEN doc_id % 29 = 0 THEN NULL
                      WHEN doc_id % 4 = 1 THEN CAST(1 AS INT)
                      ELSE CAST(2 AS INT) END AS channels,
+                CASE WHEN doc_id % 29 = 0 THEN NULL
+                     ELSE CAST(ns AS BIGINT) END AS n_samples,
+                CASE WHEN doc_id % 29 = 0 THEN NULL
+                     ELSE CAST(ns * 1000 // rate AS BIGINT) END AS duration_ms
+         FROM d ORDER BY doc_id""",
+    "multimodal_mp3_xing" ->
+      """WITH d AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS rate,
+                      CASE WHEN doc_id % 29 = 4 THEN 3 * 1152
+                           ELSE (1000 + doc_id % 9000) * 1152 END AS ns
+                FROM documents)
+         SELECT doc_id,
+                CASE WHEN doc_id % 29 = 0 THEN 'unknown' ELSE 'mp3' END AS format,
                 CASE WHEN doc_id % 29 = 0 THEN NULL
                      ELSE CAST(ns AS BIGINT) END AS n_samples,
                 CASE WHEN doc_id % 29 = 0 THEN NULL

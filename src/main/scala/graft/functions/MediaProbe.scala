@@ -881,6 +881,33 @@ object MediaFormats {
     * reads null, never a fabricated duration. Duration follows as
     * n_samples·1000/sample_rate on the caller's side. */
   private def mp3SampleCount(b: Array[Byte], start: Int): java.lang.Long = {
+    // O(1) VBR shortcut first: a Xing (VBR) / Info (CBR) header in the
+    // FIRST frame's side-info region declares the TOTAL frame count —
+    // exact for VBR files the CBR hop would mis-estimate, and no walk
+    // at all. Offset = 4 + side-info size (MPEG1: 17 mono / 32 else;
+    // MPEG2/2.5: 9 mono / 17 else); tag, flags(4 BE), frames(4 BE)
+    // when flags bit 0 is set.
+    if (start + 4 <= b.length && u8(b, start) == 0xff &&
+        (u8(b, start + 1) & 0xe0) == 0xe0) {
+      val ver = (u8(b, start + 1) >> 3) & 3
+      val mono = ((u8(b, start + 3) >> 6) & 3) == 3
+      if (ver != 1) {
+        val side = if (ver == 3) { if (mono) 17 else 32 }
+                   else { if (mono) 9 else 17 }
+        val x = start + 4 + side
+        if (x + 12 <= b.length) {
+          val tag = new String(b, x, 4, "US-ASCII")
+          if (tag == "Xing" || tag == "Info") {
+            val flags = be32(b, x + 4)
+            if ((flags & 1L) != 0) {
+              val fr = be32(b, x + 8)
+              val spf = if (ver == 3) 1152L else 576L
+              if (fr > 0) return java.lang.Long.valueOf(fr * spf)
+            }
+          }
+        }
+      }
+    }
     var p = start
     var frames = 0L
     var samples = 0L

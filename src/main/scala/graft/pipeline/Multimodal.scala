@@ -1562,6 +1562,42 @@ object Multimodal {
       .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__i.*"): _*)
   }
 
+  /** Xing/Info-headed MP3 payloads (r16 — the O(1) VBR frame-count
+    * fixture): the first frame carries a Xing header in its side-info
+    * region (17 bytes mono / 32 stereo — both exercised via id%4==1)
+    * declaring 1000+id%9000 total frames, followed by just TWO physical
+    * frames — the declared count wins without any walk. Plants:
+    * id%29==0 md5 garbage ('unknown'), id%29==4 Xing with the frames
+    * FLAG CLEAR (the declared count must be ignored → the walk counts
+    * the 3 physical frames). */
+  def synthesizeMp3XingPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 29 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else {
+          val srIdx = (id % 3).toInt
+          val rate = Array(44100, 48000, 32000)(srIdx)
+          val mono = id % 4 == 1
+          val flen = (144000L * 128 / rate).toInt
+          val hdr = Array(0xff.toByte, 0xfb.toByte,
+            ((9 << 4) | (srIdx << 2)).toByte,
+            (if (mono) 0xc0 else 0x40).toByte)
+          val first = java.nio.ByteBuffer.allocate(flen)
+          first.put(hdr)
+          first.position(4 + (if (mono) 17 else 32))
+          first.put("Xing".getBytes("US-ASCII"))
+          first.putInt(if (id % 29 == 4) 0 else 1) // flags: frames bit
+          first.putInt((1000 + id % 9000).toInt)
+          val frame = hdr ++ new Array[Byte](flen - 4)
+          first.array() ++ frame ++ frame
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   private def mp3Header(srIdx: Int, mono: Boolean, id3Pad: Int): Array[Byte] = {
     val tag = if (id3Pad < 0) Array.empty[Byte] else {
       val t = java.nio.ByteBuffer.allocate(10 + id3Pad)

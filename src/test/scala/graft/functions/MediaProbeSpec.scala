@@ -195,6 +195,34 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(v22.hasId3 && v22.version == 2 && v22.nFrames == null, s"$v22")
   }
 
+  test("MP3 Xing/Info header: O(1) declared frame count; flag-clear falls back to the walk") {
+    // MPEG1 stereo 128 kbps @ 44100: side info 32, frame length 417
+    def first(tag: String, flags: Int, declared: Int, mono: Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(417)
+      bb.put(Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | 0).toByte,
+        (if (mono) 0xc0 else 0x40).toByte))
+      bb.position(4 + (if (mono) 17 else 32))
+      bb.put(tag.getBytes("US-ASCII")); bb.putInt(flags); bb.putInt(declared)
+      bb.array()
+    }
+    val plain = Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | 0).toByte,
+      0x40.toByte) ++ new Array[Byte](413)
+    // Xing declares 5000 frames; only 2 physical frames follow
+    val vbr = first("Xing", 1, 5000, mono = false) ++ plain
+    assert(MediaFormats.probe(vbr).nSamples == 5000L * 1152, s"${MediaFormats.probe(vbr)}")
+    // Info (CBR) declares too; mono side-info offset is 17
+    val monoPlain = Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | 0).toByte,
+      0xc0.toByte) ++ new Array[Byte](413)
+    val cbr = first("Info", 1, 300, mono = true) ++ monoPlain
+    assert(MediaFormats.probe(cbr).nSamples == 300L * 1152, s"${MediaFormats.probe(cbr)}")
+    // frames flag CLEAR: the declaration is ignored, the walk counts
+    val noflag = first("Xing", 0, 5000, mono = false) ++ plain ++ plain
+    assert(MediaFormats.probe(noflag).nSamples == 3L * 1152, s"${MediaFormats.probe(noflag)}")
+    // garbage where the tag would sit: plain walk
+    val noTag = first("Zing", 1, 5000, mono = false) ++ plain
+    assert(MediaFormats.probe(noTag).nSamples == 2L * 1152)
+  }
+
   test("MP3 frame walk: complete frames × spf, torn tails keep whole frames") {
     // MPEG1 L3 128 kbps @ 44100: frame length 144000*128/44100 = 417
     val f = Array(0xff.toByte, 0xfb.toByte, ((9 << 4) | (0 << 2)).toByte,
