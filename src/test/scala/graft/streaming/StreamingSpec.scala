@@ -245,6 +245,54 @@ class StreamingSpec extends AnyFunSuite {
       df => graft.sources.Warc.scanStats(df, "payload", maxRecordBytes = 512L))
     stream("chunks_stream_out", mp4Blobs,
       df => graft.pipeline.Multimodal.probeVideoChunks(df, "payload"))
+    val id3Blobs = graft.pipeline.Multimodal.synthesizeId3Payloads(
+      docs.toDF("doc_id", "text"), "doc_id")
+    stream("id3_stream_out", id3Blobs,
+      df => graft.pipeline.Multimodal.probeId3Meta(df, "payload"))
+  }
+
+  test("streaming robots gate + multi-pattern screen: stream-static broadcast and pure map") {
+    // the politeness gate is a stream-static BROADCAST join + pure map
+    // (RobotsEval) — stateless in append mode; multi_match is a plain
+    // scalar over the stream. Both equal their batch runs byte for byte.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    val urls = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "a.com" else "b.com", s"/p/$i"))
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/12$\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n")).toDF("domain", "robots_txt")
+    val usrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    usrc.addData(urls: _*)
+    val gated = graft.pipeline.Robots.gate(
+      usrc.toDF().toDF("id", "domain", "path"), "domain", "path",
+      robots, "domain", "robots_txt", "graftbot")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("robots_stream_out").start()
+    val msrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    msrc.addData((0L until 40L).map(i => (i, s"scan the table $i tab")): _*)
+    val pats = Seq("scan", "tab", "table")
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), explode(E.column(graft.functions.MultiMatch(
+        E.expression(col("text")), pats))).as("h"))
+        .select(col("id"), col("h.pattern"), col("h.n"))
+    val q2 = screen(msrc.toDF().toDF("id", "text")).writeStream
+      .outputMode("append").format("memory").queryName("mm_stream_out").start()
+    try {
+      q.processAllAvailable(); q2.processAllAvailable()
+      val want = graft.pipeline.Robots.gate(urls.toDF("id", "domain", "path"),
+          "domain", "path", robots, "domain", "robots_txt", "graftbot")
+        .collect().map(_.toString).toSet
+      val got = spark.table("robots_stream_out").collect().map(_.toString).toSet
+      assert(got == want && want.nonEmpty, "robots gate: stream != batch")
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+      val wantM = screen((0L until 40L).map(i => (i, s"scan the table $i tab"))
+        .toDF("id", "text")).collect().map(_.toString).toSet
+      val gotM = spark.table("mm_stream_out").collect().map(_.toString).toSet
+      assert(gotM == wantM && wantM.nonEmpty, "multi_match: stream != batch")
+      assert(q2.lastProgress == null || q2.lastProgress.stateOperators.isEmpty)
+    } finally { q.stop(); q2.stop() }
   }
 
   test("streaming sentence chunking + ROUGE + video probe: the r14 pure maps run unchanged on a stream") {
