@@ -32,8 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * declared uncompressed size past [[Zip.MaxEntryBytes]] (128 MB)
   * extracts as null — the per-ENTRY decompression-bomb cap; the entry
   * table still lists its declared size, so a caller gates loudly.
-  * ZIP64 is out of scope: 0xFFFFFFFF size/offset markers read as
-  * hostile and extract null. */
+  * ZIP64 (r16): EOCD64 + locator and the 0x0001 extra field resolve
+  * the 0xFFFF/0xFFFFFFFF markers, so >4 GB archives and >65535-entry
+  * directories list correctly; a marker with no resolving extra stays
+  * hostile and extracts null. */
 object Zip {
 
   final case class Entry(name: String, method: Int, compressedSize: Long,
@@ -48,9 +50,17 @@ object Zip {
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
       ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
 
   /** The central-directory walk: complete entries listed from one blob.
-    * Empty on garbage / torn-tail (no EOCD) / hostile counts. */
+    * Empty on garbage / torn-tail (no EOCD) / hostile counts. ZIP64
+    * (r16): 0xFFFF/0xFFFFFFFF markers in the classic EOCD route
+    * through the EOCD64 locator (PK66 via PK67 immediately before the
+    * EOCD) for the real entry count and CD offset, and per-entry
+    * 0xFFFFFFFF size/offset markers resolve from the 0x0001 extra
+    * field — so >4 GB archives and >65535-entry directories list
+    * correctly; an unresolvable marker stays hostile (extract null). */
   def entries(b: Array[Byte]): Seq[Entry] = {
     if (b == null || b.length < 22) return Seq.empty
     // EOCD: PK\5\6 scanned back across the max comment span
@@ -65,8 +75,23 @@ object Zip {
       else i -= 1
     }
     if (e < 0) return Seq.empty
-    val total = le16(b, e + 10)
-    val cdOff = le32(b, e + 16)
+    var total: Long = le16(b, e + 10)
+    var cdOff: Long = le32(b, e + 16)
+    if ((total == 0xffffL || cdOff == 0xffffffffL) && e >= 20) {
+      // ZIP64: the locator sits immediately before the classic EOCD
+      val loc = e - 20
+      if (b(loc) == 'P' && b(loc + 1) == 'K' && b(loc + 2) == 6 &&
+          b(loc + 3) == 7) {
+        val z = le64(b, loc + 8)
+        if (z >= 0 && z + 56 <= loc && b(z.toInt) == 'P' &&
+            b(z.toInt + 1) == 'K' && b(z.toInt + 2) == 6 &&
+            b(z.toInt + 3) == 6) {
+          val t64 = le64(b, z.toInt + 32)
+          val c64 = le64(b, z.toInt + 48)
+          if (t64 >= 0 && c64 >= 0) { total = t64; cdOff = c64 }
+        }
+      }
+    }
     if (cdOff < 0 || cdOff > b.length - 46 && total > 0) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Entry]()
     var p = cdOff
@@ -87,8 +112,40 @@ object Zip {
         val off = le32(b, q + 42)
         if (p + 46 + nlen + xlen + clen > e) ok = false
         else {
+          // ZIP64 per-entry markers: the 0x0001 extra field carries the
+          // real 64-bit values (order: usize, csize, offset — only the
+          // marked ones appear); unresolved markers stay hostile
+          var usz = usize
+          var csz = csize
+          var off2 = off
+          if ((usz == 0xffffffffL || csz == 0xffffffffL ||
+              off2 == 0xffffffffL) && xlen > 0) {
+            var xp = q + 46 + nlen
+            val xend = xp + xlen
+            while (xp + 4 <= xend) {
+              val xid = le16(b, xp)
+              val xsz = le16(b, xp + 2)
+              if (xid == 1 && xp + 4 + xsz <= xend) {
+                var dp = xp + 4
+                val dend = xp + 4 + xsz
+                if (usz == 0xffffffffL && dp + 8 <= dend) {
+                  val v = le64(b, dp); dp += 8
+                  if (v >= 0) usz = v
+                }
+                if (csz == 0xffffffffL && dp + 8 <= dend) {
+                  val v = le64(b, dp); dp += 8
+                  if (v >= 0) csz = v
+                }
+                if (off2 == 0xffffffffL && dp + 8 <= dend) {
+                  val v = le64(b, dp); dp += 8
+                  if (v >= 0) off2 = v
+                }
+              }
+              xp += 4 + xsz
+            }
+          }
           out += Entry(new String(b, q + 46, nlen, "UTF-8"), method,
-            csize, usize, crc, off)
+            csz, usz, crc, off2)
           p += 46 + nlen + xlen + clen
           k += 1
         }

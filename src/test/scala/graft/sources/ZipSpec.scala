@@ -71,6 +71,61 @@ class ZipSpec extends AnyFunSuite {
     assert(Zip.extract(b, en.copy(method = 0, compressedSize = 3L)) == null)
   }
 
+  test("ZIP64: EOCD64 + locator + 0x0001 extras resolve the 32-bit markers") {
+    // hand-assembled minimal ZIP64 archive: one STORED entry whose CD
+    // record carries 0xFFFFFFFF size/offset markers resolved by the
+    // zip64 extra, and a classic EOCD whose count/offset route through
+    // the EOCD64. (Real >4 GB archives aren't buildable in a spec; the
+    // MARKER PLUMBING is what the walk must get right.)
+    val content = "hello zip64".getBytes("US-ASCII")
+    val name = "z64.txt".getBytes("US-ASCII")
+    val crc = { val c = new java.util.zip.CRC32(); c.update(content); c.getValue }
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val local = "PK".getBytes("US-ASCII") ++ le(20, 2) ++
+      le(0, 2) ++ le(0, 2) ++ le(0, 4) ++ le(crc, 4) ++
+      le(content.length.toLong, 4) ++ le(content.length.toLong, 4) ++
+      le(name.length.toLong, 2) ++ le(0, 2) ++ name ++ content
+    val extra = le(1, 2) ++ le(24, 2) ++ // id 0x0001, 24 data bytes
+      le(content.length.toLong, 8) ++ le(content.length.toLong, 8) ++ le(0, 8)
+    val cd = "PK".getBytes("US-ASCII") ++ le(45, 2) ++ le(45, 2) ++
+      le(0, 2) ++ le(0, 2) ++ le(0, 4) ++ le(crc, 4) ++
+      le(0xffffffffL, 4) ++ le(0xffffffffL, 4) ++ // csize/usize markers
+      le(name.length.toLong, 2) ++ le(extra.length.toLong, 2) ++ le(0, 2) ++
+      le(0, 2) ++ le(0, 2) ++ le(0, 4) ++
+      le(0xffffffffL, 4) ++ // offset marker
+      name ++ extra
+    val cdOff = local.length.toLong
+    val eocd64 = "PK".getBytes("US-ASCII") ++ le(44, 8) ++
+      le(45, 2) ++ le(45, 2) ++ le(0, 4) ++ le(0, 4) ++
+      le(1, 8) ++ le(1, 8) ++ le(cd.length.toLong, 8) ++ le(cdOff, 8)
+    val locator = "PK".getBytes("US-ASCII") ++ le(0, 4) ++
+      le(cdOff + cd.length, 8) ++ le(1, 4)
+    val eocd = "PK".getBytes("US-ASCII") ++ le(0, 2) ++ le(0, 2) ++
+      le(0xffffL, 2) ++ le(0xffffL, 2) ++ le(cd.length.toLong, 4) ++
+      le(0xffffffffL, 4) ++ le(0, 2)
+    val zip64 = local ++ cd ++ eocd64 ++ locator ++ eocd
+    val es = Zip.entries(zip64)
+    assert(es.size == 1, s"$es")
+    val en = es.head
+    assert(en.name == "z64.txt" && en.uncompressedSize == content.length &&
+      en.compressedSize == content.length && en.offset == 0L, s"$en")
+    assert(new String(Zip.extract(zip64, en), "US-ASCII") == "hello zip64")
+    // markers WITHOUT a resolving extra stay hostile: listed, null extract
+    val noExtraCd = cd.take(30) ++ le(0, 2) /* xlen 0 */ ++
+      cd.slice(32, 46) ++ name
+    val brokenEocd64 = eocd64.patch(40, le(noExtraCd.length.toLong, 8), 8)
+    val broken = local ++ noExtraCd ++ brokenEocd64 ++
+      ("PK".getBytes("US-ASCII") ++ le(0, 4) ++
+        le(cdOff + noExtraCd.length, 8) ++ le(1, 4)) ++ eocd
+    val bs = Zip.entries(broken)
+    assert(bs.size == 1 && bs.head.uncompressedSize == 0xffffffffL, s"$bs")
+    assert(Zip.extract(broken, bs.head) == null)
+    // a torn locator (classic markers, no PK67 behind them) lists nothing
+    val tornLoc = local ++ cd ++ eocd
+    assert(Zip.entries(tornLoc).isEmpty)
+  }
+
   test("Spark read path: explode + extract, torn/garbage blobs yield no rows") {
     val spark = graft.operators.SharedSpark.session
     import spark.implicits._
