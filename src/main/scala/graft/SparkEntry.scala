@@ -4501,6 +4501,23 @@ object SparkEntry {
           col("content").cast("string").as("content_text"))
         .orderBy("doc_id", "name")
     },
+    "src_pdf_text" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: PDF text-extraction source — the tolerant object scan +
+      // FlateDecode (REAL zlib inflate on odd ids, plain streams on
+      // even) + the BT/ET text-operator interpreter, 12 lines/page so
+      // longer docs exercise the multi-page Kids walk. Plants: id%37==0
+      // md5 garbage (no %PDF header → no row), id%37==5 TORN 10 bytes
+      // into the FIRST content stream (catalog + page 1's dict are
+      // complete → structural row, null text), id%37==17 ENCRYPTED
+      // (object graph legible, text withheld — never ciphertext)
+      val blobs = sources.Pdf.synthesizePdfPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Pdf.read(blobs, "payload")
+        .select(col("doc_id"), col("n_objects"), col("n_pages"),
+          col("n_streams"), col("encrypted"), col("text"))
+        .orderBy("doc_id")
+    },
     "src_csv_roundtrip" -> { (s, dir) =>
       prep(s, dir, "documents")
       // CSV parity incl. the quoting dimension: lang values wrapped in
@@ -7108,6 +7125,23 @@ object SparkEntry {
                 uncompressed_size, content_text
          FROM (SELECT * FROM d UNION ALL SELECT * FROM m)
          ORDER BY doc_id, name""",
+    "src_pdf_text" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 37 <> 0),
+            s AS (SELECT doc_id, text,
+                    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM base),
+            p AS (SELECT doc_id, text, (n_lines + 11) // 12 AS np FROM s)
+         SELECT doc_id,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 4
+                     ELSE 3 + 2 * np +
+                          CASE WHEN doc_id % 37 = 17 THEN 1 ELSE 0 END
+                     END AS INT) AS n_objects,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 1 ELSE np END AS INT) AS n_pages,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 0 ELSE np END AS INT) AS n_streams,
+                (doc_id % 37 = 17) AS encrypted,
+                CASE WHEN doc_id % 37 IN (5, 17) THEN NULL ELSE text END AS text
+         FROM p ORDER BY doc_id""",
     "src_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
