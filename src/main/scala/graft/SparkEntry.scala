@@ -4423,6 +4423,39 @@ object SparkEntry {
         .where(col("n_words") >= 3)
         .orderBy("doc_id")
     },
+    "pipeline_crawl_chain_pdf" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: chain v3 — the pdf branch EXTRACTED instead of dropped.
+      // WARC member → response record → HTTP split → status gate →
+      // content-type ROUTER: text/html strips markup, application/pdf
+      // runs the real PDF text extractor (FlateDecode inflate + text
+      // operators); junk pdf bytes (id%29==7) read null and fall out,
+      // 404s (id%29==0) fall to the status gate. Both branches merge
+      // into one prose frame — every step a codegen'd pure map, zero
+      // corpus shuffles
+      val blobs = sources.Warc.synthesizeWarcHttpPdfPayloads(
+        s.table("documents"), "doc_id", "text")
+      val split = sources.Warc.httpSplit(
+          sources.Warc.records(blobs, "payload")
+            .where(col("warc_type") === "response")
+            .drop("content_type"), "payload")
+        .where(col("status") === 200)
+      val html = split.where(col("content_type").startsWith("text/html"))
+        .select(col("doc_id"), lit("html").as("route"),
+          pipeline.TextAnalysis.stripMarkup(col("body").cast("string"))
+            .as("clean"))
+      val pdf = split.where(col("content_type") === "application/pdf")
+        .select(col("doc_id"), lit("pdf").as("route"),
+          sources.Pdf.textColumn(col("body")).as("clean"))
+      html.unionByName(pdf)
+        .where(col("clean").isNotNull)
+        .select(col("doc_id"), col("route"), col("clean"),
+          size(pipeline.TextAnalysis.words(col("clean"))).cast("long")
+            .as("n_words"),
+          pipeline.TextAnalysis.langId(col("clean")).as("lang"))
+        .where(col("n_words") >= 3)
+        .orderBy("doc_id")
+    },
     "src_warc_records" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r15: WARC (ISO 28500) crawl-archive records — the Common Crawl
@@ -7039,6 +7072,47 @@ object SparkEntry {
                 len(list_intersect(du, ['el','la','los','y','es','un','una','para','en','que'])) es
               FROM lw)
          SELECT doc_id, clean, CAST(n_words AS BIGINT) AS n_words,
+                CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                     WHEN fr >= es AND fr > 0 THEN 'fr'
+                     WHEN es > 0 THEN 'es'
+                     ELSE 'und' END AS lang
+         FROM sc WHERE n_words >= 3 ORDER BY doc_id""",
+    "pipeline_crawl_chain_pdf" ->
+      """WITH hb AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 29 NOT IN (0, 3, 7)),
+            h AS (SELECT doc_id,
+                '<html><head><script>var v=' || CAST(doc_id AS VARCHAR)
+                  || ';</script></head><body><p>' || text
+                  || '</p>&nbsp;tail</body></html>' AS t
+              FROM hb),
+            c AS (SELECT doc_id, 'html' AS route, trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                    '&nbsp;', ' '), '&amp;', '&'),
+                  '[ \t\n\r\f]+', ' ', 'g')) AS clean
+              FROM h),
+            pd AS (SELECT doc_id, 'pdf' AS route, text AS clean
+              FROM documents WHERE doc_id % 29 = 3),
+            u AS (SELECT * FROM c UNION ALL SELECT * FROM pd),
+            w AS (SELECT doc_id, route, clean,
+                list_filter(regexp_split_to_array(lower(clean), '\s+'),
+                  x -> len(x) > 0) AS ws
+              FROM u),
+            lw AS (SELECT doc_id, route, clean, len(ws) AS n_words,
+                list_distinct(ws) AS du FROM w),
+            sc AS (SELECT doc_id, route, clean, n_words,
+                len(list_intersect(du, ['the','and','of','to','a','in','is','that','it','for'])) en,
+                len(list_intersect(du, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) de,
+                len(list_intersect(du, ['le','la','les','et','est','un','une','pour','dans','que'])) fr,
+                len(list_intersect(du, ['el','la','los','y','es','un','una','para','en','que'])) es
+              FROM lw)
+         SELECT doc_id, route, clean, CAST(n_words AS BIGINT) AS n_words,
                 CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
                      WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
                      WHEN fr >= es AND fr > 0 THEN 'fr'

@@ -728,6 +728,13 @@ object Pdf {
       .where(col("__p").isNotNull)
       .select(blobs.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__p.*"): _*)
 
+  /** Extracted text as a COLUMN (null on non-PDF bytes or nothing
+    * legible) — the chain-composition surface: route an
+    * `application/pdf` HTTP body straight into the prose pipeline.
+    * Pure map. */
+  def textColumn(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    E.column(PdfRead(E.expression(payload))).getField("text")
+
   /** PDF blobs with id-derived plants over the documents table (the
     * [[Zip.synthesizeZipPayloads]] convention): the document text laid
     * out 12 lines/page — plain content streams on even ids, FlateDecode
@@ -771,6 +778,10 @@ case class PdfRead(child: Expression)
     else InternalRow(d.nObjects, d.nPages, d.nStreams, d.encrypted,
       if (d.text == null) null else UTF8String.fromString(d.text))
   }
+
+  // non-PDF bytes read as a NULL struct whatever the child's
+  // nullability — downstream GetStructField must keep its null check
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

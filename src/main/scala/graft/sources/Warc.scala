@@ -300,6 +300,37 @@ object Warc {
       }.toDF("doc_id", "payload")
   }
 
+  /** [[synthesizeWarcHttpPayloads]] with the `application/pdf` plant
+    * upgraded to a REAL document: id%29==3 ships the doc text as an
+    * actual [[Pdf]] (FlateDecode on odd ids), id%29==7 ships pdf-typed
+    * JUNK (the torn-download shape the extractor must refuse), id%29==0
+    * keeps the 404 — the chain-v3 fixture where the pdf branch is
+    * extracted instead of dropped. */
+  def synthesizeWarcHttpPdfPayloads(docs: DataFrame, idCol: String,
+                                    textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, text) =>
+        val uri = s"https://example.com/page/$id"
+        val (status, ctype, body) =
+          if (id % 29 == 0) (404, "text/html", "not found".getBytes("UTF-8"))
+          else if (id % 29 == 3)
+            (200, "application/pdf",
+              Pdf.build(text, deflatePages = id % 2 == 1))
+          else if (id % 29 == 7)
+            (200, "application/pdf",
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](16))
+          else
+            (200, "text/html; charset=utf-8",
+              (s"<html><head><script>var v=$id;</script></head><body><p>" +
+                text + "</p>&nbsp;tail</body></html>").getBytes("UTF-8"))
+        val http = (s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+        (id, buildMember(Seq(("response", uri, http))))
+      }.toDF("doc_id", "payload")
+  }
+
   /** Spec-valid WARC members with id-derived records — the
     * [[graft.pipeline.Multimodal.synthesizeMp4SampleTablePayloads]]
     * convention for the crawl container: every non-corrupt id carries a
