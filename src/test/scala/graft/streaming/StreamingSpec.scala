@@ -249,6 +249,25 @@ class StreamingSpec extends AnyFunSuite {
       docs.toDF("doc_id", "text"), "doc_id")
     stream("id3_stream_out", id3Blobs,
       df => graft.pipeline.Multimodal.probeId3Meta(df, "payload"))
+    // r16 PDF extractor + the chain-v3 content-type router: object
+    // scan, inflate, and text-operator walk are all per-row pure maps
+    val pdfBlobs = graft.sources.Pdf.synthesizePdfPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    stream("pdf_stream_out", pdfBlobs,
+      df => graft.sources.Pdf.read(df, "payload"))
+    val httpPdfBlobs = graft.sources.Warc.synthesizeWarcHttpPdfPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    stream("chainpdf_stream_out", httpPdfBlobs, { df =>
+      val split = graft.sources.Warc.httpSplit(
+        graft.sources.Warc.records(df, "payload")
+          .where(col("warc_type") === "response")
+          .drop("content_type"), "payload")
+        .where(col("status") === 200)
+      split.where(col("content_type") === "application/pdf")
+        .select(col("doc_id"),
+          graft.sources.Pdf.textColumn(col("body")).as("clean"))
+        .where(col("clean").isNotNull)
+    })
   }
 
   test("streaming robots gate + multi-pattern screen: stream-static broadcast and pure map") {
