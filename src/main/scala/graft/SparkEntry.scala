@@ -4423,6 +4423,42 @@ object SparkEntry {
         .where(col("n_words") >= 3)
         .orderBy("doc_id")
     },
+    "pipeline_sitemap_urls" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: sitemap.xml (sitemaps.org) — the frontier-side twin of
+      // the robots gate: one row per COMPLETE <url>/<sitemap> element,
+      // entity-decoded locs, exact-decimal priority in integer milli.
+      // Plants: id%37==0 garbage (not a sitemap → no rows), id%37==5
+      // torn inside the LAST url element (the complete id%3 survive),
+      // id%37==11 a <sitemapindex> of two shards (kind='sitemap')
+      val maps = pipeline.Sitemaps.synthesizeSitemaps(
+        s.table("documents"), "doc_id")
+      pipeline.Sitemaps.explode(maps, "sitemap_xml")
+        .orderBy("doc_id", "loc")
+    },
+    "pipeline_sitemap_frontier" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the frontier BUILD composed — sitemap URLs (where the
+      // site wants crawlers) gated by the robots verdict (where they
+      // may go): explode → urlParts → broadcast RFC 9309 gate, zero
+      // corpus shuffles; the same Disallow /page/4 + Allow /page/44
+      // rule pair as chain v2, so longest-match precedence replays
+      // across both query families
+      val maps = pipeline.Sitemaps.synthesizeSitemaps(
+        s.table("documents"), "doc_id")
+      val urls = pipeline.Sitemaps.explode(maps, "sitemap_xml")
+        .where(col("kind") === "url")
+        .select("doc_id", "loc")
+      val parts = pipeline.TextAnalysis.urlParts(urls, "loc")
+      val robots = s.createDataFrame(Seq(
+        ("example.com",
+          "User-agent: *\nDisallow: /page/4\nAllow: /page/44\n")))
+        .toDF("rdomain", "robots_txt")
+      pipeline.Robots.gate(parts, "domain", "path",
+          robots, "rdomain", "robots_txt", "graftbot")
+        .select(col("doc_id"), col("loc"), col("allowed"))
+        .orderBy("doc_id", "loc")
+    },
     "pipeline_crawl_chain_pdf" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: chain v3 — the pdf branch EXTRACTED instead of dropped.
@@ -7078,6 +7114,45 @@ object SparkEntry {
                      WHEN es > 0 THEN 'es'
                      ELSE 'und' END AS lang
          FROM sc WHERE n_words >= 3 ORDER BY doc_id""",
+    "pipeline_sitemap_urls" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0),
+            u AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+                FROM base WHERE doc_id % 37 <> 11),
+            keep AS (SELECT doc_id, k FROM u
+                WHERE doc_id % 37 <> 5 OR k < doc_id % 3),
+            urls AS (SELECT doc_id, 'url' AS kind,
+                'https://example.com/page/' || doc_id || '/' || k
+                  || '?k=' || k || '&v=' || doc_id AS loc,
+                '2026-01-' || lpad(CAST(1 + (doc_id + k) % 28 AS VARCHAR), 2, '0') AS lastmod,
+                (['daily','weekly','monthly'])[CAST((doc_id + k) % 3 AS INT) + 1] AS changefreq,
+                CAST(((doc_id + k) % 11) * 100 AS INT) AS priority_milli
+              FROM keep),
+            idx AS (SELECT doc_id, 'sitemap' AS kind,
+                'https://example.com/sitemap_' || doc_id || '_' || s || '.xml' AS loc,
+                CASE WHEN s = 'a' THEN '2026-01-01' ELSE '2026-01-02' END AS lastmod,
+                CAST(NULL AS VARCHAR) AS changefreq,
+                CAST(NULL AS INT) AS priority_milli
+              FROM base CROSS JOIN (SELECT 'a' AS s UNION ALL SELECT 'b') sh
+              WHERE doc_id % 37 = 11)
+         SELECT doc_id, kind, loc, lastmod, changefreq, priority_milli
+         FROM (SELECT * FROM urls UNION ALL SELECT * FROM idx)
+         ORDER BY doc_id, loc""",
+    "pipeline_sitemap_frontier" ->
+      """WITH base AS (SELECT doc_id FROM documents
+                WHERE doc_id % 37 NOT IN (0, 11)),
+            u AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+                FROM base),
+            keep AS (SELECT doc_id, k FROM u
+                WHERE doc_id % 37 <> 5 OR k < doc_id % 3),
+            f AS (SELECT doc_id,
+                'https://example.com/page/' || doc_id || '/' || k
+                  || '?k=' || k || '&v=' || doc_id AS loc,
+                '/page/' || doc_id || '/' || k AS path
+              FROM keep)
+         SELECT doc_id, loc,
+                (NOT starts_with(path, '/page/4')
+                 OR starts_with(path, '/page/44')) AS allowed
+         FROM f ORDER BY doc_id, loc""",
     "pipeline_crawl_chain_pdf" ->
       """WITH hb AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 29 NOT IN (0, 3, 7)),
