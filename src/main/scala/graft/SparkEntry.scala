@@ -2741,6 +2741,24 @@ object SparkEntry {
           expr("n_samples * 1000 DIV sample_rate").as("duration_ms"))
         .orderBy("doc_id")
     },
+    "multimodal_ogg_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: Ogg (RFC 3533) page walk — CRC-VERIFIED pages only (the
+      // real page checksum, poly 0x04c11db7), per-logical-stream codec
+      // (OpusHead / vorbis BOS packets), channels/rate, and duration
+      // from the last verified data-page granule — Opus on the 48 kHz
+      // granule clock minus pre-skip, Vorbis at its declared rate,
+      // exact integer ms. Plants: id%37==0 garbage (no streams),
+      // id%37==5 torn final page (duration falls back to the partial
+      // page, eos false), id%37==11 bit-rot in the final page (CRC
+      // catches it: counted, skipped — never a corrupt duration)
+      val media = pipeline.Multimodal.synthesizeOggPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeOggStreams(media, "payload")
+        .select("doc_id", "codec", "channels", "sample_rate",
+          "duration_ms", "n_pages", "n_bad_pages", "eos")
+        .orderBy("doc_id")
+    },
     "multimodal_id3_tags" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: ID3v2 TEXT-FRAME walk — the audio-metadata twin of the
@@ -10087,6 +10105,21 @@ object SparkEntry {
                 CASE WHEN doc_id % 29 = 0 THEN NULL
                      ELSE CAST(ns * 1000 // rate AS BIGINT) END AS duration_ms
          FROM d ORDER BY doc_id""",
+    "multimodal_ogg_probe" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2
+                     ELSE 1 + doc_id % 3 END AS INT) AS channels,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+                     ELSE 8000 * (1 + doc_id % 3) END AS INT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 37 IN (5, 11)
+                          THEN CASE WHEN doc_id % 2 = 0 THEN 250 ELSE 150 END
+                     ELSE CASE WHEN doc_id % 2 = 0 THEN 500 + doc_id
+                          ELSE 300 + doc_id END END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN doc_id % 37 IN (5, 11) THEN 3 ELSE 4 END AS INT) AS n_pages,
+                CAST(CASE WHEN doc_id % 37 = 11 THEN 1 ELSE 0 END AS INT) AS n_bad_pages,
+                (doc_id % 37 NOT IN (5, 11)) AS eos
+         FROM documents WHERE doc_id % 37 <> 0 ORDER BY doc_id""",
     "multimodal_id3_tags" ->
       """SELECT doc_id,
                 doc_id % 31 <> 0 AS has_id3,

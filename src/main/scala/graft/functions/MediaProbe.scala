@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -71,6 +72,17 @@ object MediaFormats {
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
     else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
       (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)) parseMp3(b)
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') {
+      // Ogg: the page walk owns the full readout (probeOgg); the
+      // generic probe surfaces container identity + first-stream audio
+      // shape so mixed-media corpora classify in one pass
+      val o = probeOgg(b)
+      o.streams.headOption match {
+        case Some(s) => Probe("ogg", channels = s.channels,
+          sampleRate = s.sampleRate)
+        case None => Probe("ogg")
+      }
+    }
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
       // ISO-BMFF: the box walk owns the full readout (duration/tracks/
       // codec via probeVideo); this generic probe surfaces the container
@@ -844,6 +856,170 @@ object MediaFormats {
       java.lang.Long.valueOf(frames))
   }
 
+  // ---------------------------------------------------------------
+  // Ogg (RFC 3533) — the container Opus/Vorbis audio ships in
+  // ---------------------------------------------------------------
+
+  /** One logical stream's readout: codec from its BOS packet, duration
+    * from the LAST CRC-verified data-page granule (null when no data
+    * page with a positive granule arrived — header pages carry granule
+    * 0, and unknown is never a duration). */
+  final case class OggStream(serial: Long, codec: String, channels: Integer,
+                             sampleRate: Integer, durationMs: java.lang.Long,
+                             nPages: Int, eos: Boolean)
+  final case class OggInfo(nBadPages: Int, streams: Seq[OggStream])
+
+  /** CRC-32, poly 0x04c11db7, no reflection, zero init/xorout — the
+    * Ogg page checksum (NOT the zip CRC). */
+  private val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  /** Page CRC over `len` bytes at `off`, the stored crc field (bytes
+    * 22..25 of the page) read as zero per RFC 3533 §6. */
+  private[functions] def oggCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var r = 0
+    var i = 0
+    while (i < len) {
+      val v = if (i >= 22 && i <= 25) 0 else b(off + i) & 0xff
+      r = (r << 8) ^ oggCrcTable(((r >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    r
+  }
+
+  /** The Ogg page walk: complete, CRC-VERIFIED pages only (a bad
+    * checksum is COUNTED and the walk resyncs at the next capture
+    * pattern — the demuxer discipline; a torn tail ends the walk at the
+    * last complete page). Per logical stream (serial): codec identified
+    * from the BOS packet head (`OpusHead`, `\x01vorbis`,
+    * `\x80theora`), channels/rate from the same header, duration from
+    * the max data-page granule — Opus at the 48 kHz granule clock minus
+    * pre-skip, Vorbis at its declared sample rate, both exact integer
+    * floor-div; EOS reports whether the stream's closing page arrived
+    * (a torn download loses it — completeness is visible, not
+    * guessed). Never throws. */
+  def probeOgg(b: Array[Byte]): OggInfo = {
+    if (b == null || b.length < 27) return OggInfo(0, Seq.empty)
+    final class Acc {
+      var codec: String = "unknown"
+      var channels: Integer = null
+      var rate: Integer = null
+      var preSkip: Int = 0
+      var lastGranule: Long = -1L
+      var nPages: Int = 0
+      var eos: Boolean = false
+    }
+    val accs = scala.collection.mutable.LinkedHashMap[Long, Acc]()
+    var nBad = 0
+    var i = 0
+    var done = false
+    while (!done && i + 27 <= b.length) {
+      if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+          b(i + 3) == 'S' && u8(b, i + 4) == 0) {
+        val nsegs = u8(b, i + 26)
+        if (i + 27 + nsegs > b.length) done = true // torn header: walk ends
+        else {
+          var body = 0
+          var k = 0
+          while (k < nsegs) { body += u8(b, i + 27 + k); k += 1 }
+          val total = 27 + nsegs + body
+          if (i + total > b.length) done = true // torn body: complete pages only
+          else if (oggCrc(b, i, total) != le32(b, i + 22).toInt) {
+            nBad += 1
+            i += 1 // resync at the next capture pattern
+          } else {
+            val htype = u8(b, i + 5)
+            val granule = le32(b, i + 6) | (le32(b, i + 10) << 32)
+            val serial = le32(b, i + 14)
+            val acc = accs.getOrElseUpdate(serial, new Acc)
+            acc.nPages += 1
+            if ((htype & 4) != 0) acc.eos = true
+            val p = i + 27 + nsegs
+            if ((htype & 2) != 0) {
+              // BOS: the first packet head names the codec
+              if (body >= 19 && b(p) == 'O' && b(p + 1) == 'p' &&
+                  b(p + 2) == 'u' && b(p + 3) == 's' && b(p + 4) == 'H' &&
+                  b(p + 5) == 'e' && b(p + 6) == 'a' && b(p + 7) == 'd') {
+                acc.codec = "opus"
+                acc.channels = Integer.valueOf(u8(b, p + 9))
+                acc.preSkip = le16(b, p + 10)
+                acc.rate = Integer.valueOf(le32(b, p + 12).toInt)
+              } else if (body >= 16 && u8(b, p) == 1 && b(p + 1) == 'v' &&
+                  b(p + 2) == 'o' && b(p + 3) == 'r' && b(p + 4) == 'b' &&
+                  b(p + 5) == 'i' && b(p + 6) == 's') {
+                acc.codec = "vorbis"
+                acc.channels = Integer.valueOf(u8(b, p + 11))
+                acc.rate = Integer.valueOf(le32(b, p + 12).toInt)
+              } else if (body >= 7 && u8(b, p) == 0x80 && b(p + 1) == 't' &&
+                  b(p + 2) == 'h' && b(p + 3) == 'e' && b(p + 4) == 'o' &&
+                  b(p + 5) == 'r' && b(p + 6) == 'a') {
+                acc.codec = "theora"
+              }
+            } else if (granule > 0 && granule > acc.lastGranule) {
+              acc.lastGranule = granule
+            }
+            i += total
+          }
+        }
+      } else i += 1
+    }
+    val streams = accs.map { case (serial, a) =>
+      val dur: java.lang.Long =
+        if (a.lastGranule < 0) null
+        else a.codec match {
+          case "opus" =>
+            val s = math.max(0L, a.lastGranule - a.preSkip)
+            java.lang.Long.valueOf(Math.floorDiv(s * 1000L, 48000L))
+          case "vorbis" if a.rate != null && a.rate.intValue() > 0 =>
+            java.lang.Long.valueOf(
+              Math.floorDiv(a.lastGranule * 1000L, a.rate.longValue()))
+          case _ => null
+        }
+      OggStream(serial, a.codec, a.channels, a.rate, dur, a.nPages, a.eos)
+    }.toSeq
+    OggInfo(nBad, streams)
+  }
+
+  /** One Ogg page (the exporter twin): header + lacing + payload with
+    * the real RFC 3533 checksum — what [[probeOgg]] must verify. */
+  def buildOggPage(serial: Long, seq: Long, granule: Long, htype: Int,
+                   payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 255 * 255, "single-packet builder")
+    val full = payload.length / 255
+    val segs = Array.fill[Byte](full)(255.toByte) :+ (payload.length % 255).toByte
+    val page = new Array[Byte](27 + segs.length + payload.length)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0; page(5) = htype.toByte
+    var k = 0
+    while (k < 8) { page(6 + k) = ((granule >> (8 * k)) & 0xff).toByte; k += 1 }
+    k = 0
+    while (k < 4) {
+      page(14 + k) = ((serial >> (8 * k)) & 0xff).toByte
+      page(18 + k) = ((seq >> (8 * k)) & 0xff).toByte
+      k += 1
+    }
+    page(26) = segs.length.toByte
+    System.arraycopy(segs, 0, page, 27, segs.length)
+    System.arraycopy(payload, 0, page, 27 + segs.length, payload.length)
+    val c = oggCrc(page, 0, page.length)
+    k = 0
+    while (k < 4) { page(22 + k) = ((c >> (8 * k)) & 0xff).toByte; k += 1 }
+    page
+  }
+
   private def parseMp3(b: Array[Byte]): Probe = {
     // optional ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag
     // (0x10) adds 10 more. Then the 4-byte frame header.
@@ -978,6 +1154,47 @@ case class Id3Probe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Id3Probe =
     copy(child = newChild)
   override def prettyName: String = "id3_tags"
+}
+
+/** ogg_streams(binary) → struct<n_bad_pages, streams: array<struct<
+  * serial, codec, channels, sample_rate, duration_ms, n_pages, eos>>> —
+  * [[MediaFormats.probeOgg]] as a scalar expression: CRC-verified page
+  * walk, per-logical-stream readout, empty streams on non-Ogg bytes.
+  * Pure map. */
+case class OggProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val o = MediaFormats.probeOgg(input.asInstanceOf[Array[Byte]])
+    InternalRow(o.nBadPages, new GenericArrayData(o.streams.map { s =>
+      InternalRow(s.serial, UTF8String.fromString(s.codec),
+        if (s.channels == null) null else s.channels.intValue(),
+        if (s.sampleRate == null) null else s.sampleRate.intValue(),
+        if (s.durationMs == null) null else s.durationMs.longValue(),
+        s.nPages, s.eos)
+    }.toArray[Any]))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ogg_streams expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bad_pages", IntegerType, nullable = false),
+    StructField("streams", ArrayType(StructType(Seq(
+      StructField("serial", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_pages", IntegerType, nullable = false),
+      StructField("eos", BooleanType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override protected def withNewChildInternal(newChild: Expression): OggProbe =
+    copy(child = newChild)
+  override def prettyName: String = "ogg_streams"
 }
 
 /** media_probe(binary) → struct<format, width, height, channels,

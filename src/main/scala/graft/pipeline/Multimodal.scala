@@ -1562,6 +1562,90 @@ object Multimodal {
       .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__i.*"): _*)
   }
 
+  /** One row per CRC-verified logical Ogg stream ([[graft.functions
+    * .OggProbe]] exploded): codec/channels/rate/duration/page counts
+    * plus the file-level bad-page count — non-Ogg blobs yield no rows.
+    * Pure map + generator; stream-safe. */
+  def probeOggStreams(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__o",
+        E.column(graft.functions.OggProbe(E.expression(col(payloadCol)))))
+      .withColumn("__s", explode(col("__o.streams")))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq ++
+        Seq(col("__o.n_bad_pages").as("n_bad_pages"), col("__s.*")): _*)
+  }
+
+  /** Real Ogg files with id-derived streams — BOS header page (Opus on
+    * even ids at the 48 kHz granule clock with pre-skip 312, Vorbis on
+    * odd at `8000·(1+id%3)` Hz), a granule-0 comment/tags page, and TWO
+    * data pages whose granules land the durations on exact
+    * milliseconds: partial 250 ms (opus) / 150 ms (vorbis), final
+    * `500+id` / `300+id` ms, EOS on the last page. Every page carries
+    * the real RFC 3533 checksum. Plants: id%37==0 md5 garbage (no
+    * streams), id%37==5 TORN 10 bytes before the end (the final
+    * data+EOS page incomplete → duration reads the partial page, eos
+    * false), id%37==11 BIT-ROT in the final page's payload (checksum
+    * catches it: counted bad, skipped — same partial readout, never a
+    * corrupt duration). */
+  def synthesizeOggPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.MediaFormats.buildOggPage
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 37 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](16)
+        else {
+          val serial = 0x47AF0000L + id
+          val opus = id % 2 == 0
+          val head =
+            if (opus) {
+              val h = new Array[Byte](19)
+              "OpusHead".getBytes("US-ASCII").copyToArray(h)
+              h(8) = 1 // version
+              h(9) = 2 // channels
+              h(10) = (312 & 0xff).toByte; h(11) = (312 >> 8).toByte // pre-skip
+              var k = 0
+              while (k < 4) { h(12 + k) = ((48000 >> (8 * k)) & 0xff).toByte; k += 1 }
+              h
+            } else {
+              val h = new Array[Byte](30)
+              h(0) = 1
+              "vorbis".getBytes("US-ASCII").copyToArray(h, 1)
+              h(11) = (1 + id % 3).toByte // channels
+              val rate = 8000 * (1 + id % 3)
+              var k = 0
+              while (k < 4) { h(12 + k) = ((rate >> (8 * k)) & 0xff).toByte; k += 1 }
+              h
+            }
+          val tags =
+            if (opus) "OpusTags".getBytes("US-ASCII") ++ new Array[Byte](8)
+            else Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
+              new Array[Byte](8)
+          val data = Array.tabulate[Byte](64)(k => ((k * 7 + id) % 251).toByte)
+          val (g1, g2) =
+            if (opus) (312L + 48L * 250L, 312L + 48L * (500L + id))
+            else {
+              val kHz = 8L * (1 + id % 3)
+              (kHz * 150L, kHz * (300L + id))
+            }
+          val p1 = buildOggPage(serial, 0, 0, 2, head) // BOS, granule 0
+          val p2 = buildOggPage(serial, 1, 0, 0, tags) // header: granule 0
+          val p3 = buildOggPage(serial, 2, g1, 0, data)
+          val p4 = buildOggPage(serial, 3, g2, 4, data) // EOS
+          val full = p1 ++ p2 ++ p3 ++ p4
+          if (id % 37 == 5) full.take(full.length - 10)
+          else if (id % 37 == 11) {
+            val rot = full.clone()
+            val at = full.length - 20 // inside p4's payload
+            rot(at) = (rot(at) ^ 0x55).toByte
+            rot
+          } else full
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** Xing/Info-headed MP3 payloads (r16 — the O(1) VBR frame-count
     * fixture): the first frame carries a Xing header in its side-info
     * region (17 bytes mono / 32 stereo — both exercised via id%4==1)
