@@ -268,6 +268,31 @@ class StreamingSpec extends AnyFunSuite {
           graft.sources.Pdf.textColumn(col("body")).as("clean"))
         .where(col("clean").isNotNull)
     })
+    // r16 Ogg page walk: CRC gate + stream readout is a per-row pure map
+    val oggBlobs = graft.pipeline.Multimodal.synthesizeOggPayloads(
+      docs.toDF("doc_id", "text").select("doc_id"), "doc_id")
+    stream("ogg_stream_out", oggBlobs,
+      df => graft.pipeline.Multimodal.probeOggStreams(df, "payload"))
+  }
+
+  test("streaming sitemap explode: the frontier seed runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (0L until 40L).toSeq
+    val maps = graft.pipeline.Sitemaps.synthesizeSitemaps(
+      ids.toDF("doc_id"), "doc_id")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(maps.as[(Long, String)].collect().toSeq: _*)
+    val q = graft.pipeline.Sitemaps.explode(
+        src.toDF().toDF("doc_id", "sitemap_xml"), "sitemap_xml")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sitemap_stream_out").start()
+    q.processAllAvailable()
+    val got = spark.table("sitemap_stream_out").collect().map(_.toString).toSet
+    val want = graft.pipeline.Sitemaps.explode(maps, "sitemap_xml")
+      .collect().map(_.toString).toSet
+    assert(got == want && want.nonEmpty)
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
   }
 
   test("streaming robots gate + multi-pattern screen: stream-static broadcast and pure map") {
