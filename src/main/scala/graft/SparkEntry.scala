@@ -2759,6 +2759,22 @@ object SparkEntry {
           "duration_ms", "n_pages", "n_bad_pages", "eos")
         .orderBy("doc_id")
     },
+    "multimodal_ogg_tags" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: Vorbis-comment / OpusTags walk — the ID3 twin for the Ogg
+      // world, riding the same CRC-gated page walk: per stream the
+      // second page's comment header gives vendor + TITLE/ARTIST/ALBUM
+      // + the COMPLETE-comment count. Plants: id%37==0 garbage (no
+      // rows), id%37==17 the comment block cut 4 bytes short inside a
+      // CRC-valid page — the last comment's declared length no longer
+      // fits, so exactly it drops (opus loses ARTIST, vorbis ALBUM)
+      val media = pipeline.Multimodal.synthesizeOggPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeOggTags(media, "payload")
+        .select("doc_id", "codec", "vendor", "title", "artist", "album",
+          "n_comments")
+        .orderBy("doc_id")
+    },
     "multimodal_id3_tags" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: ID3v2 TEXT-FRAME walk — the audio-metadata twin of the
@@ -10119,6 +10135,19 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 37 IN (5, 11) THEN 3 ELSE 4 END AS INT) AS n_pages,
                 CAST(CASE WHEN doc_id % 37 = 11 THEN 1 ELSE 0 END AS INT) AS n_bad_pages,
                 (doc_id % 37 NOT IN (5, 11)) AS eos
+         FROM documents WHERE doc_id % 37 <> 0 ORDER BY doc_id""",
+    "multimodal_ogg_tags" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+                'graft' AS vendor,
+                'Track ' || doc_id AS title,
+                CASE WHEN doc_id % 2 = 0 AND doc_id % 37 = 17 THEN NULL
+                     ELSE 'Artist ' || (doc_id % 7) END AS artist,
+                CASE WHEN doc_id % 2 = 0 OR doc_id % 37 = 17 THEN NULL
+                     ELSE 'Album ' || (doc_id % 5) END AS album,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END
+                     - CASE WHEN doc_id % 37 = 17 THEN 1 ELSE 0 END
+                     AS INT) AS n_comments
          FROM documents WHERE doc_id % 37 <> 0 ORDER BY doc_id""",
     "multimodal_id3_tags" ->
       """SELECT doc_id,

@@ -911,18 +911,13 @@ object MediaFormats {
     * floor-div; EOS reports whether the stream's closing page arrived
     * (a torn download loses it — completeness is visible, not
     * guessed). Never throws. */
-  def probeOgg(b: Array[Byte]): OggInfo = {
-    if (b == null || b.length < 27) return OggInfo(0, Seq.empty)
-    final class Acc {
-      var codec: String = "unknown"
-      var channels: Integer = null
-      var rate: Integer = null
-      var preSkip: Int = 0
-      var lastGranule: Long = -1L
-      var nPages: Int = 0
-      var eos: Boolean = false
-    }
-    val accs = scala.collection.mutable.LinkedHashMap[Long, Acc]()
+  /** The shared CRC-gated page iteration: `f(serial, htype, granule,
+    * payloadOff, payloadLen)` per complete verified page in document
+    * order; returns the bad-page count. The resync/torn discipline
+    * documented on [[probeOgg]] lives here. */
+  private def walkOggPages(b: Array[Byte])
+      (f: (Long, Int, Long, Int, Int) => Unit): Int = {
+    if (b == null) return 0
     var nBad = 0
     var i = 0
     var done = false
@@ -944,11 +939,33 @@ object MediaFormats {
             val htype = u8(b, i + 5)
             val granule = le32(b, i + 6) | (le32(b, i + 10) << 32)
             val serial = le32(b, i + 14)
-            val acc = accs.getOrElseUpdate(serial, new Acc)
-            acc.nPages += 1
-            if ((htype & 4) != 0) acc.eos = true
-            val p = i + 27 + nsegs
-            if ((htype & 2) != 0) {
+            f(serial, htype, granule, i + 27 + nsegs, body)
+            i += total
+          }
+        }
+      } else i += 1
+    }
+    nBad
+  }
+
+  def probeOgg(b: Array[Byte]): OggInfo = {
+    if (b == null || b.length < 27) return OggInfo(0, Seq.empty)
+    final class Acc {
+      var codec: String = "unknown"
+      var channels: Integer = null
+      var rate: Integer = null
+      var preSkip: Int = 0
+      var lastGranule: Long = -1L
+      var nPages: Int = 0
+      var eos: Boolean = false
+    }
+    val accs = scala.collection.mutable.LinkedHashMap[Long, Acc]()
+    val nBad = walkOggPages(b) { (serial, htype, granule, p, body) =>
+      {
+        val acc = accs.getOrElseUpdate(serial, new Acc)
+        acc.nPages += 1
+        if ((htype & 4) != 0) acc.eos = true
+        if ((htype & 2) != 0) {
               // BOS: the first packet head names the codec
               if (body >= 19 && b(p) == 'O' && b(p + 1) == 'p' &&
                   b(p + 2) == 'u' && b(p + 3) == 's' && b(p + 4) == 'H' &&
@@ -971,10 +988,7 @@ object MediaFormats {
             } else if (granule > 0 && granule > acc.lastGranule) {
               acc.lastGranule = granule
             }
-            i += total
-          }
-        }
-      } else i += 1
+      }
     }
     val streams = accs.map { case (serial, a) =>
       val dur: java.lang.Long =
@@ -991,6 +1005,126 @@ object MediaFormats {
       OggStream(serial, a.codec, a.channels, a.rate, dur, a.nPages, a.eos)
     }.toSeq
     OggInfo(nBad, streams)
+  }
+
+  /** One stream's comment-header readout (the ID3 twin for the Ogg
+    * world): vendor + the standard TITLE/ARTIST/ALBUM keys +
+    * complete-comment count. */
+  final case class OggTags(serial: Long, codec: String, vendor: String,
+                           title: String, artist: String, album: String,
+                           nComments: Integer)
+
+  /** Vorbis-comment / OpusTags metadata walk: per logical stream the
+    * SECOND verified page's packet — `OpusTags` or `\x03vorbis` — is
+    * the comment header (the protocol's fixed packet order), carrying
+    * `vendor_len u32 | vendor | n u32 | (len u32 | "KEY=value")…` all
+    * little-endian, values UTF-8. Complete-comments-only: a declared
+    * length past the bytes that arrived drops THAT comment and ends
+    * the walk (a torn tag list keeps what landed — `n_comments` counts
+    * complete entries, never the declaration); keys match
+    * case-insensitively per spec; a stream whose second page is not a
+    * comment header reads all-null with `n_comments` null. Rides the
+    * same CRC-gated page walk as [[probeOgg]]. */
+  def probeOggTags(b: Array[Byte]): Seq[OggTags] = {
+    if (b == null || b.length < 27) return Seq.empty
+    final class Acc {
+      var codec: String = "unknown"
+      var pageIdx: Int = 0
+      var tagsOff: Int = -1
+      var tagsLen: Int = 0
+    }
+    val accs = scala.collection.mutable.LinkedHashMap[Long, Acc]()
+    walkOggPages(b) { (serial, htype, _, p, body) =>
+      val acc = accs.getOrElseUpdate(serial, new Acc)
+      if ((htype & 2) != 0 && body >= 8) {
+        if (b(p) == 'O' && b(p + 1) == 'p' && b(p + 2) == 'u' &&
+            b(p + 3) == 's' && b(p + 4) == 'H') acc.codec = "opus"
+        else if (u8(b, p) == 1 && b(p + 1) == 'v') acc.codec = "vorbis"
+      } else if (acc.pageIdx == 1) { acc.tagsOff = p; acc.tagsLen = body }
+      acc.pageIdx += 1
+    }
+    accs.map { case (serial, a) =>
+      // the comment block starts after the packet magic
+      val magic =
+        if (a.tagsOff >= 0 && a.tagsLen >= 8 && b(a.tagsOff) == 'O' &&
+            b(a.tagsOff + 1) == 'p' && b(a.tagsOff + 2) == 'u' &&
+            b(a.tagsOff + 3) == 's' && b(a.tagsOff + 4) == 'T' &&
+            b(a.tagsOff + 5) == 'a' && b(a.tagsOff + 6) == 'g' &&
+            b(a.tagsOff + 7) == 's') 8
+        else if (a.tagsOff >= 0 && a.tagsLen >= 7 && u8(b, a.tagsOff) == 3 &&
+            b(a.tagsOff + 1) == 'v' && b(a.tagsOff + 2) == 'o' &&
+            b(a.tagsOff + 3) == 'r' && b(a.tagsOff + 4) == 'b' &&
+            b(a.tagsOff + 5) == 'i' && b(a.tagsOff + 6) == 's') 7
+        else -1
+      if (magic < 0) OggTags(serial, a.codec, null, null, null, null, null)
+      else {
+        val end = a.tagsOff + a.tagsLen
+        var q = a.tagsOff + magic
+        var vendor: String = null
+        var title: String = null
+        var artist: String = null
+        var album: String = null
+        var n = 0
+        if (q + 4 <= end) {
+          val vlen = le32(b, q).toInt
+          q += 4
+          if (vlen >= 0 && q + vlen <= end) {
+            vendor = new String(b, q, vlen, "UTF-8")
+            q += vlen
+            if (q + 4 <= end) {
+              val declared = le32(b, q)
+              q += 4
+              var k = 0L
+              var ok = true
+              while (ok && k < declared && q + 4 <= end) {
+                val clen = le32(b, q).toInt
+                q += 4
+                if (clen < 0 || q + clen > end) ok = false // torn: keep complete
+                else {
+                  val c = new String(b, q, clen, "UTF-8")
+                  q += clen
+                  n += 1
+                  val eq = c.indexOf('=')
+                  if (eq > 0) {
+                    val key = c.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+                    val v = c.substring(eq + 1)
+                    key match {
+                      case "TITLE" => if (title == null) title = v
+                      case "ARTIST" => if (artist == null) artist = v
+                      case "ALBUM" => if (album == null) album = v
+                      case _ =>
+                    }
+                  }
+                  k += 1
+                }
+              }
+            }
+          }
+        }
+        OggTags(serial, a.codec, vendor, title, artist, album,
+          Integer.valueOf(n))
+      }
+    }.toSeq
+  }
+
+  /** The comment block bytes (the exporter twin of [[probeOggTags]]):
+    * magic + vendor + the KEY=value list, little-endian lengths. */
+  def buildOggComments(magic: Array[Byte], vendor: String,
+                       comments: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32w(v: Int): Unit = {
+      var k = 0
+      while (k < 4) { bos.write((v >> (8 * k)) & 0xff); k += 1 }
+    }
+    bos.write(magic, 0, magic.length)
+    val vb = vendor.getBytes("UTF-8")
+    le32w(vb.length); bos.write(vb, 0, vb.length)
+    le32w(comments.size)
+    comments.foreach { c =>
+      val cb = c.getBytes("UTF-8")
+      le32w(cb.length); bos.write(cb, 0, cb.length)
+    }
+    bos.toByteArray
   }
 
   /** One Ogg page (the exporter twin): header + lacing + payload with
@@ -1195,6 +1329,43 @@ case class OggProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): OggProbe =
     copy(child = newChild)
   override def prettyName: String = "ogg_streams"
+}
+
+/** ogg_tags(binary) → array<struct<serial, codec, vendor, title,
+  * artist, album, n_comments>> — [[MediaFormats.probeOggTags]] as a
+  * scalar expression: one element per logical stream, complete
+  * comments only. Pure map. */
+case class OggTagsProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val ts = MediaFormats.probeOggTags(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(ts.map { t =>
+      def s(x: String) = if (x == null) null else UTF8String.fromString(x)
+      InternalRow(t.serial, UTF8String.fromString(t.codec), s(t.vendor),
+        s(t.title), s(t.artist), s(t.album),
+        if (t.nComments == null) null else t.nComments.intValue())
+    }.toArray[Any])
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ogg_tags expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("serial", LongType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("vendor", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("artist", StringType, nullable = true),
+    StructField("album", StringType, nullable = true),
+    StructField("n_comments", IntegerType, nullable = true))),
+    containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): OggTagsProbe =
+    copy(child = newChild)
+  override def prettyName: String = "ogg_tags"
 }
 
 /** media_probe(binary) → struct<format, width, height, channels,

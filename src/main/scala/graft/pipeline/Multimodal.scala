@@ -1575,6 +1575,18 @@ object Multimodal {
         Seq(col("__o.n_bad_pages").as("n_bad_pages"), col("__s.*")): _*)
   }
 
+  /** One row per logical Ogg stream's COMMENT HEADER ([[graft.functions
+    * .OggTagsProbe]] exploded): vendor + TITLE/ARTIST/ALBUM +
+    * complete-comment count — the ID3 twin for the Ogg world. Pure
+    * map + generator; stream-safe. */
+  def probeOggTags(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__t", explode(
+        E.column(graft.functions.OggTagsProbe(E.expression(col(payloadCol))))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+
+        col("__t.*"): _*)
+  }
+
   /** Real Ogg files with id-derived streams — BOS header page (Opus on
     * even ids at the 48 kHz granule clock with pre-skip 312, Vorbis on
     * odd at `8000·(1+id%3)` Hz), a granule-0 comment/tags page, and TWO
@@ -1618,10 +1630,21 @@ object Multimodal {
               while (k < 4) { h(12 + k) = ((rate >> (8 * k)) & 0xff).toByte; k += 1 }
               h
             }
+          // real comment headers (r16 ogg_tags): standard keys; the
+          // id%37==17 plant cuts the block 4 bytes short BEFORE paging
+          // (page CRC stays valid — the damage is inside the packet),
+          // so the LAST comment's declared length no longer fits and
+          // the complete-comments contract must drop exactly it
+          val tagsFull =
+            if (opus) graft.functions.MediaFormats.buildOggComments(
+              "OpusTags".getBytes("US-ASCII"), "graft",
+              Seq(s"TITLE=Track $id", s"ARTIST=Artist ${id % 7}"))
+            else graft.functions.MediaFormats.buildOggComments(
+              Array[Byte](3) ++ "vorbis".getBytes("US-ASCII"), "graft",
+              Seq(s"TITLE=Track $id", s"ARTIST=Artist ${id % 7}",
+                s"ALBUM=Album ${id % 5}"))
           val tags =
-            if (opus) "OpusTags".getBytes("US-ASCII") ++ new Array[Byte](8)
-            else Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
-              new Array[Byte](8)
+            if (id % 37 == 17) tagsFull.take(tagsFull.length - 4) else tagsFull
           val data = Array.tabulate[Byte](64)(k => ((k * 7 + id) % 251).toByte)
           val (g1, g2) =
             if (opus) (312L + 48L * 250L, 312L + 48L * (500L + id))

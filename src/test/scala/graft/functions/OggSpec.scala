@@ -154,6 +154,53 @@ class OggSpec extends AnyFunSuite {
     assert(pr.format == "ogg" && pr.channels == 2 && pr.sampleRate == 44100)
   }
 
+  test("ogg tags: both magics, case-insensitive keys, first-key-wins") {
+    import MediaFormats.{buildOggComments, probeOggTags}
+    val s = 12L
+    def file(magic: Array[Byte], head: Array[Byte], comments: Seq[String]) =
+      buildOggPage(s, 0, 0, 2, head) ++
+        buildOggPage(s, 1, 0, 0, buildOggComments(magic, "vend", comments))
+    val opus = file("OpusTags".getBytes("US-ASCII"), opusHead(2, 0, 48000),
+      Seq("title=lower wins", "TITLE=second ignored", "Artist=A", "x", "K=V"))
+    val t = probeOggTags(opus).head
+    assert(t.codec == "opus" && t.vendor == "vend")
+    assert(t.title == "lower wins" && t.artist == "A" && t.album == null)
+    assert(t.nComments == 5) // malformed 'x' still counts as a complete entry
+    val vorb = file(Array[Byte](3) ++ "vorbis".getBytes("US-ASCII"),
+      vorbisHead(1, 8000), Seq("ALBUM=B"))
+    val v = probeOggTags(vorb).head
+    assert(v.codec == "vorbis" && v.album == "B" && v.nComments == 1)
+  }
+
+  test("ogg tags: torn comment list keeps complete entries; non-comment page all-null") {
+    import MediaFormats.{buildOggComments, probeOggTags}
+    val s = 13L
+    val block = buildOggComments("OpusTags".getBytes("US-ASCII"), "v",
+      Seq("TITLE=T", "ARTIST=A", "ALBUM=Z"))
+    var cut = block.length
+    while (cut >= 0) {
+      val f = buildOggPage(s, 0, 0, 2, opusHead(1, 0, 48000)) ++
+        buildOggPage(s, 1, 0, 0, java.util.Arrays.copyOfRange(block, 0, cut))
+      val ts = probeOggTags(f)
+      assert(ts.size == 1) // never throws, stream always reads
+      val t = ts.head
+      if (t.nComments != null) assert(t.nComments >= 0 && t.nComments <= 3)
+      cut -= 3
+    }
+    // exactly 4 bytes short: the last comment (ALBUM) drops, rest keep
+    val f4 = buildOggPage(s, 0, 0, 2, opusHead(1, 0, 48000)) ++
+      buildOggPage(s, 1, 0, 0,
+        java.util.Arrays.copyOfRange(block, 0, block.length - 4))
+    val t4 = probeOggTags(f4).head
+    assert(t4.title == "T" && t4.artist == "A" && t4.album == null &&
+      t4.nComments == 2)
+    // second page not a comment header: all-null readout, codec stands
+    val noTags = buildOggPage(s, 0, 0, 2, opusHead(1, 0, 48000)) ++
+      buildOggPage(s, 1, 48L, 4, Array[Byte](9, 9, 9))
+    val nt = probeOggTags(noTags).head
+    assert(nt.codec == "opus" && nt.vendor == null && nt.nComments == null)
+  }
+
   test("Spark explode path: plants fall out exactly as declared") {
     val spark = graft.operators.SharedSpark.session
     import spark.implicits._
