@@ -2759,6 +2759,23 @@ object SparkEntry {
           "duration_ms", "n_pages", "n_bad_pages", "eos")
         .orderBy("doc_id")
     },
+    "multimodal_png_meta" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: PNG text-chunk walk — the image-side metadata twin of the
+      // EXIF/ID3 walks: length-framed chunks each gated by their OWN
+      // CRC-32, all three text forms (tEXt Latin-1, zTXt behind a real
+      // zlib inflate, iTXt UTF-8 incl. the compressed variant on
+      // id%4==1). Plants: id%37==0 garbage (has_png false), id%37==5
+      // bit-rot inside the Title chunk — its CRC catches it (counted,
+      // skipped, title null) while the NEIGHBOR chunks keep, the
+      // framing-survives-rot contract ogg must resync for
+      val media = pipeline.Multimodal.synthesizePngMetaPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probePngMeta(media, "payload")
+        .select("doc_id", "has_png", "width", "height", "title", "author",
+          "description", "software", "n_text_chunks", "n_bad_crc")
+        .orderBy("doc_id")
+    },
     "multimodal_ogg_tags" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: Vorbis-comment / OpusTags walk — the ID3 twin for the Ogg
@@ -10136,6 +10153,29 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 37 = 11 THEN 1 ELSE 0 END AS INT) AS n_bad_pages,
                 (doc_id % 37 NOT IN (5, 11)) AS eos
          FROM documents WHERE doc_id % 37 <> 0 ORDER BY doc_id""",
+    "multimodal_png_meta" ->
+      """SELECT doc_id,
+                doc_id % 37 <> 0 AS has_png,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE CAST(16 + doc_id % 16 AS INT) END AS width,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE CAST(12 + doc_id % 8 AS INT) END AS height,
+                CASE WHEN doc_id % 37 IN (0, 5) THEN NULL
+                     ELSE 'Image ' || doc_id END AS title,
+                CASE WHEN doc_id % 37 = 0 OR doc_id % 2 = 0 THEN NULL
+                     ELSE 'Author ' || (doc_id % 7) END AS author,
+                CASE WHEN doc_id % 37 = 0 OR doc_id % 2 = 1 THEN NULL
+                     ELSE 'Desc ' || (doc_id % 5) END AS description,
+                CASE WHEN doc_id % 37 = 0 OR doc_id % 3 <> 0 THEN NULL
+                     ELSE 'graft ' || (doc_id % 9) END AS software,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                          - CASE WHEN doc_id % 37 = 5 THEN 1 ELSE 0 END AS INT)
+                     END AS n_text_chunks,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     WHEN doc_id % 37 = 5 THEN CAST(1 AS INT)
+                     ELSE CAST(0 AS INT) END AS n_bad_crc
+         FROM documents ORDER BY doc_id""",
     "multimodal_ogg_tags" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,

@@ -857,6 +857,171 @@ object MediaFormats {
   }
 
   // ---------------------------------------------------------------
+  // PNG text-chunk metadata (the EXIF/ID3 counterpart for PNG)
+  // ---------------------------------------------------------------
+
+  /** PNG metadata readout: dims from IHDR plus the standard text
+    * keywords out of tEXt/zTXt/iTXt chunks, each chunk CRC-verified. */
+  final case class PngMeta(hasPng: Boolean, width: Integer, height: Integer,
+                           title: String, author: String, description: String,
+                           software: String, nTextChunks: Integer,
+                           nBadCrc: Integer)
+
+  /** The PNG chunk walk (ISO 15948 §5): length-framed chunks from byte
+    * 8, each gated by its own CRC-32 (the standard reflected zlib CRC
+    * over type+data — a rotted chunk is COUNTED and SKIPPED, its
+    * length framing still trusted so neighbors keep); complete chunks
+    * only (a torn tail ends the walk); text decoded from all three
+    * forms — tEXt (Latin-1), zTXt (Latin-1 behind a REAL zlib
+    * inflate), iTXt (UTF-8, optionally zlib-compressed) — standard
+    * keywords Title/Author/Description/Software surfaced, first
+    * occurrence wins; an undecodable compressed payload drops that
+    * chunk from the text count (never garbage text). Per-chunk 128 MB
+    * inflate cap. Never throws. */
+  def probePngMeta(b: Array[Byte]): PngMeta = {
+    if (b == null || b.length < 8 || !b.startsWith(PngSig))
+      return PngMeta(hasPng = false, null, null, null, null, null, null,
+        null, null)
+    var width: Integer = null
+    var height: Integer = null
+    var title: String = null
+    var author: String = null
+    var description: String = null
+    var software: String = null
+    var nText = 0
+    var nBad = 0
+    var i = 8
+    var done = false
+    while (!done && i + 12 <= b.length) {
+      val clen = be32(b, i)
+      if (clen < 0 || clen > Int.MaxValue - 12 || i + 12 + clen > b.length)
+        done = true // torn: complete chunks only
+      else {
+        val dataOff = i + 8
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, i + 4, 4 + clen.toInt)
+        if (crc.getValue != be32(b, dataOff + clen.toInt)) {
+          nBad += 1 // rot: counted, skipped, framing still trusted
+        } else {
+          val t = new String(b, i + 4, 4, "US-ASCII")
+          t match {
+            case "IHDR" if clen >= 13 =>
+              val w = be32(b, dataOff); val h = be32(b, dataOff + 4)
+              if (w > 0 && w <= Int.MaxValue) width = Integer.valueOf(w.toInt)
+              if (h > 0 && h <= Int.MaxValue) height = Integer.valueOf(h.toInt)
+            case "IEND" => done = true
+            case "tEXt" | "zTXt" | "iTXt" =>
+              val kv = pngTextChunk(t, b, dataOff, clen.toInt)
+              if (kv != null) {
+                nText += 1
+                kv._1 match {
+                  case "Title" => if (title == null) title = kv._2
+                  case "Author" => if (author == null) author = kv._2
+                  case "Description" => if (description == null) description = kv._2
+                  case "Software" => if (software == null) software = kv._2
+                  case _ =>
+                }
+              }
+            case _ =>
+          }
+        }
+        i += 12 + clen.toInt
+      }
+    }
+    PngMeta(hasPng = true, width, height, title, author, description,
+      software, Integer.valueOf(nText), Integer.valueOf(nBad))
+  }
+
+  /** Decode one text chunk's (keyword, value); null when malformed or
+    * the compressed payload doesn't inflate to its deflate end. */
+  private def pngTextChunk(t: String, b: Array[Byte], off: Int,
+                           len: Int): (String, String) = {
+    var z = off
+    val end = off + len
+    while (z < end && b(z) != 0) z += 1
+    if (z >= end) return null // no keyword terminator
+    val keyword = new String(b, off, z - off, "ISO-8859-1")
+    t match {
+      case "tEXt" =>
+        (keyword, new String(b, z + 1, end - z - 1, "ISO-8859-1"))
+      case "zTXt" =>
+        if (z + 2 > end || b(z + 1) != 0) return null // method must be 0
+        val raw = pngInflate(b, z + 2, end - z - 2)
+        if (raw == null) null else (keyword, new String(raw, "ISO-8859-1"))
+      case "iTXt" =>
+        if (z + 3 > end) return null
+        val compFlag = u8(b, z + 1)
+        val compMethod = u8(b, z + 2)
+        var p = z + 3
+        while (p < end && b(p) != 0) p += 1 // language tag
+        if (p >= end) return null
+        p += 1
+        while (p < end && b(p) != 0) p += 1 // translated keyword
+        if (p >= end) return null
+        p += 1
+        if (compFlag == 0)
+          (keyword, new String(b, p, end - p, "UTF-8"))
+        else if (compFlag == 1 && compMethod == 0) {
+          val raw = pngInflate(b, p, end - p)
+          if (raw == null) null else (keyword, new String(raw, "UTF-8"))
+        } else null
+      case _ => null
+    }
+  }
+
+  private def pngInflate(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    if (len <= 0) return null
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val bos = new java.io.ByteArrayOutputStream(math.min(len * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var dead = false
+      while (!inf.finished() && !dead) {
+        val n = try inf.inflate(buf)
+                catch { case _: java.util.zip.DataFormatException => -1 }
+        if (n < 0) dead = true
+        else if (n == 0) { if (inf.needsInput() || inf.needsDictionary()) dead = true }
+        else if (bos.size().toLong + n > (128L << 20)) dead = true
+        else bos.write(buf, 0, n)
+      }
+      if (dead || !inf.finished()) null else bos.toByteArray
+    } finally inf.end()
+  }
+
+  /** One PNG chunk (the exporter twin): length + type + data + the
+    * real CRC the walk must verify. */
+  def buildPngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    require(ctype.length == 4, "chunk type is 4 chars")
+    val out = new Array[Byte](12 + data.length)
+    var k = 0
+    while (k < 4) { out(k) = ((data.length >> (8 * (3 - k))) & 0xff).toByte; k += 1 }
+    ctype.getBytes("US-ASCII").copyToArray(out, 4)
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    val c = crc.getValue
+    k = 0
+    while (k < 4) { out(8 + data.length + k) = ((c >> (8 * (3 - k))) & 0xff).toByte; k += 1 }
+    out
+  }
+
+  /** Splice chunks into a real PNG immediately before its IEND. */
+  def pngInsertChunks(png: Array[Byte], chunks: Seq[Array[Byte]]): Array[Byte] = {
+    var i = 8
+    var at = -1
+    while (at < 0 && i + 12 <= png.length) {
+      val clen = be32(png, i)
+      if (png(i + 4) == 'I' && png(i + 5) == 'E' && png(i + 6) == 'N' &&
+          png(i + 7) == 'D') at = i
+      else if (clen < 0 || i + 12 + clen > png.length) at = png.length
+      else i += 12 + clen.toInt
+    }
+    if (at < 0) at = png.length
+    png.take(at) ++ chunks.flatten ++ png.drop(at)
+  }
+
+  // ---------------------------------------------------------------
   // Ogg (RFC 3533) — the container Opus/Vorbis audio ships in
   // ---------------------------------------------------------------
 
@@ -1329,6 +1494,43 @@ case class OggProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): OggProbe =
     copy(child = newChild)
   override def prettyName: String = "ogg_streams"
+}
+
+/** png_meta(binary) → struct<has_png, width, height, title, author,
+  * description, software, n_text_chunks, n_bad_crc> —
+  * [[MediaFormats.probePngMeta]] as a scalar expression: per-chunk
+  * CRC gate, all three text-chunk forms. Pure map. */
+case class PngMetaProbe(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = MediaFormats.probePngMeta(input.asInstanceOf[Array[Byte]])
+    def s(x: String) = if (x == null) null else UTF8String.fromString(x)
+    def iv(x: Integer) = if (x == null) null else x.intValue()
+    InternalRow(m.hasPng, iv(m.width), iv(m.height), s(m.title),
+      s(m.author), s(m.description), s(m.software), iv(m.nTextChunks),
+      iv(m.nBadCrc))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_meta expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("has_png", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("author", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("software", StringType, nullable = true),
+    StructField("n_text_chunks", IntegerType, nullable = true),
+    StructField("n_bad_crc", IntegerType, nullable = true)))
+  override protected def withNewChildInternal(newChild: Expression): PngMetaProbe =
+    copy(child = newChild)
+  override def prettyName: String = "png_meta"
 }
 
 /** ogg_tags(binary) → array<struct<serial, codec, vendor, title,

@@ -1575,6 +1575,82 @@ object Multimodal {
         Seq(col("__o.n_bad_pages").as("n_bad_pages"), col("__s.*")): _*)
   }
 
+  /** Expand [[graft.functions.PngMetaProbe]] over a payload column:
+    * the image-side metadata twin of the EXIF and ID3 walks — one
+    * pure-map pass. */
+  def probePngMeta(media: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShim => E}
+    media.withColumn("__p",
+        E.column(graft.functions.PngMetaProbe(E.expression(col(payloadCol)))))
+      .select(media.columns.filterNot(_ == payloadCol).map(col).toSeq :+
+        col("__p.*"): _*)
+  }
+
+  /** REAL PNGs (ImageIO-encoded gray images, `16+id%16 × 12+id%8`)
+    * with text chunks spliced in before IEND, every chunk carrying its
+    * real CRC: even ids tEXt Title + zTXt Description (a REAL zlib
+    * deflate the walk must inflate), odd ids iTXt Title (zlib-
+    * compressed when id%4==1) + tEXt Author; id%3==0 adds tEXt
+    * Software. Plants: id%37==0 md5 garbage (`has_png` false),
+    * id%37==5 BIT-ROT in the Title chunk's data (its CRC catches it:
+    * counted bad, title null, neighbors keep). */
+  def synthesizePngMetaPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.MediaFormats.{buildPngChunk, pngInsertChunks}
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 37 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](16)
+        else {
+          val png = encodePng(grayImage((16 + id % 16).toInt,
+            (12 + id % 8).toInt, (id % 256).toInt))
+          def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+            val d = new java.util.zip.Deflater(6)
+            d.setInput(raw); d.finish()
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+            d.end()
+            bos.toByteArray
+          }
+          def latin(s: String) = s.getBytes("ISO-8859-1")
+          val titleChunk =
+            if (id % 2 == 0)
+              buildPngChunk("tEXt", latin("Title") ++ Array[Byte](0) ++
+                latin(s"Image $id"))
+            else {
+              val head = latin("Title") ++ Array[Byte](0,
+                if (id % 4 == 1) 1 else 0, 0) ++
+                latin("") ++ Array[Byte](0) ++ latin("") ++ Array[Byte](0)
+              val text = s"Image $id".getBytes("UTF-8")
+              buildPngChunk("iTXt",
+                head ++ (if (id % 4 == 1) deflateBytes(text) else text))
+            }
+          val second =
+            if (id % 2 == 0)
+              buildPngChunk("zTXt", latin("Description") ++ Array[Byte](0, 0) ++
+                deflateBytes(latin(s"Desc ${id % 5}")))
+            else
+              buildPngChunk("tEXt", latin("Author") ++ Array[Byte](0) ++
+                latin(s"Author ${id % 7}"))
+          val extra =
+            if (id % 3 == 0)
+              Seq(buildPngChunk("tEXt", latin("Software") ++ Array[Byte](0) ++
+                latin(s"graft ${id % 9}")))
+            else Seq.empty
+          val rotTitle =
+            if (id % 37 == 5) {
+              val r = titleChunk.clone()
+              r(10) = (r(10) ^ 0x55).toByte // inside the chunk data
+              r
+            } else titleChunk
+          pngInsertChunks(png, Seq(rotTitle, second) ++ extra)
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** One row per logical Ogg stream's COMMENT HEADER ([[graft.functions
     * .OggTagsProbe]] exploded): vendor + TITLE/ARTIST/ALBUM +
     * complete-comment count — the ID3 twin for the Ogg world. Pure
