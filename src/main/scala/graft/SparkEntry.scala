@@ -4510,6 +4510,29 @@ object SparkEntry {
         .select(col("doc_id"), col("loc"), col("allowed"))
         .orderBy("doc_id", "loc")
     },
+    "pipeline_http_decode" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: HTTP WIRE DECODING — what a RAW capture needs before any
+      // text pass (Common Crawl pre-strips these; proxy/pcap-derived
+      // archives do not): Transfer-Encoding chunked dechunked
+      // complete-chunks-only, then Content-Encoding gzip inflated
+      // fully-or-null (its CRC is the gate), protocol order. Routes by
+      // id%4: plain / chunked(100-char chunks) / gzip / gzip-then-
+      // chunked-in-4. Plants: id%37==0 garbage (no record), id%37==5 on
+      // chunked routes the last chunk arrives half (complete chunks
+      // keep, truncated loud), id%37==11 on gzip routes one flipped
+      // byte (body null, never corrupt text)
+      val blobs = sources.Warc.synthesizeWarcHttpEncodedPayloads(
+        s.table("documents"), "doc_id", "text")
+      val recs = sources.Warc.records(blobs, "payload")
+        .where(col("warc_type") === "response")
+        .drop("content_type")
+      sources.Warc.httpBody(recs, "payload")
+        .select(col("doc_id"), col("status"), col("was_chunked"),
+          col("was_gzip"), col("n_chunks"), col("truncated"),
+          col("body").cast("string").as("body_text"))
+        .orderBy("doc_id")
+    },
     "pipeline_crawl_chain_pdf" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: chain v3 — the pdf branch EXTRACTED instead of dropped.
@@ -7204,6 +7227,28 @@ object SparkEntry {
                 (NOT starts_with(path, '/page/4')
                  OR starts_with(path, '/page/44')) AS allowed
          FROM f ORDER BY doc_id, loc""",
+    "pipeline_http_decode" ->
+      """WITH base AS (SELECT doc_id, text, doc_id % 4 AS enc,
+                       (length(text) + 99) // 100 AS nch
+                FROM documents WHERE doc_id % 37 <> 0),
+            f AS (SELECT doc_id, text, enc, nch,
+                    enc IN (1, 3) AS chunked,
+                    enc IN (2, 3) AS gz,
+                    (doc_id % 37 = 5 AND enc IN (1, 3)) AS torn,
+                    (doc_id % 37 = 11 AND enc IN (2, 3)) AS rot
+                FROM base)
+         SELECT doc_id, CAST(200 AS INT) AS status,
+                chunked AS was_chunked, gz AS was_gzip,
+                CAST(CASE WHEN NOT chunked THEN NULL
+                     WHEN enc = 1 THEN nch - CASE WHEN torn THEN 1 ELSE 0 END
+                     ELSE 4 - CASE WHEN torn THEN 1 ELSE 0 END
+                     END AS INT) AS n_chunks,
+                (torn OR rot) AS truncated,
+                CASE WHEN rot THEN NULL
+                     WHEN torn AND gz THEN NULL
+                     WHEN torn THEN substring(text, 1, CAST(100 * (nch - 1) AS INT))
+                     ELSE text END AS body_text
+         FROM f ORDER BY doc_id""",
     "pipeline_crawl_chain_pdf" ->
       """WITH hb AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 29 NOT IN (0, 3, 7)),

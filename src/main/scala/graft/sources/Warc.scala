@@ -300,6 +300,162 @@ object Warc {
       }.toDF("doc_id", "payload")
   }
 
+  /** Dechunk a `Transfer-Encoding: chunked` stream from `off`:
+    * (bytes of the COMPLETE chunks, complete-chunk count, reached the
+    * 0-terminator?). Complete-chunks-only: a size line or chunk body
+    * that didn't fully arrive ends the walk — what landed is returned,
+    * the `terminated` flag says whether the entity is whole. Chunk
+    * extensions (`;…`) skipped, trailers ignored, hostile sizes
+    * Long-checked. Never throws. */
+  private[sources] def dechunk(b: Array[Byte], off: Int): (Array[Byte], Int, Boolean) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var p = off
+    var n = 0
+    var term = false
+    var ok = true
+    def hexVal(c: Byte): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    while (ok && !term) {
+      var q = p
+      var size = 0L
+      var digits = 0
+      while (q < b.length && hexVal(b(q)) >= 0 && digits <= 8) {
+        size = size * 16 + hexVal(b(q)); q += 1; digits += 1
+      }
+      if (digits == 0 || digits > 8) ok = false
+      else {
+        // skip any chunk extension up to the CRLF (bounded)
+        val extEnd = q + 1024
+        while (q + 1 < b.length && q < extEnd &&
+          !(b(q) == '\r' && b(q + 1) == '\n')) q += 1
+        if (!(q + 1 < b.length && b(q) == '\r' && b(q + 1) == '\n')) ok = false
+        else {
+          q += 2
+          if (size == 0) term = true // trailers ignored
+          else if (q.toLong + size + 2 > b.length) ok = false // incomplete
+          else {
+            val e = q + size.toInt
+            if (!(b(e) == '\r' && b(e + 1) == '\n')) ok = false
+            else { bos.write(b, q, size.toInt); n += 1; p = e + 2 }
+          }
+        }
+      }
+    }
+    (bos.toByteArray, n, term)
+  }
+
+  /** Whole-entity gunzip, fully-decoded-or-null: a `Content-Encoding:
+    * gzip` body either inflates to its stream end (CRC verified by the
+    * JDK reader) or reads null — a truncated or bit-rotted entity is
+    * never dressed as text. 128 MB cap (the per-unit convention). */
+  private[sources] def gunzipEntity(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 18) return null
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val bos = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      var dead = false
+      while (n >= 0 && !dead) {
+        if (bos.size().toLong + n > MaxRecordInflated) dead = true
+        else { bos.write(buf, 0, n); n = in.read(buf) }
+      }
+      in.close()
+      if (dead) null else bos.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  /** Split + DECODE an HTTP response body ([[HttpBody]]): status,
+    * content type, the transfer/content encodings applied in protocol
+    * order (dechunk, then gunzip), the complete-chunk count, and a
+    * loud `truncated` flag when the entity didn't fully decode. */
+  def httpBody(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("__h", E.column(HttpBody(E.expression(col(payloadCol)))))
+      .select(df.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__h.*"): _*)
+
+  /** WARC members whose HTTP bodies carry the real wire encodings —
+    * the [[httpBody]] fixture: id%4 routes the doc text through plain
+    * (0), chunked with 100-CHAR chunks (1), gzip (2), or gzip-then-
+    * chunked-in-4 (3 — the protocol order: CE compresses the entity,
+    * TE frames the transfer). Plants: id%37==0 md5 garbage (no
+    * record), id%37==5 on chunked routes the LAST chunk arrives half
+    * (complete chunks keep, terminator lost), id%37==11 on gzip routes
+    * one flipped byte mid-stream (the gzip CRC refuses: body null,
+    * never corrupt text). */
+  def synthesizeWarcHttpEncodedPayloads(docs: DataFrame, idCol: String,
+                                        textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, text) =>
+        val payload =
+          if (id % 37 == 0)
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+          else {
+            val enc = (id % 4).toInt
+            val raw = text.getBytes("UTF-8")
+            val gz: Array[Byte] =
+              if (enc >= 2) {
+                val bos = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(bos)
+                g.write(raw); g.close()
+                val out = bos.toByteArray
+                if (id % 37 == 11) { // bit-rot mid-stream
+                  out(out.length / 2) = (out(out.length / 2) ^ 0x55).toByte
+                }
+                out
+              } else null
+            val torn = id % 37 == 5 && (enc == 1 || enc == 3)
+            val body: Array[Byte] = enc match {
+              case 0 => raw
+              case 1 =>
+                val bos = new java.io.ByteArrayOutputStream()
+                chunkStreamInto(bos, text.grouped(100)
+                  .map(_.getBytes("UTF-8")).toSeq, torn)
+                bos.toByteArray
+              case 2 => gz
+              case _ =>
+                val q = (gz.length + 3) / 4
+                val bos = new java.io.ByteArrayOutputStream()
+                chunkStreamInto(bos, gz.grouped(q).toSeq, torn)
+                bos.toByteArray
+            }
+            val hdrs = new StringBuilder(s"HTTP/1.1 200 OK\r\n")
+            hdrs.append("Content-Type: text/plain; charset=utf-8\r\n")
+            if (enc >= 2) hdrs.append("Content-Encoding: gzip\r\n")
+            if (enc == 1 || enc == 3)
+              hdrs.append("Transfer-Encoding: chunked\r\n")
+            hdrs.append("\r\n")
+            val http = hdrs.toString.getBytes("US-ASCII") ++ body
+            buildMember(Seq(("response", s"https://example.com/data/$id", http)))
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** [[synthesizeWarcHttpEncodedPayloads]]'s chunk framer (shared so
+    * the torn rule is written once): complete chunks, then for a torn
+    * stream the last chunk's size line with only HALF its data. */
+  private def chunkStreamInto(bos: java.io.ByteArrayOutputStream,
+                              parts: Seq[Array[Byte]], torn: Boolean): Unit = {
+    def w(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val upto = if (torn) parts.length - 1 else parts.length
+    parts.take(upto).foreach { c =>
+      w(c.length.toHexString + "\r\n")
+      bos.write(c, 0, c.length)
+      w("\r\n")
+    }
+    if (torn) {
+      val last = parts.last
+      w(last.length.toHexString + "\r\n")
+      bos.write(last, 0, last.length / 2) // half arrived, no CRLF
+    } else w("0\r\n\r\n")
+  }
+
   /** [[synthesizeWarcHttpPayloads]] with the `application/pdf` plant
     * upgraded to a REAL document: id%29==3 ships the doc text as an
     * actual [[Pdf]] (FlateDecode on odd ids), id%29==7 ships pdf-typed
@@ -430,6 +586,101 @@ case class HttpResponse(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): HttpResponse =
     copy(child = newChild)
   override def prettyName: String = "http_response"
+}
+
+/** http_body(binary) → struct<status, content_type, was_chunked,
+  * was_gzip, n_chunks, truncated, body> — [[HttpResponse]] plus the
+  * WIRE DECODING a raw capture actually needs (Common Crawl strips
+  * these; raw proxy/pcap-derived captures do not): `Transfer-Encoding:
+  * chunked` dechunked complete-chunks-only ([[Warc.dechunk]]), then
+  * `Content-Encoding: gzip` inflated fully-or-null
+  * ([[Warc.gunzipEntity]]) — protocol order: CE compressed the entity,
+  * TE framed the transfer, so decode unframes then decompresses.
+  * `truncated` is the loud flag: the chunk stream missed its
+  * 0-terminator, or the gzip stream refused (torn/bit-rot — its CRC is
+  * the gate). Null on non-HTTP bytes. Pure map. */
+case class HttpBody(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b == null || b.length < 14) return null
+    val head = new String(b, 0, math.min(b.length, 7), "US-ASCII")
+    if (head != "HTTP/1.") return null
+    var i = 7
+    while (i < b.length && b(i) != ' ' && b(i) != '\r') i += 1
+    if (i + 4 > b.length || b(i) != ' ') return null
+    val st = new String(b, i + 1, 3, "US-ASCII")
+    if (!st.forall(_.isDigit)) return null
+    val status = st.toInt
+    var ctype: String = null
+    var te: String = null
+    var ce: String = null
+    var p = {
+      var j = i
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      j + 2
+    }
+    var inHeaders = true
+    var ok = true
+    var lines = 0
+    while (inHeaders && ok && lines < 256) {
+      lines += 1
+      var j = p
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= b.length) ok = false
+      else if (j == p) { inHeaders = false; p = j + 2 }
+      else {
+        val line = new String(b, p, j - p, "UTF-8")
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val k = line.substring(0, colon).trim
+          val v = line.substring(colon + 1).trim
+          if (k.equalsIgnoreCase("content-type")) ctype = v
+          else if (k.equalsIgnoreCase("transfer-encoding")) te = v
+          else if (k.equalsIgnoreCase("content-encoding")) ce = v
+        }
+        p = j + 2
+      }
+    }
+    if (!ok || inHeaders) return null
+    val chunked = te != null &&
+      te.toLowerCase(java.util.Locale.ROOT).contains("chunked")
+    val gzip = ce != null && (ce.equalsIgnoreCase("gzip") ||
+      ce.equalsIgnoreCase("x-gzip"))
+    val (framed, nChunks, term) =
+      if (chunked) Warc.dechunk(b, p)
+      else (java.util.Arrays.copyOfRange(b, p, b.length), -1, true)
+    val decoded = if (gzip) Warc.gunzipEntity(framed) else framed
+    val truncated = !term || (gzip && decoded == null)
+    InternalRow(status,
+      if (ctype == null) null else UTF8String.fromString(ctype),
+      chunked, gzip,
+      if (chunked) nChunks else null,
+      truncated, decoded)
+  }
+
+  // non-HTTP payloads read as a NULL struct whatever the child's
+  // nullability (the PdfRead rule)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"http_body expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("was_chunked", BooleanType, nullable = false),
+    StructField("was_gzip", BooleanType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = true),
+    StructField("truncated", BooleanType, nullable = false),
+    StructField("body", BinaryType, nullable = true)))
+  override protected def withNewChildInternal(newChild: Expression): HttpBody =
+    copy(child = newChild)
+  override def prettyName: String = "http_body"
 }
 
 /** warc_records(binary) → array<struct<warc_type, target_uri,
