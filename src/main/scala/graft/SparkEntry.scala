@@ -4644,6 +4644,24 @@ object SparkEntry {
           col("content").cast("string").as("content_text"))
         .orderBy("doc_id", "name")
     },
+    "multimodal_pdf_info" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the PDF document-information dictionary — the metadata
+      // walk completing the per-format family (EXIF/ID3/vorbis/PNG
+      // text): trailer /Info ref (last trailer wins) → Title/Author/
+      // Producer/CreationDate, UTF-16BE-with-BOM strings decoded (odd
+      // ids — how real producers write non-Latin titles). Plants:
+      // id%37==0 garbage (no row), id%37==5 torn — the info object is
+      // written LAST like real writers do, so a torn download loses
+      // metadata first; id%37==17 encrypted (info strings are
+      // encrypted in a real encrypted PDF: withheld, never ciphertext)
+      val blobs = sources.Pdf.synthesizePdfInfoPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Pdf.read(blobs, "payload")
+        .select(col("doc_id"), col("n_pages"), col("encrypted"),
+          col("title"), col("author"), col("producer"), col("created"))
+        .orderBy("doc_id")
+    },
     "src_pdf_text" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: PDF text-extraction source — the tolerant object scan +
@@ -7370,6 +7388,27 @@ object SparkEntry {
                 uncompressed_size, content_text
          FROM (SELECT * FROM d UNION ALL SELECT * FROM m)
          ORDER BY doc_id, name""",
+    "multimodal_pdf_info" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 37 <> 0),
+            s AS (SELECT doc_id,
+                    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM base),
+            p AS (SELECT doc_id, (n_lines + 11) // 12 AS np FROM s)
+         SELECT doc_id,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 1 ELSE np END AS INT) AS n_pages,
+                (doc_id % 37 = 17) AS encrypted,
+                CASE WHEN doc_id % 37 IN (5, 17) THEN NULL
+                     ELSE 'Doc ' || doc_id || ' ü' END AS title,
+                CASE WHEN doc_id % 37 IN (5, 17) THEN NULL
+                     ELSE 'Author ' || (doc_id % 7) END AS author,
+                CASE WHEN doc_id % 37 IN (5, 17) THEN NULL
+                     ELSE 'graft 1.0' END AS producer,
+                CASE WHEN doc_id % 37 IN (5, 17) THEN NULL
+                     ELSE 'D:202601' ||
+                          lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                          || '000000Z' END AS created
+         FROM p ORDER BY doc_id""",
     "src_pdf_text" ->
       """WITH base AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 37 <> 0),

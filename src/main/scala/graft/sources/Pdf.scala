@@ -49,7 +49,9 @@ object Pdf {
   private[sources] val MaxStreamBytes = 128L << 20
 
   final case class Doc(nObjects: Int, nPages: Int, nStreams: Int,
-                       encrypted: Boolean, text: String)
+                       encrypted: Boolean, text: String,
+                       title: String = null, author: String = null,
+                       producer: String = null, created: String = null)
 
   // ---------------------------------------------------------------
   // byte helpers
@@ -538,11 +540,13 @@ object Pdf {
     val objs = byNum.values.toSeq
     val nStreams = objs.count(_.hasStream)
 
-    // encryption: /Encrypt in a trailer dict (classic trailer keyword,
-    // or an appended xref-stream trailer shape: /Encrypt alongside /Root)
+    // encryption + /Info from trailer dicts (classic trailer keyword,
+    // or an appended xref-stream trailer shape: /Encrypt alongside
+    // /Root); the LAST trailer's /Info wins (incremental update)
     var encrypted = false
+    var infoRef = -1
     var tp = indexOf(b, 0, "trailer")
-    while (!encrypted && tp >= 0) {
+    while (tp >= 0) {
       var q = tp + 7
       while (q < b.length && isWs(b(q))) q += 1
       if (startsWith(b, q, "<<")) {
@@ -550,6 +554,8 @@ object Pdf {
         if (e > 0) {
           val d = new String(b, q, e - q, "ISO-8859-1")
           if (hasKey(d, "/Encrypt")) encrypted = true
+          val r = refAfter(d, "/Info")
+          if (r >= 0) infoRef = r
         }
       }
       tp = indexOf(b, tp + 7, "trailer")
@@ -616,7 +622,44 @@ object Pdf {
         }
         new String(bos.toByteArray, "UTF-8")
       }
-    Doc(objs.size, pages.size, nStreams, encrypted, text)
+    // document-information dictionary: strings are ENCRYPTED in an
+    // encrypted PDF — withheld there, same contract as the text
+    var title: String = null
+    var author: String = null
+    var producer: String = null
+    var created: String = null
+    if (!encrypted && infoRef >= 0) byNum.get(infoRef).foreach { o =>
+      title = dictString(o.dict, "/Title")
+      author = dictString(o.dict, "/Author")
+      producer = dictString(o.dict, "/Producer")
+      created = dictString(o.dict, "/CreationDate")
+    }
+    Doc(objs.size, pages.size, nStreams, encrypted, text,
+      title, author, producer, created)
+  }
+
+  /** A dict entry's STRING value (`/Key (literal)` or `/Key <hex>`),
+    * escape-decoded at the byte level; a UTF-16BE BOM selects that
+    * decoding, else PDFDocEncoding's Latin-1 core. Null when absent or
+    * not a string. */
+  private def dictString(dict: String, key: String): String = {
+    val i = keyPos(dict, key)
+    if (i < 0) return null
+    var j = i + key.length
+    while (j < dict.length && (dict.charAt(j) == ' ' || dict.charAt(j) == '\n' ||
+      dict.charAt(j) == '\r' || dict.charAt(j) == '\t')) j += 1
+    if (j >= dict.length) return null
+    val bos = new java.io.ByteArrayOutputStream()
+    // the dict came through Latin-1, so char codes ARE the bytes
+    val bytes = dict.substring(j).getBytes("ISO-8859-1")
+    if (bytes(0) == '(') literalString(bytes, 0, bos)
+    else if (bytes(0) == '<' && (bytes.length < 2 || bytes(1) != '<'))
+      hexString(bytes, 0, bos)
+    else return null
+    val v = bos.toByteArray
+    if (v.length >= 2 && (v(0) & 0xff) == 0xfe && (v(1) & 0xff) == 0xff)
+      new String(v, 2, v.length - 2, "UTF-16BE")
+    else new String(v, "ISO-8859-1")
   }
 
   /** Extracted text only (null on non-PDF / nothing legible). */
@@ -659,7 +702,8 @@ object Pdf {
     * inflate). `encrypted=true` appends a stub `/Encrypt` dictionary
     * and marks the trailer — structure stays legible, text must not. */
   def build(text: String, deflatePages: Boolean,
-            linesPerPage: Int = 12, encrypted: Boolean = false): Array[Byte] = {
+            linesPerPage: Int = 12, encrypted: Boolean = false,
+            info: Seq[(String, String, Boolean)] = Seq.empty): Array[Byte] = {
     require(linesPerPage > 0, "linesPerPage must be positive")
     val lines = text.split("\n", -1)
     val pageLines = lines.grouped(linesPerPage).toSeq
@@ -703,16 +747,41 @@ object Pdf {
       }
     }
     var size = firstPageObj + 2 * nPages
+    var encObj = -1
     if (encrypted) {
       obj(size)(w("<< /Filter /Standard /V 1 /R 2 /P -44 >>"))
+      encObj = size
+      size += 1
+    }
+    // the document-information dictionary goes LAST — where real
+    // writers put it, and why a torn download loses metadata first.
+    // info entries: (key, value, utf16?) — utf16 writes the BOM'd
+    // UTF-16BE byte string real producers emit for non-Latin titles
+    var infoObj = -1
+    if (info.nonEmpty) {
+      obj(size) {
+        w("<< ")
+        info.foreach { case (k, v, utf16) =>
+          val raw =
+            if (utf16) Array[Byte](0xfe.toByte, 0xff.toByte) ++
+              v.getBytes("UTF-16BE")
+            else v.getBytes("ISO-8859-1")
+          w(s"/$k (")
+          bos.write(escapeLiteral(raw))
+          w(") ")
+        }
+        w(">>")
+      }
+      infoObj = size
       size += 1
     }
     val xrefOff = bos.size()
     w(s"xref\n0 $size\n")
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    val enc = if (encrypted) s" /Encrypt ${size - 1} 0 R" else ""
-    w(s"trailer\n<< /Size $size /Root 1 0 R$enc >>\nstartxref\n$xrefOff\n%%EOF\n")
+    val enc = if (encObj >= 0) s" /Encrypt $encObj 0 R" else ""
+    val inf = if (infoObj >= 0) s" /Info $infoObj 0 R" else ""
+    w(s"trailer\n<< /Size $size /Root 1 0 R$enc$inf >>\nstartxref\n$xrefOff\n%%EOF\n")
     bos.toByteArray
   }
 
@@ -734,6 +803,41 @@ object Pdf {
     * Pure map. */
   def textColumn(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     E.column(PdfRead(E.expression(payload))).getField("text")
+
+  /** PDF blobs with id-derived DOCUMENT-INFORMATION dictionaries (the
+    * metadata twin of [[synthesizePdfPayloads]]): every non-plant id
+    * carries /Title (UTF-16BE with BOM on odd ids — how real producers
+    * write non-Latin titles), /Author, /Producer, /CreationDate, the
+    * info object written LAST like real writers do. Plants: id%37==0
+    * md5 garbage (no row), id%37==5 TORN in the first content stream —
+    * the trailing info object is lost with it (a torn download loses
+    * metadata first), id%37==17 ENCRYPTED (info strings are encrypted
+    * in a real encrypted PDF: withheld, never ciphertext). */
+  def synthesizePdfInfoPayloads(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, text) =>
+        val payload =
+          if (id % 37 == 0)
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](16)
+          else {
+            val full = build(text, deflatePages = id % 2 == 1,
+              encrypted = id % 37 == 17,
+              info = Seq(
+                ("Title", s"Doc $id ü", id % 2 == 1),
+                ("Author", s"Author ${id % 7}", false),
+                ("Producer", "graft 1.0", false),
+                ("CreationDate", f"D:202601${1 + id % 28}%02d000000Z", false)))
+            if (id % 37 == 5) {
+              val cut = indexOf(full, 0, "stream\n") + 17
+              full.take(cut)
+            } else full
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
 
   /** PDF blobs with id-derived plants over the documents table (the
     * [[Zip.synthesizeZipPayloads]] convention): the document text laid
@@ -774,9 +878,10 @@ case class PdfRead(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val d = Pdf.parse(input.asInstanceOf[Array[Byte]])
+    def s(x: String) = if (x == null) null else UTF8String.fromString(x)
     if (d == null) null
     else InternalRow(d.nObjects, d.nPages, d.nStreams, d.encrypted,
-      if (d.text == null) null else UTF8String.fromString(d.text))
+      s(d.text), s(d.title), s(d.author), s(d.producer), s(d.created))
   }
 
   // non-PDF bytes read as a NULL struct whatever the child's
@@ -794,7 +899,11 @@ case class PdfRead(child: Expression)
     StructField("n_pages", IntegerType, nullable = false),
     StructField("n_streams", IntegerType, nullable = false),
     StructField("encrypted", BooleanType, nullable = false),
-    StructField("text", StringType, nullable = true)))
+    StructField("text", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("author", StringType, nullable = true),
+    StructField("producer", StringType, nullable = true),
+    StructField("created", StringType, nullable = true)))
   override protected def withNewChildInternal(newChild: Expression): PdfRead =
     copy(child = newChild)
   override def prettyName: String = "pdf_doc"

@@ -214,6 +214,43 @@ trailer << /Size 5 /Root 1 0 R >>
     assert(d.text == null)
   }
 
+  test("info dictionary: UTF-16/Latin-1/hex strings, torn loses it, encrypted withholds") {
+    val info = Seq(("Title", "Tïtle 中", true), ("Author", "Aüthor", false),
+      ("Producer", "graft 1.0", false), ("CreationDate", "D:20260101", false))
+    val b = Pdf.build("body text", deflatePages = false, info = info)
+    val d = Pdf.parse(b)
+    assert(d.title == "Tïtle 中" && d.author == "Aüthor")
+    assert(d.producer == "graft 1.0" && d.created == "D:20260101")
+    // hex-string form
+    val hexTitle = "FEFF" + "Hi!".getBytes("UTF-16BE").map("%02X".format(_)).mkString
+    val pdf =
+      s"""%PDF-1.4
+1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+3 0 obj << /Type /Page /Parent 2 0 R >> endobj
+4 0 obj << /Title <$hexTitle> >> endobj
+trailer << /Size 5 /Root 1 0 R /Info 4 0 R >>
+%%EOF
+"""
+    assert(Pdf.parse(pdf.getBytes("ISO-8859-1")).title == "Hi!")
+    // torn: the info object rides LAST, the cut in the first content
+    // stream loses it (metadata goes first on a torn download)
+    val cut = {
+      var i = 0; var at = -1
+      while (at < 0 && i < b.length - 7) {
+        if (b(i) == 's' && new String(b, i, 7, "ISO-8859-1") == "stream\n") at = i
+        i += 1
+      }
+      at + 17
+    }
+    val torn = Pdf.parse(b.take(cut))
+    assert(torn.title == null && torn.producer == null && torn.nPages == 1)
+    // encrypted: structure stands, strings withheld
+    val enc = Pdf.parse(Pdf.build("x", deflatePages = false,
+      encrypted = true, info = info))
+    assert(enc.encrypted && enc.title == null && enc.created == null)
+  }
+
   test("Spark read path: plants fall out exactly as declared") {
     val spark = graft.operators.SharedSpark.session
     import spark.implicits._
