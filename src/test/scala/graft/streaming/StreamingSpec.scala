@@ -273,6 +273,26 @@ class StreamingSpec extends AnyFunSuite {
       docs.toDF("doc_id", "text").select("doc_id"), "doc_id")
     stream("ogg_stream_out", oggBlobs,
       df => graft.pipeline.Multimodal.probeOggStreams(df, "payload"))
+    stream("oggtags_stream_out", oggBlobs,
+      df => graft.pipeline.Multimodal.probeOggTags(df, "payload"))
+    // r16 PNG text-chunk walk + PDF /Info + HTTP wire decode: pure maps
+    val pngBlobs = graft.pipeline.Multimodal.synthesizePngMetaPayloads(
+      docs.toDF("doc_id", "text").select("doc_id"), "doc_id")
+    stream("pngmeta_stream_out", pngBlobs,
+      df => graft.pipeline.Multimodal.probePngMeta(df, "payload"))
+    val pdfInfoBlobs = graft.sources.Pdf.synthesizePdfInfoPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    stream("pdfinfo_stream_out", pdfInfoBlobs,
+      df => graft.sources.Pdf.read(df, "payload"))
+    val httpEncBlobs = graft.sources.Warc.synthesizeWarcHttpEncodedPayloads(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    stream("httpbody_stream_out", httpEncBlobs, { df =>
+      graft.sources.Warc.httpBody(
+        graft.sources.Warc.records(df, "payload")
+          .where(col("warc_type") === "response").drop("content_type"),
+        "payload")
+        .withColumn("body", col("body").cast("string"))
+    })
   }
 
   test("streaming sitemap explode: the frontier seed runs unchanged on a stream") {
