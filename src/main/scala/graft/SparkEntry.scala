@@ -4510,6 +4510,42 @@ object SparkEntry {
         .select(col("doc_id"), col("loc"), col("allowed"))
         .orderBy("doc_id", "loc")
     },
+    "pipeline_http_charset" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the HTML5 charset precedence ladder a crawl text pass
+      // actually runs — header charset= param → BOM → <meta charset>
+      // → the windows-1252 legacy default — incl. the ALIAS RULE:
+      // an iso-8859-1 label decodes as cp1252 (browsers never decode
+      // true Latin-1; € œ – live in 0x80–0x9F), or route 2's € would
+      // read as a control char. Routes by id%6; id%37==0 garbage
+      val blobs = sources.Warc.synthesizeWarcHttpCharsetPayloads(
+        s.table("documents"), "doc_id")
+      sources.Warc.httpText(
+          sources.Warc.records(blobs, "payload")
+            .where(col("warc_type") === "response")
+            .drop("content_type"), "payload")
+        .select(col("doc_id"), col("charset"), col("charset_source"),
+          col("text"))
+        .orderBy("doc_id")
+    },
+    "pipeline_robots_directives" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the SCHEDULING half of robots.txt — Crawl-delay (exact
+      // decimal seconds → integer ms, same group selection as the
+      // allow/disallow gate) + the group-independent Sitemap:
+      // discovery lines that SEED the sitemap frontier. Plants:
+      // id%37==0 junk text (null delay, no sitemaps), id%37==5
+      // unparsable delay values (null, never a guessed pace)
+      import org.apache.spark.sql.graftshim.{GraftShim => E}
+      val bodies = pipeline.RobotsFixtures.synthesizeRobotsBodies(
+        s.table("documents"), "doc_id")
+      bodies.withColumn("__d", E.column(pipeline.RobotsDirectives(
+          E.expression(col("robots_txt")), "graftbot")))
+        .select(col("doc_id"),
+          col("__d.crawl_delay_ms").as("crawl_delay_ms"),
+          array_join(col("__d.sitemaps"), ",").as("sitemaps_csv"))
+        .orderBy("doc_id")
+    },
     "pipeline_http_decode" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: HTTP WIRE DECODING — what a RAW capture needs before any
@@ -7245,6 +7281,35 @@ object SparkEntry {
                 (NOT starts_with(path, '/page/4')
                  OR starts_with(path, '/page/44')) AS allowed
          FROM f ORDER BY doc_id, loc""",
+    "pipeline_http_charset" ->
+      """WITH base AS (SELECT doc_id, doc_id % 6 AS r FROM documents
+                WHERE doc_id % 37 <> 0)
+         SELECT doc_id,
+                CASE WHEN r IN (0, 3, 5) THEN 'utf-8'
+                     ELSE 'windows-1252' END AS charset,
+                CASE WHEN r IN (0, 1, 2) THEN 'header'
+                     WHEN r = 3 THEN 'meta'
+                     WHEN r = 5 THEN 'bom'
+                     ELSE 'default' END AS charset_source,
+                CASE r
+                  WHEN 0 THEN 'Café № δοκιμή 😀 ' || doc_id
+                  WHEN 1 THEN 'Café œuvre €99 – dash ' || doc_id
+                  WHEN 2 THEN 'Alias € äöü ' || doc_id
+                  WHEN 3 THEN '<meta charset="utf-8"><p>Mütze δ ' || doc_id || '</p>'
+                  WHEN 4 THEN 'Plain fallback ± ' || doc_id
+                  ELSE 'Bom ✓ ' || doc_id END AS text
+         FROM base ORDER BY doc_id""",
+    "pipeline_robots_directives" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 37 IN (0, 5) THEN NULL
+                     WHEN doc_id % 3 = 0 THEN (doc_id % 5) * 1000 + 500
+                     ELSE (doc_id % 7) * 1000 END AS INT) AS crawl_delay_ms,
+                CASE WHEN doc_id % 37 = 0 THEN ''
+                     ELSE 'https://example.com/sm_' || doc_id || '_1.xml' ||
+                          CASE WHEN doc_id % 2 = 1
+                               THEN ',https://example.com/sm_' || doc_id || '_2.xml'
+                               ELSE '' END END AS sitemaps_csv
+         FROM documents ORDER BY doc_id""",
     "pipeline_http_decode" ->
       """WITH base AS (SELECT doc_id, text, doc_id % 4 AS enc,
                        (length(text) + 99) // 100 AS nch

@@ -38,15 +38,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression: one broadcast join, zero corpus shuffles. */
 object Robots {
 
-  /** Parse `robotsTxt` and return the rules applicable to `userAgent`
-    * as (allow, rawPath) pairs, document order. */
-  def rulesFor(robotsTxt: String, userAgent: String): Seq[(Boolean, String)] = {
-    if (robotsTxt == null) return Seq.empty
-    val ua = userAgent.trim.toLowerCase
-    // groups under construction: (ua tokens, rules)
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String],
-              scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+  private final class RGroup {
+    val uas = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var delay: String = null // first Crawl-delay line wins within a group
+  }
+
+  /** The shared line walk: rule groups (with their crawl-delay) plus
+    * the group-independent `Sitemap:` directives, document order. */
+  private def parseGroups(robotsTxt: String): (Seq[RGroup], Seq[String]) = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[RGroup]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var openUa = false // last meaningful line was a user-agent line
     robotsTxt.split("\r\n|\n|\r", -1).foreach { raw =>
       val line = raw.indexOf('#') match {
@@ -60,24 +62,82 @@ object Robots {
         field match {
           case "user-agent" =>
             if (!openUa || groups.isEmpty) {
-              groups += ((scala.collection.mutable.ArrayBuffer.empty[String],
-                scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]))
+              groups += new RGroup
               openUa = true
             }
-            groups.last._1 += value.toLowerCase
+            groups.last.uas += value.toLowerCase
           case "allow" | "disallow" =>
             openUa = false
             // rules before any user-agent line have no group: ignored
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += ((field == "allow", value))
+              groups.last.rules += ((field == "allow", value))
             ()
-          case _ => openUa = false // sitemap, crawl-delay, unknown: skip
+          case "crawl-delay" =>
+            openUa = false
+            if (groups.nonEmpty && groups.last.delay == null && value.nonEmpty)
+              groups.last.delay = value
+          case "sitemap" =>
+            openUa = false
+            // group-INDEPENDENT per the sitemaps protocol: collected
+            // globally wherever the line sits
+            if (value.nonEmpty) sitemaps += value
+          case _ => openUa = false // unknown fields: skip
         }
       }
     }
-    val exact = groups.filter(_._1.contains(ua)).flatMap(_._2)
-    if (exact.nonEmpty || groups.exists(_._1.contains(ua))) exact.toSeq
-    else groups.filter(_._1.contains("*")).flatMap(_._2).toSeq
+    (groups.toSeq, sitemaps.toSeq)
+  }
+
+  /** Parse `robotsTxt` and return the rules applicable to `userAgent`
+    * as (allow, rawPath) pairs, document order. */
+  def rulesFor(robotsTxt: String, userAgent: String): Seq[(Boolean, String)] = {
+    if (robotsTxt == null) return Seq.empty
+    val ua = userAgent.trim.toLowerCase
+    val (groups, _) = parseGroups(robotsTxt)
+    val exact = groups.filter(_.uas.contains(ua)).flatMap(_.rules)
+    if (exact.nonEmpty || groups.exists(_.uas.contains(ua))) exact.toSeq
+    else groups.filter(_.uas.contains("*")).flatMap(_.rules).toSeq
+  }
+
+  /** Crawl-delay for the crawler — the de-facto politeness directive
+    * (not in RFC 9309, honored by most non-Google crawlers): the same
+    * group selection as [[rulesFor]] (exact-token groups, else `*`),
+    * first delay among the selected groups, parsed as an EXACT decimal
+    * (Yandex-style fractional seconds legal) into integer
+    * MILLISECONDS; malformed or out-of-range (>1h) reads null, never a
+    * guessed pace. */
+  def crawlDelayMs(robotsTxt: String, userAgent: String): Integer = {
+    if (robotsTxt == null) return null
+    val ua = userAgent.trim.toLowerCase
+    val (groups, _) = parseGroups(robotsTxt)
+    val exactGroups = groups.filter(_.uas.contains(ua))
+    val selected = if (exactGroups.nonEmpty) exactGroups
+                   else groups.filter(_.uas.contains("*"))
+    selected.iterator.map(_.delay).collectFirst { case d if d != null => d }
+      .map(parseDelayMs).orNull
+  }
+
+  private def parseDelayMs(s: String): Integer = {
+    val t = s.trim
+    if (t.isEmpty || t.length > 12) return null
+    val dot = t.indexOf('.')
+    val (ip, fp) = if (dot < 0) (t, "") else (t.substring(0, dot), t.substring(dot + 1))
+    if (ip.isEmpty && fp.isEmpty) return null
+    if (!(ip.forall(_.isDigit) && fp.forall(_.isDigit))) return null
+    if (fp.length > 3 && fp.drop(3).exists(_ != '0')) return null
+    val ipv = if (ip.isEmpty) 0L else ip.toLong
+    if (ipv > 3600L) return null // >1h is hostile, not politeness
+    val f3 = (fp + "000").substring(0, 3)
+    val v = ipv * 1000L + f3.toInt
+    if (v > 3600000L) null else Integer.valueOf(v.toInt)
+  }
+
+  /** The `Sitemap:` directives — how a crawler DISCOVERS the frontier
+    * seed [[Sitemaps]] then parses; group-independent, document
+    * order, duplicates kept (the caller's dedup is a distinct). */
+  def sitemapUrls(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Seq.empty
+    parseGroups(robotsTxt)._2
   }
 
   /** RFC 9309 rule-path match: anchored at the path start, `*` matches
@@ -152,6 +212,69 @@ object Robots {
 /** robots_rules(txt) → array<struct<allow boolean, rule string>> — the
   * [[Robots.rulesFor]] group selection for a CONSTANT user-agent token
   * as a scalar expression (runs on the small per-domain side). */
+object RobotsFixtures {
+  import org.apache.spark.sql.functions.col
+
+  /** Per-doc robots bodies exercising the directive surface: an
+    * exact-token `graftbot` group on id%3==0 (delay `<id%5>.5` s), a
+    * `*` group (delay `<id%7>` s), one or two `Sitemap:` lines.
+    * Plants: id%37==0 junk text (no directives at all — delay null,
+    * sitemaps empty), id%37==5 unparsable delay VALUES in both groups
+    * (a malformed politeness number must read null, never a guessed
+    * pace). */
+  def synthesizeRobotsBodies(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val txt =
+        if (id % 37 == 0) s"deadbeef junk ${id} no directives here"
+        else {
+          val exactDelay = if (id % 37 == 5) "soon" else s"${id % 5}.5"
+          val starDelay = if (id % 37 == 5) "whenever" else (id % 7).toString
+          val exact =
+            if (id % 3 == 0)
+              s"User-agent: graftbot\nCrawl-delay: $exactDelay\nDisallow: /private\n\n"
+            else ""
+          val star = s"User-agent: *\nCrawl-delay: $starDelay\nAllow: /\n"
+          val maps = s"Sitemap: https://example.com/sm_${id}_1.xml\n" +
+            (if (id % 2 == 1) s"Sitemap: https://example.com/sm_${id}_2.xml\n"
+             else "")
+          s"# graft fixture\n$exact$star$maps"
+        }
+      (id, txt)
+    }.toDF("doc_id", "robots_txt")
+  }
+}
+
+/** robots_directives(txt) → struct<crawl_delay_ms, sitemaps> — the
+  * scheduling half of the robots file: [[Robots.crawlDelayMs]] for the
+  * configured crawler plus the group-independent `Sitemap:` discovery
+  * list. Pure map over per-domain rows. */
+case class RobotsDirectives(child: Expression, userAgent: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullSafeEval(input: Any): Any = {
+    val txt = input.asInstanceOf[UTF8String].toString
+    val d = Robots.crawlDelayMs(txt, userAgent)
+    val sm = Robots.sitemapUrls(txt)
+    InternalRow(if (d == null) null else d.intValue(),
+      new GenericArrayData(sm.map(UTF8String.fromString).toArray[Any]))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"robots_directives expects STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("crawl_delay_ms", IntegerType, nullable = true),
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override protected def withNewChildInternal(newChild: Expression): RobotsDirectives =
+    copy(child = newChild)
+  override def prettyName: String = "robots_directives"
+}
+
 case class RobotsRules(child: Expression, userAgent: String)
     extends UnaryExpression with CodegenFallback {
 

@@ -369,6 +369,119 @@ object Warc {
     } catch { case _: java.io.IOException => null }
   }
 
+  /** Resolve the charset an HTML/text HTTP body must decode with —
+    * the HTML5 precedence a crawl text pass actually needs: 1) the
+    * `charset=` parameter on the Content-Type header, 2) a BOM, 3) a
+    * `<meta charset=…>` / `<meta http-equiv=content-type …>` tag in
+    * the first 1024 bytes, 4) the windows-1252 legacy default. The
+    * HTML5 ALIAS RULE is applied: `iso-8859-1`/`latin1`/`us-ascii`
+    * labels decode as windows-1252 (browsers never decode true
+    * Latin-1 — 0x80–0x9F are cp1252's €, œ, –, …), an unknown label
+    * falls through to the next source. Returns (java charset label
+    * lowercased, source ∈ header|bom|meta|default, bytes to skip). */
+  private[sources] def resolveCharset(contentType: String,
+                                      body: Array[Byte]): (String, String, Int) = {
+    def mapLabel(l: String): String = l.toLowerCase(java.util.Locale.ROOT) match {
+      case "utf-8" | "utf8" => "utf-8"
+      case "iso-8859-1" | "latin1" | "us-ascii" | "ascii" |
+           "windows-1252" | "cp1252" => "windows-1252"
+      case "utf-16" | "utf-16be" => "utf-16be"
+      case "utf-16le" => "utf-16le"
+      case "iso-8859-15" | "latin9" => "iso-8859-15"
+      case _ => null
+    }
+    val headerRe = "(?i)charset\\s*=\\s*\"?([A-Za-z0-9._:-]+)\"?".r
+    if (contentType != null) {
+      headerRe.findFirstMatchIn(contentType)
+        .map(m => mapLabel(m.group(1))).filter(_ != null) match {
+        case Some(cs) => return (cs, "header", 0)
+        case None =>
+      }
+    }
+    if (body != null && body.length >= 2) {
+      if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+          (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+        return ("utf-8", "bom", 3)
+      if ((body(0) & 0xff) == 0xfe && (body(1) & 0xff) == 0xff)
+        return ("utf-16be", "bom", 2)
+      if ((body(0) & 0xff) == 0xff && (body(1) & 0xff) == 0xfe)
+        return ("utf-16le", "bom", 2)
+    }
+    if (body != null && body.length > 0) {
+      val win = new String(body, 0, math.min(body.length, 1024), "ISO-8859-1")
+        .toLowerCase(java.util.Locale.ROOT)
+      val metaRe = "<meta\\s+charset\\s*=\\s*[\"']?([a-z0-9._:-]+)".r
+      val equivRe = ("<meta[^>]*http-equiv\\s*=\\s*[\"']?content-type[\"']?" +
+        "[^>]*content\\s*=\\s*[\"'][^\"']*charset=([a-z0-9._:-]+)").r
+      val hit = metaRe.findFirstMatchIn(win).map(_.group(1))
+        .orElse(equivRe.findFirstMatchIn(win).map(_.group(1)))
+        .map(mapLabel).filter(_ != null)
+      hit match {
+        case Some(cs) => return (cs, "meta", 0)
+        case None =>
+      }
+    }
+    ("windows-1252", "default", 0)
+  }
+
+  private[sources] def javaCharset(label: String): java.nio.charset.Charset =
+    label match {
+      case "utf-8" => java.nio.charset.StandardCharsets.UTF_8
+      case "windows-1252" => java.nio.charset.Charset.forName("windows-1252")
+      case "utf-16be" => java.nio.charset.StandardCharsets.UTF_16BE
+      case "utf-16le" => java.nio.charset.StandardCharsets.UTF_16LE
+      case "iso-8859-15" => java.nio.charset.Charset.forName("ISO-8859-15")
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+
+  /** [[HttpText]] over a payload column: the full wire-to-string pass
+    * (dechunk → gunzip → charset-resolve → decode). */
+  def httpText(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("__h", E.column(HttpText(E.expression(col(payloadCol)))))
+      .select(df.columns.filterNot(_ == payloadCol).map(col).toSeq :+ col("__h.*"): _*)
+
+  /** WARC members exercising the CHARSET precedence ladder — the
+    * [[httpText]] fixture, id%6 routes: 0 utf-8 via header (full
+    * unicode), 1 windows-1252 via header (€ œ – live in 0x80–0x9F),
+    * 2 the HTML5 ALIAS RULE (bytes are cp1252, the header LIES
+    * `iso-8859-1` — browsers decode cp1252 and so must we, or € reads
+    * as a control char), 3 `<meta charset>` with no header param,
+    * 4 no declaration anywhere → the windows-1252 legacy default,
+    * 5 a UTF-8 BOM with no header/meta. Plant: id%37==0 md5 garbage
+    * (no record). */
+  def synthesizeWarcHttpCharsetPayloads(docs: DataFrame,
+                                        idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 37 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](8)
+        else {
+          val route = (id % 6).toInt
+          val (ctype, body) = route match {
+            case 0 => ("text/html; charset=utf-8",
+              s"Café № δοκιμή 😀 $id".getBytes("UTF-8"))
+            case 1 => ("text/html; charset=windows-1252",
+              s"Café œuvre €99 – dash $id".getBytes("windows-1252"))
+            case 2 => ("text/html; charset=iso-8859-1",
+              s"Alias € äöü $id".getBytes("windows-1252"))
+            case 3 => ("text/html",
+              s"""<meta charset="utf-8"><p>Mütze δ $id</p>""".getBytes("UTF-8"))
+            case 4 => ("text/html",
+              s"Plain fallback ± $id".getBytes("windows-1252"))
+            case _ => ("text/html",
+              Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                s"Bom ✓ $id".getBytes("UTF-8"))
+          }
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          buildMember(Seq(("response", s"https://example.com/cs/$id", http)))
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** Split + DECODE an HTTP response body ([[HttpBody]]): status,
     * content type, the transfer/content encodings applied in protocol
     * order (dechunk, then gunzip), the complete-chunk count, and a
@@ -681,6 +794,60 @@ case class HttpBody(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): HttpBody =
     copy(child = newChild)
   override def prettyName: String = "http_body"
+}
+
+/** http_text(binary) → struct<status, content_type, charset,
+  * charset_source, text> — the full wire-to-string pass: [[HttpBody]]'s
+  * decode (dechunk → gunzip) followed by [[Warc.resolveCharset]]'s
+  * HTML5 precedence (header param → BOM → meta tag → windows-1252
+  * default, with the iso-8859-1→cp1252 alias rule) and the actual
+  * charset decode. `text` is null when the entity didn't fully decode
+  * (truncated chunks / refused gzip) — wire damage never becomes
+  * mojibake. Null struct on non-HTTP bytes. Pure map. */
+case class HttpText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val bodyExpr = HttpBody(child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val inner = bodyExpr.nullSafeEval(input)
+    if (inner == null) return null
+    val row = inner.asInstanceOf[InternalRow]
+    val status = row.getInt(0)
+    val ctype = if (row.isNullAt(1)) null else row.getUTF8String(1).toString
+    val truncated = row.getBoolean(5)
+    val body = if (row.isNullAt(6)) null else row.getBinary(6)
+    val (cs, src, skip) = Warc.resolveCharset(ctype, body)
+    val text =
+      if (body == null || truncated) null
+      else {
+        val s = new String(body, skip, body.length - skip, Warc.javaCharset(cs))
+        // a BOM that survived a UTF-16 "utf-16" label decode is noise
+        if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+      }
+    InternalRow(status,
+      if (ctype == null) null else UTF8String.fromString(ctype),
+      UTF8String.fromString(cs), UTF8String.fromString(src),
+      if (text == null) null else UTF8String.fromString(text))
+  }
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"http_text expects BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = false),
+    StructField("charset_source", StringType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+  override protected def withNewChildInternal(newChild: Expression): HttpText =
+    copy(child = newChild)
+  override def prettyName: String = "http_text"
 }
 
 /** warc_records(binary) → array<struct<warc_type, target_uri,

@@ -107,4 +107,36 @@ class RobotsSpec extends AnyFunSuite {
       (3L, false, Some("/")),
       (4L, true, None)), s"$got")
   }
+
+  test("crawl-delay: group selection, exact decimal ms, bounds loud-by-null") {
+    val txt = "User-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 7\nAllow: /\n"
+    assert(Robots.crawlDelayMs(txt, "graftbot") == 500)
+    assert(Robots.crawlDelayMs(txt, "otherbot") == 7000)
+    // first delay in a group wins; fractional seconds exact
+    val multi = "User-agent: *\nCrawl-delay: 1.25\nCrawl-delay: 9\n"
+    assert(Robots.crawlDelayMs(multi, "x") == 1250)
+    // exact group with NO delay does not fall through to *
+    val noDelay = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 3\n"
+    assert(Robots.crawlDelayMs(noDelay, "graftbot") == null)
+    // malformed / out-of-range / sub-ms precision: null, never a guess
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: soon\n", "x") == null)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 4000\n", "x") == null)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 0.0005\n", "x") == null)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 3600\n", "x") == 3600000)
+    assert(Robots.crawlDelayMs(null, "x") == null)
+    assert(Robots.crawlDelayMs("no groups here", "x") == null)
+  }
+
+  test("sitemap directives collect globally across groups, document order") {
+    val txt = "Sitemap: https://a/s1.xml\nUser-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a/s2.xml\n# comment\nSitemap: https://a/s1.xml\n"
+    assert(Robots.sitemapUrls(txt) == Seq("https://a/s1.xml",
+      "https://a/s2.xml", "https://a/s1.xml")) // duplicates kept
+    assert(Robots.sitemapUrls("nothing").isEmpty)
+    assert(Robots.sitemapUrls(null).isEmpty)
+    // the rule gate is unaffected by directive lines (parity guard)
+    val rules = Robots.rulesFor(txt, "anybot")
+    assert(rules == Seq((false, "/x")))
+  }
 }
