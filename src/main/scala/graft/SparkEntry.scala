@@ -4510,6 +4510,46 @@ object SparkEntry {
         .select(col("doc_id"), col("loc"), col("allowed"))
         .orderBy("doc_id", "loc")
     },
+    "pipeline_fetch_schedule" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: the crawl-control capstone — the three per-domain control
+      // surfaces composed into the artifact a fetcher actually
+      // executes: sitemap URLs (the site's frontier seed, with its
+      // priorities) → robots ALLOW gate → Crawl-delay pacing: per
+      // domain, allowed URLs rank by (priority desc, loc) and fetch at
+      // (rank-1)·delay offsets (1 s politeness default when the delay
+      // is absent/unparsable). Window partitions per DOMAIN — bounded
+      // by the 50k sitemap cap, never a corpus-wide sort
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graftshim.{GraftShim => E}
+      val maps = pipeline.Sitemaps.synthesizeSitemaps(
+        s.table("documents"), "doc_id")
+      val urls = pipeline.Sitemaps.explode(maps, "sitemap_xml")
+        .where(col("kind") === "url")
+        .select("doc_id", "loc", "priority_milli")
+      val parts = pipeline.TextAnalysis.urlParts(urls, "loc")
+      val robotsRules = s.createDataFrame(Seq(
+        ("example.com",
+          "User-agent: *\nDisallow: /page/4\nAllow: /page/44\n")))
+        .toDF("rdomain", "robots_txt")
+      val gated = pipeline.Robots.gate(parts, "domain", "path",
+          robotsRules, "rdomain", "robots_txt", "graftbot")
+        .where(col("allowed"))
+        .select("doc_id", "loc", "priority_milli")
+      val delays = pipeline.RobotsFixtures.synthesizeRobotsBodies(
+          s.table("documents"), "doc_id")
+        .withColumn("__d", E.column(pipeline.RobotsDirectives(
+          E.expression(col("robots_txt")), "graftbot")))
+        .select(col("doc_id"),
+          coalesce(col("__d.crawl_delay_ms"), lit(1000)).as("delay_ms"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("priority_milli").desc, col("loc"))
+      gated.join(delays, "doc_id")
+        .withColumn("fetch_offset_ms",
+          (row_number().over(w) - 1).cast("long") * col("delay_ms"))
+        .select("doc_id", "loc", "priority_milli", "fetch_offset_ms")
+        .orderBy("doc_id", "fetch_offset_ms", "loc")
+    },
     "pipeline_http_charset" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: the HTML5 charset precedence ladder a crawl text pass
@@ -7281,6 +7321,34 @@ object SparkEntry {
                 (NOT starts_with(path, '/page/4')
                  OR starts_with(path, '/page/44')) AS allowed
          FROM f ORDER BY doc_id, loc""",
+    "pipeline_fetch_schedule" ->
+      """WITH base AS (SELECT doc_id FROM documents
+                WHERE doc_id % 37 NOT IN (0, 11)),
+            u AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+                FROM base),
+            keep AS (SELECT doc_id, k FROM u
+                WHERE doc_id % 37 <> 5 OR k < doc_id % 3),
+            f AS (SELECT doc_id, k,
+                'https://example.com/page/' || doc_id || '/' || k
+                  || '?k=' || k || '&v=' || doc_id AS loc,
+                CAST(((doc_id + k) % 11) * 100 AS INT) AS priority_milli,
+                '/page/' || doc_id || '/' || k AS path
+              FROM keep),
+            a AS (SELECT * FROM f
+              WHERE NOT starts_with(path, '/page/4')
+                 OR starts_with(path, '/page/44')),
+            d AS (SELECT doc_id,
+                CASE WHEN doc_id % 37 = 5 THEN 1000
+                     WHEN doc_id % 3 = 0 THEN (doc_id % 5) * 1000 + 500
+                     ELSE (doc_id % 7) * 1000 END AS delay_ms
+              FROM base),
+            r AS (SELECT a.doc_id, a.loc, a.priority_milli, d.delay_ms,
+                row_number() OVER (PARTITION BY a.doc_id
+                  ORDER BY a.priority_milli DESC, a.loc) AS rk
+              FROM a JOIN d ON a.doc_id = d.doc_id)
+         SELECT doc_id, loc, priority_milli,
+                CAST((rk - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
+         FROM r ORDER BY doc_id, fetch_offset_ms, loc""",
     "pipeline_http_charset" ->
       """WITH base AS (SELECT doc_id, doc_id % 6 AS r FROM documents
                 WHERE doc_id % 37 <> 0)
