@@ -810,4 +810,35 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"markov journey window must be user-partitioned:\n${bad.mkString("\n")}")
   }
+
+  test("r16 wire chains plan: pure maps end to end — only the final sort exchanges") {
+    // chain_pdf (WARC→HTTP→router→prose), http_decode (dechunk→gunzip),
+    // http_charset (→ charset ladder), sitemap_urls (explode) are all
+    // per-row byte walks: the corpus must never shuffle except the
+    // final presentation orderBy
+    Seq("pipeline_crawl_chain_pdf", "pipeline_http_decode",
+        "pipeline_http_charset", "pipeline_sitemap_urls").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q must not shuffle-join the corpus:\n$plan")
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast") &&
+          !l.contains("Reused"))
+      val sorts = plan.linesIterator.count(_.contains("rangepartitioning"))
+      assert(exchanges <= sorts,
+        s"$q: non-sort corpus exchange in a pure-map chain:\n$plan")
+    }
+  }
+
+  test("pipeline_fetch_schedule plan: robots broadcast, window per domain") {
+    val plan = SparkEntry.queries("pipeline_fetch_schedule")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the one-row robots side must broadcast:\n$plan")
+    val bad = plan.split('\n').filter(l =>
+      l.contains("Window [") && !l.contains("doc_id"))
+    assert(bad.isEmpty,
+      s"the schedule window must partition per domain:\n${bad.mkString("\n")}")
+  }
 }
