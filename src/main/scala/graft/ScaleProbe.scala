@@ -1042,6 +1042,63 @@ object ScaleProbe16 {
   }
 }
 
+/** r16b probe: the PDF extractor at document-dump scale — a single
+  * multi-thousand-page FlateDecode PDF (the shape a scanned-manual or
+  * proceedings dump ships) must round-trip exactly and walk at
+  * scan-adjacent throughput, and a hostile many-tiny-objects file must
+  * stay linear (the object scan is cursor-monotone by construction). */
+object ScaleProbe16b {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $s%.2f s")
+      (r, s)
+    }
+    val nLines = 240000 // 20k pages at 12 lines/page
+    val text = (0 until nLines)
+      .map(i => s"line $i of the scanned manual, section ${i / 997}")
+      .mkString("\n")
+    println(f"[scale] text = ${text.length / 1e6}%.1f MB chars, " +
+      f"${nLines / 12} pages")
+    val (pdf, buildS) = timed("build FlateDecode PDF")(
+      sources.Pdf.build(text, deflatePages = true))
+    println(f"[scale]   pdf bytes = ${pdf.length / 1e6}%.1f MB " +
+      f"(${text.length.toDouble / pdf.length}%.1f:1 over the page streams)")
+    val (doc, parseS) = timed("parse + extract (driver)")(
+      sources.Pdf.parse(pdf))
+    println(f"[scale]   pages = ${doc.nPages}, objects = ${doc.nObjects}, " +
+      f"${pdf.length / 1e6 / parseS}%.0f MB/s container, " +
+      f"${text.length / 1e6 / parseS}%.0f MB/s text out")
+    require(doc.text == text, "round trip broke at scale")
+    require(doc.nPages == nLines / 12, s"page count ${doc.nPages}")
+    // the Spark expression path over the same blob
+    import spark.implicits._
+    val df = Seq((1L, pdf)).toDF("id", "payload")
+    val (rows, _) = timed("pdf_doc (Spark path)")(
+      sources.Pdf.read(df, "payload")
+        .selectExpr("length(text)").as[Long].collect())
+    require(rows.headOption.contains(text.length.toLong), s"Spark path: $rows")
+    // hostile shape: 200k tiny dict-only objects — the scan must stay
+    // linear (cursor-monotone), never quadratic on object count
+    val tiny = ("%PDF-1.4\n" + (1 to 200000)
+      .map(i => s"$i 0 obj << /N $i >> endobj\n").mkString +
+      "trailer << /Size 3 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val (td, tinyS) = timed("200k tiny objects")(sources.Pdf.parse(tiny))
+    println(f"[scale]   objects = ${td.nObjects}, " +
+      f"${tiny.length / 1e6 / tinyS}%.0f MB/s")
+    require(td.nObjects == 200000, s"tiny-object scan lost: ${td.nObjects}")
+    spark.stop()
+  }
+}
+
 /** r15 probes: the r14 digraph re-measured after the round's SCC work —
   * the TRIM prepass (the 100k sink tails are exactly the periphery TRIM
   * retires before the color fixpoint pays a seat for them), lazy-cut

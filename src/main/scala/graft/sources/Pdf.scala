@@ -48,6 +48,15 @@ object Pdf {
     * convention: per unit of work, never per document). */
   private[sources] val MaxStreamBytes = 128L << 20
 
+  // regexes hoisted out of the per-object/per-stream hot path (a 20k-page
+  // dump walks 40k dicts — per-call Pattern.compile dominated the scan)
+  private val RefTailRe = """^\s+\d+\s+R""".r
+  private val RefsRe = """(\d+)\s+\d+\s+R""".r
+  private val FlateRe = """^\s*(\[\s*)?/FlateDecode(\s*\])?[\s/>\[]""".r
+  private val PageTypeRe = """^\s*/Page([^a-zA-Z0-9#_.-]|$)""".r
+  private val PagesTypeRe = """^\s*/Pages([^a-zA-Z0-9#_.-]|$)""".r
+  private val CatalogTypeRe = """^\s*/Catalog""".r
+
   final case class Doc(nObjects: Int, nPages: Int, nStreams: Int,
                        encrypted: Boolean, text: String,
                        title: String = null, author: String = null,
@@ -197,8 +206,7 @@ object Pdf {
     val s = j
     while (j < dict.length && dict.charAt(j).isDigit) j += 1
     if (j == s) return -1
-    val m = """^\s+\d+\s+R""".r
-    if (m.findPrefixOf(dict.substring(j)).isEmpty) return -1
+    if (RefTailRe.findPrefixOf(dict.substring(j)).isEmpty) return -1
     val v = dict.substring(s, j)
     if (v.length > 9) -1 else v.toInt
   }
@@ -215,7 +223,7 @@ object Pdf {
     if (j < dict.length && dict.charAt(j) == '[') {
       val end = dict.indexOf(']', j)
       if (end < 0) return Seq.empty
-      """(\d+)\s+\d+\s+R""".r.findAllMatchIn(dict.substring(j, end))
+      RefsRe.findAllMatchIn(dict.substring(j, end))
         .map(_.group(1)).filter(_.length <= 9).map(_.toInt).toSeq
     } else {
       val r = refAfter(dict, key)
@@ -340,8 +348,7 @@ object Pdf {
     if (fp < 0) return raw
     // single name or 1-element array of the one supported filter
     val tail = o.dict.substring(fp + 7)
-    val flate = """^\s*(\[\s*)?/FlateDecode(\s*\])?[\s/>\[]""".r
-      .findPrefixOf(tail + " ").isDefined
+    val flate = FlateRe.findPrefixOf(tail + " ").isDefined
     if (!flate) return null
     val inf = new java.util.zip.Inflater() // zlib wrapper: PDF FlateDecode
     try {
@@ -568,18 +575,18 @@ object Pdf {
       val t = keyPos(o.dict, "/Type")
       t >= 0 && {
         val rest = o.dict.substring(t + 5)
-        """^\s*/Page([^a-zA-Z0-9#_.-]|$)""".r.findPrefixOf(rest + " ").isDefined
+        PageTypeRe.findPrefixOf(rest + " ").isDefined
       }
     }
     def isPages(o: PObj): Boolean = {
       val t = keyPos(o.dict, "/Type")
-      t >= 0 && """^\s*/Pages([^a-zA-Z0-9#_.-]|$)""".r
+      t >= 0 && PagesTypeRe
         .findPrefixOf(o.dict.substring(t + 5) + " ").isDefined
     }
 
     // page order: catalog → /Pages tree → /Kids depth-first
     val catalog = objs.find(o => hasKey(o.dict, "/Type") &&
-      """^\s*/Catalog""".r.findPrefixOf(
+      CatalogTypeRe.findPrefixOf(
         o.dict.substring(keyPos(o.dict, "/Type") + 5)).isDefined)
     val ordered = scala.collection.mutable.ArrayBuffer[PObj]()
     val seen = scala.collection.mutable.HashSet[Int]()
