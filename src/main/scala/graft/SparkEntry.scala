@@ -2671,6 +2671,21 @@ object SparkEntry {
           "doc_id", "text", "source", minMeanQuality = 460)
         .orderBy("doc_id")
     },
+    "multimodal_heif_probe" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: AVIF/HEIC still images (what phone cameras and modern
+      // crawls increasingly ship) — ISO-BMFF brand dispatch + the
+      // meta(FULLBOX)→iprp→ipco→ispe item-property walk, LARGEST-area
+      // ispe selected so a thumbnail property never masquerades as the
+      // picture (planted 8×8 thumb on id%3==0). Plants: id%37==0
+      // garbage ('unknown'), id%37==5 torn ipco (brand keeps, dims
+      // null — the clamp rule)
+      val media = pipeline.Multimodal.synthesizeHeifPayloads(
+        s.table("documents"), "doc_id")
+      pipeline.Multimodal.probeMeta(media, "payload")
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    },
     "multimodal_probe" -> { (s, dir) =>
       prep(s, dir, "documents")
       // REAL container parsing (no stub): spec-valid PNG/WAV headers are
@@ -10355,6 +10370,16 @@ object SparkEntry {
                 CASE WHEN doc_id % 29 = 0 THEN NULL
                      ELSE CAST(ns * 1000 // rate AS BIGINT) END AS duration_ms
          FROM d ORDER BY doc_id""",
+    "multimodal_heif_probe" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 37 = 0 THEN 'unknown'
+                     WHEN doc_id % 2 = 0 THEN 'avif'
+                     ELSE 'heic' END AS format,
+                CASE WHEN doc_id % 37 IN (0, 5) THEN NULL
+                     ELSE CAST(64 + doc_id % 64 AS INT) END AS width,
+                CASE WHEN doc_id % 37 IN (0, 5) THEN NULL
+                     ELSE CAST(48 + doc_id % 32 AS INT) END AS height
+         FROM documents ORDER BY doc_id""",
     "multimodal_ogg_probe" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,

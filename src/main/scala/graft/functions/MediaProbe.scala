@@ -84,12 +84,17 @@ object MediaFormats {
       }
     }
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
-      // ISO-BMFF: the box walk owns the full readout (duration/tracks/
-      // codec via probeVideo); this generic probe surfaces the container
-      // identity + video dims so mixed-media corpora classify in one pass
-      val v = probeVideo(b)
-      if (v.format == "unknown") Probe("unknown")
-      else Probe("mp4", width = v.width, height = v.height)
+      // ISO-BMFF: STILL-IMAGE brands (avif/heic — what phone cameras and
+      // modern crawls increasingly ship) route to the item-property walk;
+      // everything else is the movie path (duration/tracks via probeVideo)
+      val brand = fourcc(b, 8)
+      if (brand.startsWith("av") || brand.startsWith("he") ||
+          brand == "mif1" || brand == "msf1") parseHeifImage(b, brand)
+      else {
+        val v = probeVideo(b)
+        if (v.format == "unknown") Probe("unknown")
+        else Probe("mp4", width = v.width, height = v.height)
+      }
     }
     else Probe("unknown")
   }
@@ -335,6 +340,41 @@ object MediaFormats {
     if (!sawFtyp) VideoProbe("unknown")
     else VideoProbe("mp4", durationMs,
       if (sawMoov) Integer.valueOf(nTracks) else null, vw, vh, vcodec)
+  }
+
+  /** AVIF/HEIC still image: dimensions from the item-property chain
+    * `meta → iprp → ipco → ispe` (ISO 23008-12). `meta` is a FULLBOX —
+    * its children start 4 bytes in (version/flags), the classic walk
+    * bug. Multiple `ispe` properties (thumbnails, auxiliaries) are
+    * normal: the LARGEST area is the primary image readout — a
+    * thumbnail must never masquerade as the picture. Torn files keep
+    * the brand identity with null dims (the probeVideo clamp rule). */
+  private def parseHeifImage(b: Array[Byte], brand: String): Probe = {
+    val fmt =
+      if (brand.startsWith("av")) "avif"
+      else if (brand.startsWith("he")) "heic"
+      else "heif"
+    var w: Integer = null
+    var h: Integer = null
+    var bestArea = -1L
+    findBox(b, 0L, b.length.toLong, "meta").foreach { case (ms, me) =>
+      if (ms + 4 <= me) findBox(b, ms + 4, me, "iprp").foreach { case (ps, pe) =>
+        findBox(b, ps, pe, "ipco").foreach { case (cs, ce) =>
+          boxWalk(b, cs, ce, (t, s, e) =>
+            if (t == "ispe" && e - s >= 12) {
+              val iw = be32(b, s.toInt + 4)
+              val ih = be32(b, s.toInt + 8)
+              if (iw > 0 && ih > 0 && iw <= Int.MaxValue &&
+                  ih <= Int.MaxValue && iw * ih > bestArea) {
+                bestArea = iw * ih
+                w = Integer.valueOf(iw.toInt)
+                h = Integer.valueOf(ih.toInt)
+              }
+            })
+        }
+      }
+    }
+    Probe(fmt, width = w, height = h)
   }
 
   /** ISO-BMFF child walk over [start, end): calls onBox(fourcc,

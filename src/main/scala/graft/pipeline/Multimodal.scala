@@ -1663,6 +1663,48 @@ object Multimodal {
         col("__t.*"): _*)
   }
 
+  /** AVIF/HEIC still images with id-derived geometry — ISO-BMFF ftyp
+    * (brand `avif` on even ids, `heic` on odd) + the `meta(fullbox) →
+    * iprp → ipco → ispe` item-property chain; id%3==0 adds an 8×8
+    * THUMBNAIL ispe BEFORE the primary (largest-area selection gated —
+    * a thumbnail must never masquerade as the picture). Plants:
+    * id%37==0 md5 garbage ('unknown'), id%37==5 TORN inside the ipco
+    * header (brand identity keeps, dims null). */
+  def synthesizeHeifPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val payload =
+        if (id % 37 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](16)
+        else {
+          def be32a(v: Long): Array[Byte] = Array(
+            ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+          def bx(tp: String, payload: Array[Byte]): Array[Byte] =
+            be32a(8L + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+          val brand = if (id % 2 == 0) "avif" else "heic"
+          val ftyp = bx("ftyp", brand.getBytes("US-ASCII") ++ be32a(0) ++
+            brand.getBytes("US-ASCII") ++ "mif1".getBytes("US-ASCII"))
+          val w = 64 + id % 64
+          val h = 48 + id % 32
+          val primary = bx("ispe", be32a(0) ++ be32a(w) ++ be32a(h))
+          val thumb =
+            if (id % 3 == 0) bx("ispe", be32a(0) ++ be32a(8) ++ be32a(8))
+            else Array.emptyByteArray
+          val ipco = bx("ipco", thumb ++ primary)
+          val iprp = bx("iprp", ipco)
+          val meta = bx("meta", be32a(0) ++ iprp)
+          val full = ftyp ++ meta ++
+            bx("mdat", Array.fill(16)((id % 251).toByte))
+          if (id % 37 == 5)
+            full.take(full.indexOfSlice("ipco".getBytes("US-ASCII")) + 2)
+          else full
+        }
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** Real Ogg files with id-derived streams — BOS header page (Opus on
     * even ids at the 48 kHz granule clock with pre-skip 312, Vorbis on
     * odd at `8000·(1+id%3)` Hz), a granule-0 comment/tags page, and TWO
