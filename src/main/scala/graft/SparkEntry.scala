@@ -4525,6 +4525,20 @@ object SparkEntry {
         .select(col("doc_id"), col("loc"), col("allowed"))
         .orderBy("doc_id", "loc")
     },
+    "pipeline_feed_items" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: RSS 2.0 / Atom feeds — the third per-domain discovery
+      // artifact (robots, sitemap, feed): how an incremental crawl
+      // finds NEW content without re-walking the site. Gates the two
+      // real-world quirks: CDATA titles and entity-escaped titles must
+      // CONVERGE to the same string, and Atom's href-attribute links
+      // read alongside RSS's element-text links. Plants: id%37==0
+      // garbage (no rows), id%37==5 torn last item (complete survive)
+      val feeds = pipeline.Feeds.synthesizeFeeds(
+        s.table("documents"), "doc_id")
+      pipeline.Feeds.explode(feeds, "feed_xml")
+        .orderBy("doc_id", "guid")
+    },
     "pipeline_fetch_schedule" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: the crawl-control capstone — the three per-domain control
@@ -7336,6 +7350,20 @@ object SparkEntry {
                 (NOT starts_with(path, '/page/4')
                  OR starts_with(path, '/page/44')) AS allowed
          FROM f ORDER BY doc_id, loc""",
+    "pipeline_feed_items" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0),
+            u AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+                FROM base),
+            keep AS (SELECT doc_id, k FROM u
+                WHERE doc_id % 37 <> 5 OR k < doc_id % 3)
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+                'Post ' || doc_id || '/' || k || ' A&B' AS title,
+                'https://example.com/post/' || doc_id || '/' || k AS link,
+                '2026-01-' || lpad(CAST(1 + (doc_id + k) % 28 AS VARCHAR), 2, '0')
+                  || 'T00:00:00Z' AS published,
+                'tag:example.com:' || doc_id || ':' || k AS guid
+         FROM keep ORDER BY doc_id, guid""",
     "pipeline_fetch_schedule" ->
       """WITH base AS (SELECT doc_id FROM documents
                 WHERE doc_id % 37 NOT IN (0, 11)),
