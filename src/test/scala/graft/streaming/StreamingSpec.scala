@@ -313,6 +313,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
     assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
     q.stop()
+    // the feed explode is the same pure-map shape
+    val feeds = graft.pipeline.Feeds.synthesizeFeeds(ids.toDF("doc_id"), "doc_id")
+    val fsrc = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    fsrc.addData(feeds.as[(Long, String)].collect().toSeq: _*)
+    val fq = graft.pipeline.Feeds.explode(
+        fsrc.toDF().toDF("doc_id", "feed_xml"), "feed_xml")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("feed_stream_out").start()
+    fq.processAllAvailable()
+    val fgot = spark.table("feed_stream_out").collect().map(_.toString).toSet
+    val fwant = graft.pipeline.Feeds.explode(feeds, "feed_xml")
+      .collect().map(_.toString).toSet
+    assert(fgot == fwant && fwant.nonEmpty)
+    assert(fq.lastProgress == null || fq.lastProgress.stateOperators.isEmpty)
+    fq.stop()
   }
 
   test("streaming robots gate + multi-pattern screen: stream-static broadcast and pure map") {
