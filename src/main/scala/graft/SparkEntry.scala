@@ -4767,6 +4767,24 @@ object SparkEntry {
           col("title"), col("author"), col("producer"), col("created"))
         .orderBy("doc_id")
     },
+    "src_pdf_objstm" -> { (s, dir) =>
+      prep(s, dir, "documents")
+      // r16: OBJECT-STREAM PDFs (ISO 32000 §7.5.7) — the modern-writer
+      // layout where the catalog, page tree, and every page DICT
+      // travel inside ONE FlateDecode /ObjStm container: a direct-scan
+      // reader sees zero pages on exactly the documents PDF 1.5+
+      // producers emit. The expansion lifts embedded dicts into the
+      // object table (direct objects win collisions). Plants: id%37==0
+      // garbage (no row), id%37==5 torn inside the ObjStm — the whole
+      // page tree travels in that stream, so the torn doc reads zero
+      // pages (the modern failure shape, structural row kept)
+      val blobs = sources.Pdf.synthesizePdfObjStmPayloads(
+        s.table("documents"), "doc_id", "text")
+      sources.Pdf.read(blobs, "payload")
+        .select(col("doc_id"), col("n_objects"), col("n_pages"),
+          col("n_streams"), col("text"))
+        .orderBy("doc_id")
+    },
     "src_pdf_text" -> { (s, dir) =>
       prep(s, dir, "documents")
       // r16: PDF text-extraction source — the tolerant object scan +
@@ -7584,6 +7602,21 @@ object SparkEntry {
                      ELSE 'D:202601' ||
                           lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
                           || '000000Z' END AS created
+         FROM p ORDER BY doc_id""",
+    "src_pdf_objstm" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 37 <> 0),
+            s AS (SELECT doc_id, text,
+                    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM base),
+            p AS (SELECT doc_id, text, (n_lines + 11) // 12 AS np FROM s)
+         SELECT doc_id,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 0
+                     ELSE 4 + 2 * np END AS INT) AS n_objects,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 0 ELSE np END AS INT) AS n_pages,
+                CAST(CASE WHEN doc_id % 37 = 5 THEN 0
+                     ELSE 1 + np END AS INT) AS n_streams,
+                CASE WHEN doc_id % 37 = 5 THEN NULL ELSE text END AS text
          FROM p ORDER BY doc_id""",
     "src_pdf_text" ->
       """WITH base AS (SELECT doc_id, text FROM documents

@@ -56,6 +56,8 @@ object Pdf {
   private val PageTypeRe = """^\s*/Page([^a-zA-Z0-9#_.-]|$)""".r
   private val PagesTypeRe = """^\s*/Pages([^a-zA-Z0-9#_.-]|$)""".r
   private val CatalogTypeRe = """^\s*/Catalog""".r
+  private val ObjStmTypeRe = """^\s*/ObjStm""".r
+  private val IntRe = """\d+""".r
 
   final case class Doc(nObjects: Int, nPages: Int, nStreams: Int,
                        encrypted: Boolean, text: String,
@@ -539,11 +541,64 @@ object Pdf {
     }
   }
 
+  /** OBJECT STREAMS (ISO 32000 §7.5.7): modern writers pack small
+    * objects — typically the page DICTS and catalog — into one
+    * compressed `/Type /ObjStm` stream; a scan that only sees direct
+    * `obj…endobj` pairs loses those documents' whole page tree. The
+    * expansion: decode the container, read the `/N` (objnum, offset)
+    * pairs from the header region before `/First`, and lift each
+    * embedded dict into the object table. Direct objects WIN over
+    * embedded ones on a number collision (an appended direct update
+    * supersedes a packed original — the recovery convention); bounds
+    * hostile `/N`/offsets, never throws. */
+  private def expandObjStm(b: Array[Byte],
+      byNum: scala.collection.mutable.LinkedHashMap[Int, PObj]): Unit = {
+    val containers = byNum.values.filter { o =>
+      o.hasStream && {
+        val t = keyPos(o.dict, "/Type")
+        t >= 0 && ObjStmTypeRe.findPrefixOf(o.dict.substring(t + 5)).isDefined
+      }
+    }.toSeq
+    containers.foreach { o =>
+      val dec = decodeStream(b, o)
+      val n = intAfter(o.dict, "/N")
+      val first = intAfter(o.dict, "/First")
+      if (dec != null && n > 0 && n <= 100000 && first > 0 &&
+          first <= dec.length) {
+        val header = new String(dec, 0, first.toInt, "ISO-8859-1")
+        val ints = IntRe.findAllIn(header).toSeq
+        if (ints.size >= 2 * n.toInt) {
+          var k = 0
+          while (k < n.toInt) {
+            val numS = ints(2 * k)
+            val offS = ints(2 * k + 1)
+            if (numS.length <= 9 && offS.length <= 9) {
+              val num = numS.toInt
+              val p0 = first.toInt + offS.toInt
+              if (p0 >= 0 && p0 < dec.length && !byNum.contains(num)) {
+                var q = p0
+                while (q < dec.length && isWs(dec(q))) q += 1
+                if (startsWith(dec, q, "<<")) {
+                  val e = skipDict(dec, q)
+                  if (e > 0)
+                    byNum(num) = PObj(num,
+                      new String(dec, q, e - q, "ISO-8859-1"), -1, 0)
+                }
+              }
+            }
+            k += 1
+          }
+        }
+      }
+    }
+  }
+
   private def parseInner(b: Array[Byte]): Doc = {
     val objsAll = scanObjects(b)
     // incremental-update semantics: last same-numbered object wins
     val byNum = scala.collection.mutable.LinkedHashMap[Int, PObj]()
     objsAll.foreach(o => byNum(o.num) = o)
+    expandObjStm(b, byNum)
     val objs = byNum.values.toSeq
     val nStreams = objs.count(_.hasStream)
 
@@ -790,6 +845,93 @@ object Pdf {
     val inf = if (infoObj >= 0) s" /Info $infoObj 0 R" else ""
     w(s"trailer\n<< /Size $size /Root 1 0 R$enc$inf >>\nstartxref\n$xrefOff\n%%EOF\n")
     bos.toByteArray
+  }
+
+  /** The MODERN-writer shape of [[build]]: catalog, page tree, font,
+    * and every page DICT packed into one FlateDecode `/Type /ObjStm`
+    * container (object 1), content streams as regular objects — the
+    * layout PDF 1.5+ producers actually emit, where a direct-scan-only
+    * reader sees zero pages. No xref (the stale/absent-xref recovery
+    * case is exactly what the tolerant scan exists for); trailer names
+    * the catalog. */
+  def buildObjStm(text: String, deflatePages: Boolean,
+                  linesPerPage: Int = 12): Array[Byte] = {
+    require(linesPerPage > 0, "linesPerPage must be positive")
+    val lines = text.split("\n", -1)
+    val pageLines = lines.grouped(linesPerPage).toSeq
+    val nPages = pageLines.size
+    // embedded: 2 catalog, 3 pages, 4 font, 5..4+np page dicts;
+    // regular: 1 the ObjStm, 5+np..4+2np content streams
+    val kids = (0 until nPages).map(i => s"${5 + i} 0 R").mkString(" ")
+    val embedded: Seq[(Int, String)] =
+      Seq(2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>",
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until nPages).map(i => (5 + i) ->
+        (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 4 0 R >> >> " +
+          s"/Contents ${5 + nPages + i} 0 R >>"))
+    val bodies = embedded.map(_._2.getBytes("ISO-8859-1"))
+    val offsets = bodies.scanLeft(0)((acc, x) => acc + x.length + 1).init
+    val header = embedded.map(_._1).zip(offsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = new java.io.ByteArrayOutputStream()
+    payload.write(header.getBytes("ISO-8859-1"))
+    bodies.foreach { x => payload.write(x); payload.write('\n') }
+    val stm = deflate(payload.toByteArray)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    w(s"1 0 obj\n<< /Type /ObjStm /N ${embedded.size} " +
+      s"/First ${header.length} /Length ${stm.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    bos.write(stm)
+    w("\nendstream\nendobj\n")
+    pageLines.zipWithIndex.foreach { case (pls, i) =>
+      val content = new java.io.ByteArrayOutputStream()
+      content.write("BT\n/F1 12 Tf\n72 720 Td\n".getBytes("ISO-8859-1"))
+      pls.zipWithIndex.foreach { case (ln, k) =>
+        if (k > 0) content.write("0 -14 Td\n".getBytes("ISO-8859-1"))
+        content.write('(')
+        content.write(escapeLiteral(ln.getBytes("UTF-8")))
+        content.write(") Tj\n".getBytes("ISO-8859-1"))
+      }
+      content.write("ET".getBytes("ISO-8859-1"))
+      val raw = content.toByteArray
+      val data = if (deflatePages) deflate(raw) else raw
+      val filter = if (deflatePages) " /Filter /FlateDecode" else ""
+      w(s"${5 + nPages + i} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    w(s"trailer\n<< /Size ${5 + 2 * nPages} /Root 2 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** ObjStm-shaped PDF blobs over the documents table — the modern-
+    * writer twin of [[synthesizePdfPayloads]] (content streams
+    * FlateDecode on odd ids). Plants: id%37==0 md5 garbage (no row),
+    * id%37==5 TORN 10 bytes into the ObjStm itself — the WHOLE page
+    * tree travels in that one stream, so the torn document reads zero
+    * pages and null text (structural row, the modern failure shape). */
+  def synthesizePdfObjStmPayloads(docs: DataFrame, idCol: String,
+                                  textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, text) =>
+        val payload =
+          if (id % 37 == 0)
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(id.toString.getBytes("US-ASCII")) ++ new Array[Byte](16)
+          else {
+            val full = buildObjStm(text, deflatePages = id % 2 == 1)
+            if (id % 37 == 5) {
+              val cut = indexOf(full, 0, "stream\n") + 17
+              full.take(cut)
+            } else full
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
   }
 
   // ---------------------------------------------------------------

@@ -251,6 +251,62 @@ trailer << /Size 5 /Root 1 0 R /Info 4 0 R >>
     assert(enc.encrypted && enc.title == null && enc.created == null)
   }
 
+  test("object streams: embedded page tree round-trips, direct wins collisions") {
+    val text = (1 to 30).map(i => s"objstm line $i").mkString("\n")
+    for (defl <- Seq(false, true)) {
+      val b = Pdf.buildObjStm(text, deflatePages = defl)
+      val d = Pdf.parse(b)
+      assert(d.text == text, s"deflate=$defl")
+      assert(d.nPages == 3 && d.nObjects == 10 && d.nStreams == 4)
+    }
+    // a direct object with the same number as an embedded one wins:
+    // append a direct update for page-dict 5 pointing at a new stream
+    val base = Pdf.buildObjStm("one page only", deflatePages = false)
+    val newContent = "BT\n(updated) Tj\nET"
+    val patch = (s"9 0 obj << /Length ${newContent.length} >>\nstream\n" +
+      newContent + "\nendstream endobj\n" +
+      "5 0 obj << /Type /Page /Parent 3 0 R /Contents 9 0 R >> endobj\n")
+      .getBytes("ISO-8859-1")
+    // splice the update before the trailer
+    val at = {
+      var i = 0; var t = -1
+      while (t < 0 && i < base.length - 7) {
+        if (base(i) == 't' && new String(base, i, 7, "ISO-8859-1") == "trailer") t = i
+        i += 1
+      }
+      t
+    }
+    val updated = base.take(at) ++ patch ++ base.drop(at)
+    assert(Pdf.parse(updated).text == "updated")
+    // hostile N / offsets: bounded, never a throw
+    val hostile = ("%PDF-1.5\n1 0 obj << /Type /ObjStm /N 99999999 /First 4 " +
+      "/Length 8 /Filter /FlateDecode >>\nstream\nXXXXXXXX\nendstream endobj\n" +
+      "trailer << /Size 2 /Root 2 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val hd = Pdf.parse(hostile)
+    assert(hd != null && hd.nPages == 0 && hd.text == null)
+  }
+
+  test("object streams: torn inside the container loses the whole page tree") {
+    val full = Pdf.buildObjStm("torn\nobjstm\ndoc", deflatePages = true)
+    var step = 0
+    while (step < full.length) {
+      val d = Pdf.parse(full.take(step))
+      if (d != null && d.text != null)
+        assert("torn\nobjstm\ndoc".startsWith(d.text), s"step=$step")
+      step += 7
+    }
+    val cut = {
+      var i = 0; var at = -1
+      while (at < 0 && i < full.length - 7) {
+        if (full(i) == 's' && new String(full, i, 7, "ISO-8859-1") == "stream\n") at = i
+        i += 1
+      }
+      at + 17
+    }
+    val torn = Pdf.parse(full.take(cut))
+    assert(torn.nPages == 0 && torn.text == null && torn.nObjects == 0)
+  }
+
   test("Spark read path: plants fall out exactly as declared") {
     val spark = graft.operators.SharedSpark.session
     import spark.implicits._
