@@ -238,7 +238,12 @@ class DeterminismSpec extends AnyFunSuite {
     "text_token_fertility", "graph_eccentricity",
     // r15 wave 2: byte-walk explodes + the composed strip/langid chain
     // (Dataset.map synthesizers must not see partitioning)
-    "src_warc_records", "pipeline_crawl_chain", "events_sprt")
+    "src_warc_records", "pipeline_crawl_chain", "events_sprt",
+    // r16 session 2: the content-type router's union, the per-domain
+    // schedule window + delay join, the frontier's broadcast gate, and
+    // the objstm page-tree expansion must not see partitioning
+    "pipeline_crawl_chain_pdf", "pipeline_fetch_schedule",
+    "pipeline_sitemap_frontier", "src_pdf_objstm")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
