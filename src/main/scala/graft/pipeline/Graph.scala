@@ -469,8 +469,14 @@ object Graph {
           col("community").as("__c"), lit(0L).as("__kic")))
         .groupBy("__n", "__c").agg(max(col("__kic")).as("__kic"))
       val next = cand
+        // r16 optimization: the own-label join is hinted like the kic/tot
+        // joins — unhinted, the |V|-sized label frame auto-broadcasts at
+        // bench scale (a driver collect round-trip EVERY round, the
+        // pageRank-measured per-round-broadcast failure: A/B at sf0.1
+        // read ~2x on graph_louvain) and can never broadcast at graph
+        // scale
         .join(labels.select(col("node").as("__n"), col("community").as("__own"),
-          col("__k")), Seq("__n"))
+          col("__k")).hint("shuffle_hash"), Seq("__n"))
         .join(tot.hint("shuffle_hash"), Seq("__c"))
         .crossJoin(broadcast(m2))
         .select(col("__n"), col("__c"), col("__k"),
@@ -608,8 +614,14 @@ object Graph {
           col("community").as("__c"), lit(0L).as("__kic")))
         .groupBy("__n", "__c").agg(max(col("__kic")).as("__kic"))
       val next = cand
+        // r16 optimization: the own-label join is hinted like the kic/tot
+        // joins — unhinted, the |V|-sized label frame auto-broadcasts at
+        // bench scale (a driver collect round-trip EVERY round, the
+        // pageRank-measured per-round-broadcast failure: A/B at sf0.1
+        // read ~2x on graph_louvain) and can never broadcast at graph
+        // scale
         .join(labels.select(col("node").as("__n"), col("community").as("__own"),
-          col("__k")), Seq("__n"))
+          col("__k")).hint("shuffle_hash"), Seq("__n"))
         .join(tot.hint("shuffle_hash"), Seq("__c"))
         .crossJoin(broadcast(m2))
         .select(col("__n"), col("__c"), col("__k"),
