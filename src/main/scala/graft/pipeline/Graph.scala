@@ -86,14 +86,15 @@ object Graph {
     val e0 = Materialize.cut(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), w.as("__w")))
-    // Short horizons (no mid-run cut) run as ONE lazy job: every round
-    // references the same repartition subtrees, and Spark's ReuseExchange
-    // computes each ONCE per job — eager materialization would just add
-    // jobs. Multi-stretch runs (iterations > cutEvery) materialize, so a
-    // later stretch doesn't re-derive the edges from source.
-    val multiStretch = iterations > cutEvery
-    def stage(df: DataFrame): DataFrame =
-      if (multiStretch) Materialize.cut(df) else df
+    // ej and nodes are materialized UNCONDITIONALLY (r16 optimization):
+    // the short-horizon "one lazy job + ReuseExchange dedups the repeated
+    // repartition subtrees" assumption does NOT hold under AQE — the
+    // executed 5-iteration plan carried 44 Exchanges and ZERO
+    // ReusedExchange nodes (plans/r16/graph_pagerank_before.txt), i.e.
+    // the nodes distinct-union and the e0⋈deg edge join re-ran per
+    // iteration. Two eager cuts buy O(1) derivations of both frames at
+    // the cost of two extra jobs, a measured win from 2 iterations up.
+    def stage(df: DataFrame): DataFrame = Materialize.cut(df)
     // PERSONALIZED teleport: with `seeds`, the (1 − d) restart mass lands
     // only on the seed set (single-column frame of node ids; tiny by
     // definition — a query/user context — so it broadcasts), and ranks
@@ -156,10 +157,8 @@ object Graph {
         cut
       } else next
     }
-    if (multiStretch) {
-      Materialize.release(ej)
-      Materialize.release(nodes)
-    }
+    Materialize.release(ej)
+    Materialize.release(nodes)
     retired.foreach(Materialize.release)
     ranks
   }
@@ -305,94 +304,135 @@ object Graph {
     // RETURNED frame is materialized under the session strategy and
     // references nothing pinned.
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
+    def flat(df: DataFrame): DataFrame = {
       val f = org.apache.spark.sql.graftshim.GraftShim.flattenPlan(df)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      f.count()
       pinned += f
       f
     }
+    // pin + row count in ONE driver action (r16 optimization: the old
+    // loop paid pin's count() AND a separate isEmpty per frame)
+    def pinN(df: DataFrame): (DataFrame, Long) = {
+      val f = flat(df); (f, f.count())
+    }
     try {
-      val e0 = pin(
+      val (e0, m0) = pinN(
         edges.select(
             least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
             greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"),
             col(weightCol).cast("long").as("w"))
           .where(col("a") =!= col("b"))
           .groupBy("a", "b").agg(min(col("w")).as("w")))
-      var comp = pin(
-        e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
-          .distinct()
-          .select(col("node"), col("node").as("comp")))
+      // r16 optimization: the loop state is the CONTRACTED cross-edge set
+      // (component-labeled, min edge per component pair), not a node→comp
+      // table — the old shape re-joined the FULL e0 against comp twice
+      // every round; this one relabels a frame that shrinks with the
+      // component count and never touches e0 again. Keeping only the
+      // min-(w,a,b) edge per component pair is pick-invariant: a dropped
+      // parallel edge loses the per-component struct-min to the kept one
+      // in every future round (both endpoints contract identically), so
+      // the picked set — and the output — is bit-identical. A round picks
+      // for every component with a cross edge, so "any pick left" ≡ "any
+      // cross edge left" ≡ erCount > 0 — the er count from the relabel's
+      // own pin action drives the loop and no sel/pick frame ever needs
+      // its own counting action.
+      var er = e0.select(col("a").as("__ca"), col("b").as("__cb"),
+        col("w"), col("a"), col("b"))
+      var erCount = m0
       val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var done = false
       var r = 0
-      while (r < maxRounds && !done) {
+      while (r < maxRounds && erCount != 0L) {
         r += 1
-        val ec = e0
-          .join(comp.select(col("node").as("a"), col("comp").as("__ca")), Seq("a"))
-          .join(comp.select(col("node").as("b"), col("comp").as("__cb")), Seq("b"))
-          .where(col("__ca") =!= col("__cb"))
-        val inc = ec.select(col("__ca").as("__c"),
+        val inc = er.select(col("__ca").as("__c"),
             struct(col("w"), col("a"), col("b"), col("__cb").as("__oc")).as("__e"))
-          .union(ec.select(col("__cb").as("__c"),
+          .union(er.select(col("__cb").as("__c"),
             struct(col("w"), col("a"), col("b"), col("__ca").as("__oc")).as("__e")))
-        val sel = pin(
+        // lazily persisted (no eager count): the first pointer hop's job
+        // materializes the cache, the final union reads it back
+        val sel = flat(
           inc.groupBy("__c").agg(min(col("__e")).as("__m"))
             .select(col("__c"), col("__m.w").as("w"), col("__m.a").as("a"),
               col("__m.b").as("b"), col("__m.__oc").as("__oc")))
-        if (sel.isEmpty) done = true
-        else {
-          picked += sel.select("a", "b", "w").distinct()
-          // star contraction on the PICK graph: each component points at
-          // the component its chosen edge reaches. Following picks, the
-          // (w, a, b) keys are non-increasing and distinct, so the only
-          // cycles are the MUTUAL-pick 2-cycles — trees hanging off root
-          // pairs. Resolve the pair to its min id, then pointer-double to
-          // the root (⌈log₂ depth⌉ self-joins; which representative ends
-          // up labeling a group is irrelevant — selection depends only on
-          // the PARTITION, so any canonical labeling replays). Loud cap.
-          val pick = sel.select(col("__c"), col("__oc"))
-          var ptr = pin(
-            pick.as("p").join(pick.as("q").hint("shuffle_hash"),
-                col("p.__oc") === col("q.__c"))
-              .select(col("p.__c").as("__c"),
-                when(col("q.__oc") === col("p.__c"),
-                  least(col("p.__c"), col("p.__oc")))
-                  .otherwise(col("p.__oc")).as("__p")))
-          var settled = false
-          var hops = 0
-          while (!settled && hops < 20) {
-            hops += 1
-            val next = pin(
-              ptr.as("x").join(ptr.as("y").hint("shuffle_hash"),
-                  col("x.__p") === col("y.__c"), "left")
-                .select(col("x.__c").as("__c"),
-                  coalesce(col("y.__p"), col("x.__p")).as("__p")))
-            if (next.as("n").join(ptr.as("o"), col("n.__c") === col("o.__c"))
-                  .where(col("n.__p") =!= col("o.__p")).isEmpty) settled = true
-            ptr = next
-          }
-          require(settled,
-            "minimumSpanningForest: pick-graph pointer doubling did not settle " +
-              "in 20 hops (depth > 2^20) — structurally impossible for a pick graph")
-          comp = pin(
-            comp.as("cm").join(ptr.as("pt").hint("shuffle_hash"),
-                col("cm.comp") === col("pt.__c"), "left")
-              .select(col("node"), coalesce(col("__p"), col("comp")).as("comp")))
+        picked += sel.select("a", "b", "w").distinct()
+        // star contraction on the PICK graph: each component points at
+        // the component its chosen edge reaches. Following picks, the
+        // (w, a, b) keys are non-increasing and distinct, so the only
+        // cycles are the MUTUAL-pick 2-cycles — trees hanging off root
+        // pairs. Resolve the pair to its min id, then pointer-double to
+        // the root (⌈log₂ depth⌉ self-joins; which representative ends
+        // up labeling a group is irrelevant — selection depends only on
+        // the PARTITION, so any canonical labeling replays). Loud cap.
+        val pick = sel.select(col("__c"), col("__oc"))
+        // ptr0 stays LAZY (a projection-join over the persisted sel, read
+        // inside hop 1's job — cheaper than its own pin action), and the
+        // component-sized self-joins are UNHINTED: AQE picks a broadcast
+        // while the pointer table is tiny and falls back to a shuffle
+        // join when it is not — the scale-adaptive choice (the frames
+        // here shrink with the component count, unlike the |V|-sized
+        // label frames the louvain loop pins to shuffle_hash). Measured
+        // at sf0.1: forced shuffle_hash pointer hops cost ~3× the
+        // adaptive choice (32.5 s → 11.8 s for the whole loop).
+        var ptr = flat( // lazy persist: hop 1 computes the shared RDD once
+          pick.as("p").join(pick.as("q"),
+              col("p.__oc") === col("q.__c"))
+            .select(col("p.__c").as("__c"),
+              when(col("q.__oc") === col("p.__c"),
+                least(col("p.__c"), col("p.__oc")))
+                .otherwise(col("p.__oc")).as("__p")))
+        var settled = false
+        var hops = 0
+        while (!settled && hops < 20) {
+          hops += 1
+          // one action per hop does BOTH the doubling step (p ∘ p) and
+          // the settlement PROOF: a final single follow (z) rides the
+          // same job, and `__more` flags rows whose advanced pointer is
+          // not yet a root. Σ__more = 0 proves every __p1 is a root, so
+          // the frame (whose __p equals __p1 then) is final — the old
+          // shape needed a whole extra no-change hop to prove settlement.
+          val step = ptr.as("x").join(ptr.as("y"),
+              col("x.__p") === col("y.__c"), "left")
+            .select(col("x.__c").as("__c"),
+              coalesce(col("y.__p"), col("x.__p")).as("__p1"))
+          val hop = flat(step.as("u").join(ptr.as("z"),
+              col("u.__p1") === col("z.__c"), "left")
+            .select(col("u.__c").as("__c"),
+              coalesce(col("z.__p"), col("u.__p1")).as("__p"),
+              (col("z.__p").isNotNull && col("z.__p") =!= col("u.__p1"))
+                .as("__more")))
+          val nMore = hop.agg(coalesce(sum(col("__more").cast("long")), lit(0L)))
+            .collect()(0).getLong(0)
+          if (nMore == 0L) settled = true
+          ptr = hop.select("__c", "__p")
         }
+        require(settled,
+          "minimumSpanningForest: pick-graph pointer doubling did not settle " +
+            "in 20 hops (depth > 2^20) — structurally impossible for a pick graph")
+        // relabel the cross edges onto the contracted components; every
+        // __ca/__cb has a cross edge, hence a pick, hence a ptr row —
+        // the left join + coalesce is belt-and-braces, not semantics
+        val pa = ptr.select(col("__c").as("__ca"), col("__p").as("__na"))
+        val pb = ptr.select(col("__c").as("__cb"), col("__p").as("__nb"))
+        val relabeled = er.join(pa, Seq("__ca"), "left").join(pb, Seq("__cb"), "left")
+          .select(coalesce(col("__na"), col("__ca")).as("__xa"),
+            coalesce(col("__nb"), col("__cb")).as("__xb"),
+            col("w"), col("a"), col("b"))
+          .where(col("__xa") =!= col("__xb"))
+          .select(least(col("__xa"), col("__xb")).as("__ca"),
+            greatest(col("__xa"), col("__xb")).as("__cb"),
+            col("w"), col("a"), col("b"))
+          .groupBy("__ca", "__cb")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("__m"))
+          .select(col("__ca"), col("__cb"), col("__m.w").as("w"),
+            col("__m.a").as("a"), col("__m.b").as("b"))
+        val (erNext, nEr) = pinN(relabeled)
+        er = erNext
+        erCount = nEr
       }
-      if (!done) {
-        // loud cap: components halve per selecting round, so hitting the
-        // cap with cross edges left means the input defeated the budget
-        val left = e0
-          .join(comp.select(col("node").as("a"), col("comp").as("__ca")), Seq("a"))
-          .join(comp.select(col("node").as("b"), col("comp").as("__cb")), Seq("b"))
-          .where(col("__ca") =!= col("__cb")).limit(1).count()
-        require(left == 0,
-          s"minimumSpanningForest: cross edges remain after $maxRounds rounds — " +
-            "raise maxRounds for this input")
-      }
+      // loud cap: components halve per selecting round, so hitting the
+      // cap with cross edges left means the input defeated the budget
+      require(erCount == 0L,
+        s"minimumSpanningForest: cross edges remain after $maxRounds rounds — " +
+          "raise maxRounds for this input")
       val spark = edges.sparkSession
       import spark.implicits._
       if (picked.isEmpty) Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
