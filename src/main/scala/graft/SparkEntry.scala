@@ -50,19 +50,25 @@ object SparkEntry {
   /** The order/return flow graph (the graph_scc / graph_walks /
     * graph_condensation input): cust → supplier on kept lines, supplier
     * → cust on returns, sliced to every 8th order so the oracle's
-    * transitive closure stays tractable. */
-  private def orderFlowEdges(s: SparkSession): DataFrame = {
-    val li = s.table("orders").join(s.table("lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .where(col("o_orderkey") % 8 === 0)
-    val fwd = li.where(col("l_returnflag") =!= "R")
-      .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + 1000000).as("dst"))
-    val bwd = li.where(col("l_returnflag") === "R")
-      .select((col("l_suppkey") + 1000000).as("src"),
-        col("o_custkey").as("dst"))
-    fwd.union(bwd)
-  }
+    * transitive closure stays tractable. r16 optimization: session-
+    * memoized — THREE queries derive this orders⋈lineitem pass (walks,
+    * condensation's quotient build, and the SCC fixpoint), each of
+    * which used to re-run the join from parquet. */
+  private val orderFlowMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def orderFlowEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(orderFlowMemo, s, dir) {
+      val li = s.table("orders").join(s.table("lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderkey") % 8 === 0)
+      val fwd = li.where(col("l_returnflag") =!= "R")
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000).as("dst"))
+      val bwd = li.where(col("l_returnflag") === "R")
+        .select((col("l_suppkey") + 1000000).as("src"),
+          col("o_custkey").as("dst"))
+      pipeline.Materialize(fwd.union(bwd))
+    }
 
   /** Session-scoped SCC memo over [[orderFlowEdges]]: `graph_scc` and
     * `graph_condensation` partition the SAME graph, so the SCC fixpoint
@@ -87,7 +93,7 @@ object SparkEntry {
   private def orderFlowScc(s: SparkSession, dir: String): DataFrame =
     memoized(sccMemo, s, dir)(
       pipeline.Materialize(pipeline.Graph.stronglyConnectedComponents(
-        orderFlowEdges(s), "src", "dst")))
+        orderFlowEdges(s, dir), "src", "dst")))
 
   /** The bidirected WEIGHTED customer↔supplier trade graph (weight =
     * distinct orders linking the pair — the graph_pagerank_weighted
@@ -4092,11 +4098,13 @@ object SparkEntry {
       // integer HITS over the DIRECTED customer→supplier trade graph:
       // customers are the hubs (they point), suppliers the authorities
       // (they are pointed at) — 3 rounds, sum-normalized fixed point,
-      // bit-replayable by the unrolled-CTE oracle
-      val e = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
+      // bit-replayable by the unrolled-CTE oracle. r16 optimization: the
+      // directed edge set IS the forward half of the session-shared
+      // bidirected frame ([[tradeEdges]]) — supplier ids sit at +1e6 by
+      // the build's own id-offset convention, so src < 1e6 selects
+      // exactly the distinct cust→supplier pairs the old standalone
+      // orders⋈lineitem pass produced
+      val e = tradeEdges(s, dir).where(col("src") < 1000000L)
       pipeline.Graph.hits(e, "src", "dst", iterations = 3).orderBy("node")
     },
     "graph_links" -> { (s, dir) =>
@@ -4259,7 +4267,7 @@ object SparkEntry {
       // r14: deterministic DeepWalk corpus over the order/return flow
       // graph — md5-derived uniform neighbor steps, 4 hops per start
       // node; the embedding-trainer input whose every row hash-gates
-      pipeline.Graph.randomWalks(orderFlowEdges(s), "src", "dst", walkLen = 4)
+      pipeline.Graph.randomWalks(orderFlowEdges(s, dir), "src", "dst", walkLen = 4)
         .orderBy("start", "step")
     },
     "graph_condensation" -> { (s, dir) =>
@@ -4269,7 +4277,7 @@ object SparkEntry {
       // runs and which components source/sink it. r15: the SCC pass is
       // shared with graph_scc via the session memo (precomputedScc) —
       // one fixpoint per session/dir, not two
-      pipeline.Graph.condensationLevels(orderFlowEdges(s), "src", "dst",
+      pipeline.Graph.condensationLevels(orderFlowEdges(s, dir), "src", "dst",
           precomputedScc = Some(orderFlowScc(s, dir)))
         .orderBy("scc")
     },
@@ -4291,12 +4299,14 @@ object SparkEntry {
     "graph_degree_dist" -> { (s, dir) =>
       prep(s, dir, "orders", "lineitem")
       // mega-hub pre-flight: log2-bucketed degree distribution of the
-      // trade graph — the readout that decides which ops need skew guards
-      val e0 = s.table("orders")
-        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-      pipeline.Graph.degreeProfile(e0, "src", "dst")
+      // trade graph — the readout that decides which ops need skew
+      // guards. r16 optimization: degreeProfile canonicalizes to the
+      // distinct undirected edge set internally (least/greatest +
+      // distinct), so the session-shared bidirected frame
+      // ([[tradeEdges]]) collapses to EXACTLY the same undirected set as
+      // the old standalone multiset build — one shared orders⋈lineitem
+      // pass, identical buckets
+      pipeline.Graph.degreeProfile(tradeEdges(s, dir), "src", "dst")
         .orderBy("bucket")
     },
     "graph_reciprocity" -> { (s, dir) =>

@@ -478,63 +478,79 @@ object Graph {
       .where(col("a") =!= col("b"))
     val und = e0.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct()
-    val adj = Materialize.cut(
+    val adj = Materialize.cutLazy(
       und.select(col("a").as("node"), col("b").as("nbr"))
         .union(und.select(col("b").as("node"), col("a").as("nbr")))
         .repartition(col("nbr")))
-    val m2 = Materialize.cut(adj.agg(count(lit(1)).cast(dec).as("__m2")))
+    val m2 = Materialize.cutLazy(adj.agg(count(lit(1)).cast(dec).as("__m2")))
     // the label STATE carries the (constant) degree — (node, community,
     // __k) — so no round ever joins a separate degree frame: community
     // totals are one groupBy on the state, and the candidate chain reads
     // __k off the own-label join it needs anyway
-    var labels = Materialize.cut(
+    var labels = Materialize.cutLazy(
       adj.groupBy("node").agg(count(lit(1)).as("__k"))
         .select(col("node"), col("node").as("community"), col("__k")))
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     retired += labels // superseded by round 1's cut
     for (i <- 1 to rounds) {
-      val tot = labels.groupBy(col("community").as("__c"))
+      // r16 optimization: community totals ride the LABEL frame (|V|-sized
+      // joins on the community key), so the old per-round cand⋈tot join —
+      // an |E|-sized exchange on the candidate-community key — and the
+      // union-with-own-zero groupBy (a second |E| exchange on (n, c))
+      // disappear. The own-community candidate is folded into an IN-ROW
+      // struct compare after the argmax: for kic rows the candidates are
+      // unchanged; the zero-kic own fallback is strictly below the own
+      // kic row whenever one exists (score strictly increases in k_ic as
+      // 2m > 0), so max(best-of-kic, fallback) picks exactly the old
+      // winner with the old (score, stay, −community) tie order.
+      val tot = labels.groupBy(col("community"))
         .agg(sum(col("__k")).as("__tot"))
+      val labelsT = labels.join(tot.hint("shuffle_hash"), Seq("community"))
       val kic = adj.as("__a")
-        .join(labels.as("__l").hint("shuffle_hash"),
+        .join(labelsT.as("__l").hint("shuffle_hash"),
           col("__a.nbr") === col("__l.node"))
-        .select(col("__a.node").as("__n"), col("__l.community").as("__c"))
-        .groupBy("__n", "__c").agg(count(lit(1)).as("__kic"))
-      // candidates: neighbor communities ∪ own (zero-k row; max()
-      // collapses the duplicate when a neighbor shares own — the real
-      // count dominates); the union is shuffle-free, the groupBy reuses
-      // kic's (n, c) partitioning on one side
-      val cand = kic
-        .union(labels.select(col("node").as("__n"),
-          col("community").as("__c"), lit(0L).as("__kic")))
-        .groupBy("__n", "__c").agg(max(col("__kic")).as("__kic"))
-      val next = cand
-        // r16 optimization: the own-label join is hinted like the kic/tot
-        // joins — unhinted, the |V|-sized label frame auto-broadcasts at
-        // bench scale (a driver collect round-trip EVERY round, the
+        .select(col("__a.node").as("__n"), col("__l.community").as("__c"),
+          col("__l.__tot").as("__ctot"))
+        .groupBy("__n", "__c").agg(count(lit(1)).as("__kic"),
+          max(col("__ctot")).as("__ctot")) // constant per community
+      val scored = kic
+        // shuffle_hash: the |V|-sized label frame auto-broadcasts at bench
+        // scale otherwise (a driver collect round-trip EVERY round, the
         // pageRank-measured per-round-broadcast failure: A/B at sf0.1
         // read ~2x on graph_louvain) and can never broadcast at graph
         // scale
-        .join(labels.select(col("node").as("__n"), col("community").as("__own"),
-          col("__k")).hint("shuffle_hash"), Seq("__n"))
-        .join(tot.hint("shuffle_hash"), Seq("__c"))
+        .join(labelsT.select(col("node").as("__n"), col("community").as("__own"),
+          col("__k"), col("__tot").as("__otot")).hint("shuffle_hash"), Seq("__n"))
         .crossJoin(broadcast(m2))
-        .select(col("__n"), col("__c"), col("__k"),
-          (col("__m2") * col("__kic").cast(dec)
-            - col("__k").cast(dec)
-              * (col("__tot").cast(dec)
-                 - when(col("__c") === col("__own"), col("__k").cast(dec))
-                   .otherwise(lit(0).cast(dec)))).as("__s"),
-          when(col("__c") === col("__own"), 1L).otherwise(0L).as("__stay"))
-        .groupBy("__n")
-        .agg(max(struct(col("__s"), col("__stay"), (-col("__c")).as("__neg"))).as("__b"),
-          min(col("__k")).as("__k")) // __k constant per node — min = the value
-        .select(col("__n").as("node"), (-col("__b.__neg")).as("community"),
-          col("__k"))
-      // cut EVERY round: the state is read three times per round (totals,
-      // k_ic join, own join) — left lazy the chain re-evaluates 3^r times
-      // (measured 14.6s vs 3.7s warm at sf0.01 for r = 3)
-      labels = Materialize.cut(next)
+        .select(col("__n"), col("__k"), col("__own"), col("__otot"),
+          struct(
+            (col("__m2") * col("__kic").cast(dec)
+              - col("__k").cast(dec)
+                * (col("__ctot").cast(dec)
+                   - when(col("__c") === col("__own"), col("__k").cast(dec))
+                     .otherwise(lit(0).cast(dec)))).as("__s"),
+            when(col("__c") === col("__own"), 1L).otherwise(0L).as("__stay"),
+            (-col("__c")).as("__neg")).as("__cnd"))
+        .groupBy("__n") // co-partitioned with the __n join — no exchange
+        .agg(max(col("__cnd")).as("__b"),
+          min(col("__k")).as("__k"), // constant per node — min = the value
+          min(col("__own")).as("__own"), min(col("__otot")).as("__otot"))
+      val fb = struct( // the own community at k_ic = 0 (2m·0 term vanishes)
+        (lit(0).cast(dec) - col("__k").cast(dec)
+          * (col("__otot").cast(dec) - col("__k").cast(dec))).as("__s"),
+        lit(1L).as("__stay"), (-col("__own")).as("__neg"))
+      val next = scored.select(col("__n").as("node"),
+        when(col("__b") >= fb, -col("__b.__neg"))
+          .otherwise(col("__own")).as("community"),
+        col("__k"))
+      // cutLazy EVERY round: the state is read three times per round
+      // (totals, k_ic join, own join) — left PLAIN-lazy the chain
+      // re-evaluates 3^r times (measured 14.6s vs 3.7s warm at sf0.01 for
+      // r = 3), while an EAGER cut paid a driver action per round. The
+      // lazy checkpoint is one shared RDD: all three readers reference the
+      // same blocks, computed once inside the caller's single action (r16
+      // — the MST flat-persist discipline applied to the move loops).
+      labels = Materialize.cutLazy(next)
       if (i < rounds) retired += labels
     }
     retired.foreach(Materialize.release)
@@ -577,21 +593,21 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    val und = Materialize.cut(
+    val und = Materialize.cutLazy(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
     // the level-invariant 2m: total weight is conserved by contraction
-    val m2 = Materialize.cut(
+    val m2 = Materialize.cutLazy(
       und.agg((count(lit(1)) * 2).cast(dec).as("__m2")))
-    var wEdges = Materialize.cut(und.select(col("a"), col("b"), lit(1L).as("w")))
+    var wEdges = Materialize.cutLazy(und.select(col("a"), col("b"), lit(1L).as("w")))
     var selfW = und.select(col("a").as("node"), lit(0L).as("sw")).limit(0)
     var assign: DataFrame = null
     for (lvl <- 1 to levels) {
-      val moves = Materialize.cut(
+      val moves = Materialize.cutLazy(
         weightedLouvainMoves(wEdges, selfW, m2, roundsPerLevel))
       assign =
         if (lvl == 1) moves
-        else Materialize.cut(
+        else Materialize.cutLazy(
           assign.join(moves
               .withColumnRenamed("node", "__sn")
               .withColumnRenamed("community", "__nc"),
@@ -603,7 +619,7 @@ object Graph {
           .withColumnRenamed("community", "__ca")
         val lb = moves.withColumnRenamed("node", "b")
           .withColumnRenamed("community", "__cb")
-        val withC = Materialize.cut(
+        val withC = Materialize.cutLazy(
           wEdges.join(la, Seq("a")).join(lb, Seq("b"))
             .select(col("__ca"), col("__cb"), col("w")))
         val intra = withC.where(col("__ca") === col("__cb"))
@@ -611,9 +627,9 @@ object Graph {
         // prior self-loops roll up into the new super-nodes
         val rolled = selfW.join(moves, Seq("node"))
           .select(col("community").as("node"), col("sw"))
-        selfW = Materialize.cut(
+        selfW = Materialize.cutLazy(
           intra.union(rolled).groupBy("node").agg(sum(col("sw")).as("sw")))
-        wEdges = Materialize.cut(
+        wEdges = Materialize.cutLazy(
           withC.where(col("__ca") =!= col("__cb"))
             .select(least(col("__ca"), col("__cb")).as("a"),
               greatest(col("__ca"), col("__cb")).as("b"), col("w"))
@@ -629,11 +645,11 @@ object Graph {
   private def weightedLouvainMoves(wEdges: DataFrame, selfW: DataFrame,
                                    m2: DataFrame, rounds: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    val adj = Materialize.cut(
+    val adj = Materialize.cutLazy(
       wEdges.select(col("a").as("node"), col("b").as("nbr"), col("w"))
         .union(wEdges.select(col("b").as("node"), col("a").as("nbr"), col("w")))
         .repartition(col("nbr")))
-    var labels = Materialize.cut(
+    var labels = Materialize.cutLazy(
       adj.groupBy("node").agg(sum(col("w")).as("__kw"))
         .join(selfW, Seq("node"), "left")
         .select(col("node"), col("node").as("community"),
@@ -641,42 +657,46 @@ object Graph {
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     retired += labels
     for (i <- 1 to rounds) {
-      val tot = labels.groupBy(col("community").as("__c"))
+      // r16 optimization: same restructure as [[louvainMoves]] — totals
+      // ride the label frame, own-community fallback is an in-row struct
+      // compare (see the unweighted loop for the equivalence argument;
+      // here score strictly increases in k_ic because 2m = 2Σw > 0)
+      val tot = labels.groupBy(col("community"))
         .agg(sum(col("__k")).as("__tot"))
+      val labelsT = labels.join(tot.hint("shuffle_hash"), Seq("community"))
       val kic = adj.as("__a")
-        .join(labels.as("__l").hint("shuffle_hash"),
+        .join(labelsT.as("__l").hint("shuffle_hash"),
           col("__a.nbr") === col("__l.node"))
         .select(col("__a.node").as("__n"), col("__l.community").as("__c"),
-          col("__a.w").as("__w"))
-        .groupBy("__n", "__c").agg(sum(col("__w")).as("__kic"))
-      val cand = kic
-        .union(labels.select(col("node").as("__n"),
-          col("community").as("__c"), lit(0L).as("__kic")))
-        .groupBy("__n", "__c").agg(max(col("__kic")).as("__kic"))
-      val next = cand
-        // r16 optimization: the own-label join is hinted like the kic/tot
-        // joins — unhinted, the |V|-sized label frame auto-broadcasts at
-        // bench scale (a driver collect round-trip EVERY round, the
-        // pageRank-measured per-round-broadcast failure: A/B at sf0.1
-        // read ~2x on graph_louvain) and can never broadcast at graph
-        // scale
-        .join(labels.select(col("node").as("__n"), col("community").as("__own"),
-          col("__k")).hint("shuffle_hash"), Seq("__n"))
-        .join(tot.hint("shuffle_hash"), Seq("__c"))
+          col("__a.w").as("__w"), col("__l.__tot").as("__ctot"))
+        .groupBy("__n", "__c").agg(sum(col("__w")).as("__kic"),
+          max(col("__ctot")).as("__ctot"))
+      val scored = kic
+        .join(labelsT.select(col("node").as("__n"), col("community").as("__own"),
+          col("__k"), col("__tot").as("__otot")).hint("shuffle_hash"), Seq("__n"))
         .crossJoin(broadcast(m2))
-        .select(col("__n"), col("__c"), col("__k"),
-          (col("__m2") * col("__kic").cast(dec)
-            - col("__k").cast(dec)
-              * (col("__tot").cast(dec)
-                 - when(col("__c") === col("__own"), col("__k").cast(dec))
-                   .otherwise(lit(0).cast(dec)))).as("__s"),
-          when(col("__c") === col("__own"), 1L).otherwise(0L).as("__stay"))
+        .select(col("__n"), col("__k"), col("__own"), col("__otot"),
+          struct(
+            (col("__m2") * col("__kic").cast(dec)
+              - col("__k").cast(dec)
+                * (col("__ctot").cast(dec)
+                   - when(col("__c") === col("__own"), col("__k").cast(dec))
+                     .otherwise(lit(0).cast(dec)))).as("__s"),
+            when(col("__c") === col("__own"), 1L).otherwise(0L).as("__stay"),
+            (-col("__c")).as("__neg")).as("__cnd"))
         .groupBy("__n")
-        .agg(max(struct(col("__s"), col("__stay"), (-col("__c")).as("__neg"))).as("__b"),
-          min(col("__k")).as("__k"))
-        .select(col("__n").as("node"), (-col("__b.__neg")).as("community"),
-          col("__k"))
-      labels = Materialize.cut(next)
+        .agg(max(col("__cnd")).as("__b"),
+          min(col("__k")).as("__k"),
+          min(col("__own")).as("__own"), min(col("__otot")).as("__otot"))
+      val fb = struct(
+        (lit(0).cast(dec) - col("__k").cast(dec)
+          * (col("__otot").cast(dec) - col("__k").cast(dec))).as("__s"),
+        lit(1L).as("__stay"), (-col("__own")).as("__neg"))
+      val next = scored.select(col("__n").as("node"),
+        when(col("__b") >= fb, -col("__b.__neg"))
+          .otherwise(col("__own")).as("community"),
+        col("__k"))
+      labels = Materialize.cutLazy(next)
       if (i < rounds) retired += labels
     }
     retired.foreach(Materialize.release)
@@ -1113,7 +1133,9 @@ object Graph {
     // distinct: a duplicated edge would double-count σ (multi-edges are
     // one adjacency for path counting); self-loops never lie on a
     // shortest path
-    val e0 = Materialize.cut(
+    // r16: lazy checkpoints — the forward loop's per-round count()
+    // actions materialize these on first use; no standalone cut jobs
+    val e0 = Materialize.cutLazy(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
         .where(col("src") =!= col("dst")).distinct())
     val nodeSet = e0.select(col("src").as("node"))
@@ -1125,11 +1147,11 @@ object Graph {
       .orderBy(col("__h"), col("node"))
       .limit(nSeeds)
       .select(col("node").as("seed"))
-    val eSrc = Materialize.cut(e0.repartition(col("src")))
-    val eDst = Materialize.cut(e0.repartition(col("dst")))
+    val eSrc = Materialize.cutLazy(e0.repartition(col("src")))
+    val eDst = Materialize.cutLazy(e0.repartition(col("dst")))
 
     // ---- forward: per (node, seed) BFS level + path count σ ------------
-    val lvl0 = Materialize.cut(seeds.select(col("seed").as("node"), col("seed"),
+    val lvl0 = Materialize.cutLazy(seeds.select(col("seed").as("node"), col("seed"),
       lit(1).cast("decimal(38,0)").as("sigma")))
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](lvl0)
     var visited = lvl0.select(col("node").as("__vn"), col("seed").as("__vs"))
@@ -1196,7 +1218,9 @@ object Graph {
             expr("CAST((CAST(__vsig AS DECIMAL(19,0)) * __wval) DIV __wsig AS DECIMAL(28,0))").as("__t"))
           .groupBy(col("__vn"), col("__vs"))
           .agg(sum(col("__t")).cast("decimal(38,0)").as("__d"))
-        val deltaL = Materialize.cut(levels(l)
+        // lazy: each level frame is read by the next level's join and the
+        // closing union — both inside the caller's single action (r16)
+        val deltaL = Materialize.cutLazy(levels(l)
           .join(terms.hint("shuffle_hash"),
             col("node") === col("__vn") && col("seed") === col("__vs"), "left")
           .select(col("node"), col("seed"), col("sigma"),
@@ -1572,15 +1596,19 @@ object Graph {
     Search.requireIntegralId(edges, srcCol, "hits", role = "src id")
     Search.requireIntegralId(edges, dstCol, "hits", role = "dst id")
     val dec = "decimal(38,0)"
-    // materialized FIRST: e0 feeds both partitioned edge frames and the
-    // node set (twice) — four references, each its own cut action, and
-    // the caller's edge frame is typically a join (the pageRank rule)
-    val e0 = Materialize.cut(
+    // r16 optimization: every materialization here is a LAZY checkpoint
+    // (shared RDD, blocks computed once inside the caller's single
+    // action) — the eager-cut shape paid 4 upfront + 2-per-iteration
+    // driver actions for frames whose multiple readers all live in the
+    // same downstream plan. e0 feeds both partitioned edge frames and
+    // the node set; raw score frames are read twice (sum + join) per
+    // normalization.
+    val e0 = Materialize.cutLazy(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).distinct())
-    val eBySrc = Materialize.cut(e0.repartition(col("src")))
-    val eByDst = Materialize.cut(e0.repartition(col("dst")))
-    val nodes = Materialize.cut(
+    val eBySrc = Materialize.cutLazy(e0.repartition(col("src")))
+    val eByDst = Materialize.cutLazy(e0.repartition(col("dst")))
+    val nodes = Materialize.cutLazy(
       e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
         .distinct().repartition(col("node")))
     val nTotal = nodes.agg(count(lit(1)).cast(dec).as("__nn"))
@@ -1595,11 +1623,11 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1000000L).cast(dec).as("h"))
     var auth: DataFrame = hub.select(col("node"), col("h").as("a"))
     for (_ <- 1 to iterations) {
-      val araw = Materialize.cut(
+      val araw = Materialize.cutLazy(
         eBySrc.join(hub.hint("shuffle_hash"), eBySrc("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__r")))
       auth = normalized(araw, "a")
-      val hraw = Materialize.cut(
+      val hraw = Materialize.cutLazy(
         eByDst.join(auth.hint("shuffle_hash"), eByDst("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum(col("a")).as("__r")))
       hub = normalized(hraw, "h")
