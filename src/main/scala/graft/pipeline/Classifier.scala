@@ -81,9 +81,14 @@ object Classifier {
     require(numFeatures > 0 && numFeatures <= (1 << 20),
       s"numFeatures must be in (0, 2^20], got $numFeatures")
     require(epochs >= 1 && epochs <= 64, s"epochs must be in [1, 64], got $epochs")
-    val docs = labeled.select(
+    // r16 optimization: the tokenized training frame is a lazy shared-RDD
+    // checkpoint — the head action below warms it, and the 2-actions-per-
+    // epoch loop reads the cache instead of re-running words() over the
+    // corpus 2·epochs times (the iterative-trainer caching convention;
+    // disk-backed, released with the session)
+    val docs = Materialize.cutLazy(labeled.select(
       (col(labelCol).cast("double") * 1000000).cast("long").as("__y"),
-      coalesce(TextAnalysis.words(col(textCol)), array()).as("__toks"))
+      coalesce(TextAnalysis.words(col(textCol)), array()).as("__toks")))
     val head = docs.agg(count(lit(1)), sum(size(col("__toks")).cast("long"))).head
     val n = head.getLong(0)
     require(n > 0, "train needs at least one labeled row")

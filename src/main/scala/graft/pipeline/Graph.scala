@@ -228,14 +228,17 @@ object Graph {
       .where(col("a") =!= col("b"))
     val und = e0.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct()
-    val multiStretch = iterations > cutEvery
-    def stage(df: DataFrame): DataFrame =
-      if (multiStretch) Materialize.cut(df) else df
     // the ONE exchange the adjacency ever sees: partitioned by nbr, the
-    // per-round join key
-    val adj = stage(
-      und.select(col("a").as("node"), col("b").as("nbr"))
-        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    // per-round join key. r16: lazy shared-RDD checkpoint — left a plain
+    // lazy frame, each round's vote join re-derived it (ReuseExchange
+    // does not dedup the repeated subtrees under AQE — the pageRank
+    // lesson); an eager cut paid a standalone driver action. The lazy
+    // checkpoint computes once inside the caller's action. und feeds
+    // both union arms, so it is shared the same way.
+    val undS = Materialize.cutLazy(und)
+    val adj = Materialize.cutLazy(
+      undS.select(col("a").as("node"), col("b").as("nbr"))
+        .union(undS.select(col("b").as("node"), col("a").as("nbr")))
         .repartition(col("nbr")))
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -256,7 +259,7 @@ object Graph {
         cut
       } else next
     }
-    if (multiStretch) Materialize.release(adj)
+    Materialize.release(adj)
     retired.foreach(Materialize.release)
     labels
   }
@@ -770,13 +773,16 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    var e = Materialize.cut(
+    var e = Materialize.cutLazy(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
     // fixpoint early-exit (the shortestPaths discipline): peeling only
     // REMOVES, so an unchanged edge count means no node fell below k and
-    // every later round would rebuild identical degrees for nothing —
-    // one scalar count on the already-materialized frame per round
+    // every later round would rebuild identical degrees for nothing.
+    // r16: each round's frame is a LAZY checkpoint whose count() is the
+    // one materializing action (cut + count paid two driver actions per
+    // round); the diamond readers (degree build + both semi-joins) share
+    // the counted blocks
     var prev = e.count()
     var r = 0
     var stable = false
@@ -785,7 +791,7 @@ object Graph {
       val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.where(col("d") >= k).select("n")
-      e = Materialize.cut(
+      e = Materialize.cutLazy(
         e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
           .select("a", "b"))
@@ -1685,7 +1691,7 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    var e = Materialize.cut(
+    var e = Materialize.cutLazy( // materialized by the pre-flight count
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
     // wedge-volume pre-flight off the (already materialized) input edges:
@@ -1744,13 +1750,16 @@ object Graph {
     var r = 0
     while (r < rounds && !stable) {
       r += 1
-      // the round's qualified supports are cut ONCE and read twice (the
-      // peel semi-join and, on the stable round, the output) — the
-      // stable round's pre-filter frame IS supports(final subgraph)
-      // because nothing changed, so no closing triangle pass is needed
-      val sup = Materialize.cut(
+      // the round's qualified supports are checkpointed ONCE and read
+      // twice (the peel semi-join and, on the stable round, the output) —
+      // the stable round's pre-filter frame IS supports(final subgraph)
+      // because nothing changed, so no closing triangle pass is needed.
+      // r16: both frames are LAZY checkpoints and next.count() is the
+      // round's one materializing action (the eager shape paid three
+      // driver actions per peel round)
+      val sup = Materialize.cutLazy(
         supports(e).where(col("support") >= minSup))
-      val next = Materialize.cut(e.join(sup, Seq("a", "b"), "left_semi"))
+      val next = Materialize.cutLazy(e.join(sup, Seq("a", "b"), "left_semi"))
       val cnt = next.count()
       if (cnt == prev || cnt == 0L) { stable = true; finalSup = Some(sup) }
       e = next
