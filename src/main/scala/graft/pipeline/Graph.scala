@@ -1292,7 +1292,7 @@ object Graph {
   def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     Search.requireIntegralId(edges, srcCol, "reciprocity", role = "src id")
     Search.requireIntegralId(edges, dstCol, "reciprocity", role = "dst id")
-    val e = Materialize.cut(
+    val e = Materialize.cutLazy( // shared by the self-join + both counts
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .where(col("src") =!= col("dst")).distinct())
@@ -1341,7 +1341,7 @@ object Graph {
     Search.requireIntegralId(edges, srcCol, "temporalReachability", role = "src id")
     Search.requireIntegralId(edges, dstCol, "temporalReachability", role = "dst id")
     Search.requireIntegralId(edges, timeCol, "temporalReachability", role = "edge time")
-    val e0 = Materialize.cut(
+    val e0 = Materialize.cutLazy(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(timeCol).cast("long").as("__t")))
@@ -1354,8 +1354,8 @@ object Graph {
     Search.requireIntegralId(seeds, sT, "temporalReachability", role = "seed time")
     val nodeSet = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
-    val ej = Materialize.cut(e0.repartition(col("src")))
-    var ea = Materialize.cut(
+    val ej = Materialize.cutLazy(e0.repartition(col("src")))
+    var ea = Materialize.cutLazy(
       seeds.select(col(sNode).cast("long").as("node"),
           col(sT).cast("long").as("ea"))
         .groupBy("node").agg(min(col("ea")).as("ea"))
@@ -1372,7 +1372,10 @@ object Graph {
         .groupBy("dst").agg(min(col("__nd")).as("__nd"))
       val improved = col("__old").isNull ||
         (col("__nd").isNotNull && col("__nd") < col("__old"))
-      val merged = Materialize.cut(
+      // cutLazy + count (the shortestPaths discipline): the emptiness
+      // probe is the round's one materializing job — the eager shape
+      // paid a cut action AND an isEmpty per round
+      val merged = Materialize.cutLazy(
         ea.withColumnRenamed("ea", "__old")
           .join(cand.hint("shuffle_hash"), col("node") === col("dst"), "full")
           .select(
@@ -1380,7 +1383,7 @@ object Graph {
             when(improved, col("__nd")).otherwise(col("__old")).as("ea"),
             improved.as("__imp")))
       frontier = merged.where(col("__imp")).select("node", "ea")
-      if (frontier.isEmpty) done = true
+      if (frontier.count() == 0L) done = true
       ea = merged.select("node", "ea")
     }
     ea.select(col("node"), col("ea").as("earliest_t"))
@@ -1448,23 +1451,29 @@ object Graph {
       s"maxDepth must be in [1, 200], got $maxDepth")
     Search.requireIntegralId(edges, childCol, "ancestorClosure", role = "child id")
     Search.requireIntegralId(edges, parentCol, "ancestorClosure", role = "parent id")
-    val e = Materialize.cut(edges
+    // r16: lazy checkpoints — each chase round's count() is its one
+    // materializing action (the eager shape paid a cut action AND an
+    // isEmpty per round), and the closing union reads the cached rounds
+    val e = Materialize.cutLazy(edges
       .select(col(childCol).cast("long").as("child"),
         col(parentCol).cast("long").as("parent"))
       .where(col("child").isNotNull && col("parent").isNotNull &&
         col("child") =!= col("parent"))
       .distinct())
     val up = e.select(col("child").as("anc"), col("parent").as("next"))
-    var frontier = e.select(col("child"), col("parent").as("anc"))
+    var frontier = Materialize.cutLazy(
+      e.select(col("child"), col("parent").as("anc")))
+    var n = frontier.count()
     val rounds = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 1
-    while (depth < maxDepth && !frontier.isEmpty) {
-      frontier = Materialize.cut(frontier.join(up, Seq("anc"))
+    while (depth < maxDepth && n != 0L) {
+      frontier = Materialize.cutLazy(frontier.join(up, Seq("anc"))
         .select(col("child"), col("next").as("anc")).distinct())
+      n = frontier.count()
       rounds += frontier
       depth += 1
     }
-    require(frontier.isEmpty,
+    require(n == 0L,
       s"ancestorClosure: a chase is still advancing after $maxDepth rounds — " +
         "cycle in the hierarchy, or raise maxDepth")
     rounds.reduce(_ union _).distinct()
@@ -1518,23 +1527,26 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    val und = Materialize.cut(
+    val und = Materialize.cutLazy(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
-    // materialized: the label frame is read THREE times (both endpoint
+    // checkpointed: the label frame is read THREE times (both endpoint
     // joins + the community-size rollup), and `labels` is typically the
-    // LAZY multi-round labelPropagation plan — without the cut the whole
-    // iteration chain re-evaluates per reference (measured: the
-    // modularity bench query paid ~2.5× the LP cost). Node-sized.
-    val lab = Materialize.cut(
+    // LAZY multi-round labelPropagation plan — without the checkpoint the
+    // whole iteration chain re-evaluates per reference (measured: the
+    // modularity bench query paid ~2.5× the LP cost). Node-sized. r16:
+    // lazy checkpoints — every reader lives under the caller's single
+    // action, which computes each shared RDD once with no standalone
+    // cut jobs.
+    val lab = Materialize.cutLazy(
       labels.select(col(nodeCol).cast("long").as("__n"),
           col(labelCol).cast("long").as("__l"))
         .groupBy("__n").agg(min("__l").as("__l")))
     def labelOf(side: String) = lab
       .withColumnRenamed("__n", side).withColumnRenamed("__l", s"__l$side")
-    // materialized: total/intra/degree-sum all read this frame — without
-    // the cut the edge⋈label join would run three times
-    val withL = Materialize.cut(und.join(labelOf("a"), Seq("a"), "left")
+    // checkpointed: total/intra/degree-sum all read this frame — without
+    // it the edge⋈label join would run three times
+    val withL = Materialize.cutLazy(und.join(labelOf("a"), Seq("a"), "left")
       .join(labelOf("b"), Seq("b"), "left")
       .select(
         when(col("__la").isNotNull && col("__lb").isNotNull,
@@ -1802,11 +1814,14 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    val und = Materialize.cut(
+    // r16: lazy checkpoints (und → degree build + pair join; deg → both
+    // endpoint joins) — computed once under the caller's action
+    val und = Materialize.cutLazy(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
-    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val deg = Materialize.cutLazy(
+      und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
     val pairs = und
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "__da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "__db"), "b")
@@ -1860,14 +1875,19 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    val und = Materialize.cut(
+    // r16: lazy checkpoints — und feeds the degree build, both adjacency
+    // arms, the anti-join and the final joins; deg is read three times;
+    // kept is both wedge-join sides. All readers live under the caller's
+    // single action, each shared RDD computes once, no standalone cuts.
+    val und = Materialize.cutLazy(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
-    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val deg = Materialize.cutLazy(
+      und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
     val adj = und.select(col("a").as("n"), col("b").as("nbr"))
       .union(und.select(col("b").as("n"), col("a").as("nbr")))
-    val kept = Materialize(
+    val kept = Materialize.cutLazy(
       adj.join(deg.where(col("d") <= maxDegree), Seq("n"), "left_semi")
         .repartition(col("n")))
     val cand = kept.as("x").join(kept.as("y"),
@@ -1892,15 +1912,16 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    // canonical undirected edge (min, max), deduped
-    val und = Materialize.cut(
+    // canonical undirected edge (min, max), deduped. r16: lazy
+    // checkpoints (shared RDDs, computed once under the caller's action)
+    val und = Materialize.cutLazy(
       e0.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .distinct())
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, id): u = smaller endpoint in that total order
-    val oriented = Materialize.cut(
+    val oriented = Materialize.cutLazy(
       und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
         .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
         .select(
@@ -2152,7 +2173,10 @@ object Graph {
       .where(col("src") =!= col("dst"))
       .distinct()
     val w = Window.partitionBy("src").orderBy("dst")
-    val nbrs = Materialize.cut(
+    // r16: lazy checkpoints throughout — the walk is a fixed-length
+    // chain whose readers (next step's join + the closing union) all
+    // live under the caller's action; no standalone cut jobs
+    val nbrs = Materialize.cutLazy(
       e0.withColumn("__rank", row_number().over(w).cast("long"))
         .withColumn("__deg",
           count(lit(1)).over(Window.partitionBy("src")).cast("long")))
@@ -2161,13 +2185,13 @@ object Graph {
       conv(substring(md5(concat(lit(salt), lit(":"),
         start.cast("string"), lit(":"), lit(t.toString), lit(":"),
         cur.cast("string"))), 1, 15), 16, 10).cast("long")
-    var frontier = Materialize.cut(
+    var frontier = Materialize.cutLazy(
       nbrs.select(col("src").as("start")).distinct()
         .withColumn("cur", col("start")))
     var acc = frontier.select(col("start"), lit(0L).as("step"),
       col("cur").as("node"))
     for (t <- 1 to walkLen) {
-      val nxt = Materialize.cut(
+      val nxt = Materialize.cutLazy(
         frontier.join(nbrs.hint("shuffle_hash"),
             frontier("cur") === nbrs("src") &&
               nbrs("__rank") === (h60(frontier("start"), t, frontier("cur"))
@@ -2215,12 +2239,12 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-    val ce = Materialize.cut(
+    val ce = Materialize.cutLazy( // materialized by round 1's count
       e0.join(scc.withColumnRenamed("node", "src").withColumnRenamed("scc", "__cs"), Seq("src"))
         .join(scc.withColumnRenamed("node", "dst").withColumnRenamed("scc", "__cd"), Seq("dst"))
         .where(col("__cs") =!= col("__cd"))
         .select(col("__cs"), col("__cd")).distinct())
-    var lvl = Materialize.cut(
+    var lvl = Materialize.cutLazy(
       scc.select(col("scc")).distinct().withColumn("level", lit(0L)))
     var round = 0
     var changed = 1L
