@@ -114,7 +114,7 @@ object Dedup {
                        broadcastConfirmed: Boolean = true): DataFrame = {
     require(!fresh.columns.contains("__h"),
       "crossCorpusBloom reserves column name __h; rename it on the fresh side")
-    val refHashes = Materialize(ref.select(contentHash(col(textCol)).as("__h")).distinct())
+    val refHashes = Materialize.cutLazy(ref.select(contentHash(col(textCol)).as("__h")).distinct())
     bloomGateAgainst(fresh, refHashes, buildBloomBytes(refHashes, fpp, expectedItems),
       textCol, broadcastConfirmed)
   }
@@ -173,7 +173,7 @@ object Dedup {
   def buildBloomGate(ref: DataFrame, textCol: String, dir: String,
                      fpp: Double = 0.01, expectedItems: Long = -1L): Unit = {
     require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
-    val refHashes = Materialize(ref.select(contentHash(col(textCol)).as("__h")).distinct())
+    val refHashes = Materialize.cutLazy(ref.select(contentHash(col(textCol)).as("__h")).distinct())
     refHashes.write.mode("overwrite").parquet(s"$dir/hashes")
     import ref.sparkSession.implicits._
     Seq(Tuple1(buildBloomBytes(refHashes, fpp, expectedItems))).toDF("bloom")
@@ -209,7 +209,7 @@ object Dedup {
     // band → bucket key (md5-h60 of the band's signature slice + band index)
     val buckets = sigs.select(col("id"), posexplode(
       expr(bandBucketsExpr(bands, r))).as(Seq("band", "bucket")))
-    val kept = Materialize(buckets
+    val kept = Materialize.cutLazy(buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("__n") <= maxBucket)
       .drop("__n"))
@@ -243,10 +243,10 @@ object Dedup {
                      thresholdPct: Int = 80, numHashes: Int = 128,
                      bands: Int = 16, shingle: Int = 5,
                      maxBucket: Int = 200): DataFrame = {
-    val cands = Materialize(
+    val cands = Materialize.cutLazy(
       minhashCandidates(docs, idCol, textCol, numHashes, bands, shingle, maxBucket)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
-    val truth = Materialize(
+    val truth = Materialize.cutLazy(
       similarityJoin(docs, idCol, textCol, thresholdPct, shingle)
         .select(col("a"), col("b")))
     val tp = cands.join(truth, Seq("a", "b"), "left_semi")
@@ -291,7 +291,7 @@ object Dedup {
                              maxBucket: Int = 200,
                              broadcastRef: Boolean = false): DataFrame = {
     require(!ref.isStreaming, "the reference corpus must be a static DataFrame")
-    val refKeys = Materialize(guardedBandKeys(ref, "b", idCol, textCol,
+    val refKeys = Materialize.cutLazy(guardedBandKeys(ref, "b", idCol, textCol,
       numHashes, bands, shingle, maxBucket))
     crossCandidatesAgainst(fresh, refKeys, idCol, textCol,
       numHashes, bands, shingle, broadcastRef)
@@ -386,7 +386,7 @@ object Dedup {
     val sh = shingleSet(col(textCol), shingle)
     // materialized: joined twice, and without materialization the per-DOC
     // shingle sets are recomputed per PAIR (candidate count ≫ doc count)
-    val withSets = Materialize(docs.select(col(idCol).as("__id"), sh.as("__sh")))
+    val withSets = Materialize.cutLazy(docs.select(col(idCol).as("__id"), sh.as("__sh")))
     pairs
       .join(withSets.withColumnRenamed("__sh", "__sha"), pairs("a") === col("__id")).drop("__id")
       .join(withSets.withColumnRenamed("__sh", "__shb"), pairs("b") === col("__id")).drop("__id")
@@ -479,7 +479,7 @@ object Dedup {
                                setCol: Column, opName: String)
       : (DataFrame, DataFrame, DataFrame) = {
     Search.requireIntegralId(docs, idCol, opName)
-    val sets = Materialize(docs
+    val sets = Materialize.cutLazy(docs
       .select(col(idCol).cast("long").as("__id"), setCol.as("__sh"))
       .where(col("__sh").isNotNull && size(col("__sh")) > 0))
     val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
@@ -497,7 +497,7 @@ object Dedup {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
     val (sets, _, ordered) = orderedTokenSets(docs, idCol, setCol, opName)
-    val prefixed = Materialize(ordered.select(col("__id"),
+    val prefixed = Materialize.cutLazy(ordered.select(col("__id"),
       size(col("__ord")).as("__sz"),
       expr(s"slice(__ord, 1, size(__ord) - (($thresholdPct * size(__ord) + 99) DIV 100) + 1)")
         .as("__pfx")))
@@ -667,7 +667,7 @@ object Dedup {
   def hamming64Pairs(fps: DataFrame, idCol: String, fpCol: String,
                      maxHamming: Int = 3, blocks: Int = 6,
                      maxBucket: Int = 200): DataFrame = {
-    val kept = Materialize(
+    val kept = Materialize.cutLazy(
       banded64(fps.select(col(idCol).as("id"), col(fpCol).as("fp")),
         maxHamming, blocks)
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("combo", "key")))
@@ -762,11 +762,14 @@ object Dedup {
     // repartition(y): materialize the edges already partitioned on the
     // per-round join key — every hook join then reuses this one exchange
     // instead of re-shuffling the (large) edge table each round
-    val edges = Materialize.cut(pairs.select(col("a").as("x"), col("b").as("y"))
+    // r16: lazy checkpoints — labelSum's full-scan aggregate is each
+    // round's ONE materializing action (the eager cuts paid a separate
+    // driver job per frame per round on top of it)
+    val edges = Materialize.cutLazy(pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .union(ids.select(col("id").as("x"), col("id").as("y")))
       .repartition(col("y")))
-    var labels = Materialize.cut(ids.select(col("id"), col("id").as("label")))
+    var labels = Materialize.cutLazy(ids.select(col("id"), col("id").as("label")))
     // decimal sum: exact at any node count (a bigint sum could overflow at
     // 10^9+ rows of 10^9+ ids, turning the convergence test into UB)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -785,9 +788,9 @@ object Dedup {
     // frame, after which last round's inputs are safe to drop.
     var deferred: Seq[DataFrame] = Nil
     while (!converged && i < maxIters) {
-      // hooked is materialized because the jump self-joins it: without the
-      // cut, BOTH join sides would recompute the edge-join + groupBy
-      val hooked = Materialize.cut(edges.join(labels, edges("y") === labels("id"))
+      // hooked is checkpointed because the jump self-joins it: without
+      // it, BOTH join sides would recompute the edge-join + groupBy
+      val hooked = Materialize.cutLazy(edges.join(labels, edges("y") === labels("id"))
         .groupBy("x").agg(min("label").as("label"))
         .withColumnRenamed("x", "id"))
       val sH = labelSum(hooked) // forces hooked AND (first use) labels
@@ -807,7 +810,7 @@ object Dedup {
         prevSum = sH
         val jumped = hooked.as("h1").join(hooked.as("h2"), col("h1.label") === col("h2.id"))
           .select(col("h1.id").as("id"), col("h2.label").as("label"))
-        labels = Materialize.cut(jumped)
+        labels = Materialize.cutLazy(jumped)
         deferred = Seq(hooked, prev) // released after jumped's first action
       }
       i += 1
@@ -881,7 +884,7 @@ object Dedup {
           expr("raise_error(concat('appendGroups: pair endpoint ', " +
             "CAST(b AS STRING), ' is neither a stored nor a batch id'))")
             .cast("long")).as("cb"))
-    val cEdges = Materialize(resolved
+    val cEdges = Materialize.cutLazy(resolved
       .select(col("ca").as("a"), col("cb").as("b"))
       .where(col("a") =!= col("b")).distinct())
     val nodes = b.select(col("id"))
@@ -975,7 +978,7 @@ object Dedup {
           .as("__s"))
     // materialized: the self-join below consumes it twice, and the
     // |s|+1-key explode is the expensive upstream pass
-    val keyed = Materialize(s.select(col("__id"), col("__s"),
+    val keyed = Materialize.cutLazy(s.select(col("__id"), col("__s"),
       explode(expr(
         """CASE WHEN length(__s) = 0 THEN array(__s)
           |ELSE array_union(array(__s),
@@ -1069,7 +1072,7 @@ object Dedup {
     // the most expensive upstream pass and feeds the rep aggregate, the
     // identity-dup frame and the blocks frame below — without this cut it
     // would recompute per downstream action
-    val assigned = Materialize.cut(Similarity
+    val assigned = Materialize.cutLazy(Similarity
       .assignClustersExact(emb, idCol, vecCol, nClusters, sampleSize, iters)
       .join(emb.select(col(idCol), col(vecCol).as("__v")), idCol)
       .withColumn("__qv", quantize(col("__v"))))
@@ -1098,10 +1101,13 @@ object Dedup {
     val reps = assigned.where(collapsible)
       .groupBy(col("cluster"), col("__qv")).agg(min(col(idCol)).as("__rep"))
     val withRep = assigned.join(reps, Seq("cluster", "__qv"), "left")
-    val identityDups = Materialize(withRep
+    val identityDups = Materialize.cutLazy(withRep
       .where(collapsible && col(idCol) =!= col("__rep"))
       .select(col(idCol), col("cluster")))
-    var blocks = Materialize.cut(withRep
+    // r16: lazy checkpoints — the loop's own over-cap collect / rep-chain
+    // collect are the materializing actions; the eager cuts each paid a
+    // standalone driver job per round
+    var blocks = Materialize.cutLazy(withRep
       .where(!collapsible || col(idCol) === col("__rep"))
       .select(col(idCol), col("cluster"), col("__v"), col("__qv"))
       .withColumn("__blk", col("cluster").cast("string")))
@@ -1189,7 +1195,7 @@ object Dedup {
                 pmod(xxhash64(col(idCol)), nChunks).cast("string"))), "#")
           }
         prevSep = sep
-        blocks = Materialize.cut(prev.where(!isOver).union(split))
+        blocks = Materialize.cutLazy(prev.where(!isOver).union(split))
         // representative chain: consecutive child min-ids of each split
         // parent pair up (child keys = parent + sep + suffix; a parent key
         // is never a prefix-plus-sep of a sibling's children)
