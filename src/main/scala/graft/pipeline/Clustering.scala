@@ -180,7 +180,7 @@ object Clustering {
     require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
     require(rounds >= 0 && rounds <= 64,
       s"rounds must be in [0, 64], got $rounds")
-    val q = Materialize(
+    val q = Materialize.cutLazy(
       emb.where(col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("vec_id"),
           Dedup.quantize(col(vecCol)).as("__qv"))

@@ -345,7 +345,7 @@ object Relational {
     * `bucket, n_keys, n, share_ppm`, top buckets first by n. */
   def topNOther(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val counts = Materialize(
+    val counts = Materialize.cutLazy(
       df.groupBy(col(keyCol).cast("string").as("__k"))
         .agg(count(lit(1)).as("__n")))
     val top = counts.where(col("__k").isNotNull)
@@ -580,7 +580,7 @@ object Relational {
     val bi0 = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val sizes = bi0.groupBy("__b").agg(count(lit(1)).as("__sz"))
-    val bi = Materialize(
+    val bi = Materialize.cutLazy(
       bi0.join(sizes.where(col("__sz") <= maxBasket), Seq("__b"), "left_semi")
         .repartition(col("__b")))
     val nB = bi.agg(countDistinct(col("__b")).cast(dec).as("__nb"))
@@ -636,7 +636,7 @@ object Relational {
     * dof, chi2_scaled`. */
   def chiSquareTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val obs = Materialize(
+    val obs = Materialize.cutLazy(
       df.where(col(rowCol).isNotNull && col(colCol).isNotNull)
         .groupBy(col(rowCol).cast("string").as("__r"),
           col(colCol).cast("string").as("__c"))
@@ -1039,7 +1039,7 @@ object Relational {
       s"maxRows must be in [2, 20000] (pairs are quadratic), got $maxRows")
     requireIntegralTime(df, xCol, "kendallTau", what = "x value")
     requireIntegralTime(df, yCol, "kendallTau", what = "y value")
-    val sample = Materialize(df
+    val sample = Materialize.cutLazy(df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
@@ -1255,7 +1255,7 @@ object Relational {
     * diagonal); everything after runs on |categories|-sized frames. */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val cells = Materialize.cut(
+    val cells = Materialize.cutLazy(
       df.where(col(aCol).isNotNull && col(bCol).isNotNull)
         .groupBy(col(aCol).cast("string").as("__a"),
           col(bCol).cast("string").as("__b"))
@@ -1304,7 +1304,7 @@ object Relational {
     * `n_items, n_raters, n_categories, kappa_ppm`. */
   def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val cells = Materialize.cut(
+    val cells = Materialize.cutLazy(
       df.where(col(itemCol).isNotNull && col(catCol).isNotNull)
         .groupBy(col(itemCol).cast("string").as("__i"),
           col(catCol).cast("string").as("__c"))

@@ -161,7 +161,7 @@ object Search {
     * `(doc_id, score_ppm)` row per candidate. */
   private def bm25Scores(queryPostings: DataFrame, n: Long,
                          avgdlMilli: Long): DataFrame = {
-    val p = Materialize.cut(queryPostings) // consumed twice: df stats + scoring
+    val p = Materialize.cutLazy(queryPostings) // consumed twice: df stats + scoring
     val dfs = documentFrequency(p)
     p.join(broadcast(dfs), "term")
       .select(col("doc_id"), bm25ContribPpm(n, avgdlMilli))
@@ -198,7 +198,7 @@ object Search {
       ts.map(graft.functions.WordTok.lowerLikeSpark).distinct.map(q -> _)
     }.toDF("query", "term")
     val allTerms = queries.flatMap(_._2).map(graft.functions.WordTok.lowerLikeSpark).distinct
-    val p = Materialize.cut(postings(df, idCol, textCol)
+    val p = Materialize.cutLazy(postings(df, idCol, textCol)
       .where(col("term").isin(allTerms: _*)))
     val dfs = documentFrequency(p)
     val contrib = p.join(broadcast(dfs), "term")
@@ -243,7 +243,7 @@ object Search {
                     kPerDoc: Int): DataFrame = {
     val (n, _) = corpusStats(df, textCol)
     require(n > 0, "keywordsTfIdf needs a non-empty corpus")
-    val p = Materialize.cut(postings(df, idCol, textCol))
+    val p = Materialize.cutLazy(postings(df, idCol, textCol))
     val dfs = documentFrequency(p)
     val weighted = p.join(dfs, "term")
       .select(col("doc_id"), col("term"),
@@ -445,7 +445,7 @@ object Search {
       requireIntegralId(l, "doc_id", "rrfFuse")
       requireIntegralId(l, "rank", "rrfFuse", role = "rank")
     }
-    val union = Materialize.cut(lists.zipWithIndex.map { case (l, i) =>
+    val union = Materialize.cutLazy(lists.zipWithIndex.map { case (l, i) =>
       l.select(col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as("rank"), lit(i).as("__list"))
     }.reduce(_ union _))
@@ -635,8 +635,8 @@ object Search {
           .otherwise(raise_error(lit("rboPrefix: ranks must be >= 1"))).as(r))
       clean.where(col(r) <= d)
     }
-    val sa = Materialize.cut(side(a, "__ra"))
-    val sb = Materialize.cut(side(b, "__rb"))
+    val sa = Materialize.cutLazy(side(a, "__ra"))
+    val sb = Materialize.cutLazy(side(b, "__rb"))
     // a doc ranked twice WITHIN one list's prefix would join twice and
     // silently inflate its weight (the rrfFuse hazard, same insurance:
     // one cheap aggregate over the ≤d-per-query filtered frames)

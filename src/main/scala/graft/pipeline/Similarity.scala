@@ -213,7 +213,7 @@ object Similarity {
               .as("cos_scaled"))
           .where(col("cos_scaled").isNotNull)
     }
-    val scored = Materialize(scored0)
+    val scored = Materialize.cutLazy(scored0)
     val bestRight = scored.groupBy("id_a")
       .agg(max(struct(col("cos_scaled"), (-col("id_b")).as("__n"))).as("__m"))
       .select(col("id_a"), (-col("__m.__n")).as("id_b"),
@@ -1572,7 +1572,7 @@ object Similarity {
     def d2To(center: Seq[Long]) = expr(
       s"aggregate(zip_with(qv, array(${center.mkString("L,")}L), " +
         "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    val q0 = Materialize.cut(corpus.where(col(vecCol).isNotNull)
+    val q0 = Materialize.cutLazy(corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qv")))
@@ -1588,7 +1588,7 @@ object Similarity {
       r.getSeq[Long](r.fieldIndex("qv"))
     var chosen = Vector[(Int, Long, Option[Long])](
       (1, firstRows.head.getLong(0), None))
-    var cur = Materialize.cut(
+    var cur = Materialize.cutLazy(
       q0.withColumn("__mind", d2To(vecOf(firstRows.head))))
     var prev: Option[DataFrame] = None
     var r = 2
@@ -1604,7 +1604,7 @@ object Similarity {
         val c = cand.head
         chosen :+= ((r, c.getLong(0), Some(c.getLong(1))))
         if (r < k)
-          cur = Materialize.cut(cur.withColumn("__mind",
+          cur = Materialize.cutLazy(cur.withColumn("__mind",
             least(col("__mind"), d2To(vecOf(c)))))
         r += 1
       }

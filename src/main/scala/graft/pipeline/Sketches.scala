@@ -185,7 +185,7 @@ object Sketches {
     // regs is read TWICE (the day spine + the grid join) — cut it once
     // so the corpus scan behind it runs once, not per consumer (the
     // kCore diamond discipline; the frame is days × m, KB-scale)
-    val regs = Materialize(hashed
+    val regs = Materialize.cutLazy(hashed
       .select(col("day"), expr(s"__h DIV ${1L << w}").as("__bucket"),
         when(rem === 0L, maxRank)
           .otherwise(lit(maxRank) - length(bin(rem))).as("__rank"))
@@ -384,7 +384,7 @@ object Sketches {
     val hashed = df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), h60(col(valueCol), "hll").as("__h"))
     val rem = col("__h") % (1L << w)
-    val regs = Materialize.cut(
+    val regs = Materialize.cutLazy(
       hashed.select(col("__g"),
           expr(s"__h DIV ${1L << w}").as("__bucket"),
           when(rem === 0L, maxRank)

@@ -775,7 +775,7 @@ object TextAnalysis {
     * so the corpus never shuffles. */
   def sourceFilter(df: DataFrame, idCol: String, textCol: String,
                    sourceCol: String, minMeanQuality: Int): DataFrame = {
-    val q = Materialize(qualityScore(df, textCol)
+    val q = Materialize.cutLazy(qualityScore(df, textCol)
       .select(col(idCol), col(sourceCol), col("quality_score")))
     val verdict = q.groupBy(sourceCol)
       .agg(sum("quality_score").as("__sum"), count(lit(1)).as("__n"))
@@ -1080,12 +1080,12 @@ object TextAnalysis {
     // explode: tokens contain no whitespace, so each bigram has exactly one
     // space and substring_index on the exploded scalar is O(gram), not
     // O(document)
-    val grams = Materialize(df
+    val grams = Materialize.cutLazy(df
       .select(col(idCol), explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
       .select(col(idCol),
         substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2")))
-    val bi = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    val bi = Materialize.cutLazy(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
     val uni = bi.groupBy("w1").agg(sum("c2").as("c1")) // c(w1·) from the small table
     val probs = bi.join(uni, "w1")
       .select(col("w1"), col("w2"), expr("1000000 * c2 DIV c1").as("ppm"))
@@ -1137,7 +1137,7 @@ object TextAnalysis {
       .select(explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
       .select(substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2"))
-    val bi = Materialize.cut(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")))
+    val bi = Materialize.cutLazy(grams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")))
     val uniA = bi.groupBy("w1").agg(sum("c_ab").as("c_a"))
     val uniB = bi.groupBy("w2").agg(sum("c_ab").as("c_b"))
     // T, c_a, c_b all live on the same measure — bigram SLOTS (tokens-1
@@ -1357,7 +1357,7 @@ object TextAnalysis {
     * left join back so every doc survives. */
   def dupLineStats(df: DataFrame, idCol: String, textCol: String,
                    minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
-    val lines = Materialize(lineFrame(df, idCol, textCol, minLineChars))
+    val lines = Materialize.cutLazy(lineFrame(df, idCol, textCol, minLineChars))
     val perDoc = lines.join(dupLineHashes(lines, idCol, minDocs), Seq("__h"), "left")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_lines"),
@@ -1380,7 +1380,7 @@ object TextAnalysis {
     * text column), never by corpus size. Output: (idCol, clean_text). */
   def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
                            minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
-    val lines = Materialize(lineFrame(df, idCol, textCol, minLineChars))
+    val lines = Materialize.cutLazy(lineFrame(df, idCol, textCol, minLineChars))
     val rebuilt = lines.join(dupLineHashes(lines, idCol, minDocs), Seq("__h"), "left")
       .where(col("__dup").isNull || !col("__elig"))
       .groupBy(idCol).agg(concat_ws("\n",
@@ -1461,7 +1461,7 @@ object TextAnalysis {
     * left join back to the scan frame. */
   def corpusDupNgrams(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): DataFrame = {
-    val grams = Materialize(df.select(col(idCol),
+    val grams = Materialize.cutLazy(df.select(col(idCol),
       explode(ngramHashes(col(textCol), n)).as("__g")))
     val docCounts = grams.groupBy("__g").agg(count(lit(1)).as("__docs"))
     val perDoc = grams.join(docCounts, "__g")
@@ -1507,9 +1507,9 @@ object TextAnalysis {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2; got n=$n minDocs=$minDocs")
-    val toks = Materialize(df.select(col(idCol),
+    val toks = Materialize.cutLazy(df.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("__pos", "__w"))))
-    val grams = Materialize(df.select(col(idCol),
+    val grams = Materialize.cutLazy(df.select(col(idCol),
         posexplode(E.column(WordGrams(E.expression(col(textCol)), n))).as(Seq("__pos", "__gs")))
       .select(col(idCol), col("__pos"), xxhash64(col("__gs")).as("__g")))
     val dup = grams.select(col(idCol), col("__g")).distinct()
@@ -1720,7 +1720,7 @@ object TextAnalysis {
     * exemplar corpus by definition. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val toks = Materialize(raw.select(col(idCol),
+    val toks = Materialize.cutLazy(raw.select(col(idCol),
       explode(words(col(textCol))).as("__t"))
       .select(col(idCol), sampleBucket16(col("__t")).cast("long").as("__b")))
     val perDoc = toks.join(broadcast(llrModel(toks, target, textCol)), Seq("__b"))
@@ -1791,7 +1791,7 @@ object TextAnalysis {
     * (s1 < s2, each unordered pair once). */
   def sourceOverlap(df: DataFrame, sourceCol: String,
                     textCol: String): DataFrame = {
-    val st = Materialize(
+    val st = Materialize.cutLazy(
       df.where(col(sourceCol).isNotNull)
         .select(col(sourceCol).cast("string").as("__s"),
           explode(words(col(textCol))).as("__t"))
@@ -1895,11 +1895,11 @@ object TextAnalysis {
       .select(explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
       .select(substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2"))
-    val fe = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("__n"))
+    val fe = Materialize.cutLazy(grams.groupBy("w1", "w2").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount))
     def h60(c: Column) =
       conv(substring(md5(concat(lit("tr:"), c)), 1, 15), 16, 10).cast("long")
-    val vid = Materialize(
+    val vid = Materialize.cutLazy(
       fe.select(col("w1").as("word")).union(fe.select(col("w2"))).distinct()
         .select(col("word"), h60(col("word")).as("__id")))
     def side(a: String, b: String) = fe
@@ -1923,7 +1923,7 @@ object TextAnalysis {
       .select(explode(E.column(WordGrams(E.expression(col(textCol)), 2))).as("__bg"))
       .select(substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2"))
-    val full = Materialize(grams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")))
+    val full = Materialize.cutLazy(grams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")))
     val left = full.groupBy("w1").agg(sum("n_ab").as("__na"))
     val right = full.groupBy("w2").agg(sum("n_ab").as("__nb"))
     val tot = full.agg(sum("n_ab").as("__N"))
@@ -2138,7 +2138,7 @@ object TextAnalysis {
     * scale for a larger domain). */
   def sourceKl(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     def lg(x: String) = graft.functions.Lg64.sql(x)
-    val csw = Materialize.cut(df
+    val csw = Materialize.cutLazy(df
       .select(col(sourceCol).as("source"), explode(words(col(textCol))).as("__w"))
       .groupBy("source", "__w").agg(count(lit(1)).as("__c")))
     val cw = csw.groupBy("__w").agg(sum("__c").as("__cw"))

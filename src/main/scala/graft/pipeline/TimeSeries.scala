@@ -491,7 +491,7 @@ object TimeSeries {
     // the r12 rewrite removed from the unkeyed rank stats. Groups are
     // bounded by definition (experiment arms), the exact shape the keyed
     // scan's broadcast-offset contract wants.
-    val atRisk = Materialize(RangeScan.runningAgg(
+    val atRisk = Materialize.cutLazy(RangeScan.runningAgg(
         grid.join(broadcast(totg), Seq("__g")),
         Seq(col("t")),
         Seq(RangeScan.Scan(col("__d") + col("__c"), "__pre")),
@@ -572,7 +572,7 @@ object TimeSeries {
       s"alphaPpm must be in [1, 999999], got $alphaPpm")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy("day")
-    val ew = Materialize.cut(
+    val ew = Materialize.cutLazy(
       ewma(events, keyCol, tsCol, valueCol, alphaNum, alphaDen)
         .withColumn("__pe", lag(col("ewma_cents"), 1).over(w))
         .withColumn("__rnd",
@@ -826,7 +826,7 @@ object TimeSeries {
     require(maxLag >= 1 && maxLag <= 370,
       s"maxLag must be in [1, 370], got $maxLag")
     val dec = "decimal(38,0)"
-    val spine = Materialize(
+    val spine = Materialize.cutLazy(
       resampleGapFill(events, keyCol, tsCol, valueCol)
         .select(col(keyCol), col("day"), col("value_cents")))
     val a = spine
@@ -1055,12 +1055,12 @@ object TimeSeries {
     // the trended spine is read THREE times (phase means, grand mean,
     // final join) — cut it once or Catalyst re-expands the whole
     // gap-fill + MA window per reader (the CC self-join discipline)
-    val withTrend = Materialize(spine.withColumn("trend_cents", trendExpr))
+    val withTrend = Materialize.cutLazy(spine.withColumn("trend_cents", trendExpr))
     val interior = withTrend.where(col("trend_cents").isNotNull)
       .select(col(keyCol), col("__phase"),
         (col("value_cents") - col("trend_cents")).as("__det"))
     // key×period rows, read twice (seasonal + grand) — cut
-    val phaseMeans = Materialize(interior.groupBy(col(keyCol), col("__phase"))
+    val phaseMeans = Materialize.cutLazy(interior.groupBy(col(keyCol), col("__phase"))
       .agg(sum(col("__det")).as("__s"), count(lit(1)).as("__n"))
       .select(col(keyCol), col("__phase"), expr("__s DIV __n").as("__raw")))
     val grand = phaseMeans.groupBy(col(keyCol))
@@ -1191,7 +1191,7 @@ object TimeSeries {
     * bounded by the span cap. */
   def theilSen(events: DataFrame, keyCol: String, tsCol: String,
                valueCol: String, maxSpanDays: Int = 1100): DataFrame = {
-    val spine = Materialize(
+    val spine = Materialize.cutLazy(
       resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
         .withColumn("__n", count(lit(1))
           .over(Window.partitionBy(keyCol)))
@@ -1237,7 +1237,7 @@ object TimeSeries {
     require(maxPoints >= 2 && maxPoints <= 2000,
       s"maxPoints must be in [2, 2000], got $maxPoints")
     val wPick = Window.partitionBy(keyCol).orderBy(col("__h"), col("__x"))
-    val spine = Materialize(
+    val spine = Materialize.cutLazy(
       resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
         .select(col(keyCol),
           datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
@@ -1446,7 +1446,7 @@ object TimeSeries {
 
   def mannKendall(events: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String, maxSpanDays: Int = 1100): DataFrame = {
-    val spine = Materialize(
+    val spine = Materialize.cutLazy(
       resampleGapFill(events, keyCol, tsCol, valueCol, maxSpanDays)
         .select(col(keyCol),
           datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
