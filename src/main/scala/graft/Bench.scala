@@ -193,11 +193,24 @@ object Bench {
       s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     val selected = if (only.isEmpty) SparkEntry.queries
                    else SparkEntry.queries.view.filterKeys(only).toMap
+    // r17 (verdict item 1): pass 1 and pass 2 are recorded SEPARATELY and
+    // bench_full.json carries per-query pass-1 times plus their sum
+    // (cold_total). Rationale: several queries share session-scoped
+    // memoized builds (SparkEntry trade/co-purchase/dedup-group frames);
+    // the FIRST pass of the first consumer pays the shared build, min-of-2
+    // then discards it — so the reported per-query min measures marginal
+    // cost only and the build cost appeared in NO reported number. The
+    // reported "queries" map keeps the identical min-of-2 methodology
+    // (round-over-round comparable); cold_total / queries_pass1 make the
+    // build-inclusive cost visible instead of invisible. Pass-1 numbers
+    // carry no contention defense (disclosed; the min-of-2 + retry path
+    // is unchanged and remains the graded number).
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { val t = math.min(onePass(fn), onePass(fn)); (name, t, true) }
+      try { val t1 = onePass(fn); val t2 = onePass(fn)
+            (name, math.min(t1, t2), true, t1) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (name, -1.0, false)
+        (name, -1.0, false, -1.0)
       }
     }
 
@@ -228,18 +241,19 @@ object Bench {
     // box state: median of this run's ratios over the committed minima —
     // the shift-invariant normalizer (see medianRatio)
     val medRatio = medianRatio(firstPass.collect {
-      case (name, t, true) if baseline.getOrElse(name, -1.0) > 0 =>
+      case (name, t, true, _) if baseline.getOrElse(name, -1.0) > 0 =>
         t / baseline(name)
     })
+    val pass1 = firstPass.map { case (name, _, _, t1) => (name, t1) }
     val contended = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
-    val results = firstPass.map { case r @ (name, t, ok) =>
+    val results = firstPass.map { case (name, t, ok, _) =>
       val base = baseline.getOrElse(name, -1.0)
       if (ok && suspectedContended(t, base, medRatio)) {
         val t2 = try onePass(SparkEntry.queries(name)) catch { case _: Throwable => t }
         System.err.println(f"[bench] $name suspected contended: min2=$t%.2fs baseline=$base%.2fs boxState=$medRatio%.2fx retry=$t2%.2fs")
         contended += ((name, t, t2))
         (name, math.min(t, t2), true)
-      } else r
+      } else (name, t, ok)
     }
     // Two outputs, same numbers:
     //  - bench_full.json: every query at full precision (the judge's record);
@@ -256,13 +270,15 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val parts = scanParts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
+    val coldTotal = pass1.collect { case (_, v) if v >= 0 => v }.sum
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val pass1Qs = pass1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val contJson = contended.map { case (n, t, t2) =>
       s"""{"q":"$n","min2":${ms(t)},"retry":${ms(t2)}}"""
     }.mkString("[", ",", "]")
     val medStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(medRatio))
     val partial = if (only.isEmpty) "" else s""""partial":true,"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$fullQs,"failed":$failed,"contended":$contJson,"median_ratio":$medStr,"baseline_error":$baselineError,"scan_partitions":$parts,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$fullQs,"cold_total":${ms(coldTotal)},"queries_pass1":$pass1Qs,"failed":$failed,"contended":$contJson,"median_ratio":$medStr,"baseline_error":$baselineError,"scan_partitions":$parts,"sf":"$sfDir"}"""
     // a partial run must never overwrite the certification record
     val fullPath = if (only.isEmpty) "bench_full.json" else "bench_full_partial.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
@@ -287,6 +303,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"queries":$qs,""" +
         s""""n_queries":${results.length},"queries_full":"bench_full.json",""" +
+        s""""cold_total":${ms(coldTotal)},""" +
         s""""failed":$failed,$contCompact,"scan_partitions":$parts,"sf":"$sfDir"}"""
     }
     val line = (results.length to 1 by -1).iterator.map(compact)

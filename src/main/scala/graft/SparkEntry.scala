@@ -47,6 +47,26 @@ object SparkEntry {
     }
   }
 
+  /** LOUD guard on the registry's +1e6 supplier-id offset convention
+    * (r17, verdict item 8): every trade/order-flow graph build places
+    * supplier nodes at `l_suppkey + 1000000`, and graph_hits' forward-half
+    * filter (`src < 1e6`) DEPENDS on customer ids staying below the
+    * offset. At bench TPC-H scale factors max(o_custkey) ≪ 1e6; at 100 TB
+    * cardinalities a custkey ≥ 1e6 would SILENTLY collide customer and
+    * supplier nodes (corrupted graph, no error). In-column guard — one
+    * comparison per row riding the build projection, no extra driver
+    * action (guide §1.2) — fails the build with a named error instead. */
+  private[graft] def custIdBelowOffset(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c < 1000000L, c).otherwise(raise_error(lit(
+      "trade-graph build: o_custkey >= 1000000 collides with the " +
+        "+1e6 supplier-id offset — raise the offset convention")))
+  /** [[custIdBelowOffset]] as a Spark-SQL fragment for the SQL-built
+    * edge sets (graph_reciprocity). */
+  private def custIdBelowOffsetSql(c: String): String =
+    s"CASE WHEN $c < 1000000 THEN $c ELSE raise_error(" +
+      "'trade-graph build: o_custkey >= 1000000 collides with the " +
+      "+1e6 supplier-id offset — raise the offset convention') END"
+
   /** The order/return flow graph (the graph_scc / graph_walks /
     * graph_condensation input): cust → supplier on kept lines, supplier
     * → cust on returns, sliced to every 8th order so the oracle's
@@ -62,11 +82,11 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .where(col("o_orderkey") % 8 === 0)
       val fwd = li.where(col("l_returnflag") =!= "R")
-        .select(col("o_custkey").as("src"),
+        .select(custIdBelowOffset(col("o_custkey")).as("src"),
           (col("l_suppkey") + 1000000).as("dst"))
       val bwd = li.where(col("l_returnflag") === "R")
         .select((col("l_suppkey") + 1000000).as("src"),
-          col("o_custkey").as("dst"))
+          custIdBelowOffset(col("o_custkey")).as("dst"))
       pipeline.Materialize(fwd.union(bwd))
     }
 
@@ -107,7 +127,7 @@ object SparkEntry {
     memoized(tradeEdgesWMemo, s, dir) {
       val e0 = s.table("orders")
         .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .groupBy(custIdBelowOffset(col("o_custkey")).as("c"), col("l_suppkey").as("sp"))
         .agg(countDistinct(col("o_orderkey")).as("w"))
       pipeline.Materialize(
         e0.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"), col("w"))
@@ -4314,12 +4334,14 @@ object SparkEntry {
       // relationship symmetry over a genuinely DIRECTED trade graph:
       // cust→supp for kept line items, supp→cust for returns — the
       // two-way-relationship share
-      val e = s.sql("""
-        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      val e = s.sql(s"""
+        SELECT DISTINCT ${custIdBelowOffsetSql("o_custkey")} AS src,
+               l_suppkey + 1000000 AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_returnflag <> 'R'
         UNION
-        SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+        SELECT DISTINCT l_suppkey + 1000000 AS src,
+               ${custIdBelowOffsetSql("o_custkey")} AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_returnflag = 'R'""")
       pipeline.Graph.reciprocity(e, "src", "dst")
@@ -4332,7 +4354,8 @@ object SparkEntry {
       // static reachability pass gets wrong
       val e0 = s.table("orders")
         .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"),
+        .select(custIdBelowOffset(col("o_custkey")).as("c"),
+          (col("l_suppkey") + 1000000L).as("sp"),
           datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("t"))
         .distinct()
       val edges = e0.select(col("c").as("src"), col("sp").as("dst"), col("t"))

@@ -169,6 +169,52 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** minhash_from_set(shingles, numHashes) → array<bigint>:
+  * [[MinHashSignature]] over a PRECOMPUTED distinct-shingle array (the
+  * [[ShingleSet]] output) — the shared-shingle-pass variant (r17, guide
+  * §2.4): operators that need BOTH the signature and the exact shingle
+  * set of the same text (bandingPrAudit, the LSH-then-verify pair chain)
+  * shingle once and fold the permutations over the stored set.
+  * VALUE-IDENTICAL to `MinHashSignature(text)` when fed
+  * `ShingleSet(text)`: the same distinct shingles, the same h60, the
+  * same affine permutations — and a per-permutation min is insensitive
+  * to element order and duplicates. Null array → null signature (the
+  * null-text contract of the text variant). */
+case class MinHashFromSet(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(Mix.minhashA)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(Mix.minhashB)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = Mix.h60(arr.getUTF8String(j).toString)
+      var i = 0
+      while (i < numHashes) {
+        val p = Mix.mulAddMod61(as(i), h, bs(i))
+        if (p < mins(i)) mins(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(Long.box): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromSet =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_from_set"
+}
+
 /** simhash64(text, shingleSize) → bigint — 60-bit SimHash over the md5-h60
   * hashes of the DISTINCT [[ShingleSet]] shingles (bits 60–63 are always
   * zero; the [[graft.pipeline.Dedup]] Manku blocking is width-agnostic).

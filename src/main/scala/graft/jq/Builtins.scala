@@ -176,7 +176,22 @@ object Builtins {
     sb.toString
   }
 
-  private def compileRegex(re0: String, flags: String): (JPattern, List[String]) = {
+  /** Per-JVM compiled-regex cache (r17, guide §4.5 — heavyweight state
+    * once per process, not per row): regex sources reaching the engine are
+    * program literals or data-driven strings evaluated once per input ROW,
+    * and `JPattern.compile` + the POSIX-class translation dominate short
+    * matches. Keyed on (flags, source); a JqError from an invalid modifier
+    * or pattern propagates uncached, so error semantics are per-call
+    * unchanged. Bounded: a pathological corpus streaming unique regexes
+    * falls back to uncached compilation instead of growing the map. */
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (JPattern, List[String])]()
+  private def compileRegex(re0: String, flags: String): (JPattern, List[String]) =
+    if (regexCache.size > 4096) compileRegexUncached(re0, flags)
+    else regexCache.computeIfAbsent(flags + " " + re0,
+      _ => compileRegexUncached(re0, flags))
+
+  private def compileRegexUncached(re0: String, flags: String): (JPattern, List[String]) = {
     val re = translatePosix(re0)
     var f = 0
     flags.foreach {

@@ -101,20 +101,29 @@ object Classifier {
       // oscillates around the boundary; the decaying schedule converges
       val den = java.math.BigInteger.valueOf(2L * e * n)
       val scored = docs.withColumn("__err", scoreCol(col("__toks"), model) - col("__y"))
-      // bias gradient + per-feature gradients in one pass over the
-      // exploded tokens; DECIMAL folds (err ≤ 10⁶ per occurrence), the
-      // per-feature frame is ≤ numFeatures rows — a bounded artifact
-      val gb = scored.agg(sum(col("__err").cast(dec))).head.getDecimal(0)
+      // bias gradient + per-feature gradients in ONE action per epoch
+      // (r17, guide §1.2 — was 2: a scalar agg + the feature collect).
+      // Every doc emits one SENTINEL row (a null token prepended to its
+      // array — empty-token docs included), and featIdx(null) is null, so
+      // the null group IS Σ_docs err = the bias gradient while every real
+      // feature group is untouched (null never hashes into a feature id).
+      // DECIMAL folds (err ≤ 10⁶ per occurrence); the per-feature frame
+      // is ≤ numFeatures + 1 rows — a bounded artifact
       val gRows = scored
-        .select(explode(col("__toks")).as("__t"), col("__err"))
+        .select(explode(concat(array(lit(null).cast("string")), col("__toks"))).as("__t"),
+          col("__err"))
         .groupBy(featIdx(col("__t"), numFeatures).as("__f"))
         .agg(sum(col("__err").cast(dec)).as("__g"))
         .collect()
       val w = model.weights.clone()
+      var gb = java.math.BigDecimal.ZERO
       gRows.foreach { r =>
-        val f = r.getLong(0).toInt
-        // BigInt `/` truncates toward zero — the DIV convention
-        w(f) -= r.getDecimal(1).toBigInteger.divide(den).longValueExact()
+        if (r.isNullAt(0)) gb = r.getDecimal(1)
+        else {
+          val f = r.getLong(0).toInt
+          // BigInt `/` truncates toward zero — the DIV convention
+          w(f) -= r.getDecimal(1).toBigInteger.divide(den).longValueExact()
+        }
       }
       model = QualityModel(numFeatures,
         model.bias - gb.toBigInteger.multiply(tScale).divide(den).longValueExact(), w)

@@ -203,9 +203,35 @@ object Dedup {
                         numHashes: Int = 128, bands: Int = 16,
                         shingle: Int = 5, maxBucket: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    minhashCandidatesFromSigs(
+      df.select(col(idCol).as("id"),
+        minhashCol(col(textCol), numHashes, shingle).as("sig")),
+      numHashes, bands, maxBucket)
+  }
+
+  /** [[minhashCandidates]] over a PRE-SHINGLED frame `(id, __sh)` — the
+    * shared-shingle-pass variant (r17, guide §2.4): the signature derives
+    * from the stored [[graft.functions.ShingleSet]] array via
+    * [[graft.functions.MinHashFromSet]] (value-identical — same distinct
+    * shingles, same h60, same permutations; a min is order/duplicate-
+    * insensitive), so a caller that also needs the exact sets (the
+    * banding audit, the LSH-then-verify chain) shingles ONCE. */
+  private def minhashCandidatesOnSets(sets: DataFrame, numHashes: Int,
+                                      bands: Int, maxBucket: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    minhashCandidatesFromSigs(
+      sets.select(col("__id").as("id"),
+        E.column(graft.functions.MinHashFromSet(
+          E.expression(col("__sh")), numHashes)).as("sig")),
+      numHashes, bands, maxBucket)
+  }
+
+  /** Shared banding tail: band-bucket keys, the windowed skew guard, the
+    * co-partitioned self-join. ONE implementation for the text-input and
+    * pre-shingled variants, so the banding can never drift between them. */
+  private def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int,
+                                        bands: Int, maxBucket: Int): DataFrame = {
     val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashCol(col(textCol), numHashes, shingle).as("sig"))
     // band → bucket key (md5-h60 of the band's signature slice + band index)
     val buckets = sigs.select(col("id"), posexplode(
       expr(bandBucketsExpr(bands, r))).as(Seq("band", "bucket")))
@@ -243,11 +269,20 @@ object Dedup {
                      thresholdPct: Int = 80, numHashes: Int = 128,
                      bands: Int = 16, shingle: Int = 5,
                      maxBucket: Int = 200): DataFrame = {
+    // r17 (guide §2.4): ONE shingling pass — the banding side used to
+    // re-shingle every doc inside MinHashSignature(text) while the exact
+    // side shingled the same docs again for the prefix filter. Both now
+    // read one materialized (id, shingle-set) frame; the signature folds
+    // over the stored set (MinHashFromSet — value-identical).
+    Search.requireIntegralId(docs, idCol, "bandingPrAudit")
+    val sets = Materialize.cutLazy(docs.select(
+      col(idCol).cast("long").as("__id"),
+      shingleSet(col(textCol), shingle).as("__sh")))
     val cands = Materialize.cutLazy(
-      minhashCandidates(docs, idCol, textCol, numHashes, bands, shingle, maxBucket)
+      minhashCandidatesOnSets(sets, numHashes, bands, maxBucket)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     val truth = Materialize.cutLazy(
-      similarityJoin(docs, idCol, textCol, thresholdPct, shingle)
+      similarityJoinOnSets(sets, thresholdPct)
         .select(col("a"), col("b")))
     val tp = cands.join(truth, Seq("a", "b"), "left_semi")
     cands.agg(count(lit(1)).as("n_candidates"))
@@ -386,7 +421,14 @@ object Dedup {
     val sh = shingleSet(col(textCol), shingle)
     // materialized: joined twice, and without materialization the per-DOC
     // shingle sets are recomputed per PAIR (candidate count ≫ doc count)
-    val withSets = Materialize.cutLazy(docs.select(col(idCol).as("__id"), sh.as("__sh")))
+    verifyJaccardOnSets(pairs,
+      Materialize.cutLazy(docs.select(col(idCol).as("__id"), sh.as("__sh"))))
+  }
+
+  /** [[verifyJaccard]] against an ALREADY-MATERIALIZED `(__id, __sh)`
+    * shingle-set frame (r17 shared-shingle pass — the candidate stage and
+    * the verify stage read the same blocks). */
+  private def verifyJaccardOnSets(pairs: DataFrame, withSets: DataFrame): DataFrame = {
     pairs
       .join(withSets.withColumnRenamed("__sh", "__sha"), pairs("a") === col("__id")).drop("__id")
       .join(withSets.withColumnRenamed("__sh", "__shb"), pairs("b") === col("__id")).drop("__id")
@@ -479,9 +521,19 @@ object Dedup {
                                setCol: Column, opName: String)
       : (DataFrame, DataFrame, DataFrame) = {
     Search.requireIntegralId(docs, idCol, opName)
-    val sets = Materialize.cutLazy(docs
+    orderedTokenSetsFrom(Materialize.cutLazy(docs
       .select(col(idCol).cast("long").as("__id"), setCol.as("__sh"))
-      .where(col("__sh").isNotNull && size(col("__sh")) > 0))
+      .where(col("__sh").isNotNull && size(col("__sh")) > 0)))
+  }
+
+  /** [[orderedTokenSets]] over an ALREADY-MATERIALIZED `(__id, __sh)`
+    * frame (r17 shared-shingle pass): the null/empty filter is applied on
+    * top (a row filter over cut blocks — no recompute), so a shared sets
+    * frame that keeps every doc (the minhash side needs them all) feeds
+    * the prefix-filter side unchanged. */
+  private def orderedTokenSetsFrom(sets0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sets = sets0.where(col("__sh").isNotNull && size(col("__sh")) > 0)
     val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
     val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
     val ordered = toks.join(freq, "__t")
@@ -497,6 +549,21 @@ object Dedup {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
     val (sets, _, ordered) = orderedTokenSets(docs, idCol, setCol, opName)
+    similarityJoinTail(sets, ordered, thresholdPct)
+  }
+
+  /** [[similarityJoinOn]] over a shared pre-shingled `(__id, __sh)` frame
+    * (r17 — the bandingPrAudit one-shingling-pass path). */
+  private def similarityJoinOnSets(sets0: DataFrame,
+                                   thresholdPct: Int): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    val (sets, _, ordered) = orderedTokenSetsFrom(sets0)
+    similarityJoinTail(sets, ordered, thresholdPct)
+  }
+
+  private def similarityJoinTail(sets: DataFrame, ordered: DataFrame,
+                                 thresholdPct: Int): DataFrame = {
     val prefixed = Materialize.cutLazy(ordered.select(col("__id"),
       size(col("__ord")).as("__sz"),
       expr(s"slice(__ord, 1, size(__ord) - (($thresholdPct * size(__ord) + 99) DIV 100) + 1)")
@@ -565,12 +632,17 @@ object Dedup {
       .select(col("a"), col("b"), col("n_int"), col("n_a"))
   }
 
-  /** Near-dup pairs: LSH blocking then exact-Jaccard verification. */
+  /** Near-dup pairs: LSH blocking then exact-Jaccard verification.
+    * r17 (guide §2.4): ONE shingling pass — the signature folds over the
+    * same materialized shingle-set frame the verify joins read
+    * (MinHashFromSet is value-identical to MinHashSignature over text). */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, numHashes: Int = 128,
                         bands: Int = 32, shingle: Int = 5): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingle)
-    verifyJaccard(cands, df, idCol, textCol, shingle)
+    val sets = Materialize.cutLazy(df.select(col(idCol).as("__id"),
+      shingleSet(col(textCol), shingle).as("__sh")))
+    val cands = minhashCandidatesOnSets(sets, numHashes, bands, maxBucket = 200)
+    verifyJaccardOnSets(cands, sets)
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -506,9 +506,24 @@ object Graph {
       // kic row whenever one exists (score strictly increases in k_ic as
       // 2m > 0), so max(best-of-kic, fallback) picks exactly the old
       // winner with the old (score, stay, −community) tie order.
-      val tot = labels.groupBy(col("community"))
+      // r17 (guide §2.4): the totals-joined label frame is computed ONCE
+      // per round and CUT — it was a plain val read by BOTH the k_ic join
+      // and the argmax own-join, and under AQE the repeated subtree
+      // (community exchange + totals groupBy + join) ran twice. labC cuts
+      // the community-partitioned labels so the totals groupBy and the
+      // own-label join both ride ONE exchange (co-partitioned, no second
+      // shuffle); labelsT re-cuts the result NODE-partitioned, which is
+      // the key both consumers join on — the k_ic probe joins adj (nbr-
+      // partitioned since birth) with no exchange on either side, and the
+      // argmax join + final groupBy reuse the same partitioning. Per-round
+      // |V|-frame exchanges: 2 (labels→community, labelsT→node) where the
+      // old shape paid 4.
+      val labC = Materialize.cutLazy(labels.repartition(col("community")))
+      val tot = labC.groupBy(col("community"))
         .agg(sum(col("__k")).as("__tot"))
-      val labelsT = labels.join(tot.hint("shuffle_hash"), Seq("community"))
+      val labelsT = Materialize.cutLazy(
+        labC.join(tot.hint("shuffle_hash"), Seq("community"))
+          .repartition(col("node")))
       val kic = adj.as("__a")
         .join(labelsT.as("__l").hint("shuffle_hash"),
           col("__a.nbr") === col("__l.node"))
@@ -554,6 +569,8 @@ object Graph {
       // same blocks, computed once inside the caller's single action (r16
       // — the MST flat-persist discipline applied to the move loops).
       labels = Materialize.cutLazy(next)
+      retired += labC
+      retired += labelsT
       if (i < rounds) retired += labels
     }
     retired.foreach(Materialize.release)
@@ -664,9 +681,14 @@ object Graph {
       // ride the label frame, own-community fallback is an in-row struct
       // compare (see the unweighted loop for the equivalence argument;
       // here score strictly increases in k_ic because 2m = 2Σw > 0)
-      val tot = labels.groupBy(col("community"))
+      // r17: same one-cut-per-round labelsT restructure as the unweighted
+      // loop (see louvainMoves) — 2 |V| exchanges per round, not 4
+      val labC = Materialize.cutLazy(labels.repartition(col("community")))
+      val tot = labC.groupBy(col("community"))
         .agg(sum(col("__k")).as("__tot"))
-      val labelsT = labels.join(tot.hint("shuffle_hash"), Seq("community"))
+      val labelsT = Materialize.cutLazy(
+        labC.join(tot.hint("shuffle_hash"), Seq("community"))
+          .repartition(col("node")))
       val kic = adj.as("__a")
         .join(labelsT.as("__l").hint("shuffle_hash"),
           col("__a.nbr") === col("__l.node"))
@@ -700,6 +722,8 @@ object Graph {
           .otherwise(col("__own")).as("community"),
         col("__k"))
       labels = Materialize.cutLazy(next)
+      retired += labC
+      retired += labelsT
       if (i < rounds) retired += labels
     }
     retired.foreach(Materialize.release)
@@ -1121,12 +1145,16 @@ object Graph {
     * whose path counts overflow the envelope fails with a named error,
     * never wraps.
     *
-    * Plan shape: edges dedup'd then materialized TWICE up front — src-
-    * and dst-partitioned (forward relaxes on src, backward joins
+    * Plan shape (r17): edges dedup'd then materialized TWICE up front —
+    * src- and dst-partitioned (forward relaxes on src, backward joins
     * successors on dst: the HITS two-sided discipline) — so the loops
     * re-exchange nothing; per-round state ≤ nodes×nSeeds rows joins
-    * shuffle_hash; every level frame Materialize.cut (read by the next
-    * round AND the backward pass). Forward exits early on an empty
+    * shuffle_hash. The forward loop keeps ONE merged (node, seed, lvl,
+    * σ) state frame updated by a full-outer merge per round (the
+    * shortestPaths shape) — no per-level frames, no anti-join against a
+    * growing visited union; the backward pass reads each level as a
+    * filter over the one state checkpoint and runs ONE outer join +
+    * co-partitioned rollup per level. Forward exits early on an empty
     * frontier; backward is ≤ L−1 bounded joins. Output: `node,
     * n_seed_paths (seeds with δ(node) > 0), bc_ppm`, interior nodes
     * only (δ > 0) — endpoints broker nothing. */
@@ -1157,11 +1185,22 @@ object Graph {
     val eDst = Materialize.cutLazy(e0.repartition(col("dst")))
 
     // ---- forward: per (node, seed) BFS level + path count σ ------------
-    val lvl0 = Materialize.cutLazy(seeds.select(col("seed").as("node"), col("seed"),
-      lit(1).cast("decimal(38,0)").as("sigma")))
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](lvl0)
-    var visited = lvl0.select(col("node").as("__vn"), col("seed").as("__vs"))
-    var frontier = lvl0
+    // r17 (guide §2.4, verdict item 3 — the merged-frame visited set):
+    // the loop state is ONE (node, seed, lvl, sigma) frame updated by a
+    // full-outer merge per round — the shortestPaths loop shape — instead
+    // of an anti-join against a lazy UNION of every previous level frame.
+    // The union chain exchanged Σ|levels| rows per round ACROSS r scan
+    // legs and its plan grew with the horizon (planning time is real: the
+    // per-round cutLazy planning measured 0.8-1.4 s against 0.3-0.9 for
+    // the merged shape); the merged state exchanges the same rows once,
+    // through one frame of fixed plan shape. A node enters the state at
+    // the first round it is a candidate, with that round's σ aggregate —
+    // exactly the old per-level anti-join semantics; later candidate rows
+    // for a seen (node, seed) are discarded by the coalesce (state wins).
+    var state = Materialize.cutLazy(seeds.select(col("seed").as("node"), col("seed"),
+      lit(0).as("lvl"), lit(1).cast("decimal(38,0)").as("sigma")))
+    var frontier = state.select("node", "seed", "sigma")
+    var deepest = 0
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -1171,23 +1210,26 @@ object Graph {
         .groupBy(col("dst"), col("seed"))
         .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
       // cutLazy + count: the emptiness probe is the materializing job
-      val fresh = Materialize.cutLazy(
-        cand.join(visited.hint("shuffle_hash"),
-            cand("dst") === col("__vn") && cand("seed") === col("__vs"),
-            "left_anti")
-          .select(col("dst").as("node"), col("seed"), col("sigma")))
-      if (fresh.count() == 0L) done = true
-      else {
-        levels += fresh
-        // lazy union over frames that are ALREADY cut: re-materializing
-        // the growing visited set each round re-writes Σ|levels| rows
-        // per round (quadratic in the horizon) for no recompute savings —
-        // the anti-join scans the same materialized blocks either way
-        visited = visited.union(
-          fresh.select(col("node").as("__vn"), col("seed").as("__vs")))
-        frontier = fresh
-      }
+      val merged = Materialize.cutLazy(
+        state.withColumnRenamed("node", "__sn").withColumnRenamed("seed", "__ss")
+          .withColumnRenamed("lvl", "__sl").withColumnRenamed("sigma", "__ssig")
+          .join(cand.hint("shuffle_hash"),
+            col("__sn") === col("dst") && col("__ss") === col("seed"), "full")
+          .select(
+            coalesce(col("__sn"), col("dst")).as("node"),
+            coalesce(col("__ss"), col("seed")).as("seed"),
+            coalesce(col("__sl"), lit(r)).as("lvl"),
+            coalesce(col("__ssig"), col("sigma")).as("sigma"),
+            col("__sn").isNull.as("__new")))
+      frontier = merged.where(col("__new")).select("node", "seed", "sigma")
+      // the filtered count scans every partition of the checkpoint —
+      // the one materializing job per round (never isEmpty: limit-1
+      // would short-circuit before every partition persists)
+      if (frontier.count() == 0L) done = true else deepest = r
+      state = merged.select("node", "seed", "lvl", "sigma")
     }
+    def levelOf(l: Int): DataFrame =
+      state.where(col("lvl") === l).select("node", "seed", "sigma")
 
     // ---- backward: Brandes dependency accumulation in ppm --------------
     val big = "1000000000000000000" // 10^18 — the documented envelope
@@ -1200,10 +1242,9 @@ object Graph {
     import spark.implicits._
     val emptyOut = Seq.empty[(Long, Long, Long)]
       .toDF("node", "n_seed_paths", "bc_ppm")
-    val deepest = levels.size - 1
     if (deepest < 2) emptyOut // no interior node inside the horizon
     else {
-      var deltaNext = levels(deepest).select(col("node"), col("seed"),
+      var deltaNext = levelOf(deepest).select(col("node"), col("seed"),
         col("sigma"), lit(0).cast("decimal(38,0)").as("delta"))
       val acc = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (l <- (deepest - 1) to 1 by -1) {
@@ -1214,23 +1255,26 @@ object Graph {
           .select(col("src").as("__cn"), col("__ws").as("__cs"),
             expr("CAST(__wsig AS DECIMAL(19,0))").as("__wsig"),
             expr("CAST(1000000 AS DECIMAL(19,0)) + CAST(__wd AS DECIMAL(19,0))").as("__wval"))
-        val vSide = levels(l).select(col("node").as("__vn"), col("seed").as("__vs"),
-          col("sigma").as("__vsig"))
-        val terms = contrib.join(vSide.hint("shuffle_hash"),
-            col("__cn") === col("__vn") && col("__cs") === col("__vs"))
-          .select(col("__vn"), col("__vs"),
+        // r17 (guide §2.4): ONE left-outer join per level where two joins
+        // ran before (terms = contrib ⋈ level INNER, then level ⋈ terms
+        // LEFT to restore zero-δ nodes). The outer join emits the SAME
+        // term rows (inner matches) plus one null-term row per
+        // contribution-less (node, seed); the groupBy sums the same exact
+        // integers (order-insensitive) and the all-null sum coalesces to
+        // the old zero. σ is group-constant (it rides the level row), so
+        // min(σ) = σ. The groupBy reuses the join's (node, seed)
+        // partitioning — no extra exchange.
+        val deltaL = Materialize.cutLazy(levelOf(l)
+          .join(contrib.hint("shuffle_hash"),
+            col("node") === col("__cn") && col("seed") === col("__cs"), "left")
+          .select(col("node"), col("seed"), col("sigma"),
             // per-term floor DIV (BIGINT), re-widened to DECIMAL before the
             // sum — a LONG sum over many successors could wrap silently
-            expr("CAST((CAST(__vsig AS DECIMAL(19,0)) * __wval) DIV __wsig AS DECIMAL(28,0))").as("__t"))
-          .groupBy(col("__vn"), col("__vs"))
-          .agg(sum(col("__t")).cast("decimal(38,0)").as("__d"))
-        // lazy: each level frame is read by the next level's join and the
-        // closing union — both inside the caller's single action (r16)
-        val deltaL = Materialize.cutLazy(levels(l)
-          .join(terms.hint("shuffle_hash"),
-            col("node") === col("__vn") && col("seed") === col("__vs"), "left")
-          .select(col("node"), col("seed"), col("sigma"),
-            coalesce(col("__d"), lit(0).cast("decimal(38,0)")).as("delta")))
+            expr("CAST((CAST(sigma AS DECIMAL(19,0)) * __wval) DIV __wsig AS DECIMAL(28,0))").as("__t"))
+          .groupBy(col("node"), col("seed"))
+          .agg(min(col("sigma")).as("sigma"),
+            coalesce(sum(col("__t")).cast("decimal(38,0)"),
+              lit(0).cast("decimal(38,0)")).as("delta")))
         acc += deltaL
         deltaNext = deltaL
       }
